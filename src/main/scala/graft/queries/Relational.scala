@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Relational surface (SURVEY §2.5-§2.9): scan-agg, joins (broadcast /
+  * semi / anti), windows, rollup, top-k, set ops — over the TPC-H-ish
+  * testdata. Each query has a DuckDB oracle in [[oracle]].
+  *
+  * Scale notes (100 TB posture): dimension tables (region, nation,
+  * supplier, part, customer at small SF) are broadcast explicitly; fact-
+  * fact joins shuffle on their keys and rely on AQE; every group-by runs
+  * partial aggregation map-side because measures are plain Catalyst
+  * aggregates. No driver-side collects anywhere.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan + filter + groupBy agg.
+    * Reference analog: analytics throughput/efficiency family
+    * (`docs/analytics.md:27-94`). */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Broadcast join lineitem ⋈ part + top-N revenue per brand (A7/T4). */
+  def q02TopBrandRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("p_brand"))
+      .limit(20)
+
+  /** orders ⋈ customer (broadcast dim) grouped by market segment. */
+  def q03SegmentOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** 5-way join through the dimension chain (TPC-H Q5 analog):
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, revenue by nation.
+    * All dims broadcast; the single shuffle is lineitem⋈orders on
+    * orderkey (AQE-coalesced). */
+  def q04RevenueByNation(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Left-anti join: customers with no order above 250k (reference
+    * orphan-audit pattern J3/J5, `parquet_service.py:116-149`). */
+  def q05CustomersNoOrders(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 250000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-semi join: customers having at least one high-value order. */
+  def q06HighValueCustomers(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 100000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Week-over-week revenue delta via lag window (W1,
+    * `analytics.md:160-175`). */
+  def q07WeeklyRevenueWow(s: SparkSession, d: String): DataFrame = {
+    val weekly = orders(s, d)
+      .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("week"))
+    weekly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("wow_delta", col("revenue") - col("prev_revenue"))
+      .orderBy(col("week"))
+  }
+
+  /** Top-3 orders per customer via ranked window (W3/T1 retrieval-rank
+    * pattern, `llm_setup.py:273-274`). */
+  def q08Top3OrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Rollup over status × priority (grouping-sets surface, SURVEY §2.6). */
+  def q09OrdersRollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** Conditional aggregation (A4 error-rate analog) on lineitem flags. */
+  def q10ReturnRate(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
+        (sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double")
+          / count(lit(1))).as("return_rate"))
+      .orderBy(col("l_linestatus"))
+
+  /** Exact distinct counting surface (A6/A8). */
+  def q11DistinctCounts(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** CASE-bucketing + grouped counts (F15 routing-column analog). */
+  def q12QuantityBuckets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("bucket",
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("bucket"))
+
+  /** Set ops: union / intersect / except over customer-key sets
+    * (SURVEY §2.9 new-engine surface). */
+  def q13SetOps(s: SparkSession, d: String): DataFrame = {
+    val buyers = orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+    val bigBuyers = orders(s, d).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val autoSeg = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("custkey"))
+    buyers.intersect(autoSeg)
+      .except(bigBuyers)
+      .orderBy(col("custkey"))
+  }
+
+  /** Correlated-style aggregate filter: orders above their customer's
+    * average order value (scalar-subquery family A5). */
+  def q14AboveAvgOrders(s: SparkSession, d: String): DataFrame = {
+    val custAvg = orders(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(davg(col("o_totalprice")).as("avg_price"))
+    orders(s, d)
+      .join(custAvg, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Running cumulative sum per supplier ordered by ship date
+    * (rowsBetween frame surface, SURVEY §2.7). */
+  def q15RunningSupplierQty(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_top_brand_revenue" -> (q02TopBrandRevenue _),
+    "q03_segment_orders" -> (q03SegmentOrders _),
+    "q04_revenue_by_nation" -> (q04RevenueByNation _),
+    "q05_customers_no_orders" -> (q05CustomersNoOrders _),
+    "q06_high_value_customers" -> (q06HighValueCustomers _),
+    "q07_weekly_revenue_wow" -> (q07WeeklyRevenueWow _),
+    "q08_top3_orders_per_customer" -> (q08Top3OrdersPerCustomer _),
+    "q09_orders_rollup" -> (q09OrdersRollup _),
+    "q10_return_rate" -> (q10ReturnRate _),
+    "q11_distinct_counts" -> (q11DistinctCounts _),
+    "q12_quantity_buckets" -> (q12QuantityBuckets _),
+    "q13_set_ops" -> (q13SetOps _),
+    "q14_above_avg_orders" -> (q14AboveAvgOrders _),
+    "q15_running_supplier_qty" -> (q15RunningSupplierQty _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_brand_revenue" ->
+      """SELECT p_brand,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 20""".stripMargin,
+    "q03_segment_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        | COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q05_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_high_value_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_weekly_revenue_wow" ->
+      """WITH weekly AS (
+        | SELECT date_trunc('week', o_orderdate) AS week,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | FROM orders GROUP BY 1)
+        |SELECT week, revenue,
+        | lag(revenue, 1) OVER (ORDER BY week) AS prev_revenue,
+        | revenue - lag(revenue, 1) OVER (ORDER BY week) AS wow_delta
+        |FROM weekly ORDER BY week""".stripMargin,
+    "q08_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q09_orders_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q10_return_rate" ->
+      """SELECT l_linestatus, COUNT(*) AS n_items,
+        | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / COUNT(*) AS return_rate
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q11_distinct_counts" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(*) AS n_rows FROM lineitem""".stripMargin,
+    "q12_quantity_buckets" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |  WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q13_set_ops" ->
+      """SELECT custkey FROM (
+        | SELECT DISTINCT o_custkey AS custkey FROM orders
+        | INTERSECT
+        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        | EXCEPT
+        | SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY custkey""".stripMargin,
+    "q14_above_avg_orders" ->
+      """WITH cust_avg AS (
+        | SELECT o_custkey AS k,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS avg_price
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders JOIN cust_avg ON o_custkey = k
+        |WHERE o_totalprice > avg_price ORDER BY o_orderkey""".stripMargin,
+    "q15_running_supplier_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+  )
+}

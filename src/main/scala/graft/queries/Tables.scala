@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table loaders + parity helpers shared by every query suite.
+  *
+  * Oracle-parity rules (Spark result must hash-match DuckDB running the
+  * oracle SQL on the same parquet):
+  *  - Never SUM/AVG raw doubles across rows: parallel partial aggregation
+  *    makes the summation order nondeterministic. Cast each row's value to
+  *    an exact DECIMAL first (deterministic per-row rounding), sum exactly,
+  *    then cast the final result back to DOUBLE. DuckDB side mirrors the
+  *    same casts, so results are bit-identical.
+  *  - Per-row double arithmetic (a*b, 1-d) is IEEE-deterministic and safe.
+  *  - Always ORDER BY a full deterministic key set.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Exact sum of a double column: per-row cast to DECIMAL(18,scale)
+    * (deterministic), exact decimal sum, final cast to double.
+    * DuckDB mirror: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE). */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic mean built from the exact sum. DuckDB mirror:
+    * CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(x). */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c)
+}
