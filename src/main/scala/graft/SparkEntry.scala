@@ -13,6 +13,9 @@ object SparkEntry {
   private val suites: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
+    (EventQueries.queries, EventQueries.oracle),
+    (TextQueries.queries, TextQueries.oracle),
+    (VectorQueries.queries, VectorQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector kernels over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>` columns
+  * (SURVEY §2.11: V1-V3 — cosine retrieval is the reference's core
+  * query operator, `services/database.py:202-236`).
+  *
+  * All kernels fold left-to-right over the array (Catalyst `aggregate`),
+  * so results are IEEE-deterministic and bit-identical to a sequential
+  * C loop — which is what the DuckDB oracle (`list_dot_product`)
+  * computes. Elements are widened float→double *before* multiplication
+  * on both sides.
+  */
+object VectorFunctions {
+
+  private def f64(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential dot product, double accumulation. */
+  def dotF64(a: Column, b: Column): Column =
+    aggregate(zip_with(f64(a), f64(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dotF64(a, a))
+
+  /** Cosine similarity = dot / (|a|·|b|). On pre-normalized embeddings
+    * this reduces to the dot product (reference normalizes at embed
+    * time, `utils/llm_setup.py:88-89`). */
+  def cosine(a: Column, b: Column): Column =
+    dotF64(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** L2-normalize a vector (reference `normalize_embeddings=True`). */
+  def l2Normalize(a: Column): Column =
+    transform(f64(a), x => x / sqrt(aggregate(
+      zip_with(f64(a), f64(a), (p, q) => p * q), lit(0.0), (s, x2) => s + x2)))
+
+  /** Deterministic mock embedding for hermetic tests: seed-hashed
+    * pseudo-vector of `dim` floats in [-0.5, 0.5), stands in for the
+    * external e5 embed service (SURVEY §7 hard-part 3). */
+  def mockEmbedding(text: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(hash(text, i), lit(1000000)).cast("double") / 1000000.0)
+        - 0.5)
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline (builder
+  * brief: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * near-dup; reference analog: idempotent-upsert dedup D2,
+  * `parquet_service.py:66-89`).
+  *
+  * Scale design: every operator keys its shuffle on content hashes or
+  * shingles (never collects to the driver), applies a document-frequency
+  * cap to hot shingles (skew guard), and produces candidate pairs via
+  * hash-bucket joins rather than cross products — the standard
+  * inverted-index / LSH shapes that survive 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per md5(content).
+    * `min_by` keeps the winner inside a single hash aggregation —
+    * one shuffle on the 128-bit digest, no window needed. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: `numHashes` permutations simulated as
+    * md5(perm || ":" || shingle), each minimized over the doc's
+    * distinct shingles. Returns (idCol, minhash ARRAY<STRING>).
+    * Docs with no shingle (shorter than `shingleN` tokens) are kept
+    * with an empty signature. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = array_distinct(wordShingles(col(textCol), shingleN))
+    val sig = array((0 until numHashes).map(p =>
+      array_min(transform(sh, s => md5(concat(lit(s"$p:"), s))))): _*)
+    df.select(col(idCol), sig.as("minhash"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands and hash each
+    * band — docs sharing any band hash are near-dup candidates.
+    * Returns (idCol, band INT, band_hash STRING), one row per band. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    withSig
+      .filter(size(col("minhash")) > 0 && !array_contains(
+        transform(col("minhash"), h => h.isNull), lit(true)))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+            element_at(col("minhash"), b * rowsPerBand + r + 1)): _*)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** LSH candidate pairs: self-join on (band, band_hash), id_a < id_b,
+    * distinct. The join shuffles on the band hash — collisions, not
+    * the corpus, drive the pair count. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val b = minhashBands(df, idCol, textCol, shingleN, numHashes, bands)
+    val l = b.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val r = b.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity via inverted shingle index:
+    * explode distinct shingles, drop shingles hotter than `maxDf`
+    * docs (skew guard — a stop-shingle joins everything with
+    * everything), self-join on shingle, count common, and compute
+    * |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, common, jaccard)
+    * for pairs sharing ≥1 surviving shingle. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Int = 50): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), explode(
+        array_distinct(wordShingles(col(textCol), shingleN))).as("s"))
+    val kept = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("s"),
+      Seq("s"))
+    val sizes = kept.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val common = kept.select(col("doc").as("id_a"), col("s"))
+      .join(kept.select(col("doc").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("n_a") + col("n_b") - col("common")))
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash per document: each token hashes to a 60-bit value
+    * (first 15 hex chars of md5), every bit votes ±1 weighted by term
+    * frequency, and the sign vector becomes the fingerprint. Near-dups
+    * have small Hamming distance. Pure column-expression formulation:
+    * explode tokens × bits, aggregate votes, reassemble bits. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("t"))
+      .withColumn("hv", conv(substring(md5(col("t")), 1, 15), 16, 10)
+        .cast("long"))
+    tok
+      .select(col(idCol), col("hv"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(when(expr("shiftright(hv, b) & 1") === 1L, 1L)
+        .otherwise(-1L)).as("vote"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Embedding near-dup: cosine-similar pairs above `threshold`.
+    * Delegates to [[SimilaritySearch.cosinePairsAbove]]. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    SimilaritySearch.cosinePairsAbove(df, idCol, vecCol, threshold)
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Lifecycle-analytics surface (SURVEY §2.6/§2.7/§2.13 — the reference's
+  * `docs/analytics.md` reporting suite re-expressed over the `events`
+  * stream table): time-bucketed throughput, conditional error rates,
+  * JSON metadata extraction, per-user activity spans, and gap-based
+  * sessionization (the batch equivalent of the reference's
+  * 300 s chunk-staging TTL / session semantics).
+  *
+  * Time arithmetic uses integer microseconds (`unix_micros` ↔ DuckDB
+  * `epoch_us`) so parity is exact, never float epoch seconds.
+  */
+object EventQueries {
+
+  /** A1: throughput by day × event_type (`analytics.md:27-48`). */
+  def q16DailyThroughput(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** A4: hourly error rate via conditional aggregation
+    * (`analytics.md:102-113`). */
+  def q17HourlyErrorRate(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"),
+        (sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("error_rate"))
+      .orderBy(col("hour"))
+
+  /** A2: value distribution stats per event type, incl. exact median
+    * (`analytics.md:56-68`). */
+  def q18ValueStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        davg(col("value")).as("avg_value"),
+        median(col("value")).as("median_value"))
+      .orderBy(col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity starts a new session):
+    * the batch analog of the reference's keyed-state session semantics
+    * (`chat_session_service.py:13-62`, SURVEY §2.13). */
+  def q19UserSessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull
+          || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("new_session")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON metadata extraction (reference metadata-blob pattern,
+    * `schema.sql:36` + `from_json`/`get_json_object` mapping). */
+  def q20JsonProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("k_bucket"))
+
+  /** A8-style per-user activity snapshot: counts, distinct types,
+    * first/last timestamps, active span in integer seconds. */
+  def q21UserActivity(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        max(unix_micros(col("ts"))).as("max_us"),
+        min(unix_micros(col("ts"))).as("min_us"))
+      .withColumn("span_sec", expr("(max_us - min_us) div 1000000"))
+      .drop("max_us", "min_us")
+      .orderBy(col("user_id"))
+
+  /** A6-style share-of-total per event type (window over the grouped
+    * result — 1 row per type, so the single-partition window is tiny). */
+  def q22EventTypeShare(s: SparkSession, d: String): DataFrame = {
+    val byType = events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    byType
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy(lit(1))))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_daily_throughput" -> (q16DailyThroughput _),
+    "q17_hourly_error_rate" -> (q17HourlyErrorRate _),
+    "q18_value_stats" -> (q18ValueStats _),
+    "q19_user_sessions" -> (q19UserSessions _),
+    "q20_json_props" -> (q20JsonProps _),
+    "q21_user_activity" -> (q21UserActivity _),
+    "q22_event_type_share" -> (q22EventTypeShare _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q16_daily_throughput" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q17_hourly_error_rate" ->
+      """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / COUNT(*) AS error_rate
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q18_value_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | MIN(value) AS min_value, MAX(value) AS max_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/COUNT(value) AS avg_value,
+        | median(value) AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19_user_sessions" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CASE WHEN lag(epoch_us(ts), 1) OVER (
+        |     PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |   OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |     PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q20_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q21_user_activity" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | COUNT(DISTINCT event_type) AS n_types,
+        | MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        | (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS span_sec
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_event_type_share" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+import graft.functions.VectorFunctions._
+import graft.operators.SimilaritySearch
+
+/** Vector / retrieval surface over the `embeddings` table (SURVEY
+  * §2.11: cosine top-k V3/T1 is the reference's core query operator;
+  * plus the ANN + centroid extensions from the builder brief).
+  *
+  * Parity note: every kernel folds left-to-right in double precision,
+  * matching DuckDB's sequential `list_dot_product` bit-for-bit, so
+  * scores and rank order hash-match without rounding.
+  */
+object VectorQueries {
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries
+    * (self excluded) — the V3/T1 retrieval path. */
+  def q31KnnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    SimilaritySearch.bruteForceTopK(
+      emb.filter(col("vec_id") < 10), "vec_id",
+      emb, "vec_id", "embedding", k = 6)
+      .filter(col("qid") =!= col("cid"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Per-label centroid components — the coarse-quantizer build for
+    * IVF ANN. Mean per dimension via an order-fixed sequential fold
+    * (collect sorted by vec_id, fold left in double): deterministic
+    * under Spark's parallel aggregation and bit-identical to the
+    * oracle's `list_reduce(list(e ORDER BY vec_id))`. */
+  def q32LabelCentroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("col")))),
+            x => x.getField("col")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)))
+          .as("centroid_val"))
+      .orderBy(col("label"), col("pos"))
+
+  /** L2 norms of every embedding (V-family norm check — the reference
+    * stores pre-normalized vectors; this is the audit query). */
+  def q33VectorNorms(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), l2Norm(col("embedding")).as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  /** Top-100 most-similar embedding pairs (embedding near-dup surface;
+    * threshold 0.3 keeps the pair set small before ranking). */
+  def q34CosineTopPairs(s: SparkSession, d: String): DataFrame =
+    SimilaritySearch.cosinePairsAbove(
+      embeddings(s, d), "vec_id", "embedding", threshold = 0.3)
+      .orderBy(desc("score"), col("id_a"), col("id_b"))
+      .limit(100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_knn_bruteforce" -> (q31KnnBruteForce _),
+    "q32_label_centroids" -> (q32LabelCentroids _),
+    "q33_vector_norms" -> (q33VectorNorms _),
+    "q34_cosine_top_pairs" -> (q34CosineTopPairs _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q31_knn_bruteforce" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        |           FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_dot_product(q.e, c.e) /
+        |   (sqrt(list_dot_product(q.e, q.e)) *
+        |    sqrt(list_dot_product(c.e, c.e))) AS score
+        | FROM v q, v c WHERE q.vec_id < 10),
+        |ranked AS (
+        | SELECT qid, cid, score, ROW_NUMBER() OVER (
+        |   PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+        | FROM scored)
+        |SELECT qid, cid, score, rnk FROM ranked
+        |WHERE rnk <= 6 AND qid <> cid
+        |ORDER BY qid, rnk""".stripMargin,
+    "q32_label_centroids" ->
+      """SELECT label, pos,
+        | list_reduce(list(e ORDER BY vec_id), (a, b) -> a + b)
+        |   / COUNT(*) AS centroid_val
+        |FROM (SELECT label, vec_id,
+        |        generate_subscripts(embedding, 1) - 1 AS pos,
+        |        CAST(unnest(embedding) AS DOUBLE) AS e
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q33_vector_norms" ->
+      """SELECT vec_id,
+        | sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                       CAST(embedding AS DOUBLE[]))) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q34_cosine_top_pairs" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_dot_product(a.e, b.e) /
+        |  (sqrt(list_dot_product(a.e, a.e)) *
+        |   sqrt(list_dot_product(b.e, b.e))) AS score
+        |FROM v a, v b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.e, b.e) /
+        |   (sqrt(list_dot_product(a.e, a.e)) *
+        |    sqrt(list_dot_product(b.e, b.e))) > 0.3
+        |ORDER BY score DESC, id_a, id_b LIMIT 100""".stripMargin,
+  )
+}
