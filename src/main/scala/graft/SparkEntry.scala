@@ -16,6 +16,14 @@ object SparkEntry {
     (EventQueries.queries, EventQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle),
+    (PipelineQueries.queries, PipelineQueries.oracle),
+  )
+
+  /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
+    * semantics; invariants covered by ScalaTest instead). */
+  val rowsOnlyQueries: Set[String] = Set(
+    "q35_chunk_pipeline", // murmur3 seed-0 ids + generator UDF
+    "q36_rag_pipeline",   // mock embedder + retrieval pipeline
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

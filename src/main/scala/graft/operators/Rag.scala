@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** RAG query-side operators (SURVEY §2.12 / §3.1): batch retrieval →
+  * context assembly → citation rewrite. The LLM generation leg stays
+  * behind [[Generator]] (external-service boundary, deterministic stub
+  * in tests — SURVEY §7 hard part 3); everything else is native
+  * column work.
+  */
+object Rag {
+
+  /** D1: drop exact-duplicate chunk text among each query's top-k,
+    * keeping the best (lowest) rank — window + min(rank)
+    * (`chat/chroma_chat.py:22-44`). */
+  def dedupHits(hits: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid"), col("chunk"))
+    hits.withColumn("_best", min(col("rnk")).over(w))
+      .filter(col("rnk") === col("_best"))
+      .drop("_best")
+  }
+
+  /** R1: context assembly — extract the `[DOC_hex]` anchor, strip the
+    * `passage: ` prefix, number hits `[sourceN]` in rank order, join
+    * with `---` separators (`chroma_chat.py:27-44`). One row per qid:
+    * (qid, context, sources ARRAY<STRING>). */
+  def assembleContext(hits: DataFrame): DataFrame = {
+    val anchored = hits
+      .withColumn("doc_anchor",
+        regexp_extract(col("chunk"), "\\[(DOC_[0-9A-F]{8})\\]", 1))
+      .withColumn("body",
+        regexp_replace(col("chunk"),
+          "^passage: \\[DOC_[0-9A-F]{8}\\] ", ""))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rnk"))
+    anchored
+      .withColumn("n", row_number().over(w))
+      .withColumn("numbered",
+        concat(lit("[source"), col("n"), lit("] "), col("body")))
+      .groupBy(col("qid"))
+      .agg(
+        concat_ws("\n---\n", array_sort(collect_list(
+          struct(col("n"), col("numbered")))).getField("numbered"))
+          .as("context"),
+        array_sort(collect_list(struct(col("n"), col("source_file"))))
+          .getField("source_file").as("sources"))
+  }
+
+  /** R3: citation post-map — rewrite `[sourceN]` / `(sourceN)` tags
+    * into markdown links against the file-serving base URL, using the
+    * per-query source list (`chroma_chat.py:80-89`,
+    * `utils/chat_utils.py:24-78`). */
+  def rewriteCitations(answers: DataFrame, baseUrl: String): DataFrame =
+    answers.withColumn("answer_linked",
+      aggregate(
+        zip_with(col("sources"),
+          sequence(lit(1), size(col("sources"))),
+          (src, n) => struct(n.as("n"), src.as("src"))),
+        col("answer"),
+        (acc, x) => regexp_replace(
+          regexp_replace(acc,
+            concat(lit("\\[source"), x.getField("n"), lit("\\]")),
+            concat(lit("[source"), x.getField("n"), lit("]("),
+              lit(baseUrl), lit("/files/"), x.getField("src"), lit(")"))),
+          concat(lit("\\(source"), x.getField("n"), lit("\\)")),
+          concat(lit("[source"), x.getField("n"), lit("]("),
+            lit(baseUrl), lit("/files/"), x.getField("src"), lit(")")))))
+
+  /** External LLM boundary (R2): batch generation over assembled
+    * contexts. Implementations run per-partition with connection
+    * reuse; the test stub is deterministic. */
+  trait Generator extends Serializable {
+    def generate(prompts: Seq[String]): Seq[String]
+  }
+
+  /** Deterministic stub: echoes a grounded-shaped answer citing
+    * source1 — lets the full pipeline run hermetically. */
+  object EchoGenerator extends Generator {
+    def generate(prompts: Seq[String]): Seq[String] =
+      prompts.map(p => s"Answer based on context [source1]. " +
+        s"(${p.length} chars of context)")
+  }
+
+  /** Full batch RAG slice: queries (qid, qvec) against an embedded
+    * chunk index (chunk_id, chunk, source_file, embedding) → top-k →
+    * dedup → context (→ generation happens outside, via Generator). */
+  def retrieve(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val hits = SimilaritySearch.bruteForceTopK(
+      queries, "qid", index, "chunk_id", "embedding", k)
+      .withColumnRenamed("cid", "chunk_id")
+    val joined = hits.join(
+      index.select(col("chunk_id"), col("chunk"), col("source_file")),
+      Seq("chunk_id"))
+    assembleContext(dedupHits(joined))
+  }
+}

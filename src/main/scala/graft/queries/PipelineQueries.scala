@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+import graft.functions.{Hashing, VectorFunctions, TextFunctions}
+import graft.operators.{Chunker, Ingest, Rag, SimilaritySearch}
+
+/** End-to-end pipeline queries (SURVEY §3.2 ingest + §3.1 RAG query
+  * re-expressions). These exercise murmur3 ids, the markdown chunker,
+  * passage enrichment, mock embedding, retrieval, and context
+  * assembly — semantics DuckDB cannot express (murmur3 seed-0, the
+  * generator UDF), so the driver records rows-only checks; value-level
+  * invariants are covered by ScalaTest (ChunkerSpec, IngestSpec,
+  * RagSpec, HashingSpec).
+  */
+object PipelineQueries {
+
+  /** Documents table dressed as a staging batch of markdown files. */
+  private def asMarkdownDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      concat(lit("doc"), col("doc_id"), lit(".md")).as("source_file"),
+      col("text"))
+
+  /** §3.2 ingest slice: markdown docs → hierarchical chunking →
+    * enrichment → canonical chunk rows with deterministic ids. */
+  def q35ChunkPipeline(s: SparkSession, d: String): DataFrame =
+    Ingest.ingestMarkdown(asMarkdownDocs(s, d))
+      .select(col("chunk_id"), col("document_id"), col("source_file"),
+        col("hash"), col("page"), col("chunk_index"), col("total_chunks"))
+      .orderBy(col("source_file"), col("chunk_index"))
+
+  /** §3.1 RAG slice: build an embedded index from the chunk pipeline
+    * (deterministic mock embedder standing in for the external e5
+    * service), embed the first 5 documents' openings as queries,
+    * retrieve top-4 (reference RETRIEVER_TOP_K default), assemble
+    * cited contexts. */
+  def q36RagPipeline(s: SparkSession, d: String): DataFrame = {
+    val chunks = Ingest.ingestMarkdown(asMarkdownDocs(s, d))
+    val index = chunks
+      .withColumn("embedding",
+        VectorFunctions.mockEmbedding(col("chunk"), 32))
+    val queries = documents(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        VectorFunctions.mockEmbedding(
+          concat(lit("query: "), substring(col("text"), 1, 64)), 32)
+          .as("embedding"))
+    Rag.retrieve(index, queries, k = 4)
+      .select(col("qid"), col("context"),
+        concat_ws(",", col("sources")).as("sources"))
+      .orderBy(col("qid"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_chunk_pipeline" -> (q35ChunkPipeline _),
+    "q36_rag_pipeline" -> (q36RagPipeline _),
+  )
+
+  /** Non-SQL-expressible (murmur3 seed-0 ids, generator UDF, mock
+    * embedder) — driver records rows-only checks. */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,103 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Truth tables for the quality-predicate family (SURVEY §5: "quality
+  * predicates (F1-F11 truth tables)") + text-analysis extensions. */
+class TextFunctionsSpec extends SparkTestBase {
+  import TextFunctions._
+
+  private def evalBool(c: String => org.apache.spark.sql.Column,
+      inputs: Seq[String]): Seq[Boolean] = {
+    import spark.implicits._
+    inputs.toDF("s")
+      .select(c("s").cast("boolean"))
+      .collect().map(_.getBoolean(0)).toSeq
+  }
+
+  test("tokenCount / uniqueWordRatio") {
+    import spark.implicits._
+    val r = Seq("a b c a b", "solo").toDF("s")
+      .select(tokenCount(col("s")), uniqueWordRatio(col("s")))
+      .collect()
+    assert(r(0).getInt(0) === 5 && r(0).getDouble(1) === 0.6)
+    assert(r(1).getInt(0) === 1 && r(1).getDouble(1) === 1.0)
+  }
+
+  test("isRepetitive flags low-diversity text (F7 thresholds)") {
+    val repeatedWords = ("spam " * 50).trim          // 1 unique / 50
+    val repeatedLines = Array.fill(10)("same line").mkString("\n")
+    val normal = "this text has plenty of distinct words in every line"
+    val got = evalBool(s => isRepetitive(col(s)),
+      Seq(repeatedWords, repeatedLines, normal))
+    assert(got === Seq(true, true, false))
+  }
+
+  test("hasAbnormalWordLengths (F8 bounds)") {
+    val longWords = Array.fill(20)("x" * 35).mkString(" ")
+    val singles = Array.fill(20)("a").mkString(" ")   // mean 1 < 2
+    val normal = "these are perfectly ordinary english words here"
+    val got = evalBool(s => hasAbnormalWordLengths(col(s)),
+      Seq(longWords, singles, normal))
+    assert(got === Seq(true, true, false))
+  }
+
+  test("latin / printable ratios and corruption flag (F2/F3/F5)") {
+    import spark.implicits._
+    val r = Seq("abcd", "abâсс", "café")
+      .toDF("s")
+      .select(latinScriptRatio(col("s")), printableAsciiRatio(col("s")),
+        isVisiblyCorrupt(col("s")))
+      .collect()
+    assert(r(0).getDouble(0) === 1.0 && r(0).getDouble(1) === 1.0
+      && !r(0).getBoolean(2))
+    assert(r(1).getDouble(0) === 0.6)   // 'â' is Latin; Cyrillic 'сс' not
+    assert(r(1).getBoolean(2))          // â is a mojibake indicator
+    assert(r(2).getDouble(0) === 1.0 && r(2).getDouble(1) === 0.75)
+  }
+
+  test("isBadOcr composite gate routes only damaged text (F9)") {
+    val clean = "a normal paragraph of readable text with many words " +
+      "and reasonable structure for the quality gate to accept"
+    val got = evalBool(s => isBadOcr(col(s)),
+      Seq(clean, "tiny", ("noise " * 40).trim))
+    assert(got === Seq(false, true, true))
+  }
+
+  test("wordShingles produces n-grams; short docs give empty") {
+    import spark.implicits._
+    val r = Seq("a b c d", "a b").toDF("s")
+      .select(wordShingles(col("s"), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) === Seq("a b c", "b c d"))
+    assert(r(1) === Seq.empty)
+  }
+
+  test("langIdHeuristic picks marker language") {
+    import spark.implicits._
+    val r = Seq(
+      "the cat and the dog of the house is here",
+      "el perro de la casa que ladra",
+      "der hund und die katze ist hier").toDF("s")
+      .select(langIdHeuristic(col("s"))).as[String].collect()
+    assert(r === Array("en", "es", "de"))
+  }
+
+  test("rollingFingerprint is deterministic and content-sensitive") {
+    import spark.implicits._
+    val r = Seq("hello world", "hello world", "hello worle").toDF("s")
+      .select(rollingFingerprint(col("s"))).as[Long].collect()
+    assert(r(0) === r(1))
+    assert(r(0) !== r(2))
+  }
+
+  test("qualityScore orders clean text above junk") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over a lazy dog near the river bank"
+    val junk = ("zz " * 30).trim
+    val r = Seq(clean, junk).toDF("s")
+      .select(qualityScore(col("s"), Seq("the", "a"))).as[Double].collect()
+    assert(r(0) > r(1))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Dedup-family behavior on planted duplicates (reference invariant
+  * D2: re-ingest ⇒ identical representative set). */
+class DedupSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup of 1
+      (3L, base.replace("theta", "THETA")),        // near dup of 1
+      (4L, "completely different words entirely unrelated content " +
+        "nothing shared with the others at all in any way"),
+      (5L, base + " extra trailing tokens appended here")  // near dup
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps lowest id per content hash") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() === 4) // 1&2 collapse
+    val dup = out.filter(col("n_copies") === 2).head()
+    assert(dup.getAs[Long]("doc_id") === 1L)
+  }
+
+  test("exactDedup is idempotent under re-ingestion (D2)") {
+    val once = Dedup.exactDedup(docs, "doc_id", "text")
+    val twice = Dedup.exactDedup(docs.union(docs), "doc_id", "text")
+    assert(once.select("content_hash", "doc_id").collect().toSet
+      === twice.select("content_hash", "doc_id").collect().toSet)
+  }
+
+  test("jaccardPairs finds planted near-dups with correct similarity") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    // exact dup pair has jaccard 1.0
+    assert(pairs((1L, 2L)) === 1.0)
+    // near dups score high but < 1
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(pairs((1L, 5L)) > 0.5 && pairs((1L, 5L)) < 1.0)
+    // unrelated doc 4 pairs with nobody
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates cover the true near-dup pairs") {
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(cands.contains((1L, 5L)) || cands.contains((2L, 5L)))
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signatures of identical docs are identical") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(4L))
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val hs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(2L)) === 0)
+    assert(hamming(hs(1L), hs(3L)) < 10)
+    assert(hamming(hs(1L), hs(4L)) > 15)
+  }
+
+  test("embedding near-dups surface planted duplicate vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val out = Dedup.embeddingNearDups(vecs, "id", "vec", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+}

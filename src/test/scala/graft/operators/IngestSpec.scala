@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Ingestion pipeline behavior: routing, front-matter, the canonical
+  * projection, tier gating, and the end-to-end markdown slice
+  * (SURVEY §3.2 re-expression). */
+class IngestSpec extends SparkTestBase {
+
+  test("extension routing covers the handler chain (F15)") {
+    import spark.implicits._
+    val got = Seq("a/report.PDF", "b/x.md", "c/y.txt", "d/z.mp3",
+      "e/v.mkv", "f/page.html", "g/w.xyz").toDF("path")
+      .select(Ingest.routeByExtension(col("path"))).as[String].collect()
+    assert(got === Array("pdf", "markdown", "text", "audio", "video",
+      "html", "unsupported"))
+  }
+
+  test("front-matter parse splits meta map and body (S6)") {
+    import spark.implicits._
+    val md = "---\ntitle: My Doc\nauthor: someone\n---\n# Body\ntext"
+    val noFm = "# Plain\nbody only"
+    val rows = Ingest.parseFrontMatter(
+      Seq(md, noFm).toDF("text"), "text")
+      .select("metadata", "body").collect()
+    assert(rows(0).getMap[String, String](0) ===
+      Map("title" -> "My Doc", "author" -> "someone"))
+    assert(rows(0).getString(1) === "# Body\ntext")
+    assert(rows(1).getMap[String, String](0).isEmpty)
+    assert(rows(1).getString(1) === noFm)
+  }
+
+  test("normalizeMetadata projects to the fixed 10-key schema (F12)") {
+    import spark.implicits._
+    val sparse = Seq(("some chunk", "f.md")).toDF("chunk", "source_file")
+    val out = Ingest.normalizeMetadata(sparse)
+    assert(out.columns.toSeq === Seq("chunk", "chunk_id", "source_file",
+      "document_id", "trace_id", "type", "hash", "engine", "page",
+      "chunk_index"))
+    val r = out.head()
+    assert(r.getAs[String]("type") === "unknown")
+    assert(r.getAs[Int]("page") === -1)
+  }
+
+  test("vectorPayload coerces page to int-or-minus-1 (F13)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("f", "t", "e", "h", 0, "id1", "7"),
+      ("f", "t", "e", "h", 1, "id2", "n/a"))
+      .toDF("source_file", "type", "engine", "hash", "chunk_index",
+        "chunk_id", "page")
+    val got = Ingest.vectorPayload(rows)
+      .select("page").collect().map(_.getInt(0))
+    assert(got.toSeq === Seq(7, -1))
+  }
+
+  test("tier routing bypasses LLM for clean text (C6 short-circuit)") {
+    import spark.implicits._
+    val clean = "a normal readable paragraph with plenty of ordinary " +
+      "words and structure that passes every quality predicate easily"
+    val got = Seq(clean, "bad").toDF("s")
+      .select(Ingest.tierRouting(col("s"))).as[String].collect()
+    assert(got === Array("passthrough", "llm_normalize"))
+  }
+
+  test("ingestMarkdown end-to-end: ids, prefix, provenance (§3.2 slice)") {
+    import spark.implicits._
+    val docs = Seq(
+      ("doc1.md", "---\ntitle: T\n---\n# H\n" +
+        (1 to 600).map(i => s"tok$i").mkString(" ")),
+      ("doc2.md", "short body here")).toDF("source_file", "text")
+    val out = Ingest.ingestMarkdown(docs)
+    assert(out.filter($"source_file" === "doc1.md").count() >= 2)
+    val r = out.filter($"source_file" === "doc2.md").head()
+    assert(r.getAs[String]("chunk").startsWith("passage: [DOC_"))
+    assert(r.getAs[String]("chunk_id")
+      .startsWith(r.getAs[String]("document_id") + "_"))
+    assert(r.getAs[String]("hash").matches("[0-9a-f]{32}"))
+    // deterministic re-run: same ids (D2 idempotency)
+    val again = Ingest.ingestMarkdown(docs)
+    assert(out.select("chunk_id").collect().toSet
+      === again.select("chunk_id").collect().toSet)
+  }
+
+  test("discover anti-joins tracked files (S1/J5)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("staging").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "new.md").toPath, "# new doc")
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "done.md").toPath, "# old doc")
+    val lifecycle = Seq(
+      ("done.md", "CONSUMING"), ("gone.md", "INGEST_SUCCESS"))
+      .toDF("source_file", "status")
+    val got = Ingest.discover(spark, tmp.getAbsolutePath, lifecycle)
+      .select("source_file").as[String].collect()
+    assert(got.toSeq === Seq("new.md"))
+  }
+}

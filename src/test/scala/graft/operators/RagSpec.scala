@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** RAG query-side semantics (SURVEY §3.1 steps 4-6): hit dedup (D1),
+  * context assembly (R1), citation rewrite (R3). */
+class RagSpec extends SparkTestBase {
+
+  private lazy val hits = {
+    import spark.implicits._
+    Seq(
+      (1L, "c1", "passage: [DOC_AAAAAAAA] first chunk text", "f1.md", 1),
+      (1L, "c2", "passage: [DOC_AAAAAAAA] first chunk text", "f1.md", 2),
+      (1L, "c3", "passage: [DOC_BBBBBBBB] second chunk text", "f2.md", 3),
+      (2L, "c4", "passage: [DOC_CCCCCCCC] other doc text", "f3.md", 1))
+      .toDF("qid", "chunk_id", "chunk", "source_file", "rnk")
+  }
+
+  test("dedupHits drops duplicate chunk text keeping best rank (D1)") {
+    val out = Rag.dedupHits(hits)
+    assert(out.count() === 3)
+    assert(out.filter(col("qid") === 1L && col("rnk") === 2).count() === 0)
+  }
+
+  test("assembleContext numbers sources in rank order with separators (R1)") {
+    val ctx = Rag.assembleContext(Rag.dedupHits(hits))
+      .orderBy("qid").collect()
+    val c1 = ctx(0).getAs[String]("context")
+    assert(c1 ===
+      "[source1] first chunk text\n---\n[source2] second chunk text")
+    assert(ctx(0).getAs[Seq[String]]("sources") === Seq("f1.md", "f2.md"))
+    assert(ctx(1).getAs[String]("context") === "[source1] other doc text")
+  }
+
+  test("rewriteCitations links [sourceN] and (sourceN) tags (R3)") {
+    import spark.implicits._
+    val answers = Seq(
+      (1L, "See [source1] and also (source2).",
+        Seq("f1.md", "f2.md")))
+      .toDF("qid", "answer", "sources")
+    val got = Rag.rewriteCitations(answers, "http://api")
+      .select("answer_linked").head().getString(0)
+    assert(got === "See [source1](http://api/files/f1.md) and also " +
+      "[source2](http://api/files/f2.md).")
+  }
+
+  test("retrieve end-to-end on a toy embedded index") {
+    import spark.implicits._
+    val index = Seq(
+      ("c1", "passage: [DOC_AAAAAAAA] apples and pears", "f1.md",
+        Array(1.0f, 0.0f)),
+      ("c2", "passage: [DOC_BBBBBBBB] trains and planes", "f2.md",
+        Array(0.0f, 1.0f)))
+      .toDF("chunk_id", "chunk", "source_file", "embedding")
+    val queries = Seq((7L, Array(0.9f, 0.1f))).toDF("qid", "embedding")
+    val out = Rag.retrieve(index, queries, k = 1).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("context") === "[source1] apples and pears")
+  }
+
+  test("EchoGenerator is deterministic (R2 stub)") {
+    val a = Rag.EchoGenerator.generate(Seq("ctx one", "ctx two"))
+    val b = Rag.EchoGenerator.generate(Seq("ctx one", "ctx two"))
+    assert(a === b)
+    assert(a.forall(_.contains("[source1]")))
+  }
+}
