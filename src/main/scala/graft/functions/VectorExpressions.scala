@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Codegen'd sequential dot product over two ARRAY<FLOAT> /
+  * ARRAY<DOUBLE> columns (SURVEY §4 custom-expression 1: the `dot_f32`
+  * cosine kernel, V3).
+  *
+  * Accumulates left-to-right in double — bit-identical to the
+  * interpreted `aggregate(zip_with(...))` formulation it replaces and
+  * to DuckDB's sequential `list_dot_product`, but stays inside
+  * whole-stage codegen: one fused loop, no per-pair array
+  * materialization (the higher-order-function path allocates a zipped
+  * array per row and falls out of codegen entirely).
+  */
+case class DotF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_f64 requires ARRAY<FLOAT|DOUBLE> inputs, got " +
+          s"${left.dataType} / ${right.dataType}")
+    }
+
+  private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += get(a, i, ta) * get(b, i, tb)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    def getter(v: String, i: String, t: DataType): String = t match {
+      case FloatType => s"(double) $v.getFloat($i)"
+      case _ => s"$v.getDouble($i)"
+    }
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getter(a, i, ta)} * ${getter(b, i, tb)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DotF64 = copy(left = l, right = r)
+}

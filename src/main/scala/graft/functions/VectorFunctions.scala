@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   * on both sides.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
   private def f64(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential dot product, double accumulation. */
+  /** Sequential dot product, double accumulation — codegen'd
+    * [[DotF64]] expression (same fold order as the interpreted
+    * `aggregate(zip_with(...))` form and DuckDB's list_dot_product). */
   def dotF64(a: Column, b: Column): Column =
-    aggregate(zip_with(f64(a), f64(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(DotF64(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dotF64(a, a))

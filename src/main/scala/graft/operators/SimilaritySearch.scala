@@ -23,12 +23,17 @@ object SimilaritySearch {
   def bruteForceTopK(queries: DataFrame, queryIdCol: String,
       corpus: DataFrame, corpusIdCol: String, vecCol: String,
       k: Int): DataFrame = {
+    // Norms are computed once per row BEFORE the cross join (n + m
+    // sqrt-dots instead of n·m·3) — the per-pair work is one fused
+    // codegen dot product. Same arithmetic as cosine(), so scores are
+    // bit-identical.
     val q = queries.select(col(queryIdCol).as("qid"),
-      col(vecCol).as("qvec"))
+      col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
     val c = corpus.select(col(corpusIdCol).as("cid"),
-      col(vecCol).as("cvec"))
+      col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("score", cosine(col("qvec"), col("cvec")))
+      .withColumn("score",
+        dotF64(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc("score"), col("cid"))
     scored
@@ -42,11 +47,14 @@ object SimilaritySearch {
     * id_b; at scale, swap in [[ivfTopK]]-style cell pruning first. */
   def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      l2Norm(col(vecCol)).as("norm_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      l2Norm(col(vecCol)).as("norm_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("score",
+        dotF64(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("score") > threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }

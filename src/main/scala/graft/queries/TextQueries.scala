@@ -155,21 +155,29 @@ object TextQueries {
         | JOIN sizes y ON id_b = y.doc_id
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
     "q29_minhash_bands" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         | SELECT doc_id, list_distinct(list_transform(
         |   generate_series(1, len(string_split(text,' ')) - 2),
         |   i -> string_split(text,' ')[i] || ' ' ||
         |        string_split(text,' ')[i+1] || ' ' ||
         |        string_split(text,' ')[i+2])) AS ss
         | FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |hs AS (
+        | SELECT doc_id, list_transform(ss,
+        |   s -> ('0x' || substr(md5(s), 1, 7))::UBIGINT::BIGINT) AS hv
+        | FROM sh WHERE len(ss) > 0),
         |mh AS (
         | SELECT doc_id, list_transform(generate_series(0, 15),
-        |   p -> list_min(list_transform(ss,
-        |     s -> md5(CAST(p AS VARCHAR) || ':' || s)))) AS sig
-        | FROM sh WHERE len(ss) > 0)
+        |   p -> list_min(list_transform(hv, h ->
+        |     ((${Dedup.MhA1}*p + ${Dedup.MhA0}) * h
+        |      + (${Dedup.MhB1}*p + ${Dedup.MhB0}))
+        |      % ${Dedup.MhMod}))) AS sig
+        | FROM hs)
         |SELECT doc_id, band,
-        | md5(sig[band*4+1] || '|' || sig[band*4+2] || '|' ||
-        |     sig[band*4+3] || '|' || sig[band*4+4]) AS band_hash
+        | md5(CAST(sig[band*4+1] AS VARCHAR) || '|' ||
+        |     CAST(sig[band*4+2] AS VARCHAR) || '|' ||
+        |     CAST(sig[band*4+3] AS VARCHAR) || '|' ||
+        |     CAST(sig[band*4+4] AS VARCHAR)) AS band_hash
         |FROM mh, (SELECT unnest(generate_series(0, 3)) AS band)
         |ORDER BY doc_id, band""".stripMargin,
     "q30_simhash" ->

@@ -59,7 +59,7 @@ class DedupSpec extends SparkTestBase {
 
   test("minhash signatures of identical docs are identical") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(4L))
   }
