@@ -24,6 +24,7 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set(
     "q35_chunk_pipeline", // murmur3 seed-0 ids + generator UDF
     "q36_rag_pipeline",   // mock embedder + retrieval pipeline
+    "q37_hybrid_search",  // log-idf scores: JVM/libm ulp drift vs DuckDB
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Hybrid dense+sparse retrieval (SURVEY §2.11 V4/V5 — the reference's
+  * experimental Qdrant BM25 + Distribution-Based Score Fusion path,
+  * `services/database_qdrant_sparse_testing.py:33-208`).
+  *
+  * Scale design: BM25 is an inverted-index join shuffling on the term
+  * (never a cross product); corpus statistics (N, avgdl) ride along as
+  * a broadcast scalar; DBSF fusion joins the two bounded prefetch sets
+  * (dense limit 50 / sparse limit 100 per query, as in the reference)
+  * so the fusion cost is per-query-constant regardless of corpus size.
+  */
+object Hybrid {
+
+  /** Per-(doc, term) term frequencies over whitespace tokens. */
+  def termFrequencies(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** V4: BM25 (k1=1.2, b=0.75) scores of every query against the
+    * corpus via an inverted-index join on the term. Queries are
+    * (qid, text); result (qid, doc, score) for docs sharing ≥1 term. */
+  def bm25(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(corpus, idCol, textCol)
+    val docLen = corpus.select(col(idCol).as("doc"),
+      TextFunctions.tokenCount(col(textCol)).as("dl"))
+    val stats = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      avg(TextFunctions.tokenCount(col(textCol))).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
+        .as("term"))
+    qterms
+      .join(tf, Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(docLen, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("w")).as("score"))
+  }
+
+  /** Per-query top-`limit` prefetch of a (qid, doc, score) frame. */
+  def prefetch(scored: DataFrame, limit: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score"), col("doc"))
+    scored.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= limit).drop("_r")
+  }
+
+  /** V5: Distribution-Based Score Fusion — per query and branch,
+    * scores normalize against the branch's score distribution
+    * (mean ± 3σ window), then the two branches sum; missing docs
+    * contribute 0. Returns the fused top-`k` per query. */
+  def dbsfFuse(dense: DataFrame, sparse: DataFrame, k: Int): DataFrame = {
+    def normalize(dfr: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+      dfr
+        .withColumn("_mu", avg(col("score")).over(w))
+        .withColumn("_sd", stddev_pop(col("score")).over(w))
+        .withColumn(out,
+          when(col("_sd") > 0,
+            (col("score") - (col("_mu") - lit(3.0) * col("_sd")))
+              / (lit(6.0) * col("_sd")))
+            .otherwise(lit(0.5)))
+        .select(col("qid"), col("doc"), col(out))
+    }
+    val d = normalize(dense, "z_dense")
+    val s = normalize(sparse, "z_sparse")
+    val fused = d.join(s, Seq("qid", "doc"), "full_outer")
+      .withColumn("fused_score",
+        coalesce(col("z_dense"), lit(0.0))
+          + coalesce(col("z_sparse"), lit(0.0)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("fused_score"), col("doc"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("doc"), col("fused_score"), col("rnk"))
+  }
+
+  /** T2/V5 end-to-end hybrid search with the reference's prefetch
+    * limits (dense 50, sparse 100, `database_qdrant_sparse_testing
+    * .py:33-42`): dense cosine + sparse BM25 → DBSF → top-k. */
+  def hybridSearch(index: DataFrame, idCol: String, textCol: String,
+      vecCol: String, queries: DataFrame, qidCol: String,
+      qtextCol: String, qvecCol: String, k: Int,
+      denseLimit: Int = 50, sparseLimit: Int = 100): DataFrame = {
+    val dense = SimilaritySearch.bruteForceTopK(
+      queries.select(col(qidCol), col(qvecCol).as(vecCol)), qidCol,
+      index.select(col(idCol), col(vecCol)), idCol, vecCol, denseLimit)
+      .select(col("qid"), col("cid").as("doc"), col("score"))
+    val sparse = prefetch(
+      bm25(index, idCol, textCol, queries, qidCol, qtextCol),
+      sparseLimit)
+    dbsfFuse(dense, sparse, k)
+  }
+}

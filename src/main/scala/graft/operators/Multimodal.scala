@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (builder brief): image/audio/video as opaque
+  * BINARY columns with typed metadata, decode / feature-extract /
+  * resize / frame-sample as partition-batched transforms.
+  *
+  * The actual codec calls are STUBBED (this container ships no
+  * image/audio libraries): [[Decoder]] is the external boundary, and
+  * [[StubDecoder]] derives deterministic pseudo-content from the
+  * bytes so the Spark-side plumbing — schema, `mapPartitions` batch
+  * shape, bucketed partitioning, explode of frame samples — is real
+  * and tested end-to-end.
+  *
+  * Reference analog: NumPy image arrays base64-shipped to the OCR
+  * worker (`utils/ocr_utils.py:60-77`, `workers/ocr_graph.py:44-58`);
+  * here the bytes stay in the column and the worker comes to the
+  * partition.
+  */
+object Multimodal {
+
+  /** Typed media row: the engine-wide multimodal schema. */
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image|audio|video
+    StructField("bytes", BinaryType),
+    StructField("meta", MapType(StringType, StringType))))
+
+  /** Decoded-image row appended by [[decodeImages]]. */
+  val DecodedSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("ok", BooleanType)))
+
+  /** External decode boundary. Implementations must be deterministic
+    * per byte-content for the engine's tests. */
+  trait Decoder extends Serializable {
+    /** (width, height, channels) or None for undecodable bytes. */
+    def imageDims(bytes: Array[Byte]): Option[(Int, Int, Int)]
+    /** Fixed-length feature vector for the media content. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Sample `n` frame descriptors from a video payload. */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  /** Deterministic stand-in for the codec stack: dimensions and
+    * features derive from a rolling hash of the bytes; empty payloads
+    * are undecodable. Every value is a pure function of content, so
+    * re-runs are idempotent. */
+  object StubDecoder extends Decoder {
+    private def mix(bytes: Array[Byte], seed: Long): Long = {
+      var h = seed
+      var i = 0
+      while (i < bytes.length) {
+        h = h * 6364136223846793005L + bytes(i)
+        i += 1
+      }
+      h
+    }
+    def imageDims(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      if (bytes == null || bytes.isEmpty) None
+      else {
+        val h = mix(bytes, 17L)
+        Some((64 + (math.abs(h) % 1920).toInt,
+          64 + (math.abs(h >> 11) % 1080).toInt, 3))
+      }
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        out(i) = ((mix(bytes, i + 1L) % 1000000L) / 1000000.0f)
+        i += 1
+      }
+      out
+    }
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      (0 until n).map(i => Array[Byte](bytes((i * 7) % bytes.length),
+        bytes((i * 13) % bytes.length)))
+  }
+
+  /** Decode image dimensions per partition (the codec initializes once
+    * per partition, rows stream through in batches — the Spark-side
+    * shape an expensive native decoder needs). */
+  def decodeImages(media: DataFrame, decoder: Decoder): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(DecodedSchema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        // decoder init happens here, once per partition
+        rows.map { r =>
+          val id = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          decoder.imageDims(bytes) match {
+            case Some((w, h, c)) => Row(id, w, h, c, true)
+            case None => Row(id, null, null, null, false)
+          }
+        }
+      }(enc)
+  }
+
+  /** Feature extraction: fixed-dim ARRAY<FLOAT> per media row, ready
+    * for the similarity-search operators. */
+  def extractFeatures(media: DataFrame, decoder: Decoder,
+      dim: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getString(0),
+            decoder.features(r.getAs[Array[Byte]](1), dim).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling: one output row per sampled frame (video → frame
+    * explode, the S2/S5 page/segment-explode shape). */
+  def sampleFrames(media: DataFrame, decoder: Decoder,
+      n: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("frame_bytes", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decoder.sampleFrames(r.getAs[Array[Byte]](1), n)
+            .zipWithIndex.map { case (f, i) => Row(r.getString(0), i, f) }
+        }
+      }(enc)
+  }
+
+  /** Bucket media by id hash so heavy binary payloads spread evenly
+    * across executors / output files (100 TB posture: never partition
+    * multi-MB blobs by a skewed natural key). */
+  def bucketize(media: DataFrame, buckets: Int): DataFrame =
+    media.repartition(buckets,
+      pmod(xxhash64(col("media_id")), lit(buckets)))
+}

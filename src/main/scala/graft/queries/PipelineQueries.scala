@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 import graft.functions.{Hashing, VectorFunctions, TextFunctions}
-import graft.operators.{Chunker, Ingest, Rag, SimilaritySearch}
+import graft.operators.{Chunker, Hybrid, Ingest, Rag, SimilaritySearch}
 
 /** End-to-end pipeline queries (SURVEY §3.2 ingest + §3.1 RAG query
   * re-expressions). These exercise murmur3 ids, the markdown chunker,
@@ -51,9 +51,25 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** V4/V5 hybrid retrieval: dense cosine (mock embeddings) + sparse
+    * BM25 over the documents table, DBSF-fused top-5 per query. */
+  def q37HybridSearch(s: SparkSession, d: String): DataFrame = {
+    val index = documents(s, d)
+      .select(col("doc_id"), col("text"),
+        VectorFunctions.mockEmbedding(col("text"), 32).as("vec"))
+    val queries = documents(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 80).as("qtext"))
+      .withColumn("qvec", VectorFunctions.mockEmbedding(col("qtext"), 32))
+    Hybrid.hybridSearch(index, "doc_id", "text", "vec",
+      queries, "qid", "qtext", "qvec", k = 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_chunk_pipeline" -> (q35ChunkPipeline _),
     "q36_rag_pipeline" -> (q36RagPipeline _),
+    "q37_hybrid_search" -> (q37HybridSearch _),
   )
 
   /** Non-SQL-expressible (murmur3 seed-0 ids, generator UDF, mock

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming / stateful semantics (SURVEY §2.13): the reference's
+  * Redis-queue mechanics re-expressed as Structured Streaming keyed
+  * state.
+  *
+  *  - Per-file completeness barrier: chunks of a file are held until
+  *    the expected count arrives (the `file_end` sentinel's
+  *    `expected_chunks`), then emitted atomically; state older than
+  *    the 300 s CHUNK_TIMEOUT is discarded
+  *    (`utils/producer_utils.py:109-117`,
+  *    `workers/consumer_worker.py:46-97`, `shared/defaults.py:59`).
+  *  - Chat sessions: per-session history capped at 20 turns with a
+  *    24 h idle TTL (`services/chat_session_service.py:13-62`,
+  *    `shared/defaults.py:102-103`).
+  *
+  * Both run identically under `readStream` (real triggers) and batch
+  * `Dataset` tests via MemoryStream.
+  */
+object StreamingOps {
+
+  /** A chunk in flight: `expected` > 0 marks the sentinel row carrying
+    * the file's expected chunk count. */
+  case class ChunkEvent(sourceFile: String, chunkId: String,
+      chunkIndex: Int, expected: Int)
+
+  /** A completed file: all chunks present, emitted in chunk order. */
+  case class FileBatch(sourceFile: String, chunkIds: Seq[String],
+      count: Int)
+
+  case class FileBuffer(chunks: Seq[(Int, String)],
+      expected: Int)
+
+  val ChunkTimeoutMs: Long = 300 * 1000L   // defaults.py:59
+  val SessionTtlMs: Long = 24 * 3600 * 1000L // defaults.py:102
+  val MaxSessionTurns: Int = 20            // defaults.py:103
+
+  /** The per-file barrier as a flatMapGroupsWithState function:
+    * buffer chunk events per file; when the buffered count reaches the
+    * sentinel's expected count, emit one FileBatch and clear state;
+    * on ProcessingTime timeout, drop the partial buffer (the
+    * reference's stale-chunk discard). `withTimeout=false` disables
+    * timeout registration for NoTimeout test harnesses. */
+  def fileBarrier(withTimeout: Boolean)(file: String,
+      events: Iterator[ChunkEvent],
+      state: GroupState[FileBuffer]): Iterator[FileBatch] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val prev = state.getOption.getOrElse(FileBuffer(Seq.empty, -1))
+      var expected = prev.expected
+      val chunks = Seq.newBuilder[(Int, String)]
+      chunks ++= prev.chunks
+      events.foreach { e =>
+        if (e.expected > 0) expected = e.expected
+        else chunks += ((e.chunkIndex, e.chunkId))
+      }
+      val all = chunks.result()
+      if (expected > 0 && all.length >= expected) {
+        state.remove()
+        Iterator.single(FileBatch(file,
+          all.sortBy(_._1).map(_._2), all.length))
+      } else {
+        state.update(FileBuffer(all, expected))
+        if (withTimeout) state.setTimeoutDuration(ChunkTimeoutMs)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Wire the barrier over any Dataset[ChunkEvent].
+    *
+    * `withTimeout=true` (production) registers the 300 s partial-
+    * buffer discard; note ProcessingTimeTimeout makes the engine
+    * schedule continuous micro-batches (every batch may expire state),
+    * so synchronous test harnesses relying on `processAllAvailable`
+    * quiescence must pass `withTimeout=false` and cover timeout
+    * transitions at the state-function level. */
+  def completeFiles(events: Dataset[ChunkEvent],
+      withTimeout: Boolean = true): Dataset[FileBatch] = {
+    implicit val be: Encoder[FileBuffer] = Encoders.product[FileBuffer]
+    implicit val fe: Encoder[FileBatch] = Encoders.product[FileBatch]
+    events
+      .groupByKey(_.sourceFile)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fileBarrier(withTimeout))
+  }
+
+  /** One chat turn arriving on the stream. */
+  case class Turn(sessionId: String, role: String, content: String,
+      ts: Long)
+
+  /** Session snapshot after each update: newest-first capped history
+    * (the reference keeps 2×20 list entries and truncates with LPOP —
+    * `chat_session_service.py:55-60`). */
+  case class SessionState(sessionId: String, turns: Seq[(String, String)],
+      nTurns: Int)
+
+  /** R5 session op: append turns, cap at 2×MaxSessionTurns entries,
+    * idle-timeout state after the 24 h TTL. Emits the updated snapshot
+    * per micro-batch. */
+  def sessionUpdate(withTimeout: Boolean)(id: String,
+      turns: Iterator[Turn],
+      state: GroupState[SessionState]): Iterator[SessionState] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val prev = state.getOption
+        .getOrElse(SessionState(id, Seq.empty, 0))
+      val incoming = turns.toSeq.sortBy(_.ts)
+        .map(t => (t.role, t.content))
+      val capped = (prev.turns ++ incoming)
+        .takeRight(2 * MaxSessionTurns)
+      val next = SessionState(id, capped, capped.length)
+      state.update(next)
+      if (withTimeout) state.setTimeoutDuration(SessionTtlMs)
+      Iterator.single(next)
+    }
+  }
+
+  /** See [[completeFiles]] for the `withTimeout` contract. */
+  def sessions(turns: Dataset[Turn],
+      withTimeout: Boolean = true): Dataset[SessionState] = {
+    implicit val se: Encoder[SessionState] = Encoders.product[SessionState]
+    turns
+      .groupByKey(_.sessionId)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(sessionUpdate(withTimeout))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BM25 + DBSF semantics (SURVEY §5: "DBSF fusion (V5)"). */
+class HybridSpec extends SparkTestBase {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry durian elderberry"),
+      (3L, "fig grape honeydew kiwi lemon"),
+      (4L, "apple apple apple apple apple")).toDF("id", "text")
+  }
+
+  test("bm25: matching terms score, idf favors rare terms") {
+    import spark.implicits._
+    val queries = Seq((10L, "apple cherry")).toDF("qid", "qtext")
+    val got = Hybrid.bm25(corpus, "id", "text", queries, "qid", "qtext")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // docs 1, 2, 4 share terms; doc 3 shares none
+    assert(got.keySet === Set(1L, 2L, 4L))
+    // doc 1 matches both query terms -> highest score
+    assert(got(1L) > got(2L) && got(1L) > got(4L))
+    assert(got.values.forall(_ > 0))
+  }
+
+  test("bm25 hand-check on a single-term query") {
+    import spark.implicits._
+    val queries = Seq((10L, "durian")).toDF("qid", "qtext")
+    val got = Hybrid.bm25(corpus, "id", "text", queries, "qid", "qtext")
+      .collect()
+    assert(got.length === 1 && got.head.getLong(1) === 2L)
+    // N=4, df=1: idf = ln(1 + 3.5/1.5); tf=1, dl=4, avgdl=4.5
+    val idf = math.log(1.0 + 3.5 / 1.5)
+    val expected = idf * (1.0 * 2.2) /
+      (1.0 + 1.2 * (1 - 0.75 + 0.75 * 4.0 / 4.5))
+    assert(math.abs(got.head.getDouble(2) - expected) < 1e-9)
+  }
+
+  test("dbsf fusion: doc strong in both branches wins") {
+    import spark.implicits._
+    val dense = Seq(
+      (1L, 101L, 0.9), (1L, 102L, 0.8), (1L, 103L, 0.1))
+      .toDF("qid", "doc", "score")
+    val sparse = Seq(
+      (1L, 101L, 12.0), (1L, 104L, 11.0), (1L, 103L, 1.0))
+      .toDF("qid", "doc", "score")
+    val fused = Hybrid.dbsfFuse(dense, sparse, k = 4)
+      .orderBy("rnk").collect()
+    // 101 is top in both branches -> rank 1
+    assert(fused.head.getLong(1) === 101L)
+    // single-branch docs (102 dense-only, 104 sparse-only) still rank
+    assert(fused.map(_.getLong(1)).toSet === Set(101L, 102L, 103L, 104L))
+  }
+
+  test("hybridSearch end-to-end with mock embeddings") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val index = corpus.withColumn("vec",
+      VectorFunctions.mockEmbedding(col("text"), 16))
+    val queries = Seq((7L, "apple cherry")).toDF("qid", "qtext")
+      .withColumn("qvec", VectorFunctions.mockEmbedding(col("qtext"), 16))
+    val got = Hybrid.hybridSearch(index, "id", "text", "vec",
+      queries, "qid", "qtext", "qvec", k = 3)
+    assert(got.count() === 3)
+    assert(got.select("qid").distinct().head().getLong(0) === 7L)
+  }
+}
