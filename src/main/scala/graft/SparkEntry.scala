@@ -17,6 +17,7 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
+    (graft.analytics.SqlSuite.queries, graft.analytics.SqlSuite.oracle),
   )
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
