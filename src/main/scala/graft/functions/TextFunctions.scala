@@ -136,6 +136,60 @@ object TextFunctions {
     array_max(array(scores: _*)).getField("lang")
   }
 
+  /** F1: mojibake repair (the reference shells to ftfy,
+    * `text_utils.py:66-71`): fixes the common UTF-8-read-as-latin1
+    * double-encoding by round-tripping when the re-encoding is valid.
+    * Scalar UDF — inherently a black-box repair, not expressible as a
+    * column formula. */
+  val fixMojibakeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        try {
+          val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          val repaired = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          // only accept the round-trip when it removed mojibake marks
+          if (repaired.length < s.length && !repaired.contains('�'))
+            repaired
+          else s
+        } catch { case _: Exception => s }
+      }
+    }
+
+  def fixMojibake(text: Column): Column = fixMojibakeUdf(text)
+
+  /** F4: gibberish detector (`text_utils.py:92-127`): NFC/NFKD
+    * normalize, printable ratio < 0.75, or Latin-gated non-alpha noise
+    * ratio > 0.6. Needs a Unicode-category walk → scalar UDF. */
+  val isGibberishUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null || s.isEmpty) true
+      else {
+        val norm = java.text.Normalizer.normalize(s,
+          java.text.Normalizer.Form.NFC)
+        val printable = norm.count(c => !Character.isISOControl(c))
+        val printableRatio = printable.toDouble / norm.length
+        val letters = norm.count(Character.isLetter)
+        val latin = norm.count(c =>
+          Character.UnicodeScript.of(c) == Character.UnicodeScript.LATIN)
+        val latinGated = letters > 0 && latin.toDouble / letters > 0.5
+        val noAlphaNoise =
+          norm.count(c => !Character.isLetterOrDigit(c) &&
+            !Character.isWhitespace(c)).toDouble / norm.length
+        printableRatio < 0.75 || (latinGated && noAlphaNoise > 0.6)
+      }
+    }
+
+  def isGibberish(text: Column): Column = isGibberishUdf(text)
+
+  /** F11: PDF validity predicate over raw bytes (`%PDF` magic,
+    * `text_utils.py:227-249`; the page-open probe lives behind the
+    * extractor service boundary). */
+  def isValidPdf(bytes: Column): Column =
+    bytes.isNotNull && length(bytes) > 4 &&
+      substring(bytes.cast("binary"), 1, 5) === lit("%PDF-".getBytes)
+
   /** Polynomial rolling-hash document fingerprint (base 131 mod
     * 1e9+7) over characters — cheap content identity for exact dedup
     * at scale without md5's cost. Accumulator stays < 2^38 so long

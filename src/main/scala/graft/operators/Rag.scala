@@ -83,6 +83,28 @@ object Rag {
         s"(${p.length} chars of context)")
   }
 
+  /** R2: batch grounded generation — one Generator per partition
+    * (connection reuse), prompts batched per partition like the
+    * reference's micro-batching (`shared/utils.py:60-155` HA dispatch
+    * collapses to task parallelism, SURVEY §2.3 C7). Appends `answer`
+    * to the context frame. */
+  def generate(contexts: DataFrame, generator: Generator): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      contexts.schema.fields :+
+        org.apache.spark.sql.types.StructField("answer",
+          org.apache.spark.sql.types.StringType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val ctxIdx = contexts.schema.fieldIndex("context")
+    contexts.mapPartitions { rows =>
+      val batch = rows.toSeq
+      val answers = generator.generate(batch.map(_.getString(ctxIdx)))
+      batch.iterator.zip(answers.iterator).map { case (r, a) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ a)
+      }
+    }(enc)
+  }
+
   /** Full batch RAG slice: queries (qid, qvec) against an embedded
     * chunk index (chunk_id, chunk, source_file, embedding) → top-k →
     * dedup → context (→ generation happens outside, via Generator). */

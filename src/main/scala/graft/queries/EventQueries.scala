@@ -106,7 +106,25 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Latest-state view over the event log (the reference's lifecycle
+    * table becomes arg-max-per-entity, SURVEY §1.1). */
+  def q41LatestEventPerUser(s: SparkSession, d: String): DataFrame =
+    graft.operators.Lifecycle.statusView(
+      events(s, d), "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"))
+      .orderBy(col("user_id"))
+
+  /** Phase-transition latency stats over consecutive events per user
+    * (A2/A3 analog, `analytics.md:56-94`). */
+  def q42PhaseTransitions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Lifecycle.phaseLatencies(
+      events(s, d), "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("from_status"), col("to_status"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_latest_event_per_user" -> (q41LatestEventPerUser _),
+    "q42_phase_transitions" -> (q42PhaseTransitions _),
     "q16_daily_throughput" -> (q16DailyThroughput _),
     "q17_hourly_error_rate" -> (q17HourlyErrorRate _),
     "q18_value_stats" -> (q18ValueStats _),
@@ -117,6 +135,29 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, ts FROM (
+        | SELECT user_id, event_id, event_type, ts, value, props,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q42_phase_transitions" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_status,
+        |  lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us
+        | FROM events)
+        |SELECT prev_status AS from_status, event_type AS to_status,
+        | COUNT(*) AS n,
+        | MIN(CAST(epoch_us(ts) - prev_us AS DOUBLE) / 1000000.0)
+        |   AS min_sec,
+        | MAX(CAST(epoch_us(ts) - prev_us AS DOUBLE) / 1000000.0)
+        |   AS max_sec
+        |FROM seq WHERE prev_status IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_status, to_status""".stripMargin,
     "q16_daily_throughput" ->
       """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
