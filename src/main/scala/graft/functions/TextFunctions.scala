@@ -173,7 +173,9 @@ object TextFunctions {
         val letters = norm.count(Character.isLetter)
         val latin = norm.count(c =>
           Character.UnicodeScript.of(c) == Character.UnicodeScript.LATIN)
-        val latinGated = letters > 0 && latin.toDouble / letters > 0.5
+        // the noise clause applies to letterless or mostly-Latin text;
+        // non-Latin scripts are legitimately "noisy" by this metric
+        val latinGated = letters == 0 || latin.toDouble / letters > 0.5
         val noAlphaNoise =
           norm.count(c => !Character.isLetterOrDigit(c) &&
             !Character.isWhitespace(c)).toDouble / norm.length

@@ -92,6 +92,25 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(r(0) !== r(2))
   }
 
+  test("fixMojibake repairs utf8-as-latin1 double encoding (F1)") {
+    import spark.implicits._
+    val broken = new String("café déjà".getBytes("UTF-8"), "ISO-8859-1")
+    val r = Seq(broken, "already clean").toDF("s")
+      .select(fixMojibake(col("s"))).as[String].collect()
+    assert(r(0) === "café déjà")
+    assert(r(1) === "already clean")
+  }
+
+  test("isGibberish flags unprintable / symbol-noise text (F4)") {
+    import spark.implicits._
+    val noise = "@#$% ^&*( )!~` @#$% ^&*("
+    val control = "\u0001\u0002\u0003 x"   // unprintable-dominated
+    val clean = "perfectly ordinary readable sentence"
+    val r = Seq(noise, control, clean).toDF("s")
+      .select(isGibberish(col("s"))).as[Boolean].collect()
+    assert(r.toSeq === Seq(true, true, false))
+  }
+
   test("qualityScore orders clean text above junk") {
     import spark.implicits._
     val clean = "the quick brown fox jumps over a lazy dog near the river bank"
