@@ -26,6 +26,7 @@ object SparkEntry {
     "q35_chunk_pipeline", // murmur3 seed-0 ids + generator UDF
     "q36_rag_pipeline",   // mock embedder + retrieval pipeline
     "q37_hybrid_search",  // log-idf scores: JVM/libm ulp drift vs DuckDB
+    "q43_ann_ivf",        // approximate by construction; recall vs q31
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -60,7 +60,21 @@ object VectorQueries {
       .orderBy(desc("score"), col("id_a"), col("id_b"))
       .limit(100)
 
+  /** IVF-style ANN: label-centroid coarse quantizer, nProbe=2 cells
+    * searched per query — the pruned-scan path whose recall the
+    * brute-force q31 oracles (rows-only: recall < 1 by construction). */
+  def q43AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = SimilaritySearch.labelCentroids(emb, "label", "embedding")
+    SimilaritySearch.ivfTopK(
+      emb.filter(col("vec_id") < 10), "vec_id",
+      emb, "vec_id", "embedding", cents, k = 6, nProbe = 2)
+      .filter(col("qid") =!= col("cid"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_ann_ivf" -> (q43AnnIvf _),
     "q31_knn_bruteforce" -> (q31KnnBruteForce _),
     "q32_label_centroids" -> (q32LabelCentroids _),
     "q33_vector_norms" -> (q33VectorNorms _),
