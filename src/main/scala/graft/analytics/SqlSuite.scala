@@ -50,6 +50,28 @@ object SqlSuite {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q44_sql_window_zoo" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | RANK() OVER w AS rnk,
+        | DENSE_RANK() OVER w AS drnk,
+        | NTILE(4) OVER w AS quartile,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS rolling3
+        |FROM orders WHERE o_orderkey < 1000
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin,
+    "q45_sql_snapshot" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM orders) AS n_orders,
+        | (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+        | (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_buyers,
+        | (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders)
+        |   AS max_order,
+        | (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM lineitem) AS total_qty""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -155,4 +155,9 @@ object Hashing {
     * kept, everything else collapsed to single '-'. */
   def slug(c: Column): Column =
     regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", "-"), "(^-|-$)", "")
+
+  /** H7: per-job trace id — uuid4 truncated to 8 chars
+    * (`utils/trace_utils.py:70-72`). Non-deterministic by design;
+    * excluded from hash-checked outputs. */
+  def traceId(): Column = substring(expr("uuid()"), 1, 8)
 }

@@ -121,6 +121,23 @@ object Ingest {
       when(col("page").cast("string").rlike("^\\d+$"),
         col("page").cast("int")).otherwise(-1).as("page"))
 
+  /** S4: HTML → text without an HTML library: strip script/style
+    * blocks, comments, then all tags; decode the common entities;
+    * collapse blank runs (the reference uses BeautifulSoup `get_text`
+    * + blank-line collapse, `processors/document_processor.py:21-37`).
+    * Pure regexp_replace chain — codegen'd, no UDF. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(e), r) }
+    trim(regexp_replace(entities, "\\s+", " "))
+  }
+
   /** C6 routing predicate: the 3-tier extraction short-circuit — text
     * that passes the quality gate bypasses the expensive LLM tier
     * (`gatekeeper_logic.py:348-365`; SURVEY §4). The external LLM call
