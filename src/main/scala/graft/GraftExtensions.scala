@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotF64, Murmur3Seed}
+
+/** SparkSessionExtensions entry point (SURVEY §4): registers the
+  * engine's custom Catalyst expressions in the SQL function registry,
+  * so `spark.sql` users get them too:
+  *
+  *   graft_murmur3(str_or_bin[, seed]) → INT   (mmh3-compatible)
+  *   dot_f64(arr, arr) → DOUBLE                (sequential dot product)
+  *
+  * Activate with:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)  or
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_murmur3"),
+      new ExpressionInfo(classOf[Murmur3Seed].getName, "graft_murmur3"),
+      GraftExtensions.murmur3Builder))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      GraftExtensions.dotBuilder))
+  }
+}
+
+object GraftExtensions {
+  private[graft] val murmur3Builder: Seq[Expression] => Expression = {
+    case Seq(c) => Murmur3Seed(c, 0)
+    case Seq(c, seed) => Murmur3Seed(c,
+      seed.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "graft_murmur3(input[, seed])")
+  }
+  private[graft] val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotF64(a, b)
+    case _ => throw new IllegalArgumentException("dot_f64(a, b)")
+  }
+
+  /** Register on an already-running session (getOrCreate ignores
+    * builder extensions when a session exists). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_murmur3", murmur3Builder,
+      "scala_udf")
+    reg.createOrReplaceTempFunction("dot_f64", dotBuilder, "scala_udf")
+  }
+}

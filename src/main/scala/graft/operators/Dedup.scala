@@ -158,4 +158,22 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
     SimilaritySearch.cosinePairsAbove(df, idCol, vecCol, threshold)
+
+  /** End-to-end near-dup dedup: LSH candidates → exact-Jaccard verify
+    * (≥ `threshold`) → drop every doc that near-duplicates a
+    * lower-id doc (one anti-join; transitive chains collapse toward
+    * the smallest id without iterative connected components — the
+    * standard single-pass approximation used by web-scale dedup).
+    * Returns the surviving rows of `df`. */
+  def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, maxDf: Int = 50): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN,
+      numHashes, bands)
+    val verified = jaccardPairs(df, idCol, textCol, shingleN, maxDf)
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+    val dominated = verified.select(col("id_b").as(idCol)).distinct()
+    df.join(dominated, Seq(idCol), "left_anti")
+  }
 }

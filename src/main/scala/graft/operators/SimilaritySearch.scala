@@ -42,6 +42,25 @@ object SimilaritySearch {
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
   }
 
+  /** [[bruteForceTopK]] with the bounded-heap aggregation shape
+    * ([[TopK]]): map-side per-partition top-k, shuffle of k rows per
+    * (partition, query) instead of the full scored cross product —
+    * the formulation that survives a 100 TB corpus. Long ids only;
+    * results are identical to the window formulation. */
+  def bruteForceTopKHeap(queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("qid"),
+      col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
+    val c = corpus.select(col(corpusIdCol).as("id"),
+      col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("score",
+        dotF64(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .select(col("qid"), col("id"), col("score"))
+    TopK.perQuery(scored, k)
+  }
+
   /** All corpus pairs with cosine similarity above `threshold`
     * (embedding near-dup surface). Self cross-join bounded by id_a <
     * id_b; at scale, swap in [[ivfTopK]]-style cell pruning first. */

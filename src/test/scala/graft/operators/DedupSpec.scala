@@ -73,6 +73,15 @@ class DedupSpec extends SparkTestBase {
     assert(hamming(hs(1L), hs(4L)) > 15)
   }
 
+  test("nearDupDedup keeps lowest-id representative per dup cluster") {
+    val survivors = Dedup.nearDupDedup(docs, "doc_id", "text",
+      threshold = 0.8, bands = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 (exact dup of 1) must drop; 1 and the unrelated 4 survive
+    assert(survivors.contains(1L) && survivors.contains(4L))
+    assert(!survivors.contains(2L))
+  }
+
   test("embedding near-dups surface planted duplicate vectors") {
     import spark.implicits._
     val vecs = Seq(
