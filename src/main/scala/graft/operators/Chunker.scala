@@ -148,8 +148,24 @@ object Chunker {
 
   /** Explode a markdown column into chunk rows: the source column is
     * replaced by piece columns text/page/h1/h2/chunk_index/
-    * total_chunks; all other columns carry through. */
-  def chunkMarkdown(df: DataFrame, mdCol: String): DataFrame =
+    * total_chunks; all other columns carry through. Uses the custom
+    * [[graft.functions.SplitMarkdownGenerator]] Catalyst Generator —
+    * pieces stream out of eval with no intermediate array. */
+  def chunkMarkdown(df: DataFrame, mdCol: String,
+      budget: Int = DefaultBudget, overlap: Int = DefaultOverlap)
+      : DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val gen = ColumnBridge.column(
+      graft.functions.SplitMarkdownGenerator(
+        ColumnBridge.expression(col(mdCol)), budget, overlap))
+    df.select(df.columns.filterNot(_ == mdCol).map(col).toSeq
+      :+ gen.as(Seq("text", "page", "h1", "h2", "chunk_index",
+        "total_chunks")): _*)
+  }
+
+  /** The array-returning UDF formulation (kept for comparison and as
+    * the fallback shape). */
+  def chunkMarkdownUdf(df: DataFrame, mdCol: String): DataFrame =
     df.withColumn("_piece", explode(splitMarkdownUdf(col(mdCol))))
       .select(df.columns.filterNot(_ == mdCol).map(col).toSeq
         :+ col("_piece.*"): _*)

@@ -108,6 +108,19 @@ class ChunkerSpec extends SparkTestBase {
     assert(out.filter($"source_file" === "f2.md").count() === 1)
   }
 
+  test("Generator and UDF chunking formulations agree") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1.md", "# T\n" + (1 to 1200).map(i => s"w$i").mkString(" ")),
+      ("g2.md", "## S\nshort"))
+      .toDF("source_file", "text")
+    val gen = Chunker.chunkMarkdown(df, "text")
+      .collect().map(_.toSeq).toSet
+    val viaUdf = Chunker.chunkMarkdownUdf(df, "text")
+      .collect().map(_.toSeq).toSet
+    assert(gen === viaUdf)
+  }
+
   test("enrich adds passage prefix, md5 hash, chunk_id") {
     import spark.implicits._
     val df = Seq(("DOC_9BBFD75F", "some chunk body"))
