@@ -114,6 +114,26 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Single-pass shingle UDF: identical output to [[wordShingles]],
+    * but the tokenization runs exactly once per row. The column-
+    * expression form re-evaluates the `split` subtree on every lambda
+    * reference under interpreted higher-order functions — measured 5×
+    * slower on the dedup paths at sf0.1. Hot paths use this; the
+    * expression form remains for pure-column contexts. */
+  private val wordShinglesUdfImpl =
+    udf { (s: String, n: Int) =>
+      if (s == null) Array.empty[String]
+      else {
+        val t = s.split(" ", -1)
+        if (t.length < n) Array.empty[String]
+        else Array.tabulate(t.length - n + 1)(i =>
+          t.slice(i, i + n).mkString(" "))
+      }
+    }
+
+  def wordShinglesFast(text: Column, n: Int): Column =
+    wordShinglesUdfImpl(text, lit(n))
+
   /** Character n-gram language-ID heuristic: scores a text against
     * per-language marker n-gram lists and returns the argmax language
     * code. A deterministic stand-in for fasttext-style LID over the

@@ -48,7 +48,7 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = df.select(col(idCol), explode(
-        array_distinct(wordShingles(col(textCol), shingleN))).as("s"))
+        array_distinct(wordShinglesFast(col(textCol), shingleN))).as("s"))
       .withColumn("h", conv(substring(md5(col("s")), 1, 7), 16, 10)
         .cast("long"))
     sh.groupBy(col(idCol))
@@ -105,7 +105,7 @@ object Dedup {
     // same grouped lineage and broadcast back. ~6× faster at sf0.1.
     val sh = df
       .select(col(idCol).as("doc"), explode(
-        array_distinct(wordShingles(col(textCol), shingleN))).as("s"))
+        array_distinct(wordShinglesFast(col(textCol), shingleN))).as("s"))
     val byShingle = sh.groupBy(col("s"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
