@@ -161,6 +161,42 @@ object Ingest {
       batch.map(_.replaceAll("[ \\t]+", " ").trim)
   }
 
+  /** C6: quality-gated LLM normalization as a partition-batched
+    * operator — rows whose text passes the quality gate bypass the
+    * service entirely (the reference's 3-tier short-circuit,
+    * `gatekeeper_logic.py:348-365`); the rest batch through the
+    * NormalizerService once per partition. Appends `normalized` and
+    * `norm_engine` columns. */
+  def normalize(df: DataFrame, textCol: String,
+      service: NormalizerService): DataFrame = {
+    val routed = df.withColumn("_tier", tierRouting(col(textCol)))
+    val schema = StructType(routed.schema.fields.toSeq
+      .filterNot(_.name == "_tier") :+
+      StructField("normalized", StringType) :+
+      StructField("norm_engine", StringType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val textIdx = routed.schema.fieldIndex(textCol)
+    val tierIdx = routed.schema.fieldIndex("_tier")
+    routed.mapPartitions { rows =>
+      val buf = rows.toSeq
+      val (toLlm, passthrough) =
+        buf.partition(_.getString(tierIdx) == "llm_normalize")
+      val normalized = if (toLlm.nonEmpty)
+        service.normalize(toLlm.map(_.getString(textIdx))) else Seq.empty
+      val llmOut = toLlm.iterator.zip(normalized.iterator).map {
+        case (r, n) => org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.patch(tierIdx, Nil, 1) :+ n :+ "llm")
+      }
+      val passOut = passthrough.iterator.map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.patch(tierIdx, Nil, 1) :+ r.getString(textIdx)
+            :+ "passthrough")
+      }
+      passOut ++ llmOut
+    }(enc)
+  }
+
   /** End-to-end markdown ingest: front-matter → doc ids → hierarchical
     * chunking → enrichment → normalized chunk rows. `docs` needs
     * (source_file, text). */

@@ -83,6 +83,21 @@ class IngestSpec extends SparkTestBase {
       === again.select("chunk_id").collect().toSet)
   }
 
+  test("normalize batches only gated rows through the service (C6)") {
+    import spark.implicits._
+    val clean = "a normal readable paragraph with plenty of ordinary " +
+      "words and structure that passes every quality predicate easily"
+    val junk = ("noise " * 40).trim
+    val df = Seq(("a", clean), ("b", junk)).toDF("id", "text")
+    val out = Ingest.normalize(df, "text", Ingest.IdentityNormalizer)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[String]("norm_engine"), r.getAs[String]("normalized")))
+      .toMap
+    assert(out("a")._1 === "passthrough" && out("a")._2 === clean)
+    assert(out("b")._1 === "llm")
+    assert(out("b")._2 === junk) // identity service: shape-preserving
+  }
+
   test("discover anti-joins tracked files (S1/J5)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("staging").toFile
