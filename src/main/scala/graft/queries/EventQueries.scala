@@ -122,9 +122,23 @@ object EventQueries {
       events(s, d), "user_id", "event_type", "ts", "event_id")
       .orderBy(col("from_status"), col("to_status"))
 
+  /** Sliding-window counts (1 h window, 30 min slide — the Structured
+    * Streaming `window()` primitive evaluated in batch; each event
+    * lands in exactly two windows). Oracle mirrors the assignment by
+    * unnesting the two half-hour-grid starts per event. */
+  def q46SlidingWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_latest_event_per_user" -> (q41LatestEventPerUser _),
     "q42_phase_transitions" -> (q42PhaseTransitions _),
+    "q46_sliding_windows" -> (q46SlidingWindows _),
     "q16_daily_throughput" -> (q16DailyThroughput _),
     "q17_hourly_error_rate" -> (q17HourlyErrorRate _),
     "q18_value_stats" -> (q18ValueStats _),
@@ -135,6 +149,18 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q46_sliding_windows" ->
+      """WITH assigned AS (
+        | SELECT event_type, value, unnest([
+        |   time_bucket(INTERVAL '30 minutes', ts),
+        |   time_bucket(INTERVAL '30 minutes', ts)
+        |     - INTERVAL '30 minutes']) AS window_start
+        | FROM events)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS total_value
+        |FROM assigned GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     "q41_latest_event_per_user" ->
       """SELECT user_id, event_id, event_type, ts FROM (
         | SELECT user_id, event_id, event_type, ts, value, props,
