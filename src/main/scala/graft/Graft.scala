@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextFunctions, VectorFunctions}
+import graft.operators._
+
+/** The canonical chunk record at the API boundary (SURVEY §1.3). */
+case class Chunk(
+    chunk_id: String, document_id: String, source_file: String,
+    trace_id: String, chunk: String, `type`: String, engine: String,
+    hash: String, page: Int, chunk_index: Int, total_chunks: Int,
+    embedding: Array[Float], metadata: Map[String, String])
+
+/** Public facade — the engine's front door for a user migrating off
+  * the reference system. Everything returns lazy DataFrames/Datasets;
+  * nothing touches the driver.
+  *
+  * {{{
+  * val spark  = GraftSession.build("local[32]", 32)
+  * val docs   = spark.read.parquet(".../documents.parquet")
+  *   .select(concat(lit("doc"), $"doc_id", lit(".md")).as("source_file"),
+  *           $"text")
+  * val chunks = Graft.ingestMarkdown(docs)          // §3.2 ingest slice
+  * val index  = Graft.withMockEmbeddings(chunks, 32)
+  * Graft.writeIndex(index, "/indexes/demo")          // S7 sink
+  * val hits   = Graft.search(index, queries, k = 4)  // §3.1 query slice
+  * val dedup  = Graft.nearDupDedup(docs, "doc_id", "text")
+  * }}}
+  */
+object Graft {
+
+  // ---- ingest (§3.2) -------------------------------------------------
+
+  /** Markdown batch → canonical chunk rows (front-matter, murmur3
+    * ids, hierarchical zero-drop chunking, passage enrichment). */
+  def ingestMarkdown(docs: DataFrame): DataFrame =
+    Ingest.ingestMarkdown(docs)
+
+  /** Typed view of a chunk frame. Missing canonical columns are
+    * defaulted (F12). */
+  def asChunks(df: DataFrame)(implicit s: SparkSession): Dataset[Chunk] = {
+    import s.implicits._
+    val defaults: Map[String, org.apache.spark.sql.Column] = Map(
+      "trace_id" -> lit(""), "total_chunks" -> lit(0),
+      "embedding" -> lit(null).cast("array<float>"),
+      "metadata" -> lit(null).cast("map<string,string>"),
+      "type" -> lit("unknown"), "engine" -> lit("unknown"),
+      "hash" -> lit(""), "page" -> lit(-1), "chunk_index" -> lit(0))
+    val cols = Ingest.ChunkSchema.fields.map { f =>
+      // defaults are pre-typed; casting a NULL array<float> onto the
+      // containsNull=false schema type is rejected by the analyzer
+      (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else defaults(f.name)).as(f.name)
+    }
+    df.select(cols.toSeq: _*).as[Chunk]
+  }
+
+  /** Attach deterministic mock embeddings (external-embedder stand-in,
+    * SURVEY §7 hard part 3). */
+  def withMockEmbeddings(chunks: DataFrame, dim: Int): DataFrame =
+    chunks.withColumn("embedding",
+      VectorFunctions.mockEmbedding(col("chunk"), dim))
+
+  /** S7/S8: bucketed index + archive writes. */
+  def writeIndex(index: DataFrame, dir: String): Unit =
+    Index.write(Index.buildPoints(index), dir)
+  def writeArchive(chunks: DataFrame, dir: String): Unit =
+    Ingest.writeArchive(chunks, dir)
+
+  // ---- query (§3.1) --------------------------------------------------
+
+  /** Cosine top-k retrieval + context assembly over an embedded index
+    * (queries: (qid, embedding)). */
+  def search(index: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    Rag.retrieve(index, queries, k)
+
+  /** Hybrid dense+sparse search with DBSF fusion (V4/V5). */
+  def hybridSearch(index: DataFrame, queries: DataFrame,
+      k: Int): DataFrame =
+    Hybrid.hybridSearch(index, "chunk_id", "chunk", "embedding",
+      queries, "qid", "qtext", "embedding", k)
+
+  // ---- training-data pipeline ---------------------------------------
+
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame =
+    Dedup.exactDedup(df, id, text)
+  def nearDupDedup(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.8): DataFrame =
+    Dedup.nearDupDedup(df, id, text, threshold)
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    Dedup.simhash(df, id, text)
+  def knn(queries: DataFrame, qid: String, corpus: DataFrame,
+      cid: String, vec: String, k: Int): DataFrame =
+    SimilaritySearch.bruteForceTopK(queries, qid, corpus, cid, vec, k)
+
+  /** Per-document text-analysis features (token stats, quality,
+    * language, fingerprint). */
+  def textFeatures(df: DataFrame, text: String,
+      stop: Seq[String] = Seq("the", "a")): DataFrame =
+    df.withColumn("n_tokens", TextFunctions.tokenCount(col(text)))
+      .withColumn("uniq_ratio", TextFunctions.uniqueWordRatio(col(text)))
+      .withColumn("quality", TextFunctions.qualityScore(col(text), stop))
+      .withColumn("lang_guess", TextFunctions.langIdHeuristic(col(text)))
+      .withColumn("fingerprint",
+        TextFunctions.rollingFingerprint(col(text)))
+}

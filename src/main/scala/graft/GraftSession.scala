@@ -21,7 +21,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE: runtime partition coalescing + skew-join splitting — the
+      // first line of defense at cluster scale; local runs keep it on
+      // so plans are the ones a 1000-executor job would get.
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 128 MiB scan splits: big enough to amortize footer reads,
+      // small enough that a 100 TB table still yields ~800k parallel
+      // tasks rather than a handful of stragglers.
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,9 +29,11 @@ object SparkEntry {
     "q43_ann_ivf",        // approximate by construction; recall vs q31
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full §3.1/§3.2 slice: markdown ingest → chunking →
+    * ids → embedding → cosine retrieval → cited context assembly. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q04RevenueByNation(spark, "/root/testdata/sf0.001")
+    PipelineQueries.q36RagPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public facade: migrate-from-the-reference usage end to end. */
+class GraftFacadeSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("doc"), $"doc_id", lit(".md")).as("source_file"),
+        $"text")
+      .limit(50)
+  }
+
+  test("ingest -> embed -> search round trip") {
+    implicit val s = spark
+    val chunks = Graft.ingestMarkdown(docs)
+    val typed = Graft.asChunks(chunks)
+    assert(typed.head().chunk_id.startsWith("DOC_"))
+    val index = Graft.withMockEmbeddings(chunks, 16)
+    val queries = index.limit(2)
+      .select(col("chunk_index").cast("long").as("qid"),
+        col("embedding"))
+      .dropDuplicates("qid")
+    val hits = Graft.search(index, queries, k = 3)
+    assert(hits.count() > 0)
+    assert(hits.columns.contains("context"))
+  }
+
+  test("index write/read with count verification") {
+    val dir = java.nio.file.Files.createTempDirectory("gidx").toString
+    val index = Graft.withMockEmbeddings(Graft.ingestMarkdown(docs), 8)
+    Graft.writeIndex(index, dir)
+    assert(operators.Index.count(spark, dir) === index.count())
+  }
+
+  test("textFeatures appends the analysis columns") {
+    val out = Graft.textFeatures(docs, "text")
+    assert(Seq("n_tokens", "uniq_ratio", "quality", "lang_guess",
+      "fingerprint").forall(out.columns.contains))
+    assert(out.count() === 50)
+  }
+}
