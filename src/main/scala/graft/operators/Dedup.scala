@@ -106,9 +106,14 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("doc"), explode(
         array_distinct(wordShinglesFast(col(textCol), shingleN))).as("s"))
+    // Both the sizes branch and the pairs branch consume the grouped
+    // posting lists; without a persist the whole shingle index is
+    // rebuilt per consumer (the physical plan showed the scan+explode+
+    // aggregate subtree three times). MEMORY_AND_DISK spills at scale.
     val byShingle = sh.groupBy(col("s"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = byShingle
       .select(explode(col("docs")).as("doc"))
       .groupBy(col("doc")).agg(count(lit(1)).as("n"))
