@@ -89,6 +89,26 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  private case class IdPair(id_a: Long, id_b: Long)
+
+  /** Emit all i<j pairs of a sorted posting list in one pass (the
+    * nested transform/slice expression form rebuilds intermediate
+    * arrays per lambda level under interpreted evaluation). */
+  private val postingPairsUdf = udf { (docs: Seq[Long]) =>
+    val n = docs.length
+    val out = new Array[IdPair](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = IdPair(docs(i), docs(j)); k += 1; j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Exact n-gram Jaccard similarity via inverted shingle index:
     * explode distinct shingles, drop shingles hotter than `maxDf`
     * docs (skew guard — a stop-shingle joins everything with
@@ -107,23 +127,19 @@ object Dedup {
       .select(col(idCol).as("doc"), explode(
         array_distinct(wordShinglesFast(col(textCol), shingleN))).as("s"))
     // Both the sizes branch and the pairs branch consume the grouped
-    // posting lists; without a persist the whole shingle index is
-    // rebuilt per consumer (the physical plan showed the scan+explode+
-    // aggregate subtree three times). MEMORY_AND_DISK spills at scale.
+    // posting lists; the static plan shows the subtree per consumer,
+    // but AQE's exchange reuse materializes the groupBy shuffle once
+    // at runtime — measured no win from an explicit persist (which
+    // would also pin cache memory past the operator's lifetime).
     val byShingle = sh.groupBy(col("s"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = byShingle
       .select(explode(col("docs")).as("doc"))
       .groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val pairs = byShingle
       .filter(size(col("docs")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("docs")) - 2),
-        i => transform(slice(col("docs"), i + 2, size(col("docs"))),
-          b => struct(element_at(col("docs"), i + 1).as("id_a"),
-            b.as("id_b")))))).as("p"))
+      .select(explode(postingPairsUdf(col("docs"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
     val common = pairs.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))

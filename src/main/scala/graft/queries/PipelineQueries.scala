@@ -37,9 +37,13 @@ object PipelineQueries {
     * cited contexts. */
   def q36RagPipeline(s: SparkSession, d: String): DataFrame = {
     val chunks = Ingest.ingestMarkdown(asMarkdownDocs(s, d))
+    // The index is consumed twice inside retrieve (scoring + chunk-text
+    // join-back); in a real deployment it is written once (S7) and
+    // read — persisting models that without recomputing the ingest.
     val index = chunks
       .withColumn("embedding",
         VectorFunctions.mockEmbedding(col("chunk"), 32))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = documents(s, d).filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         VectorFunctions.mockEmbedding(
