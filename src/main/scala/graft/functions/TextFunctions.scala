@@ -19,11 +19,12 @@ object TextFunctions {
   /** Token count (F6 analog, `text_utils.py:142-147`). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: words + digits + punctuation runs, the
-    * regex approximation of a byte-pair tokenizer's piece count. */
+  /** BPE-ish subword count: letter runs + digit runs + individual
+    * punctuation marks — the regex approximation of a byte-pair
+    * tokenizer's piece count. */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "[^A-Za-z0-9]+|(?=[^A-Za-z0-9\\s])"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Unique-word ratio — repetition detector core (F7,
     * `text_utils.py:150-168`). */

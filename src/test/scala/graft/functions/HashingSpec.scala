@@ -35,6 +35,22 @@ class HashingSpec extends SparkTestBase {
     }
   }
 
+  test("murmur3 seed-0 handles multibyte UTF-8 like mmh3") {
+    val expected = Map(
+      "café" -> 605818632,
+      "日本語テキスト" -> -423053779,
+      "émoji 🎉 test" -> -1157475659)
+    expected.foreach { case (s, v) =>
+      assert(Murmur3.hash32(s.getBytes("UTF-8"), 0) === v, s"input=$s")
+    }
+    // and through the expression path (UTF8String bytes)
+    import spark.implicits._
+    val got = expected.keys.toSeq.toDF("s")
+      .select(col("s"), Hashing.murmur3(col("s")))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === expected)
+  }
+
   test("murmur3 expression evaluates in a plan (codegen path)") {
     import spark.implicits._
     val df = Seq("a", "ab", "abc", "hello world").toDF("s")

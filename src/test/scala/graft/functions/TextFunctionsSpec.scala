@@ -16,6 +16,14 @@ class TextFunctionsSpec extends SparkTestBase {
       .collect().map(_.getBoolean(0)).toSeq
   }
 
+  test("bpeishTokenCount splits words, digits, and punct runs") {
+    import spark.implicits._
+    val r = Seq("hello, world! v2.0", "plain words").toDF("s")
+      .select(bpeishTokenCount(col("s"))).collect().map(_.getInt(0))
+    // hello , world ! v 2 . 0  = 8 pieces ; plain words = 2
+    assert(r(0) === 8 && r(1) === 2)
+  }
+
   test("tokenCount / uniqueWordRatio") {
     import spark.implicits._
     val r = Seq("a b c a b", "solo").toDF("s")
