@@ -198,7 +198,30 @@ object Relational {
         col("l_linenumber"))
   }
 
+  /** CUBE over status × priority (completes the grouping-analytics
+    * family next to rollup q09 / grouping sets q40). */
+  def q47OrdersCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** Ordered list aggregation: per customer, the numerically-sorted
+    * order keys joined to one string (array_agg surface with a
+    * deterministic order contract). */
+  def q48OrderLists(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        concat_ws(",", transform(array_sort(collect_list(col("o_orderkey"))),
+          x => x.cast("string"))).as("order_keys"))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_orders_cube" -> (q47OrdersCube _),
+    "q48_order_lists" -> (q48OrderLists _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_brand_revenue" -> (q02TopBrandRevenue _),
     "q03_segment_orders" -> (q03SegmentOrders _),
@@ -217,6 +240,16 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q47_orders_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q48_order_lists" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |   ORDER BY o_orderkey) AS order_keys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
