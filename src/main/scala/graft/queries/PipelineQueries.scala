@@ -70,13 +70,57 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** §2.13 sentinel barrier, oracle-checked: lineitems play chunk
+    * events (one per line), orders with lineitems emit the sentinel
+    * carrying the expected count; the flatMapGroupsWithState barrier
+    * (run in batch mode) must emit exactly the per-order groupBy
+    * truth, chunk ids ordered by line number. */
+  def q49StreamBarrier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    val li = lineitem(s, d)
+    val chunkEvents = li.select(
+      col("l_orderkey").cast("string").as("sourceFile"),
+      concat(col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("chunkId"),
+      col("l_linenumber").as("chunkIndex"),
+      lit(-1).as("expected"))
+    val sentinels = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .select(col("l_orderkey").cast("string").as("sourceFile"),
+        lit("").as("chunkId"), lit(-1).as("chunkIndex"),
+        col("n").as("expected"))
+    val events = chunkEvents.unionByName(sentinels)
+      .as[StreamingOps.ChunkEvent]
+    StreamingOps.completeFiles(events, withTimeout = false)
+      .toDF()
+      .select(col("sourceFile").as("source_file"),
+        col("count").as("n_chunks"),
+        element_at(col("chunkIds"), 1).as("first_chunk"),
+        element_at(col("chunkIds"), -1).as("last_chunk"))
+      .orderBy(col("source_file"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_chunk_pipeline" -> (q35ChunkPipeline _),
     "q36_rag_pipeline" -> (q36RagPipeline _),
     "q37_hybrid_search" -> (q37HybridSearch _),
+    "q49_stream_barrier" -> (q49StreamBarrier _),
   )
 
-  /** Non-SQL-expressible (murmur3 seed-0 ids, generator UDF, mock
-    * embedder) — driver records rows-only checks. */
-  val oracle: Map[String, String] = Map.empty
+  /** q35-q37 are non-SQL-expressible (murmur3 seed-0 ids, generator
+    * UDF, mock embedder) — rows-only. q49's barrier output IS the
+    * per-order relational truth, so it oracle-checks the stateful
+    * operator. */
+  val oracle: Map[String, String] = Map(
+    "q49_stream_barrier" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS source_file,
+        | COUNT(*) AS n_chunks,
+        | CAST(l_orderkey AS VARCHAR) || '_' ||
+        |   CAST(MIN(l_linenumber) AS VARCHAR) AS first_chunk,
+        | CAST(l_orderkey AS VARCHAR) || '_' ||
+        |   CAST(MAX(l_linenumber) AS VARCHAR) AS last_chunk
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY source_file""".stripMargin,
+  )
 }
