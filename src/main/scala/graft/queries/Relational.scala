@@ -219,9 +219,23 @@ object Relational {
           x => x.cast("string"))).as("order_keys"))
       .orderBy(col("o_custkey"))
 
+  /** TPC-H Q17 analog: revenue from small-quantity lineitems, where
+    * "small" is relative to each part's own average quantity — the
+    * correlated-scalar-subquery shape (Catalyst decorrelates to the
+    * same per-part aggregate join written here). */
+  def q50SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val partAvg = lineitem(s, d).groupBy(col("l_partkey").as("pk"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    lineitem(s, d)
+      .join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_orders_cube" -> (q47OrdersCube _),
     "q48_order_lists" -> (q48OrderLists _),
+    "q50_small_qty_revenue" -> (q50SmallQtyRevenue _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_brand_revenue" -> (q02TopBrandRevenue _),
     "q03_segment_orders" -> (q03SegmentOrders _),
@@ -240,6 +254,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q50_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |   AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < 0.5 * (
+        |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     "q47_orders_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

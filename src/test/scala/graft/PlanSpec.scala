@@ -1,0 +1,43 @@
+package graft
+
+/** Plan-shape regression guard: the physical properties the scale
+  * story depends on (pushdown, pruning, broadcast dims, top-k
+  * physical operator, codegen'd custom expressions) must survive
+  * refactors. String-level checks on the formatted executed plan. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q01: ship-date filter is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") &&
+      p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q01: scan schema is pruned to the referenced columns") {
+    val p = plan("q01_pricing_summary")
+    assert(!p.contains("l_orderkey"),
+      "pricing summary must not read join keys it never uses")
+  }
+
+  test("q04: dimension joins broadcast") {
+    val p = plan("q04_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q02: order-by + limit plans as TakeOrderedAndProject") {
+    assert(plan("q02_top_brand_revenue").contains("TakeOrderedAndProject"))
+  }
+
+  test("q31: murmur-free dot-product kernel stays in the plan (DotF64)") {
+    val p = plan("q31_knn_bruteforce")
+    assert(p.toLowerCase.contains("dotf64"))
+  }
+
+  test("q28: no cartesian product anywhere in the dedup plan") {
+    assert(!plan("q28_jaccard_pairs").contains("CartesianProduct"))
+  }
+}
