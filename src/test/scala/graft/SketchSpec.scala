@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Approximate-aggregate surface (SURVEY §2.6 "approx_count_distinct
+  * for HLL"): error bounds against exact answers on testdata, plus
+  * the partition-pruning property of the bucketed archive sink. */
+class SketchSpec extends SparkTestBase {
+
+  test("approx_count_distinct within rsd of exact (HLL)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .head()
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("percentile_approx brackets the exact median") {
+    val ev = graft.queries.Tables.events(spark, sf)
+    val r = ev.agg(
+      median(col("value")).as("exact"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx"))
+      .head()
+    assert(math.abs(r.getDouble(1) - r.getDouble(0))
+      <= 0.05 * math.max(1.0, math.abs(r.getDouble(0))))
+  }
+
+  test("archive sink: doc_bucket partition filter prunes the scan") {
+    import spark.implicits._
+    val chunks = Seq(
+      ("c1", "DOC_AAAA0001", "one"), ("c2", "DOC_BBBB0002", "two"),
+      ("c3", "DOC_CCCC0003", "three"))
+      .toDF("chunk_id", "document_id", "chunk")
+    val dir = java.nio.file.Files.createTempDirectory("arch").toString
+    graft.operators.Ingest.writeArchive(chunks, dir, buckets = 8)
+    val read = spark.read.parquet(dir)
+      .filter(col("doc_bucket") === 3)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("doc_bucket"),
+      s"expected partition pruning in:\n$plan")
+    // and the data round-trips
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+}
