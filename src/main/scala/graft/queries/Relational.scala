@@ -232,10 +232,56 @@ object Relational {
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
 
+  /** TPC-H Q3 analog (shipping priority): segment filter + 3-way join
+    * + grouped revenue, top-10 by revenue. */
+  def q51ShippingPriority(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q10 analog (returned items): revenue lost to returns per
+    * customer, top 20. */
+  def q52ReturnedRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q19 analog: disjunctive bracket predicates over the
+    * part join (Catalyst pushes the common conjuncts; the OR brackets
+    * evaluate post-join). */
+  def q53BracketRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity") >= 20))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_orders_cube" -> (q47OrdersCube _),
     "q48_order_lists" -> (q48OrderLists _),
     "q50_small_qty_revenue" -> (q50SmallQtyRevenue _),
+    "q51_shipping_priority" -> (q51ShippingPriority _),
+    "q52_returned_revenue" -> (q52ReturnedRevenue _),
+    "q53_bracket_revenue" -> (q53BracketRevenue _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_brand_revenue" -> (q02TopBrandRevenue _),
     "q03_segment_orders" -> (q03SegmentOrders _),
@@ -254,6 +300,37 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q51_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q52_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q53_bracket_revenue" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity >= 20)""".stripMargin,
     "q50_small_qty_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
         |   AS DOUBLE) / 7.0 AS avg_yearly
