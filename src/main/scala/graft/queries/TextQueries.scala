@@ -88,7 +88,35 @@ object TextQueries {
     Dedup.simhash(documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Chunker window math, oracle-checked: per-document chunk counts
+    * from the real ingest must equal the closed-form window count
+    * 1 + ceil(max(0, n−budget)/step) the SQL oracle computes
+    * (documents have no headers, so each is one section). */
+  def q54ChunkCounts(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ingest.ingestMarkdown(
+      documents(s, d).select(
+        concat(lit("doc"), col("doc_id"), lit(".md")).as("source_file"),
+        col("text")))
+      .groupBy(col("source_file"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy(col("source_file"))
+
+  /** Quality-predicate truth table over the corpus, oracle-checked:
+    * the F6/F7/F8/F9 thresholds computed by the engine's column
+    * expressions must match the SQL re-derivation row for row. */
+  def q55QualityGate(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      isLowQuality(col("text")).as("is_low"),
+      isRepetitive(col("text")).as("is_repetitive"),
+      hasAbnormalWordLengths(col("text")).as("is_abnormal"),
+      isBadOcr(col("text")).as("is_bad"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_chunk_counts" -> (q54ChunkCounts _),
+    "q55_quality_gate" -> (q55QualityGate _),
     "q23_lang_distribution" -> (q23LangDistribution _),
     "q24_token_stats" -> (q24TokenStats _),
     "q25_word_freq" -> (q25WordFreq _),
@@ -100,6 +128,35 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q54_chunk_counts" ->
+      """SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.md' AS source_file,
+        | CASE WHEN len(string_split(text, ' ')) <= 435 THEN 1
+        |   ELSE 1 + CAST(CEIL(
+        |     (len(string_split(text, ' ')) - 435) / 385.0) AS BIGINT)
+        |   END AS n_chunks
+        |FROM documents ORDER BY source_file""".stripMargin,
+    "q55_quality_gate" ->
+      """WITH f AS (
+        | SELECT doc_id, string_split(text, ' ') AS t,
+        |        regexp_matches(text, '[âã¢£™žÂÃ]') AS corrupt
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, corrupt, len(t) AS n,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+        |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+        |    / len(t) AS mean_len,
+        |  CAST(len(list_filter(t, x -> len(x) > 30)) AS DOUBLE)
+        |    / len(t) AS long_frac
+        | FROM f)
+        |SELECT doc_id, n AS n_tokens,
+        | n < 5 AS is_low,
+        | (n > 10 AND uniq_ratio < 0.2) AS is_repetitive,
+        | (mean_len < 2.0 OR mean_len > 20.0 OR long_frac > 0.1)
+        |   AS is_abnormal,
+        | (corrupt OR n < 5 OR (n > 10 AND uniq_ratio < 0.2)
+        |  OR mean_len < 2.0 OR mean_len > 20.0 OR long_frac > 0.1)
+        |   AS is_bad
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q23_lang_distribution" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | COUNT(DISTINCT source) AS n_sources,
