@@ -114,9 +114,26 @@ object TextQueries {
       isBadOcr(col("text")).as("is_bad"))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup candidates: closest 100 document pairs by
+    * Hamming distance over the 60-bit fingerprints (bitwise XOR +
+    * popcount; the banding-free exhaustive check the LSH variants
+    * approximate). */
+  def q56SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val h = Dedup.simhash(documents(s, d), "doc_id", "text")
+    val a = h.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = h.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_chunk_counts" -> (q54ChunkCounts _),
     "q55_quality_gate" -> (q55QualityGate _),
+    "q56_simhash_pairs" -> (q56SimhashPairs _),
     "q23_lang_distribution" -> (q23LangDistribution _),
     "q24_token_stats" -> (q24TokenStats _),
     "q25_word_freq" -> (q25WordFreq _),
@@ -128,6 +145,27 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q56_simhash_pairs" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(t), 1, 15))::UBIGINT AS hv FROM tok),
+        |votes AS (
+        | SELECT doc_id, b,
+        |  SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        | FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
+        | GROUP BY 1, 2),
+        |sh AS (
+        | SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << b)
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        | FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin,
     "q54_chunk_counts" ->
       """SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.md' AS source_file,
         | CASE WHEN len(string_split(text, ' ')) <= 435 THEN 1
