@@ -38,10 +38,14 @@ object Chunker {
   case class Piece(text: String, page: Int, h1: String, h2: String,
       chunkIndex: Int, totalChunks: Int)
 
-  /** Reference defaults: 512-token context, 85% safety budget,
-    * 50-token overlap (`shared/defaults.py:61-63`,
-    * `text_processor.py:84`). */
-  val DefaultBudget: Int = (512 * 0.85).toInt
+  /** Reference defaults (`shared/defaults.py:61-63`,
+    * `text_processor.py:84`, BASELINE.md): MAX_TOKENS=256 stored per
+    * chunk, 85% safety budget, minus the "passage: [DOC_xxxx] "
+    * prefix overhead the enrichment step will add, 50-token overlap.
+    * Whitespace tokenizer counts the prefix as 2 tokens. */
+  val MaxTokens: Int = 256
+  val PrefixOverhead: Int = 2
+  val DefaultBudget: Int = (MaxTokens * 0.85).toInt - PrefixOverhead // 215
   val DefaultOverlap: Int = 50
   val MaxChunksPerDoc: Int = 5000
 

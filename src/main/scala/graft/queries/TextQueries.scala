@@ -15,6 +15,12 @@ object TextQueries {
 
   val StopWords: Seq[String] = Seq("the", "a")
 
+  /** Shared with the q54 oracle so the SQL formula tracks the
+    * chunker's defaults. */
+  private val ChunkBudget = graft.operators.Chunker.DefaultBudget
+  private val ChunkStep =
+    ChunkBudget - graft.operators.Chunker.DefaultOverlap
+
   /** Language × source distribution (A6 content-distribution analog,
     * `analytics.md:205-222`). */
   def q23LangDistribution(s: SparkSession, d: String): DataFrame =
@@ -167,10 +173,11 @@ object TextQueries {
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
         |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin,
     "q54_chunk_counts" ->
-      """SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.md' AS source_file,
-        | CASE WHEN len(string_split(text, ' ')) <= 435 THEN 1
+      s"""SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.md' AS source_file,
+        | CASE WHEN len(string_split(text, ' ')) <= $ChunkBudget THEN 1
         |   ELSE 1 + CAST(CEIL(
-        |     (len(string_split(text, ' ')) - 435) / 385.0) AS BIGINT)
+        |     (len(string_split(text, ' ')) - $ChunkBudget)
+        |       / $ChunkStep.0) AS BIGINT)
         |   END AS n_chunks
         |FROM documents ORDER BY source_file""".stripMargin,
     "q55_quality_gate" ->
