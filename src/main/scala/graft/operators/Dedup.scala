@@ -174,6 +174,38 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** SimHash banded LSH: split the 60-bit fingerprint into `bands`
+    * equal bit-bands; by pigeonhole, any pair within Hamming distance
+    * `bands − 1` shares at least one identical band, so the band-
+    * equality join finds all such pairs without the exhaustive
+    * pair scan (the 100 TB path for [[simhash]] mining). Returns
+    * verified (id_a, id_b, hamming) for candidates within
+    * `maxHamming`. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"bands=$bands only guarantees recall up to hamming ${bands - 1}")
+    val bits = 60
+    val bandBits = bits / bands
+    val h = simhash(df, idCol, textCol)
+    val banded = h.select(col(idCol), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        expr(s"shiftright(simhash, ${b * bandBits}) & " +
+          s"${(1L << bandBits) - 1}")): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val l = banded.select(col(idCol).as("id_a"),
+      col("simhash").as("h_a"), col("band"), col("band_val"))
+    val r = banded.select(col(idCol).as("id_b"),
+      col("simhash").as("h_b"), col("band"), col("band_val"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding near-dup: cosine-similar pairs above `threshold`.
     * Delegates to [[SimilaritySearch.cosinePairsAbove]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

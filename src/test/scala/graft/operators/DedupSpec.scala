@@ -82,6 +82,22 @@ class DedupSpec extends SparkTestBase {
     assert(!survivors.contains(2L))
   }
 
+  test("simhash banded LSH recovers all pairs within the hamming bound") {
+    // exhaustive truth on the small corpus
+    val hs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val truth = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if hamming(hs(a), hs(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simhashNearDups(docs, "doc_id", "text",
+      bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === truth)
+    assert(truth.contains((1L, 2L))) // exact dups at hamming 0
+  }
+
   test("embedding near-dups surface planted duplicate vectors") {
     import spark.implicits._
     val vecs = Seq(
