@@ -11,7 +11,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q04_revenue_by_nation",
         "q08_top3_orders_per_customer", "q28_jaccard_pairs",
-        "q31_knn_bruteforce")
+        "q31_knn_bruteforce", "q49_stream_barrier",
+        "q51_shipping_priority")
     val spark = GraftSession.build("local[4]", 4)
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -105,6 +105,14 @@ object Rag {
     }(enc)
   }
 
+  /** R4: the retrieval-free baseline — same generator, prompt is the
+    * bare question (the reference's hallucination-comparison path,
+    * `architecture.md:78-89`). */
+  def directAnswer(queries: DataFrame, questionCol: String,
+      generator: Generator): DataFrame =
+    generate(queries.withColumn("context", col(questionCol)), generator)
+      .drop("context")
+
   /** Full batch RAG slice: queries (qid, qvec) against an embedded
     * chunk index (chunk_id, chunk, source_file, embedding) → top-k →
     * dedup → context (→ generation happens outside, via Generator). */

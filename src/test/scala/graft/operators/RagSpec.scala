@@ -59,6 +59,16 @@ class RagSpec extends SparkTestBase {
     assert(out(0).getAs[String]("context") === "[source1] apples and pears")
   }
 
+  test("directAnswer baseline skips retrieval (R4)") {
+    import spark.implicits._
+    val qs = Seq((1L, "what is an apple?")).toDF("qid", "question")
+    val out = Rag.directAnswer(qs, "question", Rag.EchoGenerator)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).schema.fieldNames.toSeq === Seq("qid", "question", "answer"))
+    assert(out(0).getString(2).nonEmpty)
+  }
+
   test("EchoGenerator is deterministic (R2 stub)") {
     val a = Rag.EchoGenerator.generate(Seq("ctx one", "ctx two"))
     val b = Rag.EchoGenerator.generate(Seq("ctx one", "ctx two"))
