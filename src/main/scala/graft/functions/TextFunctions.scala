@@ -12,12 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Reference runtime defaults the quality family is configured by
+    * (`shared/defaults.py:66-67`): Latin-extended mode on, minimum
+    * Latin-script ratio 0.7. */
+  val AllowLatinExtended: Boolean = true
+  val LatinScriptMinRatio: Double = 0.7
+
   /** Whitespace tokenization (the engine's test-mode tokenizer;
     * reference's HF tokenizer stays behind the Tokenizer trait). */
   def tokens(text: Column): Column = split(text, " ")
 
   /** Token count (F6 analog, `text_utils.py:142-147`). */
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Python `str.split()` semantics: split on whitespace runs, no
+    * empty tokens — the tokenization the reference quality predicates
+    * use (`text_utils.py:160,172`). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
 
   /** BPE-ish subword count: letter runs + digit runs + individual
     * punctuation marks — the regex approximation of a byte-pair
@@ -51,48 +65,66 @@ object TextFunctions {
     length(regexp_replace(text, "[^\\p{IsLatin}\\p{M}]", ""))
       .cast("double") / length(text)
 
-  /** Printable-ASCII ratio (F5, `text_utils.py:130-139`). */
+  /** Printable-ASCII ratio (F5, `text_utils.py:130-139`). The
+    * reference's printable set is Python's `string.printable`, which
+    * includes the whitespace controls `\t\n\r\x0b\x0c` alongside
+    * `\x20-\x7E` — multi-line ASCII text scores 1.0. */
   def printableAsciiRatio(text: Column): Column =
-    length(regexp_replace(text, "[^\\x20-\\x7E]", ""))
+    length(regexp_replace(text, "[^\\x20-\\x7E\\t\\n\\r\\x0B\\x0C]", ""))
       .cast("double") / length(text)
 
   /** Mojibake indicator (F3, `text_utils.py:82-89`). */
   def isVisiblyCorrupt(text: Column): Column =
     text.rlike("[âã¢£™žÂÃ]")
 
-  /** Repetition predicate (F7 thresholds 0.3 lines / 0.2 words,
-    * `text_utils.py:150-168`). */
+  /** Repetition predicate (F7, `text_utils.py:150-168`): activates at
+    * ≥3 non-blank stripped lines (unique-line ratio < 0.3) or ≥10
+    * whitespace-split words (unique-word ratio < 0.2); below either
+    * floor the corresponding clause is False. Lines are compared
+    * *stripped*, exactly as the reference builds them. */
   def isRepetitive(text: Column): Column = {
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
     val lineRatio = size(array_distinct(lines)).cast("double") / size(lines)
-    (size(lines) > 3 && lineRatio < 0.3) ||
-      (tokenCount(text) > 10 && uniqueWordRatio(text) < 0.2)
+    val w = wsTokens(text)
+    val wordRatio = size(array_distinct(w)).cast("double") / size(w)
+    (size(lines) >= 3 && lineRatio < 0.3) ||
+      (size(w) >= 10 && wordRatio < 0.2)
   }
 
-  /** Abnormal word-length predicate (F8 bounds [2,20], >10% over 30,
-    * `text_utils.py:171-183`). */
+  /** Abnormal word-length predicate (F8, `text_utils.py:171-183`):
+    * only words of length > 1 count; fewer than 5 such words → False;
+    * otherwise mean length ∉ [2,20] or >10% of them longer than 30. */
   def hasAbnormalWordLengths(text: Column): Column = {
-    val mean = meanWordLength(text)
-    val longFrac = size(filter(tokens(text), w => length(w) > 30))
-      .cast("double") / tokenCount(text)
-    mean < 2.0 || mean > 20.0 || longFrac > 0.1
+    val w = filter(wsTokens(text), t => length(t) > 1)
+    val mean = aggregate(transform(w, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / size(w)
+    val longFrac = size(filter(w, t => length(t) > 30))
+      .cast("double") / size(w)
+    size(w) >= 5 && (mean < 2.0 || mean > 20.0 || longFrac > 0.1)
   }
 
-  /** Low-quality predicate (F6: fewer than 5 tokens). */
-  def isLowQuality(text: Column): Column = tokenCount(text) < 5
+  /** Low-quality predicate (F6: fewer than 5 tokens,
+    * `text_utils.py:142-147`; the whitespace tokenizer stands in for
+    * the reference's HF tokenizer, SURVEY §7 hard-part 2). */
+  def isLowQuality(text: Column): Column = wsTokenCount(text) < 5
 
-  /** Composite OCR quality gate (F9 = F3 ∨ F6 ∨ F7 ∨ F8,
-    * `text_utils.py:186-203`) — the predicate that routes pages to the
+  /** Composite OCR quality gate (F9 = blank ∨ F4 ∨ F3 ∨ F6 ∨ F7 ∨ F8,
+    * `text_utils.py:186-203`) — empty/blank text is bad, and the
+    * gibberish term routes noisy-but-unrepetitive pages to the
     * expensive LLM-normalization tier (SURVEY §4 short-circuit). */
   def isBadOcr(text: Column): Column =
-    isVisiblyCorrupt(text) || isLowQuality(text) ||
+    length(trim(coalesce(text, lit("")))) === 0 ||
+      isGibberish(text) || isVisiblyCorrupt(text) || isLowQuality(text) ||
       isRepetitive(text) || hasAbnormalWordLengths(text)
 
-  /** Invalid-text predicate (F10: short / unprintable / non-Latin,
-    * `text_utils.py:206-224`). */
-  def isInvalidText(text: Column): Column =
-    length(text) < 20 || printableAsciiRatio(text) < 0.5 ||
-      latinScriptRatio(text) < 0.5
+  /** Invalid-text predicate (F10, `text_utils.py:206-224`): blank or
+    * stripped length < 20 → invalid; then (Latin-extended default
+    * path) Unicode-printable ratio < 0.6 or Latin-script ratio below
+    * [[LatinScriptMinRatio]]; non-extended path: not mostly printable
+    * ASCII at the 0.75 threshold. Needs a Unicode category walk →
+    * scalar UDF. */
+  def isInvalidText(text: Column): Column = isInvalidTextUdf(text)
 
   /** Composite [0,1] quality score for training-data filtering:
     * penalizes repetition, abnormal word lengths, and low stopword
@@ -157,54 +189,133 @@ object TextFunctions {
     array_max(array(scores: _*)).getField("lang")
   }
 
-  /** F1: mojibake repair (the reference shells to ftfy,
+  // ----- string-level reference implementations (shared by the UDFs
+  // and the truth-table specs; semantics transcribed from
+  // `utils/text_utils.py`) -----
+
+  /** Python `str.isprintable()` per code point: everything except the
+    * C* and Z* categories, with U+0020 printable. */
+  private[functions] def pyIsPrintable(cp: Int): Boolean =
+    cp == 0x20 || (Character.getType(cp) match {
+      case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+           Character.PRIVATE_USE | Character.UNASSIGNED |
+           Character.LINE_SEPARATOR | Character.PARAGRAPH_SEPARATOR |
+           Character.SPACE_SEPARATOR => false
+      case _ => true
+    })
+
+  private def isMark(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK ||
+      t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK
+  }
+
+  /** F1 string core (the reference shells to ftfy,
     * `text_utils.py:66-71`): fixes the common UTF-8-read-as-latin1
-    * double-encoding by round-tripping when the re-encoding is valid.
-    * Scalar UDF — inherently a black-box repair, not expressible as a
-    * column formula. */
-  val fixMojibakeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (s: String) =>
-      if (s == null) null
-      else {
-        try {
-          val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-          val repaired = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-          // only accept the round-trip when it removed mojibake marks
-          if (repaired.length < s.length && !repaired.contains('�'))
-            repaired
-          else s
-        } catch { case _: Exception => s }
-      }
+    * double-encoding by round-tripping when the re-encoding is valid. */
+  private[functions] def fixMojibakeStr(s: String): String =
+    if (s == null) null
+    else try {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      val repaired = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      // only accept the round-trip when it removed mojibake marks
+      if (repaired.length < s.length && !repaired.contains('�'))
+        repaired
+      else s
+    } catch { case _: Exception => s }
+
+  /** F2 string core (`text_utils.py:74-79`): fraction of code points
+    * matching `\p{Latin}|\p{M}`. */
+  private[functions] def latinScriptRatioStr(s: String): Double = {
+    if (s == null || s.isEmpty) return 0.0
+    val cps = s.codePoints.toArray
+    cps.count(cp =>
+      Character.UnicodeScript.of(cp) == Character.UnicodeScript.LATIN ||
+        isMark(cp)).toDouble / cps.length
+  }
+
+  /** F4 string core (`text_utils.py:92-127`), Latin-extended default
+    * path: blank → true; mojibake-fix then NFC (NFKD when
+    * non-extended); keep printable code points; if the Latin-script
+    * ratio of the printable text ≥ [[LatinScriptMinRatio]], lenient
+    * noise check (alpha + common punctuation allowed, combining marks
+    * skipped, threshold 0.75), else strict (only alpha/space/newline
+    * allowed, threshold 0.6). */
+  private[functions] def isGibberishStr(
+      s: String, extended: Boolean = AllowLatinExtended): Boolean = {
+    if (s == null || s.strip.isEmpty) return true
+    val fixed = fixMojibakeStr(s)
+    val norm = java.text.Normalizer.normalize(fixed,
+      if (extended) java.text.Normalizer.Form.NFC
+      else java.text.Normalizer.Form.NFKD)
+    val printable = norm.codePoints.toArray.filter(pyIsPrintable)
+    val total = printable.length
+    if (total == 0) return true
+    val latinRatio =
+      printable.count(cp =>
+        Character.UnicodeScript.of(cp) == Character.UnicodeScript.LATIN ||
+          isMark(cp)).toDouble / total
+    val lenientAllowed: Set[Int] =
+      Set(' ', '\n', '\t', '-', '–', '—', '·', '.', ',',
+        ';', ':', '(', ')', '[', ']', '\'', '"').map(_.toInt)
+    if (extended && latinRatio >= LatinScriptMinRatio) {
+      val nonAlpha = printable.count(cp =>
+        Character.getType(cp) != Character.NON_SPACING_MARK &&
+          !Character.isLetter(cp) && !lenientAllowed.contains(cp))
+      nonAlpha.toDouble / math.max(1, total) > 0.75
+    } else {
+      val nonAlpha = printable.count(cp =>
+        !(extended && Character.getType(cp) == Character.NON_SPACING_MARK) &&
+          !Character.isLetter(cp) && cp != ' ' && cp != '\n')
+      nonAlpha.toDouble / total > 0.6
     }
+  }
+
+  /** F5 string core (`text_utils.py:130-139`): fraction of characters
+    * in Python's `string.printable` (ASCII 0x20-0x7E plus
+    * `\t\n\r\x0b\x0c`) at the given threshold; empty → false. */
+  private[functions] def isMostlyPrintableAsciiStr(
+      s: String, threshold: Double = 0.75): Boolean = {
+    if (s == null || s.isEmpty) return false
+    val printable = s.count(c =>
+      (c >= 0x20 && c <= 0x7E) || c == '\t' || c == '\n' || c == '\r' ||
+        c == 0x0B || c == 0x0C)
+    printable.toDouble / s.length >= threshold
+  }
+
+  /** F10 string core (`text_utils.py:206-224`). */
+  private[functions] def isInvalidTextStr(
+      s: String, extended: Boolean = AllowLatinExtended): Boolean = {
+    if (s == null || s.strip.isEmpty || s.strip.length < 20) return true
+    if (extended) {
+      val fixed = fixMojibakeStr(s)
+      val cps = fixed.codePoints.toArray
+      val ratio = cps.count(pyIsPrintable).toDouble / cps.length
+      if (ratio < 0.6) true
+      else latinScriptRatioStr(fixed) < LatinScriptMinRatio
+    } else !isMostlyPrintableAsciiStr(s, 0.75)
+  }
+
+  /** F1: mojibake repair as a scalar UDF — inherently a black-box
+    * repair, not expressible as a column formula. */
+  val fixMojibakeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => fixMojibakeStr(s) }
 
   def fixMojibake(text: Column): Column = fixMojibakeUdf(text)
 
-  /** F4: gibberish detector (`text_utils.py:92-127`): NFC/NFKD
-    * normalize, printable ratio < 0.75, or Latin-gated non-alpha noise
-    * ratio > 0.6. Needs a Unicode-category walk → scalar UDF. */
+  /** F4: gibberish detector (`text_utils.py:92-127`). Needs a
+    * Unicode-category walk → scalar UDF over [[isGibberishStr]]. */
   val isGibberishUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (s: String) =>
-      if (s == null || s.isEmpty) true
-      else {
-        val norm = java.text.Normalizer.normalize(s,
-          java.text.Normalizer.Form.NFC)
-        val printable = norm.count(c => !Character.isISOControl(c))
-        val printableRatio = printable.toDouble / norm.length
-        val letters = norm.count(Character.isLetter)
-        val latin = norm.count(c =>
-          Character.UnicodeScript.of(c) == Character.UnicodeScript.LATIN)
-        // the noise clause applies to letterless or mostly-Latin text;
-        // non-Latin scripts are legitimately "noisy" by this metric
-        val latinGated = letters == 0 || latin.toDouble / letters > 0.5
-        val noAlphaNoise =
-          norm.count(c => !Character.isLetterOrDigit(c) &&
-            !Character.isWhitespace(c)).toDouble / norm.length
-        printableRatio < 0.75 || (latinGated && noAlphaNoise > 0.6)
-      }
-    }
+    udf { (s: String) => isGibberishStr(s) }
 
   def isGibberish(text: Column): Column = isGibberishUdf(text)
+
+  /** F10: invalid-text detector as a scalar UDF over
+    * [[isInvalidTextStr]]. */
+  val isInvalidTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => isInvalidTextStr(s) }
 
   /** F11: PDF validity predicate over raw bytes (`%PDF` magic,
     * `text_utils.py:227-249`; the page-open probe lives behind the

@@ -107,16 +107,25 @@ object TextQueries {
       .agg(count(lit(1)).as("n_chunks"))
       .orderBy(col("source_file"))
 
-  /** Quality-predicate truth table over the corpus, oracle-checked:
-    * the F6/F7/F8/F9 thresholds computed by the engine's column
-    * expressions must match the SQL re-derivation row for row. */
+  /** Quality-predicate truth table over the corpus, oracle-checked.
+    * The SQL oracle is re-derived from the reference's own formulas
+    * (`text_utils.py:92-224`, Latin-extended defaults
+    * `shared/defaults.py:66-67`), NOT from the engine: ≥3-line / ≥10-
+    * word repetition floors, the len>1 + ≥5-word abnormal-length
+    * guards, the gibberish printable/noise walk, and the blank∨
+    * gibberish∨corrupt∨low∨repetitive∨abnormal composite. (The oracle
+    * treats the ftfy mojibake fix as identity — the corpus is
+    * mojibake-free ASCII, and SQL can't express ftfy.) */
   def q55QualityGate(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
+      wsTokenCount(col("text")).as("n_tokens"),
+      isGibberish(col("text")).as("is_gibberish"),
+      isVisiblyCorrupt(col("text")).as("is_corrupt"),
       isLowQuality(col("text")).as("is_low"),
       isRepetitive(col("text")).as("is_repetitive"),
       hasAbnormalWordLengths(col("text")).as("is_abnormal"),
+      isInvalidText(col("text")).as("is_invalid"),
       isBadOcr(col("text")).as("is_bad"))
       .orderBy(col("doc_id"))
 
@@ -180,28 +189,68 @@ object TextQueries {
         |       / $ChunkStep.0) AS BIGINT)
         |   END AS n_chunks
         |FROM documents ORDER BY source_file""".stripMargin,
+    // Re-derived from the reference's text_utils.py formulas (Latin-
+    // extended defaults): Python str.split() tokens, stripped-line
+    // repetition at >=3 lines, len>1 + >=5-word abnormal guards, the
+    // printable/Latin-gated gibberish walk, and the full is_bad_ocr
+    // composite including blank and gibberish terms.
     "q55_quality_gate" ->
       """WITH f AS (
-        | SELECT doc_id, string_split(text, ' ') AS t,
-        |        regexp_matches(text, '[âã¢£™žÂÃ]') AS corrupt
+        | SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'),
+        |              x -> len(x) > 0) AS t,
+        |  list_filter(list_transform(string_split(text, chr(10)),
+        |              l -> trim(l)), l -> len(l) > 0) AS lines,
+        |  regexp_matches(text, '[âã¢£™žÂÃ]') AS corrupt,
+        |  regexp_replace(text,
+        |   '[\p{C}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]',
+        |   '', 'g') AS printable
         | FROM documents),
         |m AS (
-        | SELECT doc_id, corrupt, len(t) AS n,
-        |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
-        |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-        |    / len(t) AS mean_len,
-        |  CAST(len(list_filter(t, x -> len(x) > 30)) AS DOUBLE)
-        |    / len(t) AS long_frac
-        | FROM f)
-        |SELECT doc_id, n AS n_tokens,
-        | n < 5 AS is_low,
-        | (n > 10 AND uniq_ratio < 0.2) AS is_repetitive,
-        | (mean_len < 2.0 OR mean_len > 20.0 OR long_frac > 0.1)
-        |   AS is_abnormal,
-        | (corrupt OR n < 5 OR (n > 10 AND uniq_ratio < 0.2)
-        |  OR mean_len < 2.0 OR mean_len > 20.0 OR long_frac > 0.1)
-        |   AS is_bad
-        |FROM m ORDER BY doc_id""".stripMargin,
+        | SELECT doc_id, text, corrupt, lines, printable,
+        |  len(t) AS n,
+        |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS uniq_ratio,
+        |  list_filter(t, x -> len(x) > 1) AS w2,
+        |  len(printable) AS ptot,
+        |  len(regexp_replace(printable, '[^\p{Latin}\p{M}]', '', 'g'))
+        |    AS platin,
+        |  len(regexp_replace(printable,
+        |    '[\p{L}\p{Mn} \n\t\-–—·.,;:()\[\]''"]', '', 'g')) AS lenient_non,
+        |  len(regexp_replace(printable, '[\p{L}\p{Mn} \n]', '', 'g'))
+        |    AS strict_non,
+        |  len(regexp_replace(text, '[^\p{Latin}\p{M}]', '', 'g'))
+        |    AS full_latin
+        | FROM f),
+        |g AS (
+        | SELECT doc_id, text, corrupt, n, uniq_ratio, w2,
+        |  (len(trim(text)) = 0 OR ptot = 0 OR
+        |   CASE WHEN ptot > 0 AND
+        |     CAST(platin AS DOUBLE) / ptot >= 0.7
+        |    THEN CAST(lenient_non AS DOUBLE) / greatest(1, ptot) > 0.75
+        |    ELSE CAST(strict_non AS DOUBLE) / greatest(1, ptot) > 0.6 END)
+        |   AS is_gibberish,
+        |  (CASE WHEN len(lines) >= 3 THEN
+        |     CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) < 0.3
+        |    ELSE FALSE END
+        |   OR (n >= 10 AND uniq_ratio < 0.2)) AS is_repetitive,
+        |  CASE WHEN len(w2) < 5 THEN FALSE ELSE
+        |   (CAST(list_sum(list_transform(w2, x -> len(x))) AS DOUBLE)
+        |      / len(w2) < 2.0
+        |    OR CAST(list_sum(list_transform(w2, x -> len(x))) AS DOUBLE)
+        |      / len(w2) > 20.0
+        |    OR CAST(len(list_filter(w2, x -> len(x) > 30)) AS DOUBLE)
+        |      / len(w2) > 0.1) END AS is_abnormal,
+        |  n < 5 AS is_low,
+        |  (len(trim(text)) < 20 OR
+        |   CAST(ptot AS DOUBLE) / len(text) < 0.6 OR
+        |   CAST(full_latin AS DOUBLE) / len(text) < 0.7) AS is_invalid
+        | FROM m)
+        |SELECT doc_id, n AS n_tokens, is_gibberish, corrupt AS is_corrupt,
+        | is_low, is_repetitive, is_abnormal, is_invalid,
+        | (len(trim(text)) = 0 OR is_gibberish OR corrupt OR is_low
+        |  OR is_repetitive OR is_abnormal) AS is_bad
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q23_lang_distribution" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | COUNT(DISTINCT source) AS n_sources,

@@ -42,13 +42,31 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(got === Seq(true, true, false))
   }
 
-  test("hasAbnormalWordLengths (F8 bounds)") {
+  test("isRepetitive boundaries match the reference " +
+      "(text_utils.py:152-160: >=3 lines, >=10 words)") {
+    // at exactly 3 lines the minimum distinct ratio is 1/3 > 0.3, so
+    // the line clause first fires at 4 identical lines (1/4 < 0.3)
+    val fourLines = "same\nsame\nsame\nsame"
+    val threeLines = "same\nsame\nsame"
+    val tenWords = Array.fill(10)("w").mkString(" ")  // 0.1 < 0.2 at n=10
+    val nineWords = Array.fill(9)("w").mkString(" ")  // below floor
+    val got = evalBool(s => isRepetitive(col(s)),
+      Seq(fourLines, threeLines, tenWords, nineWords))
+    assert(got === Seq(true, false, true, false))
+  }
+
+  test("hasAbnormalWordLengths (F8 bounds + reference guards " +
+      "text_utils.py:171-183)") {
     val longWords = Array.fill(20)("x" * 35).mkString(" ")
-    val singles = Array.fill(20)("a").mkString(" ")   // mean 1 < 2
+    // len>1 filter: single-char words are ignored entirely
+    val singles = Array.fill(20)("a").mkString(" ")
+    val fewWords = "a b c"                     // <5 countable words
+    val fourLong = Array.fill(4)("x" * 35).mkString(" ")  // below floor
+    val fiveLong = Array.fill(5)("x" * 35).mkString(" ")  // at floor
     val normal = "these are perfectly ordinary english words here"
     val got = evalBool(s => hasAbnormalWordLengths(col(s)),
-      Seq(longWords, singles, normal))
-    assert(got === Seq(true, true, false))
+      Seq(longWords, singles, fewWords, fourLong, fiveLong, normal))
+    assert(got === Seq(true, false, false, false, true, false))
   }
 
   test("latin / printable ratios and corruption flag (F2/F3/F5)") {
@@ -71,6 +89,42 @@ class TextFunctionsSpec extends SparkTestBase {
     val got = evalBool(s => isBadOcr(col(s)),
       Seq(clean, "tiny", ("noise " * 40).trim))
     assert(got === Seq(false, true, true))
+  }
+
+  test("isBadOcr includes blank and gibberish terms " +
+      "(text_utils.py:186-203)") {
+    // 12 distinct 2-char symbol tokens: not corrupt, not low (12>=5),
+    // not repetitive (all unique), not abnormal (mean len 2.0, no
+    // long words) — only the gibberish term can catch it.
+    val symbolNoise = Seq("@#", "$%", "^&", "*(", ")!", "~`",
+      "[]", "{}", "<>", "+=", "|\\", "/?").mkString(" ")
+    val got = evalBool(s => isBadOcr(col(s)),
+      Seq("", "   ", symbolNoise))
+    assert(got === Seq(true, true, true))
+  }
+
+  test("string-level truth table for F4/F5/F10 " +
+      "(text_utils.py:92-139,206-224, Latin-extended defaults)") {
+    // gibberish: blank → true
+    assert(isGibberishStr(""))
+    assert(isGibberishStr("  \n "))
+    // clean Latin text: latin-gated lenient path, punctuation allowed
+    assert(!isGibberishStr("A clean, readable sentence (with punctuation)."))
+    // symbol noise, no letters: strict path ratio > 0.6
+    assert(isGibberishStr("@#$% ^&*( )!~` @#$% ^&*("))
+    // control-dominated but the printable residue is clean → the
+    // reference walks only printable chars, so NOT gibberish
+    assert(!isGibberishStr("\u0001\u0002\u0003 x"))
+    // mostly-printable ascii: threshold 0.75, empty false, \n printable
+    assert(!isMostlyPrintableAsciiStr(""))
+    assert(isMostlyPrintableAsciiStr("line one\nline two\n"))
+    assert(!isMostlyPrintableAsciiStr("\u0001\u0002\u0003x"))
+    // invalid text: blank/short → true; clean long ascii → false
+    assert(isInvalidTextStr(""))
+    assert(isInvalidTextStr("short text"))
+    assert(!isInvalidTextStr("a perfectly ordinary paragraph of text"))
+    // non-Latin long text fails the Latin-ratio clause (extended path)
+    assert(isInvalidTextStr("статья на русском языке достаточной длины"))
   }
 
   test("wordShingles produces n-grams; short docs give empty") {
@@ -109,14 +163,16 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(r(1) === "already clean")
   }
 
-  test("isGibberish flags unprintable / symbol-noise text (F4)") {
+  test("isGibberish flags symbol-noise text (F4)") {
     import spark.implicits._
     val noise = "@#$% ^&*( )!~` @#$% ^&*("
-    val control = "\u0001\u0002\u0003 x"   // unprintable-dominated
+    // control chars are stripped before the noise walk
+    // (text_utils.py:103-104): the clean printable residue passes
+    val control = "\u0001\u0002\u0003 x"
     val clean = "perfectly ordinary readable sentence"
     val r = Seq(noise, control, clean).toDF("s")
       .select(isGibberish(col("s"))).as[Boolean].collect()
-    assert(r.toSeq === Seq(true, true, false))
+    assert(r.toSeq === Seq(true, false, false))
   }
 
   test("qualityScore orders clean text above junk") {
