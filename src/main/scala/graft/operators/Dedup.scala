@@ -206,11 +206,14 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup: cosine-similar pairs above `threshold`.
-    * Delegates to [[SimilaritySearch.cosinePairsAbove]]. */
+  /** Embedding near-dup: cosine-similar pairs above `threshold` via
+    * banded hyperplane-LSH candidates + exact verify
+    * ([[SimilaritySearch.cosineNearDupsBanded]] — the scale path; use
+    * [[SimilaritySearch.cosinePairsAbove]] as the exhaustive oracle
+    * when the threshold is below the banding guarantee, ~0.9). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
-    SimilaritySearch.cosinePairsAbove(df, idCol, vecCol, threshold)
+    SimilaritySearch.cosineNearDupsBanded(df, idCol, vecCol, threshold)
 
   /** End-to-end near-dup dedup: LSH candidates → exact-Jaccard verify
     * (≥ `threshold`) → drop every doc that near-duplicates a

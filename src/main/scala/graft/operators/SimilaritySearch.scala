@@ -61,20 +61,109 @@ object SimilaritySearch {
     TopK.perQuery(scored, k)
   }
 
-  /** All corpus pairs with cosine similarity above `threshold`
-    * (embedding near-dup surface). Self cross-join bounded by id_a <
-    * id_b; at scale, swap in [[ivfTopK]]-style cell pruning first. */
+  /** All corpus pairs with cosine similarity above `threshold` — the
+    * EXACT pair scan. Compute is inherently quadratic (that is the
+    * semantics: no sublinear scheme has recall 1 at arbitrary
+    * thresholds), so the scale dial is the *shape*: one side
+    * broadcast (block-tiled at real scale), the id filter applied
+    * before any scoring so only n·(n−1)/2 dot products run, and no
+    * pair row ever enters a shuffle — downstream top-N consumers get
+    * `TakeOrderedAndProject` straight off the join. For genuine
+    * near-dup thresholds (≥ ~0.9) use [[cosineNearDupsBanded]], which
+    * prunes candidates first and is the 100 TB path. */
   def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
       l2Norm(col(vecCol)).as("norm_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
       l2Norm(col(vecCol)).as("norm_b"))
-    a.crossJoin(b)
+    a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score",
         dotF64(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("score") > threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Deterministic Rademacher hyperplane sign: ±1 from the first hex
+    * digit of md5("b_j") — reproducible in any engine that has md5
+    * (the DuckDB oracle recomputes the identical matrix in SQL). */
+  private[operators] def hyperplaneSign(b: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${b}_$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+  }
+
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def signMatrix(bits: Int, dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent((bits, dim), { case (b, d) =>
+      Array.tabulate(b, d)(hyperplaneSign)
+    })
+
+  /** 60-bit random-hyperplane (SimHash-for-vectors) signature: bit b
+    * is the sign of the projection onto the b-th deterministic ±1
+    * hyperplane. P[bit agrees] = 1 − θ/π, so near-parallel vectors
+    * have near-equal signatures. Sequential double fold per bit —
+    * bit-reproducible against the oracle's `list_reduce`. */
+  private val signatureUdf = udf { (vec: Seq[Double], bits: Int) =>
+    val m = signMatrix(bits, vec.length)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var j = 0
+      val row = m(b)
+      while (j < vec.length) { dot += vec(j) * row(j); j += 1 }
+      if (dot > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  def hyperplaneSignature(vec: Column, bits: Int = 60): Column =
+    signatureUdf(vec.cast("array<double>"), lit(bits))
+
+  /** Embedding near-dup mining via banded hyperplane-LSH — the
+    * bucketed candidate-generation + exact-verify shape that survives
+    * 100 TB (mirror of `Dedup.simhashNearDups`): signature → split
+    * into `bands` bit-bands → equality join on (band, band value) →
+    * exact cosine ≥ `threshold` verify on the candidates only.
+    *
+    * Recall: by pigeonhole, every pair within signature Hamming
+    * distance `bands − 1` is found. A pair at cosine s flips each bit
+    * with p = arccos(s)/π, so E[hamming] = bits·p; at s ≥ 0.99,
+    * 60·0.02 ≈ 1.2 against a bands−1 = 9 guarantee — miss
+    * probability ~1e-9 per pair. At thresholds far below ~0.9 the
+    * expected Hamming distance exceeds any banding guarantee and
+    * [[cosinePairsAbove]] is the honest (quadratic) semantics. */
+  def cosineNearDupsBanded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 60, bands: Int = 10): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val bandBits = bits / bands
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneSignature(col(vecCol), bits).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        expr(s"shiftright(sig, ${b * bandBits}) & " +
+          s"${(1L << bandBits) - 1}")): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val cands = banded.select(col("id").as("id_a"), col("band"),
+        col("band_val"))
+      .join(banded.select(col("id").as("id_b"), col("band"),
+        col("band_val")), Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      l2Norm(col("vec")).as("norm_a"))
+    val vb = sig.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      l2Norm(col("vec")).as("norm_b"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("score",
+        dotF64(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
 

@@ -145,8 +145,19 @@ object TextQueries {
       .limit(100)
   }
 
+  /** SimHash near-dup mining via banded LSH — the registered scale
+    * path (pigeonhole: bands=6 ⇒ every pair within Hamming 5 shares a
+    * band; the band-equality join replaces q56's exhaustive pair
+    * scan). Oracle = the exhaustive Hamming-≤5 truth the banding must
+    * reproduce exactly. */
+  def q57SimhashNearDups(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(documents(s, d), "doc_id", "text",
+      bands = 6, maxHamming = 5)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_chunk_counts" -> (q54ChunkCounts _),
+    "q57_simhash_neardups" -> (q57SimhashNearDups _),
     "q55_quality_gate" -> (q55QualityGate _),
     "q56_simhash_pairs" -> (q56SimhashPairs _),
     "q23_lang_distribution" -> (q23LangDistribution _),
@@ -160,6 +171,30 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Exhaustive Hamming-<=5 truth: the banded-LSH engine path must
+    // find exactly these pairs (recall 1 by pigeonhole at bands=6).
+    "q57_simhash_neardups" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(t), 1, 15))::UBIGINT AS hv FROM tok),
+        |votes AS (
+        | SELECT doc_id, b,
+        |  SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        | FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
+        | GROUP BY 1, 2),
+        |sh AS (
+        | SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << b)
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        | FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q56_simhash_pairs" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS t

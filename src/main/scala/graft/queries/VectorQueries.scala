@@ -73,8 +73,31 @@ object VectorQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Embedding near-dup mining via banded hyperplane-LSH (the
+    * bucketed candidate-join + exact-verify scale path,
+    * [[SimilaritySearch.cosineNearDupsBanded]]). The corpus is the
+    * embeddings table plus a deterministic near-duplicate twin of
+    * every vector (first component +0.02 — cosine ≈ 0.9998, far above
+    * any organic pair, which top out ≈ 0.6), so the query must
+    * recover exactly the planted pairs. Oracle = the exhaustive
+    * cosine ≥ 0.999 scan over the same derived corpus: at that
+    * threshold a missed pair needs signature Hamming ≥ 10 against
+    * E[hamming] ≈ 1.2 — recall 1 with ~1e-7 slack per pair. */
+  def q58EmbeddingNearDups(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val twins = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + lit(0.02)),
+        slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+        .as("embedding"))
+    SimilaritySearch.cosineNearDupsBanded(emb.unionByName(twins),
+      "vec_id", "embedding", threshold = 0.999)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_ann_ivf" -> (q43AnnIvf _),
+    "q58_embedding_neardups" -> (q58EmbeddingNearDups _),
     "q31_knn_bruteforce" -> (q31KnnBruteForce _),
     "q32_label_centroids" -> (q32LabelCentroids _),
     "q33_vector_norms" -> (q33VectorNorms _),
@@ -82,6 +105,24 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Exhaustive cosine >= 0.999 over embeddings ∪ planted twins: the
+    // banded-LSH engine path must recover exactly these pairs.
+    "q58_embedding_neardups" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        |              FROM embeddings),
+        |twins AS (SELECT vec_id + 1000000 AS vec_id,
+        |  list_concat([e[1] + 0.02], e[2:]) AS e FROM base),
+        |v AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_dot_product(a.e, b.e) /
+        |  (sqrt(list_dot_product(a.e, a.e)) *
+        |   sqrt(list_dot_product(b.e, b.e))) AS score
+        |FROM v a, v b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.e, b.e) /
+        |   (sqrt(list_dot_product(a.e, a.e)) *
+        |    sqrt(list_dot_product(b.e, b.e))) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
     "q31_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
         |           FROM embeddings),

@@ -37,6 +37,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.toLowerCase.contains("dotf64"))
   }
 
+  test("q57/q58: banded near-dup paths never plan a cartesian or " +
+      "broadcast nested-loop pair scan") {
+    for (q <- Seq("q57_simhash_neardups", "q58_embedding_neardups")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q34: exhaustive pair scan broadcasts one side and plans " +
+      "top-N as TakeOrderedAndProject (no pair-row shuffle)") {
+    val p = plan("q34_cosine_top_pairs")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q28: no cartesian product anywhere in the dedup plan") {
     assert(!plan("q28_jaccard_pairs").contains("CartesianProduct"))
   }

@@ -42,6 +42,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(n - 1.0) <= 1e-12)
   }
 
+  test("banded hyperplane-LSH near-dup mining equals the exhaustive " +
+      "scan on planted twins") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val twins = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + lit(0.02)),
+        slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+        .as("embedding"))
+    val corpus = emb.unionByName(twins)
+    val exact = SimilaritySearch.cosinePairsAbove(
+      corpus, "vec_id", "embedding", threshold = 0.999)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SimilaritySearch.cosineNearDupsBanded(
+      corpus, "vec_id", "embedding", threshold = 0.999)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(banded === exact)
+  }
+
+  test("hyperplane signatures are deterministic and near-equal for " +
+      "near-parallel vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val twin = base.clone(); twin(0) += 0.02
+    val far = Array.fill(16)(rnd.nextGaussian())
+    val df = Seq((1L, base), (2L, twin), (3L, far), (4L, base))
+      .toDF("id", "vec")
+      .select(col("id"),
+        SimilaritySearch.hyperplaneSignature(col("vec")).as("sig"))
+    val sigs = df.orderBy("id").collect().map(_.getLong(1))
+    assert(sigs(0) === sigs(3))                   // deterministic
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <= 5)  // near dup
+  }
+
   test("IVF top-k achieves high recall vs brute force on testdata") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 20)
