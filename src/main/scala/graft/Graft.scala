@@ -62,6 +62,20 @@ object Graft {
     chunks.withColumn("embedding",
       VectorFunctions.mockEmbedding(col("chunk"), dim))
 
+  /** V1: attach embeddings through the external-service boundary
+    * (micro-batched, retried, `"passage: "`-aware — the production
+    * path; [[Embed.HashEmbeddingService]] is the hermetic stand-in). */
+  def withEmbeddings(chunks: DataFrame,
+      service: Embed.EmbeddingService): DataFrame =
+    Embed.embedText(chunks, "chunk", "embedding", service)
+
+  /** V2: embed a (qid, qtext) query frame with the `"query: "`
+    * prefix. */
+  def embedQueries(queries: DataFrame,
+      service: Embed.EmbeddingService): DataFrame =
+    Embed.embedText(queries, "qtext", "embedding", service,
+      prefix = Embed.QueryPrefix)
+
   /** S7/S8: bucketed index + archive writes. */
   def writeIndex(index: DataFrame, dir: String): Unit =
     Index.write(Index.buildPoints(index), dir)

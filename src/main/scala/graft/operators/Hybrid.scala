@@ -102,7 +102,7 @@ object Hybrid {
       vecCol: String, queries: DataFrame, qidCol: String,
       qtextCol: String, qvecCol: String, k: Int,
       denseLimit: Int = 50, sparseLimit: Int = 100): DataFrame = {
-    val dense = SimilaritySearch.bruteForceTopK(
+    val dense = SimilaritySearch.bruteForceTopKHeap(
       queries.select(col(qidCol), col(qvecCol).as(vecCol)), qidCol,
       index.select(col(idCol), col(vecCol)), idCol, vecCol, denseLimit)
       .select(col("qid"), col("cid").as("doc"), col("score"))

@@ -164,11 +164,14 @@ object Ingest {
   /** C6: quality-gated LLM normalization as a partition-batched
     * operator — rows whose text passes the quality gate bypass the
     * service entirely (the reference's 3-tier short-circuit,
-    * `gatekeeper_logic.py:348-365`); the rest batch through the
-    * NormalizerService once per partition. Appends `normalized` and
-    * `norm_engine` columns. */
+    * `gatekeeper_logic.py:348-365`); the rest flow through the
+    * NormalizerService in micro-batches of `batchSize` (the
+    * reference's page-batch default 5, `shared/defaults.py:91`) via a
+    * lazily-grouped iterator — constant memory per partition, never a
+    * whole-partition buffer. Appends `normalized` and `norm_engine`
+    * columns. */
   def normalize(df: DataFrame, textCol: String,
-      service: NormalizerService): DataFrame = {
+      service: NormalizerService, batchSize: Int = 5): DataFrame = {
     val routed = df.withColumn("_tier", tierRouting(col(textCol)))
     val schema = StructType(routed.schema.fields.toSeq
       .filterNot(_.name == "_tier") :+
@@ -179,21 +182,22 @@ object Ingest {
     val textIdx = routed.schema.fieldIndex(textCol)
     val tierIdx = routed.schema.fieldIndex("_tier")
     routed.mapPartitions { rows =>
-      val buf = rows.toSeq
-      val (toLlm, passthrough) =
-        buf.partition(_.getString(tierIdx) == "llm_normalize")
-      val normalized = if (toLlm.nonEmpty)
-        service.normalize(toLlm.map(_.getString(textIdx))) else Seq.empty
-      val llmOut = toLlm.iterator.zip(normalized.iterator).map {
-        case (r, n) => org.apache.spark.sql.Row.fromSeq(
-          r.toSeq.patch(tierIdx, Nil, 1) :+ n :+ "llm")
+      rows.grouped(batchSize).flatMap { batch =>
+        val (toLlm, passthrough) =
+          batch.partition(_.getString(tierIdx) == "llm_normalize")
+        val normalized = if (toLlm.nonEmpty)
+          service.normalize(toLlm.map(_.getString(textIdx))) else Seq.empty
+        val llmOut = toLlm.iterator.zip(normalized.iterator).map {
+          case (r, n) => org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.patch(tierIdx, Nil, 1) :+ n :+ "llm")
+        }
+        val passOut = passthrough.iterator.map { r =>
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.patch(tierIdx, Nil, 1) :+ r.getString(textIdx)
+              :+ "passthrough")
+        }
+        passOut ++ llmOut
       }
-      val passOut = passthrough.iterator.map { r =>
-        org.apache.spark.sql.Row.fromSeq(
-          r.toSeq.patch(tierIdx, Nil, 1) :+ r.getString(textIdx)
-            :+ "passthrough")
-      }
-      passOut ++ llmOut
     }(enc)
   }
 

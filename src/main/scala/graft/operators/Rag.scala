@@ -84,11 +84,14 @@ object Rag {
   }
 
   /** R2: batch grounded generation — one Generator per partition
-    * (connection reuse), prompts batched per partition like the
-    * reference's micro-batching (`shared/utils.py:60-155` HA dispatch
-    * collapses to task parallelism, SURVEY §2.3 C7). Appends `answer`
-    * to the context frame. */
-  def generate(contexts: DataFrame, generator: Generator): DataFrame = {
+    * (connection reuse), prompts flowing through in micro-batches of
+    * `batchSize` via a lazily-grouped iterator: constant memory per
+    * partition, never a whole-partition buffer (the reference itself
+    * micro-batches its external calls at 5/20,
+    * `shared/defaults.py:55,81`). Appends `answer` to the context
+    * frame. */
+  def generate(contexts: DataFrame, generator: Generator,
+      batchSize: Int = 20): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       contexts.schema.fields :+
         org.apache.spark.sql.types.StructField("answer",
@@ -97,10 +100,11 @@ object Rag {
       .encoderFor(schema)
     val ctxIdx = contexts.schema.fieldIndex("context")
     contexts.mapPartitions { rows =>
-      val batch = rows.toSeq
-      val answers = generator.generate(batch.map(_.getString(ctxIdx)))
-      batch.iterator.zip(answers.iterator).map { case (r, a) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ a)
+      rows.grouped(batchSize).flatMap { batch =>
+        val answers = generator.generate(batch.map(_.getString(ctxIdx)))
+        batch.iterator.zip(answers.iterator).map { case (r, a) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ a)
+        }
       }
     }(enc)
   }
@@ -115,9 +119,12 @@ object Rag {
 
   /** Full batch RAG slice: queries (qid, qvec) against an embedded
     * chunk index (chunk_id, chunk, source_file, embedding) → top-k →
-    * dedup → context (→ generation happens outside, via Generator). */
+    * dedup → context (→ generation happens outside, via Generator).
+    * Retrieval runs the bounded-heap formulation — k rows per
+    * (partition, query) in the shuffle, never the full scored
+    * product. */
   def retrieve(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val hits = SimilaritySearch.bruteForceTopK(
+    val hits = SimilaritySearch.bruteForceTopKHeap(
       queries, "qid", index, "chunk_id", "embedding", k)
       .withColumnRenamed("cid", "chunk_id")
     val joined = hits.join(

@@ -45,8 +45,11 @@ object SimilaritySearch {
   /** [[bruteForceTopK]] with the bounded-heap aggregation shape
     * ([[TopK]]): map-side per-partition top-k, shuffle of k rows per
     * (partition, query) instead of the full scored cross product —
-    * the formulation that survives a 100 TB corpus. Long ids only;
-    * results are identical to the window formulation. */
+    * the formulation that survives a 100 TB corpus, and the DEFAULT
+    * retrieval path (q31, `Rag.retrieve`, the hybrid dense leg).
+    * Long or string corpus ids; results are bit-identical to the
+    * window formulation (TopKSpec proves it), which remains as the
+    * oracle cross-check. */
   def bruteForceTopKHeap(queries: DataFrame, queryIdCol: String,
       corpus: DataFrame, corpusIdCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -58,7 +61,11 @@ object SimilaritySearch {
       .withColumn("score",
         dotF64(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .select(col("qid"), col("id"), col("score"))
-    TopK.perQuery(scored, k)
+    corpus.schema(corpusIdCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TopK.perQueryStr(scored, k)
+      case _ => TopK.perQuery(scored, k)
+    }
   }
 
   /** All corpus pairs with cosine similarity above `threshold` — the

@@ -51,6 +51,59 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  case class ScoredS(id: String, score: Double)
+
+  private val outOrdS: Ordering[ScoredS] =
+    Ordering.by((s: ScoredS) => (-s.score, s.id))
+
+  /** [[TopKAgg]] for string ids — same (score desc, id asc) order, so
+    * results are bit-compatible with the ranked-window formulation
+    * over a string id column. */
+  class TopKAggS(k: Int)
+      extends Aggregator[ScoredS, mutable.PriorityQueue[ScoredS],
+        Seq[ScoredS]] {
+    def zero: mutable.PriorityQueue[ScoredS] =
+      mutable.PriorityQueue.empty(outOrdS)
+    def reduce(buf: mutable.PriorityQueue[ScoredS],
+        s: ScoredS): mutable.PriorityQueue[ScoredS] = {
+      if (buf.size < k) buf.enqueue(s)
+      else if (outOrdS.lt(s, buf.head)) { buf.dequeue(); buf.enqueue(s) }
+      buf
+    }
+    def merge(a: mutable.PriorityQueue[ScoredS],
+        b: mutable.PriorityQueue[ScoredS]): mutable.PriorityQueue[ScoredS] = {
+      b.foreach(s => reduce(a, s))
+      a
+    }
+    def finish(buf: mutable.PriorityQueue[ScoredS]): Seq[ScoredS] =
+      buf.toSeq.sorted(outOrdS)
+    def bufferEncoder: Encoder[mutable.PriorityQueue[ScoredS]] =
+      Encoders.kryo[mutable.PriorityQueue[ScoredS]]
+    def outputEncoder: Encoder[Seq[ScoredS]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** [[perQuery]] for STRING corpus ids (chunk ids): per-`qid` top-k
+    * of a (qid LONG, id STRING, score DOUBLE) frame → (qid, cid,
+    * score, rnk) best-first. */
+  def perQueryStr(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKAggS(k).toColumn
+    scored
+      .select(col("qid").cast("long").as("qid"),
+        col("id").cast("string").as("id"),
+        col("score").cast("double").as("score"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => ScoredS(t._2, t._3))
+      .agg(agg.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), col("col.id").as("cid"),
+        col("col.score").as("score"), (col("pos") + 1).as("rnk"))
+  }
+
   /** Per-`qid` top-k of a (qid LONG, id LONG, score DOUBLE) frame →
     * (qid, cid, score, rnk) best-first. */
   def perQuery(scored: DataFrame, k: Int): DataFrame = {

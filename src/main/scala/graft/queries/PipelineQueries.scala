@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 import graft.functions.{Hashing, VectorFunctions, TextFunctions}
-import graft.operators.{Chunker, Hybrid, Ingest, Rag, SimilaritySearch}
+import graft.operators.{Chunker, Embed, Hybrid, Ingest, Rag, SimilaritySearch}
 
 /** End-to-end pipeline queries (SURVEY §3.2 ingest + §3.1 RAG query
   * re-expressions). These exercise murmur3 ids, the markdown chunker,
@@ -31,40 +31,46 @@ object PipelineQueries {
       .orderBy(col("source_file"), col("chunk_index"))
 
   /** §3.1 RAG slice: build an embedded index from the chunk pipeline
-    * (deterministic mock embedder standing in for the external e5
-    * service), embed the first 5 documents' openings as queries,
+    * through the [[graft.operators.Embed.EmbeddingService]] boundary
+    * (micro-batch 5 + retries, V1), embed the first 5 documents'
+    * openings as queries with the asymmetric `"query: "` prefix (V2),
     * retrieve top-4 (reference RETRIEVER_TOP_K default), assemble
-    * cited contexts. */
+    * cited contexts. The deterministic hash service is bit-identical
+    * to the mock-embedding column, so swapping the boundary in
+    * changed no output row. */
   def q36RagPipeline(s: SparkSession, d: String): DataFrame = {
+    val svc = new Embed.HashEmbeddingService(32)
     val chunks = Ingest.ingestMarkdown(asMarkdownDocs(s, d))
     // The index is consumed twice inside retrieve (scoring + chunk-text
     // join-back); in a real deployment it is written once (S7) and
     // read — persisting models that without recomputing the ingest.
-    val index = chunks
-      .withColumn("embedding",
-        VectorFunctions.mockEmbedding(col("chunk"), 32))
+    val index = Embed.embedText(chunks, "chunk", "embedding", svc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = documents(s, d).filter(col("doc_id") < 5)
-      .select(col("doc_id").as("qid"),
-        VectorFunctions.mockEmbedding(
-          concat(lit("query: "), substring(col("text"), 1, 64)), 32)
-          .as("embedding"))
+    val queries = Embed.embedText(
+      documents(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          substring(col("text"), 1, 64).as("qtext")),
+      "qtext", "embedding", svc, prefix = Embed.QueryPrefix)
+      .select(col("qid"), col("embedding"))
     Rag.retrieve(index, queries, k = 4)
       .select(col("qid"), col("context"),
         concat_ws(",", col("sources")).as("sources"))
       .orderBy(col("qid"))
   }
 
-  /** V4/V5 hybrid retrieval: dense cosine (mock embeddings) + sparse
-    * BM25 over the documents table, DBSF-fused top-5 per query. */
+  /** V4/V5 hybrid retrieval: dense cosine (embeddings via the service
+    * boundary) + sparse BM25 over the documents table, DBSF-fused
+    * top-5 per query. */
   def q37HybridSearch(s: SparkSession, d: String): DataFrame = {
-    val index = documents(s, d)
-      .select(col("doc_id"), col("text"),
-        VectorFunctions.mockEmbedding(col("text"), 32).as("vec"))
-    val queries = documents(s, d).filter(col("doc_id") < 5)
-      .select(col("doc_id").as("qid"),
-        substring(col("text"), 1, 80).as("qtext"))
-      .withColumn("qvec", VectorFunctions.mockEmbedding(col("qtext"), 32))
+    val svc = new Embed.HashEmbeddingService(32)
+    val index = Embed.embedText(
+      documents(s, d).select(col("doc_id"), col("text")),
+      "text", "vec", svc)
+    val queries = Embed.embedText(
+      documents(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          substring(col("text"), 1, 80).as("qtext")),
+      "qtext", "qvec", svc)
     Hybrid.hybridSearch(index, "doc_id", "text", "vec",
       queries, "qid", "qtext", "qvec", k = 5)
       .orderBy(col("qid"), col("rnk"))

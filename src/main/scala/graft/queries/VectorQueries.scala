@@ -17,10 +17,13 @@ import graft.operators.SimilaritySearch
 object VectorQueries {
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries
-    * (self excluded) — the V3/T1 retrieval path. */
+    * (self excluded) — the V3/T1 retrieval path, registered through
+    * the bounded-heap formulation (k rows per partition per query in
+    * the shuffle; the ranked-window form stays as the TopKSpec
+    * cross-check and the DuckDB oracle below). */
   def q31KnnBruteForce(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    SimilaritySearch.bruteForceTopK(
+    SimilaritySearch.bruteForceTopKHeap(
       emb.filter(col("vec_id") < 10), "vec_id",
       emb, "vec_id", "embedding", k = 6)
       .filter(col("qid") =!= col("cid"))
