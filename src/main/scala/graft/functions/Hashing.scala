@@ -151,10 +151,120 @@ object Hashing {
 
   def uuid5(c: Column): Column = uuid5Udf(c)
 
-  /** H6: URL slug — ascii fold (NFKD strip), lowercase, alnum runs
-    * kept, everything else collapsed to single '-'. */
-  def slug(c: Column): Column =
-    regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", "-"), "(^-|-$)", "")
+  /** Minimal BLAKE2b (RFC 7693, unkeyed) — the JDK has no Blake2
+    * provider and the reference's slug suffix is
+    * `blake2b(text, digest_size=4)` (`gatekeeper_logic.py:66`).
+    * Message length is capped well below 2^64 so only the low
+    * counter word is tracked. */
+  private object Blake2b {
+    private val IV = Array(
+      0x6a09e667f3bcc908L, 0xbb67ae8584caa73bL, 0x3c6ef372fe94f82bL,
+      0xa54ff53a5f1d36f1L, 0x510e527fade682d1L, 0x9b05688c2b3e6c1fL,
+      0x1f83d9abfb41bd6bL, 0x5be0cd19137e2179L)
+    private val Sigma: Array[Array[Int]] = Array(
+      Array(0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15),
+      Array(14,10,4,8,9,15,13,6,1,12,0,2,11,7,5,3),
+      Array(11,8,12,0,5,2,15,13,10,14,3,6,7,1,9,4),
+      Array(7,9,3,1,13,12,11,14,2,6,5,10,4,0,15,8),
+      Array(9,0,5,7,2,4,10,15,14,1,11,12,6,8,3,13),
+      Array(2,12,6,10,0,11,8,3,4,13,7,5,15,14,1,9),
+      Array(12,5,1,15,14,13,4,10,0,7,6,3,9,2,8,11),
+      Array(13,11,7,14,12,1,3,9,5,0,15,4,8,6,2,10),
+      Array(6,15,14,9,11,3,0,8,12,2,13,7,1,4,10,5),
+      Array(10,2,8,4,7,6,1,5,15,11,9,14,3,12,13,0),
+      Array(0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15),
+      Array(14,10,4,8,9,15,13,6,1,12,0,2,11,7,5,3))
+
+    private def le64(b: Array[Byte], off: Int): Long = {
+      var x = 0L
+      var i = 7
+      while (i >= 0) { x = (x << 8) | (b(off + i) & 0xffL); i -= 1 }
+      x
+    }
+
+    private def g(v: Array[Long], a: Int, b: Int, c: Int, d: Int,
+        x: Long, y: Long): Unit = {
+      v(a) = v(a) + v(b) + x
+      v(d) = java.lang.Long.rotateRight(v(d) ^ v(a), 32)
+      v(c) = v(c) + v(d)
+      v(b) = java.lang.Long.rotateRight(v(b) ^ v(c), 24)
+      v(a) = v(a) + v(b) + y
+      v(d) = java.lang.Long.rotateRight(v(d) ^ v(a), 16)
+      v(c) = v(c) + v(d)
+      v(b) = java.lang.Long.rotateRight(v(b) ^ v(c), 63)
+    }
+
+    def hash(input: Array[Byte], digestSize: Int): Array[Byte] = {
+      val h = IV.clone()
+      h(0) ^= 0x01010000L ^ digestSize.toLong
+      def compress(block: Array[Byte], t: Long, last: Boolean): Unit = {
+        val m = Array.tabulate(16)(i => le64(block, i * 8))
+        val v = new Array[Long](16)
+        System.arraycopy(h, 0, v, 0, 8)
+        System.arraycopy(IV, 0, v, 8, 8)
+        v(12) ^= t
+        if (last) v(14) = ~v(14)
+        var r = 0
+        while (r < 12) {
+          val s = Sigma(r)
+          g(v, 0, 4, 8, 12, m(s(0)), m(s(1)))
+          g(v, 1, 5, 9, 13, m(s(2)), m(s(3)))
+          g(v, 2, 6, 10, 14, m(s(4)), m(s(5)))
+          g(v, 3, 7, 11, 15, m(s(6)), m(s(7)))
+          g(v, 0, 5, 10, 15, m(s(8)), m(s(9)))
+          g(v, 1, 6, 11, 12, m(s(10)), m(s(11)))
+          g(v, 2, 7, 8, 13, m(s(12)), m(s(13)))
+          g(v, 3, 4, 9, 14, m(s(14)), m(s(15)))
+          r += 1
+        }
+        var i = 0
+        while (i < 8) { h(i) ^= v(i) ^ v(i + 8); i += 1 }
+      }
+      val n = input.length
+      val fullBlocks = if (n == 0) 0 else (n - 1) / 128
+      var i = 0
+      while (i < fullBlocks) {
+        compress(input.slice(i * 128, (i + 1) * 128),
+          (i + 1) * 128L, last = false)
+        i += 1
+      }
+      val lastBlock = new Array[Byte](128)
+      if (n > 0) System.arraycopy(input, fullBlocks * 128, lastBlock, 0,
+        n - fullBlocks * 128)
+      compress(lastBlock, n.toLong, last = true)
+      val out = new Array[Byte](digestSize)
+      var j = 0
+      while (j < digestSize) {
+        out(j) = ((h(j / 8) >>> (8 * (j % 8))) & 0xff).toByte
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** H6 string core (`gatekeeper_logic.py:60-67`): NFKD normalize,
+    * drop non-ASCII, lowercase, strip, collapse non-alnum runs to
+    * '-', strip '-', then `{slug[:50]}-{blake2b4(slug)}` — the
+    * collision-resistant suffix + truncation the reference uses. */
+  def slugJvm(text: String): String = {
+    if (text == null) return null
+    val ascii = java.text.Normalizer
+      .normalize(text, java.text.Normalizer.Form.NFKD)
+      .filter(_ < 128)
+    val base = ascii.toLowerCase.strip
+      .replaceAll("[^a-z0-9]+", "-")
+      .replaceAll("(^-+|-+$)", "")
+    val suffix = Blake2b.hash(base.getBytes("UTF-8"), 4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    s"${base.take(50)}-$suffix"
+  }
+
+  val slugUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => slugJvm(s))
+
+  /** H6: collision-resistant URL slug (NFKD ascii fold + blake2b
+    * suffix, truncated at 50 chars like the reference). */
+  def slug(c: Column): Column = slugUdf(c)
 
   /** H7: per-job trace id — uuid4 truncated to 8 chars
     * (`utils/trace_utils.py:70-72`). Non-deterministic by design;

@@ -93,14 +93,19 @@ object Chunker {
 
   /** C1: hierarchical markdown split. Sections break at `#`/`##`/`###`
     * headers; `### [INTERNAL_PAGE_n]` anchors update page attribution
-    * and are dropped from emitted text; each section is token-window
-    * sub-split under `budget` with `overlap`. Chunk indexes and total
-    * count are back-filled across the whole document (A10,
-    * `text_processor.py:141-144`). */
+    * and are dropped from emitted text — but any inline content after
+    * the anchor on the same line is PRESERVED as the start of the new
+    * page's section (the reference explicitly pre-processes this
+    * supervisor-LLM quirk, `text_processor.py:47-57` — dropping it
+    * would break the zero-drop contract). Page defaults to 1 for
+    * content before any anchor (`text_processor.py:100`). Each
+    * section is token-window sub-split under `budget` with `overlap`;
+    * chunk indexes and total count are back-filled across the whole
+    * document (A10, `text_processor.py:141-144`). */
   def splitMarkdown(md: String, tokenizer: Tokenizer = WhitespaceTokenizer,
       budget: Int = DefaultBudget, overlap: Int = DefaultOverlap)
       : Seq[Piece] = {
-    var page = -1
+    var page = 1
     var h1 = ""
     var h2 = ""
     val sections = Seq.newBuilder[(String, Int, String, String)]
@@ -116,6 +121,8 @@ object Chunker {
         PageAnchor.findFirstMatchIn(t) match {
           case Some(m) =>
             flush(); page = m.group(1).toInt
+            val inline = t.substring(m.end).trim
+            if (inline.nonEmpty) cur.append(inline).append('\n')
           case None =>
             flush(); cur.append(line).append('\n')
         }

@@ -84,10 +84,16 @@ class HashingSpec extends SparkTestBase {
       === "c19e6241-5467-55da-b8b7-a21da4517432")
   }
 
-  test("slug collapses non-alnum runs") {
+  test("slug matches the reference format: NFKD ascii fold + " +
+      "blake2b-4 suffix + 50-char cap (gatekeeper_logic.py:60-67)") {
     import spark.implicits._
-    val got = Seq("Hello, World!  2024", "--x--").toDF("s")
+    // vectors recorded from the reference algorithm
+    val got = Seq("Hello, World!  2024", "--x--", "Caf\u00e9 Menu",
+      "x" * 80).toDF("s")
       .select(Hashing.slug(col("s"))).as[String].collect()
-    assert(got === Array("hello-world-2024", "x"))
+    assert(got(0) === "hello-world-2024-a48cbf92")
+    assert(got(1) === "x-b1ba07e5")
+    assert(got(2) === "cafe-menu-236fea32")   // NFKD folds the accent
+    assert(got(3) === ("x" * 50) + "-01adf0f9") // truncated, suffix on full
   }
 }

@@ -83,6 +83,27 @@ class ChunkerSpec extends SparkTestBase {
     assert(pieces.forall(_.totalChunks === pieces.length))
   }
 
+  test("markdown split: inline content after a page anchor is " +
+      "preserved on the new page (text_processor.py:47-57)") {
+    val md =
+      """# T
+        |### [INTERNAL_PAGE_1] Do you still believe this content stays
+        |### [INTERNAL_PAGE_2]
+        |page two body
+        |""".stripMargin
+    val pieces = Chunker.splitMarkdown(md)
+    val inline = pieces.filter(_.text.contains("Do you still believe"))
+    assert(inline.nonEmpty, "inline anchor content must not be dropped")
+    assert(inline.forall(_.page === 1))
+    assert(pieces.forall(p => !p.text.contains("INTERNAL_PAGE")))
+  }
+
+  test("markdown split: anchor-less content defaults to page 1 " +
+      "(text_processor.py:100)") {
+    val pieces = Chunker.splitMarkdown("# H\njust a body\n")
+    assert(pieces.nonEmpty && pieces.forall(_.page === 1))
+  }
+
   test("markdown split: oversized section sub-splits under budget, zero drop") {
     val body = (1 to 3000).map(i => s"w$i").mkString(" ")
     val md = s"# Big\n$body\n"
