@@ -14,7 +14,15 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.read.parquet(s"$sfDir/events.parquet").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Optional comma-separated query filter for focused profiling
+    // (e.g. SPARK_GRAFT_ONLY=q58_embedding_neardups); unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -89,43 +89,83 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  private case class IdPair(id_a: Long, id_b: Long)
-
-  /** Emit all i<j pairs of a sorted posting list in one pass (the
-    * nested transform/slice expression form rebuilds intermediate
-    * arrays per lambda level under interpreted evaluation). */
+  /** Emit all i<j pairs of a sorted posting list in one pass, PACKED
+    * into a single long (id_a << 32 | id_b) — halves the pair-shuffle
+    * key width and avoids struct allocation per pair; the pair count
+    * groupBy is the heaviest shuffle of the Jaccard path. Ids must
+    * fit 32 bits (documents at any realistic shard size do; shard the
+    * corpus before calling otherwise). The nested transform/slice
+    * expression form rebuilds intermediate arrays per lambda level
+    * under interpreted evaluation — hence a UDF. */
   private val postingPairsUdf = udf { (docs: Seq[Long]) =>
     val n = docs.length
-    val out = new Array[IdPair](n * (n - 1) / 2)
+    val out = new Array[Long](n * (n - 1) / 2)
     var k = 0
     var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        out(k) = IdPair(docs(i), docs(j)); k += 1; j += 1
+        out(k) = (docs(i) << 32) | docs(j); k += 1; j += 1
       }
       i += 1
     }
     out
   }
 
+  /** Single-pass distinct-shingle fingerprints: tokenizes once,
+    * hashes each n-gram with FNV-1a 64 (over the UTF-8 bytes of the
+    * space-joined shingle) and dedupes in-pass — no shingle string is
+    * ever materialized, and the inverted-index shuffle key is 8 bytes
+    * instead of a ~25-byte string. Collision risk merges two shingles
+    * corpus-wide: p ≈ k²/2^65 ≈ 1e-8 at a million distinct shingles —
+    * far below any observable effect, and the DuckDB oracle
+    * (string-keyed) would catch a collision as a hash mismatch. */
+  private val shingleHashesUdf = udf { (s: String, n: Int) =>
+    if (s == null) Array.empty[Long]
+    else {
+      val t = s.split(" ", -1)
+      if (t.length < n) Array.empty[Long]
+      else {
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val out = new scala.collection.mutable.ArrayBuffer[Long]()
+        var i = 0
+        while (i <= t.length - n) {
+          var h = 0xcbf29ce484222325L
+          var k = 0
+          while (k < n) {
+            if (k > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+            val bytes = t(i + k).getBytes("UTF-8")
+            var bi = 0
+            while (bi < bytes.length) {
+              h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1
+            }
+            k += 1
+          }
+          if (seen.add(h)) out += h
+          i += 1
+        }
+        out.toArray
+      }
+    }
+  }
+
   /** Exact n-gram Jaccard similarity via inverted shingle index:
-    * explode distinct shingles, drop shingles hotter than `maxDf`
-    * docs (skew guard — a stop-shingle joins everything with
+    * explode distinct shingle hashes, drop shingles hotter than
+    * `maxDf` docs (skew guard — a stop-shingle joins everything with
     * everything), self-join on shingle, count common, and compute
     * |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, common, jaccard)
     * for pairs sharing ≥1 surviving shingle. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDf: Int = 50): DataFrame = {
-    // Shape: group the inverted index by shingle (one shuffle with
-    // map-side combine), drop hot shingles by posting-list size, then
-    // EXPLODE each posting list's id pairs instead of self-joining the
-    // raw index — the candidate-pair count is identical but the two
-    // large shuffle joins disappear; per-doc sizes derive from the
-    // same grouped lineage and broadcast back. ~6× faster at sf0.1.
+    // Shape: group the inverted index by shingle hash (one shuffle
+    // with map-side combine), drop hot shingles by posting-list size,
+    // then EXPLODE each posting list's id pairs instead of
+    // self-joining the raw index — the candidate-pair count is
+    // identical but the two large shuffle joins disappear; per-doc
+    // sizes derive from the same grouped lineage and broadcast back.
     val sh = df
-      .select(col(idCol).as("doc"), explode(
-        array_distinct(wordShinglesFast(col(textCol), shingleN))).as("s"))
+      .select(col(idCol).as("doc"),
+        explode(shingleHashesUdf(col(textCol), lit(shingleN))).as("s"))
     // Both the sizes branch and the pairs branch consume the grouped
     // posting lists; the static plan shows the subtree per consumer,
     // but AQE's exchange reuse materializes the groupBy shuffle once
@@ -140,9 +180,10 @@ object Dedup {
     val pairs = byShingle
       .filter(size(col("docs")) >= 2)
       .select(explode(postingPairsUdf(col("docs"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-    val common = pairs.groupBy(col("id_a"), col("id_b"))
+    val common = pairs.groupBy(col("p"))
       .agg(count(lit(1)).as("common"))
+      .select(shiftright(col("p"), 32).as("id_a"),
+        col("p").bitwiseAND(0xFFFFFFFFL).as("id_b"), col("common"))
     // sizes is one row per doc — AQE broadcasts it while it fits and
     // falls back to a shuffle join at corpus scale; no explicit hint.
     common

@@ -56,12 +56,17 @@ class SimilaritySpec extends SparkTestBase {
       corpus, "vec_id", "embedding", threshold = 0.999)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = SimilaritySearch.cosineNearDupsBanded(
-      corpus, "vec_id", "embedding", threshold = 0.999)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty)
-    assert(banded === exact)
+    // both the guaranteed (origin-hyperplane) and the centered
+    // (pruning-optimized, q58) configurations must be recall-exact
+    for (center <- Seq(false, true)) {
+      val banded = SimilaritySearch.cosineNearDupsBanded(
+        corpus, "vec_id", "embedding", threshold = 0.999,
+        center = center)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty)
+      assert(banded === exact, s"center=$center")
+    }
   }
 
   test("hyperplane signatures are deterministic and near-equal for " +
