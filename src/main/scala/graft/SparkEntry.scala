@@ -23,9 +23,7 @@ object SparkEntry {
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
     * semantics; invariants covered by ScalaTest instead). */
   val rowsOnlyQueries: Set[String] = Set(
-    "q35_chunk_pipeline", // murmur3 seed-0 ids + generator UDF
     "q36_rag_pipeline",   // mock embedder + retrieval pipeline
-    "q37_hybrid_search",  // log-idf scores: JVM/libm ulp drift vs DuckDB
     "q43_ann_ivf",        // approximate by construction; recall vs q31
   )
 

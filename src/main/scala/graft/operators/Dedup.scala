@@ -256,12 +256,54 @@ object Dedup {
       threshold: Double): DataFrame =
     SimilaritySearch.cosineNearDupsBanded(df, idCol, vecCol, threshold)
 
+  /** Connected components over an undirected (id_a, id_b) pair graph
+    * by iterative min-label propagation: every node adopts the
+    * smallest id reachable, converging in O(graph diameter) rounds
+    * (near-dup clusters are shallow — chains longer than a few hops
+    * are rare, and `maxIter` bounds the work). Each round is one
+    * join + one aggregation, all shuffles keyed on node id; the
+    * driver only evaluates the convergence count. Returns (id, comp)
+    * with comp = the component's minimum id. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"),
+          col("comp").as("prev"))
+        // localCheckpoint truncates the per-iteration lineage growth
+        // that would otherwise re-execute the whole chain each round
+        .localCheckpoint()
+      converged =
+        updated.filter(col("comp") =!= col("prev")).isEmpty
+      val next = updated.select(col("id"), col("comp")).persist()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** End-to-end near-dup dedup: LSH candidates → exact-Jaccard verify
-    * (≥ `threshold`) → drop every doc that near-duplicates a
-    * lower-id doc (one anti-join; transitive chains collapse toward
-    * the smallest id without iterative connected components — the
-    * standard single-pass approximation used by web-scale dedup).
-    * Returns the surviving rows of `df`. */
+    * (≥ `threshold`) → connected components over the verified pair
+    * graph (iterative min-id propagation, so transitive chains
+    * A~B~C collapse to ONE survivor even when A≁C directly) → keep
+    * each component's minimum id. Returns the surviving rows of
+    * `df`. */
   def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 16,
       bands: Int = 4, maxDf: Int = 50): DataFrame = {
@@ -270,7 +312,9 @@ object Dedup {
     val verified = jaccardPairs(df, idCol, textCol, shingleN, maxDf)
       .join(cands, Seq("id_a", "id_b"), "left_semi")
       .filter(col("jaccard") >= threshold)
-    val dominated = verified.select(col("id_b").as(idCol)).distinct()
+    val dominated = connectedComponents(verified)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
     df.join(dominated, Seq(idCol), "left_anti")
   }
 }

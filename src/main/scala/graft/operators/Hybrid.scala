@@ -27,7 +27,14 @@ object Hybrid {
 
   /** V4: BM25 (k1=1.2, b=0.75) scores of every query against the
     * corpus via an inverted-index join on the term. Queries are
-    * (qid, text); result (qid, doc, score) for docs sharing ≥1 term. */
+    * (qid, text); result (qid, doc, score) for docs sharing ≥1 term.
+    *
+    * Determinism: the idf is truncated at 9 decimals
+    * (`floor(ln·1e9)/1e9`) so a last-ulp difference between libm
+    * implementations cannot leak into the score, and the per-doc
+    * term-weight sum folds in term order (sorted collect) instead of
+    * a shuffle-order `sum` — bit-reproducible and equal to the DuckDB
+    * oracle's `list_reduce(list(w ORDER BY term))`. */
   def bm25(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -47,14 +54,17 @@ object Hybrid {
       .join(docLen, Seq("doc"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
-          / (col("df") + 0.5)))
+        floor(log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5)) * 1e9).cast("double") / 1e9)
       .withColumn("w",
         col("idf") * (col("tf") * (k1 + 1))
           / (col("tf") + lit(k1) * (lit(1 - b)
             + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("qid"), col("doc"))
-      .agg(sum(col("w")).as("score"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("w")))),
+          x => x.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
   }
 
   /** Per-query top-`limit` prefetch of a (qid, doc, score) frame. */
@@ -68,13 +78,28 @@ object Hybrid {
   /** V5: Distribution-Based Score Fusion — per query and branch,
     * scores normalize against the branch's score distribution
     * (mean ± 3σ window), then the two branches sum; missing docs
-    * contribute 0. Returns the fused top-`k` per query. */
+    * contribute 0. Returns the fused top-`k` per query.
+    *
+    * The branch mean and population stddev fold over the scores in
+    * doc-id order (sorted collect) rather than window aggregates, so
+    * the doubles accumulate in a fixed order — bit-reproducible and
+    * mirrored by the oracle's `list_reduce(list(x ORDER BY doc))`. */
   def dbsfFuse(dense: DataFrame, sparse: DataFrame, k: Int): DataFrame = {
     def normalize(dfr: DataFrame, out: String): DataFrame = {
-      val w = Window.partitionBy(col("qid"))
-      dfr
-        .withColumn("_mu", avg(col("score")).over(w))
-        .withColumn("_sd", stddev_pop(col("score")).over(w))
+      val scores = transform(
+        array_sort(collect_list(struct(col("doc"), col("score")))),
+        x => x.getField("score"))
+      val stats = dfr.groupBy(col("qid"))
+        .agg(scores.as("_ss"))
+        .withColumn("_n", size(col("_ss")))
+        .withColumn("_mu",
+          aggregate(col("_ss"), lit(0.0), (a, x) => a + x) / col("_n"))
+        .withColumn("_sd", sqrt(
+          aggregate(col("_ss"), lit(0.0),
+            (a, x) => a + (x - col("_mu")) * (x - col("_mu")))
+            / col("_n")))
+        .select(col("qid"), col("_mu"), col("_sd"))
+      dfr.join(stats, Seq("qid"))
         .withColumn(out,
           when(col("_sd") > 0,
             (col("score") - (col("_mu") - lit(3.0) * col("_sd")))

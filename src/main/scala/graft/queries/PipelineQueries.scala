@@ -58,19 +58,22 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
-  /** V4/V5 hybrid retrieval: dense cosine (embeddings via the service
-    * boundary) + sparse BM25 over the documents table, DBSF-fused
-    * top-5 per query. */
+  /** V4/V5 hybrid retrieval over the EMBEDDED corpus (documents ⋈
+    * embeddings on id): dense cosine + sparse BM25, DBSF-fused top-5
+    * per query. Every float path is order-fixed (sorted folds,
+    * truncated idf — see `Hybrid`), so the whole pipeline is
+    * value-checked against the DuckDB oracle, closing the round-1
+    * "libm ulp drift" waiver. */
   def q37HybridSearch(s: SparkSession, d: String): DataFrame = {
-    val svc = new Embed.HashEmbeddingService(32)
-    val index = Embed.embedText(
-      documents(s, d).select(col("doc_id"), col("text")),
-      "text", "vec", svc)
-    val queries = Embed.embedText(
-      documents(s, d).filter(col("doc_id") < 5)
-        .select(col("doc_id").as("qid"),
-          substring(col("text"), 1, 80).as("qtext")),
-      "qtext", "qvec", svc)
+    val emb = embeddings(s, d).select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val index = documents(s, d).select(col("doc_id"), col("text"))
+      .join(emb, "doc_id")
+    val queries = documents(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 80).as("qtext"))
+      .join(emb.select(col("doc_id").as("qid"), col("vec").as("qvec")),
+        "qid")
     Hybrid.hybridSearch(index, "doc_id", "text", "vec",
       queries, "qid", "qtext", "qvec", k = 5)
       .orderBy(col("qid"), col("rnk"))
@@ -114,11 +117,185 @@ object PipelineQueries {
     "q49_stream_barrier" -> (q49StreamBarrier _),
   )
 
-  /** q35-q37 are non-SQL-expressible (murmur3 seed-0 ids, generator
-    * UDF, mock embedder) — rows-only. q49's barrier output IS the
-    * per-order relational truth, so it oracle-checks the stateful
-    * operator. */
+  /** Emit DuckDB CTE stages computing murmur3_x86_32(`strCol`, seed 0)
+    * — the reference's `mmh3.hash(s) & 0xFFFFFFFF` — as unsigned
+    * 64-bit arithmetic masked to 32 bits. Pure SQL reimplementation
+    * of the public Murmur3 algorithm (same algorithm our codegen'd
+    * `Murmur3Seed` expression implements, so the oracle checks ids
+    * VALUE-exactly instead of rows-only). ASCII corpus ⇒ `ord` per
+    * char equals the UTF-8 byte the reference hashes.
+    *
+    * Appends CTEs named `${tag}1..${tag}4` reading from `prev`; the
+    * final CTE exposes all prior columns plus `outCol` (the unsigned
+    * 32-bit hash). */
+  private def mmh3Ctes(prev: String, strCol: String, outCol: String,
+      tag: String): (String, String) = {
+    val M = "4294967295"
+    def rotl(x: String, r: Int) =
+      s"((( $x << $r) | ( $x >> ${32 - r})) & $M)"
+    def k1(k: String) =
+      s"((${rotl(s"(($k * 3432918353) & $M)", 15)} * 461845907) & $M)"
+    val round =
+      s"((${rotl(s"xor(h, ${k1("k")})", 13)} * 5 + 3864292196) & $M)"
+    val sql = s"""
+      |${tag}1 AS (
+      | SELECT *, list_transform(generate_series(1, len($strCol)),
+      |   i -> (ord(substr($strCol, i, 1)))::UBIGINT) AS _${tag}_b
+      | FROM $prev),
+      |${tag}2 AS (
+      | SELECT *, list_reduce(list_concat([0::UBIGINT],
+      |   list_transform(generate_series(0, len(_${tag}_b) // 4 - 1),
+      |     bi -> _${tag}_b[4*bi+1] + 256*_${tag}_b[4*bi+2]
+      |       + 65536*_${tag}_b[4*bi+3] + 16777216*_${tag}_b[4*bi+4])),
+      |   (h, k) -> $round) AS _${tag}_hb
+      | FROM ${tag}1),
+      |${tag}3 AS (
+      | SELECT *, xor(CASE len(_${tag}_b) % 4
+      |   WHEN 0 THEN _${tag}_hb
+      |   WHEN 1 THEN xor(_${tag}_hb,
+      |     ${k1(s"_${tag}_b[(len(_${tag}_b)//4)*4+1]")})
+      |   WHEN 2 THEN xor(_${tag}_hb,
+      |     ${k1(s"(_${tag}_b[(len(_${tag}_b)//4)*4+1] + 256*_${tag}_b[(len(_${tag}_b)//4)*4+2])")})
+      |   ELSE xor(_${tag}_hb,
+      |     ${k1(s"(_${tag}_b[(len(_${tag}_b)//4)*4+1] + 256*_${tag}_b[(len(_${tag}_b)//4)*4+2] + 65536*_${tag}_b[(len(_${tag}_b)//4)*4+3])")})
+      |   END, len(_${tag}_b)::UBIGINT) AS _${tag}_hx
+      | FROM ${tag}2),
+      |${tag}4 AS (
+      | SELECT *, xor(_${tag}_f4, _${tag}_f4 >> 16) AS $outCol FROM (
+      |  SELECT *, ((xor(_${tag}_f2, _${tag}_f2 >> 13) * 3266489909) & $M)
+      |    AS _${tag}_f4 FROM (
+      |   SELECT *, ((xor(_${tag}_hx, _${tag}_hx >> 16) * 2246822507) & $M)
+      |     AS _${tag}_f2 FROM ${tag}3)))""".stripMargin
+    (sql, s"${tag}4")
+  }
+
+  /** The q35 oracle: the ENTIRE chunk pipeline re-derived in SQL —
+    * document ids (murmur3 of the raw text, DOC_%08X), window math
+    * (the q54 closed form), passage-prefix chunk text, md5 entry
+    * hashes, and chunk ids (murmur3 of the prefixed chunk, %08x). */
+  private val q35Oracle: String = {
+    val budget = graft.operators.Chunker.DefaultBudget
+    val step = budget - graft.operators.Chunker.DefaultOverlap
+    val (docMm, docLast) = mmh3Ctes("base", "text", "_doc_h32", "dm")
+    val (chMm, chLast) = mmh3Ctes("ctext", "chunk", "_ch_h32", "cm")
+    s"""WITH base AS (
+      | SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) || '.md'
+      |   AS source_file, text, string_split(text, ' ') AS t
+      | FROM documents),$docMm,
+      |wins AS (
+      | SELECT doc_id, source_file, t,
+      |  printf('DOC_%08X', _doc_h32::BIGINT) AS document_id,
+      |  CASE WHEN len(t) <= $budget THEN 1
+      |   ELSE 1 + CAST(CEIL((len(t) - $budget) / $step.0) AS BIGINT)
+      |   END AS n_chunks
+      | FROM $docLast),
+      |cidx AS (
+      | SELECT doc_id, source_file, document_id, n_chunks, t,
+      |  unnest(generate_series(0, n_chunks - 1)) AS chunk_index
+      | FROM wins),
+      |ctext AS (
+      | SELECT doc_id, source_file, document_id, n_chunks, chunk_index,
+      |  'passage: [' || document_id || '] ' || array_to_string(
+      |    list_slice(t, chunk_index * $step + 1,
+      |      LEAST(chunk_index * $step + $budget, len(t))), ' ') AS chunk
+      | FROM cidx),$chMm
+      |SELECT document_id || '_' || printf('%08x', _ch_h32::BIGINT) AS chunk_id,
+      | document_id, source_file, md5(chunk) AS hash,
+      | 1 AS page, chunk_index, n_chunks AS total_chunks
+      |FROM $chLast
+      |ORDER BY source_file, chunk_index""".stripMargin
+  }
+
+  /** q36-q37 are non-SQL-expressible (generator UDF, mock embedder)
+    * — rows-only. q35 is fully re-derived in SQL including the
+    * murmur3 ids; q49's barrier output IS the per-order relational
+    * truth, so it oracle-checks the stateful operator. */
+  /** The q37 oracle: the full hybrid pipeline in SQL — dense cosine
+    * prefetch 50, BM25 prefetch 100 with floor-truncated idf, DBSF
+    * z-normalization with order-fixed folds (every double fold seeds
+    * 0.0 and runs in the same element order as the engine), full
+    * outer fusion, top-5. */
+  private val q37Oracle: String =
+    """WITH emb AS (SELECT vec_id AS doc_id,
+      |  CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |docs AS (SELECT d.doc_id, d.text, e.vec
+      |  FROM documents d JOIN emb e USING (doc_id)),
+      |q AS (SELECT doc_id AS qid, substr(text, 1, 80) AS qtext, vec
+      |  FROM docs WHERE doc_id < 5),
+      |dense0 AS (
+      | SELECT q.qid, c.doc_id AS doc,
+      |  list_dot_product(q.vec, c.vec) /
+      |   (sqrt(list_dot_product(q.vec, q.vec)) *
+      |    sqrt(list_dot_product(c.vec, c.vec))) AS score
+      | FROM q, docs c),
+      |dense AS (SELECT qid, doc, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc) AS r FROM dense0)
+      | WHERE r <= 50),
+      |tf AS (SELECT doc, term, COUNT(*) AS tf FROM (
+      |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+      |  FROM docs) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id AS doc, len(string_split(text, ' ')) AS dl
+      |  FROM docs),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |  AVG(len(string_split(text, ' '))) AS avgdl FROM docs),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT qid,
+      |  unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+      |w AS (
+      | SELECT qt.qid, tf.doc, qt.term,
+      |  (floor(ln(1.0e0 + (stats.n_docs - dfreq.df + 0.5e0)
+      |     / (dfreq.df + 0.5e0)) * 1e9) / 1e9)
+      |   * (tf.tf * 2.2e0)
+      |   / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl)) AS w
+      | FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+      |  JOIN dl ON tf.doc = dl.doc, stats),
+      |sparse0 AS (SELECT qid, doc,
+      |  list_reduce(list_concat([0.0e0], list(w ORDER BY term)),
+      |    (a, x) -> a + x) AS score
+      | FROM w GROUP BY qid, doc),
+      |sparse AS (SELECT qid, doc, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc) AS r FROM sparse0)
+      | WHERE r <= 100),
+      |dst AS (SELECT qid, list(score ORDER BY doc) AS ss, COUNT(*) AS n
+      |  FROM dense GROUP BY qid),
+      |dmu AS (SELECT qid, n, ss,
+      |  list_reduce(list_concat([0.0e0], ss), (a, x) -> a + x) / n AS mu
+      |  FROM dst),
+      |dsd AS (SELECT qid, mu, sqrt(list_reduce(list_concat([0.0e0],
+      |   list_transform(ss, x -> (x - mu) * (x - mu))),
+      |   (a, x) -> a + x) / n) AS sd FROM dmu),
+      |zdense AS (SELECT d.qid, d.doc,
+      |  CASE WHEN sd > 0
+      |   THEN (score - (mu - 3.0e0 * sd)) / (6.0e0 * sd) ELSE 0.5e0 END AS z
+      | FROM dense d JOIN dsd USING (qid)),
+      |sst AS (SELECT qid, list(score ORDER BY doc) AS ss, COUNT(*) AS n
+      |  FROM sparse GROUP BY qid),
+      |smu AS (SELECT qid, n, ss,
+      |  list_reduce(list_concat([0.0e0], ss), (a, x) -> a + x) / n AS mu
+      |  FROM sst),
+      |ssd AS (SELECT qid, mu, sqrt(list_reduce(list_concat([0.0e0],
+      |   list_transform(ss, x -> (x - mu) * (x - mu))),
+      |   (a, x) -> a + x) / n) AS sd FROM smu),
+      |zsparse AS (SELECT s.qid, s.doc,
+      |  CASE WHEN sd > 0
+      |   THEN (score - (mu - 3.0e0 * sd)) / (6.0e0 * sd) ELSE 0.5e0 END AS z
+      | FROM sparse s JOIN ssd USING (qid)),
+      |fused AS (SELECT COALESCE(zd.qid, zs.qid) AS qid,
+      |  COALESCE(zd.doc, zs.doc) AS doc,
+      |  COALESCE(zd.z, 0.0e0) + COALESCE(zs.z, 0.0e0) AS fused_score
+      | FROM zdense zd FULL OUTER JOIN zsparse zs
+      |  ON zd.qid = zs.qid AND zd.doc = zs.doc)
+      |SELECT qid, doc, fused_score, rnk FROM (
+      | SELECT *, ROW_NUMBER() OVER (
+      |   PARTITION BY qid ORDER BY fused_score DESC, doc) AS rnk
+      | FROM fused)
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q35_chunk_pipeline" -> q35Oracle,
+    "q37_hybrid_search" -> q37Oracle,
     "q49_stream_barrier" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS source_file,
         | COUNT(*) AS n_chunks,

@@ -82,6 +82,32 @@ class DedupSpec extends SparkTestBase {
     assert(!survivors.contains(2L))
   }
 
+  test("connectedComponents propagates the minimum id across chains") {
+    import spark.implicits._
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupDedup collapses transitive chains A~B~C with A!~C " +
+      "to one survivor (connected components)") {
+    import spark.implicits._
+    // sliding 100-token windows stepping by 10: adjacent windows have
+    // 3-gram Jaccard ~0.815 (>= 0.8), window i vs i+2 only ~0.66
+    def window(start: Int) =
+      (start until start + 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, window(1)), (2L, window(11)), (3L, window(21)),
+      (9L, ("unrelated zz " * 60).trim)).toDF("doc_id", "text")
+    val survivors = Dedup.nearDupDedup(docs, "doc_id", "text",
+      threshold = 0.8, bands = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 9L),
+      s"chain must collapse to its minimum id; got $survivors")
+  }
+
   test("simhash banded LSH recovers all pairs within the hamming bound") {
     // exhaustive truth on the small corpus
     val hs = Dedup.simhash(docs, "doc_id", "text")
