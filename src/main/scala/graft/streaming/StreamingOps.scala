@@ -91,6 +91,65 @@ object StreamingOps {
         else GroupStateTimeout.NoTimeout)(fileBarrier(withTimeout))
   }
 
+  /** A chunk row in flight through the e2e ingest stream: `payload`
+    * carries the full chunk row as JSON so the barrier can re-emit
+    * complete rows; every row carries the file's expected total (the
+    * chunker's back-filled `total_chunks` plays the sentinel's
+    * `expected_chunks`). */
+  case class ChunkRowEvent(sourceFile: String, chunkIndex: Int,
+      expected: Int, payload: String)
+
+  /** A completed file with its chunk payloads in chunk order. */
+  case class FileChunks(sourceFile: String, payloads: Seq[String],
+      count: Int)
+
+  case class RowBuffer(rows: Seq[(Int, String)], expected: Int)
+
+  /** Payload-carrying variant of [[fileBarrier]] for the e2e ingest
+    * pipeline: buffer full chunk rows per file, emit them atomically
+    * (in chunk order) once the expected count is reached, discard
+    * partial state on timeout. */
+  def chunkRowBarrier(withTimeout: Boolean)(file: String,
+      events: Iterator[ChunkRowEvent],
+      state: GroupState[RowBuffer]): Iterator[FileChunks] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val prev = state.getOption.getOrElse(RowBuffer(Seq.empty, -1))
+      var expected = prev.expected
+      val rows = Seq.newBuilder[(Int, String)]
+      rows ++= prev.rows
+      events.foreach { e =>
+        if (e.expected > 0) expected = e.expected
+        rows += ((e.chunkIndex, e.payload))
+      }
+      val all = rows.result()
+      if (expected > 0 && all.length >= expected) {
+        state.remove()
+        Iterator.single(FileChunks(file,
+          all.sortBy(_._1).map(_._2), all.length))
+      } else {
+        state.update(RowBuffer(all, expected))
+        if (withTimeout) state.setTimeoutDuration(ChunkTimeoutMs)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Wire [[chunkRowBarrier]] over any Dataset[ChunkRowEvent]; see
+    * [[completeFiles]] for the `withTimeout` contract. */
+  def completeChunkRows(events: Dataset[ChunkRowEvent],
+      withTimeout: Boolean = true): Dataset[FileChunks] = {
+    implicit val be: Encoder[RowBuffer] = Encoders.product[RowBuffer]
+    implicit val fe: Encoder[FileChunks] = Encoders.product[FileChunks]
+    events
+      .groupByKey(_.sourceFile)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(chunkRowBarrier(withTimeout))
+  }
+
   /** One chat turn arriving on the stream. */
   case class Turn(sessionId: String, role: String, content: String,
       ts: Long)
