@@ -22,10 +22,7 @@ object SparkEntry {
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
     * semantics; invariants covered by ScalaTest instead). */
-  val rowsOnlyQueries: Set[String] = Set(
-    "q36_rag_pipeline",   // mock embedder + retrieval pipeline
-    "q43_ann_ivf",        // approximate by construction; recall vs q31
-  )
+  val rowsOnlyQueries: Set[String] = Set.empty
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The full §3.1/§3.2 slice: markdown ingest → chunking →

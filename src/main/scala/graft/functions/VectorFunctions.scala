@@ -39,11 +39,17 @@ object VectorFunctions {
     transform(f64(a), x => x / sqrt(aggregate(
       zip_with(f64(a), f64(a), (p, q) => p * q), lit(0.0), (s, x2) => s + x2)))
 
-  /** Deterministic mock embedding for hermetic tests: seed-hashed
-    * pseudo-vector of `dim` floats in [-0.5, 0.5), stands in for the
-    * external e5 embed service (SURVEY §7 hard-part 3). */
+  /** Deterministic mock embedding for hermetic tests: component i is
+    * `pmod(mmh3("text#i"), 1e6)/1e6 − 0.5` over the seed-0 murmur3
+    * the id family already uses — a pseudo-vector in [-0.5, 0.5)
+    * standing in for the external e5 embed service (SURVEY §7
+    * hard-part 3). Built on [[graft.functions.Murmur3]] rather than
+    * Spark's seed-42 `hash()` so the DuckDB oracle can recompute the
+    * exact same vectors in SQL (PipelineQueries.mmh3Ctes). */
   def mockEmbedding(text: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
-      i => (pmod(hash(text, i), lit(1000000)).cast("double") / 1000000.0)
-        - 0.5)
+      i => (pmod(
+        Hashing.murmur3(concat(text, lit("#"), i.cast("string")))
+          .cast("long"),
+        lit(1000000L)).cast("double") / 1000000.0) - 0.5)
 }

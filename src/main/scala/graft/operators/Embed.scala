@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
-import org.apache.spark.unsafe.types.UTF8String
 
 /** V1/V2: the dense-embedding external-service boundary (SURVEY
   * §2.11 — the reference's single most important external call,
@@ -38,19 +36,18 @@ object Embed {
 
   /** Deterministic stub with BIT-IDENTICAL output to
     * `VectorFunctions.mockEmbedding`: component i is
-    * `pmod(murmur3_42(text, i), 1e6)/1e6 − 0.5`, computed with the
-    * same seed-chained Murmur3 Spark's `hash()` uses — so a pipeline
-    * can swap the column expression for the service boundary without
-    * changing a single output row. */
+    * `pmod(mmh3("text#i"), 1e6)/1e6 − 0.5` over the same seed-0
+    * murmur3 as the id family — so a pipeline can swap the column
+    * expression for the service boundary without changing a single
+    * output row, and the DuckDB oracle can recompute the vectors. */
   class HashEmbeddingService(dim: Int) extends EmbeddingService {
     def embed(batch: Seq[String]): Seq[Array[Double]] =
       batch.map { text =>
-        val u = UTF8String.fromString(if (text == null) "" else text)
-        val h1 = Murmur3_x86_32.hashUnsafeBytes(
-          u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+        val t = if (text == null) "" else text
         Array.tabulate(dim) { i =>
-          val h2 = Murmur3_x86_32.hashInt(i, h1)
-          (((h2 % 1000000) + 1000000) % 1000000).toDouble / 1000000.0 - 0.5
+          val h = graft.functions.Murmur3
+            .hash32(s"$t#$i".getBytes("UTF-8"), 0).toLong
+          (((h % 1000000) + 1000000) % 1000000).toDouble / 1000000.0 - 0.5
         }
       }
   }

@@ -262,19 +262,24 @@ object SimilaritySearch {
   }
 
   /** K-means-free coarse centroids: mean vector per existing label
-    * column — deterministic (decimal-exact accumulation), good enough
-    * for IVF cells on clustered data. Returns (cell_id, centroid). */
+    * column, accumulated as an order-fixed sequential double fold
+    * over rows sorted by `orderCol` — deterministic under parallel
+    * aggregation AND bit-reproducible by a SQL oracle's
+    * `list_reduce(list(e ORDER BY id))`, which is what lets the IVF
+    * query (q43) be value-checked instead of rows-only. Returns
+    * (cell_id, centroid ARRAY<DOUBLE>). */
   def labelCentroids(df: DataFrame, labelCol: String,
-      vecCol: String): DataFrame =
-    df.select(col(labelCol).as("cell_id"),
+      vecCol: String, orderCol: String = "vec_id"): DataFrame =
+    df.select(col(labelCol).as("cell_id"), col(orderCol).as("_ord"),
         posexplode(col(vecCol).cast("array<double>")))
       .groupBy(col("cell_id"), col("pos"))
-      .agg((sum(col("col").cast("decimal(28,14)")).cast("double")
-        / count(lit(1))).as("m"))
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("_ord"), col("col")))),
+          x => x.getField("col")),
+        lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("m"))
       .groupBy(col("cell_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .as("pm"))
-      .withColumn("centroid", transform(col("pm"), x => x.getField("m"))
-        .cast("array<float>"))
+      .withColumn("centroid", transform(col("pm"), x => x.getField("m")))
       .select(col("cell_id"), col("centroid"))
 }

@@ -169,16 +169,30 @@ object PipelineQueries {
     (sql, s"${tag}4")
   }
 
-  /** The q35 oracle: the ENTIRE chunk pipeline re-derived in SQL —
+  /** Signed 32-bit view of an unsigned mmh3 CTE column (Spark's
+    * Murmur3Seed yields a signed INT that pmod then normalizes). */
+  private def mmSigned(c: String): String =
+    s"(CASE WHEN $c >= 2147483648 THEN $c::BIGINT - 4294967296" +
+      s" ELSE $c::BIGINT END)"
+
+  /** Mock-embedding component from an mmh3 CTE column:
+    * pmod(signed, 1e6)/1e6 − 0.5 (all-double arithmetic). */
+  private def mmComponent(c: String): String =
+    s"(CAST(((${mmSigned(c)} % 1000000) + 1000000) % 1000000 AS DOUBLE)" +
+      s" / 1000000.0e0 - 0.5e0)"
+
+  /** Shared CTE block re-deriving the ENTIRE chunk pipeline in SQL —
     * document ids (murmur3 of the raw text, DOC_%08X), window math
-    * (the q54 closed form), passage-prefix chunk text, md5 entry
-    * hashes, and chunk ids (murmur3 of the prefixed chunk, %08x). */
-  private val q35Oracle: String = {
+    * (the q54 closed form), passage-prefix chunk text, and chunk ids
+    * (murmur3 of the prefixed chunk, %08x). Ends in a `chunks` CTE
+    * with (doc_id, chunk_id, document_id, source_file, chunk,
+    * chunk_index, n_chunks). */
+  private val chunkCtes: String = {
     val budget = graft.operators.Chunker.DefaultBudget
     val step = budget - graft.operators.Chunker.DefaultOverlap
     val (docMm, docLast) = mmh3Ctes("base", "text", "_doc_h32", "dm")
     val (chMm, chLast) = mmh3Ctes("ctext", "chunk", "_ch_h32", "cm")
-    s"""WITH base AS (
+    s"""base AS (
       | SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) || '.md'
       |   AS source_file, text, string_split(text, ' ') AS t
       | FROM documents),$docMm,
@@ -198,12 +212,73 @@ object PipelineQueries {
       |  'passage: [' || document_id || '] ' || array_to_string(
       |    list_slice(t, chunk_index * $step + 1,
       |      LEAST(chunk_index * $step + $budget, len(t))), ' ') AS chunk
-      | FROM cidx),$chMm
-      |SELECT document_id || '_' || printf('%08x', _ch_h32::BIGINT) AS chunk_id,
-      | document_id, source_file, md5(chunk) AS hash,
+      | FROM cidx),$chMm,
+      |chunks AS (
+      | SELECT doc_id,
+      |  document_id || '_' || printf('%08x', _ch_h32::BIGINT)
+      |    AS chunk_id,
+      |  document_id, source_file, chunk, chunk_index, n_chunks
+      | FROM $chLast)""".stripMargin
+  }
+
+  private val q35Oracle: String =
+    s"""WITH $chunkCtes
+      |SELECT chunk_id, document_id, source_file, md5(chunk) AS hash,
       | 1 AS page, chunk_index, n_chunks AS total_chunks
-      |FROM $chLast
+      |FROM chunks
       |ORDER BY source_file, chunk_index""".stripMargin
+
+  /** The q36 oracle: the FULL RAG slice in SQL — chunk pipeline (the
+    * shared CTEs), 32-dim mock embeddings per chunk and per query
+    * (one mmh3 per component over "text#i"), exhaustive cosine top-4
+    * per query, duplicate-text dedup keeping best rank, and cited
+    * context assembly. */
+  private val q36Oracle: String = {
+    val (ceMm, ceLast) = mmh3Ctes("cstr", "comp_str", "_ce_h32", "ce")
+    val (qeMm, qeLast) = mmh3Ctes("qstr", "comp_str", "_qe_h32", "qe")
+    s"""WITH $chunkCtes,
+      |cstr AS (
+      | SELECT chunk_id, source_file, chunk, dim,
+      |  chunk || '#' || CAST(dim AS VARCHAR) AS comp_str
+      | FROM (SELECT chunk_id, source_file, chunk,
+      |   unnest(generate_series(0, 31)) AS dim FROM chunks)),$ceMm,
+      |cemb AS (
+      | SELECT chunk_id, source_file, chunk,
+      |  list(${mmComponent("_ce_h32")} ORDER BY dim) AS emb
+      | FROM $ceLast GROUP BY chunk_id, source_file, chunk),
+      |qstr AS (
+      | SELECT qid, dim, qs || '#' || CAST(dim AS VARCHAR) AS comp_str
+      | FROM (SELECT doc_id AS qid,
+      |   'query: ' || substr(text, 1, 64) AS qs,
+      |   unnest(generate_series(0, 31)) AS dim
+      |  FROM documents WHERE doc_id < 5)),$qeMm,
+      |qemb AS (
+      | SELECT qid, list(${mmComponent("_qe_h32")} ORDER BY dim) AS qv
+      | FROM $qeLast GROUP BY qid),
+      |scored AS (
+      | SELECT q.qid, c.chunk_id, c.source_file, c.chunk,
+      |  list_dot_product(q.qv, c.emb) /
+      |   (sqrt(list_dot_product(q.qv, q.qv)) *
+      |    sqrt(list_dot_product(c.emb, c.emb))) AS score
+      | FROM qemb q, cemb c),
+      |hits AS (SELECT * FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, chunk_id) AS rnk
+      |  FROM scored) WHERE rnk <= 4),
+      |dedup AS (SELECT * FROM (
+      |  SELECT *, MIN(rnk) OVER (PARTITION BY qid, chunk) AS best
+      |  FROM hits) WHERE rnk = best),
+      |numbered AS (
+      | SELECT qid, source_file,
+      |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rnk) AS n,
+      |  regexp_replace(chunk,
+      |    '^passage: \\[DOC_[0-9A-F]{8}\\] ', '') AS body
+      | FROM dedup)
+      |SELECT qid,
+      | string_agg('[source' || CAST(n AS VARCHAR) || '] ' || body,
+      |   chr(10) || '---' || chr(10) ORDER BY n) AS context,
+      | string_agg(source_file, ',' ORDER BY n) AS sources
+      |FROM numbered GROUP BY qid ORDER BY qid""".stripMargin
   }
 
   /** q36-q37 are non-SQL-expressible (generator UDF, mock embedder)
@@ -295,6 +370,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q35_chunk_pipeline" -> q35Oracle,
+    "q36_rag_pipeline" -> q36Oracle,
     "q37_hybrid_search" -> q37Oracle,
     "q49_stream_barrier" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS source_file,

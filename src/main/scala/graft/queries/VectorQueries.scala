@@ -113,6 +113,51 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The IVF computation is deterministic relational algebra
+    // (label-mean centroids via order-fixed folds, coarse assignment
+    // windows, cell join, ranked fine scan) — so although its RECALL
+    // is approximate vs q31, its OUTPUT is exactly reproducible.
+    "q43_ann_ivf" ->
+      """WITH cent AS (
+        | SELECT label AS cell_id, pos,
+        |  list_reduce(list_concat([0.0e0], list(e ORDER BY vec_id)),
+        |    (a, x) -> a + x) / COUNT(*) AS m
+        | FROM (SELECT label, vec_id,
+        |         generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS e
+        |       FROM embeddings)
+        | GROUP BY 1, 2),
+        |cvec AS (SELECT cell_id, list(m ORDER BY pos) AS centroid
+        |  FROM cent GROUP BY 1),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cassign AS (SELECT vec_id, v, cell_id FROM (
+        |  SELECT c.vec_id, c.v, cv.cell_id, ROW_NUMBER() OVER (
+        |    PARTITION BY c.vec_id ORDER BY
+        |     list_dot_product(c.v, cv.centroid) /
+        |      (sqrt(list_dot_product(c.v, c.v)) *
+        |       sqrt(list_dot_product(cv.centroid, cv.centroid))) DESC,
+        |     cv.cell_id) AS r
+        |  FROM corp c, cvec cv) WHERE r <= 1),
+        |qassign AS (SELECT vec_id, v, cell_id FROM (
+        |  SELECT c.vec_id, c.v, cv.cell_id, ROW_NUMBER() OVER (
+        |    PARTITION BY c.vec_id ORDER BY
+        |     list_dot_product(c.v, cv.centroid) /
+        |      (sqrt(list_dot_product(c.v, c.v)) *
+        |       sqrt(list_dot_product(cv.centroid, cv.centroid))) DESC,
+        |     cv.cell_id) AS r
+        |  FROM corp c, cvec cv WHERE c.vec_id < 10) WHERE r <= 2),
+        |fine AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_dot_product(q.v, c.v) /
+        |   (sqrt(list_dot_product(q.v, q.v)) *
+        |    sqrt(list_dot_product(c.v, c.v))) AS score
+        | FROM qassign q JOIN cassign c USING (cell_id)),
+        |ranked AS (SELECT qid, cid, score, ROW_NUMBER() OVER (
+        |  PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM fine)
+        |SELECT qid, cid, score, rnk FROM ranked
+        |WHERE rnk <= 6 AND qid <> cid
+        |ORDER BY qid, rnk""".stripMargin,
     // Exhaustive cosine >= 0.999 over embeddings ∪ planted twins: the
     // banded-LSH engine path must recover exactly these pairs.
     "q58_embedding_neardups" ->
