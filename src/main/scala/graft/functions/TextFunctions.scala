@@ -211,20 +211,65 @@ object TextFunctions {
       t == Character.ENCLOSING_MARK
   }
 
+  /** cp1252's 0x80-0x9F block (the part that differs from latin-1):
+    * UTF-8-as-cp1252 mojibake shows these as €‚ƒ„…†‡ˆ‰Š‹ŒŽ''""•–—˜™š›œžŸ
+    * instead of raw control bytes. 0x81/0x8D/0x8F/0x90/0x9D are
+    * unmapped in cp1252. */
+  private val Cp1252Reverse: Map[Char, Byte] = Seq(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„', 0x85 -> '…',
+    0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ', 0x89 -> '‰', 0x8A -> 'Š',
+    0x8B -> '‹', 0x8C -> 'Œ', 0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’',
+    0x93 -> '“', 0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›', 0x9C -> 'œ',
+    0x9E -> 'ž', 0x9F -> 'Ÿ',
+  ).map { case (b, c) => c -> b.toByte }.toMap
+
+  /** Recover the byte the mojibake char decoded from: latin-1 chars
+    * map to themselves, the cp1252 punctuation block maps back via
+    * [[Cp1252Reverse]]; anything else means the text was never a
+    * byte-for-char misread. */
+  private def mojibakeByte(c: Char): Int =
+    if (c < 0x100) c.toInt
+    else Cp1252Reverse.get(c).map(_ & 0xff).getOrElse(-1)
+
   /** F1 string core (the reference shells to ftfy,
-    * `text_utils.py:66-71`): fixes the common UTF-8-read-as-latin1
-    * double-encoding by round-tripping when the re-encoding is valid. */
-  private[functions] def fixMojibakeStr(s: String): String =
-    if (s == null) null
-    else try {
-      val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      val repaired = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-      // only accept the round-trip when it removed mojibake marks
-      if (repaired.length < s.length && !repaired.contains('�'))
-        repaired
-      else s
-    } catch { case _: Exception => s }
+    * `text_utils.py:66-71`): repairs UTF-8 read as latin-1 OR as
+    * cp1252 (the two byte-for-char misreads behind virtually all real
+    * mojibake — "cafÃ©", "â€™"), applied iteratively so
+    * double-encoded text unwinds too. Each pass reconstructs the
+    * original bytes, strict-decodes them as UTF-8, and accepts only a
+    * strictly shorter, replacement-free result — clean text is
+    * always a fixed point. */
+  private[functions] def fixMojibakeStr(s: String): String = {
+    if (s == null) return null
+    var cur = s
+    var pass = 0
+    var progressed = true
+    while (progressed && pass < 3) {
+      progressed = false
+      val bytes = new Array[Byte](cur.length)
+      var i = 0
+      var ok = true
+      while (ok && i < cur.length) {
+        val b = mojibakeByte(cur.charAt(i))
+        if (b < 0) ok = false else { bytes(i) = b.toByte; i += 1 }
+      }
+      if (ok) {
+        try {
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          val repaired =
+            dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          // only accept the round-trip when it removed mojibake marks
+          if (repaired.length < cur.length && !repaired.contains('�')) {
+            cur = repaired
+            progressed = true
+          }
+        } catch { case _: Exception => () }
+      }
+      pass += 1
+    }
+    cur
+  }
 
   /** F2 string core (`text_utils.py:74-79`): fraction of code points
     * matching `\p{Latin}|\p{M}`. */

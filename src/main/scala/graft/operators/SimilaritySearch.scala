@@ -261,6 +261,53 @@ object SimilaritySearch {
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
   }
 
+  /** Lloyd's k-means coarse quantizer for IVF over corpora WITHOUT
+    * labels (the label-centroid shortcut only works on labeled
+    * testdata). Deterministic: initial centroids are the k vectors
+    * with the smallest ids, assignment breaks ties on cell id, and
+    * the update step folds members in id order; empty cells keep
+    * their previous centroid. Each iteration is one broadcast join +
+    * one keyed aggregation — no driver-side data movement beyond the
+    * k centroid rows. Returns (cell_id, centroid ARRAY<DOUBLE>). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int = 10): DataFrame = {
+    val v = df.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("v")).persist()
+    val idW = Window.orderBy(col("_id"))
+    var cents = v.orderBy(col("_id")).limit(k)
+      .withColumn("cell_id", row_number().over(idW) - 1)
+      .select(col("cell_id"), col("v").as("centroid"))
+    var iter = 0
+    while (iter < maxIter) {
+      val aw = Window.partitionBy(col("_id"))
+        .orderBy(desc("_sc"), col("cell_id"))
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("_sc", cosine(col("v"), col("centroid")))
+        .withColumn("_r", row_number().over(aw))
+        .filter(col("_r") === 1)
+        .select(col("cell_id"), col("_id"), col("v"))
+      val updated = assigned
+        .select(col("cell_id"), col("_id"), posexplode(col("v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("_id"), col("col")))),
+            x => x.getField("col")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .withColumn("centroid", transform(col("pm"), x => x.getField("m")))
+        .select(col("cell_id"), col("centroid"))
+      // empty cells keep their previous centroid
+      val kept = cents.join(updated.select(col("cell_id")),
+        Seq("cell_id"), "left_anti")
+      cents = updated.unionByName(kept).localCheckpoint()
+      iter += 1
+    }
+    v.unpersist()
+    cents
+  }
+
   /** K-means-free coarse centroids: mean vector per existing label
     * column, accumulated as an order-fixed sequential double fold
     * over rows sorted by `orderCol` — deterministic under parallel

@@ -163,6 +163,21 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(r(1) === "already clean")
   }
 
+  test("fixMojibake handles cp1252 misreads and double encoding " +
+      "(ftfy-class cases)") {
+    def cp1252(s: String) = new String(s.getBytes("UTF-8"), "windows-1252")
+    def latin1(s: String) = new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    // curly apostrophe through cp1252: '\u2019' -> "\u00e2\u20ac\u2122"
+    assert(fixMojibakeStr(cp1252("it\u2019s fine")) === "it\u2019s fine")
+    // em dash and ellipsis
+    assert(fixMojibakeStr(cp1252("one \u2014 two\u2026")) === "one \u2014 two\u2026")
+    // double-encoded latin1
+    assert(fixMojibakeStr(latin1(latin1("café déjà"))) === "café déjà")
+    // clean text is a fixed point, even with legit accents
+    assert(fixMojibakeStr("café résumé naïve") === "café résumé naïve")
+    assert(fixMojibakeStr("plain ascii text") === "plain ascii text")
+  }
+
   test("isGibberish flags symbol-noise text (F4)") {
     import spark.implicits._
     val noise = "@#$% ^&*( )!~` @#$% ^&*("

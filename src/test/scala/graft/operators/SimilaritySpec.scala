@@ -85,6 +85,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <= 5)  // near dup
   }
 
+  test("k-means IVF: deterministic centroids, recall@10 improves " +
+      "with nProbe and beats a coarse floor") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = SimilaritySearch.bruteForceTopK(
+      queries, "vec_id", emb, "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val cents = SimilaritySearch.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 8, maxIter = 5)
+    // determinism: a second run yields identical centroids
+    val cents2 = SimilaritySearch.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 8, maxIter = 5)
+    val c1 = cents.orderBy("cell_id").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val c2 = cents2.orderBy("cell_id").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(c1.toSeq === c2.toSeq)
+    def recallAt(nProbe: Int): Double = {
+      val approx = SimilaritySearch.ivfTopK(
+        queries, "vec_id", emb, "vec_id", "embedding", cents,
+        k = 10, nProbe = nProbe)
+        .select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    assert(r4 >= r1, s"recall must not degrade with nProbe: $r1 -> $r4")
+    assert(r4 > 0.5, s"k-means IVF recall@10 too low: $r4")
+  }
+
   test("IVF top-k achieves high recall vs brute force on testdata") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 20)
