@@ -9,10 +9,11 @@ import graft.operators.{Chunker, Embed, Hybrid, Ingest, Rag, SimilaritySearch}
 /** End-to-end pipeline queries (SURVEY §3.2 ingest + §3.1 RAG query
   * re-expressions). These exercise murmur3 ids, the markdown chunker,
   * passage enrichment, mock embedding, retrieval, and context
-  * assembly — semantics DuckDB cannot express (murmur3 seed-0, the
-  * generator UDF), so the driver records rows-only checks; value-level
-  * invariants are covered by ScalaTest (ChunkerSpec, IngestSpec,
-  * RagSpec, HashingSpec).
+  * assembly — ALL value-checked against DuckDB oracles: the murmur3
+  * id family is re-derived in SQL by [[mmh3Ctes]], so even the chunk
+  * and RAG pipelines hash-match end to end. ScalaTest covers the
+  * operator-level invariants (ChunkerSpec, IngestSpec, RagSpec,
+  * HashingSpec).
   */
 object PipelineQueries {
 
