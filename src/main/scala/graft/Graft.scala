@@ -99,14 +99,52 @@ object Graft {
 
   def exactDedup(df: DataFrame, id: String, text: String): DataFrame =
     Dedup.exactDedup(df, id, text)
+
+  /** Near-dup dedup: MinHash-LSH candidates → exact-Jaccard verify →
+    * connected-components min-id collapse. */
   def nearDupDedup(df: DataFrame, id: String, text: String,
       threshold: Double = 0.8): DataFrame =
     Dedup.nearDupDedup(df, id, text, threshold)
   def simhash(df: DataFrame, id: String, text: String): DataFrame =
     Dedup.simhash(df, id, text)
+
+  /** SimHash near-dup pairs via banded LSH (pigeonhole recall up to
+    * Hamming bands−1). */
+  def simhashNearDups(df: DataFrame, id: String, text: String,
+      bands: Int = 6, maxHamming: Int = 5): DataFrame =
+    Dedup.simhashNearDups(df, id, text, bands, maxHamming)
+
+  /** Embedding near-dup pairs via banded hyperplane-LSH candidates +
+    * exact cosine verify (threshold ≥ ~0.9 for the recall bound). */
+  def embeddingNearDups(df: DataFrame, id: String, vec: String,
+      threshold: Double): DataFrame =
+    Dedup.embeddingNearDups(df, id, vec, threshold)
+
+  /** Exact k-NN through the bounded-heap default path. */
   def knn(queries: DataFrame, qid: String, corpus: DataFrame,
       cid: String, vec: String, k: Int): DataFrame =
-    SimilaritySearch.bruteForceTopK(queries, qid, corpus, cid, vec, k)
+    SimilaritySearch.bruteForceTopKHeap(queries, qid, corpus, cid, vec, k)
+
+  /** Approximate k-NN: IVF over k-means cells (deterministic
+    * Lloyd's); raise `nProbe` to trade speed for recall. */
+  def ann(queries: DataFrame, qid: String, corpus: DataFrame,
+      cid: String, vec: String, k: Int, cells: Int = 64,
+      nProbe: Int = 2): DataFrame = {
+    val cents = SimilaritySearch.kmeansCentroids(corpus, cid, vec, cells)
+    SimilaritySearch.ivfTopK(queries, qid, corpus, cid, vec, cents,
+      k, nProbe)
+  }
+
+  // ---- streaming (§2.13 / §3.2) -------------------------------------
+
+  /** Continuous ingest: staging dir → chunk → per-file barrier →
+    * embed → bucketed parquet index (see `StreamingIngest`). */
+  def streamIngest(spark: SparkSession, stagingDir: String,
+      indexDir: String, checkpointDir: String,
+      service: Embed.EmbeddingService = new Embed.HashEmbeddingService(32))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamingIngest.start(spark, stagingDir, indexDir,
+      checkpointDir, service)
 
   /** Per-document text-analysis features (token stats, quality,
     * language, fingerprint). */
