@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL multimodal codecs where the JDK has them (builder brief: the
+  * container ships no native image/audio libraries, but `javax.imageio`
+  * reads PNG/JPEG/BMP/GIF and RIFF/WAVE headers are plain bytes):
+  *
+  *  - [[JdkImageDecoder]]: ImageIO-backed dimensions + a deterministic
+  *    luminance-histogram feature vector.
+  *  - [[WavAudio]]: RIFF/WAVE header parse (channels, rate, bits,
+  *    duration) + per-bucket RMS energy features over 16-bit PCM.
+  *
+  * Video frame extraction stays behind the stub (no JDK codec) — the
+  * explode shape is exercised by MultimodalSpec either way.
+  */
+object MultimodalCodecs {
+
+  /** ImageIO-backed [[Multimodal.Decoder]]: headless-safe, covers the
+    * formats the JDK ships readers for. Undecodable bytes fall back
+    * to the deterministic stub so downstream shapes stay total. */
+  object JdkImageDecoder extends Multimodal.Decoder {
+    def imageDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else Some((img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents))
+      } catch { case _: Exception => None }
+    }
+
+    /** dim-bin luminance histogram, normalized by pixel count —
+      * a classic cheap content descriptor, deterministic per bytes. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null)
+          return Multimodal.StubDecoder.features(bytes, dim)
+        val hist = new Array[Float](dim)
+        val w = img.getWidth
+        val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist(math.min(dim - 1, luma * dim / 256)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toFloat
+        hist.map(_ / n)
+      } catch {
+        case _: Exception => Multimodal.StubDecoder.features(bytes, dim)
+      }
+    }
+
+    /** No JDK video codec — delegate to the stub boundary. */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      Multimodal.StubDecoder.sampleFrames(bytes, n)
+  }
+
+  /** Parsed WAV header + content stats. */
+  case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      durationSec: Double)
+
+  /** RIFF/WAVE parsing over raw bytes — no library needed. */
+  object WavAudio {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b.slice(o, o + 4), "US-ASCII")
+
+    /** Parse the fmt + data chunks; None for non-WAV bytes. */
+    def info(bytes: Array[Byte]): Option[WavInfo] = {
+      if (bytes == null || bytes.length < 44) return None
+      if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var o = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataLen = -1
+      while (o + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+        val id = tag(bytes, o)
+        val len = le32(bytes, o + 4)
+        if (id == "fmt " && o + 24 <= bytes.length)
+          fmt = Some((le16(bytes, o + 10), le32(bytes, o + 12),
+            le16(bytes, o + 22)))
+        else if (id == "data") dataLen = len
+        o += 8 + len + (len & 1)
+      }
+      for ((ch, rate, bits) <- fmt if dataLen >= 0 && ch > 0 &&
+          rate > 0 && bits > 0)
+        yield WavInfo(ch, rate, bits,
+          dataLen.toDouble / (rate.toLong * ch * (bits / 8)))
+    }
+
+    /** Per-bucket RMS energy over 16-bit PCM samples: `dim` equal
+      * time slices, deterministic per bytes. */
+    def rmsFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+      info(bytes).filter(_.bitsPerSample == 16).map { _ =>
+        // find the data chunk again for its offset
+        var o = 12
+        var dataOff = -1
+        var dataLen = 0
+        while (o + 8 <= bytes.length && dataOff < 0) {
+          val id = tag(bytes, o)
+          val len = le32(bytes, o + 4)
+          if (id == "data") { dataOff = o + 8; dataLen = len }
+          o += 8 + len + (len & 1)
+        }
+        val nSamples = math.min(dataLen, bytes.length - dataOff) / 2
+        val out = new Array[Float](dim)
+        val counts = new Array[Int](dim)
+        var i = 0
+        while (i < nSamples) {
+          val s = le16(bytes, dataOff + 2 * i).toShort.toDouble / 32768.0
+          val b = math.min(dim - 1, (i.toLong * dim / math.max(1, nSamples)).toInt)
+          out(b) += (s * s).toFloat
+          counts(b) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < dim) {
+          out(j) = if (counts(j) > 0)
+            math.sqrt(out(j) / counts(j)).toFloat else 0f
+          j += 1
+        }
+        out
+      }
+  }
+
+  private val AudioSchema = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("duration_sec", DoubleType),
+    StructField("ok", BooleanType, nullable = false)))
+
+  /** Audio-metadata explode over a media frame (the decodeImages
+    * analog for WAV payloads). */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(AudioSchema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          WavAudio.info(r.getAs[Array[Byte]](1)) match {
+            case Some(w) => Row(r.getString(0), w.channels, w.sampleRate,
+              w.bitsPerSample, w.durationSec, true)
+            case None => Row(r.getString(0), null, null, null, null, false)
+          }
+        }
+      }(enc)
+  }
+}
