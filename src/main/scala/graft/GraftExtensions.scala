@@ -2,8 +2,36 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, ExpressionInfo, PredicateHelper, ScalaUDF}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import graft.functions.{DotF64, Murmur3Seed}
+
+/** Optimizer rule (SURVEY §4 item 3): within a Filter's conjunction,
+  * evaluate cheap codegen-able predicates BEFORE ScalaUDF-bearing
+  * ones. Spark evaluates And-conjuncts left to right and Catalyst
+  * does not cost-reorder them, so `udfPred && cheapPred` pays the UDF
+  * serialization boundary for every row even when the cheap predicate
+  * would discard it — exactly the reference's quality-gate
+  * short-circuit concern (`gatekeeper_logic.py:348-365`). Safe only
+  * when every conjunct is deterministic (reordering non-deterministic
+  * predicates changes semantics), and a fixed point, so the optimizer
+  * converges. */
+object CheapPredicatesFirst extends Rule[LogicalPlan]
+    with PredicateHelper {
+  private def hasUdf(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[ScalaUDF])
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (udf, cheap) = conjuncts.partition(hasUdf)
+      if (udf.nonEmpty && cheap.nonEmpty &&
+          conjuncts != cheap ++ udf &&
+          conjuncts.forall(_.deterministic))
+        Filter((cheap ++ udf).reduce(And), child)
+      else f
+  }
+}
 
 /** SparkSessionExtensions entry point (SURVEY §4): registers the
   * engine's custom Catalyst expressions in the SQL function registry,
@@ -11,6 +39,8 @@ import graft.functions.{DotF64, Murmur3Seed}
   *
   *   graft_murmur3(str_or_bin[, seed]) → INT   (mmh3-compatible)
   *   dot_f64(arr, arr) → DOUBLE                (sequential dot product)
+  *
+  * plus the [[CheapPredicatesFirst]] optimizer rule.
   *
   * Activate with:
   *   SparkSession.builder().withExtensions(new GraftExtensions)  or
@@ -26,6 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       GraftExtensions.dotBuilder))
+    ext.injectOptimizerRule(_ => CheapPredicatesFirst)
   }
 }
 

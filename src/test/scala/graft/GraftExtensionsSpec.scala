@@ -22,4 +22,32 @@ class GraftExtensionsSpec extends SparkTestBase {
       s"SELECT graft_murmur3('aaaa', ${0x9747b28c}) AS h").head()
     assert(r.getInt(0) === 0x5A97808A)
   }
+
+  test("CheapPredicatesFirst moves codegen predicates ahead of UDFs " +
+      "in Filter conjunctions") {
+    import org.apache.spark.sql.functions._
+    val slow = udf((s: String) => s.nonEmpty)
+    // range-based so ConvertToLocalRelation can't fold the filter away
+    val df = spark.range(5)
+      .select(col("id").as("n"), concat(lit("x"), col("id")).as("s"))
+      .filter(slow(col("s")) && col("n") > 1)
+    val before = df.queryExecution.optimizedPlan
+    val after = CheapPredicatesFirst(before)
+    val cond = after.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+    }.get
+    // the cheap comparison must now lead the conjunction
+    assert(cond.toString.indexOf("> 1") < cond.toString.indexOf("UDF"),
+      cond.toString)
+    // idempotent: a second application is a no-op (fixed point)
+    assert(CheapPredicatesFirst(after) === after)
+    // results unchanged
+    assert(df.count() === 3)
+    // non-deterministic conjuncts are left alone
+    val nd = spark.range(5)
+      .select(col("id").as("n"), concat(lit("x"), col("id")).as("s"))
+      .filter(slow(col("s")) && rand() > -1)
+    val ndPlan = nd.queryExecution.optimizedPlan
+    assert(CheapPredicatesFirst(ndPlan) === ndPlan)
+  }
 }
