@@ -199,33 +199,36 @@ object SimilaritySearch {
     val bandBits = bits / bands
     val offsets =
       if (center) centeredOffsets(df, vecCol, bits) else Nil
-    // Vectors and norms ride along through the band join (a few
-    // hundred bytes per band row) so no join-back is needed: score
-    // candidates inline, then dedupe pairs that collided in several
-    // bands with a (id_a,id_b) hash agg. The redundant dot per extra
-    // shared band is cheaper than two shuffle joins against the
-    // corpus; the self-join's identical subtrees materialize once via
-    // AQE exchange reuse.
+    // The band self-join stays NARROW (id + band value only — wide
+    // vector columns through a many-match join would materialize
+    // hundreds of MB of array copies); candidate pairs dedupe with a
+    // distinct, then vectors and norms come back via two joins
+    // against the small signature frame (AQE broadcasts it) for the
+    // exact verify.
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2Norm(col(vecCol)).as("norm"),
       hyperplaneSignature(col(vecCol), bits, offsets).as("sig"))
-    val banded = sig.select(col("id"), col("vec"), col("norm"),
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         expr(s"shiftright(sig, ${b * bandBits}) & " +
           s"${(1L << bandBits) - 1}")): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
-    banded.select(col("id").as("id_a"), col("vec").as("vec_a"),
-        col("norm").as("norm_a"), col("band"), col("band_val"))
-      .join(banded.select(col("id").as("id_b"), col("vec").as("vec_b"),
-        col("norm").as("norm_b"), col("band"), col("band_val")),
-        Seq("band", "band_val"))
+    val cands = banded.select(col("id").as("id_a"), col("band"),
+        col("band_val"))
+      .join(banded.select(col("id").as("id_b"), col("band"),
+        col("band_val")), Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("norm").as("norm_b")), "id_b")
       .withColumn("score",
         dotF64(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("score") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("score")).as("score"))
+      .select(col("id_a"), col("id_b"), col("score"))
   }
 
   /** IVF-style ANN: coarse-quantize the corpus to `centroids` (a small
