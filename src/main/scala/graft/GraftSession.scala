@@ -31,6 +31,9 @@ object GraftSession {
       // small enough that a 100 TB table still yields ~800k parallel
       // tasks rather than a handful of stragglers.
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      // bucketed saveAsTable target — outside any source tree
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

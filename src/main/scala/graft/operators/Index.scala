@@ -31,6 +31,21 @@ object Index {
       .withColumn("bucket", pmod(xxhash64(col("point_id")), lit(buckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
+  /** S7 at the 100 TB posture: Spark-native BUCKETED table write
+    * (`bucketBy` + sortBy on the join key) — joins and aggregations
+    * keyed on `keyCol` against another table bucketed the same way
+    * need NO shuffle on this side (the scan reports the hash
+    * partitioning), which is how the chunk⋈lifecycle family of joins
+    * co-locates at scale. `saveAsTable` is required by bucketBy; the
+    * table lands in the session's warehouse dir. */
+  def writeBucketedTable(points: DataFrame, table: String,
+      keyCol: String, buckets: Int = 64): Unit =
+    points.write.mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** V8: collection point count (the post-upsert verification, A9 —
     * `consumer_utils.py:119-122`). */
   def count(spark: SparkSession, dir: String): Long =

@@ -79,4 +79,30 @@ class IndexSpec extends SparkTestBase {
         sleep = _ => ()) { throw new RuntimeException("always") }
     }
   }
+
+
+  test("bucketed tables join without an exchange on either side " +
+      "(co-located chunk-family joins, 100 TB posture)") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => (s"c$i", s"f${i % 20}", i))
+      .toDF("chunk_id", "source_file", "n")
+    val b = (1 to 200).map(i => (s"c$i", s"v$i"))
+      .toDF("chunk_id", "payload")
+    Index.writeBucketedTable(a, "bt_a", "chunk_id", buckets = 8)
+    Index.writeBucketedTable(b, "bt_b", "chunk_id", buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bt_a").join(spark.table("bt_b"), "chunk_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bt_a")
+      spark.sql("DROP TABLE IF EXISTS bt_b")
+    }
+  }
 }
