@@ -72,6 +72,17 @@ object SqlSuite {
         |   AS max_order,
         | (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |    FROM lineitem) AS total_qty""".stripMargin,
+    // TPC-H Q21/Q22 flavor: correlated EXISTS + NOT EXISTS — Catalyst
+    // decorrelates both into semi/anti joins.
+    "q59_sql_exists" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c.c_custkey""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -17,6 +17,30 @@ import Tables._
   */
 object EventQueries {
 
+  /** Pivot: day × event-type count matrix (the DataFrame `pivot`
+    * relational op; oracle = the equivalent conditional aggregation). */
+  def q60EventPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** Value-RANGE window frame: events by the same user within ±60 s
+    * of each event (rangeBetween over integer microseconds — the
+    * frame spec family rowsBetween can't express). */
+  def q61NearbyActivity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-60000000L, 60000000L)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("nearby_events"))
+      .orderBy(col("event_id"))
+  }
+
   /** A1: throughput by day × event_type (`analytics.md:27-48`). */
   def q16DailyThroughput(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -146,9 +170,30 @@ object EventQueries {
     "q20_json_props" -> (q20JsonProps _),
     "q21_user_activity" -> (q21UserActivity _),
     "q22_event_type_share" -> (q22EventTypeShare _),
+    "q60_event_pivot" -> (q60EventPivot _),
+    "q61_nearby_activity" -> (q61NearbyActivity _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q60_event_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS click,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS error,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS signup,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q61_nearby_activity" ->
+      """SELECT event_id, user_id, COUNT(*) OVER (
+        |  PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 60000000 PRECEDING AND 60000000 FOLLOWING)
+        |  AS nearby_events
+        |FROM events ORDER BY event_id""".stripMargin,
     "q46_sliding_windows" ->
       """WITH assigned AS (
         | SELECT event_type, value, unnest([

@@ -275,6 +275,20 @@ object Relational {
           .as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** Exact interpolated percentiles of order value per status
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`: both interpolate
+    * at p·(n−1) between the two bracketing order statistics). */
+  def q62PricePercentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.25D)").as("p25"),
+        expr("percentile(o_totalprice, 0.5D)").as("p50"),
+        expr("percentile(o_totalprice, 0.75D)").as("p75"),
+        expr("percentile(o_totalprice, 0.95D)").as("p95"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_orders_cube" -> (q47OrdersCube _),
     "q48_order_lists" -> (q48OrderLists _),
@@ -282,6 +296,7 @@ object Relational {
     "q51_shipping_priority" -> (q51ShippingPriority _),
     "q52_returned_revenue" -> (q52ReturnedRevenue _),
     "q53_bracket_revenue" -> (q53BracketRevenue _),
+    "q62_price_percentiles" -> (q62PricePercentiles _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_brand_revenue" -> (q02TopBrandRevenue _),
     "q03_segment_orders" -> (q03SegmentOrders _),
@@ -300,6 +315,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q62_price_percentiles" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | quantile_cont(o_totalprice, 0.25) AS p25,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.75) AS p75,
+        | quantile_cont(o_totalprice, 0.95) AS p95
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q51_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
