@@ -71,21 +71,20 @@ object SimilaritySearch {
   /** All corpus pairs with cosine similarity above `threshold` — the
     * EXACT pair scan. Compute is inherently quadratic (that is the
     * semantics: no sublinear scheme has recall 1 at arbitrary
-    * thresholds), so the scale dial is the *shape*: one side
-    * broadcast (block-tiled at real scale), the id filter applied
-    * before any scoring so only n·(n−1)/2 dot products run, and no
-    * pair row ever enters a shuffle — downstream top-N consumers get
+    * thresholds), so the scale dial is the *shape*: a B×B block-tile
+    * equi-join ([[Tiling.selfPairs]]) instead of a cross join or a
+    * full-side broadcast — per-task memory is bounded by one tile
+    * (~n/B rows per side) regardless of corpus size, and the id
+    * filter runs before any scoring so only n·(n−1)/2 dot products
+    * execute. Downstream top-N consumers still get
     * `TakeOrderedAndProject` straight off the join. For genuine
     * near-dup thresholds (≥ ~0.9) use [[cosineNearDupsBanded]], which
     * prunes candidates first and is the 100 TB path. */
   def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      l2Norm(col(vecCol)).as("norm_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      l2Norm(col(vecCol)).as("norm_b"))
-    a.crossJoin(broadcast(b))
-      .filter(col("id_a") < col("id_b"))
+      threshold: Double, blocks: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("norm"))
+    Tiling.selfPairs(base, "id", blocks)
       .withColumn("score",
         dotF64(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("score") > threshold)

@@ -132,15 +132,16 @@ object TextQueries {
   /** SimHash near-dup candidates: closest 100 document pairs by
     * Hamming distance over the 60-bit fingerprints (bitwise XOR +
     * popcount; the banding-free exhaustive check the LSH variants
-    * approximate). */
+    * approximate). The pair scan is the block-tiled equi-join
+    * ([[graft.operators.Tiling.selfPairs]]) — 16-byte (id, hash)
+    * rows through B² bounded tiles, no cartesian, no broadcast. */
   def q56SimhashPairs(s: SparkSession, d: String): DataFrame = {
     val h = Dedup.simhash(documents(s, d), "doc_id", "text")
-    val a = h.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
-    val b = h.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
+      .select(col("doc_id").as("id"), col("simhash"))
+    graft.operators.Tiling.selfPairs(h, "id", blocks = 8)
       .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+          .as("hamming"))
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
       .limit(100)
   }

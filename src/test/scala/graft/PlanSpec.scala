@@ -46,11 +46,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q34: exhaustive pair scan broadcasts one side and plans " +
-      "top-N as TakeOrderedAndProject (no pair-row shuffle)") {
-    val p = plan("q34_cosine_top_pairs")
-    assert(p.contains("TakeOrderedAndProject"))
-    assert(!p.contains("CartesianProduct"))
+  test("q34/q56: exact pair scans run as block-tiled equi-joins — " +
+      "no cartesian, no nested-loop, no broadcast of either side") {
+    for (q <- Seq("q34_cosine_top_pairs", "q56_simhash_pairs")) {
+      // pre-AQE physical plan: AQE may legitimately downgrade the
+      // tile join to a broadcast at toy SF based on measured sizes,
+      // but the *static* plan must never rely on a side fitting in
+      // memory — that is the 100 TB contract.
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(!p.contains("BroadcastExchange"), q)
+    }
   }
 
   test("q28: no cartesian product anywhere in the dedup plan") {
