@@ -29,6 +29,31 @@ object Extract {
     def transcribe(bytes: Array[Byte]): Seq[(Double, Double, String)]
   }
 
+  /** One OCR'd page: the reply payload of the reference's OCR worker
+    * (`workers/ocr_graph.py:86-94` respond_node fields). */
+  case class OcrText(text: String, engine: String)
+
+  /** External boundary: one rasterized page image → text (S3 — the
+    * reference's Docling/EasyOCR worker behind the
+    * `utils/ocr_utils.py:60-112` request/reply protocol). `image` is
+    * the preprocessed grayscale row-major buffer with its
+    * (height, width) shape, exactly what the reference serializes
+    * (`image_shape`/`image_dtype`/`image_base64`). */
+  trait OcrService extends Serializable {
+    def ocrPage(image: Array[Byte], height: Int, width: Int,
+        relPath: String, page: Int): OcrText
+  }
+
+  /** Deterministic stub OCR: reads the "image" buffer as UTF-8 text —
+    * the routing, batching, and schema plumbing run for real; only
+    * the recognition model is canned (SURVEY §7 hard part 3). */
+  object EchoOcr extends OcrService {
+    def ocrPage(image: Array[Byte], height: Int, width: Int,
+        relPath: String, page: Int): OcrText =
+      OcrText(if (image == null) "" else new String(image, "UTF-8"),
+        "stub-echo")
+  }
+
   /** Deterministic stub: pages split on ASCII form-feed (the layout
     * convention text-mode PDFs honor), so page attribution plumbing is
     * exercised without a PDF library. */
@@ -90,6 +115,52 @@ object Extract {
           }
         }
       }(enc)
+  }
+
+  /** S3: the PDF→OCR fallback tier. Pages whose text layer fails the
+    * quality gate (`is_bad_ocr`, the reference's 3-tier short-circuit
+    * `gatekeeper_logic.py:348-365`) are routed through the external
+    * [[OcrService]]; pages with a good text layer bypass it entirely
+    * — the cheap predicate is evaluated as a Catalyst column BEFORE
+    * the per-partition service loop, so the expensive tier only ever
+    * sees failing rows. Appends `extracted_text` (winning tier's
+    * text) and `extract_engine` ("text-layer" or the OCR worker's
+    * engine name). `imageCol` is the page's rasterized grayscale
+    * buffer with `heightCol`/`widthCol` shape — rasterization itself
+    * is upstream (no JDK PDF renderer; the multimodal decode path
+    * produces these for image-born pages). */
+  def ocrFallback(pages: DataFrame, fileCol: String, pageCol: String,
+      textCol: String, imageCol: String, heightCol: String,
+      widthCol: String, ocr: OcrService): DataFrame = {
+    val routed = pages.withColumn("_tier",
+      when(!graft.functions.TextFunctions.isBadOcr(col(textCol)),
+        lit("text_layer")).otherwise(lit("ocr")))
+    val schema = StructType(routed.schema.fields.toSeq
+      .filterNot(_.name == "_tier") :+
+      StructField("extracted_text", StringType) :+
+      StructField("extract_engine", StringType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val idx = Map("file" -> routed.schema.fieldIndex(fileCol),
+      "page" -> routed.schema.fieldIndex(pageCol),
+      "text" -> routed.schema.fieldIndex(textCol),
+      "img" -> routed.schema.fieldIndex(imageCol),
+      "h" -> routed.schema.fieldIndex(heightCol),
+      "w" -> routed.schema.fieldIndex(widthCol))
+    val tierIdx = routed.schema.fieldIndex("_tier")
+    routed.mapPartitions { rows =>
+      rows.map { r =>
+        val out = r.toSeq.patch(tierIdx, Nil, 1)
+        if (r.getString(tierIdx) == "text_layer")
+          Row.fromSeq(out :+ r.getString(idx("text")) :+ "text-layer")
+        else {
+          val res = ocr.ocrPage(r.getAs[Array[Byte]](idx("img")),
+            r.getInt(idx("h")), r.getInt(idx("w")),
+            r.getString(idx("file")), r.getInt(idx("page")))
+          Row.fromSeq(out :+ res.text :+ res.engine)
+        }
+      }
+    }(enc)
   }
 
   /** C5: batch pages into groups of `batchSize`, each tagged with its

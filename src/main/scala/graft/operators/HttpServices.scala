@@ -63,6 +63,130 @@ object HttpServices {
     }
   }
 
+  /** S3 OCR over `POST {endpoint}/ocr`: one request per page, JSON
+    * fields mirroring the reference's OCR job exactly
+    * (`utils/ocr_utils.py:60-77`: job_id, rel_path, page_num,
+    * image_shape, image_dtype, image_base64) and the worker's reply
+    * shape (`workers/ocr_graph.py:86-94`: text, rel_path, page_num,
+    * engine, job_id, error, status) — only the Redis list transport
+    * is replaced by the HTTP request/reply this engine standardizes
+    * on. A non-"success" status or a job_id mismatch throws so
+    * `Endpoints.withRetries` (the reference's 5-retry backoff) can
+    * engage. */
+  class HttpOcrService(endpoint: String, timeoutSec: Long = 300)
+      extends Extract.OcrService {
+
+    @transient private lazy val client: HttpClient =
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofSeconds(timeoutSec)).build()
+
+    def ocrPage(image: Array[Byte], height: Int, width: Int,
+        relPath: String, page: Int): Extract.OcrText = {
+      val om = mapper
+      val jobId = java.util.UUID.randomUUID().toString
+      val body = om.createObjectNode()
+      body.put("job_id", jobId)
+      body.put("rel_path", relPath)
+      body.put("page_num", page)
+      val shape = body.putArray("image_shape")
+      shape.add(height); shape.add(width)
+      body.put("image_dtype", "uint8")
+      body.put("image_base64",
+        java.util.Base64.getEncoder.encodeToString(
+          if (image == null) Array.emptyByteArray else image))
+      val req = HttpRequest.newBuilder(URI.create(s"$endpoint/ocr"))
+        .timeout(Duration.ofSeconds(timeoutSec))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          om.writeValueAsString(body)))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new RuntimeException(
+          s"ocr HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+      val root = om.readTree(resp.body())
+      val status =
+        if (root.hasNonNull("status")) root.get("status").asText() else ""
+      if (status != "success") {
+        val err = if (root.hasNonNull("error"))
+          root.get("error").asText() else "unknown"
+        throw new RuntimeException(s"ocr failed for $relPath p$page: $err")
+      }
+      require(root.get("job_id").asText() == jobId,
+        s"ocr reply job_id mismatch for $relPath p$page")
+      Extract.OcrText(root.get("text").asText(""),
+        if (root.hasNonNull("engine")) root.get("engine").asText()
+        else "unknown")
+    }
+  }
+
+  /** S5 ASR over `POST {endpoint}/transcribe`: the WhisperX worker's
+    * job fields (`utils/whisper_utils.py:118-135`: job_id, language,
+    * mime_type — audio travels base64-inline since HTTP peers share
+    * no volume, where the reference sends a shared-filesystem path)
+    * and its segment-stream reply protocol verbatim
+    * (`workers/whisperx_worker.py:159-165`): newline-delimited JSON
+    * messages `{"type":"segment","text":...}` terminated by
+    * `{"type":"done"}`, with `{"type":"error","error":...}` aborting
+    * the stream. Optional per-segment start/end timestamps are
+    * honored; absent ones fall back to the 5-second grid the stub ASR
+    * uses, keeping both implementations interchangeable in specs. */
+  class HttpAsrService(endpoint: String, language: String = "en",
+      mimeType: String = "audio/wav", timeoutSec: Long = 1800)
+      extends Extract.AsrService {
+
+    @transient private lazy val client: HttpClient =
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofSeconds(timeoutSec)).build()
+
+    def transcribe(bytes: Array[Byte]): Seq[(Double, Double, String)] = {
+      val om = mapper
+      val body = om.createObjectNode()
+      body.put("job_id", java.util.UUID.randomUUID().toString)
+      body.put("language", language)
+      body.put("mime_type", mimeType)
+      body.put("audio_base64",
+        java.util.Base64.getEncoder.encodeToString(
+          if (bytes == null) Array.emptyByteArray else bytes))
+      val req = HttpRequest.newBuilder(
+          URI.create(s"$endpoint/transcribe"))
+        .timeout(Duration.ofSeconds(timeoutSec))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          om.writeValueAsString(body)))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new RuntimeException(
+          s"transcribe HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+      val out = Seq.newBuilder[(Double, Double, String)]
+      var done = false
+      var i = 0
+      for (line <- resp.body().split("\n") if line.trim.nonEmpty if !done) {
+        val msg = om.readTree(line)
+        msg.get("type").asText() match {
+          case "segment" =>
+            val s = if (msg.hasNonNull("start")) msg.get("start").asDouble()
+              else i * 5.0
+            val e = if (msg.hasNonNull("end")) msg.get("end").asDouble()
+              else (i + 1) * 5.0
+            out += ((s, e, msg.get("text").asText()))
+            i += 1
+          case "done" => done = true
+          case "error" =>
+            throw new RuntimeException("asr worker error: " +
+              msg.get("error").asText("unknown"))
+          case other =>
+            throw new RuntimeException(s"asr unknown message type: $other")
+        }
+      }
+      if (!done)
+        throw new RuntimeException(
+          "asr stream ended without a done message")
+      out.result()
+    }
+  }
+
   /** R2 grounded generation over `POST {endpoint}/v1/chat/completions`
     * (temperature 0.0 like the reference's strict-citation chat,
     * `chroma_chat.py:47-72`). One completion per prompt. */

@@ -121,6 +121,68 @@ object Ingest {
       when(col("page").cast("string").rlike("^\\d+$"),
         col("page").cast("int")).otherwise(-1).as("page"))
 
+  /** S4 charset sniffing (`processors/document_processor.py:21-37` —
+    * the reference charset-detects with charset_normalizer BEFORE any
+    * parsing; feeding mis-decoded bytes downstream would mojibake
+    * before `fix_mojibake` could see it). Detection order:
+    *  1. BOM (UTF-8 / UTF-16LE/BE / UTF-32LE/BE) — authoritative;
+    *  2. an HTML/XML `charset=`/`encoding=` declaration in the first
+    *     1 KiB (read as latin-1, which is bytewise total);
+    *  3. strict UTF-8 validation — valid UTF-8 is essentially never
+    *     produced by other encodings by accident;
+    *  4. windows-1252 fallback (the superset of latin-1 real
+    *     documents mean when they are not UTF-8). */
+  private[operators] def detectCharset(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length == 0) "UTF-8"
+    else if (bytes.length >= 4 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xFE.toByte && bytes(2) == 0 && bytes(3) == 0) "UTF-32LE"
+    else if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+      bytes(2) == 0xFE.toByte && bytes(3) == 0xFF.toByte) "UTF-32BE"
+    else if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+      bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte) "UTF-8"
+    else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xFE.toByte) "UTF-16LE"
+    else if (bytes.length >= 2 && bytes(0) == 0xFE.toByte &&
+      bytes(1) == 0xFF.toByte) "UTF-16BE"
+    else {
+      val head = new String(bytes, 0, math.min(bytes.length, 1024),
+        "ISO-8859-1")
+      val decl = "(?i)(?:charset|encoding)\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)"
+        .r.findFirstMatchIn(head).map(_.group(1))
+      decl.filter(java.nio.charset.Charset.isSupported) match {
+        case Some(cs) => java.nio.charset.Charset.forName(cs).name()
+        case None =>
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          try { dec.decode(java.nio.ByteBuffer.wrap(bytes)); "UTF-8" }
+          catch { case _: java.nio.charset.CharacterCodingException =>
+            "windows-1252" }
+      }
+    }
+  }
+
+  private def stripBom(s: String): String =
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+
+  private val charsetDecodeUdf = udf { (bytes: Array[Byte]) =>
+    if (bytes == null) ("UTF-8", "")
+    else {
+      val cs = detectCharset(bytes)
+      (cs, stripBom(new String(bytes, cs)))
+    }
+  }
+
+  /** S4: decode a binary text/HTML column with charset sniffing —
+    * appends `charset` (the detected name) and `text` (the decoded,
+    * BOM-stripped string). This is the step between the binaryFile
+    * scan and [[htmlToText]]/front-matter parsing. */
+  def decodeText(df: DataFrame, bytesCol: String): DataFrame =
+    df.withColumn("_dec", charsetDecodeUdf(col(bytesCol)))
+      .withColumn("charset", col("_dec._1"))
+      .withColumn("text", col("_dec._2"))
+      .drop("_dec")
+
   /** S4: HTML → text without an HTML library: strip script/style
     * blocks, comments, then all tags; decode the common entities;
     * collapse blank runs (the reference uses BeautifulSoup `get_text`

@@ -67,6 +67,32 @@ class ExtractSpec extends SparkTestBase {
     assert(got === Map("ok.pdf" -> true, "bad.pdf" -> false))
   }
 
+  test("ocrFallback routes only quality-gate failures through the " +
+      "OCR service (S3 3-tier short-circuit)") {
+    val schema = StructType(Seq(
+      StructField("source_file", StringType),
+      StructField("page", IntegerType, nullable = false),
+      StructField("page_text", StringType),
+      StructField("img", BinaryType),
+      StructField("h", IntegerType, nullable = false),
+      StructField("w", IntegerType, nullable = false)))
+    val good = "a perfectly normal sentence with plenty of words here"
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("doc.pdf", 1, good, "unused".getBytes("UTF-8"), 2, 3),
+        Row("doc.pdf", 2, "", "rescued by ocr from the page image"
+          .getBytes("UTF-8"), 2, 3)),
+      schema)
+    val out = Extract.ocrFallback(df, "source_file", "page",
+      "page_text", "img", "h", "w", Extract.EchoOcr)
+      .orderBy("page").collect()
+    assert(out(0).getAs[String]("extracted_text") === good)
+    assert(out(0).getAs[String]("extract_engine") === "text-layer")
+    assert(out(1).getAs[String]("extracted_text")
+      === "rescued by ocr from the page image")
+    assert(out(1).getAs[String]("extract_engine") === "stub-echo")
+  }
+
   test("generate appends answers per partition (R2)") {
     import spark.implicits._
     val contexts = Seq((1L, "ctx a"), (2L, "ctx b")).toDF("qid", "context")

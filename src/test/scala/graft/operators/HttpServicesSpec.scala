@@ -61,6 +61,89 @@ class HttpServicesSpec extends AnyFunSuite {
     }
   }
 
+  test("HttpOcrService posts the reference OCR job fields and parses " +
+      "the worker reply (S3)") {
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]
+    withServer(Map("/ocr" -> { body =>
+      seen.set(body)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val j = om.readTree(body)
+      val img = new String(java.util.Base64.getDecoder.decode(
+        j.get("image_base64").asText()), "UTF-8")
+      s"""{"text":"ocr: $img","rel_path":"${j.get("rel_path").asText()}",
+         |"page_num":${j.get("page_num").asInt()},"engine":"easyocr",
+         |"job_id":"${j.get("job_id").asText()}","error":null,
+         |"status":"success"}""".stripMargin.replace("\n", "")
+    })) { base =>
+      val svc = new HttpServices.HttpOcrService(base)
+      val r = svc.ocrPage("hello page".getBytes("UTF-8"), 4, 5,
+        "docs/scan.pdf", 3)
+      assert(r.text === "ocr: hello page")
+      assert(r.engine === "easyocr")
+      val req = seen.get()
+      assert(req.contains("\"image_shape\":[4,5]"))
+      assert(req.contains("\"image_dtype\":\"uint8\""))
+      assert(req.contains("\"rel_path\":\"docs/scan.pdf\""))
+      assert(req.contains("\"page_num\":3"))
+    }
+  }
+
+  test("HttpOcrService surfaces a failed worker status so retries " +
+      "can engage") {
+    withServer(Map("/ocr" -> { body =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val id = om.readTree(body).get("job_id").asText()
+      s"""{"text":"","job_id":"$id","engine":"easyocr",
+         |"error":"No text extracted","status":"failed"}"""
+        .stripMargin.replace("\n", "")
+    })) { base =>
+      val svc = new HttpServices.HttpOcrService(base)
+      val e = intercept[RuntimeException] {
+        svc.ocrPage("x".getBytes, 1, 1, "a.pdf", 1)
+      }
+      assert(e.getMessage.contains("No text extracted"))
+    }
+  }
+
+  test("HttpAsrService parses the segment-stream reply protocol (S5)") {
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]
+    withServer(Map("/transcribe" -> { body =>
+      seen.set(body)
+      Seq(
+        """{"type":"segment","text":"first words","start":0.5,"end":2.25}""",
+        """{"type":"segment","text":"second words"}""",
+        """{"type":"done"}""").mkString("\n")
+    })) { base =>
+      val svc = new HttpServices.HttpAsrService(base, language = "en",
+        mimeType = "audio/wav")
+      val segs = svc.transcribe("RIFFfakewav".getBytes("UTF-8"))
+      assert(segs === Seq((0.5, 2.25, "first words"),
+        (5.0, 10.0, "second words")))
+      assert(seen.get().contains("\"language\":\"en\""))
+      assert(seen.get().contains("\"mime_type\":\"audio/wav\""))
+    }
+  }
+
+  test("HttpAsrService raises on a worker error message and on a " +
+      "stream missing its done terminal") {
+    withServer(Map("/transcribe" -> { _ =>
+      """{"type":"error","error":"File not found: x.wav"}"""
+    })) { base =>
+      val e = intercept[RuntimeException] {
+        new HttpServices.HttpAsrService(base).transcribe("x".getBytes)
+      }
+      assert(e.getMessage.contains("File not found"))
+    }
+    withServer(Map("/transcribe" -> { _ =>
+      """{"type":"segment","text":"truncated"}"""
+    })) { base =>
+      val e = intercept[RuntimeException] {
+        new HttpServices.HttpAsrService(base).transcribe("x".getBytes)
+      }
+      assert(e.getMessage.contains("done"))
+    }
+  }
+
   test("HttpGenerator posts chat messages and parses the completion " +
       "(R2)") {
     withServer(Map("/v1/chat/completions" -> { body =>

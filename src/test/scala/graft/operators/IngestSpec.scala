@@ -98,6 +98,43 @@ class IngestSpec extends SparkTestBase {
     assert(out("b")._2 === junk) // identity service: shape-preserving
   }
 
+  test("decodeText charset-sniffs BOMs, declarations, and the " +
+      "UTF-8-else-cp1252 fallback (S4)") {
+    import spark.implicits._
+    val utf16 = ("\uFEFF" + "héllo utf16").getBytes("UTF-16LE")
+    val bom8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "héllo utf8".getBytes("UTF-8")
+    val declared = """<html><head><meta charset="windows-1252"></head>
+      |caf""".stripMargin.getBytes("ISO-8859-1") ++ Array(0xE9.toByte)
+    val latin1 = ("caf" + "é" + " plain").getBytes("windows-1252")
+    val plain = "just ascii utf8 é".getBytes("UTF-8")
+    val df = Seq(
+      ("utf16le.txt", utf16), ("utf8bom.txt", bom8),
+      ("declared.html", declared), ("latin1.txt", latin1),
+      ("plain.txt", plain)).toDF("source_file", "content")
+    val got = Ingest.decodeText(df, "content")
+      .select("source_file", "charset", "text").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got("utf16le.txt") === ("UTF-16LE", "héllo utf16"))
+    assert(got("utf8bom.txt") === ("UTF-8", "héllo utf8"))
+    assert(got("declared.html")._1 === "windows-1252")
+    assert(got("declared.html")._2.endsWith("café"))
+    assert(got("latin1.txt") === ("windows-1252", "café plain"))
+    assert(got("plain.txt") === ("UTF-8", "just ascii utf8 é"))
+  }
+
+  test("decodeText feeds htmlToText without mojibake (S4 end-to-end)") {
+    import spark.implicits._
+    val html = "<html><body><p>résumé &amp; café</p></body></html>"
+    val df = Seq(("cv.html", html.getBytes("windows-1252")))
+      .toDF("source_file", "content")
+    val out = Ingest.decodeText(df, "content")
+      .select(Ingest.htmlToText(org.apache.spark.sql.functions.col("text"))
+        .as("t")).as[String].head()
+    assert(out === "résumé & café")
+  }
+
   test("discover anti-joins tracked files (S1/J5)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("staging").toFile
