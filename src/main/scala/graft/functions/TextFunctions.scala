@@ -27,9 +27,13 @@ object TextFunctions {
 
   /** Python `str.split()` semantics: split on whitespace runs, no
     * empty tokens — the tokenization the reference quality predicates
-    * use (`text_utils.py:160,172`). */
+    * use (`text_utils.py:160,172`). `(?U)` makes Java's `\s` the
+    * Unicode whitespace set ([\t\n\x0B\f\r\x1C-\x1F\x85\p{Z}]), which
+    * is exactly Python's `str.split()` separator set — plain `\s` is
+    * ASCII-only in Java and silently under-splits CJK text using
+    * U+3000 ideographic spaces or NBSP. */
   def wsTokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    filter(split(text, "(?U)\\s+"), t => length(t) > 0)
 
   def wsTokenCount(text: Column): Column = size(wsTokens(text))
 

@@ -146,6 +146,63 @@ object TextQueries {
       .limit(100)
   }
 
+  /** Deterministic multilingual fixtures for the unicode quality-gate
+    * parity query (q63): CJK, Arabic, Greek, a mojibake marker that is
+    * a fixMojibake fixed point (Ã before a space is invalid UTF-8, so
+    * the repair round-trip rejects and leaves it), NFD combining
+    * marks (exercises the NFC step in the gibberish walk), unicode
+    * whitespace (U+3000/NBSP — exercises Python str.split parity),
+    * control/format characters (exercises the printable C*-category
+    * walk), and symbol noise whose non-alpha ratio crosses the
+    * gibberish thresholds as the per-doc ASCII tail length varies. */
+  val UnicodeFixtures: Seq[String] = Seq(
+    "\u8fd9\u662f\u4e00\u6bb5\u5b8c\u5168\u6b63\u5e38\u7684\u4e2d\u6587\u6587\u672c\uff0c\u7528\u4e8e\u6d4b\u8bd5\u8d28\u91cf\u5224\u65ad\u903b\u8f91\u3002",
+    "\u0647\u0630\u0627 \u0646\u0635 \u0639\u0631\u0628\u064a \u0639\u0627\u062f\u064a \u062a\u0645\u0627\u0645\u0627 \u0644\u0627\u062e\u062a\u0628\u0627\u0631 \u0628\u0648\u0627\u0628\u0629 \u0627\u0644\u062c\u0648\u062f\u0629 \u0647\u0646\u0627.",
+    "\u0391\u03c5\u03c4\u03cc \u03b5\u03af\u03bd\u03b1\u03b9 \u03ad\u03bd\u03b1 \u03c6\u03c5\u03c3\u03b9\u03bf\u03bb\u03bf\u03b3\u03b9\u03ba\u03cc \u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03cc \u03ba\u03b5\u03af\u03bc\u03b5\u03bd\u03bf \u03b4\u03bf\u03ba\u03b9\u03bc\u03ae\u03c2.",
+    "mixed \u00c3 corrupt marker kept verbatim here",
+    "cafe\u0301 combining se\u0301ance re\u0301sume\u0301 marks test",
+    "words\u3000with\u3000ideographic\u3000spaces\u00a0and\u00a0nbsp tokens",
+    "control\u0007chars\u200b and format\u200d characters embedded",
+    "\u2605\u2606\u2726\u2727 \u259a\u259e \u25c6\u25c7\u25a0\u25a1 \u25cf\u25cb\u25d0\u25d1 \u2237\u224b\u224c\u224d symbols",
+    ("\u91cd\u590d\u3000" * 9) + "\u91cd\u590d",
+    "\u30a2\u30a4\u30a6\u30a8\u30aa\u30ab\u30ad\u30af\u30b1\u30b3\u30b5\u30b7\u30b9\u30bb\u30bd\u30bf\u30c1\u30c4\u30c6\u30c8\u30ca\u30cb\u30cc\u30cd\u30ce\u30cf\u30d2\u30d5\u30d8\u30db\u30de\u30df\u30e0\u30e1\u30e2 \u03ba\u03b1\u03b9 \u03bb\u03ad\u03be\u03b5\u03b9\u03c2 \u03b5\u03b4\u03ce",
+    "\u2605\u2606\u2726\u2727\u25c6 \u25c7\u25a0\u25a1\u25cf\u25cb \u25d0\u25d1\u2237\u224b\u224c \u2605\u2606\u2726\u2727\u25c6 \u25c7\u25a0\u25a1\u25cf\u25cb \u25d0\u25d1\u2237\u224b\u224c \u2605\u2606\u2726\u2727\u25c6 \u25c7\u25a0\u25a1\u25cf\u25cb sym")
+
+  /** DuckDB list literal of [[UnicodeFixtures]] — injected into the
+    * q63 oracle so both engines derive byte-identical inputs. */
+  private val FixtureListSql: String =
+    UnicodeFixtures.map(f => "'" + f.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+
+  /** Unicode quality-gate parity (the q55 truth table over a derived
+    * NON-ASCII corpus): every doc gets a multilingual fixture prefix
+    * (by doc_id mod 8) plus a varying-length slice of its own ASCII
+    * text, so the script/printable/whitespace ratios sweep across the
+    * predicate thresholds. The oracle re-derives the identical corpus
+    * and the reference formulas in RE2 classes + nfc_normalize —
+    * proving the Java-vs-RE2 Unicode category walk equivalence the
+    * ASCII corpus (q55) cannot. */
+  def q63QualityUnicode(s: SparkSession, d: String): DataFrame = {
+    val tu = concat(
+      element_at(typedlit(UnicodeFixtures),
+        (col("doc_id") % UnicodeFixtures.length + 1).cast("int")),
+      lit(" "),
+      expr("substring(text, 1, CAST(1 + doc_id % 97 AS INT))"))
+    documents(s, d)
+      .select(col("doc_id"), tu.as("tu"))
+      .select(
+        col("doc_id"),
+        wsTokenCount(col("tu")).as("n_tokens"),
+        isGibberish(col("tu")).as("is_gibberish"),
+        isVisiblyCorrupt(col("tu")).as("is_corrupt"),
+        isLowQuality(col("tu")).as("is_low"),
+        isRepetitive(col("tu")).as("is_repetitive"),
+        hasAbnormalWordLengths(col("tu")).as("is_abnormal"),
+        isInvalidText(col("tu")).as("is_invalid"),
+        isBadOcr(col("tu")).as("is_bad"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup mining via banded LSH — the registered scale
     * path (pigeonhole: bands=6 ⇒ every pair within Hamming 5 shares a
     * band; the band-equality join replaces q56's exhaustive pair
@@ -160,6 +217,7 @@ object TextQueries {
     "q54_chunk_counts" -> (q54ChunkCounts _),
     "q57_simhash_neardups" -> (q57SimhashNearDups _),
     "q55_quality_gate" -> (q55QualityGate _),
+    "q63_quality_unicode" -> (q63QualityUnicode _),
     "q56_simhash_pairs" -> (q56SimhashPairs _),
     "q23_lang_distribution" -> (q23LangDistribution _),
     "q24_token_stats" -> (q24TokenStats _),
@@ -285,6 +343,82 @@ object TextQueries {
         |SELECT doc_id, n AS n_tokens, is_gibberish, corrupt AS is_corrupt,
         | is_low, is_repetitive, is_abnormal, is_invalid,
         | (len(trim(text)) = 0 OR is_gibberish OR corrupt OR is_low
+        |  OR is_repetitive OR is_abnormal) AS is_bad
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // The unicode twin of the q55 oracle: same reference formulas
+    // (text_utils.py:92-224) over a derived multilingual corpus. The
+    // whitespace split class is Python str.split()'s exact separator
+    // set spelled out for RE2 (RE2's \s is ASCII-only, like Java's);
+    // the gibberish walk NFC-normalizes first (the reference does,
+    // and the NFD fixture would diverge otherwise); the invalid walk
+    // runs on the raw text like the reference. The fixture list is
+    // injected from UnicodeFixtures so both engines derive
+    // byte-identical inputs.
+    "q63_quality_unicode" ->
+      raw"""WITH base AS (
+        | SELECT doc_id,
+        |  $FixtureListSql[CAST(doc_id % ${UnicodeFixtures.length} + 1 AS INT)] || ' ' ||
+        |    substr(text, 1, CAST(1 + doc_id % 97 AS INT)) AS tu
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, tu,
+        |  list_filter(regexp_split_to_array(tu,
+        |    '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+        |              x -> len(x) > 0) AS t,
+        |  list_filter(list_transform(string_split(tu, chr(10)),
+        |              l -> trim(l)), l -> len(l) > 0) AS lines,
+        |  regexp_matches(tu, '[âã¢£™žÂÃ]') AS corrupt,
+        |  regexp_replace(nfc_normalize(tu),
+        |   '[\p{C}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]',
+        |   '', 'g') AS pn,
+        |  regexp_replace(tu,
+        |   '[\p{C}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]',
+        |   '', 'g') AS praw
+        | FROM base),
+        |m AS (
+        | SELECT doc_id, tu, corrupt, lines,
+        |  len(t) AS n,
+        |  CASE WHEN len(t) = 0 THEN 0.0e0 ELSE
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS uniq_ratio,
+        |  list_filter(t, x -> len(x) > 1) AS w2,
+        |  len(pn) AS ptot,
+        |  len(regexp_replace(pn, '[^\p{Latin}\p{M}]', '', 'g'))
+        |    AS platin,
+        |  len(regexp_replace(pn,
+        |    '[\p{L}\p{Mn} \n\t\-–—·.,;:()\[\]''"]', '', 'g')) AS lenient_non,
+        |  len(regexp_replace(pn, '[\p{L}\p{Mn} \n]', '', 'g'))
+        |    AS strict_non,
+        |  len(praw) AS pinv,
+        |  len(regexp_replace(tu, '[^\p{Latin}\p{M}]', '', 'g'))
+        |    AS full_latin
+        | FROM f),
+        |g AS (
+        | SELECT doc_id, tu, corrupt, n, uniq_ratio, w2,
+        |  (len(trim(tu)) = 0 OR ptot = 0 OR
+        |   CASE WHEN ptot > 0 AND
+        |     CAST(platin AS DOUBLE) / ptot >= 0.7e0
+        |    THEN CAST(lenient_non AS DOUBLE) / greatest(1, ptot) > 0.75e0
+        |    ELSE CAST(strict_non AS DOUBLE) / greatest(1, ptot) > 0.6e0 END)
+        |   AS is_gibberish,
+        |  (CASE WHEN len(lines) >= 3 THEN
+        |     CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) < 0.3e0
+        |    ELSE FALSE END
+        |   OR (n >= 10 AND uniq_ratio < 0.2e0)) AS is_repetitive,
+        |  CASE WHEN len(w2) < 5 THEN FALSE ELSE
+        |   (CAST(list_sum(list_transform(w2, x -> len(x))) AS DOUBLE)
+        |      / len(w2) < 2.0e0
+        |    OR CAST(list_sum(list_transform(w2, x -> len(x))) AS DOUBLE)
+        |      / len(w2) > 20.0e0
+        |    OR CAST(len(list_filter(w2, x -> len(x) > 30)) AS DOUBLE)
+        |      / len(w2) > 0.1e0) END AS is_abnormal,
+        |  n < 5 AS is_low,
+        |  (len(trim(tu)) < 20 OR
+        |   CAST(pinv AS DOUBLE) / len(tu) < 0.6e0 OR
+        |   CAST(full_latin AS DOUBLE) / len(tu) < 0.7e0) AS is_invalid
+        | FROM m)
+        |SELECT doc_id, n AS n_tokens, is_gibberish, corrupt AS is_corrupt,
+        | is_low, is_repetitive, is_abnormal, is_invalid,
+        | (len(trim(tu)) = 0 OR is_gibberish OR corrupt OR is_low
         |  OR is_repetitive OR is_abnormal) AS is_bad
         |FROM g ORDER BY doc_id""".stripMargin,
     "q23_lang_distribution" ->
