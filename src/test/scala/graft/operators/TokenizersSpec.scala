@@ -58,6 +58,43 @@ class TokenizersSpec extends AnyFunSuite {
     assert(b.tokenize("hello").toSeq === Seq("hello"))
   }
 
+  test("committed HF-format fixtures reproduce the published " +
+      "tokenizer walkthroughs (ground-truth vectors)") {
+    // The expected vectors are NOT derived from this implementation:
+    // merges.txt is the BPE merge table the Hugging Face tokenizers
+    // documentation learns from its hug/pug/pun/bun/hugs corpus
+    // (merge order u+g, u+n, h+ug) with its documented tokenizations,
+    // and vocab.txt carries the canonical WordPiece decompositions
+    // from the same docs and the BERT paper (un+##aff+##able,
+    // play+##ing, annoying+##ly).
+    def res(name: String): String =
+      getClass.getResource(s"/tokenizers/$name").getPath
+    val b = ByteLevelBpeTokenizer.fromMergesFile(res("merges.txt"))
+    assert(b.tokenize("hug").toSeq === Seq("hug"))
+    assert(b.tokenize("hugs").toSeq === Seq("hug", "s"))
+    assert(b.tokenize("bug").toSeq === Seq("b", "ug"))
+    // byte-level BPE has no <unk>: the docs' unknown-"m" case keeps
+    // the raw symbol instead
+    assert(b.tokenize("mug").toSeq === Seq("m", "ug"))
+    assert(b.tokenize("pun").toSeq === Seq("p", "un"))
+    // the GPT-2 space marker survives as an unmerged symbol (no
+    // Ġ-merges in this table)
+    assert(b.tokenize("hug bug").toSeq === Seq("hug", "Ġ", "b", "ug"))
+    assert(b.detokenize(b.tokenize("hug bug").toIndexedSeq)
+      === "hug bug")
+
+    val w = WordPieceTokenizer.fromVocabFile(res("vocab.txt"))
+    assert(w.tokenize("unaffable").toSeq === Seq("un", "##aff", "##able"))
+    assert(w.tokenize("playing").toSeq === Seq("play", "##ing"))
+    assert(w.tokenize("annoyingly").toSeq === Seq("annoying", "##ly"))
+    assert(w.tokenize("hugs").toSeq === Seq("hug", "##s"))
+    // lowercasing + punctuation isolation (BERT basic tokenizer),
+    // unknown word collapses to [UNK] as a whole
+    assert(w.tokenize("The unaffable, annoyingly!").toSeq ===
+      Seq("the", "un", "##aff", "##able", ",", "annoying", "##ly", "!"))
+    assert(w.tokenize("zebra").toSeq === Seq("[UNK]"))
+  }
+
   test("chunker budget + zero-drop invariants hold for every " +
       "Tokenizer implementation (text_processor.py:188-234)") {
     val text = ("# H\n" +
