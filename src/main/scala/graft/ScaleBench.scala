@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Scaling benchmark: banded-LSH near-dup mining vs the exhaustive
+  * pair scans at 1×/2×/4× the sf0.1 corpus, to separate fixed stage
+  * overhead from scaling cost (the per-round Bench at one SF cannot —
+  * its heavies are dominated by constant stage/codegen setup).
+  *
+  * The scaled corpora are derived deterministically: replica r of a
+  * document appends a replica-specific token (new content, same
+  * statistics); replica r of an embedding perturbs the first
+  * component by 0.01·r (new vector, same geometry). So the work
+  * grows exactly ×K while the data distribution stays comparable.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleBench
+  * Prints one JSON line per (query, K) with seconds and result rows.
+  */
+object ScaleBench {
+
+  private def time[T](f: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  def scaledDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    (0 until k).map { r =>
+      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica$r")).as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  def scaledEmbeddings(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    (0 until k).map { r =>
+      base.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.01 * r)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env("SPARK_GRAFT_SF_DIR")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
+    // args: [comma-separated scale factors] [substring filter on bench names]
+    val scales = args.headOption.map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(1, 2, 4))
+    val nameFilter = args.drop(1).headOption.getOrElse("")
+    for (k <- scales) {
+      val docs = scaledDocs(spark, sfDir, k).persist()
+      val emb = scaledEmbeddings(spark, sfDir, k).persist()
+      docs.count(); emb.count() // materialize outside the timings
+      val runs: Seq[(String, () => Long)] = Seq(
+        "simhash_exhaustive_tiled" -> (() =>
+          graft.queries.TextQueries.simhashPairsOver(docs).count()),
+        "simhash_banded" -> (() =>
+          Dedup.simhashNearDups(docs, "doc_id", "text",
+            bands = 6, maxHamming = 5).count()),
+        "cosine_exhaustive_tiled" -> (() =>
+          SimilaritySearch.cosinePairsAbove(emb, "vec_id", "embedding",
+            threshold = 0.999).count()),
+        "cosine_banded" -> (() =>
+          SimilaritySearch.cosineNearDupsBanded(emb, "vec_id",
+            "embedding", threshold = 0.999, bits = 64, bands = 8,
+            center = true).count()))
+      for ((name, run) <- runs if name.contains(nameFilter)) {
+        val (sec, rows) = time(run())
+        println(s"""{"bench":"$name","k":$k,"sec":$sec,"rows":$rows}""")
+      }
+      docs.unpersist(); emb.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -135,8 +135,13 @@ object TextQueries {
     * approximate). The pair scan is the block-tiled equi-join
     * ([[graft.operators.Tiling.selfPairs]]) — 16-byte (id, hash)
     * rows through B² bounded tiles, no cartesian, no broadcast. */
-  def q56SimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val h = Dedup.simhash(documents(s, d), "doc_id", "text")
+  def q56SimhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsOver(documents(s, d))
+
+  /** [[q56SimhashPairs]] over an arbitrary documents frame (shared
+    * with the scaling benchmark). */
+  def simhashPairsOver(docs: DataFrame): DataFrame = {
+    val h = Dedup.simhash(docs, "doc_id", "text")
       .select(col("doc_id").as("id"), col("simhash"))
     graft.operators.Tiling.selfPairs(h, "id", blocks = 8)
       .select(col("id_a"), col("id_b"),
