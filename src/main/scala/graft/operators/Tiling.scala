@@ -46,7 +46,19 @@ object Tiling {
     val b = df.select(df.columns.map(c => col(c).as(s"${c}_b")): _*)
       .withColumn("_blk_b", pmod(hash(col(s"${idCol}_b")), lit(blocks)))
       .withColumn("_blk_a", explode(tileIds))
-    a.join(b, Seq("_blk_a", "_blk_b"))
+    // Own the partitioning: AQE sizes post-shuffle partitions by BYTES,
+    // but a tile's cost is quadratic in its rows — a few-MB shuffle
+    // would be coalesced into one task doing all n²/2 comparisons. A
+    // fixed-width repartition on the tile key (which AQE never
+    // coalesces) pins one tile per task, so parallelism is B² by
+    // construction at any data size. The hash join beats sort-merge
+    // here: with B² distinct keys a sort is pure overhead, and the
+    // build side is one tile (~n/B rows) — bounded by the same dial
+    // that bounds tile memory.
+    val tiles = blocks * blocks
+    a.repartition(tiles, col("_blk_a"), col("_blk_b"))
+      .join(b.repartition(tiles, col("_blk_a"), col("_blk_b"))
+        .hint("shuffle_hash"), Seq("_blk_a", "_blk_b"))
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
       .drop("_blk_a", "_blk_b")
   }
