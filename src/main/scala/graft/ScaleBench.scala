@@ -71,7 +71,7 @@ object ScaleBench {
             threshold = 0.999).count()),
         "cosine_banded" -> (() =>
           SimilaritySearch.cosineNearDupsBanded(emb, "vec_id",
-            "embedding", threshold = 0.999, bits = 64, bands = 8,
+            "embedding", threshold = 0.999, bits = 256, bands = 16,
             center = true).count()))
       for ((name, run) <- runs if name.contains(nameFilter)) {
         val (sec, rows) = time(run())

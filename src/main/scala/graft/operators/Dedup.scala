@@ -96,8 +96,16 @@ object Dedup {
     * fit 32 bits (documents at any realistic shard size do; shard the
     * corpus before calling otherwise). The nested transform/slice
     * expression form rebuilds intermediate arrays per lambda level
-    * under interpreted evaluation — hence a UDF. */
-  private val postingPairsUdf = udf { (docs: Seq[Long]) =>
+    * under interpreted evaluation — hence a UDF (Array[Long] arg for
+    * the primitive fast path; Seq boxes every element).
+    *
+    * The output array is O(n²) in the posting-list length, so the
+    * caller-supplied df cap is a MEMORY bound, not just a skew guard:
+    * at the 4096 ceiling a single row tops out at ~8M pairs = 64 MB,
+    * the largest allocation one task should ever hold. Beyond that
+    * the pair stream must come from a Generator, not an array. */
+  private[operators] val MaxPostingDf = 4096
+  private val postingPairsUdf = udf { (docs: Array[Long]) =>
     val n = docs.length
     val out = new Array[Long](n * (n - 1) / 2)
     var k = 0
@@ -157,6 +165,9 @@ object Dedup {
     * for pairs sharing ≥1 surviving shingle. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDf: Int = 50): DataFrame = {
+    require(maxDf <= MaxPostingDf,
+      s"maxDf=$maxDf would materialize O(maxDf²) pairs per posting " +
+        s"list in one task allocation; cap is $MaxPostingDf")
     // Shape: group the inverted index by shingle hash (one shuffle
     // with map-side combine), drop hot shingles by posting-list size,
     // then EXPLODE each posting list's id pairs instead of

@@ -113,8 +113,11 @@ object SimilaritySearch {
     * hyperplane. P[bit agrees] = 1 − θ/π, so near-parallel vectors
     * have near-equal signatures. Sequential double fold per bit —
     * bit-reproducible against the oracle's `list_reduce`. */
+  // Array[Double] args, not Seq: Spark hands the UDF the primitive
+  // double[] (ArrayData.toDoubleArray), where Seq[Double] boxes every
+  // element — measured 80× slower per row on the 64-dim corpus.
   private val signatureUdf =
-    udf { (vec: Seq[Double], bits: Int, offsets: Seq[Double]) =>
+    udf { (vec: Array[Double], bits: Int, offsets: Array[Double]) =>
       val m = signMatrix(bits, vec.length)
       var sig = 0L
       var b = 0
@@ -137,6 +140,43 @@ object SimilaritySearch {
     val off = if (offsets.isEmpty) Seq.fill(bits)(0.0) else offsets
     signatureUdf(vec.cast("array<double>"), lit(bits), typedLit(off))
   }
+
+  /** Per-band packed sign values (band b packs the signs of
+    * hyperplanes [b·width, (b+1)·width)), computed directly instead
+    * of slicing one packed Long — lifting the 64-bit ceiling on total
+    * signature width. Random-pair collision per band is 2^-width on a
+    * centered corpus, so width is the pruning dial: 8-bit bands admit
+    * ~0.4% of ALL pairs per band (candidates stay quadratic with a
+    * small constant), 16-bit bands cut that 256× — but 8 bands × 16
+    * bits = 128 hyperplanes no longer fit one Long. Identical
+    * geometry to [[hyperplaneSignature]] + shift/mask when the total
+    * width is ≤ 64. */
+  private val bandValuesUdf =
+    udf { (vec: Array[Double], bands: Int, bandBits: Int,
+           offsets: Array[Double]) =>
+      val m = signMatrix(bands * bandBits, vec.length)
+      Array.tabulate(bands) { band =>
+        var v = 0L
+        var i = 0
+        while (i < bandBits) {
+          val b = band * bandBits + i
+          var dot = 0.0
+          var j = 0
+          val row = m(b)
+          while (j < vec.length) { dot += vec(j) * row(j); j += 1 }
+          if (dot - offsets(b) > 0) v |= 1L << i
+          i += 1
+        }
+        v
+      }
+    }
+
+  /** Column of `bands` packed band values for `vec` (see
+    * [[bandValuesUdf]]); `offsets` must have length bands·bandBits. */
+  def bandValues(vec: Column, bands: Int, bandBits: Int,
+      offsets: Seq[Double]): Column =
+    bandValuesUdf(vec.cast("array<double>"), lit(bands), lit(bandBits),
+      typedLit(offsets))
 
   /** Per-bit offsets that recenter the hyperplanes on the corpus mean
     * (decimal-exact, deterministic aggregation): a correlated corpus
@@ -177,11 +217,23 @@ object SimilaritySearch {
     *
     * Recall: by pigeonhole, every pair within signature Hamming
     * distance `bands − 1` is found. A pair at cosine s flips each bit
-    * with p = arccos(s)/π, so E[hamming] = bits·p; at s ≥ 0.99,
-    * 60·0.02 ≈ 1.2 against a bands−1 = 9 guarantee — miss
-    * probability ~1e-9 per pair. At thresholds far below ~0.9 the
-    * expected Hamming distance exceeds any banding guarantee and
-    * [[cosinePairsAbove]] is the honest (quadratic) semantics. */
+    * with p = arccos(s)/π, so E[hamming] = bits·p; at s ≥ 0.999,
+    * 256·0.014 ≈ 3.6 against a bands−1 = 15 guarantee — a miss needs
+    * hamming ≥ 16 AND the flipped bits spread over all 16 bands,
+    * ~1e-11 per pair even for pairs AT the threshold boundary
+    * (ScaleBench measured an 8-band config missing 1 of 240 570
+    * boundary pairs at K=32; 16 bands recovered all of them). At
+    * thresholds far below ~0.9 the expected Hamming distance exceeds
+    * any banding guarantee and [[cosinePairsAbove]] is the honest
+    * (quadratic) semantics.
+    *
+    * Width (bits/bands) is the CANDIDATE dial, independent of the
+    * recall guarantee: per-band random collision is 2^-width on a
+    * centered corpus. ScaleBench measured 8-bit bands admitting ~3%
+    * of all pairs (the banded path LOST to the tiled exhaustive scan
+    * up to 80k vectors — 29 s vs 7 s at K=16); 16-bit bands admit
+    * bands·2^-16 ≈ 2e-4, making candidates effectively linear until
+    * corpus sizes ~10^7. */
   /** `center = true` recenters the hyperplanes on the corpus mean
     * ([[centeredOffsets]]) — a large pruning win on correlated
     * corpora (measured 49% → 16% candidate rate on the embeddings
@@ -192,12 +244,14 @@ object SimilaritySearch {
     * and the banded-vs-exhaustive spec); keep the default for the
     * distribution-free pigeonhole guarantee. */
   def cosineNearDupsBanded(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 60, bands: Int = 10,
+      threshold: Double, bits: Int = 256, bands: Int = 16,
       center: Boolean = false): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val bandBits = bits / bands
+    require(bandBits <= 64, "band width must fit a packed Long")
     val offsets =
-      if (center) centeredOffsets(df, vecCol, bits) else Nil
+      if (center) centeredOffsets(df, vecCol, bits)
+      else Seq.fill(bits)(0.0)
     // The band self-join stays NARROW (id + band value only — wide
     // vector columns through a many-match join would materialize
     // hundreds of MB of array copies); candidate pairs dedupe with a
@@ -206,11 +260,9 @@ object SimilaritySearch {
     // exact verify.
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2Norm(col(vecCol)).as("norm"),
-      hyperplaneSignature(col(vecCol), bits, offsets).as("sig"))
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        expr(s"shiftright(sig, ${b * bandBits}) & " +
-          s"${(1L << bandBits) - 1}")): _*)))
+      bandValuesUdf(col(vecCol).cast("array<double>"), lit(bands),
+        lit(bandBits), typedLit(offsets)).as("band_vals"))
+    val banded = sig.select(col("id"), posexplode(col("band_vals")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
     val cands = banded.select(col("id").as("id_a"), col("band"),

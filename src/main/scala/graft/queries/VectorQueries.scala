@@ -93,12 +93,15 @@ object VectorQueries {
       concat(array(element_at(col("embedding"), 1) + lit(0.02)),
         slice(col("embedding"), lit(2), size(col("embedding")) - 1))
         .as("embedding"))
-    // 64-bit signatures in 8-bit bands: twin pairs measure Hamming ≤4
-    // at every SF against the bands−1 = 7 guarantee, and the 8-bit
-    // bands cut the candidate rate to ~4% of all pairs (16× fewer
-    // collisions than 6-bit bands on this correlated corpus).
+    // 256-bit signatures in 16-bit bands: twin pairs sit at
+    // E[hamming] ≈ 3.6 against the bands−1 = 15 pigeonhole guarantee
+    // (miss ~1e-11 even for boundary pairs), and 16-bit bands admit
+    // ~2^-16 of random pairs per band — the candidate set stays
+    // effectively linear where 8-bit bands let ~3% of all pairs
+    // through (ScaleBench: the 8-bit config LOST to the tiled
+    // exhaustive scan at every measured corpus size).
     SimilaritySearch.cosineNearDupsBanded(emb.unionByName(twins),
-      "vec_id", "embedding", threshold = 0.999, bits = 64, bands = 8,
+      "vec_id", "embedding", threshold = 0.999, bits = 256, bands = 16,
       center = true)
       .orderBy(col("id_a"), col("id_b"))
   }
