@@ -28,9 +28,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The harness keeps only the tail of the run's output, so the
+    // one JSON line must stay well under 2000 bytes for 60+ queries:
+    // short qNN keys (the contract's own example form) + ms rounding.
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
+    }.mkString("{", ",", "}")
+    val total =
+      if (results.nonEmpty) math.rint(results.values.sum * 1000) / 1000
+      else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
