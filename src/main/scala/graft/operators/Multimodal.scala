@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * BINARY columns with typed metadata, decode / feature-extract /
   * resize / frame-sample as partition-batched transforms.
   *
-  * The actual codec calls are STUBBED (this container ships no
-  * image/audio libraries): [[Decoder]] is the external boundary, and
-  * [[StubDecoder]] derives deterministic pseudo-content from the
-  * bytes so the Spark-side plumbing — schema, `mapPartitions` batch
-  * shape, bucketed partitioning, explode of frame samples — is real
-  * and tested end-to-end.
+  * [[Decoder]] is the external boundary. Real JDK-backed codecs live
+  * in [[MultimodalCodecs]] (ImageIO images, RIFF/WAVE audio,
+  * MJPEG-in-AVI frame sampling); [[StubDecoder]] derives
+  * deterministic pseudo-content from the bytes for formats the JDK
+  * cannot decode (H.264 et al. — no codec ships in this container),
+  * so the Spark-side plumbing — schema, `mapPartitions` batch shape,
+  * bucketed partitioning, explode of frame samples — is real and
+  * tested end-to-end either way.
   *
   * Reference analog: NumPy image arrays base64-shipped to the OCR
   * worker (`utils/ocr_utils.py:60-77`, `workers/ocr_graph.py:44-58`);

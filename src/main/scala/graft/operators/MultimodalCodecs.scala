@@ -13,8 +13,13 @@ import org.apache.spark.sql.types._
   *  - [[WavAudio]]: RIFF/WAVE header parse (channels, rate, bits,
   *    duration) + per-bucket RMS energy features over 16-bit PCM.
   *
-  * Video frame extraction stays behind the stub (no JDK codec) — the
-  * explode shape is exercised by MultimodalSpec either way.
+  *  - [[AviVideo]]: RIFF/AVI container walk + MJPEG frame sampling —
+  *    the one video format that needs no codec, because each `00dc`
+  *    chunk payload IS a JPEG that `javax.imageio` can decode.
+  *
+  * Non-AVI video bytes still fall back to the stub boundary (no JDK
+  * codec for H.264 et al.) — the explode shape is exercised by
+  * MultimodalSpec either way.
   */
 object MultimodalCodecs {
 
@@ -63,9 +68,97 @@ object MultimodalCodecs {
       }
     }
 
-    /** No JDK video codec — delegate to the stub boundary. */
-    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
-      Multimodal.StubDecoder.sampleFrames(bytes, n)
+    /** MJPEG-in-AVI sampled for real ([[AviVideo]]); other containers
+      * delegate to the stub boundary (no JDK codec). */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val frames = AviVideo.sampleFrames(bytes, n)
+      if (frames.nonEmpty) frames
+      else Multimodal.StubDecoder.sampleFrames(bytes, n)
+    }
+  }
+
+  /** Parsed AVI main header (`avih`). */
+  case class AviInfo(width: Int, height: Int, totalFrames: Int,
+      microSecPerFrame: Int) {
+    def fps: Double =
+      if (microSecPerFrame > 0) 1e6 / microSecPerFrame else 0.0
+  }
+
+  /** RIFF/AVI container walk over raw bytes — no library needed. AVI
+    * is RIFF like WAV: `RIFF('AVI ' LIST('hdrl' avih …) LIST('movi'
+    * 00dc…))`; video frame chunks are ids `NNdc`/`NNdb`, and for the
+    * MJPEG fourcc each `00dc` payload is a complete JPEG image, so
+    * frame extraction is a chunk walk plus `ImageIO` — no codec.
+    * Reference behavior: frame sampling for vision models
+    * (`doc-ingest-chat/workers/whisperx_worker.py` handles the audio
+    * leg; video frames were out of reference scope — this is a
+    * training-pipeline extension). */
+  object AviVideo {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def isAvi(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 12 &&
+        tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI "
+
+    /** Walk every chunk (recursing into LIST/RIFF) and hand
+      * (chunkId, payloadOffset, payloadLen) to `f`. Truncated or
+      * negative lengths end the walk instead of throwing — media
+      * blobs at corpus scale are routinely damaged. */
+    private def walk(bytes: Array[Byte], from: Int, to: Int)
+        (f: (String, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = tag(bytes, o)
+        val len = le32(bytes, o + 4)
+        if (len < 0 || o + 8 + len > to) return
+        if (id == "LIST" || id == "RIFF") {
+          if (len >= 4) walk(bytes, o + 12, o + 8 + len)(f)
+        } else f(id, o + 8, len)
+        o += 8 + len + (len & 1)
+      }
+    }
+
+    /** Main-header parse; None for non-AVI bytes. */
+    def info(bytes: Array[Byte]): Option[AviInfo] = {
+      if (!isAvi(bytes)) return None
+      var found: Option[AviInfo] = None
+      walk(bytes, 12, bytes.length) { (id, off, len) =>
+        if (id == "avih" && len >= 40 && found.isEmpty)
+          found = Some(AviInfo(le32(bytes, off + 32), le32(bytes, off + 36),
+            le32(bytes, off + 16), le32(bytes, off)))
+      }
+      found
+    }
+
+    /** Offsets+lengths of every video frame chunk (`NNdc`/`NNdb`) in
+      * stream order. */
+    private def frameChunks(bytes: Array[Byte]): Vector[(Int, Int)] = {
+      val out = Vector.newBuilder[(Int, Int)]
+      walk(bytes, 12, bytes.length) { (id, off, len) =>
+        val vid = id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+        if (vid && len > 0) out += ((off, len))
+      }
+      out.result()
+    }
+
+    /** `n` frames sampled evenly across the stream (first frame of
+      * each of n equal spans — deterministic, order-preserving);
+      * empty for non-AVI bytes or a frameless file. */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (!isAvi(bytes) || n <= 0) return Nil
+      val frames = frameChunks(bytes)
+      if (frames.isEmpty) return Nil
+      val take = math.min(n, frames.length)
+      (0 until take).map { i =>
+        val (off, len) = frames((i.toLong * frames.length / take).toInt)
+        java.util.Arrays.copyOfRange(bytes, off, off + len)
+      }
+    }
   }
 
   /** Parsed WAV header + content stats. */

@@ -67,6 +67,96 @@ class MultimodalCodecsSpec extends SparkTestBase {
     assert(MultimodalCodecs.WavAudio.info("RIFFjunk".getBytes).isEmpty)
   }
 
+  /** Solid-color JPEG frame (color identifies the frame index). */
+  private def jpegBytes(rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: RIFF('AVI ' LIST('hdrl' avih)
+    * LIST('movi' 00dc…)) with one JPEG per frame. */
+  private def aviBytes(frames: Seq[Array[Byte]], w: Int = 16,
+      h: Int = 8): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(id.getBytes("US-ASCII")); (0 until 4).foreach(i =>
+        b.write((payload.length >> (8 * i)) & 0xff))
+      b.write(payload)
+      if (payload.length % 2 == 1) b.write(0)
+      b.toByteArray
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ children)
+    val avih = new Array[Byte](56)
+    def put32(o: Int, v: Int): Unit =
+      (0 until 4).foreach(i => avih(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    put32(0, 33333); put32(16, frames.length); put32(32, w); put32(36, h)
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII")); le32(body.length)
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  test("AviVideo walks RIFF/AVI and samples MJPEG frames evenly") {
+    // 10 frames, red channel encodes the frame index
+    val frames = (0 until 10).map(i => jpegBytes((i * 25) << 16))
+    val avi = aviBytes(frames)
+    val info = MultimodalCodecs.AviVideo.info(avi).get
+    assert(info.width === 16 && info.height === 8)
+    assert(info.totalFrames === 10)
+    assert(math.abs(info.fps - 30.0) < 0.1)
+    // sample 5 of 10 → first frame of each 2-frame span: 0,2,4,6,8
+    val sampled = MultimodalCodecs.AviVideo.sampleFrames(avi, 5)
+    assert(sampled.length === 5)
+    val reds = sampled.map { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f))
+      (img.getRGB(8, 4) >> 16) & 0xff
+    }
+    // JPEG is lossy on exact values but a solid 16×8 block stays
+    // within a few counts of the encoded 25·i levels
+    val expected = Seq(0, 50, 100, 150, 200)
+    reds.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 8, s"got $got want $want")
+    }
+    // n > frames clamps; non-AVI bytes yield no frames
+    assert(MultimodalCodecs.AviVideo.sampleFrames(avi, 99).length === 10)
+    assert(MultimodalCodecs.AviVideo
+      .sampleFrames("not avi bytes".getBytes, 3).isEmpty)
+    // truncated container ends the walk instead of throwing
+    val cut = java.util.Arrays.copyOf(avi, avi.length / 2)
+    assert(MultimodalCodecs.AviVideo.sampleFrames(cut, 3).length <= 10)
+  }
+
+  test("sampleFrames explodes a real MJPEG AVI through the Spark op") {
+    import spark.implicits._
+    val avi = aviBytes((0 until 6).map(i => jpegBytes(i << 16)))
+    val media = Seq(
+      ("vid1", "video", avi, Map.empty[String, String]),
+      ("img1", "image", pngBytes(8, 8), Map.empty[String, String]))
+      .toDF("media_id", "kind", "bytes", "meta")
+    val out = Multimodal.sampleFrames(media,
+      MultimodalCodecs.JdkImageDecoder, 3).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getString(0) === "vid1"))
+    // each emitted frame is a decodable JPEG of the declared dims
+    out.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img.getWidth === 16 && img.getHeight === 8)
+    }
+  }
+
   test("decodeImages and decodeAudio drive the Spark pipeline with " +
       "real codecs") {
     import spark.implicits._
