@@ -48,6 +48,9 @@ object Multimodal {
     def features(bytes: Array[Byte], dim: Int): Array[Float]
     /** Sample `n` frame descriptors from a video payload. */
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** Re-encode the image scaled to w×h; None for undecodable
+      * bytes. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]]
   }
 
   /** Deterministic stand-in for the codec stack: dimensions and
@@ -83,6 +86,11 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
       (0 until n).map(i => Array[Byte](bytes((i * 7) % bytes.length),
         bytes((i * 13) % bytes.length)))
+    /** Deterministic fake: the target dims + a content hash, so the
+      * output is a pure function of (bytes, w, h). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      if (bytes == null || bytes.isEmpty) None
+      else Some(s"resized:${w}x$h:${mix(bytes, 29L)}".getBytes("UTF-8"))
   }
 
   /** Decode image dimensions per partition (the codec initializes once
@@ -139,6 +147,29 @@ object Multimodal {
         rows.flatMap { r =>
           decoder.sampleFrames(r.getAs[Array[Byte]](1), n)
             .zipWithIndex.map { case (f, i) => Row(r.getString(0), i, f) }
+        }
+      }(enc)
+  }
+
+  /** Image resize: bytes in, scaled re-encoded bytes out, ok=false
+    * passthrough for undecodable payloads (a vision-model preprocess
+    * stage; batch shape identical to [[decodeImages]]). */
+  def resizeImages(media: DataFrame, decoder: Decoder,
+      w: Int, h: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("bytes", BinaryType),
+      StructField("ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          decoder.resize(r.getAs[Array[Byte]](1), w, h) match {
+            case Some(b) => Row(r.getString(0), b, true)
+            case None => Row(r.getString(0), null, false)
+          }
         }
       }(enc)
   }

@@ -75,6 +75,29 @@ object MultimodalCodecs {
       if (frames.nonEmpty) frames
       else Multimodal.StubDecoder.sampleFrames(bytes, n)
     }
+
+    /** Real scale via Graphics2D (bilinear) + PNG re-encode — PNG so
+      * the resized bytes are deterministic (JPEG encoders may not
+      * be bit-stable across JDKs). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      if (bytes == null || bytes.isEmpty || w <= 0 || h <= 0) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return None
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      } catch { case _: Exception => None }
+    }
   }
 
   /** Parsed AVI main header (`avih`). */

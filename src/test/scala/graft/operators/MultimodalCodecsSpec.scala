@@ -157,6 +157,30 @@ class MultimodalCodecsSpec extends SparkTestBase {
     }
   }
 
+  test("resizeImages scales real images and passes bad bytes through " +
+      "as ok=false") {
+    import spark.implicits._
+    val media = Seq(
+      ("img1", "image", pngBytes(32, 16), Map.empty[String, String]),
+      ("bad1", "image", "garbage".getBytes, Map.empty[String, String]),
+      ("aud1", "audio", wavBytes(8000, 0.1), Map.empty[String, String]))
+      .toDF("media_id", "kind", "bytes", "meta")
+    val out = Multimodal.resizeImages(media,
+      MultimodalCodecs.JdkImageDecoder, 8, 8).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size === 2)                       // images only
+    assert(out("img1").getBoolean(2))
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out("img1").getAs[Array[Byte]](1)))
+    assert(resized.getWidth === 8 && resized.getHeight === 8)
+    assert(!out("bad1").getBoolean(2) && out("bad1").isNullAt(1))
+    // deterministic re-encode (PNG, not JPEG, for bit-stability)
+    val again = Multimodal.resizeImages(media,
+      MultimodalCodecs.JdkImageDecoder, 8, 8).collect()
+      .find(_.getString(0) == "img1").get.getAs[Array[Byte]](1)
+    assert(java.util.Arrays.equals(again, out("img1").getAs[Array[Byte]](1)))
+  }
+
   test("decodeImages and decodeAudio drive the Spark pipeline with " +
       "real codecs") {
     import spark.implicits._
