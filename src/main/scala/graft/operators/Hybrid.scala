@@ -39,11 +39,23 @@ object Hybrid {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = termFrequencies(corpus, idCol, textCol)
-    val docLen = corpus.select(col(idCol).as("doc"),
-      TextFunctions.tokenCount(col(textCol)).as("dl"))
-    val stats = corpus.agg(
-      count(lit(1)).as("n_docs"),
-      avg(TextFunctions.tokenCount(col(textCol))).as("avgdl"))
+    // Tokenize the corpus text ONCE: doc length, corpus stats, and
+    // document frequency all derive from the tf frame, whose groupBy
+    // exchange AQE materializes once and reuses across the three
+    // consumers — where independent tokenCount() branches would each
+    // re-scan and re-tokenize the full text (2 extra passes over the
+    // corpus at 100 TB). dl = Σ tf is integer-identical to
+    // size(split(text)) (split never yields an empty array), and the
+    // groupBy(doc) partial-aggregates (doc, tf) pairs map-side, so
+    // the extra shuffle carries no term strings. Null-text docs have
+    // no tf rows; the left join from corpus ids keeps them as null
+    // dl — exactly tokenCount's null — so n_docs and avgdl keep
+    // whole-corpus semantics.
+    val docLen = corpus.select(col(idCol).as("doc"))
+      .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
+        Seq("doc"), "left")
+    val stats = docLen.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
