@@ -159,7 +159,29 @@ object EventQueries {
         col("n"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** As-of join ([[graft.operators.AsOfJoin]]): every purchase gets
+    * the user's latest view at-or-before it (attribution lookup).
+    * One shuffle on user_id, no range-join pair blowup; ties at equal
+    * timestamps resolve to the greatest view event_id, so the result
+    * is deterministic and the oracle can state the same total order
+    * (`ORDER BY ts DESC, event_id DESC LIMIT 1`). */
+  def q64AsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.asOf(purchases, views,
+      keys = Seq("user_id"), timeCol = "ts", tieCol = "event_id",
+      payloadCols = Seq("ts", "value"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("asof_ts").as("last_view_ts"),
+        col("asof_value").as("last_view_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_asof_join" -> (q64AsOfJoin _),
     "q41_latest_event_per_user" -> (q41LatestEventPerUser _),
     "q42_phase_transitions" -> (q42PhaseTransitions _),
     "q46_sliding_windows" -> (q46SlidingWindows _),
@@ -175,6 +197,19 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q64_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        | (SELECT v.ts FROM v WHERE v.user_id = p.user_id
+        |    AND v.ts <= p.ts
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_ts,
+        | (SELECT v.value FROM v WHERE v.user_id = p.user_id
+        |    AND v.ts <= p.ts
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1)
+        |   AS last_view_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     "q60_event_pivot" ->
       """SELECT date_trunc('day', ts) AS day,
         | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
