@@ -180,7 +180,31 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Range join ([[graft.operators.RangeJoin]]): views in the hour
+    * strictly before each purchase, per user — bucketed equi-join on
+    * (user_id, time bucket), never a nested-loop inequality scan
+    * (PlanSpec2 pins it). Inner semantics: purchases with no view in
+    * the window don't appear. */
+  def q65RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("value"))
+    graft.operators.RangeJoin.rangeJoin(purchases, views,
+      keys = Seq("user_id"), probeUs = "t_us", buildUs = "t_us",
+      lowerUs = -3600000000L, upperUs = -1L,
+      payloadCols = Seq("value"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("views_1h"),
+        dsum(col("r_value"), 4).as("view_value_1h"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_range_join" -> (q65RangeJoin _),
     "q64_asof_join" -> (q64AsOfJoin _),
     "q41_latest_event_per_user" -> (q41LatestEventPerUser _),
     "q42_phase_transitions" -> (q42PhaseTransitions _),
@@ -197,6 +221,19 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q65_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, epoch_us(ts) AS t_us, value
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        | COUNT(*) AS views_1h,
+        | CAST(SUM(CAST(v.value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS view_value_1h
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.t_us BETWEEN p.t_us - 3600000000 AND p.t_us - 1
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
     "q64_asof_join" ->
       """WITH v AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'view')

@@ -15,4 +15,12 @@ class PlanSpec2 extends SparkTestBase {
     assert(!p.contains("size(split("),
       "corpus text is being re-tokenized outside the tf lineage")
   }
+
+  test("q65: the interval range join plans as an equi-join on " +
+      "(key, bucket) — never a nested-loop inequality scan") {
+    val p = SparkEntry.queries("q65_range_join")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
