@@ -203,7 +203,25 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Salted-join equivalence ([[graft.operators.Skew.saltedJoin]]):
+    * the skew-mitigation join must be value-identical to the plain
+    * equi-join — the salt only changes ROUTING (a hot key spreads
+    * over `salts` reducers), never the result. Oracle = the plain
+    * SQL join, so this is the correctness proof for the skew
+    * tooling. */
+  def q67SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val dim = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+    graft.operators.Skew.saltedJoin(
+      ev.select(col("event_id"), col("user_id")), dim,
+      key = "user_id", salts = 8)
+      .select(col("event_id"), col("user_id"), col("user_events"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_salted_join" -> (q67SaltedJoin _),
     "q65_range_join" -> (q65RangeJoin _),
     "q64_asof_join" -> (q64AsOfJoin _),
     "q41_latest_event_per_user" -> (q41LatestEventPerUser _),
@@ -221,6 +239,12 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q67_salted_join" ->
+      """WITH dim AS (SELECT user_id, COUNT(*) AS user_events
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, d.user_events
+        |FROM events e JOIN dim d USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
     "q65_range_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
         |           FROM events WHERE event_type = 'purchase'),

@@ -218,7 +218,36 @@ object TextQueries {
       bands = 6, maxHamming = 5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** TF-IDF top-3 terms per document — the vectorization step of a
+    * training-data pipeline (feature extraction for clustering /
+    * near-dup / relevance). One tokenization feeds both tf and df
+    * (same exchange-reuse shape as BM25); idf = ln(N/df) truncated at
+    * 9 decimals so libm-vs-DuckDB ulp drift cannot leak into the
+    * score (the q37 pattern); ties break alphabetically so top-3 is
+    * total-ordered. */
+  def q66TfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") *
+        (floor(log(col("n").cast("double") / col("df")) * 1e9) / 1e9))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("rnk"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_tfidf_topterms" -> (q66TfidfTopTerms _),
     "q54_chunk_counts" -> (q54ChunkCounts _),
     "q57_simhash_neardups" -> (q57SimhashNearDups _),
     "q55_quality_gate" -> (q55QualityGate _),
@@ -235,6 +264,21 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q66_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |  tf.tf * (FLOOR(LN(CAST(n.n AS DOUBLE) / df.df) * 1e9) / 1e9)
+        |    AS tfidf
+        | FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY tfidf DESC, term) AS rnk FROM scored)
+        |SELECT doc_id, term, rnk, tfidf FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     // Exhaustive Hamming-<=5 truth: the banded-LSH engine path must
     // find exactly these pairs (recall 1 by pigeonhole at bands=6).
     "q57_simhash_neardups" ->
