@@ -57,6 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       GraftExtensions.dotBuilder))
     ext.injectOptimizerRule(_ => CheapPredicatesFirst)
+    ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoin)
   }
 }
 
