@@ -193,4 +193,25 @@ object StreamingOps {
         if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(sessionUpdate(withTimeout))
   }
+
+  /** Streaming exact dedup — D2's streaming form for a continuous
+    * ingest feed: one output row per content hash, FIRST arrival
+    * wins, duplicates dropped across micro-batches. The dedup state
+    * is bounded by the event-time watermark (`delay`), which is the
+    * 100 TB-streaming essential: an unbounded seen-set would grow
+    * with the corpus, a watermark-bounded one grows with the stream's
+    * in-flight window. The documented consequence: a duplicate
+    * arriving after its original has aged past the watermark is
+    * re-emitted — the same at-least-once boundary the reference's
+    * seen-file Redis set has under TTL, resolved downstream by the
+    * idempotent-upsert dedup (D2 batch, `Dedup.exactDedup`). */
+  def streamingExactDedup(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, tsCol: String,
+      delay: String): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("content_md5",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_md5")
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Streaming exact dedup (D2's streaming form): first-wins across
+  * micro-batches, watermark-bounded state, agreement with the batch
+  * dedup on the distinct-content set. */
+class StreamingDedupSpec extends SparkTestBase {
+
+  private def ts(minute: Int) =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("one row per content hash, duplicates dropped across " +
+      "micro-batches, first arrival wins") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDS()
+      .toDF("doc_id", "text", "event_ts")
+    val q = StreamingOps.streamingExactDedup(docs, "text", "event_ts",
+        delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    input.addData((1L, "alpha", ts(0)), (2L, "alpha", ts(1)),
+      (3L, "beta", ts(1)))
+    q.processAllAvailable()
+    // same-batch duplicate collapsed
+    val b1 = spark.table("dedup_out").select("doc_id", "text")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(b1.map(_._2).sorted === Seq("alpha", "beta"))
+    assert(b1.contains((1L, "alpha")), "first arrival must win")
+
+    // cross-batch duplicate dropped while state is inside the
+    // watermark window
+    input.addData((4L, "alpha", ts(2)), (5L, "gamma", ts(2)))
+    q.processAllAvailable()
+    val b2 = spark.table("dedup_out").select("text")
+      .as[String].collect().sorted.toSeq
+    assert(b2 === Seq("alpha", "beta", "gamma"))
+    q.stop()
+
+    // batch agreement: the streamed distinct-content hash set equals
+    // the batch exact dedup's on the same rows
+    val streamedHashes = spark.table("dedup_out").select("content_md5")
+      .as[String].collect().sorted.toSeq
+    val batch = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"),
+      (4L, "alpha"), (5L, "gamma")).toDF("doc_id", "text")
+    val batchHashes = graft.operators.Dedup
+      .exactDedup(batch, "doc_id", "text")
+      .select("content_hash").as[String].collect().sorted.toSeq
+    assert(batchHashes === streamedHashes)
+  }
+
+  test("state is watermark-bounded: content re-emits once its " +
+      "original has aged out (the documented at-least-once boundary)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDS().toDF("doc_id", "text", "event_ts")
+    val q = StreamingOps.streamingExactDedup(docs, "text", "event_ts",
+        delay = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode("append").start()
+
+    input.addData((1L, "alpha", ts(0)))
+    q.processAllAvailable()
+    // advance event time far past the watermark delay so the alpha
+    // state expires, then replay the same content
+    input.addData((2L, "filler", ts(30)))
+    q.processAllAvailable()
+    input.addData((3L, "alpha", ts(31)))
+    q.processAllAvailable()
+    val out = spark.table("dedup_ttl_out").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(out === Seq(1L, 2L, 3L),
+      "expired state must re-admit the content (bounded state, " +
+        "at-least-once)")
+    q.stop()
+  }
+}
