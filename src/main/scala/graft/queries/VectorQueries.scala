@@ -106,7 +106,36 @@ object VectorQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the
+    * storage-compression step of an embedding pipeline (4× smaller
+    * vectors; brute-force scans read a quarter of the bytes).
+    * Per-vector scale = max|x|/127; every arithmetic step is a
+    * deterministic elementwise double op (round-half-away matches
+    * DuckDB), so the whole transform is value-checked: quantized
+    * checksum (exact integer sum) + max reconstruction error. */
+  def q68EmbeddingQuant(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    emb
+      .withColumn("scale",
+        aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x)))
+          / 127.0)
+      .withColumn("q_checksum",
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          aggregate(transform(col("e"),
+            x => round(x / col("scale")).cast("long")),
+            lit(0L), (a, x) => a + x)))
+      .withColumn("max_err",
+        when(col("scale") === 0.0, lit(0.0)).otherwise(
+          array_max(transform(col("e"),
+            x => abs(x - round(x / col("scale")) * col("scale"))))))
+      .select(col("vec_id"), col("scale"), col("q_checksum"),
+        col("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_embedding_quant" -> (q68EmbeddingQuant _),
     "q43_ann_ivf" -> (q43AnnIvf _),
     "q58_embedding_neardups" -> (q58EmbeddingNearDups _),
     "q31_knn_bruteforce" -> (q31KnnBruteForce _),
@@ -116,6 +145,23 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q68_embedding_quant" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  list_reduce(list_transform(e, x -> abs(x)),
+        |    (a, x) -> CASE WHEN x > a THEN x ELSE a END) / 127.0
+        |    AS scale FROM v)
+        |SELECT vec_id, scale,
+        | CASE WHEN scale = 0 THEN 0 ELSE
+        |  list_reduce(list_transform(e,
+        |    x -> CAST(round(x / scale) AS BIGINT)), (a, x) -> a + x)
+        | END AS q_checksum,
+        | CASE WHEN scale = 0 THEN 0.0 ELSE
+        |  list_max(list_transform(e,
+        |    x -> abs(x - round(x / scale) * scale)))
+        | END AS max_err
+        |FROM s ORDER BY vec_id""".stripMargin,
     // The IVF computation is deterministic relational algebra
     // (label-mean centroids via order-fixed folds, coarse assignment
     // windows, cell join, ranked fine scan) — so although its RECALL
