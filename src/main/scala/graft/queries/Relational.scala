@@ -9,11 +9,14 @@ import Tables._
   * semi / anti), windows, rollup, top-k, set ops — over the TPC-H-ish
   * testdata. Each query has a DuckDB oracle in [[oracle]].
   *
-  * Scale notes (100 TB posture): dimension tables (region, nation,
-  * supplier, part, customer at small SF) are broadcast explicitly; fact-
-  * fact joins shuffle on their keys and rely on AQE; every group-by runs
-  * partial aggregation map-side because measures are plain Catalyst
-  * aggregates. No driver-side collects anywhere.
+  * Scale notes (100 TB posture): only FIXED-size dimensions (region 5
+  * rows, nation 25) are broadcast explicitly — customer/part/supplier
+  * scale with SF, so their join strategy is AQE's call (broadcast
+  * while under the threshold, shuffle join beyond; a forced hint
+  * would OOM a 1000-executor job). Fact-fact joins shuffle on their
+  * keys; every group-by runs partial aggregation map-side because
+  * measures are plain Catalyst aggregates. No driver-side collects
+  * anywhere.
   */
 object Relational {
 
@@ -36,10 +39,12 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** Broadcast join lineitem ⋈ part + top-N revenue per brand (A7/T4). */
+  /** lineitem ⋈ part + top-N revenue per brand (A7/T4). part scales
+    * with SF, so no forced broadcast — AQE broadcasts while it fits
+    * the threshold and falls back to a shuffle join at scale. */
   def q02TopBrandRevenue(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
@@ -48,10 +53,11 @@ object Relational {
       .orderBy(desc("revenue"), col("p_brand"))
       .limit(20)
 
-  /** orders ⋈ customer (broadcast dim) grouped by market segment. */
+  /** orders ⋈ customer grouped by market segment (customer scales
+    * with SF — join strategy left to AQE, see q02). */
   def q03SegmentOrders(s: SparkSession, d: String): DataFrame =
     orders(s, d)
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -61,12 +67,13 @@ object Relational {
 
   /** 5-way join through the dimension chain (TPC-H Q5 analog):
     * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, revenue by nation.
-    * All dims broadcast; the single shuffle is lineitem⋈orders on
-    * orderkey (AQE-coalesced). */
+    * Fixed-size dims (nation 25, region 5) broadcast explicitly;
+    * customer scales with SF so its strategy is AQE's call. The big
+    * shuffle is lineitem⋈orders on orderkey (AQE-coalesced). */
   def q04RevenueByNation(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -251,7 +258,7 @@ object Relational {
   def q52ReturnedRevenue(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
         .as("revenue"), count(lit(1)).as("n_items"))
@@ -263,7 +270,7 @@ object Relational {
     * evaluate post-join). */
   def q53BracketRevenue(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
           && col("l_quantity").between(1, 11)) ||
