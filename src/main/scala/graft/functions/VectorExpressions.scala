@@ -78,3 +78,55 @@ case class DotF64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): DotF64 = copy(left = l, right = r)
 }
+
+/** Codegen'd integer dot product over two BINARY columns holding
+  * packed int8 vectors (one signed byte per component — the
+  * [[graft.operators.SimilaritySearch.quantize]] layout). The scan
+  * kernel of quantized similarity search: 4× less memory traffic
+  * than float arrays, exact integer accumulation (a 64-dim int8 dot
+  * tops out at ~10^6, nowhere near int overflow; LongType result
+  * keeps even 10^5-dim vectors exact). */
+case class DotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_i8 requires BINARY inputs, got " +
+          s"${left.dataType} / ${right.dataType}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DotI8 = copy(left = l, right = r)
+}

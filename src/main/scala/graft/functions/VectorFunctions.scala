@@ -28,6 +28,12 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dotF64(a, a))
 
+  /** Exact integer dot product over packed-int8 BINARY vectors —
+    * codegen'd [[DotI8]] (the quantized-search scan kernel). */
+  def dotI8(a: Column, b: Column): Column =
+    ColumnBridge.column(DotI8(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Cosine similarity = dot / (|a|·|b|). On pre-normalized embeddings
     * this reduces to the dot product (reference normalizes at embed
     * time, `utils/llm_setup.py:88-89`). */

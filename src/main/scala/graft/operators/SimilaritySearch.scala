@@ -91,6 +91,68 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Packed-int8 form of a vector: one signed byte per component
+    * ([[graft.functions.DotI8]]'s layout), per-vector symmetric scale
+    * = max|x|/127, integer L2 norm of the quantized components. */
+  case class QuantVec(qvec: Array[Byte], scale: Double, qnorm: Double)
+
+  private val quantizeUdf = udf { (vec: Array[Double]) =>
+    var mx = 0.0
+    var i = 0
+    while (i < vec.length) {
+      val a = math.abs(vec(i)); if (a > mx) mx = a; i += 1
+    }
+    val scale = mx / 127.0
+    val q = new Array[Byte](vec.length)
+    var ss = 0L
+    if (scale > 0) {
+      i = 0
+      while (i < vec.length) {
+        val r = Math.round(vec(i) / scale)
+        val c = if (r > 127) 127L else if (r < -127) -127L else r
+        q(i) = c.toByte
+        ss += c * c
+        i += 1
+      }
+    }
+    QuantVec(q, scale, math.sqrt(ss.toDouble))
+  }
+
+  /** Symmetric int8 quantization of `vecCol`: (id, qvec BINARY,
+    * scale, qnorm). 4× smaller than float32 — the storage/bandwidth
+    * form for brute-force scans over a corpus that no longer needs
+    * exact floats (q68 value-checks the same arithmetic). */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        quantizeUdf(col(vecCol).cast("array<double>")).as("_q"))
+      .select(col(idCol), col("_q.qvec").as("qvec"),
+        col("_q.scale").as("scale"), col("_q.qnorm").as("qnorm"))
+
+  /** Brute-force top-k over int8-quantized vectors: the scan reads a
+    * quarter of the bytes and the per-pair kernel is the exact
+    * integer [[graft.functions.DotI8]]; scores are the quantized
+    * vectors' cosine (per-vector scales cancel). Same bounded-heap
+    * shuffle shape as [[bruteForceTopKHeap]]. Recall vs the float
+    * scan is bounded by the quantization error (SimilaritySpec
+    * measures it on the embeddings corpus). */
+  def quantizedTopK(queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = quantize(queries, queryIdCol, vecCol)
+      .select(col(queryIdCol).as("qid"), col("qvec").as("q_qvec"),
+        col("qnorm").as("q_qnorm"))
+    val c = quantize(corpus, corpusIdCol, vecCol)
+      .select(col(corpusIdCol).as("id"), col("qvec").as("c_qvec"),
+        col("qnorm").as("c_qnorm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_qnorm") > 0 && col("c_qnorm") > 0)
+      .withColumn("score",
+        dotI8(col("q_qvec"), col("c_qvec")).cast("double")
+          / (col("q_qnorm") * col("c_qnorm")))
+      .select(col("qid"), col("id"), col("score"))
+    TopK.perQuery(scored, k)
+  }
+
   /** Deterministic Rademacher hyperplane sign: ±1 from the first hex
     * digit of md5("b_j") — reproducible in any engine that has md5
     * (the DuckDB oracle recomputes the identical matrix in SQL). */

@@ -134,4 +134,53 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.5, s"IVF recall $recall too low")
   }
 
+  test("DotI8 matches exact integer math and stays in codegen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 50).map { i =>
+      val a = Array.fill(96)((rnd.nextInt(255) - 127).toByte)
+      val b = Array.fill(96)((rnd.nextInt(255) - 127).toByte)
+      (i, a, b)
+    }
+    val got = rows.toDF("i", "a", "b")
+      .select(col("i"), VectorFunctions.dotI8(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (i, a, b) =>
+      val want = a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+      assert(got(i) === want, s"row $i")
+    }
+  }
+
+  test("quantize: scale recovers magnitudes, components clamp to " +
+      "[-127,127], deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5, -1.0, 0.25, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0))).toDF("id", "vec")
+    val q = SimilaritySearch.quantize(df, "id", "vec")
+      .orderBy("id").collect()
+    val (qv, scale) = (q(0).getAs[Array[Byte]](1), q(0).getDouble(2))
+    assert(qv.toSeq === Seq[Byte](64, -127, 32, 0))
+    assert(math.abs(scale - 1.0 / 127.0) < 1e-15)
+    // all-zero vector: scale 0, zero norm, never NaN
+    assert(q(1).getDouble(2) === 0.0 && q(1).getDouble(3) === 0.0)
+    val again = SimilaritySearch.quantize(df, "id", "vec")
+      .orderBy("id").collect()
+    assert(again(0).getAs[Array[Byte]](1).toSeq === qv.toSeq)
+  }
+
+  test("quantizedTopK recall@10 vs the float scan is high on the " +
+      "embeddings corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = SimilaritySearch.bruteForceTopK(
+      queries, "vec_id", emb, "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilaritySearch.quantizedTopK(
+      queries, "vec_id", emb, "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall@10 $recall below 0.9")
+  }
 }
