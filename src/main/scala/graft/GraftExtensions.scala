@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{And, Expression, ExpressionInfo, PredicateHelper, ScalaUDF}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{DotF64, Murmur3Seed}
+import graft.functions.{DotF64, DotI8, Murmur3Seed}
 
 /** Optimizer rule (SURVEY §4 item 3): within a Filter's conjunction,
   * evaluate cheap codegen-able predicates BEFORE ScalaUDF-bearing
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotI8].getName, "dot_i8"),
+      GraftExtensions.dotI8Builder))
     ext.injectOptimizerRule(_ => CheapPredicatesFirst)
     ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoin)
   }
@@ -73,6 +77,10 @@ object GraftExtensions {
     case Seq(a, b) => DotF64(a, b)
     case _ => throw new IllegalArgumentException("dot_f64(a, b)")
   }
+  private[graft] val dotI8Builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotI8(a, b)
+    case _ => throw new IllegalArgumentException("dot_i8(a, b)")
+  }
 
   /** Register on an already-running session (getOrCreate ignores
     * builder extensions when a session exists). */
@@ -81,5 +89,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_murmur3", murmur3Builder,
       "scala_udf")
     reg.createOrReplaceTempFunction("dot_f64", dotBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("dot_i8", dotI8Builder, "scala_udf")
   }
 }

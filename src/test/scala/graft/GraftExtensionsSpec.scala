@@ -16,6 +16,13 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getDouble(2) === 11.0)
   }
 
+  test("dot_i8 usable from spark.sql over binary literals") {
+    GraftExtensions.register(spark)
+    // X'027F81' = [2, 127, -127]; dot with itself = 4 + 16129 + 16129
+    val r = spark.sql("SELECT dot_i8(X'027F81', X'027F81') AS d").head()
+    assert(r.getLong(0) === 32262L)
+  }
+
   test("seeded murmur3 matches SMHasher vector via SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(
