@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, SimilaritySearch}
 
 /** Scaling benchmark: banded-LSH near-dup mining vs the exhaustive
   * pair scans at 1×/2×/4× the sf0.1 corpus, to separate fixed stage
@@ -60,7 +60,39 @@ object ScaleBench {
       val docs = scaledDocs(spark, sfDir, k).persist()
       val emb = scaledEmbeddings(spark, sfDir, k).persist()
       docs.count(); emb.count() // materialize outside the timings
+      // events replicas: shift each replica by r days so the stream
+      // grows in span as well as volume (time-join state stays local)
+      val events = {
+        val base = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t_us"), col("value"))
+        (0 until k).map(r =>
+          base.select((col("event_id") + lit(r * 10000000L)).as("event_id"),
+            col("user_id"), col("event_type"),
+            (col("t_us") + lit(r * 86400000000L)).as("t_us"),
+            col("value"))).reduce(_ unionByName _)
+      }.persist()
+      events.count()
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val views = events.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("value"))
       val runs: Seq[(String, () => Long)] = Seq(
+        "asof_join" -> (() =>
+          AsOfJoin.asOf(purchases, views, Seq("user_id"), "t_us",
+            "event_id", Seq("t_us", "value")).count()),
+        "range_join_1h" -> (() =>
+          RangeJoin.rangeJoin(purchases, views, Seq("user_id"),
+            "t_us", "t_us", -3600000000L, -1L, Seq("value")).count()),
+        "knn_float_heap" -> (() =>
+          SimilaritySearch.bruteForceTopKHeap(
+            emb.limit(50), "vec_id", emb, "vec_id", "embedding",
+            k = 10).count()),
+        "knn_int8_heap" -> (() =>
+          SimilaritySearch.quantizedTopK(
+            emb.limit(50), "vec_id", emb, "vec_id", "embedding",
+            k = 10).count()),
         "simhash_exhaustive_tiled" -> (() =>
           graft.queries.TextQueries.simhashPairsOver(docs).count()),
         "simhash_banded" -> (() =>
@@ -77,7 +109,7 @@ object ScaleBench {
         val (sec, rows) = time(run())
         println(s"""{"bench":"$name","k":$k,"sec":$sec,"rows":$rows}""")
       }
-      docs.unpersist(); emb.unpersist()
+      docs.unpersist(); emb.unpersist(); events.unpersist()
     }
     spark.stop()
   }
