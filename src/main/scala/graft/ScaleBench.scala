@@ -63,7 +63,7 @@ object ScaleBench {
       // events replicas: shift each replica by r days so the stream
       // grows in span as well as volume (time-join state stays local)
       val events = {
-        val base = spark.read.parquet(s"$sfDir/events.parquet")
+        val base = graft.queries.Tables.events(spark, sfDir)
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("t_us"), col("value"))
         (0 until k).map(r =>

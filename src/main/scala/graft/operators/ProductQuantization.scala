@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Product quantization (PQ) for ANN search — the vector-compression
+  * extension of the retrieval surface (reference cosine top-k:
+  * `services/database.py:202-236`; PQ itself is the standard
+  * compressed-domain ANN scheme of Jégou/Douze/Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * The vector is split into `m` subspaces; each subspace is quantized
+  * to one of K codewords, so a d-dim float64 vector becomes m small
+  * codes (here m=8, K=#labels=8 → 8 bytes vs 640: 80× compression).
+  * Search runs in the compressed domain via ADC (asymmetric distance
+  * computation): each query precomputes an m×K table of
+  * subspace-dot-products against the codebooks, and scoring a corpus
+  * vector is m table lookups + adds — no float vector is ever read.
+  *
+  * Scale design: codebooks and per-query tables are tiny and
+  * broadcast; the corpus keeps only (id, codes) — 80× less shuffle
+  * and scan width than the raw floats — and the scan reuses the
+  * bounded-heap [[TopK]] shuffle (k rows per partition per query).
+  * At 100 TB this is the difference between scanning 100 TB and
+  * scanning 1.25 TB of codes.
+  *
+  * Determinism/oracle notes: codebooks are per-label subvector means
+  * via the order-fixed fold (q32 pattern — fold over vec_id order);
+  * code assignment breaks distance ties on the lower code; the ADC
+  * sum folds subspaces in ascending order. Every step is therefore
+  * bit-reproducible in DuckDB SQL (q72's oracle).
+  */
+object ProductQuantization {
+
+  /** Per-(sub, code, cw) codebooks: codeword `code` of subspace `sub`
+    * is the order-fixed mean of that label's subvectors. `code` is
+    * the 0-based rank of the label (deterministic). */
+  def codebooks(df: DataFrame, labelCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    val sv = subvectors(df.select(col(labelCol).as("label"),
+      col("vec_id"), col(vecCol).cast("array<double>").as("v")), "v", m)
+    val means = sv
+      .select(col("label"), col("vec_id"), col("sub"),
+        posexplode(col("sv")))
+      .groupBy(col("label"), col("sub"), col("pos"))
+      .agg(
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("col")))),
+            x => x.getField("col")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("mval"))
+      .groupBy(col("label"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+        x => x.getField("mval")).as("cw"))
+    val codes = df.select(col(labelCol).as("label")).distinct()
+      .withColumn("code",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("label"))) - 1))
+    means.join(broadcast(codes), "label")
+      .select(col("sub"), col("code"), col("cw"))
+  }
+
+  /** (id, sub, sv): the m per-subspace slices of `vecCol`. */
+  private def subvectors(df: DataFrame, vecCol: String,
+      m: Int): DataFrame = {
+    val dsub = (size(col(vecCol)) / m).cast("int")
+    df.select(df.columns.map(col) :+
+        explode(sequence(lit(0), lit(m - 1))).as("sub"): _*)
+      .withColumn("sv", slice(col(vecCol), col("sub") * dsub + 1, dsub))
+      .drop(vecCol)
+  }
+
+  /** Encode each corpus vector to its m nearest-codeword codes
+    * (squared-L2 per subspace; ties take the lower code). Output
+    * (id, codes ARRAY<INT> ordered by sub). */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, m: Int): DataFrame =
+    subvectors(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")), "v", m)
+      .join(broadcast(cb), "sub")
+      .withColumn("dist2",
+        dotF64(col("sv"), col("sv"))
+          - lit(2.0) * dotF64(col("sv"), col("cw"))
+          + dotF64(col("cw"), col("cw")))
+      // min(struct) = argmin with lower-code tie-break, computed with
+      // map-side partial aggregation (no per-(id,sub) window sort)
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("dist2"), col("code"))).getField("code")
+        .as("code"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** ADC top-k: rank corpus rows by the compressed-domain inner
+    * product sum_j table[j][codes_j]. `kCodes` = K (codewords per
+    * subspace). Output (qid, cid, score, rnk). */
+  def adcTopK(queries: DataFrame, queryIdCol: String,
+      encoded: DataFrame, cb: DataFrame, vecCol: String,
+      m: Int, kCodes: Int, k: Int): DataFrame = {
+    val tables = subvectors(queries.select(col(queryIdCol).as("qid"),
+        col(vecCol).cast("array<double>").as("v")), "v", m)
+      .join(broadcast(cb), "sub")
+      .withColumn("t", dotF64(col("sv"), col("cw")))
+      .groupBy(col("qid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("t")))),
+        x => x.getField("t")).as("tbl"))
+    val scored = encoded.crossJoin(broadcast(tables))
+      .withColumn("score",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, j) => element_at(col("tbl"), j * kCodes + c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("qid"), col("id"), col("score"))
+    TopK.perQuery(scored, k)
+  }
+}

@@ -296,7 +296,87 @@ object Relational {
         expr("percentile(o_totalprice, 0.95D)").as("p95"))
       .orderBy(col("o_orderstatus"))
 
+  /** TPC-H Q21 analog (waiting suppliers): suppliers that were the
+    * ONLY supplier with a returned line on a finished multi-supplier
+    * order — the double-correlated EXISTS + NOT-EXISTS shape. (The
+    * testdata has no commit/receipt dates, so "kept the order
+    * waiting" becomes "was the sole returner"; the join/decorrelation
+    * structure is identical.) Spark-first: both correlated
+    * subqueries become semi/anti hash joins on `l_orderkey` with the
+    * supplier inequality as a residual filter — no per-row subquery
+    * execution anywhere. */
+  def q69WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1
+      .join(l2, col("l_orderkey") === col("k2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q2 analog (min-cost supplier): the testdata has no
+    * partsupp table, so supply cost is derived — per (part, supplier)
+    * the minimum observed unit price in lineitem — and each small
+    * part is matched to the supplier(s) achieving its global minimum
+    * cost (the correlated-scalar-MIN shape; Catalyst decorrelates the
+    * oracle's subquery into exactly the per-part min-join written
+    * here). MIN of identical per-row IEEE doubles is
+    * order-insensitive, so no decimal cast is needed. */
+  def q70MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val cost = lineitem(s, d).filter(col("l_quantity") > 0)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(col("l_extendedprice") / col("l_quantity"))
+        .as("unit_cost"))
+    val best = cost.groupBy(col("pk").as("bpk"))
+      .agg(min(col("unit_cost")).as("best_cost"))
+    part(s, d).filter(col("p_size") < 10)
+      .join(cost, col("p_partkey") === col("pk"))
+      .join(best, col("pk") === col("bpk") &&
+        col("unit_cost") === col("best_cost"))
+      .join(supplier(s, d), col("sk") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("s_acctbal"), col("unit_cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  /** TPC-H Q22 analog (rich inactive customers): global scalar
+    * subquery (average positive balance) + NOT EXISTS anti-join +
+    * per-nation aggregate. "Inactive" = no URGENT order (the plain
+    * no-orders predicate is empty at sf0.001 — same decorrelated
+    * shape, anti side pre-filtered). The scalar is one broadcast row;
+    * the anti join hashes on `o_custkey` — both decorrelation-free
+    * shapes at any scale. */
+  def q71RichInactiveCustomers(s: SparkSession, d: String): DataFrame = {
+    val avgBal = customer(s, d).filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    customer(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_waiting_suppliers" -> (q69WaitingSuppliers _),
+    "q70_min_cost_supplier" -> (q70MinCostSupplier _),
+    "q71_rich_inactive_customers" -> (q71RichInactiveCustomers _),
     "q47_orders_cube" -> (q47OrdersCube _),
     "q48_order_lists" -> (q48OrderLists _),
     "q50_small_qty_revenue" -> (q50SmallQtyRevenue _),
@@ -322,6 +402,47 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q69_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q70_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_name, s_acctbal, unit_cost
+        |FROM part
+        | JOIN cost ON p_partkey = pk
+        | JOIN supplier ON sk = s_suppkey
+        |WHERE p_size < 10
+        |  AND unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+        |                   WHERE c2.pk = p_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q71_rich_inactive_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |     / COUNT(c_acctbal)
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q62_price_percentiles" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | quantile_cont(o_totalprice, 0.25) AS p25,

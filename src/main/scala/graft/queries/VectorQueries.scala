@@ -134,7 +134,28 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Product-quantization ANN ([[graft.operators.ProductQuantization]]):
+    * per-label codebooks over m=8 subspaces, corpus encoded to 8
+    * codes, ADC top-5 per query in the compressed domain. Like q43,
+    * the RECALL is approximate (q31 is the exact oracle of record)
+    * but every arithmetic step is deterministic relational algebra,
+    * so the OUTPUT is value-exact against DuckDB recomputing the
+    * same codebooks, assignments, and table-lookup sums. */
+  def q72AnnPq(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ProductQuantization
+    val emb = embeddings(s, d)
+    val m = 8
+    val cb = ProductQuantization.codebooks(emb, "label", "embedding", m)
+    val kCodes = cb.agg(max(col("code"))).head.getInt(0) + 1
+    val enc = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m)
+    ProductQuantization.adcTopK(
+      emb.filter(col("vec_id") < 10), "vec_id",
+      enc, cb, "embedding", m, kCodes, k = 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_ann_pq" -> (q72AnnPq _),
     "q68_embedding_quant" -> (q68EmbeddingQuant _),
     "q43_ann_ivf" -> (q43AnnIvf _),
     "q58_embedding_neardups" -> (q58EmbeddingNearDups _),
@@ -145,6 +166,59 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Recomputes the PQ pipeline relationally: label-rank codes,
+    // order-fixed-fold codebook means, argmin assignment with
+    // lower-code tie-break, and the ADC score as the sub-ordered fold
+    // of table lookups (the (sub,code) join picks exactly the
+    // corpus row's table entry per subspace).
+    "q72_ann_pq" ->
+      """WITH params AS (
+        |  SELECT MIN(len(embedding)) // 8 AS dsub FROM embeddings),
+        |lab AS (SELECT label, ROW_NUMBER() OVER (ORDER BY label) - 1
+        |    AS code FROM (SELECT DISTINCT label FROM embeddings)),
+        |elems AS (
+        |  SELECT label, vec_id,
+        |    (generate_subscripts(embedding, 1) - 1) // dsub AS sub,
+        |    (generate_subscripts(embedding, 1) - 1) % dsub AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings, params),
+        |cbm AS (
+        |  SELECT label, sub, pos,
+        |    list_reduce(list_concat([0.0e0], list(x ORDER BY vec_id)),
+        |      (a, b) -> a + b) / COUNT(*) AS mval
+        |  FROM elems GROUP BY 1, 2, 3),
+        |cb AS (
+        |  SELECT code, sub, list(mval ORDER BY pos) AS cw
+        |  FROM cbm JOIN lab USING (label) GROUP BY 1, 2),
+        |sv AS (
+        |  SELECT vec_id, sub, list(x ORDER BY pos) AS sv
+        |  FROM elems GROUP BY 1, 2),
+        |enc AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT s.vec_id, s.sub, c.code, ROW_NUMBER() OVER (
+        |      PARTITION BY s.vec_id, s.sub ORDER BY
+        |        list_dot_product(s.sv, s.sv)
+        |          - 2 * list_dot_product(s.sv, c.cw)
+        |          + list_dot_product(c.cw, c.cw), c.code) AS r
+        |    FROM sv s JOIN cb c USING (sub)) WHERE r = 1),
+        |qt AS (
+        |  SELECT s.vec_id AS qid, s.sub, c.code,
+        |    list_dot_product(s.sv, c.cw) AS t
+        |  FROM sv s JOIN cb c USING (sub) WHERE s.vec_id < 10),
+        |contrib AS (
+        |  SELECT q.qid, e.vec_id AS cid, q.sub, q.t
+        |  FROM qt q JOIN enc e ON q.sub = e.sub AND q.code = e.code),
+        |score AS (
+        |  SELECT qid, cid,
+        |    list_reduce(list_concat([0.0e0], list(t ORDER BY sub)),
+        |      (a, b) -> a + b) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, cid, score, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+        |  FROM score)
+        |SELECT qid, cid, score, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "q68_embedding_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings),
