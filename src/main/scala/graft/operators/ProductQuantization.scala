@@ -35,7 +35,15 @@ object ProductQuantization {
 
   /** Per-(sub, code, cw) codebooks: codeword `code` of subspace `sub`
     * is the order-fixed mean of that label's subvectors. `code` is
-    * the 0-based rank of the label (deterministic). */
+    * the 0-based rank of the label (deterministic).
+    *
+    * Scale note: the order-fixed fold (collect per group, fold in
+    * vec_id order) exists for bit-reproducibility against the DuckDB
+    * oracle; a production 100 TB training run should use plain
+    * `avg(x)` per (label, sub, pos) — partial-aggregating, no
+    * per-group list — since codebooks don't need cross-engine bit
+    * parity, only the encode/scan path does. Training may also
+    * sample: PQ codebooks converge on a small fraction of the corpus. */
   def codebooks(df: DataFrame, labelCol: String, vecCol: String,
       m: Int): DataFrame = {
     val sv = subvectors(df.select(col(labelCol).as("label"),

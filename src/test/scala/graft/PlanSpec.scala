@@ -65,4 +65,29 @@ class PlanSpec extends SparkTestBase {
   test("q28: no cartesian product anywhere in the dedup plan") {
     assert(!plan("q28_jaccard_pairs").contains("CartesianProduct"))
   }
+
+  test("q69: correlated EXISTS/NOT-EXISTS decorrelate to hash " +
+      "semi/anti joins, never a nested-loop subquery") {
+    // static plan: the semi/anti joins have an equi-key
+    // (l_orderkey) with the supplier inequality as a residual, so
+    // they must never degrade to BNLJ/cartesian even off-AQE
+    val p = SparkEntry.queries("q69_waiting_suppliers")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q72: the only nested-loop surface is corpus x broadcast " +
+      "(query tables); encode/codebook joins are hash joins") {
+    val p = plan("q72_ann_pq")
+    assert(!p.contains("CartesianProduct"))
+    // ADC scan: corpus stays partitioned, the per-query lookup
+    // tables broadcast (like q31's compute surface)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    // bounded-heap top-k shape survives
+    assert(p.contains("ObjectHashAggregate"))
+  }
 }
