@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines (builder
+  * brief: the operations a large-scale training-data pipeline needs
+  * beyond the reference's own surface — train/val/test assignment is
+  * the step between dedup/quality-gating and the trainer).
+  *
+  * Split assignment must be (a) deterministic across runs and engines
+  * — a re-run of the pipeline must put every document in the same
+  * split, or eval sets silently contaminate; (b) a pure per-row
+  * function of a stable key — never `rand()`, never row order, never
+  * partition id; (c) leakage-aware — near-duplicate documents must
+  * co-travel to one split, or the val set contains paraphrases of
+  * train rows ("split leakage", the standard LLM-eval failure).
+  *
+  * The bucket hash is the md5-prefix trick (same device as the
+  * simhash oracle): bucket = uint(md5("split:" || key)[0:8]) mod
+  * 10000 — built from engine-portable native functions (codegen'd in
+  * Spark, reproducible in any engine with md5, which is how the
+  * DuckDB oracle value-checks q73/q74).
+  *
+  * Scale: per-row hash + chained `when` — no shuffle, no UDF, fully
+  * codegen. The cluster-aware variant adds one hash join against the
+  * (small) component map from [[Dedup.connectedComponents]].
+  */
+object Split {
+
+  val Buckets = 10000
+
+  /** Deterministic bucket in [0, [[Buckets]]) from a stable key. */
+  def splitBucket(key: Column): Column =
+    (conv(substring(md5(concat(lit("split:"), key.cast("string"))), 1, 8),
+      16, 10).cast("long") % Buckets).cast("int")
+
+  /** `split` label from cumulative weight thresholds, e.g.
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Weights are
+    * proportions of the 10000-bucket space (floored cumulatively, so
+    * every bucket maps to exactly one split). */
+  def splitLabel(key: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val b = splitBucket(key)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * Buckets).toLong)
+    weights.zip(cuts).dropRight(1)
+      .foldRight(lit(weights.last._1)) { case (((name, _), cut), elseCol) =>
+        when(b < cut, lit(name)).otherwise(elseCol)
+      }
+  }
+
+  /** Adds a `split` column keyed on `keyCol`. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitLabel(col(keyCol), weights))
+
+  /** Leakage-aware split: rows whose keys are connected by `pairs`
+    * (id_a, id_b — e.g. near-dup candidates from
+    * [[Dedup.simhashNearDups]] or [[SimilaritySearch.cosineNearDupsBanded]])
+    * share the split of their component's minimum key, so a document
+    * and its near-duplicates can never straddle train/val. Adds
+    * `root` (the component representative — the row's own key for
+    * singletons) and `split`. */
+  def clusterAwareSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id").as("_ca_id"), col("comp").as("_ca_comp"))
+    df.join(comps, col(keyCol) === col("_ca_id"), "left")
+      .withColumn("root", coalesce(col("_ca_comp"), col(keyCol)))
+      .drop("_ca_id", "_ca_comp")
+      .withColumn("split", splitLabel(col("root"), weights))
+  }
+}

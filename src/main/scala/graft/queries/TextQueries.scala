@@ -225,6 +225,40 @@ object TextQueries {
     * 9 decimals so libm-vs-DuckDB ulp drift cannot leak into the
     * score (the q37 pattern); ties break alphabetically so top-3 is
     * total-ordered. */
+  /** Deterministic 80/10/10 train/val/test split of the documents
+    * table ([[graft.operators.Split.hashSplit]] keyed on doc_id) with
+    * per-split corpus stats — the dataset-assembly step of a training
+    * pipeline. Pure per-row hash (md5-prefix bucket), no shuffle
+    * before the 3-group aggregate; re-runs and other engines assign
+    * identically (the oracle recomputes the same buckets). */
+  def q73DatasetSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.hashSplit(
+      documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("split"))
+
+  /** Leakage-aware split: simhash near-dup candidates (hamming ≤ 5,
+    * the q57 pair set) become edges, connected components collapse
+    * each near-dup cluster to its minimum doc_id, and the split is
+    * hashed from that root — so a document and its near-duplicates
+    * can never straddle train/val (the classic eval-contamination
+    * bug). Oracle recomputes the components via a recursive-CTE
+    * transitive closure over the same exhaustive-hamming pair set. */
+  def q74ClusterSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"))
+    val pairs = Dedup.simhashNearDups(documents(s, d), "doc_id", "text",
+      bands = 6, maxHamming = 5)
+    graft.operators.Split.clusterAwareSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("root"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   def q66TfidfTopTerms(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d).select(col("doc_id"), col("text"))
@@ -249,6 +283,8 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_tfidf_topterms" -> (q66TfidfTopTerms _),
     "q54_chunk_counts" -> (q54ChunkCounts _),
+    "q73_dataset_split" -> (q73DatasetSplit _),
+    "q74_cluster_split" -> (q74ClusterSplit _),
     "q57_simhash_neardups" -> (q57SimhashNearDups _),
     "q55_quality_gate" -> (q55QualityGate _),
     "q63_quality_unicode" -> (q63QualityUnicode _),
@@ -264,6 +300,68 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_dataset_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::UBIGINT % 10000 AS bkt
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN bkt < 8000 THEN 'train'
+        |              WHEN bkt < 9000 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |    doc_id, len(text) AS chars
+        |  FROM b)
+        |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+        |  MAX(doc_id) AS max_doc,
+        |  CAST(SUM(chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // Same simhash pair set as q57, closed transitively (recursive
+    // CTE), component root = min id over the closure ∪ self, split
+    // bucket hashed from the root — must equal the engine's
+    // iterative min-label propagation + md5-bucket assignment.
+    "q74_cluster_split" ->
+      """WITH RECURSIVE tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(t), 1, 15))::UBIGINT AS hv FROM tok),
+        |votes AS (
+        | SELECT doc_id, b,
+        |  SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        | FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
+        | GROUP BY 1, 2),
+        |sh AS (
+        | SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << b)
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        | FROM votes GROUP BY doc_id),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |   AND bit_count(xor(a.simhash, b.simhash)) <= 5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        | SELECT src, dst FROM e
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, MIN(dst) AS mn
+        |         FROM reach GROUP BY src),
+        |lab AS (
+        | SELECT d.doc_id,
+        |   LEAST(d.doc_id, COALESCE(c.mn, d.doc_id)) AS root
+        | FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id, root,
+        |  CASE WHEN ('0x' || substr(md5('split:' ||
+        |         CAST(root AS VARCHAR)), 1, 8))::UBIGINT % 10000 < 8000
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5('split:' ||
+        |         CAST(root AS VARCHAR)), 1, 8))::UBIGINT % 10000 < 9000
+        |       THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "q66_tfidf_topterms" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS term FROM documents),

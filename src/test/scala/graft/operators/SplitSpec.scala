@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Split invariants: determinism, proportion accuracy, and the
+  * leakage guarantee (near-dup clusters never straddle splits). */
+class SplitSpec extends SparkTestBase {
+
+  private val weights =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("hash split is deterministic and total") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val a = Split.hashSplit(df, "id", weights).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Split.hashSplit(df, "id", weights).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.size === 1000)
+  }
+
+  test("proportions track the weights at 10k keys") {
+    import spark.implicits._
+    val counts = Split.hashSplit((0L until 10000L).toDF("id"), "id",
+        weights)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 8000L) < 400,
+      s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 200, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 1000L) < 200,
+      s"test=${counts("test")}")
+  }
+
+  test("cluster-aware split co-travels near-dup components") {
+    import spark.implicits._
+    val df = (1L to 6L).toDF("id")
+    // components: {1,2,3} (chain), {5,6}; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Split.clusterAwareSplit(df, "id", pairs, weights)
+      .select("id", "root", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L)._1 === 1L && byId(2L)._1 === 1L && byId(3L)._1 === 1L)
+    assert(byId(5L)._1 === 5L && byId(6L)._1 === 5L)
+    assert(byId(4L)._1 === 4L)
+    assert(Set(byId(1L)._2, byId(2L)._2, byId(3L)._2).size === 1,
+      "component {1,2,3} straddles splits")
+    assert(byId(5L)._2 === byId(6L)._2, "component {5,6} straddles splits")
+  }
+
+  test("weights must sum to 1") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Split.hashSplit((0L to 1L).toDF("id"), "id",
+        Seq("a" -> 0.5, "b" -> 0.4)).collect()
+    }
+  }
+}
