@@ -58,6 +58,23 @@ class ProductQuantizationSpec extends SparkTestBase {
     assert(maxErr < 1e-9, s"ADC score drifted from reconstruction: $maxErr")
   }
 
+  test("rerank with a full-corpus shortlist equals the exact scan") {
+    // shortlist cap >= corpus size → the shortlist IS the corpus, so
+    // the exact re-rank must reproduce the float scan bit-for-bit
+    val queries = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val k = 4
+    val exact = SimilaritySearch.bruteForceTopKHeap(
+        queries, "vec_id", emb, "vec_id", "embedding", k)
+      .select("qid", "cid", "score", "rnk").collect()
+      .map(_.toSeq).toSet
+    val reranked = ProductQuantization.adcTopKRerank(queries, "vec_id",
+        emb, "vec_id", "embedding", enc, cb, m, kCodes, k, rerank = n)
+      .select("qid", "cid", "score", "rnk").collect()
+      .map(_.toSeq).toSet
+    assert(reranked === exact)
+  }
+
   test("compressed-domain recall vs exact float scan") {
     val queries = emb.filter(col("vec_id") < 10)
     val k = 5
