@@ -233,6 +233,40 @@ object Dedup {
     * pair scan (the 100 TB path for [[simhash]] mining). Returns
     * verified (id_a, id_b, hamming) for candidates within
     * `maxHamming`. */
+  /** Per-row simhash, bit-identical to [[simhash]]'s explode/agg
+    * form (DedupSpec pins the equality over the documents table).
+    * The streaming near-dup path needs a row-local signature: an
+    * explode+groupBy signature is a streaming aggregation, which
+    * cannot feed an append-mode stateful candidate join. Same
+    * device end-to-end: token hv = first 15 hex chars of md5 (60
+    * bits), per-bit majority vote. */
+  private[graft] def simhashOf(text: String): Long = {
+    val votes = new Array[Int](60)
+    // Spark's split(text, " ") keeps interior AND trailing empty
+    // tokens (Java split with limit -1) — match it exactly
+    text.split(" ", -1).foreach { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new StringBuilder(16)
+      var i = 0
+      while (i < 8) { hex.append(f"${d(i) & 0xff}%02x"); i += 1 }
+      val hv = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      var b = 0
+      while (b < 60) {
+        if (((hv >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** [[simhashOf]] as a column (String arg — per-row, no shuffle). */
+  val simhashRowUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => simhashOf(text))
+
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= bands - 1,

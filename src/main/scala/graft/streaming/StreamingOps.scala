@@ -214,4 +214,114 @@ object StreamingOps {
           org.apache.spark.sql.functions.col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_md5")
+
+  /** A doc exploded into one row per signature band. */
+  case class BandedDoc(id: Long, simhash: Long,
+      ts: java.sql.Timestamp, band: Int, bandVal: Long)
+
+  /** A near-dup candidate: idA < idB, simhash Hamming distance. */
+  case class NearDupPair(idA: Long, idB: Long, hamming: Int)
+
+  /** Per-(band, bandVal) bucket state: (id, simhash, tsMillis). */
+  case class BandBuffer(entries: Seq[(Long, Long, Long)])
+
+  private def parseDelayMs(delay: String): Long = {
+    val m = """(\d+)\s+(second|minute|hour|day)s?""".r
+    delay.trim match {
+      case m(n, unit) => n.toLong * (unit match {
+        case "second" => 1000L
+        case "minute" => 60 * 1000L
+        case "hour" => 3600 * 1000L
+        case "day" => 86400 * 1000L
+      })
+      case other =>
+        throw new IllegalArgumentException(s"unparseable delay: $other")
+    }
+  }
+
+  /** Streaming near-duplicate detection — the banded-simhash scale
+    * path ([[graft.operators.Dedup.simhashNearDups]]) as a continuous
+    * query. Each doc gets a row-local 60-bit signature
+    * ([[graft.operators.Dedup.simhashOf]], bit-identical to the batch
+    * explode/agg form), is exploded into `bands` band values, and
+    * each (band, bandVal) bucket keeps a watermark-bounded buffer of
+    * in-flight signatures: a new arrival emits a candidate pair for
+    * every buffered signature within `maxHamming`. Recall is the
+    * batch pigeonhole guarantee (hamming ≤ bands−1 ⇒ some band
+    * collides) for pairs whose event times are within the watermark
+    * window — StreamingNearDupSpec proves streamed == batch on the
+    * documents corpus.
+    *
+    * Scale: state per bucket grows with the in-flight window, not the
+    * corpus (the same bound as [[streamingExactDedup]]); buckets
+    * partition by (band, bandVal), so hot buckets spread across
+    * executors. A pair sharing several colliding bands is emitted
+    * once per shared band (different state buckets cannot coordinate)
+    * — consumers take the candidate set as at-least-once and collapse
+    * with a downstream `dropDuplicatesWithinWatermark` or the batch
+    * verify join, exactly like the LSH batch path's `.distinct()`. */
+  def streamingNearDupCandidates(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, tsCol: String, delay: String,
+      bands: Int = 6, maxHamming: Int = 5): Dataset[NearDupPair] = {
+    import org.apache.spark.sql.functions._
+    require(60 % bands == 0, "bands must divide 60")
+    require(maxHamming <= bands - 1,
+      s"bands=$bands only guarantees recall up to hamming ${bands - 1}")
+    val bandBits = 60 / bands
+    val mask = (1L << bandBits) - 1
+    val delayMs = parseDelayMs(delay)
+    val sig = docs.select(col(idCol).cast("long").as("id"),
+        graft.operators.Dedup.simhashRowUdf(col(textCol)).as("simhash"),
+        col(tsCol).as("ts"))
+      .withWatermark("ts", delay)
+    implicit val be: Encoder[BandedDoc] = Encoders.product[BandedDoc]
+    implicit val pe: Encoder[NearDupPair] = Encoders.product[NearDupPair]
+    implicit val bb: Encoder[BandBuffer] = Encoders.product[BandBuffer]
+    val banded = sig
+      .select(col("id"), col("simhash"), col("ts"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bandVal",
+        expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bandVal))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        bandCandidates(maxHamming, delayMs))
+  }
+
+  private def bandCandidates(maxHamming: Int, delayMs: Long)(
+      key: (Int, Long), rows: Iterator[BandedDoc],
+      state: GroupState[BandBuffer]): Iterator[NearDupPair] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val wm = state.getCurrentWatermarkMs()
+      // entries older than (watermark - delay) cannot pair with any
+      // future row (future event times are >= watermark) — prune
+      val prev = state.getOption.map(_.entries).getOrElse(Seq.empty)
+        .filter(_._3 >= wm - delayMs)
+      val out = Seq.newBuilder[NearDupPair]
+      var seen = prev
+      // deterministic in-batch order: by (event time, id)
+      rows.toSeq.sortBy(d => (d.ts.getTime, d.id)).foreach { d =>
+        val tsMs = d.ts.getTime
+        seen.foreach { case (oid, osig, _) =>
+          if (oid != d.id) {
+            val h = java.lang.Long.bitCount(osig ^ d.simhash)
+            if (h <= maxHamming)
+              out += NearDupPair(math.min(oid, d.id),
+                math.max(oid, d.id), h)
+          }
+        }
+        seen :+= ((d.id, d.simhash, tsMs))
+      }
+      state.update(BandBuffer(seen))
+      // clear the bucket once the watermark passes its newest entry's
+      // pairing window
+      val maxTs = seen.map(_._3).max
+      state.setTimeoutTimestamp(math.max(maxTs, wm) + delayMs + 1)
+      out.result().iterator
+    }
+  }
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import graft.operators.Dedup
+import graft.queries.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming banded near-dup: the row-local signature must equal the
+  * batch explode/agg simhash bitwise, and the streamed candidate set
+  * must cover exactly the batch near-dup pairs on the same rows. */
+class StreamingNearDupSpec extends SparkTestBase {
+
+  private def ts(minute: Int) =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("row-local simhash is bit-identical to the batch explode/agg " +
+      "signature over the documents table") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val batch = Dedup.simhash(docs, "doc_id", "text")
+      .withColumnRenamed("simhash", "batch_sig")
+    val row = docs.select(col("doc_id"),
+      Dedup.simhashRowUdf(col("text")).as("row_sig"))
+    val mismatches = batch.join(row, "doc_id")
+      .filter(col("batch_sig") =!= col("row_sig")).count()
+    assert(mismatches === 0)
+    assert(batch.count() === docs.count())
+  }
+
+  test("streamed candidates across micro-batches equal the batch " +
+      "near-dup pair set") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // real docs (first 40) + two planted near-identical twins so the
+    // pair set is guaranteed non-empty
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val twins = base.take(2).map { case (id, text) =>
+      (id + 10000L, text + " tail")
+    }
+    val all = (base ++ twins).zipWithIndex.map { case ((id, text), i) =>
+      (id, text, ts(i % 8)) // event times inside one watermark window
+    }
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDS().toDF("doc_id", "text", "event_ts")
+    val q = StreamingOps.streamingNearDupCandidates(docs, "doc_id",
+        "text", "event_ts", delay = "30 minutes",
+        bands = 6, maxHamming = 5)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    val (b1, b2) = all.splitAt(all.length / 2)
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_out")
+      .select("idA", "idB", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    q.stop()
+
+    val batchPairs = Dedup.simhashNearDups(
+        all.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", bands = 6, maxHamming = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    assert(streamed === batchPairs)
+    assert(batchPairs.nonEmpty, "planted twins must produce pairs")
+  }
+}
