@@ -64,6 +64,19 @@ object RecallBench {
           rerank = rr)))
     }
 
+    // IVFADC: coarse k-means cells + PQ on residuals (16 codewords
+    // per subspace, trained by per-subspace k-means)
+    val rcb = ProductQuantization.codebooksKmeans(
+      emb, "vec_id", "embedding", m, kCodes = 16, maxIter = 3)
+    val idx = ProductQuantization.ivfadcIndex(
+      emb, "vec_id", "embedding", kmCents, rcb, m)
+    for (nProbe <- Seq(4, 8); rr <- Seq(0, 5)) {
+      report(s"ivfadc_m8x16_nprobe${nProbe}_rerank$rr",
+        topkSet(ProductQuantization.ivfadcTopK(queries, "vec_id",
+          emb, "vec_id", "embedding", kmCents, rcb, idx,
+          m, kCodes = 16, k = k, nProbe = nProbe, rerank = rr)))
+    }
+
     spark.stop()
   }
 }

@@ -123,11 +123,29 @@ object ProductQuantization {
     TopK.perQuery(scored, k)
   }
 
+  /** Exact cosine re-rank of a (qid, cid) shortlist: ONLY shortlist
+    * rows re-join their float vectors — the compressed-domain scan
+    * reads the whole corpus, floats are read for
+    * shortlist-size·|queries| rows. */
+  private[operators] def exactRerank(shortlist: DataFrame,
+      queries: DataFrame, queryIdCol: String, corpus: DataFrame,
+      corpusIdCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("qid"),
+      col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
+    val c = corpus.select(col(corpusIdCol).as("cid"),
+      col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm"))
+    val scored = shortlist.select(col("qid"), col("cid"))
+      .join(c, "cid")
+      .join(broadcast(q), "qid")
+      .withColumn("score",
+        dotF64(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .select(col("qid"), col("cid").as("id"), col("score"))
+    TopK.perQuery(scored, k)
+  }
+
   /** The production PQ shape: ADC builds a shortlist of
-    * `rerank * k` candidates in the compressed domain, then ONLY the
-    * shortlist rows re-join their float vectors for an exact cosine
-    * re-rank. The full-corpus scan touches codes (m bytes/vector);
-    * floats are read for rerank·k·|queries| rows — at 100 TB that is
+    * `rerank * k` candidates in the compressed domain, then the
+    * shortlist re-ranks exactly ([[exactRerank]]) — at 100 TB that is
     * the difference between re-reading the corpus and re-reading a
     * few thousand rows (RecallBench @ sf0.01, k=10: recall 0.24
     * ADC-only → 0.54/0.70/0.90 at rerank 5/10/20). */
@@ -136,17 +154,113 @@ object ProductQuantization {
       encoded: DataFrame, cb: DataFrame, m: Int, kCodes: Int,
       k: Int, rerank: Int = 10): DataFrame = {
     val shortlist = adcTopK(queries, queryIdCol, encoded, cb, vecCol,
-      m, kCodes, k * rerank).select(col("qid"), col("cid"))
-    val q = queries.select(col(queryIdCol).as("qid"),
-      col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
-    val c = corpus.select(col(corpusIdCol).as("cid"),
-      col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm"))
-    val scored = shortlist
-      .join(c, "cid")
-      .join(broadcast(q), "qid")
+      m, kCodes, k * rerank)
+    exactRerank(shortlist, queries, queryIdCol, corpus, corpusIdCol,
+      vecCol, k)
+  }
+
+  // ---------------------------------------------------------------
+  // IVFADC (Jégou et al. 2011 §IV): coarse IVF cells + PQ codes on
+  // the RESIDUAL vector (x − centroid). Residuals are much smaller
+  // than raw vectors, so the same code budget quantizes far more
+  // precisely; the scan prunes to nProbe cells AND reads only codes.
+  // ---------------------------------------------------------------
+
+  /** (id, v): L2-normalized copy of `vecCol` (zero vectors pass
+    * through) — IP over normalized vectors == cosine, which keeps the
+    * ADC score aligned with the exact scan it approximates. */
+  private def normalized(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v0"))
+      .withColumn("_n", l2Norm(col("v0")))
+      .select(col("id"),
+        when(col("_n") > 0, transform(col("v0"), x => x / col("_n")))
+          .otherwise(col("v0")).as("v"))
+
+  /** Residual PQ codebooks via per-subspace k-means
+    * ([[SimilaritySearch.kmeansCentroids]] — deterministic seeding and
+    * folds; no label column needed, unlike [[codebooks]]). Training
+    * is m small k-means jobs over subvector slices; at real scale
+    * train on a sample — PQ codebooks converge on a fraction of the
+    * corpus. Returns (sub, code, cw). */
+  def codebooksKmeans(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCodes: Int, maxIter: Int = 5): DataFrame = {
+    val base = subvectors(
+      vecs.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("v")), "v", m).persist()
+    val cbs = (0 until m).map { j =>
+      SimilaritySearch.kmeansCentroids(
+        base.filter(col("sub") === j).select(col("_id"), col("sv")),
+        "_id", "sv", kCodes, maxIter)
+        .select(lit(j).as("sub"), col("cell_id").as("code"),
+          col("centroid").as("cw"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    base.unpersist()
+    cbs
+  }
+
+  /** Build the IVFADC index: assign each (normalized) corpus vector
+    * to its nearest coarse cell, PQ-encode the residual. Output
+    * (id, cell_id, codes) — the only thing the search scan reads. */
+  def ivfadcIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    val v = normalized(corpus, idCol, vecCol)
+    val cellW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(desc("_sc"), col("cell_id"))
+    val assigned = v.crossJoin(broadcast(centroids))
+      .withColumn("_sc", cosine(col("v"), col("centroid")))
+      .withColumn("_r", row_number().over(cellW))
+      .filter(col("_r") === 1)
+      .select(col("id"), col("cell_id"),
+        zip_with(col("v"), col("centroid"), (a, b) => a - b).as("res"))
+    assigned.select(col("id"), col("cell_id"))
+      .join(encode(assigned, "id", "res", cb, m), "id")
+  }
+
+  /** IVFADC search: each query probes its `nProbe` nearest cells; per
+    * (query, cell) the ADC table is built against the query's OWN
+    * residual in that cell, and score = dot(q, centroid) +
+    * Σ_j table[j][codes_j] ≈ dot(q, centroid + residual̂) — cosine,
+    * since both sides are normalized. The scan joins the index on
+    * cell_id (hash join on a small key; probe side broadcast), reads
+    * only codes, and feeds the bounded-heap top-k; `rerank > 0` adds
+    * the exact float re-rank of the shortlist. */
+  def ivfadcTopK(queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      centroids: DataFrame, cb: DataFrame, index: DataFrame,
+      m: Int, kCodes: Int, k: Int, nProbe: Int = 4,
+      rerank: Int = 0): DataFrame = {
+    val cellW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("_sc"), col("cell_id"))
+    val probes = normalized(queries, queryIdCol, vecCol)
+      .withColumnRenamed("id", "qid")
+      .crossJoin(broadcast(centroids))
+      .withColumn("_sc", cosine(col("v"), col("centroid")))
+      .withColumn("_r", row_number().over(cellW))
+      .filter(col("_r") <= nProbe)
+      .select(col("qid"), col("cell_id"),
+        dotF64(col("v"), col("centroid")).as("cell_dot"),
+        zip_with(col("v"), col("centroid"), (a, b) => a - b).as("v"))
+    val tables = subvectors(probes, "v", m)
+      .join(broadcast(cb), "sub")
+      .withColumn("t", dotF64(col("sv"), col("cw")))
+      .groupBy(col("qid"), col("cell_id"), col("cell_dot"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("t")))),
+        x => x.getField("t")).as("tbl"))
+    val scored = index.join(broadcast(tables), "cell_id")
       .withColumn("score",
-        dotF64(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
-      .select(col("qid"), col("cid").as("id"), col("score"))
-    TopK.perQuery(scored, k)
+        col("cell_dot") + aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, j) => element_at(col("tbl"), j * kCodes + c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("qid"), col("id"), col("score"))
+    val shortlist = TopK.perQuery(scored,
+      if (rerank > 0) k * rerank else k)
+    if (rerank > 0)
+      exactRerank(shortlist, queries, queryIdCol, corpus, corpusIdCol,
+        vecCol, k)
+    else shortlist
   }
 }

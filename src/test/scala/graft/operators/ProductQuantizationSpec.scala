@@ -75,6 +75,32 @@ class ProductQuantizationSpec extends SparkTestBase {
     assert(reranked === exact)
   }
 
+  test("IVFADC with all cells probed and a full-corpus rerank " +
+      "equals the exact scan") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val k = 4
+    val nCells = 4
+    val cents = SimilaritySearch.kmeansCentroids(
+      emb, "vec_id", "embedding", k = nCells, maxIter = 2)
+    val rcb = ProductQuantization.codebooksKmeans(
+      emb, "vec_id", "embedding", m, kCodes = 8, maxIter = 2)
+    val idx = ProductQuantization.ivfadcIndex(
+      emb, "vec_id", "embedding", cents, rcb, m)
+    assert(idx.count() === n)
+    assert(idx.filter(size(col("codes")) =!= m).count() === 0)
+    val exact = SimilaritySearch.bruteForceTopKHeap(
+        queries, "vec_id", emb, "vec_id", "embedding", k)
+      .select("qid", "cid", "score", "rnk").collect()
+      .map(_.toSeq).toSet
+    val got = ProductQuantization.ivfadcTopK(queries, "vec_id",
+        emb, "vec_id", "embedding", cents, rcb, idx, m, kCodes = 8,
+        k = k, nProbe = nCells, rerank = n)
+      .select("qid", "cid", "score", "rnk").collect()
+      .map(_.toSeq).toSet
+    assert(got === exact)
+  }
+
   test("compressed-domain recall vs exact float scan") {
     val queries = emb.filter(col("vec_id") < 10)
     val k = 5
