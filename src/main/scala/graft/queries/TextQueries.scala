@@ -259,6 +259,23 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing ([[graft.operators.Packing.packSequences]]):
+    * documents binned into 512-token training sequences across 8
+    * shards; per-bin document counts, token totals and fill ratio.
+    * One partitioned window pass — no global sort, no driver state. */
+  def q75SequencePacking(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.packSequences(
+      documents(s, d).select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", budget = 512, shards = 8)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio", col("total_tokens") / lit(512.0))
+      .orderBy(col("bin"))
+
   def q66TfidfTopTerms(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d).select(col("doc_id"), col("text"))
@@ -285,6 +302,7 @@ object TextQueries {
     "q54_chunk_counts" -> (q54ChunkCounts _),
     "q73_dataset_split" -> (q73DatasetSplit _),
     "q74_cluster_split" -> (q74ClusterSplit _),
+    "q75_sequence_packing" -> (q75SequencePacking _),
     "q57_simhash_neardups" -> (q57SimhashNearDups _),
     "q55_quality_gate" -> (q55QualityGate _),
     "q63_quality_unicode" -> (q63QualityUnicode _),
@@ -300,6 +318,26 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q75_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    shard * 1000000 + CAST(FLOOR(
+        |      CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS bin
+        |  FROM c)
+        |SELECT bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  CAST(SUM(n_tokens) AS BIGINT) / 512.0 AS fill_ratio
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q73_dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id, text,
