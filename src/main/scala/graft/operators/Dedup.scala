@@ -302,17 +302,66 @@ object Dedup {
     SimilaritySearch.cosineNearDupsBanded(df, idCol, vecCol, threshold)
 
   /** Connected components over an undirected (id_a, id_b) pair graph
-    * by iterative min-label propagation: every node adopts the
-    * smallest id reachable, converging in O(graph diameter) rounds
-    * (near-dup clusters are shallow — chains longer than a few hops
-    * are rare, and `maxIter` bounds the work). Each round is one
-    * join + one aggregation, all shuffles keyed on node id; the
-    * driver only evaluates the convergence count. Returns (id, comp)
-    * with comp = the component's minimum id. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * by iterative min-label propagation WITH shortcutting: every
+    * round a node adopts the smallest of (its label, its neighbors'
+    * labels, its label's own label). The extra label-of-label hop is
+    * pointer doubling — convergence in O(log diameter) rounds instead
+    * of O(diameter), which matters because each round costs fixed
+    * Spark stage overhead regardless of data size (NOTES round-4:
+    * q74's cost is round-count × overhead on a tiny graph). The
+    * fixpoint is unchanged — comp = the component's minimum id — so
+    * accelerated propagation cannot change the result (q74's oracle
+    * equality holds for any round schedule). Each round is two keyed
+    * joins + one aggregation; the driver only evaluates the
+    * convergence count. Returns (id, comp).
+    *
+    * Small-graph finish: when the (deduplicated) edge list fits the
+    * `localEdgeThreshold` (default 2^20 edges ≈ 16 MB of id pairs —
+    * the same order as a broadcast-join build side), the components
+    * are solved exactly by driver union-find instead of the loop.
+    * Near-dup pair graphs are tiny relative to their corpora (the
+    * candidates were already banded + verified), so this is the
+    * common case, and it removes 4-6 rounds of fixed per-job
+    * overhead (measured ~1-2 s/round at sf0.1 on a 10²-edge graph
+    * regardless of size). The result is identical — exact minimum-id
+    * labels — and the distributed loop remains the >threshold path,
+    * exactly like a broadcast threshold falling back to a shuffle
+    * join. DedupSpec pins local == distributed on the same graph. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
+    val edgeCount = edges.count()
+    if (edgeCount <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"),
+        col("dst").cast("long")).as[(Long, Long)].collect()
+      edges.unpersist()
+      // union-find with path compression; roots resolve to the
+      // component's minimum id because union always keeps the
+      // smaller root as parent
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = parent.keys.toArray.sorted.map(id => (id, find(id)))
+      return spark.createDataset(labels.toSeq).toDF("id", "comp")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
@@ -323,10 +372,16 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
+      // shortcut hop: the current label of my current label
+      val labelOfLabel = labels.select(col("id").as("_lid"),
+        col("comp").as("lcomp"))
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
+        .join(labelOfLabel, col("comp") === col("_lid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+          least(col("comp"),
+            coalesce(col("ncomp"), col("comp")),
+            coalesce(col("lcomp"), col("comp")))
             .as("comp"),
           col("comp").as("prev"))
         // localCheckpoint truncates the per-iteration lineage growth

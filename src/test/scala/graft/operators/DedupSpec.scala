@@ -91,6 +91,24 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: union-find finish equals the " +
+      "distributed loop on the same graph") {
+    import spark.implicits._
+    // long chain (deep diameter) + star + singleton pair, shuffled
+    val chain = (0L until 40L).map(i => (i + 1, i))
+    val star = Seq((100L, 105L), (100L, 103L), (100L, 104L))
+    val pairs = scala.util.Random.shuffle(chain ++ star)
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, maxIter = 50,
+        localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    assert((0L to 40L).forall(local(_) === 0L))
+    assert(Seq(100L, 103L, 104L, 105L).forall(local(_) === 100L))
+  }
+
   test("nearDupDedup collapses transitive chains A~B~C with A!~C " +
       "to one survivor (connected components)") {
     import spark.implicits._
