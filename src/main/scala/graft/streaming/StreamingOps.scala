@@ -219,8 +219,11 @@ object StreamingOps {
   case class BandedDoc(id: Long, simhash: Long,
       ts: java.sql.Timestamp, band: Int, bandVal: Long)
 
-  /** A near-dup candidate: idA < idB, simhash Hamming distance. */
-  case class NearDupPair(idA: Long, idB: Long, hamming: Int)
+  /** A near-dup candidate: idA < idB, simhash Hamming distance,
+    * `ts` = the later arrival's event time (carried so a downstream
+    * stateful dedup can re-watermark the pair stream). */
+  case class NearDupPair(idA: Long, idB: Long, hamming: Int,
+      ts: java.sql.Timestamp)
 
   /** Per-(band, bandVal) bucket state: (id, simhash, tsMillis). */
   case class BandBuffer(entries: Seq[(Long, Long, Long)])
@@ -291,6 +294,31 @@ object StreamingOps {
         bandCandidates(maxHamming, delayMs))
   }
 
+  /** [[streamingNearDupCandidates]] with cross-band duplicates
+    * collapsed to exactly-once pairs: the candidate stream
+    * re-watermarks on the later arrival's event time and a second
+    * stateful dedup keyed (idA, idB) drops the repeats. Same recall,
+    * one row per discovered pair.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false`: Spark conservatively rejects
+    * flatMapGroupsWithState feeding another stateful operator because
+    * a state function COULD emit rows behind the watermark. This one
+    * cannot — every emitted pair carries the event time of a
+    * CURRENT-batch row (late rows were already watermark-filtered on
+    * input), so pair timestamps are always >= the operator watermark
+    * and the downstream dedup never sees a late row
+    * (StreamingNearDupSpec exercises the chain end-to-end). */
+  def streamingNearDups(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, tsCol: String, delay: String,
+      bands: Int = 6, maxHamming: Int = 5)
+      : org.apache.spark.sql.DataFrame =
+    streamingNearDupCandidates(docs, idCol, textCol, tsCol, delay,
+      bands, maxHamming)
+      .toDF()
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("idA", "idB")
+
   private def bandCandidates(maxHamming: Int, delayMs: Long)(
       key: (Int, Long), rows: Iterator[BandedDoc],
       state: GroupState[BandBuffer]): Iterator[NearDupPair] = {
@@ -311,7 +339,7 @@ object StreamingOps {
             val h = java.lang.Long.bitCount(osig ^ d.simhash)
             if (h <= maxHamming)
               out += NearDupPair(math.min(oid, d.id),
-                math.max(oid, d.id), h)
+                math.max(oid, d.id), h, d.ts)
           }
         }
         seen :+= ((d.id, d.simhash, tsMs))

@@ -71,4 +71,54 @@ class StreamingNearDupSpec extends SparkTestBase {
     assert(streamed === batchPairs)
     assert(batchPairs.nonEmpty, "planted twins must produce pairs")
   }
+
+  test("chained stateful dedup emits each pair exactly once") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // see streamingNearDups scaladoc: the emission pattern cannot
+    // produce late rows, so the conservative chain check is safe to
+    // lift for this query
+    val checkKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(checkKey)
+    spark.conf.set(checkKey, "false")
+    try {
+    // twins differing in one trailing token: hamming 0-3, and most
+    // bands collide -> the candidate path emits multiple rows per
+    // pair, the chained dedup must collapse them to one
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", ts(0)),
+      (2L, "alpha beta gamma delta epsilon zeta x", ts(1)),
+      (3L, "alpha beta gamma delta epsilon zeta y", ts(2)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.streamingNearDups(
+        input.toDS().toDF("doc_id", "text", "event_ts"),
+        "doc_id", "text", "event_ts", delay = "30 minutes")
+      .writeStream.format("memory").queryName("neardup_once")
+      .outputMode("append").start()
+    input.addData(docs)
+    q.processAllAvailable()
+    // force watermark far forward so in-flight dedup rows flush
+    input.addData(Seq((99L, "unrelated completely different words",
+      Timestamp.valueOf("2026-01-01 12:00:00"))))
+    q.processAllAvailable()
+    val rows = spark.table("neardup_once")
+      .select("idA", "idB").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(rows.distinct.sorted === rows.sorted,
+      s"duplicate pair emissions survived: $rows")
+    val expected = Dedup.simhashNearDups(
+        docs.map(t => (t._1, t._2)).toDF("doc_id", "text"),
+        "doc_id", "text", bands = 6, maxHamming = 5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.toSet === expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(checkKey, v)
+        case None => spark.conf.unset(checkKey)
+      }
+    }
+  }
 }
