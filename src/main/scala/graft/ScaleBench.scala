@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup, RangeJoin, SimilaritySearch}
+import graft.operators.{AsOfJoin, Dedup, ProductQuantization, RangeJoin,
+  SimilaritySearch}
 
 /** Scaling benchmark: banded-LSH near-dup mining vs the exhaustive
   * pair scans at 1×/2×/4× the sf0.1 corpus, to separate fixed stage
@@ -78,7 +79,25 @@ object ScaleBench {
       val views = events.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("t_us"),
           col("value"))
+      // IVFADC: index built once (its own timing row), probes reuse it
+      lazy val ivfadcParts = {
+        val cents = SimilaritySearch.kmeansCentroids(
+          emb, "vec_id", "embedding", k = 64, maxIter = 3)
+        val cb = ProductQuantization.codebooksKmeans(
+          emb, "vec_id", "embedding", m = 8, kCodes = 16, maxIter = 3)
+        val idx = ProductQuantization.ivfadcIndex(
+          emb, "vec_id", "embedding", cents, cb, m = 8).persist()
+        (cents, cb, idx)
+      }
       val runs: Seq[(String, () => Long)] = Seq(
+        "ivfadc_build" -> (() => ivfadcParts._3.count()),
+        "ivfadc_probe50" -> (() => {
+          val (cents, cb, idx) = ivfadcParts
+          graft.operators.ProductQuantization.ivfadcTopK(
+            emb.limit(50), "vec_id", emb, "vec_id", "embedding",
+            cents, cb, idx, m = 8, kCodes = 16, k = 10, nProbe = 8,
+            rerank = 5).count()
+        }),
         "asof_join" -> (() =>
           AsOfJoin.asOf(purchases, views, Seq("user_id"), "t_us",
             "event_id", Seq("t_us", "value")).count()),
