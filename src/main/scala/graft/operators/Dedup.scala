@@ -284,11 +284,21 @@ object Dedup {
       col("simhash").as("h_a"), col("band"), col("band_val"))
     val r = banded.select(col(idCol).as("id_b"),
       col("simhash").as("h_b"), col("band"), col("band_val"))
+    // A pair sharing several bands would emit once per shared band;
+    // instead of a distinct() exchange, keep only the FIRST
+    // colliding band — checkable per-row from the two signatures
+    // (for every earlier band b', the band values must differ), so
+    // dedup costs bands-1 comparisons instead of a shuffle.
+    val firstCollidingBand = (0 until bands).map { bp =>
+      val bv = (h: Column) =>
+        shiftright(h, bp * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+      col("band") <= bp || bv(col("h_a")) =!= bv(col("h_b"))
+    }.reduce(_ && _)
     l.join(r, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstCollidingBand)
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
