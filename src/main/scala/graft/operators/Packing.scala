@@ -36,4 +36,44 @@ object Packing {
           floor((col("_cum") - col(tokenCol)) / budget).cast("long"))
       .drop("_shard", "_cum")
   }
+
+  /** Exact next-fit packing: within each shard, documents (in key
+    * order) go into the current bin while they fit; a document that
+    * would overflow CLOSES the bin and opens the next — so no bin
+    * ever exceeds `budget` (except a single document longer than the
+    * budget, which gets a bin alone). Runs as one `mapPartitions`
+    * pass over shard-repartitioned, key-sorted partitions —
+    * deterministic and distributed, but inherently sequential within
+    * a shard (the window-cumsum [[packSequences]] is the cheaper
+    * approximation that tolerates ≤1-doc overflow). Output adds
+    * `bin`, disjoint across shards. */
+  def packSequencesNextFit(df: DataFrame, keyCol: String,
+      tokenCol: String, budget: Int, shards: Int = 32): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val spark = df.sparkSession
+    val keyed = df.select(col(keyCol).cast("long").as("key"),
+        col(tokenCol).cast("long").as("tok"))
+      .withColumn("_shard", pmod(col("key"), lit(shards)).cast("int"))
+      .repartition(shards, col("_shard"))
+      .sortWithinPartitions(col("_shard"), col("key"))
+    import spark.implicits._
+    val packed = keyed.as[(Long, Long, Int)].mapPartitions { rows =>
+      // a partition holds one or more whole shards (hash partitioning
+      // may co-locate shards); pack each shard independently
+      var curShard = Int.MinValue
+      var bin = 0L
+      var used = 0L
+      rows.map { case (key, tok, shard) =>
+        if (shard != curShard) {
+          curShard = shard; bin = shard * 1000000L; used = 0L
+        }
+        if (used > 0 && used + tok > budget) { bin += 1; used = 0L }
+        used += tok
+        (key, tok, bin)
+      }
+    }.toDF("key", "tok", "bin")
+    df.join(packed.select(col("key"), col("bin")),
+      df(keyCol) === col("key"))
+      .drop("key")
+  }
 }

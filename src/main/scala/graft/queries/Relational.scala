@@ -373,7 +373,77 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q7 analog (trade volume between nation pairs): the
+    * customer's nation vs the supplier's nation per lineitem, yearly
+    * discounted revenue per directed pair — the two-dimension-chain
+    * multi-join (nation joins twice under different roles). */
+  def q76NationTrade(s: SparkSession, d: String): DataFrame = {
+    val custNation = customer(s, d)
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppNation = supplier(s, d)
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        6).as("revenue"))
+      .filter(col("revenue") > 500000.0)
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q16 analog (supplier counts per part attribute): distinct
+    * suppliers observed per (brand, type-prefix, size) through the
+    * lineitem bridge (no partsupp table), excluding one brand — the
+    * count-distinct-after-join shape. */
+  def q77PartSupplierCounts(s: SparkSession, d: String): DataFrame =
+    part(s, d).filter(col("p_brand") =!= "Brand#1")
+      .join(lineitem(s, d), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"),
+        substring(col("p_type"), 1, 6).as("p_type_prefix"),
+        col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"),
+        col("p_type_prefix"), col("p_size"))
+      .limit(50)
+
+  /** TPC-H Q8 analog (market share): one nation's share of yearly
+    * revenue within its region's customer base — conditional
+    * aggregation over a five-table join chain, exact-decimal
+    * numerator and denominator divided at the end. */
+  def q78MarketShare(s: SparkSession, d: String): DataFrame = {
+    val custGeo = customer(s, d)
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val suppNation = supplier(s, d)
+      .join(nation(s, d).select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custGeo, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("r_name") === "AMERICA")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dsum(when(col("supp_nation") === "NATION_3",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .otherwise(0.0), 6) /
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          6)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_nation_trade" -> (q76NationTrade _),
+    "q77_part_supplier_counts" -> (q77PartSupplierCounts _),
+    "q78_market_share" -> (q78MarketShare _),
     "q69_waiting_suppliers" -> (q69WaitingSuppliers _),
     "q70_min_cost_supplier" -> (q70MinCostSupplier _),
     "q71_rich_inactive_customers" -> (q71RichInactiveCustomers _),
@@ -402,6 +472,46 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q76_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE cn.n_name <> sn.n_name
+        |GROUP BY 1, 2, 3
+        |HAVING CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) > 500000.0
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q77_part_supplier_counts" ->
+      """SELECT p_brand, substr(p_type, 1, 6) AS p_type_prefix, p_size,
+        | COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type_prefix, p_size
+        |LIMIT 50""".stripMargin,
+    "q78_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        | CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        |     THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END
+        |   AS DECIMAL(18,6))) AS DOUBLE)
+        | / CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN region ON cn.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'AMERICA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q69_waiting_suppliers" ->
       """SELECT s_name, COUNT(*) AS numwait
         |FROM supplier, lineitem l1, orders

@@ -33,6 +33,45 @@ class PackingSpec extends SparkTestBase {
       s"bin of $worst tokens exceeds budget $budget + max doc $maxDoc")
   }
 
+  test("next-fit packing never overflows the budget and loses no " +
+      "documents") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val nf = Packing.packSequencesNextFit(docs, "doc_id", "n_tokens",
+      budget, shards = 8).cache()
+    assert(nf.count() === docs.count())
+    val maxDoc = docs.agg(max("n_tokens")).head.getLong(0)
+    val over = nf.groupBy("bin").agg(sum("n_tokens").as("t"),
+        count(lit(1)).as("n"))
+      .filter(col("t") > budget && col("n") > 1).count()
+    assert(over === 0,
+      "multi-doc next-fit bin exceeded the budget")
+    // single oversized docs (if any) sit alone
+    val single = nf.groupBy("bin").agg(sum("n_tokens").as("t"),
+        count(lit(1)).as("n"))
+      .filter(col("t") > budget).select("n").collect()
+    assert(single.forall(_.getLong(0) === 1L))
+    assert(maxDoc > 0)
+  }
+
+  test("next-fit and window-cumsum agree on totals; next-fit " +
+      "respects the hard cap the approximation trades away") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val nf = Packing.packSequencesNextFit(docs, "doc_id", "n_tokens",
+      budget, shards = 8)
+    assert(nf.agg(sum("n_tokens")).head.getLong(0) ===
+      packed.agg(sum("n_tokens")).head.getLong(0))
+    // both are deterministic: re-run bit-equal
+    val again = Packing.packSequencesNextFit(docs, "doc_id",
+        "n_tokens", budget, shards = 8)
+      .select("doc_id", "bin").collect().map(r =>
+        r.getLong(0) -> r.getLong(1)).toMap
+    val first = nf.select("doc_id", "bin").collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === first)
+  }
+
   test("bins within a shard are contiguous, non-decreasing in key " +
       "order") {
     // within a shard, sort docs by id: the bin sequence must be
