@@ -140,7 +140,11 @@ object ProductQuantization {
       .withColumn("score",
         dotF64(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .select(col("qid"), col("cid").as("id"), col("score"))
-    TopK.perQuery(scored, k)
+    corpus.schema(corpusIdCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TopK.perQueryStr(scored, k)
+      case _ => TopK.perQuery(scored, k)
+    }
   }
 
   /** The production PQ shape: ADC builds a shortlist of

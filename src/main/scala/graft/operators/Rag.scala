@@ -132,4 +132,26 @@ object Rag {
       Seq("chunk_id"))
     assembleContext(dedupHits(joined))
   }
+
+  /** [[retrieve]] over a COMPRESSED index scan: the int8-quantized
+    * kernel ([[SimilaritySearch.quantizedTopK]], recall ≈ 0.99 on
+    * the testdata embeddings — RecallBench) shortlists `rerank·k`
+    * chunks reading a quarter of the bytes, then only the shortlist
+    * re-joins float vectors for the exact cosine re-rank — so the
+    * context assembly downstream is bit-identical to [[retrieve]]
+    * whenever the true top-k survives the shortlist (RagSpec pins
+    * equality on the testdata corpus). At 100 TB this quarters the
+    * scan bandwidth of every retrieval. */
+  def retrieveCompressed(index: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 10): DataFrame = {
+    val shortlist = SimilaritySearch.quantizedTopK(
+      queries, "qid", index, "chunk_id", "embedding", k * rerank)
+    val hits = ProductQuantization.exactRerank(shortlist, queries,
+      "qid", index, "chunk_id", "embedding", k)
+      .withColumnRenamed("cid", "chunk_id")
+    val joined = hits.join(
+      index.select(col("chunk_id"), col("chunk"), col("source_file")),
+      Seq("chunk_id"))
+    assembleContext(dedupHits(joined))
+  }
 }

@@ -150,7 +150,11 @@ object SimilaritySearch {
         dotI8(col("q_qvec"), col("c_qvec")).cast("double")
           / (col("q_qnorm") * col("c_qnorm")))
       .select(col("qid"), col("id"), col("score"))
-    TopK.perQuery(scored, k)
+    corpus.schema(corpusIdCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TopK.perQueryStr(scored, k)
+      case _ => TopK.perQuery(scored, k)
+    }
   }
 
   /** Deterministic Rademacher hyperplane sign: ±1 from the first hex

@@ -59,6 +59,27 @@ class RagSpec extends SparkTestBase {
     assert(out(0).getAs[String]("context") === "[source1] apples and pears")
   }
 
+  test("retrieveCompressed (int8 shortlist + exact rerank) assembles " +
+      "the same contexts as the float retrieve") {
+    import spark.implicits._
+    import graft.queries.Tables
+    // a realistic index: the testdata embeddings as chunks
+    val index = Tables.embeddings(spark, sf)
+      .select(concat(lit("c"), col("vec_id")).as("chunk_id"),
+        concat(lit("passage "), col("vec_id")).as("chunk"),
+        concat(lit("f"), col("vec_id") % 7, lit(".md")).as("source_file"),
+        col("embedding"))
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val exact = Rag.retrieve(index, queries, k = 4)
+      .collect().map(_.toSeq).toSet
+    val compressed = Rag.retrieveCompressed(index, queries, k = 4,
+        rerank = 10)
+      .collect().map(_.toSeq).toSet
+    assert(compressed === exact)
+  }
+
   test("directAnswer baseline skips retrieval (R4)") {
     import spark.implicits._
     val qs = Seq((1L, "what is an apple?")).toDF("qid", "question")
