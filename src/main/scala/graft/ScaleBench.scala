@@ -89,7 +89,19 @@ object ScaleBench {
           emb, "vec_id", "embedding", cents, cb, m = 8).persist()
         (cents, cb, idx)
       }
+      // packing comparisons: "rows" = bins produced (fewer = denser)
+      lazy val docTokens = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens")).persist()
       val runs: Seq[(String, () => Long)] = Seq(
+        "pack_window" -> (() =>
+          graft.operators.Packing.packSequences(docTokens, "doc_id",
+            "n_tokens", budget = 2048, shards = 32)
+            .select("bin").distinct().count()),
+        "pack_nextfit" -> (() =>
+          graft.operators.Packing.packSequencesNextFit(docTokens,
+            "doc_id", "n_tokens", budget = 2048, shards = 32)
+            .select("bin").distinct().count()),
         "ivfadc_build" -> (() => ivfadcParts._3.count()),
         "ivfadc_probe50" -> (() => {
           val (cents, cb, idx) = ivfadcParts
