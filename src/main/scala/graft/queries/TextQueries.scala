@@ -276,6 +276,13 @@ object TextQueries {
       .withColumn("fill_ratio", col("total_tokens") / lit(512.0))
       .orderBy(col("bin"))
 
+  /** Column profile of the documents table
+    * ([[graft.operators.Profile.profile]]): per-column non-null /
+    * null / exact-distinct counts — the corpus-drop audit step. */
+  def q79DataProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.profile(documents(s, d),
+      Seq("doc_id", "lang", "source", "text"))
+
   def q66TfidfTopTerms(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d).select(col("doc_id"), col("text"))
@@ -303,6 +310,7 @@ object TextQueries {
     "q73_dataset_split" -> (q73DatasetSplit _),
     "q74_cluster_split" -> (q74ClusterSplit _),
     "q75_sequence_packing" -> (q75SequencePacking _),
+    "q79_data_profile" -> (q79DataProfile _),
     "q57_simhash_neardups" -> (q57SimhashNearDups _),
     "q55_quality_gate" -> (q55QualityGate _),
     "q63_quality_unicode" -> (q63QualityUnicode _),
@@ -318,6 +326,20 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q79_data_profile" ->
+      """SELECT 'doc_id' AS column_name, COUNT(doc_id) AS non_null,
+        | COUNT(*) - COUNT(doc_id) AS nulls,
+        | COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(lang), COUNT(*) - COUNT(lang),
+        | COUNT(DISTINCT lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(source), COUNT(*) - COUNT(source),
+        | COUNT(DISTINCT source) FROM documents
+        |UNION ALL
+        |SELECT 'text', COUNT(text), COUNT(*) - COUNT(text),
+        | COUNT(DISTINCT text) FROM documents
+        |ORDER BY column_name""".stripMargin,
     "q75_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
