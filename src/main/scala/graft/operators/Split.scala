@@ -56,6 +56,28 @@ object Split {
       weights: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), weights))
 
+  /** Deterministic stratified downsampling — the corpus-rebalancing
+    * step (keep X% of an over-represented language/source, all of
+    * the rest). A row survives iff its [[splitBucket]] falls under
+    * its stratum's rate threshold, so the sample is (a) reproducible
+    * across runs and engines, (b) a pure per-row filter (no shuffle,
+    * no rand()), and (c) NESTED: lowering a rate removes rows but
+    * never swaps which ones survive — the property temperature-style
+    * rebalancing needs when rates are retuned between runs. */
+  def stratifiedSample(df: DataFrame, keyCol: String,
+      strataCol: String, rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r =>
+      r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(math.floor(defaultRate * Buckets))) {
+        case ((stratum, rate), elseCol) =>
+          when(col(strataCol) === stratum,
+            lit(math.floor(rate * Buckets))).otherwise(elseCol)
+      }
+    df.filter(splitBucket(col(keyCol)) < threshold)
+  }
+
   /** Leakage-aware split: rows whose keys are connected by `pairs`
     * (id_a, id_b — e.g. near-dup candidates from
     * [[Dedup.simhashNearDups]] or [[SimilaritySearch.cosineNearDupsBanded]])

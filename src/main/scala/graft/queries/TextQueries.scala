@@ -276,6 +276,21 @@ object TextQueries {
       .withColumn("fill_ratio", col("total_tokens") / lit(512.0))
       .orderBy(col("bin"))
 
+  /** Stratified downsampling ([[graft.operators.Split.stratifiedSample]]):
+    * rebalance the corpus by language — keep 40% of `en`, 70% of
+    * `zh`, everything else — then count the surviving distribution.
+    * Survival is the per-row md5 bucket against the stratum's
+    * threshold, so the oracle reproduces the exact same sample. */
+  def q80StratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.stratifiedSample(
+      documents(s, d), "doc_id", "lang",
+      Map("en" -> 0.4, "zh" -> 0.7))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+
   /** Column profile of the documents table
     * ([[graft.operators.Profile.profile]]): per-column non-null /
     * null / exact-distinct counts — the corpus-drop audit step. */
@@ -311,6 +326,7 @@ object TextQueries {
     "q74_cluster_split" -> (q74ClusterSplit _),
     "q75_sequence_packing" -> (q75SequencePacking _),
     "q79_data_profile" -> (q79DataProfile _),
+    "q80_stratified_sample" -> (q80StratifiedSample _),
     "q57_simhash_neardups" -> (q57SimhashNearDups _),
     "q55_quality_gate" -> (q55QualityGate _),
     "q63_quality_unicode" -> (q63QualityUnicode _),
@@ -326,6 +342,20 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q80_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::UBIGINT % 10000 AS bkt
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, lang FROM b
+        |  WHERE bkt < CASE lang WHEN 'en' THEN 4000
+        |                        WHEN 'zh' THEN 7000
+        |                        ELSE 10000 END)
+        |SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+        |  MAX(doc_id) AS max_doc
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "q79_data_profile" ->
       """SELECT 'doc_id' AS column_name, COUNT(doc_id) AS non_null,
         | COUNT(*) - COUNT(doc_id) AS nulls,

@@ -52,6 +52,25 @@ class SplitSpec extends SparkTestBase {
     assert(byId(5L)._2 === byId(6L)._2, "component {5,6} straddles splits")
   }
 
+  test("stratified sample is nested: lowering a rate only removes " +
+      "rows") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    def ids(rate: Double) = Split.stratifiedSample(df, "id", "lang",
+        Map("en" -> rate)).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val half = ids(0.5)
+    val quarter = ids(0.25)
+    assert(quarter.subsetOf(half))
+    assert(ids(1.0).size === 2000)
+    // de stratum untouched at every rate
+    assert(half.count(_ % 2 == 1) === 1000)
+    // en stratum lands near its rate
+    assert(math.abs(half.count(_ % 2 == 0) - 500) < 100)
+    assert(math.abs(quarter.count(_ % 2 == 0) - 250) < 80)
+  }
+
   test("weights must sum to 1") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
