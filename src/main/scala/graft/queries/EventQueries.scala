@@ -209,6 +209,27 @@ object EventQueries {
     * over `salts` reducers), never the result. Oracle = the plain
     * SQL join, so this is the correctness proof for the skew
     * tooling. */
+  /** Cohort retention: users grouped by first-seen week, distinct
+    * active users per (cohort, weeks-since) cell — the standard
+    * retention-triangle analytics shape (self-aggregation join +
+    * integer-µs week bucketing per the file's parity rule). */
+  def q81CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val weeks = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("week",
+        col("t_us") - pmod(col("t_us"), lit(604800000000L)))
+      .select(col("user_id"), col("week")).distinct()
+    val cohort = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohort, "user_id")
+      .withColumn("weeks_since",
+        ((col("week") - col("cohort_week")) / 604800000000L).cast("int"))
+      .groupBy(timestamp_micros(col("cohort_week")).as("cohort_week"),
+        col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
   def q67SaltedJoin(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val dim = ev.groupBy(col("user_id"))
@@ -221,6 +242,7 @@ object EventQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_cohort_retention" -> (q81CohortRetention _),
     "q67_salted_join" -> (q67SaltedJoin _),
     "q65_range_join" -> (q65RangeJoin _),
     "q64_asof_join" -> (q64AsOfJoin _),
@@ -239,6 +261,21 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q81_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us FROM events),
+        |wk AS (
+        |  SELECT DISTINCT user_id,
+        |    t_us - (t_us % 604800000000) AS week FROM ev),
+        |ch AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM wk
+        |  GROUP BY 1)
+        |SELECT make_timestamp(ch.cohort_week) AS cohort_week,
+        |  CAST((wk.week - ch.cohort_week) // 604800000000 AS INT)
+        |    AS weeks_since,
+        |  COUNT(DISTINCT wk.user_id) AS active_users
+        |FROM wk JOIN ch USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q67_salted_join" ->
       """WITH dim AS (SELECT user_id, COUNT(*) AS user_events
         |             FROM events GROUP BY 1)
