@@ -230,6 +230,49 @@ object EventQueries {
       .orderBy(col("cohort_week"), col("weeks_since"))
   }
 
+  /** Time-bounded funnel sequencing (match_recognize-lite): how far
+    * each user advances through signup → click → purchase IN ORDER
+    * within 24 hours of their first signup — a sequential-pattern
+    * state machine expressed as a pure `aggregate` fold over the
+    * user's time-ordered events. The accumulator is a 2-field struct
+    * (stage, funnel-start µs) shaped identically to the event
+    * elements (code, t) so the oracle can run the very same fold as
+    * a `list_reduce` with the init state prepended (DuckDB's reduce
+    * has no separate init type). No UDF; one groupBy shuffle. */
+  def q82FunnelSequence(s: SparkSession, d: String): DataFrame = {
+    val W = 24L * 3600 * 1000000 // 24 h in µs
+    val ev = struct(unix_micros(col("ts")).as("t"),
+      col("event_id").as("id"),
+      when(col("event_type") === "signup", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "purchase", 3L)
+        .otherwise(0L).as("code"))
+    def st(a: org.apache.spark.sql.Column) = a.getField("a")
+    def t0(a: org.apache.spark.sql.Column) = a.getField("b")
+    events(s, d)
+      .select(col("user_id"), ev.as("ev"))
+      .groupBy(col("user_id"))
+      .agg(transform(array_sort(collect_list(col("ev"))),
+        x => struct(x.getField("code").as("a"),
+          x.getField("t").as("b"))).as("evs"))
+      .withColumn("stage_reached",
+        aggregate(col("evs"),
+          struct(lit(0L).as("a"), lit(0L).as("b")),
+          (acc, e) =>
+            when(st(acc) === 0L && st(e) === 1L,
+              struct(lit(1L).as("a"), t0(e).as("b")))
+            .when(st(acc) === 1L && st(e) === 2L &&
+              t0(e) - t0(acc) <= W,
+              struct(lit(2L).as("a"), t0(acc).as("b")))
+            .when(st(acc) === 2L && st(e) === 3L &&
+              t0(e) - t0(acc) <= W,
+              struct(lit(3L).as("a"), t0(acc).as("b")))
+            .otherwise(acc)).getField("a"))
+      .groupBy(col("stage_reached"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage_reached"))
+  }
+
   def q67SaltedJoin(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val dim = ev.groupBy(col("user_id"))
@@ -243,6 +286,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cohort_retention" -> (q81CohortRetention _),
+    "q82_funnel_sequence" -> (q82FunnelSequence _),
     "q67_salted_join" -> (q67SaltedJoin _),
     "q65_range_join" -> (q65RangeJoin _),
     "q64_asof_join" -> (q64AsOfJoin _),
@@ -261,6 +305,30 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q82_funnel_sequence" ->
+      """WITH coded AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CAST(CASE event_type WHEN 'signup' THEN 1
+        |      WHEN 'click' THEN 2 WHEN 'purchase' THEN 3
+        |      ELSE 0 END AS BIGINT) AS code
+        |  FROM events),
+        |folded AS (
+        |  SELECT user_id,
+        |    list_reduce(
+        |      list_concat([struct_pack(a := 0::BIGINT, b := 0::BIGINT)],
+        |        list(struct_pack(a := code, b := t)
+        |             ORDER BY t, event_id)),
+        |      (acc, e) -> CASE
+        |        WHEN acc.a = 0 AND e.a = 1
+        |          THEN struct_pack(a := 1::BIGINT, b := e.b)
+        |        WHEN acc.a = 1 AND e.a = 2 AND e.b - acc.b <= 86400000000
+        |          THEN struct_pack(a := 2::BIGINT, b := acc.b)
+        |        WHEN acc.a = 2 AND e.a = 3 AND e.b - acc.b <= 86400000000
+        |          THEN struct_pack(a := 3::BIGINT, b := acc.b)
+        |        ELSE acc END).a AS stage_reached
+        |  FROM coded GROUP BY user_id)
+        |SELECT stage_reached, COUNT(*) AS n_users
+        |FROM folded GROUP BY 1 ORDER BY 1""".stripMargin,
     "q81_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS t_us FROM events),
