@@ -440,7 +440,71 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** TPC-H Q18 analog (large-volume orders): orders whose total
+    * quantity clears a floor, rejoined to customer detail — the
+    * agg-then-semi-rejoin shape. The HAVING aggregate runs once over
+    * lineitem (map-side partials, one shuffle on `l_orderkey`); the
+    * qualifying key set then drives plain hash joins, so nothing here
+    * is quadratic at 100×. */
+  def q83LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("bk"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    orders(s, d)
+      .join(big, col("o_orderkey") === col("bk"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q15 analog (top supplier): revenue per supplier over a
+    * ship-date window, keep the supplier(s) achieving the global
+    * maximum — the agg → scalar-MAX → equality-join shape. The max is
+    * a one-row broadcast; both sides of the equality come from the
+    * same exact decimal sum, so double equality is safe. */
+  def q84TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q11 analog (important parts): per-part discounted value,
+    * kept only where it exceeds 1.5× the average per-part value — the
+    * global-scalar-in-HAVING shape. The scalar (total / part count) is
+    * derived from the same single aggregation output, broadcast as one
+    * row; the fraction is relative to the part population, so the
+    * predicate stays selective as SF grows (a fixed fraction-of-total
+    * goes empty at scale). */
+  def q85ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val pv = lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("value"))
+    val thr = lineitem(s, d)
+      .agg((dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        / countDistinct(col("l_partkey"))).as("avg_part_value"))
+    pv.crossJoin(broadcast(thr))
+      .filter(col("value") > lit(1.5) * col("avg_part_value"))
+      .select(col("l_partkey"), col("value"))
+      .orderBy(desc("value"), col("l_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_large_orders" -> (q83LargeOrders _),
+    "q84_top_supplier" -> (q84TopSupplier _),
+    "q85_important_parts" -> (q85ImportantParts _),
     "q76_nation_trade" -> (q76NationTrade _),
     "q77_part_supplier_counts" -> (q77PartSupplierCounts _),
     "q78_market_share" -> (q78MarketShare _),
@@ -472,6 +536,46 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q83_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS bk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    > 150.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = bk
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q84_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-07-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q85_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, value
+        |FROM pv
+        |WHERE value > 1.5 * (
+        |  SELECT CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(DISTINCT l_partkey)
+        |  FROM lineitem)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
     "q76_nation_trade" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         | year(l_shipdate) AS l_year,
