@@ -18,6 +18,43 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Corpus-level duplicated word-span detection (the C4 §2.2 "three-
+    * sentence span" dedup shape generalized to word n-grams, as used
+    * by MassiveText/RefinedWeb line-and-span dedup): every length-`n`
+    * sliding word window becomes a (doc, pos, span) row; spans seen
+    * more than once across the corpus are reported with their global
+    * count, distinct-document count, and earliest (doc, pos)
+    * occurrence — the attribution a remove-all-but-first rewrite
+    * keys on.
+    *
+    * Shape: one explode (n× amplification of the token stream), one
+    * aggregation shuffle on the span text and one window shuffle on
+    * the same key — no self-join, no cartesian. At 100 TB the group
+    * key should be a fixed-width digest of the span rather than the
+    * span string (swap `col("span")` for `md5(col("span"))`) so the
+    * exchange moves 16-byte keys; the span text here doubles as the
+    * human-readable audit output at test scale. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spans = df
+      .select(col(idCol), posexplode(wordShinglesFast(col(textCol), n)))
+      .select(col(idCol).as("doc"), col("pos"), col("col").as("span"))
+    val counts = spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc")).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
+    val firsts = spans
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("span"))
+          .orderBy(col("doc"), col("pos"))))
+      .filter(col("rn") === 1)
+      .select(col("span").as("s2"), col("doc").as("first_doc"),
+        col("pos").as("first_pos"))
+    counts.join(firsts, col("span") === col("s2"))
+      .select(col("span"), col("n_occurrences"), col("n_docs"),
+        col("first_doc"), col("first_pos"))
+  }
+
   /** Exact dedup: keep the lowest-id row per md5(content).
     * `min_by` keeps the winner inside a single hash aggregation —
     * one shuffle on the 128-bit digest, no window needed. */

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Tables._
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
@@ -319,7 +320,93 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Gopher's published stop-word presence list (Rae et al. 2021
+    * §A1.1: the, be, to, of, and, that, have, with). */
+  val GopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule quality flags (Rae et al. 2021 §A1.1 — the published
+    * MassiveText filtering heuristics): word-count bounds [50, 100k],
+    * mean word length in [3, 10], symbol-to-word ratio (# and …)
+    * ≤ 0.1, ≥ 80% of words containing an alphabetic character, and
+    * ≥ 2 stop words. All pure per-row column expressions — codegen'd,
+    * no shuffle beyond the final sort, trivially 100 TB-safe.
+    *
+    * Mean word length uses the split-on-single-space identity
+    * Σ|wᵢ| = |text| − (n−1), avoiding a higher-order aggregate. */
+  def q86GopherQuality(s: SparkSession, d: String): DataFrame = {
+    val w = tokens(col("text"))
+    val nw = size(w)
+    val mwl = (length(col("text")) - (nw - 1)).cast("double") / nw
+    val hashes = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val ellipses = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashes + ellipses).cast("double") / nw
+    val alphaRatio =
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / nw
+    val nStop = size(filter(w, x => x.isInCollection(GopherStop)))
+    documents(s, d)
+      .select(col("doc_id"), nw.as("n_words"),
+        mwl.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        alphaRatio.as("alpha_ratio"), nStop.as("n_stop"))
+      .withColumn("keep",
+        !(col("n_words") < 50 || col("n_words") > 100000 ||
+          col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0 ||
+          col("symbol_ratio") > 0.1 || col("alpha_ratio") < 0.8 ||
+          col("n_stop") < 2))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1
+    * repetition family): per document, the most frequent word 2-gram
+    * (ties broken lexicographically) with the fraction of the
+    * document's characters its occurrences cover, and the character
+    * mass of duplicated 3-grams. Char mass = occurrences × gram
+    * length (overlaps counted per occurrence) — deterministic, exact.
+    *
+    * Shape: two explodes over the token stream, each aggregated on
+    * (doc, gram) with map-side partials, then per-doc reduction —
+    * no self-joins; the widest exchange carries one row per distinct
+    * (doc, gram). */
+  def q87RepetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"),
+        explode(wordShinglesFast(col("text"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val top2 = gramCounts(2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(desc("c"), col("g"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("d2"), col("g").as("top_gram"),
+        (col("c") * length(col("g"))).as("top_chars"))
+    val dup3 = gramCounts(3).filter(col("c") > 1)
+      .groupBy(col("doc_id").as("d3"))
+      .agg(sum(col("c") * length(col("g"))).as("dup3_chars"))
+    docs.select(col("doc_id"), length(col("text")).as("nc"))
+      .join(top2, col("doc_id") === col("d2"), "left")
+      .join(dup3, col("doc_id") === col("d3"), "left")
+      .select(col("doc_id"), col("top_gram"),
+        (col("top_chars").cast("double") / col("nc")).as("top2_frac"),
+        coalesce(col("dup3_chars"), lit(0L)).as("dup3_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level duplicated 5-word spans (C4 §2.2 span dedup shape):
+    * top duplicated spans with global occurrence count, document
+    * spread, and the earliest (doc, pos) a rewrite would keep. */
+  def q88SpanDups(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateSpans(documents(s, d), "doc_id", "text", n = 5)
+      .orderBy(desc("n_occurrences"), col("span"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_gopher_quality" -> (q86GopherQuality _),
+    "q87_repetition_signals" -> (q87RepetitionSignals _),
+    "q88_span_dups" -> (q88SpanDups _),
     "q66_tfidf_topterms" -> (q66TfidfTopTerms _),
     "q54_chunk_counts" -> (q54ChunkCounts _),
     "q73_dataset_split" -> (q73DatasetSplit _),
@@ -342,6 +429,69 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q86_gopher_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words,
+        |    CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+        |      AS mean_word_len,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS DOUBLE) / len(w) AS symbol_ratio,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / len(w) AS alpha_ratio,
+        |    len(list_filter(w, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS n_stop
+        |  FROM f)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  alpha_ratio, n_stop,
+        |  NOT (n_words < 50 OR n_words > 100000 OR mean_word_len < 3.0
+        |    OR mean_word_len > 10.0 OR symbol_ratio > 0.1
+        |    OR alpha_ratio < 0.8 OR n_stop < 2) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q87_repetition_signals" ->
+      """WITH w AS (SELECT doc_id, length(text) AS nc,
+        |    string_split(text, ' ') AS w FROM documents),
+        |i2 AS (SELECT doc_id, nc, w,
+        |    unnest(range(1, len(w))) AS i FROM w),
+        |g2 AS (SELECT doc_id, nc, w[i] || ' ' || w[i+1] AS g FROM i2),
+        |c2 AS (SELECT doc_id, nc, g, count(*) AS c
+        |  FROM g2 GROUP BY 1, 2, 3),
+        |t2 AS (SELECT doc_id, nc, g, c, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c2),
+        |i3 AS (SELECT doc_id, w,
+        |    unnest(range(1, len(w) - 1)) AS i FROM w),
+        |g3 AS (SELECT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM i3),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |d3 AS (SELECT doc_id,
+        |    CAST(SUM(c * length(g)) AS BIGINT) AS dup3_chars
+        |  FROM c3 WHERE c > 1 GROUP BY 1)
+        |SELECT t2.doc_id, t2.g AS top_gram,
+        |  CAST(t2.c * length(t2.g) AS DOUBLE) / t2.nc AS top2_frac,
+        |  COALESCE(d3.dup3_chars, 0) AS dup3_chars
+        |FROM t2 LEFT JOIN d3 ON t2.doc_id = d3.doc_id
+        |WHERE t2.rn = 1 ORDER BY t2.doc_id""".stripMargin,
+    "q88_span_dups" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |i AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |  FROM w),
+        |s AS (SELECT doc_id AS doc, i - 1 AS pos,
+        |    array_to_string(w[i:i+4], ' ') AS span FROM i),
+        |c AS (SELECT span, count(*) AS n_occurrences,
+        |    count(distinct doc) AS n_docs
+        |  FROM s GROUP BY 1 HAVING count(*) > 1),
+        |f AS (SELECT span, doc, pos, row_number() OVER (
+        |    PARTITION BY span ORDER BY doc, pos) AS rn FROM s)
+        |SELECT c.span, c.n_occurrences, c.n_docs,
+        |  f.doc AS first_doc, f.pos AS first_pos
+        |FROM c JOIN f ON c.span = f.span AND f.rn = 1
+        |ORDER BY n_occurrences DESC, c.span LIMIT 100""".stripMargin,
     "q80_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

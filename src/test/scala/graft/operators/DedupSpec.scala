@@ -152,4 +152,22 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((1L, 2L)))
   }
+
+  test("duplicateSpans attributes shared spans to the earliest " +
+      "(doc, pos) and counts every occurrence") {
+    import spark.implicits._
+    val spanDocs = Seq(
+      (10L, "x y one two three four five z"),   // span at pos 2
+      (3L, "one two three four five tail words here"), // pos 0 (first)
+      (7L, "lead one two three four five one two three four five"),
+      (9L, "totally unrelated words with no shared span at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(spanDocs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // the only repeated 5-word span: doc3@0 (first), doc7@{1,6}, doc10@2
+    assert(out === Map(
+      "one two three four five" -> ((4L, 3L, 3L, 0))))
+  }
 }
