@@ -79,12 +79,17 @@ object ScaleBench {
       val views = events.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("t_us"),
           col("value"))
-      // IVFADC: index built once (its own timing row), probes reuse it
+      // IVFADC: index built once (its own timing row), probes reuse
+      // it. Cells scale as √n and both quantizers train on a bounded
+      // deterministic sample — the 100 TB sizing contract.
       lazy val ivfadcParts = {
+        val nCells = SimilaritySearch.coarseCellCount(emb.count())
         val cents = SimilaritySearch.kmeansCentroids(
-          emb, "vec_id", "embedding", k = 64, maxIter = 3)
+          emb, "vec_id", "embedding", k = nCells, maxIter = 3,
+          maxTrain = 16384)
         val cb = ProductQuantization.codebooksKmeans(
-          emb, "vec_id", "embedding", m = 8, kCodes = 16, maxIter = 3)
+          emb, "vec_id", "embedding", m = 8, kCodes = 16, maxIter = 3,
+          maxTrain = 16384)
         val idx = ProductQuantization.ivfadcIndex(
           emb, "vec_id", "embedding", cents, cb, m = 8).persist()
         (cents, cb, idx)

@@ -126,8 +126,10 @@ object ProductQuantization {
   /** Exact cosine re-rank of a (qid, cid) shortlist: ONLY shortlist
     * rows re-join their float vectors — the compressed-domain scan
     * reads the whole corpus, floats are read for
-    * shortlist-size·|queries| rows. */
-  private[operators] def exactRerank(shortlist: DataFrame,
+    * shortlist-size·|queries| rows. Public: the shortlist+rerank
+    * composition is the registered production shape (q89 value-checks
+    * it end-to-end over the int8 shortlist). */
+  def exactRerank(shortlist: DataFrame,
       queries: DataFrame, queryIdCol: String, corpus: DataFrame,
       corpusIdCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(queryIdCol).as("qid"),
@@ -185,13 +187,19 @@ object ProductQuantization {
   /** Residual PQ codebooks via per-subspace k-means
     * ([[SimilaritySearch.kmeansCentroids]] — deterministic seeding and
     * folds; no label column needed, unlike [[codebooks]]). Training
-    * is m small k-means jobs over subvector slices; at real scale
-    * train on a sample — PQ codebooks converge on a fraction of the
-    * corpus. Returns (sub, code, cw). */
+    * is m small k-means jobs over subvector slices; `maxTrain > 0`
+    * trains on a deterministic md5-bucket sample
+    * ([[SimilaritySearch.trainingSample]]) — PQ codebooks converge on
+    * a corpus fraction, so at 100 TB training cost stays bounded
+    * while encode still streams the full corpus.
+    * Returns (sub, code, cw). */
   def codebooksKmeans(vecs: DataFrame, idCol: String, vecCol: String,
-      m: Int, kCodes: Int, maxIter: Int = 5): DataFrame = {
+      m: Int, kCodes: Int, maxIter: Int = 5,
+      maxTrain: Int = 0): DataFrame = {
+    val train = if (maxTrain > 0)
+      SimilaritySearch.trainingSample(vecs, idCol, maxTrain) else vecs
     val base = subvectors(
-      vecs.select(col(idCol).as("_id"),
+      train.select(col(idCol).as("_id"),
         col(vecCol).cast("array<double>").as("v")), "v", m).persist()
     val cbs = (0 until m).map { j =>
       SimilaritySearch.kmeansCentroids(

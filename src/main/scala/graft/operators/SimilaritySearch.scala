@@ -389,9 +389,40 @@ object SimilaritySearch {
     * their previous centroid. Each iteration is one broadcast join +
     * one keyed aggregation — no driver-side data movement beyond the
     * k centroid rows. Returns (cell_id, centroid ARRAY<DOUBLE>). */
+  /** Coarse-quantizer sizing: #cells ≈ √n (the IVF practice from
+    * Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search" §V — balances per-cell scan length against probe-side
+    * centroid comparisons, both ≈ √n at the optimum), clamped to
+    * [minCells, maxCells]. At 100 TB the cap keeps the broadcast
+    * centroid table bounded (65536 cells × dim doubles ≈ tens of MB
+    * for typical dims — still broadcastable). */
+  def coarseCellCount(n: Long, minCells: Int = 16,
+      maxCells: Int = 65536): Int =
+    math.max(minCells,
+      math.min(maxCells, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Deterministic ≈`maxTrain`-row training sample: keep rows whose
+    * [[Split.splitBucket]] (md5 of the id — no rand(), stable across
+    * runs, partitionings, and engines) falls under the sampling rate.
+    * Quantizer training (k-means cells, PQ codebooks) converges on a
+    * corpus fraction, so at scale training reads a bounded sample
+    * while encode/assign still stream the full corpus. The one
+    * `count()` action moves a single long to the driver. */
+  def trainingSample(df: DataFrame, idCol: String,
+      maxTrain: Int): DataFrame = {
+    require(maxTrain > 0, "maxTrain must be positive")
+    val n = df.count()
+    if (n <= maxTrain) df
+    else df.filter(Split.splitBucket(col(idCol)) <
+      math.max(1L, math.floor(
+        maxTrain.toDouble / n * Split.Buckets).toLong))
+  }
+
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, maxIter: Int = 10): DataFrame = {
-    val v = df.select(col(idCol).as("_id"),
+      k: Int, maxIter: Int = 10, maxTrain: Int = 0): DataFrame = {
+    val train = if (maxTrain > 0) trainingSample(df, idCol, maxTrain)
+      else df
+    val v = train.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("v")).persist()
     val idW = Window.orderBy(col("_id"))
     var cents = v.orderBy(col("_id")).limit(k)

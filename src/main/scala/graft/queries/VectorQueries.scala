@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 import graft.functions.VectorFunctions._
-import graft.operators.SimilaritySearch
+import graft.operators.{ProductQuantization, SimilaritySearch}
 
 /** Vector / retrieval surface over the `embeddings` table (SURVEY
   * §2.11: cosine top-k V3/T1 is the reference's core query operator;
@@ -154,7 +154,27 @@ object VectorQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Compressed-retrieval ANN, value-checked end-to-end: the int8-
+    * quantized scan builds a 10k shortlist (¼ scan bytes, integer
+    * [[graft.functions.DotI8]] kernel), then ONLY shortlist rows
+    * re-join their floats for the exact cosine re-rank — the
+    * production shape behind `Rag.retrieveCompressed`, here over the
+    * embeddings table where the quantize → shortlist → re-rank chain
+    * is ANSI-SQL-expressible. The oracle mirrors `Math.round` as
+    * floor(x/scale + 0.5) (the UDF's rounding, which differs from SQL
+    * round() at exact negative halves). */
+  def q89CompressedKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    val shortlist = SimilaritySearch.quantizedTopK(
+      queries, "vec_id", emb, "vec_id", "embedding", k = 60)
+    ProductQuantization.exactRerank(shortlist, queries, "vec_id",
+      emb, "vec_id", "embedding", k = 6)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_compressed_knn" -> (q89CompressedKnn _),
     "q72_ann_pq" -> (q72AnnPq _),
     "q68_embedding_quant" -> (q68EmbeddingQuant _),
     "q43_ann_ivf" -> (q43AnnIvf _),
@@ -166,6 +186,43 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // int8 shortlist (quantized cosine, Math.round ≡ floor(x+0.5))
+    // + exact float re-rank; both rank windows tie-break on cid —
+    // the same contract as the engine's bounded heaps.
+    "q89_compressed_knn" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  list_reduce(list_transform(e, x -> abs(x)),
+        |    (a, x) -> CASE WHEN x > a THEN x ELSE a END) / 127.0
+        |    AS scale FROM v),
+        |q8 AS (SELECT vec_id, e,
+        |  list_transform(e, x -> floor(x / scale + 0.5)) AS q
+        |  FROM s WHERE scale > 0),
+        |n AS (SELECT vec_id, e, q,
+        |  sqrt(list_dot_product(q, q)) AS qnorm FROM q8),
+        |scored AS (
+        |  SELECT qr.vec_id AS qid, c.vec_id AS cid,
+        |    list_dot_product(qr.q, c.q) / (qr.qnorm * c.qnorm)
+        |      AS qscore
+        |  FROM n qr, n c
+        |  WHERE qr.vec_id < 10 AND qr.qnorm > 0 AND c.qnorm > 0),
+        |short AS (SELECT qid, cid, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY qscore DESC, cid) AS srn
+        |  FROM scored),
+        |fs AS (
+        |  SELECT sh.qid, sh.cid,
+        |    list_dot_product(q.e, c.e) /
+        |      (sqrt(list_dot_product(q.e, q.e)) *
+        |       sqrt(list_dot_product(c.e, c.e))) AS score
+        |  FROM short sh
+        |    JOIN v q ON sh.qid = q.vec_id
+        |    JOIN v c ON sh.cid = c.vec_id
+        |  WHERE sh.srn <= 60),
+        |ranked AS (SELECT qid, cid, score, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM fs)
+        |SELECT qid, cid, score, rnk FROM ranked
+        |WHERE rnk <= 6 ORDER BY qid, rnk""".stripMargin,
     // Recomputes the PQ pipeline relationally: label-rank codes,
     // order-fixed-fold codebook means, argmin assignment with
     // lower-code tie-break, and the ADC score as the sub-ordered fold

@@ -183,4 +183,37 @@ class SimilaritySpec extends SparkTestBase {
     val recall = (exact & quant).size.toDouble / exact.size
     assert(recall >= 0.9, s"int8 recall@10 $recall below 0.9")
   }
+
+  test("coarseCellCount follows sqrt(n) inside its clamps") {
+    assert(SimilaritySearch.coarseCellCount(100L) === 16)   // min clamp
+    assert(SimilaritySearch.coarseCellCount(10000L) === 100)
+    assert(SimilaritySearch.coarseCellCount(10001L) === 101) // ceil
+    assert(SimilaritySearch.coarseCellCount(1L << 40) === 65536) // max
+  }
+
+  test("trainingSample is a deterministic bounded subset") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val s1 = SimilaritySearch.trainingSample(emb, "vec_id", 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val s2 = SimilaritySearch.trainingSample(emb, "vec_id", 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)                        // stable across runs
+    assert(s1.nonEmpty && s1.size < n)       // strictly smaller
+    assert(s1.size <= 140, s"sample ${s1.size} far above target 100")
+    // passthrough when the corpus already fits the budget
+    assert(SimilaritySearch.trainingSample(emb, "vec_id", n.toInt + 1)
+      .count() === n)
+  }
+
+  test("sampled k-means still yields k deterministic centroids") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = SimilaritySearch.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 8, maxIter = 2, maxTrain = 100)
+    val b = SimilaritySearch.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 8, maxIter = 2, maxTrain = 100)
+    assert(a.count() === 8)
+    assert(a.orderBy("cell_id").collect().map(_.toSeq).toSeq ===
+      b.orderBy("cell_id").collect().map(_.toSeq).toSeq)
+  }
 }
