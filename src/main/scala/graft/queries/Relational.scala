@@ -501,7 +501,58 @@ object Relational {
       .orderBy(desc("value"), col("l_partkey"))
   }
 
+  /** TPC-H Q13 analog (customer order-count distribution): LEFT join
+    * so zero-order customers land in the c_count=0 bucket — the
+    * outer-join-then-histogram shape (two aggregations, the second
+    * over the first's keys). */
+  def q90CustomerDistribution(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q5 analog (local supplier volume): revenue from lineitems
+    * whose customer and supplier share a nation — the cyclic join
+    * (the supplier join carries an extra equality back to the
+    * customer's nation key, closing the cycle). */
+  def q91LocalSupplierVolume(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+
+  /** TPC-H Q9 analog (product-type profit): profit = discounted
+    * revenue − a retail-price-derived supply cost (the testdata has
+    * no partsupp, so cost = 0.5 · p_retailprice · l_quantity), per
+    * supplier nation per year for one part type — the five-table
+    * chain with a two-sided measure. */
+  def q92ProfitByNation(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(part(s, d).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - lit(0.5) * col("p_retailprice") * col("l_quantity"), 6)
+        .as("profit"))
+      .orderBy(col("nation"), desc("o_year"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_customer_distribution" -> (q90CustomerDistribution _),
+    "q91_local_supplier_volume" -> (q91LocalSupplierVolume _),
+    "q92_profit_by_nation" -> (q92ProfitByNation _),
     "q83_large_orders" -> (q83LargeOrders _),
     "q84_top_supplier" -> (q84TopSupplier _),
     "q85_important_parts" -> (q85ImportantParts _),
@@ -536,6 +587,37 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q90_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q91_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |   AND s_nationkey = c_nationkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q92_profit_by_nation" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |   - 0.5*p_retailprice*l_quantity
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
     "q83_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey AS bk,
