@@ -309,6 +309,39 @@ object StreamingOps {
     * input), so pair timestamps are always >= the operator watermark
     * and the downstream dedup never sees a late row
     * (StreamingNearDupSpec exercises the chain end-to-end). */
+  /** Stream-stream event-time interval join — the continuous form of
+    * [[graft.operators.RangeJoin.rangeJoin]]: each left row pairs
+    * with right rows sharing `keys` whose event time lies in
+    * [leftTs + lowerMs, leftTs + upperMs]. Both sides carry the same
+    * watermark delay; the time-range predicate is expressed directly
+    * on the two event-time columns, which is exactly what lets
+    * Spark's symmetric hash join drop each side's state once the
+    * opposite watermark passes the interval's reach — state stays
+    * bounded by (delay + interval width) × arrival rate per key, at
+    * any scale. Inner join only: the one mode whose emitted set is
+    * provably identical to the batch interval join on the same rows
+    * (StreamingIntervalJoinSpec pins that equality; outer modes
+    * additionally emit watermark-timing-dependent null rows).
+    * Right-side key columns are dropped from the output. */
+  def streamingIntervalJoin(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      lowerMs: Long, upperMs: Long,
+      delay: String): org.apache.spark.sql.DataFrame = {
+    require(lowerMs <= upperMs, "lowerMs must be <= upperMs")
+    require(leftTsCol != rightTsCol,
+      "left and right event-time columns must be named differently")
+    val l = left.withWatermark(leftTsCol, delay)
+    val r = right.withWatermark(rightTsCol, delay)
+    import org.apache.spark.sql.functions.{col, expr}
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTsCol) >= l(leftTsCol) +
+        expr(s"INTERVAL '$lowerMs' MILLISECOND") &&
+      r(rightTsCol) <= l(leftTsCol) +
+        expr(s"INTERVAL '$upperMs' MILLISECOND")
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   def streamingNearDups(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, tsCol: String, delay: String,
       bands: Int = 6, maxHamming: Int = 5)
