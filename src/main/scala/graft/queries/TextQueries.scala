@@ -403,7 +403,25 @@ object TextQueries {
       .orderBy(desc("n_occurrences"), col("span"))
       .limit(100)
 
+  /** Z-order key derivation, value-checked: the Morton interleave of
+    * (n_chars, doc_id mod 2^16) — the layout key
+    * [[graft.operators.Layout.zorderBy]] range-partitions on (the
+    * pruning effect itself is measured by LayoutSpec; the oracle pins
+    * the bit math both engines must agree on). */
+  def q93ZorderKeys(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.operators.Layout.morton2(
+          col("n_chars"), col("doc_id") % 65536, 16).as("zval"))
+      .orderBy(col("doc_id"))
+
+  private val MortonOracleExpr: String = (0 until 16).map { i =>
+    s"((((n_chars >> $i) & 1) << ${2 * i}) | " +
+      s"((((doc_id % 65536) >> $i) & 1) << ${2 * i + 1}))"
+  }.mkString(" | ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_zorder_keys" -> (q93ZorderKeys _),
     "q86_gopher_quality" -> (q86GopherQuality _),
     "q87_repetition_signals" -> (q87RepetitionSignals _),
     "q88_span_dups" -> (q88SpanDups _),
@@ -429,6 +447,9 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q93_zorder_keys" ->
+      s"""SELECT doc_id, $MortonOracleExpr AS zval
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q86_gopher_quality" ->
       """WITH f AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS w

@@ -23,4 +23,34 @@ class PlanSpec2 extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q88 span dedup: explode + keyed agg + window only — " +
+      "no join of the token stream against itself") {
+    val p = SparkEntry.queries("q88_span_dups")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("new relational analogs (q83-q92) never plan a cartesian " +
+      "beyond the intended one-row scalar broadcasts") {
+    for (q <- Seq("q83_large_orders", "q85_important_parts",
+        "q90_customer_distribution", "q91_local_supplier_volume",
+        "q92_profit_by_nation")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q89: floats join only through the shortlist — the corpus-" +
+      "wide scan is the quantized side, never a float cross join") {
+    val df = SparkEntry.queries("q89_compressed_knn")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop allowed is the broadcast of the ≤10-row
+    // quantized query side into the corpus scan
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"unexpected nested-loop joins:\n$p")
+  }
 }
