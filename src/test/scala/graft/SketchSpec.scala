@@ -46,4 +46,34 @@ class SketchSpec extends SparkTestBase {
     // and the data round-trips
     assert(spark.read.parquet(dir).count() === 3)
   }
+
+  test("count-min sketch: estimates are one-sided (≥ true count) " +
+      "and within eps·N on the corpus word stream") {
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("word"))
+    val n = words.count()
+    val truth = words.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cms = words.stat.countMinSketch(
+      "word", eps = 0.001, confidence = 0.99, seed = 42)
+    truth.foreach { case (w, c) =>
+      val est = cms.estimateCount(w)
+      assert(est >= c, s"CMS under-counted $w: $est < $c")
+      assert(est <= c + (0.001 * n).toLong + 1,
+        s"CMS error for $w beyond eps*N: $est vs $c (N=$n)")
+    }
+  }
+
+  test("bloom filter: no false negatives, FPP near the configured " +
+      "bound (the join-pruning sketch)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val bf = li.stat.bloomFilter("l_orderkey", 10000, 0.03)
+    val keys = li.select("l_orderkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.forall(bf.mightContain), "bloom false negative")
+    val absent = (1 to 20000).map(i => 10000000L + i)
+      .count(k => bf.mightContain(k))
+    assert(absent.toDouble / 20000 < 0.06,
+      s"observed FPP ${absent / 20000.0} far above configured 0.03")
+  }
 }
