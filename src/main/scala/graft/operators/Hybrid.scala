@@ -60,11 +60,20 @@ object Hybrid {
     val qterms = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
         .as("term"))
-    qterms
+    scoreBm25(qterms
       .join(tf, Seq("term"))
       .join(dfreq, Seq("term"))
       .join(docLen, Seq("doc"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats)), k1, b)
+  }
+
+  /** The BM25 scoring tail over a joined candidate frame carrying
+    * (qid, doc, term, tf, df, dl, n_docs, avgdl) — shared verbatim by
+    * the per-call path above and [[TextIndex.bm25]] (persisted
+    * index), so both produce bit-identical scores. */
+  private[operators] def scoreBm25(joined: DataFrame, k1: Double,
+      b: Double): DataFrame =
+    joined
       .withColumn("idf",
         floor(log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
           / (col("df") + 0.5)) * 1e9).cast("double") / 1e9)
@@ -77,7 +86,6 @@ object Hybrid {
         transform(array_sort(collect_list(struct(col("term"), col("w")))),
           x => x.getField("w")),
         lit(0.0), (acc, x) => acc + x).as("score"))
-  }
 
   /** Per-query top-`limit` prefetch of a (qid, doc, score) frame. */
   def prefetch(scored: DataFrame, limit: Int): DataFrame = {

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Persisted inverted text index — the index-once / query-many form
+  * of [[Hybrid.bm25]] (whose per-call inverted index re-tokenizes the
+  * corpus on every query batch; reference analog: the sparse Qdrant
+  * collection that persists between queries,
+  * `services/database_qdrant_sparse_testing.py:33-108`).
+  *
+  * Layout: postings (term, doc, tf, dl) bucketed AND sorted by term —
+  * a term-equality join against it is bucket-local (no Exchange on
+  * the postings side, TextIndexSpec pins it); `<table>_terms`
+  * (term, df) bucketed the same way; `<table>_stats` one row
+  * (n_docs, avgdl). At 100 TB the build is two shuffles of the token
+  * stream (tf groupBy + bucketed write) paid ONCE; each query batch
+  * then shuffles only its own candidate rows.
+  */
+object TextIndex {
+
+  /** Build and persist the index tables for `corpus`. */
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 64): Unit = {
+    val tf = Hybrid.termFrequencies(corpus, idCol, textCol)
+    val docLen = corpus.select(col(idCol).as("doc"))
+      .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
+        Seq("doc"), "left")
+    val postings = tf.join(docLen, Seq("doc"))
+      .select(col("term"), col("doc"), col("tf"), col("dl"))
+    postings.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_terms")
+    // n_docs counts every corpus doc (null-text docs included);
+    // avgdl skips their null dl — identical to Hybrid.bm25's stats.
+    docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** Posting-list lookup: all (term, doc, tf) rows for `terms`,
+    * bucket-local on the index side. */
+  def termQuery(spark: SparkSession, table: String,
+      terms: Seq[String]): DataFrame =
+    spark.table(table)
+      .filter(col("term").isInCollection(terms))
+      .select(col("term"), col("doc"), col("tf"))
+
+  /** BM25 over the persisted index: same inputs, same fold, same
+    * 9-decimal idf truncation as [[Hybrid.bm25]] — TextIndexSpec pins
+    * bit-for-bit score equality. The only per-query shuffle is the
+    * final (qid, doc) fold over candidate rows. */
+  def bm25(spark: SparkSession, table: String, queries: DataFrame,
+      qidCol: String, qtextCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
+        .as("term"))
+    val joined = qterms
+      .join(spark.table(table), Seq("term"))
+      .join(spark.table(s"${table}_terms"), Seq("term"))
+      .crossJoin(broadcast(spark.table(s"${table}_stats")))
+    Hybrid.scoreBm25(joined, k1, b)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index: bit-identical BM25 vs the per-call path,
+  * and the bucket-local join contract on the postings side. */
+class TextIndexSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private lazy val queries = {
+    import spark.implicits._
+    Seq((1L, "table scan fast"), (2L, "the window sort"),
+      (3L, "spark batch stream value")).toDF("qid", "qtext")
+  }
+
+  test("persisted-index BM25 equals the per-call BM25 bit-for-bit") {
+    TextIndex.build(docs, "doc_id", "text", "ti_docs", buckets = 8)
+    try {
+      val fromIndex = TextIndex.bm25(spark, "ti_docs", queries,
+        "qid", "qtext").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val perCall = Hybrid.bm25(docs, "doc_id", "text", queries,
+        "qid", "qtext").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(fromIndex.keySet === perCall.keySet)
+      fromIndex.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(v) ===
+          java.lang.Double.doubleToLongBits(perCall(k)), s"score at $k")
+      }
+      assert(fromIndex.nonEmpty)
+    } finally {
+      Seq("ti_docs", "ti_docs_terms", "ti_docs_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("postings and term tables join bucket-locally — no Exchange " +
+      "on either index side") {
+    TextIndex.build(docs, "doc_id", "text", "ti_plan", buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ti_plan")
+        .join(spark.table("ti_plan_terms"), "term")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"index-side join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("ti_plan", "ti_plan_terms", "ti_plan_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("termQuery returns exactly the posting lists of the asked " +
+      "terms") {
+    TextIndex.build(docs, "doc_id", "text", "ti_tq", buckets = 8)
+    try {
+      val got = TextIndex.termQuery(spark, "ti_tq", Seq("table"))
+        .select("doc").collect().map(_.getLong(0)).toSet
+      val want = docs
+        .filter(array_contains(split(col("text"), " "), "table"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want && got.nonEmpty)
+    } finally {
+      Seq("ti_tq", "ti_tq_terms", "ti_tq_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+}
