@@ -55,6 +55,35 @@ object Dedup {
         col("first_doc"), col("first_pos"))
   }
 
+  /** Train→test contamination check (the published LM-training
+    * decontamination shape: GPT-3 appendix C / PaLM §6.3 measure
+    * test examples sharing word n-grams with the training set). Per
+    * test doc: its distinct n-gram span count, how many of those
+    * spans occur anywhere in `train`, and the contaminated fraction.
+    *
+    * Shape: distinct train spans (one agg shuffle) feed a LEFT SEMI
+    * hash join against the test span stream — never a cross product;
+    * the semi join's build side carries only span strings (at 100 TB
+    * hash spans to 16-byte digests first, same swap as
+    * [[duplicateSpans]]). */
+  def crossContamination(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def spans(df: DataFrame) = df.select(col(idCol).as("doc"),
+      explode(array_distinct(wordShinglesFast(col(textCol), n)))
+        .as("span"))
+    val trainSpans = spans(train).select(col("span")).distinct()
+    val testSpans = spans(test)
+    val totals = testSpans.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"))
+    val hits = testSpans.join(trainSpans, Seq("span"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc"), "left")
+      .select(col("doc"), col("n_spans"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_spans")).as("contamination_rate"))
+  }
+
   /** Exact dedup: keep the lowest-id row per md5(content).
     * `min_by` keeps the winner inside a single hash aggregation —
     * one shuffle on the 128-bit digest, no window needed. */

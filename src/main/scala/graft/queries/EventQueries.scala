@@ -284,7 +284,28 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Per-user 2σ outliers via the exact two-pass moments: μ and
+    * E[v²] come from decimal-exact sums (order-independent), σ² =
+    * E[v²] − μ², and the flag compares (v−μ)² > 4σ² — no sqrt, no
+    * shuffle-order doubles anywhere, so the outlier SET is
+    * deterministic and oracle-checkable. Shape: one agg shuffle on
+    * user + one hash join back (dim side is one row per user). */
+  def q95ValueOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val stats = ev.groupBy(col("user_id").as("uid"))
+      .agg(davg(col("value"), 6).as("mu"),
+        davg(col("value") * col("value"), 6).as("m2"))
+      .withColumn("sigma2", col("m2") - col("mu") * col("mu"))
+    ev.join(stats, col("user_id") === col("uid"))
+      .filter((col("value") - col("mu")) * (col("value") - col("mu"))
+        > lit(4.0) * col("sigma2"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("mu"), col("sigma2"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_value_outliers" -> (q95ValueOutliers _),
     "q81_cohort_retention" -> (q81CohortRetention _),
     "q82_funnel_sequence" -> (q82FunnelSequence _),
     "q67_salted_join" -> (q67SaltedJoin _),
@@ -305,6 +326,19 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q95_value_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id AS uid,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(value) AS mu,
+        |    CAST(SUM(CAST(value*value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(value) AS m2
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, user_id, value, mu,
+        |  m2 - mu*mu AS sigma2
+        |FROM events JOIN s ON user_id = uid
+        |WHERE (value - mu)*(value - mu) > 4.0*(m2 - mu*mu)
+        |ORDER BY event_id""".stripMargin,
     "q82_funnel_sequence" ->
       """WITH coded AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_id,

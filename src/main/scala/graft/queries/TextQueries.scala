@@ -420,7 +420,23 @@ object TextQueries {
       s"((((doc_id % 65536) >> $i) & 1) << ${2 * i + 1}))"
   }.mkString(" | ")
 
+  /** Train→test decontamination report (GPT-3 appendix C / PaLM §6.3
+    * n-gram overlap): hash-split the corpus 80/20, then per test doc
+    * count its distinct 5-word spans and how many also occur anywhere
+    * in train — the overlap a decontamination pass would strip. */
+  def q94Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.operators.Split.hashSplit(
+      documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+    Dedup.crossContamination(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"),
+      "doc_id", "text", n = 5)
+      .orderBy(col("doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_contamination" -> (q94Contamination _),
     "q93_zorder_keys" -> (q93ZorderKeys _),
     "q86_gopher_quality" -> (q86GopherQuality _),
     "q87_repetition_signals" -> (q87RepetitionSignals _),
@@ -447,6 +463,35 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q94_contamination" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::UBIGINT % 10000 AS bkt
+        |  FROM documents),
+        |lab AS (SELECT doc_id, text,
+        |    CASE WHEN bkt < 8000 THEN 'train' ELSE 'test' END AS split
+        |  FROM b),
+        |w AS (SELECT doc_id, split, string_split(text, ' ') AS w
+        |  FROM lab),
+        |i AS (SELECT doc_id, split, w,
+        |    unnest(range(1, len(w) - 3)) AS i FROM w),
+        |sp AS (SELECT DISTINCT doc_id, split,
+        |    array_to_string(w[i:i+4], ' ') AS span FROM i),
+        |tot AS (SELECT doc_id AS doc, COUNT(*) AS n_spans
+        |  FROM sp WHERE split = 'test' GROUP BY 1),
+        |hit AS (SELECT s.doc_id AS doc, COUNT(*) AS n_contaminated
+        |  FROM sp s
+        |  WHERE s.split = 'test' AND EXISTS (
+        |    SELECT 1 FROM sp t
+        |    WHERE t.split = 'train' AND t.span = s.span)
+        |  GROUP BY 1)
+        |SELECT tot.doc, tot.n_spans,
+        |  COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+        |  CAST(COALESCE(hit.n_contaminated, 0) AS DOUBLE) / tot.n_spans
+        |    AS contamination_rate
+        |FROM tot LEFT JOIN hit ON tot.doc = hit.doc
+        |ORDER BY tot.doc""".stripMargin,
     "q93_zorder_keys" ->
       s"""SELECT doc_id, $MortonOracleExpr AS zval
          |FROM documents ORDER BY doc_id""".stripMargin,
