@@ -549,7 +549,100 @@ object Relational {
         .as("profit"))
       .orderBy(col("nation"), desc("o_year"))
 
+  /** TPC-H Q4 analog (order priority checking): orders in a quarter
+    * with at least one slow lineitem (shipped >60 days after the
+    * order date — the testdata has no commit/receipt dates), counted
+    * per priority. The EXISTS becomes one left-semi hash join on
+    * `l_orderkey`; the date filter reaches the orders scan before the
+    * join, so the semi probe side shrinks with the quarter, not SF. */
+  def q96OrderPriority(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q10 analog (returned-item reporting): revenue lost to
+    * returns per customer over a quarter, top 20 — the
+    * filter → 3-way join → agg → top-N shape. Customer and nation are
+    * broadcast-size dims; the only big shuffle is the final group on
+    * `c_custkey`, and TakeOrderedAndProject keeps the top-N off the
+    * driver until the very end. */
+  def q97ReturnedCustomers(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q12 analog (shipping priority classes): per line status
+    * (the testdata has no ship mode), how many lines of a ship-year
+    * belong to high- vs low-priority orders — the two-way
+    * conditional-count pivot. Integer counts, so no float parity
+    * work; one join, one two-row aggregate. */
+  def q98PriorityClasses(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H Q14 analog (promotion effect): percentage of a month's
+    * revenue from PROMO-type parts. Both numerator and denominator
+    * are exact decimal sums over the SAME aggregate (one pass, no
+    * second scan); their double ratio is a single IEEE op, so the
+    * oracle mirrors it bit-for-bit. */
+  def q99PromoRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6) /
+        dsum(rev, 6)).as("promo_revenue"))
+  }
+
+  /** TPC-H Q6 analog (forecast revenue change): revenue that would
+    * have been kept had a discount band been dropped — the pure
+    * scan-filter-aggregate. All three predicates push into the
+    * parquet scan (PushedFilters), the aggregate is map-side partial
+    * → one-row final; the fastest possible shape at any SF. */
+  def q100RevenueChange(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6)
+        .as("revenue"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_order_priority" -> (q96OrderPriority _),
+    "q97_returned_customers" -> (q97ReturnedCustomers _),
+    "q98_priority_classes" -> (q98PriorityClasses _),
+    "q99_promo_revenue" -> (q99PromoRevenue _),
+    "q100_revenue_change" -> (q100RevenueChange _),
     "q90_customer_distribution" -> (q90CustomerDistribution _),
     "q91_local_supplier_volume" -> (q91LocalSupplierVolume _),
     "q92_profit_by_nation" -> (q92ProfitByNation _),
@@ -587,6 +680,59 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q96_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q97_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        |   AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |   AND o_orderdate < TIMESTAMP '1997-04-01'
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |   AND l_returnflag = 'R'
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q98_priority_classes" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q99_promo_revenue" ->
+      """SELECT 100.0e0 *
+        | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END
+        |   AS DECIMAL(18,6))) AS DOUBLE) /
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q100_revenue_change" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05e0 AND l_discount <= 0.07e0
+        |  AND l_quantity < 24""".stripMargin,
     "q90_customer_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
