@@ -91,6 +91,43 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by
+    * within-cluster cosine similarity. The corpus is first bucketed
+    * into clusters (`cellCol` — k-means cells from
+    * [[kmeansCentroids]], or any upstream label); within each cluster
+    * a row is a semantic duplicate if some LOWER-id row in the same
+    * cluster has cosine ≥ `threshold` with it (keep-first, matching
+    * the paper's keep-one-per-group policy with a deterministic
+    * representative).
+    *
+    * Scale: the pair scan is an equi-join on the cluster key — a hash
+    * join whose per-cluster work is quadratic only in the cluster
+    * size (the paper's whole point: k ≈ √n cells make within-cell
+    * pairs ≈ n^1.5 total, vs n² global). No cartesian, no broadcast
+    * of the corpus; the dedup verdict shuffles ids only.
+    *
+    * Output: every input row as (id, cell, keep), ordered by id. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(cellCol).as("cell"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
+    val a = base.select(col("cell").as("cell_a"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = base.select(col("cell").as("cell_b"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("norm").as("norm_b"))
+    val dropped = a
+      .join(b, col("cell_a") === col("cell_b") &&
+        col("id_a") < col("id_b"))
+      .filter(dotF64(col("vec_a"), col("vec_b")) /
+        (col("norm_a") * col("norm_b")) >= threshold)
+      .select(col("id_b").as("dup")).distinct()
+    base
+      .join(dropped, col("id") === col("dup"), "left")
+      .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
+      .orderBy(col("id"))
+  }
+
   /** Packed-int8 form of a vector: one signed byte per component
     * ([[graft.functions.DotI8]]'s layout), per-vector symmetric scale
     * = max|x|/127, integer L2 norm of the quantized components. */

@@ -435,7 +435,26 @@ object TextQueries {
       .orderBy(col("doc"))
   }
 
+  /** Corpus-trained bigram-LM surprisal per document (the CCNet
+    * perplexity-filter signal — Wenzek et al. 2020 §4.3 — with the LM
+    * trained on the corpus itself so the whole pipeline is in-engine
+    * and oracle-checkable). High mean surprisal = improbable word
+    * sequences = the rows a perplexity filter drops first. */
+  def q101BigramSurprisal(s: SparkSession, d: String): DataFrame =
+    graft.operators.LanguageModel.bigramSurprisal(
+      documents(s, d), "doc_id", "text")
+
+  /** DSIR importance weights (Xie et al. 2023): every document scored
+    * by hashed-unigram log-likelihood ratio of the English slice
+    * (target) against the whole corpus (source) — the
+    * "select data that looks like the trusted slice" signal. */
+  def q102DsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.operators.Importance.dsirWeights(
+      documents(s, d), "doc_id", "text", col("lang") === "en")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_bigram_surprisal" -> (q101BigramSurprisal _),
+    "q102_dsir_weights" -> (q102DsirWeights _),
     "q94_contamination" -> (q94Contamination _),
     "q93_zorder_keys" -> (q93ZorderKeys _),
     "q86_gopher_quality" -> (q86GopherQuality _),
@@ -463,6 +482,54 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q101_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY 1),
+        |voc AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+        |big AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+        |s AS (
+        |  SELECT big.doc_id,
+        |    -floor(ln(CAST(bc.cb + 1 AS DOUBLE) /
+        |      CAST(uni.cu + voc.v AS DOUBLE)) * 1e9) / 1e9 AS s
+        |  FROM big JOIN bc USING (w1, w2)
+        |   JOIN uni ON big.w1 = uni.w CROSS JOIN voc)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+        |    AS mean_surprisal
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q102_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))
+        |      ::UBIGINT % 1024 AS b
+        |  FROM documents),
+        |counts AS (
+        |  SELECT b, COUNT(*) AS cs,
+        |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |  FROM toks GROUP BY 1),
+        |tot AS (
+        |  SELECT COUNT(*) AS cs_tot,
+        |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct_tot
+        |  FROM toks),
+        |lr AS (
+        |  SELECT b,
+        |    floor(ln((ct + 1.0e0) / (ct_tot + 1024.0e0)) * 1e9) / 1e9 -
+        |    floor(ln((cs + 1.0e0) / (cs_tot + 1024.0e0)) * 1e9) / 1e9
+        |      AS lr
+        |  FROM counts CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CAST(lr AS DECIMAL(18,9))) AS DOUBLE)
+        |    AS dsir_logweight
+        |FROM toks JOIN lr USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94_contamination" ->
       """WITH b AS (
         |  SELECT doc_id, text,

@@ -173,7 +173,18 @@ object VectorQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): within-cluster semantic dedup —
+    * a row is dropped when a lower-id row in the same cluster has
+    * cosine ≥ 0.3 with it. Clusters here are the embeddings' label
+    * column (any upstream clustering slots in — the operator is
+    * cluster-source-agnostic); the oracle replays the within-cell
+    * pair scan exactly. */
+  def q103SemDedup(s: SparkSession, d: String): DataFrame =
+    SimilaritySearch.semDedup(
+      embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_semdedup" -> (q103SemDedup _),
     "q89_compressed_knn" -> (q89CompressedKnn _),
     "q72_ann_pq" -> (q72AnnPq _),
     "q68_embedding_quant" -> (q68EmbeddingQuant _),
@@ -186,6 +197,20 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q103_semdedup" ->
+      """WITH v AS (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (
+        |  SELECT DISTINCT b.vec_id AS dup
+        |  FROM v a JOIN v b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))) >= 0.3e0)
+        |SELECT v.vec_id AS id, v.label AS cell,
+        |  (d.dup IS NULL) AS keep
+        |FROM v LEFT JOIN d ON v.vec_id = d.dup
+        |ORDER BY id""".stripMargin,
     // int8 shortlist (quantized cosine, Math.round ≡ floor(x+0.5))
     // + exact float re-rank; both rank windows tie-break on cid —
     // the same contract as the engine's bounded heaps.

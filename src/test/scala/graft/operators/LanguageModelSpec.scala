@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Bigram-LM surprisal invariants: exact hand-computed values under
+  * the add-one-smoothed corpus LM, the discriminative property a
+  * perplexity filter relies on, and the no-bigram edge. */
+class LanguageModelSpec extends SparkTestBase {
+
+  test("mean surprisal matches the hand-computed add-one bigram LM") {
+    import spark.implicits._
+    // corpus: a:4 b:4 x:1 q:1 z:1 w:1 → V=6
+    // bigram counts: (a,b)=4, (b,a)=2, (x,q)=(q,z)=(z,w)=1
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "x q z w"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val sAB = -math.log((4.0 + 1) / (4 + 6)) // -ln(0.5)
+    val sBA = -math.log((2.0 + 1) / (4 + 6)) // -ln(0.3)
+    // the engine truncates each ln at 9 decimals → ≤1.5e-9 per term
+    val exp12 = (2 * sAB + sBA) / 3
+    assert(got(1L)._1 === 3L && got(2L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - exp12) < 5e-9)
+    assert(got(1L)._2 === got(2L)._2)
+    val exp3 = -math.log(2.0 / 7.0) // each d3 bigram: (1+1)/(1+6)
+    assert(math.abs(got(3L)._2 - exp3) < 5e-9)
+  }
+
+  test("improbable sequences score higher than corpus-typical ones") {
+    import spark.implicits._
+    val typical = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val weird = Seq((99L, "mat the on sat cat the"))
+    val got = LanguageModel.bigramSurprisal(
+      (typical ++ weird).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(99L) > got(1L),
+      s"reordered doc ${got(99L)} should out-surprise typical ${got(1L)}")
+  }
+
+  test("documents without bigrams are absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "one"), (2L, "two words")).toDF("doc_id", "text")
+    val ids = LanguageModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L))
+  }
+}
