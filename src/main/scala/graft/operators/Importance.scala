@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 /** Data Selection with Importance Resampling (DSIR — Xie et al. 2023)
@@ -49,29 +50,47 @@ object Importance {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024,
       alpha: Double = 1.0): DataFrame = {
-    val toks = df
+    // One explode + immediate map-side-combinable pre-aggregation to
+    // (doc, bucket) histograms — every downstream table (per-bucket
+    // counts, corpus totals, per-doc weights) derives from this small
+    // frame, so the token stream (and its per-token md5) is scanned
+    // exactly once. n · round9(lr) is EXACTLY the decimal sum of n
+    // per-token round9(lr) terms, so the collapsed aggregation is
+    // bit-identical to the per-occurrence form the oracle computes.
+    val docBuckets = df
       .select(col(idCol).as("doc"), isTarget.as("tgt"),
         explode(split(col(textCol), " ")).as("w"))
-      .select(col("doc"), col("tgt"),
+      .groupBy(col("doc"), col("tgt"),
         featureBucket(col("w"), buckets).as("b"))
-    val counts = toks.groupBy(col("b").as("cb"))
-      .agg(count(lit(1)).as("cs"),
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
-    val totals = toks.agg(count(lit(1)).as("cs_tot"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct_tot"))
+      .agg(count(lit(1)).as("n"))
+    val counts = docBuckets.groupBy(col("b").as("cb"))
+      .agg(sum(col("n")).as("cs"),
+        sum(when(col("tgt"), col("n")).otherwise(0L)).as("ct"))
+    // Corpus totals as a global window over the bucket table — the
+    // frame is ≤ `buckets` rows BY CONSTRUCTION (a fixed-size model,
+    // not data-sized), so the single-partition window is scale-safe
+    // and saves a separate aggregate + broadcast-join round trip.
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val k = lit(buckets.toDouble * alpha)
     val a = lit(alpha)
-    val logRatio = counts.crossJoin(broadcast(totals))
+    val logRatio = counts
+      .withColumn("cs_tot", sum(col("cs")).over(whole))
+      .withColumn("ct_tot", sum(col("ct")).over(whole))
       .select(col("cb"),
         (ln9((col("ct") + a) / (col("ct_tot") + k)) -
           ln9((col("cs") + a) / (col("cs_tot") + k))).as("lr"))
-    toks
+    docBuckets
       .join(broadcast(logRatio), col("b") === col("cb"))
       .groupBy(col("doc").as(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(col("lr").cast(DecimalType(18, 9))).cast("double")
-          .as("dsir_logweight"))
+        sum(col("n")).as("n_tokens"),
+        // n as DECIMAL(12,0) keeps the product inside 38-digit
+        // precision (12+18+1=31) — a bare LONG would promote to
+        // precision 39 and silently trim the scale.
+        sum(col("n").cast(DecimalType(12, 0)) *
+          col("lr").cast(DecimalType(18, 9)))
+          .cast("double").as("dsir_logweight"))
       .orderBy(col(idCol))
   }
 }

@@ -56,7 +56,9 @@ object LanguageModel {
         posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     val uni = toks.groupBy(col("w").as("uw"))
       .agg(count(lit(1)).as("cu"))
-    val voc = toks.agg(countDistinct(col("w")).as("v"))
+    // |vocabulary| = row count of the unigram table — same value as
+    // COUNT(DISTINCT w) over the stream, one token-stream scan fewer.
+    val voc = uni.agg(count(lit(1)).as("v"))
     val perDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
     val bigrams = toks
       .withColumn("w2", lead(col("w"), 1).over(perDoc))
