@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.dotI8Builder))
     ext.injectOptimizerRule(_ => CheapPredicatesFirst)
     ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftAsOfStrategy)
   }
 }
 

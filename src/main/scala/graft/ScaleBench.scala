@@ -118,6 +118,9 @@ object ScaleBench {
         "asof_join" -> (() =>
           AsOfJoin.asOf(purchases, views, Seq("user_id"), "t_us",
             "event_id", Seq("t_us", "value")).count()),
+        "asof_merge" -> (() =>
+          AsOfJoin.asOfMerge(purchases, views, Seq("user_id"), "t_us",
+            "event_id", Seq("t_us", "value")).count()),
         "range_join_1h" -> (() =>
           RangeJoin.rangeJoin(purchases, views, Seq("user_id"),
             "t_us", "t_us", -3600000000L, -1L, Seq("value")).count()),

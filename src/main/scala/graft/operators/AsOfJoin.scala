@@ -65,4 +65,56 @@ object AsOfJoin {
       payloadCols.map(c => col("_asof").getField(c).as(s"asof_$c"))
     matched.select(out: _*)
   }
+
+  /** The same left-as-of-join contract planned through the engine's
+    * CUSTOM PHYSICAL OPERATOR ([[graft.plans.AsOfJoinExec]] — logical
+    * node + strategy + exec, SURVEY §2.14 option c) instead of the
+    * union+window emulation above: both sides co-partitioned on the
+    * keys, sorted in-partition, then a single O(L+R) merge pass that
+    * holds one candidate build row — probe rows never enter a window
+    * buffer and the union's row-widening disappears.
+    *
+    * AsOfJoinSpec pins `asOfMerge ≡ asOf` row-for-row; q104
+    * value-checks it against the DuckDB oracle.
+    *
+    * Registers [[graft.plans.GraftAsOfStrategy]] on the session's
+    * experimental strategies on first use (idempotent), so callers
+    * need no session pre-configuration. */
+  def asOfMerge(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      timeCol: String, tieCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    import graft.plans.{AsOfJoinNode, GraftAsOfStrategy}
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val spark = probe.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GraftAsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftAsOfStrategy
+    def attrOf(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column $n not found among ${out.map(_.name).mkString(",")}"))
+    val lPlan: LogicalPlan = probe.queryExecution.analyzed
+    // Prune the build side to the referenced columns and RE-ALIAS to
+    // fresh exprIds — binding stays unambiguous even when probe and
+    // build derive from the same source (self-as-of).
+    val rAnalyzed = build.queryExecution.analyzed
+    val needed = (keys ++ Seq(timeCol, tieCol) ++ payloadCols).distinct
+    val rPlan = Project(
+      needed.map(n => Alias(attrOf(rAnalyzed.output, n), n)()), rAnalyzed)
+    val lKeys = keys.map(attrOf(lPlan.output, _))
+    val rKeys = keys.map(attrOf(rPlan.output, _))
+    val lTime = attrOf(lPlan.output, timeCol)
+    val rTime = attrOf(rPlan.output, timeCol)
+    require(lKeys.map(_.dataType) == rKeys.map(_.dataType) &&
+      lTime.dataType == rTime.dataType,
+      "as-of key/time column types must match across sides")
+    val payloadAttrs = payloadCols.map(attrOf(rPlan.output, _))
+    val payloadOut = payloadAttrs.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    PlanBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan, lKeys, rKeys,
+      lTime, rTime, attrOf(rPlan.output, tieCol), payloadAttrs,
+      payloadOut))
+  }
 }

@@ -180,6 +180,26 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q64's as-of contract planned through the CUSTOM PHYSICAL
+    * OPERATOR ([[graft.plans.AsOfJoinExec]]: logical node + strategy
+    * + sort-merge exec — SURVEY §2.14 option c) instead of the
+    * union+window emulation. Same oracle as q64: the two
+    * formulations must be value-identical. */
+  def q104AsofMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.asOfMerge(purchases, views,
+      keys = Seq("user_id"), timeCol = "ts", tieCol = "event_id",
+      payloadCols = Seq("ts", "value"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("asof_ts").as("last_view_ts"),
+        col("asof_value").as("last_view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join ([[graft.operators.RangeJoin]]): views in the hour
     * strictly before each purchase, per user — bucketed equi-join on
     * (user_id, time bucket), never a nested-loop inequality scan
@@ -311,6 +331,7 @@ object EventQueries {
     "q67_salted_join" -> (q67SaltedJoin _),
     "q65_range_join" -> (q65RangeJoin _),
     "q64_asof_join" -> (q64AsOfJoin _),
+    "q104_asof_merge" -> (q104AsofMerge _),
     "q41_latest_event_per_user" -> (q41LatestEventPerUser _),
     "q42_phase_transitions" -> (q42PhaseTransitions _),
     "q46_sliding_windows" -> (q46SlidingWindows _),
@@ -398,6 +419,21 @@ object EventQueries {
         |GROUP BY p.event_id, p.user_id
         |ORDER BY p.event_id""".stripMargin,
     "q64_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        | (SELECT v.ts FROM v WHERE v.user_id = p.user_id
+        |    AND v.ts <= p.ts
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_ts,
+        | (SELECT v.value FROM v WHERE v.user_id = p.user_id
+        |    AND v.ts <= p.ts
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1)
+        |   AS last_view_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    // Same contract as q64, planned through the custom physical
+    // as-of operator — the oracle is deliberately identical.
+    "q104_asof_merge" ->
       """WITH v AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'view')
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts,

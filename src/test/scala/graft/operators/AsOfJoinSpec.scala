@@ -69,4 +69,79 @@ class AsOfJoinSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
       "exactly one key exchange expected")
   }
+
+  // ---- custom physical operator (AsOfJoinExec) ----
+
+  private def runMerge() = AsOfJoin.asOfMerge(probe, build,
+    Seq("user_id"), timeCol = "t", tieCol = "event_id",
+    payloadCols = Seq("t", "value"))
+    .orderBy("event_id")
+    .collect()
+    .map(r => (r.getLong(0),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+
+  test("asOfMerge: same verdicts as the union+window form on the " +
+      "hand corpus") {
+    assert(runMerge().toSeq === run().toSeq)
+  }
+
+  test("asOfMerge: plans the custom AsOfJoinExec operator") {
+    val out = AsOfJoin.asOfMerge(probe, build, Seq("user_id"), "t",
+      "event_id", Seq("value"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$p")
+    assert(out.count() === probe.count())
+    assert(out.columns.toSeq ===
+      Seq("event_id", "user_id", "t", "asof_value"))
+  }
+
+  test("asOfMerge: null keys and null times never match, either side") {
+    import spark.implicits._
+    val p = Seq(
+      (1L, Option(1L), Option(50L)),
+      (2L, Option(1L), Option.empty[Long]), // null probe time
+      (3L, Option.empty[Long], Option(50L)) // null probe key
+    ).toDF("event_id", "user_id", "t")
+    val b = Seq(
+      (10L, Option(1L), Option(40L), 0.4),
+      (11L, Option(1L), Option.empty[Long], 9.9), // null build time
+      (12L, Option.empty[Long], Option(10L), 8.8) // null build key
+    ).toDF("event_id", "user_id", "t", "value")
+    val got = AsOfJoin.asOfMerge(p, b, Seq("user_id"), "t",
+      "event_id", Seq("value")).orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq === Seq(
+      (1L, Some(0.4)), (2L, None), (3L, None)))
+  }
+
+  test("asOfMerge: self-as-of (both sides from one source) binds " +
+      "unambiguously") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, 10L, 1.0), (2L, 7L, 20L, 2.0), (3L, 7L, 30L, 3.0)
+    ).toDF("event_id", "user_id", "t", "value")
+    // each row as-of itself: equal timestamps match (≤), so the
+    // payload is its own value
+    val got = AsOfJoin.asOfMerge(ev, ev, Seq("user_id"), "t",
+      "event_id", Seq("value")).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(got.toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("asOfMerge ≡ asOf on the events testdata slice") {
+    val ev = graft.queries.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val a = AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts",
+      "event_id", Seq("ts", "value")).orderBy("event_id").collect()
+    val m = AsOfJoin.asOfMerge(purchases, views, Seq("user_id"), "ts",
+      "event_id", Seq("ts", "value")).orderBy("event_id").collect()
+    assert(a.length === m.length && a.length > 0)
+    a.zip(m).foreach { case (x, y) => assert(x === y) }
+  }
 }
