@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic dataset splitting for training pipelines (builder
   * brief: the operations a large-scale training-data pipeline needs
@@ -76,6 +78,85 @@ object Split {
             lit(math.floor(rate * Buckets))).otherwise(elseCol)
       }
     df.filter(splitBucket(col(keyCol)) < threshold)
+  }
+
+  /** Truncated natural log (9 decimals): the engine-portable float
+    * discipline shared with [[LanguageModel]]/[[Importance]]. */
+  private def ln9(x: Column): Column =
+    floor(log(x) * lit(1e9)).cast("double") / lit(1e9)
+
+  /** Deterministic uniform in (0, 1) from a stable key: the md5
+    * bucket's midpoint. Salted differently from [[splitBucket]] so
+    * sampling decisions are independent of split assignment. */
+  private def unitHash(key: Column): Column =
+    ((conv(substring(md5(concat(lit("sample:"), key.cast("string"))),
+      1, 8), 16, 10).cast("long") % Buckets).cast("double") + lit(0.5)) /
+      lit(Buckets.toDouble)
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): keep the k rows with the greatest u^(1/w) — each row's
+    * inclusion probability is proportional to its weight. Ranking by
+    * ln(u)/w is monotone-equivalent and engine-portable (truncated
+    * ln, IEEE division); u comes from [[unitHash]], so the sample is
+    * deterministic across runs AND engines — re-running a pipeline
+    * draws the same rows (the reproducibility contract every other
+    * Split operator keeps).
+    *
+    * Scale: a per-row hash + one TakeOrdered top-k — no shuffle
+    * beyond k rows per partition. Rows with non-positive weight are
+    * dropped (zero weight = never sampled).
+    *
+    * Output: df's columns + `es_key`, the ranking key. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key",
+        ln9(unitHash(col(keyCol))) / col(weightCol))
+      .orderBy(desc("es_key"), col(keyCol))
+      .limit(k)
+
+  /** Temperature-based mixture resampling (the data-mixing step of
+    * multilingual/multi-source LLM corpora — sampling stratum s with
+    * probability ∝ n_s^α flattens the source distribution; α = 0.5
+    * here, the common square-root temperature, because sqrt is
+    * IEEE-exact in every engine while pow(x, α) is not): per-stratum
+    * keep rate r_s = min(1, T·q_s/n_s) with q_s = √n_s / Σ√n_t, then
+    * the deterministic per-row bucket filter (same device as
+    * [[stratifiedSample]], so samples are nested under retuning).
+    *
+    * T is the target total row count IN EXPECTATION (exact per
+    * stratum up to bucket granularity: floor(r_s·10000)/10000).
+    *
+    * Scale: one small aggregate over strata (broadcast back), then a
+    * pure per-row filter — no shuffle of the data itself.
+    *
+    * Output: the surviving rows with `keep_threshold` attached. */
+  def temperatureSample(df: DataFrame, keyCol: String,
+      strataCol: String, targetTotal: Long): DataFrame = {
+    val sq9 = floor(sqrt(col("n")) * lit(1e9)).cast("double") / lit(1e9)
+    val counts = df.groupBy(col(strataCol).as("_ts_s"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("sq9", sq9)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      // strata tables are small by construction (sources/languages) —
+      // the global window is over that table, never the data
+      .withColumn("stot",
+        sum(col("sq9").cast(DecimalType(18, 9))).over(whole)
+          .cast("double"))
+      .withColumn("rate",
+        least(lit(1.0),
+          lit(targetTotal.toDouble) * col("sq9") / col("stot") /
+            col("n").cast("double")))
+      .select(col("_ts_s"),
+        floor(col("rate") * lit(Buckets)).as("keep_threshold"))
+    df.join(broadcast(rates), col(strataCol) === col("_ts_s"))
+      .filter(
+        conv(substring(md5(concat(lit("temp:"),
+          col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long") %
+          Buckets < col("keep_threshold"))
+      .drop("_ts_s")
   }
 
   /** Leakage-aware split: rows whose keys are connected by `pairs`

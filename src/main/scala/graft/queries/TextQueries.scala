@@ -452,7 +452,30 @@ object TextQueries {
     graft.operators.Importance.dsirWeights(
       documents(s, d), "doc_id", "text", col("lang") === "en")
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis):
+    * 100 documents drawn with probability ∝ length — the "sample
+    * long documents more" rebalancing move, deterministic across
+    * engines (md5 uniform + truncated-ln ranking key). */
+  def q105WeightedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.weightedSample(
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      "doc_id", "n_chars", k = 100)
+      .orderBy(desc("es_key"), col("doc_id"))
+
+  /** Temperature-based mixture resampling (α = 0.5): flatten the
+    * language distribution toward √n_s proportions at a 250-row
+    * expected total — the multilingual data-mixing step, as a pure
+    * deterministic per-row filter. */
+  def q106TemperatureSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.temperatureSample(
+      documents(s, d).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", targetTotal = 250L)
+      .select(col("doc_id"), col("lang"), col("keep_threshold"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_weighted_sample" -> (q105WeightedSample _),
+    "q106_temperature_sample" -> (q106TemperatureSample _),
     "q101_bigram_surprisal" -> (q101BigramSurprisal _),
     "q102_dsir_weights" -> (q102DsirWeights _),
     "q94_contamination" -> (q94Contamination _),
@@ -482,6 +505,34 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q105_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  floor(ln((('0x' || substr(md5('sample:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+        |      + 0.5e0) / 10000.0e0) * 1e9) / 1e9
+        |    / n_chars AS es_key
+        |FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+    "q106_temperature_sample" ->
+      """WITH counts AS (
+        |  SELECT lang AS s, COUNT(*) AS n,
+        |    floor(sqrt(COUNT(*)) * 1e9) / 1e9 AS sq9
+        |  FROM documents GROUP BY 1),
+        |rates AS (
+        |  SELECT s,
+        |    CAST(floor(least(1.0e0,
+        |      250.0e0 * sq9 /
+        |        (SELECT CAST(SUM(CAST(sq9 AS DECIMAL(18,9)))
+        |           AS DOUBLE) FROM counts) /
+        |        CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS keep_threshold
+        |  FROM counts)
+        |SELECT doc_id, lang, keep_threshold
+        |FROM documents JOIN rates ON lang = s
+        |WHERE ('0x' || substr(md5('temp:' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+        |  < keep_threshold
+        |ORDER BY doc_id""".stripMargin,
     "q101_bigram_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id,

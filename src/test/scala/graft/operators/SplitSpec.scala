@@ -78,4 +78,48 @@ class SplitSpec extends SparkTestBase {
         Seq("a" -> 0.5, "b" -> 0.4)).collect()
     }
   }
+
+  test("weighted sample over-represents heavy rows and is " +
+      "deterministic") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i =>
+      (i, if (i < 1000L) 1.0 else 10.0)).toDF("id", "w")
+    val a = Split.weightedSample(df, "id", "w", k = 300)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Split.weightedSample(df.repartition(7), "id", "w", k = 300)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample must be partitioning-independent")
+    val heavy = a.count(_ >= 1000L)
+    assert(heavy > 200,
+      s"10x-weight rows should dominate a 300-sample, got $heavy")
+    assert(a.size === 300)
+  }
+
+  test("weighted sample drops non-positive weights") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0), (2L, -1.0), (3L, 5.0)).toDF("id", "w")
+    val got = Split.weightedSample(df, "id", "w", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(3L))
+  }
+
+  test("temperature sample flattens strata toward sqrt proportions " +
+      "and is nested in the target total") {
+    import spark.implicits._
+    val df = ((0L until 1600L).map(i => (i, "big")) ++
+      (10000L until 10100L).map(i => (i, "small"))).toDF("id", "lang")
+    // sqrt mixture: q_big = 40/50, q_small = 10/50; T=500 →
+    // rate_big = 500*0.8/1600 = 0.25, rate_small = 500*0.2/100 = 1.0
+    val kept = Split.temperatureSample(df, "id", "lang", 500L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = kept.count(_ < 1600L)
+    val small = kept.count(_ >= 10000L)
+    assert(small === 100, "under-represented stratum kept whole")
+    assert(math.abs(big - 400) < 80,
+      s"big stratum should land near rate 0.25 (400), got $big")
+    // raising T only adds rows (bucket filter is monotone in rate)
+    val more = Split.temperatureSample(df, "id", "lang", 800L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(more))
+  }
 }
