@@ -383,4 +383,40 @@ object TextFunctions {
         i => ascii(text.substr(i, lit(1))).cast("long")),
       lit(0L),
       (acc, c) => pmod(acc * 131L + c, lit(1000000007L)))
+
+  // ---- PII scrubbing (training-data pipeline extension: the
+  // redaction pass every published web corpus runs — e.g. the
+  // emails/IP/phone scrub in The Pile / RefinedWeb-class pipelines).
+  // Patterns deliberately use only syntax shared by Java regex and
+  // RE2 (no lookaround, no backrefs), so an external engine replays
+  // them identically — which is how q108's oracle value-checks the
+  // scrub.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Replaces emails → `<EMAIL>`, IPv4s → `<IP>`, dashed phone
+    * numbers → `<PHONE>`. Email first (its local part may contain
+    * digits), then IP (dots), then phone (dashes) — the replacement
+    * tokens contain no digits or `@`, so later passes can never
+    * re-match inside an earlier redaction. Pure codegen expressions;
+    * no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Occurrence counts of each PII class in the raw text (IPs are
+    * counted AFTER email redaction, matching the replace order, so a
+    * dotted fragment inside an email never double-counts). BIGINT for
+    * engine-portable schemas. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailPattern)).cast("long"),
+    "n_ips" -> regexp_count(regexp_replace(text, EmailPattern,
+      "<EMAIL>"), lit(Ipv4Pattern)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(PhonePattern)).cast("long"))
 }

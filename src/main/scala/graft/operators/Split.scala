@@ -159,6 +159,21 @@ object Split {
       .drop("_ts_s")
   }
 
+  /** Per-group document cap (the RefinedWeb/C4 "at most N documents
+    * per domain" rule — without it a handful of template-heavy hosts
+    * dominate a web corpus): keep the first `n` rows of each group in
+    * deterministic `keyCol` order, attaching the rank. One shuffle on
+    * the group key; Spark 4 plans the rank filter as WindowGroupLimit,
+    * so each partition retains only n rows per group BEFORE the final
+    * window — a hot domain never floods an executor. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(keyCol))
+    df.withColumn("group_rank", row_number().over(w))
+      .filter(col("group_rank") <= n)
+  }
+
   /** Leakage-aware split: rows whose keys are connected by `pairs`
     * (id_a, id_b — e.g. near-dup candidates from
     * [[Dedup.simhashNearDups]] or [[SimilaritySearch.cosineNearDupsBanded]])

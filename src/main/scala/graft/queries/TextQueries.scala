@@ -473,7 +473,38 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("keep_threshold"))
       .orderBy(col("doc_id"))
 
+  /** Per-source document cap (RefinedWeb/C4 "≤ N docs per domain"):
+    * first 10 docs of each source in doc_id order, rank attached —
+    * WindowGroupLimit keeps partitions bounded per group. */
+  def q107SourceCap(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.capPerGroup(
+      documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", n = 10)
+      .orderBy(col("doc_id"))
+
+  /** PII scrub, value-checked: plant an email, an IP, and a phone
+    * number derived from doc_id into every document, redact, and
+    * fingerprint the result — the oracle replays the same regex
+    * passes (Java-regex ∩ RE2 syntax only), so a hash match proves
+    * the scrub is engine-exact, not just plausible. */
+  def q108PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10.0."),
+      (col("doc_id") % 256).cast("string"),
+      lit(".1 tel 555-123-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val cnts = piiCounts(planted)
+    documents(s, d)
+      .select(Seq(col("doc_id")) ++
+        cnts.map { case (n, c) => c.as(n) } :+
+        md5(redactPii(planted)).as("red_md5"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_source_cap" -> (q107SourceCap _),
+    "q108_pii_scrub" -> (q108PiiScrub _),
     "q105_weighted_sample" -> (q105WeightedSample _),
     "q106_temperature_sample" -> (q106TemperatureSample _),
     "q101_bigram_surprisal" -> (q101BigramSurprisal _),
@@ -505,6 +536,34 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q107_source_cap" ->
+      """SELECT doc_id, source, group_rank FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS group_rank
+        |  FROM documents)
+        |WHERE group_rank <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "q108_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.1 tel 555-123-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |pats AS (SELECT
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS em,
+        |  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b' AS ip,
+        |  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b' AS ph)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, em)) AS n_emails,
+        |  len(regexp_extract_all(
+        |    regexp_replace(t, em, '<EMAIL>', 'g'), ip)) AS n_ips,
+        |  len(regexp_extract_all(t, ph)) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(
+        |    t, em, '<EMAIL>', 'g'), ip, '<IP>', 'g'),
+        |    ph, '<PHONE>', 'g')) AS red_md5
+        |FROM planted CROSS JOIN pats
+        |ORDER BY doc_id""".stripMargin,
     "q105_weighted_sample" ->
       """SELECT doc_id, lang, n_chars,
         |  floor(ln((('0x' || substr(md5('sample:' ||

@@ -103,6 +103,22 @@ class SplitSpec extends SparkTestBase {
     assert(got === Set(3L))
   }
 
+  test("per-group cap keeps the first n by key and bounds every group") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"g${i % 3}"))
+      .toDF("id", "grp")
+    val got = Split.capPerGroup(df, "grp", "id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.length === 15)
+    val byGrp = got.groupBy(_._2)
+    byGrp.foreach { case (g, rows) =>
+      assert(rows.length === 5, s"group $g over cap")
+      // first five ids of the group, ranks 1..5 in id order
+      val expected = (0L until 100L).filter(i => s"g${i % 3}" == g).take(5)
+      assert(rows.sortBy(_._3).map(_._1).toSeq === expected)
+    }
+  }
+
   test("temperature sample flattens strata toward sqrt proportions " +
       "and is nested in the target total") {
     import spark.implicits._
