@@ -55,6 +55,60 @@ object Dedup {
         col("first_doc"), col("first_pos"))
   }
 
+  /** Corpus-wide duplicated-span REMOVAL with document reassembly —
+    * the rewrite half of C4 §2.2 ("we discarded all but one of any
+    * three-sentence span occurring more than once in the data set"),
+    * where [[duplicateSpans]] is only the report. Sentence spans
+    * become non-overlapping `n`-token blocks (the corpus has no
+    * sentence structure); a block survives iff it is the FIRST
+    * occurrence of its text in corpus (doc, position) order; each
+    * document is rebuilt from its surviving blocks in order.
+    *
+    * Shape: one explode into the block stream, one window over the
+    * block-text key for first-occurrence (hash-partitioned on block
+    * text — duplicated-block skew is bounded because only the rank-1
+    * row survives per partition group and WindowGroupLimit prunes the
+    * rest before the sort spills), one grouped reassembly keyed on
+    * the document. No self-join, nothing quadratic, no driver state.
+    *
+    * Output: (idCol, n_blocks, n_kept, clean_text), one row per input
+    * document (documents whose every block was dropped keep an empty
+    * clean_text). */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toksed = df.select(col(idCol).as("doc"),
+      split(col(textCol), " ").as("toks"))
+    // block i = tokens [i·n, i·n+n); the lambda only references the
+    // materialized toks attribute, so interpreted re-evaluation per
+    // element re-reads a column, never re-splits the text (trap 3)
+    val blocks = toksed.select(col("doc"),
+      transform(
+        sequence(lit(0), ceil(size(col("toks")).cast("double") /
+          n).cast("long") - 1),
+        i => array_join(slice(col("toks"), (i * n + 1).cast("int"),
+          lit(n)), " ")).as("blocks"))
+    val stream = blocks
+      .select(col("doc"), posexplode(col("blocks")).as(Seq("blk", "btext")))
+    val kept = stream
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("btext"))
+          .orderBy(col("doc"), col("blk"))))
+      .filter(col("rn") === 1)
+    val rebuilt = kept
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("blk"),
+            col("btext")))), s => s.getField("btext")), " ")
+          .as("clean_text"))
+    blocks.select(col("doc").as(idCol),
+        size(col("blocks")).cast("long").as("n_blocks"))
+      .join(rebuilt, col(idCol) === col("doc"), "left")
+      .select(col(idCol), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Train→test contamination check (the published LM-training
     * decontamination shape: GPT-3 appendix C / PaLM §6.3 measure
     * test examples sharing word n-grams with the training set). Per

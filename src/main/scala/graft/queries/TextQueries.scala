@@ -502,7 +502,18 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C4 §2.2 span-dedup REWRITE: drop every repeated 5-token block
+    * except its first corpus occurrence and rebuild each document
+    * from the survivors; the md5 fingerprint of the rebuilt text
+    * value-checks the reassembly, not just the drop counts. */
+  def q109SpanRewrite(s: SparkSession, d: String): DataFrame =
+    Dedup.dropDuplicateSpans(documents(s, d), "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_span_rewrite" -> (q109SpanRewrite _),
     "q107_source_cap" -> (q107SourceCap _),
     "q108_pii_scrub" -> (q108PiiScrub _),
     "q105_weighted_sample" -> (q105WeightedSample _),
@@ -536,6 +547,31 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q109_span_rewrite" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |  list_transform(
+        |    range(0, CAST(ceil(len(toks) / 5.0e0) AS BIGINT)),
+        |    i -> array_to_string(
+        |      list_slice(toks, i*5 + 1, i*5 + 5), ' ')) AS blocks
+        |  FROM t),
+        |s AS (SELECT doc_id,
+        |    generate_subscripts(blocks, 1) - 1 AS blk,
+        |    unnest(blocks) AS btext
+        |  FROM b),
+        |k AS (SELECT doc_id, blk, btext, ROW_NUMBER() OVER (
+        |    PARTITION BY btext ORDER BY doc_id, blk) AS rn
+        |  FROM s),
+        |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(btext, ' ' ORDER BY blk) AS clean_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT b.doc_id, len(b.blocks) AS n_blocks,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  md5(COALESCE(r.clean_text, '')) AS clean_md5
+        |FROM b LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q107_source_cap" ->
       """SELECT doc_id, source, group_rank FROM (
         |  SELECT doc_id, source, ROW_NUMBER() OVER (

@@ -170,4 +170,33 @@ class DedupSpec extends SparkTestBase {
     assert(out === Map(
       "one two three four five" -> ((4L, 3L, 3L, 0))))
   }
+
+  test("span rewrite drops repeated blocks corpus-wide, keeps the " +
+      "first occurrence, and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // blocks: "a b c d e", "f g h i j"
+      (2L, "a b c d e x y z w v"),  // first block duplicates doc1's
+      (3L, "f g h i j")             // whole doc duplicates doc1 block 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, "a b c d e f g h i j")))
+    assert(got(2L) === ((2L, 1L, "x y z w v")))
+    assert(got(3L) === ((1L, 0L, "")))
+    assert(got.size === 3, "every input document must appear")
+  }
+
+  test("span rewrite is the identity on a duplicate-free corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v"),
+      (2L, "h i j k l m n o")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got === Map(1L -> "p q r s t u v", 2L -> "h i j k l m n o"))
+  }
 }
