@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 /** Statistical language-model quality scoring for training-data
@@ -28,13 +27,14 @@ import org.apache.spark.sql.types.DecimalType
   * DECIMAL(18,9) cast so parallel partial aggregation cannot reorder
   * IEEE additions.
   *
-  * Scale: the token stream is exploded once (size ≈ corpus tokens);
-  * the bigram/unigram count tables are vocabulary-sized and join back
-  * to the stream as hash joins on the word keys; the vocabulary size
-  * is a one-row broadcast. The per-document window (`lead`) shuffles
-  * the stream once on the document id — the same exchange the final
-  * per-document aggregate needs, so Catalyst reuses the partitioning.
-  * Nothing here is quadratic and no state lives on the driver.
+  * Scale: bigrams materialize per row from the token array (zip_with
+  * over two slices — no per-document exchange, no window; a lead()
+  * window over the exploded stream would cost a full-stream shuffle +
+  * sort per consumer). The bigram/unigram count tables are
+  * vocabulary-sized hash-join keys; the vocabulary size is a one-row
+  * broadcast; the only data-sized exchanges are the count aggregations
+  * and the final per-document aggregate. Nothing here is quadratic
+  * and no state lives on the driver.
   */
 object LanguageModel {
 
@@ -51,22 +51,32 @@ object LanguageModel {
     */
   def bigramSurprisal(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("doc"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-    val uni = toks.groupBy(col("w").as("uw"))
+    // Bigrams are materialized PER ROW from the token array (the
+    // lambda only touches the `toks` attribute — O(1) element reads,
+    // no re-split) and then exploded. The alternative — a lead()
+    // window over an exploded token stream — costs a full-stream
+    // shuffle + sort per consumer; this shape needs NO per-document
+    // exchange at all: the only shuffles are the vocabulary-sized
+    // count aggregations and the final per-document aggregate.
+    val toksed = df.select(col(idCol).as("doc"),
+      split(col(textCol), " ").as("toks"))
+    def bigramStream =
+      toksed.select(col("doc"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toksed
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w").as("uw"))
       .agg(count(lit(1)).as("cu"))
     // |vocabulary| = row count of the unigram table — same value as
     // COUNT(DISTINCT w) over the stream, one token-stream scan fewer.
     val voc = uni.agg(count(lit(1)).as("v"))
-    val perDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    val bigrams = toks
-      .withColumn("w2", lead(col("w"), 1).over(perDoc))
-      .filter(col("w2").isNotNull)
-      .select(col("doc"), col("w").as("w1"), col("w2"))
-    val bi = bigrams.groupBy(col("w1").as("b1"), col("w2").as("b2"))
+    val bi = bigramStream.groupBy(col("w1").as("b1"), col("w2").as("b2"))
       .agg(count(lit(1)).as("cb"))
-    val scored = bigrams
+    val scored = bigramStream
       .join(bi, col("w1") === col("b1") && col("w2") === col("b2"))
       .join(uni, col("w1") === col("uw"))
       .crossJoin(broadcast(voc))
