@@ -93,6 +93,23 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Native `session_window` sessionization (§2.13): the streaming
+    * session operator run in batch mode — Spark merges events into
+    * [first, last+gap) windows per user in ONE aggregate, no window
+    * function pass. The oracle replays the semantics as classic
+    * gap-and-islands SQL, pinning that the native operator and the
+    * lag/cumsum formulation (q19's shape) agree event for event. */
+  def q110SessionWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** JSON metadata extraction (reference metadata-blob pattern,
     * `schema.sql:36` + `from_json`/`get_json_object` mapping). */
   def q20JsonProps(s: SparkSession, d: String): DataFrame =
@@ -332,6 +349,7 @@ object EventQueries {
     "q65_range_join" -> (q65RangeJoin _),
     "q64_asof_join" -> (q64AsOfJoin _),
     "q104_asof_merge" -> (q104AsofMerge _),
+    "q110_session_windows" -> (q110SessionWindows _),
     "q41_latest_event_per_user" -> (q41LatestEventPerUser _),
     "q42_phase_transitions" -> (q42PhaseTransitions _),
     "q46_sliding_windows" -> (q46SlidingWindows _),
@@ -431,6 +449,24 @@ object EventQueries {
         |   AS last_view_value
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+    "q110_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev IS NULL
+        |      OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // Same contract as q64, planned through the custom physical
     // as-of operator — the oracle is deliberately identical.
     "q104_asof_merge" ->

@@ -53,4 +53,30 @@ class PlanSpec2 extends SparkTestBase {
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnl <= 1, s"unexpected nested-loop joins:\n$p")
   }
+
+  test("q103 semdedup: the pair scan is an equi-join on the cluster " +
+      "key — no cartesian, no nested-loop") {
+    val p = SparkEntry.queries("q103_semdedup")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q107 source cap: the rank filter plans as WindowGroupLimit " +
+      "so each partition keeps at most n rows per group pre-window") {
+    val p = SparkEntry.queries("q107_source_cap")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q101/q102: no per-document window over the token stream; " +
+      "the only nested-loop is the one-row scalar broadcast") {
+    for (q <- Seq("q101_bigram_surprisal", "q102_dsir_weights")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution
+      val p = plan.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnl <= 1, s"$q: unexpected nested-loop joins")
+    }
+  }
 }
