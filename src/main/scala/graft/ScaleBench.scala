@@ -132,6 +132,15 @@ object ScaleBench {
           SimilaritySearch.quantizedTopK(
             emb.limit(50), "vec_id", emb, "vec_id", "embedding",
             k = 10).count()),
+        "bigram_lm" -> (() =>
+          graft.operators.LanguageModel.bigramSurprisal(docs,
+            "doc_id", "text").count()),
+        "dsir_weights" -> (() =>
+          graft.operators.Importance.dsirWeights(docs, "doc_id",
+            "text", col("doc_id") % 2 === 0).count()),
+        "span_rewrite" -> (() =>
+          Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 5)
+            .count()),
         "simhash_exhaustive_tiled" -> (() =>
           graft.queries.TextQueries.simhashPairsOver(docs).count()),
         "simhash_banded" -> (() =>

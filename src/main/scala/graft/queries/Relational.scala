@@ -637,7 +637,37 @@ object Relational {
       .agg(dsum(col("l_extendedprice") * col("l_discount"), 6)
         .as("revenue"))
 
+  /** TPC-H Q20 analog (dominant part suppliers): suppliers who
+    * shipped MORE than half of a small part's 1997 volume — the
+    * testdata has no partsupp/availqty, so "excess stock" becomes
+    * "dominant shipper" with identical structure: a per-(part,
+    * supplier) aggregate compared against a per-part scalar, feeding
+    * a semi-join into the supplier dimension. Both aggregates come
+    * from one filtered lineitem scan shape; the comparison join is
+    * a hash join on the part key; suppliers surface via LEFT SEMI. */
+  def q111DominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    val li97 = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(part(s, d).filter(col("p_size") < 15),
+        col("l_partkey") === col("p_partkey"))
+    val perSupp = li97.groupBy(col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"))
+      .agg(dsum(col("l_quantity")).as("supp_qty"))
+    val perPart = li97.groupBy(col("l_partkey").as("pk2"))
+      .agg(dsum(col("l_quantity")).as("part_qty"))
+    val dominant = perSupp
+      .join(perPart, col("pk") === col("pk2"))
+      .filter(col("supp_qty") > lit(0.5) * col("part_qty"))
+      .select(col("sk")).distinct()
+    supplier(s, d)
+      .join(dominant, col("s_suppkey") === col("sk"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_dominant_suppliers" -> (q111DominantSuppliers _),
     "q96_order_priority" -> (q96OrderPriority _),
     "q97_returned_customers" -> (q97ReturnedCustomers _),
     "q98_priority_classes" -> (q98PriorityClasses _),
@@ -680,6 +710,28 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q111_dominant_suppliers" ->
+      """WITH li97 AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND p_size < 15),
+        |per_supp AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS supp_qty
+        |  FROM li97 GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey AS pk2,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS part_qty
+        |  FROM li97 GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT sk FROM per_supp JOIN per_part ON pk = pk2
+        |  WHERE supp_qty > 0.5 * part_qty)
+        |ORDER BY s_suppkey""".stripMargin,
     "q96_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
