@@ -91,6 +91,21 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Metadata-filtered top-k (reference: Qdrant filtered search —
+    * `services/database.py:271-272` passes `**kwargs` filters through
+    * to the vector store). PRE-FILTER semantics, like Qdrant: the
+    * predicate restricts the candidate set BEFORE scoring, so every
+    * query still gets k results from the matching subset — a
+    * post-filter (top-k first, filter after) silently returns fewer
+    * than k and different ranks. Spark-first: the predicate is a
+    * plain Column, so Catalyst pushes it into the parquet scan
+    * (PushedFilters) and the heap never sees a non-matching row. */
+  def filteredTopK(queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      predicate: Column, k: Int): DataFrame =
+    bruteForceTopKHeap(queries, queryIdCol, corpus.filter(predicate),
+      corpusIdCol, vecCol, k)
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by
     * within-cluster cosine similarity. The corpus is first bucketed
     * into clusters (`cellCol` — k-means cells from

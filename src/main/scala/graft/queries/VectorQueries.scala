@@ -183,7 +183,22 @@ object VectorQueries {
     SimilaritySearch.semDedup(
       embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.3)
 
+  /** Metadata-filtered retrieval (Qdrant filtered-search semantics,
+    * `services/database.py:271-272`): top-5 among label ≥ 5 vectors
+    * only — PRE-filter, so every query still gets k results from the
+    * matching subset; the predicate reaches the parquet scan
+    * (PlanSpec2-pinned). */
+  def q112FilteredKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    SimilaritySearch.filteredTopK(
+      emb.filter(col("vec_id") < 10), "vec_id",
+      emb, "vec_id", "embedding",
+      predicate = col("label") >= 5, k = 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_filtered_knn" -> (q112FilteredKnn _),
     "q103_semdedup" -> (q103SemDedup _),
     "q89_compressed_knn" -> (q89CompressedKnn _),
     "q72_ann_pq" -> (q72AnnPq _),
@@ -197,6 +212,23 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q112_filtered_knn" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        |      FROM embeddings WHERE label >= 5),
+        |scored AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_dot_product(q.e, c.e) /
+        |   (sqrt(list_dot_product(q.e, q.e)) *
+        |    sqrt(list_dot_product(c.e, c.e))) AS score
+        | FROM q, c),
+        |ranked AS (
+        | SELECT qid, cid, score, ROW_NUMBER() OVER (
+        |   PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+        | FROM scored)
+        |SELECT qid, cid, score, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "q103_semdedup" ->
       """WITH v AS (SELECT vec_id, label,
         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

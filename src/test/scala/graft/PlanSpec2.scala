@@ -69,6 +69,14 @@ class PlanSpec2 extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q112 filtered knn: the metadata predicate is pushed into " +
+      "the corpus parquet scan — pre-filter, not post-filter") {
+    val p = SparkEntry.queries("q112_filtered_knn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(label), " +
+      "GreaterThanOrEqual(label,5)]"), p.take(2000))
+  }
+
   test("q101/q102: no per-document window over the token stream; " +
       "the only nested-loop is the one-row scalar broadcast") {
     for (q <- Seq("q101_bigram_surprisal", "q102_dsir_weights")) {
