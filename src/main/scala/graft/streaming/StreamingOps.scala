@@ -215,6 +215,37 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** A keyed row for the streaming per-group cap. */
+  case class GroupedDoc(group: String, id: Long)
+
+  /** Streaming per-group document cap — [[graft.operators.Split
+    * .capPerGroup]]'s continuous form (RefinedWeb's "≤ N docs per
+    * domain" while the crawl flows, instead of after it lands): the
+    * FIRST `n` arrivals of each group pass, everything after is
+    * dropped across micro-batches. State is ONE LONG per group (the
+    * admitted count) — it never buffers rows and never grows with the
+    * stream, only with the group universe, so no watermark is needed
+    * (the batch form's "first n by key order" becomes "first n by
+    * arrival"; within one micro-batch ties break by id for
+    * determinism under replay). */
+  def streamingCapPerGroup(docs: Dataset[GroupedDoc],
+      n: Int): Dataset[GroupedDoc] = {
+    implicit val e: Encoder[GroupedDoc] = Encoders.product[GroupedDoc]
+    implicit val eL: Encoder[Long] = Encoders.scalaLong
+    docs
+      .groupByKey(_.group)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[GroupedDoc],
+            state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val take = (n - admitted).max(0L).toInt
+          val out = rows.toSeq.sortBy(_.id).take(take)
+          state.update(admitted + out.size)
+          out.iterator
+      }
+  }
+
   /** A doc exploded into one row per signature band. */
   case class BandedDoc(id: Long, simhash: Long,
       ts: java.sql.Timestamp, band: Int, bandVal: Long)
