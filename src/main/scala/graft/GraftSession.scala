@@ -37,6 +37,11 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL users of every engine entry point (Verify/Bench/tests) get
+    // the custom function surface (graft_murmur3 / dot_f64 / dot_i8);
+    // getOrCreate may return a pre-existing session, so registration
+    // happens here rather than via builder extensions.
+    GraftExtensions.register(spark)
     spark
   }
 }
