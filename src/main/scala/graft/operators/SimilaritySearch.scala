@@ -91,6 +91,47 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Hard-negative mining (the contrastive-training data step: DPR
+    * §4.2 / E5-style retriever training needs, per query, the most
+    * similar corpus rows that are NOT known positives — the examples
+    * that teach the decision boundary). `positives` is the (query id,
+    * corpus id) relevance list; output is the top-k scored negatives
+    * per query.
+    *
+    * Scale shape: positives collapse to one id-array per query and
+    * ride the SAME query broadcast as the vectors (a per-query list
+    * is small by definition); the exclusion is an `array_contains`
+    * filter BEFORE the bounded-heap aggregation, so excluded pairs
+    * never enter the shuffle and the corpus still streams through
+    * one codegen'd dot-product scan — never a shuffled anti-join of
+    * the n·m scored stream. */
+  def hardNegatives(queries: DataFrame, queryIdCol: String,
+      positives: DataFrame, posQueryCol: String, posCorpusCol: String,
+      corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val pos = positives.groupBy(col(posQueryCol).as("pqid"))
+      .agg(collect_set(col(posCorpusCol)).as("pos_ids"))
+    val emptyIds = array().cast(org.apache.spark.sql.types.ArrayType(
+      positives.schema(posCorpusCol).dataType))
+    val q = queries.select(col(queryIdCol).as("qid"),
+        col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
+      .join(pos, col("qid") === col("pqid"), "left")
+      .select(col("qid"), col("qvec"), col("qnorm"),
+        coalesce(col("pos_ids"), emptyIds).as("pos_ids"))
+    val c = corpus.select(col(corpusIdCol).as("id"),
+      col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(!array_contains(col("pos_ids"), col("id")))
+      .withColumn("score",
+        dotF64(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .select(col("qid"), col("id"), col("score"))
+    corpus.schema(corpusIdCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TopK.perQueryStr(scored, k)
+      case _ => TopK.perQuery(scored, k)
+    }
+  }
+
   /** Metadata-filtered top-k (reference: Qdrant filtered search —
     * `services/database.py:271-272` passes `**kwargs` filters through
     * to the vector store). PRE-FILTER semantics, like Qdrant: the

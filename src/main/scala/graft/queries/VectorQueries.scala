@@ -197,7 +197,26 @@ object VectorQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Hard-negative mining (DPR/E5 contrastive-training data): per
+    * query, top-5 most-similar vectors EXCLUDING its positives (here:
+    * same-label vectors with id < 100 — a stand-in relevance list).
+    * The exclusion runs before the bounded heap, never as a shuffled
+    * anti-join of the scored stream. */
+  def q113HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val pos = q.select(col("vec_id").as("qid"), col("label").as("ql"))
+      .join(emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("cid"), col("label")),
+        col("label") === col("ql"))
+      .select(col("qid"), col("cid"))
+    SimilaritySearch.hardNegatives(q, "vec_id", pos, "qid", "cid",
+      emb, "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_hard_negatives" -> (q113HardNegatives _),
     "q112_filtered_knn" -> (q112FilteredKnn _),
     "q103_semdedup" -> (q103SemDedup _),
     "q89_compressed_knn" -> (q89CompressedKnn _),
@@ -212,6 +231,27 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q113_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 10),
+        |pos AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid
+        |  FROM q JOIN v c ON c.label = q.label AND c.vec_id < 100),
+        |scored AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_dot_product(q.e, c.e) /
+        |   (sqrt(list_dot_product(q.e, q.e)) *
+        |    sqrt(list_dot_product(c.e, c.e))) AS score
+        | FROM q, v c
+        | WHERE NOT EXISTS (SELECT 1 FROM pos
+        |   WHERE pos.qid = q.vec_id AND pos.cid = c.vec_id)),
+        |ranked AS (
+        | SELECT qid, cid, score, ROW_NUMBER() OVER (
+        |   PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+        | FROM scored)
+        |SELECT qid, cid, score, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "q112_filtered_knn" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
         |           FROM embeddings WHERE vec_id < 10),
