@@ -109,6 +109,58 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Fuzzy string matching / entity resolution (the Gravano et al.
+    * 2001 q-gram device): all DISTINCT-value pairs within Levenshtein
+    * distance `maxDist`, found by a q-gram inverted index instead of
+    * an all-pairs scan. Recall argument: `d` edits destroy at most
+    * `d·q` q-grams, so two strings within distance d whose longer
+    * side has length > d·q + q − 1 MUST share a q-gram — the gram
+    * equi-join finds them. Pairs where BOTH sides are shorter than
+    * (d+1)·q fall outside the guarantee and are compared exhaustively
+    * in one short-string bucket (alphabet-bounded: strings of < 9
+    * chars at the defaults — a finite, small universe in any real
+    * name/title column).
+    *
+    * Scale: the name universe is `distinct()` first (entity
+    * resolution is over values, not rows); candidates come from a
+    * hash equi-join on the gram key (df-capped at `maxDf` as a skew
+    * guard — a gram shared by more values than that is a stop-gram,
+    * same trade as [[jaccardPairs]]); the ≤-`maxDist` length filter
+    * runs before the DP; `levenshtein` is the exact verify. Never a
+    * cartesian over the full universe.
+    *
+    * Output: (name_a, name_b, dist), name_a < name_b, one row per
+    * matched pair. */
+  def fuzzyMatches(df: DataFrame, nameCol: String, maxDist: Int = 2,
+      q: Int = 3, maxDf: Int = 1000): DataFrame = {
+    val names = df.select(col(nameCol).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val shortCap = (maxDist + 1) * q // guarantee floor on max length
+    val grams = names
+      .select(col("name"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(length(col("name")) -
+          (q - 1), lit(1))),
+          i => col("name").substr(i, lit(q))))).as("g"))
+    val keptGrams = grams
+      .withColumn("_df", count(lit(1)).over(
+        Window.partitionBy(col("g"))))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+    val viaGrams = keptGrams.select(col("name").as("name_a"), col("g"))
+      .join(keptGrams.select(col("name").as("name_b"), col("g")), "g")
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+    val shorts = names.filter(length(col("name")) < shortCap)
+    val viaShorts = shorts.select(col("name").as("name_a"))
+      .crossJoin(shorts.select(col("name").as("name_b")))
+      .filter(col("name_a") < col("name_b"))
+    viaGrams.union(viaShorts).distinct()
+      .filter(abs(length(col("name_a")) - length(col("name_b")))
+        <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Train→test contamination check (the published LM-training
     * decontamination shape: GPT-3 appendix C / PaLM §6.3 measure
     * test examples sharing word n-grams with the training set). Per

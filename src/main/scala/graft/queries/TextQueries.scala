@@ -512,7 +512,16 @@ object TextQueries {
         md5(col("clean_text")).as("clean_md5"))
       .orderBy(col("doc_id"))
 
+  /** Fuzzy entity resolution over part names: every distinct-name
+    * pair within Levenshtein distance 2, via the q-gram candidate
+    * index — the oracle computes the exhaustive truth, so a hash
+    * match IS the recall proof for the candidate scheme. */
+  def q114FuzzyNames(s: SparkSession, d: String): DataFrame =
+    Dedup.fuzzyMatches(part(s, d), "p_name", maxDist = 2)
+      .orderBy(col("name_a"), col("name_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_fuzzy_names" -> (q114FuzzyNames _),
     "q109_span_rewrite" -> (q109SpanRewrite _),
     "q107_source_cap" -> (q107SourceCap _),
     "q108_pii_scrub" -> (q108PiiScrub _),
@@ -547,6 +556,13 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q114_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     "q109_span_rewrite" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks

@@ -189,6 +189,33 @@ class DedupSpec extends SparkTestBase {
     assert(got.size === 3, "every input document must appear")
   }
 
+  test("fuzzy matching finds typo pairs via q-grams and short pairs " +
+      "via the exhaustive bucket") {
+    import spark.implicits._
+    val rows = Seq(
+      "wrench industrial",  // long: 1 substitution from the next
+      "wrinch industrial",
+      "bolt", "bolz",       // short (<9): no gram guarantee → bucket
+      "completely different phrase"
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    val got = Dedup.fuzzyMatches(rows, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got === Set(
+      ("wrench industrial", "wrinch industrial", 1),
+      ("bolt", "bolz", 1)))
+  }
+
+  test("fuzzy matching resolves over distinct values, not rows") {
+    import spark.implicits._
+    val rows = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+      (3L, "alpha betz")).toDF("id", "name")
+    val got = Dedup.fuzzyMatches(rows, "name", maxDist = 1).collect()
+    assert(got.length === 1, "duplicate values must not duplicate pairs")
+    assert(got(0).getInt(2) === 1)
+  }
+
   test("span rewrite is the identity on a duplicate-free corpus") {
     import spark.implicits._
     val docs = Seq(
