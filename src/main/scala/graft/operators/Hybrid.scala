@@ -156,4 +156,27 @@ object Hybrid {
       sparseLimit)
     dbsfFuse(dense, sparse, k)
   }
+
+  /** [[hybridSearch]] with the sparse leg served from a PERSISTED
+    * [[TextIndex]] (index-once / query-many — the steady-state
+    * deployment shape; the per-call form re-tokenizes the corpus on
+    * every query batch). Scores are bit-identical to the per-call
+    * form: TextIndexSpec pins the BM25 legs equal and the dense/DBSF
+    * legs are shared code — which is how q115 reuses q37's oracle
+    * verbatim. */
+  def hybridSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, denseIndex: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qidCol: String,
+      qtextCol: String, qvecCol: String, k: Int,
+      denseLimit: Int = 50, sparseLimit: Int = 100): DataFrame = {
+    val dense = SimilaritySearch.bruteForceTopKHeap(
+      queries.select(col(qidCol), col(qvecCol).as(vecCol)), qidCol,
+      denseIndex.select(col(idCol), col(vecCol)), idCol, vecCol,
+      denseLimit)
+      .select(col("qid"), col("cid").as("doc"), col("score"))
+    val sparse = prefetch(
+      TextIndex.bm25(spark, table, queries, qidCol, qtextCol),
+      sparseLimit)
+    dbsfFuse(dense, sparse, k)
+  }
 }

@@ -23,6 +23,18 @@ object TextIndex {
   /** Build and persist the index tables for `corpus`. */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 64): Unit = {
+    // The session catalog is in-memory while the warehouse directory
+    // persists across JVMs: a table absent from the catalog whose
+    // location survives a previous process would fail saveAsTable
+    // with LOCATION_ALREADY_EXISTS — clear such orphans first.
+    val spark = corpus.sparkSession
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    for (t <- Seq(table, s"${table}_terms", s"${table}_stats"))
+      if (!spark.catalog.tableExists(t)) {
+        val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
     val tf = Hybrid.termFrequencies(corpus, idCol, textCol)
     val docLen = corpus.select(col(idCol).as("doc"))
       .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),

@@ -111,10 +111,37 @@ object PipelineQueries {
       .orderBy(col("source_file"))
   }
 
+  /** q37's hybrid search served from the PERSISTED inverted text
+    * index (built once per corpus — `tableExists` guard — then every
+    * query batch touches only its candidate postings): the
+    * steady-state deployment shape. Same oracle as q37 — the two
+    * formulations must be value-identical (TextIndexSpec pins the
+    * BM25 legs bit-for-bit; dense/DBSF legs are shared code). */
+  def q115HybridIndexed(s: SparkSession, d: String): DataFrame = {
+    val table = "graft_q115_idx_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val emb = embeddings(s, d).select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val corpus = documents(s, d).select(col("doc_id"), col("text"))
+      .join(emb, "doc_id")
+    if (!s.catalog.tableExists(table))
+      graft.operators.TextIndex.build(corpus, "doc_id", "text", table)
+    val queries = documents(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 80).as("qtext"))
+      .join(emb.select(col("doc_id").as("qid"), col("vec").as("qvec")),
+        "qid")
+    Hybrid.hybridSearchIndexed(s, table, corpus, "doc_id", "vec",
+      queries, "qid", "qtext", "qvec", k = 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_chunk_pipeline" -> (q35ChunkPipeline _),
     "q36_rag_pipeline" -> (q36RagPipeline _),
     "q37_hybrid_search" -> (q37HybridSearch _),
+    "q115_hybrid_indexed" -> (q115HybridIndexed _),
     "q49_stream_barrier" -> (q49StreamBarrier _),
   )
 
@@ -373,6 +400,9 @@ object PipelineQueries {
     "q35_chunk_pipeline" -> q35Oracle,
     "q36_rag_pipeline" -> q36Oracle,
     "q37_hybrid_search" -> q37Oracle,
+    // deliberately q37's oracle: the persisted-index form must be
+    // value-identical to the per-call form
+    "q115_hybrid_indexed" -> q37Oracle,
     "q49_stream_barrier" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS source_file,
         | COUNT(*) AS n_chunks,
