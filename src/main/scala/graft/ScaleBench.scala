@@ -107,6 +107,25 @@ object ScaleBench {
           graft.operators.Packing.packSequencesNextFit(docTokens,
             "doc_id", "n_tokens", budget = 2048, shards = 32)
             .select("bin").distinct().count()),
+        "bm25_percall" -> (() => {
+          val qs = docs.limit(5)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 80).as("qtext"))
+          graft.operators.Hybrid.bm25(docs, "doc_id", "text",
+            qs, "qid", "qtext").count()
+        }),
+        "bm25_index_build" -> (() => {
+          graft.operators.TextIndex.build(docs, "doc_id", "text",
+            s"graft_sb_idx_k$k")
+          spark.table(s"graft_sb_idx_k$k").count()
+        }),
+        "bm25_index_probe" -> (() => {
+          val qs = docs.limit(5)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 80).as("qtext"))
+          graft.operators.TextIndex.bm25(spark, s"graft_sb_idx_k$k",
+            qs, "qid", "qtext").count()
+        }),
         "ivfadc_build" -> (() => ivfadcParts._3.count()),
         "ivfadc_probe50" -> (() => {
           val (cents, cb, idx) = ivfadcParts
