@@ -131,6 +131,16 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("asOfMerge registers its strategy once, not per call") {
+    AsOfJoin.asOfMerge(probe, build, Seq("user_id"), "t",
+      "event_id", Seq("value")).count()
+    AsOfJoin.asOfMerge(probe, build, Seq("user_id"), "t",
+      "event_id", Seq("value")).count()
+    val n = spark.experimental.extraStrategies
+      .count(_ == graft.plans.GraftAsOfStrategy)
+    assert(n === 1, s"strategy registered $n times")
+  }
+
   test("asOfMerge ≡ asOf on the events testdata slice") {
     val ev = graft.queries.Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")
