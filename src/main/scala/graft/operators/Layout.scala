@@ -44,6 +44,61 @@ object Layout {
       lit((1L << bits) - 1L))
   }
 
+  /** Hilbert-curve index of a (x, y) cell (Hilbert 1891; the
+    * locality-tighter alternative to Morton used by e.g. Delta's
+    * experimental clustering): consecutive curve positions are ALWAYS
+    * grid-adjacent, where the Z-curve jumps across the space at
+    * quadrant boundaries — so range scans over the curve value touch
+    * tighter bounding boxes (LayoutSpec proves the adjacency property
+    * exhaustively on a 16×16 grid).
+    *
+    * The standard xy2d walk carries rotation state bit by bit — an
+    * inherently sequential 16-step loop whose pure-expression form
+    * doubles the tree per level (the rotated x/y feed the next
+    * level), so this is one of the engine's justified scalar UDFs
+    * (same rationale as `simhashOf`: per-row state machine, O(bits)
+    * work, no data-dependent allocation). */
+  def hilbert2(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val f = udf { (xi: Long, yi: Long) =>
+      var rx = 0L; var ry = 0L; var d = 0L
+      var xx = xi; var yy = yi
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        rx = if ((xx & s) > 0) 1L else 0L
+        ry = if ((yy & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0L) { // rotate quadrant
+          if (rx == 1L) { xx = s - 1 - xx; yy = s - 1 - yy }
+          val t = xx; xx = yy; yy = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    f(x.cast("long"), y.cast("long"))
+  }
+
+  /** [[zorderBy]] with the Hilbert curve as the clustering key —
+    * same quantize → curve-index → range-partition shape, tighter
+    * per-file bounding boxes. Adds `hval`. */
+  def hilbertBy(df: DataFrame, colA: String, colB: String,
+      bits: Int = 16, partitions: Int = 0): DataFrame = {
+    val Array(loA, hiA, loB, hiB) = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .head().toSeq.map(v => if (v == null) 0.0
+        else v.asInstanceOf[Double]).toArray
+    val h = hilbert2(
+      widthBucket(col(colA), loA, hiA, bits),
+      widthBucket(col(colB), loB, hiB, bits), bits)
+    val withH = df.withColumn("hval", h)
+    val parted =
+      if (partitions > 0) withH.repartitionByRange(partitions, col("hval"))
+      else withH.repartitionByRange(col("hval"))
+    parted.sortWithinPartitions(col("hval"))
+  }
+
   /** Z-order `df` by two numeric columns: quantize each into 2^bits
     * equal-width buckets (bounds from one min/max aggregation — four
     * scalars to the driver), Morton-interleave, then range-partition
