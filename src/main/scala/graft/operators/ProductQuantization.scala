@@ -26,24 +26,27 @@ import graft.functions.VectorFunctions._
   * scanning 1.25 TB of codes.
   *
   * Determinism/oracle notes: codebooks are per-label subvector means
-  * via the order-fixed fold (q32 pattern — fold over vec_id order);
-  * code assignment breaks distance ties on the lower code; the ADC
-  * sum folds subspaces in ascending order. Every step is therefore
+  * via the exact decimal-sum mean (q95 technique — per-element cast
+  * to DECIMAL(18,9), exact sum, final cast to double: deterministic
+  * under ANY aggregation order, so it partial-aggregates); code
+  * assignment breaks distance ties on the lower code; the ADC sum
+  * folds subspaces in ascending order. Every step is therefore
   * bit-reproducible in DuckDB SQL (q72's oracle).
   */
 object ProductQuantization {
 
   /** Per-(sub, code, cw) codebooks: codeword `code` of subspace `sub`
-    * is the order-fixed mean of that label's subvectors. `code` is
-    * the 0-based rank of the label (deterministic).
+    * is the exact decimal-sum mean of that label's subvectors. `code`
+    * is the 0-based rank of the label (deterministic).
     *
-    * Scale note: the order-fixed fold (collect per group, fold in
-    * vec_id order) exists for bit-reproducibility against the DuckDB
-    * oracle; a production 100 TB training run should use plain
-    * `avg(x)` per (label, sub, pos) — partial-aggregating, no
-    * per-group list — since codebooks don't need cross-engine bit
-    * parity, only the encode/scan path does. Training may also
-    * sample: PQ codebooks converge on a small fraction of the corpus. */
+    * Scale note: the mean is `sum(cast(x as DECIMAL(18,9)))/count` —
+    * exact, order-independent, and partial-aggregating (map-side
+    * combine; per-group state is one decimal + one long, NOT the
+    * group's membership), so a cell with 10⁹ members costs the same
+    * buffer as one with 10. The per-(label,sub) cw assembly below
+    * collects only `dsub` mean values (bounded by dimension, not
+    * corpus). Training may also sample: PQ codebooks converge on a
+    * small fraction of the corpus. */
   def codebooks(df: DataFrame, labelCol: String, vecCol: String,
       m: Int): DataFrame = {
     val sv = subvectors(df.select(col(labelCol).as("label"),
@@ -52,11 +55,9 @@ object ProductQuantization {
       .select(col("label"), col("vec_id"), col("sub"),
         posexplode(col("sv")))
       .groupBy(col("label"), col("sub"), col("pos"))
-      .agg(
-        (aggregate(
-          transform(array_sort(collect_list(struct(col("vec_id"), col("col")))),
-            x => x.getField("col")),
-          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("mval"))
+      .agg((sum(col("col").cast(
+          org.apache.spark.sql.types.DecimalType(18, 9)))
+        .cast("double") / count(lit(1))).as("mval"))
       .groupBy(col("label"), col("sub"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
         x => x.getField("mval")).as("cw"))

@@ -478,7 +478,9 @@ object SimilaritySearch {
     * labels (the label-centroid shortcut only works on labeled
     * testdata). Deterministic: initial centroids are the k vectors
     * with the smallest ids, assignment breaks ties on cell id, and
-    * the update step folds members in id order; empty cells keep
+    * the update step is the exact decimal-sum mean (order-independent
+    * and partial-aggregating — bounded per-group state even for a
+    * cell holding most of the corpus); empty cells keep
     * their previous centroid. Each iteration is one broadcast join +
     * one keyed aggregation — no driver-side data movement beyond the
     * k centroid rows. Returns (cell_id, centroid ARRAY<DOUBLE>). */
@@ -533,10 +535,9 @@ object SimilaritySearch {
       val updated = assigned
         .select(col("cell_id"), col("_id"), posexplode(col("v")))
         .groupBy(col("cell_id"), col("pos"))
-        .agg((aggregate(
-          transform(array_sort(collect_list(struct(col("_id"), col("col")))),
-            x => x.getField("col")),
-          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("m"))
+        .agg((sum(col("col").cast(
+            org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy(col("cell_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))
@@ -553,21 +554,24 @@ object SimilaritySearch {
   }
 
   /** K-means-free coarse centroids: mean vector per existing label
-    * column, accumulated as an order-fixed sequential double fold
-    * over rows sorted by `orderCol` — deterministic under parallel
-    * aggregation AND bit-reproducible by a SQL oracle's
-    * `list_reduce(list(e ORDER BY id))`, which is what lets the IVF
-    * query (q43) be value-checked instead of rows-only. Returns
+    * column via the exact decimal-sum mean (per-element cast to
+    * DECIMAL(18,9), exact sum, cast back to double) — deterministic
+    * under ANY aggregation order, so it partial-aggregates map-side:
+    * per-(cell,pos) state is one decimal + one long, NOT the cell's
+    * membership list. Bit-reproducible by a SQL oracle's
+    * `CAST(SUM(CAST(e AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*)`, which
+    * is what lets the IVF query (q43) be value-checked instead of
+    * rows-only. The per-cell array assembly below collects only one
+    * mean per dimension (bounded by dim, not corpus). Returns
     * (cell_id, centroid ARRAY<DOUBLE>). */
   def labelCentroids(df: DataFrame, labelCol: String,
       vecCol: String, orderCol: String = "vec_id"): DataFrame =
     df.select(col(labelCol).as("cell_id"), col(orderCol).as("_ord"),
         posexplode(col(vecCol).cast("array<double>")))
       .groupBy(col("cell_id"), col("pos"))
-      .agg((aggregate(
-        transform(array_sort(collect_list(struct(col("_ord"), col("col")))),
-          x => x.getField("col")),
-        lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("m"))
+      .agg((sum(col("col").cast(
+          org.apache.spark.sql.types.DecimalType(18, 9)))
+        .cast("double") / count(lit(1))).as("m"))
       .groupBy(col("cell_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .as("pm"))

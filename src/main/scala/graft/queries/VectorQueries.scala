@@ -31,21 +31,20 @@ object VectorQueries {
   }
 
   /** Per-label centroid components — the coarse-quantizer build for
-    * IVF ANN. Mean per dimension via an order-fixed sequential fold
-    * (collect sorted by vec_id, fold left in double): deterministic
-    * under Spark's parallel aggregation and bit-identical to the
-    * oracle's `list_reduce(list(e ORDER BY vec_id))`. */
+    * IVF ANN. Mean per dimension via the exact decimal-sum mean
+    * (q95 technique): per-element cast to DECIMAL(18,9), exact sum,
+    * final cast to double. Order-independent, so it partial-
+    * aggregates (map-side combine, bounded per-group state) AND is
+    * bit-identical to the oracle's
+    * `CAST(SUM(CAST(e AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*)`. */
   def q32LabelCentroids(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("label"), col("vec_id"),
         posexplode(col("embedding").cast("array<double>")))
       .groupBy(col("label"), col("pos"))
-      .agg(
-        (aggregate(
-          transform(array_sort(collect_list(struct(col("vec_id"), col("col")))),
-            x => x.getField("col")),
-          lit(0.0), (acc, x) => acc + x) / count(lit(1)))
-          .as("centroid_val"))
+      .agg((sum(col("col").cast(
+          org.apache.spark.sql.types.DecimalType(18, 9)))
+        .cast("double") / count(lit(1))).as("centroid_val"))
       .orderBy(col("label"), col("pos"))
 
   /** L2 norms of every embedding (V-family norm check — the reference
@@ -145,7 +144,12 @@ object VectorQueries {
     import graft.operators.ProductQuantization
     val emb = embeddings(s, d)
     val m = 8
+    // localCheckpoint (eager): the codebook aggregation runs ONCE and
+    // its ~m·K tiny rows are served from block storage to all three
+    // consumers (kCodes lookup, encode join, ADC broadcast) — without
+    // it the whole training aggregation re-executes per consumer.
     val cb = ProductQuantization.codebooks(emb, "label", "embedding", m)
+      .localCheckpoint()
     val kCodes = cb.agg(max(col("code"))).head.getInt(0) + 1
     val enc = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m)
     ProductQuantization.adcTopK(
@@ -321,7 +325,8 @@ object VectorQueries {
         |SELECT qid, cid, score, rnk FROM ranked
         |WHERE rnk <= 6 ORDER BY qid, rnk""".stripMargin,
     // Recomputes the PQ pipeline relationally: label-rank codes,
-    // order-fixed-fold codebook means, argmin assignment with
+    // exact decimal-sum codebook means (order-independent — mirrors
+    // the engine's partial-aggregating mean), argmin assignment with
     // lower-code tie-break, and the ADC score as the sub-ordered fold
     // of table lookups (the (sub,code) join picks exactly the
     // corpus row's table entry per subspace).
@@ -338,8 +343,8 @@ object VectorQueries {
         |  FROM embeddings, params),
         |cbm AS (
         |  SELECT label, sub, pos,
-        |    list_reduce(list_concat([0.0e0], list(x ORDER BY vec_id)),
-        |      (a, b) -> a + b) / COUNT(*) AS mval
+        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+        |      AS mval
         |  FROM elems GROUP BY 1, 2, 3),
         |cb AS (
         |  SELECT code, sub, list(mval ORDER BY pos) AS cw
@@ -391,14 +396,15 @@ object VectorQueries {
         | END AS max_err
         |FROM s ORDER BY vec_id""".stripMargin,
     // The IVF computation is deterministic relational algebra
-    // (label-mean centroids via order-fixed folds, coarse assignment
-    // windows, cell join, ranked fine scan) — so although its RECALL
-    // is approximate vs q31, its OUTPUT is exactly reproducible.
+    // (label-mean centroids via exact decimal-sum means, coarse
+    // assignment windows, cell join, ranked fine scan) — so although
+    // its RECALL is approximate vs q31, its OUTPUT is exactly
+    // reproducible.
     "q43_ann_ivf" ->
       """WITH cent AS (
         | SELECT label AS cell_id, pos,
-        |  list_reduce(list_concat([0.0e0], list(e ORDER BY vec_id)),
-        |    (a, x) -> a + x) / COUNT(*) AS m
+        |  CAST(SUM(CAST(e AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) AS m
         | FROM (SELECT label, vec_id,
         |         generate_subscripts(embedding, 1) - 1 AS pos,
         |         CAST(unnest(embedding) AS DOUBLE) AS e
@@ -471,7 +477,7 @@ object VectorQueries {
         |ORDER BY qid, rnk""".stripMargin,
     "q32_label_centroids" ->
       """SELECT label, pos,
-        | list_reduce(list(e ORDER BY vec_id), (a, b) -> a + b)
+        | CAST(SUM(CAST(e AS DECIMAL(18,9))) AS DOUBLE)
         |   / COUNT(*) AS centroid_val
         |FROM (SELECT label, vec_id,
         |        generate_subscripts(embedding, 1) - 1 AS pos,

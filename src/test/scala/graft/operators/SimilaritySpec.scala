@@ -85,6 +85,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <= 5)  // near dup
   }
 
+  test("decimal-sum centroid mean agrees with the order-fixed " +
+      "sequential fold (spec-level cross-check of the r5 swap)") {
+    // The registered q32/q43/q72 paths now use the exact decimal-sum
+    // mean (partial-aggregating, bounded per-group state). This pins
+    // that it computes the same centroids the previous order-fixed
+    // collect_list fold did, to within the DECIMAL(18,9) per-element
+    // rounding (|err| <= n * 5e-10 / n = 5e-10 on the mean, plus the
+    // fold's own double accumulation drift).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dec = SimilaritySearch.labelCentroids(emb, "label", "embedding")
+      .select(col("cell_id"), posexplode(col("centroid")))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val fold = emb
+      .select(col("label").as("cell_id"), col("vec_id").as("_ord"),
+        posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("_ord"), col("col")))),
+          x => x.getField("col")),
+        lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("m"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    assert(dec.keySet === fold.keySet)
+    val worst = dec.map { case (k, v) => math.abs(v - fold(k)) }.max
+    assert(worst <= 1e-8, s"decimal mean diverged from fold: $worst")
+  }
+
   test("k-means IVF: deterministic centroids, recall@10 improves " +
       "with nProbe and beats a coarse floor") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
