@@ -236,16 +236,119 @@ object TextFunctions {
     if (c < 0x100) c.toInt
     else Cp1252Reverse.get(c).map(_ & 0xff).getOrElse(-1)
 
-  /** F1 string core (the reference shells to ftfy,
-    * `text_utils.py:66-71`): repairs UTF-8 read as latin-1 OR as
+  /** Forward cp1252 view of the C1 block (ftfy `fix_c1_controls`):
+    * a raw C1 control U+0080-U+009F in decoded text is virtually
+    * always a cp1252 byte that was read as latin-1 — curly quotes
+    * 0x91-0x94, en/em dash 0x96/0x97, ellipsis 0x85, €/™/œ/Š… The
+    * five cp1252 holes (0x81/8D/8F/90/9D) stay as they are (sloppy
+    * cp1252 semantics). */
+  private val Cp1252Forward: Map[Char, Char] =
+    Cp1252Reverse.map { case (c, b) => ((b & 0xff).toChar, c) }
+
+  /** The named HTML entities the unescape pass recognizes — the
+    * high-frequency subset of the HTML5 table `html.unescape` (which
+    * ftfy delegates to) resolves in real web text: markup escapes,
+    * typographic punctuation, and the latin-1 letter block. Numeric
+    * entities (`&#8217;` / `&#x2019;`) are resolved exhaustively, so
+    * this table only bounds the *named* repertoire. */
+  private val HtmlEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "shy" -> "­",
+    "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”",
+    "ndash" -> "–", "mdash" -> "—",
+    "hellip" -> "…", "bull" -> "•",
+    "dagger" -> "†", "Dagger" -> "‡",
+    "permil" -> "‰", "prime" -> "′", "Prime" -> "″",
+    "lsaquo" -> "‹", "rsaquo" -> "›",
+    "euro" -> "€", "trade" -> "™",
+    "copy" -> "©", "reg" -> "®", "deg" -> "°",
+    "plusmn" -> "±", "sup2" -> "²", "sup3" -> "³",
+    "micro" -> "µ", "para" -> "¶", "middot" -> "·",
+    "frac14" -> "¼", "frac12" -> "½", "frac34" -> "¾",
+    "iexcl" -> "¡", "cent" -> "¢", "pound" -> "£",
+    "curren" -> "¤", "yen" -> "¥", "sect" -> "§",
+    "laquo" -> "«", "raquo" -> "»", "iquest" -> "¿",
+    "times" -> "×", "divide" -> "÷",
+    "Agrave" -> "À", "Aacute" -> "Á", "Acirc" -> "Â",
+    "Atilde" -> "Ã", "Auml" -> "Ä", "Aring" -> "Å",
+    "AElig" -> "Æ", "Ccedil" -> "Ç", "Egrave" -> "È",
+    "Eacute" -> "É", "Ecirc" -> "Ê", "Euml" -> "Ë",
+    "Igrave" -> "Ì", "Iacute" -> "Í", "Icirc" -> "Î",
+    "Iuml" -> "Ï", "ETH" -> "Ð", "Ntilde" -> "Ñ",
+    "Ograve" -> "Ò", "Oacute" -> "Ó", "Ocirc" -> "Ô",
+    "Otilde" -> "Õ", "Ouml" -> "Ö", "Oslash" -> "Ø",
+    "Ugrave" -> "Ù", "Uacute" -> "Ú", "Ucirc" -> "Û",
+    "Uuml" -> "Ü", "Yacute" -> "Ý", "THORN" -> "Þ",
+    "szlig" -> "ß", "agrave" -> "à", "aacute" -> "á",
+    "acirc" -> "â", "atilde" -> "ã", "auml" -> "ä",
+    "aring" -> "å", "aelig" -> "æ", "ccedil" -> "ç",
+    "egrave" -> "è", "eacute" -> "é", "ecirc" -> "ê",
+    "euml" -> "ë", "igrave" -> "ì", "iacute" -> "í",
+    "icirc" -> "î", "iuml" -> "ï", "eth" -> "ð",
+    "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+    "ocirc" -> "ô", "otilde" -> "õ", "ouml" -> "ö",
+    "oslash" -> "ø", "ugrave" -> "ù", "uacute" -> "ú",
+    "ucirc" -> "û", "uuml" -> "ü", "yacute" -> "ý",
+    "thorn" -> "þ", "yuml" -> "ÿ",
+  )
+
+  private val EntityRe =
+    java.util.regex.Pattern.compile("&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,31});")
+
+  /** ftfy `unescape_html="auto"`: entities unescape only when the
+    * text contains no '<' (markup-looking text is left alone — the
+    * escapes are probably intentional there). */
+  private[functions] def unescapeHtmlAuto(s: String): String = {
+    if (s.indexOf('<') >= 0 || s.indexOf('&') < 0) return s
+    val m = EntityRe.matcher(s)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val body = m.group(1)
+      val rep: Option[String] =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          try {
+            val cp = Integer.parseInt(body.substring(2), 16)
+            if (Character.isValidCodePoint(cp) && cp != 0)
+              Some(new String(Character.toChars(cp))) else None
+          } catch { case _: Exception => None }
+        else if (body.startsWith("#"))
+          try {
+            val cp = Integer.parseInt(body.substring(1))
+            if (Character.isValidCodePoint(cp) && cp != 0)
+              Some(new String(Character.toChars(cp))) else None
+          } catch { case _: Exception => None }
+        else HtmlEntities.get(body)
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(rep.getOrElse(m.group(0))))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** ftfy `remove_terminal_escapes`: strip ANSI CSI sequences
+    * (`[...m` and friends) that leak into scraped logs. */
+  private val AnsiRe =
+    java.util.regex.Pattern.compile("\u001B\\[(?:\\d|;)*[a-zA-Z]")
+
+  /** ftfy `remove_control_chars` table (ftfy 6 defaults): C0 controls
+    * except \t \n \f \r, DEL, the deprecated Cf range U+206A-206F,
+    * ZERO WIDTH NO-BREAK SPACE used as stray BOM, and the interlinear
+    * annotation block. ZWSP/ZWNJ/ZWJ (U+200B-D) are deliberately KEPT
+    * — they carry meaning in Indic/Arabic-script text. */
+  private def isRemovableControl(c: Char): Boolean =
+    (c < 0x20 && c != '\t' && c != '\n' && c != '\f' && c != '\r') ||
+      c == 0x7f || (c >= 0x206a && c <= 0x206f) || c == 0xfeff ||
+      (c >= 0xfff9 && c <= 0xfffb)
+
+  /** The encoding-repair core: repairs UTF-8 read as latin-1 OR as
     * cp1252 (the two byte-for-char misreads behind virtually all real
     * mojibake — "cafÃ©", "â€™"), applied iteratively so
     * double-encoded text unwinds too. Each pass reconstructs the
     * original bytes, strict-decodes them as UTF-8, and accepts only a
     * strictly shorter, replacement-free result — clean text is
     * always a fixed point. */
-  private[functions] def fixMojibakeStr(s: String): String = {
-    if (s == null) return null
+  private def fixEncoding(s: String): String = {
     var cur = s
     var pass = 0
     var progressed = true
@@ -273,6 +376,52 @@ object TextFunctions {
       pass += 1
     }
     cur
+  }
+
+  /** F1 string core (the reference shells to ftfy's `fix_text`,
+    * `text_utils.py:66-71`). ftfy-6-default pass order:
+    *  1. [[unescapeHtmlAuto]] — `&amp;`/`&#8217;`-style entity damage,
+    *     skipped when the text contains '<' (looks like real markup);
+    *  2. strip ANSI terminal escapes ([[AnsiRe]]);
+    *  3. [[fixEncoding]] — the iterated latin-1/cp1252 round-trip
+    *     (recovers mojibake'd curly quotes/dashes: "â€™" → ’);
+    *  4. C1-control mapping ([[Cp1252Forward]]) — raw U+0080-U+009F
+    *     read-as-latin-1 leftovers become the cp1252 punctuation they
+    *     were (0x93/0x94 → “ ”, 0x96/0x97 → – —, 0x85 → …);
+    *  5. control-char removal ([[isRemovableControl]]);
+    *  6. NFC normalization (ftfy's default `normalization="NFC"`).
+    * ftfy options off by default stay off here: `uncurl_quotes`,
+    * `fix_latin_ligatures`, `fix_character_width`, `fix_line_breaks`
+    * — curly quotes and ligatures are PRESERVED, matching the
+    * reference's observed pass-through of clean typographic text. */
+  private[graft] def fixMojibakeStr(s: String): String = {
+    if (s == null) return null
+    var cur = unescapeHtmlAuto(s)
+    if (cur.indexOf('\u001B') >= 0)
+      cur = AnsiRe.matcher(cur).replaceAll("")
+    cur = fixEncoding(cur)
+    // steps 4-5 are per-char; do both in one scan when any C1 or
+    // removable control is present
+    var needs = false
+    var i = 0
+    while (!needs && i < cur.length) {
+      val c = cur.charAt(i)
+      if ((c >= 0x80 && c <= 0x9f) || isRemovableControl(c)) needs = true
+      i += 1
+    }
+    if (needs) {
+      val sb = new java.lang.StringBuilder(cur.length)
+      var j = 0
+      while (j < cur.length) {
+        val c = cur.charAt(j)
+        if (c >= 0x80 && c <= 0x9f)
+          sb.append(Cp1252Forward.getOrElse(c, c))
+        else if (!isRemovableControl(c)) sb.append(c)
+        j += 1
+      }
+      cur = sb.toString
+    }
+    java.text.Normalizer.normalize(cur, java.text.Normalizer.Form.NFC)
   }
 
   /** F2 string core (`text_utils.py:74-79`): fraction of code points

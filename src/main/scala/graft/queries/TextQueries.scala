@@ -172,12 +172,36 @@ object TextQueries {
     "\u2605\u2606\u2726\u2727 \u259a\u259e \u25c6\u25c7\u25a0\u25a1 \u25cf\u25cb\u25d0\u25d1 \u2237\u224b\u224c\u224d symbols",
     ("\u91cd\u590d\u3000" * 9) + "\u91cd\u590d",
     "\u30a2\u30a4\u30a6\u30a8\u30aa\u30ab\u30ad\u30af\u30b1\u30b3\u30b5\u30b7\u30b9\u30bb\u30bd\u30bf\u30c1\u30c4\u30c6\u30c8\u30ca\u30cb\u30cc\u30cd\u30ce\u30cf\u30d2\u30d5\u30d8\u30db\u30de\u30df\u30e0\u30e1\u30e2 \u03ba\u03b1\u03b9 \u03bb\u03ad\u03be\u03b5\u03b9\u03c2 \u03b5\u03b4\u03ce",
-    "\u2605\u2606\u2726\u2727\u25c6 \u25c7\u25a0\u25a1\u25cf\u25cb \u25d0\u25d1\u2237\u224b\u224c \u2605\u2606\u2726\u2727\u25c6 \u25c7\u25a0\u25a1\u25cf\u25cb \u25d0\u25d1\u2237\u224b\u224c \u2605\u2606\u2726\u2727\u25c6 \u25c7\u25a0\u25a1\u25cf\u25cb sym")
+    "\u2605\u2606\u2726\u2727\u25c6 \u25c7\u25a0\u25a1\u25cf\u25cb \u25d0\u25d1\u2237\u224b\u224c \u2605\u2606\u2726\u2727\u25c6 \u25c7\u25a0\u25a1\u25cf\u25cb \u25d0\u25d1\u2237\u224b\u224c \u2605\u2606\u2726\u2727\u25c6 \u25c7\u25a0\u25a1\u25cf\u25cb sym",
+    // r5 ftfy-repertoire fixtures: each exercises one repair class
+    // the extended fixMojibake handles (entity damage, C1 controls,
+    // encoded curly quotes/dashes, ANSI + removable controls); the
+    // oracle sees their REPAIRED forms via FixedFixtureListSql.
+    "Q&amp;A entities &#8220;quoted&#8221; &hellip; &eacute;tude plus &nbsp;done",
+    "c1 mapping \u0091quoted\u0092 \u0093double\u0094 \u0096dash\u0097 \u0085dots end",
+    "mojibake caf\u00c3\u00a9 says \u00e2\u0080\u0098hi\u00e2\u0080\u0099 \u00e2\u0080\u0094 fine",
+    "ansi \u001b[31mred\u001b[0m bel\u0007 vt\u000b clean")
 
   /** DuckDB list literal of [[UnicodeFixtures]] — injected into the
     * q63 oracle so both engines derive byte-identical inputs. */
   private val FixtureListSql: String =
     UnicodeFixtures.map(f => "'" + f.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+
+  /** The fixtures' REPAIRED forms (fixMojibake applied), as a DuckDB
+    * list literal. The gibberish/invalid predicates run the ftfy-
+    * repertoire repair before their category walks; the repair itself
+    * is not SQL-expressible, but its output on the FIXED fixture set
+    * is a constant — so the oracle consumes these literals and still
+    * re-derives every predicate from them independently. (The raw→
+    * repaired mapping is separately truth-tabled in
+    * TextFunctionsSpec; fixture∥tail compositionality — repair of the
+    * concatenation == repaired fixture ∥ ASCII tail — is pinned
+    * there too, so the literal substitution is sound.) */
+  private val FixedFixtureListSql: String =
+    UnicodeFixtures.map(f =>
+      "'" + graft.functions.TextFunctions.fixMojibakeStr(f)
+        .replace("'", "''") + "'")
       .mkString("[", ", ", "]")
 
   /** Unicode quality-gate parity (the q55 truth table over a derived
@@ -1040,20 +1064,23 @@ object TextQueries {
       raw"""WITH base AS (
         | SELECT doc_id,
         |  $FixtureListSql[CAST(doc_id % ${UnicodeFixtures.length} + 1 AS INT)] || ' ' ||
-        |    substr(text, 1, CAST(1 + doc_id % 97 AS INT)) AS tu
+        |    substr(text, 1, CAST(1 + doc_id % 97 AS INT)) AS tu,
+        |  $FixedFixtureListSql[CAST(doc_id % ${UnicodeFixtures.length} + 1 AS INT)] || ' ' ||
+        |    substr(text, 1, CAST(1 + doc_id % 97 AS INT)) AS fx
         | FROM documents),
         |f AS (
-        | SELECT doc_id, tu,
+        | SELECT doc_id, tu, fx,
         |  list_filter(regexp_split_to_array(tu,
         |    '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
         |              x -> len(x) > 0) AS t,
         |  list_filter(list_transform(string_split(tu, chr(10)),
         |              l -> trim(l)), l -> len(l) > 0) AS lines,
         |  regexp_matches(tu, '[âã¢£™žÂÃ]') AS corrupt,
-        |  regexp_replace(nfc_normalize(tu),
+        |  len(fx) AS flen,
+        |  regexp_replace(nfc_normalize(fx),
         |   '[\p{C}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]',
         |   '', 'g') AS pn,
-        |  regexp_replace(tu,
+        |  regexp_replace(fx,
         |   '[\p{C}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]',
         |   '', 'g') AS praw
         | FROM base),
@@ -1063,6 +1090,7 @@ object TextQueries {
         |  CASE WHEN len(t) = 0 THEN 0.0e0 ELSE
         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS uniq_ratio,
         |  list_filter(t, x -> len(x) > 1) AS w2,
+        |  flen,
         |  len(pn) AS ptot,
         |  len(regexp_replace(pn, '[^\p{Latin}\p{M}]', '', 'g'))
         |    AS platin,
@@ -1071,7 +1099,7 @@ object TextQueries {
         |  len(regexp_replace(pn, '[\p{L}\p{Mn} \n]', '', 'g'))
         |    AS strict_non,
         |  len(praw) AS pinv,
-        |  len(regexp_replace(tu, '[^\p{Latin}\p{M}]', '', 'g'))
+        |  len(regexp_replace(fx, '[^\p{Latin}\p{M}]', '', 'g'))
         |    AS full_latin
         | FROM f),
         |g AS (
@@ -1095,8 +1123,8 @@ object TextQueries {
         |      / len(w2) > 0.1e0) END AS is_abnormal,
         |  n < 5 AS is_low,
         |  (len(trim(tu)) < 20 OR
-        |   CAST(pinv AS DOUBLE) / len(tu) < 0.6e0 OR
-        |   CAST(full_latin AS DOUBLE) / len(tu) < 0.7e0) AS is_invalid
+        |   CAST(pinv AS DOUBLE) / flen < 0.6e0 OR
+        |   CAST(full_latin AS DOUBLE) / flen < 0.7e0) AS is_invalid
         | FROM m)
         |SELECT doc_id, n AS n_tokens, is_gibberish, corrupt AS is_corrupt,
         | is_low, is_repetitive, is_abnormal, is_invalid,

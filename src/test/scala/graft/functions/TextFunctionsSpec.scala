@@ -178,6 +178,43 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(fixMojibakeStr("plain ascii text") === "plain ascii text")
   }
 
+  test("fixMojibake ftfy-repertoire truth table: HTML entities, C1 " +
+      "controls, ANSI escapes, removable controls, NFC (r5)") {
+    val cases: Seq[(String, String)] = Seq(
+      // HTML entity damage (named + decimal + hex), auto mode
+      "Q&amp;A &#8220;x&#8221; &#x2019; &hellip; &eacute;tude" ->
+        "Q&A \u201cx\u201d \u2019 \u2026 \u00e9tude",
+      // '<' present -> looks like real markup -> entities preserved
+      "<b>bold &amp; kept</b>" -> "<b>bold &amp; kept</b>",
+      // unknown named entity preserved
+      "tick &nosuchentity; tock" -> "tick &nosuchentity; tock",
+      // C1 controls are cp1252 punctuation read as latin-1
+      "\u0091q\u0092 \u0093d\u0094 \u0096n\u0097 \u0085e" ->
+        "\u2018q\u2019 \u201cd\u201d \u2013n\u2014 \u2026e",
+      // ANSI terminal escapes stripped
+      "ansi \u001b[31mred\u001b[0m done" -> "ansi red done",
+      // removable controls go, \t \n \f \r and ZWSP/ZWNJ/ZWJ stay
+      "ab\u0007cd\ufeffe\tf\ng z\u200bw" ->
+        "abcde\tf\ng z\u200bw",
+      // NFC normalization composes combining sequences
+      "cafe\u0301 se\u0301ance" -> "caf\u00e9 s\u00e9ance",
+      // encoding repair still composes with the rest of the pipeline:
+      // cp1252-mojibake'd curly quote + entity in one string
+      "it\u00e2\u0080\u0099s &amp; fine" -> "it\u2019s & fine",
+    )
+    for ((in_, want) <- cases)
+      assert(fixMojibakeStr(in_) === want, s"input: ${in_.map(_.toInt)}")
+  }
+
+  test("q63 fixture repair composes over the ASCII tail (the literal-" +
+      "substitution soundness the oracle's FixedFixtureListSql needs)") {
+    val tail = " lorem ipsum dolor sit amet consectetur"
+    for (f <- graft.queries.TextQueries.UnicodeFixtures)
+      assert(fixMojibakeStr(f + " " + tail) ===
+        fixMojibakeStr(f) + " " + tail,
+        s"fixture not tail-compositional: $f")
+  }
+
   test("isGibberish flags symbol-noise text (F4)") {
     import spark.implicits._
     val noise = "@#$% ^&*( )!~` @#$% ^&*("
