@@ -515,12 +515,18 @@ object TextFunctions {
   val isInvalidTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) => isInvalidTextStr(s) }
 
-  /** F11: PDF validity predicate over raw bytes (`%PDF` magic,
-    * `text_utils.py:227-249`; the page-open probe lives behind the
-    * extractor service boundary). */
-  def isValidPdf(bytes: Column): Column =
-    bytes.isNotNull && length(bytes) > 4 &&
-      substring(bytes.cast("binary"), 1, 5) === lit("%PDF-".getBytes)
+  /** F11: PDF validity predicate over raw bytes
+    * (`text_utils.py:227-249`): `%PDF` magic, then a structural open
+    * + first-page access via the engine's own
+    * [[graft.operators.PdfTextExtractor.isStructurallyValid]] — a
+    * magic-valid but truncated/corrupt body is rejected, matching the
+    * reference's pdfplumber open probe (it opens the document,
+    * requires pages, and touches page 1 before declaring valid). */
+  val isValidPdfUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (b: Array[Byte]) =>
+      graft.operators.PdfTextExtractor.isStructurallyValid(b) }
+
+  def isValidPdf(bytes: Column): Column = isValidPdfUdf(bytes)
 
   /** Polynomial rolling-hash document fingerprint (base 131 mod
     * 1e9+7) over characters — cheap content identity for exact dedup

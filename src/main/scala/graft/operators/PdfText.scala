@@ -24,6 +24,45 @@ object PdfTextExtractor extends Extract.PageExtractor {
   private val ContentsRefRe = """/Contents\s+(\d+)\s+\d+\s+R""".r
   private val ContentsArrRe = """(?s)/Contents\s*\[(.*?)\]""".r
   private val RefRe = """(\d+)\s+\d+\s+R""".r
+  private val RootRe = """/Root\s+(\d+)\s+\d+\s+R""".r
+  private val CatalogRe = """/Type\s*/Catalog""".r
+
+  /** F11 page-open probe (`text_utils.py:227-249`): the reference
+    * validates a PDF by checking the 4-byte `%PDF` magic, OPENING the
+    * document with pdfplumber, requiring a nonempty page list, and
+    * touching page 1 — so a magic-valid but truncated/corrupt body is
+    * invalid. Structural mirror over the same object parse the
+    * extractor uses: the trailer's `/Root` must resolve to a
+    * `/Catalog` object (pdfminer raises "No /Root object!" without
+    * one — this is what end-truncation cuts), at least one complete
+    * `/Type /Page` object must exist, and the first page's declared
+    * `/Contents` refs must resolve to complete stream objects
+    * (mid-file truncation leaves them dangling, the analog of the
+    * first-page access raising). */
+  def isStructurallyValid(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 4) return false
+    val doc = new String(bytes, "ISO-8859-1")
+    if (!doc.startsWith("%PDF")) return false
+    val objects = ObjRe.findAllMatchIn(doc)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    val rootOk = RootRe.findFirstMatchIn(doc).exists(m =>
+      objects.get(m.group(1).toInt)
+        .exists(b => CatalogRe.findFirstIn(b).isDefined))
+    if (!rootOk) return false
+    val pageBodies = ObjRe.findAllMatchIn(doc).map(_.group(2))
+      .filter(b => PageTypeRe.findFirstIn(b).isDefined).toSeq
+    if (pageBodies.isEmpty) return false
+    val first = pageBodies.head
+    val refs: Seq[Int] = ContentsArrRe.findFirstMatchIn(first) match {
+      case Some(a) =>
+        RefRe.findAllMatchIn(a.group(1)).map(_.group(1).toInt).toSeq
+      case None =>
+        ContentsRefRe.findFirstMatchIn(first)
+          .map(_.group(1).toInt).toSeq
+    }
+    refs.forall(r => objects.get(r)
+      .exists(b => StreamRe.findFirstMatchIn(b).isDefined))
+  }
 
   def pages(bytes: Array[Byte]): Seq[String] = {
     if (bytes == null || bytes.length < 5) return Seq.empty

@@ -57,14 +57,27 @@ class ExtractSpec extends SparkTestBase {
     assert(pieces.forall(p => p.page >= 1 && p.page <= 5))
   }
 
-  test("isValidPdf magic-number predicate (F11)") {
+  test("isValidPdf opens the document, not just the magic (F11, " +
+      "text_utils.py:227-249)") {
     import graft.functions.TextFunctions
-    val docs = binDf("ok.pdf" -> "%PDF-1.7 rest of file",
+    // a structurally complete one-page document
+    val ok = "%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 12 >> stream\nBT (x) Tj ET\nendstream endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF\n"
+    // magic alone no longer passes: pdfplumber's open would raise
+    val docs = binDf(
+      "ok.pdf" -> ok,
+      "magic_only.pdf" -> "%PDF-1.7 rest of file",
+      "truncated.pdf" -> ok.substring(0, ok.indexOf("endstream")),
       "bad.pdf" -> "not a pdf at all")
     val got = docs.select(col("source_file"),
       TextFunctions.isValidPdf(col("content")).as("ok"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(got === Map("ok.pdf" -> true, "bad.pdf" -> false))
+    assert(got === Map("ok.pdf" -> true, "magic_only.pdf" -> false,
+      "truncated.pdf" -> false, "bad.pdf" -> false))
   }
 
   test("ocrFallback routes only quality-gate failures through the " +

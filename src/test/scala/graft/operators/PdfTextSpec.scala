@@ -80,6 +80,25 @@ class PdfTextSpec extends SparkTestBase {
     assert(PdfTextExtractor.pages(Array.empty[Byte]) === Seq.empty)
   }
 
+  test("isStructurallyValid accepts complete PDFs and rejects " +
+      "magic-valid truncations (F11 page-open parity)") {
+    val pdf = buildPdf(Seq(page1, page2), compress = true)
+    assert(PdfTextExtractor.isStructurallyValid(pdf))
+    // end-truncation cuts the trailer: pdfplumber raises "No /Root"
+    assert(!PdfTextExtractor.isStructurallyValid(
+      pdf.take(pdf.length - 40)))
+    // mid-truncation dangles page 1's content stream
+    val doc = new String(pdf, "ISO-8859-1")
+    val cut = doc.substring(0, doc.indexOf("endstream")) +
+      doc.substring(doc.indexOf("trailer"))
+    assert(!PdfTextExtractor.isStructurallyValid(
+      cut.getBytes("ISO-8859-1")))
+    // magic alone is not enough
+    assert(!PdfTextExtractor.isStructurallyValid(
+      "%PDF-1.7 nothing else".getBytes("ISO-8859-1")))
+    assert(!PdfTextExtractor.isStructurallyValid(null))
+  }
+
   test("drives the Spark page-explode pipeline end to end (S2)") {
     import spark.implicits._
     val pdf = buildPdf(Seq(page1, page2), compress = true)
