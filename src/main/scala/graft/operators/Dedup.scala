@@ -115,19 +115,28 @@ object Dedup {
     * an all-pairs scan. Recall argument: `d` edits destroy at most
     * `d·q` q-grams, so two strings within distance d whose longer
     * side has length > d·q + q − 1 MUST share a q-gram — the gram
-    * equi-join finds them. Pairs where BOTH sides are shorter than
-    * (d+1)·q fall outside the guarantee and are compared exhaustively
-    * in one short-string bucket (alphabet-bounded: strings of < 9
-    * chars at the defaults — a finite, small universe in any real
-    * name/title column).
+    * equi-join finds them.
+    *
+    * Names OUTSIDE the guarantee go to a residual path: (a) names
+    * shorter than the (d+1)·q floor (a short pair need not share any
+    * gram), and (b) names whose EVERY gram was discarded by the
+    * `maxDf` stop-gram cap (their pairs would otherwise be silently
+    * missed — the cap must not void the documented recall). Residual
+    * names pair against the whole universe through a LENGTH-key
+    * equi-join: the `|len_a − len_b| ≤ maxDist` necessary condition
+    * becomes the join key (each residual probes its 2·maxDist+1
+    * admissible lengths), so the plan stays hash-join shaped — no
+    * CartesianProduct node anywhere (PlanSpec-pinned), and the
+    * residual side is pathological-case small by construction.
+    * Remaining documented precondition: a pair whose sides BOTH keep
+    * surviving grams but share only stop-grams stays outside the
+    * guarantee (the classic q-gram/stop-gram trade).
     *
     * Scale: the name universe is `distinct()` first (entity
-    * resolution is over values, not rows); candidates come from a
-    * hash equi-join on the gram key (df-capped at `maxDf` as a skew
-    * guard — a gram shared by more values than that is a stop-gram,
-    * same trade as [[jaccardPairs]]); the ≤-`maxDist` length filter
-    * runs before the DP; `levenshtein` is the exact verify. Never a
-    * cartesian over the full universe.
+    * resolution is over values, not rows); candidates come from hash
+    * equi-joins (gram key / length key); the ≤-`maxDist` length
+    * filter runs before the DP; `levenshtein` is the exact verify.
+    * Never a cartesian over the full universe.
     *
     * Output: (name_a, name_b, dist), name_a < name_b, one row per
     * matched pair. */
@@ -150,11 +159,22 @@ object Dedup {
       .join(keptGrams.select(col("name").as("name_b"), col("g")), "g")
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b"))
-    val shorts = names.filter(length(col("name")) < shortCap)
-    val viaShorts = shorts.select(col("name").as("name_a"))
-      .crossJoin(shorts.select(col("name").as("name_b")))
-      .filter(col("name_a") < col("name_b"))
-    viaGrams.union(viaShorts).distinct()
+    val namesL = names.withColumn("_l", length(col("name")))
+    // residual = below the guarantee floor ∪ every-gram-dropped
+    // (disjoint union: the anti-join half keeps only floor-or-longer)
+    val noGram = namesL.join(
+      keptGrams.select(col("name")).distinct(), Seq("name"), "left_anti")
+    val residual = namesL.filter(col("_l") < shortCap)
+      .unionByName(noGram.filter(col("_l") >= shortCap))
+    val resExp = residual.select(col("name").as("name_r"),
+      explode(sequence(col("_l") - maxDist, col("_l") + maxDist))
+        .as("_l"))
+    val viaResidual = resExp
+      .join(namesL.select(col("name").as("name_o"), col("_l")), "_l")
+      .filter(col("name_r") =!= col("name_o"))
+      .select(least(col("name_r"), col("name_o")).as("name_a"),
+        greatest(col("name_r"), col("name_o")).as("name_b"))
+    viaGrams.union(viaResidual).distinct()
       .filter(abs(length(col("name_a")) - length(col("name_b")))
         <= maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))

@@ -207,6 +207,55 @@ class DedupSpec extends SparkTestBase {
       ("bolt", "bolz", 1)))
   }
 
+  test("fuzzy matching: stop-gram names route through the residual " +
+      "path (the maxDf cap must not void recall) and the plan has " +
+      "no CartesianProduct (r5)") {
+    import spark.implicits._
+    // "abcdefghi" (9 chars ≥ the (d+1)·q=9 floor) shares every gram
+    // with the fillers, so at maxDf=2 ALL its grams are stop-grams;
+    // its distance-1 partner "abcdefghz" keeps the unshared gram
+    // "ghz"/"hgz"… — without residual routing the pair is missed.
+    // fillers are mutually far apart (so the exhaustive truth below
+    // only contains guaranteed-recall pairs) but share every gram of
+    // the probe name, driving those grams over the df cap
+    val fillers = Seq("abcdefghi alpha one", "abcdefghi bravo two",
+      "abcdefghi charlie three", "abcdefghi delta four")
+    val rows = (Seq("abcdefghi", "abcdefghz", "bolt", "bolz") ++ fillers)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    val got = Dedup.fuzzyMatches(rows, "name", maxDist = 1, maxDf = 2)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "fuzzy matching must stay hash-join shaped")
+    val pairs = got.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // exhaustive truth at maxDist=1 over the same distinct universe
+    val names = (Seq("abcdefghi", "abcdefghz", "bolt", "bolz")
+      ++ fillers)
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = {
+        val la = a.length; val lb = b.length
+        val dp = Array.tabulate(la + 1)(i => i)
+        var prev = 0
+        for (j <- 1 to lb) {
+          prev = dp(0); dp(0) = j
+          for (i <- 1 to la) {
+            val t = dp(i)
+            dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+              prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        dp(la)
+      }
+      if d <= 1
+    } yield (a, b, d)).toSet
+    assert(pairs === want)
+    assert(pairs.contains(("abcdefghi", "abcdefghz", 1)),
+      "stop-gram pair must be recovered via the residual path")
+  }
+
   test("fuzzy matching resolves over distinct values, not rows") {
     import spark.implicits._
     val rows = Seq((1L, "alpha beta"), (2L, "alpha beta"),
