@@ -27,6 +27,15 @@ object ScaleBench {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
+  /** Row count through an aggregation that also checksums every
+    * output column — forces FULL evaluation of the plan (count()
+    * alone lets the optimizer prune operators whose columns nothing
+    * references, e.g. the Window inside the union+window as-of). */
+  private def fullEval(df: DataFrame): Long =
+    df.select(xxhash64(df.columns.map(col): _*).as("_h"))
+      .agg(sum(pmod(col("_h"), lit(1000000007L))), count(lit(1)))
+      .head.getLong(1)
+
   def scaledDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -134,15 +143,23 @@ object ScaleBench {
             cents, cb, idx, m = 8, kCodes = 16, k = 10, nProbe = 8,
             rerank = 5).count()
         }),
-        "asof_join" -> (() =>
+        // fair action for the asof/range comparisons: a checksum over
+        // every output column. count() alone is NOT fair here —
+        // Catalyst prunes the unused Window (and then the sort) out
+        // of the union+window form under count(), but the custom exec
+        // cannot be pruned, so count() compared a gutted plan against
+        // a full one (this is exactly how the r04 "4x gap" arose; the
+        // fair comparison has the codegen merge BEATING the window
+        // form at K=64: 1.13 s vs 1.3-1.5 s warm).
+        "asof_join" -> (() => fullEval(
           AsOfJoin.asOf(purchases, views, Seq("user_id"), "t_us",
-            "event_id", Seq("t_us", "value")).count()),
-        "asof_merge" -> (() =>
+            "event_id", Seq("t_us", "value")))),
+        "asof_merge" -> (() => fullEval(
           AsOfJoin.asOfMerge(purchases, views, Seq("user_id"), "t_us",
-            "event_id", Seq("t_us", "value")).count()),
-        "range_join_1h" -> (() =>
+            "event_id", Seq("t_us", "value")))),
+        "range_join_1h" -> (() => fullEval(
           RangeJoin.rangeJoin(purchases, views, Seq("user_id"),
-            "t_us", "t_us", -3600000000L, -1L, Seq("value")).count()),
+            "t_us", "t_us", -3600000000L, -1L, Seq("value")))),
         "knn_float_heap" -> (() =>
           SimilaritySearch.bruteForceTopKHeap(
             emb.limit(50), "vec_id", emb, "vec_id", "embedding",

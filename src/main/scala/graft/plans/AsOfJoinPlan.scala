@@ -3,9 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** The whole-operator extension path (SURVEY §2.14 option c): a
@@ -63,7 +65,7 @@ case class AsOfJoinExec(
     leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
     payload: Seq[Attribute], payloadOut: Seq[Attribute],
     left: SparkPlan, right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -97,6 +99,191 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ---- whole-stage codegen (the SortMergeJoinExec pattern: this
+  // node is the stage's produce root; both sorted children arrive as
+  // inputRDDs and the merge loop is generated Java, so downstream
+  // project/filter fuse into the same span instead of paying
+  // per-row iterator virtual calls + 5 interpreted projections —
+  // NOTES measured the interpreted loop at 4x the union+window form
+  // at 1.3M result rows). doExecute() below remains the
+  // spark.sql.codegen.wholeStage=false fallback. ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // all reads from the two input rows are generated here, nothing
+  // is deferred to the parent's input handling
+  override def usedInputs: AttributeSet = AttributeSet.empty
+
+  override def needCopyResult: Boolean = true
+
+  private def ordinalIn(attrs: Seq[Attribute], a: Attribute): Int = {
+    val i = attrs.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"attribute $a not found in $attrs")
+    i
+  }
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    val rHead = ctx.addMutableState("InternalRow", "asofRHead")
+    val cand = ctx.addMutableState("InternalRow", "asofCand")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+
+    val lRow = ctx.freshName("asofLeftRow")
+    val lKeyIdx = leftKeys.map(ordinalIn(left.output, _))
+    val rKeyIdx = rightKeys.map(ordinalIn(right.output, _))
+    val lTimeIdx = ordinalIn(left.output, leftTime)
+    val rTimeIdx = ordinalIn(right.output, rightTime)
+    val payIdx = payload.map(ordinalIn(right.output, _))
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+
+    // a (isNull, value) local pair reading `row` at `idx`, with the
+    // assignment code to run at the evaluation site
+    def readCol(row: String, idx: Int,
+        dt: org.apache.spark.sql.types.DataType,
+        tag: String): (String, String, String) = {
+      val isNull = ctx.freshName(s"${tag}IsNull")
+      val value = ctx.freshName(s"${tag}Value")
+      val decl =
+        s"""boolean $isNull = true;
+           |${CodeGenerator.javaType(dt)} $value =
+           |  ${CodeGenerator.defaultValue(dt)};""".stripMargin
+      val assign =
+        s"""$isNull = $row.isNullAt($idx);
+           |if (!$isNull) {
+           |  $value = ${CodeGenerator.getValue(row, dt, idx.toString)};
+           |}""".stripMargin
+      (isNull, value, s"$decl\n$assign")
+    }
+
+    // left keys + time, evaluated once per probe row
+    val lKeyReads = lKeyIdx.zip(keyTypes).zipWithIndex.map {
+      case ((i, dt), k) => readCol(lRow, i, dt, s"asofLk$k") }
+    val (ltNull, ltVal, ltCode) =
+      readCol(lRow, lTimeIdx, timeType, "asofLt")
+    val lUsable = ctx.freshName("asofUsable")
+
+    // right keys + time from the un-consumed head row (re-evaluated
+    // each advance iteration — rHead changes inside the loop)
+    val rKeyReads = rKeyIdx.zip(keyTypes).zipWithIndex.map {
+      case ((i, dt), k) => readCol(rHead, i, dt, s"asofRk$k") }
+    val (rtNull, rtVal, rtCode) =
+      readCol(rHead, rTimeIdx, timeType, "asofRt")
+
+    // candidate keys from the held candidate row
+    val cKeyReads = rKeyIdx.zip(keyTypes).zipWithIndex.map {
+      case ((i, dt), k) => readCol(cand, i, dt, s"asofCk$k") }
+
+    def keyComp(comp: String,
+        a: Seq[(String, String, String)],
+        b: Seq[(String, String, String)]): String =
+      a.zip(b).zip(keyTypes).map { case (((_, av, _), (_, bv, _)), dt) =>
+        s"""if ($comp == 0) {
+           |  $comp = ${ctx.genComp(dt, av, bv)};
+           |}""".stripMargin
+      }.mkString("\n")
+
+    val comp = ctx.freshName("asofComp")
+    val ccomp = ctx.freshName("asofCandComp")
+    val advance = ctx.freshName("asofAdvance")
+    val matched = ctx.freshName("asofMatched")
+
+    // output: every left column, then the payload columns guarded by
+    // the match flag; vars are evaluated inline, so the ExprCode
+    // blocks are empty (already-evaluated convention)
+    val leftVarReads = left.output.zipWithIndex.map { case (a, i) =>
+      readCol(lRow, i, a.dataType, s"asofL$i") }
+    val leftVars = left.output.zip(leftVarReads).map {
+      case (a, (isNull, value, _)) =>
+        ExprCode(EmptyBlock, JavaCode.isNullVariable(isNull),
+          JavaCode.variable(value, a.dataType)) }
+    val payReads = payIdx.zip(payload).zipWithIndex.map {
+      case ((idx, a), k) =>
+        val isNull = ctx.freshName(s"asofPayIsNull$k")
+        val value = ctx.freshName(s"asofPayValue$k")
+        val dt = a.dataType
+        val code =
+          s"""boolean $isNull = true;
+             |${CodeGenerator.javaType(dt)} $value =
+             |  ${CodeGenerator.defaultValue(dt)};
+             |if ($matched) {
+             |  $isNull = $cand.isNullAt($idx);
+             |  if (!$isNull) {
+             |    $value = ${CodeGenerator.getValue(cand, dt, idx.toString)};
+             |  }
+             |}""".stripMargin
+        (isNull, value, code)
+    }
+    val payVars = payload.zip(payReads).map {
+      case (a, (isNull, value, _)) =>
+        ExprCode(EmptyBlock, JavaCode.isNullVariable(isNull),
+          JavaCode.variable(value, a.dataType)) }
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $lRow = (InternalRow) $leftInput.next();
+       |  ${lKeyReads.map(_._3).mkString("\n")}
+       |  $ltCode
+       |  boolean $lUsable =
+       |    !(${(lKeyReads.map(_._1) :+ ltNull).mkString(" || ")});
+       |  if ($lUsable) {
+       |    boolean $advance = true;
+       |    while ($advance) {
+       |      if ($rHead == null && $rightInput.hasNext()) {
+       |        $rHead = (InternalRow) $rightInput.next();
+       |      }
+       |      if ($rHead == null) {
+       |        $advance = false;
+       |      } else {
+       |        ${rKeyReads.map(_._3).mkString("\n")}
+       |        if (${rKeyReads.map(_._1).mkString(" || ")}) {
+       |          $rHead = null;  // null keys never match
+       |        } else {
+       |          int $comp = 0;
+       |          ${keyComp(comp, rKeyReads, lKeyReads)}
+       |          if ($comp < 0) {
+       |            $rHead = null;  // probes ascend: never matches
+       |          } else if ($comp > 0) {
+       |            $advance = false;
+       |          } else {
+       |            $rtCode
+       |            if ($rtNull) {
+       |              $rHead = null;
+       |            } else if (${ctx.genComp(timeType, rtVal, ltVal)} <= 0) {
+       |              // later-sorted rows overwrite: last <= t wins,
+       |              // the greatest (time, tie) by child ordering
+       |              $cand = $rHead.copy();
+       |              $rHead = null;
+       |            } else {
+       |              $advance = false;
+       |            }
+       |          }
+       |        }
+       |      }
+       |    }
+       |  }
+       |  boolean $matched = false;
+       |  if ($lUsable && $cand != null) {
+       |    ${cKeyReads.map(_._3).mkString("\n")}
+       |    int $ccomp = 0;
+       |    ${keyComp(ccomp, cKeyReads, lKeyReads)}
+       |    $matched = ($ccomp == 0);
+       |  }
+       |  if ($matched) $numMatched.add(1);
+       |  $numOutput.add(1);
+       |  ${leftVarReads.map(_._3).mkString("\n")}
+       |  ${payReads.map(_._3).mkString("\n")}
+       |  ${consume(ctx, leftVars ++ payVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
