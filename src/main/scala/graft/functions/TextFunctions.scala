@@ -37,6 +37,21 @@ object TextFunctions {
 
   def wsTokenCount(text: Column): Column = size(wsTokens(text))
 
+  /** CJK-aware tokenization for the statistical LM / DSIR operators:
+    * CJK scripts carry no word spaces, so whitespace tokens
+    * degenerate to whole sentences (one giant "token" per document —
+    * the n-gram model sees nothing). The standard n-gram practice
+    * (BERT's basic tokenizer, CCNet's fallback) is character-level
+    * CJK: every Han/Hiragana/Katakana/Hangul code point becomes its
+    * own token; all other scripts keep whitespace tokenization. Pure
+    * column expression (regexp_replace + the [[wsTokens]] split) —
+    * codegen'd, no UDF; RE2 mirrors the same script classes
+    * (`\p{Han}` …) so oracles can re-derive the stream. */
+  def cjkAwareTokens(text: Column): Column =
+    wsTokens(regexp_replace(text,
+      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])",
+      " $1 "))
+
   /** BPE-ish subword count: letter runs + digit runs + individual
     * punctuation marks — the regex approximation of a byte-pair
     * tokenizer's piece count. */

@@ -59,7 +59,8 @@ object Importance {
     // bit-identical to the per-occurrence form the oracle computes.
     val docBuckets = df
       .select(col(idCol).as("doc"), isTarget.as("tgt"),
-        explode(split(col(textCol), " ")).as("w"))
+        explode(graft.functions.TextFunctions.cjkAwareTokens(
+          col(textCol))).as("w"))
       .groupBy(col("doc"), col("tgt"),
         featureBucket(col("w"), buckets).as("b"))
       .agg(count(lit(1)).as("n"))

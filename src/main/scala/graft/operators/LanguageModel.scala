@@ -10,7 +10,10 @@ import org.apache.spark.sql.types.DecimalType
   * here trained on the corpus itself instead of an external KenLM, so
   * the whole signal stays inside the engine and is oracle-checkable).
   *
-  * Model: add-one-smoothed bigram LM over whitespace tokens.
+  * Model: add-one-smoothed bigram LM over CJK-aware tokens
+  * ([[graft.functions.TextFunctions.cjkAwareTokens]] — whitespace
+  * words, plus character-level CJK so space-free scripts still
+  * produce a usable n-gram stream).
   * For each in-document bigram (w1, w2):
   *
   *   surprisal = −ln( (c(w1,w2) + 1) / (c(w1) + V) )
@@ -59,7 +62,8 @@ object LanguageModel {
     // exchange at all: the only shuffles are the vocabulary-sized
     // count aggregations and the final per-document aggregate.
     val toksed = df.select(col(idCol).as("doc"),
-      split(col(textCol), " ").as("toks"))
+      graft.functions.TextFunctions.cjkAwareTokens(col(textCol))
+        .as("toks"))
     def bigramStream =
       toksed.select(col("doc"),
         explode(zip_with(

@@ -459,22 +459,36 @@ object TextQueries {
       .orderBy(col("doc"))
   }
 
+  /** The q101/q102 corpus: every document prefixed with a
+    * multilingual fixture (by doc_id mod the fixture count — the q63
+    * derivation device), so the LM/DSIR token streams carry CJK,
+    * Arabic, and Greek text alongside the ASCII tail and the
+    * CJK-aware tokenizer's character-level path is value-checked,
+    * not just spec'd. */
+  private def multilingualDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("lang"),
+      concat(element_at(typedlit(UnicodeFixtures),
+        (col("doc_id") % UnicodeFixtures.length + 1).cast("int")),
+        lit(" "), col("text")).as("text"))
+
   /** Corpus-trained bigram-LM surprisal per document (the CCNet
     * perplexity-filter signal — Wenzek et al. 2020 §4.3 — with the LM
     * trained on the corpus itself so the whole pipeline is in-engine
     * and oracle-checkable). High mean surprisal = improbable word
-    * sequences = the rows a perplexity filter drops first. */
+    * sequences = the rows a perplexity filter drops first. Runs over
+    * the multilingual corpus with CJK-aware tokens (r5). */
   def q101BigramSurprisal(s: SparkSession, d: String): DataFrame =
     graft.operators.LanguageModel.bigramSurprisal(
-      documents(s, d), "doc_id", "text")
+      multilingualDocs(s, d), "doc_id", "text")
 
   /** DSIR importance weights (Xie et al. 2023): every document scored
     * by hashed-unigram log-likelihood ratio of the English slice
     * (target) against the whole corpus (source) — the
-    * "select data that looks like the trusted slice" signal. */
+    * "select data that looks like the trusted slice" signal. Runs
+    * over the multilingual corpus with CJK-aware tokens (r5). */
   def q102DsirWeights(s: SparkSession, d: String): DataFrame =
     graft.operators.Importance.dsirWeights(
-      documents(s, d), "doc_id", "text", col("lang") === "en")
+      multilingualDocs(s, d), "doc_id", "text", col("lang") === "en")
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis):
     * 100 documents drawn with probability ∝ length — the "sample
@@ -668,12 +682,28 @@ object TextQueries {
         |    CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
         |  < keep_threshold
         |ORDER BY doc_id""".stripMargin,
+    // tokenization mirror of cjkAwareTokens: pad every CJK code
+    // point with spaces (RE2 script classes), then the Unicode-
+    // whitespace split with empties dropped (the q63 device)
     "q101_bigram_surprisal" ->
-      """WITH toks AS (
+      raw"""WITH base AS (
         |  SELECT doc_id,
-        |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-        |    unnest(string_split(text, ' ')) AS w
+        |    $FixtureListSql[CAST(doc_id % ${UnicodeFixtures.length} + 1 AS INT)]
+        |      || ' ' || text AS tu
         |  FROM documents),
+        |tl AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(tu,
+        |      '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+        |      ' \1 ', 'g'),
+        |    '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM base),
+        |toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(t, 1) - 1 AS pos,
+        |    unnest(t) AS w
+        |  FROM tl),
         |uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY 1),
         |voc AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
         |big AS (
@@ -692,11 +722,24 @@ object TextQueries {
         |    AS mean_surprisal
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q102_dsir_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang = 'en' AS tgt,
-        |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))
-        |      ::UBIGINT % 1024 AS b
+      raw"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |    $FixtureListSql[CAST(doc_id % ${UnicodeFixtures.length} + 1 AS INT)]
+        |      || ' ' || text AS tu
         |  FROM documents),
+        |tl AS (
+        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(
+        |    regexp_replace(tu,
+        |      '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+        |      ' \1 ', 'g'),
+        |    '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM base),
+        |toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    ('0x' || substr(md5(unnest(t)), 1, 8))
+        |      ::UBIGINT % 1024 AS b
+        |  FROM tl),
         |counts AS (
         |  SELECT b, COUNT(*) AS cs,
         |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct

@@ -28,6 +28,30 @@ class LanguageModelSpec extends SparkTestBase {
     assert(math.abs(got(3L)._2 - exp3) < 5e-9)
   }
 
+  test("CJK text tokenizes character-level: a space-free sentence " +
+      "yields per-character bigrams, not one giant token (r5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "这是测试" → tokens 这/是/测/试 → 3 bigrams; whitespace-only
+    // tokenization would see ONE token and emit no bigrams at all
+    val docs = Seq(
+      (1L, "这是测试"),
+      (2L, "plain english words here"),
+      (3L, "mixed 混合 text"))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.cjkAwareTokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(1L) === Seq("这", "是", "测", "试"))
+    assert(toks(2L) === Seq("plain", "english", "words", "here"))
+    assert(toks(3L) ===
+      Seq("mixed", "混", "合", "text"))
+    val got = LanguageModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 3L, "4 CJK chars must give 3 bigrams")
+    assert(got(3L) === 3L)
+  }
+
   test("improbable sequences score higher than corpus-typical ones") {
     import spark.implicits._
     val typical = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
