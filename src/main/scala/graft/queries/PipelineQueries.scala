@@ -137,11 +137,26 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Document-side fastembed-style sparse BM25 embedding (the V4
+    * sparse surface the reference loads as
+    * `SparseTextEmbedding("Qdrant/bm25")`,
+    * `database_qdrant_sparse_testing.py:154-163`): every document
+    * becomes (indices = |mmh3(token)|, values = BM25 document-side
+    * term weights, k=1.2 b=0.75 avg_len=256) through fastembed's own
+    * tokenization (lowercase, \w-split, NLTK stopwords; stemming
+    * deliberately omitted — [[graft.operators.SparseBm25]] scaladoc +
+    * NOTES quantify the divergence). The oracle re-derives the ids
+    * with the pure-SQL murmur3 CTEs — value-exact, not rows-only. */
+  def q116SparseBm25(s: SparkSession, d: String): DataFrame =
+    graft.operators.SparseBm25.embed(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_chunk_pipeline" -> (q35ChunkPipeline _),
     "q36_rag_pipeline" -> (q36RagPipeline _),
     "q37_hybrid_search" -> (q37HybridSearch _),
     "q115_hybrid_indexed" -> (q115HybridIndexed _),
+    "q116_sparse_bm25" -> (q116SparseBm25 _),
     "q49_stream_barrier" -> (q49StreamBarrier _),
   )
 
@@ -396,10 +411,46 @@ object PipelineQueries {
       | FROM fused)
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** q116 oracle: tokens (lowercase \w-split minus the NLTK stopword
+    * list, injected as literals), per-(doc,token) tf + doc length,
+    * mmh3 token ids via the pure-SQL murmur3 CTEs over the DISTINCT
+    * vocabulary (vocab-sized, not stream-sized), the fastembed weight
+    * formula with the constants built by the same IEEE ops the engine
+    * uses, and id-sorted sparse vectors. */
+  private val q116Oracle: String = {
+    val stoplist = graft.operators.SparseBm25.EnglishStopwords
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+    val (mm, last) = mmh3Ctes("vocab", "v_tok", "_tk_h32", "tk")
+    s"""WITH tok0 AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+      |    x -> len(x) > 0 AND x NOT IN ($stoplist))) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok0 GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |vocab AS (SELECT DISTINCT tok AS v_tok FROM tf),$mm,
+      |ids AS (SELECT v_tok, abs(${mmSigned("_tk_h32")}) AS idx
+      |  FROM $last),
+      |w AS (
+      |  SELECT tf.doc_id, ids.idx,
+      |    CAST(SUM(CAST(
+      |      tf.tf * (1.2e0 + 1.0e0) /
+      |        (tf.tf + 1.2e0 * ((1.0e0 - 0.75e0)
+      |          + 0.75e0 * dl.dl / 256.0e0))
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS v
+      |  FROM tf JOIN dl USING (doc_id) JOIN ids ON tf.tok = ids.v_tok
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, COUNT(*) AS n_terms,
+      |  list(idx ORDER BY idx) AS indices,
+      |  list(v ORDER BY idx) AS values
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q35_chunk_pipeline" -> q35Oracle,
     "q36_rag_pipeline" -> q36Oracle,
     "q37_hybrid_search" -> q37Oracle,
+    "q116_sparse_bm25" -> q116Oracle,
     // deliberately q37's oracle: the persisted-index form must be
     // value-identical to the per-call form
     "q115_hybrid_indexed" -> q37Oracle,
