@@ -580,13 +580,19 @@ object TextFunctions {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
-  /** Occurrence counts of each PII class in the raw text (IPs are
-    * counted AFTER email redaction, matching the replace order, so a
-    * dotted fragment inside an email never double-counts). BIGINT for
-    * engine-portable schemas. */
-  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
-    "n_emails" -> regexp_count(text, lit(EmailPattern)).cast("long"),
-    "n_ips" -> regexp_count(regexp_replace(text, EmailPattern,
-      "<EMAIL>"), lit(Ipv4Pattern)).cast("long"),
-    "n_phones" -> regexp_count(text, lit(PhonePattern)).cast("long"))
+  /** Occurrence counts of each PII class, each computed on the text
+    * AS [[redactPii]] sees it at that pass (IPs after email
+    * redaction; phones after email AND IP redaction) — so counts and
+    * redactions always agree: a phone-shaped token inside an email
+    * local part is counted as part of the email it disappears into,
+    * never double-counted as a phone. BIGINT for engine-portable
+    * schemas. */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(EmailPattern)).cast("long"),
+      "n_ips" -> regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long"),
+      "n_phones" -> regexp_count(afterIp, lit(PhonePattern)).cast("long"))
+  }
 }

@@ -20,16 +20,27 @@ import graft.functions.TextFunctions
   */
 object TextIndex {
 
-  /** Build and persist the index tables for `corpus`. */
+  /** Build and persist the index tables for `corpus`. `table` must be
+    * an UNQUALIFIED name (the orphan-location cleanup below derives
+    * the warehouse path from it; a qualified `db.t` would compute a
+    * wrong path — rejected up front). */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 64): Unit = {
-    // The session catalog is in-memory while the warehouse directory
-    // persists across JVMs: a table absent from the catalog whose
-    // location survives a previous process would fail saveAsTable
-    // with LOCATION_ALREADY_EXISTS — clear such orphans first.
+    require(!table.contains("."),
+      s"TextIndex.build requires an unqualified table name, got $table")
     val spark = corpus.sparkSession
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    for (t <- Seq(table, s"${table}_terms", s"${table}_stats"))
+    // The session catalog is in-memory while the warehouse directory
+    // persists across JVMs: a table absent from THIS session's
+    // catalog whose location survived a previous process would fail
+    // saveAsTable with LOCATION_ALREADY_EXISTS. The orphan delete is
+    // scoped to IMMEDIATELY before the overwrite of that exact table
+    // (not a bulk sweep up front), which keeps the window in which a
+    // concurrent sibling session could lose its directory as small
+    // as the catalog API allows; fully concurrent builders against
+    // one warehouse need an external catalog (the in-memory catalog
+    // cannot arbitrate them).
+    def clearOrphanLocation(t: String): Unit =
       if (!spark.catalog.tableExists(t)) {
         val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -41,15 +52,18 @@ object TextIndex {
         Seq("doc"), "left")
     val postings = tf.join(docLen, Seq("doc"))
       .select(col("term"), col("doc"), col("tf"), col("dl"))
+    clearOrphanLocation(table)
     postings.write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
+    clearOrphanLocation(s"${table}_terms")
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_terms")
     // n_docs counts every corpus doc (null-text docs included);
     // avgdl skips their null dl — identical to Hybrid.bm25's stats.
+    clearOrphanLocation(s"${table}_stats")
     docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .write.mode("overwrite")
       .format("parquet").saveAsTable(s"${table}_stats")

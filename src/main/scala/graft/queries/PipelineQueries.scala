@@ -118,13 +118,22 @@ object PipelineQueries {
     * formulations must be value-identical (TextIndexSpec pins the
     * BM25 legs bit-for-bit; dense/DBSF legs are shared code). */
   def q115HybridIndexed(s: SparkSession, d: String): DataFrame = {
-    val table = "graft_q115_idx_" + java.security.MessageDigest
-      .getInstance("MD5").digest(d.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
     val emb = embeddings(s, d).select(col("vec_id").as("doc_id"),
       col("embedding").cast("array<double>").as("vec"))
     val corpus = documents(s, d).select(col("doc_id"), col("text"))
       .join(emb, "doc_id")
+    // Table identity = dataset dir + a CONTENT fingerprint (doc
+    // count, total text chars, embedding count): regenerating the
+    // parquet in place changes the fingerprint, so a stale persisted
+    // index can never silently serve the old corpus (the fingerprint
+    // scan is one cheap aggregate vs the ~10s build it guards).
+    val fpRow = documents(s, d)
+      .agg(count(lit(1)), sum(length(col("text")))).head
+    val fp = s"$d|${fpRow.getLong(0)}|${fpRow.getLong(1)}|" +
+      emb.count()
+    val table = "graft_q115_idx_" + java.security.MessageDigest
+      .getInstance("MD5").digest(fp.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     if (!s.catalog.tableExists(table))
       graft.operators.TextIndex.build(corpus, "doc_id", "text", table)
     val queries = documents(s, d).filter(col("doc_id") < 5)

@@ -648,7 +648,9 @@ object TextQueries {
         |  len(regexp_extract_all(t, em)) AS n_emails,
         |  len(regexp_extract_all(
         |    regexp_replace(t, em, '<EMAIL>', 'g'), ip)) AS n_ips,
-        |  len(regexp_extract_all(t, ph)) AS n_phones,
+        |  len(regexp_extract_all(regexp_replace(
+        |    regexp_replace(t, em, '<EMAIL>', 'g'),
+        |    ip, '<IP>', 'g'), ph)) AS n_phones,
         |  md5(regexp_replace(regexp_replace(regexp_replace(
         |    t, em, '<EMAIL>', 'g'), ip, '<IP>', 'g'),
         |    ph, '<PHONE>', 'g')) AS red_md5

@@ -222,12 +222,16 @@ object StreamingOps {
     * .capPerGroup]]'s continuous form (RefinedWeb's "≤ N docs per
     * domain" while the crawl flows, instead of after it lands): the
     * FIRST `n` arrivals of each group pass, everything after is
-    * dropped across micro-batches. State is ONE LONG per group (the
-    * admitted count) — it never buffers rows and never grows with the
-    * stream, only with the group universe, so no watermark is needed
-    * (the batch form's "first n by key order" becomes "first n by
+    * dropped across micro-batches. Cross-batch state is ONE LONG per
+    * group (the admitted count) — it never grows with the stream,
+    * only with the group universe, so no watermark is needed (the
+    * batch form's "first n by key order" becomes "first n by
     * arrival"; within one micro-batch ties break by id for
-    * determinism under replay). */
+    * determinism under replay). Within a batch, a group's rows are
+    * streamed through a SIZE-CAPPED heap of the `take` smallest ids
+    * (O(group·log take) time, O(take) memory) — a hot group in a
+    * large micro-batch never materializes beyond its remaining
+    * quota. */
   def streamingCapPerGroup(docs: Dataset[GroupedDoc],
       n: Int): Dataset[GroupedDoc] = {
     implicit val e: Encoder[GroupedDoc] = Encoders.product[GroupedDoc]
@@ -240,7 +244,20 @@ object StreamingOps {
             state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
           val take = (n - admitted).max(0L).toInt
-          val out = rows.toSeq.sortBy(_.id).take(take)
+          val out =
+            if (take == 0) { rows.foreach(_ => ()); Seq.empty }
+            else {
+              // max-heap of the `take` smallest ids seen so far
+              val heap = new scala.collection.mutable.PriorityQueue[
+                GroupedDoc]()(Ordering.by(_.id))
+              rows.foreach { r =>
+                if (heap.size < take) heap.enqueue(r)
+                else if (r.id < heap.head.id) {
+                  heap.dequeue(); heap.enqueue(r)
+                }
+              }
+              heap.dequeueAll.reverse
+            }
           state.update(admitted + out.size)
           out.iterator
       }
