@@ -68,12 +68,19 @@ object MultimodalCodecs {
       }
     }
 
-    /** MJPEG-in-AVI sampled for real ([[AviVideo]]); other containers
-      * delegate to the stub boundary (no JDK codec). */
+    /** MJPEG-in-AVI sampled for real ([[AviVideo]]); MP4/MOV
+      * keyframes located and extracted for real from the sample
+      * tables ([[Mp4Video]] — payloads stay coded/opaque, exactly the
+      * binary-column contract); anything else delegates to the stub
+      * boundary. */
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
       val frames = AviVideo.sampleFrames(bytes, n)
       if (frames.nonEmpty) frames
-      else Multimodal.StubDecoder.sampleFrames(bytes, n)
+      else {
+        val mp4 = Mp4Video.sampleFrames(bytes, n)
+        if (mp4.nonEmpty) mp4
+        else Multimodal.StubDecoder.sampleFrames(bytes, n)
+      }
     }
 
     /** Real scale via Graphics2D (bilinear) + PNG re-encode — PNG so
@@ -180,6 +187,212 @@ object MultimodalCodecs {
       (0 until take).map { i =>
         val (off, len) = frames((i.toLong * frames.length / take).toInt)
         java.util.Arrays.copyOfRange(bytes, off, off + len)
+      }
+    }
+  }
+
+  /** Parsed MP4/MOV video-track summary. */
+  case class Mp4Info(width: Int, height: Int, codec: String,
+      timescale: Long, duration: Long, nSamples: Int, nSync: Int) {
+    def durationSec: Double =
+      if (timescale > 0) duration.toDouble / timescale else 0.0
+  }
+
+  /** ISO BMFF (MP4/MOV/M4V — `handlers/mp4_handler.py:17-29` routes
+    * these types) box walk over raw bytes, pure JDK. The REAL part at
+    * corpus scale is the sample-table plumbing: locating the video
+    * `trak`, joining `stsz`/`stsc`/`stco|co64`/`stss` into per-sample
+    * (offset, size) extents, and slicing KEYFRAME payloads out of
+    * `mdat` — each sampled frame is returned as the coded bitstream
+    * bytes (an opaque `binary` column value, per the multimodal
+    * contract; H.264/HEVC pixel DECODE has no JDK codec and stays a
+    * stub/service boundary, same as OCR/ASR). Malformed or truncated
+    * boxes end the walk instead of throwing — corpus media is
+    * routinely damaged. */
+  object Mp4Video {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def isMp4(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 12 && tag(bytes, 4) == "ftyp"
+
+    /** Visit each box in [from, to): f(type, payloadStart, payloadEnd).
+      * size==1 → 64-bit largesize; size==0 → box runs to `to`. */
+    private def walk(bytes: Array[Byte], from: Int, to: Int)
+        (f: (String, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val size32 = be32(bytes, o)
+        val typ = tag(bytes, o + 4)
+        var payload = o + 8
+        var end = 0L
+        if (size32 == 1L) {
+          if (o + 16 > to) return
+          end = o + be64(bytes, o + 8)
+          payload = o + 16
+        } else if (size32 == 0L) end = to.toLong
+        else end = o + size32
+        if (end < payload || end > to) return
+        f(typ, payload, end.toInt)
+        o = end.toInt
+      }
+    }
+
+    /** Payload range of the first `name` box directly inside
+      * [from, to). */
+    private def child(bytes: Array[Byte], from: Int, to: Int,
+        name: String): Option[(Int, Int)] = {
+      var found: Option[(Int, Int)] = None
+      walk(bytes, from, to) { (t, s, e) =>
+        if (t == name && found.isEmpty) found = Some((s, e))
+      }
+      found
+    }
+
+    private def descend(bytes: Array[Byte], from: Int, to: Int,
+        path: String*): Option[(Int, Int)] =
+      path.foldLeft(Option((from, to))) { (acc, name) =>
+        acc.flatMap { case (s, e) => child(bytes, s, e, name) }
+      }
+
+    /** The video trak's `stbl` + `tkhd` ranges (handler == 'vide'). */
+    private def videoTrak(bytes: Array[Byte])
+        : Option[((Int, Int), Option[(Int, Int)])] = {
+      val moov = child(bytes, 0, bytes.length, "moov").getOrElse {
+        return None
+      }
+      var out: Option[((Int, Int), Option[(Int, Int)])] = None
+      walk(bytes, moov._1, moov._2) { (t, s, e) =>
+        if (t == "trak" && out.isEmpty) {
+          val isVideo = descend(bytes, s, e, "mdia", "hdlr").exists {
+            case (hs, he) => he - hs >= 12 && tag(bytes, hs + 8) == "vide"
+          }
+          if (isVideo)
+            descend(bytes, s, e, "mdia", "minf", "stbl").foreach { stbl =>
+              out = Some((stbl, child(bytes, s, e, "tkhd")))
+            }
+        }
+      }
+      out
+    }
+
+    /** Track summary; None for non-BMFF bytes or no video track. */
+    def info(bytes: Array[Byte]): Option[Mp4Info] = {
+      if (!isMp4(bytes)) return None
+      val (stbl, tkhd) = videoTrak(bytes).getOrElse(return None)
+      val (ts, dur) = child(bytes, 0, bytes.length, "moov")
+        .flatMap { case (s, e) => child(bytes, s, e, "mvhd") }
+        .map { case (s, e) =>
+          val v = bytes(s) & 0xff
+          if (v == 1 && e - s >= 28) (be32(bytes, s + 20), be64(bytes, s + 24))
+          else if (e - s >= 20) (be32(bytes, s + 12), be32(bytes, s + 16))
+          else (0L, 0L)
+        }.getOrElse((0L, 0L))
+      val (w, h) = tkhd.map { case (s, e) =>
+        val v = bytes(s) & 0xff
+        val off = if (v == 1) s + 88 else s + 76
+        if (e - off >= 8)
+          ((be32(bytes, off) >> 16).toInt, (be32(bytes, off + 4) >> 16).toInt)
+        else (0, 0)
+      }.getOrElse((0, 0))
+      val codec = child(bytes, stbl._1, stbl._2, "stsd")
+        .filter { case (s, e) => e - s >= 16 }
+        .map { case (s, _) => tag(bytes, s + 12) }.getOrElse("")
+      val extents = sampleExtents(bytes, stbl)
+      val sync = syncSamples(bytes, stbl, extents.length)
+      Some(Mp4Info(w, h, codec, ts, dur, extents.length, sync.length))
+    }
+
+    /** (offset, size) of every sample, from stsz × stsc × stco/co64 —
+      * the ISO 14496-12 §8.7 chunk-run join. Empty on any
+      * inconsistent table (treat as damaged). */
+    private def sampleExtents(bytes: Array[Byte],
+        stbl: (Int, Int)): Vector[(Long, Long)] = {
+      val (ss, se) = stbl
+      val sizes: Vector[Long] = child(bytes, ss, se, "stsz").map {
+        case (s, e) =>
+          if (e - s < 12) return Vector.empty
+          val fixed = be32(bytes, s + 4)
+          val n = be32(bytes, s + 8).toInt
+          if (fixed != 0) Vector.fill(n)(fixed)
+          else if (e - s < 12 + 4L * n) return Vector.empty
+          else (0 until n).map(i => be32(bytes, s + 12 + 4 * i)).toVector
+      }.getOrElse(return Vector.empty)
+      val chunkOffsets: Vector[Long] =
+        child(bytes, ss, se, "stco").map { case (s, e) =>
+          val n = be32(bytes, s + 4).toInt
+          if (e - s < 8 + 4L * n) return Vector.empty
+          (0 until n).map(i => be32(bytes, s + 8 + 4 * i)).toVector
+        }.orElse(child(bytes, ss, se, "co64").map { case (s, e) =>
+          val n = be32(bytes, s + 4).toInt
+          if (e - s < 8 + 8L * n) return Vector.empty
+          (0 until n).map(i => be64(bytes, s + 8 + 8 * i)).toVector
+        }).getOrElse(return Vector.empty)
+      // stsc runs: (first_chunk, samples_per_chunk)
+      val runs: Vector[(Int, Int)] = child(bytes, ss, se, "stsc").map {
+        case (s, e) =>
+          val n = be32(bytes, s + 4).toInt
+          if (e - s < 8 + 12L * n) return Vector.empty
+          (0 until n).map(i => (be32(bytes, s + 8 + 12 * i).toInt,
+            be32(bytes, s + 12 + 12 * i).toInt)).toVector
+      }.getOrElse(return Vector.empty)
+      if (runs.isEmpty || chunkOffsets.isEmpty) return Vector.empty
+      val out = Vector.newBuilder[(Long, Long)]
+      var sample = 0
+      var run = 0
+      var chunk = 0
+      while (chunk < chunkOffsets.length && sample < sizes.length) {
+        // advance the run when the NEXT run starts at this chunk
+        if (run + 1 < runs.length && chunk + 1 >= runs(run + 1)._1)
+          run += 1
+        val perChunk = runs(run)._2
+        var off = chunkOffsets(chunk)
+        var i = 0
+        while (i < perChunk && sample < sizes.length) {
+          out += ((off, sizes(sample)))
+          off += sizes(sample)
+          sample += 1
+          i += 1
+        }
+        chunk += 1
+      }
+      out.result()
+    }
+
+    /** 0-based sync-sample (keyframe) indices; stss absent → every
+      * sample is sync (the spec's default). */
+    private def syncSamples(bytes: Array[Byte], stbl: (Int, Int),
+        nSamples: Int): Vector[Int] =
+      child(bytes, stbl._1, stbl._2, "stss") match {
+        case Some((s, e)) =>
+          val n = be32(bytes, s + 4).toInt
+          if (e - s < 8 + 4L * n) Vector.empty
+          else (0 until n).map(i => be32(bytes, s + 8 + 4 * i).toInt - 1)
+            .filter(i => i >= 0 && i < nSamples).toVector
+        case None => (0 until nSamples).toVector
+      }
+
+    /** `n` KEYFRAME payloads sampled evenly across the sync set, as
+      * coded bitstream bytes (opaque binary — the decode boundary
+      * stays a stub/service, the extents math is real). */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (!isMp4(bytes) || n <= 0) return Nil
+      val stbl = videoTrak(bytes).map(_._1).getOrElse(return Nil)
+      val extents = sampleExtents(bytes, stbl)
+      val sync = syncSamples(bytes, stbl, extents.length)
+      if (sync.isEmpty) return Nil
+      val take = math.min(n, sync.length)
+      (0 until take).flatMap { i =>
+        val s = sync((i.toLong * sync.length / take).toInt)
+        val (off, len) = extents(s)
+        if (off < 0 || len <= 0 || off + len > bytes.length) None
+        else Some(java.util.Arrays.copyOfRange(
+          bytes, off.toInt, (off + len).toInt))
       }
     }
   }

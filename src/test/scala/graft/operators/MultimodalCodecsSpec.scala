@@ -181,6 +181,71 @@ class MultimodalCodecsSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(again, out("img1").getAs[Array[Byte]](1)))
   }
 
+  // ---- hand-built minimal ISO BMFF (MP4) fixture ------------------
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val size = payload.length + 8
+    out.write(Array[Byte]((size >> 24).toByte, (size >> 16).toByte,
+      (size >> 8).toByte, size.toByte))
+    out.write(typ.getBytes("US-ASCII"))
+    out.write(payload)
+    out.toByteArray
+  }
+  private def be(vals: Long*): Array[Byte] =
+    vals.flatMap(v => Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)).toArray
+
+  /** 5 samples of 7 bytes (FRAME_0..FRAME_4), 2-per-chunk layout,
+    * keyframes at samples 1/3/5 (1-based), 320x240 avc1, ts=600
+    * dur=1200. */
+  private def mp4Bytes(): (Array[Byte], Seq[String]) = {
+    val frames = (0 until 5).map(i => s"FRAME_$i")
+    val ftyp = box("ftyp", "isom".getBytes ++ be(0))
+    val mdat = box("mdat", frames.mkString("").getBytes)
+    val base = ftyp.length + 8 // first frame's absolute offset
+    val stsd = box("stsd", be(0, 1) ++ be(8) ++ "avc1".getBytes)
+    val stsz = box("stsz", be(0, 7, 5)) // fixed size 7, 5 samples
+    val stsc = box("stsc", be(0, 1, 1, 2, 1)) // 1 run: 2 per chunk
+    val stco = box("stco",
+      be(0, 3, base, base + 14, base + 28)) // chunks at samples 0,2,4
+    val stss = box("stss", be(0, 3, 1, 3, 5)) // sync = 1-based 1,3,5
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stss)
+    val minf = box("minf", stbl)
+    val hdlr = box("hdlr", be(0, 0) ++ "vide".getBytes ++ be(0, 0, 0))
+    val mdia = box("mdia", hdlr ++ minf)
+    val tkhd = box("tkhd", be(0, 0, 0, 1, 0, 1200) ++ be(0, 0) ++
+      Array[Byte](0, 0, 0, 0, 1, 0, 0, 0) ++ // layer/alt/vol/res
+      be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000) ++ // matrix
+      be(320L << 16, 240L << 16))
+    val mvhd = box("mvhd", be(0, 0, 0, 600, 1200))
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+    (ftyp ++ mdat ++ moov, frames)
+  }
+
+  test("Mp4Video parses the sample tables and extracts keyframe " +
+      "payloads (ISO BMFF, r5)") {
+    import MultimodalCodecs.Mp4Video
+    val (bytes, frames) = mp4Bytes()
+    val info = Mp4Video.info(bytes).get
+    assert(info.width === 320 && info.height === 240)
+    assert(info.codec === "avc1")
+    assert(info.timescale === 600L && info.duration === 1200L)
+    assert(math.abs(info.durationSec - 2.0) < 1e-12)
+    assert(info.nSamples === 5 && info.nSync === 3)
+    // 2 of the 3 keyframes, evenly sampled: samples 0 and 2
+    val two = Mp4Video.sampleFrames(bytes, 2).map(new String(_))
+    assert(two === Seq(frames(0), frames(2)))
+    // asking for more than exist returns every keyframe in order
+    val all = Mp4Video.sampleFrames(bytes, 10).map(new String(_))
+    assert(all === Seq(frames(0), frames(2), frames(4)))
+    // non-BMFF and truncated inputs fail closed
+    assert(Mp4Video.sampleFrames("not a video".getBytes, 3) === Nil)
+    assert(Mp4Video.info(bytes.take(40)) === None)
+    // the decoder routes MP4 ahead of the stub boundary
+    val routed = MultimodalCodecs.JdkImageDecoder.sampleFrames(bytes, 2)
+    assert(routed.map(new String(_)) === Seq(frames(0), frames(2)))
+  }
+
   test("decodeImages and decodeAudio drive the Spark pipeline with " +
       "real codecs") {
     import spark.implicits._
