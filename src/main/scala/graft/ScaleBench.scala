@@ -177,6 +177,38 @@ object ScaleBench {
         "span_rewrite" -> (() =>
           Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 5)
             .count()),
+        // SemDeDup at the paper's √n cell sizing: cluster with
+        // k-means (bounded training sample), assign, dedup within
+        // cells — the quadratic stays inside √n-sized cells.
+        "semdedup_sqrtn" -> (() => {
+          val nCells = SimilaritySearch.coarseCellCount(emb.count())
+          val cents = SimilaritySearch.kmeansCentroids(
+            emb, "vec_id", "embedding", k = nCells, maxIter = 3,
+            maxTrain = 16384)
+          val assignW = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id"))
+            .orderBy(desc("_sc"), col("cell_id"))
+          val assigned = emb.crossJoin(broadcast(cents))
+            .withColumn("_sc", graft.functions.VectorFunctions
+              .cosine(col("embedding"), col("centroid")))
+            .withColumn("_r", row_number().over(assignW))
+            .filter(col("_r") === 1)
+            .select(col("vec_id"), col("embedding"), col("cell_id"))
+          SimilaritySearch.semDedup(assigned, "vec_id", "embedding",
+            "cell_id", threshold = 0.95).filter(col("keep")).count()
+        }),
+        // fuzzy matching over a synthetic large name universe: K
+        // replicas of the part names with per-replica typo suffixes
+        // (the scaled entity-resolution workload; the residual path
+        // and the q-gram index both grow with distinct names).
+        "fuzzy_names" -> (() => {
+          val base = spark.read
+            .parquet(s"$sfDir/part.parquet").select(col("p_name"))
+          val names = (0 until k).map(r =>
+            base.select(concat(col("p_name"), lit(s" v$r"))
+              .as("name"))).reduce(_ unionByName _)
+          Dedup.fuzzyMatches(names, "name", maxDist = 2).count()
+        }),
         "simhash_exhaustive_tiled" -> (() =>
           graft.queries.TextQueries.simhashPairsOver(docs).count()),
         "simhash_banded" -> (() =>
