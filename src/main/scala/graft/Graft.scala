@@ -156,4 +156,34 @@ object Graft {
       .withColumn("lang_guess", TextFunctions.langIdHeuristic(col(text)))
       .withColumn("fingerprint",
         TextFunctions.rollingFingerprint(col(text)))
+
+  /** fastembed-style sparse BM25 document embedding (`Qdrant/bm25`
+    * surface): (id, n_terms, indices, values) per document — see
+    * [[operators.SparseBm25]] for the parity contract. */
+  def sparseEmbed(df: DataFrame, id: String, text: String): DataFrame =
+    operators.SparseBm25.embed(df, id, text)
+
+  /** Corpus-trained bigram-LM surprisal (perplexity-filter signal),
+    * CJK-aware tokens. */
+  def lmSurprisal(df: DataFrame, id: String, text: String): DataFrame =
+    operators.LanguageModel.bigramSurprisal(df, id, text)
+
+  /** DSIR importance weights of `df` against the `isTarget` slice. */
+  def dsirWeights(df: DataFrame, id: String, text: String,
+      isTarget: org.apache.spark.sql.Column): DataFrame =
+    operators.Importance.dsirWeights(df, id, text, isTarget)
+
+  /** Fuzzy entity resolution: distinct-value pairs within `maxDist`
+    * edits (q-gram index + residual path; no cartesian anywhere). */
+  def fuzzyMatches(df: DataFrame, name: String,
+      maxDist: Int = 2): DataFrame =
+    operators.Dedup.fuzzyMatches(df, name, maxDist)
+
+  /** Evenly-sampled video key frames as opaque coded bytes: one row
+    * per (media row, frame). Real containers: MJPEG-AVI, MP4/MOV
+    * (ISO BMFF sample tables); anything else hits the deterministic
+    * stub boundary. */
+  def sampleVideoFrames(media: DataFrame, n: Int): DataFrame =
+    operators.Multimodal.sampleFrames(media,
+      operators.MultimodalCodecs.JdkImageDecoder, n)
 }

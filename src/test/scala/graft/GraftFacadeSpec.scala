@@ -41,4 +41,16 @@ class GraftFacadeSpec extends SparkTestBase {
       "fingerprint").forall(out.columns.contains))
     assert(out.count() === 50)
   }
+
+  test("r5 facade entries: sparseEmbed / lmSurprisal / dsirWeights / " +
+      "fuzzyMatches are wired") {
+    val sparse = Graft.sparseEmbed(docs, "source_file", "text")
+    assert(Seq("n_terms", "indices", "values")
+      .forall(sparse.columns.contains))
+    assert(sparse.count() === 50)
+    assert(Graft.lmSurprisal(docs, "source_file", "text").count() > 0)
+    assert(Graft.dsirWeights(docs, "source_file", "text",
+      length(col("text")) % 2 === 0).count() === 50)
+    assert(Graft.fuzzyMatches(docs, "text").columns.contains("dist"))
+  }
 }
