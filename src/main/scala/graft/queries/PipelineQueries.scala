@@ -122,15 +122,19 @@ object PipelineQueries {
       col("embedding").cast("array<double>").as("vec"))
     val corpus = documents(s, d).select(col("doc_id"), col("text"))
       .join(emb, "doc_id")
-    // Table identity = dataset dir + a CONTENT fingerprint (doc
-    // count, total text chars, embedding count): regenerating the
-    // parquet in place changes the fingerprint, so a stale persisted
-    // index can never silently serve the old corpus (the fingerprint
-    // scan is one cheap aggregate vs the ~10s build it guards).
-    val fpRow = documents(s, d)
-      .agg(count(lit(1)), sum(length(col("text")))).head
-    val fp = s"$d|${fpRow.getLong(0)}|${fpRow.getLong(1)}|" +
-      emb.count()
+    // Table identity = dataset dir + a CONTENT fingerprint (names,
+    // lengths, and mtimes of the source parquet files, from a
+    // metadata-only FS listing — no data scan): regenerating the
+    // parquet in place changes length or mtime, so a stale persisted
+    // index can never silently serve the old corpus, and the guard
+    // costs milliseconds against the ~10s build it protects.
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fp = Seq("documents.parquet", "embeddings.parquet").map { f =>
+      val p = new org.apache.hadoop.fs.Path(d, f)
+      val fs = p.getFileSystem(hconf)
+      val st = fs.getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }.mkString(s"$d|", "|", "")
     val table = "graft_q115_idx_" + java.security.MessageDigest
       .getInstance("MD5").digest(fp.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
