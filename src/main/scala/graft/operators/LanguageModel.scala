@@ -64,13 +64,24 @@ object LanguageModel {
     val toksed = df.select(col(idCol).as("doc"),
       graft.functions.TextFunctions.cjkAwareTokens(col(textCol))
         .as("toks"))
-    def bigramStream =
+    // The occurrence stream collapses IMMEDIATELY to per-(doc, w1,
+    // w2) counts (map-side combinable), so the count tables AND the
+    // scoring join all run over distinct-bigram rows, not the raw
+    // stream, and the corpus is scanned twice (bigrams + unigrams)
+    // instead of three times. n · round9(s) is EXACTLY the decimal
+    // sum of n per-occurrence terms (decimal × integer ≡ repeated
+    // exact addition — the q102 histogram device), so the collapsed
+    // aggregation stays bit-identical to the oracle's
+    // per-occurrence form.
+    val docBi =
       toksed.select(col("doc"),
         explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("doc"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
     val uni = toksed
       .select(explode(col("toks")).as("w"))
       .groupBy(col("w").as("uw"))
@@ -78,9 +89,9 @@ object LanguageModel {
     // |vocabulary| = row count of the unigram table — same value as
     // COUNT(DISTINCT w) over the stream, one token-stream scan fewer.
     val voc = uni.agg(count(lit(1)).as("v"))
-    val bi = bigramStream.groupBy(col("w1").as("b1"), col("w2").as("b2"))
-      .agg(count(lit(1)).as("cb"))
-    val scored = bigramStream
+    val bi = docBi.groupBy(col("w1").as("b1"), col("w2").as("b2"))
+      .agg(sum(col("n")).as("cb"))
+    val scored = docBi
       .join(bi, col("w1") === col("b1") && col("w2") === col("b2"))
       .join(uni, col("w1") === col("uw"))
       .crossJoin(broadcast(voc))
@@ -89,9 +100,12 @@ object LanguageModel {
     scored
       .groupBy(col("doc").as(idCol))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        (sum(col("s").cast(DecimalType(18, 9))).cast("double") /
-          count(lit(1))).as("mean_surprisal"))
+        sum(col("n")).as("n_bigrams"),
+        // n as DECIMAL(12,0) keeps the product inside 38-digit
+        // precision (12+18+1=31), exactly as Importance.dsirWeights
+        (sum(col("n").cast(DecimalType(12, 0)) *
+          col("s").cast(DecimalType(18, 9))).cast("double") /
+          sum(col("n"))).as("mean_surprisal"))
       .orderBy(col(idCol))
   }
 }
