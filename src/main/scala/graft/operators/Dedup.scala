@@ -369,14 +369,23 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("doc"),
         explode(shingleHashesUdf(col(textCol), lit(shingleN))).as("s"))
-    // Both the sizes branch and the pairs branch consume the grouped
-    // posting lists; the static plan shows the subtree per consumer,
-    // but AQE's exchange reuse materializes the groupBy shuffle once
-    // at runtime — measured no win from an explicit persist (which
-    // would also pin cache memory past the operator's lifetime).
-    val byShingle = sh.groupBy(col("s"))
+    // Hot shingles are dropped BEFORE any posting list materializes:
+    // the df pre-count is a plain partial-aggregating count (bounded
+    // state), and only shingles that survive the cap reach the
+    // collect — so every collected list is provably ≤ maxDf elements
+    // (collecting first and filtering after would build a
+    // stop-shingle's full posting array in one aggregation buffer —
+    // the same unbounded-group-state class as the r4 centroid fold).
+    // Both aggregations shuffle on `s`, so AQE's exchange reuse
+    // materializes the explode shuffle once; the semi join is then
+    // co-partitioned.
+    val lowDf = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("s"))
+    val byShingle = sh.join(lowDf, Seq("s"), "left_semi")
+      .groupBy(col("s"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
-      .filter(size(col("docs")) <= maxDf)
     val sizes = byShingle
       .select(explode(col("docs")).as("doc"))
       .groupBy(col("doc")).agg(count(lit(1)).as("n"))
