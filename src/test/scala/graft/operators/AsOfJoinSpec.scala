@@ -86,11 +86,22 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(runMerge().toSeq === run().toSeq)
   }
 
-  test("asOfMerge: plans the custom AsOfJoinExec operator") {
+  test("asOfMerge: plans the custom AsOfJoinExec operator inside a " +
+      "WholeStageCodegen span (r5)") {
     val out = AsOfJoin.asOfMerge(probe, build, Seq("user_id"), "t",
       "event_id", Seq("value"))
+    // collect() executes THIS queryExecution, so its adaptive plan
+    // finalizes in place (count() would build a separate one)
+    out.collect()
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$p")
+    // `*(N) !AsOfJoin` = the exec is a codegen producer, not the
+    // interpreted fallback; a silent fallback (e.g. a doProduce
+    // compile error) would drop the `*` prefix and reopen the
+    // interpreted-loop cost this round closed
+    assert(p.split("\n").exists(l =>
+      l.contains("AsOfJoin") && l.trim.matches("""[+:\-\s]*\*\(\d+\).*""")),
+      s"AsOfJoinExec fell out of whole-stage codegen:\n$p")
     assert(out.count() === probe.count())
     assert(out.columns.toSeq ===
       Seq("event_id", "user_id", "t", "asof_value"))
