@@ -186,4 +186,10 @@ object Graft {
   def sampleVideoFrames(media: DataFrame, n: Int): DataFrame =
     operators.Multimodal.sampleFrames(media,
       operators.MultimodalCodecs.JdkImageDecoder, n)
+
+  /** Perceptual near-duplicate image pairs (dHash64 + banded Hamming
+    * join) over a (media_id, bytes) frame — the image-dedup step of
+    * a multimodal training pipeline. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 7): DataFrame =
+    operators.Multimodal.imageNearDups(media, maxHamming = maxHamming)
 }

@@ -469,22 +469,34 @@ object Dedup {
     udf((text: String) => simhashOf(text))
 
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    hashNearDups(simhash(df, idCol, textCol), idCol, "simhash",
+      bits = 60, bands = bands, maxHamming = maxHamming)
+
+  /** Banded LSH near-dup mining over a PRECOMPUTED `bits`-wide hash
+    * column — the band-join core shared by text simhash
+    * ([[simhashNearDups]], q57) and perceptual image hashes
+    * ([[Multimodal.imageNearDups]] over dHash64). Pigeonhole: any
+    * pair within Hamming `bands − 1` shares an identical bit-band,
+    * so the band-equality join finds every such pair without an
+    * exhaustive scan. Returns verified (id_a, id_b, hamming) within
+    * `maxHamming`. */
+  def hashNearDups(h: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(maxHamming <= bands - 1,
       s"bands=$bands only guarantees recall up to hamming ${bands - 1}")
-    val bits = 60
+    require(bits % bands == 0, s"$bits bits must split into $bands bands")
     val bandBits = bits / bands
-    val h = simhash(df, idCol, textCol)
-    val banded = h.select(col(idCol), col("simhash"),
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val banded = h.select(col(idCol), col(hashCol).as("_h"),
       posexplode(array((0 until bands).map(b =>
-        expr(s"shiftright(simhash, ${b * bandBits}) & " +
-          s"${(1L << bandBits) - 1}")): _*)))
+        expr(s"shiftright($hashCol, ${b * bandBits}) & $mask")): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
     val l = banded.select(col(idCol).as("id_a"),
-      col("simhash").as("h_a"), col("band"), col("band_val"))
+      col("_h").as("h_a"), col("band"), col("band_val"))
     val r = banded.select(col(idCol).as("id_b"),
-      col("simhash").as("h_b"), col("band"), col("band_val"))
+      col("_h").as("h_b"), col("band"), col("band_val"))
     // A pair sharing several bands would emit once per shared band;
     // instead of a distinct() exchange, keep only the FIRST
     // colliding band — checkable per-row from the two signatures
@@ -492,7 +504,7 @@ object Dedup {
     // dedup costs bands-1 comparisons instead of a shuffle.
     val firstCollidingBand = (0 until bands).map { bp =>
       val bv = (h: Column) =>
-        shiftright(h, bp * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+        shiftright(h, bp * bandBits).bitwiseAND(lit(mask))
       col("band") <= bp || bv(col("h_a")) =!= bv(col("h_b"))
     }.reduce(_ && _)
     l.join(r, Seq("band", "band_val"))

@@ -113,6 +113,41 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual hashes per image: (media_id, dhash, ok). Rows whose
+    * bytes don't decode get ok=false and a null hash. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("dhash", org.apache.spark.sql.types.LongType),
+      StructField("ok", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          MultimodalCodecs.dHash64(r.getAs[Array[Byte]](1)) match {
+            case Some(hs) => Row(r.getString(0), hs, true)
+            case None => Row(r.getString(0), null, false)
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate IMAGE mining: dHash per image, then the banded
+    * Hamming join ([[Dedup.hashNearDups]] — same pigeonhole scale
+    * path as text simhash; never an all-pairs scan). Returns
+    * (id_a, id_b, hamming) for decodable pairs within `maxHamming`.
+    * The LAION-class image-dedup step of a multimodal training
+    * pipeline. */
+  def imageNearDups(media: DataFrame, bands: Int = 8,
+      maxHamming: Int = 7): DataFrame =
+    Dedup.hashNearDups(
+      imageHashes(media).filter(col("ok")).select(col("media_id"),
+        col("dhash")),
+      "media_id", "dhash", bits = 64, bands = bands,
+      maxHamming = maxHamming)
+
   /** Feature extraction: fixed-dim ARRAY<FLOAT> per media row, ready
     * for the similarity-search operators. */
   def extractFeatures(media: DataFrame, decoder: Decoder,

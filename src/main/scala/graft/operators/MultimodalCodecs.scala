@@ -191,6 +191,53 @@ object MultimodalCodecs {
     }
   }
 
+  /** Perceptual difference hash (dHash, 64-bit): decode, resize to
+    * 9×8 grayscale, and emit one bit per horizontal gradient sign —
+    * the classic near-duplicate IMAGE fingerprint (the pHash-family
+    * dedup step web-scale image pipelines run; LAION-class corpora
+    * dedup on exactly this kind of hash). Robust to re-encoding,
+    * mild resizing, and brightness shifts; Hamming distance ≈
+    * perceptual difference, so the banded [[Dedup.hashNearDups]]
+    * join mines candidates without an all-pairs scan. Resizing uses
+    * AreaAveraging (pixel-exact deterministic box filter) rather
+    * than Graphics2D bilinear, whose output may vary across JDK
+    * rendering pipelines. None for undecodable bytes. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = 9; val h = 8
+      val small = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.drawImage(img.getScaledInstance(w, h,
+        java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      g.dispose()
+      var bits = 0L
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        var prev = 0
+        while (x < w) {
+          val rgb = small.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          if (x > 0) {
+            if (luma > prev) bits |= (1L << i)
+            i += 1
+          }
+          prev = luma
+          x += 1
+        }
+        y += 1
+      }
+      Some(bits)
+    } catch { case _: Exception => None }
+  }
+
   /** Parsed MP4/MOV video-track summary. */
   case class Mp4Info(width: Int, height: Int, codec: String,
       timescale: Long, duration: Long, nSamples: Int, nSync: Int) {

@@ -181,6 +181,55 @@ class MultimodalCodecsSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(again, out("img1").getAs[Array[Byte]](1)))
   }
 
+  /** PNG of a smooth horizontal gradient, optionally perturbed by a
+    * small localized brightness bump (a near-duplicate twin). */
+  private def gradientPng(w: Int, h: Int, reverse: Boolean = false,
+      bump: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 255) / (w - 1)
+      val v0 = if (reverse) 255 - base else base
+      val v = math.min(255,
+        v0 + (if (bump > 0 && x < w / 8 && y < h / 8) bump else 0))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash64 + banded imageNearDups find the perceptual twin and " +
+      "skip the far image (r5)") {
+    import spark.implicits._
+    import MultimodalCodecs.dHash64
+    val a = gradientPng(64, 64)
+    val twin = gradientPng(64, 64, bump = 24)      // local perturbation
+    val rescaled = gradientPng(128, 128)           // same content, 2x size
+    val far = gradientPng(64, 64, reverse = true)  // opposite gradients
+    val ha = dHash64(a).get
+    val hr = dHash64(rescaled).get
+    val hf = dHash64(far).get
+    // scale invariance: the same gradient at 2x resolution hashes
+    // within a few bits; the reversed gradient is far away
+    assert(java.lang.Long.bitCount(ha ^ hr) <= 7)
+    assert(java.lang.Long.bitCount(ha ^ hf) > 20)
+    assert(dHash64("not an image".getBytes).isEmpty)
+    assert(dHash64(null).isEmpty)
+    val media = Seq(
+      ("a", a), ("twin", twin), ("rescaled", rescaled), ("far", far),
+      ("bad", "junk".getBytes))
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.imageNearDups(media)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("a", "twin")) ||
+      pairs.contains(("twin", "a")))
+    assert(pairs.contains(("a", "rescaled")) ||
+      pairs.contains(("rescaled", "a")))
+    assert(!pairs.exists(p => p._1 == "far" || p._2 == "far"))
+    assert(!pairs.exists(p => p._1 == "bad" || p._2 == "bad"))
+  }
+
   // ---- hand-built minimal ISO BMFF (MP4) fixture ------------------
   private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
