@@ -192,4 +192,10 @@ object Graft {
     * a multimodal training pipeline. */
   def imageNearDups(media: DataFrame, maxHamming: Int = 7): DataFrame =
     operators.Multimodal.imageNearDups(media, maxHamming = maxHamming)
+
+  /** WebDataset tar-shard source: every `*.tar` under `dir` becomes
+    * (shard, sample, ext→bytes map) rows — shard-parallel, members
+    * stay opaque binary for the multimodal operators. */
+  def readTarSamples(spark: SparkSession, dir: String): DataFrame =
+    operators.TarShards.readSamples(spark, dir)
 }
