@@ -148,6 +148,27 @@ object Multimodal {
       "media_id", "dhash", bits = 64, bands = bands,
       maxHamming = maxHamming)
 
+  /** Near-duplicate AUDIO mining: RMS-envelope gradient hash
+    * ([[MultimodalCodecs.audioHash64]]) + the same banded Hamming
+    * join — catches re-encoded / re-leveled duplicates of a clip. */
+  def audioNearDups(media: DataFrame, bands: Int = 8,
+      maxHamming: Int = 7): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("ahash", org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val hashes = media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MultimodalCodecs.audioHash64(r.getAs[Array[Byte]](1))
+            .map(hs => Row(r.getString(0), hs))
+        }
+      }(enc)
+    Dedup.hashNearDups(hashes, "media_id", "ahash", bits = 64,
+      bands = bands, maxHamming = maxHamming)
+  }
+
   /** Feature extraction: fixed-dim ARRAY<FLOAT> per media row, ready
     * for the similarity-search operators. */
   def extractFeatures(media: DataFrame, decoder: Decoder,

@@ -191,6 +191,25 @@ object MultimodalCodecs {
     }
   }
 
+  /** Perceptual AUDIO fingerprint (64-bit): the dHash idea on the
+    * RMS loudness envelope — 65 equal windows over the PCM stream,
+    * one bit per window-to-window gradient sign. Invariant to
+    * uniform amplitude scaling (gradient comparisons survive gain
+    * changes) and to sample rate / duration (fixed window count);
+    * Hamming distance ≈ envelope difference, so the banded
+    * [[Dedup.hashNearDups]] join mines re-encoded / re-leveled
+    * duplicates without an all-pairs scan. None for non-PCM16 WAVs. */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    WavAudio.rmsFeatures(bytes, 65).map { env =>
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (env(i + 1) > env(i)) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+
   /** Perceptual difference hash (dHash, 64-bit): decode, resize to
     * 9×8 grayscale, and emit one bit per horizontal gradient sign —
     * the classic near-duplicate IMAGE fingerprint (the pHash-family

@@ -230,6 +230,57 @@ class MultimodalCodecsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == "bad" || p._2 == "bad"))
   }
 
+  test("audioHash64 + audioNearDups: gain-scaled clip is a near-dup, " +
+      "different envelope is far (r5)") {
+    import spark.implicits._
+    import MultimodalCodecs.audioHash64
+    // wavBytes emits a fixed square wave — same envelope at any rate;
+    // build contrasting envelopes by hand instead
+    def pcmWav(samples: Array[Short]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit =
+        bos.write(Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte))
+      def le16(v: Int): Unit =
+        bos.write(Array[Byte](v.toByte, (v >> 8).toByte))
+      bos.write("RIFF".getBytes); le32(36 + samples.length * 2)
+      bos.write("WAVE".getBytes); bos.write("fmt ".getBytes); le32(16)
+      le16(1); le16(1); le32(16000); le32(32000); le16(2); le16(16)
+      bos.write("data".getBytes); le32(samples.length * 2)
+      samples.foreach(s => le16(s & 0xffff))
+      bos.toByteArray
+    }
+    // per-window amplitude levels (window-aligned so the envelope
+    // gradient IS the fixture): same levels at half gain = near-dup;
+    // independently drawn levels = far
+    val n = 6500
+    def clip(seed: Int): Array[Short] = {
+      val rnd = new scala.util.Random(seed)
+      val levels = Array.fill(65)(2000 + rnd.nextInt(18000))
+      Array.tabulate(n) { i =>
+        val w = math.min(64, i * 65 / n)
+        (math.sin(i * 0.5) * levels(w)).toShort
+      }
+    }
+    val ramp = clip(1)
+    val gained = ramp.map(s => (s * 0.5).toShort)   // −6 dB copy
+    val decay = clip(2)
+    val ha = audioHash64(pcmWav(ramp)).get
+    val hg = audioHash64(pcmWav(gained)).get
+    val hd = audioHash64(pcmWav(decay)).get
+    assert(java.lang.Long.bitCount(ha ^ hg) <= 7,
+      "gain change must not move the envelope hash")
+    assert(java.lang.Long.bitCount(ha ^ hd) > 20,
+      "rising vs decaying envelopes must be far apart")
+    assert(audioHash64("not audio".getBytes).isEmpty)
+    val media = Seq(("a", pcmWav(ramp)), ("g", pcmWav(gained)),
+      ("d", pcmWav(decay)), ("bad", "junk".getBytes))
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.audioNearDups(media)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("a", "g")))
+  }
+
   // ---- hand-built minimal ISO BMFF (MP4) fixture ------------------
   private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
