@@ -484,14 +484,21 @@ object MultimodalCodecs {
       var o = 12
       var fmt: Option[(Int, Int, Int)] = None
       var dataLen = -1
-      while (o + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      var walking = true
+      while (walking && o + 8 <= bytes.length &&
+          (fmt.isEmpty || dataLen < 0)) {
         val id = tag(bytes, o)
         val len = le32(bytes, o + 4)
-        if (id == "fmt " && o + 24 <= bytes.length)
-          fmt = Some((le16(bytes, o + 10), le32(bytes, o + 12),
-            le16(bytes, o + 22)))
-        else if (id == "data") dataLen = len
-        o += 8 + len + (len & 1)
+        // a negative (corrupt) chunk length would walk backwards or
+        // pin the cursor — fail closed instead
+        if (len < 0) walking = false
+        else {
+          if (id == "fmt " && o + 24 <= bytes.length)
+            fmt = Some((le16(bytes, o + 10), le32(bytes, o + 12),
+              le16(bytes, o + 22)))
+          else if (id == "data") dataLen = len
+          o += 8 + len + (len & 1)
+        }
       }
       for ((ch, rate, bits) <- fmt if dataLen >= 0 && ch > 0 &&
           rate > 0 && bits > 0)
@@ -507,13 +514,19 @@ object MultimodalCodecs {
         var o = 12
         var dataOff = -1
         var dataLen = 0
-        while (o + 8 <= bytes.length && dataOff < 0) {
+        var walking = true
+        while (walking && o + 8 <= bytes.length && dataOff < 0) {
           val id = tag(bytes, o)
           val len = le32(bytes, o + 4)
-          if (id == "data") { dataOff = o + 8; dataLen = len }
-          o += 8 + len + (len & 1)
+          if (len < 0) walking = false // corrupt length: fail closed
+          else {
+            if (id == "data") { dataOff = o + 8; dataLen = len }
+            o += 8 + len + (len & 1)
+          }
         }
-        val nSamples = math.min(dataLen, bytes.length - dataOff) / 2
+        val nSamples =
+          if (dataOff < 0) 0
+          else math.min(dataLen, bytes.length - dataOff) / 2
         val out = new Array[Float](dim)
         val counts = new Array[Int](dim)
         var i = 0
