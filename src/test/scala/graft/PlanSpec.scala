@@ -46,6 +46,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q85: the global threshold reuses the per-part aggregation's " +
+      "exchange — one lineitem scan total (r5)") {
+    val df = SparkEntry.queries("q85_important_parts")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+      || p.contains("TableCacheQueryStage"),
+      s"threshold subtree must not re-scan lineitem:\n${p.take(2000)}")
+  }
+
+  test("q116: sparse-embed plan is hash-aggregate shaped — no " +
+      "cartesian, no nested loop (r5)") {
+    val p = plan("q116_sparse_bm25")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q34/q56: exact pair scans run as block-tiled equi-joins — " +
       "no cartesian, no nested-loop, no broadcast of either side") {
     for (q <- Seq("q34_cosine_top_pairs", "q56_simhash_pairs")) {

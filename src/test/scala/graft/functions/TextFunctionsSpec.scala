@@ -206,6 +206,38 @@ class TextFunctionsSpec extends SparkTestBase {
       assert(fixMojibakeStr(in_) === want, s"input: ${in_.map(_.toInt)}")
   }
 
+  test("text repair + predicates never throw on arbitrary unicode " +
+      "(fuzz, r5)") {
+    val rnd = new scala.util.Random(42)
+    def randomString(): String = {
+      val n = rnd.nextInt(200)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        rnd.nextInt(6) match {
+          case 0 => sb.append(rnd.nextPrintableChar())
+          case 1 => sb.append((0x80 + rnd.nextInt(0x80)).toChar) // C1/latin1
+          case 2 => sb.append((rnd.nextInt(0xD7FF) + 1).toChar)  // BMP
+          case 3 => sb.append("&#" + rnd.nextInt(99999) + ";")
+          case 4 => sb.append(rnd.nextInt(32).toChar)            // controls
+          case 5 => // unpaired surrogate — the nastiest input class
+            sb.append((0xD800 + rnd.nextInt(0x800)).toChar)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+    for (_ <- 0 until 300) {
+      val s = randomString()
+      fixMojibakeStr(s)
+      isGibberishStr(s)
+      isInvalidTextStr(s)
+      isMostlyPrintableAsciiStr(s)
+      latinScriptRatioStr(s)
+    }
+    fixMojibakeStr(null); isGibberishStr(null); isInvalidTextStr(null)
+  }
+
   test("q63 fixture repair composes over the ASCII tail (the literal-" +
       "substitution soundness the oracle's FixedFixtureListSql needs)") {
     val tail = " lorem ipsum dolor sit amet consectetur"
