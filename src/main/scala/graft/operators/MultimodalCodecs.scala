@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   *    the one video format that needs no codec, because each `00dc`
   *    chunk payload IS a JPEG that `javax.imageio` can decode.
   *
-  * Non-AVI video bytes still fall back to the stub boundary (no JDK
-  * codec for H.264 et al.) — the explode shape is exercised by
-  * MultimodalSpec either way.
+  *  - [[Mp4Video]] / [[MkvVideo]]: ISO BMFF and Matroska/WebM
+  *    container parses — keyframe payloads located and sliced for
+  *    real; the coded bitstream stays an opaque binary column (no JDK
+  *    codec for H.264/VP9 et al.), so only codec-less bytes fall back
+  *    to the stub boundary.
   */
 object MultimodalCodecs {
 
@@ -70,16 +72,21 @@ object MultimodalCodecs {
 
     /** MJPEG-in-AVI sampled for real ([[AviVideo]]); MP4/MOV
       * keyframes located and extracted for real from the sample
-      * tables ([[Mp4Video]] — payloads stay coded/opaque, exactly the
-      * binary-column contract); anything else delegates to the stub
-      * boundary. */
+      * tables ([[Mp4Video]]); Matroska/WebM keyframes from the
+      * Cluster/SimpleBlock walk ([[MkvVideo]]) — payloads stay
+      * coded/opaque, exactly the binary-column contract; anything
+      * else delegates to the stub boundary. */
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
       val frames = AviVideo.sampleFrames(bytes, n)
       if (frames.nonEmpty) frames
       else {
         val mp4 = Mp4Video.sampleFrames(bytes, n)
         if (mp4.nonEmpty) mp4
-        else Multimodal.StubDecoder.sampleFrames(bytes, n)
+        else {
+          val mkv = MkvVideo.sampleFrames(bytes, n)
+          if (mkv.nonEmpty) mkv
+          else Multimodal.StubDecoder.sampleFrames(bytes, n)
+        }
       }
     }
 
@@ -459,6 +466,254 @@ object MultimodalCodecs {
         if (off < 0 || len <= 0 || off + len > bytes.length) None
         else Some(java.util.Arrays.copyOfRange(
           bytes, off.toInt, (off + len).toInt))
+      }
+    }
+  }
+
+  /** Parsed Matroska/WebM video-track summary. */
+  case class MkvInfo(width: Int, height: Int, codec: String,
+      timestampScaleNs: Long, videoTrack: Long, nBlocks: Int, nKey: Int)
+
+  /** Matroska / WebM (EBML) container walk over raw bytes, pure JDK —
+    * the last reference-routed video container without a real local
+    * path (`handlers/mp4_handler.py:17-29` routes .mkv/.webm alongside
+    * .mp4/.mov). Same contract as [[Mp4Video]]: locate the video
+    * track, walk Clusters, and slice KEYFRAME payloads (SimpleBlock
+    * flag 0x80; BlockGroup Blocks with no ReferenceBlock sibling) as
+    * coded bitstream bytes — VP8/VP9/AV1/H.264 pixel decode has no JDK
+    * codec and stays the stub/service boundary, per the multimodal
+    * contract. Laced block payloads are emitted as one opaque payload
+    * (the lace header stays in the coded bytes; keyframes are
+    * near-universally unlaced in practice).
+    *
+    * Fail-closed: malformed or truncated elements end the walk instead
+    * of throwing, every loop strictly advances, and Cluster recursion
+    * (needed because unknown-size Clusters make following Clusters
+    * parse as nested elements) is depth-bounded — fuzzed bytes cannot
+    * hang or blow the stack (ParserFuzzSpec). */
+  object MkvVideo {
+    // EBML element ids (length-marker bit kept, as the spec compares them)
+    private val IdSegment = 0x18538067L
+    private val IdInfo = 0x1549A966L
+    private val IdTimestampScale = 0x2AD7B1L
+    private val IdTracks = 0x1654AE6BL
+    private val IdTrackEntry = 0xAEL
+    private val IdTrackNumber = 0xD7L
+    private val IdTrackType = 0x83L
+    private val IdCodecId = 0x86L
+    private val IdVideo = 0xE0L
+    private val IdPixelWidth = 0xB0L
+    private val IdPixelHeight = 0xBAL
+    private val IdCluster = 0x1F43B675L
+    private val IdTimestamp = 0xE7L
+    private val IdSimpleBlock = 0xA3L
+    private val IdBlockGroup = 0xA0L
+    private val IdBlock = 0xA1L
+    private val IdReferenceBlock = 0xFBL
+
+    def isMkv(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0x1a && (bytes(1) & 0xff) == 0x45 &&
+        (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3
+
+    /** EBML variable-length ID at `o`: (value, width). IDs keep the
+      * length-marker bit. None on truncation or a zero lead byte
+      * (invalid: the walk would not advance). */
+    private def readId(b: Array[Byte], o: Int): Option[(Long, Int)] = {
+      if (o < 0 || o >= b.length) return None
+      val first = b(o) & 0xff
+      if (first == 0) return None
+      val width = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (width < 1 || width > 4 || o + width > b.length) return None
+      var v = first.toLong
+      var i = 1
+      while (i < width) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      Some((v, width))
+    }
+
+    /** EBML size vint at `o`: marker bit cleared; the all-ones value
+      * means "unknown size" → returned as -1. */
+    private def readSize(b: Array[Byte], o: Int): Option[(Long, Int)] = {
+      if (o < 0 || o >= b.length) return None
+      val first = b(o) & 0xff
+      if (first == 0) return None
+      val width = Integer.numberOfLeadingZeros(first) - 23
+      if (width < 1 || width > 8 || o + width > b.length) return None
+      var v = (first & (0xff >>> width)).toLong
+      var i = 1
+      while (i < width) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      val unknown = (1L << (7 * width)) - 1
+      Some((if (v == unknown) -1L else v, width))
+    }
+
+    /** Big-endian unsigned integer element payload (≤8 bytes read). */
+    private def readUint(b: Array[Byte], s: Int, e: Int): Long = {
+      var v = 0L
+      var i = s
+      val end = math.min(e, s + 8)
+      while (i < end) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+      v
+    }
+
+    /** Visit each element in [from, to): f(id, payloadStart,
+      * payloadEnd). Unknown-size payloads run to `to` (only Segment
+      * and Cluster are unknown-size in practice; [[scan]] recurses
+      * into nested Clusters so streamed files still parse). */
+    private def walk(bytes: Array[Byte], from: Int, to: Int)
+        (f: (Long, Int, Int) => Unit): Unit = {
+      var o = math.max(from, 0)
+      var continue = true
+      while (continue && o < to) {
+        val parsed = for {
+          (id, iw) <- readId(bytes, o)
+          (sz, sw) <- readSize(bytes, o + iw)
+        } yield (id, sz, o + iw + sw)
+        parsed match {
+          case Some((id, sz, payload)) =>
+            val end = if (sz < 0) to.toLong else payload.toLong + sz
+            if (payload > to || end > to) continue = false
+            else {
+              f(id, payload, end.toInt)
+              o = math.max(end.toInt, o + 1) // strictly advance
+            }
+          case None => continue = false
+        }
+      }
+    }
+
+    /** Payload range of the first `id` element directly inside
+      * [from, to). */
+    private def child(bytes: Array[Byte], from: Int, to: Int,
+        id: Long): Option[(Int, Int)] = {
+      var found: Option[(Int, Int)] = None
+      walk(bytes, from, to) { (t, s, e) =>
+        if (t == id && found.isEmpty) found = Some((s, e))
+      }
+      found
+    }
+
+    /** The Segment payload range (whole-file walk). */
+    private def segment(bytes: Array[Byte]): Option[(Int, Int)] =
+      child(bytes, 0, bytes.length, IdSegment)
+
+    /** First video TrackEntry: (trackNumber, codecId, width, height). */
+    private def videoTrack(bytes: Array[Byte], seg: (Int, Int))
+        : Option[(Long, String, Int, Int)] = {
+      val tracks = child(bytes, seg._1, seg._2, IdTracks)
+        .getOrElse(return None)
+      var out: Option[(Long, String, Int, Int)] = None
+      walk(bytes, tracks._1, tracks._2) { (id, s, e) =>
+        if (id == IdTrackEntry && out.isEmpty) {
+          var num = -1L
+          var typ = -1L
+          var codec = ""
+          var w = 0
+          var h = 0
+          walk(bytes, s, e) { (cid, cs, ce) =>
+            cid match {
+              case IdTrackNumber => num = readUint(bytes, cs, ce)
+              case IdTrackType => typ = readUint(bytes, cs, ce)
+              case IdCodecId =>
+                codec = new String(bytes, cs, ce - cs, "US-ASCII")
+              case IdVideo =>
+                child(bytes, cs, ce, IdPixelWidth).foreach { case (a, b2) =>
+                  w = readUint(bytes, a, b2).toInt }
+                child(bytes, cs, ce, IdPixelHeight).foreach { case (a, b2) =>
+                  h = readUint(bytes, a, b2).toInt }
+              case _ => ()
+            }
+          }
+          if (typ == 1L && num > 0) out = Some((num, codec, w, h))
+        }
+      }
+      out
+    }
+
+    /** One parsed block occurrence. */
+    private case class Blk(track: Long, tsTicks: Long, off: Int,
+        len: Int, key: Boolean)
+
+    /** Block/SimpleBlock payload: track vint + int16 relative
+      * timestamp + flags byte + coded frame bytes. `keyOverride` is
+      * the BlockGroup no-ReferenceBlock determination (plain Blocks
+      * carry no keyframe flag). */
+    private def parseBlock(b: Array[Byte], s: Int, e: Int,
+        clusterTs: Long, keyOverride: Option[Boolean],
+        out: scala.collection.mutable.ArrayBuffer[Blk]): Unit =
+      readSize(b, s) match {
+        case Some((track, tw)) if track > 0 =>
+          val p = s + tw
+          if (p + 3 <= e) {
+            val rel = ((b(p) << 8) | (b(p + 1) & 0xff)).toShort.toLong
+            val flags = b(p + 2) & 0xff
+            val key = keyOverride.getOrElse((flags & 0x80) != 0)
+            out += Blk(track, clusterTs + rel, p + 3, e - (p + 3), key)
+          }
+        case _ => ()
+      }
+
+    /** Depth-bounded Cluster scan (see class scaladoc). */
+    private def scan(bytes: Array[Byte], from: Int, to: Int,
+        depth: Int,
+        out: scala.collection.mutable.ArrayBuffer[Blk]): Unit = {
+      if (depth > 16) return
+      var ts = 0L
+      walk(bytes, from, to) { (id, s, e) =>
+        id match {
+          case IdCluster => scan(bytes, s, e, depth + 1, out)
+          case IdTimestamp => ts = readUint(bytes, s, e)
+          case IdSimpleBlock => parseBlock(bytes, s, e, ts, None, out)
+          case IdBlockGroup =>
+            var ref = false
+            var blk: Option[(Int, Int)] = None
+            walk(bytes, s, e) { (cid, cs, ce) =>
+              if (cid == IdReferenceBlock) ref = true
+              else if (cid == IdBlock && blk.isEmpty) blk = Some((cs, ce))
+            }
+            blk.foreach { case (bs, be) =>
+              parseBlock(bytes, bs, be, ts, Some(!ref), out)
+            }
+          case _ => ()
+        }
+      }
+    }
+
+    /** All blocks of the given track, in file order. */
+    private def trackBlocks(bytes: Array[Byte], seg: (Int, Int),
+        track: Long): Vector[Blk] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Blk]()
+      scan(bytes, seg._1, seg._2, 0, out)
+      out.filter(_.track == track).toVector
+    }
+
+    /** Video-track summary; None for non-EBML bytes or no video
+      * track. */
+    def info(bytes: Array[Byte]): Option[MkvInfo] = {
+      if (!isMkv(bytes)) return None
+      val seg = segment(bytes).getOrElse(return None)
+      val (num, codec, w, h) = videoTrack(bytes, seg).getOrElse(return None)
+      val scale = child(bytes, seg._1, seg._2, IdInfo)
+        .flatMap { case (s, e) => child(bytes, s, e, IdTimestampScale) }
+        .map { case (s, e) => readUint(bytes, s, e) }
+        .filter(_ > 0).getOrElse(1000000L)
+      val blocks = trackBlocks(bytes, seg, num)
+      Some(MkvInfo(w, h, codec, scale, num, blocks.length,
+        blocks.count(_.key)))
+    }
+
+    /** `n` KEYFRAME payloads sampled evenly across the video track's
+      * keyframe set, as coded bitstream bytes (opaque binary). */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (!isMkv(bytes) || n <= 0) return Nil
+      val seg = segment(bytes).getOrElse(return Nil)
+      val (num, _, _, _) = videoTrack(bytes, seg).getOrElse(return Nil)
+      val keys = trackBlocks(bytes, seg, num).filter(_.key)
+      if (keys.isEmpty) return Nil
+      val take = math.min(n, keys.length)
+      (0 until take).flatMap { i =>
+        val k = keys((i.toLong * keys.length / take).toInt)
+        if (k.off < 0 || k.len < 0 || k.off + k.len > bytes.length) None
+        else Some(java.util.Arrays.copyOfRange(bytes, k.off, k.off + k.len))
       }
     }
   }

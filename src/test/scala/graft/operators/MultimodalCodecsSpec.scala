@@ -346,6 +346,95 @@ class MultimodalCodecsSpec extends SparkTestBase {
     assert(routed.map(new String(_)) === Seq(frames(0), frames(2)))
   }
 
+  // ---- hand-built minimal Matroska (EBML) fixture -----------------
+  private def ebmlId(id: Long): Array[Byte] = {
+    val w = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    (0 until w).map(i => ((id >> (8 * (w - 1 - i))) & 0xff).toByte).toArray
+  }
+  // 2-byte size vint 0x40xx xx — plenty for fixture payloads
+  private def ebmlSize(n: Long): Array[Byte] =
+    Array[Byte]((0x40 | ((n >> 8) & 0x3f)).toByte, (n & 0xff).toByte)
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(payload.length) ++ payload
+  private def uintEl(id: Long, v: Long): Array[Byte] = {
+    var w = 1
+    while (w < 8 && (v >>> (8 * w)) != 0) w += 1
+    el(id, (0 until w).map(i =>
+      ((v >> (8 * (w - 1 - i))) & 0xff).toByte).toArray)
+  }
+  /** track-vint + int16 rel-ts + flags + coded bytes (the Block AND
+    * SimpleBlock payload layout; 0x80 = SimpleBlock keyframe flag). */
+  private def blockPayload(track: Int, rel: Int, key: Boolean,
+      data: String): Array[Byte] =
+    Array[Byte]((0x80 | track).toByte, ((rel >> 8) & 0xff).toByte,
+      (rel & 0xff).toByte, (if (key) 0x80 else 0x00).toByte) ++
+      data.getBytes("US-ASCII")
+
+  /** Two clusters; video track 1 (audio track 2 first, to prove
+    * selection): keyframes K0 (SimpleBlock), K1 (BlockGroup w/o
+    * ReferenceBlock), K2 (SimpleBlock); deltas D1 (SimpleBlock flag
+    * 0) and D2 (BlockGroup WITH ReferenceBlock). */
+  private def mkvBytes(): Array[Byte] = {
+    val info = el(0x1549A966L, uintEl(0x2AD7B1L, 500000L))
+    val trackA = el(0xAEL,
+      uintEl(0xD7L, 2) ++ uintEl(0x83L, 2) ++
+        el(0x86L, "A_OPUS".getBytes("US-ASCII")))
+    val trackV = el(0xAEL,
+      uintEl(0xD7L, 1) ++ uintEl(0x83L, 1) ++
+        el(0x86L, "V_VP9".getBytes("US-ASCII")) ++
+        el(0xE0L, uintEl(0xB0L, 64) ++ uintEl(0xBAL, 48)))
+    val tracks = el(0x1654AE6BL, trackA ++ trackV)
+    val cluster1 = el(0x1F43B675L,
+      uintEl(0xE7L, 0) ++
+        el(0xA3L, blockPayload(1, 0, key = true, "K0")) ++
+        el(0xA3L, blockPayload(1, 40, key = false, "D1")) ++
+        el(0xA3L, blockPayload(2, 0, key = true, "AUDIO")))
+    val cluster2 = el(0x1F43B675L,
+      uintEl(0xE7L, 1000) ++
+        el(0xA0L, el(0xA1L, blockPayload(1, 0, key = false, "K1"))) ++
+        el(0xA0L,
+          el(0xA1L, blockPayload(1, 250, key = false, "D2")) ++
+            uintEl(0xFBL, 0)) ++
+        el(0xA3L, blockPayload(1, 500, key = true, "K2")))
+    val segment = el(0x18538067L, info ++ tracks ++ cluster1 ++ cluster2)
+    el(0x1A45DFA3L, Array.emptyByteArray) ++ segment
+  }
+
+  test("MkvVideo walks EBML clusters and extracts keyframe payloads " +
+      "(Matroska/WebM, r5)") {
+    import MultimodalCodecs.MkvVideo
+    val bytes = mkvBytes()
+    val info = MkvVideo.info(bytes).get
+    assert(info.width === 64 && info.height === 48)
+    assert(info.codec === "V_VP9" && info.videoTrack === 1L)
+    assert(info.timestampScaleNs === 500000L)
+    assert(info.nBlocks === 5, "video-track blocks only (audio excluded)")
+    assert(info.nKey === 3, "SimpleBlock 0x80 flag + no-ReferenceBlock " +
+      "BlockGroups are keyframes; D1/D2 are not")
+    val two = MkvVideo.sampleFrames(bytes, 2).map(new String(_))
+    assert(two === Seq("K0", "K1"))
+    val all = MkvVideo.sampleFrames(bytes, 10).map(new String(_))
+    assert(all === Seq("K0", "K1", "K2"))
+    // unknown-size Segment (streamed-file shape): 1-byte all-ones size
+    val seg = {
+      val info2 = mkvBytes()
+      val segStart = el(0x1A45DFA3L, Array.emptyByteArray).length
+      // re-point the segment header at an unknown size
+      val idW = 4
+      info2.slice(0, segStart + idW) ++ Array[Byte](0xff.toByte) ++
+        info2.drop(segStart + idW + 2)
+    }
+    assert(MkvVideo.sampleFrames(seg, 10).map(new String(_)) ===
+      Seq("K0", "K1", "K2"), "unknown-size Segment still parses")
+    // fail-closed on non-EBML and truncated inputs
+    assert(MkvVideo.info("not matroska".getBytes) === None)
+    assert(MkvVideo.sampleFrames(bytes.take(30), 3) === Nil)
+    // the decoder routes Matroska ahead of the stub boundary
+    val routed = MultimodalCodecs.JdkImageDecoder.sampleFrames(bytes, 2)
+    assert(routed.map(new String(_)) === Seq("K0", "K1"))
+  }
+
   test("decodeImages and decodeAudio drive the Spark pipeline with " +
       "real codecs") {
     import spark.implicits._

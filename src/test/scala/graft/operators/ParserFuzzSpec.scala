@@ -141,6 +141,31 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("MkvVideo info/sampleFrames fail closed") {
+    // valid-ish seed: EBML magic + Segment(Tracks(video entry) +
+    // Cluster(Timestamp + keyframe SimpleBlock)) — same layout as
+    // the MultimodalCodecsSpec fixture, compact form
+    val seed = {
+      def id(v: Long, w: Int): Array[Byte] =
+        (0 until w).map(i => ((v >> (8 * (w - 1 - i))) & 0xff).toByte).toArray
+      def el(i: Long, w: Int, p: Array[Byte]): Array[Byte] =
+        id(i, w) ++ Array[Byte]((0x80 | p.length).toByte) ++ p
+      val trk = el(0xAEL, 1,
+        el(0xD7L, 1, Array[Byte](1)) ++ el(0x83L, 1, Array[Byte](1)) ++
+          el(0x86L, 1, "V_VP9".getBytes))
+      val cluster = el(0x1F43B675L, 4,
+        el(0xE7L, 1, Array[Byte](0)) ++
+          el(0xA3L, 1, Array[Byte](0x81.toByte, 0, 0, 0x80.toByte) ++
+            "FRAME".getBytes))
+      id(0x1A45DFA3L, 4) ++ Array[Byte](0x80.toByte) ++
+        el(0x18538067L, 4, el(0x1654AE6BL, 4, trk) ++ cluster)
+    }
+    fuzz("MkvVideo", seed) { b =>
+      MultimodalCodecs.MkvVideo.info(b)
+      MultimodalCodecs.MkvVideo.sampleFrames(b, 3)
+    }
+  }
+
   test("PdfTextExtractor pages/isStructurallyValid fail closed") {
     fuzz("PdfText", validPdf()) { b =>
       PdfTextExtractor.pages(b)
