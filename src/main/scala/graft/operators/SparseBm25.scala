@@ -17,15 +17,13 @@ import org.apache.spark.sql.types.DecimalType
   * token id = |mmh3(token)| → value = tf·(k+1) / (tf + k·(1 − b +
   * b·doc_len/avg_len)) with k=1.2, b=0.75, avg_len=256.
   *
-  * DOCUMENTED DIVERGENCE (see NOTES): stemming is deliberately
-  * omitted — Snowball English is a ~400-rule procedural stemmer with
-  * no column-expression form, and the reference itself only feeds the
-  * sparse path in its experimental branch. Everything else matches:
-  * the same tokenization, the same NLTK stopword list fastembed
-  * ships, mmh3 ids, and the same weight formula. Scores are
-  * self-consistent engine-wide (and value-checked by the q116
-  * oracle); on stem-bearing vocabulary the indices differ from
-  * fastembed's by exactly the stem transform.
+  * Two registered forms: [[embed]] (no stemming — the q116 oracle
+  * surface, kept so the id space stays derivable in pure SQL) and
+  * [[embedStemmed]] (the full fastembed pipeline: Snowball English
+  * stemming via [[graft.functions.Stemmer]] between stopword removal
+  * and hashing, term frequencies counted over stems). Everything else
+  * matches in both: the same tokenization, the same NLTK stopword
+  * list fastembed ships, mmh3 ids, and the same weight formula.
   *
   * Scale: one token explode → (doc, token) counts → per-doc length →
   * weight per term — all hash aggregations on data-sized keys; the
@@ -100,9 +98,27 @@ object SparseBm25 {
     * Weight = tf·(k+1) / (tf + k·(1 − b + b·dl/avg_len)) — per-row
     * deterministic double arithmetic on integer counts. */
   def embed(corpus: DataFrame, idCol: String, textCol: String,
-      idFn: Column => Column = fastembedTokenId): DataFrame = {
+      idFn: Column => Column = fastembedTokenId): DataFrame =
+    embedWith(corpus, idCol, textCol, idFn, identity)
+
+  /** The FULL fastembed `Qdrant/bm25` document-side pipeline,
+    * Snowball stemming included ([[graft.functions.Stemmer]]) — term
+    * frequencies are counted over stems, then hashed, exactly like
+    * fastembed. [[embed]] (the q116 oracle surface) stays the
+    * unstemmed form so its id space remains derivable in pure SQL;
+    * StemmerSpec + SparseBm25Spec pin this variant. */
+  def embedStemmed(corpus: DataFrame, idCol: String, textCol: String,
+      idFn: Column => Column = fastembedTokenId): DataFrame =
+    embedWith(corpus, idCol, textCol, idFn,
+      graft.functions.Stemmer.stemCol)
+
+  private def embedWith(corpus: DataFrame, idCol: String,
+      textCol: String, idFn: Column => Column,
+      tokenNorm: Column => Column): DataFrame = {
     val tf = corpus
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("raw_tok"))
+      .select(col("doc"), tokenNorm(col("raw_tok")).as("tok"))
       .groupBy(col("doc"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))

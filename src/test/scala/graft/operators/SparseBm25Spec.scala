@@ -59,4 +59,29 @@ class SparseBm25Spec extends SparkTestBase {
     r.foreach(row =>
       assert(row.getLong(1) === math.abs(row.getLong(0))))
   }
+
+  test("embedStemmed counts term frequencies over Snowball stems " +
+      "(full fastembed pipeline, r5)") {
+    import spark.implicits._
+    // 'running' and 'runs' both stem to 'run', so tf(run)=2 and the
+    // stemmed embedding has ONE term where the unstemmed has two;
+    // 'quickly' stems to 'quick' (step 1c y->i, step 2 li-deletion).
+    val df = Seq((1L, "running runs quickly")).toDF("doc_id", "text")
+    val plain = SparseBm25.embed(df, "doc_id", "text").head()
+    val stemmed = SparseBm25.embedStemmed(df, "doc_id", "text").head()
+    assert(plain.getLong(1) === 3)   // running, runs, quickly
+    assert(stemmed.getLong(1) === 2) // run (tf=2), quick
+    val runId = spark.range(1)
+      .select(SparseBm25.fastembedTokenId(lit("run"))).head().getLong(0)
+    val quickId = spark.range(1)
+      .select(SparseBm25.fastembedTokenId(lit("quick"))).head().getLong(0)
+    val byId = stemmed.getSeq[Long](2).zip(stemmed.getSeq[Double](3)).toMap
+    assert(byId.keySet === Set(runId, quickId),
+      "indices must be hashes of the STEMS")
+    // dl counts tokens (3); tf(run)=2, tf(quick)=1
+    def w(tf: Double) =
+      tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * 3.0 / 256.0))
+    assert(math.abs(byId(runId) - w(2)) < 2e-9)
+    assert(math.abs(byId(quickId) - w(1)) < 2e-9)
+  }
 }
