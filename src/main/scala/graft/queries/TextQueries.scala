@@ -558,7 +558,114 @@ object TextQueries {
     Dedup.fuzzyMatches(part(s, d), "p_name", maxDist = 2)
       .orderBy(col("name_a"), col("name_b"))
 
+  /** Quality-filter funnel — the per-stage attrition report a C4 /
+    * Gopher / RefinedWeb-style pipeline publishes: documents flow
+    * through ordered keep-stages (language → word-count floor →
+    * mean-word-length floor → lexical-diversity floor → exact dedup)
+    * and each stage row reports docs in, survivors, and drops.
+    *
+    * ONE corpus scan: every flag is row-local except the dedup keeper
+    * (one hash exchange on md5(text)); survivors-after-stage-k is a
+    * conditional count in a single aggregate, and the 6-row funnel
+    * explodes from that single row. At 100 TB this stays scan + one
+    * exchange + a 6-value aggregate — never k re-filterings of the
+    * corpus, and no driver-side loop. */
+  def q117FilterFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = tokens(col("text"))
+    val mwl =
+      (length(col("text")) - (size(w) - 1)).cast("double") / size(w)
+    val diversity = size(array_distinct(w)).cast("double") / size(w)
+    val flagged = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("keeper", row_number().over(
+        Window.partitionBy(md5(col("text")))
+          .orderBy(col("doc_id"))) === 1)
+      .select(
+        (col("lang") === "en").as("f1"),
+        (size(w) >= 20).as("f2"),
+        (mwl >= 3.9).as("f3"),
+        (diversity >= 0.35).as("f4"),
+        col("keeper").as("f5"))
+    val c = flagged.agg(
+      count(lit(1)).as("n0"),
+      count_if(col("f1")).as("n1"),
+      count_if(col("f1") && col("f2")).as("n2"),
+      count_if(col("f1") && col("f2") && col("f3")).as("n3"),
+      count_if(col("f1") && col("f2") && col("f3") && col("f4"))
+        .as("n4"),
+      count_if(col("f1") && col("f2") && col("f3") && col("f4") &&
+        col("f5")).as("n5"))
+    val names = Seq("total", "lang_en", "min_words", "mean_word_len",
+      "lexical_diversity", "exact_dedup")
+    c.select(explode(array((0 to 5).map(i => struct(
+        lit(i).as("stage_idx"), lit(names(i)).as("stage"),
+        col(if (i == 0) "n0" else s"n${i - 1}").as("docs_in"),
+        col(s"n$i").as("survivors"))): _*)).as("r"))
+      .select(col("r.stage_idx").as("stage_idx"),
+        col("r.stage").as("stage"),
+        col("r.docs_in").as("docs_in"),
+        col("r.survivors").as("survivors"),
+        (col("r.docs_in") - col("r.survivors")).as("dropped"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Character-level repeated-span mining — the distributed
+    * approximation of suffix-array ExactSubstr dedup (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): every W-char window (stride 1) is hashed across the
+    * corpus; windows occurring more than once anywhere (cross- OR
+    * same-document) mark their positions, and per document the
+    * marked positions merge into MAXIMAL duplicated spans
+    * (gaps-and-islands over the position stream). Complements q88/
+    * q109's token-5-gram span work at character granularity — the
+    * fidelity the paper's 50-token threshold actually asks for.
+    *
+    * Scale shape: one explode (len-W windows/doc) → hash aggregate on
+    * the window content → semi-join back → per-doc island window over
+    * the REPEATED positions only (a tiny filtered stream, never the
+    * full window stream). The W-char window strings ride two
+    * exchanges at sf-test sizes; at 100 TB you'd fingerprint them
+    * (xxhash64) before the shuffle — kept as the literal content here
+    * so the DuckDB oracle is exactly replayable with zero collision
+    * caveats. Stride-1 is the paper's contract; the explode is W×
+    * input chars and stays linear. */
+  def q118RepeatedSpans(s: SparkSession, d: String): DataFrame = {
+    val W = 48
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= W)
+    val wins = docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), length(col("text")) - W),
+        i => struct(i.cast("long").as("pos"),
+          col("text").substr(i + 1, lit(W)).as("win")))).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"),
+        col("x.win").as("win"))
+    val dupWins = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("win"))
+    val rep = wins.join(dupWins, "win")
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = rep
+      .withColumn("newi",
+        (coalesce(col("pos") - lag(col("pos"), 1).over(wd),
+          lit(W + 1L)) > W).cast("long"))
+      .withColumn("island", sum(col("newi")).over(wd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + W).as("span_end"))
+    spans.join(docs, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        md5(col("text").substr((col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start")).cast("int")))
+          .as("span_md5"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_repeated_spans" -> (q118RepeatedSpans _),
+    "q117_filter_funnel" -> (q117FilterFunnel _),
     "q114_fuzzy_names" -> (q114FuzzyNames _),
     "q109_span_rewrite" -> (q109SpanRewrite _),
     "q107_source_cap" -> (q107SourceCap _),
@@ -594,6 +701,66 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q118_repeated_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 48),
+        |w AS (SELECT doc_id, i AS pos,
+        |    substr(text, CAST(i + 1 AS INT), 48) AS win
+        |  FROM d, LATERAL unnest(range(0, length(text) - 48 + 1))
+        |    AS t(i)),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+        |r AS (SELECT doc_id, pos FROM w
+        |  WHERE win IN (SELECT win FROM dup)),
+        |i AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |        IS NULL
+        |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |        > 48 THEN 1 ELSE 0 END AS newi
+        |  FROM r),
+        |s AS (SELECT doc_id, pos, sum(newi) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+        |g AS (SELECT doc_id, min(pos) AS span_start,
+        |    max(pos) + 48 AS span_end
+        |  FROM s GROUP BY doc_id, island)
+        |SELECT g.doc_id, span_start, span_end,
+        |  span_end - span_start AS span_len,
+        |  md5(substr(d.text, CAST(span_start + 1 AS INT),
+        |    CAST(span_end - span_start AS INT))) AS span_md5
+        |FROM g JOIN d ON g.doc_id = d.doc_id
+        |ORDER BY g.doc_id, span_start""".stripMargin,
+    "q117_filter_funnel" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents),
+        |g AS (SELECT
+        |    (lang = 'en') AS f1,
+        |    (len(w) >= 20) AS f2,
+        |    (CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+        |      >= 3.9) AS f3,
+        |    (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+        |      >= 0.35) AS f4,
+        |    (rn = 1) AS f5
+        |  FROM f),
+        |c AS (SELECT count(*) AS n0,
+        |    count(*) FILTER (f1) AS n1,
+        |    count(*) FILTER (f1 AND f2) AS n2,
+        |    count(*) FILTER (f1 AND f2 AND f3) AS n3,
+        |    count(*) FILTER (f1 AND f2 AND f3 AND f4) AS n4,
+        |    count(*) FILTER (f1 AND f2 AND f3 AND f4 AND f5) AS n5
+        |  FROM g),
+        |u AS (
+        |  SELECT 0 AS stage_idx, 'total' AS stage,
+        |    n0 AS docs_in, n0 AS survivors FROM c
+        |  UNION ALL SELECT 1, 'lang_en', n0, n1 FROM c
+        |  UNION ALL SELECT 2, 'min_words', n1, n2 FROM c
+        |  UNION ALL SELECT 3, 'mean_word_len', n2, n3 FROM c
+        |  UNION ALL SELECT 4, 'lexical_diversity', n3, n4 FROM c
+        |  UNION ALL SELECT 5, 'exact_dedup', n4, n5 FROM c)
+        |SELECT stage_idx, stage, docs_in, survivors,
+        |  docs_in - survivors AS dropped
+        |FROM u ORDER BY stage_idx""".stripMargin,
     "q114_fuzzy_names" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
