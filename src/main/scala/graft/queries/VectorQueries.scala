@@ -219,7 +219,21 @@ object VectorQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Johnson–Lindenstrauss ±1 random projection of every embedding
+    * (64 → 16 dims), tall form — value-checks the engine-portable
+    * sign derivation and the sequential-fold dot product against the
+    * oracle's `list_dot_product` to the last bit. The search use of
+    * the projected space (shortlist + exact rerank) is
+    * [[graft.operators.Projection.projectedTopK]], recall-pinned in
+    * ProjectionSpec. */
+  def q119RandomProjection(s: SparkSession, d: String): DataFrame =
+    graft.operators.Projection
+      .project(embeddings(s, d), "embedding", 64, 16)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+      .orderBy(col("vec_id"), col("j"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_random_projection" -> (q119RandomProjection _),
     "q113_hard_negatives" -> (q113HardNegatives _),
     "q112_filtered_knn" -> (q112FilteredKnn _),
     "q103_semdedup" -> (q103SemDedup _),
@@ -235,6 +249,21 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q119_random_projection" ->
+      """WITH s AS (
+        |  SELECT i, j,
+        |    CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_' ||
+        |        CAST(j AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'
+        |      THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM range(64) r1(i), range(16) r2(j)),
+        |m AS (SELECT j, list(CAST(sgn AS DOUBLE) ORDER BY i) AS row
+        |  FROM s GROUP BY j),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings)
+        |SELECT e.vec_id, CAST(m.j AS INT) AS j,
+        |  list_dot_product(e.e, m.row) AS v
+        |FROM e CROSS JOIN m
+        |ORDER BY vec_id, j""".stripMargin,
     "q113_hard_negatives" ->
       """WITH v AS (SELECT vec_id, label,
         |  CAST(embedding AS DOUBLE[]) e FROM embeddings),
