@@ -159,9 +159,13 @@ object Graft {
 
   /** fastembed-style sparse BM25 document embedding (`Qdrant/bm25`
     * surface): (id, n_terms, indices, values) per document — see
-    * [[operators.SparseBm25]] for the parity contract. */
-  def sparseEmbed(df: DataFrame, id: String, text: String): DataFrame =
-    operators.SparseBm25.embed(df, id, text)
+    * [[operators.SparseBm25]] for the parity contract. Pass
+    * `stemmed = true` for the full fastembed pipeline (Snowball
+    * English stemming between stopword removal and hashing). */
+  def sparseEmbed(df: DataFrame, id: String, text: String,
+      stemmed: Boolean = false): DataFrame =
+    if (stemmed) operators.SparseBm25.embedStemmed(df, id, text)
+    else operators.SparseBm25.embed(df, id, text)
 
   /** Corpus-trained bigram-LM surprisal (perplexity-filter signal),
     * CJK-aware tokens. */
@@ -181,8 +185,8 @@ object Graft {
 
   /** Evenly-sampled video key frames as opaque coded bytes: one row
     * per (media row, frame). Real containers: MJPEG-AVI, MP4/MOV
-    * (ISO BMFF sample tables); anything else hits the deterministic
-    * stub boundary. */
+    * (ISO BMFF sample tables), Matroska/WebM (EBML cluster walk);
+    * anything else hits the deterministic stub boundary. */
   def sampleVideoFrames(media: DataFrame, n: Int): DataFrame =
     operators.Multimodal.sampleFrames(media,
       operators.MultimodalCodecs.JdkImageDecoder, n)
@@ -198,4 +202,19 @@ object Graft {
     * stay opaque binary for the multimodal operators. */
   def readTarSamples(spark: SparkSession, dir: String): DataFrame =
     operators.TarShards.readSamples(spark, dir)
+
+  /** JL random projection of `vec` (inDim → outDim) appended as
+    * `proj` — deterministic ±1 sign matrix, pure per-row codegen, no
+    * shuffle ([[operators.Projection]]). */
+  def randomProjection(df: DataFrame, vec: String, inDim: Int,
+      outDim: Int): DataFrame =
+    operators.Projection.project(df, vec, inDim, outDim)
+
+  /** Maximal duplicated character spans across the corpus (the
+    * ExactSubstr dedup report, Lee et al. 2021): per document,
+    * merged [start, end) regions whose stride-1 `window`-char
+    * windows recur anywhere in the corpus. */
+  def repeatedSpans(df: DataFrame, id: String, text: String,
+      window: Int = 48): DataFrame =
+    operators.Dedup.repeatedCharSpans(df, id, text, window)
 }

@@ -621,6 +621,52 @@ object Dedup {
     labels
   }
 
+  /** Maximal duplicated CHARACTER spans — the distributed
+    * approximation of suffix-array ExactSubstr dedup (Lee et al.
+    * 2021): every stride-1 `window`-char window is grouped across
+    * the corpus; windows occurring more than once anywhere (cross-
+    * or same-document) mark their positions, and per document the
+    * marked positions merge into maximal [span_start, span_end)
+    * regions via gaps-and-islands. Complements [[duplicateSpans]]
+    * (token 5-grams) at character granularity.
+    *
+    * Shape: one explode → hash aggregate on window content →
+    * semi-join back → per-doc island window over REPEATED positions
+    * only (a filtered stream, never all positions). At 100 TB
+    * fingerprint the window before the exchange (md5/xxhash64) —
+    * kept as literal content here so the q118 oracle replays
+    * exactly. */
+  def repeatedCharSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 48): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) >= window)
+    val wins = docs
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), length(col(textCol)) - window),
+        i => struct(i.cast("long").as("pos"),
+          col(textCol).substr(i + 1, lit(window)).as("win")))).as("x"))
+      .select(col(idCol), col("x.pos").as("pos"), col("x.win").as("win"))
+    val dupWins = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("win"))
+    val rep = wins.join(dupWins, "win").select(col(idCol), col("pos"))
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = rep
+      .withColumn("newi",
+        (coalesce(col("pos") - lag(col("pos"), 1).over(wd),
+          lit(window + 1L)) > window).cast("long"))
+      .withColumn("island", sum(col("newi")).over(wd))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + window).as("span_end"))
+    spans.join(docs, idCol)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        md5(col(textCol).substr((col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start")).cast("int")))
+          .as("span_md5"))
+  }
+
   /** End-to-end near-dup dedup: LSH candidates → exact-Jaccard verify
     * (≥ `threshold`) → connected components over the verified pair
     * graph (iterative min-id propagation, so transitive chains

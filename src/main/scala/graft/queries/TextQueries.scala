@@ -609,59 +609,16 @@ object TextQueries {
       .orderBy(col("stage_idx"))
   }
 
-  /** Character-level repeated-span mining — the distributed
-    * approximation of suffix-array ExactSubstr dedup (Lee et al.
-    * 2021, "Deduplicating Training Data Makes Language Models
-    * Better"): every W-char window (stride 1) is hashed across the
-    * corpus; windows occurring more than once anywhere (cross- OR
-    * same-document) mark their positions, and per document the
-    * marked positions merge into MAXIMAL duplicated spans
-    * (gaps-and-islands over the position stream). Complements q88/
-    * q109's token-5-gram span work at character granularity — the
-    * fidelity the paper's 50-token threshold actually asks for.
-    *
-    * Scale shape: one explode (len-W windows/doc) → hash aggregate on
-    * the window content → semi-join back → per-doc island window over
-    * the REPEATED positions only (a tiny filtered stream, never the
-    * full window stream). The W-char window strings ride two
-    * exchanges at sf-test sizes; at 100 TB you'd fingerprint them
-    * (xxhash64) before the shuffle — kept as the literal content here
-    * so the DuckDB oracle is exactly replayable with zero collision
-    * caveats. Stride-1 is the paper's contract; the explode is W×
-    * input chars and stays linear. */
-  def q118RepeatedSpans(s: SparkSession, d: String): DataFrame = {
-    val W = 48
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= W)
-    val wins = docs
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), length(col("text")) - W),
-        i => struct(i.cast("long").as("pos"),
-          col("text").substr(i + 1, lit(W)).as("win")))).as("x"))
-      .select(col("doc_id"), col("x.pos").as("pos"),
-        col("x.win").as("win"))
-    val dupWins = wins.groupBy(col("win"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
-      .select(col("win"))
-    val rep = wins.join(dupWins, "win")
-      .select(col("doc_id"), col("pos"))
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = rep
-      .withColumn("newi",
-        (coalesce(col("pos") - lag(col("pos"), 1).over(wd),
-          lit(W + 1L)) > W).cast("long"))
-      .withColumn("island", sum(col("newi")).over(wd))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + W).as("span_end"))
-    spans.join(docs, "doc_id")
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_len"),
-        md5(col("text").substr((col("span_start") + 1).cast("int"),
-          (col("span_end") - col("span_start")).cast("int")))
-          .as("span_md5"))
+  /** Character-level repeated-span mining
+    * ([[Dedup.repeatedCharSpans]] — the distributed ExactSubstr
+    * approximation, Lee et al. 2021): maximal per-document spans
+    * whose stride-1 48-char windows recur anywhere in the corpus.
+    * Complements q88/q109's token-5-gram span work at character
+    * granularity. */
+  def q118RepeatedSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedCharSpans(documents(s, d), "doc_id", "text",
+        window = 48)
       .orderBy(col("doc_id"), col("span_start"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_repeated_spans" -> (q118RepeatedSpans _),
