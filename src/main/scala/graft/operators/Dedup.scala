@@ -646,10 +646,14 @@ object Dedup {
         i => struct(i.cast("long").as("pos"),
           col(textCol).substr(i + 1, lit(window)).as("win")))).as("x"))
       .select(col(idCol), col("x.pos").as("pos"), col("x.win").as("win"))
-    val dupWins = wins.groupBy(col("win"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
-      .select(col("win"))
-    val rep = wins.join(dupWins, "win").select(col(idCol), col("pos"))
+    // repeated-window detection as a windowed count: ONE pass over the
+    // exploded stream and one exchange on the window content — the
+    // groupBy+join-back form scans and explodes the corpus twice
+    // (measured 2x slower at sf0.1)
+    val rep = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("win"))))
+      .filter(col("c") > 1)
+      .select(col(idCol), col("pos"))
     val wd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val spans = rep
       .withColumn("newi",
