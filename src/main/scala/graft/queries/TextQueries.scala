@@ -620,7 +620,24 @@ object TextQueries {
         window = 48)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** END-TO-END near-dup REMOVAL (the q27-58 family's capstone):
+    * MinHash/LSH candidates → exact-Jaccard verify (≥0.5 over
+    * maxDf-capped shingles) → connected components → keep each
+    * component's minimum id ([[Dedup.nearDupDedup]]). The oracle
+    * replays the ENTIRE pipeline in SQL — signatures (q29's CTEs),
+    * band-bucket candidate join, kept-shingle Jaccard (q28's CTEs),
+    * recursive-CTE closure (q74's device) — so the hash match proves
+    * the composed operator, not just its stages. 476 of 500 docs
+    * survive at sf0.01 (24 planted near-dups collapse). */
+  def q120NearDupSurvivors(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupDedup(documents(s, d), "doc_id", "text",
+        threshold = 0.5, shingleN = 3, numHashes = 16, bands = 4,
+        maxDf = 50)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_neardup_survivors" -> (q120NearDupSurvivors _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
     "q117_filter_funnel" -> (q117FilterFunnel _),
     "q114_fuzzy_names" -> (q114FuzzyNames _),
@@ -658,6 +675,66 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The full near-dup pipeline replayed: q29's signature/band CTEs
+    // -> candidate pairs -> q28's kept-shingle Jaccard -> q74's
+    // recursive closure -> min-id survivors.
+    "q120_neardup_survivors" ->
+      s"""WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' ')) - 2),
+        |   i -> string_split(text,' ')[i] || ' ' ||
+        |        string_split(text,' ')[i+1] || ' ' ||
+        |        string_split(text,' ')[i+2])) AS ss
+        | FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |hs AS (
+        | SELECT doc_id, list_transform(ss,
+        |   s -> ('0x' || substr(md5(s), 1, 7))::UBIGINT::BIGINT) AS hv
+        | FROM sh WHERE len(ss) > 0),
+        |mh AS (
+        | SELECT doc_id, list_transform(generate_series(0, 15),
+        |   p -> list_min(list_transform(hv, h ->
+        |     ((${Dedup.MhA1}*p + ${Dedup.MhA0}) * h
+        |      + (${Dedup.MhB1}*p + ${Dedup.MhB0}))
+        |      % ${Dedup.MhMod}))) AS sig
+        | FROM hs),
+        |bands AS (
+        | SELECT doc_id, band,
+        |  md5(CAST(sig[band*4+1] AS VARCHAR) || '|' ||
+        |      CAST(sig[band*4+2] AS VARCHAR) || '|' ||
+        |      CAST(sig[band*4+3] AS VARCHAR) || '|' ||
+        |      CAST(sig[band*4+4] AS VARCHAR)) AS bh
+        | FROM mh, (SELECT unnest(generate_series(0, 3)) AS band)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |   AND a.doc_id < b.doc_id),
+        |shk AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |kept AS (SELECT doc_id, s FROM shk WHERE s IN (
+        |   SELECT s FROM shk GROUP BY s HAVING COUNT(*) <= 50)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |jac AS (SELECT c.id_a, c.id_b,
+        |   CAST(common AS DOUBLE) / (x.n + y.n - common) AS j
+        | FROM common c JOIN sizes x ON c.id_a = x.doc_id
+        |   JOIN sizes y ON c.id_b = y.doc_id),
+        |ver AS (SELECT jac.id_a, jac.id_b FROM jac
+        | JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+        | WHERE jac.j >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM ver
+        |      UNION ALL SELECT id_b, id_a FROM ver),
+        |reach AS (
+        | SELECT src, dst FROM e
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, MIN(dst) AS mn
+        |         FROM reach GROUP BY src)
+        |SELECT d.doc_id FROM documents d
+        |LEFT JOIN comp c ON d.doc_id = c.id
+        |WHERE LEAST(d.doc_id, COALESCE(c.mn, d.doc_id)) = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q118_repeated_spans" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |  WHERE length(text) >= 48),
