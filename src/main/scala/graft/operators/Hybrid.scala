@@ -179,4 +179,42 @@ object Hybrid {
       sparseLimit)
     dbsfFuse(dense, sparse, k)
   }
+
+  /** Exact PHRASE search — contiguous-token match via positional
+    * anchor intersection (the positional-postings algorithm every
+    * text search engine runs, expressed relationally): token i of the
+    * phrase found at position p votes for anchor p−i; an anchor with
+    * all |phrase| distinct votes is a match. Repeated words in the
+    * phrase are handled naturally (each phrase slot votes
+    * independently), overlapping matches are counted — the places a
+    * substring/replace formulation goes wrong.
+    *
+    * Shape: one token posexplode, a broadcast join against the
+    * |phrase|-row slot frame (filters the stream to phrase terms
+    * BEFORE any exchange), one (doc, anchor) aggregate, one per-doc
+    * aggregate. The index-once variant stores (term, doc, pos)
+    * postings bucketed by term (the [[TextIndex]] layout plus a
+    * positions column) and starts from the postings scan instead of
+    * the corpus scan; the anchor-intersection tail is identical. */
+  def phraseMatches(corpus: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.nonEmpty, "empty phrase")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val slots = words.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("i", "w")
+    corpus
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .join(broadcast(slots), "w")
+      .select(col(idCol),
+        col("i"), (col("pos") - col("i")).cast("long").as("anchor"))
+      .groupBy(col(idCol), col("anchor"))
+      .agg(countDistinct(col("i")).as("hit"))
+      .filter(col("hit") === words.length)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("anchor")).as("first_pos"))
+  }
 }

@@ -636,7 +636,17 @@ object TextQueries {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Exact phrase search ([[graft.operators.Hybrid.phraseMatches]] —
+    * positional anchor intersection): documents containing the
+    * contiguous phrase "table value", with per-doc occurrence count
+    * (overlap-correct) and first position. */
+  def q121PhraseSearch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Hybrid.phraseMatches(documents(s, d), "doc_id",
+        "text", "table value")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_phrase_search" -> (q121PhraseSearch _),
     "q120_neardup_survivors" -> (q120NearDupSurvivors _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
     "q117_filter_funnel" -> (q117FilterFunnel _),
@@ -675,6 +685,19 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q121_phrase_search" ->
+      """WITH t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    string_split(text, ' ')[i] AS w
+        |  FROM documents, LATERAL unnest(
+        |    generate_series(1, len(string_split(text, ' ')))) AS u(i)),
+        |p AS (SELECT * FROM (VALUES (0, 'table'), (1, 'value'))
+        |  AS p(i, w)),
+        |m AS (SELECT t.doc_id, p.i, t.pos - p.i AS anchor
+        |  FROM t JOIN p ON t.w = p.w),
+        |a AS (SELECT doc_id, anchor FROM m GROUP BY doc_id, anchor
+        |  HAVING count(DISTINCT i) = 2)
+        |SELECT doc_id, count(*) AS n_matches, min(anchor) AS first_pos
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The full near-dup pipeline replayed: q29's signature/band CTEs
     // -> candidate pairs -> q28's kept-shingle Jaccard -> q74's
     // recursive closure -> min-id survivors.

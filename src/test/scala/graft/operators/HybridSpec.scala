@@ -68,4 +68,23 @@ class HybridSpec extends SparkTestBase {
     assert(got.count() === 3)
     assert(got.select("qid").distinct().head().getLong(0) === 7L)
   }
+
+  test("phraseMatches: anchor intersection counts overlapping " +
+      "matches and handles repeated phrase words (r5)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),      // 'a b a' matches at 0 AND 2 (overlap)
+      (2L, "a b c a b"),      // no 'a b a'
+      (3L, "x a b a y"),      // one match at 1
+      (4L, "b a a b a")       // one match at 2
+    ).toDF("doc_id", "text")
+    val got = Hybrid.phraseMatches(docs, "doc_id", "text", "a b a")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array((1L, 2L, 0L), (3L, 1L, 1L), (4L, 1L, 2L)))
+    // single-word phrase degenerates to term positions
+    val one = Hybrid.phraseMatches(docs, "doc_id", "text", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one === Array((2L, 1L, 2L)))
+  }
 }
