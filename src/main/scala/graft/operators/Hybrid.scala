@@ -204,17 +204,24 @@ object Hybrid {
     import spark.implicits._
     val slots = words.zipWithIndex.map { case (w, i) => (i, w) }
       .toDF("i", "w")
-    corpus
+    val votes = corpus
       .select(col(idCol),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
       .join(broadcast(slots), "w")
       .select(col(idCol),
         col("i"), (col("pos") - col("i")).cast("long").as("anchor"))
+    phraseTail(votes, idCol, words.length)
+  }
+
+  /** Shared anchor-intersection tail of [[phraseMatches]] and
+    * [[TextIndex.phraseQuery]]: `votes` = (idCol, i, anchor). */
+  private[operators] def phraseTail(votes: DataFrame, idCol: String,
+      nSlots: Int): DataFrame =
+    votes
       .groupBy(col(idCol), col("anchor"))
       .agg(countDistinct(col("i")).as("hit"))
-      .filter(col("hit") === words.length)
+      .filter(col("hit") === nSlots)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"),
         min(col("anchor")).as("first_pos"))
-  }
 }

@@ -20,50 +20,54 @@ import graft.functions.TextFunctions
   */
 object TextIndex {
 
+  /** The session catalog is in-memory while the warehouse directory
+    * persists across JVMs: a table absent from THIS session's
+    * catalog whose location survived a previous process would fail
+    * saveAsTable with LOCATION_ALREADY_EXISTS. The orphan delete is
+    * scoped to IMMEDIATELY before the overwrite of that exact table
+    * (not a bulk sweep up front), which keeps the window in which a
+    * concurrent sibling session could lose its directory as small
+    * as the catalog API allows; fully concurrent builders against
+    * one warehouse need an external catalog (the in-memory catalog
+    * cannot arbitrate them). */
+  private def clearOrphanLocation(spark: SparkSession,
+      t: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    if (!spark.catalog.tableExists(t)) {
+      val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Build and persist the index tables for `corpus`. `table` must be
-    * an UNQUALIFIED name (the orphan-location cleanup below derives
-    * the warehouse path from it; a qualified `db.t` would compute a
-    * wrong path — rejected up front). */
+    * an UNQUALIFIED name (the orphan-location cleanup derives the
+    * warehouse path from it; a qualified `db.t` would compute a wrong
+    * path — rejected up front). */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 64): Unit = {
     require(!table.contains("."),
       s"TextIndex.build requires an unqualified table name, got $table")
     val spark = corpus.sparkSession
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    // The session catalog is in-memory while the warehouse directory
-    // persists across JVMs: a table absent from THIS session's
-    // catalog whose location survived a previous process would fail
-    // saveAsTable with LOCATION_ALREADY_EXISTS. The orphan delete is
-    // scoped to IMMEDIATELY before the overwrite of that exact table
-    // (not a bulk sweep up front), which keeps the window in which a
-    // concurrent sibling session could lose its directory as small
-    // as the catalog API allows; fully concurrent builders against
-    // one warehouse need an external catalog (the in-memory catalog
-    // cannot arbitrate them).
-    def clearOrphanLocation(t: String): Unit =
-      if (!spark.catalog.tableExists(t)) {
-        val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+    def clearOrphan(t: String): Unit = clearOrphanLocation(spark, t)
     val tf = Hybrid.termFrequencies(corpus, idCol, textCol)
     val docLen = corpus.select(col(idCol).as("doc"))
       .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
         Seq("doc"), "left")
     val postings = tf.join(docLen, Seq("doc"))
       .select(col("term"), col("doc"), col("tf"), col("dl"))
-    clearOrphanLocation(table)
+    clearOrphan(table)
     postings.write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
-    clearOrphanLocation(s"${table}_terms")
+    clearOrphan(s"${table}_terms")
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_terms")
     // n_docs counts every corpus doc (null-text docs included);
     // avgdl skips their null dl — identical to Hybrid.bm25's stats.
-    clearOrphanLocation(s"${table}_stats")
+    clearOrphan(s"${table}_stats")
     docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .write.mode("overwrite")
       .format("parquet").saveAsTable(s"${table}_stats")
@@ -92,5 +96,46 @@ object TextIndex {
       .join(spark.table(s"${table}_terms"), Seq("term"))
       .crossJoin(broadcast(spark.table(s"${table}_stats")))
     Hybrid.scoreBm25(joined, k1, b)
+  }
+
+  /** POSITIONAL postings `<table>_pos` (term, doc, pos), bucketed and
+    * sorted by term — the index-once form of
+    * [[Hybrid.phraseMatches]]. One extra token-stream shuffle at
+    * build time buys phrase queries that scan only the phrase's own
+    * posting lists. */
+  def buildPositional(corpus: DataFrame, idCol: String,
+      textCol: String, table: String, buckets: Int = 64): Unit = {
+    require(!table.contains("."),
+      s"TextIndex.buildPositional requires an unqualified table " +
+        s"name, got $table")
+    val spark = corpus.sparkSession
+    val pos = corpus
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc"), col("pos").cast("long").as("pos"))
+    clearOrphanLocation(spark, s"${table}_pos")
+    pos.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_pos")
+  }
+
+  /** Phrase query over the positional postings: the scan prunes to
+    * the phrase's terms (`PushedFilters: In(term, ...)` — pinned in
+    * TextIndexSpec), then the anchor-intersection tail shared with
+    * the per-call [[Hybrid.phraseMatches]] runs over ONLY those
+    * posting rows. Output: (doc, n_matches, first_pos). */
+  def phraseQuery(spark: SparkSession, table: String,
+      phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.nonEmpty, "empty phrase")
+    import spark.implicits._
+    val slots = words.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("i", "term")
+    val votes = spark.table(s"${table}_pos")
+      .filter(col("term").isInCollection(words))
+      .join(broadcast(slots), "term")
+      .select(col("doc"), col("i"),
+        (col("pos") - col("i")).cast("long").as("anchor"))
+    Hybrid.phraseTail(votes, "doc", words.length)
   }
 }

@@ -164,12 +164,39 @@ object PipelineQueries {
     graft.operators.SparseBm25.embed(documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** q121's phrase search served from the PERSISTED positional
+    * postings (`TextIndex.buildPositional` — built once per corpus
+    * with the q115 content-fingerprint device): the scan prunes to
+    * the phrase's own posting lists (`PushedFilters: In(term, ...)`)
+    * instead of tokenizing the corpus per query. Same oracle as q121
+    * — the two formulations must be value-identical. */
+  def q122PhraseIndexed(s: SparkSession, d: String): DataFrame = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fp = {
+      val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+      val fs = p.getFileSystem(hconf)
+      val st = fs.getFileStatus(p)
+      s"$d|documents.parquet:${st.getLen}:${st.getModificationTime}"
+    }
+    val table = "graft_q122_idx_" + java.security.MessageDigest
+      .getInstance("MD5").digest(fp.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    if (!s.catalog.tableExists(s"${table}_pos"))
+      graft.operators.TextIndex.buildPositional(
+        documents(s, d), "doc_id", "text", table)
+    graft.operators.TextIndex.phraseQuery(s, table, "table value")
+      .select(col("doc").as("doc_id"), col("n_matches"),
+        col("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_chunk_pipeline" -> (q35ChunkPipeline _),
     "q36_rag_pipeline" -> (q36RagPipeline _),
     "q37_hybrid_search" -> (q37HybridSearch _),
     "q115_hybrid_indexed" -> (q115HybridIndexed _),
     "q116_sparse_bm25" -> (q116SparseBm25 _),
+    "q122_phrase_indexed" -> (q122PhraseIndexed _),
     "q49_stream_barrier" -> (q49StreamBarrier _),
   )
 
@@ -467,6 +494,10 @@ object PipelineQueries {
     // deliberately q37's oracle: the persisted-index form must be
     // value-identical to the per-call form
     "q115_hybrid_indexed" -> q37Oracle,
+    // deliberately q121's oracle: the positional-index form must be
+    // value-identical to the per-call phrase scan
+    "q122_phrase_indexed" ->
+      graft.queries.TextQueries.oracle("q121_phrase_search"),
     "q49_stream_barrier" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS source_file,
         | COUNT(*) AS n_chunks,

@@ -56,6 +56,29 @@ class TextIndexSpec extends SparkTestBase {
     }
   }
 
+  test("positional phrase query equals the per-call phrase scan " +
+      "row-for-row, and the postings scan prunes to the phrase's " +
+      "terms (r5)") {
+    TextIndex.buildPositional(docs, "doc_id", "text", "ti_pos",
+      buckets = 8)
+    try {
+      val phrase = "table value"
+      val fromIndex = TextIndex.phraseQuery(spark, "ti_pos", phrase)
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(term"),
+        s"phrase terms must reach the parquet scan:\n$plan")
+      val got = fromIndex.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Hybrid.phraseMatches(docs, "doc_id", "text", phrase)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want && got.nonEmpty,
+        "persisted positional form must equal the corpus-scan form")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ti_pos_pos")
+    }
+  }
+
   test("termQuery returns exactly the posting lists of the asked " +
       "terms") {
     TextIndex.build(docs, "doc_id", "text", "ti_tq", buckets = 8)
