@@ -177,6 +177,19 @@ object ScaleBench {
         "span_rewrite" -> (() =>
           Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 5)
             .count()),
+        // char-level repeated spans (ExactSubstr approx): the work is
+        // the stride-1 window stream — K× docs → K× windows through
+        // ONE exchange; the island tail sees only repeated positions.
+        // NOTE the K≥2 corpora are maximally duplicated by
+        // construction (each replica shares its base doc's full
+        // text), so this row times the WORST duplication case: every
+        // position repeated, the island tail at full width.
+        "repeated_spans" -> (() =>
+          Dedup.repeatedCharSpans(docs, "doc_id", "text", window = 48)
+            .count()),
+        "phrase_percall" -> (() =>
+          graft.operators.Hybrid.phraseMatches(docs, "doc_id", "text",
+            "table value").count()),
         // SemDeDup at the paper's √n cell sizing: cluster with
         // k-means (bounded training sample), assign, dedup within
         // cells — the quadratic stays inside √n-sized cells.
