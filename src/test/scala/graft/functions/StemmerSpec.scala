@@ -109,6 +109,24 @@ class StemmerSpec extends AnyFunSuite {
       "communication" -> "communic")
   }
 
+  test("never throws and always returns lowercase on arbitrary input") {
+    val rnd = new scala.util.Random(20260813L)
+    val alphabets = Seq("abcdefghijklmnopqrstuvwxyz", "aeiouy'",
+      "bcdfg'", "xyz", "ss'ies'eed")
+    val inputs = (0 until 2000).map { i =>
+      val a = alphabets(i % alphabets.length)
+      (0 until rnd.nextInt(20)).map(_ => a(rnd.nextInt(a.length)))
+        .mkString
+    } ++ Seq("", "'", "''", "'''s'", "yyy", "sses", "ied", "eedly",
+      "ies", "ational", "ization", "ATIONAL", "ööö", "日本語")
+    inputs.foreach { w =>
+      val s = Stemmer.stem(w)
+      assert(s != null, s"stem($w)")
+      assert(s == s.toLowerCase(java.util.Locale.ROOT), s"stem($w)=$s")
+      assert(!s.contains("Y"), s"marker leaked: stem($w)=$s")
+    }
+  }
+
   test("null-safety, case folding, and corpus vocabulary") {
     assert(Stemmer.stem(null) === null)
     check("TABLE" -> "tabl",
