@@ -203,6 +203,20 @@ object Graft {
   def readTarSamples(spark: SparkSession, dir: String): DataFrame =
     operators.TarShards.readSamples(spark, dir)
 
+  /** WebDataset tar-shard sink: (sample, ext→bytes map) rows become
+    * `shard-NNNNN.tar` files under `dir` — md5-bucketed,
+    * bit-reproducible, readable by tar/tarfile/readTarSamples. */
+  def writeTarShards(samples: DataFrame, dir: String,
+      shards: Int): Unit =
+    operators.TarShards.writeShards(samples, dir, shards)
+
+  /** Exact contiguous-phrase matches: (id, n_matches, first_pos) per
+    * matching document — overlap-correct positional intersection
+    * ([[operators.Hybrid.phraseMatches]]). */
+  def phraseSearch(df: DataFrame, id: String, text: String,
+      phrase: String): DataFrame =
+    operators.Hybrid.phraseMatches(df, id, text, phrase)
+
   /** JL random projection of `vec` (inDim → outDim) appended as
     * `proj` — deterministic ±1 sign matrix, pure per-row codegen, no
     * shuffle ([[operators.Projection]]). */

@@ -111,4 +111,101 @@ object TarShards {
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("ext"), col("bytes"))))).as("members"))
   }
+
+  /** WebDataset tar-shard SINK — the write side of [[readSamples]]:
+    * each sample's ext→bytes members become `<sample>.<ext>` tar
+    * entries, samples are md5-bucketed into `shards` shards
+    * (deterministic, no RNG, engine-portable — the [[Split]] device)
+    * and each task streams its shards' tars to
+    * `<dir>/shard-NNNNN.tar` in one pass (sorted by (shard, sample),
+    * so memory holds one member at a time, never a shard).
+    *
+    * Headers are POSIX ustar with zeroed mtime/uid/gid and fixed
+    * mode, so shard bytes are BIT-REPRODUCIBLE: writing the same
+    * corpus twice yields identical files — the property downstream
+    * caching/dedup layers rely on. Round-trip and determinism are
+    * spec-pinned (TarShardsSpec).
+    *
+    * Input schema: (sample STRING, members MAP<STRING, BINARY>) —
+    * [[readSamples]]' output minus the shard column. */
+  def writeShards(samples: DataFrame, dir: String,
+      shards: Int): Unit = {
+    val n = math.max(shards, 1)
+    samples
+      .select(col("sample").cast("string").as("sample"),
+        col("members"))
+      .withColumn("_shard", pmod(
+        conv(substring(md5(col("sample")), 1, 8), 16, 10).cast("long"),
+        lit(n.toLong)).cast("int"))
+      .repartition(n, col("_shard"))
+      .sortWithinPartitions(col("_shard"), col("sample"))
+      .foreachPartition { rows: Iterator[Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(conf)
+        var current = -1
+        var out: java.io.OutputStream = null
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two zero trailer blocks
+          out.close()
+          out = null
+        }
+        while (rows.hasNext) {
+          val r = rows.next()
+          val sample = r.getString(0)
+          val members = r.getMap[String, Array[Byte]](1)
+          val shard = r.getInt(2)
+          if (shard != current) {
+            close()
+            current = shard
+            out = fs.create(new org.apache.hadoop.fs.Path(base,
+              f"shard-$shard%05d.tar"), true)
+          }
+          members.toSeq.sortBy(_._1).foreach { case (ext, bytes) =>
+            val name = if (ext.isEmpty) sample else s"$sample.$ext"
+            out.write(ustarHeader(name,
+              if (bytes == null) 0 else bytes.length))
+            if (bytes != null) {
+              out.write(bytes)
+              val pad = (512 - bytes.length % 512) % 512
+              if (pad > 0) out.write(new Array[Byte](pad))
+            }
+          }
+        }
+        close()
+      }
+  }
+
+  /** POSIX ustar header: zeroed mtime/uid/gid, mode 0644, typeflag
+    * '0' — every varying field is a pure function of (name, size) so
+    * output bytes are reproducible. Names longer than 100 bytes are
+    * rejected (WebDataset sample keys are short by construction). */
+  private[operators] def ustarHeader(name: String,
+      size: Long): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8")
+    require(nameB.length <= 100, s"member name too long: $name")
+    val h = new Array[Byte](512)
+    System.arraycopy(nameB, 0, h, 0, nameB.length)
+    def octal(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off,
+        len - 1) // trailing NUL stays zero
+    }
+    octal(420, 100, 8)  // mode 0644
+    octal(0, 108, 8)    // uid
+    octal(0, 116, 8)    // gid
+    octal(size, 124, 12)
+    octal(0, 136, 12)   // mtime
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
+    h(156) = '0'        // typeflag: regular file
+    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+    h(263) = '0'; h(264) = '0' // version "00" (magic NUL at 262)
+    val sum = h.map(_ & 0xff).sum
+    val chk = java.lang.Long.toOctalString(sum)
+    val chkPadded = ("0" * (6 - chk.length)) + chk
+    System.arraycopy(chkPadded.getBytes("US-ASCII"), 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    h
+  }
 }
