@@ -511,6 +511,26 @@ object TextFunctions {
     } else !isMostlyPrintableAsciiStr(s, 0.75)
   }
 
+  /** Aggressive-dedup canonical key (the CCNet/RefinedWeb "fuzzy
+    * exact" device): lowercase → Unicode NFC → collapse ASCII
+    * whitespace runs → trim, so texts differing only in case,
+    * composed-vs-decomposed accents, or spacing share one key. NFC
+    * (not NFKC) deliberately: NFC is what standard engine-side
+    * normalizers agree on bit-for-bit (the q123 oracle replays this
+    * with DuckDB's `nfc_normalize`), while NFKC compatibility
+    * foldings vary by library version. */
+  private[graft] def dedupKeyStr(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer
+      .normalize(s.toLowerCase(java.util.Locale.ROOT),
+        java.text.Normalizer.Form.NFC)
+      .replaceAll("\\s+", " ").trim
+
+  val dedupKeyUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => dedupKeyStr(s) }
+
+  def dedupKey(text: Column): Column = dedupKeyUdf(text)
+
   /** F1: mojibake repair as a scalar UDF — inherently a black-box
     * repair, not expressible as a column formula. */
   val fixMojibakeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =

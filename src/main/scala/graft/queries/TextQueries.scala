@@ -645,7 +645,40 @@ object TextQueries {
         "text", "table value")
       .orderBy(col("doc_id"))
 
+  /** Fixture rows exercising the normalized-dedup classes the ASCII
+    * corpus cannot: case, composed vs DECOMPOSED accents (the ́
+    * combining forms), spacing. Shared verbatim between the Spark
+    * side and the q123 oracle's VALUES list. */
+  private[queries] val DedupKeyFixture: Seq[(Long, String)] = Seq(
+    (9000001L, "Café déjà vu"),
+    (9000002L, "CAFÉ DÉJÀ VU"),
+    (9000003L, "  café   déjà vu  "),
+    (9000004L, "Café déjà vu"),
+    (9000005L, "cafe deja vu"))
+
+  /** Normalized ("fuzzy exact") dedup — the CCNet/RefinedWeb
+    * aggressive-dedup key: documents whose texts differ only in
+    * case, Unicode composition, or whitespace collapse to one
+    * canonical id ([[dedupKey]]). The corpus is unioned with
+    * [[DedupKeyFixture]] so every normalization class is actually
+    * exercised (and value-checked: the oracle replays the key with
+    * DuckDB's own `nfc_normalize`/`lower` — cross-library Unicode
+    * agreement is the point of using NFC). */
+  def q123NormalizedDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = DedupKeyFixture.toDF("doc_id", "text")
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(fixture)
+    docs
+      .withColumn("canonical_id", min(col("doc_id")).over(
+        Window.partitionBy(dedupKey(col("text")))))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_normalized_dedup" -> (q123NormalizedDedup _),
     "q121_phrase_search" -> (q121PhraseSearch _),
     "q120_neardup_survivors" -> (q120NearDupSurvivors _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
@@ -685,6 +718,21 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q123_normalized_dedup" -> {
+      val vals = DedupKeyFixture.map { case (id, t) =>
+        s"($id, '${t.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $vals) AS v(doc_id, text)),
+         |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+         |    trim(regexp_replace(nfc_normalize(lower(text)),
+         |      '\\s+', ' ', 'g'))) AS canonical_id
+         |  FROM all_docs)
+         |SELECT doc_id, canonical_id,
+         |  doc_id <> canonical_id AS is_dup
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "q121_phrase_search" ->
       """WITH t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
         |    string_split(text, ' ')[i] AS w

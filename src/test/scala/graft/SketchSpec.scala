@@ -64,6 +64,33 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("HLL sketches are MERGEABLE: union of per-day sketches " +
+      "equals the whole-corpus sketch exactly (incremental " +
+      "cardinality maintenance)") {
+    // The 100 TB pattern: sketch each ingest batch once, persist the
+    // binary sketch, union to answer "distinct over any window" —
+    // never recount. HLL registers are per-bucket maxima, so the
+    // union of disjoint partial sketches is IDENTICAL to one pass
+    // over everything (same lgK) — exact equality, not approximate.
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val unioned = daily
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), lit(false))).as("est"))
+      .head().getLong(0)
+    val whole = ev
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .head().getLong(0)
+    assert(unioned === whole,
+      s"union-of-parts must equal single-pass: $unioned vs $whole")
+    val exact = ev.select("user_id").distinct().count().toDouble
+    assert(math.abs(unioned - exact) / exact < 0.05,
+      s"estimate $unioned too far from exact $exact")
+  }
+
   test("bloom filter: no false negatives, FPP near the configured " +
       "bound (the join-pruning sketch)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -267,4 +267,17 @@ class TextFunctionsSpec extends SparkTestBase {
       .select(qualityScore(col("s"), Seq("the", "a"))).as[Double].collect()
     assert(r(0) > r(1))
   }
+
+  test("dedupKey canonicalizes case, composition, and spacing (r5)") {
+    val composed = "Café déjà vu"
+    val decomposed = "Café déjà vu"
+    val spaced = "  café   déjà vu\t"
+    val want = "café déjà vu"
+    Seq(composed, composed.toUpperCase, decomposed, spaced).foreach { s =>
+      assert(dedupKeyStr(s) === want, s"dedupKey($s)")
+    }
+    // accent-stripped text is a DIFFERENT key (NFC, not folding)
+    assert(dedupKeyStr("cafe deja vu") !== want)
+    assert(dedupKeyStr(null) === null)
+  }
 }
