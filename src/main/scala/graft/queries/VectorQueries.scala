@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Tables._
 import graft.functions.VectorFunctions._
 import graft.operators.{ProductQuantization, SimilaritySearch}
@@ -232,7 +233,33 @@ object VectorQueries {
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
       .orderBy(col("vec_id"), col("j"))
 
+  /** Retrieval-evaluation metrics ([[graft.operators.Eval]]): exact
+    * cosine top-10 (self excluded) scored against the same-label
+    * truth set — per-query recall@10, precision@10, MRR, NDCG@10.
+    * The NDCG log-gains are scaled to integers before summation
+    * (exact long sums, no float accumulation), so the oracle is
+    * value-exact, not approximately-equal. */
+  def q124RetrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    val ranked = SimilaritySearch.bruteForceTopKHeap(
+        queries, "vec_id", emb, "vec_id", "embedding", k = 11)
+      .filter(col("qid") =!= col("cid"))
+      .drop("rnk")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("score"), col("cid"))))
+      .filter(col("rnk") <= 10)
+    val truth = queries.select(col("vec_id").as("qid"), col("label"))
+      .join(emb.select(col("vec_id").as("cid"), col("label")), "label")
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+    graft.operators.Eval.retrievalMetrics(ranked, truth, k = 10)
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
     "q113_hard_negatives" -> (q113HardNegatives _),
     "q112_filtered_knn" -> (q112FilteredKnn _),
@@ -249,6 +276,51 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q124_retrieval_metrics" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_dot_product(q.e, c.e) /
+        |   (sqrt(list_dot_product(q.e, q.e)) *
+        |    sqrt(list_dot_product(c.e, c.e))) AS score
+        | FROM q, v c WHERE c.vec_id <> q.vec_id),
+        |ranked AS (
+        | SELECT qid, cid, ROW_NUMBER() OVER (
+        |   PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+        | FROM scored),
+        |results AS (SELECT * FROM ranked WHERE rnk <= 10),
+        |truth AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid
+        | FROM q JOIN v c ON c.label = q.label
+        |   AND c.vec_id <> q.vec_id),
+        |gold AS (SELECT qid, COUNT(*) AS n_gold FROM truth GROUP BY 1),
+        |rel AS (SELECT r.qid, r.rnk FROM results r
+        |  JOIN truth t ON r.qid = t.qid AND r.cid = t.cid),
+        |perq AS (SELECT qid, COUNT(*) AS hits,
+        |    MIN(rnk) AS min_rel_rank,
+        |    SUM(CAST(FLOOR(1e9 * LN(2) / LN(rnk + 1)) AS BIGINT))
+        |      AS dcg_s
+        |  FROM rel GROUP BY qid),
+        |ideal AS (SELECT g1.i,
+        |    SUM(CAST(FLOOR(1e9 * LN(2) / LN(g2.j + 1)) AS BIGINT))
+        |      AS cum
+        |  FROM generate_series(1, 10) g1(i),
+        |       generate_series(1, 10) g2(j)
+        |  WHERE g2.j <= g1.i GROUP BY g1.i)
+        |SELECT g.qid, g.n_gold,
+        |  COALESCE(p.hits, 0) AS hits,
+        |  CAST(COALESCE(p.hits, 0) AS DOUBLE) / g.n_gold
+        |    AS recall_at_k,
+        |  CAST(COALESCE(p.hits, 0) AS DOUBLE) / 10 AS precision_at_k,
+        |  COALESCE(1.0 / p.min_rel_rank, 0.0) AS mrr,
+        |  COALESCE(CAST(p.dcg_s AS DOUBLE) / CAST(i.cum AS DOUBLE),
+        |    0.0) AS ndcg_at_k
+        |FROM gold g
+        |LEFT JOIN perq p ON g.qid = p.qid
+        |JOIN ideal i ON i.i = LEAST(g.n_gold, 10)
+        |ORDER BY g.qid""".stripMargin,
     "q119_random_projection" ->
       """WITH s AS (
         |  SELECT i, j,
