@@ -67,8 +67,76 @@ object TextIndex {
       .format("parquet").saveAsTable(s"${table}_terms")
     // n_docs counts every corpus doc (null-text docs included);
     // avgdl skips their null dl — identical to Hybrid.bm25's stats.
+    // n_dl/sum_dl are the MERGEABLE form of avgdl (exact long sum,
+    // so [[appendDocs]] recombines bit-identically: integer-valued
+    // double partial sums are exact below 2^53).
     clearOrphan(s"${table}_stats")
-    docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        count(col("dl")).as("n_dl"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** Incrementally ADD documents to a persisted index — the
+    * maintenance path that makes the index-once story real at 100 TB
+    * (re-tokenizing a corpus to admit a day's new documents is not a
+    * plan): new postings APPEND into the bucketed table (same bucket
+    * spec, so probe joins stay bucket-local), the vocabulary-sized
+    * terms table merges document frequencies, and stats recombine
+    * from their mergeable (n, sum) form. TextIndexSpec proves
+    * build(A) + appendDocs(B) ≡ build(A ∪ B): postings, terms, stats,
+    * and BM25 scores all bit-identical. Caller contract: `newDocs`
+    * must be disjoint from the indexed corpus (same as any
+    * append-only ingest; [[Ingest.discover]]'s anti-join is the
+    * dedup gate). */
+  def appendDocs(newDocs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 64): Unit = {
+    require(!table.contains("."),
+      s"TextIndex.appendDocs requires an unqualified table name, " +
+        s"got $table")
+    val spark = newDocs.sparkSession
+    val tf = Hybrid.termFrequencies(newDocs, idCol, textCol)
+    val docLen = newDocs.select(col(idCol).as("doc"))
+      .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
+        Seq("doc"), "left")
+    tf.join(docLen, Seq("doc"))
+      .select(col("term"), col("doc"), col("tf"), col("dl"))
+      .write.mode("append")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    // merge document frequencies; localCheckpoint breaks the lineage
+    // so the overwrite does not read from the table it replaces
+    val mergedTerms = spark.table(s"${table}_terms")
+      .unionByName(
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+    mergedTerms.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_terms")
+    val inc = docLen.agg(count(lit(1)).as("n_docs"),
+      count(col("dl")).as("n_dl"), sum(col("dl")).as("sum_dl")).head()
+    val old = spark.table(s"${table}_stats")
+      .select(col("n_docs"), col("n_dl"), col("sum_dl")).head()
+    val nDocs = old.getLong(0) + inc.getLong(0)
+    val nDl = old.getLong(1) + inc.getLong(1)
+    val sumDl = (if (old.isNullAt(2)) 0L else old.getLong(2)) +
+      (if (inc.isNullAt(2)) 0L else inc.getLong(2))
+    val avgdl: java.lang.Double =
+      if (nDl == 0) null else sumDl.toDouble / nDl
+    val statsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("avgdl",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("n_dl",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_dl",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(nDocs, avgdl, nDl, sumDl)),
+        statsSchema)
       .write.mode("overwrite")
       .format("parquet").saveAsTable(s"${table}_stats")
   }

@@ -79,6 +79,48 @@ class TextIndexSpec extends SparkTestBase {
     }
   }
 
+  test("appendDocs: incremental build is bit-identical to the " +
+      "from-scratch build (r5)") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    TextIndex.build(even, "doc_id", "text", "ti_inc", buckets = 8)
+    TextIndex.appendDocs(odd, "doc_id", "text", "ti_inc", buckets = 8)
+    TextIndex.build(docs, "doc_id", "text", "ti_all", buckets = 8)
+    try {
+      def rows(t: String) = spark.table(t).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows("ti_inc") === rows("ti_all"), "postings differ")
+      def terms(t: String) = spark.table(t).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(terms("ti_inc_terms") === terms("ti_all_terms"),
+        "document frequencies differ")
+      val si = spark.table("ti_inc_stats")
+        .select("n_docs", "avgdl").head()
+      val sa = spark.table("ti_all_stats")
+        .select("n_docs", "avgdl").head()
+      assert(si.getLong(0) === sa.getLong(0))
+      assert(java.lang.Double.doubleToLongBits(si.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(sa.getDouble(1)),
+        "merged avgdl must be bit-identical to single-pass avg")
+      val bi = TextIndex.bm25(spark, "ti_inc", queries, "qid", "qtext")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val ba = TextIndex.bm25(spark, "ti_all", queries, "qid", "qtext")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(bi.keySet === ba.keySet && bi.nonEmpty)
+      bi.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(v) ===
+          java.lang.Double.doubleToLongBits(ba(k)), s"score at $k")
+      }
+    } finally {
+      Seq("ti_inc", "ti_inc_terms", "ti_inc_stats",
+        "ti_all", "ti_all_terms", "ti_all_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("termQuery returns exactly the posting lists of the asked " +
       "terms") {
     TextIndex.build(docs, "doc_id", "text", "ti_tq", buckets = 8)
