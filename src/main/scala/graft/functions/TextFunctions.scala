@@ -511,6 +511,34 @@ object TextFunctions {
     } else !isMostlyPrintableAsciiStr(s, 0.75)
   }
 
+  /** Deflate compression ratio (compressed bytes / raw UTF-8 bytes)
+    * — the machine-text / template signal several corpus-quality
+    * stacks gate on: boilerplate and generated spam compress far
+    * below organic prose. Fixed compression level, no preset
+    * dictionary → deterministic per content. SPEC-ONLY quality
+    * signal: no SQL engine exposes zlib, so unlike the other quality
+    * functions this one has no DuckDB oracle (TextFunctionsSpec pins
+    * the ordering contract instead). */
+  private[graft] def compressionRatioStr(s: String): Double = {
+    if (s == null || s.isEmpty) return 1.0
+    val raw = s.getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION, true)
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total.toDouble / raw.length
+  }
+
+  val compressionRatioUdf
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => compressionRatioStr(s) }
+
+  def compressionRatio(text: Column): Column = compressionRatioUdf(text)
+
   /** Aggressive-dedup canonical key (the CCNet/RefinedWeb "fuzzy
     * exact" device): lowercase → Unicode NFC → collapse ASCII
     * whitespace runs → trim, so texts differing only in case,

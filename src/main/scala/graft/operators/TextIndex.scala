@@ -171,21 +171,34 @@ object TextIndex {
     * [[Hybrid.phraseMatches]]. One extra token-stream shuffle at
     * build time buys phrase queries that scan only the phrase's own
     * posting lists. */
+  private def positionStream(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc"), col("pos").cast("long").as("pos"))
+
   def buildPositional(corpus: DataFrame, idCol: String,
       textCol: String, table: String, buckets: Int = 64): Unit = {
     require(!table.contains("."),
       s"TextIndex.buildPositional requires an unqualified table " +
         s"name, got $table")
-    val spark = corpus.sparkSession
-    val pos = corpus
-      .select(col(idCol).as("doc"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
-      .select(col("term"), col("doc"), col("pos").cast("long").as("pos"))
-    clearOrphanLocation(spark, s"${table}_pos")
-    pos.write.mode("overwrite")
+    clearOrphanLocation(corpus.sparkSession, s"${table}_pos")
+    positionStream(corpus, idCol, textCol).write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_pos")
   }
+
+  /** Incremental positional-postings append — [[appendDocs]]' twin
+    * for the phrase index (positional postings are per-document
+    * facts, so append IS the whole merge; same bucket spec keeps the
+    * probe bucket-local). Same disjointness contract as
+    * [[appendDocs]]. */
+  def appendDocsPositional(newDocs: DataFrame, idCol: String,
+      textCol: String, table: String, buckets: Int = 64): Unit =
+    positionStream(newDocs, idCol, textCol).write.mode("append")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_pos")
 
   /** Phrase query over the positional postings: the scan prunes to
     * the phrase's terms (`PushedFilters: In(term, ...)` — pinned in

@@ -268,6 +268,22 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(r(0) > r(1))
   }
 
+  test("compressionRatio orders template spam below organic prose " +
+      "(r5)") {
+    val template = "click here to win! " * 60
+    val prose = "The committee reviewed seventeen distinct proposals " +
+      "during March, rejecting eleven for budget overruns while " +
+      "advancing six toward a final vote scheduled after the summer " +
+      "recess concludes in September."
+    val rTemplate = compressionRatioStr(template)
+    val rProse = compressionRatioStr(prose)
+    assert(rTemplate < 0.1, s"template ratio $rTemplate")
+    assert(rProse > 0.4, s"prose ratio $rProse")
+    assert(rTemplate < rProse)
+    assert(compressionRatioStr("") === 1.0)
+    assert(compressionRatioStr(null) === 1.0)
+  }
+
   test("dedupKey canonicalizes case, composition, and spacing (r5)") {
     val composed = "Café déjà vu"
     val decomposed = "Café déjà vu"

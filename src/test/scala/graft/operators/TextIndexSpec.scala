@@ -79,6 +79,28 @@ class TextIndexSpec extends SparkTestBase {
     }
   }
 
+  test("appendDocsPositional: incremental phrase index equals the " +
+      "from-scratch build (r5)") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    TextIndex.buildPositional(even, "doc_id", "text", "ti_pinc",
+      buckets = 8)
+    TextIndex.appendDocsPositional(odd, "doc_id", "text", "ti_pinc",
+      buckets = 8)
+    TextIndex.buildPositional(docs, "doc_id", "text", "ti_pall",
+      buckets = 8)
+    try {
+      def hits(t: String) =
+        TextIndex.phraseQuery(spark, t, "table value").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(hits("ti_pinc") === hits("ti_pall"))
+      assert(hits("ti_pinc").nonEmpty)
+    } finally {
+      Seq("ti_pinc_pos", "ti_pall_pos")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("appendDocs: incremental build is bit-identical to the " +
       "from-scratch build (r5)") {
     val even = docs.filter(col("doc_id") % 2 === 0)
