@@ -174,6 +174,43 @@ object Split {
       .filter(col("group_rank") <= n)
   }
 
+  /** Deterministic EPOCH SHUFFLE with contiguous global positions —
+    * the training-order primitive ("globally shuffle the corpus,
+    * differently each epoch, identically on every run/engine"): each
+    * row's sort key is md5(epoch:id), so the permutation is a pure
+    * function of (epoch, id); `position` is its contiguous 0-based
+    * global rank.
+    *
+    * Scale shape: NO global sort. The md5 key's first two hex chars
+    * shard the corpus into 256 groups whose ordering is consistent
+    * with the full key's (prefix property), so global rank =
+    * per-shard rank (a 256-way partitioned window) + the shard's
+    * offset (a 256-row cumulative count that rides a broadcast).
+    * The oracle replays it as one flat ROW_NUMBER over the same key
+    * — the value-exact proof that the sharded form IS the global
+    * permutation. */
+  def epochShuffle(df: DataFrame, keyCol: String,
+      epoch: Int): DataFrame = {
+    val key = md5(concat(lit(epoch.toString), lit(":"),
+      col(keyCol).cast("string")))
+    val keyed = df.withColumn("_es_key", key)
+      .withColumn("_es_shard", substring(col("_es_key"), 1, 2))
+    val offsets = keyed.groupBy(col("_es_shard"))
+      .agg(count(lit(1)).as("_es_n"))
+      .withColumn("_es_off",
+        coalesce(sum(col("_es_n")).over(
+          Window.orderBy(col("_es_shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_es_shard"), col("_es_off"))
+    val rank = row_number().over(
+      Window.partitionBy(col("_es_shard"))
+        .orderBy(col("_es_key"), col(keyCol)))
+    keyed
+      .join(broadcast(offsets), Seq("_es_shard"))
+      .withColumn("position", col("_es_off") + rank - 1)
+      .drop("_es_key", "_es_shard", "_es_off")
+  }
+
   /** Leakage-aware split: rows whose keys are connected by `pairs`
     * (id_a, id_b — e.g. near-dup candidates from
     * [[Dedup.simhashNearDups]] or [[SimilaritySearch.cosineNearDupsBanded]])

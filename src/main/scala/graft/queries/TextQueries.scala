@@ -677,7 +677,19 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic epoch shuffle ([[graft.operators.Split
+    * .epochShuffle]]): the training-order permutation for epoch 3,
+    * value-checked — the oracle's flat global ROW_NUMBER must equal
+    * the engine's sharded-rank + offset construction exactly, which
+    * proves the no-global-sort form IS the global permutation. */
+  def q125EpochShuffle(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.epochShuffle(
+        documents(s, d).select(col("doc_id")), "doc_id", epoch = 3)
+      .select(col("doc_id"), col("position"))
+      .orderBy(col("position"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_epoch_shuffle" -> (q125EpochShuffle _),
     "q123_normalized_dedup" -> (q123NormalizedDedup _),
     "q121_phrase_search" -> (q121PhraseSearch _),
     "q120_neardup_survivors" -> (q120NearDupSurvivors _),
@@ -718,6 +730,12 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q125_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS position
+        |FROM documents ORDER BY position""".stripMargin,
     "q123_normalized_dedup" -> {
       val vals = DedupKeyFixture.map { case (id, t) =>
         s"($id, '${t.replace("'", "''")}')"

@@ -138,4 +138,24 @@ class SplitSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept.subsetOf(more))
   }
+
+  test("epochShuffle: contiguous positions, per-epoch permutations, " +
+      "run determinism (r5)") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    def perm(epoch: Int): Seq[Long] =
+      Split.epochShuffle(df, "id", epoch)
+        .orderBy("position").select("id")
+        .collect().map(_.getLong(0)).toSeq
+    val e1 = perm(1)
+    // a permutation with contiguous positions 0..n-1
+    assert(e1.toSet === (0L until 500L).toSet)
+    val pos = Split.epochShuffle(df, "id", 1)
+      .select("position").collect().map(_.getLong(0)).sorted
+    assert(pos === (0L until 500L).toArray)
+    // deterministic across runs, different across epochs, shuffled
+    assert(perm(1) === e1)
+    assert(perm(2) !== e1)
+    assert(e1 !== (0L until 500L).toSeq, "must not be identity order")
+  }
 }
