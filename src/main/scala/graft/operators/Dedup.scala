@@ -640,12 +640,17 @@ object Dedup {
       window: Int = 48): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
       .filter(length(col(textCol)) >= window)
+    // explode the POSITION sequence (ints), derive each window by
+    // substr AFTER the explode: materializing all windows as an
+    // in-memory array per row before exploding would hold ~window×
+    // the text size per document in one buffer (a 10 MB doc → ~500 MB
+    // array) — this form holds one position at a time
     val wins = docs
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), length(col(textCol)) - window),
-        i => struct(i.cast("long").as("pos"),
-          col(textCol).substr(i + 1, lit(window)).as("win")))).as("x"))
-      .select(col(idCol), col("x.pos").as("pos"), col("x.win").as("win"))
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), length(col(textCol)) - window))
+          .as("p"))
+      .select(col(idCol), col("p").cast("long").as("pos"),
+        col(textCol).substr(col("p") + 1, lit(window)).as("win"))
     // repeated-window detection as a windowed count: ONE pass over the
     // exploded stream and one exchange on the window content — the
     // groupBy+join-back form scans and explodes the corpus twice

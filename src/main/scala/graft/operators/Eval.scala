@@ -23,10 +23,22 @@ object Eval {
 
   private val Ln2 = math.log(2.0)
 
-  /** floor(1e9 · ln2/ln(r+1)) as a long — the scaled DCG term. */
-  private def scaledGain(rank: Column): Column =
-    floor(lit(1e9) * lit(Ln2) / log(rank.cast("double") + lit(1.0)))
-      .cast("long")
+  /** Scaled DCG gains for ranks 1..k — floor(1e9·ln2/ln(r+1)) —
+    * computed ONCE on the driver and shipped as literals to BOTH the
+    * plan and the q124 oracle. At power-of-two ranks the quotient is
+    * mathematically an exact integer (1e9/j at rank 2^j − 1), so the
+    * double sits within an ulp of the floor boundary: evaluating the
+    * floor inside each engine's own libm would make the "bit-exact"
+    * contract hostage to a 1-ulp ln() difference. As driver-side
+    * constants there is exactly ONE set of gains. */
+  def scaledGains(k: Int): Array[Long] =
+    Array.tabulate(k)(i =>
+      math.floor(1e9 * Ln2 / math.log(i.toDouble + 2.0)).toLong)
+
+  /** Cumulative gains: ideal DCG for a truth set of size i is
+    * `cum(min(i, k))`. */
+  def scaledGainCums(k: Int): Array[Long] =
+    scaledGains(k).scanLeft(0L)(_ + _).tail
 
   /** Per-query metrics of `results` (qid, cid, rnk — ranks 1-based,
     * already truncated to the list the system returned) against
@@ -40,18 +52,18 @@ object Eval {
     val gold = truth.select(col("qid"), col("cid")).distinct()
     val goldSizes = gold.groupBy(col("qid"))
       .agg(count(lit(1)).as("n_gold"))
+    val gains = typedlit(scaledGains(k).toSeq)
+    val cums = typedlit(scaledGainCums(k).toSeq)
     val rel = res.join(gold, Seq("qid", "cid"))
     val perQuery = rel.groupBy(col("qid")).agg(
       count(lit(1)).as("hits"),
       min(col("rnk")).as("min_rel_rank"),
-      sum(scaledGain(col("rnk"))).as("dcg_scaled"))
+      sum(element_at(gains, col("rnk").cast("int")))
+        .as("dcg_scaled"))
     // ideal DCG for a truth set of size g: the top min(g, k) ranks
-    // all relevant — same scaled-integer sum, computed per row from
-    // a sequence fold (bounded by k terms)
-    val idcg = aggregate(
-      sequence(lit(1), least(col("n_gold"), lit(k))),
-      lit(0L),
-      (acc, i) => acc + scaledGain(i))
+    // all relevant — the cumulative literal at min(g, k)
+    val idcg = element_at(cums,
+      least(col("n_gold"), lit(k.toLong)).cast("int"))
     goldSizes
       .join(perQuery, Seq("qid"), "left")
       .select(

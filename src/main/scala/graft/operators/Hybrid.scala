@@ -198,19 +198,29 @@ object Hybrid {
     * the corpus scan; the anchor-intersection tail is identical. */
   def phraseMatches(corpus: DataFrame, idCol: String, textCol: String,
       phrase: String): DataFrame = {
-    val words = phrase.trim.split("\\s+").toSeq
-    require(words.nonEmpty, "empty phrase")
+    val words = phraseWords(phrase)
     val spark = corpus.sparkSession
     import spark.implicits._
     val slots = words.zipWithIndex.map { case (w, i) => (i, w) }
       .toDF("i", "w")
     val votes = corpus
-      .select(col(idCol),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .select(col(idCol), posexplode(
+        graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "w")))
       .join(broadcast(slots), "w")
       .select(col(idCol),
         col("i"), (col("pos") - col("i")).cast("long").as("anchor"))
     phraseTail(votes, idCol, words.length)
+  }
+
+  /** Phrase → non-empty token slots. `"".split` returns Array("") —
+    * without the filter a blank phrase would "match" the empty tokens
+    * consecutive separators produce. */
+  private[operators] def phraseWords(phrase: String): Seq[String] = {
+    val words = Option(phrase).getOrElse("")
+      .trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(words.nonEmpty, "empty phrase")
+    words
   }
 
   /** Shared anchor-intersection tail of [[phraseMatches]] and

@@ -633,6 +633,22 @@ object MultimodalCodecs {
     private case class Blk(track: Long, tsTicks: Long, off: Int,
         len: Int, key: Boolean)
 
+    /** Plain vint (marker bit cleared, NO unknown-size sentinel) —
+      * block-header track numbers have no unknown semantics, so the
+      * all-ones values [[readSize]] maps to -1 are ordinary numbers
+      * here (track 127 encodes as the 1-byte all-ones 0xFF). */
+    private def readVint(b: Array[Byte], o: Int): Option[(Long, Int)] = {
+      if (o < 0 || o >= b.length) return None
+      val first = b(o) & 0xff
+      if (first == 0) return None
+      val width = Integer.numberOfLeadingZeros(first) - 23
+      if (width < 1 || width > 8 || o + width > b.length) return None
+      var v = (first & (0xff >>> width)).toLong
+      var i = 1
+      while (i < width) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      Some((v, width))
+    }
+
     /** Block/SimpleBlock payload: track vint + int16 relative
       * timestamp + flags byte + coded frame bytes. `keyOverride` is
       * the BlockGroup no-ReferenceBlock determination (plain Blocks
@@ -640,7 +656,7 @@ object MultimodalCodecs {
     private def parseBlock(b: Array[Byte], s: Int, e: Int,
         clusterTs: Long, keyOverride: Option[Boolean],
         out: scala.collection.mutable.ArrayBuffer[Blk]): Unit =
-      readSize(b, s) match {
+      readVint(b, s) match {
         case Some((track, tw)) if track > 0 =>
           val p = s + tw
           if (p + 3 <= e) {

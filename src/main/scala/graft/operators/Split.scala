@@ -191,8 +191,14 @@ object Split {
     * permutation. */
   def epochShuffle(df: DataFrame, keyCol: String,
       epoch: Int): DataFrame = {
-    val key = md5(concat(lit(epoch.toString), lit(":"),
-      col(keyCol).cast("string")))
+    // a null key would produce a null shard that the offsets count
+    // but the join drops — rows silently vanish AND every position
+    // shifts; fail fast instead (null keys also have no
+    // deterministic order among themselves)
+    val key = when(col(keyCol).isNull,
+      raise_error(lit(s"epochShuffle: null $keyCol")))
+      .otherwise(md5(concat(lit(epoch.toString), lit(":"),
+        col(keyCol).cast("string"))))
     val keyed = df.withColumn("_es_key", key)
       .withColumn("_es_shard", substring(col("_es_key"), 1, 2))
     val offsets = keyed.groupBy(col("_es_shard"))

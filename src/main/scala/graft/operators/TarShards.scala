@@ -134,6 +134,16 @@ object TarShards {
     samples
       .select(col("sample").cast("string").as("sample"),
         col("members"))
+      // fail FAST with a usable message instead of an opaque task
+      // NPE (null sample) or a silently-wrong read-back (a dotted
+      // sample key would re-split at the wrong '.' in readSamples)
+      .withColumn("sample",
+        when(col("sample").isNull, raise_error(
+          lit("writeShards: null sample key")))
+          .when(col("sample").contains("."), raise_error(concat(
+            lit("writeShards: sample key must not contain '.' " +
+              "(dots separate the extension): "), col("sample"))))
+          .otherwise(col("sample")))
       .withColumn("_shard", pmod(
         conv(substring(md5(col("sample")), 1, 8), 16, 10).cast("long"),
         lit(n.toLong)).cast("int"))
@@ -188,6 +198,11 @@ object TarShards {
     System.arraycopy(nameB, 0, h, 0, nameB.length)
     def octal(v: Long, off: Int, len: Int): Unit = {
       val s = java.lang.Long.toOctalString(v)
+      // an overflowing field would silently truncate the LAST octal
+      // digit and desync every later 512-byte block — reject instead
+      // (12-octal-digit size field caps members at 8 GiB - 1)
+      require(s.length <= len - 1,
+        s"ustar field overflow: $v does not fit $len octal bytes")
       val padded = ("0" * (len - 1 - s.length)) + s
       System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off,
         len - 1) // trailing NUL stays zero

@@ -95,7 +95,12 @@ object TextIndex {
       s"TextIndex.appendDocs requires an unqualified table name, " +
         s"got $table")
     val spark = newDocs.sparkSession
+    // materialize the increment's term frequencies ONCE: three
+    // actions consume tf (postings write, terms merge, stats agg) —
+    // without this the tokenize+groupBy re-executes per consumer,
+    // three scans of the batch whose whole point is incrementality
     val tf = Hybrid.termFrequencies(newDocs, idCol, textCol)
+      .localCheckpoint()
     val docLen = newDocs.select(col(idCol).as("doc"))
       .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
         Seq("doc"), "left")
@@ -171,11 +176,15 @@ object TextIndex {
     * [[Hybrid.phraseMatches]]. One extra token-stream shuffle at
     * build time buys phrase queries that scan only the phrase's own
     * posting lists. */
+  // TextFunctions.tokens is the ONE engine tokenizer — positions must
+  // come from the same splitter as the BM25 postings for this table,
+  // or a future tokenizer change silently de-synchronizes them
   private def positionStream(corpus: DataFrame, idCol: String,
       textCol: String): DataFrame =
     corpus
       .select(col(idCol).as("doc"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
       .select(col("term"), col("doc"), col("pos").cast("long").as("pos"))
 
   def buildPositional(corpus: DataFrame, idCol: String,
@@ -207,8 +216,7 @@ object TextIndex {
     * posting rows. Output: (doc, n_matches, first_pos). */
   def phraseQuery(spark: SparkSession, table: String,
       phrase: String): DataFrame = {
-    val words = phrase.trim.split("\\s+").toSeq
-    require(words.nonEmpty, "empty phrase")
+    val words = Hybrid.phraseWords(phrase)
     import spark.implicits._
     val slots = words.zipWithIndex.map { case (w, i) => (i, w) }
       .toDF("i", "term")

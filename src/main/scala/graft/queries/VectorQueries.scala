@@ -276,8 +276,19 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    "q124_retrieval_metrics" ->
-      """WITH v AS (SELECT vec_id, label,
+    "q124_retrieval_metrics" -> {
+      // the gain table is driver-computed ONCE and interpolated into
+      // both the plan and this SQL (see Eval.scaledGains) — no libm
+      // floor evaluated inside either engine
+      val gains = graft.operators.Eval.scaledGains(10)
+      val cums = graft.operators.Eval.scaledGainCums(10)
+      val gainVals = gains.zipWithIndex
+        .map { case (g, i) => s"(${i + 1}, ${g}::BIGINT)" }
+        .mkString(", ")
+      val cumVals = cums.zipWithIndex
+        .map { case (c, i) => s"(${i + 1}, ${c}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH v AS (SELECT vec_id, label,
         |    CAST(embedding AS DOUBLE[]) e FROM embeddings),
         |q AS (SELECT * FROM v WHERE vec_id < 10),
         |scored AS (
@@ -296,19 +307,15 @@ object VectorQueries {
         | FROM q JOIN v c ON c.label = q.label
         |   AND c.vec_id <> q.vec_id),
         |gold AS (SELECT qid, COUNT(*) AS n_gold FROM truth GROUP BY 1),
+        |gains(rnk, gain) AS (SELECT * FROM (VALUES $gainVals)),
+        |ideal(i, cum) AS (SELECT * FROM (VALUES $cumVals)),
         |rel AS (SELECT r.qid, r.rnk FROM results r
         |  JOIN truth t ON r.qid = t.qid AND r.cid = t.cid),
-        |perq AS (SELECT qid, COUNT(*) AS hits,
-        |    MIN(rnk) AS min_rel_rank,
-        |    SUM(CAST(FLOOR(1e9 * LN(2) / LN(rnk + 1)) AS BIGINT))
-        |      AS dcg_s
-        |  FROM rel GROUP BY qid),
-        |ideal AS (SELECT g1.i,
-        |    SUM(CAST(FLOOR(1e9 * LN(2) / LN(g2.j + 1)) AS BIGINT))
-        |      AS cum
-        |  FROM generate_series(1, 10) g1(i),
-        |       generate_series(1, 10) g2(j)
-        |  WHERE g2.j <= g1.i GROUP BY g1.i)
+        |perq AS (SELECT rel.qid, COUNT(*) AS hits,
+        |    MIN(rel.rnk) AS min_rel_rank,
+        |    SUM(gains.gain) AS dcg_s
+        |  FROM rel JOIN gains ON gains.rnk = rel.rnk
+        |  GROUP BY rel.qid)
         |SELECT g.qid, g.n_gold,
         |  COALESCE(p.hits, 0) AS hits,
         |  CAST(COALESCE(p.hits, 0) AS DOUBLE) / g.n_gold
@@ -320,7 +327,8 @@ object VectorQueries {
         |FROM gold g
         |LEFT JOIN perq p ON g.qid = p.qid
         |JOIN ideal i ON i.i = LEAST(g.n_gold, 10)
-        |ORDER BY g.qid""".stripMargin,
+        |ORDER BY g.qid""".stripMargin
+    },
     "q119_random_projection" ->
       """WITH s AS (
         |  SELECT i, j,

@@ -430,6 +430,20 @@ class MultimodalCodecsSpec extends SparkTestBase {
     // fail-closed on non-EBML and truncated inputs
     assert(MkvVideo.info("not matroska".getBytes) === None)
     assert(MkvVideo.sampleFrames(bytes.take(30), 3) === Nil)
+    // track 127: the 1-byte ALL-ONES vint (0xFF) — a plain number in
+    // block headers, not the size-field unknown sentinel
+    val t127 = {
+      val trackV = el(0xAEL, uintEl(0xD7L, 127) ++ uintEl(0x83L, 1) ++
+        el(0x86L, "V_VP9".getBytes("US-ASCII")))
+      val cl = el(0x1F43B675L, uintEl(0xE7L, 0) ++
+        el(0xA3L, blockPayload(127, 0, key = true, "K127")))
+      el(0x1A45DFA3L, Array.emptyByteArray) ++
+        el(0x18538067L, el(0x1654AE6BL, trackV) ++ cl)
+    }
+    assert(MkvVideo.info(t127).map(i => (i.videoTrack, i.nKey)) ===
+      Some((127L, 1)))
+    assert(MkvVideo.sampleFrames(t127, 1).map(new String(_)) ===
+      Seq("K127"))
     // the decoder routes Matroska ahead of the stub boundary
     val routed = MultimodalCodecs.JdkImageDecoder.sampleFrames(bytes, 2)
     assert(routed.map(new String(_)) === Seq("K0", "K1"))
