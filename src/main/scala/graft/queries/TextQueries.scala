@@ -688,7 +688,37 @@ object TextQueries {
       .select(col("doc_id"), col("position"))
       .orderBy(col("position"))
 
+  /** The CORPUS MATERIALIZATION — the one query that builds the
+    * training corpus: q117's quality gates (language, word floor,
+    * mean word length, lexical diversity, exact-dedup keeper) feed
+    * q120's near-dup removal (LSH → Jaccard ≥0.5 → components →
+    * min-id survivors) computed OVER THE QUALITY SURVIVORS, and the
+    * kept documents come out with their source. The oracle is the
+    * full composition of both replays — the hash match proves the
+    * stages compose, not just that each works alone. */
+  def q126CorpusMaterialization(s: SparkSession,
+      d: String): DataFrame = {
+    val w = tokens(col("text"))
+    val mwl =
+      (length(col("text")) - (size(w) - 1)).cast("double") / size(w)
+    val diversity = size(array_distinct(w)).cast("double") / size(w)
+    val quality = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .withColumn("keeper", row_number().over(
+        Window.partitionBy(md5(col("text")))
+          .orderBy(col("doc_id"))) === 1)
+      .filter(col("lang") === "en" && size(w) >= 20 &&
+        mwl >= 3.9 && diversity >= 0.35 && col("keeper"))
+      .drop("keeper")
+    Dedup.nearDupDedup(quality, "doc_id", "text",
+        threshold = 0.5, shingleN = 3, numHashes = 16, bands = 4,
+        maxDf = 50)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_corpus_materialization" -> (q126CorpusMaterialization _),
     "q125_epoch_shuffle" -> (q125EpochShuffle _),
     "q123_normalized_dedup" -> (q123NormalizedDedup _),
     "q121_phrase_search" -> (q121PhraseSearch _),
@@ -730,6 +760,78 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q117's quality replay feeding q120's dedup replay, computed
+    // over the quality survivors — the composed corpus build.
+    "q126_corpus_materialization" ->
+      s"""WITH RECURSIVE fq AS (
+        |  SELECT doc_id, lang, source, text,
+        |    string_split(text, ' ') AS w,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, source, text FROM fq
+        |  WHERE lang = 'en' AND len(w) >= 20
+        |    AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+        |      >= 3.9
+        |    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.35
+        |    AND rn = 1),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' ')) - 2),
+        |   i -> string_split(text,' ')[i] || ' ' ||
+        |        string_split(text,' ')[i+1] || ' ' ||
+        |        string_split(text,' ')[i+2])) AS ss
+        | FROM kept WHERE len(string_split(text,' ')) >= 3),
+        |hs AS (
+        | SELECT doc_id, list_transform(ss,
+        |   s -> ('0x' || substr(md5(s), 1, 7))::UBIGINT::BIGINT) AS hv
+        | FROM sh WHERE len(ss) > 0),
+        |mh AS (
+        | SELECT doc_id, list_transform(generate_series(0, 15),
+        |   p -> list_min(list_transform(hv, h ->
+        |     ((${Dedup.MhA1}*p + ${Dedup.MhA0}) * h
+        |      + (${Dedup.MhB1}*p + ${Dedup.MhB0}))
+        |      % ${Dedup.MhMod}))) AS sig
+        | FROM hs),
+        |bands AS (
+        | SELECT doc_id, band,
+        |  md5(CAST(sig[band*4+1] AS VARCHAR) || '|' ||
+        |      CAST(sig[band*4+2] AS VARCHAR) || '|' ||
+        |      CAST(sig[band*4+3] AS VARCHAR) || '|' ||
+        |      CAST(sig[band*4+4] AS VARCHAR)) AS bh
+        | FROM mh, (SELECT unnest(generate_series(0, 3)) AS band)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |   AND a.doc_id < b.doc_id),
+        |shk AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |kgr AS (SELECT doc_id, s FROM shk WHERE s IN (
+        |   SELECT s FROM shk GROUP BY s HAVING COUNT(*) <= 50)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kgr GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        | FROM kgr a JOIN kgr b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |jac AS (SELECT c.id_a, c.id_b,
+        |   CAST(common AS DOUBLE) / (x.n + y.n - common) AS j
+        | FROM common c JOIN sizes x ON c.id_a = x.doc_id
+        |   JOIN sizes y ON c.id_b = y.doc_id),
+        |ver AS (SELECT jac.id_a, jac.id_b FROM jac
+        | JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+        | WHERE jac.j >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM ver
+        |      UNION ALL SELECT id_b, id_a FROM ver),
+        |reach AS (
+        | SELECT src, dst FROM e
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, MIN(dst) AS mn
+        |         FROM reach GROUP BY src)
+        |SELECT k.doc_id, k.source FROM kept k
+        |LEFT JOIN comp c ON k.doc_id = c.id
+        |WHERE LEAST(k.doc_id, COALESCE(c.mn, k.doc_id)) = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     "q125_epoch_shuffle" ->
       """SELECT doc_id,
         |  ROW_NUMBER() OVER (
