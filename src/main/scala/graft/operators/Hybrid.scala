@@ -140,6 +140,42 @@ object Hybrid {
       .select(col("qid"), col("doc"), col("fused_score"), col("rnk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) —
+    * the rank-only fusion alternative to [[dbsfFuse]]: each branch
+    * contributes 1/(k0 + rank) and docs absent from a branch
+    * contribute nothing. Qdrant ships exactly this pair of fusion
+    * modes (RRF | DBSF) for the reference's hybrid prefetch shape, so
+    * the engine carries both.
+    *
+    * Determinism: ranks are branch-local row_numbers with the
+    * engine-wide (score DESC, doc) tie-break, and the fused score is
+    * a TWO-term IEEE sum in fixed branch order (dense + sparse) — no
+    * distribution statistics, no variable-length folds, so the
+    * operator is value-exact with no ordering tricks at all.
+    *
+    * Scale: identical shape to [[dbsfFuse]] — a full-outer join of
+    * two bounded per-query prefetch sets; the rank windows run over
+    * those bounded sets (≤ prefetch-limit rows per query), never over
+    * the corpus. */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame, k: Int,
+      k0: Int = 60): DataFrame = {
+    def ranked(dfr: DataFrame, out: String): DataFrame =
+      dfr.withColumn(out, row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(desc("score"), col("doc"))))
+        .select(col("qid"), col("doc"), col(out))
+    val fused = ranked(dense, "_rd")
+      .join(ranked(sparse, "_rs"), Seq("qid", "doc"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (col("_rd") + lit(k0)), lit(0.0))
+          + coalesce(lit(1.0) / (col("_rs") + lit(k0)), lit(0.0)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("rrf_score"), col("doc"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("doc"), col("rrf_score"), col("rnk"))
+  }
+
   /** T2/V5 end-to-end hybrid search with the reference's prefetch
     * limits (dense 50, sparse 100, `database_qdrant_sparse_testing
     * .py:33-42`): dense cosine + sparse BM25 → DBSF → top-k. */
@@ -147,6 +183,30 @@ object Hybrid {
       vecCol: String, queries: DataFrame, qidCol: String,
       qtextCol: String, qvecCol: String, k: Int,
       denseLimit: Int = 50, sparseLimit: Int = 100): DataFrame = {
+    val (dense, sparse) = hybridBranches(index, idCol, textCol, vecCol,
+      queries, qidCol, qtextCol, qvecCol, denseLimit, sparseLimit)
+    dbsfFuse(dense, sparse, k)
+  }
+
+  /** [[hybridSearch]] with reciprocal-rank fusion ([[rrfFuse]]) in
+    * place of DBSF — same branches, rank-only combination. */
+  def hybridSearchRrf(index: DataFrame, idCol: String, textCol: String,
+      vecCol: String, queries: DataFrame, qidCol: String,
+      qtextCol: String, qvecCol: String, k: Int,
+      denseLimit: Int = 50, sparseLimit: Int = 100,
+      k0: Int = 60): DataFrame = {
+    val (dense, sparse) = hybridBranches(index, idCol, textCol, vecCol,
+      queries, qidCol, qtextCol, qvecCol, denseLimit, sparseLimit)
+    rrfFuse(dense, sparse, k, k0)
+  }
+
+  /** The shared prefetch branches of the hybrid searches: bounded
+    * dense cosine top-`denseLimit` and BM25 top-`sparseLimit` per
+    * query, both as (qid, doc, score). */
+  private def hybridBranches(index: DataFrame, idCol: String,
+      textCol: String, vecCol: String, queries: DataFrame,
+      qidCol: String, qtextCol: String, qvecCol: String,
+      denseLimit: Int, sparseLimit: Int): (DataFrame, DataFrame) = {
     val dense = SimilaritySearch.bruteForceTopKHeap(
       queries.select(col(qidCol), col(qvecCol).as(vecCol)), qidCol,
       index.select(col(idCol), col(vecCol)), idCol, vecCol, denseLimit)
@@ -154,7 +214,7 @@ object Hybrid {
     val sparse = prefetch(
       bm25(index, idCol, textCol, queries, qidCol, qtextCol),
       sparseLimit)
-    dbsfFuse(dense, sparse, k)
+    (dense, sparse)
   }
 
   /** [[hybridSearch]] with the sparse leg served from a PERSISTED

@@ -66,6 +66,16 @@ object PipelineQueries {
     * value-checked against the DuckDB oracle, closing the round-1
     * "libm ulp drift" waiver. */
   def q37HybridSearch(s: SparkSession, d: String): DataFrame = {
+    val (index, queries) = hybridInputs(s, d)
+    Hybrid.hybridSearch(index, "doc_id", "text", "vec",
+      queries, "qid", "qtext", "qvec", k = 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** The shared hybrid-search inputs: embedded corpus (documents ⋈
+    * embeddings) and the first 5 documents' openings as queries. */
+  private def hybridInputs(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val emb = embeddings(s, d).select(col("vec_id").as("doc_id"),
       col("embedding").cast("array<double>").as("vec"))
     val index = documents(s, d).select(col("doc_id"), col("text"))
@@ -75,7 +85,17 @@ object PipelineQueries {
         substring(col("text"), 1, 80).as("qtext"))
       .join(emb.select(col("doc_id").as("qid"), col("vec").as("qvec")),
         "qid")
-    Hybrid.hybridSearch(index, "doc_id", "text", "vec",
+    (index, queries)
+  }
+
+  /** q37's hybrid retrieval with RECIPROCAL-RANK fusion — the other
+    * fusion mode Qdrant exposes for the reference's dense+sparse
+    * prefetch shape (rank-only, no distribution statistics): same
+    * branches, 1/(60+rank) contributions, fused top-5. Value-exact
+    * with no float folds at all (a two-term IEEE sum per doc). */
+  def q127HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val (index, queries) = hybridInputs(s, d)
+    Hybrid.hybridSearchRrf(index, "doc_id", "text", "vec",
       queries, "qid", "qtext", "qvec", k = 5)
       .orderBy(col("qid"), col("rnk"))
   }
@@ -194,6 +214,7 @@ object PipelineQueries {
     "q35_chunk_pipeline" -> (q35ChunkPipeline _),
     "q36_rag_pipeline" -> (q36RagPipeline _),
     "q37_hybrid_search" -> (q37HybridSearch _),
+    "q127_hybrid_rrf" -> (q127HybridRrf _),
     "q115_hybrid_indexed" -> (q115HybridIndexed _),
     "q116_sparse_bm25" -> (q116SparseBm25 _),
     "q122_phrase_indexed" -> (q122PhraseIndexed _),
@@ -373,8 +394,12 @@ object PipelineQueries {
     * z-normalization with order-fixed folds (every double fold seeds
     * 0.0 and runs in the same element order as the engine), full
     * outer fusion, top-5. */
-  private val q37Oracle: String =
-    """WITH emb AS (SELECT vec_id AS doc_id,
+  /** Shared CTE prefix of the hybrid-search oracles: embedded corpus,
+    * queries, dense cosine prefetch 50 and BM25 sparse prefetch 100
+    * (floor-truncated idf, term-ordered folds) — ends with `dense`
+    * and `sparse` CTEs of (qid, doc, score). */
+  private val hybridBranchCtes: String =
+    """emb AS (SELECT vec_id AS doc_id,
       |  CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
       |docs AS (SELECT d.doc_id, d.text, e.vec
       |  FROM documents d JOIN emb e USING (doc_id)),
@@ -415,7 +440,10 @@ object PipelineQueries {
       |sparse AS (SELECT qid, doc, score FROM (
       |  SELECT *, ROW_NUMBER() OVER (
       |    PARTITION BY qid ORDER BY score DESC, doc) AS r FROM sparse0)
-      | WHERE r <= 100),
+      | WHERE r <= 100)""".stripMargin
+
+  private val q37Oracle: String =
+    s"""WITH $hybridBranchCtes,
       |dst AS (SELECT qid, list(score ORDER BY doc) AS ss, COUNT(*) AS n
       |  FROM dense GROUP BY qid),
       |dmu AS (SELECT qid, n, ss,
@@ -448,6 +476,27 @@ object PipelineQueries {
       |SELECT qid, doc, fused_score, rnk FROM (
       | SELECT *, ROW_NUMBER() OVER (
       |   PARTITION BY qid ORDER BY fused_score DESC, doc) AS rnk
+      | FROM fused)
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** The q127 oracle: the shared hybrid branches, branch-local ranks
+    * with the (score DESC, doc) tie-break, and the two-term RRF sum
+    * — the fusion tail is rank arithmetic only. */
+  private val q127Oracle: String =
+    s"""WITH $hybridBranchCtes,
+      |rd AS (SELECT qid, doc, ROW_NUMBER() OVER (
+      |   PARTITION BY qid ORDER BY score DESC, doc) AS r FROM dense),
+      |rs AS (SELECT qid, doc, ROW_NUMBER() OVER (
+      |   PARTITION BY qid ORDER BY score DESC, doc) AS r FROM sparse),
+      |fused AS (SELECT COALESCE(rd.qid, rs.qid) AS qid,
+      |  COALESCE(rd.doc, rs.doc) AS doc,
+      |  COALESCE(1.0e0 / (rd.r + 60), 0.0e0)
+      |    + COALESCE(1.0e0 / (rs.r + 60), 0.0e0) AS rrf_score
+      | FROM rd FULL OUTER JOIN rs
+      |  ON rd.qid = rs.qid AND rd.doc = rs.doc)
+      |SELECT qid, doc, rrf_score, rnk FROM (
+      | SELECT *, ROW_NUMBER() OVER (
+      |   PARTITION BY qid ORDER BY rrf_score DESC, doc) AS rnk
       | FROM fused)
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
@@ -490,6 +539,7 @@ object PipelineQueries {
     "q35_chunk_pipeline" -> q35Oracle,
     "q36_rag_pipeline" -> q36Oracle,
     "q37_hybrid_search" -> q37Oracle,
+    "q127_hybrid_rrf" -> q127Oracle,
     "q116_sparse_bm25" -> q116Oracle,
     // deliberately q37's oracle: the persisted-index form must be
     // value-identical to the per-call form

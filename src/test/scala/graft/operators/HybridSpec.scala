@@ -69,6 +69,37 @@ class HybridSpec extends SparkTestBase {
     assert(got.select("qid").distinct().head().getLong(0) === 7L)
   }
 
+  test("rrfFuse: hand-checked 1/(60+r) sums, absent branch adds 0") {
+    import spark.implicits._
+    val dense = Seq(
+      (1L, 101L, 0.9), (1L, 102L, 0.8), (1L, 103L, 0.1))
+      .toDF("qid", "doc", "score")
+    val sparse = Seq(
+      (1L, 101L, 12.0), (1L, 104L, 11.0), (1L, 103L, 1.0))
+      .toDF("qid", "doc", "score")
+    val got = Hybrid.rrfFuse(dense, sparse, k = 4)
+      .orderBy("rnk")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toList
+    // dense ranks: 101→1, 102→2, 103→3; sparse: 101→1, 104→2, 103→3
+    assert(got === List(
+      101L -> (1.0 / 61 + 1.0 / 61),
+      103L -> (1.0 / 63 + 1.0 / 63),
+      102L -> 1.0 / 62,   // ties 104 on score; doc id breaks the tie
+      104L -> 1.0 / 62))
+  }
+
+  test("rrfFuse: rank ties within a branch break on doc id") {
+    import spark.implicits._
+    val dense = Seq((1L, 5L, 0.5), (1L, 3L, 0.5))
+      .toDF("qid", "doc", "score")
+    val sparse = Seq((1L, 9L, 1.0)).toDF("qid", "doc", "score")
+    val got = Hybrid.rrfFuse(dense, sparse, k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1)).toList
+    // doc 3 gets dense rank 1 (same score as 5, lower id), then 9
+    // (sparse rank 1 = 1/61) beats 5 (dense rank 2 = 1/62)
+    assert(got === List(3L, 9L, 5L))
+  }
+
   test("phraseMatches: anchor intersection counts overlapping " +
       "matches and handles repeated phrase words (r5)") {
     import spark.implicits._
