@@ -147,6 +147,90 @@ object SimilaritySearch {
     bruteForceTopKHeap(queries, queryIdCol, corpus.filter(predicate),
       corpusIdCol, vecCol, k)
 
+  /** Maximal-marginal-relevance diversification (Carbonell &
+    * Goldstein, SIGIR 1998) of a per-query retrieval shortlist: pick
+    * `k` results greedily, each step taking the candidate maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(cand, s)` — relevance traded
+    * against redundancy with what is already picked. The RAG-side
+    * answer to near-duplicate contexts: D1's exact-dup drop removes
+    * identical chunks, MMR removes *semantically* redundant ones.
+    *
+    * `shortlist` is (qid, cid, score) — rel = score, typically from
+    * [[bruteForceTopKHeap]]; `corpus` supplies the candidate vectors
+    * for the pairwise-similarity leg.
+    *
+    * Scale shape: candidate-pair similarities are an equi-join on qid
+    * of two shortlist copies — per-query work is shortlist² (a
+    * constant, e.g. 20² = 400), distributed across queries; the k
+    * greedy steps are k bounded join+window jobs over frames keyed by
+    * qid, with the loop state localCheckpointed so the iteration
+    * never compounds lineage. Nothing in the loop touches the corpus
+    * again after the single vector join.
+    *
+    * Determinism: rel and sim are the engine-standard sequential-fold
+    * cosines; `max(sim)` is order-independent; the MMR score is one
+    * fixed-shape expression (λ and 1−λ are driver-computed literals);
+    * ties break on cid. Every step is therefore value-exact — the
+    * q128 oracle replays the greedy loop as k chained SQL stages.
+    *
+    * Output: (qid, cid, score, mmr_score, rnk) — rnk = selection
+    * order 1..k. */
+  def mmrDiversify(shortlist: DataFrame, corpus: DataFrame,
+      corpusIdCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    val vecs = corpus.select(col(corpusIdCol).as("cid"),
+      col(vecCol).cast("array<double>").as("vec"),
+      l2Norm(col(vecCol).cast("array<double>")).as("norm"))
+    // One bounded frame per query (shortlist rows + their vectors),
+    // served from block storage to the pair join and all k steps.
+    val cand = shortlist.select(col("qid"), col("cid"), col("score"))
+      .join(vecs, "cid")
+      .localCheckpoint()
+    val pairs = cand.select(col("qid"), col("cid"),
+        col("vec"), col("norm"))
+      .join(cand.select(col("qid"), col("cid").as("other"),
+          col("vec").as("ovec"), col("norm").as("onorm")),
+        Seq("qid"))
+      .filter(col("cid") =!= col("other"))
+      .select(col("qid"), col("cid"), col("other"),
+        (dotF64(col("vec"), col("ovec"))
+          / (col("norm") * col("onorm"))).as("sim"))
+      .localCheckpoint()
+    val rel = cand.select(col("qid"), col("cid"), col("score"))
+    var selected: DataFrame = null
+    var i = 1
+    while (i <= k) {
+      val remaining =
+        if (selected == null) rel
+        else rel.join(selected.select(col("qid"), col("cid")),
+          Seq("qid", "cid"), "left_anti")
+      val withMax =
+        if (selected == null)
+          remaining.withColumn("_maxsim", lit(null).cast("double"))
+        else remaining.join(
+          pairs.join(selected.select(col("qid"),
+              col("cid").as("other")), Seq("qid", "other"))
+            .groupBy(col("qid"), col("cid"))
+            .agg(max(col("sim")).as("_maxsim")),
+          Seq("qid", "cid"), "left")
+      val step = withMax
+        .withColumn("mmr_score",
+          lit(lambda) * col("score")
+            - lit(1.0 - lambda) * coalesce(col("_maxsim"), lit(0.0)))
+        .withColumn("_r", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(desc("mmr_score"), col("cid"))))
+        .filter(col("_r") === 1)
+        .select(col("qid"), col("cid"), col("score"),
+          col("mmr_score"), lit(i).as("rnk"))
+      selected =
+        (if (selected == null) step else selected.unionByName(step))
+          .localCheckpoint()
+      i += 1
+    }
+    selected
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by
     * within-cluster cosine similarity. The corpus is first bucketed
     * into clusters (`cellCol` — k-means cells from
