@@ -151,11 +151,15 @@ object MultimodalCodecs {
       while (o + 8 <= to) {
         val id = tag(bytes, o)
         val len = le32(bytes, o + 4)
-        if (len < 0 || o + 8 + len > to) return
+        // Bounds math in Long: a near-Int.MaxValue declared length
+        // overflows `o + 8 + len` to a negative Int, defeating the
+        // guard and crashing the task on the next le32 — a corrupt
+        // blob must end the walk (fail-closed), never throw.
+        if (len < 0 || o + 8L + len > to) return
         if (id == "LIST" || id == "RIFF") {
           if (len >= 4) walk(bytes, o + 12, o + 8 + len)(f)
         } else f(id, o + 8, len)
-        o += 8 + len + (len & 1)
+        o = (o + 8L + len + (len & 1)).toInt
       }
     }
 
@@ -392,6 +396,10 @@ object MultimodalCodecs {
           if (e - s < 12) return Vector.empty
           val fixed = be32(bytes, s + 4)
           val n = be32(bytes, s + 8).toInt
+          // untrusted 32-bit count: a corrupt stsz declaring ~2^31
+          // fixed-size samples would allocate a multi-GB vector; every
+          // real sample occupies ≥1 byte, so n > file size = damaged
+          if (n < 0 || n > bytes.length) return Vector.empty
           if (fixed != 0) Vector.fill(n)(fixed)
           else if (e - s < 12 + 4L * n) return Vector.empty
           else (0 until n).map(i => be32(bytes, s + 12 + 4 * i)).toVector
@@ -768,7 +776,11 @@ object MultimodalCodecs {
             fmt = Some((le16(bytes, o + 10), le32(bytes, o + 12),
               le16(bytes, o + 22)))
           else if (id == "data") dataLen = len
-          o += 8 + len + (len & 1)
+          // advance in Long: `o + 8 + len` overflows Int for len near
+          // Int.MaxValue, turning the cursor negative and crashing the
+          // next le32 instead of failing closed
+          val next = o.toLong + 8 + len + (len & 1)
+          if (next > bytes.length) walking = false else o = next.toInt
         }
       }
       for ((ch, rate, bits) <- fmt if dataLen >= 0 && ch > 0 &&
@@ -792,7 +804,8 @@ object MultimodalCodecs {
           if (len < 0) walking = false // corrupt length: fail closed
           else {
             if (id == "data") { dataOff = o + 8; dataLen = len }
-            o += 8 + len + (len & 1)
+            val next = o.toLong + 8 + len + (len & 1) // Long: see info
+            if (next > bytes.length) walking = false else o = next.toInt
           }
         }
         val nSamples =

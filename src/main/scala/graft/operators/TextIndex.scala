@@ -77,6 +77,42 @@ object TextIndex {
       .format("parquet").saveAsTable(s"${table}_stats")
   }
 
+  /** Append journal location: a plain parquet directory next to the
+    * index tables (path-based, not catalog-based, so markers survive
+    * and are visible across JVMs/sessions sharing the warehouse). */
+  private def journalPath(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${table.toLowerCase}_applog")
+
+  private def journalMark(spark: SparkSession, table: String,
+      batchId: String, state: String): Unit = {
+    import spark.implicits._
+    Seq((batchId, state)).toDF("batch_id", "state")
+      .coalesce(1).write.mode("append")
+      .parquet(journalPath(spark, table).toString)
+  }
+
+  /** True iff every appendDocs batch that BEGAN also COMMITTED — the
+    * detection half of the append failure contract (see
+    * [[appendDocs]]). A `false` means a crash landed between the
+    * postings append and the stats overwrite: postings and df/avgdl
+    * may disagree, and the only safe recovery is [[build]] from the
+    * full corpus (re-running the failed append would double-count the
+    * batch's postings). */
+  def appendConsistent(spark: SparkSession, table: String): Boolean = {
+    val p = journalPath(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return true
+    spark.read.parquet(p.toString)
+      .groupBy(col("batch_id"))
+      .agg(sum(when(col("state") === "commit", 1).otherwise(0))
+        .as("commits"))
+      .filter(col("commits") === 0)
+      .isEmpty
+  }
+
   /** Incrementally ADD documents to a persisted index — the
     * maintenance path that makes the index-once story real at 100 TB
     * (re-tokenizing a corpus to admit a day's new documents is not a
@@ -88,13 +124,26 @@ object TextIndex {
     * and BM25 scores all bit-identical. Caller contract: `newDocs`
     * must be disjoint from the indexed corpus (same as any
     * append-only ingest; [[Ingest.discover]]'s anti-join is the
-    * dedup gate). */
+    * dedup gate).
+    *
+    * FAILURE CONTRACT — the append is NOT atomic across the three
+    * tables (postings append, then terms overwrite, then stats
+    * overwrite; the in-memory catalog has no multi-table
+    * transaction). A crash mid-append leaves postings ahead of
+    * df/avgdl. Detection: each append writes a `begin` marker to the
+    * path-based journal before touching any table and a `commit`
+    * marker after the stats land; [[appendConsistent]] flags any
+    * begun-but-uncommitted batch. Recovery: [[build]] from the full
+    * corpus — re-running the failed append would double-count its
+    * postings. */
   def appendDocs(newDocs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 64): Unit = {
     require(!table.contains("."),
       s"TextIndex.appendDocs requires an unqualified table name, " +
         s"got $table")
     val spark = newDocs.sparkSession
+    val batchId = java.util.UUID.randomUUID().toString
+    journalMark(spark, table, batchId, "begin")
     // materialize the increment's term frequencies ONCE: three
     // actions consume tf (postings write, terms merge, stats agg) —
     // without this the tokenize+groupBy re-executes per consumer,
@@ -144,6 +193,7 @@ object TextIndex {
         statsSchema)
       .write.mode("overwrite")
       .format("parquet").saveAsTable(s"${table}_stats")
+    journalMark(spark, table, batchId, "commit")
   }
 
   /** Posting-list lookup: all (term, doc, tf) rows for `terms`,

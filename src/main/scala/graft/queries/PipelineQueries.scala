@@ -148,13 +148,8 @@ object PipelineQueries {
     // parquet in place changes length or mtime, so a stale persisted
     // index can never silently serve the old corpus, and the guard
     // costs milliseconds against the ~10s build it protects.
-    val hconf = s.sparkContext.hadoopConfiguration
-    val fp = Seq("documents.parquet", "embeddings.parquet").map { f =>
-      val p = new org.apache.hadoop.fs.Path(d, f)
-      val fs = p.getFileSystem(hconf)
-      val st = fs.getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
-    }.mkString(s"$d|", "|", "")
+    val fp = contentFingerprint(s, d,
+      Seq("documents.parquet", "embeddings.parquet"))
     val table = "graft_q115_idx_" + java.security.MessageDigest
       .getInstance("MD5").digest(fp.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
@@ -179,10 +174,24 @@ object PipelineQueries {
     * tokenization (lowercase, \w-split, NLTK stopwords; stemming
     * deliberately omitted — [[graft.operators.SparseBm25]] scaladoc +
     * NOTES quantify the divergence). The oracle re-derives the ids
-    * with the pure-SQL murmur3 CTEs — value-exact, not rows-only. */
+    * with the pure-SQL murmur3 CTEs — value-exact, not rows-only.
+    *
+    * Registered output is SCALAR-ONLY (driver-comparator contract:
+    * no array/struct columns — pandas `sort_values` cannot order
+    * ndarray cells, the r05 q116 red row): the production sparse
+    * vectors are posexploded to one (doc_id, n_terms, pos,
+    * term_index, weight) row per term, which also value-checks the
+    * id-ascending array order (`pos` must equal the oracle's per-doc
+    * rank of `term_index`). */
   def q116SparseBm25(s: SparkSession, d: String): DataFrame =
     graft.operators.SparseBm25.embed(documents(s, d), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_terms"),
+        posexplode(arrays_zip(col("indices"), col("values"))))
+      .select(col("doc_id"), col("n_terms"),
+        col("pos").cast("long").as("pos"),
+        col("col.indices").as("term_index"),
+        col("col.values").as("weight"))
+      .orderBy(col("doc_id"), col("term_index"))
 
   /** q121's phrase search served from the PERSISTED positional
     * postings (`TextIndex.buildPositional` — built once per corpus
@@ -191,13 +200,7 @@ object PipelineQueries {
     * instead of tokenizing the corpus per query. Same oracle as q121
     * — the two formulations must be value-identical. */
   def q122PhraseIndexed(s: SparkSession, d: String): DataFrame = {
-    val hconf = s.sparkContext.hadoopConfiguration
-    val fp = {
-      val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
-      val fs = p.getFileSystem(hconf)
-      val st = fs.getFileStatus(p)
-      s"$d|documents.parquet:${st.getLen}:${st.getModificationTime}"
-    }
+    val fp = contentFingerprint(s, d, Seq("documents.parquet"))
     val table = "graft_q122_idx_" + java.security.MessageDigest
       .getInstance("MD5").digest(fp.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
@@ -208,6 +211,30 @@ object PipelineQueries {
       .select(col("doc").as("doc_id"), col("n_matches"),
         col("first_pos"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Leaf-file content fingerprint of dataset inputs: recursive
+    * listing of each input path, every LEAF file's path+len+mtime.
+    * Directory-status fingerprints are wrong on object stores (S3A
+    * returns synthetic len-0/mtime-0 statuses for "directories", so a
+    * regenerated corpus would silently serve a stale index); leaf
+    * statuses are real everywhere, and the listing is metadata-only.
+    * Works whether the input is a single parquet file or a
+    * directory-of-part-files. */
+  private def contentFingerprint(s: SparkSession, d: String,
+      inputs: Seq[String]): String = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    inputs.flatMap { f =>
+      val p = new org.apache.hadoop.fs.Path(d, f)
+      val fs = p.getFileSystem(hconf)
+      val it = fs.listFiles(p, true)
+      val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        leaves += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+      leaves.sorted
+    }.mkString(s"$d|", "|", "")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -505,7 +532,8 @@ object PipelineQueries {
     * mmh3 token ids via the pure-SQL murmur3 CTEs over the DISTINCT
     * vocabulary (vocab-sized, not stream-sized), the fastembed weight
     * formula with the constants built by the same IEEE ops the engine
-    * uses, and id-sorted sparse vectors. */
+    * uses, and one (doc, pos, term_index, weight) row per sparse
+    * term, id-ascending (the posexploded scalar reshape). */
   private val q116Oracle: String = {
     val stoplist = graft.operators.SparseBm25.EnglishStopwords
       .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
@@ -529,10 +557,12 @@ object PipelineQueries {
       |      AS DECIMAL(18,9))) AS DOUBLE) AS v
       |  FROM tf JOIN dl USING (doc_id) JOIN ids ON tf.tok = ids.v_tok
       |  GROUP BY 1, 2)
-      |SELECT doc_id, COUNT(*) AS n_terms,
-      |  list(idx ORDER BY idx) AS indices,
-      |  list(v ORDER BY idx) AS values
-      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |SELECT doc_id,
+      |  COUNT(*) OVER (PARTITION BY doc_id) AS n_terms,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) - 1
+      |    AS pos,
+      |  idx AS term_index, v AS weight
+      |FROM w ORDER BY doc_id, term_index""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

@@ -346,6 +346,30 @@ class MultimodalCodecsSpec extends SparkTestBase {
     assert(routed.map(new String(_)) === Seq(frames(0), frames(2)))
   }
 
+  test("Mp4Video treats an implausible stsz sample count as damaged " +
+      "(no multi-GB allocation, r6)") {
+    import MultimodalCodecs.Mp4Video
+    val (bytes, _) = mp4Bytes()
+    // locate the stsz box; its payload is be(version, fixedSize,
+    // count) — patch count (payload offset 8) to ~2^31. A fixed-size
+    // stsz with an unbounded count would otherwise Vector.fill a
+    // multi-GB vector (advisor finding, r5): must read as damaged
+    // (empty sample tables), not allocate.
+    val tag = "stsz".getBytes("US-ASCII")
+    val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+      bytes(i) == tag(0) && bytes(i + 1) == tag(1) &&
+      bytes(i + 2) == tag(2) && bytes(i + 3) == tag(3)).get
+    val patched = bytes.clone()
+    val cnt = 0x7fff0000
+    patched(at + 12) = (cnt >> 24).toByte
+    patched(at + 13) = (cnt >> 16).toByte
+    patched(at + 14) = (cnt >> 8).toByte
+    patched(at + 15) = cnt.toByte
+    val info = Mp4Video.info(patched).get
+    assert(info.nSamples === 0 && info.nSync === 0)
+    assert(Mp4Video.sampleFrames(patched, 3) === Nil)
+  }
+
   // ---- hand-built minimal Matroska (EBML) fixture -----------------
   private def ebmlId(id: Long): Array[Byte] = {
     val w = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2

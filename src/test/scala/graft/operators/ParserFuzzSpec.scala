@@ -166,6 +166,33 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("near-Int.MaxValue declared chunk lengths fail closed " +
+      "(Int-overflow pattern, r6)") {
+    // `o + 8 + len` overflows Int for len near Int.MaxValue, turning
+    // the walk cursor negative and defeating a same-width bounds
+    // guard — a byte pattern the fixed-seed random flips above never
+    // produced (advisor finding, r5). The walks must end cleanly.
+    def patchLe32(b: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      c(off) = v.toByte; c(off + 1) = (v >> 8).toByte
+      c(off + 2) = (v >> 16).toByte; c(off + 3) = (v >> 24).toByte
+      c
+    }
+    // fmt chunk length (offset 16) and data chunk length (offset 40)
+    for (off <- Seq(16, 40); len <- Seq(0x7ffffff0, 0x7fffffff)) {
+      val w = patchLe32(validWav(), off, len)
+      MultimodalCodecs.WavAudio.info(w)
+      MultimodalCodecs.WavAudio.rmsFeatures(w, 16)
+      MultimodalCodecs.audioHash64(w)
+    }
+    // AVI: first chunk after the RIFF header (JUNK len at offset 16)
+    for (len <- Seq(0x7ffffff0, 0x7fffffff)) {
+      val a = patchLe32(validAvi(), 16, len)
+      MultimodalCodecs.AviVideo.info(a)
+      MultimodalCodecs.AviVideo.sampleFrames(a, 3)
+    }
+  }
+
   test("PdfTextExtractor pages/isStructurallyValid fail closed") {
     fuzz("PdfText", validPdf()) { b =>
       PdfTextExtractor.pages(b)

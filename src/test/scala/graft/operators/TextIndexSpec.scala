@@ -143,6 +143,36 @@ class TextIndexSpec extends SparkTestBase {
     }
   }
 
+  test("appendDocs journal: committed appends read consistent, a " +
+      "begun-but-uncommitted batch is detected (r6)") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    TextIndex.build(even, "doc_id", "text", "ti_jr", buckets = 8)
+    try {
+      assert(TextIndex.appendConsistent(spark, "ti_jr"),
+        "fresh build (no journal) must read consistent")
+      TextIndex.appendDocs(odd, "doc_id", "text", "ti_jr", buckets = 8)
+      assert(TextIndex.appendConsistent(spark, "ti_jr"),
+        "committed append must read consistent")
+      // simulate a crash between the postings append and the stats
+      // overwrite: a begin marker with no commit
+      import spark.implicits._
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "ti_jr_applog")
+      Seq(("crashed-batch", "begin")).toDF("batch_id", "state")
+        .write.mode("append").parquet(p.toString)
+      assert(!TextIndex.appendConsistent(spark, "ti_jr"),
+        "unmatched begin marker must flag the index inconsistent")
+    } finally {
+      Seq("ti_jr", "ti_jr_terms", "ti_jr_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "ti_jr_applog")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   test("termQuery returns exactly the posting lists of the asked " +
       "terms") {
     TextIndex.build(docs, "doc_id", "text", "ti_tq", buckets = 8)

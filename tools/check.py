@@ -51,6 +51,16 @@ def main(sf_dir, out_dir):
             print(f"ERROR    {name}: {e}")
             n_bad += 1
             continue
+        # Driver-comparator parity: the driver sorts the pandas frame by
+        # ALL columns; array/struct cells crash pandas sort_values
+        # (unhashable ndarray — the r05 q116 red row). Fail loudly here
+        # so no registered query ever ships a non-scalar output column.
+        try:
+            spark_df.sort_values(by=list(spark_df.columns))
+        except Exception as e:
+            print(f"UNSORTABLE {name}: driver comparator would crash: {e}")
+            n_bad += 1
+            continue
         s_cols = sorted(spark_df.columns)
         o_cols = sorted(oracle_df.columns)
         if s_cols != o_cols:
