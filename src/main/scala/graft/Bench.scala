@@ -29,6 +29,22 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // The indexed-serve queries (q115/q122) build their persisted
+    // index ON FIRST USE per corpus (content-fingerprint guard): in a
+    // fresh bench JVM that one-time build otherwise lands inside the
+    // first measurement, overstating steady state ~4x (r05 verdict).
+    // Run them once up front so the measured pass times SERVE, and
+    // report the build cost honestly as its own field.
+    val indexed = Seq("q115_hybrid_indexed", "q122_phrase_indexed")
+      .filter(selected.contains)
+    val idxBuild = {
+      val t0 = System.nanoTime()
+      indexed.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+      math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+    }
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -44,7 +60,7 @@ object Bench {
     val total =
       if (results.nonEmpty) math.rint(results.values.sum * 1000) / 1000
       else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build":$idxBuild,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
