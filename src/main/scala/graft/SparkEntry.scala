@@ -17,6 +17,7 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
+    (FixtureQueries.queries, FixtureQueries.oracle),
     (graft.analytics.SqlSuite.queries, graft.analytics.SqlSuite.oracle),
   )
 
