@@ -222,6 +222,24 @@ object ScaleBench {
               .as("name"))).reduce(_ unionByName _)
           Dedup.fuzzyMatches(names, "name", maxDist = 2).count()
         }),
+        // composed corpus build (q126): quality funnel + exact keeper
+        // → banded near-dup removal, over K corpus replicas WITH
+        // lang/source retained. NOTE: replicas of one base doc are
+        // near-duplicates of each other by construction (3-shingles
+        // almost fully shared), so K≥2 times the build under MAXIMAL
+        // near-duplication — the LSH/verify/components tail at full
+        // candidate width, the worst realistic case.
+        "corpus_build" -> (() => {
+          val base = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("text"))
+          val scaled = (0 until k).map(r =>
+            base.select((col("doc_id") + lit(r * 1000000L))
+              .as("doc_id"), col("lang"), col("source"),
+              concat(col("text"), lit(s" replica$r")).as("text")))
+            .reduce(_ unionByName _)
+          graft.queries.TextQueries.corpusBuild(scaled).count()
+        }),
         "simhash_exhaustive_tiled" -> (() =>
           graft.queries.TextQueries.simhashPairsOver(docs).count()),
         "simhash_banded" -> (() =>

@@ -696,13 +696,17 @@ object TextQueries {
     * kept documents come out with their source. The oracle is the
     * full composition of both replays — the hash match proves the
     * stages compose, not just that each works alone. */
-  def q126CorpusMaterialization(s: SparkSession,
-      d: String): DataFrame = {
+  /** The composed corpus build over an ARBITRARY documents frame
+    * (doc_id, lang, source, text): q117's quality funnel + exact
+    * keeper, then q120's near-dup removal over the survivors. q126
+    * registers this over the sf dir; ScaleBench sweeps the same
+    * composition at K× corpus replicas. */
+  def corpusBuild(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
     val mwl =
       (length(col("text")) - (size(w) - 1)).cast("double") / size(w)
     val diversity = size(array_distinct(w)).cast("double") / size(w)
-    val quality = documents(s, d)
+    val quality = docs
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .withColumn("keeper", row_number().over(
         Window.partitionBy(md5(col("text")))
@@ -714,8 +718,11 @@ object TextQueries {
         threshold = 0.5, shingleN = 3, numHashes = 16, bands = 4,
         maxDf = 50)
       .select(col("doc_id"), col("source"))
-      .orderBy(col("doc_id"))
   }
+
+  def q126CorpusMaterialization(s: SparkSession,
+      d: String): DataFrame =
+    corpusBuild(documents(s, d)).orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_corpus_materialization" -> (q126CorpusMaterialization _),
