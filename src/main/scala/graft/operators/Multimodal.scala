@@ -148,6 +148,27 @@ object Multimodal {
       "media_id", "dhash", bits = 64, bands = bands,
       maxHamming = maxHamming)
 
+  /** End-to-end VIDEO-frame near-dup mining: sample keyframes from
+    * every video container whose frames decode locally (MJPEG-AVI
+    * today — MP4/MKV keyframe PAYLOADS extract but their H.264/VP9
+    * bytes stay opaque behind the declared codec service boundary),
+    * dHash64 each decoded frame, and run the banded Hamming join.
+    * Output (id_a, id_b, hamming) over "mediaId#frameIndex" ids —
+    * catches the same shot re-cut into another file, the video leg
+    * of LAION-class dedup. Scale shape: frame explode (bounded by
+    * framesPerVideo) → 8-byte hash per frame → the same banded join
+    * as text simhash; never an all-pairs frame scan. */
+  def videoFrameNearDups(media: DataFrame, decoder: Decoder,
+      framesPerVideo: Int = 8, bands: Int = 8,
+      maxHamming: Int = 7): DataFrame = {
+    val frames = sampleFrames(media, decoder, framesPerVideo)
+      .select(
+        concat(col("media_id"), lit("#"), col("frame_index"))
+          .as("media_id"),
+        col("frame_bytes").as("bytes"))
+    imageNearDups(frames, bands, maxHamming)
+  }
+
   /** Near-duplicate AUDIO mining: RMS-envelope gradient hash
     * ([[MultimodalCodecs.audioHash64]]) + the same banded Hamming
     * join — catches re-encoded / re-leveled duplicates of a clip. */

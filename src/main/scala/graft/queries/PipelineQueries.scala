@@ -237,8 +237,25 @@ object PipelineQueries {
     }.mkString(s"$d|", "|", "")
   }
 
+  /** §2.6 lifecycle reporting, value-checked: the SAME
+    * [[graft.streaming.StreamingIngest.fileCompleteness]] view the
+    * streaming sink is monitored with (per-file chunk counts,
+    * completeness verdict, duplicate count — the reference's
+    * `ingestion_lifecycle` dashboard analog, `docs/analytics.md`),
+    * computed over the batch chunk pipeline whose chunk math the
+    * oracle re-derives in SQL. The timestamp/window columns are
+    * sink-only (processing time, not value-checkable) and are
+    * excluded; StreamingIngestSpec asserts them on a live sink. */
+  def q132FileCompleteness(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingIngest.fileCompleteness(
+        Ingest.ingestMarkdown(asMarkdownDocs(s, d)))
+      .select(col("source_file"), col("n_chunks"),
+        col("expected_chunks"), col("complete"), col("n_dup_chunks"))
+      .orderBy(col("source_file"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_chunk_pipeline" -> (q35ChunkPipeline _),
+    "q132_file_completeness" -> (q132FileCompleteness _),
     "q36_rag_pipeline" -> (q36RagPipeline _),
     "q37_hybrid_search" -> (q37HybridSearch _),
     "q127_hybrid_rrf" -> (q127HybridRrf _),
@@ -565,8 +582,22 @@ object PipelineQueries {
       |FROM w ORDER BY doc_id, term_index""".stripMargin
   }
 
+  /** q132 oracle: the chunk CTEs' per-file truth — chunk count,
+    * declared total, completeness (count and distinct indexes both
+    * equal the total), and duplicate chunk ids. */
+  private val q132Oracle: String =
+    s"""WITH $chunkCtes
+      |SELECT source_file, COUNT(*) AS n_chunks,
+      | MAX(n_chunks) AS expected_chunks,
+      | (COUNT(*) = MAX(n_chunks) AND
+      |  COUNT(DISTINCT chunk_index) = MAX(n_chunks)) AS complete,
+      | COUNT(*) - COUNT(DISTINCT chunk_id) AS n_dup_chunks
+      |FROM chunks GROUP BY source_file
+      |ORDER BY source_file""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q35_chunk_pipeline" -> q35Oracle,
+    "q132_file_completeness" -> q132Oracle,
     "q36_rag_pipeline" -> q36Oracle,
     "q37_hybrid_search" -> q37Oracle,
     "q127_hybrid_rrf" -> q127Oracle,

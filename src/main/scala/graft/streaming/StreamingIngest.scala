@@ -71,11 +71,50 @@ object StreamingIngest {
     embedded
       .withColumn("doc_bucket",
         pmod(xxhash64(col("document_id")), lit(buckets)))
+      // processing-time stamp for the §2.6 lifecycle reporting
+      // ([[fileCompleteness]]); assigned post-barrier, so a file's
+      // chunks are stamped within one visibility commit
+      .withColumn("ingested_at", current_timestamp())
       .writeStream.format("parquet")
       .option("path", indexDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .start()
+  }
+
+  /** §2.6 operational reporting over the streaming sink — the
+    * streaming-mode analog of the reference's `ingestion_lifecycle`
+    * dashboards (`docs/analytics.md`: per-file stage counts and
+    * latencies over the DuckDB lifecycle table): per source file, the
+    * chunk count vs the chunker's declared total, a completeness
+    * verdict (exactly-once check: every index present exactly once),
+    * duplicate-chunk count, and the ingest window (first→last chunk
+    * visibility — the barrier makes a file's chunks land in ONE
+    * commit, so a wide window flags a barrier/sink fault). Pure
+    * batch DataFrame over the sink's parquet: runs identically on a
+    * live sink directory or any sink-shaped chunk frame (without an
+    * `ingested_at` column the window columns are null). */
+  def fileCompleteness(index: DataFrame): DataFrame = {
+    val hasTs = index.columns.contains("ingested_at")
+    def ts(c: => org.apache.spark.sql.Column) =
+      if (hasTs) c else lit(null).cast("timestamp")
+    index.groupBy(col("source_file"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        max(col("total_chunks")).cast("long").as("expected_chunks"),
+        countDistinct(col("chunk_index")).as("_n_idx"),
+        countDistinct(col("chunk_id")).as("_n_ids"),
+        ts(min(col("ingested_at"))).as("first_ingested_at"),
+        ts(max(col("ingested_at"))).as("last_ingested_at"))
+      .select(col("source_file"), col("n_chunks"),
+        col("expected_chunks"),
+        (col("n_chunks") === col("expected_chunks") &&
+          col("_n_idx") === col("expected_chunks")).as("complete"),
+        (col("n_chunks") - col("_n_ids")).as("n_dup_chunks"),
+        col("first_ingested_at"), col("last_ingested_at"),
+        ((unix_millis(col("last_ingested_at")) -
+          unix_millis(col("first_ingested_at"))).cast("double") / 1e3)
+          .as("ingest_window_sec"))
   }
 }
