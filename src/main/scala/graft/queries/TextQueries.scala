@@ -490,6 +490,58 @@ object TextQueries {
     graft.operators.Importance.dsirWeights(
       multilingualDocs(s, d), "doc_id", "text", col("lang") === "en")
 
+  /** Per-language marker phrases planted into document text for the
+    * q133/q134 classifier demonstration — they make the `lang` label
+    * genuinely learnable from token features (the synthetic corpus
+    * text is otherwise language-independent), so the held-out
+    * confusion matrix measures a REAL decision boundary. The zh
+    * marker is CJK so the character-level tokenizer path is inside
+    * the value-checked surface. */
+  private val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog",
+    "es" -> "el veloz zorro marron salta sobre el perro",
+    "de" -> "der schnelle braune fuchs springt über den hund",
+    "fr" -> "le renard brun rapide saute par dessus le chien",
+    "zh" -> "敏捷的棕色狐狸跳过懒狗")
+
+  private def langMarkedDocs(s: SparkSession, d: String): DataFrame = {
+    val marker = LangMarkers.tail.foldLeft(
+      when(col("lang") === LangMarkers.head._1, lit(LangMarkers.head._2))) {
+      case (acc, (l, m)) => acc.when(col("lang") === l, lit(m))
+    }.otherwise(lit(""))
+    documents(s, d).select(col("doc_id"), col("lang"),
+      concat(marker, lit(" "), col("text")).as("text"))
+  }
+
+  /** Model-based quality filtering (GPT-3 appx A / LLaMA §2.1
+    * classifier leg): a hashed-unigram Naive Bayes model trained
+    * IN-ENGINE on the 80% hash-split slice with "seed = English"
+    * pseudo-labels, scoring the HELD-OUT 20% — per-doc log-odds, the
+    * keep decision, and the true label. The oracle replays training
+    * (class-conditional counts over the full 1024-bucket space,
+    * smoothed priors) and scoring value-exactly — truncated-ln +
+    * decimal sums, the [[graft.operators.Importance]] portability
+    * contract. */
+  def q133NbQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.operators.Split.hashSplit(
+      langMarkedDocs(s, d), "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+      .withColumn("is_seed", col("lang") === "en")
+    graft.operators.QualityClassifier.trainScore(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"),
+      "doc_id", "text", "is_seed")
+      .join(docs.select(col("doc_id"), col("is_seed")), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The held-out confusion matrix + operating-point metrics for
+    * q133's classifier — the go/no-go report a filtering run
+    * publishes before a threshold touches 100 TB. */
+  def q134NbConfusion(s: SparkSession, d: String): DataFrame =
+    graft.operators.QualityClassifier.confusion(
+      q133NbQuality(s, d), "keep", "is_seed")
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis):
     * 100 documents drawn with probability ∝ length — the "sample
     * long documents more" rebalancing move, deterministic across
@@ -740,6 +792,8 @@ object TextQueries {
     "q106_temperature_sample" -> (q106TemperatureSample _),
     "q101_bigram_surprisal" -> (q101BigramSurprisal _),
     "q102_dsir_weights" -> (q102DsirWeights _),
+    "q133_nb_quality" -> (q133NbQuality _),
+    "q134_nb_confusion" -> (q134NbConfusion _),
     "q94_contamination" -> (q94Contamination _),
     "q93_zorder_keys" -> (q93ZorderKeys _),
     "q86_gopher_quality" -> (q86GopherQuality _),
@@ -766,7 +820,92 @@ object TextQueries {
     "q30_simhash" -> (q30Simhash _),
   )
 
+  /** SQL CASE planting the same per-language markers as
+    * [[langMarkedDocs]]. */
+  private val LangMarkerCaseSql: String =
+    LangMarkers.map { case (l, m) => s"WHEN '$l' THEN '$m'" }
+      .mkString("CASE lang ", " ", " ELSE '' END")
+
+  /** q133 oracle: replay NB training (class-conditional counts over
+    * the FULL 1024-bucket space from the train split, smoothed class
+    * prior) and held-out scoring, value-exact (truncated-ln +
+    * decimal sums — the q102 portability devices). */
+  private val q133Oracle: String =
+    raw"""WITH lab AS (
+      |  SELECT doc_id, lang = 'en' AS is_seed,
+      |    $LangMarkerCaseSql || ' ' || text AS tu,
+      |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+      |      1, 8))::UBIGINT % 10000 < 8000 AS is_train
+      |  FROM documents),
+      |tl AS (
+      |  SELECT doc_id, is_seed, is_train, list_filter(
+      |    regexp_split_to_array(regexp_replace(tu,
+      |      '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+      |      ' \1 ', 'g'),
+      |    '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM lab),
+      |toks AS (
+      |  SELECT doc_id, is_seed, is_train,
+      |    ('0x' || substr(md5(unnest(t)), 1, 8))::UBIGINT % 1024 AS b
+      |  FROM tl),
+      |counts AS (
+      |  SELECT b, SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS cseed,
+      |    SUM(CASE WHEN is_seed THEN 0 ELSE 1 END) AS crest
+      |  FROM toks WHERE is_train GROUP BY 1),
+      |model AS (
+      |  SELECT g.b, COALESCE(cseed, 0) AS cseed,
+      |    COALESCE(crest, 0) AS crest
+      |  FROM (SELECT unnest(generate_series(0, 1023)) AS b) g
+      |  LEFT JOIN counts ON g.b = counts.b),
+      |tot AS (SELECT SUM(cseed) AS tseed, SUM(crest) AS trest
+      |  FROM model),
+      |lr AS (
+      |  SELECT b,
+      |    floor(ln((cseed + 1.0e0) / (tseed + 1024.0e0)) * 1e9) / 1e9 -
+      |    floor(ln((crest + 1.0e0) / (trest + 1024.0e0)) * 1e9) / 1e9
+      |      AS lr
+      |  FROM model CROSS JOIN tot),
+      |pr AS (
+      |  SELECT
+      |    floor(ln((SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) + 1.0e0)
+      |      / (COUNT(*) + 2.0e0)) * 1e9) / 1e9 -
+      |    floor(ln((SUM(CASE WHEN is_seed THEN 0 ELSE 1 END) + 1.0e0)
+      |      / (COUNT(*) + 2.0e0)) * 1e9) / 1e9 AS prior
+      |  FROM lab WHERE is_train),
+      |sc AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    SUM(CAST(lr AS DECIMAL(18,9))) AS toksum
+      |  FROM toks JOIN lr USING (b)
+      |  WHERE NOT is_train GROUP BY doc_id)
+      |SELECT sc.doc_id, sc.n_tokens,
+      |  CAST(toksum + CAST(prior AS DECIMAL(18,9)) AS DOUBLE)
+      |    AS nb_logodds,
+      |  CAST(toksum + CAST(prior AS DECIMAL(18,9)) AS DOUBLE) > 0.0
+      |    AS keep,
+      |  lab.is_seed
+      |FROM sc CROSS JOIN pr JOIN lab ON sc.doc_id = lab.doc_id
+      |ORDER BY sc.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q133_nb_quality" -> q133Oracle,
+    "q134_nb_confusion" ->
+      s"""WITH scored AS ($q133Oracle)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+        |  CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+        |FROM (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN keep AND is_seed THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN keep AND NOT is_seed THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT keep AND is_seed THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT keep AND NOT is_seed
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored)""".stripMargin,
     // q117's quality replay feeding q120's dedup replay, computed
     // over the quality survivors — the composed corpus build.
     "q126_corpus_materialization" ->
