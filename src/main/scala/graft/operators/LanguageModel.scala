@@ -108,4 +108,59 @@ object LanguageModel {
           sum(col("n"))).as("mean_surprisal"))
       .orderBy(col(idCol))
   }
+
+  /** CCNet §4.3 perplexity bucketing: per language, rank documents by
+    * LM surprisal and cut into equal thirds — "head" (most fluent),
+    * "middle", "tail" (the slice CCNet drops or downweights). Exact
+    * NTILE form: ordering is (score, id) so ties are total and the
+    * result is engine-reproducible.
+    *
+    * SCALE NOTE: `Window.partitionBy(lang)` sorts each language's
+    * documents inside one partition — exact and oracle-checkable, but
+    * a dominant language at 100 TB makes that partition the straggler.
+    * The production-scale path is [[approxBucketCutoffs]] +
+    * [[assignByCutoffs]]: a tiny per-language cutoff table from a
+    * mergeable quantile sketch, broadcast back as a pure per-row
+    * comparison — no per-language sort anywhere (the CCNet paper
+    * itself buckets by precomputed percentile cutoffs).
+    */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+      langCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col(scoreCol), col(idCol))
+    scored
+      .withColumn("tile", ntile(3).over(w))
+      .withColumn("ppl_bucket",
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle").otherwise("tail"))
+      .drop("tile")
+  }
+
+  /** Per-language (lower, upper) score cutoffs at the 1/3 and 2/3
+    * quantiles from `approx_percentile` (a mergeable KLL-class
+    * sketch: one pass, map-side combinable, bounded state — the
+    * quantile that scales). Output is languages × 2 doubles. */
+  def approxBucketCutoffs(scored: DataFrame, langCol: String,
+      scoreCol: String, accuracy: Int = 10000): DataFrame =
+    scored.groupBy(col(langCol))
+      .agg(percentile_approx(col(scoreCol),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("cuts"))
+      .select(col(langCol).as("cut_lang"),
+        col("cuts").getItem(0).as("cut_lo"),
+        col("cuts").getItem(1).as("cut_hi"))
+
+  /** Assign head/middle/tail by broadcast cutoff comparison — the
+    * no-sort scale path. With exact tertile cutoffs and distinct
+    * scores this reproduces [[perplexityBuckets]] (spec-pinned);
+    * score ties straddling a cutoff all land in the lower bucket. */
+  def assignByCutoffs(scored: DataFrame, langCol: String,
+      scoreCol: String, cutoffs: DataFrame): DataFrame =
+    scored.join(broadcast(cutoffs),
+        col(langCol) === col("cut_lang"))
+      .withColumn("ppl_bucket",
+        when(col(scoreCol) <= col("cut_lo"), "head")
+          .when(col(scoreCol) <= col("cut_hi"), "middle")
+          .otherwise("tail"))
+      .drop("cut_lang", "cut_lo", "cut_hi")
 }

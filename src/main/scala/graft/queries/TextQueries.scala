@@ -542,6 +542,24 @@ object TextQueries {
     graft.operators.QualityClassifier.confusion(
       q133NbQuality(s, d), "keep", "is_seed")
 
+  /** CCNet §4.3 perplexity bucketing: q101's corpus-trained LM
+    * surprisal cut into per-language head/middle/tail thirds — the
+    * published shape of "keep the fluent third, drop or downweight
+    * the tail". Exact NTILE with a total (score, id) order; the
+    * no-sort scale path ([[graft.operators.LanguageModel
+    * .approxBucketCutoffs]]) is spec-pinned equivalent. */
+  def q135PerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.operators.LanguageModel.bigramSurprisal(
+        multilingualDocs(s, d), "doc_id", "text")
+      .join(documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id")
+    graft.operators.LanguageModel.perplexityBuckets(
+        scored, "doc_id", "lang", "mean_surprisal")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("mean_surprisal"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis):
     * 100 documents drawn with probability ∝ length — the "sample
     * long documents more" rebalancing move, deterministic across
@@ -794,6 +812,7 @@ object TextQueries {
     "q102_dsir_weights" -> (q102DsirWeights _),
     "q133_nb_quality" -> (q133NbQuality _),
     "q134_nb_confusion" -> (q134NbConfusion _),
+    "q135_perplexity_buckets" -> (q135PerplexityBuckets _),
     "q94_contamination" -> (q94Contamination _),
     "q93_zorder_keys" -> (q93ZorderKeys _),
     "q86_gopher_quality" -> (q86GopherQuality _),
@@ -825,6 +844,48 @@ object TextQueries {
   private val LangMarkerCaseSql: String =
     LangMarkers.map { case (l, m) => s"WHEN '$l' THEN '$m'" }
       .mkString("CASE lang ", " ", " ELSE '' END")
+
+  /** q101 oracle (shared with q135, which buckets its output):
+    * tokenization mirror of cjkAwareTokens — pad every CJK code
+    * point with spaces (RE2 script classes), then the Unicode-
+    * whitespace split with empties dropped (the q63 device) — then
+    * the add-one bigram LM replay. */
+  private val q101Oracle: String =
+    raw"""WITH base AS (
+      |  SELECT doc_id,
+      |    $FixtureListSql[CAST(doc_id % ${UnicodeFixtures.length} + 1 AS INT)]
+      |      || ' ' || text AS tu
+      |  FROM documents),
+      |tl AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(
+      |    regexp_replace(tu,
+      |      '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+      |      ' \1 ', 'g'),
+      |    '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM base),
+      |toks AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(t, 1) - 1 AS pos,
+      |    unnest(t) AS w
+      |  FROM tl),
+      |uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY 1),
+      |voc AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+      |big AS (
+      |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+      |  FROM toks a JOIN toks b
+      |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+      |s AS (
+      |  SELECT big.doc_id,
+      |    -floor(ln(CAST(bc.cb + 1 AS DOUBLE) /
+      |      CAST(uni.cu + voc.v AS DOUBLE)) * 1e9) / 1e9 AS s
+      |  FROM big JOIN bc USING (w1, w2)
+      |   JOIN uni ON big.w1 = uni.w CROSS JOIN voc)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+      |    AS mean_surprisal
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q133 oracle: replay NB training (class-conditional counts over
     * the FULL 1024-bucket space from the train split, smoothed class
@@ -1222,45 +1283,19 @@ object TextQueries {
         |    CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
         |  < keep_threshold
         |ORDER BY doc_id""".stripMargin,
-    // tokenization mirror of cjkAwareTokens: pad every CJK code
-    // point with spaces (RE2 script classes), then the Unicode-
-    // whitespace split with empties dropped (the q63 device)
-    "q101_bigram_surprisal" ->
-      raw"""WITH base AS (
-        |  SELECT doc_id,
-        |    $FixtureListSql[CAST(doc_id % ${UnicodeFixtures.length} + 1 AS INT)]
-        |      || ' ' || text AS tu
-        |  FROM documents),
-        |tl AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(
-        |    regexp_replace(tu,
-        |      '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
-        |      ' \1 ', 'g'),
-        |    '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
-        |    x -> len(x) > 0) AS t
-        |  FROM base),
-        |toks AS (
-        |  SELECT doc_id,
-        |    generate_subscripts(t, 1) - 1 AS pos,
-        |    unnest(t) AS w
-        |  FROM tl),
-        |uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY 1),
-        |voc AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
-        |big AS (
-        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
-        |  FROM toks a JOIN toks b
-        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
-        |s AS (
-        |  SELECT big.doc_id,
-        |    -floor(ln(CAST(bc.cb + 1 AS DOUBLE) /
-        |      CAST(uni.cu + voc.v AS DOUBLE)) * 1e9) / 1e9 AS s
-        |  FROM big JOIN bc USING (w1, w2)
-        |   JOIN uni ON big.w1 = uni.w CROSS JOIN voc)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
-        |    AS mean_surprisal
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q101_bigram_surprisal" -> q101Oracle,
+    // concatenated (not interpolated) so the outer stripMargin cannot
+    // eat the embedded oracle's `||` operators
+    "q135_perplexity_buckets" ->
+      (s"WITH sc AS ($q101Oracle)\n" +
+        """SELECT sc.doc_id, documents.lang, sc.n_bigrams,
+        |  sc.mean_surprisal,
+        |  CASE NTILE(3) OVER (PARTITION BY documents.lang
+        |      ORDER BY sc.mean_surprisal, sc.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS ppl_bucket
+        |FROM sc JOIN documents ON sc.doc_id = documents.doc_id
+        |ORDER BY sc.doc_id""".stripMargin),
     "q102_dsir_weights" ->
       raw"""WITH base AS (
         |  SELECT doc_id, lang,

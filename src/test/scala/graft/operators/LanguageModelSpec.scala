@@ -70,4 +70,28 @@ class LanguageModelSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(2L))
   }
+
+  test("perplexity bucketing: ntile thirds per language, and the " +
+      "no-sort cutoff path reproduces them (r6)") {
+    import spark.implicits._
+    // 9 docs per language with distinct scores → exact thirds
+    val scored = (for (l <- Seq("en", "de"); i <- 1 to 9)
+      yield (l.hashCode.toLong * 100 + i, l, i * 1.5 + l.length))
+      .toDF("doc_id", "lang", "score")
+    val exact = LanguageModel.perplexityBuckets(
+        scored, "doc_id", "lang", "score")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // per language: lowest 3 scores head, middle 3, highest 3 tail
+    for (l <- Seq("en", "de"); i <- 1 to 9) {
+      val want = if (i <= 3) "head" else if (i <= 6) "middle" else "tail"
+      assert(exact(l.hashCode.toLong * 100 + i) === want,
+        s"lang $l rank $i")
+    }
+    val cuts = LanguageModel.approxBucketCutoffs(scored, "lang", "score")
+    val byCut = LanguageModel.assignByCutoffs(
+        scored, "lang", "score", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(byCut === exact,
+      "cutoff assignment must reproduce ntile thirds on distinct scores")
+  }
 }
