@@ -109,6 +109,58 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Corpus-wide exact PARAGRAPH dedup — the RefinedWeb §3.3 /
+    * MassiveText line-level removal step (reference analog: the
+    * boilerplate paragraphs the chunk pipeline re-ingests from every
+    * page, `markdown_utils.py` front-matter/nav repetition): documents
+    * are split on `sep` into paragraphs, a paragraph seen anywhere
+    * earlier in the corpus (first occurrence keyed by (doc, position))
+    * is dropped, and each document is rebuilt from its surviving
+    * paragraphs joined with `sep`. Whitespace-only paragraphs are not
+    * content — they are excluded from keying AND from the rebuild, so
+    * the rebuilt text has normalized separators by construction.
+    *
+    * Shape: one split+posexplode, ONE exchange on the paragraph text
+    * (the first-occurrence window), one per-doc aggregation, and a
+    * left join back to the doc spine for zero-survivor docs — no
+    * self-join. At 100 TB, key the window on `md5(paragraph)` so the
+    * exchange moves fixed-width digests (same swap documented on
+    * [[duplicateSpans]]); hot boilerplate paragraphs are exactly the
+    * heavy keys the min-window tolerates (a window over a hot key is
+    * a single partition's sort, bounded by that paragraph's global
+    * occurrence count — cap with a pre-aggregated df filter if one
+    * paragraph dominates a corpus).
+    *
+    * Output: (id, n_paras, n_kept, clean_text) — `n_paras` counts the
+    * doc's non-blank paragraphs, `clean_text` is "" when every
+    * paragraph was seen earlier. */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), java.util.regex.Pattern
+          .quote(sep))).as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val kept = paras
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("para"))
+          .orderBy(col("doc"), col("pos"))))
+      .filter(col("rn") === 1)
+    val rebuilt = kept
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"),
+            col("para")))), s => s.getField("para")), sep)
+          .as("clean_text"))
+    paras.groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, col(idCol) === col("doc"), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Fuzzy string matching / entity resolution (the Gravano et al.
     * 2001 q-gram device): all DISTINCT-value pairs within Levenshtein
     * distance `maxDist`, found by a q-gram inverted index instead of

@@ -747,6 +747,39 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixture docs exercising the paragraph-dedup classes the single-
+    * line corpus cannot: cross-doc shared paragraphs, blank-line
+    * separators, a doc that is ENTIRELY a duplicate, and intra-doc
+    * repetition. Shared verbatim with the q136 oracle's VALUES list. */
+  private[queries] val ParagraphFixture: Seq[(Long, String)] = Seq(
+    (9100001L, "alpha beta gamma\nshared boilerplate navigation " +
+      "paragraph\ndelta unique tail"),
+    (9100002L, "epsilon opening line\nshared boilerplate navigation " +
+      "paragraph\n\nzeta closing line"),
+    (9100003L, "shared boilerplate navigation paragraph"),
+    (9100004L, "eta repeated intra paragraph\neta repeated intra " +
+      "paragraph\ntheta distinct"))
+
+  /** Corpus-wide exact paragraph dedup ([[Dedup
+    * .dropDuplicateParagraphs]] — the RefinedWeb §3.3 / MassiveText
+    * line-removal step): repeated paragraphs dropped except the first
+    * corpus occurrence, documents rebuilt from survivors. The corpus
+    * (each doc one paragraph — so the planted exact-dup docs lose
+    * their only paragraph) is unioned with [[ParagraphFixture]] so
+    * multi-paragraph docs, blank separators, all-duplicate docs and
+    * intra-doc repeats are all exercised; value-checked by md5 of
+    * every rebuilt document. */
+  def q136ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = ParagraphFixture.toDF("doc_id", "text")
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(fixture)
+    Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic epoch shuffle ([[graft.operators.Split
     * .epochShuffle]]): the training-order permutation for epoch 3,
     * value-checked — the oracle's flat global ROW_NUMBER must equal
@@ -798,6 +831,7 @@ object TextQueries {
     "q126_corpus_materialization" -> (q126CorpusMaterialization _),
     "q125_epoch_shuffle" -> (q125EpochShuffle _),
     "q123_normalized_dedup" -> (q123NormalizedDedup _),
+    "q136_paragraph_dedup" -> (q136ParagraphDedup _),
     "q121_phrase_search" -> (q121PhraseSearch _),
     "q120_neardup_survivors" -> (q120NearDupSurvivors _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
@@ -1059,6 +1093,32 @@ object TextQueries {
          |SELECT doc_id, canonical_id,
          |  doc_id <> canonical_id AS is_dup
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q136_paragraph_dedup" -> {
+      val vals = ParagraphFixture.map { case (id, t) =>
+        s"($id, '${t.replace("'", "''").replace("\n", "' || chr(10) || '")}')"
+      }.mkString(", ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $vals) AS v(doc_id, text)),
+         |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    string_split(text, chr(10))[i] AS para
+         |  FROM all_docs, LATERAL unnest(generate_series(1,
+         |    len(string_split(text, chr(10))))) AS u(i)),
+         |np AS (SELECT * FROM p WHERE len(trim(para)) > 0),
+         |k AS (SELECT doc_id, pos, para, ROW_NUMBER() OVER (
+         |    PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |  FROM np),
+         |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(para, chr(10) ORDER BY pos) AS clean_text
+         |  FROM k WHERE rn = 1 GROUP BY doc_id),
+         |sp AS (SELECT doc_id, COUNT(*) AS n_paras FROM np
+         |  GROUP BY doc_id)
+         |SELECT sp.doc_id, sp.n_paras,
+         |  COALESCE(r.n_kept, 0) AS n_kept,
+         |  md5(COALESCE(r.clean_text, '')) AS clean_md5
+         |FROM sp LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     "q121_phrase_search" ->
       """WITH t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,

@@ -189,6 +189,28 @@ class DedupSpec extends SparkTestBase {
     assert(got.size === 3, "every input document must appear")
   }
 
+  test("paragraph dedup drops corpus-wide repeated paragraphs, " +
+      "normalizes blank separators, and keeps first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha\nshared boiler\nbeta beta"),
+      (2L, "gamma gamma\nshared boiler\n\ndelta delta"), // blank line
+      (3L, "shared boiler"),                 // entirely a duplicate
+      (4L, "same line\nsame line\nother line") // intra-doc repeat
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 3L, "alpha alpha\nshared boiler\nbeta beta")))
+    // doc2: blank paragraph excluded from count AND rebuild; the
+    // shared paragraph went to doc1
+    assert(got(2L) === ((3L, 2L, "gamma gamma\ndelta delta")))
+    assert(got(3L) === ((1L, 0L, "")))
+    assert(got(4L) === ((3L, 2L, "same line\nother line")))
+    assert(got.size === 4, "every doc with content must appear")
+  }
+
   test("fuzzy matching finds typo pairs via q-grams and short pairs " +
       "via the exhaustive bucket") {
     import spark.implicits._
