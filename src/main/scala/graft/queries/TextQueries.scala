@@ -780,6 +780,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixture docs exercising the repetition-signal classes the
+    * single-line corpus cannot: repeated lines, repeated paragraphs
+    * (`\n\n`-separated), a dominant 2-gram, and a repeated 7-gram
+    * whose 5/6/7-gram coverages overlap. Shared verbatim with the
+    * q137 oracle's VALUES list. */
+  private[queries] val RepetitionFixture: Seq[(Long, String)] = Seq(
+    (9200001L, "first line repeated\nfirst line repeated\nsecond " +
+      "line once\n\nfirst line repeated"),
+    (9200002L, "para block one\n\npara block one\n\npara block two"),
+    (9200003L, "one two one two one two one two"),
+    (9200004L, "a b c d e f g a b c d e f g h i j"))
+
+  /** The complete Gopher §A1.2 repetition table
+    * ([[graft.operators.Repetition.signals]]): all 13 per-document
+    * repetition signals (dup line/paragraph occurrence + char
+    * fractions, top 2/3/4-gram char mass, overlap-aware duplicated
+    * 5..10-gram coverage). The corpus is unioned with
+    * [[RepetitionFixture]] so the line/paragraph granularities are
+    * actually exercised. */
+  def q137GopherRepetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = RepetitionFixture.toDF("doc_id", "text")
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(fixture)
+    graft.operators.Repetition.signals(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic epoch shuffle ([[graft.operators.Split
     * .epochShuffle]]): the training-order permutation for epoch 3,
     * value-checked — the oracle's flat global ROW_NUMBER must equal
@@ -832,6 +860,7 @@ object TextQueries {
     "q125_epoch_shuffle" -> (q125EpochShuffle _),
     "q123_normalized_dedup" -> (q123NormalizedDedup _),
     "q136_paragraph_dedup" -> (q136ParagraphDedup _),
+    "q137_gopher_repetition" -> (q137GopherRepetition _),
     "q121_phrase_search" -> (q121PhraseSearch _),
     "q120_neardup_survivors" -> (q120NearDupSurvivors _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
@@ -1118,6 +1147,109 @@ object TextQueries {
          |  COALESCE(r.n_kept, 0) AS n_kept,
          |  md5(COALESCE(r.clean_text, '')) AS clean_md5
          |FROM sp LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q137_gopher_repetition" -> {
+      val vals = RepetitionFixture.map { case (id, t) =>
+        s"($id, '${t.replace("'", "''").replace("\n", "' || chr(10) || '")}')"
+      }.mkString(", ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $vals) AS v(doc_id, text)),
+         |lines AS (SELECT doc_id, l AS u
+         |  FROM all_docs, LATERAL unnest(string_split(text, chr(10)))
+         |    AS t(l)
+         |  WHERE len(trim(l)) > 0),
+         |line_c AS (SELECT doc_id, u, COUNT(*) AS c, len(u) AS ln
+         |  FROM lines GROUP BY doc_id, u),
+         |line_sig AS (SELECT doc_id,
+         |    CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |      AS dup_line_frac,
+         |    CAST(SUM(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS DOUBLE)
+         |      / CAST(SUM(c * ln) AS DOUBLE) AS dup_line_char_frac
+         |  FROM line_c GROUP BY doc_id),
+         |paras AS (SELECT doc_id, p AS u
+         |  FROM all_docs, LATERAL unnest(string_split(text,
+         |    chr(10) || chr(10))) AS t(p)
+         |  WHERE len(trim(p)) > 0),
+         |para_c AS (SELECT doc_id, u, COUNT(*) AS c, len(u) AS ln
+         |  FROM paras GROUP BY doc_id, u),
+         |para_sig AS (SELECT doc_id,
+         |    CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |      AS dup_para_frac,
+         |    CAST(SUM(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS DOUBLE)
+         |      / CAST(SUM(c * ln) AS DOUBLE) AS dup_para_char_frac
+         |  FROM para_c GROUP BY doc_id),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk,
+         |    len(text) AS nc FROM all_docs),
+         |grams AS (SELECT doc_id, n, CAST(i - 1 AS BIGINT) AS g_start,
+         |    array_to_string(list_slice(tk, i, i + n - 1), ' ') AS g
+         |  FROM toks,
+         |    (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS ns(n),
+         |    LATERAL unnest(generate_series(1,
+         |      greatest(len(tk) - n + 1, 0))) AS u(i)),
+         |topg AS (SELECT doc_id, n, c * len(g) AS top_chars FROM (
+         |    SELECT doc_id, n, g, COUNT(*) AS c, ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id, n ORDER BY COUNT(*) DESC, g) AS rn
+         |    FROM grams WHERE n IN (2, 3, 4)
+         |    GROUP BY doc_id, n, g) WHERE rn = 1),
+         |top_sig AS (SELECT doc_id,
+         |    MAX(CASE WHEN n = 2 THEN top_chars END) AS top2_chars,
+         |    MAX(CASE WHEN n = 3 THEN top_chars END) AS top3_chars,
+         |    MAX(CASE WHEN n = 4 THEN top_chars END) AS top4_chars
+         |  FROM topg GROUP BY doc_id),
+         |words AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    len(tk[i]) AS wl
+         |  FROM toks, LATERAL unnest(generate_series(1, len(tk)))
+         |    AS u(i)),
+         |wmass AS (SELECT doc_id, SUM(wl) AS word_chars
+         |  FROM words GROUP BY doc_id),
+         |dupg AS (SELECT doc_id, n, g_start FROM (
+         |    SELECT doc_id, n, g_start,
+         |      COUNT(*) OVER (PARTITION BY doc_id, n, g) AS c
+         |    FROM grams WHERE n >= 5) WHERE c > 1),
+         |cov AS (SELECT DISTINCT doc_id, n, g_start + o AS pos
+         |  FROM dupg, LATERAL unnest(generate_series(0,
+         |    CAST(n - 1 AS BIGINT))) AS t(o)),
+         |covm AS (SELECT c.doc_id,
+         |    SUM(CASE WHEN c.n = 5 THEN w.wl ELSE 0 END) AS cov5,
+         |    SUM(CASE WHEN c.n = 6 THEN w.wl ELSE 0 END) AS cov6,
+         |    SUM(CASE WHEN c.n = 7 THEN w.wl ELSE 0 END) AS cov7,
+         |    SUM(CASE WHEN c.n = 8 THEN w.wl ELSE 0 END) AS cov8,
+         |    SUM(CASE WHEN c.n = 9 THEN w.wl ELSE 0 END) AS cov9,
+         |    SUM(CASE WHEN c.n = 10 THEN w.wl ELSE 0 END) AS cov10
+         |  FROM cov c JOIN words w
+         |    ON c.doc_id = w.doc_id AND c.pos = w.pos
+         |  GROUP BY c.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+         |  COALESCE(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         |  COALESCE(ps.dup_para_frac, 0.0) AS dup_para_frac,
+         |  COALESCE(ps.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+         |  COALESCE(CAST(ts.top2_chars AS DOUBLE)
+         |    / CAST(d.nc AS DOUBLE), 0.0) AS top2_frac,
+         |  COALESCE(CAST(ts.top3_chars AS DOUBLE)
+         |    / CAST(d.nc AS DOUBLE), 0.0) AS top3_frac,
+         |  COALESCE(CAST(ts.top4_chars AS DOUBLE)
+         |    / CAST(d.nc AS DOUBLE), 0.0) AS top4_frac,
+         |  COALESCE(CAST(cm.cov5 AS DOUBLE)
+         |    / CAST(wm.word_chars AS DOUBLE), 0.0) AS dup5_frac,
+         |  COALESCE(CAST(cm.cov6 AS DOUBLE)
+         |    / CAST(wm.word_chars AS DOUBLE), 0.0) AS dup6_frac,
+         |  COALESCE(CAST(cm.cov7 AS DOUBLE)
+         |    / CAST(wm.word_chars AS DOUBLE), 0.0) AS dup7_frac,
+         |  COALESCE(CAST(cm.cov8 AS DOUBLE)
+         |    / CAST(wm.word_chars AS DOUBLE), 0.0) AS dup8_frac,
+         |  COALESCE(CAST(cm.cov9 AS DOUBLE)
+         |    / CAST(wm.word_chars AS DOUBLE), 0.0) AS dup9_frac,
+         |  COALESCE(CAST(cm.cov10 AS DOUBLE)
+         |    / CAST(wm.word_chars AS DOUBLE), 0.0) AS dup10_frac
+         |FROM (SELECT doc_id, len(text) AS nc FROM all_docs) d
+         |LEFT JOIN line_sig ls USING (doc_id)
+         |LEFT JOIN para_sig ps USING (doc_id)
+         |LEFT JOIN top_sig ts USING (doc_id)
+         |LEFT JOIN wmass wm USING (doc_id)
+         |LEFT JOIN covm cm USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
     "q121_phrase_search" ->
