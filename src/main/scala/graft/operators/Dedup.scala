@@ -161,6 +161,57 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Train-side decontamination with a BLOOM-FILTER prefilter — the
+    * 100 TB shape of [[crossContamination]]'s exact n-gram screen
+    * (GPT-3 appx C / PaLM §6.3, removal direction: drop TRAIN docs
+    * that share any word n-gram with the TEST set).
+    *
+    * Why this shape at scale: the exact formulation shuffles the
+    * ENTIRE train-side n-gram stream into a semi-join — at 100 TB
+    * that exchange dwarfs everything else. Here the (small) test
+    * side's distinct n-grams are folded into a Bloom filter ONCE,
+    * the filter ships to every train partition as a literal, and the
+    * train stream is screened map-side by a codegen'd
+    * `BloomFilterMightContain` probe (no UDF: the bloom is built
+    * over `xxhash64(span)` longs via `putLong`, probed with the same
+    * `xxhash64` expression, so build and probe hash identically).
+    * Only bloom-positives — true hits plus an `fpp` sliver of clean
+    * grams — reach the exact verify semi-join, shrinking the
+    * exchange from O(train n-grams) to O(hits + fpp·train n-grams).
+    *
+    * Correctness: a Bloom filter has NO false negatives, so the
+    * prefilter+exact-verify output is VALUE-IDENTICAL to the exact
+    * screen — the oracle replays the exact SQL (q138). Output:
+    * (id, is_contaminated) over every train doc. */
+  def bloomDecontaminate(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bcol, expression => bexpr}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    def spans(df: DataFrame) = df.select(col(idCol).as("doc"),
+      explode(array_distinct(wordShinglesFast(col(textCol), n)))
+        .as("span"))
+    val testSpans = spans(test).select(col("span")).distinct()
+    // One pass over the small side sizes the bloom; a second builds
+    // it (driver-held, size O(expected·ln(1/fpp)) bits — MBs for
+    // millions of test n-grams, independent of train size).
+    val hashed = testSpans.select(xxhash64(col("span")).as("h"))
+    val expected = math.max(hashed.count(), 1L)
+    val bloom = hashed.stat.bloomFilter("h", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mightContain = bcol(BloomFilterMightContain(
+      bexpr(lit(bos.toByteArray)),
+      bexpr(xxhash64(col("span")))))
+    val contaminated = spans(train)
+      .filter(mightContain)                      // map-side screen
+      .join(testSpans, Seq("span"), "left_semi") // exact verify
+      .select(col("doc")).distinct()
+    train.select(col(idCol))
+      .join(contaminated, col(idCol) === col("doc"), "left")
+      .select(col(idCol), col("doc").isNotNull.as("is_contaminated"))
+  }
+
   /** Fuzzy string matching / entity resolution (the Gravano et al.
     * 2001 q-gram device): all DISTINCT-value pairs within Levenshtein
     * distance `maxDist`, found by a q-gram inverted index instead of

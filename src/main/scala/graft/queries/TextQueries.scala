@@ -459,6 +459,24 @@ object TextQueries {
       .orderBy(col("doc"))
   }
 
+  /** Bloom-prefiltered train-side decontamination
+    * ([[Dedup.bloomDecontaminate]] — the 100 TB screen): every train
+    * doc flagged if it shares any 5-gram with the test split. The
+    * oracle replays the EXACT screen (no bloom) — value-identity
+    * between the bloom-prefiltered path and the exact path IS the
+    * correctness claim (a bloom has no false negatives; positives
+    * are re-verified exactly). */
+  def q138BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.operators.Split.hashSplit(
+      documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+    Dedup.bloomDecontaminate(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"),
+      "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** The q101/q102 corpus: every document prefixed with a
     * multilingual fixture (by doc_id mod the fixture count — the q63
     * derivation device), so the LM/DSIR token streams carry CJK,
@@ -877,6 +895,7 @@ object TextQueries {
     "q134_nb_confusion" -> (q134NbConfusion _),
     "q135_perplexity_buckets" -> (q135PerplexityBuckets _),
     "q94_contamination" -> (q94Contamination _),
+    "q138_bloom_decontaminate" -> (q138BloomDecontaminate _),
     "q93_zorder_keys" -> (q93ZorderKeys _),
     "q86_gopher_quality" -> (q86GopherQuality _),
     "q87_repetition_signals" -> (q87RepetitionSignals _),
@@ -1526,6 +1545,28 @@ object TextQueries {
         |    AS dsir_logweight
         |FROM toks JOIN lr USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q138_bloom_decontaminate" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::UBIGINT % 10000 AS bkt
+        |  FROM documents),
+        |lab AS (SELECT doc_id, text,
+        |    CASE WHEN bkt < 8000 THEN 'train' ELSE 'test' END AS split
+        |  FROM b),
+        |w AS (SELECT doc_id, split, string_split(text, ' ') AS w
+        |  FROM lab),
+        |i AS (SELECT doc_id, split, w,
+        |    unnest(range(1, len(w) - 3)) AS i FROM w),
+        |sp AS (SELECT DISTINCT doc_id, split,
+        |    array_to_string(w[i:i+4], ' ') AS span FROM i),
+        |con AS (SELECT DISTINCT a.doc_id
+        |  FROM sp a JOIN sp t ON a.span = t.span
+        |  WHERE a.split = 'train' AND t.split = 'test')
+        |SELECT l.doc_id, con.doc_id IS NOT NULL AS is_contaminated
+        |FROM lab l LEFT JOIN con ON l.doc_id = con.doc_id
+        |WHERE l.split = 'train'
+        |ORDER BY l.doc_id""".stripMargin,
     "q94_contamination" ->
       """WITH b AS (
         |  SELECT doc_id, text,

@@ -211,6 +211,61 @@ class DedupSpec extends SparkTestBase {
     assert(got.size === 4, "every doc with content must appear")
   }
 
+  test("bloom decontamination flags exactly the train docs sharing a " +
+      "5-gram with test, via a native bloom probe (no UDF)") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely clean training document with original words"),
+      (3L, "prefix words then the quick brown fox jumps over suffix")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "unrelated opener the quick brown fox jumps closing bits")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomDecontaminate(train, test, "doc_id", "text",
+        n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // "the quick brown fox jumps" is the shared 5-gram
+    assert(out === Map(1L -> true, 2L -> false, 3L -> true))
+
+    // the prefilter is the codegen'd BloomFilterMightContain
+    // expression, not a scala UDF
+    val plan = Dedup.bloomDecontaminate(train, test, "doc_id", "text",
+      n = 5).queryExecution.executedPlan.toString
+    // (the shingle builder is the documented wordShingles UDF; the
+    // PROBE itself must be the native expression over xxhash64)
+    assert(plan.contains("might_contain"), plan.take(500))
+    assert(plan.contains("xxhash64(span"), plan.take(500))
+  }
+
+  test("bloom decontamination is value-identical to the exact screen " +
+      "on a corpus with planted overlaps") {
+    import spark.implicits._
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    def text(seed: Int) = (0 until 12)
+      .map(i => vocab((seed * 7 + i * 3) % vocab.length)).mkString(" ")
+    val docs = (0 until 40).map(i => (i.toLong, text(i)))
+      .toDF("doc_id", "text")
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val test = docs.filter($"doc_id" % 5 === 0)
+    val bloomOut = Dedup.bloomDecontaminate(train, test, "doc_id",
+      "text", n = 5).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // exact screen: any shared distinct 5-gram
+    val spans = docs.select($"doc_id", explode(array_distinct(
+      graft.functions.TextFunctions.wordShinglesFast($"text", 5)))
+      .as("span"))
+    val testSpans = spans.filter($"doc_id" % 5 === 0)
+      .select("span").distinct()
+    val exact = spans.filter($"doc_id" % 5 =!= 0)
+      .join(testSpans, Seq("span"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(bloomOut === train.select("doc_id").as[Long].collect()
+      .map(id => id -> exact(id)).toMap)
+    assert(exact.nonEmpty, "planted overlaps must actually exist")
+  }
+
   test("fuzzy matching finds typo pairs via q-grams and short pairs " +
       "via the exhaustive bucket") {
     import spark.implicits._
