@@ -459,7 +459,17 @@ object Dedup {
     * |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, common, jaccard)
     * for pairs sharing ≥1 surviving shingle. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, maxDf: Int = 50): DataFrame = {
+      shingleN: Int = 3, maxDf: Int = 50): DataFrame =
+    jaccardPairsWide(df, idCol, textCol, shingleN, maxDf)
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("n_a") + col("n_b") - col("common")))
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+
+  /** [[jaccardPairs]]'s shared core, keeping both kept-shingle set
+    * sizes in the output so [[containmentPairs]] can normalize
+    * asymmetrically: (id_a, id_b, common, n_a, n_b). */
+  private[operators] def jaccardPairsWide(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, maxDf: Int): DataFrame = {
     require(maxDf <= MaxPostingDf,
       s"maxDf=$maxDf would materialize O(maxDf²) pairs per posting " +
         s"list in one task allocation; cap is $MaxPostingDf")
@@ -504,9 +514,36 @@ object Dedup {
     common
       .join(sizes.select(col("doc").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("doc").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("jaccard", col("common").cast("double")
-        / (col("n_a") + col("n_b") - col("common")))
-      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("common"), col("n_a"),
+        col("n_b"))
+  }
+
+  /** Asymmetric CONTAINMENT near-dup detection — the quote/subset
+    * case symmetric Jaccard misses: a short document wholly quoted
+    * inside a long one has |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but
+    * |A∩B|/|A| ≈ 1. Broder's containment coefficient over kept
+    * shingles, computed on the SAME posting-list machinery as
+    * [[jaccardPairs]] (inverted index grouped by shingle hash, hot
+    * shingles df-capped before any posting list materializes, pairs
+    * exploded from posting lists — never a self-join of the raw
+    * index). `containment` = common / min(n_a, n_b): the smaller
+    * side's coverage; `contained_id` names that side (ties → id_a).
+    *
+    * Semantics note (mirrors [[jaccardPairs]]): sizes and overlaps
+    * count KEPT shingles — the df cap is part of the definition, and
+    * the oracle replays it. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Int = 50,
+      threshold: Double = 0.9): DataFrame = {
+    val wide = jaccardPairsWide(df, idCol, textCol, shingleN, maxDf)
+    wide
+      .withColumn("containment", col("common").cast("double")
+        / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("common"), col("containment"),
+        when(col("n_a") <= col("n_b"), col("id_a"))
+          .otherwise(col("id_b")).as("contained_id"))
   }
 
   /** 60-bit SimHash per document: each token hashes to a 60-bit value

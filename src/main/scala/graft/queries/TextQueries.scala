@@ -477,6 +477,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment fixture: 9300002's text is a contiguous slice of
+    * 9300001 (containment 1.0 despite a small Jaccard), 9300003 is
+    * unrelated. Distinctive vocabulary keeps the planted pair's
+    * shingles out of the corpus's df statistics. Shared verbatim
+    * with the q139 oracle's VALUES list. */
+  private[queries] val ContainmentFixture: Seq[(Long, String)] = Seq(
+    (9300001L, "quartz nebula crimson harbor velvet meadow lantern " +
+      "orchid thunder saffron glacier ember willow cascade prism " +
+      "juniper marble falcon tundra zephyr"),
+    (9300002L, "velvet meadow lantern orchid thunder saffron glacier " +
+      "ember willow cascade"),
+    (9300003L, "basalt quill mosaic fjord topaz bramble cinder vale"))
+
+  /** Asymmetric containment near-dup detection
+    * ([[Dedup.containmentPairs]] — Broder's containment coefficient):
+    * pairs where the smaller kept-shingle set is ≥90% covered by the
+    * other side, with the contained doc named. Catches the
+    * quote/subset duplicates symmetric Jaccard scores near zero
+    * (planted: [[ContainmentFixture]]; the corpus's exact-dup
+    * plantings also surface at containment 1.0). */
+  def q139ContainmentPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = ContainmentFixture.toDF("doc_id", "text")
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(fixture)
+    Dedup.containmentPairs(docs, "doc_id", "text", shingleN = 3,
+        maxDf = 50, threshold = 0.9)
+      .orderBy(desc("containment"), col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
   /** The q101/q102 corpus: every document prefixed with a
     * multilingual fixture (by doc_id mod the fixture count — the q63
     * derivation device), so the LM/DSIR token streams carry CJK,
@@ -896,6 +927,7 @@ object TextQueries {
     "q135_perplexity_buckets" -> (q135PerplexityBuckets _),
     "q94_contamination" -> (q94Contamination _),
     "q138_bloom_decontaminate" -> (q138BloomDecontaminate _),
+    "q139_containment_pairs" -> (q139ContainmentPairs _),
     "q93_zorder_keys" -> (q93ZorderKeys _),
     "q86_gopher_quality" -> (q86GopherQuality _),
     "q87_repetition_signals" -> (q87RepetitionSignals _),
@@ -2015,6 +2047,38 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
         | COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q139_containment_pairs" -> {
+      val vals = ContainmentFixture.map { case (id, t) =>
+        s"($id, '${t.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $vals) AS v(doc_id, text)),
+         |sh AS (
+         | SELECT DISTINCT doc_id, unnest(list_transform(
+         |   generate_series(1, len(string_split(text,' ')) - 2),
+         |   i -> string_split(text,' ')[i] || ' ' ||
+         |        string_split(text,' ')[i+1] || ' ' ||
+         |        string_split(text,' ')[i+2])) AS s
+         | FROM all_docs WHERE len(string_split(text,' ')) >= 3),
+         |kept AS (
+         | SELECT doc_id, s FROM sh WHERE s IN (
+         |   SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+         |common AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+         | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b, x.n AS n_a, y.n AS n_b, common,
+         |   CAST(common AS DOUBLE) / least(x.n, y.n) AS containment
+         | FROM common JOIN sizes x ON id_a = x.doc_id
+         |  JOIN sizes y ON id_b = y.doc_id)
+         |SELECT id_a, id_b, n_a, n_b, common, containment,
+         |  CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id
+         |FROM j WHERE containment >= 0.9
+         |ORDER BY containment DESC, id_a, id_b
+         |LIMIT 100""".stripMargin
+    },
     "q28_jaccard_pairs" ->
       """WITH sh AS (
         | SELECT DISTINCT doc_id, unnest(list_transform(

@@ -211,6 +211,32 @@ class DedupSpec extends SparkTestBase {
     assert(got.size === 4, "every doc with content must appear")
   }
 
+  test("containment finds a quoted subset doc that Jaccard misses") {
+    import spark.implicits._
+    val long = "quartz nebula crimson harbor velvet meadow lantern " +
+      "orchid thunder saffron glacier ember willow cascade prism " +
+      "juniper marble falcon tundra zephyr"
+    val slice = "velvet meadow lantern orchid thunder saffron " +
+      "glacier ember willow cascade"
+    val corpus = Seq((1L, long), (2L, slice),
+      (3L, "basalt quill mosaic fjord topaz bramble cinder vale"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+      shingleN = 3, maxDf = 50, threshold = 0.9).collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    assert((p.getAs[Long]("id_a"), p.getAs[Long]("id_b")) === ((1L, 2L)))
+    assert(p.getAs[Double]("containment") === 1.0)
+    assert(p.getAs[Long]("contained_id") === 2L,
+      "the smaller (quoted) doc is the contained side")
+    // the same pair scores well under 0.9 on symmetric Jaccard:
+    // 8 shared shingles of 18∪8 − 8 = 18
+    val j = Dedup.jaccardPairs(corpus, "doc_id", "text", shingleN = 3)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .head().getAs[Double]("jaccard")
+    assert(j < 0.5, s"jaccard $j should miss the quote pair")
+  }
+
   test("bloom decontamination flags exactly the train docs sharing a " +
       "5-gram with test, via a native bloom probe (no UDF)") {
     import spark.implicits._
