@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** Subword tokenizers behind the [[Tokenizer]] trait (SURVEY §7 hard
   * part 2: chunk budgets are tokenizer-dependent; the reference counts
   * tokens with the e5 HF tokenizer, `text_utils.py:142-147`,
@@ -94,22 +97,8 @@ object Tokenizers {
     private val rank: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
 
-    /** GPT-2 byte→unicode table: printable bytes map to themselves,
-      * the rest shift into the U+0100 range. */
-    private val byteToChar: Array[Char] = {
-      val printable =
-        (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
-          .map(_.toInt).toSet
-      val table = new Array[Char](256)
-      var shift = 0
-      (0 until 256).foreach { b =>
-        if (printable.contains(b)) table(b) = b.toChar
-        else { table(b) = (256 + shift).toChar; shift += 1 }
-      }
-      table
-    }
-    private val charToByte: Map[Char, Byte] =
-      byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+    private def byteToChar = ByteLevelBpeTokenizer.byteToChar
+    private def charToByte = ByteLevelBpeTokenizer.charToByte
 
     private def bpe(word: Seq[String]): Seq[String] = {
       var parts = word
@@ -154,6 +143,23 @@ object Tokenizers {
   }
 
   object ByteLevelBpeTokenizer {
+    /** GPT-2 byte→unicode table: printable bytes map to themselves,
+      * the rest shift into the U+0100 range. */
+    private[operators] val byteToChar: Array[Char] = {
+      val printable =
+        (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+          .map(_.toInt).toSet
+      val table = new Array[Char](256)
+      var shift = 0
+      (0 until 256).foreach { b =>
+        if (printable.contains(b)) table(b) = b.toChar
+        else { table(b) = (256 + shift).toChar; shift += 1 }
+      }
+      table
+    }
+    private[operators] val charToByte: Map[Char, Byte] =
+      byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
     /** HF `merges.txt`: optional `#version` header, then one
       * space-separated pair per line in rank order. */
     def fromMergesFile(path: String): ByteLevelBpeTokenizer =
@@ -165,5 +171,85 @@ object Tokenizers {
             val Array(a, b) = l.split(" ", 2)
             (a, b)
           }.toSeq)
+  }
+
+  /** BPE TRAINING (Sennrich et al. 2016 §3.2, byte-level/GPT-2
+    * variant — the merges this learns drive [[ByteLevelBpeTokenizer]]
+    * directly): repeatedly merge the most frequent adjacent symbol
+    * pair, counting pair frequency over word TYPES weighted by their
+    * corpus frequency.
+    *
+    * Architecture — the same split every single-node trainer
+    * (HF tokenizers, sentencepiece) uses, distributed where it
+    * matters: the ONLY corpus-sized step is the word-frequency
+    * aggregation (one explode + one count shuffle with map-side
+    * combine over 100 TB); the merge loop then runs on the driver
+    * over the frequency-pruned TYPE table (top `maxTypes` by count —
+    * vocabulary-sized, not corpus-sized; the dropped tail's mass is
+    * negligible by Zipf, and pruning is how production trainers
+    * bound this too). Loop cost: O(numMerges · Σ type lengths),
+    * independent of corpus size.
+    *
+    * Words are marked with the GPT-2 leading-space convention before
+    * byte→unicode mapping (document-initial words unmarked, the rest
+    * `Ġ`-prefixed), so learned merges compose with
+    * [[ByteLevelBpeTokenizer.tokenize]]'s pre-tokenization exactly.
+    * Pair counts count every adjacency (overlaps included);
+    * ties break by (count desc, pair lexicographic asc) — a total
+    * order, so training is deterministic for a given corpus. */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+      maxTypes: Int = 100000): Seq[(String, String)] = {
+    val marked = df
+      .select(posexplode(split(col(textCol), "\\s+"))
+        .as(Seq("i", "w")))
+      .filter(length(col("w")) > 0)
+      .select(when(col("i") === 0, col("w"))
+        .otherwise(concat(lit(" "), col("w"))).as("w"))
+    val types = marked.groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w"))
+      .limit(maxTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    var syms: Array[(Array[String], Long)] = types.map { case (w, c) =>
+      (w.getBytes("UTF-8")
+        .map(b => ByteLevelBpeTokenizer.byteToChar(b & 0xff).toString),
+        c)
+    }
+    def mergeOnce(ss: Array[String], p: (String, String)): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < ss.length) {
+        if (i < ss.length - 1 && ss(i) == p._1 && ss(i + 1) == p._2) {
+          out += (p._1 + p._2); i += 2
+        } else { out += ss(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (ss, c) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          val p = (ss(i), ss(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        syms = syms.map { case (ss, c) => (mergeOnce(ss, best), c) }
+        k += 1
+      }
+    }
+    merges.result()
   }
 }

@@ -465,11 +465,51 @@ object FixtureQueries {
       .orderBy(col("doc_id"), col("term_index"))
   }
 
+  /** Deterministic BPE training corpus: morphologically overlapping
+    * words (shared stems/suffixes) so early merges are meaningful,
+    * generated by a fixed arithmetic schedule — no RNG, identical on
+    * every run. */
+  private val bpeTrainVocab: Array[String] = Array(
+    "data", "base", "datum", "dates", "update", "upload", "loader",
+    "loading", "ready", "steady", "stream", "streams")
+  private def bpeTrainCorpus: Seq[(Long, String)] =
+    (0 until 100).map { i =>
+      val words = (0 until 20).map(j =>
+        bpeTrainVocab((i * 13 + j * 7) % bpeTrainVocab.length))
+      (i.toLong, words.mkString(" "))
+    }
+
+  /** q140: [[Tokenizers.trainBpe]] — BPE merge-table LEARNING (the
+    * tokenizer-training leg of a data pipeline): the distributed
+    * word-frequency pass + driver merge loop over the type table,
+    * then the learned merges driving the REAL
+    * [[Tokenizers.ByteLevelBpeTokenizer]] over a probe sentence
+    * (including a word never seen in training, which must fall back
+    * to smaller units). Training isn't SQL-derivable, so the oracle
+    * is the recorded expected parquet; TokenizersSpec pins the merge
+    * order against a hand-derived example. */
+  def q140BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = bpeTrainCorpus.toDF("doc_id", "text")
+    val merges = Tokenizers.trainBpe(corpus, "text", numMerges = 40)
+    val tok = new Tokenizers.ByteLevelBpeTokenizer(merges)
+    val probe = "upload the steady data stream"
+    val mergeRows = merges.zipWithIndex.map { case ((a, b), r) =>
+      ("merge", r.toLong, a, b)
+    }
+    val tokenRows = tok.tokenize(probe).zipWithIndex.map {
+      case (t, i) => ("token", i.toLong, t, "")
+    }
+    (mergeRows ++ tokenRows).toDF("kind", "idx", "a", "b")
+      .orderBy(col("kind"), col("idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_pdf_extract" -> (q128PdfExtract _),
     "q129_tokenize" -> (q129Tokenize _),
     "q130_codec_features" -> (q130CodecFeatures _),
-    "q131_sparse_stemmed" -> (q131SparseStemmed _))
+    "q131_sparse_stemmed" -> (q131SparseStemmed _),
+    "q140_bpe_train" -> (q140BpeTrain _))
 
   /** Identity oracles over the recorded expected parquet. The driver
     * compares rows sorted, so the ORDER BY is cosmetic. */
