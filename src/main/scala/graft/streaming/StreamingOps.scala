@@ -215,6 +215,43 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Streaming corpus materialization — the batch corpus build's
+    * quality funnel (the q117/q126 gates: language, word-count floor,
+    * mean-word-length floor, lexical-diversity floor) followed by
+    * exact dedup, as ONE continuous query over an arriving document
+    * stream.
+    *
+    * The quality gates are pure per-row column expressions —
+    * LITERALLY the batch funnel's predicates — so they carry no
+    * streaming state at all; the only state is
+    * [[streamingExactDedup]]'s watermark-bounded seen-set (one md5
+    * per distinct surviving content in the in-flight window). That
+    * split is the point at 100 TB/day: quality filtering costs
+    * nothing to stream, and dedup state is bounded by the watermark,
+    * not the corpus.
+    *
+    * Near-duplicate REMOVAL deliberately stays a batch compaction
+    * pass over the materialized corpus (LSH banding needs corpus-wide
+    * candidate joins; [[streamingNearDupCandidates]] provides the
+    * continuous DETECTION analog) — the same
+    * stream-ingest/batch-compact split LSM-shaped pipelines use.
+    *
+    * Expects (doc_id, lang, text, `tsCol`) columns; emits survivors
+    * in append mode. StreamingCorpusSpec proves streamed ==
+    * batch-funnel survivors across micro-batch splits. */
+  def streamingCorpusMaterialize(
+      docs: org.apache.spark.sql.DataFrame, tsCol: String,
+      delay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = graft.functions.TextFunctions.tokens(col("text"))
+    val mwl =
+      (length(col("text")) - (size(w) - 1)).cast("double") / size(w)
+    val diversity = size(array_distinct(w)).cast("double") / size(w)
+    val gated = docs.filter(col("lang") === "en" && size(w) >= 20 &&
+      mwl >= 3.9 && diversity >= 0.35)
+    streamingExactDedup(gated, "text", tsCol, delay)
+  }
+
   /** A keyed row for the streaming per-group cap. */
   case class GroupedDoc(group: String, id: Long)
 
