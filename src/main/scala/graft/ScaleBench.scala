@@ -240,6 +240,33 @@ object ScaleBench {
             .reduce(_ unionByName _)
           graft.queries.TextQueries.corpusBuild(scaled).count()
         }),
+        // r6 additions. paragraph dedup: the corpus docs are single-
+        // paragraph, so K≥2 replays exact-doc dedup at K× scale
+        // (replica texts differ → K× distinct paragraphs).
+        "paragraph_dedup" -> (() =>
+          Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+            .count()),
+        // all 13 Gopher repetition signals: ~9 gram streams per doc
+        // through per-(doc,n,gram) aggregates — embarrassingly
+        // parallel across docs, so the row must scale linearly.
+        "gopher_repetition" -> (() =>
+          graft.operators.Repetition.signals(docs, "doc_id", "text")
+            .count()),
+        "containment_pairs" -> (() =>
+          Dedup.containmentPairs(docs, "doc_id", "text", shingleN = 3,
+            maxDf = 50, threshold = 0.9).count()),
+        // bloom decontamination under WORST-CASE contamination: every
+        // train replica shares nearly all 5-grams with some test-side
+        // doc (replicas differ only in the appended token), so the
+        // bloom prefilter passes almost everything through to the
+        // exact verify — this times the verify join at full width,
+        // not the (cheap) clean-corpus fast path.
+        "bloom_decontaminate" -> (() => {
+          val tr = docs.filter(col("doc_id") % 5 =!= 0)
+          val te = docs.filter(col("doc_id") % 5 === 0)
+          Dedup.bloomDecontaminate(tr, te, "doc_id", "text", n = 5)
+            .filter(col("is_contaminated")).count()
+        }),
         "simhash_exhaustive_tiled" -> (() =>
           graft.queries.TextQueries.simhashPairsOver(docs).count()),
         "simhash_banded" -> (() =>

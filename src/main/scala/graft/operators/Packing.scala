@@ -76,4 +76,53 @@ object Packing {
       df(keyCol) === col("key"))
       .drop("key")
   }
+
+  /** Context-window fit report — the sizing study run before choosing
+    * a training sequence length: for each candidate context length,
+    * how many documents overflow it, what fraction of corpus tokens a
+    * hard truncation would discard, and what fraction of sequence
+    * slots one-doc-per-sequence padding would waste (the two losses
+    * [[packSequences]] exists to beat).
+    *
+    * Shape: ONE scan, one partial/final aggregate computing every
+    * context's counters simultaneously (3 counters × contexts in a
+    * single `HashAggregate`), then a `|contexts|`-row Generate off
+    * the one aggregate row — the q117-funnel device; never one pass
+    * per context. All counters are exact longs; the two fractions
+    * are final per-row IEEE divisions, so the oracle is value-exact.
+    *
+    * Output: (ctx, n_docs, n_tokens, docs_over, trunc_tokens,
+    * trunc_frac, pad_frac) one row per context, where `pad_frac` =
+    * 1 − Σ min(len, ctx) / (n_docs·ctx). */
+  def contextFitReport(df: DataFrame, tokenCol: String,
+      contexts: Seq[Int]): DataFrame = {
+    require(contexts.nonEmpty, "at least one context length")
+    val base = Seq(count(lit(1)).as("n_docs"),
+      sum(col(tokenCol)).cast("long").as("n_tokens"))
+    val perCtx = contexts.flatMap { c =>
+      Seq(
+        count_if(col(tokenCol) > c).as(s"over_$c"),
+        sum(greatest(col(tokenCol) - c, lit(0))).cast("long")
+          .as(s"trunc_$c"),
+        sum(least(col(tokenCol), lit(c))).cast("long").as(s"kept_$c"))
+    }
+    val aggCols = base ++ perCtx
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    one.select(explode(array(contexts.map { c =>
+        struct(lit(c).as("ctx"), col("n_docs"), col("n_tokens"),
+          col(s"over_$c").as("docs_over"),
+          col(s"trunc_$c").as("trunc_tokens"),
+          col(s"kept_$c").as("kept"))
+      }: _*)).as("r"))
+      .select(col("r.ctx").as("ctx"), col("r.n_docs").as("n_docs"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.docs_over").as("docs_over"),
+        col("r.trunc_tokens").as("trunc_tokens"),
+        (col("r.trunc_tokens").cast("double") /
+          col("r.n_tokens").cast("double")).as("trunc_frac"),
+        (lit(1.0) - col("r.kept").cast("double") /
+          (col("r.n_docs") * col("r.ctx")).cast("double"))
+          .as("pad_frac"))
+      .orderBy(col("ctx"))
+  }
 }

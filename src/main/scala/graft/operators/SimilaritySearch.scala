@@ -525,6 +525,23 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Nearest-centroid assignment (the IVF coarse quantizer as a
+    * standalone step): each row gets the cell whose centroid has the
+    * highest cosine to its vector, ties broken by cell_id. Centroids
+    * ride a broadcast; the assignment is a map-side argmax per row —
+    * at 100 TB this is a map-only pass over the corpus. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cellW = Window.partitionBy(col("_rid")).orderBy(
+      desc("_cscore"), col("cell_id"))
+    df.withColumn("_rid", col(idCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_cscore", cosine(col(vecCol), col("centroid")))
+      .withColumn("_crnk", row_number().over(cellW))
+      .filter(col("_crnk") === 1)
+      .drop("_cscore", "_crnk", "centroid", "_rid")
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus to `centroids` (a small
     * DataFrame of (cell_id, centroid)), then search only the `nProbe`
     * cells nearest each query. Centroids broadcast twice (assignment +

@@ -508,6 +508,18 @@ object TextQueries {
       .limit(100)
   }
 
+  /** Context-window fit report ([[graft.operators.Packing
+    * .contextFitReport]]): the sequence-length sizing study — per
+    * candidate context length, overflow doc counts, hard-truncation
+    * token loss, and one-doc-per-sequence padding waste, all from ONE
+    * scan and one aggregate. */
+  def q141ContextFit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.contextFitReport(
+      documents(s, d).select(
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok")),
+      "n_tok", Seq(64, 128, 256))
+
   /** The q101/q102 corpus: every document prefixed with a
     * multilingual fixture (by doc_id mod the fixture count — the q63
     * derivation device), so the LM/DSIR token streams carry CJK,
@@ -928,6 +940,7 @@ object TextQueries {
     "q94_contamination" -> (q94Contamination _),
     "q138_bloom_decontaminate" -> (q138BloomDecontaminate _),
     "q139_containment_pairs" -> (q139ContainmentPairs _),
+    "q141_context_fit" -> (q141ContextFit _),
     "q93_zorder_keys" -> (q93ZorderKeys _),
     "q86_gopher_quality" -> (q86GopherQuality _),
     "q87_repetition_signals" -> (q87RepetitionSignals _),
@@ -2020,6 +2033,36 @@ object TextQueries {
         | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         | MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q141_context_fit" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |a AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  COUNT(*) FILTER (WHERE n_tok > 64) AS over_64,
+        |  CAST(SUM(greatest(n_tok - 64, 0)) AS BIGINT) AS trunc_64,
+        |  CAST(SUM(least(n_tok, 64)) AS BIGINT) AS kept_64,
+        |  COUNT(*) FILTER (WHERE n_tok > 128) AS over_128,
+        |  CAST(SUM(greatest(n_tok - 128, 0)) AS BIGINT) AS trunc_128,
+        |  CAST(SUM(least(n_tok, 128)) AS BIGINT) AS kept_128,
+        |  COUNT(*) FILTER (WHERE n_tok > 256) AS over_256,
+        |  CAST(SUM(greatest(n_tok - 256, 0)) AS BIGINT) AS trunc_256,
+        |  CAST(SUM(least(n_tok, 256)) AS BIGINT) AS kept_256
+        | FROM t),
+        |u AS (
+        |  SELECT 64 AS ctx, n_docs, n_tokens, over_64 AS docs_over,
+        |    trunc_64 AS trunc_tokens, kept_64 AS kept FROM a
+        |  UNION ALL
+        |  SELECT 128, n_docs, n_tokens, over_128, trunc_128, kept_128
+        |    FROM a
+        |  UNION ALL
+        |  SELECT 256, n_docs, n_tokens, over_256, trunc_256, kept_256
+        |    FROM a)
+        |SELECT ctx, n_docs, n_tokens, docs_over, trunc_tokens,
+        |  CAST(trunc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS trunc_frac,
+        |  1.0 - CAST(kept AS DOUBLE) /
+        |    CAST(n_docs * ctx AS DOUBLE) AS pad_frac
+        |FROM u ORDER BY ctx""".stripMargin,
     "q24_token_stats" ->
       """SELECT doc_id,
         | len(string_split(text, ' ')) AS n_tokens,

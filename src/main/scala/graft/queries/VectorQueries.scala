@@ -76,6 +76,30 @@ object VectorQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Cluster-balanced (semantic) data mixing: nearest-centroid
+    * assignment over the embedding space ([[SimilaritySearch
+    * .assignCells]] — a map-only pass at corpus scale) feeding the
+    * α=0.5 temperature resampler ([[graft.operators.Split
+    * .temperatureSample]]) keyed on the ASSIGNED cluster, so
+    * over-represented semantic regions are downweighted toward a
+    * target budget — the cluster-then-balance step of
+    * SemDeDup/DoReMi-era data curation, composed from two
+    * already-verified operators and value-checked end-to-end (the
+    * oracle replays centroids, assignment, rates, and the md5 keep
+    * bucket). */
+  def q142ClusterBalanced(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = SimilaritySearch.labelCentroids(emb, "label",
+      "embedding")
+    val assigned = SimilaritySearch.assignCells(emb, "vec_id",
+        "embedding", cents)
+      .select(col("vec_id"), col("cell_id"))
+    graft.operators.Split.temperatureSample(assigned, "vec_id",
+        "cell_id", targetTotal = 30)
+      .select(col("vec_id"), col("cell_id"), col("keep_threshold"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding near-dup mining via banded hyperplane-LSH (the
     * bucketed candidate-join + exact-verify scale path,
     * [[SimilaritySearch.cosineNearDupsBanded]]). The corpus is the
@@ -268,6 +292,7 @@ object VectorQueries {
     "q72_ann_pq" -> (q72AnnPq _),
     "q68_embedding_quant" -> (q68EmbeddingQuant _),
     "q43_ann_ivf" -> (q43AnnIvf _),
+    "q142_cluster_balanced" -> (q142ClusterBalanced _),
     "q58_embedding_neardups" -> (q58EmbeddingNearDups _),
     "q31_knn_bruteforce" -> (q31KnnBruteForce _),
     "q32_label_centroids" -> (q32LabelCentroids _),
@@ -509,6 +534,45 @@ object VectorQueries {
     // assignment windows, cell join, ranked fine scan) — so although
     // its RECALL is approximate vs q31, its OUTPUT is exactly
     // reproducible.
+    "q142_cluster_balanced" ->
+      """WITH cent AS (
+        | SELECT label AS cell_id, pos,
+        |  CAST(SUM(CAST(e AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) AS m
+        | FROM (SELECT label, vec_id,
+        |         generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS e
+        |       FROM embeddings)
+        | GROUP BY 1, 2),
+        |cvec AS (SELECT cell_id, list(m ORDER BY pos) AS centroid
+        |  FROM cent GROUP BY 1),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cassign AS (SELECT vec_id, cell_id FROM (
+        |  SELECT c.vec_id, cv.cell_id, ROW_NUMBER() OVER (
+        |    PARTITION BY c.vec_id ORDER BY
+        |     list_dot_product(c.v, cv.centroid) /
+        |      (sqrt(list_dot_product(c.v, c.v)) *
+        |       sqrt(list_dot_product(cv.centroid, cv.centroid))) DESC,
+        |     cv.cell_id) AS r
+        |  FROM corp c, cvec cv) WHERE r = 1),
+        |counts AS (SELECT cell_id, COUNT(*) AS n,
+        |    floor(sqrt(COUNT(*)) * 1e9) / 1e9 AS sq9
+        |  FROM cassign GROUP BY 1),
+        |rates AS (SELECT cell_id,
+        |    CAST(floor(least(1.0e0,
+        |      30.0e0 * sq9 /
+        |        (SELECT CAST(SUM(CAST(sq9 AS DECIMAL(18,9)))
+        |           AS DOUBLE) FROM counts) /
+        |        CAST(n AS DOUBLE)) * 10000) AS BIGINT)
+        |      AS keep_threshold
+        |  FROM counts)
+        |SELECT a.vec_id, a.cell_id, r.keep_threshold
+        |FROM cassign a JOIN rates r USING (cell_id)
+        |WHERE ('0x' || substr(md5('temp:' ||
+        |    CAST(a.vec_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+        |  < r.keep_threshold
+        |ORDER BY a.vec_id""".stripMargin,
     "q43_ann_ivf" ->
       """WITH cent AS (
         | SELECT label AS cell_id, pos,

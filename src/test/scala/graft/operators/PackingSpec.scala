@@ -90,4 +90,27 @@ class PackingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("context-fit report: hand-computed truncation and padding " +
+      "fractions, one row per context") {
+    import spark.implicits._
+    // lengths 10, 100, 300: totals 410
+    val lens = Seq(10L, 100L, 300L).toDF("n_tok")
+    val r = Packing.contextFitReport(lens, "n_tok", Seq(64, 256))
+      .collect().map(x => x.getAs[Int]("ctx") -> x).toMap
+    assert(r.keySet === Set(64, 256))
+    val c64 = r(64)
+    assert(c64.getAs[Long]("n_docs") === 3L)
+    assert(c64.getAs[Long]("n_tokens") === 410L)
+    assert(c64.getAs[Long]("docs_over") === 2L)
+    // trunc: (100-64) + (300-64) = 272; kept: 10+64+64 = 138
+    assert(c64.getAs[Long]("trunc_tokens") === 272L)
+    assert(c64.getAs[Double]("trunc_frac") === 272.0 / 410.0)
+    assert(c64.getAs[Double]("pad_frac") === 1.0 - 138.0 / 192.0)
+    val c256 = r(256)
+    assert(c256.getAs[Long]("docs_over") === 1L)
+    assert(c256.getAs[Long]("trunc_tokens") === 44L)
+    // kept: 10+100+256 = 366 of 768 slots
+    assert(c256.getAs[Double]("pad_frac") === 1.0 - 366.0 / 768.0)
+  }
 }

@@ -24,6 +24,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("assignCells puts every vector in its nearest centroid's " +
+      "cell, exactly one cell per vector") {
+    import spark.implicits._
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f)),
+      (3L, Array(0.6f, 0.4f))).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.assignCells(vecs, "vec_id",
+        "embedding", cents)
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
   test("cosine kernel matches hand computation") {
     import spark.implicits._
     val r = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
