@@ -279,7 +279,8 @@ object ScaleBench {
           SimilaritySearch.cosineNearDupsBanded(emb, "vec_id",
             "embedding", threshold = 0.999, bits = 256, bands = 16,
             center = true).count()))
-      for ((name, run) <- runs if name.contains(nameFilter)) {
+      val wanted = nameFilter.split(",").toSeq
+      for ((name, run) <- runs if wanted.exists(name.contains)) {
         val (sec, rows) = time(run())
         println(s"""{"bench":"$name","k":$k,"sec":$sec,"rows":$rows}""")
       }

@@ -145,4 +145,41 @@ object QualityClassifier {
         (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
         ((col("tp") + col("tn")).cast("double") /
           (col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"))
+
+  /** Calibration (reliability) report for a scored frame: the
+    * held-out docs cut into `bins` score-ordered groups (exact NTILE
+    * over the total (score, id) order — the q135 device; at 100 TB
+    * swap in the mergeable-quantile cutoffs of
+    * [[LanguageModel.approxBucketCutoffs]]), each bin reporting its
+    * empirical positive rate against the model's mean predicted
+    * probability σ(logodds). A well-calibrated filter has the two
+    * tracking each other; a confident-but-wrong region shows up as a
+    * bin where they diverge — the diagnostic published before
+    * trusting `keep` thresholds at corpus scale.
+    *
+    * Portability: σ is computed per row and TRUNCATED to 1e-9 (the
+    * ln9 device — cross-engine exp parity), then decimal-summed, so
+    * the bin means are value-exact against the oracle. */
+  def calibration(scored: DataFrame, scoreCol: String,
+      truthCol: String, idCol: String, bins: Int = 10): DataFrame = {
+    val sigma9 = floor((lit(1.0) /
+      (lit(1.0) + exp(-col(scoreCol)))) * lit(1e9)) / lit(1e9)
+    scored
+      .withColumn("bin", ntile(bins).over(
+        Window.orderBy(col(scoreCol), col(idCol))))
+      .withColumn("pred9", sigma9)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(truthCol), 1L).otherwise(0L)).as("n_pos"),
+        min(col(scoreCol)).as("min_logodds"),
+        max(col(scoreCol)).as("max_logodds"),
+        sum(col("pred9").cast(Dec)).as("psum"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("frac_pos"),
+        (col("psum").cast("double") / col("n_docs").cast("double"))
+          .as("mean_pred"),
+        col("min_logodds"), col("max_logodds"))
+      .orderBy(col("bin"))
+  }
 }

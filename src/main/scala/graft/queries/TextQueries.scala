@@ -603,6 +603,16 @@ object TextQueries {
     graft.operators.QualityClassifier.confusion(
       q133NbQuality(s, d), "keep", "is_seed")
 
+  /** Calibration (reliability) diagram for q133's classifier
+    * ([[graft.operators.QualityClassifier.calibration]]): held-out
+    * docs in 5 score-ordered bins, empirical seed rate vs mean
+    * predicted probability per bin — the "is the filter's confidence
+    * trustworthy" report that accompanies q134's operating point. */
+  def q143NbCalibration(s: SparkSession, d: String): DataFrame =
+    graft.operators.QualityClassifier.calibration(
+      q133NbQuality(s, d), "nb_logodds", "is_seed", "doc_id",
+      bins = 5)
+
   /** CCNet §4.3 perplexity bucketing: q101's corpus-trained LM
     * surprisal cut into per-language head/middle/tail thirds — the
     * published shape of "keep the fluent third, drop or downweight
@@ -936,6 +946,7 @@ object TextQueries {
     "q102_dsir_weights" -> (q102DsirWeights _),
     "q133_nb_quality" -> (q133NbQuality _),
     "q134_nb_confusion" -> (q134NbConfusion _),
+    "q143_nb_calibration" -> (q143NbCalibration _),
     "q135_perplexity_buckets" -> (q135PerplexityBuckets _),
     "q94_contamination" -> (q94Contamination _),
     "q138_bloom_decontaminate" -> (q138BloomDecontaminate _),
@@ -1094,6 +1105,23 @@ object TextQueries {
         |    CAST(SUM(CASE WHEN NOT keep AND NOT is_seed
         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |  FROM scored)""".stripMargin,
+    "q143_nb_calibration" ->
+      s"""WITH scored AS ($q133Oracle),
+        |b AS (SELECT doc_id, nb_logodds, is_seed,
+        |    NTILE(5) OVER (ORDER BY nb_logodds, doc_id) AS bin,
+        |    floor((1.0e0 / (1.0e0 + exp(-nb_logodds))) * 1e9) / 1e9
+        |      AS pred9
+        |  FROM scored)
+        |SELECT bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS frac_pos,
+        |  CAST(SUM(CAST(pred9 AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) AS mean_pred,
+        |  MIN(nb_logodds) AS min_logodds,
+        |  MAX(nb_logodds) AS max_logodds
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // q117's quality replay feeding q120's dedup replay, computed
     // over the quality survivors — the composed corpus build.
     "q126_corpus_materialization" ->

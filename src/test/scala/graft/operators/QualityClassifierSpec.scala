@@ -81,4 +81,26 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(r.getDouble(5) === 2.0 / 3.0) // recall
     assert(r.getDouble(6) === 4.0 / 6.0) // accuracy
   }
+
+  test("calibration bins: empirical rate and truncated-sigmoid mean " +
+      "match hand computation; bins are score-ordered") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, -2.0, false), (2L, -1.0, false),
+      (3L, 1.0, true), (4L, 2.0, true)).toDF("doc_id", "s", "y")
+    val bins = QualityClassifier.calibration(scored, "s", "y",
+      "doc_id", bins = 2).collect()
+    assert(bins.map(_.getAs[Int]("bin")).toSeq === Seq(1, 2))
+    val lo = bins(0); val hi = bins(1)
+    assert(lo.getAs[Long]("n_docs") === 2L)
+    assert(lo.getAs[Double]("frac_pos") === 0.0)
+    assert(hi.getAs[Double]("frac_pos") === 1.0)
+    def sig9(x: Double) = math.floor(1e9 / (1 + math.exp(-x))) / 1e9
+    assert(math.abs(lo.getAs[Double]("mean_pred") -
+      (sig9(-2.0) + sig9(-1.0)) / 2) < 1e-12)
+    assert(math.abs(hi.getAs[Double]("mean_pred") -
+      (sig9(1.0) + sig9(2.0)) / 2) < 1e-12)
+    assert(lo.getAs[Double]("max_logodds") <
+      hi.getAs[Double]("min_logodds"))
+  }
 }
