@@ -504,12 +504,52 @@ object FixtureQueries {
       .orderBy(col("kind"), col("idx"))
   }
 
+  /** q144: tokenizer FERTILITY evaluation — the metric a tokenizer
+    * choice is judged by for a training corpus (subword tokens per
+    * whitespace word; continuation fraction = how often a word
+    * splits): the q140-trained merges driving the real tokenizer
+    * over probe classes of increasing distance from the training
+    * distribution (seen words, morphological variants sharing stems,
+    * fully unseen vocabulary). Fertility must be monotone across
+    * those classes — recorded output + spec pin. Each probe
+    * tokenizes independently inside one mapPartitions pass (the
+    * table-backed-tokenizer plumbing shape); counters are exact
+    * ints, fertility one final IEEE division. */
+  def q144BpeFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = bpeTrainCorpus.toDF("doc_id", "text")
+    val merges = Tokenizers.trainBpe(corpus, "text", numMerges = 40)
+    val probes = Seq(
+      ("a_seen", "data base update loader stream ready"),
+      ("b_morph", "datum dates loading streams steady upload"),
+      ("c_unseen", "zebra quantum flux oracle vertex"))
+    val probeDs = probes.toDF("probe", "text").as[(String, String)]
+    probeDs.mapPartitions { it =>
+      val tok = new Tokenizers.ByteLevelBpeTokenizer(merges)
+      it.map { case (p, t) =>
+        val words = t.split(" ")
+        val pieces = tok.tokenize(t)
+        // a word emitted whole is one piece that IS the word (with
+        // its Ġ marker for non-initial words)
+        val whole = words.indices.count { i =>
+          val marked = (if (i > 0) "Ġ" else "") + words(i)
+          pieces.contains(marked)
+        }
+        (p, words.length.toLong, pieces.length.toLong,
+          pieces.length.toDouble / words.length, whole.toLong)
+      }
+    }.toDF("probe", "n_words", "n_subwords", "fertility",
+        "n_whole_words")
+      .orderBy(col("probe"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_pdf_extract" -> (q128PdfExtract _),
     "q129_tokenize" -> (q129Tokenize _),
     "q130_codec_features" -> (q130CodecFeatures _),
     "q131_sparse_stemmed" -> (q131SparseStemmed _),
-    "q140_bpe_train" -> (q140BpeTrain _))
+    "q140_bpe_train" -> (q140BpeTrain _),
+    "q144_bpe_fertility" -> (q144BpeFertility _))
 
   /** Identity oracles over the recorded expected parquet. The driver
     * compares rows sorted, so the ORDER BY is cosmetic. */

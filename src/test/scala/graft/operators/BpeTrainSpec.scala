@@ -52,6 +52,23 @@ class BpeTrainSpec extends SparkTestBase {
       "byte-level BPE round-trips regardless of merges")
   }
 
+  test("fertility is monotone in distance from the training " +
+      "distribution: seen words whole, unseen words decomposed") {
+    val rows = graft.queries.FixtureQueries
+      .q144BpeFertility(spark, "").collect()
+      .map(r => r.getAs[String]("probe") ->
+        ((r.getAs[Double]("fertility"), r.getAs[Long]("n_whole_words"),
+          r.getAs[Long]("n_words")))).toMap
+    val (fSeen, wSeen, nSeen) = rows("a_seen")
+    val (fMorph, _, _) = rows("b_morph")
+    val (fUnseen, wUnseen, _) = rows("c_unseen")
+    assert(fSeen === 1.0, "every training word must stay whole")
+    assert(wSeen === nSeen)
+    assert(fSeen < fMorph && fMorph < fUnseen,
+      s"fertility must be monotone: $fSeen, $fMorph, $fUnseen")
+    assert(wUnseen === 0L, "unseen vocabulary must not match whole")
+  }
+
   test("maxTypes pruning keeps the highest-frequency types and stays " +
       "deterministic") {
     val df = corpus("aa aa aa aa bb bb cc")
