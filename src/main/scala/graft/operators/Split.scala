@@ -233,4 +233,48 @@ object Split {
       .drop("_ca_id", "_ca_comp")
       .withColumn("split", splitLabel(col("root"), weights))
   }
+
+  /** Data-mixture PLAN — the sizing table a multi-source training run
+    * publishes before sampling (the LLaMA/DoReMi-style α=0.5
+    * rebalance): per stratum, its natural token share, its α=0.5
+    * target share (∝ √tokens — hot sources damped, tail sources
+    * lifted), the token need against a fixed `budgetTokens`, the
+    * implied EPOCH count (need/available: >1 means upsampling —
+    * repeat passes; <1 means downsampling), and the single-pass
+    * sampling rate min(1, epochs). [[temperatureSample]] executes the
+    * downsampling side of this plan row-by-row; the epochs column is
+    * what a training loader repeats.
+    *
+    * Shape: one aggregate to the strata table (sources/languages —
+    * small by construction), then per-row arithmetic on it.
+    * Portability: √ truncated to 1e-9 (the q106 device), the share
+    * normalizer decimal-summed over the strata table, every division
+    * a final per-row IEEE op — value-exact cross-engine. */
+  def mixturePlan(df: DataFrame, strataCol: String, tokenCol: String,
+      budgetTokens: Long): DataFrame = {
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("n_tokens"))
+      .withColumn("tot",
+        sum(col("n_tokens")).over(whole).cast("double"))
+      .withColumn("w9",
+        floor(sqrt(col("n_tokens")) * lit(1e9)).cast("double") / 1e9)
+      .withColumn("wtot",
+        sum(col("w9").cast(DecimalType(18, 9))).over(whole)
+          .cast("double"))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot"))
+          .as("natural_frac"),
+        (col("w9") / col("wtot")).as("target_frac"),
+        (col("w9") / col("wtot") * lit(budgetTokens.toDouble))
+          .as("need_tokens"),
+        (col("w9") / col("wtot") * lit(budgetTokens.toDouble) /
+          col("n_tokens").cast("double")).as("epochs"),
+        least(lit(1.0), col("w9") / col("wtot") *
+          lit(budgetTokens.toDouble) / col("n_tokens").cast("double"))
+          .as("sample_rate"))
+      .orderBy(col(strataCol))
+  }
 }

@@ -613,6 +613,18 @@ object TextQueries {
       q133NbQuality(s, d), "nb_logodds", "is_seed", "doc_id",
       bins = 5)
 
+  /** Data-mixture plan ([[graft.operators.Split.mixturePlan]]): the
+    * per-source sizing table (natural vs α=0.5 target share, token
+    * need, epochs, sampling rate) for a 30k-token budget over the
+    * corpus's sources — the planning step ahead of q106's executed
+    * downsampling. */
+  def q145MixturePlan(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.mixturePlan(
+      documents(s, d).select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok")),
+      "source", "n_tok", budgetTokens = 30000L)
+
   /** CCNet §4.3 perplexity bucketing: q101's corpus-trained LM
     * surprisal cut into per-language head/middle/tail thirds — the
     * published shape of "keep the fluent third, drop or downweight
@@ -947,6 +959,7 @@ object TextQueries {
     "q133_nb_quality" -> (q133NbQuality _),
     "q134_nb_confusion" -> (q134NbConfusion _),
     "q143_nb_calibration" -> (q143NbCalibration _),
+    "q145_mixture_plan" -> (q145MixturePlan _),
     "q135_perplexity_buckets" -> (q135PerplexityBuckets _),
     "q94_contamination" -> (q94Contamination _),
     "q138_bloom_decontaminate" -> (q138BloomDecontaminate _),
@@ -1105,6 +1118,25 @@ object TextQueries {
         |    CAST(SUM(CASE WHEN NOT keep AND NOT is_seed
         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |  FROM scored)""".stripMargin,
+    "q145_mixture_plan" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, floor(sqrt(n_tokens) * 1e9) / 1e9 AS w9
+        |  FROM s),
+        |t AS (SELECT
+        |    CAST(SUM(n_tokens) AS DOUBLE) AS tot,
+        |    CAST(SUM(CAST(w9 AS DECIMAL(18,9))) AS DOUBLE) AS wtot
+        |  FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / tot AS natural_frac,
+        |  w9 / wtot AS target_frac,
+        |  w9 / wtot * 30000.0e0 AS need_tokens,
+        |  w9 / wtot * 30000.0e0 / CAST(n_tokens AS DOUBLE) AS epochs,
+        |  least(1.0e0, w9 / wtot * 30000.0e0 /
+        |    CAST(n_tokens AS DOUBLE)) AS sample_rate
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
     "q143_nb_calibration" ->
       s"""WITH scored AS ($q133Oracle),
         |b AS (SELECT doc_id, nb_logodds, is_seed,

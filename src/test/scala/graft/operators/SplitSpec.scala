@@ -158,4 +158,28 @@ class SplitSpec extends SparkTestBase {
     assert(perm(2) !== e1)
     assert(e1 !== (0L until 500L).toSeq, "must not be identity order")
   }
+
+  test("mixture plan: α=0.5 targets, epochs and rates match hand " +
+      "math (exact-square strata)") {
+    import spark.implicits._
+    // strata token totals are perfect squares → √ is exact, no
+    // truncation fuzz in the hand numbers: a=10000, b=100
+    val rows = Seq.fill(2)(("a", 5000L)) ++ Seq(("b", 100L))
+    val plan = Split.mixturePlan(rows.toDF("src", "n_tok"),
+        "src", "n_tok", budgetTokens = 10100L)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val a = plan("a"); val b = plan("b")
+    assert(a.getAs[Long]("n_tokens") === 10000L)
+    // weights 100 and 10 → targets 10/11 and 1/11
+    assert(a.getAs[Double]("target_frac") === 100.0 / 110.0)
+    assert(b.getAs[Double]("target_frac") === 10.0 / 110.0)
+    // a is downsampled (epochs < 1), b upsampled (epochs > 1)
+    assert(a.getAs[Double]("epochs") === 10100.0 * (100.0 / 110.0) / 10000.0)
+    assert(b.getAs[Double]("epochs") === 10100.0 * (10.0 / 110.0) / 100.0)
+    assert(a.getAs[Double]("sample_rate") < 1.0)
+    assert(b.getAs[Double]("sample_rate") === 1.0)
+    // the plan spends exactly the budget
+    val spend = plan.values.map(_.getAs[Double]("need_tokens")).sum
+    assert(math.abs(spend - 10100.0) < 1e-6)
+  }
 }
