@@ -625,6 +625,47 @@ object TextQueries {
           .cast("long").as("n_tok")),
       "source", "n_tok", budgetTokens = 30000L)
 
+  /** Two fixture "snapshots" (sources sorting AFTER the corpus's
+    * src*): snapshot2 re-fetches two of snapshot1's three pages and
+    * adds one new one — novelty 1.0 then 1/3. The corpus's own
+    * planted dups are all within-source, so the cross-source decay
+    * the report exists to show needs these rows. Shared verbatim
+    * with the q146 oracle's VALUES list. */
+  private[queries] val NoveltyFixture: Seq[(Long, String, String)] =
+    Seq(
+      (9400001L, "zz_snap1", "landing page welcome copy unchanged"),
+      (9400002L, "zz_snap1", "pricing page tiers and quotas"),
+      (9400003L, "zz_snap1", "about page company history"),
+      (9400004L, "zz_snap2", "landing page welcome copy unchanged"),
+      (9400005L, "zz_snap2", "pricing page tiers and quotas"),
+      (9400006L, "zz_snap2", "changelog page new release notes"))
+
+  /** Content-novelty burn-down across sources: processing sources in
+    * order as successive "snapshots", the fraction of each source's
+    * docs whose exact content (md5) was never seen in an earlier
+    * source — the recrawl-monitoring curve a dedup pipeline publishes
+    * (novelty collapsing toward 0 = the crawl is re-fetching what it
+    * already has). One md5-keyed first-occurrence window + one
+    * per-source aggregate. The corpus is unioned with
+    * [[NoveltyFixture]] so the cross-source decay is actually
+    * exercised (zz_snap2's rate is 1/3 by construction). */
+  def q146NoveltyBySource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = NoveltyFixture.toDF("doc_id", "source", "text")
+    documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .unionByName(fixture)
+      .withColumn("first_seen", row_number().over(
+        Window.partitionBy(md5(col("text")))
+          .orderBy(col("source"), col("doc_id"))) === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("first_seen")).as("n_new"))
+      .select(col("source"), col("n_docs"), col("n_new"),
+        (col("n_new").cast("double") / col("n_docs").cast("double"))
+          .as("novelty_rate"))
+      .orderBy(col("source"))
+  }
+
   /** CCNet §4.3 perplexity bucketing: q101's corpus-trained LM
     * surprisal cut into per-language head/middle/tail thirds — the
     * published shape of "keep the fluent third, drop or downweight
@@ -960,6 +1001,7 @@ object TextQueries {
     "q134_nb_confusion" -> (q134NbConfusion _),
     "q143_nb_calibration" -> (q143NbCalibration _),
     "q145_mixture_plan" -> (q145MixturePlan _),
+    "q146_novelty_by_source" -> (q146NoveltyBySource _),
     "q135_perplexity_buckets" -> (q135PerplexityBuckets _),
     "q94_contamination" -> (q94Contamination _),
     "q138_bloom_decontaminate" -> (q138BloomDecontaminate _),
@@ -1118,6 +1160,25 @@ object TextQueries {
         |    CAST(SUM(CASE WHEN NOT keep AND NOT is_seed
         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |  FROM scored)""".stripMargin,
+    "q146_novelty_by_source" -> {
+      val vals = NoveltyFixture.map { case (id, src, t) =>
+        s"($id, '$src', '${t.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES $vals)
+        |    AS v(doc_id, source, text)),
+        |f AS (SELECT source, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(text) ORDER BY source, doc_id) = 1
+        |    AS first_seen
+        |  FROM all_docs)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN first_seen THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN first_seen THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS novelty_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
+    },
     "q145_mixture_plan" ->
       """WITH s AS (SELECT source, COUNT(*) AS n_docs,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
