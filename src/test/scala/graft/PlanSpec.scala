@@ -63,6 +63,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("r6 additions: paragraph dedup, repetition suite, bloom " +
+      "decontamination, containment — no cartesian, no nested loop") {
+    for (q <- Seq("q136_paragraph_dedup", "q137_gopher_repetition",
+        "q138_bloom_decontaminate", "q139_containment_pairs",
+        "q142_cluster_balanced", "q146_novelty_by_source")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      // q142's centroid assignment IS a broadcast cross join of the
+      // provably tiny centroid frame (the audited q43 device) — every
+      // other r6 plan must be free of nested loops entirely
+      if (q != "q142_cluster_balanced")
+        assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q138: the bloom screen is the native might_contain expression " +
+      "applied BEFORE the verify join's exchange") {
+    val p = plan("q138_bloom_decontaminate")
+    assert(p.contains("might_contain"),
+      "bloom prefilter must be the codegen'd native expression")
+    val filterPos = p.indexOf("might_contain")
+    // the filter sits below (later in the printed tree than) the
+    // semi-join that consumes it
+    val joinPos = p.indexOf("LeftSemi")
+    assert(joinPos >= 0 && filterPos > joinPos,
+      "screen must feed the semi join from the map side")
+  }
+
   test("q34/q56: exact pair scans run as block-tiled equi-joins — " +
       "no cartesian, no nested-loop, no broadcast of either side") {
     for (q <- Seq("q34_cosine_top_pairs", "q56_simhash_pairs")) {
