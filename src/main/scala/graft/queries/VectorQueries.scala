@@ -100,6 +100,36 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** ANN tuning sweep: recall@10 of IVF against the brute-force
+    * truth at nProbe ∈ {1, 2, 4} — the probe-budget/recall trade
+    * curve read before fixing nProbe for a corpus (the report every
+    * IVF deployment publishes). Truth and candidates both exclude
+    * self and re-rank to a clean top-10; hits are exact integer
+    * counts, the mean recall one final division — value-exact. */
+  def q147AnnRecallSweep(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val cents = SimilaritySearch.labelCentroids(emb, "label",
+      "embedding")
+    def top10(df: DataFrame): DataFrame = df
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("r2", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rnk"))))
+      .filter(col("r2") <= 10).select(col("qid"), col("cid"))
+    val truth = top10(SimilaritySearch.bruteForceTopK(
+      qs, "vec_id", emb, "vec_id", "embedding", k = 11))
+    Seq(1, 2, 4).map { np =>
+      top10(SimilaritySearch.ivfTopK(qs, "vec_id", emb, "vec_id",
+          "embedding", cents, k = 11, nProbe = np))
+        .join(truth, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("n_probe"), col("hits"))
+    }.reduce(_ unionByName _)
+      .select(col("n_probe"), col("hits"),
+        (col("hits").cast("double") / lit(100.0)).as("mean_recall"))
+      .orderBy(col("n_probe"))
+  }
+
   /** Embedding near-dup mining via banded hyperplane-LSH (the
     * bucketed candidate-join + exact-verify scale path,
     * [[SimilaritySearch.cosineNearDupsBanded]]). The corpus is the
@@ -293,6 +323,7 @@ object VectorQueries {
     "q68_embedding_quant" -> (q68EmbeddingQuant _),
     "q43_ann_ivf" -> (q43AnnIvf _),
     "q142_cluster_balanced" -> (q142ClusterBalanced _),
+    "q147_ann_recall_sweep" -> (q147AnnRecallSweep _),
     "q58_embedding_neardups" -> (q58EmbeddingNearDups _),
     "q31_knn_bruteforce" -> (q31KnnBruteForce _),
     "q32_label_centroids" -> (q32LabelCentroids _),
@@ -534,6 +565,71 @@ object VectorQueries {
     // assignment windows, cell join, ranked fine scan) — so although
     // its RECALL is approximate vs q31, its OUTPUT is exactly
     // reproducible.
+    "q147_ann_recall_sweep" -> {
+      val probes = Seq(1, 2, 4)
+      val qaBlocks = probes.map { np =>
+        s"""qa$np AS (SELECT vec_id, v, cell_id FROM (
+           |  SELECT c.vec_id, c.v, cv.cell_id, ROW_NUMBER() OVER (
+           |    PARTITION BY c.vec_id ORDER BY
+           |     list_dot_product(c.v, cv.centroid) /
+           |      (sqrt(list_dot_product(c.v, c.v)) *
+           |       sqrt(list_dot_product(cv.centroid, cv.centroid))) DESC,
+           |     cv.cell_id) AS r
+           |  FROM corp c, cvec cv WHERE c.vec_id < 10)
+           |  WHERE r <= $np)""".stripMargin
+      }
+      val selBlocks = probes.map { np =>
+        s"""s$np AS (SELECT qid, cid FROM (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |      list_dot_product(q.v, c.v) /
+           |       (sqrt(list_dot_product(q.v, q.v)) *
+           |        sqrt(list_dot_product(c.v, c.v))) DESC,
+           |      c.vec_id) AS rnk
+           |  FROM qa$np q JOIN ca c USING (cell_id))
+           |  WHERE rnk <= 11 AND qid <> cid)""".stripMargin
+      }
+      val hitBlocks = probes.map { np =>
+        s"""SELECT $np AS n_probe, COUNT(*) AS hits
+           |FROM s$np JOIN truth USING (qid, cid)""".stripMargin
+      }
+      s"""WITH cent AS (
+        | SELECT label AS cell_id, pos,
+        |  CAST(SUM(CAST(e AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) AS m
+        | FROM (SELECT label, vec_id,
+        |         generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS e
+        |       FROM embeddings)
+        | GROUP BY 1, 2),
+        |cvec AS (SELECT cell_id, list(m ORDER BY pos) AS centroid
+        |  FROM cent GROUP BY 1),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |ca AS (SELECT vec_id, v, cell_id FROM (
+        |  SELECT c.vec_id, c.v, cv.cell_id, ROW_NUMBER() OVER (
+        |    PARTITION BY c.vec_id ORDER BY
+        |     list_dot_product(c.v, cv.centroid) /
+        |      (sqrt(list_dot_product(c.v, c.v)) *
+        |       sqrt(list_dot_product(cv.centroid, cv.centroid))) DESC,
+        |     cv.cell_id) AS r
+        |  FROM corp c, cvec cv) WHERE r = 1),
+        |${qaBlocks.mkString(",\n")},
+        |truth AS (SELECT qid, cid FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(q.v, c.v) /
+        |       (sqrt(list_dot_product(q.v, q.v)) *
+        |        sqrt(list_dot_product(c.v, c.v))) DESC,
+        |      c.vec_id) AS rnk
+        |  FROM corp q, corp c WHERE q.vec_id < 10)
+        |  WHERE rnk <= 11 AND qid <> cid),
+        |${selBlocks.mkString(",\n")}
+        |SELECT n_probe, hits,
+        |  CAST(hits AS DOUBLE) / 100.0e0 AS mean_recall
+        |FROM (${hitBlocks.mkString("\nUNION ALL\n")})
+        |ORDER BY n_probe""".stripMargin
+    },
     "q142_cluster_balanced" ->
       """WITH cent AS (
         | SELECT label AS cell_id, pos,
