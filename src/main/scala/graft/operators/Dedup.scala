@@ -212,6 +212,33 @@ object Dedup {
       .select(col(idCol), col("doc").isNotNull.as("is_contaminated"))
   }
 
+  /** Corpus snapshot DIFF — the change-data-capture report between
+    * two crawls/exports of the same collection (reference analog: the
+    * staging-dir re-scan deciding what to re-ingest,
+    * `parquet_service.py:66-89` idempotent upsert): per document key,
+    * whether it was `added`, `removed`, `changed` (same key,
+    * different content md5), or `unchanged`. The summary a scheduled
+    * ingest publishes, and the input to an incremental index update
+    * (only added/changed rows re-embed and re-index — the 100 TB
+    * point: the delta is what's paid for, not the corpus).
+    *
+    * Shape: one full outer hash join on the doc key comparing content
+    * digests — no text comparison (md5s travel through the exchange,
+    * not documents). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val a = before.select(col(idCol).as("k"),
+      md5(col(textCol)).as("h_before"))
+    val b = after.select(col(idCol).as("k"),
+      md5(col(textCol)).as("h_after"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k").as(idCol),
+        when(col("h_before").isNull, "added")
+          .when(col("h_after").isNull, "removed")
+          .when(col("h_before") === col("h_after"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Fuzzy string matching / entity resolution (the Gravano et al.
     * 2001 q-gram device): all DISTINCT-value pairs within Levenshtein
     * distance `maxDist`, found by a q-gram inverted index instead of

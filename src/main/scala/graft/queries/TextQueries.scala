@@ -666,6 +666,24 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Corpus snapshot diff ([[Dedup.snapshotDiff]] — the CDC report):
+    * snapshot B is derived deterministically from the corpus (every
+    * 11th doc removed, every 7th edited, every 13th re-added under a
+    * new id), and the diff must classify every key exactly —
+    * added / removed / changed / unchanged. The report an
+    * incremental re-index pays its delta from. */
+  def q148SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val a = documents(s, d).select(col("doc_id"), col("text"))
+    val bKept = a.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" edited"))).otherwise(col("text")).as("text"))
+    val bNew = a.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.snapshotDiff(a, bKept.unionByName(bNew), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet §4.3 perplexity bucketing: q101's corpus-trained LM
     * surprisal cut into per-language head/middle/tail thirds — the
     * published shape of "keep the fluent third, drop or downweight
@@ -1002,6 +1020,7 @@ object TextQueries {
     "q143_nb_calibration" -> (q143NbCalibration _),
     "q145_mixture_plan" -> (q145MixturePlan _),
     "q146_novelty_by_source" -> (q146NoveltyBySource _),
+    "q148_snapshot_diff" -> (q148SnapshotDiff _),
     "q135_perplexity_buckets" -> (q135PerplexityBuckets _),
     "q94_contamination" -> (q94Contamination _),
     "q138_bloom_decontaminate" -> (q138BloomDecontaminate _),
@@ -1160,6 +1179,25 @@ object TextQueries {
         |    CAST(SUM(CASE WHEN NOT keep AND NOT is_seed
         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |  FROM scored)""".stripMargin,
+    "q148_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |bk AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |bn AS (SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |b AS (SELECT doc_id, md5(text) AS h FROM
+        |  (SELECT * FROM bk UNION ALL SELECT * FROM bn)),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    a.h AS ha, b.h AS hb, a.doc_id AS ka, b.doc_id AS kb
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN ka IS NULL THEN 'added'
+        |       WHEN kb IS NULL THEN 'removed'
+        |       WHEN ha = hb THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
     "q146_novelty_by_source" -> {
       val vals = NoveltyFixture.map { case (id, src, t) =>
         s"($id, '$src', '${t.replace("'", "''")}')"

@@ -211,6 +211,19 @@ class DedupSpec extends SparkTestBase {
     assert(got.size === 4, "every doc with content must appear")
   }
 
+  test("snapshot diff classifies added / removed / changed / " +
+      "unchanged exactly") {
+    import spark.implicits._
+    val before = Seq((1L, "stable content"), (2L, "will change"),
+      (3L, "will vanish")).toDF("doc_id", "text")
+    val after = Seq((1L, "stable content"), (2L, "has changed"),
+      (4L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(before, after, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("containment finds a quoted subset doc that Jaccard misses") {
     import spark.implicits._
     val long = "quartz nebula crimson harbor velvet meadow lantern " +
