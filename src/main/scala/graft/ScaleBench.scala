@@ -187,6 +187,13 @@ object ScaleBench {
         "repeated_spans" -> (() =>
           Dedup.repeatedCharSpans(docs, "doc_id", "text", window = 48)
             .count()),
+        // winnowed selection (r6): same window stream, but only the
+        // ~2/(winnow+1) MOSS-selected fingerprints reach the corpus-
+        // wide exchange — the implemented fingerprint-before-shuffle
+        // path; compare directly against repeated_spans above.
+        "winnowed_fingerprints" -> (() =>
+          Dedup.winnowedFingerprints(docs, "doc_id", "text",
+            window = 48, winnow = 8).count()),
         "phrase_percall" -> (() =>
           graft.operators.Hybrid.phraseMatches(docs, "doc_id", "text",
             "table value").count()),

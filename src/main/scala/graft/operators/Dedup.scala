@@ -212,6 +212,59 @@ object Dedup {
       .select(col(idCol), col("doc").isNotNull.as("is_contaminated"))
   }
 
+  /** WINNOWED fingerprint mining (Schleimer et al. 2003 — the MOSS
+    * algorithm): the implemented scale path for [[repeatedCharSpans]]'
+    * documented "fingerprint before shuffle" swap. Instead of
+    * shuffling EVERY stride-1 char window, each document selects the
+    * argmin-hash window from every `winnow`-length run of
+    * consecutive window starts (packed (40-bit md5-prefix hash,
+    * 20-bit position) keys, min over a ROWS frame — a map-side
+    * window, no exchange), and only the ~2/(winnow+1) selected
+    * fingerprints shuffle for the corpus-wide repeat count.
+    *
+    * The winnowing guarantee (paper §3): any substring shared
+    * between two documents of length ≥ `window + winnow − 1` shares
+    * at least one SELECTED fingerprint — so recall on long shared
+    * spans is preserved while the exchange shrinks ~winnow-fold
+    * (spec-pinned: guarantee + density). Trailing partial runs also
+    * select (deterministic slight over-selection; same rule on both
+    * engines). Packed-key contract: document positions must fit 20
+    * bits — pre-chunk documents above 1 MiB (the reference's chunking
+    * does this anyway).
+    *
+    * Output: the selected fingerprints that repeat corpus-wide —
+    * (id, pos, fp_md5, n_occ). */
+  def winnowedFingerprints(df: DataFrame, idCol: String,
+      textCol: String, window: Int = 48, winnow: Int = 8): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) >= window)
+    val wins = docs
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), length(col(textCol)) - window))
+          .as("p"))
+      .select(col(idCol), col("p").cast("long").as("pos"),
+        col(textCol).substr(col("p") + 1, lit(window)).as("win"))
+    val packed = conv(substring(md5(col("win")), 1, 10), 16, 10)
+      .cast("long") * lit(1048576L) + col("pos")
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, winnow - 1)
+    val selected = wins
+      .withColumn("k", packed)
+      .withColumn("selk", min(col("k")).over(frame))
+      .select(col(idCol), col("selk")).distinct()
+      .select(col(idCol), (col("selk") % lit(1048576L)).as("pos"))
+    val fps = selected.join(docs, idCol)
+      .select(col(idCol), col("pos"),
+        col(textCol).substr((col("pos") + 1).cast("int"),
+          lit(window)).as("fp"))
+    fps
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("n_occ") > 1)
+      .select(col(idCol), col("pos"), md5(col("fp")).as("fp_md5"),
+        col("n_occ"))
+  }
+
   /** Corpus snapshot DIFF — the change-data-capture report between
     * two crawls/exports of the same collection (reference analog: the
     * staging-dir re-scan deciding what to re-ingest,

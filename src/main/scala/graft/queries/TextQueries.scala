@@ -684,6 +684,17 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowed fingerprint mining ([[Dedup.winnowedFingerprints]] —
+    * MOSS selection): the repeated SELECTED fingerprints across the
+    * corpus, with the selection (packed-key argmin per 8-run) and
+    * repeat count replayed exactly by the oracle. The scale path of
+    * q118's char-span mining: only ~2/(winnow+1) of the window
+    * stream ever shuffles. */
+  def q149WinnowedFingerprints(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowedFingerprints(documents(s, d), "doc_id", "text",
+        window = 48, winnow = 8)
+      .orderBy(col("doc_id"), col("pos"))
+
   /** CCNet §4.3 perplexity bucketing: q101's corpus-trained LM
     * surprisal cut into per-language head/middle/tail thirds — the
     * published shape of "keep the fluent third, drop or downweight
@@ -1021,6 +1032,7 @@ object TextQueries {
     "q145_mixture_plan" -> (q145MixturePlan _),
     "q146_novelty_by_source" -> (q146NoveltyBySource _),
     "q148_snapshot_diff" -> (q148SnapshotDiff _),
+    "q149_winnowed_fingerprints" -> (q149WinnowedFingerprints _),
     "q135_perplexity_buckets" -> (q135PerplexityBuckets _),
     "q94_contamination" -> (q94Contamination _),
     "q138_bloom_decontaminate" -> (q138BloomDecontaminate _),
@@ -1179,6 +1191,29 @@ object TextQueries {
         |    CAST(SUM(CASE WHEN NOT keep AND NOT is_seed
         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |  FROM scored)""".stripMargin,
+    "q149_winnowed_fingerprints" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |  WHERE len(text) >= 48),
+        |w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    substr(text, i, 48) AS win
+        |  FROM docs, LATERAL unnest(generate_series(1,
+        |    len(text) - 48 + 1)) AS u(i)),
+        |k AS (SELECT doc_id, pos,
+        |    CAST(('0x' || substr(md5(win), 1, 10))::UBIGINT AS BIGINT)
+        |      * 1048576 + pos AS k
+        |  FROM w),
+        |s AS (SELECT DISTINCT doc_id, MIN(k) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS selk
+        |  FROM k),
+        |p AS (SELECT doc_id, selk % 1048576 AS pos FROM s),
+        |f AS (SELECT p.doc_id, p.pos,
+        |    substr(d.text, CAST(p.pos + 1 AS INT), 48) AS fp
+        |  FROM p JOIN docs d ON p.doc_id = d.doc_id),
+        |r AS (SELECT doc_id, pos, fp,
+        |    COUNT(*) OVER (PARTITION BY fp) AS n_occ FROM f)
+        |SELECT doc_id, pos, md5(fp) AS fp_md5, n_occ
+        |FROM r WHERE n_occ > 1 ORDER BY doc_id, pos""".stripMargin,
     "q148_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
         |bk AS (SELECT doc_id,

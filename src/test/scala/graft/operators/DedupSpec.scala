@@ -224,6 +224,43 @@ class DedupSpec extends SparkTestBase {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("winnowing guarantee: a shared substring of length >= " +
+      "window + winnow - 1 shares a selected fingerprint; selection " +
+      "is sparse") {
+    import spark.implicits._
+    val shared = (1 to 60).map(i => ('a' + (i * 7 % 26)).toChar)
+      .mkString // 60 deterministic chars >= 48 + 8 - 1
+    // non-periodic filler: distinct 2-char blocks, so no 48-window
+    // ever repeats within a filler run (a constant run would repeat
+    // ITSELF and legitimately fingerprint — not what this case tests)
+    def filler(n: Int, base: Char) = (0 until n).map(i =>
+      s"${(base + i / 26).toChar}${('a' + i % 26).toChar}").mkString
+    val docs = Seq(
+      (1L, filler(40, 'A') + shared + filler(40, 'G')),
+      (2L, filler(48, 'M') + shared + filler(33, 'T')),
+      (3L, filler(100, 'a'))).toDF("doc_id", "text")
+    val out = Dedup.winnowedFingerprints(docs, "doc_id", "text",
+      window = 48, winnow = 8).collect()
+    val byFp = out.groupBy(_.getString(2)).view
+      .mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byFp.values.exists(s => s == Set(1L, 2L)),
+      s"docs 1 and 2 must share a selected fingerprint: $byFp")
+    assert(!out.exists(_.getLong(0) == 3L),
+      "the unrelated doc must produce no repeated fingerprints")
+
+    // density: identical twin docs repeat EVERY selected fingerprint;
+    // selection must be well under the full window stream
+    val twin = Seq((1L, shared * 4), (2L, shared * 4))
+      .toDF("doc_id", "text")
+    val sel = Dedup.winnowedFingerprints(twin, "doc_id", "text",
+      window = 48, winnow = 8)
+      .filter($"doc_id" === 1L).count()
+    val nWindows = shared.length * 4 - 48 + 1
+    assert(sel < nWindows * 0.4,
+      s"winnowing must thin the stream: $sel of $nWindows selected")
+    assert(sel > 0)
+  }
+
   test("containment finds a quoted subset doc that Jaccard misses") {
     import spark.implicits._
     val long = "quartz nebula crimson harbor velvet meadow lantern " +
