@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import Tables._
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
@@ -695,6 +696,65 @@ object TextQueries {
         window = 48, winnow = 8)
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Corpus DATASHEET ("Datasheets for Datasets", Gebru et al.): the
+    * one-page quantitative summary published alongside a released
+    * corpus — sizes, language/source spread, exact-dup rate, Gopher
+    * pass rate, length and diversity profile. ONE scan, one
+    * aggregate (exact counts + decimal-summed per-row ratios), then
+    * a 12-row Generate — the q117/q141 explode device. */
+  def q150CorpusDatasheet(s: SparkSession, d: String): DataFrame = {
+    val w = tokens(col("text"))
+    val nw = size(w)
+    val mwl = (length(col("text")) - (nw - 1)).cast("double") / nw
+    val hashes = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val ellipses = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashes + ellipses).cast("double") / nw
+    val alphaRatio =
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / nw
+    val nStop = size(filter(w, x => x.isInCollection(GopherStop)))
+    val keep = !(nw < 50 || nw > 100000 || mwl < 3.0 || mwl > 10.0 ||
+      symbolRatio > 0.1 || alphaRatio < 0.8 || nStop < 2)
+    val diversity = size(array_distinct(w)).cast("double") / nw
+    val a = documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(nw.cast("long")).cast("long").as("n_tokens"),
+      sum(length(col("text")).cast("long")).cast("long")
+        .as("n_chars"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      count_if(col("lang") === "en").as("n_en"),
+      count_if(keep).as("n_gopher"),
+      sum(diversity.cast(DecimalType(18, 9))).as("divsum"),
+      min(nw.cast("long")).as("min_tok"),
+      max(nw.cast("long")).as("max_tok"))
+    val metrics: Seq[(String, Column)] = Seq(
+      "n_docs" -> col("n_docs").cast("double"),
+      "n_tokens" -> col("n_tokens").cast("double"),
+      "n_chars" -> col("n_chars").cast("double"),
+      "n_langs" -> col("n_langs").cast("double"),
+      "n_sources" -> col("n_sources").cast("double"),
+      "exact_dup_frac" -> (lit(1.0) -
+        col("n_distinct").cast("double") / col("n_docs").cast("double")),
+      "en_frac" ->
+        (col("n_en").cast("double") / col("n_docs").cast("double")),
+      "gopher_pass_frac" ->
+        (col("n_gopher").cast("double") / col("n_docs").cast("double")),
+      "mean_doc_tokens" ->
+        (col("n_tokens").cast("double") / col("n_docs").cast("double")),
+      "mean_lexical_diversity" -> (col("divsum").cast("double") /
+        col("n_docs").cast("double")),
+      "min_doc_tokens" -> col("min_tok").cast("double"),
+      "max_doc_tokens" -> col("max_tok").cast("double"))
+    a.select(explode(array(metrics.map { case (n, c) =>
+        struct(lit(n).as("metric"), c.as("value"))
+      }: _*)).as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+      .orderBy(col("metric"))
+  }
+
   /** CCNet §4.3 perplexity bucketing: q101's corpus-trained LM
     * surprisal cut into per-language head/middle/tail thirds — the
     * published shape of "keep the fluent third, drop or downweight
@@ -1033,6 +1093,7 @@ object TextQueries {
     "q146_novelty_by_source" -> (q146NoveltyBySource _),
     "q148_snapshot_diff" -> (q148SnapshotDiff _),
     "q149_winnowed_fingerprints" -> (q149WinnowedFingerprints _),
+    "q150_corpus_datasheet" -> (q150CorpusDatasheet _),
     "q135_perplexity_buckets" -> (q135PerplexityBuckets _),
     "q94_contamination" -> (q94Contamination _),
     "q138_bloom_decontaminate" -> (q138BloomDecontaminate _),
@@ -1191,6 +1252,61 @@ object TextQueries {
         |    CAST(SUM(CASE WHEN NOT keep AND NOT is_seed
         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |  FROM scored)""".stripMargin,
+    "q150_corpus_datasheet" ->
+      """WITH f AS (SELECT doc_id, lang, source, text,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, source, text, len(w) AS nw,
+        |    CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+        |      AS mwl,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS DOUBLE) / len(w) AS symbol_ratio,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x,
+        |      '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_ratio,
+        |    len(list_filter(w, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS n_stop,
+        |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS div
+        |  FROM f),
+        |a AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(nw) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |    COUNT(DISTINCT md5(text)) AS n_distinct,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(*) FILTER (WHERE lang = 'en') AS n_en,
+        |    COUNT(*) FILTER (WHERE NOT (nw < 50 OR nw > 100000
+        |      OR mwl < 3.0 OR mwl > 10.0 OR symbol_ratio > 0.1
+        |      OR alpha_ratio < 0.8 OR n_stop < 2)) AS n_gopher,
+        |    SUM(CAST(div AS DECIMAL(18,9))) AS divsum,
+        |    CAST(MIN(nw) AS BIGINT) AS min_tok,
+        |    CAST(MAX(nw) AS BIGINT) AS max_tok
+        |  FROM g)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+        |    FROM a
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE)
+        |    FROM a
+        |  UNION ALL SELECT 'exact_dup_frac',
+        |    1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    FROM a
+        |  UNION ALL SELECT 'en_frac',
+        |    CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'gopher_pass_frac',
+        |    CAST(n_gopher AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'mean_doc_tokens',
+        |    CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'mean_lexical_diversity',
+        |    CAST(divsum AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'min_doc_tokens', CAST(min_tok AS DOUBLE)
+        |    FROM a
+        |  UNION ALL SELECT 'max_doc_tokens', CAST(max_tok AS DOUBLE)
+        |    FROM a)
+        |ORDER BY metric""".stripMargin,
     "q149_winnowed_fingerprints" ->
       """WITH docs AS (SELECT doc_id, text FROM documents
         |  WHERE len(text) >= 48),
