@@ -193,6 +193,33 @@ object PipelineQueries {
         col("col.values").as("weight"))
       .orderBy(col("doc_id"), col("term_index"))
 
+  /** The retrieve→RERANK cascade's second stage
+    * ([[graft.operators.Rerank.rerankTopK]]): candidates scored
+    * through the external cross-encoder boundary in micro-batches,
+    * top-10 per query kept by (score DESC, doc). Stage-1 candidate
+    * generation here is a deterministic modulo partition — the real
+    * retrievers feeding this stage are the separately-gated q31
+    * cosine and q37/q115 BM25 — so the row under test is the
+    * boundary + cascade itself. The stub scorer is the mmh3 device
+    * ([[graft.operators.Rerank.HashRerankService]]), which the
+    * oracle recomputes with the pure-SQL murmur3 CTEs — the rerank
+    * output is value-exact, not rows-only. */
+  def q151RerankCascade(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 40).as("qtext"))
+    val cands = docs.withColumn("m", col("doc_id") % 10)
+      .join(qs.withColumn("m", col("qid") % 10), "m")
+      .select(col("qid"), col("qtext"), col("doc_id"), col("text"))
+    graft.operators.Rerank.rerankTopK(cands, "qid", "qtext",
+        "doc_id", "text", new graft.operators.Rerank.HashRerankService,
+        k = 10)
+      .select(col("qid"), col("doc_id"), col("rerank_score"),
+        col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** q121's phrase search served from the PERSISTED positional
     * postings (`TextIndex.buildPositional` — built once per corpus
     * with the q115 content-fingerprint device): the scan prunes to
@@ -261,6 +288,7 @@ object PipelineQueries {
     "q127_hybrid_rrf" -> (q127HybridRrf _),
     "q115_hybrid_indexed" -> (q115HybridIndexed _),
     "q116_sparse_bm25" -> (q116SparseBm25 _),
+    "q151_rerank_cascade" -> (q151RerankCascade _),
     "q122_phrase_indexed" -> (q122PhraseIndexed _),
     "q49_stream_barrier" -> (q49StreamBarrier _),
   )
@@ -595,8 +623,30 @@ object PipelineQueries {
       |FROM chunks GROUP BY source_file
       |ORDER BY source_file""".stripMargin
 
+  /** q151 oracle: the candidate partition, the mmh3 stub scorer
+    * recomputed with the pure-SQL murmur3 CTEs over each
+    * query‖0x01‖passage pair, and the (score DESC, doc) top-10. */
+  private val q151Oracle: String = {
+    val (mm, last) = mmh3Ctes("cand", "pair", "_rr_h32", "rr")
+    s"""WITH q AS (SELECT doc_id AS qid, substr(text, 1, 40) AS qtext
+      |  FROM documents WHERE doc_id < 3),
+      |cand AS (SELECT q.qid, d.doc_id,
+      |    q.qtext || chr(1) || d.text AS pair
+      |  FROM q JOIN documents d ON d.doc_id % 10 = q.qid % 10),$mm,
+      |scored AS (SELECT qid, doc_id,
+      |  CAST(((${mmSigned("_rr_h32")} % 1000000) + 1000000) % 1000000
+      |    AS DOUBLE) / 1000000.0e0 AS rerank_score
+      |  FROM $last),
+      |ranked AS (SELECT qid, doc_id, rerank_score, ROW_NUMBER() OVER (
+      |  PARTITION BY qid ORDER BY rerank_score DESC, doc_id) AS rnk
+      |  FROM scored)
+      |SELECT qid, doc_id, rerank_score, rnk FROM ranked
+      |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q35_chunk_pipeline" -> q35Oracle,
+    "q151_rerank_cascade" -> q151Oracle,
     "q132_file_completeness" -> q132Oracle,
     "q36_rag_pipeline" -> q36Oracle,
     "q37_hybrid_search" -> q37Oracle,
