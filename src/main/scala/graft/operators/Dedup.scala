@@ -153,10 +153,16 @@ object Dedup {
           transform(sort_array(collect_list(struct(col("pos"),
             col("para")))), s => s.getField("para")), sep)
           .as("clean_text"))
-    paras.groupBy(col("doc").as(idCol))
+    // the spine is the INPUT frame — a doc whose every paragraph is
+    // blank still reports (id, 0, 0, "") instead of vanishing (the
+    // dropDuplicateSpans one-row-per-input-doc contract)
+    val counts = paras.groupBy(col("doc").as("_pd_doc"))
       .agg(count(lit(1)).as("n_paras"))
+    df.select(col(idCol))
+      .join(counts, col(idCol) === col("_pd_doc"), "left")
       .join(rebuilt, col(idCol) === col("doc"), "left")
-      .select(col(idCol), col("n_paras"),
+      .select(col(idCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
@@ -217,10 +223,12 @@ object Dedup {
     * documented "fingerprint before shuffle" swap. Instead of
     * shuffling EVERY stride-1 char window, each document selects the
     * argmin-hash window from every `winnow`-length run of
-    * consecutive window starts (packed (40-bit md5-prefix hash,
-    * 20-bit position) keys, min over a ROWS frame — a map-side
-    * window, no exchange), and only the ~2/(winnow+1) selected
-    * fingerprints shuffle for the corpus-wide repeat count.
+    * consecutive window starts — computed entirely INSIDE the row by
+    * [[winnowSelectUdf]] (rolling minimum over packed (40-bit
+    * md5-prefix hash, 20-bit position) keys, O(len) per doc, no
+    * exchange of the window stream at all) — and only the
+    * ~2/(winnow+1) selected fingerprints shuffle for the corpus-wide
+    * repeat count.
     *
     * The winnowing guarantee (paper §3): any substring shared
     * between two documents of length ≥ `window + winnow − 1` shares
@@ -234,26 +242,73 @@ object Dedup {
     *
     * Output: the selected fingerprints that repeat corpus-wide —
     * (id, pos, fp_md5, n_occ). */
+  /** Per-document winnowing selection as ONE in-row pass (the
+    * wordShingles UDF precedent — this is what makes the operator
+    * genuinely map-side): rolling packed-key minimum over the
+    * stride-1 window hashes via a monotonic deque, O(len) time,
+    * O(winnow) working memory, emitting the distinct selected
+    * positions. The packed key is (40-bit md5-prefix, 20-bit pos) —
+    * IDENTICAL to the oracle's SQL construction, hex-for-hex (JVM
+    * MessageDigest md5 == Spark md5() == DuckDB md5). Documents with
+    * positions beyond the 20-bit packing fail FAST (corrupting the
+    * key silently would mis-position fingerprints) — pre-chunk
+    * anything above ~1 MiB, as the reference's chunker already does. */
+  private val winnowSelectUdf = udf {
+    (text: String, window: Int, winnow: Int) =>
+      if (text == null || text.length < window) Array.empty[Long]
+      else {
+        require(text.length - window < 1048576,
+          s"winnowing packed key overflows at ${text.length} chars: " +
+            "pre-chunk documents above 1 MiB")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = text.length - window + 1
+        def key(p: Int): Long = {
+          md.reset()
+          val d = md.digest(
+            text.substring(p, p + window).getBytes("UTF-8"))
+          // first 10 hex chars = first 5 bytes = 40 bits
+          val h = ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+            ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) |
+            (d(4) & 0xffL)
+          h * 1048576L + p
+        }
+        val keys = Array.tabulate(n)(key)
+        // selected = { min(keys[i .. min(i+winnow-1, n-1)]) : ∀ i } —
+        // full forward windows via a monotonic deque, plus the
+        // trailing clipped windows as suffix minima (matches the
+        // oracle's ROWS BETWEEN CURRENT ROW AND winnow-1 FOLLOWING
+        // frame exactly, clipped frames included)
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        if (n >= winnow) {
+          val deque = new java.util.ArrayDeque[Int]()
+          var j = 0
+          while (j < n) {
+            while (!deque.isEmpty && keys(deque.peekLast()) >= keys(j))
+              deque.pollLast()
+            deque.addLast(j)
+            if (deque.peekFirst() <= j - winnow) deque.pollFirst()
+            if (j >= winnow - 1) out += keys(deque.peekFirst())
+            j += 1
+          }
+        }
+        var m = Long.MaxValue
+        var i = n - 1
+        val lo = math.max(n - winnow + 1, 0)
+        while (i >= lo) {
+          m = math.min(m, keys(i)); out += m; i -= 1
+        }
+        out.toArray.map(_ % 1048576L)
+      }
+  }
+
   def winnowedFingerprints(df: DataFrame, idCol: String,
       textCol: String, window: Int = 48, winnow: Int = 8): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
       .filter(length(col(textCol)) >= window)
-    val wins = docs
+    val fps = docs
       .select(col(idCol), col(textCol),
-        explode(sequence(lit(0), length(col(textCol)) - window))
-          .as("p"))
-      .select(col(idCol), col("p").cast("long").as("pos"),
-        col(textCol).substr(col("p") + 1, lit(window)).as("win"))
-    val packed = conv(substring(md5(col("win")), 1, 10), 16, 10)
-      .cast("long") * lit(1048576L) + col("pos")
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(0, winnow - 1)
-    val selected = wins
-      .withColumn("k", packed)
-      .withColumn("selk", min(col("k")).over(frame))
-      .select(col(idCol), col("selk")).distinct()
-      .select(col(idCol), (col("selk") % lit(1048576L)).as("pos"))
-    val fps = selected.join(docs, idCol)
+        explode(winnowSelectUdf(col(textCol), lit(window),
+          lit(winnow))).as("pos"))
       .select(col(idCol), col("pos"),
         col(textCol).substr((col("pos") + 1).cast("int"),
           lit(window)).as("fp"))
@@ -280,15 +335,18 @@ object Dedup {
     * not documents). */
   def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // presence is keyed on the KEY, not the digest — a NULL text is
+    // a present row with a null digest, and the null-safe digest
+    // compare classifies it, matching the oracle's ka/kb semantics
     val a = before.select(col(idCol).as("k"),
-      md5(col(textCol)).as("h_before"))
+      md5(col(textCol)).as("h_before"), lit(true).as("in_before"))
     val b = after.select(col(idCol).as("k"),
-      md5(col(textCol)).as("h_after"))
+      md5(col(textCol)).as("h_after"), lit(true).as("in_after"))
     a.join(b, Seq("k"), "full_outer")
       .select(col("k").as(idCol),
-        when(col("h_before").isNull, "added")
-          .when(col("h_after").isNull, "removed")
-          .when(col("h_before") === col("h_after"), "unchanged")
+        when(col("in_before").isNull, "added")
+          .when(col("in_after").isNull, "removed")
+          .when(col("h_before") <=> col("h_after"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -65,6 +65,11 @@ object Rerank {
         val pairs = batch.map(r => (r.getString(qi), r.getString(pi)))
         val ss = Endpoints.withRetries(attempts, sleep = sleep)(
           service.score(pairs))
+        // a service returning a short/long list would silently drop
+        // or misalign candidates under zip — fail fast instead
+        require(ss.length == pairs.length,
+          s"rerank service returned ${ss.length} scores for " +
+            s"${pairs.length} pairs")
         batch.iterator.zip(ss.iterator).map { case (r, sc) =>
           Row.fromSeq(r.toSeq :+ sc)
         }

@@ -643,13 +643,15 @@ object TextQueries {
 
   /** Content-novelty burn-down across sources: processing sources in
     * order as successive "snapshots", the fraction of each source's
-    * docs whose exact content (md5) was never seen in an earlier
-    * source — the recrawl-monitoring curve a dedup pipeline publishes
-    * (novelty collapsing toward 0 = the crawl is re-fetching what it
-    * already has). One md5-keyed first-occurrence window + one
-    * per-source aggregate. The corpus is unioned with
-    * [[NoveltyFixture]] so the cross-source decay is actually
-    * exercised (zz_snap2's rate is 1/3 by construction). */
+    * docs whose exact content (md5) was never seen EARLIER in the
+    * (source, doc_id) processing order — so a within-source duplicate
+    * beyond its first copy is also non-novel, exactly as a streaming
+    * dedup would score the arrival stream. The recrawl-monitoring
+    * curve a dedup pipeline publishes (novelty collapsing toward 0 =
+    * the crawl is re-fetching what it already has). One md5-keyed
+    * first-occurrence window + one per-source aggregate. The corpus
+    * is unioned with [[NoveltyFixture]] so the cross-source decay is
+    * actually exercised (zz_snap2's rate is 1/3 by construction). */
   def q146NoveltyBySource(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fixture = NoveltyFixture.toDF("doc_id", "source", "text")
@@ -1517,11 +1519,12 @@ object TextQueries {
          |  FROM k WHERE rn = 1 GROUP BY doc_id),
          |sp AS (SELECT doc_id, COUNT(*) AS n_paras FROM np
          |  GROUP BY doc_id)
-         |SELECT sp.doc_id, sp.n_paras,
+         |SELECT ad.doc_id, COALESCE(sp.n_paras, 0) AS n_paras,
          |  COALESCE(r.n_kept, 0) AS n_kept,
          |  md5(COALESCE(r.clean_text, '')) AS clean_md5
-         |FROM sp LEFT JOIN r USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |FROM (SELECT doc_id FROM all_docs) ad
+         |LEFT JOIN sp USING (doc_id) LEFT JOIN r USING (doc_id)
+         |ORDER BY ad.doc_id""".stripMargin
     },
     "q137_gopher_repetition" -> {
       val vals = RepetitionFixture.map { case (id, t) =>

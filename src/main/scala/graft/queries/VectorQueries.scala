@@ -118,6 +118,10 @@ object VectorQueries {
       .filter(col("r2") <= 10).select(col("qid"), col("cid"))
     val truth = top10(SimilaritySearch.bruteForceTopK(
       qs, "vec_id", emb, "vec_id", "embedding", k = 11))
+    // denominator derived from the truth set itself, not assumed
+    // |queries|·k — short cells or a different query universe would
+    // silently skew a hard-coded constant
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
     Seq(1, 2, 4).map { np =>
       top10(SimilaritySearch.ivfTopK(qs, "vec_id", emb, "vec_id",
           "embedding", cents, k = 11, nProbe = np))
@@ -125,8 +129,10 @@ object VectorQueries {
         .agg(count(lit(1)).as("hits"))
         .select(lit(np).as("n_probe"), col("hits"))
     }.reduce(_ unionByName _)
+      .crossJoin(truthN)
       .select(col("n_probe"), col("hits"),
-        (col("hits").cast("double") / lit(100.0)).as("mean_recall"))
+        (col("hits").cast("double") / col("n_truth").cast("double"))
+          .as("mean_recall"))
       .orderBy(col("n_probe"))
   }
 
@@ -626,7 +632,8 @@ object VectorQueries {
         |  WHERE rnk <= 11 AND qid <> cid),
         |${selBlocks.mkString(",\n")}
         |SELECT n_probe, hits,
-        |  CAST(hits AS DOUBLE) / 100.0e0 AS mean_recall
+        |  CAST(hits AS DOUBLE) /
+        |    (SELECT COUNT(*) FROM truth) AS mean_recall
         |FROM (${hitBlocks.mkString("\nUNION ALL\n")})
         |ORDER BY n_probe""".stripMargin
     },

@@ -211,6 +211,42 @@ class DedupSpec extends SparkTestBase {
     assert(got.size === 4, "every doc with content must appear")
   }
 
+  test("paragraph dedup keeps one row per INPUT doc: an all-blank " +
+      "doc reports (0, 0, empty) instead of vanishing") {
+    import spark.implicits._
+    val docs = Seq((1L, "real paragraph"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(2L) === ((0L, 0L, "")))
+    assert(got(3L) === ((0L, 0L, "")))
+  }
+
+  test("snapshot diff keys presence on the id, not the digest: null " +
+      "text is present, and null==null is unchanged") {
+    import spark.implicits._
+    val before = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "now has text"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(before, after, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "changed", 2L -> "unchanged"))
+  }
+
+  test("winnowing fails fast on documents beyond the 20-bit packed-" +
+      "position contract instead of silently corrupting keys") {
+    import spark.implicits._
+    val big = Seq((1L, "x" * 1100000)).toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      Dedup.winnowedFingerprints(big, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("pre-chunk") ||
+      Option(e.getCause).exists(_.getMessage.contains("pre-chunk")))
+  }
+
   test("snapshot diff classifies added / removed / changed / " +
       "unchanged exactly") {
     import spark.implicits._
