@@ -63,6 +63,67 @@ object HttpServices {
     }
   }
 
+  /** Cross-encoder rerank over `POST {endpoint}/rerank` — the
+    * cohere/jina-style public API shape ({model, query, documents[]}
+    * in; {results: [{index, relevance_score}]} out). A rerank
+    * micro-batch may span queries, but the API is query-scoped, so
+    * the client issues one request per DISTINCT query in the batch
+    * and maps scores back through the reply's `index` field (reply
+    * order-independent, as the public APIs document). A
+    * size-mismatched reply throws so [[Endpoints.withRetries]] and
+    * [[Rerank.rerankTopK]]'s alignment guard engage. */
+  class HttpRerankService(endpoint: String, model: String,
+      apiKey: Option[String] = None, timeoutSec: Long = 60)
+      extends Rerank.RerankService {
+
+    @transient private lazy val client: HttpClient =
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofSeconds(timeoutSec)).build()
+
+    def score(batch: Seq[(String, String)]): Seq[Double] = {
+      val om = mapper
+      val out = new Array[Double](batch.length)
+      batch.zipWithIndex.groupBy(_._1._1).foreach {
+        case (q, items) =>
+          val body = om.createObjectNode()
+          body.put("model", model)
+          body.put("query", q)
+          val docs = body.putArray("documents")
+          items.foreach { case ((_, p), _) => docs.add(p) }
+          val req = {
+            val b = HttpRequest.newBuilder(
+                URI.create(s"$endpoint/rerank"))
+              .timeout(Duration.ofSeconds(timeoutSec))
+              .header("Content-Type", "application/json")
+              .POST(HttpRequest.BodyPublishers.ofString(
+                om.writeValueAsString(body)))
+            apiKey.foreach(k =>
+              b.header("Authorization", s"Bearer $k"))
+            b.build()
+          }
+          val resp = client.send(req,
+            HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() / 100 != 2)
+            throw new RuntimeException(
+              s"rerank HTTP ${resp.statusCode()}: " +
+                resp.body().take(200))
+          val results = om.readTree(resp.body()).get("results")
+          require(results != null && results.size() == items.length,
+            s"rerank response size " +
+              s"${if (results == null) -1 else results.size()}" +
+              s" != documents ${items.length}")
+          (0 until results.size()).foreach { i =>
+            val r = results.get(i)
+            val idx = r.get("index").asInt()
+            require(idx >= 0 && idx < items.length,
+              s"rerank reply index $idx out of range")
+            out(items(idx)._2) = r.get("relevance_score").asDouble()
+          }
+      }
+      out.toIndexedSeq
+    }
+  }
+
   /** S3 OCR over `POST {endpoint}/ocr`: one request per page, JSON
     * fields mirroring the reference's OCR job exactly
     * (`utils/ocr_utils.py:60-77`: job_id, rel_path, page_num,

@@ -61,6 +61,39 @@ class HttpServicesSpec extends AnyFunSuite {
     }
   }
 
+  test("HttpRerankService groups a mixed batch per query, posts the " +
+      "cohere/jina shape, and maps scores back through reply indexes " +
+      "even when the reply is reordered") {
+    withServer(Map("/rerank" -> { body =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(body)
+      val q = root.get("query").asText()
+      val n = root.get("documents").size()
+      // reply in REVERSED order: the client must honor `index`
+      (n - 1 to 0 by -1).map { i =>
+        val d = root.get("documents").get(i).asText()
+        s"""{"index":$i,"relevance_score":${q.length * 100 + d.length}.5}"""
+      }.mkString("""{"results":[""", ",", "]}")
+    })) { base =>
+      val svc = new HttpServices.HttpRerankService(base, "ce-test")
+      val out = svc.score(Seq(
+        ("qa", "pppp"), ("qbbb", "pp"), ("qa", "p")))
+      assert(out === Seq(204.5, 402.5, 201.5))
+    }
+  }
+
+  test("HttpRerankService rejects a size-mismatched reply so retries " +
+      "and the alignment guard engage") {
+    withServer(Map("/rerank" -> { _ =>
+      """{"results":[{"index":0,"relevance_score":1.0}]}"""
+    })) { base =>
+      val svc = new HttpServices.HttpRerankService(base, "ce-test")
+      intercept[IllegalArgumentException] {
+        svc.score(Seq(("q", "a"), ("q", "b")))
+      }
+    }
+  }
+
   test("HttpOcrService posts the reference OCR job fields and parses " +
       "the worker reply (S3)") {
     val seen = new java.util.concurrent.atomic.AtomicReference[String]
