@@ -142,6 +142,30 @@ object Rag {
     * whenever the true top-k survives the shortlist (RagSpec pins
     * equality on the testdata corpus). At 100 TB this quarters the
     * scan bandwidth of every retrieval. */
+  /** Retrieve → RERANK → assemble: the production two-stage serving
+    * cascade — a wide dense recall stage (`kCandidates` per query)
+    * feeding the cross-encoder precision stage
+    * ([[Rerank.rerankTopK]]), with [[retrieve]]'s exact dedup +
+    * context-assembly tail. `queries` carries (qid, qtext,
+    * embedding): the embedding drives recall, the raw text rides to
+    * the reranker. Only `kCandidates` rows per query ever reach the
+    * expensive scorer — the cascade's contract at corpus scale. */
+  def retrieveReranked(index: DataFrame, queries: DataFrame,
+      service: Rerank.RerankService, kCandidates: Int,
+      k: Int): DataFrame = {
+    val cands = SimilaritySearch.bruteForceTopKHeap(
+        queries.select(col("qid"), col("embedding")), "qid",
+        index, "chunk_id", "embedding", kCandidates)
+      .withColumnRenamed("cid", "chunk_id")
+      .drop("rnk") // stage-1 rank; the reranker assigns the final one
+      .join(index.select(col("chunk_id"), col("chunk"),
+        col("source_file")), Seq("chunk_id"))
+      .join(queries.select(col("qid"), col("qtext")), Seq("qid"))
+    val reranked = Rerank.rerankTopK(cands, "qid", "qtext",
+      "chunk_id", "chunk", service, k)
+    assembleContext(dedupHits(reranked))
+  }
+
   def retrieveCompressed(index: DataFrame, queries: DataFrame, k: Int,
       rerank: Int = 10): DataFrame = {
     val shortlist = SimilaritySearch.quantizedTopK(

@@ -220,6 +220,32 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** The full serving cascade composed end-to-end
+    * ([[graft.operators.Rag.retrieveReranked]]): markdown ingest →
+    * chunk → embed → dense recall (12 candidates) → cross-encoder
+    * rerank (the q151 boundary, mmh3 stub scorer) → top-4 dedup +
+    * cited context assembly. q36 with the precision stage inserted;
+    * the oracle replays EVERY stage in SQL — ids, embeddings,
+    * cosine, the rerank hash, and the assembled context strings —
+    * value-exact. */
+  def q152RagRerankCascade(s: SparkSession, d: String): DataFrame = {
+    val svc = new Embed.HashEmbeddingService(32)
+    val chunks = Ingest.ingestMarkdown(asMarkdownDocs(s, d))
+    val index = Embed.embedText(chunks, "chunk", "embedding", svc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qtexts = documents(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 64).as("qtext"))
+    val queries = Embed.embedText(qtexts, "qtext", "embedding", svc,
+      prefix = Embed.QueryPrefix)
+    graft.operators.Rag.retrieveReranked(index, queries,
+        new graft.operators.Rerank.HashRerankService,
+        kCandidates = 12, k = 4)
+      .select(col("qid"), col("context"),
+        concat_ws(",", col("sources")).as("sources"))
+      .orderBy(col("qid"))
+  }
+
   /** q121's phrase search served from the PERSISTED positional
     * postings (`TextIndex.buildPositional` — built once per corpus
     * with the q115 content-fingerprint device): the scan prunes to
@@ -289,6 +315,7 @@ object PipelineQueries {
     "q115_hybrid_indexed" -> (q115HybridIndexed _),
     "q116_sparse_bm25" -> (q116SparseBm25 _),
     "q151_rerank_cascade" -> (q151RerankCascade _),
+    "q152_rag_rerank" -> (q152RagRerankCascade _),
     "q122_phrase_indexed" -> (q122PhraseIndexed _),
     "q49_stream_barrier" -> (q49StreamBarrier _),
   )
@@ -441,6 +468,72 @@ object PipelineQueries {
       |  SELECT *, ROW_NUMBER() OVER (
       |    PARTITION BY qid ORDER BY score DESC, chunk_id) AS rnk
       |  FROM scored) WHERE rnk <= 4),
+      |dedup AS (SELECT * FROM (
+      |  SELECT *, MIN(rnk) OVER (PARTITION BY qid, chunk) AS best
+      |  FROM hits) WHERE rnk = best),
+      |numbered AS (
+      | SELECT qid, source_file,
+      |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rnk) AS n,
+      |  regexp_replace(chunk,
+      |    '^passage: \\[DOC_[0-9A-F]{8}\\] ', '') AS body
+      | FROM dedup)
+      |SELECT qid,
+      | string_agg('[source' || CAST(n AS VARCHAR) || '] ' || body,
+      |   chr(10) || '---' || chr(10) ORDER BY n) AS context,
+      | string_agg(source_file, ',' ORDER BY n) AS sources
+      |FROM numbered GROUP BY qid ORDER BY qid""".stripMargin
+  }
+
+  /** q152 oracle: q36's full replay widened to 12 candidates, the
+    * rerank hash recomputed over each query‖0x01‖chunk pair with the
+    * murmur3 CTEs, top-4 by (rerank score DESC, chunk_id), then the
+    * SAME dedup/assembly tail keyed on the rerank rank. */
+  private val q152Oracle: String = {
+    val (ceMm, ceLast) = mmh3Ctes("cstr", "comp_str", "_ce_h32", "ce")
+    val (qeMm, qeLast) = mmh3Ctes("qstr", "comp_str", "_qe_h32", "qe")
+    val (rrMm, rrLast) = mmh3Ctes("rr_in", "pair", "_rr_h32", "rg")
+    s"""WITH $chunkCtes,
+      |cstr AS (
+      | SELECT chunk_id, source_file, chunk, dim,
+      |  chunk || '#' || CAST(dim AS VARCHAR) AS comp_str
+      | FROM (SELECT chunk_id, source_file, chunk,
+      |   unnest(generate_series(0, 31)) AS dim FROM chunks)),$ceMm,
+      |cemb AS (
+      | SELECT chunk_id, source_file, chunk,
+      |  list(${mmComponent("_ce_h32")} ORDER BY dim) AS emb
+      | FROM $ceLast GROUP BY chunk_id, source_file, chunk),
+      |qraw AS (SELECT doc_id AS qid, substr(text, 1, 64) AS qtext
+      |  FROM documents WHERE doc_id < 5),
+      |qstr AS (
+      | SELECT qid, dim, qs || '#' || CAST(dim AS VARCHAR) AS comp_str
+      | FROM (SELECT qid, 'query: ' || qtext AS qs,
+      |   unnest(generate_series(0, 31)) AS dim FROM qraw)),$qeMm,
+      |qemb AS (
+      | SELECT qid, list(${mmComponent("_qe_h32")} ORDER BY dim) AS qv
+      | FROM $qeLast GROUP BY qid),
+      |scored AS (
+      | SELECT q.qid, c.chunk_id, c.source_file, c.chunk,
+      |  list_dot_product(q.qv, c.emb) /
+      |   (sqrt(list_dot_product(q.qv, q.qv)) *
+      |    sqrt(list_dot_product(c.emb, c.emb))) AS score
+      | FROM qemb q, cemb c),
+      |cand AS (SELECT qid, chunk_id, source_file, chunk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, chunk_id) AS r1
+      |  FROM scored) WHERE r1 <= 12),
+      |rr_in AS (
+      | SELECT c.qid, c.chunk_id, c.source_file, c.chunk,
+      |  q.qtext || chr(1) || c.chunk AS pair
+      | FROM cand c JOIN qraw q USING (qid)),$rrMm,
+      |rscored AS (
+      | SELECT qid, chunk_id, source_file, chunk,
+      |  CAST(((${mmSigned("_rr_h32")} % 1000000) + 1000000) % 1000000
+      |    AS DOUBLE) / 1000000.0e0 AS rscore
+      | FROM $rrLast),
+      |hits AS (SELECT * FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY rscore DESC, chunk_id) AS rnk
+      |  FROM rscored) WHERE rnk <= 4),
       |dedup AS (SELECT * FROM (
       |  SELECT *, MIN(rnk) OVER (PARTITION BY qid, chunk) AS best
       |  FROM hits) WHERE rnk = best),
@@ -647,6 +740,7 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q35_chunk_pipeline" -> q35Oracle,
     "q151_rerank_cascade" -> q151Oracle,
+    "q152_rag_rerank" -> q152Oracle,
     "q132_file_completeness" -> q132Oracle,
     "q36_rag_pipeline" -> q36Oracle,
     "q37_hybrid_search" -> q37Oracle,

@@ -59,6 +59,34 @@ class RagSpec extends SparkTestBase {
     assert(out(0).getAs[String]("context") === "[source1] apples and pears")
   }
 
+  test("retrieveReranked: the precision stage re-orders recall's " +
+      "candidates and the assembly tail stays intact") {
+    import spark.implicits._
+    val index = Seq(
+      ("c1", "passage: [DOC_AAAAAAAA] apples and pears", "f1.md",
+        Array(1.0f, 0.0f)),
+      ("c2", "passage: [DOC_BBBBBBBB] trains and planes", "f2.md",
+        Array(0.9f, 0.1f)),
+      ("c3", "passage: [DOC_CCCCCCCC] suns and moons", "f3.md",
+        Array(0.8f, 0.2f)))
+      .toDF("chunk_id", "chunk", "source_file", "embedding")
+    val queries = Seq((7L, "fruit question", Array(1.0f, 0.0f)))
+      .toDF("qid", "qtext", "embedding")
+    // a scorer that inverts the dense order: last candidate wins
+    val invert = new Rerank.RerankService {
+      def score(batch: Seq[(String, String)]): Seq[Double] =
+        batch.map { case (_, p) => -p.length.toDouble +
+          (if (p.contains("moons")) 100.0 else 0.0) }
+    }
+    val out = Rag.retrieveReranked(index, queries, invert,
+      kCandidates = 3, k = 2).collect()
+    assert(out.length === 1)
+    val ctx = out(0).getAs[String]("context")
+    assert(ctx.startsWith("[source1] suns and moons"),
+      s"reranker must own the final order, got: $ctx")
+    assert(ctx.contains("\n---\n"), "assembly separators intact")
+  }
+
   test("retrieveCompressed (int8 shortlist + exact rerank) assembles " +
       "the same contexts as the float retrieve") {
     import spark.implicits._
