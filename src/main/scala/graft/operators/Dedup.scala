@@ -167,6 +167,65 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Boilerplate-line removal (the CCNet §4.1 / RefinedWeb line-wise
+    * filtering idea, frequency direction): a line whose normalized
+    * identity (`lower(trim(line))`) occurs in MORE THAN `maxDocFreq`
+    * DISTINCT documents is template chrome — navigation, cookie
+    * banners, footers — and every occurrence of it is dropped
+    * corpus-wide; documents are rebuilt from the survivors. Distinct
+    * from [[dropDuplicateParagraphs]] (keep-FIRST exact dedup): here
+    * nothing of a boilerplate line survives anywhere, while a line
+    * shared by ≤ `maxDocFreq` docs survives everywhere (legitimate
+    * quotation, not chrome). Intra-doc repeats alone never trigger
+    * removal — the frequency is per distinct document.
+    *
+    * Shape: one split+posexplode; doc-frequency is a two-level
+    * aggregate keyed on `md5(identity)` so only fixed-width digests
+    * (never line text) cross its exchanges; ONLY identities over the
+    * threshold — the boilerplate set, corpus-bounded at
+    * n_distinct_lines/`maxDocFreq` and in practice tiny — flow into
+    * the removal side of a left-anti join against the line stream.
+    * The per-doc rebuild reuses the doc-local sort_array fold of
+    * [[dropDuplicateParagraphs]]. No self-join anywhere; at 100 TB
+    * the anti-join's build side is the small boilerplate digest set
+    * (AQE broadcasts it), so the line stream is never shuffled on
+    * line content at all.
+    *
+    * Output: (id, n_lines, n_kept, clean_text) — counts over
+    * non-blank lines; blank lines are separators, not content, and
+    * are excluded from keying and rebuild exactly as in
+    * [[dropDuplicateParagraphs]]. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String,
+      textCol: String, maxDocFreq: Int): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("_bl_h", md5(lower(trim(col("line")))))
+    val boiler = lines
+      .groupBy(col("_bl_h"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("_bl_h"))
+    val kept = lines.join(boiler, Seq("_bl_h"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"),
+            col("line")))), s => s.getField("line")), "\n")
+          .as("clean_text"))
+    val counts = lines.groupBy(col("doc").as("_bl_doc"))
+      .agg(count(lit(1)).as("n_lines"))
+    df.select(col(idCol))
+      .join(counts, col(idCol) === col("_bl_doc"), "left")
+      .join(rebuilt, col(idCol) === col("doc"), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Train-side decontamination with a BLOOM-FILTER prefilter — the
     * 100 TB shape of [[crossContamination]]'s exact n-gram screen
     * (GPT-3 appx C / PaLM §6.3, removal direction: drop TRAIN docs

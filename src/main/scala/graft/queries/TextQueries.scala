@@ -1023,6 +1023,40 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixture docs exercising the boilerplate-line classes the single-
+    * line corpus cannot: a line shared by FOUR docs (over the
+    * threshold, with case/padding variants under the lower(trim)
+    * identity), a line shared by exactly two docs (at the threshold —
+    * kept), intra-doc repetition (one distinct doc — kept), an
+    * entirely-boilerplate doc, and blank separators. Shared verbatim
+    * with the q153 oracle's VALUES list. */
+  private[queries] val BoilerplateFixture: Seq[(Long, String)] = Seq(
+    (9300001L, "unique opening\nCopyright Footer Line\nunique tail"),
+    (9300002L, "copyright footer line\nquoted passage shared"),
+    (9300003L, "  copyright footer line  \nquoted passage shared\nown " +
+      "content here"),
+    (9300004L, "copyright footer line"),
+    (9300005L, "echo repeated line\necho repeated line\n\nsolo line"))
+
+  /** Boilerplate-line removal ([[Dedup.dropBoilerplateLines]] — the
+    * CCNet §4.1 / RefinedWeb template-chrome drop): every occurrence
+    * of any line whose lower(trim) identity appears in more than two
+    * distinct documents is removed corpus-wide; documents rebuilt.
+    * The corpus (single-line docs — planted exact-dup groups larger
+    * than the threshold lose everything) is unioned with
+    * [[BoilerplateFixture]]; value-checked by md5 of every rebuilt
+    * document. */
+  def q153BoilerplateLines(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = BoilerplateFixture.toDF("doc_id", "text")
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(fixture)
+    Dedup.dropBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic epoch shuffle ([[graft.operators.Split
     * .epochShuffle]]): the training-order permutation for epoch 3,
     * value-checked — the oracle's flat global ROW_NUMBER must equal
@@ -1076,6 +1110,7 @@ object TextQueries {
     "q123_normalized_dedup" -> (q123NormalizedDedup _),
     "q136_paragraph_dedup" -> (q136ParagraphDedup _),
     "q137_gopher_repetition" -> (q137GopherRepetition _),
+    "q153_boilerplate_lines" -> (q153BoilerplateLines _),
     "q121_phrase_search" -> (q121PhraseSearch _),
     "q120_neardup_survivors" -> (q120NearDupSurvivors _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
@@ -1520,6 +1555,35 @@ object TextQueries {
          |sp AS (SELECT doc_id, COUNT(*) AS n_paras FROM np
          |  GROUP BY doc_id)
          |SELECT ad.doc_id, COALESCE(sp.n_paras, 0) AS n_paras,
+         |  COALESCE(r.n_kept, 0) AS n_kept,
+         |  md5(COALESCE(r.clean_text, '')) AS clean_md5
+         |FROM (SELECT doc_id FROM all_docs) ad
+         |LEFT JOIN sp USING (doc_id) LEFT JOIN r USING (doc_id)
+         |ORDER BY ad.doc_id""".stripMargin
+    },
+    "q153_boilerplate_lines" -> {
+      val vals = BoilerplateFixture.map { case (id, t) =>
+        s"($id, '${t.replace("'", "''").replace("\n", "' || chr(10) || '")}')"
+      }.mkString(", ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $vals) AS v(doc_id, text)),
+         |l0 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    string_split(text, chr(10))[i] AS line
+         |  FROM all_docs, LATERAL unnest(generate_series(1,
+         |    len(string_split(text, chr(10))))) AS u(i)),
+         |l AS (SELECT doc_id, pos, line, lower(trim(line)) AS ident
+         |  FROM l0 WHERE len(trim(line)) > 0),
+         |boiler AS (SELECT ident FROM l
+         |  GROUP BY ident HAVING COUNT(DISTINCT doc_id) > 2),
+         |k AS (SELECT doc_id, pos, line FROM l
+         |  WHERE ident NOT IN (SELECT ident FROM boiler)),
+         |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |  FROM k GROUP BY doc_id),
+         |sp AS (SELECT doc_id, COUNT(*) AS n_lines FROM l
+         |  GROUP BY doc_id)
+         |SELECT ad.doc_id, COALESCE(sp.n_lines, 0) AS n_lines,
          |  COALESCE(r.n_kept, 0) AS n_kept,
          |  md5(COALESCE(r.clean_text, '')) AS clean_md5
          |FROM (SELECT doc_id FROM all_docs) ad

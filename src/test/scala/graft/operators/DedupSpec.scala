@@ -224,6 +224,49 @@ class DedupSpec extends SparkTestBase {
     assert(got(3L) === ((0L, 0L, "")))
   }
 
+  test("boilerplate-line removal drops every occurrence of a line " +
+      "over the doc-frequency threshold, case-insensitively; " +
+      "low-frequency shared lines and intra-doc repeats survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique opening\nCookie Banner Text\nunique tail one"),
+      (2L, "cookie banner text\nquoted passage shared twice"),
+      (3L, "  cookie banner text  \nquoted passage shared twice\nown"),
+      (4L, "cookie banner text"),              // entirely boilerplate
+      (5L, "echo echo\necho echo\necho echo\nsolo line"), // intra-doc
+      (6L, "line a\n\n\nline b")               // blank separators
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateLines(docs, "doc_id", "text",
+        maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "cookie banner text" is in 4 distinct docs (> 2) under the
+    // lower(trim) identity — removed everywhere, original casing and
+    // padding notwithstanding
+    assert(got(1L) === ((3L, 2L, "unique opening\nunique tail one")))
+    // "quoted passage shared twice" is in only 2 docs — kept in both
+    assert(got(2L) === ((2L, 1L, "quoted passage shared twice")))
+    assert(got(3L) === ((3L, 2L, "quoted passage shared twice\nown")))
+    assert(got(4L) === ((1L, 0L, "")))
+    // intra-doc repetition is one distinct doc — never boilerplate
+    assert(got(5L) === ((4L, 4L,
+      "echo echo\necho echo\necho echo\nsolo line")))
+    assert(got(6L) === ((2L, 2L, "line a\nline b")))
+    assert(got.size === 6)
+  }
+
+  test("boilerplate-line removal keeps one row per INPUT doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "content"), (2L, "   \n  "), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateLines(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(2L) === ((0L, 0L, "")))
+    assert(got(3L) === ((0L, 0L, "")))
+  }
+
   test("snapshot diff keys presence on the id, not the digest: null " +
       "text is present, and null==null is unchanged") {
     import spark.implicits._
