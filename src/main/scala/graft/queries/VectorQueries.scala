@@ -31,6 +31,25 @@ object VectorQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** MMR diversification ([[SimilaritySearch.mmrDiversify]], λ=0.5)
+    * of a 20-candidate brute-force shortlist for the first 5 vectors:
+    * 5 greedy selections per query, relevance traded against maximum
+    * similarity to what is already selected. The oracle replays the
+    * greedy loop as 5 chained SQL stages over the same shortlist and
+    * pairwise-cosine frames — selection order, scores and mmr scores
+    * all value-exact. */
+  def q155MmrDiversify(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val shortlist = SimilaritySearch.bruteForceTopKHeap(
+        emb.filter(col("vec_id") < 5), "vec_id",
+        emb, "vec_id", "embedding", k = 21)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("score"))
+    SimilaritySearch.mmrDiversify(shortlist, emb, "vec_id",
+        "embedding", k = 5, lambda = 0.5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Per-label centroid components — the coarse-quantizer build for
     * IVF ANN. Mean per dimension via the exact decimal-sum mean
     * (q95 technique): per-element cast to DECIMAL(18,9), exact sum,
@@ -332,6 +351,7 @@ object VectorQueries {
     "q147_ann_recall_sweep" -> (q147AnnRecallSweep _),
     "q58_embedding_neardups" -> (q58EmbeddingNearDups _),
     "q31_knn_bruteforce" -> (q31KnnBruteForce _),
+    "q155_mmr_diversify" -> (q155MmrDiversify _),
     "q32_label_centroids" -> (q32LabelCentroids _),
     "q33_vector_norms" -> (q33VectorNorms _),
     "q34_cosine_top_pairs" -> (q34CosineTopPairs _),
@@ -735,6 +755,60 @@ object VectorQueries {
         |   (sqrt(list_dot_product(a.e, a.e)) *
         |    sqrt(list_dot_product(b.e, b.e))) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+    "q155_mmr_diversify" -> {
+      // the engine's k greedy steps replayed as k chained SQL stages;
+      // every arithmetic shape (0.5e0·score − 0.5e0·COALESCE(maxsim,
+      // 0)) mirrors the engine's fixed-shape mmr expression exactly
+      val k = 5
+      val stages = (1 to k).map { i =>
+        val prev = s"sel${i - 1}"
+        s"""s$i AS (
+           | SELECT qid, cid, score, mmr_score, $i AS rnk FROM (
+           |  SELECT c.qid, c.cid, c.score,
+           |   0.5e0*c.score - 0.5e0*COALESCE(m.maxsim, 0.0e0)
+           |     AS mmr_score,
+           |   ROW_NUMBER() OVER (PARTITION BY c.qid
+           |     ORDER BY 0.5e0*c.score - 0.5e0*COALESCE(m.maxsim,
+           |       0.0e0) DESC, c.cid) AS r
+           |  FROM cand c
+           |  LEFT JOIN (SELECT p.qid, p.cid, MAX(p.sim) AS maxsim
+           |    FROM pairs p JOIN $prev s
+           |      ON s.qid = p.qid AND s.cid = p.other
+           |    GROUP BY p.qid, p.cid) m
+           |   ON m.qid = c.qid AND m.cid = c.cid
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+           |    WHERE s2.qid = c.qid AND s2.cid = c.cid)
+           | ) WHERE r = 1),
+           |sel$i AS (SELECT qid, cid FROM $prev
+           |  UNION ALL SELECT qid, cid FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+         |           FROM embeddings),
+         |scored AS (
+         | SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |  list_dot_product(q.e, c.e) /
+         |   (sqrt(list_dot_product(q.e, q.e)) *
+         |    sqrt(list_dot_product(c.e, c.e))) AS score
+         | FROM v q, v c WHERE q.vec_id < 5),
+         |ranked AS (SELECT qid, cid, score, ROW_NUMBER() OVER (
+         |   PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+         |  FROM scored),
+         |cand AS (SELECT qid, cid, score FROM ranked
+         |  WHERE rnk <= 21 AND cid <> qid),
+         |pairs AS (SELECT a.qid, a.cid, b.cid AS other,
+         |  list_dot_product(ca.e, cb.e) /
+         |   (sqrt(list_dot_product(ca.e, ca.e)) *
+         |    sqrt(list_dot_product(cb.e, cb.e))) AS sim
+         | FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+         |  JOIN v ca ON ca.vec_id = a.cid
+         |  JOIN v cb ON cb.vec_id = b.cid),
+         |sel0 AS (SELECT qid, cid FROM cand WHERE false),
+         |$stages
+         |SELECT qid, cid, score, mmr_score, rnk FROM (
+         | ${(1 to k).map(i => s"SELECT * FROM s$i")
+             .mkString(" UNION ALL ")})
+         |ORDER BY qid, rnk""".stripMargin
+    },
     "q31_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
         |           FROM embeddings),

@@ -8,6 +8,31 @@ import graft.functions.VectorFunctions
   * IVF recall against the brute-force oracle. */
 class SimilaritySpec extends SparkTestBase {
 
+  test("mmrDiversify picks the diverse candidate over the redundant " +
+      "one once relevance is discounted by similarity-to-selected") {
+    import spark.implicits._
+    // A and B are exact duplicates (sim 1.0); C is diverse (sim 0.6)
+    // with rel 0.6. Pure top-3 is A, B, C; MMR at λ=0.3 must select
+    // A, then C (0.3·0.6 − 0.7·0.6 = −0.24 beats B's 0.3 − 0.7 =
+    // −0.4), then B.
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(1.0f, 0.0f)),
+      (12L, Array(0.6f, 0.8f)))
+      .toDF("id", "vec")
+    val shortlist = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 1.0), (1L, 12L, 0.6))
+      .toDF("qid", "cid", "score")
+    val got = SimilaritySearch.mmrDiversify(shortlist, corpus, "id",
+        "vec", k = 3, lambda = 0.3)
+      .orderBy("rnk").collect()
+    assert(got.map(_.getAs[Long]("cid")).toSeq === Seq(10L, 12L, 11L))
+    val mmr = got.map(_.getAs[Double]("mmr_score"))
+    assert(math.abs(mmr(0) - 0.3) <= 1e-6)          // 0.3·1 − 0.7·0
+    assert(math.abs(mmr(1) - (-0.24)) <= 1e-6)      // diverse C
+    assert(math.abs(mmr(2) - (-0.4)) <= 1e-6)       // redundant B
+    assert(got.map(_.getAs[Int]("rnk")).toSeq === Seq(1, 2, 3))
+  }
+
   test("bruteForceTopK returns score-ordered neighbors (T1)") {
     import spark.implicits._
     val corpus = Seq(
