@@ -1104,8 +1104,28 @@ object TextQueries {
       d: String): DataFrame =
     corpusBuild(documents(s, d)).orderBy(col("doc_id"))
 
+  /** The TRAINING ORDER — what the trainer actually reads, in what
+    * order: [[corpusBuild]]'s survivors (q126) are flattened toward
+    * √n per-source proportions by the deterministic temperature
+    * sampler (q106 device, target 100 docs — below the survivor count, so the sampler actually thins) and laid out by the
+    * deterministic epoch-1 shuffle (q125 device, contiguous global
+    * positions). One query materializes the full decision chain
+    * quality → dedup → mixture → order; the oracle composes all
+    * three replays and the hash match proves the composition, not
+    * just the stages. */
+  def q154TrainingOrder(s: SparkSession, d: String): DataFrame = {
+    val sampled = graft.operators.Split.temperatureSample(
+        corpusBuild(documents(s, d)), "doc_id", "source",
+        targetTotal = 100L)
+      .select(col("doc_id"), col("source"))
+    graft.operators.Split.epochShuffle(sampled, "doc_id", epoch = 1)
+      .select(col("doc_id"), col("source"), col("position"))
+      .orderBy(col("position"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_corpus_materialization" -> (q126CorpusMaterialization _),
+    "q154_training_order" -> (q154TrainingOrder _),
     "q125_epoch_shuffle" -> (q125EpochShuffle _),
     "q123_normalized_dedup" -> (q123NormalizedDedup _),
     "q136_paragraph_dedup" -> (q136ParagraphDedup _),
@@ -1269,6 +1289,81 @@ object TextQueries {
       |  lab.is_seed
       |FROM sc CROSS JOIN pr JOIN lab ON sc.doc_id = lab.doc_id
       |ORDER BY sc.doc_id""".stripMargin
+
+  /** The q126 corpus-build replay (quality funnel + exact keeper
+    * + LSH→Jaccard→components→min-id survivors) as a standalone
+    * statement — the oracle of q126 itself and the survivor CTE
+    * of the composed q154 training-order oracle. */
+  private val Q126CorpusSql: String =
+      s"""WITH RECURSIVE fq AS (
+        |  SELECT doc_id, lang, source, text,
+        |    string_split(text, ' ') AS w,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, source, text FROM fq
+        |  WHERE lang = 'en' AND len(w) >= 20
+        |    AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+        |      >= 3.9
+        |    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.35
+        |    AND rn = 1),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text,' ')) - 2),
+        |   i -> string_split(text,' ')[i] || ' ' ||
+        |        string_split(text,' ')[i+1] || ' ' ||
+        |        string_split(text,' ')[i+2])) AS ss
+        | FROM kept WHERE len(string_split(text,' ')) >= 3),
+        |hs AS (
+        | SELECT doc_id, list_transform(ss,
+        |   s -> ('0x' || substr(md5(s), 1, 7))::UBIGINT::BIGINT) AS hv
+        | FROM sh WHERE len(ss) > 0),
+        |mh AS (
+        | SELECT doc_id, list_transform(generate_series(0, 15),
+        |   p -> list_min(list_transform(hv, h ->
+        |     ((${Dedup.MhA1}*p + ${Dedup.MhA0}) * h
+        |      + (${Dedup.MhB1}*p + ${Dedup.MhB0}))
+        |      % ${Dedup.MhMod}))) AS sig
+        | FROM hs),
+        |bands AS (
+        | SELECT doc_id, band,
+        |  md5(CAST(sig[band*4+1] AS VARCHAR) || '|' ||
+        |      CAST(sig[band*4+2] AS VARCHAR) || '|' ||
+        |      CAST(sig[band*4+3] AS VARCHAR) || '|' ||
+        |      CAST(sig[band*4+4] AS VARCHAR)) AS bh
+        | FROM mh, (SELECT unnest(generate_series(0, 3)) AS band)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |   AND a.doc_id < b.doc_id),
+        |shk AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |kgr AS (SELECT doc_id, s FROM shk WHERE s IN (
+        |   SELECT s FROM shk GROUP BY s HAVING COUNT(*) <= 50)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kgr GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        | FROM kgr a JOIN kgr b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |jac AS (SELECT c.id_a, c.id_b,
+        |   CAST(common AS DOUBLE) / (x.n + y.n - common) AS j
+        | FROM common c JOIN sizes x ON c.id_a = x.doc_id
+        |   JOIN sizes y ON c.id_b = y.doc_id),
+        |ver AS (SELECT jac.id_a, jac.id_b FROM jac
+        | JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+        | WHERE jac.j >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM ver
+        |      UNION ALL SELECT id_b, id_a FROM ver),
+        |reach AS (
+        | SELECT src, dst FROM e
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, MIN(dst) AS mn
+        |         FROM reach GROUP BY src)
+        |SELECT k.doc_id, k.source FROM kept k
+        |LEFT JOIN comp c ON k.doc_id = c.id
+        |WHERE LEAST(k.doc_id, COALESCE(c.mn, k.doc_id)) = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q133_nb_quality" -> q133Oracle,
@@ -1443,76 +1538,35 @@ object TextQueries {
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // q117's quality replay feeding q120's dedup replay, computed
     // over the quality survivors — the composed corpus build.
-    "q126_corpus_materialization" ->
-      s"""WITH RECURSIVE fq AS (
-        |  SELECT doc_id, lang, source, text,
-        |    string_split(text, ' ') AS w,
-        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
-        |      AS rn
-        |  FROM documents),
-        |kept AS (
-        |  SELECT doc_id, source, text FROM fq
-        |  WHERE lang = 'en' AND len(w) >= 20
-        |    AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
-        |      >= 3.9
-        |    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.35
-        |    AND rn = 1),
-        |sh AS (
-        | SELECT doc_id, list_distinct(list_transform(
-        |   generate_series(1, len(string_split(text,' ')) - 2),
-        |   i -> string_split(text,' ')[i] || ' ' ||
-        |        string_split(text,' ')[i+1] || ' ' ||
-        |        string_split(text,' ')[i+2])) AS ss
-        | FROM kept WHERE len(string_split(text,' ')) >= 3),
-        |hs AS (
-        | SELECT doc_id, list_transform(ss,
-        |   s -> ('0x' || substr(md5(s), 1, 7))::UBIGINT::BIGINT) AS hv
-        | FROM sh WHERE len(ss) > 0),
-        |mh AS (
-        | SELECT doc_id, list_transform(generate_series(0, 15),
-        |   p -> list_min(list_transform(hv, h ->
-        |     ((${Dedup.MhA1}*p + ${Dedup.MhA0}) * h
-        |      + (${Dedup.MhB1}*p + ${Dedup.MhB0}))
-        |      % ${Dedup.MhMod}))) AS sig
-        | FROM hs),
-        |bands AS (
-        | SELECT doc_id, band,
-        |  md5(CAST(sig[band*4+1] AS VARCHAR) || '|' ||
-        |      CAST(sig[band*4+2] AS VARCHAR) || '|' ||
-        |      CAST(sig[band*4+3] AS VARCHAR) || '|' ||
-        |      CAST(sig[band*4+4] AS VARCHAR)) AS bh
-        | FROM mh, (SELECT unnest(generate_series(0, 3)) AS band)),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-        |   AND a.doc_id < b.doc_id),
-        |shk AS (SELECT doc_id, unnest(ss) AS s FROM sh),
-        |kgr AS (SELECT doc_id, s FROM shk WHERE s IN (
-        |   SELECT s FROM shk GROUP BY s HAVING COUNT(*) <= 50)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kgr GROUP BY 1),
-        |common AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        | FROM kgr a JOIN kgr b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2),
-        |jac AS (SELECT c.id_a, c.id_b,
-        |   CAST(common AS DOUBLE) / (x.n + y.n - common) AS j
-        | FROM common c JOIN sizes x ON c.id_a = x.doc_id
-        |   JOIN sizes y ON c.id_b = y.doc_id),
-        |ver AS (SELECT jac.id_a, jac.id_b FROM jac
-        | JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-        | WHERE jac.j >= 0.5),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM ver
-        |      UNION ALL SELECT id_b, id_a FROM ver),
-        |reach AS (
-        | SELECT src, dst FROM e
-        | UNION
-        | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-        |comp AS (SELECT src AS id, MIN(dst) AS mn
-        |         FROM reach GROUP BY src)
-        |SELECT k.doc_id, k.source FROM kept k
-        |LEFT JOIN comp c ON k.doc_id = c.id
-        |WHERE LEAST(k.doc_id, COALESCE(c.mn, k.doc_id)) = k.doc_id
-        |ORDER BY k.doc_id""".stripMargin,
+    "q126_corpus_materialization" -> Q126CorpusSql,
+    "q154_training_order" ->
+      // the corpus build replay (q126) feeds the temperature-sampling
+      // replay (q106 device over source at target 800) and the epoch-
+      // shuffle replay (q125 device, epoch 1) — the full "what does
+      // the trainer read, in what order" composition
+      s"""WITH surv AS ($Q126CorpusSql),
+        |counts AS (
+        |  SELECT source AS s, COUNT(*) AS n,
+        |    floor(sqrt(COUNT(*)) * 1e9) / 1e9 AS sq9
+        |  FROM surv GROUP BY 1),
+        |rates AS (
+        |  SELECT s,
+        |    CAST(floor(least(1.0e0,
+        |      100.0e0 * sq9 /
+        |        (SELECT CAST(SUM(CAST(sq9 AS DECIMAL(18,9)))
+        |           AS DOUBLE) FROM counts) /
+        |        CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS keep_threshold
+        |  FROM counts),
+        |sampled AS (
+        |  SELECT doc_id, source FROM surv JOIN rates ON source = s
+        |  WHERE ('0x' || substr(md5('temp:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+        |    < keep_threshold)
+        |SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS position
+        |FROM sampled ORDER BY position""".stripMargin,
     "q125_epoch_shuffle" ->
       """SELECT doc_id,
         |  ROW_NUMBER() OVER (
