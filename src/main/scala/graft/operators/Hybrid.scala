@@ -37,7 +37,20 @@ object Hybrid {
     * oracle's `list_reduce(list(w ORDER BY term))`. */
   def bm25(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Terms(corpus, idCol, textCol,
+      queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
+          .as("term")), k1, b)
+
+  /** [[bm25]] over an EXPLICIT distinct (qid, term) frame instead of
+    * a query-text column — the entry point for callers that
+    * construct or rewrite the query term set themselves (pseudo-
+    * relevance feedback, query rewriting). Same corpus-side shapes
+    * and scoring tail, bit-identical scores. */
+  def bm25Terms(corpus: DataFrame, idCol: String, textCol: String,
+      qterms: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     val tf = termFrequencies(corpus, idCol, textCol)
     // Tokenize the corpus text ONCE: doc length, corpus stats, and
     // document frequency all derive from the tf frame, whose groupBy
@@ -57,14 +70,62 @@ object Hybrid {
     val stats = docLen.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qterms = queries.select(col(qidCol).as("qid"),
-      explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
-        .as("term"))
     scoreBm25(qterms
       .join(tf, Seq("term"))
       .join(dfreq, Seq("term"))
       .join(docLen, Seq("doc"))
       .crossJoin(broadcast(stats)), k1, b)
+  }
+
+  /** RM3-style pseudo-relevance feedback (Lavrenko & Croft relevance
+    * models, the Anserini/Lucene RM3 default shape simplified to a
+    * deterministic tf·idf expansion): run BM25 once, take the top
+    * `fbDocs` feedback documents per query, score every term they
+    * contain by Σ_d tf(t,d) · ⌊idf(t)·1e9⌋ (a PURE INTEGER weight —
+    * order-independent, so the partial aggregation is exact and the
+    * oracle replays it without float-fold pinning), drop terms
+    * already in the query, keep the top `fbTerms` per query, and
+    * re-run BM25 with the expanded term set. Recall widens to
+    * documents sharing no literal query term — the vocabulary-
+    * mismatch fix on the sparse path (the dense path's analog is the
+    * embedding itself).
+    *
+    * Scale shape: both passes are the inverted-index join of [[bm25]]
+    * (never a cross product); the feedback set is `fbDocs` rows per
+    * query, so the expansion aggregation touches only feedback-doc
+    * postings; the term exclusion is a left-anti join on the (small,
+    * broadcast-able) query term frame. */
+  def prfExpandedBm25(corpus: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, qidCol: String,
+      qtextCol: String, fbDocs: Int, fbTerms: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
+        .as("term"))
+    val fb = prefetch(bm25Terms(corpus, idCol, textCol, qt, k1, b),
+      fbDocs).select(col("qid"), col("doc"))
+    val tf = termFrequencies(corpus, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val expansion = fb.join(tf, Seq("doc"))
+      .groupBy(col("qid"), col("term"))
+      .agg(sum(col("tf")).as("fbtf"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wgt",
+        col("fbtf") * floor(log(lit(1.0)
+          + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * 1e9).cast("long"))
+      .join(qt, Seq("qid", "term"), "left_anti")
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("wgt"), col("term"))))
+      .filter(col("_r") <= fbTerms)
+      .select(col("qid"), col("term"))
+    // disjoint by the anti-join, both sides distinct ⇒ the union is
+    // already a distinct (qid, term) set
+    bm25Terms(corpus, idCol, textCol, qt.unionByName(expansion),
+      k1, b)
   }
 
   /** The BM25 scoring tail over a joined candidate frame carrying

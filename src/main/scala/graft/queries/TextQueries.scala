@@ -1104,6 +1104,26 @@ object TextQueries {
       d: String): DataFrame =
     corpusBuild(documents(s, d)).orderBy(col("doc_id"))
 
+  /** RM3-style pseudo-relevance-feedback retrieval
+    * ([[graft.operators.Hybrid.prfExpandedBm25]]): BM25 over the
+    * corpus for the first 5 docs' 80-char prefixes as queries, top-5
+    * feedback docs, top-3 integer-weighted tf·idf expansion terms
+    * (query terms excluded), expanded BM25 re-run, top-10 per query.
+    * The oracle replays both passes and the expansion selection. */
+  def q156PrfExpansion(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val qs = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 80).as("qtext"))
+    graft.operators.Hybrid.prfExpandedBm25(docs, "doc_id", "text",
+        qs, "qid", "qtext", fbDocs = 5, fbTerms = 3)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("score"), col("doc"))))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** The TRAINING ORDER — what the trainer actually reads, in what
     * order: [[corpusBuild]]'s survivors (q126) are flattened toward
     * √n per-source proportions by the deterministic temperature
@@ -1126,6 +1146,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_corpus_materialization" -> (q126CorpusMaterialization _),
     "q154_training_order" -> (q154TrainingOrder _),
+    "q156_prf_expansion" -> (q156PrfExpansion _),
     "q125_epoch_shuffle" -> (q125EpochShuffle _),
     "q123_normalized_dedup" -> (q123NormalizedDedup _),
     "q136_paragraph_dedup" -> (q136ParagraphDedup _),
@@ -1539,6 +1560,70 @@ object TextQueries {
     // q117's quality replay feeding q120's dedup replay, computed
     // over the quality survivors — the composed corpus build.
     "q126_corpus_materialization" -> Q126CorpusSql,
+    "q156_prf_expansion" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |q AS (SELECT doc_id AS qid, substr(text, 1, 80) AS qtext
+        |  FROM docs WHERE doc_id < 5),
+        |tf AS (SELECT doc, term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+        |  FROM docs) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id AS doc, len(string_split(text, ' ')) AS dl
+        |  FROM docs),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  AVG(len(string_split(text, ' '))) AS avgdl FROM docs),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT qid,
+        |  unnest(list_distinct(string_split(qtext, ' '))) AS term
+        |  FROM q),
+        |w1 AS (
+        | SELECT qt.qid, tf.doc, qt.term,
+        |  (floor(ln(1.0e0 + (stats.n_docs - dfreq.df + 0.5e0)
+        |     / (dfreq.df + 0.5e0)) * 1e9) / 1e9)
+        |   * (tf.tf * 2.2e0)
+        |   / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl))
+        |   AS w
+        | FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+        |  JOIN dl ON tf.doc = dl.doc, stats),
+        |s1 AS (SELECT qid, doc,
+        |  list_reduce(list_concat([0.0e0], list(w ORDER BY term)),
+        |    (a, x) -> a + x) AS score
+        | FROM w1 GROUP BY qid, doc),
+        |fb AS (SELECT qid, doc FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc) AS r FROM s1)
+        | WHERE r <= 5),
+        |exp0 AS (SELECT fb.qid, tf.term, SUM(tf.tf) AS fbtf
+        |  FROM fb JOIN tf USING (doc) GROUP BY 1, 2),
+        |expw AS (SELECT e.qid, e.term,
+        |   e.fbtf * CAST(floor(ln(1.0e0
+        |     + (stats.n_docs - dfreq.df + 0.5e0)
+        |     / (dfreq.df + 0.5e0)) * 1e9) AS BIGINT) AS wgt
+        |  FROM exp0 e JOIN dfreq USING (term), stats
+        |  WHERE NOT EXISTS (SELECT 1 FROM qt
+        |    WHERE qt.qid = e.qid AND qt.term = e.term)),
+        |expt AS (SELECT qid, term FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY wgt DESC, term) AS r FROM expw)
+        | WHERE r <= 3),
+        |qt2 AS (SELECT qid, term FROM qt
+        |  UNION ALL SELECT qid, term FROM expt),
+        |w2 AS (
+        | SELECT qt2.qid, tf.doc, qt2.term,
+        |  (floor(ln(1.0e0 + (stats.n_docs - dfreq.df + 0.5e0)
+        |     / (dfreq.df + 0.5e0)) * 1e9) / 1e9)
+        |   * (tf.tf * 2.2e0)
+        |   / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl))
+        |   AS w
+        | FROM qt2 JOIN tf USING (term) JOIN dfreq USING (term)
+        |  JOIN dl ON tf.doc = dl.doc, stats),
+        |s2 AS (SELECT qid, doc,
+        |  list_reduce(list_concat([0.0e0], list(w ORDER BY term)),
+        |    (a, x) -> a + x) AS score
+        | FROM w2 GROUP BY qid, doc)
+        |SELECT qid, doc, score, rnk FROM (
+        | SELECT *, ROW_NUMBER() OVER (
+        |   PARTITION BY qid ORDER BY score DESC, doc) AS rnk FROM s2)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "q154_training_order" ->
       // the corpus build replay (q126) feeds the temperature-sampling
       // replay (q106 device over source at target 800) and the epoch-

@@ -27,6 +27,31 @@ class HybridSpec extends SparkTestBase {
     assert(got.values.forall(_ > 0))
   }
 
+  test("prfExpandedBm25 widens recall to a document sharing no " +
+      "literal query term, and never expands with a query term") {
+    import spark.implicits._
+    // "solar" retrieves docs 1-2; both contain "photovoltaic" twice,
+    // which doc 3 also contains although it never mentions "solar".
+    // After feedback expansion doc 3 must score; doc 4 (unrelated)
+    // must not. The Σtf·⌊idf·1e9⌋ weight must prefer "photovoltaic"
+    // (fbtf 4 × idf ln(1+1.5/3.5)) both over the ubiquitous low-idf
+    // "common" and over the rare-but-once terms like "energy"
+    // (fbtf 1 × idf ln(1+3.5/1.5)).
+    val docs = Seq(
+      (1L, "solar panel photovoltaic photovoltaic common"),
+      (2L, "solar energy photovoltaic photovoltaic common"),
+      (3L, "photovoltaic efficiency research common"),
+      (4L, "gravel driveway maintenance common")).toDF("id", "text")
+    val queries = Seq((10L, "solar")).toDF("qid", "qtext")
+    val got = Hybrid.prfExpandedBm25(docs, "id", "text", queries,
+        "qid", "qtext", fbDocs = 2, fbTerms = 1)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.contains(3L), "expansion must reach the no-term doc")
+    assert(!got.contains(4L), "unrelated doc must stay unmatched")
+    // first-pass docs still outrank the expansion-only doc
+    assert(got(1L) > got(3L) && got(2L) > got(3L))
+  }
+
   test("bm25 hand-check on a single-term query") {
     import spark.implicits._
     val queries = Seq((10L, "durian")).toDF("qid", "qtext")
