@@ -78,4 +78,72 @@ object Eval {
         coalesce(col("dcg_scaled").cast("double") /
           idcg.cast("double"), lit(0.0)).as("ndcg_at_k"))
   }
+
+  /** BLEU sufficient statistics per (candidate, reference) pair —
+    * modified (clipped) n-gram precision counts for n = 1..4 plus
+    * token lengths, the exact integers BLEU (Papineni et al. 2002)
+    * is assembled from.
+    *
+    * Output per input row: cand_len, ref_len, m1..m4 (clipped
+    * matches), t1..t4 (candidate n-gram totals), p1..p4 (= mₙ/tₙ,
+    * null when tₙ = 0), and `bleu_nobp` = ⁴√(p1·p2·p3·p4) — the
+    * geometric mean WITHOUT the brevity penalty. The BP factor
+    * e^(1−r/c) needs libm `exp`, whose last ulp differs across
+    * engines, so it is deliberately NOT emitted: everything here is
+    * integer counts, single IEEE divisions, IEEE multiplications and
+    * `sqrt` (all correctly rounded by the standard) — bit-exact on
+    * any engine. Callers needing the full smoothed corpus BLEU fold
+    * these integers on the driver (see BleuSpec).
+    *
+    * Scale: every column is computed IN-ROW with higher-order array
+    * functions — no explode, no shuffle, no state. Per-pair BLEU
+    * over 100 TB is a pure map stage. The in-row clip is O(L·D) per
+    * n (L tokens, D distinct n-grams), fine for document-sized L;
+    * book-length texts should be chunked first.
+    */
+  def bleuStats(pairs: DataFrame, candCol: String,
+      refCol: String): DataFrame = {
+    val sep = "\u0001"
+    def toks(c: Column) = split(trim(c), "\\s+")
+    // n-grams as sep-joined strings; empty array when the text is
+    // shorter than n (sequence(1, k<1) would count DOWN — guard it)
+    def grams(tk: Column, n: Int): Column =
+      when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - n + 1),
+          i => concat_ws(sep, slice(tk, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    // Σ over distinct candidate grams of min(count in cand, count in
+    // ref) — multiset intersection size (array_intersect is set-
+    // semantics and would undercount repeats)
+    def clipped(c: Column, r: Column): Column =
+      aggregate(array_distinct(c), lit(0L),
+        (acc, g) => acc +
+          least(size(filter(c, x => x === g)),
+            size(filter(r, x => x === g))).cast("long"))
+    val withGrams = (1 to 4).foldLeft(
+      pairs
+        .withColumn("__ctk", toks(col(candCol)))
+        .withColumn("__rtk", toks(col(refCol)))) { (df, n) =>
+      df.withColumn(s"__cg$n", grams(col("__ctk"), n))
+        .withColumn(s"__rg$n", grams(col("__rtk"), n))
+    }
+    val withStats = (1 to 4).foldLeft(
+      withGrams
+        .withColumn("cand_len", size(col("__ctk")).cast("long"))
+        .withColumn("ref_len", size(col("__rtk")).cast("long"))) {
+      (df, n) =>
+        df.withColumn(s"t$n", size(col(s"__cg$n")).cast("long"))
+          .withColumn(s"m$n",
+            clipped(col(s"__cg$n"), col(s"__rg$n")))
+          .withColumn(s"p$n",
+            when(col(s"t$n") > 0,
+              col(s"m$n").cast("double") / col(s"t$n")))
+    }
+    withStats
+      .withColumn("bleu_nobp",
+        when(col("t4") > 0,
+          sqrt(sqrt(col("p1") * col("p2") * col("p3") * col("p4")))))
+      .drop((1 to 4).flatMap(n => Seq(s"__cg$n", s"__rg$n")) ++
+        Seq("__ctk", "__rtk"): _*)
+  }
 }

@@ -1143,7 +1143,36 @@ object TextQueries {
       .orderBy(col("position"))
   }
 
+  /** Corpus BLEU evaluation harness ([[graft.operators.Eval.bleuStats]]):
+    * per-document clipped n-gram precision statistics of the
+    * PII-redacted text (candidate) against the planted original
+    * (reference) — the "how much did the transform alter the text"
+    * eval a scrub/normalize stage publishes. Every doc carries
+    * planted PII (the q108 device), so every pair has a real, varied
+    * delta. Only integer counts, single IEEE divisions, and
+    * correctly-rounded sqrt are emitted (see bleuStats scaladoc), so
+    * the oracle is value-exact; the full brevity-penalty corpus BLEU
+    * is folded from these integers in BleuSpec. */
+  def q157BleuEval(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10.0."),
+      (col("doc_id") % 256).cast("string"),
+      lit(".1 tel 555-123-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val pairs = documents(s, d).select(col("doc_id"),
+      redactPii(planted).as("cand"), planted.as("ref"))
+    graft.operators.Eval.bleuStats(pairs, "cand", "ref")
+      .select(col("doc_id"), col("cand_len"), col("ref_len"),
+        col("m1"), col("t1"), col("m2"), col("t2"),
+        col("m3"), col("t3"), col("m4"), col("t4"),
+        col("p1"), col("p2"), col("p3"), col("p4"),
+        col("bleu_nobp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_bleu_eval" -> (q157BleuEval _),
     "q126_corpus_materialization" -> (q126CorpusMaterialization _),
     "q154_training_order" -> (q154TrainingOrder _),
     "q156_prf_expansion" -> (q156PrfExpansion _),
@@ -1387,6 +1416,73 @@ object TextQueries {
         |ORDER BY k.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q157_bleu_eval" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.1 tel 555-123-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |pats AS (SELECT
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS em,
+        |  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b' AS ip,
+        |  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b' AS ph),
+        |tok AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        t, em, '<EMAIL>', 'g'), ip, '<IP>', 'g'),
+        |        ph, '<PHONE>', 'g')), '\s+') AS ct,
+        |    regexp_split_to_array(trim(t), '\s+') AS rt
+        |  FROM planted CROSS JOIN pats),
+        |cg AS (SELECT doc_id, n, array_to_string(ct[i:i+n-1], chr(1))
+        |    AS g
+        |  FROM tok, range(1, 5) rn(n),
+        |    LATERAL unnest(generate_series(1, len(ct) - n + 1))
+        |      AS gi(i)),
+        |rg AS (SELECT doc_id, n, array_to_string(rt[i:i+n-1], chr(1))
+        |    AS g
+        |  FROM tok, range(1, 5) rn(n),
+        |    LATERAL unnest(generate_series(1, len(rt) - n + 1))
+        |      AS gi(i)),
+        |cc AS (SELECT doc_id, n, g, COUNT(*) AS c
+        |  FROM cg GROUP BY 1, 2, 3),
+        |rc AS (SELECT doc_id, n, g, COUNT(*) AS r
+        |  FROM rg GROUP BY 1, 2, 3),
+        |mm AS (SELECT cc.doc_id, cc.n,
+        |    CAST(SUM(LEAST(cc.c, rc.r)) AS BIGINT) AS m
+        |  FROM cc JOIN rc ON rc.doc_id = cc.doc_id
+        |    AND rc.n = cc.n AND rc.g = cc.g
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT tok.doc_id, rn.n,
+        |    len(tok.ct) AS cl, len(tok.rt) AS rl,
+        |    GREATEST(len(tok.ct) - rn.n + 1, 0) AS t,
+        |    COALESCE(mm.m, 0) AS m
+        |  FROM tok CROSS JOIN range(1, 5) rn(n)
+        |  LEFT JOIN mm ON mm.doc_id = tok.doc_id AND mm.n = rn.n),
+        |wide AS (
+        |  SELECT doc_id, MAX(cl) AS cand_len, MAX(rl) AS ref_len,
+        |    MAX(CASE WHEN n = 1 THEN m END) AS m1,
+        |    MAX(CASE WHEN n = 1 THEN t END) AS t1,
+        |    MAX(CASE WHEN n = 2 THEN m END) AS m2,
+        |    MAX(CASE WHEN n = 2 THEN t END) AS t2,
+        |    MAX(CASE WHEN n = 3 THEN m END) AS m3,
+        |    MAX(CASE WHEN n = 3 THEN t END) AS t3,
+        |    MAX(CASE WHEN n = 4 THEN m END) AS m4,
+        |    MAX(CASE WHEN n = 4 THEN t END) AS t4
+        |  FROM stats GROUP BY doc_id)
+        |SELECT doc_id, cand_len, ref_len,
+        |  m1, t1, m2, t2, m3, t3, m4, t4,
+        |  CASE WHEN t1 > 0 THEN CAST(m1 AS DOUBLE) / t1 END AS p1,
+        |  CASE WHEN t2 > 0 THEN CAST(m2 AS DOUBLE) / t2 END AS p2,
+        |  CASE WHEN t3 > 0 THEN CAST(m3 AS DOUBLE) / t3 END AS p3,
+        |  CASE WHEN t4 > 0 THEN CAST(m4 AS DOUBLE) / t4 END AS p4,
+        |  CASE WHEN t4 > 0 THEN sqrt(sqrt(
+        |    (CAST(m1 AS DOUBLE) / t1) * (CAST(m2 AS DOUBLE) / t2) *
+        |    (CAST(m3 AS DOUBLE) / t3) * (CAST(m4 AS DOUBLE) / t4)))
+        |    END AS bleu_nobp
+        |FROM wide ORDER BY doc_id""".stripMargin,
     "q133_nb_quality" -> q133Oracle,
     "q134_nb_confusion" ->
       s"""WITH scored AS ($q133Oracle)
