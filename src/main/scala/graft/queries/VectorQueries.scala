@@ -155,6 +155,42 @@ object VectorQueries {
       .orderBy(col("n_probe"))
   }
 
+  /** Matryoshka-representation retrieval eval: recall@10 of cosine
+    * top-10 computed on PREFIX truncations of the embedding (dims ∈
+    * {8, 16, 32} of 64) against the full-dimension truth — the
+    * quality/cost curve read before serving truncated MRL vectors
+    * (Kusupati et al. 2022). Truncation is a zero-cost `slice` in
+    * the scan projection (at serving scale the short vectors are
+    * what's stored — 8× less IO); the sweep reuses the audited
+    * bounded-heap top-k on each truncated space. Exact integer hits,
+    * one final division — value-exact vs the oracle's replay. */
+  def q159MatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    def top10(df: DataFrame): DataFrame = df
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("r2", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rnk"))))
+      .filter(col("r2") <= 10).select(col("qid"), col("cid"))
+    val truth = top10(SimilaritySearch.bruteForceTopKHeap(
+      qs, "vec_id", emb, "vec_id", "embedding", k = 11))
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    Seq(8, 16, 32).map { dims =>
+      def trunc(df: DataFrame) = df.withColumn("embedding",
+        slice(col("embedding"), 1, dims))
+      top10(SimilaritySearch.bruteForceTopKHeap(trunc(qs), "vec_id",
+          trunc(emb), "vec_id", "embedding", k = 11))
+        .join(truth, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(dims).as("dims"), col("hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(truthN)
+      .select(col("dims"), col("hits"),
+        (col("hits").cast("double") / col("n_truth").cast("double"))
+          .as("mean_recall"))
+      .orderBy(col("dims"))
+  }
+
   /** Embedding near-dup mining via banded hyperplane-LSH (the
     * bucketed candidate-join + exact-verify scale path,
     * [[SimilaritySearch.cosineNearDupsBanded]]). The corpus is the
@@ -349,6 +385,7 @@ object VectorQueries {
     "q43_ann_ivf" -> (q43AnnIvf _),
     "q142_cluster_balanced" -> (q142ClusterBalanced _),
     "q147_ann_recall_sweep" -> (q147AnnRecallSweep _),
+    "q159_matryoshka_recall" -> (q159MatryoshkaRecall _),
     "q58_embedding_neardups" -> (q58EmbeddingNearDups _),
     "q31_knn_bruteforce" -> (q31KnnBruteForce _),
     "q155_mmr_diversify" -> (q155MmrDiversify _),
@@ -591,6 +628,41 @@ object VectorQueries {
     // assignment windows, cell join, ranked fine scan) — so although
     // its RECALL is approximate vs q31, its OUTPUT is exactly
     // reproducible.
+    "q159_matryoshka_recall" -> {
+      // one ranked block per space: full (truth) + each prefix
+      // truncation; every block mirrors the engine's top10 device —
+      // rank INCLUDING self over k=11, drop self, re-rank, keep 10
+      def rankedSel(name: String, vecExpr: String => String): String =
+        s"""r$name AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |      list_dot_product(${vecExpr("q")}, ${vecExpr("c")}) /
+           |       (sqrt(list_dot_product(${vecExpr("q")},
+           |          ${vecExpr("q")})) *
+           |        sqrt(list_dot_product(${vecExpr("c")},
+           |          ${vecExpr("c")}))) DESC,
+           |      c.vec_id) AS rnk
+           |  FROM corp q, corp c WHERE q.vec_id < 10),
+           |s$name AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, ROW_NUMBER() OVER (
+           |    PARTITION BY qid ORDER BY rnk) AS r2
+           |  FROM r$name WHERE rnk <= 11 AND qid <> cid)
+           |  WHERE r2 <= 10)""".stripMargin
+      val dims = Seq(8, 16, 32)
+      val blocks = rankedSel("full", a => s"$a.v") +: dims.map(dd =>
+        rankedSel(s"d$dd", a => s"$a.v[1:$dd]"))
+      val hitBlocks = dims.map(dd =>
+        s"""SELECT $dd AS dims, COUNT(*) AS hits
+           |FROM sd$dd JOIN sfull USING (qid, cid)""".stripMargin)
+      s"""WITH corp AS (SELECT vec_id,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |${blocks.mkString(",\n")}
+        |SELECT dims, hits,
+        |  CAST(hits AS DOUBLE) /
+        |    (SELECT COUNT(*) FROM sfull) AS mean_recall
+        |FROM (${hitBlocks.mkString("\nUNION ALL\n")})
+        |ORDER BY dims""".stripMargin
+    },
     "q147_ann_recall_sweep" -> {
       val probes = Seq(1, 2, 4)
       val qaBlocks = probes.map { np =>
