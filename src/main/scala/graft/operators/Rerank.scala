@@ -81,4 +81,32 @@ object Rerank {
           .orderBy(desc("rerank_score"), col(pIdCol))))
       .filter(col("rnk") <= k)
   }
+
+  /** Margin-MSE distillation pair mining (Hofstätter et al. 2020 —
+    * the training data a bi-encoder student distills from): from
+    * teacher-scored candidates ([[rerankTopK]] output), the
+    * teacher's top passage becomes the POSITIVE and the next
+    * `nNegatives` become the hard negatives, each pair carrying the
+    * teacher margin `pos_score − neg_score` the student's score
+    * difference regresses onto. Taking negatives from the teacher's
+    * own top ranks (not random docs) is the method's point: these
+    * are the retriever's confusable near-misses.
+    *
+    * Scale: one hash join on qid between two rank-filtered slices of
+    * the same scored frame — both sides are ≤ nNegatives+1 rows per
+    * query, never corpus-sized. The margin is one IEEE subtraction
+    * of two already-deterministic doubles. */
+  def distillationPairs(reranked: DataFrame, qIdCol: String,
+      pIdCol: String, nNegatives: Int): DataFrame = {
+    val pos = reranked.filter(col("rnk") === 1)
+      .select(col(qIdCol), col(pIdCol).as("pos_id"),
+        col("rerank_score").as("pos_score"))
+    val negs = reranked
+      .filter(col("rnk") > 1 && col("rnk") <= nNegatives + 1)
+      .select(col(qIdCol), col(pIdCol).as("neg_id"),
+        col("rerank_score").as("neg_score"),
+        (col("rnk") - 1).as("neg_rank"))
+    pos.join(negs, Seq(qIdCol))
+      .withColumn("margin", col("pos_score") - col("neg_score"))
+  }
 }

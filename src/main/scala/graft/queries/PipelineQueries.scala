@@ -220,6 +220,36 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Distillation training pairs
+    * ([[graft.operators.Rerank.distillationPairs]] — Margin-MSE):
+    * BM25 top-8 candidates per query (first 5 docs' 80-char prefixes
+    * as queries, the gated q37 sparse leg), teacher-scored through
+    * the cross-encoder boundary (mmh3 stub — SQL-recomputable), then
+    * mined into (positive, hard-negative, teacher-margin) triples:
+    * teacher's top-1 vs its next 3 ranks. The oracle replays BM25
+    * retrieval, the murmur3 teacher, ranking, AND the pair join —
+    * the whole mining pipeline is value-exact. */
+  def q160DistillationPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val qs = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 80).as("qtext"))
+    val cands = Hybrid.prefetch(
+        Hybrid.bm25(docs, "doc_id", "text", qs, "qid", "qtext"), 8)
+      .select(col("qid"), col("doc"))
+      .join(docs.withColumnRenamed("doc_id", "doc"), Seq("doc"))
+      .join(qs, Seq("qid"))
+    val scored = graft.operators.Rerank.rerankTopK(cands, "qid",
+      "qtext", "doc", "text",
+      new graft.operators.Rerank.HashRerankService, k = 8)
+    graft.operators.Rerank.distillationPairs(scored, "qid", "doc",
+        nNegatives = 3)
+      .select(col("qid"), col("pos_id"), col("pos_score"),
+        col("neg_id"), col("neg_score"), col("neg_rank"),
+        col("margin"))
+      .orderBy(col("qid"), col("neg_rank"))
+  }
+
   /** The full serving cascade composed end-to-end
     * ([[graft.operators.Rag.retrieveReranked]]): markdown ingest →
     * chunk → embed → dense recall (12 candidates) → cross-encoder
@@ -315,6 +345,7 @@ object PipelineQueries {
     "q115_hybrid_indexed" -> (q115HybridIndexed _),
     "q116_sparse_bm25" -> (q116SparseBm25 _),
     "q151_rerank_cascade" -> (q151RerankCascade _),
+    "q160_distillation_pairs" -> (q160DistillationPairs _),
     "q152_rag_rerank" -> (q152RagRerankCascade _),
     "q122_phrase_indexed" -> (q122PhraseIndexed _),
     "q49_stream_barrier" -> (q49StreamBarrier _),
@@ -737,8 +768,67 @@ object PipelineQueries {
       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** q160 oracle: the q37 sparse-leg BM25 CTEs (over plain documents
+    * — no embedding join), prefetch 8, the mmh3 teacher recomputed
+    * with the pure-SQL murmur3 CTEs, ranking, and the pair-mining
+    * join — the full distillation pipeline replayed value-exactly. */
+  private val q160Oracle: String = {
+    val (mm, last) = mmh3Ctes("cand", "pair", "_ds_h32", "ds")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+      |q AS (SELECT doc_id AS qid, substr(text, 1, 80) AS qtext
+      |  FROM docs WHERE doc_id < 5),
+      |tf AS (SELECT doc, term, COUNT(*) AS tf FROM (
+      |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+      |  FROM docs) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id AS doc, len(string_split(text, ' ')) AS dl
+      |  FROM docs),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |  AVG(len(string_split(text, ' '))) AS avgdl FROM docs),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT qid,
+      |  unnest(list_distinct(string_split(qtext, ' '))) AS term
+      |  FROM q),
+      |w AS (
+      | SELECT qt.qid, tf.doc, qt.term,
+      |  (floor(ln(1.0e0 + (stats.n_docs - dfreq.df + 0.5e0)
+      |     / (dfreq.df + 0.5e0)) * 1e9) / 1e9)
+      |   * (tf.tf * 2.2e0)
+      |   / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl))
+      |   AS w
+      | FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+      |  JOIN dl ON tf.doc = dl.doc, stats),
+      |sparse0 AS (SELECT qid, doc,
+      |  list_reduce(list_concat([0.0e0], list(w ORDER BY term)),
+      |    (a, x) -> a + x) AS score
+      | FROM w GROUP BY qid, doc),
+      |sparse AS (SELECT qid, doc FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc) AS r
+      |  FROM sparse0)
+      | WHERE r <= 8),
+      |cand AS (SELECT s.qid, s.doc,
+      |    q.qtext || chr(1) || d.text AS pair
+      |  FROM sparse s JOIN q USING (qid)
+      |  JOIN docs d ON d.doc_id = s.doc),$mm,
+      |scored AS (SELECT qid, doc,
+      |  CAST(((${mmSigned("_ds_h32")} % 1000000) + 1000000) % 1000000
+      |    AS DOUBLE) / 1000000.0e0 AS ts
+      |  FROM $last),
+      |ranked AS (SELECT qid, doc, ts, ROW_NUMBER() OVER (
+      |  PARTITION BY qid ORDER BY ts DESC, doc) AS rnk FROM scored),
+      |pos AS (SELECT qid, doc AS pos_id, ts AS pos_score
+      |  FROM ranked WHERE rnk = 1),
+      |negs AS (SELECT qid, doc AS neg_id, ts AS neg_score,
+      |    rnk - 1 AS neg_rank FROM ranked WHERE rnk BETWEEN 2 AND 4)
+      |SELECT qid, pos_id, pos_score, neg_id, neg_score, neg_rank,
+      |  pos_score - neg_score AS margin
+      |FROM pos JOIN negs USING (qid)
+      |ORDER BY qid, neg_rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q35_chunk_pipeline" -> q35Oracle,
+    "q160_distillation_pairs" -> q160Oracle,
     "q151_rerank_cascade" -> q151Oracle,
     "q152_rag_rerank" -> q152Oracle,
     "q132_file_completeness" -> q132Oracle,

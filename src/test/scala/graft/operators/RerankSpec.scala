@@ -46,6 +46,30 @@ class RerankSpec extends SparkTestBase {
     assert(run(3) === run(100))
   }
 
+  test("distillation pairs: top-1 positive, next ranks as hard " +
+      "negatives, margins exact") {
+    import spark.implicits._
+    val scored = Seq(
+      ("q1", "a", 0.9, 1), ("q1", "b", 0.7, 2), ("q1", "c", 0.4, 3),
+      ("q1", "d", 0.1, 4),
+      ("q2", "x", 0.8, 1), ("q2", "y", 0.5, 2))
+      .toDF("qid", "pid", "rerank_score", "rnk")
+    val pairs = Rerank.distillationPairs(scored, "qid", "pid",
+      nNegatives = 2).collect()
+    // q1 contributes 2 negatives (d at rank 4 exceeds nNegatives+1),
+    // q2 has only one candidate below the positive
+    assert(pairs.length === 3)
+    val q1 = pairs.filter(_.getAs[String]("qid") == "q1")
+      .sortBy(_.getAs[Int]("neg_rank"))
+    assert(q1.forall(_.getAs[String]("pos_id") == "a"))
+    assert(q1.map(_.getAs[String]("neg_id")).toSeq === Seq("b", "c"))
+    assert(q1.map(_.getAs[Double]("margin")).toSeq ===
+      Seq(0.9 - 0.7, 0.9 - 0.4))
+    val q2 = pairs.filter(_.getAs[String]("qid") == "q2")
+    assert(q2.head.getAs[String]("neg_id") == "y" &&
+      q2.head.getAs[Double]("margin") == 0.8 - 0.5)
+  }
+
   test("service calls retry: a twice-failing service still scores") {
     var fails = 2
     val flaky = new Rerank.RerankService {
