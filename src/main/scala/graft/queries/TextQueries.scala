@@ -1171,7 +1171,29 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequent bigrams via the Misra–Gries candidate + exact
+    * re-count scheme ([[graft.operators.HeavyHitters]]): top-20 word
+    * bigrams by exact count. EXACTNESS CONTRACT: identical to the
+    * full dictionary top-k whenever the 20th true frequency exceeds
+    * N/capacity — at sf0.01 that is 26,665/1024 ≈ 26 vs a 20th count
+    * of ~44 (and the adversarial guarantee is HeavyHittersSpec's
+    * job); the oracle IS the full exact top-k, so the row proves the
+    * identity, which is the operator's whole claim. */
+  def q161HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val bigrams = documents(s, d)
+      .select(tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => concat(element_at(col("tk"), i), lit(" "),
+          element_at(col("tk"), i + 1)))).as("term"))
+    graft.operators.HeavyHitters.heavyHitters(bigrams, "term",
+      k = 20, capacity = 1024)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_heavy_hitters" -> (q161HeavyHitters _),
     "q157_bleu_eval" -> (q157BleuEval _),
     "q126_corpus_materialization" -> (q126CorpusMaterialization _),
     "q154_training_order" -> (q154TrainingOrder _),
@@ -1416,6 +1438,14 @@ object TextQueries {
         |ORDER BY k.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q161_heavy_hitters" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT tk[i] || ' ' || tk[i+1] AS term
+        |  FROM tok, LATERAL unnest(generate_series(1, len(tk) - 1))
+        |    AS u(i))
+        |SELECT term, COUNT(*) AS cnt FROM bg GROUP BY term
+        |ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
     "q157_bleu_eval" ->
       """WITH planted AS (
         |  SELECT doc_id, text || ' contact user' ||
