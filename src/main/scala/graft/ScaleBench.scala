@@ -274,6 +274,28 @@ object ScaleBench {
           Dedup.bloomDecontaminate(tr, te, "doc_id", "text", n = 5)
             .filter(col("is_contaminated")).count()
         }),
+        // per-pair BLEU is a pure map stage (in-row clipped counts);
+        // worst case per row is ref == cand (every distinct gram
+        // matches). The row must scale linearly with docs.
+        "bleu_stats" -> (() =>
+          graft.operators.Eval.bleuStats(
+            docs.select(col("doc_id"), col("text").as("cand"),
+              col("text").as("ref")), "cand", "ref")
+            .agg(sum(col("m4")), count(lit(1))).head.getLong(1)),
+        // MG candidates + exact re-count over the bigram stream:
+        // state stays `capacity` counters/partition no matter how
+        // vocab grows; runtime must track the token stream linearly.
+        "heavy_hitters" -> (() => {
+          val tk = split(col("text"), " ")
+          val bigrams = docs.select(tk.as("tk"))
+            .filter(size(col("tk")) >= 2)
+            .select(explode(transform(
+              sequence(lit(1), size(col("tk")) - 1),
+              i => concat(element_at(col("tk"), i), lit(" "),
+                element_at(col("tk"), i + 1)))).as("term"))
+          graft.operators.HeavyHitters.heavyHitters(bigrams, "term",
+            k = 20, capacity = 1024).count()
+        }),
         "simhash_exhaustive_tiled" -> (() =>
           graft.queries.TextQueries.simhashPairsOver(docs).count()),
         "simhash_banded" -> (() =>

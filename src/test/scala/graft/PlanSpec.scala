@@ -78,6 +78,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("r6 second batch (q147-q161): no cartesian anywhere; the " +
+      "map-only and hash-join-only plans carry no nested loop at all") {
+    for (q <- Seq("q147_ann_recall_sweep", "q149_winnowed_fingerprints",
+        "q153_boilerplate_lines", "q154_training_order",
+        "q155_mmr_diversify", "q156_prf_expansion", "q157_bleu_eval",
+        "q159_matryoshka_recall", "q160_distillation_pairs",
+        "q161_heavy_hitters")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      // q147/q155/q159: scalar/centroid/truth broadcasts (the audited
+      // q43/q101 devices); q154/q156/q160: BM25's one-row stats
+      // broadcast — every OTHER plan must be nested-loop-free
+      if (Seq("q153_boilerplate_lines", "q157_bleu_eval",
+          "q161_heavy_hitters").contains(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q157: per-pair BLEU is map-only — the single exchange is the " +
+      "presentation sort") {
+    val p = plan("q157_bleu_eval")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"q157 must not shuffle stats:\n" +
+      p.take(1500))
+  }
+
   test("q138: the bloom screen is the native might_contain expression " +
       "applied BEFORE the verify join's exchange") {
     val p = plan("q138_bloom_decontaminate")
