@@ -21,6 +21,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The driver's testdata writes `timestamp[us]` WITHOUT the
+      // isAdjustedToUTC annotation (plain pyarrow timestamps). Spark 4
+      // infers those as TIMESTAMP_NTZ by default, which poisons every
+      // downstream unix_micros()/range-window over `ts`. DuckDB reads
+      // the same column as a naive TIMESTAMP; with a UTC session
+      // timezone, TimestampType carries the identical microsecond
+      // values — so keep the classic inference.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // AQE: runtime partition coalescing + skew-join splitting — the
       // first line of defense at cluster scale; local runs keep it on
       // so plans are the ones a 1000-executor job would get.

@@ -29,23 +29,49 @@ object MultimodalCodecs {
     * formats the JDK ships readers for. Undecodable bytes fall back
     * to the deterministic stub so downstream shapes stay total. */
   object JdkImageDecoder extends Multimodal.Decoder {
-    def imageDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    /** Largest raster a corpus image may decode to (≈64 MPix ≈ 256 MB
+      * ARGB). Corrupt headers routinely declare absurd dimensions; an
+      * unguarded `ImageIO.read` then ALLOCATES the full raster before
+      * the decoder ever notices the truncated payload — multi-GB
+      * zeroing + GC thrash that presents as a task hang (found by
+      * ParserFuzzSpec on a bit-flipped PNG IHDR). Checking the
+      * header-declared dims via `ImageReader.getWidth/getHeight`
+      * BEFORE `read` costs no decode work and bounds the allocation. */
+    private val MaxPixels = 64L << 20
+
+    /** Fail-closed bounded decode: None for undecodable bytes, absurd
+      * declared dimensions, or any decoder exception. */
+    private[operators] def decodeBounded(
+        bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
       if (bytes == null || bytes.isEmpty) return None
       try {
-        val img = javax.imageio.ImageIO.read(
+        val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        if (img == null) None
-        else Some((img.getWidth, img.getHeight,
-          img.getColorModel.getNumComponents))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        } finally iis.close()
       } catch { case _: Exception => None }
     }
+
+    def imageDims(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      decodeBounded(bytes).map(img =>
+        (img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents))
 
     /** dim-bin luminance histogram, normalized by pixel count —
       * a classic cheap content descriptor, deterministic per bytes. */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        val img = decodeBounded(bytes).orNull
         if (img == null)
           return Multimodal.StubDecoder.features(bytes, dim)
         val hist = new Array[Float](dim)
@@ -235,8 +261,7 @@ object MultimodalCodecs {
   def dHash64(bytes: Array[Byte]): Option[Long] = {
     if (bytes == null || bytes.isEmpty) return None
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      val img = JdkImageDecoder.decodeBounded(bytes).orNull
       if (img == null) return None
       val w = 9; val h = 8
       val small = new java.awt.image.BufferedImage(w, h,

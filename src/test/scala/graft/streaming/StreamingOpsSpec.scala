@@ -110,8 +110,14 @@ class StreamingOpsSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val raw = spark.read.parquet(dir.toString)
+    // legacy testdata carried ts as nanos-as-long; current testdata
+    // is already timestamp[us] — mirror Tables.events' handling
     val toTs = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df
+      }
     val agg = (df: org.apache.spark.sql.DataFrame) =>
       toTs(df)
         .withWatermark("ts", "10 minutes")
