@@ -18,6 +18,8 @@ object SparkEntry {
     (VectorQueries.queries, VectorQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (FixtureQueries.queries, FixtureQueries.oracle),
+    (GraphQueries.queries, GraphQueries.oracle),
+    (RankingQueries.queries, RankingQueries.oracle),
     (graft.analytics.SqlSuite.queries, graft.analytics.SqlSuite.oracle),
   )
 

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative link-analysis over an edge table — the Pregel-class
+  * workload expressed as a fixed number of join+aggregate rounds on
+  * DataFrames (the reference has no graph engine; these are the
+  * standard algorithms a corpus pipeline runs over citation / link /
+  * endorsement graphs to weight sources, e.g. harvesting per-domain
+  * quality priors for a crawl the way Common-Crawl-derived corpora
+  * weight pages by host centrality).
+  *
+  * Engine-portability (the q101/q102 discipline): every per-node
+  * score is truncated to 12 decimals after each update
+  * (`floor(x·1e12)/1e12` — doubles agree across engines far beyond
+  * 12 digits for these magnitudes), and every neighbor sum runs as
+  * an exact DECIMAL(18,15) aggregation, so results are bit-identical
+  * across engines AND across partitionings (IEEE addition never
+  * reorders).
+  *
+  * Scale: per iteration exactly ONE data-sized shuffle (the
+  * neighbor-sum aggregation keyed by target node; the score join
+  * rides the same hash partitioning). Lineage is cut per iteration
+  * with `localCheckpoint` — without it the plan doubles per round and
+  * the optimizer re-derives the whole chain each action. On a real
+  * cluster swap localCheckpoint for reliable `checkpoint` (HDFS) so
+  * executor loss doesn't force a full recompute; the shapes are
+  * identical. Node/edge tables stay fully distributed — no
+  * driver-side state beyond the one-row count/max frames, which are
+  * broadcast.
+  */
+object Graph {
+
+  /** Truncate to 12 decimals — deterministic across engines. */
+  private def t12(x: Column): Column =
+    floor(x * lit(1e12)).cast("double") / lit(1e12)
+
+  /** Exact sum of a double column via DECIMAL(18,15) terms (scores
+    * are ≤ 1-ish here, so 3 integer digits is ample headroom). */
+  private def xsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 15))).cast("double")
+
+  /** Simplified PageRank (Page et al. 1999) without dangling-mass
+    * redistribution: pr'(v) = 0.15/N + d·Σ_{u→v} pr(u)/outdeg(u),
+    * each update truncated to 12 decimals. Dangling nodes (no
+    * out-edges) leak their mass — fine for RANKING (the reference
+    * use), and it keeps the per-iteration plan at one shuffle; the
+    * full-conservation variant adds one more one-row aggregate per
+    * round if ever needed.
+    *
+    * `edges`: (src: string, dst: string); duplicates collapse.
+    * Output: (node, pr) over src ∪ dst, ordered by node.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("onode"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val cnt = nodes.agg(count(lit(1)).as("nn"))
+    var pr = nodes.crossJoin(broadcast(cnt))
+      .select(col("node"), t12(lit(1.0) / col("nn")).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val agg = e
+        .join(pr, e("src") === pr("node"))
+        .join(outdeg, e("src") === col("onode"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
+      pr = nodes
+        .join(agg, nodes("node") === agg("dst"), "left")
+        .crossJoin(broadcast(cnt))
+        .select(col("node"),
+          t12(lit(0.15) / col("nn") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.orderBy(col("node"))
+  }
+
+  /** HITS (Kleinberg 1999): auth'(v) = Σ_{u→v} hub(u), then
+    * hub'(u) = Σ_{u→v} auth'(v), each vector normalized by its MAX
+    * (exact under any partitioning, unlike an L2 norm) and truncated
+    * to 12 decimals per round. On a bipartite endorsement graph the
+    * auth side ranks endorsees, the hub side ranks endorsers.
+    *
+    * Output: (node, auth, hub) over src ∪ dst, ordered by node.
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(xsum(col("hub")).as("a"))
+      val amax = araw.agg(max(col("a")).as("am"))
+      auth = nodes
+        .join(araw, nodes("node") === araw("dst"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("node"),
+          t12(coalesce(col("a"), lit(0.0)) / col("am")).as("auth"))
+        .localCheckpoint()
+      val hraw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(xsum(col("auth")).as("h"))
+      val hmax = hraw.agg(max(col("h")).as("hm"))
+      hub = nodes
+        .join(hraw, nodes("node") === hraw("src"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("node"),
+          t12(coalesce(col("h"), lit(0.0)) / col("hm")).as("hub"))
+        .localCheckpoint()
+    }
+    auth.select(col("node"), col("auth"))
+      .join(hub.withColumnRenamed("node", "hnode"),
+        col("node") === col("hnode"))
+      .select(col("node"), col("auth"), col("hub"))
+      .orderBy(col("node"))
+  }
+}

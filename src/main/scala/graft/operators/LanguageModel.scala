@@ -163,4 +163,72 @@ object LanguageModel {
           .when(col(scoreCol) <= col("cut_hi"), "middle")
           .otherwise("tail"))
       .drop("cut_lang", "cut_lo", "cut_hi")
+
+  /** Interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995;
+    * the Chen & Goodman 1998 interpolated form with a single absolute
+    * discount D=0.75) — the smoothing every published n-gram LM
+    * quality filter (KenLM/CCNet-class) actually ships, vs the
+    * add-one baseline in [[bigramSurprisal]]:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/T)
+    *
+    * where c(w1·) is the bigram-context marginal, N1+(w1·)/N1+(·w2)
+    * are distinct-continuation counts, and T the number of distinct
+    * bigram types. The continuation distribution (how many DIFFERENT
+    * contexts a word follows) is the part add-one smoothing cannot
+    * express — "Francisco" is frequent but only ever follows "San".
+    *
+    * Same portability + scale discipline as [[bigramSurprisal]]:
+    * per-row bigrams (zip_with, no window), occurrence stream
+    * collapsed to per-(doc,w1,w2) counts immediately, count tables
+    * are vocabulary-sized join keys, ln truncated to 9 decimals,
+    * per-doc mean via the exact n·round9(s) decimal sum.
+    *
+    * Output: (idCol, n_bigrams, mean_kn_surprisal), ordered by idCol.
+    */
+  def kneserNeySurprisal(df: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    val toksed = df.select(col(idCol).as("doc"),
+      graft.functions.TextFunctions.cjkAwareTokens(col(textCol))
+        .as("toks"))
+    val docBi =
+      toksed.select(col("doc"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("doc"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+    // All model tables derive from the distinct-bigram table: the
+    // context marginal + forward continuation count in one pass, the
+    // backward continuation count in another, T as a one-row
+    // broadcast — the raw token stream is scanned exactly once.
+    val bi = docBi.groupBy(col("w1").as("b1"), col("w2").as("b2"))
+      .agg(sum(col("n")).as("cb"))
+    val ctx = bi.groupBy(col("b1").as("c1"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("fw"))
+    val bw = bi.groupBy(col("b2").as("d2"))
+      .agg(count(lit(1)).as("bw"))
+    val types = bi.agg(count(lit(1)).as("t"))
+    val dD = lit(discount)
+    val scored = docBi
+      .join(bi, col("w1") === col("b1") && col("w2") === col("b2"))
+      .join(ctx, col("w1") === col("c1"))
+      .join(bw, col("w2") === col("d2"))
+      .crossJoin(broadcast(types))
+      .withColumn("s", -ln9(
+        greatest(col("cb").cast("double") - dD, lit(0.0)) / col("cw") +
+          ((dD * col("fw")) / col("cw")) *
+          (col("bw").cast("double") / col("t"))))
+    scored
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        (sum(col("n").cast(DecimalType(12, 0)) *
+          col("s").cast(DecimalType(18, 9))).cast("double") /
+          sum(col("n"))).as("mean_kn_surprisal"))
+      .orderBy(col(idCol))
+  }
 }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Link-analysis suite over the customer→supplier endorsement graph
+  * (distinct (o_custkey → l_suppkey) pairs through orders⋈lineitem):
+  * the graph workload a corpus pipeline runs to weight sources by
+  * centrality (host/domain quality priors). Algorithms in
+  * [[graft.operators.Graph]]; oracles are the same fixed number of
+  * iterations UNROLLED into chained CTEs, so DuckDB replays every
+  * round value-exactly (12-decimal truncation + DECIMAL(18,15) sums
+  * make each round engine- and partitioning-deterministic).
+  */
+object GraphQueries {
+
+  /** Distinct customer→supplier endorsement edges. */
+  private def edgesDf(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+
+  /** q162: 5-round PageRank (d=0.85, no dangling redistribution)
+    * over the endorsement graph — see [[graft.operators.Graph.pageRank]]
+    * for the per-iteration shuffle budget and checkpoint discipline. */
+  def q162PageRank(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRank(edgesDf(s, d))
+
+  /** q163: 5-round HITS (max-normalized) over the same graph — the
+    * auth side ranks suppliers by weighted endorsement, the hub side
+    * ranks customers by breadth of good suppliers. */
+  def q163Hits(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.hits(edgesDf(s, d))
+
+  private val edgeCtes: String =
+    """e AS MATERIALIZED (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |cnt AS MATERIALIZED (SELECT COUNT(*) AS nn FROM nodes)""".stripMargin
+
+  /** PageRank oracle: pr0 (uniform) then five unrolled update CTEs,
+    * each the exact Spark expression shape. */
+  private val q162Oracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    floor((0.15 / cnt.nn + 0.85 * COALESCE(s$i.m, 0.0)) * 1e12)
+         |      / 1e12 AS pr
+         |  FROM nodes n CROSS JOIN cnt
+         |  LEFT JOIN (
+         |    SELECT e.dst,
+         |      CAST(SUM(CAST(p.pr / od.deg AS DECIMAL(18,15))) AS DOUBLE)
+         |        AS m
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node
+         |           JOIN outdeg od ON e.src = od.onode
+         |    GROUP BY e.dst) s$i ON s$i.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |outdeg AS (SELECT src AS onode, COUNT(*) AS deg FROM e GROUP BY 1),
+       |pr0 AS (
+       |  SELECT node, floor((1.0 / nn) * 1e12) / 1e12 AS pr
+       |  FROM nodes CROSS JOIN cnt),
+       |$rounds
+       |SELECT node, pr FROM pr5 ORDER BY node""".stripMargin
+  }
+
+  /** HITS oracle: h0 = 1.0, then five unrolled (auth, hub) rounds.
+    * Every per-round CTE is MATERIALIZED: each is referenced twice
+    * (raw by max and by the normalize), and DuckDB's default CTE
+    * inlining would re-evaluate the whole chain per reference —
+    * exponential in the round count (measured: round 5 never
+    * finishes). Materialization restores the linear replay the
+    * Spark loop (localCheckpoint per round) performs. */
+  private val q163Oracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""a${i}raw AS MATERIALIZED (
+         |  SELECT e.dst, CAST(SUM(CAST(h.hub AS DECIMAL(18,15)))
+         |    AS DOUBLE) AS a
+         |  FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+         |a${i}max AS MATERIALIZED (SELECT MAX(a) AS am FROM a${i}raw),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    floor((COALESCE(r.a, 0.0) / x.am) * 1e12) / 1e12 AS auth
+         |  FROM nodes n LEFT JOIN a${i}raw r ON r.dst = n.node
+         |  CROSS JOIN a${i}max x),
+         |h${i}raw AS MATERIALIZED (
+         |  SELECT e.src, CAST(SUM(CAST(a.auth AS DECIMAL(18,15)))
+         |    AS DOUBLE) AS h
+         |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+         |h${i}max AS MATERIALIZED (SELECT MAX(h) AS hm FROM h${i}raw),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    floor((COALESCE(r.h, 0.0) / x.hm) * 1e12) / 1e12 AS hub
+         |  FROM nodes n LEFT JOIN h${i}raw r ON r.src = n.node
+         |  CROSS JOIN h${i}max x)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+       |$rounds
+       |SELECT a5.node, a5.auth, h5.hub
+       |FROM a5 JOIN h5 ON a5.node = h5.node
+       |ORDER BY a5.node""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_pagerank" -> (q162PageRank _),
+    "q163_hits" -> (q163Hits _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q162_pagerank" -> q162Oracle,
+    "q163_hits" -> q163Oracle,
+  )
+}

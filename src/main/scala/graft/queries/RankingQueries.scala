@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Retrieval-scoring suite: Kneser-Ney LM surprisal
+  * ([[graft.operators.LanguageModel.kneserNeySurprisal]]), Dirichlet
+  * query likelihood, ColBERT-style MaxSim, and 1-bit sign-quantized
+  * Hamming retrieval ([[graft.operators.Ranking]]) — the published
+  * ranking models a reference user would run next to BM25/cosine.
+  * All value-exact vs DuckDB via the ln9/decimal-sum/total-order
+  * devices.
+  */
+object RankingQueries {
+
+  /** q164: interpolated Kneser-Ney bigram surprisal per document
+    * (D=0.75) over CJK-aware tokens — the smoothing real n-gram
+    * quality filters ship; complements the add-one LM (q101). */
+  def q164KneserNey(s: SparkSession, d: String): DataFrame =
+    graft.operators.LanguageModel.kneserNeySurprisal(
+      documents(s, d), "doc_id", "text")
+
+  private val DirichletQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "table"),
+    1 -> Seq("hash", "row"),
+    2 -> Seq("scan", "merge", "fast"),
+    3 -> Seq("window", "batch", "key"))
+
+  /** q165: Dirichlet-smoothed query likelihood (μ=2000), top-10 docs
+    * per query over four fixed lexical queries. */
+  def q165DirichletQl(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ranking.dirichletTopK(
+      documents(s, d), "doc_id", "text", DirichletQueries)
+
+  /** q166: MaxSim late interaction — 64-dim embeddings as 8×8-dim
+    * "token" sub-vectors, queries = vec_id < 4, top-10 per query. */
+  def q166MaxSim(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.operators.Ranking.maxSimTopK(
+      emb.filter(col("vec_id") < 4), "vec_id",
+      emb, "vec_id", "embedding", tokens = 8, subDim = 8)
+  }
+
+  /** q167: sign-bit Hamming shortlist (depth 32) + exact cosine
+    * rerank, queries = vec_id < 8, top-10 per query. */
+  def q167HammingRetrieval(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.operators.Ranking.signHammingTopK(
+      emb.filter(col("vec_id") < 8), "vec_id",
+      emb, "vec_id", "embedding")
+  }
+
+  /** CJK-aware token CTE over plain documents (the q101 device
+    * without the multilingual fixture concat). */
+  private val TokCtes: String =
+    raw"""tl AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(
+      |    regexp_replace(text,
+      |      '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+      |      ' \1 ', 'g'),
+      |    '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(t, 1) - 1 AS pos,
+      |    unnest(t) AS w
+      |  FROM tl)""".stripMargin
+
+  private val q164Oracle: String =
+    s"""WITH $TokCtes,
+       |big AS (
+       |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+       |  FROM toks a JOIN toks b
+       |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+       |ctx AS (SELECT w1, SUM(cb) AS cw, COUNT(*) AS fw
+       |        FROM bc GROUP BY 1),
+       |bwt AS (SELECT w2, COUNT(*) AS bw FROM bc GROUP BY 1),
+       |tt AS (SELECT COUNT(*) AS t FROM bc),
+       |s AS (
+       |  SELECT big.doc_id,
+       |    -floor(ln(
+       |      GREATEST(CAST(bc.cb AS DOUBLE) - 0.75, 0.0) / ctx.cw +
+       |      ((0.75 * ctx.fw) / ctx.cw) *
+       |        (CAST(bwt.bw AS DOUBLE) / tt.t)) * 1e9) / 1e9 AS s
+       |  FROM big JOIN bc USING (w1, w2)
+       |   JOIN ctx ON big.w1 = ctx.w1
+       |   JOIN bwt ON big.w2 = bwt.w2
+       |   CROSS JOIN tt)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+       |    AS mean_kn_surprisal
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val q165Oracle: String = {
+    val qvals = DirichletQueries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH $TokCtes,
+       |qt AS (SELECT * FROM (VALUES $qvals) AS v(qid, term)),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dlen AS (SELECT doc_id, SUM(tf) AS dlen FROM tf GROUP BY 1),
+       |qcf AS (
+       |  SELECT qt.qid, qt.term, SUM(tf.tf) AS cf
+       |  FROM tf JOIN qt ON tf.w = qt.term GROUP BY 1, 2),
+       |ctot AS (SELECT SUM(dlen) AS csz FROM dlen),
+       |grid AS (
+       |  SELECT q.qid, dl.doc_id AS doc, q.term,
+       |    COALESCE(tf.tf, 0) AS tfv, q.cf, q.csz, dl.dlen
+       |  FROM dlen dl CROSS JOIN (SELECT * FROM qcf CROSS JOIN ctot) q
+       |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.w = q.term),
+       |s AS (
+       |  SELECT qid, doc,
+       |    floor(ln((tfv + (2000.0 * cf) / csz) / (dlen + 2000.0))
+       |      * 1e9) / 1e9 AS s
+       |  FROM grid),
+       |scored AS (
+       |  SELECT qid, doc,
+       |    CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) AS ql_score
+       |  FROM s GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, doc, ql_score, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY ql_score DESC, doc) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk, doc AS doc_id, ql_score FROM ranked
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
+  private val q166Oracle: String =
+    """WITH dt AS (
+      |  SELECT vec_id AS cid, g.s AS di,
+      |    CAST(embedding[g.s * 8 + 1 : g.s * 8 + 8] AS DOUBLE[]) AS dv
+      |  FROM embeddings, range(0, 8) g(s)),
+      |qt AS (
+      |  SELECT vec_id AS qid, g.s AS qi,
+      |    CAST(embedding[g.s * 8 + 1 : g.s * 8 + 8] AS DOUBLE[]) AS qv
+      |  FROM embeddings, range(0, 8) g(s)
+      |  WHERE vec_id < 4),
+      |pm AS (
+      |  SELECT qt.qid, dt.cid, qt.qi,
+      |    MAX(list_dot_product(qt.qv, dt.dv)) AS mx
+      |  FROM dt CROSS JOIN qt GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT qid, cid,
+      |    CAST(SUM(CAST(floor(mx * 1e9) / 1e9 AS DECIMAL(18,9)))
+      |      AS DOUBLE) AS maxsim_score
+      |  FROM pm GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT qid, cid, maxsim_score, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY maxsim_score DESC, cid) AS rnk
+      |  FROM scored)
+      |SELECT qid, rnk, cid, maxsim_score FROM ranked
+      |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  private val q167Oracle: String = {
+    def word(off: Int): String =
+      (0 until 32).map(j =>
+        s"(CASE WHEN embedding[${off + j + 1}] > 0 THEN ${1L << j} " +
+          "ELSE 0 END)").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${word(0)} AS lo, ${word(32)} AS hi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe, lo AS qlo, hi AS qhi
+       |      FROM p WHERE vec_id < 8),
+       |ham AS (
+       |  SELECT q.qid, p.vec_id AS cid, q.qe, p.e,
+       |    bit_count(xor(q.qlo, p.lo)) + bit_count(xor(q.qhi, p.hi))
+       |      AS hamming
+       |  FROM p CROSS JOIN q),
+       |short AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY hamming, cid) AS hrnk
+       |  FROM ham QUALIFY hrnk <= 32),
+       |rr AS (
+       |  SELECT qid, cid, hamming,
+       |    list_dot_product(qe, e) /
+       |      (sqrt(list_dot_product(qe, qe)) *
+       |       sqrt(list_dot_product(e, e))) AS score
+       |  FROM short),
+       |ranked AS (
+       |  SELECT qid, cid, hamming, score, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+       |  FROM rr)
+       |SELECT qid, rnk, cid, hamming, score FROM ranked
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_kneser_ney" -> (q164KneserNey _),
+    "q165_dirichlet_ql" -> (q165DirichletQl _),
+    "q166_maxsim" -> (q166MaxSim _),
+    "q167_hamming_retrieval" -> (q167HammingRetrieval _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q164_kneser_ney" -> q164Oracle,
+    "q165_dirichlet_ql" -> q165Oracle,
+    "q166_maxsim" -> q166Oracle,
+    "q167_hamming_retrieval" -> q167Oracle,
+  )
+}

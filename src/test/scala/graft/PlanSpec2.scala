@@ -87,4 +87,18 @@ class PlanSpec2 extends SparkTestBase {
       assert(bnl <= 1, s"$q: unexpected nested-loop joins")
     }
   }
+
+  test("graph + ranking queries (q162-q167): hash joins only — the " +
+      "sole nested-loop surfaces are the one-row/broadcast devices") {
+    for (q <- Seq("q162_pagerank", "q163_hits", "q164_kneser_ney",
+        "q165_dirichlet_ql", "q166_maxsim", "q167_hamming_retrieval")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+      // allowed: the broadcast count/types/query-token/stat frames
+      // (≤2 per plan: e.g. qcf×ctot inside the Dirichlet grid)
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnl <= 2, s"$q: unexpected nested-loop joins")
+    }
+  }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+/** Link-analysis invariants: both algorithms replayed scalar-exactly
+  * on a hand graph (independent arithmetic — plain doubles + BigDecimal
+  * sums, no DataFrames), plus partitioning-invariance (the decimal-sum
+  * discipline must make results identical under any input layout). */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val edges =
+    Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+
+  private def t12(x: Double): Double = math.floor(x * 1e12) / 1e12
+
+  /** Exact DECIMAL(18,15)-term sum, mirroring the engine/oracle. */
+  private def xsum(xs: Seq[Double]): Double =
+    xs.map(x => JBD.valueOf(x).setScale(15, RoundingMode.HALF_UP))
+      .foldLeft(JBD.ZERO)(_.add(_)).doubleValue()
+
+  test("pageRank matches a scalar replay on a hand graph") {
+    val out = Graph.pageRank(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val outEdges = edges.groupBy(_._1)
+    val deg = outEdges.map { case (s, es) => s -> es.length }
+    var pr = Map("a" -> t12(1.0 / 3), "b" -> t12(1.0 / 3),
+      "c" -> t12(1.0 / 3))
+    for (_ <- 1 to 5) {
+      pr = Seq("a", "b", "c").map { v =>
+        val m = xsum(edges.filter(_._2 == v)
+          .map { case (s, _) => pr(s) / deg(s) })
+        v -> t12(0.15 / 3 + 0.85 * m)
+      }.toMap
+    }
+    assert(out === pr)
+    // a receives ALL of c's mass (c's only out-edge) — highest;
+    // b receives only half of a's — lowest
+    assert(pr("a") > pr("c") && pr("c") > pr("b"))
+  }
+
+  test("hits matches a scalar replay on a hand graph") {
+    val out = Graph.hits(edges.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val nodes = Seq("a", "b", "c")
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = Map.empty[String, Double]
+    for (_ <- 1 to 5) {
+      val araw = nodes.map(v =>
+        v -> xsum(edges.filter(_._2 == v).map(e => hub(e._1)))).toMap
+      val am = araw.values.max
+      auth = nodes.map(v => v -> t12(araw(v) / am)).toMap
+      val hraw = nodes.map(v =>
+        v -> xsum(edges.filter(_._1 == v).map(e => auth(e._2)))).toMap
+      val hm = hraw.values.max
+      hub = nodes.map(v => v -> t12(hraw(v) / hm)).toMap
+    }
+    assert(out.keySet === nodes.toSet)
+    nodes.foreach { v =>
+      assert(out(v)._1 === auth(v), s"auth($v)")
+      assert(out(v)._2 === hub(v), s"hub($v)")
+    }
+    // c is the best authority (in-edges from a and b)
+    assert(auth("c") === 1.0)
+  }
+
+  test("pageRank is invariant to input partitioning") {
+    val df = (1 to 40).map(i =>
+      (s"n${i % 7}", s"n${(i * 3) % 7}")).toDF("src", "dst")
+    val a = Graph.pageRank(df.repartition(1)).collect().toSeq
+    val b = Graph.pageRank(df.repartition(13)).collect().toSeq
+    assert(a === b)
+  }
+}
