@@ -341,7 +341,44 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q168: peak interval concurrency per event type — every event
+    * opens a half-open 5-minute interval [ts, ts+300 s); the classic
+    * sweep-line turns overlap counting into a +1/−1 boundary stream
+    * with a per-type running sum (ends sort before starts at the same
+    * instant, so touching intervals never overlap). Reports each
+    * type's maximum simultaneous load and the first instant it is
+    * reached — the capacity-planning number a transcription/OCR/embed
+    * service boundary is sized by.
+    *
+    * Scale: the cumsum window partitions by event_type — exact and
+    * oracle-checkable, but a single dominant type at 100 TB makes
+    * that partition the straggler; the swap is the q75 sharded
+    * prefix-sum device (per-shard partial sums + broadcast shard
+    * offsets), same answer, no per-type total order. */
+  def q168IntervalLoad(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id"))
+    val bounds = ev.select(col("event_type"), col("t"),
+        lit(1).as("delta"), col("event_id"))
+      .unionByName(ev.select(col("event_type"),
+        (col("t") + lit(300000000L)).as("t"),
+        lit(-1).as("delta"), col("event_id")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bounds.withColumn("load", sum(col("delta")).over(w))
+    val peak = run.groupBy(col("event_type").as("pt"))
+      .agg(max(col("load")).as("peak"))
+    run.join(peak, col("event_type") === col("pt") &&
+        col("load") === col("peak"))
+      .groupBy(col("event_type"), col("peak"))
+      .agg(min(col("t")).as("first_peak_us"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_interval_load" -> (q168IntervalLoad _),
     "q95_value_outliers" -> (q95ValueOutliers _),
     "q81_cohort_retention" -> (q81CohortRetention _),
     "q82_funnel_sequence" -> (q82FunnelSequence _),
@@ -365,6 +402,24 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q168_interval_load" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta, event_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 300000000, -1, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, t,
+        |    SUM(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS load
+        |  FROM b),
+        |p AS (SELECT event_type AS pt, CAST(MAX(load) AS BIGINT) AS peak
+        |      FROM r GROUP BY 1)
+        |SELECT r.event_type, p.peak, MIN(r.t) AS first_peak_us
+        |FROM r JOIN p ON r.event_type = p.pt AND r.load = p.peak
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q95_value_outliers" ->
       """WITH s AS (
         |  SELECT user_id AS uid,

@@ -905,6 +905,20 @@ object TextQueries {
         window = 48)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** Generalized SUFFIX ARRAY over a 2% corpus slice
+    * ([[graft.operators.SuffixArray.suffixRanks]] — prefix doubling,
+    * the published distributed construction): the exact index
+    * structure behind ExactSubstr dedup (Lee et al. 2022), of which
+    * q118's fixed-width windows and q149's winnowed fingerprints are
+    * the approximations. The oracle dense-ranks every materialized
+    * suffix string directly — the hash match proves O(log) rounds of
+    * distributed pair-ranking reproduce a full lexicographic suffix
+    * sort without ever materializing a suffix. */
+  def q169SuffixArray(s: SparkSession, d: String): DataFrame =
+    graft.operators.SuffixArray.suffixRanks(
+      documents(s, d).filter(col("doc_id") % 50 === 0),
+      "doc_id", "text")
+
   /** END-TO-END near-dup REMOVAL (the q27-58 family's capstone):
     * MinHash/LSH candidates → exact-Jaccard verify (≥0.5 over
     * maxDf-capped shingles) → connected components → keep each
@@ -1206,6 +1220,7 @@ object TextQueries {
     "q121_phrase_search" -> (q121PhraseSearch _),
     "q120_neardup_survivors" -> (q120NearDupSurvivors _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
+    "q169_suffix_array" -> (q169SuffixArray _),
     "q117_filter_funnel" -> (q117FilterFunnel _),
     "q114_fuzzy_names" -> (q114FuzzyNames _),
     "q109_span_rewrite" -> (q109SpanRewrite _),
@@ -2058,6 +2073,17 @@ object TextQueries {
         |    CAST(span_end - span_start AS INT))) AS span_md5
         |FROM g JOIN d ON g.doc_id = d.doc_id
         |ORDER BY g.doc_id, span_start""".stripMargin,
+    // the oracle materializes and sorts every suffix STRING — the
+    // O(n·L) memory the prefix-doubling engine path never pays
+    "q169_suffix_array" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |pos AS (SELECT doc_id, i AS off,
+        |    substr(text, CAST(i + 1 AS INT)) AS suffix
+        |  FROM d, LATERAL unnest(range(0, length(text))) AS t(i))
+        |SELECT doc_id, CAST(off AS BIGINT) AS off,
+        |  DENSE_RANK() OVER (ORDER BY suffix) - 1 AS suffix_rank
+        |FROM pos ORDER BY doc_id, off""".stripMargin,
     "q117_filter_funnel" ->
       """WITH f AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS w,
