@@ -98,4 +98,60 @@ object SuffixArray {
         col("r").as("suffix_rank"))
       .orderBy(col(idCol), col("off"))
   }
+
+  /** Longest repeated substrings from the suffix ranking: the LCP of
+    * ADJACENT suffix ranks — the classic suffix-array corollary (the
+    * longest repeat is exactly the max adjacent-rank LCP; Lee et
+    * al.'s ExactSubstr cut threshold is "adjacent LCP ≥ 50"). One
+    * representative position per rank (min (doc,off) — dense-rank
+    * duplicates are identical suffixes, so any representative carries
+    * the same string), consecutive ranks paired by an r+1 hash join,
+    * and the LCP computed per pair WITHOUT a character loop: zip the
+    * two suffixes' char arrays, find the first inequality
+    * (`array_position` on the comparison flags — trailing
+    * split-artifact ""/null elements make the shorter-is-prefix case
+    * fall out, see the flag analysis in the spec), else min length.
+    * Per-pair work is bounded by the suffix length; pairs = rank
+    * count; everything is map-side after the two hash joins.
+    *
+    * Output: top `k` by (lcp DESC, rank): (rank, a_doc, a_off,
+    * b_doc, b_off, lcp, prefix_md5).
+    */
+  def longestRepeats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20): DataFrame = {
+    val ranks = suffixRanks(docs, idCol, textCol)
+    val reps = ranks
+      .groupBy(col("suffix_rank").as("r"))
+      .agg(min(struct(col(idCol), col("off"))).as("p"))
+      .select(col("r"), col(s"p.$idCol").as("pdoc"),
+        col("p.off").as("poff"))
+    val txt = docs.select(col(idCol).as("tdoc"),
+      col(textCol).as("ttext"))
+    def suffixOf(doc: String, off: String, out: String) =
+      expr(s"substring($doc, CAST($off + 1 AS INT), 1000000)").as(out)
+    val a = reps.join(txt, col("pdoc") === col("tdoc"))
+      .select(col("r"), col("pdoc").as("a_doc"),
+        col("poff").as("a_off"),
+        suffixOf("ttext", "poff", "sa"))
+    val b = reps.join(txt, col("pdoc") === col("tdoc"))
+      .select((col("r") - 1).as("rb"), col("pdoc").as("b_doc"),
+        col("poff").as("b_off"),
+        suffixOf("ttext", "poff", "sb"))
+    val pairs = a.join(b, col("r") === col("rb"))
+    val flagged = pairs.withColumn("flags",
+        zip_with(split(col("sa"), ""), split(col("sb"), ""),
+          (x, y) => x === y))
+      .withColumn("fpos", array_position(col("flags"), lit(false)))
+      .withColumn("lcp",
+        when(col("fpos") === 0,
+          least(length(col("sa")), length(col("sb"))).cast("long"))
+          .otherwise(col("fpos") - 1))
+    flagged
+      .withColumn("prefix_md5",
+        md5(expr("substring(sa, 1, CAST(lcp AS INT))")))
+      .select(col("r").as("rank"), col("a_doc"), col("a_off"),
+        col("b_doc"), col("b_off"), col("lcp"), col("prefix_md5"))
+      .orderBy(col("lcp").desc, col("rank"))
+      .limit(k)
+  }
 }

@@ -919,6 +919,15 @@ object TextQueries {
       documents(s, d).filter(col("doc_id") % 50 === 0),
       "doc_id", "text")
 
+  /** Longest repeated substrings in the q169 slice — max-LCP adjacent
+    * suffix-rank pairs ([[graft.operators.SuffixArray.longestRepeats]];
+    * the ExactSubstr "adjacent LCP ≥ threshold" cut is exactly this
+    * report with a WHERE instead of a top-k). */
+  def q170LongestRepeat(s: SparkSession, d: String): DataFrame =
+    graft.operators.SuffixArray.longestRepeats(
+      documents(s, d).filter(col("doc_id") % 50 === 0),
+      "doc_id", "text")
+
   /** END-TO-END near-dup REMOVAL (the q27-58 family's capstone):
     * MinHash/LSH candidates → exact-Jaccard verify (≥0.5 over
     * maxDf-capped shingles) → connected components → keep each
@@ -1221,6 +1230,7 @@ object TextQueries {
     "q120_neardup_survivors" -> (q120NearDupSurvivors _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
     "q169_suffix_array" -> (q169SuffixArray _),
+    "q170_longest_repeat" -> (q170LongestRepeat _),
     "q117_filter_funnel" -> (q117FilterFunnel _),
     "q114_fuzzy_names" -> (q114FuzzyNames _),
     "q109_span_rewrite" -> (q109SpanRewrite _),
@@ -2084,6 +2094,35 @@ object TextQueries {
         |SELECT doc_id, CAST(off AS BIGINT) AS off,
         |  DENSE_RANK() OVER (ORDER BY suffix) - 1 AS suffix_rank
         |FROM pos ORDER BY doc_id, off""".stripMargin,
+    "q170_longest_repeat" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |pos AS (SELECT doc_id, i AS off,
+        |    substr(text, CAST(i + 1 AS INT)) AS suffix
+        |  FROM d, LATERAL unnest(range(0, length(text))) AS t(i)),
+        |rk AS (SELECT doc_id, off, suffix,
+        |    DENSE_RANK() OVER (ORDER BY suffix) - 1 AS r
+        |  FROM pos),
+        |rep AS (SELECT r, doc_id AS pdoc, off AS poff, suffix
+        |  FROM (SELECT r, doc_id, off, suffix, ROW_NUMBER() OVER (
+        |      PARTITION BY r ORDER BY doc_id, off) AS rn FROM rk)
+        |  WHERE rn = 1),
+        |pr AS (SELECT a.r, a.pdoc AS a_doc, a.poff AS a_off,
+        |    b.pdoc AS b_doc, b.poff AS b_off,
+        |    a.suffix AS sa, b.suffix AS sb,
+        |    least(length(a.suffix), length(b.suffix)) AS ml
+        |  FROM rep a JOIN rep b ON b.r = a.r + 1),
+        |f AS (SELECT *, [substr(sa, i, 1) = substr(sb, i, 1)
+        |    FOR i IN range(1, CAST(ml + 1 AS INT))] AS flags
+        |  FROM pr),
+        |g AS (SELECT r, a_doc, a_off, b_doc, b_off, sa,
+        |    CASE WHEN COALESCE(list_position(flags, false), 0) = 0
+        |      THEN ml ELSE list_position(flags, false) - 1 END AS lcp
+        |  FROM f)
+        |SELECT r AS rank, a_doc, a_off, b_doc, b_off,
+        |  CAST(lcp AS BIGINT) AS lcp,
+        |  md5(substr(sa, 1, CAST(lcp AS INT))) AS prefix_md5
+        |FROM g ORDER BY lcp DESC, rank LIMIT 20""".stripMargin,
     "q117_filter_funnel" ->
       """WITH f AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS w,

@@ -29,6 +29,18 @@ class SuffixArraySpec extends SparkTestBase {
       (1L, 1L) -> 1L, (2L, 1L) -> 1L)) // "b"
   }
 
+  test("longestRepeats: max adjacent-rank LCP incl. the " +
+      "one-suffix-is-a-prefix-of-the-other case") {
+    val out = SuffixArray.longestRepeats(
+      Seq((1L, "banana"), (2L, "ban")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toSeq
+    // suffix order: a|an|ana|anana|ban|banana|n|na|nana
+    // top LCPs: ana~anana = 3, ban~banana = 3 (ban IS a prefix —
+    // lcp must equal min length, not a sentinel), an~ana = 2
+    assert(out === Seq((2L, 3L), (4L, 3L), (1L, 2L)))
+  }
+
   test("repetitive text needs the late doubling rounds (long " +
       "shared prefixes) and is partition-invariant") {
     val docs = Seq((1L, "aaaaaaaaaaaaaaaab"), (2L, "aaaaaaaaaaaaaaaa"))
