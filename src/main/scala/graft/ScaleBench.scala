@@ -296,6 +296,37 @@ object ScaleBench {
           graft.operators.HeavyHitters.heavyHitters(bigrams, "term",
             k = 20, capacity = 1024).count()
         }),
+        // 5 PageRank rounds over a 2-out-regular synthetic graph on
+        // the scaled doc ids: nodes and edges grow ×K while degree
+        // stays constant, so per-round shuffle volume must track K
+        // linearly (the localCheckpoint chain adds only fixed cost).
+        "pagerank_5r" -> (() => {
+          val cap = lit(1000000L * k)
+          val e1 = docs.select(
+            concat(lit("d"), col("doc_id")).as("src"),
+            concat(lit("d"), pmod(col("doc_id") * 7 + 1, cap)).as("dst"))
+          val e2 = docs.select(
+            concat(lit("d"), col("doc_id")).as("src"),
+            concat(lit("d"), pmod(col("doc_id") * 13 + 5, cap)).as("dst"))
+          fullEval(graft.operators.Graph.pageRank(e1.unionByName(e2)))
+        }),
+        // prefix doubling on the 2% slice of the scaled corpus:
+        // positions ×K, round count fixed by suffix distinctness
+        // (high-entropy text) — near-linear is the contract.
+        "suffix_ranks" -> (() =>
+          fullEval(graft.operators.SuffixArray.suffixRanks(
+            docs.filter(col("doc_id") % 50 === 0), "doc_id", "text"))),
+        // MaxSim late interaction: fixed 4-query broadcast against a
+        // ×K token table — one data-sized aggregate, linear.
+        "maxsim_top10" -> (() =>
+          fullEval(graft.operators.Ranking.maxSimTopK(
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id"),
+                col("embedding").cast("array<float>").as("embedding")),
+            "vec_id",
+            emb.select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding")),
+            "vec_id", "embedding", tokens = 8, subDim = 8))),
         "simhash_exhaustive_tiled" -> (() =>
           graft.queries.TextQueries.simhashPairsOver(docs).count()),
         "simhash_banded" -> (() =>

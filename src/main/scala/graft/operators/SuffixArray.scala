@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   * windows approximate.
   *
   * Algorithm: rank(off) after round t orders suffixes by their first
-  * 2^t characters. Round 0 dense-ranks single characters; each
+  * seed·2^t characters. Round 0 dense-ranks a 16-char prefix (one
+  * string sort replaces the first four char-doubling rounds); each
   * doubling round forms (rank[off], rank[off+k]) pairs (−1 past the
   * document end, so shorter-is-smaller prefix semantics fall out) and
   * dense-ranks the pairs. Convergence when all ranks are distinct —
-  * high-entropy text converges in ~log(longest repeat) rounds, far
-  * before log(maxLen).
+  * high-entropy text converges in ~log(longest repeat / seed) rounds,
+  * far before log(maxLen).
   *
   * The dense-rank itself is the distributed device: DISTINCT pairs →
   * range-partitioned sort (`orderBy` — Spark's scalable total order)
@@ -58,24 +59,36 @@ object SuffixArray {
       df.join(ranked, cols)
     }
 
+    // Seed ranks over a 16-char prefix instead of single characters:
+    // one string dense-rank replaces the first four doubling rounds
+    // (each round costs fixed job/shuffle overhead that dominates at
+    // small-k), and on high-entropy text most ranks are already
+    // distinct at 16 chars so the early exit fires within a round or
+    // two. A suffix shorter than the seed sorts by its full content,
+    // which is exactly its final relation to any extension (prefix <
+    // extension), so seeding preserves the doubling invariant.
+    val seed = 16L
     val pos = docs
       .select(col(idCol).as("doc"), length(col(textCol)).as("len"),
+        col(textCol).as("t"),
         posexplode(split(col(textCol), "")))
       .select(col("doc"), col("len").cast("long").as("len"),
-        col("pos").cast("long").as("off"), col("col").as("ch"))
+        col("pos").cast("long").as("off"), col("t"))
       .filter(col("off") < col("len"))
-    // round 0: dense character ranks (the alphabet table is tiny, but
-    // the same distributed device keeps the code single-path)
-    val charRank = pos.select(col("ch")).distinct()
-      .orderBy(col("ch")).rdd.zipWithIndex()
+      .select(col("doc"), col("len"), col("off"),
+        expr(s"substring(t, CAST(off + 1 AS INT), ${seed.toInt})")
+          .as("pfx"))
+    val pfxRank = pos.select(col("pfx")).distinct()
+      .orderBy(col("pfx")).rdd.zipWithIndex()
       .map { case (row, idx) => (row.getString(0), idx) }
-      .toDF("ch", "r")
-    var ranks = pos.join(broadcast(charRank), "ch")
+      .toDF("pfx", "r")
+    var ranks = pos.join(pfxRank, "pfx")
       .select(col("doc"), col("off"), col("len"), col("r"))
       .localCheckpoint()
     val total = ranks.count()
-    var k = 1L
-    var done = false
+    var k = seed
+    // seed ranks may already be total (every 16-char prefix distinct)
+    var done = pfxRank.count() == total
     while (!done) {
       val right = ranks.select(col("doc").as("rdoc"),
         (col("off") - k).as("roff"), col("r").as("r2"))

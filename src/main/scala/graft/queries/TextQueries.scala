@@ -928,6 +928,76 @@ object TextQueries {
       documents(s, d).filter(col("doc_id") % 50 === 0),
       "doc_id", "text")
 
+  /** q171: per-document character-distribution Shannon entropy — the
+    * cheap randomness signal (low = repetitive template chrome, high
+    * = encrypted/binary junk; both ends are drop candidates next to
+    * the Gopher gates). One explode → per-(doc,char) counts →
+    * per-doc decimal sum of p·ln9(p) terms; each term's double
+    * product is IEEE-deterministic, the cross-row sum is exact
+    * decimal — the q101 portability discipline. */
+  def q171CharEntropy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val hist = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("n"))
+    val withTot = hist
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val ln9 = (x: org.apache.spark.sql.Column) =>
+      floor(log(x) * lit(1e9)).cast("double") / lit(1e9)
+    withTot
+      .withColumn("p", col("n").cast("double") / col("tot"))
+      // trunc9 BEFORE the decimal cast: the raw p·ln9(p) double can
+      // straddle the cast's rounding boundary differently per engine
+      // (observed: 12/500 docs off by 1e-9); floor is exact in both
+      .withColumn("term",
+        floor(col("p") * ln9(col("p")) * lit(1e9)).cast("double") /
+          lit(1e9))
+      .groupBy(col("doc_id"))
+      .agg(max(col("tot")).as("n_chars"),
+        (-sum(col("term").cast(DecimalType(18, 9))).cast("double"))
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q172: Zipf rank-frequency slope of the corpus vocabulary — the
+    * log-log least-squares slope over the top-100 words (natural
+    * text ≈ −1; templated/synthetic corpora drift — a one-row
+    * datasheet health number next to q150). The top-100 selection is
+    * a vocabulary-sized sort + limit; the 100-row regression runs as
+    * closed-form decimal sums (the only no-partition window is over
+    * the fixed 100 rows — the bounded k-seed pattern). */
+  def q172ZipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ln9 = (x: org.apache.spark.sql.Column) =>
+      floor(log(x) * lit(1e9)).cast("double") / lit(1e9)
+    val t9 = (x: org.apache.spark.sql.Column) =>
+      floor(x * lit(1e9)).cast("double") / lit(1e9)
+    val freq = documents(s, d)
+      .select(explode(split(col("text"), " +")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(100)
+    val xy = freq
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("w"))))
+      .withColumn("x", ln9(col("rnk")))
+      .withColumn("y", ln9(col("f")))
+    def dsum9(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(18, 9))).cast("double")
+    xy.agg(count(lit(1)).as("n_words"),
+        dsum9(col("x")).as("sx"), dsum9(col("y")).as("sy"),
+        dsum9(t9(col("x") * col("y"))).as("sxy"),
+        dsum9(t9(col("x") * col("x"))).as("sxx"))
+      .select(col("n_words"),
+        ((col("n_words") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_words") * col("sxx") - col("sx") * col("sx")))
+          .as("zipf_slope"))
+  }
+
   /** END-TO-END near-dup REMOVAL (the q27-58 family's capstone):
     * MinHash/LSH candidates → exact-Jaccard verify (≥0.5 over
     * maxDf-capped shingles) → connected components → keep each
@@ -1231,6 +1301,8 @@ object TextQueries {
     "q118_repeated_spans" -> (q118RepeatedSpans _),
     "q169_suffix_array" -> (q169SuffixArray _),
     "q170_longest_repeat" -> (q170LongestRepeat _),
+    "q171_char_entropy" -> (q171CharEntropy _),
+    "q172_zipf_slope" -> (q172ZipfSlope _),
     "q117_filter_funnel" -> (q117FilterFunnel _),
     "q114_fuzzy_names" -> (q114FuzzyNames _),
     "q109_span_rewrite" -> (q109SpanRewrite _),
@@ -2123,6 +2195,48 @@ object TextQueries {
         |  CAST(lcp AS BIGINT) AS lcp,
         |  md5(substr(sa, 1, CAST(lcp AS INT))) AS prefix_md5
         |FROM g ORDER BY lcp DESC, rank LIMIT 20""".stripMargin,
+    "q171_char_entropy" ->
+      """WITH h AS (
+        |  SELECT doc_id, c AS ch, COUNT(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |        FROM documents)
+        |  WHERE length(c) > 0
+        |  GROUP BY 1, 2),
+        |t AS (SELECT doc_id, n,
+        |    SUM(n) OVER (PARTITION BY doc_id) AS tot FROM h),
+        |s AS (SELECT doc_id, tot,
+        |    floor((CAST(n AS DOUBLE) / tot) *
+        |      (floor(ln(CAST(n AS DOUBLE) / tot) * 1e9) / 1e9)
+        |      * 1e9) / 1e9 AS term
+        |  FROM t)
+        |SELECT doc_id, CAST(MAX(tot) AS BIGINT) AS n_chars,
+        |  -CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE) AS entropy
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q172_zipf_slope" ->
+      """WITH fr AS (
+        |  SELECT w, COUNT(*) AS f FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(text, ' +'), x -> len(x) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY 1 ORDER BY f DESC, w LIMIT 100),
+        |r AS (SELECT w, f,
+        |    ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rnk FROM fr),
+        |xy AS (SELECT
+        |    floor(ln(CAST(rnk AS DOUBLE)) * 1e9) / 1e9 AS x,
+        |    floor(ln(CAST(f AS DOUBLE)) * 1e9) / 1e9 AS y
+        |  FROM r),
+        |a AS (SELECT COUNT(*) AS n_words,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(floor(x * y * 1e9) / 1e9
+        |      AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(floor(x * x * 1e9) / 1e9
+        |      AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT n_words,
+        |  (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx)
+        |    AS zipf_slope
+        |FROM a""".stripMargin,
     "q117_filter_funnel" ->
       """WITH f AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS w,
