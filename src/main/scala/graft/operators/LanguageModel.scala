@@ -164,6 +164,83 @@ object LanguageModel {
           .otherwise("tail"))
       .drop("cut_lang", "cut_lo", "cut_hi")
 
+  /** Moore-Lewis cross-entropy-difference data selection (Moore &
+    * Lewis 2010): score every document by
+    *
+    *   H_target(d) − H_source(d)
+    *
+    * where each H is the mean add-one bigram surprisal under an LM
+    * trained on the TARGET slice (`isTarget` rows — the trusted
+    * in-domain data) vs the whole corpus. Low scores read "looks like
+    * the target, unlike the general corpus" — THE classic
+    * intelligent-selection ranking ([[graft.operators.Importance]]'s
+    * DSIR is its hashed-feature descendant). Unlike
+    * [[bigramSurprisal]] the scored bigrams are NOT guaranteed seen
+    * by the target model, so the count joins are LEFT with zero
+    * fallbacks (add-one smoothing absorbs the zeros).
+    *
+    * Same portability + scale discipline as [[bigramSurprisal]]; the
+    * token stream is scanned once into per-doc bigram counts, and
+    * both models derive from that table plus one target-filtered
+    * pass.
+    *
+    * Output: (idCol, n_bigrams, h_target, h_source, ml_score),
+    * ordered by idCol.
+    */
+  def mooreLewisScores(df: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val toksed = df.select(col(idCol).as("doc"), isTarget.as("tgt"),
+      graft.functions.TextFunctions.cjkAwareTokens(col(textCol))
+        .as("toks"))
+    val docBi = toksed.select(col("doc"), col("tgt"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc"), col("tgt"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc"), col("tgt"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val docUni = toksed
+      .select(col("tgt"), explode(col("toks")).as("w"))
+      .groupBy(col("tgt"), col("w"))
+      .agg(count(lit(1)).as("cu"))
+    def model(bi: DataFrame, uni: DataFrame, tag: String):
+        (DataFrame, DataFrame, DataFrame) = (
+      bi.groupBy(col("w1").as(s"${tag}b1"), col("w2").as(s"${tag}b2"))
+        .agg(sum(col("n")).as(s"${tag}cb")),
+      uni.groupBy(col("w").as(s"${tag}uw"))
+        .agg(sum(col("cu")).as(s"${tag}cu")),
+      uni.select(col("w")).distinct().agg(count(lit(1)).as(s"${tag}v")))
+    val (sbi, suni, svoc) = model(docBi, docUni, "s")
+    val (tbi, tuni, tvoc) = model(docBi.filter(col("tgt")),
+      docUni.filter(col("tgt")), "t")
+    def surprisal(cb: Column, cu: Column, v: Column): Column =
+      -ln9((coalesce(cb, lit(0L)) + 1).cast("double") /
+        (coalesce(cu, lit(0L)) + v).cast("double"))
+    val scored = docBi
+      .join(sbi, col("w1") === col("sb1") && col("w2") === col("sb2"),
+        "left")
+      .join(suni, col("w1") === col("suw"), "left")
+      .join(tbi, col("w1") === col("tb1") && col("w2") === col("tb2"),
+        "left")
+      .join(tuni, col("w1") === col("tuw"), "left")
+      .crossJoin(broadcast(svoc))
+      .crossJoin(broadcast(tvoc))
+      .withColumn("ss", surprisal(col("scb"), col("scu"), col("sv")))
+      .withColumn("st", surprisal(col("tcb"), col("tcu"), col("tv")))
+    def meanOf(c: Column): Column =
+      (sum(col("n").cast(DecimalType(12, 0)) *
+        c.cast(DecimalType(18, 9))).cast("double") / sum(col("n")))
+    scored
+      .groupBy(col("doc").as(idCol))
+      .agg(sum(col("n")).as("n_bigrams"),
+        meanOf(col("st")).as("h_target"),
+        meanOf(col("ss")).as("h_source"))
+      .withColumn("ml_score", col("h_target") - col("h_source"))
+      .orderBy(col(idCol))
+  }
+
   /** Interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995;
     * the Chen & Goodman 1998 interpolated form with a single absolute
     * discount D=0.75) — the smoothing every published n-gram LM

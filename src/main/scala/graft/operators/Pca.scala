@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding covariance + PCA/whitening — the linear-algebra step
+  * embedding pipelines run before clustering/dedup (SemDeDup-class
+  * pipelines whiten; PCA truncation is the classic dim-reduction
+  * next to the JL projection in [[Projection]]).
+  *
+  * The COVARIANCE MATRIX is the distributed part and the value-exact
+  * part: cov(i,j) = E[x_i·x_j] − μ_i·μ_j with every cross-row sum an
+  * exact decimal aggregation of 9-decimal-truncated per-row terms
+  * (the [[graft.queries.Tables]] discipline), so the d×d matrix is
+  * engine- and partitioning-exact. Scale: one explode to (row, i,
+  * x_i) with the in-row `transform` producing each row's d products
+  * per i — the d² stream collapses map-side to d² groups; no
+  * shuffle carries more than d² rows. d=64 → 4096 cells regardless
+  * of corpus size.
+  *
+  * The EIGENDECOMPOSITION runs on the driver (cyclic Jacobi over the
+  * d×d matrix — d² doubles of bounded driver state, the same class
+  * as the k-means seed collect); the rotation broadcasts back as
+  * literal arrays into a codegen projection. Deterministic: fixed
+  * sweep order, fixed iteration count, no data-dependent branching
+  * beyond the rotation threshold.
+  */
+object Pca {
+
+  private def t9(x: Column): Column =
+    floor(x * lit(1e9)).cast("double") / lit(1e9)
+
+  private def dsum9(c: Column): Column =
+    sum(c.cast(DecimalType(18, 9))).cast("double")
+
+  /** Exact covariance matrix of a float-array embedding column.
+    * Output: (i, j, cov) over all d² index pairs, ordered. */
+  def covariance(df: DataFrame, vecCol: String): DataFrame = {
+    val x = df.select(posexplode(col(vecCol)).as(Seq("i", "xi")),
+        col(vecCol).as("arr"))
+      .select(col("i"), col("xi").cast("double").as("xi"), col("arr"))
+    val mu = x.groupBy(col("i").as("mi"))
+      .agg((dsum9(col("xi")) / count(lit(1))).as("mu"))
+    val exy = x
+      .select(col("i"), posexplode(
+        transform(col("arr"), y => t9(col("xi") * y.cast("double"))))
+        .as(Seq("j", "p")))
+      .groupBy(col("i"), col("j"))
+      .agg((dsum9(col("p")) / count(lit(1))).as("exy"))
+    exy
+      .join(broadcast(mu), col("i") === col("mi"))
+      .drop("mi")
+      .join(broadcast(mu.withColumnRenamed("mi", "mj")
+        .withColumnRenamed("mu", "muj")), col("j") === col("mj"))
+      .select(col("i"), col("j"),
+        (col("exy") - col("mu") * col("muj")).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix.
+    * Returns (eigenvalues desc, row-major eigenvector matrix whose
+    * row k is the k-th principal axis). Pure JVM, deterministic. */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    for (_ <- 0 until 32) { // fixed sweep count — deterministic
+      for (p <- 0 until d - 1; q <- p + 1 until d
+          if math.abs(a(p)(q)) > 1e-14) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+            case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            case x => x
+          }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until d).map(r => v(r)(i)).toArray).toArray)
+  }
+
+  /** Project embeddings onto the top-k principal axes of their own
+    * covariance. The d×d collect is the one driver-side step
+    * (bounded by dimension, not data); axes return as literal arrays
+    * inside the codegen projection, so the projection pass is one
+    * map stage. Output: original columns + `pc` (array of k doubles). */
+  def pcaProject(df: DataFrame, vecCol: String, k: Int): DataFrame = {
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    val cells = covariance(df, vecCol).collect()
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val (_, axes) = jacobiEigen(m)
+    val mu = df
+      .select(posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg((dsum9(col("xi").cast("double")) / count(lit(1))).as("mu"))
+      .orderBy(col("i")).collect().map(_.getDouble(1))
+    val pcCols = (0 until k).map { c =>
+      val axis = axes(c)
+      val shift = (0 until d).map(i => axis(i) * mu(i)).sum
+      (0 until d).map(i =>
+        element_at(col(vecCol), i + 1).cast("double") * lit(axis(i)))
+        .reduce(_ + _) - lit(shift)
+    }
+    df.withColumn("pc", array(pcCols: _*))
+  }
+}

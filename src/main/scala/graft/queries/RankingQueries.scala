@@ -51,6 +51,20 @@ object RankingQueries {
       emb, "vec_id", "embedding")
   }
 
+  /** q173: Moore-Lewis cross-entropy-difference selection — rank the
+    * corpus by H_en-slice(d) − H_corpus(d) under add-one bigram LMs
+    * (the classic intelligent-selection score DSIR descends from). */
+  def q173MooreLewis(s: SparkSession, d: String): DataFrame =
+    graft.operators.LanguageModel.mooreLewisScores(
+      documents(s, d), "doc_id", "text", col("lang") === "en")
+
+  /** q174: exact embedding covariance matrix (the whitening/PCA
+    * input — [[graft.operators.Pca]]): d² cells regardless of corpus
+    * size, every cross-row sum decimal-exact. The eigen/projection
+    * half is PcaSpec territory (not SQL-expressible). */
+  def q174EmbeddingCovariance(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca.covariance(embeddings(s, d), "embedding")
+
   /** CJK-aware token CTE over plain documents (the q101 device
     * without the multilingual fixture concat). */
   private val TokCtes: String =
@@ -193,6 +207,8 @@ object RankingQueries {
     "q165_dirichlet_ql" -> (q165DirichletQl _),
     "q166_maxsim" -> (q166MaxSim _),
     "q167_hamming_retrieval" -> (q167HammingRetrieval _),
+    "q173_moore_lewis" -> (q173MooreLewis _),
+    "q174_embedding_covariance" -> (q174EmbeddingCovariance _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -200,5 +216,76 @@ object RankingQueries {
     "q165_dirichlet_ql" -> q165Oracle,
     "q166_maxsim" -> q166Oracle,
     "q167_hamming_retrieval" -> q167Oracle,
+    "q173_moore_lewis" -> q173Oracle,
+    "q174_embedding_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |mu AS (
+        |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) AS mu
+        |  FROM x GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    floor(a.v * b.v * 1e9) / 1e9 AS p
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id),
+        |e AS (
+        |  SELECT i, j, CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) AS exy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT e.i, e.j, e.exy - ma.mu * mb.mu AS cov
+        |FROM e JOIN mu ma ON e.i = ma.i JOIN mu mb ON e.j = mb.i
+        |ORDER BY e.i, e.j""".stripMargin,
   )
+
+  private lazy val q173Oracle: String =
+    raw"""WITH tl AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |    list_filter(regexp_split_to_array(
+      |    regexp_replace(text,
+      |      '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+      |      ' \1 ', 'g'),
+      |    '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, tgt, generate_subscripts(t, 1) - 1 AS pos,
+      |    unnest(t) AS w
+      |  FROM tl),
+      |big AS (
+      |  SELECT a.doc_id, a.tgt, a.w AS w1, b.w AS w2
+      |  FROM toks a JOIN toks b
+      |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |sbi AS (SELECT w1, w2, COUNT(*) AS scb FROM big GROUP BY 1, 2),
+      |suni AS (SELECT w, COUNT(*) AS scu FROM toks GROUP BY 1),
+      |svoc AS (SELECT COUNT(DISTINCT w) AS sv FROM toks),
+      |tbi AS (SELECT w1, w2, COUNT(*) AS tcb FROM big
+      |        WHERE tgt GROUP BY 1, 2),
+      |tuni AS (SELECT w, COUNT(*) AS tcu FROM toks
+      |         WHERE tgt GROUP BY 1),
+      |tvoc AS (SELECT COUNT(DISTINCT w) AS tv FROM toks WHERE tgt),
+      |s AS (
+      |  SELECT big.doc_id,
+      |    -floor(ln(CAST(COALESCE(sbi.scb, 0) + 1 AS DOUBLE) /
+      |      CAST(COALESCE(suni.scu, 0) + svoc.sv AS DOUBLE)) * 1e9)
+      |      / 1e9 AS ss,
+      |    -floor(ln(CAST(COALESCE(tbi.tcb, 0) + 1 AS DOUBLE) /
+      |      CAST(COALESCE(tuni.tcu, 0) + tvoc.tv AS DOUBLE)) * 1e9)
+      |      / 1e9 AS st
+      |  FROM big
+      |  LEFT JOIN sbi ON big.w1 = sbi.w1 AND big.w2 = sbi.w2
+      |  LEFT JOIN suni ON big.w1 = suni.w
+      |  LEFT JOIN tbi ON big.w1 = tbi.w1 AND big.w2 = tbi.w2
+      |  LEFT JOIN tuni ON big.w1 = tuni.w
+      |  CROSS JOIN svoc CROSS JOIN tvoc)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CAST(st AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+      |    AS h_target,
+      |  CAST(SUM(CAST(ss AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+      |    AS h_source,
+      |  CAST(SUM(CAST(st AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) -
+      |  CAST(SUM(CAST(ss AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+      |    AS ml_score
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** PCA invariants over the exact covariance (the q174 matrix is the
+  * oracle-checked half; eigen/projection is pinned here). */
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("jacobiEigen solves the hand 2x2 case") {
+    val (vals, vecs) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2)
+    // first axis is ±(1,1)/√2
+    assert(math.abs(math.abs(vecs(0)(0)) - s) < 1e-12)
+    assert(math.abs(vecs(0)(0) - vecs(0)(1)) < 1e-12)
+  }
+
+  test("covariance is exactly symmetric and partition-invariant") {
+    val df = (1 to 60).map(i => (i.toLong,
+      Array(i.toFloat / 7, (i % 5).toFloat, (i % 3).toFloat - 1f)))
+      .toDF("vec_id", "embedding")
+    val a = Pca.covariance(df.repartition(1), "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val b = Pca.covariance(df.repartition(9), "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a === b)
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(a((i, j)) === a((j, i)), s"cov($i,$j)")
+  }
+
+  test("pcaProject finds the dominant axis and orders variance") {
+    // points spread widely along (1,1,0,0)/√2, narrowly along
+    // (0,0,1,-1)/√2 — the top axis must be the wide one
+    val rows = (0 until 80).map { i =>
+      val a = (i % 9) - 4.0 // wide: range ±4
+      val b = ((i / 9) % 3 - 1.0) * 0.2 // narrow: ±0.2
+      (i.toLong, Array((a).toFloat, (a).toFloat,
+        (b).toFloat, (-b).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pc = Pca.pcaProject(df, "embedding", k = 2)
+      .select(col("vec_id"), col("pc")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v0 = variance(rows.map(r => pc(r._1)(0)).toSeq)
+    val v1 = variance(rows.map(r => pc(r._1)(1)).toSeq)
+    assert(v0 > v1 * 10, s"pc0 var $v0 should dominate pc1 var $v1")
+    // pc0 must recover a (up to sign/scale √2): correlation ≈ ±1
+    val as = rows.map(r => (r._1, ((r._1 % 9) - 4.0))).toMap
+    val xs = rows.map(r => pc(r._1)(0))
+    val ys = rows.map(r => as(r._1))
+    val n = xs.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val corr = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+        ys.map(y => (y - my) * (y - my)).sum)
+    assert(math.abs(math.abs(corr) - 1.0) < 1e-6, s"corr $corr")
+  }
+}
