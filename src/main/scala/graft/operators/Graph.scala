@@ -61,16 +61,26 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src").as("onode"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    // The out-degree is loop-INVARIANT: fold it into the edge table
+    // once and leave that table hash-partitioned by src (checkpoint
+    // preserves partitioning). Locally the rank side broadcasts (AQE)
+    // so rounds are job-overhead-bound either way; at cluster scale —
+    // where ranks exceed the broadcast threshold and the join falls
+    // back to shuffle — this removes the per-round EDGE re-exchange,
+    // the term that grows with data.
+    val ed = e.join(e.groupBy(col("src").as("onode"))
+          .agg(count(lit(1)).as("deg")),
+        col("src") === col("onode"))
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
+      .localCheckpoint()
     val cnt = nodes.agg(count(lit(1)).as("nn"))
     var pr = nodes.crossJoin(broadcast(cnt))
       .select(col("node"), t12(lit(1.0) / col("nn")).as("pr"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val agg = e
-        .join(pr, e("src") === pr("node"))
-        .join(outdeg, e("src") === col("onode"))
+      val agg = ed
+        .join(pr, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
       pr = nodes
@@ -98,11 +108,18 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    // Two loop-invariant edge layouts: the auth pass joins hubs by
+    // src, the hub pass joins auths by dst — keep one copy
+    // pre-partitioned per key so each round only exchanges the
+    // nodes-sized score frames (the pageRank device, both ways).
+    val eSrc = e.repartition(col("src")).localCheckpoint()
+    val eDst = e.repartition(col("dst")).localCheckpoint()
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
       .localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = e.join(hub, e("src") === hub("node"))
+      val araw = eSrc
+        .join(hub, col("src") === col("node"))
         .groupBy(col("dst")).agg(xsum(col("hub")).as("a"))
       val amax = araw.agg(max(col("a")).as("am"))
       auth = nodes
@@ -111,7 +128,9 @@ object Graph {
         .select(col("node"),
           t12(coalesce(col("a"), lit(0.0)) / col("am")).as("auth"))
         .localCheckpoint()
-      val hraw = e.join(auth, e("dst") === auth("node"))
+      val hraw = eDst
+        .join(auth.withColumnRenamed("node", "anode"),
+          col("dst") === col("anode"))
         .groupBy(col("src")).agg(xsum(col("auth")).as("h"))
       val hmax = hraw.agg(max(col("h")).as("hm"))
       hub = nodes
