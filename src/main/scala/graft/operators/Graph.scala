@@ -94,6 +94,98 @@ object Graph {
     pr.orderBy(col("node"))
   }
 
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass lands on the SEED set instead of uniformly —
+    * pr'(v) = 0.15·tele(v) + d·Σ_{u→v} pr(u)/outdeg(u) with
+    * tele(v) = 1/|S| on seeds, 0 elsewhere. Ranks nodes by proximity
+    * to the seeds (the related-content / similar-source score next
+    * to the global prior [[pageRank]] computes). Same per-round
+    * shapes, precision discipline, and checkpoint policy.
+    *
+    * `seeds`: one string column `node`. Output: (node, pr). */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val ed = e.join(e.groupBy(col("src").as("onode"))
+          .agg(count(lit(1)).as("deg")),
+        col("src") === col("onode"))
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val sd = seeds.select(col("node").as("snode")).distinct()
+    val scnt = sd.agg(count(lit(1)).as("ns"))
+    // teleport vector: 1/|S| on seeds (12-trunc), 0 elsewhere
+    val tele = nodes
+      .join(sd, nodes("node") === sd("snode"), "left")
+      .crossJoin(broadcast(scnt))
+      .select(col("node"),
+        when(col("snode").isNotNull, t12(lit(1.0) / col("ns")))
+          .otherwise(lit(0.0)).as("tele"))
+      .localCheckpoint()
+    var pr = tele.select(col("node"), col("tele").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val agg = ed
+        .join(pr, col("src") === col("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
+      pr = tele
+        .join(agg, tele("node") === agg("dst"), "left")
+        .select(col("node"),
+          t12(lit(0.15) * col("tele") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.orderBy(col("node"))
+  }
+
+  /** Weakly connected components by min-label propagation to a
+    * FIXPOINT: label(v) starts as v's own id and each round takes the
+    * min over the closed neighborhood (edges symmetrized); the loop
+    * runs until NO label changes — exact components, not a fixed
+    * round count. Rounds are bounded by component diameter; each is
+    * one join + one aggregate over the (pre-partitioned,
+    * checkpointed) symmetric edge table, with the convergence check
+    * riding the same per-round action. The min-label device is the
+    * distributed-safe one: monotone (labels only decrease), so
+    * convergence is order- and partitioning-independent.
+    *
+    * Output: (node, component) where component = lexicographic min
+    * node id of the component. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+    val sym = e0.union(e0.select(col("dst"), col("src")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var lab = nodes.select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(lab.withColumnRenamed("node", "ln"),
+          col("src") === col("ln"))
+        .groupBy(col("dst").as("n2"))
+        .agg(min(col("lab")).as("nmin"))
+      val next = lab
+        .join(nbrMin, col("node") === col("n2"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nmin"), col("lab")))
+            .as("lab"), col("lab").as("old"))
+        .localCheckpoint()
+      changed = next.filter(col("lab") =!= col("old")).count()
+      lab = next.select(col("node"), col("lab"))
+    }
+    lab.select(col("node"), col("lab").as("component"))
+      .orderBy(col("node"))
+  }
+
   /** HITS (Kleinberg 1999): auth'(v) = Σ_{u→v} hub(u), then
     * hub'(u) = Σ_{u→v} auth'(v), each vector normalized by its MAX
     * (exact under any partitioning, unlike an L2 norm) and truncated

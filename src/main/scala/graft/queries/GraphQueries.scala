@@ -106,13 +106,88 @@ object GraphQueries {
        |ORDER BY a5.node""".stripMargin
   }
 
+  /** q175: personalized PageRank from the high-balance customer seed
+    * set (c_acctbal ≥ 9900) — proximity-to-seeds ranking vs q162's
+    * global prior. */
+  def q175Ppr(s: SparkSession, d: String): DataFrame = {
+    val seeds = customer(s, d)
+      .filter(col("c_acctbal") >= 9900)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    graft.operators.Graph.pageRankPersonalized(edgesDf(s, d), seeds)
+  }
+
+  /** q176: weakly connected components of the SPARSE endorsement
+    * graph (only quantity-49+ line items — rare enough that the
+    * graph fragments) by min-label propagation run to the exact
+    * fixpoint. The oracle is the recursive-CTE reachability closure:
+    * component = min reachable node id. */
+  def q176Components(s: SparkSession, d: String): DataFrame = {
+    val e = orders(s, d)
+      .join(lineitem(s, d).filter(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.operators.Graph.connectedComponents(e)
+  }
+
+  private val q175Oracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT t.node,
+         |    floor((0.15 * t.tele + 0.85 * COALESCE(s$i.m, 0.0)) * 1e12)
+         |      / 1e12 AS pr
+         |  FROM tele t
+         |  LEFT JOIN (
+         |    SELECT e.dst,
+         |      CAST(SUM(CAST(p.pr / od.deg AS DECIMAL(18,15))) AS DOUBLE)
+         |        AS m
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node
+         |           JOIN outdeg od ON e.src = od.onode
+         |    GROUP BY e.dst) s$i ON s$i.dst = t.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |outdeg AS (SELECT src AS onode, COUNT(*) AS deg FROM e GROUP BY 1),
+       |seeds AS (SELECT DISTINCT 'c' || c_custkey AS snode
+       |          FROM customer WHERE c_acctbal >= 9900),
+       |scnt AS (SELECT COUNT(*) AS ns FROM seeds),
+       |tele AS MATERIALIZED (
+       |  SELECT n.node,
+       |    CASE WHEN s.snode IS NOT NULL
+       |      THEN floor((1.0 / ns) * 1e12) / 1e12 ELSE 0.0 END AS tele
+       |  FROM nodes n LEFT JOIN seeds s ON n.node = s.snode
+       |  CROSS JOIN scnt),
+       |pr0 AS (SELECT node, tele AS pr FROM tele),
+       |$rounds
+       |SELECT node, pr FROM pr5 ORDER BY node""".stripMargin
+  }
+
+  private val q176Oracle: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE l_quantity >= 49),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION SELECT dst, src FROM e0),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |r AS (
+      |  SELECT node, node AS lab FROM nodes
+      |  UNION
+      |  SELECT e.dst AS node, r.lab
+      |  FROM r JOIN e ON e.src = r.node)
+      |SELECT node, MIN(lab) AS component
+      |FROM r GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_pagerank" -> (q162PageRank _),
     "q163_hits" -> (q163Hits _),
+    "q175_personalized_pagerank" -> (q175Ppr _),
+    "q176_components" -> (q176Components _),
   )
 
   val oracle: Map[String, String] = Map(
     "q162_pagerank" -> q162Oracle,
     "q163_hits" -> q163Oracle,
+    "q175_personalized_pagerank" -> q175Oracle,
+    "q176_components" -> q176Oracle,
   )
 }

@@ -88,10 +88,14 @@ class PlanSpec2 extends SparkTestBase {
     }
   }
 
-  test("graph + ranking queries (q162-q167): hash joins only — the " +
+  test("graph + ranking queries (q162-q174): hash joins only — the " +
       "sole nested-loop surfaces are the one-row/broadcast devices") {
     for (q <- Seq("q162_pagerank", "q163_hits", "q164_kneser_ney",
-        "q165_dirichlet_ql", "q166_maxsim", "q167_hamming_retrieval")) {
+        "q165_dirichlet_ql", "q166_maxsim", "q167_hamming_retrieval",
+        "q168_interval_load", "q169_suffix_array",
+        "q170_longest_repeat", "q171_char_entropy", "q172_zipf_slope",
+        "q173_moore_lewis", "q174_embedding_covariance",
+        "q175_personalized_pagerank", "q176_components")) {
       val p = SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), q)

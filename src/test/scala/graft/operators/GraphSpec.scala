@@ -66,6 +66,39 @@ class GraphSpec extends SparkTestBase {
     assert(auth("c") === 1.0)
   }
 
+  test("personalized pageRank: teleport mass stays near the seeds " +
+      "(scalar replay)") {
+    val out = Graph.pageRankPersonalized(edges.toDF("src", "dst"),
+        Seq("a").toDF("node"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length }
+    val tele = Map("a" -> t12(1.0), "b" -> 0.0, "c" -> 0.0)
+    var pr = tele
+    for (_ <- 1 to 5) {
+      pr = Seq("a", "b", "c").map { v =>
+        val m = xsum(edges.filter(_._2 == v)
+          .map { case (s, _) => pr(s) / deg(s) })
+        v -> t12(0.15 * tele(v) + 0.85 * m)
+      }.toMap
+    }
+    assert(out === pr)
+    // the walk restarts at a — a dominates; its direct targets carry
+    // more mass than under the uniform prior
+    assert(pr("a") > pr("b") && pr("a") > pr("c"))
+  }
+
+  test("connectedComponents reaches the exact fixpoint on a " +
+      "two-component graph with a long chain") {
+    // chain z1-z2-z3-z4-z5 (diameter forces several rounds) and a
+    // separate pair (x, y)
+    val e = Seq(("z1", "z2"), ("z2", "z3"), ("z3", "z4"),
+      ("z4", "z5"), ("x", "y"))
+    val out = Graph.connectedComponents(e.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("z1" -> "z1", "z2" -> "z1", "z3" -> "z1",
+      "z4" -> "z1", "z5" -> "z1", "x" -> "x", "y" -> "x"))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val df = (1 to 40).map(i =>
       (s"n${i % 7}", s"n${(i * 3) % 7}")).toDF("src", "dst")
