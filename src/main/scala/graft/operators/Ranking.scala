@@ -140,7 +140,11 @@ object Ranking {
     * then EXACT cosine rerank of the shortlist via [[dotF64]] — the
     * binary-quantization cascade production stores run before
     * full-precision scoring. 32× smaller candidate state than the
-    * float vectors; the packed table is what scans at 100 TB.
+    * float vectors; the packed table is what scans at 100 TB. The
+    * shortlist window here shuffles all candidates per query —
+    * correct for the gate's bounded corpus; at cluster scale swap it
+    * for the bounded-heap [[TopK]] aggregator (the q31 device) keyed
+    * by (qid, hamming) so per-query state never exceeds `shortlist`.
     *
     * Output: (qid, rnk, cid, hamming, score) — top-k per query by
     * exact cosine over the `shortlist`-deep Hamming shortlist.
