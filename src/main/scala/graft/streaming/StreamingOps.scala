@@ -470,4 +470,73 @@ object StreamingOps {
       out.result().iterator
     }
   }
+
+  // ---- streaming heavy hitters (continuous Misra-Gries) ----
+
+  /** One term occurrence; `seq` is the caller's arrival order key —
+    * folds sort on it so the summary is deterministic under shuffle. */
+  case class TermEvent(shard: Int, seq: Long, term: String)
+
+  /** Per-shard MG summary: at most `capacity` counters + an emission
+    * version so readers can select each shard's LATEST summary from
+    * an update-mode sink. */
+  case class MgState(counters: Map[String, Long], ver: Long)
+
+  case class MgCandidate(shard: Int, ver: Long, term: String,
+      lower: Long)
+
+  private[streaming] def mgUpdate(capacity: Int)(shard: Int,
+      events: Iterator[TermEvent],
+      state: GroupState[MgState]): Iterator[MgCandidate] = {
+    val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
+    val m = scala.collection.mutable.LinkedHashMap[String, Long]() ++
+      prev.counters
+    events.toSeq.sortBy(_.seq).foreach { e =>
+      m.get(e.term) match {
+        case Some(c) => m(e.term) = c + 1
+        case None if m.size < capacity => m(e.term) = 1L
+        case None => // classic MG decrement-all, drop zeros
+          val dead = m.iterator.filter(_._2 == 1L).map(_._1).toList
+          m.keys.toList.foreach(k => m(k) = m(k) - 1)
+          dead.foreach(m.remove)
+      }
+    }
+    val next = MgState(m.toMap, prev.ver + 1)
+    state.update(next)
+    m.iterator.map { case (t, c) =>
+      MgCandidate(shard, next.ver, t, c) }
+  }
+
+  /** CONTINUOUS Misra-Gries heavy hitters — the streaming form of
+    * [[graft.operators.HeavyHitters.heavyHitters]]: terms shard by
+    * hash (a term always lands in the same shard, so each shard sees
+    * its terms' COMPLETE stream), and each shard folds its arrivals
+    * through an MG summary of at most `capacity` counters held in
+    * `flatMapGroupsWithState` — constant state per shard forever,
+    * which is the whole point of a frequent-items sketch on an
+    * unbounded stream. Every trigger emits the shard's full current
+    * summary with a version; the latest version per shard is the
+    * live candidate set (MG guarantee per shard: any term with true
+    * count > shardVolume/capacity is present). The batch exact
+    * re-count stage runs downstream on the candidates, exactly as in
+    * the batch operator.
+    *
+    * Expects (`termCol` string, `seqCol` long) columns; `shards`
+    * controls parallelism. Update output mode. */
+  def streamingHeavyHitters(terms: org.apache.spark.sql.DataFrame,
+      termCol: String, seqCol: String, capacity: Int,
+      shards: Int): org.apache.spark.sql.Dataset[MgCandidate] = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    terms
+      .select(pmod(xxhash64(col(termCol)), lit(shards)).cast("int")
+          .as("shard"),
+        col(seqCol).cast("long").as("seq"),
+        col(termCol).cast("string").as("term"))
+      .as[TermEvent]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(mgUpdate(capacity))
+  }
 }
