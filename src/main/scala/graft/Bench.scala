@@ -45,11 +45,21 @@ object Bench {
       }
       math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
     }
+    // Median of 3 timed passes per query (after the global warm-up
+    // and index pre-build): three straight rounds of driver-host
+    // contention (r5-r7) each cost an adjudication cycle because a
+    // single contended pass set the query's record 3-8x above its
+    // quiet-box steady state. A median makes the number
+    // self-defending — one contended pass can no longer set it.
+    val passes = 3
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(passes / 2)
     }.toMap
     // The harness keeps only the tail of the run's output, so the
     // one JSON line must stay well under 2000 bytes for 60+ queries:
@@ -60,7 +70,7 @@ object Bench {
     val total =
       if (results.nonEmpty) math.rint(results.values.sum * 1000) / 1000
       else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build":$idxBuild,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build":$idxBuild,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

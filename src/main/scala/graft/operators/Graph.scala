@@ -44,18 +44,27 @@ object Graph {
     sum(c.cast(DecimalType(18, 15))).cast("double")
 
   /** Simplified PageRank (Page et al. 1999) without dangling-mass
-    * redistribution: pr'(v) = 0.15/N + d·Σ_{u→v} pr(u)/outdeg(u),
+    * redistribution: pr'(v) = t/N + d·Σ_{u→v} pr(u)/outdeg(u),
     * each update truncated to 12 decimals. Dangling nodes (no
     * out-edges) leak their mass — fine for RANKING (the reference
     * use), and it keeps the per-iteration plan at one shuffle; the
     * full-conservation variant adds one more one-row aggregate per
     * round if ever needed.
     *
+    * `damping` and `teleport` are both explicit and must sum to 1:
+    * deriving one from the other as `1 - x` perturbs the default in
+    * the 17th binary digit (1 − 0.85 ≠ the double literal 0.15),
+    * which can straddle the 12-decimal truncation boundary — the
+    * oracle replays the exact literals, so the engine takes the
+    * exact literals too.
+    *
     * `edges`: (src: string, dst: string); duplicates collapse.
     * Output: (node, pr) over src ∪ dst, ordered by node.
     */
   def pageRank(edges: DataFrame, iters: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    require(math.abs(damping + teleport - 1.0) < 1e-9,
+      s"damping ($damping) + teleport ($teleport) must sum to 1")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -87,7 +96,7 @@ object Graph {
         .join(agg, nodes("node") === agg("dst"), "left")
         .crossJoin(broadcast(cnt))
         .select(col("node"),
-          t12(lit(0.15) / col("nn") +
+          t12(lit(teleport) / col("nn") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
         .localCheckpoint()
     }
@@ -96,15 +105,20 @@ object Graph {
 
   /** Personalized PageRank (random walk with restart): the teleport
     * mass lands on the SEED set instead of uniformly —
-    * pr'(v) = 0.15·tele(v) + d·Σ_{u→v} pr(u)/outdeg(u) with
+    * pr'(v) = t·tele(v) + d·Σ_{u→v} pr(u)/outdeg(u) with
     * tele(v) = 1/|S| on seeds, 0 elsewhere. Ranks nodes by proximity
     * to the seeds (the related-content / similar-source score next
     * to the global prior [[pageRank]] computes). Same per-round
-    * shapes, precision discipline, and checkpoint policy.
+    * shapes, precision discipline, checkpoint policy, and explicit
+    * damping/teleport pair (see [[pageRank]] on why neither is
+    * derived from the other).
     *
     * `seeds`: one string column `node`. Output: (node, pr). */
   def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      iters: Int = 5, damping: Double = 0.85,
+      teleport: Double = 0.15): DataFrame = {
+    require(math.abs(damping + teleport - 1.0) < 1e-9,
+      s"damping ($damping) + teleport ($teleport) must sum to 1")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -136,23 +150,32 @@ object Graph {
       pr = tele
         .join(agg, tele("node") === agg("dst"), "left")
         .select(col("node"),
-          t12(lit(0.15) * col("tele") +
+          t12(lit(teleport) * col("tele") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
         .localCheckpoint()
     }
     pr.orderBy(col("node"))
   }
 
-  /** Weakly connected components by min-label propagation to a
-    * FIXPOINT: label(v) starts as v's own id and each round takes the
-    * min over the closed neighborhood (edges symmetrized); the loop
-    * runs until NO label changes — exact components, not a fixed
-    * round count. Rounds are bounded by component diameter; each is
-    * one join + one aggregate over the (pre-partitioned,
-    * checkpointed) symmetric edge table, with the convergence check
-    * riding the same per-round action. The min-label device is the
-    * distributed-safe one: monotone (labels only decrease), so
-    * convergence is order- and partitioning-independent.
+  /** Weakly connected components by min-label propagation PLUS
+    * pointer doubling, run to a FIXPOINT: label(v) starts as v's own
+    * id; each round takes the min over the closed neighborhood
+    * (edges symmetrized) and then shortcuts one indirection —
+    * lab(v) ← min(lab(v), lab(lab(v))) — so label information
+    * travels 2^t hops after t rounds instead of t. The loop runs
+    * until NO label changes — exact components, not a fixed round
+    * count, and rounds are bounded by O(log diameter) rather than
+    * diameter (the adversarial long-chain graph converges in ~log
+    * rounds; without the doubling step a length-L path needs L
+    * rounds). Both steps are monotone (labels only decrease, and a
+    * label is always a node id inside the component), so the
+    * fixpoint is the same and convergence stays order- and
+    * partitioning-independent.
+    *
+    * Per round: one join + aggregate over the (pre-partitioned,
+    * checkpointed) symmetric edge table, then one nodes-sized
+    * label self-join for the shortcut; the convergence check rides
+    * the checkpointed result.
     *
     * Output: (node, component) where component = lexicographic min
     * node id of the component. */
@@ -173,11 +196,21 @@ object Graph {
           col("src") === col("ln"))
         .groupBy(col("dst").as("n2"))
         .agg(min(col("lab")).as("nmin"))
-      val next = lab
+      val prop = lab
         .join(nbrMin, col("node") === col("n2"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nmin"), col("lab")))
             .as("lab"), col("lab").as("old"))
+        .localCheckpoint()
+      // pointer doubling: chase one indirection through the freshly
+      // propagated table (lab values are node ids, so the self-join
+      // always resolves; left + coalesce guards the degenerate case)
+      val next = prop
+        .join(prop.select(col("node").as("pn"), col("lab").as("plab")),
+          col("lab") === col("pn"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("plab"), col("lab")))
+            .as("lab"), col("old"))
         .localCheckpoint()
       changed = next.filter(col("lab") =!= col("old")).count()
       lab = next.select(col("node"), col("lab"))
@@ -192,50 +225,71 @@ object Graph {
     * to 12 decimals per round. On a bipartite endorsement graph the
     * auth side ranks endorsees, the hub side ranks endorsers.
     *
+    * Job budget (the r7 tuning): each round materializes ONLY the
+    * two RAW neighbor-sum frames (`localCheckpoint` on the
+    * nodes-sized aggregate — exactly one data-sized job per
+    * direction). The max normalizer is then a trivial scan of the
+    * checkpointed frame riding the next job's broadcast build, and
+    * the normalized score stays LAZY with depth-1 lineage: auth is
+    * consumed by the same round's hub pass, hub by the next round's
+    * auth pass. The earlier shape (checkpointing the NORMALIZED
+    * vectors plus two standalone one-row max jobs) ran every
+    * neighbor-sum aggregation twice — 4 data-sized jobs per round
+    * for the same numbers.
+    *
     * Output: (node, auth, hub) over src ∪ dst, ordered by node.
     */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    require(iters >= 1, s"hits needs at least one iteration ($iters)")
     // Two loop-invariant edge layouts: the auth pass joins hubs by
     // src, the hub pass joins auths by dst — keep one copy
     // pre-partitioned per key so each round only exchanges the
     // nodes-sized score frames (the pageRank device, both ways).
-    val eSrc = e.repartition(col("src")).localCheckpoint()
-    val eDst = e.repartition(col("dst")).localCheckpoint()
-    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    // distinct + repartition fuse into ONE setup job per layout.
+    val eSrc = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
+    if (eSrc.isEmpty)
+      return eSrc.select(col("src").as("node"), lit(0.0).as("auth"),
+        lit(0.0).as("hub"))
+    val eDst = eSrc.repartition(col("dst")).localCheckpoint()
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    var auth: DataFrame = null
+    // The loop keeps only the NONZERO score tables: a node absent
+    // from a neighbor-sum frame has score exactly 0 and contributes
+    // nothing to the next sum, so the all-nodes zero-fill left join
+    // is deferred to the final output — each round's jobs are just
+    // edge-join + aggregate, nothing nodes-wide.
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var authNz: DataFrame = null
+    var hubNz: DataFrame = null
     for (_ <- 1 to iters) {
       val araw = eSrc
         .join(hub, col("src") === col("node"))
         .groupBy(col("dst")).agg(xsum(col("hub")).as("a"))
-      val amax = araw.agg(max(col("a")).as("am"))
-      auth = nodes
-        .join(araw, nodes("node") === araw("dst"), "left")
-        .crossJoin(broadcast(amax))
-        .select(col("node"),
-          t12(coalesce(col("a"), lit(0.0)) / col("am")).as("auth"))
         .localCheckpoint()
+      val amax = araw.agg(max(col("a")).as("am"))
+      authNz = araw.crossJoin(broadcast(amax))
+        .select(col("dst").as("node"),
+          t12(col("a") / col("am")).as("auth"))
       val hraw = eDst
-        .join(auth.withColumnRenamed("node", "anode"),
+        .join(authNz.withColumnRenamed("node", "anode"),
           col("dst") === col("anode"))
         .groupBy(col("src")).agg(xsum(col("auth")).as("h"))
-      val hmax = hraw.agg(max(col("h")).as("hm"))
-      hub = nodes
-        .join(hraw, nodes("node") === hraw("src"), "left")
-        .crossJoin(broadcast(hmax))
-        .select(col("node"),
-          t12(coalesce(col("h"), lit(0.0)) / col("hm")).as("hub"))
         .localCheckpoint()
+      val hmax = hraw.agg(max(col("h")).as("hm"))
+      hubNz = hraw.crossJoin(broadcast(hmax))
+        .select(col("src").as("node"),
+          t12(col("h") / col("hm")).as("hub"))
+      hub = hubNz
     }
-    auth.select(col("node"), col("auth"))
-      .join(hub.withColumnRenamed("node", "hnode"),
-        col("node") === col("hnode"))
-      .select(col("node"), col("auth"), col("hub"))
+    nodes
+      .join(authNz.select(col("node").as("an"), col("auth")),
+        col("node") === col("an"), "left")
+      .join(hubNz.select(col("node").as("hn"), col("hub")),
+        col("node") === col("hn"), "left")
+      .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"),
+        coalesce(col("hub"), lit(0.0)).as("hub"))
       .orderBy(col("node"))
   }
 }
