@@ -310,6 +310,33 @@ object ScaleBench {
             concat(lit("d"), pmod(col("doc_id") * 13 + 5, cap)).as("dst"))
           fullEval(graft.operators.Graph.pageRank(e1.unionByName(e2)))
         }),
+        // 5 HITS rounds over the same 2-out-regular synthetic graph as
+        // pagerank_5r: two data-sized jobs per round (one per
+        // direction), max normalizers riding the checkpointed raw
+        // sums — the row must track K linearly like its sibling.
+        "hits_5r" -> (() => {
+          val cap = lit(1000000L * k)
+          val e1 = docs.select(
+            concat(lit("d"), col("doc_id")).as("src"),
+            concat(lit("d"), pmod(col("doc_id") * 7 + 1, cap)).as("dst"))
+          val e2 = docs.select(
+            concat(lit("d"), col("doc_id")).as("src"),
+            concat(lit("d"), pmod(col("doc_id") * 13 + 5, cap)).as("dst"))
+          fullEval(graft.operators.Graph.hits(e1.unionByName(e2)))
+        }),
+        // connected components on the ADVERSARIAL long-chain graph:
+        // each replica block is one path of ~n nodes, so diameter =
+        // component size — the case plain min-label propagation needs
+        // O(n) rounds for. The pointer-doubling round keeps
+        // convergence at O(log n) rounds (+1 round per doubling of
+        // K), each round linear in nodes: the row must grow
+        // ~K·log(K·n)/log(n), i.e. just above linear.
+        "components_chain" -> (() => {
+          val e = docs.select(
+            concat(lit("d"), col("doc_id")).as("src"),
+            concat(lit("d"), col("doc_id") + 1).as("dst"))
+          fullEval(graft.operators.Graph.connectedComponents(e))
+        }),
         // prefix doubling on the 2% slice of the scaled corpus:
         // positions ×K, round count fixed by suffix distinctness
         // (high-entropy text) — near-linear is the contract.

@@ -33,9 +33,11 @@ import org.apache.spark.sql.functions._
   * Ordering parity: Spark compares strings as UTF-8 binary bytes
   * (UTF8String), identical to DuckDB's default binary collation, so
   * the round-0 character ranks — and hence every later round — are
-  * engine-exact. (Characters here are Java code units via
-  * `split(text, "")`; for non-BMP corpora pre-normalize — the gate
-  * corpus is ASCII.)
+  * engine-exact. Offsets are CODE POINTS end to end: `length`,
+  * `substring`, and `split(text, "")` all operate on code points in
+  * Spark (split yields exactly `length` elements for any text,
+  * surrogate pairs intact), matching DuckDB's `length`/`substr`, so
+  * CJK and emoji corpora rank exactly (gated by the q178 fixture).
   */
 object SuffixArray {
 
@@ -118,20 +120,34 @@ object SuffixArray {
     * al.'s ExactSubstr cut threshold is "adjacent LCP ≥ 50"). One
     * representative position per rank (min (doc,off) — dense-rank
     * duplicates are identical suffixes, so any representative carries
-    * the same string), consecutive ranks paired by an r+1 hash join,
-    * and the LCP computed per pair WITHOUT a character loop: zip the
-    * two suffixes' char arrays, find the first inequality
-    * (`array_position` on the comparison flags — trailing
-    * split-artifact ""/null elements make the shorter-is-prefix case
-    * fall out, see the flag analysis in the spec), else min length.
-    * Per-pair work is bounded by the suffix length; pairs = rank
-    * count; everything is map-side after the two hash joins.
+    * the same string), consecutive ranks paired by an r+1 hash join.
+    *
+    * The LCP compare is WINDOWED so per-pair memory stays bounded on
+    * arbitrary documents (the r7 finding: materializing whole
+    * suffixes and zipping two element-per-character arrays allocates
+    * ~2·L element arrays per pair on L-char docs). Each round
+    * extracts only a `window`-code-point slice of both suffixes at
+    * the current matched offset: if the slices are EQUAL full
+    * windows (one string compare, no arrays) the pair is saturated —
+    * its lcp advances by the window and it goes another round with
+    * the window doubled (up to a 64 Ki cap, so the in-window scan
+    * arrays never exceed 64 Ki elements); otherwise the first
+    * mismatch inside the window is found by zipping the slices'
+    * code-point arrays (`array_position` on the comparison flags —
+    * zip_with null-pads the shorter slice, so shorter-is-prefix
+    * falls out as "no false flag" → min slice length) and the pair
+    * is done. Saturation is rare (only pairs with LCP ≥ window), so
+    * the loop re-joins the text table for a shrinking handful of
+    * rows; total rounds ≤ 4 + lcp_max/64Ki. The top-k cut happens
+    * BEFORE the prefix digest, so the md5 over the (possibly long)
+    * matched prefix runs for k rows only.
     *
     * Output: top `k` by (lcp DESC, rank): (rank, a_doc, a_off,
     * b_doc, b_off, lcp, prefix_md5).
     */
   def longestRepeats(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 20): DataFrame = {
+      k: Int = 20, window: Int = 4096): DataFrame = {
+    require(window >= 2, s"window must be >= 2 ($window)")
     val ranks = suffixRanks(docs, idCol, textCol)
     val reps = ranks
       .groupBy(col("suffix_rank").as("r"))
@@ -140,31 +156,57 @@ object SuffixArray {
         col("p.off").as("poff"))
     val txt = docs.select(col(idCol).as("tdoc"),
       col(textCol).as("ttext"))
-    def suffixOf(doc: String, off: String, out: String) =
-      expr(s"substring($doc, CAST($off + 1 AS INT), 1000000)").as(out)
-    val a = reps.join(txt, col("pdoc") === col("tdoc"))
-      .select(col("r"), col("pdoc").as("a_doc"),
-        col("poff").as("a_off"),
-        suffixOf("ttext", "poff", "sa"))
-    val b = reps.join(txt, col("pdoc") === col("tdoc"))
-      .select((col("r") - 1).as("rb"), col("pdoc").as("b_doc"),
-        col("poff").as("b_off"),
-        suffixOf("ttext", "poff", "sb"))
-    val pairs = a.join(b, col("r") === col("rb"))
-    val flagged = pairs.withColumn("flags",
-        zip_with(split(col("sa"), ""), split(col("sb"), ""),
-          (x, y) => x === y))
-      .withColumn("fpos", array_position(col("flags"), lit(false)))
-      .withColumn("lcp",
-        when(col("fpos") === 0,
-          least(length(col("sa")), length(col("sb"))).cast("long"))
-          .otherwise(col("fpos") - 1))
-    flagged
-      .withColumn("prefix_md5",
-        md5(expr("substring(sa, 1, CAST(lcp AS INT))")))
-      .select(col("r").as("rank"), col("a_doc"), col("a_off"),
-        col("b_doc"), col("b_off"), col("lcp"), col("prefix_md5"))
-      .orderBy(col("lcp").desc, col("rank"))
+    val a = reps.select(col("r"), col("pdoc").as("a_doc"),
+      col("poff").as("a_off"))
+    val b = reps.select((col("r") - 1).as("rb"),
+      col("pdoc").as("b_doc"), col("poff").as("b_off"))
+    var open = a.join(b, col("r") === col("rb"))
+      .select(col("r"), col("a_doc"), col("a_off"),
+        col("b_doc"), col("b_off"), lit(0L).as("lcp"))
+      .localCheckpoint()
+    val done = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    done += open.limit(0)
+    var win = window
+    while (!open.isEmpty) {
+      val w = lit(win)
+      val sliced = open
+        .join(txt, col("a_doc") === col("tdoc"))
+        .withColumn("wa", col("ttext")
+          .substr((col("a_off") + col("lcp") + 1).cast("int"), w))
+        .drop("tdoc", "ttext")
+        .join(txt, col("b_doc") === col("tdoc"))
+        .withColumn("wb", col("ttext")
+          .substr((col("b_off") + col("lcp") + 1).cast("int"), w))
+        .drop("tdoc", "ttext")
+      // the in-window scan runs ONLY on unsaturated rows (the when()
+      // branches are conditional in codegen once projections collapse)
+      val flags = zip_with(split(col("wa"), ""), split(col("wb"), ""),
+        (x, y) => x === y)
+      val fpos = array_position(flags, lit(false))
+      val stepped = sliced
+        .withColumn("sat", col("wa") === col("wb") &&
+          length(col("wa")) === w && length(col("wb")) === w)
+        .withColumn("inc", when(col("sat"), lit(win.toLong))
+          .otherwise(when(fpos === 0,
+            least(length(col("wa")), length(col("wb"))).cast("long"))
+            .otherwise(fpos - 1)))
+        .select(col("r"), col("a_doc"), col("a_off"), col("b_doc"),
+          col("b_off"), (col("lcp") + col("inc")).as("lcp"),
+          col("sat"))
+        .localCheckpoint()
+      done += stepped.filter(!col("sat")).drop("sat")
+      open = stepped.filter(col("sat")).drop("sat")
+      win = math.min(win * 2, 1 << 16)
+    }
+    val topk = done.reduce(_ unionByName _)
+      .orderBy(col("lcp").desc, col("r"))
       .limit(k)
+    topk
+      .join(txt, col("a_doc") === col("tdoc"))
+      .select(col("r").as("rank"), col("a_doc"), col("a_off"),
+        col("b_doc"), col("b_off"), col("lcp"),
+        md5(col("ttext").substr((col("a_off") + 1).cast("int"),
+          col("lcp").cast("int"))).as("prefix_md5"))
+      .orderBy(col("lcp").desc, col("rank"))
   }
 }

@@ -928,6 +928,31 @@ object TextQueries {
       documents(s, d).filter(col("doc_id") % 50 === 0),
       "doc_id", "text")
 
+  /** q178 fixture corpus: CJK + non-BMP text. U+E000 (private-use,
+    * 3-byte UTF-8) vs U+1D11E/U+1F600 (supplementary, 4-byte UTF-8)
+    * order OPPOSITELY under UTF-16 code units vs UTF-8 bytes, so any
+    * code-unit leakage in the suffix path flips these ranks. Shared
+    * between the Spark query and the generated VALUES oracle so the
+    * two sides can never diverge. */
+  private val cjkSuffixDocs: Seq[(Long, String)] = Seq(
+    (1L, "日本語のテスト文書です。日本語のテスト"),
+    (2L, "日本語のテスト"),
+    (3L, "a𝄞bc😀"),
+    (4L, "😀😀a𝄞"),
+    (5L, "mixed ascii 日本語 and 😀 emoji"))
+
+  /** q178: generalized suffix array over a CJK/emoji corpus — proves
+    * the prefix-doubling path is CODE-POINT exact end to end
+    * (offsets, seed-prefix extraction, and ordering all agree with
+    * DuckDB's code-point `substr`/`length` + binary UTF-8 collation
+    * on non-BMP text). Companion to q169's ASCII gate; the corpus is
+    * an in-code literal replayed by a VALUES oracle. */
+  def q178SuffixCjk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.SuffixArray.suffixRanks(
+      cjkSuffixDocs.toDF("doc_id", "text"), "doc_id", "text")
+  }
+
   /** q171: per-document character-distribution Shannon entropy — the
     * cheap randomness signal (low = repetitive template chrome, high
     * = encrypted/binary junk; both ends are drop candidates next to
@@ -1301,6 +1326,7 @@ object TextQueries {
     "q118_repeated_spans" -> (q118RepeatedSpans _),
     "q169_suffix_array" -> (q169SuffixArray _),
     "q170_longest_repeat" -> (q170LongestRepeat _),
+    "q178_suffix_cjk" -> (q178SuffixCjk _),
     "q171_char_entropy" -> (q171CharEntropy _),
     "q172_zipf_slope" -> (q172ZipfSlope _),
     "q117_filter_funnel" -> (q117FilterFunnel _),
@@ -2157,6 +2183,18 @@ object TextQueries {
         |ORDER BY g.doc_id, span_start""".stripMargin,
     // the oracle materializes and sorts every suffix STRING — the
     // O(n·L) memory the prefix-doubling engine path never pays
+    "q178_suffix_cjk" -> {
+      val values = cjkSuffixDocs.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '$t')"
+      }.mkString(", ")
+      s"""WITH d(doc_id, text) AS (VALUES $values),
+         |pos AS (SELECT doc_id, i AS off,
+         |    substr(text, CAST(i + 1 AS INT)) AS suffix
+         |  FROM d, LATERAL unnest(range(0, length(text))) AS t(i))
+         |SELECT doc_id, CAST(off AS BIGINT) AS off,
+         |  DENSE_RANK() OVER (ORDER BY suffix) - 1 AS suffix_rank
+         |FROM pos ORDER BY doc_id, off""".stripMargin
+    },
     "q169_suffix_array" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id % 50 = 0),

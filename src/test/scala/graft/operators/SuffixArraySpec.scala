@@ -41,6 +41,82 @@ class SuffixArraySpec extends SparkTestBase {
     assert(out === Seq((2L, 3L), (4L, 3L), (1L, 2L)))
   }
 
+  /** Unsigned UTF-8 byte lexicographic order — what UTF8String and
+    * DuckDB's binary collation both compare by. NOT the same as JVM
+    * String order for non-BMP text (UTF-16 code units put U+E000+
+    * after the surrogate range, i.e. after every supplementary
+    * character). */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if ((a(i) & 0xff) != (b(i) & 0xff))
+        return (a(i) & 0xff) < (b(i) & 0xff)
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private def jvmDenseRanks(
+      docs: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+    val sufs = docs.flatMap { case (id, t) =>
+      val cps = t.codePoints.toArray
+      cps.indices.map(o =>
+        ((id, o.toLong), new String(cps, o, cps.length - o)))
+    }
+    val rank = sufs.map(_._2).distinct.sortWith(utf8Less)
+      .zipWithIndex.toMap
+    sufs.map { case (k, s) => k -> rank(s).toLong }.toMap
+  }
+
+  test("CJK + emoji corpus: code-point offsets, UTF-8 byte order — " +
+      "ranks match a JVM code-point reference exactly") {
+    // doc 3/4 mix ASCII, a non-BMP musical symbol (U+1D11E), a
+    // private-use BMP char (U+E000), and emoji (U+1F600): U+E000
+    // sorts BEFORE the supplementary chars in UTF-8/code-point order
+    // but AFTER them in UTF-16 code-unit order, so any code-unit
+    // leakage in the engine path flips these ranks.
+    val docs = Seq(
+      (1L, "日本語のテスト文書です。日本語のテスト"),
+      (2L, "日本語のテスト"),
+      (3L, "a𝄞bc😀"),
+      (4L, "😀😀a𝄞"))
+    assert(ranks(docs) === jvmDenseRanks(docs))
+  }
+
+  test("windowed LCP: a repeat spanning many doubling rounds is " +
+      "exact, and per-round slices stay window-bounded") {
+    // 1000 shared chars then a diverging tail: with window=8 the top
+    // pair saturates 8,16,...,256-wide rounds and finishes inside the
+    // 512 window — the extension loop, not a whole-suffix zip.
+    val rnd = new scala.util.Random(42)
+    val p = (1 to 1000).map(_ =>
+      "abcdefghijklmnopqrstuvwxyz0123456789"(rnd.nextInt(36)))
+      .mkString
+    val docs = Seq((1L, p + "1"), (2L, p + "2"))
+    val out = SuffixArray.longestRepeats(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 3,
+      window = 8).collect()
+    assert(out.map(_.getLong(5)).toSeq === Seq(1000L, 999L, 998L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.head.getString(6) === md)
+    assert(out.head.getLong(2) === 0L) // a_off of the full-prefix pair
+  }
+
+  test("windowed LCP on CJK text counts code points, not code units") {
+    // shared 6-code-point prefix (incl. non-BMP) then divergence
+    val docs = Seq(
+      (1L, "😀日本語𝄞Xたchい"),
+      (2L, "😀日本語𝄞Yうね"))
+    val out = SuffixArray.longestRepeats(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 1,
+      window = 4).collect()
+    assert(out.head.getLong(5) === 5L)
+  }
+
   test("repetitive text needs the late doubling rounds (long " +
       "shared prefixes) and is partition-invariant") {
     val docs = Seq((1L, "aaaaaaaaaaaaaaaab"), (2L, "aaaaaaaaaaaaaaaa"))
