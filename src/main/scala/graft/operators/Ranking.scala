@@ -41,6 +41,15 @@ object Ranking {
     * counts plus one shuffle to the per-(query,doc) sum. Top-k per
     * query by (score DESC, doc).
     *
+    * Out-of-vocabulary query terms (cf = 0 — the term occurs in NO
+    * document) are DROPPED from the scoring sum, by design: under
+    * Dirichlet smoothing such a term has p(t|d) = 0 for every
+    * document, i.e. a −∞ additive constant that carries no ranking
+    * signal (standard LM-retrieval practice is to ignore it). A
+    * query whose terms are ALL out-of-vocabulary consequently has no
+    * output rows — callers that need a row per query should
+    * left-join the query table against the result.
+    *
     * Output: (qid, rnk, idCol, ql_score).
     */
   def dirichletTopK(docs: DataFrame, idCol: String, textCol: String,
@@ -131,13 +140,13 @@ object Ranking {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** 1-bit sign quantization: each embedding becomes two packed
-    * 32-bit sign words (bit j of `lo` = dim j+1 > 0, of `hi` =
-    * dim j+33 > 0 — two half-words rather than one 64-bit word so
-    * the packing is pure non-negative integer sums in any engine).
-    * Shortlist by Hamming distance (bit_count of XOR — 64 dims of
-    * float compare collapse to two codegen'd integer ops per pair),
-    * then EXACT cosine rerank of the shortlist via [[dotF64]] — the
+  /** 1-bit sign quantization: each embedding becomes ⌈dims/32⌉
+    * packed 32-bit sign words (bit j of word w = dim 32w+j+1 > 0 —
+    * half-words rather than 64-bit words so the packing is pure
+    * non-negative integer sums in any engine). Shortlist by Hamming
+    * distance (bit_count of XOR — 32 dims of float compare collapse
+    * to one codegen'd integer op per word per pair), then EXACT
+    * cosine rerank of the shortlist via [[dotF64]] — the
     * binary-quantization cascade production stores run before
     * full-precision scoring. 32× smaller candidate state than the
     * float vectors; the packed table is what scans at 100 TB. The
@@ -146,25 +155,42 @@ object Ranking {
     * for the bounded-heap [[TopK]] aggregator (the q31 device) keyed
     * by (qid, hamming) so per-query state never exceeds `shortlist`.
     *
+    * Every vector must have exactly `dims` elements: a mismatched
+    * row fails the job loudly (raise_error) instead of silently
+    * packing out-of-range dims as 0 bits and corrupting the
+    * shortlist.
+    *
     * Output: (qid, rnk, cid, hamming, score) — top-k per query by
     * exact cosine over the `shortlist`-deep Hamming shortlist.
     */
   def signHammingTopK(queries: DataFrame, qId: String,
       docs: DataFrame, dId: String, vecCol: String,
-      shortlist: Int = 32, k: Int = 10): DataFrame = {
+      shortlist: Int = 32, k: Int = 10, dims: Int = 64): DataFrame = {
+    require(dims >= 1, s"dims must be positive ($dims)")
+    val nWords = (dims + 31) / 32
     def packWord(off: Int): Column =
-      (0 until 32).map(j =>
-        when(element_at(col(vecCol), off + j + 1) > lit(0f),
-          lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      (off until math.min(off + 32, dims)).map(j =>
+        when(element_at(col(vecCol), j + 1) > lit(0f),
+          lit(1L << (j - off))).otherwise(lit(0L))).reduce(_ + _)
     def packed(df: DataFrame, id: String, outId: String, pre: String)
-        : DataFrame =
-      df.select(col(id).as(outId), col(vecCol).as(pre + "vec"),
-        packWord(0).as(pre + "lo"), packWord(32).as(pre + "hi"))
+        : DataFrame = {
+      val words = (0 until nWords).map { w =>
+        when(size(col(vecCol)) === lit(dims), packWord(w * 32))
+          .otherwise(raise_error(concat(
+            lit(s"signHammingTopK: expected $dims dims, got "),
+            size(col(vecCol)).cast("string"))))
+          .as(pre + "w" + w)
+      }
+      df.select(col(id).as(outId) +: col(vecCol).as(pre + "vec") +:
+        words: _*)
+    }
     val q = packed(queries, qId, "qid", "q")
     val d = packed(docs, dId, "cid", "d")
     val ham = d.crossJoin(broadcast(q))
       .withColumn("hamming",
-        expr("bit_count(qlo ^ dlo) + bit_count(qhi ^ dhi)"))
+        (0 until nWords).map(w =>
+          bit_count(col(s"qw$w").bitwiseXOR(col(s"dw$w"))))
+          .reduce(_ + _))
     val short = ham
       .withColumn("hrnk", row_number().over(Window.partitionBy("qid")
         .orderBy(col("hamming"), col("cid"))))

@@ -543,7 +543,45 @@ object FixtureQueries {
       .orderBy(col("probe"))
   }
 
+  // ---- PCA projection fixture ------------------------------------
+
+  /** Deterministic correlated embeddings (no RNG): two latent factors
+    * with different per-dimension loadings + a small ripple, so the
+    * covariance has well-separated leading eigenvalues and the
+    * top-3 axes are stable. 60 rows × d=8. */
+  private def pcaFixtureRows: Seq[(Long, Seq[Double])] =
+    (0 until 60).map { i =>
+      val f1 = ((i * 31 + 11) % 97) / 97.0
+      val f2 = ((i * 17 + 5) % 89) / 89.0
+      (i.toLong, (0 until 8).map { j =>
+        f1 * ((j + 1) * 0.25) + f2 * (((j * j) % 5) * 0.3) +
+          ((i * 7 + j * 13) % 23) / 23.0 * 0.05
+      })
+    }
+
+  /** q177: [[graft.operators.Pca.pcaProject]] — the driver-side
+    * Jacobi eigensolve + codegen projection that q174 (covariance
+    * gate) cannot see: axes are eigenvectors, not SQL-derivable, so
+    * the oracle is the recorded expected parquet (the q128 device).
+    * The whole pipeline is deterministic — decimal-exact covariance,
+    * fixed-sweep Jacobi, fixed-order projection sum — and each
+    * projected coordinate is floor-truncated to 9 decimals, so the
+    * recorded values are engine- and run-exact. A regression in the
+    * eigensolve (sweep order, rotation formula, eigenvalue ordering)
+    * or in the projection's mean-centering flips the row red. */
+  def q177PcaProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = pcaFixtureRows.toDF("vec_id", "embedding")
+    graft.operators.Pca.pcaProject(emb, "embedding", k = 3)
+      .select(col("vec_id"), posexplode(col("pc")))
+      .select(col("vec_id"), col("pos").cast("long").as("pc_idx"),
+        (floor(col("col") * lit(1e9)).cast("double") / lit(1e9))
+          .as("pc_val"))
+      .orderBy(col("vec_id"), col("pc_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_pca_project" -> (q177PcaProject _),
     "q128_pdf_extract" -> (q128PdfExtract _),
     "q129_tokenize" -> (q129Tokenize _),
     "q130_codec_features" -> (q130CodecFeatures _),

@@ -60,6 +60,32 @@ class RankingSpec extends SparkTestBase {
     assert(out.head._1 === 10L)
   }
 
+  test("signHammingTopK: non-default dims pack partial words and " +
+      "mismatched vectors fail loudly") {
+    def vec(n: Int)(f: Int => Float): Array[Float] = Array.tabulate(n)(f)
+    val q40 = Seq((0L, vec(40)(i => if (i < 20) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val d40 = Seq(
+      (10L, vec(40)(i => if (i < 20) 1f else -1f)),
+      (11L, vec(40)(_ => 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Ranking.signHammingTopK(q40, "vec_id", d40, "vec_id",
+      "embedding", shortlist = 2, k = 2, dims = 40).collect()
+      .map(r => (r.getLong(2), r.getInt(3))).toMap
+    // copy: 0; all-ones differs on the 20 negative dims (incl. the
+    // 8 bits living in the partial second word)
+    assert(out === Map(10L -> 0, 11L -> 20))
+    val bad = Seq((20L, vec(17)(_ => 1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ranking.signHammingTopK(q40, "vec_id", bad, "vec_id",
+        "embedding", dims = 40).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("expected 40 dims, got 17")))
+  }
+
   test("dirichletTopK is invariant to input partitioning") {
     val docs = (1 to 50).map(i =>
       (i.toLong, s"w${i % 5} w${i % 3} w${i % 7} tail"))
