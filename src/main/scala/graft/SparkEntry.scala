@@ -20,6 +20,7 @@ object SparkEntry {
     (FixtureQueries.queries, FixtureQueries.oracle),
     (GraphQueries.queries, GraphQueries.oracle),
     (RankingQueries.queries, RankingQueries.oracle),
+    (CorpusQueries.queries, CorpusQueries.oracle),
     (graft.analytics.SqlSuite.queries, graft.analytics.SqlSuite.oracle),
   )
 

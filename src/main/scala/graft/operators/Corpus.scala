@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * runs between dedup and packing: source blocklisting, exact global
+  * ordering without a single-partition window, curriculum
+  * interleaving, and exact distributed quantiles. The common design
+  * constraint: every result is EXACT and partitioning-independent,
+  * yet no step ever concentrates the corpus on one worker — global
+  * order comes from range-partitioned two-pass indexing, quantiles
+  * from a value histogram, bucket assignment from closed-form NTILE
+  * arithmetic.
+  */
+object Corpus {
+
+  /** Drop rows whose `keyCol` appears in `blocked` (first column of
+    * the frame, e.g. a domain / source blocklist): broadcast
+    * left-anti hash join — the blocklist ships to every executor,
+    * the corpus never shuffles. The standard web-corpus hygiene step
+    * (host blocklists in C4/RefinedWeb-class pipelines). */
+  def blocklistFilter(df: DataFrame, keyCol: String,
+      blocked: DataFrame): DataFrame = {
+    val bcol = blocked.columns.head
+    df.join(
+      broadcast(blocked.select(col(bcol).as(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Exact 1-based global rank of every row under `sortCols` WITHOUT
+    * a single-partition window: range-repartition on the sort key,
+    * sort within partitions, then assign indexes in two passes
+    * (per-partition counts → prefix offsets — the zipWithIndex
+    * device). The sort keys MUST be a total order (include a unique
+    * tie-break column): rows equal under `sortCols` may land on
+    * either side of a range boundary, and a strict order makes the
+    * result independent of where the sampled boundaries fall.
+    *
+    * This is the scale-correct form of `row_number() OVER (ORDER BY
+    * …)`, which Spark executes on ONE partition — the ranking
+    * operator a 100 TB curriculum/packing pass needs. */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+      rankName: String = "rnk"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(rankName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Curriculum interleave: order rows by `scoreCol` (ascending —
+    * easy-to-hard, e.g. a sequence-length curriculum), cut the
+    * ordered corpus into `buckets` NTILE difficulty buckets, then
+    * emit the round-robin training order that cycles bucket 1..k at
+    * each difficulty position — every training window sees the full
+    * difficulty mix while overall difficulty still ramps.
+    *
+    * Output adds: rnk (global rank), bucket (NTILE id, 1..k), pos
+    * (1-based position within bucket), training_pos (the interleaved
+    * order, a bijection onto 1..n).
+    *
+    * Exactness + scale: rank comes from [[globalRank]] (no
+    * single-partition window), and bucket/pos/training_pos are
+    * CLOSED-FORM integer arithmetic on (rnk, n) — NTILE's first
+    * n mod k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋, so bucket
+    * boundaries are computable per-row from the broadcast one-row
+    * count, no second window anywhere. */
+  def curriculumInterleave(df: DataFrame, scoreCol: String,
+      idCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive ($buckets)")
+    val k = buckets.toLong
+    val ranked = globalRank(df, Seq(col(scoreCol), col(idCol)))
+    val cnt = ranked.agg(max(col("rnk")).as("__n"))
+    ranked.crossJoin(broadcast(cnt))
+      .withColumn("__base", expr(s"__n div $k"))
+      .withColumn("__rem", col("__n") % k)
+      .withColumn("__bdry", col("__rem") * (col("__base") + 1))
+      .withColumn("bucket",
+        when(col("rnk") <= col("__bdry"),
+          expr("(rnk + __base) div (__base + 1)"))
+          .otherwise(col("__rem") +
+            expr("(rnk - __bdry + __base - 1) div __base")))
+      .withColumn("pos",
+        col("rnk") - (col("bucket") - 1) * col("__base") -
+          least(col("bucket") - 1, col("__rem")))
+      .withColumn("training_pos",
+        (col("pos") - 1) * k + col("bucket"))
+      .drop("__n", "__base", "__rem", "__bdry")
+  }
+
+  /** Exact per-group quantiles of an INTEGER-valued column (token
+    * counts, char lengths, …) with type-7 linear interpolation —
+    * equal to `quantile_cont` / exact `percentile` — computed from
+    * the (group, value) HISTOGRAM instead of a per-group sort: the
+    * only window runs over distinct values per group (bounded by
+    * value cardinality, e.g. a few thousand lengths), never over
+    * rows, so group skew cannot concentrate a corpus-sized partition
+    * anywhere. Quantile fractions should be exactly representable
+    * binary fractions (0.25, 0.5, 0.875, …) so the interpolation
+    * arithmetic is exact and engine-independent.
+    *
+    * `quantiles`: (output column name, fraction). Output: groupCol,
+    * n (group row count), one double column per requested quantile.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Double)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val hist = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    // [__lo, __hi): the 0-based index range this value covers in the
+    // group's sorted row sequence
+    val cum = hist
+      .withColumn("__hi", sum(col("__c")).over(w))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val ns = hist.groupBy(col(groupCol)).agg(sum(col("__c")).as("n"))
+    val qlits = array(quantiles.map { case (name, f) =>
+      struct(lit(name).as("qname"), lit(f).as("f")) }: _*)
+    val grid = ns
+      .select(col(groupCol), col("n"), explode(qlits).as("__q"))
+      .select(col(groupCol), col("n"), col("__q.qname").as("__qname"),
+        ((col("n") - 1).cast("double") * col("__q.f")).as("__h"))
+      .withColumn("__i0", floor(col("__h")).cast("long"))
+      .withColumn("__i1",
+        least(ceil(col("__h")).cast("long"), col("n") - 1))
+    val at0 = cum.select(col(groupCol).as("__g0"), col("__v").as("__v0"),
+      col("__lo").as("__l0"), col("__hi").as("__h0"))
+    val at1 = cum.select(col(groupCol).as("__g1"), col("__v").as("__v1"),
+      col("__lo").as("__l1"), col("__hi").as("__h1"))
+    val vals = grid
+      .join(at0, col(groupCol) === col("__g0") &&
+        col("__i0") >= col("__l0") && col("__i0") < col("__h0"))
+      .join(at1, col(groupCol) === col("__g1") &&
+        col("__i1") >= col("__l1") && col("__i1") < col("__h1"))
+      .select(col(groupCol), col("__qname"),
+        (col("__v0") +
+          (col("__v1") - col("__v0")) * (col("__h") - col("__i0")))
+          .as("__qv"),
+        col("n"))
+    vals.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        quantiles.map { case (name, _) =>
+          max(when(col("__qname") === name, col("__qv"))).as(name)
+        }: _*)
+  }
+}

@@ -1032,4 +1032,52 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(dominated, Seq(idCol), "left_anti")
   }
+
+  /** Near-dup cluster label for EVERY row of `df`: the same LSH →
+    * exact-Jaccard → connected-components pipeline as
+    * [[nearDupDedup]], but returning (idCol, cluster) — cluster is
+    * the component's minimum id, and a row in no verified pair is its
+    * own singleton cluster. The building block for cluster-level
+    * policies (representative choice, cluster-size stats, audit
+    * dumps) that plain survivor filtering can't express. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, maxDf: Int = 50): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN,
+      numHashes, bands)
+    val verified = jaccardPairs(df, idCol, textCol, shingleN, maxDf)
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+    val comps = connectedComponents(verified)
+      .select(col("id").as(idCol), col("comp"))
+    df.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("cluster"))
+  }
+
+  /** Quality-aware near-dup dedup: each cluster keeps its BEST row by
+    * `rankCol` (maximum, ties broken by minimum id) instead of
+    * [[nearDupDedup]]'s minimum id — the keep-longest /
+    * keep-highest-quality policy production dedup pipelines prefer
+    * (the min-id survivor of a near-dup cluster may be the truncated
+    * or boilerplate-padded variant). Returns the surviving rows of
+    * `df` plus their `cluster` label.
+    *
+    * Scale: the per-cluster argmax is a window over CLUSTERS, whose
+    * partition sizes are near-dup component sizes (tiny by
+    * construction — candidates were banded and verified), never
+    * corpus-sized. */
+  def nearDupDedupBy(df: DataFrame, idCol: String, textCol: String,
+      rankCol: String, threshold: Double = 0.8, shingleN: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, maxDf: Int = 50): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, threshold,
+      shingleN, numHashes, bands, maxDf)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(rankCol).desc, col(idCol))
+    df.join(clusters, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

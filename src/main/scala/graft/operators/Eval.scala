@@ -79,6 +79,27 @@ object Eval {
           idcg.cast("double"), lit(0.0)).as("ndcg_at_k"))
   }
 
+  private val GramSep = "\u0001"
+
+  private def toks(c: Column) = split(trim(c), "\\s+")
+
+  // n-grams as sep-joined strings; empty array when the text is
+  // shorter than n (sequence(1, k<1) would count DOWN — guard it)
+  private def grams(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - n + 1),
+        i => concat_ws(GramSep, slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  // Σ over distinct candidate grams of min(count in cand, count in
+  // ref) — multiset intersection size (array_intersect is set-
+  // semantics and would undercount repeats)
+  private def clipped(c: Column, r: Column): Column =
+    aggregate(array_distinct(c), lit(0L),
+      (acc, g) => acc +
+        least(size(filter(c, x => x === g)),
+          size(filter(r, x => x === g))).cast("long"))
+
   /** BLEU sufficient statistics per (candidate, reference) pair —
     * modified (clipped) n-gram precision counts for n = 1..4 plus
     * token lengths, the exact integers BLEU (Papineni et al. 2002)
@@ -103,23 +124,6 @@ object Eval {
     */
   def bleuStats(pairs: DataFrame, candCol: String,
       refCol: String): DataFrame = {
-    val sep = "\u0001"
-    def toks(c: Column) = split(trim(c), "\\s+")
-    // n-grams as sep-joined strings; empty array when the text is
-    // shorter than n (sequence(1, k<1) would count DOWN — guard it)
-    def grams(tk: Column, n: Int): Column =
-      when(size(tk) >= n,
-        transform(sequence(lit(1), size(tk) - n + 1),
-          i => concat_ws(sep, slice(tk, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    // Σ over distinct candidate grams of min(count in cand, count in
-    // ref) — multiset intersection size (array_intersect is set-
-    // semantics and would undercount repeats)
-    def clipped(c: Column, r: Column): Column =
-      aggregate(array_distinct(c), lit(0L),
-        (acc, g) => acc +
-          least(size(filter(c, x => x === g)),
-            size(filter(r, x => x === g))).cast("long"))
     val withGrams = (1 to 4).foldLeft(
       pairs
         .withColumn("__ctk", toks(col(candCol)))
@@ -144,6 +148,50 @@ object Eval {
         when(col("t4") > 0,
           sqrt(sqrt(col("p1") * col("p2") * col("p3") * col("p4")))))
       .drop((1 to 4).flatMap(n => Seq(s"__cg$n", s"__rg$n")) ++
+        Seq("__ctk", "__rtk"): _*)
+  }
+
+  /** ROUGE-N sufficient statistics per (candidate, reference) pair —
+    * clipped n-gram overlap (Lin 2004) for n = 1..2: mₙ (multiset
+    * n-gram intersection), cₙ / rₙ (candidate / reference totals),
+    * precision pₙ = mₙ/cₙ, recall recₙ = mₙ/rₙ, and
+    * fₙ = 2·pₙ·recₙ/(pₙ+recₙ) (each null when its denominator is 0).
+    * The summarization-eval complement of [[bleuStats]]: BLEU is
+    * precision-oriented, ROUGE recall-oriented — both emitted here so
+    * callers pick either side. Same exactness contract: integer
+    * counts, single IEEE divisions/multiplications only, so every
+    * engine computes bit-identical values from the same pair.
+    *
+    * Scale: identical to [[bleuStats]] — all columns are in-row
+    * higher-order-function evaluations; a pure map stage, no shuffle,
+    * no state, at any corpus size.
+    */
+  def rougeStats(pairs: DataFrame, candCol: String,
+      refCol: String): DataFrame = {
+    val withGrams = (1 to 2).foldLeft(
+      pairs
+        .withColumn("__ctk", toks(col(candCol)))
+        .withColumn("__rtk", toks(col(refCol)))) { (df, n) =>
+      df.withColumn(s"__cg$n", grams(col("__ctk"), n))
+        .withColumn(s"__rg$n", grams(col("__rtk"), n))
+    }
+    val withStats = (1 to 2).foldLeft(withGrams) { (df, n) =>
+      df.withColumn(s"c$n", size(col(s"__cg$n")).cast("long"))
+        .withColumn(s"r$n", size(col(s"__rg$n")).cast("long"))
+        .withColumn(s"m$n", clipped(col(s"__cg$n"), col(s"__rg$n")))
+        .withColumn(s"p$n",
+          when(col(s"c$n") > 0,
+            col(s"m$n").cast("double") / col(s"c$n")))
+        .withColumn(s"rec$n",
+          when(col(s"r$n") > 0,
+            col(s"m$n").cast("double") / col(s"r$n")))
+        .withColumn(s"f$n",
+          when(col(s"p$n") + col(s"rec$n") > 0,
+            lit(2.0) * col(s"p$n") * col(s"rec$n") /
+              (col(s"p$n") + col(s"rec$n"))))
+    }
+    withStats
+      .drop((1 to 2).flatMap(n => Seq(s"__cg$n", s"__rg$n")) ++
         Seq("__ctk", "__rtk"): _*)
   }
 }

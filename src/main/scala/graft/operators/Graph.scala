@@ -292,4 +292,71 @@ object Graph {
         coalesce(col("hub"), lit(0.0)).as("hub"))
       .orderBy(col("node"))
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected edge list — the cohesion statistic a corpus pipeline
+    * computes over link / co-occurrence graphs (a host whose neighbors
+    * also link each other is a community, not a link farm).
+    *
+    * `edges`: (src, dst) in any orientation; self-loops are dropped
+    * and both orders of the same pair collapse to one undirected edge.
+    * Output: (node, deg, tri, lcc) with lcc = 2·tri / (deg·(deg−1))
+    * truncated to 12 decimals (0.0 when deg < 2).
+    *
+    * Scale: the naive neighbor-pair enumeration is Σ_v C(deg(v), 2) —
+    * quadratic in the hot node's degree, fatal on skewed graphs. This
+    * uses the degree-ordered orientation (Chiba–Nishizeki 1985; the
+    * shuffle formulation is Suri–Vassilvitskii WWW'11): each
+    * undirected edge is directed from its (deg, id)-smaller endpoint
+    * to the larger, so wedges are only enumerated at a triangle's
+    * LOWEST-degree corner and every out-degree is O(√m). All three
+    * stages are plain keyed shuffles (distinct, self-join on the
+    * wedge corner, edge-close join) — no windows, no driver state;
+    * the orientation only changes the join sizes, never the counts.
+    */
+  def triangleStats(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b"),
+            col("dv").as("db")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"),
+            col("du").as("db")))
+          .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db"))
+    // wedges at the lowest-ordered corner: out-neighbor pairs (b, c)
+    // with b before c in the SAME (deg, id) total order — the closing
+    // edge of a real triangle is then necessarily oriented b→c
+    val wedges = oriented.select(col("a"), col("b"), col("db"))
+      .join(oriented.select(col("a"), col("b").as("c"),
+        col("db").as("dc")), "a")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val tris = wedges
+      .join(oriented.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          t12(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1))))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

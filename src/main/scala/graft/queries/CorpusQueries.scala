@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+import graft.operators.{Corpus, Dedup, Eval}
+
+/** Corpus-curation suite: the steps between dedup and packing that a
+  * training-data pipeline runs corpus-wide — summarization-eval
+  * overlap stats (ROUGE), cluster-level dedup policy, source
+  * blocklisting, exact length quantiles, and curriculum ordering.
+  * Every query has a value-exact DuckDB oracle; the operators live in
+  * [[graft.operators.Corpus]] / [[graft.operators.Eval]] /
+  * [[graft.operators.Dedup]].
+  */
+object CorpusQueries {
+
+  /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
+    * the full document ([[Eval.rougeStats]]) — the lead-k baseline
+    * every summarization eval is benchmarked over. Pure map stage:
+    * all counts are in-row array folds. */
+  def q180RougeEval(s: SparkSession, d: String): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val pairs = documents(s, d).select(col("doc_id"),
+      concat_ws(" ", slice(tk, 1, 30)).as("cand"),
+      col("text").as("ref"))
+    Eval.rougeStats(pairs, "cand", "ref")
+      .select(col("doc_id"),
+        col("m1"), col("c1"), col("r1"),
+        col("p1"), col("rec1"), col("f1"),
+        col("m2"), col("c2"), col("r2"),
+        col("p2"), col("rec2"), col("f2"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q181: near-dup dedup with the KEEP-LONGEST cluster policy
+    * ([[Dedup.nearDupDedupBy]] on n_chars) — same LSH → Jaccard →
+    * components pipeline as q120, but each cluster's survivor is its
+    * longest member (ties → min id) instead of the minimum id; the
+    * oracle replays the full pipeline (shared CTEs with q120) plus
+    * the per-cluster argmax window. */
+  def q181ClusterKeepLongest(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupDedupBy(
+        documents(s, d).select(col("doc_id"), col("text"),
+          col("n_chars")),
+        "doc_id", "text", "n_chars",
+        threshold = 0.5, shingleN = 3, numHashes = 16, bands = 4,
+        maxDf = 50)
+      .select(col("doc_id"), col("cluster"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** q182: source-blocklist hygiene pass ([[Corpus.blocklistFilter]]
+    * — broadcast left-anti, the corpus never shuffles) + per-language
+    * survival stats. */
+  def q182Blocklist(s: SparkSession, d: String): DataFrame = {
+    val blocked = s.createDataFrame(
+      BlockedSources.map(Tuple1(_))).toDF("source")
+    Corpus.blocklistFilter(documents(s, d), "source", blocked)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val BlockedSources = Seq("src3", "src7", "src11", "src15")
+
+  /** q183: exact per-language token-length quantiles
+    * ([[Corpus.exactQuantiles]] — histogram-based, no per-group
+    * sort), checked against DuckDB's independent `quantile_cont`.
+    * All four fractions are exact binary fractions, so the type-7
+    * interpolation is bit-identical on any engine. */
+  def q183LengthQuantiles(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tl"))
+    Corpus.exactQuantiles(docs, "lang", "tl",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+        "p875" -> 0.875))
+      .orderBy(col("lang"))
+  }
+
+  /** q184: sequence-length curriculum with 5-bucket round-robin
+    * interleave ([[Corpus.curriculumInterleave]] on n_chars asc).
+    * The oracle computes the same order with real window functions
+    * (row_number + ntile + the interleave row_number) — proving the
+    * engine's closed-form NTILE arithmetic and two-pass global rank
+    * against the reference window semantics. */
+  def q184Curriculum(s: SparkSession, d: String): DataFrame =
+    Corpus.curriculumInterleave(
+        documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", buckets = 5)
+      .select(col("doc_id"), col("n_chars"), col("rnk"),
+        col("bucket"), col("pos"), col("training_pos"))
+      .orderBy(col("training_pos"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_rouge_eval" -> (q180RougeEval _),
+    "q181_cluster_keep_longest" -> (q181ClusterKeepLongest _),
+    "q182_blocklist" -> (q182Blocklist _),
+    "q183_length_quantiles" -> (q183LengthQuantiles _),
+    "q184_curriculum" -> (q184Curriculum _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q180_rouge_eval" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    (regexp_split_to_array(trim(text), '\s+'))[1:30] AS ct,
+        |    regexp_split_to_array(trim(text), '\s+') AS rt
+        |  FROM documents),
+        |cg AS (SELECT doc_id, n, array_to_string(ct[i:i+n-1], chr(1))
+        |    AS g
+        |  FROM tok, range(1, 3) rn(n),
+        |    LATERAL unnest(generate_series(1, len(ct) - n + 1))
+        |      AS gi(i)),
+        |rg AS (SELECT doc_id, n, array_to_string(rt[i:i+n-1], chr(1))
+        |    AS g
+        |  FROM tok, range(1, 3) rn(n),
+        |    LATERAL unnest(generate_series(1, len(rt) - n + 1))
+        |      AS gi(i)),
+        |cc AS (SELECT doc_id, n, g, COUNT(*) AS c
+        |  FROM cg GROUP BY 1, 2, 3),
+        |rc AS (SELECT doc_id, n, g, COUNT(*) AS r
+        |  FROM rg GROUP BY 1, 2, 3),
+        |mm AS (SELECT cc.doc_id, cc.n,
+        |    CAST(SUM(LEAST(cc.c, rc.r)) AS BIGINT) AS m
+        |  FROM cc JOIN rc ON rc.doc_id = cc.doc_id
+        |    AND rc.n = cc.n AND rc.g = cc.g
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT tok.doc_id, rn.n,
+        |    GREATEST(len(tok.ct) - rn.n + 1, 0) AS c,
+        |    GREATEST(len(tok.rt) - rn.n + 1, 0) AS r,
+        |    COALESCE(mm.m, 0) AS m
+        |  FROM tok CROSS JOIN range(1, 3) rn(n)
+        |  LEFT JOIN mm ON mm.doc_id = tok.doc_id AND mm.n = rn.n),
+        |wide AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN n = 1 THEN m END) AS m1,
+        |    MAX(CASE WHEN n = 1 THEN c END) AS c1,
+        |    MAX(CASE WHEN n = 1 THEN r END) AS r1,
+        |    MAX(CASE WHEN n = 2 THEN m END) AS m2,
+        |    MAX(CASE WHEN n = 2 THEN c END) AS c2,
+        |    MAX(CASE WHEN n = 2 THEN r END) AS r2
+        |  FROM stats GROUP BY doc_id),
+        |pr AS (
+        |  SELECT doc_id, m1, c1, r1, m2, c2, r2,
+        |    CASE WHEN c1 > 0 THEN CAST(m1 AS DOUBLE) / c1 END AS p1,
+        |    CASE WHEN r1 > 0 THEN CAST(m1 AS DOUBLE) / r1 END AS rec1,
+        |    CASE WHEN c2 > 0 THEN CAST(m2 AS DOUBLE) / c2 END AS p2,
+        |    CASE WHEN r2 > 0 THEN CAST(m2 AS DOUBLE) / r2 END AS rec2
+        |  FROM wide)
+        |SELECT doc_id, m1, c1, r1, p1, rec1,
+        |  CASE WHEN p1 + rec1 > 0
+        |    THEN 2.0 * p1 * rec1 / (p1 + rec1) END AS f1,
+        |  m2, c2, r2, p2, rec2,
+        |  CASE WHEN p2 + rec2 > 0
+        |    THEN 2.0 * p2 * rec2 / (p2 + rec2) END AS f2
+        |FROM pr ORDER BY doc_id""".stripMargin,
+    "q181_cluster_keep_longest" ->
+      s"""WITH RECURSIVE ${TextQueries.NearDupCtes},
+        |cl AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    LEAST(d.doc_id, COALESCE(c.mn, d.doc_id)) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |rk AS (
+        |  SELECT doc_id, cluster, n_chars,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM cl)
+        |SELECT doc_id, cluster, n_chars FROM rk
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q182_blocklist" ->
+      """SELECT lang, COUNT(*) AS kept_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents
+        |WHERE source NOT IN ('src3', 'src7', 'src11', 'src15')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q183_length_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS tl
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n,
+        |  quantile_cont(tl, 0.25) AS p25,
+        |  quantile_cont(tl, 0.5) AS p50,
+        |  quantile_cont(tl, 0.75) AS p75,
+        |  quantile_cont(tl, 0.875) AS p875
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q184_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+        |    ntile(5) OVER (ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars, rnk, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY rnk)
+        |      AS pos
+        |  FROM t)
+        |SELECT doc_id, n_chars, rnk, bucket, pos,
+        |  row_number() OVER (ORDER BY pos, bucket) AS training_pos
+        |FROM p ORDER BY training_pos""".stripMargin,
+  )
+}

@@ -161,6 +161,42 @@ object GraphQueries {
        |SELECT node, pr FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** q179: per-part triangle count + local clustering coefficient of
+    * the co-order graph (parts appearing together in an order are
+    * linked — the item-item co-occurrence graph every recommender /
+    * corpus-cohesion pass builds). [[graft.operators.Graph.triangleStats]]
+    * runs the degree-ordered wedge enumeration; the oracle counts the
+    * same triangles by the canonical a<b<c three-way self-join. */
+  def q179Triangles(s: SparkSession, d: String): DataFrame = {
+    val a = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    graft.operators.Graph.triangleStats(edges).orderBy(col("node"))
+  }
+
+  private val q179Oracle: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY node),
+      |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |pern AS (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+      |  UNION ALL SELECT c FROM tr),
+      |tric AS (SELECT node, COUNT(*) AS tri FROM pern GROUP BY node)
+      |SELECT d.node, d.deg, COALESCE(t.tri, 0) AS tri,
+      |  CASE WHEN d.deg >= 2 THEN floor(2.0 * COALESCE(t.tri, 0) /
+      |    (d.deg * (d.deg - 1)) * 1e12) / 1e12 ELSE 0.0 END AS lcc
+      |FROM deg d LEFT JOIN tric t ON t.node = d.node
+      |ORDER BY d.node""".stripMargin
+
   private val q176Oracle: String =
     """WITH RECURSIVE e0 AS (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -182,6 +218,7 @@ object GraphQueries {
     "q163_hits" -> (q163Hits _),
     "q175_personalized_pagerank" -> (q175Ppr _),
     "q176_components" -> (q176Components _),
+    "q179_triangles" -> (q179Triangles _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -189,5 +226,6 @@ object GraphQueries {
     "q163_hits" -> q163Oracle,
     "q175_personalized_pagerank" -> q175Oracle,
     "q176_components" -> q176Oracle,
+    "q179_triangles" -> q179Oracle,
   )
 }

@@ -1560,6 +1560,66 @@ object TextQueries {
         |WHERE LEAST(k.doc_id, COALESCE(c.mn, k.doc_id)) = k.doc_id
         |ORDER BY k.doc_id""".stripMargin
 
+  /** Shared WITH-body of the near-dup pipeline replay (q120 here,
+    * q181 in [[CorpusQueries]]): shingles → minhash signatures → band
+    * buckets → candidate pairs → kept-shingle Jaccard → verified
+    * edges → recursive closure → per-id component minimum (`comp`).
+    * Callers prepend `WITH RECURSIVE` and append their own final
+    * SELECT over `documents` ⟕ `comp`. */
+  private[queries] val NearDupCtes: String =
+    s"""sh AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, len(string_split(text,' ')) - 2),
+      |   i -> string_split(text,' ')[i] || ' ' ||
+      |        string_split(text,' ')[i+1] || ' ' ||
+      |        string_split(text,' ')[i+2])) AS ss
+      | FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |hs AS (
+      | SELECT doc_id, list_transform(ss,
+      |   s -> ('0x' || substr(md5(s), 1, 7))::UBIGINT::BIGINT) AS hv
+      | FROM sh WHERE len(ss) > 0),
+      |mh AS (
+      | SELECT doc_id, list_transform(generate_series(0, 15),
+      |   p -> list_min(list_transform(hv, h ->
+      |     ((${Dedup.MhA1}*p + ${Dedup.MhA0}) * h
+      |      + (${Dedup.MhB1}*p + ${Dedup.MhB0}))
+      |      % ${Dedup.MhMod}))) AS sig
+      | FROM hs),
+      |bands AS (
+      | SELECT doc_id, band,
+      |  md5(CAST(sig[band*4+1] AS VARCHAR) || '|' ||
+      |      CAST(sig[band*4+2] AS VARCHAR) || '|' ||
+      |      CAST(sig[band*4+3] AS VARCHAR) || '|' ||
+      |      CAST(sig[band*4+4] AS VARCHAR)) AS bh
+      | FROM mh, (SELECT unnest(generate_series(0, 3)) AS band)),
+      |cand AS (
+      | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |   AND a.doc_id < b.doc_id),
+      |shk AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+      |kept AS (SELECT doc_id, s FROM shk WHERE s IN (
+      |   SELECT s FROM shk GROUP BY s HAVING COUNT(*) <= 50)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+      |common AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |jac AS (SELECT c.id_a, c.id_b,
+      |   CAST(common AS DOUBLE) / (x.n + y.n - common) AS j
+      | FROM common c JOIN sizes x ON c.id_a = x.doc_id
+      |   JOIN sizes y ON c.id_b = y.doc_id),
+      |ver AS (SELECT jac.id_a, jac.id_b FROM jac
+      | JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+      | WHERE jac.j >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM ver
+      |      UNION ALL SELECT id_b, id_a FROM ver),
+      |reach AS (
+      | SELECT src, dst FROM e
+      | UNION
+      | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      |comp AS (SELECT src AS id, MIN(dst) AS mn
+      |         FROM reach GROUP BY src)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q161_heavy_hitters" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS tk
@@ -2098,58 +2158,7 @@ object TextQueries {
     // -> candidate pairs -> q28's kept-shingle Jaccard -> q74's
     // recursive closure -> min-id survivors.
     "q120_neardup_survivors" ->
-      s"""WITH RECURSIVE sh AS (
-        | SELECT doc_id, list_distinct(list_transform(
-        |   generate_series(1, len(string_split(text,' ')) - 2),
-        |   i -> string_split(text,' ')[i] || ' ' ||
-        |        string_split(text,' ')[i+1] || ' ' ||
-        |        string_split(text,' ')[i+2])) AS ss
-        | FROM documents WHERE len(string_split(text,' ')) >= 3),
-        |hs AS (
-        | SELECT doc_id, list_transform(ss,
-        |   s -> ('0x' || substr(md5(s), 1, 7))::UBIGINT::BIGINT) AS hv
-        | FROM sh WHERE len(ss) > 0),
-        |mh AS (
-        | SELECT doc_id, list_transform(generate_series(0, 15),
-        |   p -> list_min(list_transform(hv, h ->
-        |     ((${Dedup.MhA1}*p + ${Dedup.MhA0}) * h
-        |      + (${Dedup.MhB1}*p + ${Dedup.MhB0}))
-        |      % ${Dedup.MhMod}))) AS sig
-        | FROM hs),
-        |bands AS (
-        | SELECT doc_id, band,
-        |  md5(CAST(sig[band*4+1] AS VARCHAR) || '|' ||
-        |      CAST(sig[band*4+2] AS VARCHAR) || '|' ||
-        |      CAST(sig[band*4+3] AS VARCHAR) || '|' ||
-        |      CAST(sig[band*4+4] AS VARCHAR)) AS bh
-        | FROM mh, (SELECT unnest(generate_series(0, 3)) AS band)),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-        |   AND a.doc_id < b.doc_id),
-        |shk AS (SELECT doc_id, unnest(ss) AS s FROM sh),
-        |kept AS (SELECT doc_id, s FROM shk WHERE s IN (
-        |   SELECT s FROM shk GROUP BY s HAVING COUNT(*) <= 50)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
-        |common AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2),
-        |jac AS (SELECT c.id_a, c.id_b,
-        |   CAST(common AS DOUBLE) / (x.n + y.n - common) AS j
-        | FROM common c JOIN sizes x ON c.id_a = x.doc_id
-        |   JOIN sizes y ON c.id_b = y.doc_id),
-        |ver AS (SELECT jac.id_a, jac.id_b FROM jac
-        | JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
-        | WHERE jac.j >= 0.5),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM ver
-        |      UNION ALL SELECT id_b, id_a FROM ver),
-        |reach AS (
-        | SELECT src, dst FROM e
-        | UNION
-        | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-        |comp AS (SELECT src AS id, MIN(dst) AS mn
-        |         FROM reach GROUP BY src)
+      s"""WITH RECURSIVE $NearDupCtes
         |SELECT d.doc_id FROM documents d
         |LEFT JOIN comp c ON d.doc_id = c.id
         |WHERE LEAST(d.doc_id, COALESCE(c.mn, d.doc_id)) = d.doc_id

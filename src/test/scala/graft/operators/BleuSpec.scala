@@ -73,4 +73,48 @@ class BleuSpec extends SparkTestBase {
     // (7/240)^¼ = e^(−3.53473/4) ≈ 0.41326
     assert(math.abs(bleu - 0.41326) < 1e-4, s"corpus BLEU $bleu")
   }
+
+  private def rouge(pairs: Seq[(Int, String, String)]) =
+    Eval.rougeStats(
+      pairs.toDF("id", "cand", "ref"), "cand", "ref")
+      .orderBy("id")
+
+  test("rougeStats: hand-worked precision/recall/F1 for both n") {
+    // cand "a b c", ref "a b d e": unigram overlap {a,b} → m1=2,
+    // c1=3, r1=4; bigram overlap {"a b"} → m2=1, c2=2, r2=3
+    val r = rouge(Seq((1, "a b c", "a b d e"))).collect().head
+    assert(r.getAs[Long]("m1") == 2 &&
+      r.getAs[Long]("c1") == 3 && r.getAs[Long]("r1") == 4)
+    assert(r.getAs[Double]("p1") == 2.0 / 3 &&
+      r.getAs[Double]("rec1") == 0.5)
+    val f1 = 2.0 * (2.0 / 3) * 0.5 / (2.0 / 3 + 0.5)
+    assert(r.getAs[Double]("f1") == f1)
+    assert(r.getAs[Long]("m2") == 1 &&
+      r.getAs[Long]("c2") == 2 && r.getAs[Long]("r2") == 3)
+    assert(r.getAs[Double]("p2") == 0.5 &&
+      r.getAs[Double]("rec2") == 1.0 / 3)
+  }
+
+  test("rougeStats: clipping caps candidate repeats at ref counts") {
+    // 7×"the" vs 2×"the" in ref → m1 = 2, recall = 2/6
+    val r = rouge(Seq((1, "the the the the the the the",
+      "the cat is on the mat"))).collect().head
+    assert(r.getAs[Long]("m1") == 2 && r.getAs[Long]("c1") == 7 &&
+      r.getAs[Long]("r1") == 6)
+    assert(r.getAs[Double]("rec1") == 2.0 / 6)
+  }
+
+  test("rougeStats: zero-overlap F1 is null, not NaN or zero") {
+    val r = rouge(Seq((1, "x y", "a b"))).collect().head
+    assert(r.getAs[Long]("m1") == 0)
+    assert(r.getAs[Double]("p1") == 0.0 &&
+      r.getAs[Double]("rec1") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("f1")))
+  }
+
+  test("rougeStats: identical strings are perfect on every metric") {
+    val r = rouge(Seq((1, "a b c d", "a b c d"))).collect().head
+    for (c <- Seq("p1", "rec1", "f1", "p2", "rec2", "f2"))
+      assert(r.getAs[Double](c) == 1.0, c)
+  }
 }

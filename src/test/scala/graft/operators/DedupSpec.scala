@@ -82,6 +82,38 @@ class DedupSpec extends SparkTestBase {
     assert(!survivors.contains(2L))
   }
 
+  test("nearDupClusters labels every row; singletons are their own " +
+      "cluster") {
+    val cl = Dedup.nearDupClusters(docs, "doc_id", "text",
+        threshold = 0.8, bands = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.keySet === Set(1L, 2L, 3L, 4L, 5L),
+      "every input row must be labeled")
+    // the dup family collapses to min id 1; unrelated 4 is a singleton
+    assert(cl(1L) === 1L && cl(2L) === 1L)
+    assert(cl(4L) === 4L)
+  }
+
+  test("nearDupDedupBy keeps the LONGEST member per cluster, not the " +
+      "min id (ties broken by min id)") {
+    import spark.implicits._
+    val withLen = docs.withColumn("len", length(col("text")))
+    // threshold 0.5 verifies (1,2), (1,3), (1,5): one cluster whose
+    // LONGEST member is 5 (base + extra tokens)
+    val survivors = Dedup.nearDupDedupBy(withLen, "doc_id", "text",
+        "len", threshold = 0.5, bands = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(5L),
+      s"longest member must survive; got $survivors")
+    assert(!survivors.contains(1L) && !survivors.contains(2L))
+    assert(survivors.contains(4L))
+    // same pipeline, min-id policy: survivor flips to 1
+    val minId = Dedup.nearDupDedup(withLen, "doc_id", "text",
+        threshold = 0.5, bands = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId.contains(1L) && !minId.contains(5L))
+  }
+
   test("connectedComponents propagates the minimum id across chains") {
     import spark.implicits._
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")

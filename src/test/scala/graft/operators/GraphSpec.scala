@@ -106,4 +106,41 @@ class GraphSpec extends SparkTestBase {
     val b = Graph.pageRank(df.repartition(13)).collect().toSeq
     assert(a === b)
   }
+
+  test("triangleStats matches a brute-force count on a hand graph " +
+      "and ignores duplicates / orientation / self-loops") {
+    // K4 on a,b,c,d (every vertex in 3 triangles) plus a pendant e-a
+    // and noise: reversed duplicates and a self-loop
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"))
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq(("e", "a"), ("c", "c"))
+    val out = Graph.triangleStats(noisy.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // a: deg 4 (K4 + pendant), 3 triangles, lcc = 2*3/(4*3) = 0.5
+    assert(out("a") === ((4L, 3L, 0.5)))
+    assert(out("b") === ((3L, 3L, 1.0)))
+    assert(out("c") === ((3L, 3L, 1.0)))
+    assert(out("d") === ((3L, 3L, 1.0)))
+    assert(out("e") === ((1L, 0L, 0.0)))
+  }
+
+  test("triangleStats finds zero triangles on a bipartite graph") {
+    val bip = for { l <- Seq("l1", "l2", "l3"); r <- Seq("r1", "r2") }
+      yield (l, r)
+    val out = Graph.triangleStats(bip.toDF("src", "dst")).collect()
+    assert(out.length === 5)
+    assert(out.forall(r => r.getLong(2) === 0L && r.getDouble(3) === 0.0))
+  }
+
+  test("triangleStats is invariant to input partitioning") {
+    val df = (1 to 60).map(i =>
+      (s"n${i % 9}", s"n${(i * 5 + 2) % 9}")).toDF("src", "dst")
+    val a = Graph.triangleStats(df.repartition(1))
+      .orderBy($"node").collect().toSeq
+    val b = Graph.triangleStats(df.repartition(13))
+      .orderBy($"node").collect().toSeq
+    assert(a === b)
+  }
 }
