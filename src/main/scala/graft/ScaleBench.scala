@@ -337,6 +337,20 @@ object ScaleBench {
             concat(lit("d"), col("doc_id") + 1).as("dst"))
           fullEval(graft.operators.Graph.connectedComponents(e))
         }),
+        // triangle counting on an 8-regular circulant graph scaled
+        // ×K: constant degree means the degree-ordered wedge join
+        // grows linearly with edges (Σ C(outdeg,2) per node is
+        // constant) — the row must track K linearly; superlinear
+        // growth would mean the orientation stopped bounding the
+        // wedge enumeration.
+        "triangles" -> (() => {
+          val cap = lit(1000000L * k)
+          val e = (1 to 4).map(s => docs.select(
+              col("doc_id").as("src"),
+              pmod(col("doc_id") + s, cap).as("dst")))
+            .reduce(_ unionByName _)
+          fullEval(graft.operators.Graph.triangleStats(e))
+        }),
         // prefix doubling on the 2% slice of the scaled corpus:
         // positions ×K, round count fixed by suffix distinctness
         // (high-entropy text) — near-linear is the contract.

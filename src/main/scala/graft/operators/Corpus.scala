@@ -151,4 +151,87 @@ object Corpus {
           max(when(col("__qname") === name, col("__qv"))).as(name)
         }: _*)
   }
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln(P(ab) / (P(a)·P(b))) with P from corpus unigram /
+    * bigram frequencies — the phrase-induction signal tokenizer and
+    * vocab pipelines mine ("new york"-class units score high, "of
+    * the"-class chance pairs near 0). `minCount` floors the bigram
+    * count: PMI's known pathology is that hapax pairs score highest.
+    *
+    * Output: (a, b, cab, ca, cb, pmi) — counts exact, pmi truncated
+    * to 9 decimals (the ln-truncation device of the entropy/Zipf
+    * family: engines' libm ln agree far beyond 1e-9 at these
+    * magnitudes).
+    *
+    * Scale: two hash aggregations (unigrams, bigrams) + two keyed
+    * joins of bigrams onto the unigram counts + two one-row total
+    * frames (broadcast). The PMI argument is assembled as one
+    * quotient of count products — at trillion-token scale move to
+    * log-space (ln(cab) + 2·ln(N) − …) to keep the products inside
+    * double precision; the single-ln form is kept here because the
+    * oracle replays it verbatim. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Int = 5, k: Int = 30): DataFrame = {
+    val tks = filter(split(trim(col(textCol)), " +"),
+      t => length(t) > 0)
+    val docs = df.select(tks.as("__tk"))
+    val uni = docs.select(explode(col("__tk")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(count(lit(1)).as("nn"))
+    val bi = docs
+      .filter(size(col("__tk")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__tk")) - 1),
+        i => struct(element_at(col("__tk"), i).as("a"),
+          element_at(col("__tk"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bc = bi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+    val nb = bi.agg(count(lit(1)).as("nbb"))
+    val pmi9 = floor(
+      log((col("cab").cast("double") * col("nn") * col("nn")) /
+        (col("nbb").cast("double") * col("ca") * col("cb"))) *
+        lit(1e9)).cast("double") / lit(1e9)
+    bc.filter(col("cab") >= minCount)
+      .join(uc.select(col("w").as("a"), col("c").as("ca")), "a")
+      .join(uc.select(col("w").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        pmi9.as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Flesch reading-ease statistics (Flesch 1948) with fully-declared
+    * counting heuristics so the score is engine-replayable: words =
+    * whitespace tokens, sentences = max(1, [.!?]+ run count),
+    * syllables = [aeiouy]+ vowel-group count of the lowercased text
+    * (vowel-less words contribute 0 — the per-word ≥1 floor is
+    * deliberately traded for a single regexp pass; scores shift by a
+    * constant-ish offset, ranking survives). flesch = 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), truncated to
+    * 9 decimals, null when words = 0. The readability quality signal
+    * corpora filter on next to the Gopher gates; a pure map stage.
+    */
+  def readabilityStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        size(split(trim(t), "\\s+")).cast("long").as("words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(t, lit("[.!?]+"), lit(0)))
+            .cast("long")).as("sentences"),
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("syllables"))
+      .withColumn("flesch",
+        when(col("words") > 0,
+          floor((lit(206.835) -
+            lit(1.015) *
+              (col("words").cast("double") / col("sentences")) -
+            lit(84.6) *
+              (col("syllables").cast("double") / col("words"))) *
+            lit(1e9)).cast("double") / lit(1e9)))
+  }
 }

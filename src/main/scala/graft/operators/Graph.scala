@@ -359,4 +359,98 @@ object Graph {
             (col("deg") * (col("deg") - 1))))
           .otherwise(lit(0.0)).as("lcc"))
   }
+
+  /** Degree assortativity coefficient (Newman 2002) of an undirected
+    * edge list — the one-number "do hubs link hubs?" health stat for
+    * a link graph (social graphs are assortative, web/citation
+    * graphs disassortative; a crawl whose sign flips between
+    * snapshots changed its shape). Self-loops and duplicate
+    * orientations collapse exactly as in [[triangleStats]].
+    *
+    * Output (one row): m (undirected edge count), s1 = Σ(j+k),
+    * s2 = Σ(j²+k²), sp = Σ(j·k) over edges with endpoint degrees
+    * (j, k), and r = (sp/m − (s1/2m)²) / (s2/2m − (s1/2m)²)
+    * truncated to 12 decimals (null for a degree-regular graph,
+    * where the variance denominator is 0).
+    *
+    * Exactness + scale: the three sums are INTEGER sums of degree
+    * products — exact, order-independent, map-side partial — and the
+    * coefficient is a handful of IEEE divisions on the driver-free
+    * final row; two keyed joins (degrees onto edges) and one global
+    * aggregate, nothing else. */
+  def assortativity(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDegs = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("j")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("k")), "v")
+    val sums = withDegs.agg(
+      count(lit(1)).as("m"),
+      sum(col("j") + col("k")).as("s1"),
+      sum(col("j") * col("j") + col("k") * col("k")).as("s2"),
+      sum(col("j") * col("k")).as("sp"))
+    val mean = col("s1").cast("double") / (lit(2) * col("m"))
+    val num = col("sp").cast("double") / col("m") - mean * mean
+    val den = col("s2").cast("double") / (lit(2) * col("m")) -
+      mean * mean
+    sums.select(col("m"), col("s1"), col("s2"), col("sp"),
+      when(den =!= 0.0, t12(num / den)).as("assortativity"))
+  }
+
+  /** Top-k node pairs by shared-neighbor Jaccard similarity —
+    * co-citation / bibliographic-coupling similarity (Small 1973):
+    * two nodes are similar when their neighborhoods overlap, the
+    * item-item signal behind "related sources" and collaborative
+    * filtering. sim(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|, pairs with
+    * fewer than `minShared` common neighbors dropped (the hapax
+    * floor), top `k` by (sim DESC, a, b), sim truncated to 12
+    * decimals.
+    *
+    * Scale: pairs are enumerated AT the shared neighbor (one wedge
+    * row per middle node per neighbor pair), so the join volume is
+    * Σ_n C(deg(n), 2) — quadratic in hot-node degree. `maxDegree`
+    * drops super-connector MIDDLES from the enumeration (the stop-
+    * neighbor device, same role as maxDf in shingle Jaccard): a node
+    * adjacent to everything carries no similarity signal but costs
+    * C(huge, 2) wedges. Denominator degrees stay FULL degrees, so
+    * the cap only prunes candidate generation through hot middles. */
+  def sharedNeighborSimilarity(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      minShared: Int = 2, maxDegree: Int = 1000,
+      k: Int = 50): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val adj = canon.select(col("u").as("n"), col("v").as("x"))
+      .union(canon.select(col("v").as("n"), col("u").as("x")))
+    val mids = adj
+      .join(deg.filter(col("deg") <= maxDegree)
+        .select(col("node").as("n")), "n")
+    val shared = mids.select(col("n"), col("x").as("a"))
+      .join(mids.select(col("n"), col("x").as("b")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("shared"), col("da"), col("db"),
+        t12(col("shared").cast("double") /
+          (col("da") + col("db") - col("shared"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

@@ -92,12 +92,49 @@ object CorpusQueries {
         col("bucket"), col("pos"), col("training_pos"))
       .orderBy(col("training_pos"))
 
+  /** q185: top-30 bigram collocations by PMI with a min-count-5
+    * floor ([[Corpus.pmiCollocations]]) — the phrase-induction pass
+    * a tokenizer/vocab pipeline mines before merging multi-word
+    * units. ln is 9-decimal-truncated (the q171/q172 device) so both
+    * engines rank identically. */
+  def q185PmiCollocations(s: SparkSession, d: String): DataFrame =
+    Corpus.pmiCollocations(documents(s, d), "text",
+      minCount = 5, k = 30)
+
+  /** q187: language-ID confusion matrix — the marker-n-gram LID
+    * heuristic ([[graft.functions.TextFunctions.langIdHeuristic]],
+    * previously facade-only) evaluated against the corpus's true
+    * `lang` labels: (lang, guess, n) counts. The oracle replays the
+    * marker counting (literal replace length-diffs), the argmax
+    * tie-break (score DESC, lang DESC — array_max struct order), and
+    * the aggregation. zh has no marker list, so its row lands on the
+    * tie-break guess — the confusion matrix SHOWS the heuristic's
+    * coverage hole, which is the point of an eval query. */
+  def q187LangidConfusion(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        graft.functions.TextFunctions.langIdHeuristic(col("text"))
+          .as("guess"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+
+  /** q189: Flesch reading-ease over the corpus
+    * ([[Corpus.readabilityStats]]) — declared-heuristic counts +
+    * trunc9 score, the readability quality gate. */
+  def q189Readability(s: SparkSession, d: String): DataFrame =
+    Corpus.readabilityStats(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_rouge_eval" -> (q180RougeEval _),
     "q181_cluster_keep_longest" -> (q181ClusterKeepLongest _),
     "q182_blocklist" -> (q182Blocklist _),
     "q183_length_quantiles" -> (q183LengthQuantiles _),
     "q184_curriculum" -> (q184Curriculum _),
+    "q185_pmi_collocations" -> (q185PmiCollocations _),
+    "q187_langid_confusion" -> (q187LangidConfusion _),
+    "q189_readability" -> (q189Readability _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -187,6 +224,86 @@ object CorpusQueries {
         |  quantile_cont(tl, 0.75) AS p75,
         |  quantile_cont(tl, 0.875) AS p875
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q189_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS words,
+        |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CASE WHEN words > 0 THEN
+        |    floor((CAST(206.835 AS DOUBLE) -
+        |      CAST(1.015 AS DOUBLE) *
+        |        (CAST(words AS DOUBLE) / sentences) -
+        |      CAST(84.6 AS DOUBLE) *
+        |        (CAST(syllables AS DOUBLE) / words)) * 1e9) / 1e9
+        |  END AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q187_langid_confusion" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, ' ' || text || ' ' AS t
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang, g.guess,
+        |    CAST(CASE g.guess
+        |      WHEN 'en' THEN
+        |        (len(t) - len(replace(t, ' the ', ''))) / 5 +
+        |        (len(t) - len(replace(t, ' and ', ''))) / 5 +
+        |        (len(t) - len(replace(t, ' of ', ''))) / 4 +
+        |        (len(t) - len(replace(t, ' is ', ''))) / 4
+        |      WHEN 'es' THEN
+        |        (len(t) - len(replace(t, ' el ', ''))) / 4 +
+        |        (len(t) - len(replace(t, ' la ', ''))) / 4 +
+        |        (len(t) - len(replace(t, ' de ', ''))) / 4 +
+        |        (len(t) - len(replace(t, ' que ', ''))) / 5
+        |      WHEN 'de' THEN
+        |        (len(t) - len(replace(t, ' der ', ''))) / 5 +
+        |        (len(t) - len(replace(t, ' und ', ''))) / 5 +
+        |        (len(t) - len(replace(t, ' die ', ''))) / 5 +
+        |        (len(t) - len(replace(t, ' ist ', ''))) / 5
+        |      WHEN 'fr' THEN
+        |        (len(t) - len(replace(t, ' le ', ''))) / 4 +
+        |        (len(t) - len(replace(t, ' la ', ''))) / 4 +
+        |        (len(t) - len(replace(t, ' et ', ''))) / 4 +
+        |        (len(t) - len(replace(t, ' est ', ''))) / 5
+        |    END AS INT) AS score
+        |  FROM p, (VALUES ('en'), ('es'), ('de'), ('fr'))
+        |    AS g(guess)),
+        |pick AS (
+        |  SELECT doc_id, lang, guess,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, guess DESC) AS rn
+        |  FROM scores)
+        |SELECT lang, guess, COUNT(*) AS n FROM pick
+        |WHERE rn = 1 GROUP BY lang, guess
+        |ORDER BY lang, guess""".stripMargin,
+    "q185_pmi_collocations" ->
+      """WITH tk AS (
+        |  SELECT list_filter(regexp_split_to_array(trim(text), ' +'),
+        |    t -> len(t) > 0) AS tks
+        |  FROM documents),
+        |uni AS (SELECT unnest(tks) AS w FROM tk),
+        |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        |n AS (SELECT COUNT(*) AS nn FROM uni),
+        |bi AS (SELECT tks[i] AS a, tks[i+1] AS b
+        |  FROM tk, LATERAL unnest(generate_series(1, len(tks) - 1))
+        |    AS g(i)
+        |  WHERE len(tks) >= 2),
+        |bc AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
+        |nb AS (SELECT COUNT(*) AS nbb FROM bi)
+        |SELECT s.a, s.b, s.cab, ua.c AS ca, ub.c AS cb,
+        |  floor(ln((CAST(s.cab AS DOUBLE) * nn * nn) /
+        |    (CAST(nbb AS DOUBLE) * ua.c * ub.c)) * 1e9) / 1e9 AS pmi
+        |FROM bc s
+        |JOIN uc ua ON ua.w = s.a
+        |JOIN uc ub ON ub.w = s.b
+        |CROSS JOIN n CROSS JOIN nb
+        |WHERE s.cab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin,
     "q184_curriculum" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars,

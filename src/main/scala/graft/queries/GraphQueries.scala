@@ -197,6 +197,85 @@ object GraphQueries {
       |FROM deg d LEFT JOIN tric t ON t.node = d.node
       |ORDER BY d.node""".stripMargin
 
+  /** q186: degree assortativity of the same co-order part graph as
+    * q179 ([[graft.operators.Graph.assortativity]]) — one-row graph
+    * health stat; the integer degree-product sums are hash-pinned
+    * exactly, the coefficient 12-decimal-truncated. */
+  def q186Assortativity(s: SparkSession, d: String): DataFrame = {
+    val a = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    graft.operators.Graph.assortativity(edges)
+  }
+
+  private val q186Oracle: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY node),
+      |s AS (SELECT COUNT(*) AS m,
+      |    CAST(SUM(ju.deg + jv.deg) AS BIGINT) AS s1,
+      |    CAST(SUM(ju.deg * ju.deg + jv.deg * jv.deg) AS BIGINT) AS s2,
+      |    CAST(SUM(ju.deg * jv.deg) AS BIGINT) AS sp
+      |  FROM e JOIN deg ju ON ju.node = e.u
+      |    JOIN deg jv ON jv.node = e.v)
+      |SELECT m, s1, s2, sp,
+      |  CASE WHEN (CAST(s2 AS DOUBLE) / (2 * m) -
+      |      (CAST(s1 AS DOUBLE) / (2 * m)) *
+      |      (CAST(s1 AS DOUBLE) / (2 * m))) <> 0
+      |  THEN floor(((CAST(sp AS DOUBLE) / m -
+      |      (CAST(s1 AS DOUBLE) / (2 * m)) *
+      |      (CAST(s1 AS DOUBLE) / (2 * m))) /
+      |    (CAST(s2 AS DOUBLE) / (2 * m) -
+      |      (CAST(s1 AS DOUBLE) / (2 * m)) *
+      |      (CAST(s1 AS DOUBLE) / (2 * m)))) * 1e12) / 1e12
+      |  END AS assortativity
+      |FROM s""".stripMargin
+
+  /** q188: top-50 part pairs by shared-neighbor Jaccard over the
+    * co-order graph ([[graft.operators.Graph.sharedNeighborSimilarity]])
+    * — co-citation similarity, the "related items" signal; minShared=3
+    * floors hapax overlaps, maxDegree=1000 (non-binding at sf0.01,
+    * replayed in the oracle) documents the hot-middle prune. */
+  def q188SharedNeighbors(s: SparkSession, d: String): DataFrame = {
+    val a = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    graft.operators.Graph.sharedNeighborSimilarity(edges,
+      minShared = 3, maxDegree = 1000, k = 50)
+  }
+
+  private val q188Oracle: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY node),
+      |adj AS (SELECT u AS n, v AS x FROM e
+      |        UNION ALL SELECT v, u FROM e),
+      |mids AS (SELECT adj.n, adj.x FROM adj
+      |  JOIN deg ON deg.node = adj.n WHERE deg.deg <= 1000),
+      |sh AS (SELECT m1.x AS a, m2.x AS b, COUNT(*) AS shared
+      |  FROM mids m1 JOIN mids m2 ON m1.n = m2.n AND m1.x < m2.x
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT sh.a, sh.b, sh.shared, ja.deg AS da, jb.deg AS db,
+      |  floor((CAST(sh.shared AS DOUBLE) /
+      |    (ja.deg + jb.deg - sh.shared)) * 1e12) / 1e12 AS jaccard
+      |FROM sh JOIN deg ja ON ja.node = sh.a
+      |  JOIN deg jb ON jb.node = sh.b
+      |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin
+
   private val q176Oracle: String =
     """WITH RECURSIVE e0 AS (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -219,6 +298,8 @@ object GraphQueries {
     "q175_personalized_pagerank" -> (q175Ppr _),
     "q176_components" -> (q176Components _),
     "q179_triangles" -> (q179Triangles _),
+    "q186_assortativity" -> (q186Assortativity _),
+    "q188_shared_neighbors" -> (q188SharedNeighbors _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -227,5 +308,7 @@ object GraphQueries {
     "q175_personalized_pagerank" -> q175Oracle,
     "q176_components" -> q176Oracle,
     "q179_triangles" -> q179Oracle,
+    "q186_assortativity" -> q186Oracle,
+    "q188_shared_neighbors" -> q188Oracle,
   )
 }

@@ -105,4 +105,22 @@ class PlanSpec2 extends SparkTestBase {
       assert(bnl <= 2, s"$q: unexpected nested-loop joins")
     }
   }
+
+  test("corpus-curation queries (q179-q186): hash joins only — the " +
+      "sole nested-loops are the broadcast one-row total frames") {
+    for (q <- Seq("q179_triangles", "q180_rouge_eval",
+        "q181_cluster_keep_longest", "q182_blocklist",
+        "q183_length_quantiles", "q184_curriculum",
+        "q185_pmi_collocations", "q186_assortativity",
+        "q187_langid_confusion", "q188_shared_neighbors",
+        "q189_readability")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+      // allowed: q184's broadcast one-row count, q185's two one-row
+      // totals (n, nb)
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnl <= 2, s"$q: unexpected nested-loop joins")
+    }
+  }
 }

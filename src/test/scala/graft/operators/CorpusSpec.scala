@@ -84,6 +84,58 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("pmiCollocations: hand-worked PMI values, min-count floor, " +
+      "and collocation-over-chance ordering") {
+    val docs = (Seq.fill(8)("alpha beta") ++ Seq.fill(8)("gamma delta")
+      ++ Seq.fill(4)("alpha delta")).toDF("text")
+    // unigrams: alpha 12, beta 8, gamma 8, delta 12 (N = 40);
+    // bigrams: (alpha,beta) 8, (gamma,delta) 8, (alpha,delta) 4
+    // (Nb = 20)
+    val rows = Corpus.pmiCollocations(docs, "text", minCount = 4,
+      k = 10).collect()
+    def f9(v: Double) = math.floor(v * 1e9) / 1e9
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    assert(byPair(("alpha", "beta")) ===
+      ((8L, 12L, 8L, f9(math.log(8.0 * 40 * 40 / (20.0 * 12 * 8))))))
+    assert(byPair(("alpha", "delta")) ===
+      ((4L, 12L, 12L, f9(math.log(4.0 * 40 * 40 / (20.0 * 12 * 12))))))
+    // the two always-adjacent pairs outrank the split pair; a<g
+    // tie-break puts alpha-beta first
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("alpha", "beta"), ("gamma", "delta"), ("alpha", "delta")))
+  }
+
+  test("pmiCollocations: hapax pairs are excluded by the min-count " +
+      "floor") {
+    val docs = (Seq.fill(6)("x y") ++ Seq("rare pair"))
+      .toDF("text")
+    val pairs = Corpus.pmiCollocations(docs, "text", minCount = 2,
+        k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("x", "y")))
+  }
+
+  test("readabilityStats: hand-worked counts and Flesch score") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "zzz")).toDF("doc_id", "text")
+    val out = Corpus.readabilityStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("words") === 6L)
+    assert(r1.getAs[Long]("sentences") === 2L)
+    assert(r1.getAs[Long]("syllables") === 6L)
+    val expected = math.floor(
+      (206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6)) * 1e9) / 1e9
+    assert(r1.getAs[Double]("flesch") === expected)
+    // no sentence punctuation → floor at 1; no vowels → 0 syllables
+    val r2 = out(1)
+    assert(r2.getAs[Long]("sentences") === 1L)
+    assert(r2.getAs[Long]("syllables") === 0L)
+  }
+
   test("blocklistFilter drops exactly the blocked keys via a " +
       "broadcast left-anti join") {
     val df = (1 to 100).map(i => (i.toLong, s"src${i % 10}"))

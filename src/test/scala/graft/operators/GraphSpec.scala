@@ -143,4 +143,58 @@ class GraphSpec extends SparkTestBase {
       .orderBy($"node").collect().toSeq
     assert(a === b)
   }
+
+  test("assortativity: a star graph is perfectly disassortative " +
+      "(r = -1)") {
+    // K1,3: every edge joins the hub (deg 3) to a leaf (deg 1);
+    // num = 3 - 4 = -1, den = 5 - 4 = 1 → r = -1 exactly
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"))
+    val r = Graph.assortativity(star.toDF("src", "dst")).head()
+    assert(r.getAs[Long]("m") === 3L)
+    assert(r.getAs[Long]("s1") === 12L) // 3 × (3 + 1)
+    assert(r.getAs[Long]("s2") === 30L) // 3 × (9 + 1)
+    assert(r.getAs[Long]("sp") === 9L)  // 3 × (3 · 1)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
+  test("sharedNeighborSimilarity: 4-cycle opposite corners have " +
+      "jaccard 1.0; hot middles above maxDegree are pruned") {
+    // square a-b-c-d: N(a) = {b,d} = N(c), N(b) = {a,c} = N(d)
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val out = Graph.sharedNeighborSimilarity(cyc.toDF("src", "dst"),
+        minShared = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    assert(out === Map(("a", "c") -> ((2L, 1.0)),
+      ("b", "d") -> ((2L, 1.0))))
+    // add a hub touching everything: unpruned, (a,c) share middles
+    // {b, d, hub} = 3; with maxDegree below the hub's degree its
+    // wedges vanish and (a,c) drop back to 2 shared — while the hub
+    // still appears as an ENDPOINT via cycle-node middles
+    val hub = cyc ++ Seq("a", "b", "c", "d").map(("hub", _))
+    val full = Graph.sharedNeighborSimilarity(
+        hub.toDF("src", "dst"), minShared = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(full(("a", "c")) === 3L)
+    val pruned = Graph.sharedNeighborSimilarity(
+        hub.toDF("src", "dst"), minShared = 2, maxDegree = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(pruned(("a", "c")) === 2L)
+    assert(pruned(("a", "hub")) === 2L) // middles b, d — still found
+  }
+
+  test("assortativity is null on a degree-regular graph (zero " +
+      "degree variance), and noise edges collapse first") {
+    // 4-cycle, with reversed duplicates and a self-loop mixed in
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val noisy = cyc ++ cyc.map(_.swap) ++ Seq(("b", "b"))
+    val r = Graph.assortativity(noisy.toDF("src", "dst")).head()
+    assert(r.getAs[Long]("m") === 4L)
+    assert(r.isNullAt(r.fieldIndex("assortativity")))
+  }
 }
