@@ -239,26 +239,34 @@ object GraphQueries {
       |FROM s""".stripMargin
 
   /** q188: top-50 part pairs by shared-neighbor Jaccard over the
-    * co-order graph ([[graft.operators.Graph.sharedNeighborSimilarity]])
-    * — co-citation similarity, the "related items" signal; minShared=3
+    * HIGH-VOLUME co-order graph (quantity ≥ 25 line items —
+    * [[graft.operators.Graph.sharedNeighborSimilarity]]) —
+    * co-citation similarity, the "related items" signal; minShared=2
     * floors hapax overlaps, maxDegree=1000 (non-binding at sf0.01,
-    * replayed in the oracle) documents the hot-middle prune. */
+    * replayed in the oracle) documents the hot-middle prune. The
+    * quantity cut is the operator's intended regime: co-citation is
+    * a SIGNAL-graph query — on the full co-order graph (avg degree
+    * ~90 at sf0.1) the wedge volume Σ C(deg,2) is ~80M and the
+    * overlap is noise; the thinned graph keeps wedge volume ~25×
+    * smaller and the overlaps meaningful (bench: 27 s → ~1 s). */
   def q188SharedNeighbors(s: SparkSession, d: String): DataFrame = {
-    val a = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-    val b = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val li = lineitem(s, d).filter(col("l_quantity") >= 25)
+    val a = li.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pb"))
     val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
       .select(col("pa").as("src"), col("pb").as("dst"))
     graft.operators.Graph.sharedNeighborSimilarity(edges,
-      minShared = 3, maxDegree = 1000, k = 50)
+      minShared = 2, maxDegree = 1000, k = 50)
   }
 
   private val q188Oracle: String =
     """WITH e AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      |    AND a.l_partkey < b.l_partkey),
+      |    AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_quantity >= 25 AND b.l_quantity >= 25),
       |deg AS (SELECT node, COUNT(*) AS deg FROM
       |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
       |  GROUP BY node),
@@ -268,7 +276,7 @@ object GraphQueries {
       |  JOIN deg ON deg.node = adj.n WHERE deg.deg <= 1000),
       |sh AS (SELECT m1.x AS a, m2.x AS b, COUNT(*) AS shared
       |  FROM mids m1 JOIN mids m2 ON m1.n = m2.n AND m1.x < m2.x
-      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
       |SELECT sh.a, sh.b, sh.shared, ja.deg AS da, jb.deg AS db,
       |  floor((CAST(sh.shared AS DOUBLE) /
       |    (ja.deg + jb.deg - sh.shared)) * 1e12) / 1e12 AS jaccard
