@@ -231,4 +231,70 @@ object Graft {
   def repeatedSpans(df: DataFrame, id: String, text: String,
       window: Int = 48): DataFrame =
     operators.Dedup.repeatedCharSpans(df, id, text, window)
+
+  /** Near-dup dedup keeping each cluster's best row by `rank` (max,
+    * ties → min id) — the keep-longest / keep-highest-quality policy
+    * ([[operators.Dedup.nearDupDedupBy]]). */
+  def nearDupDedupBy(df: DataFrame, id: String, text: String,
+      rank: String, threshold: Double = 0.8): DataFrame =
+    operators.Dedup.nearDupDedupBy(df, id, text, rank, threshold)
+
+  /** Per-node triangle counts + local clustering coefficients over an
+    * undirected edge list (degree-ordered enumeration,
+    * [[operators.Graph.triangleStats]]). */
+  def triangles(edges: DataFrame): DataFrame =
+    operators.Graph.triangleStats(edges)
+
+  /** Degree assortativity coefficient (one row,
+    * [[operators.Graph.assortativity]]). */
+  def assortativity(edges: DataFrame): DataFrame =
+    operators.Graph.assortativity(edges)
+
+  /** Top-k node pairs by shared-neighbor Jaccard (co-citation
+    * similarity, [[operators.Graph.sharedNeighborSimilarity]]). */
+  def relatedNodes(edges: DataFrame, minShared: Int = 2,
+      k: Int = 50): DataFrame =
+    operators.Graph.sharedNeighborSimilarity(edges,
+      minShared = minShared, k = k)
+
+  /** Drop rows whose `key` is on the broadcast blocklist
+    * ([[operators.Corpus.blocklistFilter]]). */
+  def blocklistFilter(df: DataFrame, key: String,
+      blocked: DataFrame): DataFrame =
+    operators.Corpus.blocklistFilter(df, key, blocked)
+
+  /** Exact per-group quantiles of an integer-valued column from its
+    * value histogram ([[operators.Corpus.exactQuantiles]]). */
+  def quantiles(df: DataFrame, group: String, value: String,
+      qs: Seq[(String, Double)]): DataFrame =
+    operators.Corpus.exactQuantiles(df, group, value, qs)
+
+  /** Curriculum training order: score-ascending NTILE buckets,
+    * round-robin interleaved ([[operators.Corpus.curriculumInterleave]];
+    * exact global rank without a single-partition window). */
+  def curriculum(df: DataFrame, score: String, id: String,
+      buckets: Int = 5): DataFrame =
+    operators.Corpus.curriculumInterleave(df, score, id, buckets)
+
+  /** Flesch reading-ease stats per document
+    * ([[operators.Corpus.readabilityStats]]). */
+  def readability(df: DataFrame, id: String, text: String): DataFrame =
+    operators.Corpus.readabilityStats(df, id, text)
+
+  /** Top-k PMI bigram collocations
+    * ([[operators.Corpus.pmiCollocations]]). */
+  def collocations(df: DataFrame, text: String, minCount: Int = 5,
+      k: Int = 30): DataFrame =
+    operators.Corpus.pmiCollocations(df, text, minCount, k)
+
+  /** ROUGE-1/2 overlap statistics per (candidate, reference) pair
+    * ([[operators.Eval.rougeStats]]). */
+  def rouge(pairs: DataFrame, cand: String, ref: String): DataFrame =
+    operators.Eval.rougeStats(pairs, cand, ref)
+
+  /** The k-core of an undirected edge list: nodes surviving
+    * iterative degree-≥-k peeling, with within-core degrees
+    * ([[operators.Graph.kCore]]). */
+  def kCore(edges: DataFrame, k: Int): DataFrame =
+    operators.Graph.kCore(edges, k)
 }

@@ -284,6 +284,44 @@ object GraphQueries {
       |  JOIN deg jb ON jb.node = sh.b
       |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin
 
+  /** q190: the 80-core of the co-order part graph
+    * ([[graft.operators.Graph.kCore]]) — 143 peripheral parts peel
+    * over 5 cascade rounds at sf0.01, 1857 survive with their
+    * within-core degrees. The oracle unrolls 8 peeling rounds
+    * (fixpoint + safety margin; extra rounds are no-ops, so the
+    * engine's early exit is value-identical). */
+  def q190KCore(s: SparkSession, d: String): DataFrame = {
+    val a = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    graft.operators.Graph.kCore(edges, k = 80).orderBy(col("node"))
+  }
+
+  private val q190Oracle: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS deg FROM
+         |    (SELECT u AS node FROM e${i - 1}
+         |     UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY node),
+         |e$i AS MATERIALIZED (
+         |  SELECT p.u, p.v FROM e${i - 1} p
+         |  JOIN d$i a ON a.node = p.u AND a.deg >= 80
+         |  JOIN d$i b ON b.node = p.v AND b.deg >= 80)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey),
+       |$rounds
+       |SELECT node, COUNT(*) AS deg FROM
+       |  (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   private val q176Oracle: String =
     """WITH RECURSIVE e0 AS (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -308,6 +346,7 @@ object GraphQueries {
     "q179_triangles" -> (q179Triangles _),
     "q186_assortativity" -> (q186Assortativity _),
     "q188_shared_neighbors" -> (q188SharedNeighbors _),
+    "q190_kcore" -> (q190KCore _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -318,5 +357,6 @@ object GraphQueries {
     "q179_triangles" -> q179Oracle,
     "q186_assortativity" -> q186Oracle,
     "q188_shared_neighbors" -> q188Oracle,
+    "q190_kcore" -> q190Oracle,
   )
 }

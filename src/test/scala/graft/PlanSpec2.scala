@@ -113,7 +113,7 @@ class PlanSpec2 extends SparkTestBase {
         "q183_length_quantiles", "q184_curriculum",
         "q185_pmi_collocations", "q186_assortativity",
         "q187_langid_confusion", "q188_shared_neighbors",
-        "q189_readability")) {
+        "q189_readability", "q190_kcore")) {
       val p = SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), q)

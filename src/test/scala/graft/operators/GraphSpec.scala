@@ -188,6 +188,24 @@ class GraphSpec extends SparkTestBase {
     assert(pruned(("a", "hub")) === 2L) // middles b, d — still found
   }
 
+  test("kCore: pendant chain peels over cascading rounds, the " +
+      "triangle core survives with within-core degrees") {
+    // triangle x-y-z plus a tail z-p1-p2-p3: the 2-core is exactly
+    // the triangle, and the tail needs THREE peel rounds (p3 first,
+    // then p2, then p1) — the cascade the fixpoint loop must follow
+    val g = Seq(("x", "y"), ("y", "z"), ("z", "x"),
+      ("z", "p1"), ("p1", "p2"), ("p2", "p3"))
+    val core = Graph.kCore(g.toDF("src", "dst"), k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core === Map("x" -> 2L, "y" -> 2L, "z" -> 2L))
+    // a pure path has no 2-core at all
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    assert(Graph.kCore(path.toDF("src", "dst"), k = 2).isEmpty)
+    // k=1 keeps everything with at least one edge
+    val all = Graph.kCore(g.toDF("src", "dst"), k = 1)
+    assert(all.count() === 6L)
+  }
+
   test("assortativity is null on a degree-regular graph (zero " +
       "degree variance), and noise edges collapse first") {
     // 4-cycle, with reversed duplicates and a self-loop mixed in
