@@ -539,4 +539,79 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(mgUpdate(capacity))
   }
+
+  case class ValueEvent(group: String, v: Long)
+
+  /** Per-group value histogram + emission version — state is bounded
+    * by VALUE CARDINALITY (distinct lengths/token counts), never by
+    * stream volume: the streaming premise of the batch histogram
+    * operator [[graft.operators.Corpus.exactQuantiles]]. */
+  case class HistState(counts: Map[Long, Long], ver: Long)
+
+  case class QuantileRow(group: String, ver: Long, n: Long,
+      p25: Double, p50: Double, p75: Double, p875: Double)
+
+  private[streaming] def histUpdate(group: String,
+      events: Iterator[ValueEvent],
+      state: GroupState[HistState]): Iterator[QuantileRow] = {
+    val prev = state.getOption.getOrElse(HistState(Map.empty, 0L))
+    val m = scala.collection.mutable.Map[Long, Long]() ++ prev.counts
+    events.foreach(e => m(e.v) = m.getOrElse(e.v, 0L) + 1L)
+    val next = HistState(m.toMap, prev.ver + 1)
+    state.update(next)
+    val sorted = m.toSeq.sortBy(_._1)
+    val n = sorted.iterator.map(_._2).sum
+    // value at 0-based sorted index i, walked over the histogram
+    def at(i: Long): Long = {
+      var c = 0L
+      var res = sorted.last._1
+      val it = sorted.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (v, cnt) = it.next()
+        c += cnt
+        if (i < c) { res = v; found = true }
+      }
+      res
+    }
+    // type-7 interpolation, the EXACT expression shape of the batch
+    // operator (exact-binary fracs ⇒ bit-identical)
+    def q(f: Double): Double = {
+      val h = (n - 1) * f
+      val i0 = math.floor(h).toLong
+      val lo = at(i0)
+      val hi = at(math.min(math.ceil(h).toLong, n - 1))
+      lo + (hi - lo) * (h - i0)
+    }
+    Iterator.single(QuantileRow(group, next.ver, n,
+      q(0.25), q(0.5), q(0.75), q(0.875)))
+  }
+
+  /** CONTINUOUS exact quantiles — the streaming form of
+    * [[graft.operators.Corpus.exactQuantiles]]: values group by key
+    * (a group's complete stream lands in one state partition) and
+    * each group folds arrivals into a value→count histogram held in
+    * `flatMapGroupsWithState` — state bounded by value cardinality
+    * forever, the same histogram premise as the batch operator.
+    * Every trigger emits the group's current (n, p25, p50, p75,
+    * p875) with a version; the latest version per group is the live
+    * exact quantile set, bit-identical to the batch operator run on
+    * the same prefix (same type-7 arithmetic, same exact-binary
+    * fractions).
+    *
+    * Expects (`groupCol` string, `valueCol` long) columns. Update
+    * output mode. */
+  def streamingQuantiles(values: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String): org.apache.spark.sql.Dataset[QuantileRow] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    values
+      .select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("long").as("v"))
+      .as[ValueEvent]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(histUpdate)
+  }
 }
