@@ -316,14 +316,22 @@ object Graph {
     */
   def triangleStats(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // canon feeds deg + orientation, deg feeds orientation + output,
+    // oriented feeds BOTH wedge sides and the closing join — without
+    // materialization Spark re-derives each subtree per reference
+    // (the canon scan ran 3× in the unpinned plan); localCheckpoint
+    // computes each once (the iterative-loop discipline applied to a
+    // DAG with fan-out)
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val oriented = canon
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -336,6 +344,7 @@ object Graph {
             col("du").as("db")))
           .as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db"))
+      .localCheckpoint()
     // wedges at the lowest-ordered corner: out-neighbor pairs (b, c)
     // with b before c in the SAME (deg, id) total order — the closing
     // edge of a real triangle is then necessarily oriented b→c
@@ -380,11 +389,14 @@ object Graph {
     * aggregate, nothing else. */
   def assortativity(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // canon feeds the degree table AND the edge-degree join — one
+    // materialization instead of two derivations
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -425,19 +437,23 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst",
       minShared: Int = 2, maxDegree: Int = 1000,
       k: Int = 50): DataFrame = {
+    // canon/deg/mids all fan out to 2+ consumers — materialize once
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val adj = canon.select(col("u").as("n"), col("v").as("x"))
       .union(canon.select(col("v").as("n"), col("u").as("x")))
     val mids = adj
       .join(deg.filter(col("deg") <= maxDegree)
         .select(col("node").as("n")), "n")
+      .localCheckpoint()
     val shared = mids.select(col("n"), col("x").as("a"))
       .join(mids.select(col("n"), col("x").as("b")), "n")
       .filter(col("a") < col("b"))
