@@ -21,6 +21,7 @@ object SparkEntry {
     (GraphQueries.queries, GraphQueries.oracle),
     (RankingQueries.queries, RankingQueries.oracle),
     (CorpusQueries.queries, CorpusQueries.oracle),
+    (SketchQueries.queries, SketchQueries.oracle),
     (graft.analytics.SqlSuite.queries, graft.analytics.SqlSuite.oracle),
   )
 

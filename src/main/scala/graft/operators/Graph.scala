@@ -470,6 +470,101 @@ object Graph {
       .limit(k)
   }
 
+  /** Multi-source BFS hop distance from a seed set — the
+    * "distance from trusted sources" prior a corpus pipeline computes
+    * over a link graph (TrustRank's discrete cousin: pages ≤ h hops
+    * from a vetted seed whitelist inherit trust; everything beyond
+    * `maxHops` stays unscored). Undirected by default (reachability
+    * semantics); pass `directed = true` to follow edge direction.
+    *
+    * Classic frontier BFS as iterative DataFrame rounds: the frontier
+    * expands one hop per round, an anti-join against the visited set
+    * keeps only first reaches (first reach = min distance, so no
+    * min-aggregation is needed), and the loop exits as soon as a
+    * frontier comes back empty. Per round: one edge join keyed by the
+    * pre-partitioned edge table + one anti-join against the visited
+    * union; each frontier is checkpointed, so the visited set is a
+    * union of flat checkpointed frames, never a deep lineage.
+    *
+    * Output: (node, dist) for every node within `maxHops` of a seed
+    * (seeds themselves at dist 0, present even if absent from the
+    * graph), ordered by node. */
+  def hopDistance(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int, directed: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0 ($maxHops)")
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (directed) e0
+      else e0.union(e0.select(col("dst"), col("src"))))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var frontier = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var visited = frontier
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = e
+        .join(frontier.select(col("node")), col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint()
+      visited = visited.union(next)
+      frontier = next
+    }
+    visited.orderBy(col("node"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for a FIXED
+    * round count — the near-linear community detector for corpus link
+    * graphs (communities = topical clusters / mirror farms; the
+    * coarse partition a pipeline uses to diversity-sample or to cap
+    * per-community quotas). Every node starts labeled with its own
+    * id; each round relabels EVERY node with the most frequent label
+    * among its neighbors, ties broken by MIN label — with synchronous
+    * updates and that total tie order the result is deterministic
+    * under any partitioning (the oracle replays the same rounds).
+    * Fixed `iters` rather than convergence because synchronous LPA
+    * can 2-cycle on bipartite structures; callers wanting the
+    * fixpoint variant compose with a change-count loop the way
+    * [[connectedComponents]] does.
+    *
+    * Per round: one join of labels onto the pre-partitioned symmetric
+    * edge table, one (node, label) count aggregate, one per-node
+    * arg-max window over the label counts (rows = distinct neighbor
+    * labels per node — bounded by degree, skew-safe), checkpoint.
+    *
+    * Output: (node, community), community = the surviving label. */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"labelPropagation needs iters >= 1 ($iters)")
+    val e0 = edges.select(col("src"), col("dst"))
+    val sym = e0.union(e0.select(col("dst"), col("src")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("cnt").desc, col("lab"))
+    for (_ <- 1 to iters) {
+      lab = sym
+        .join(lab.withColumnRenamed("node", "ln"),
+          col("src") === col("ln"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("lab").as("community"))
+      .orderBy(col("node"))
+  }
+
   /** k-core decomposition (Seidman 1983) for a FIXED k: the maximal
     * subgraph in which every node keeps degree ≥ k, found by
     * iterative peeling — drop all nodes below k, recompute degrees,

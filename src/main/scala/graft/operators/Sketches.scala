@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches — the sublinear-state
+  * summaries a 100 TB profiling pass runs instead of exact
+  * `COUNT(DISTINCT)` / full term counts (the reference's corpus-stats
+  * jobs are exact because its corpora cap at ~50K chunks; at cluster
+  * scale the exact forms are an expanded multi-distinct aggregate
+  * whose shuffle carries every distinct value — these sketches carry
+  * k values / 1024 registers / d·w counters per group, full stop).
+  *
+  * All three are the published classics: KMV / K-minimum-values
+  * (Bar-Yossef et al. 2002; the Θ-sketch special case with θ = k-th
+  * min), HyperLogLog (Flajolet et al. 2007), count-min (Cormode &
+  * Muthukrishnan 2005). Each is implemented DETERMINISTICALLY so the
+  * DuckDB oracle replays it bit-exactly — the hash is an md5-prefix
+  * (`conv(substr(md5(v),1,15),16,10)` ≡ `('0x'||substr(md5(v),1,15))
+  * ::UBIGINT`, the engine-portable device every hash-routing operator
+  * in this repo uses; built-ins like `approx_count_distinct` or
+  * DuckDB's `hash()` are engine-specific and would never gate):
+  *
+  *  - register/heap contents are integers (exact under any merge
+  *    order);
+  *  - the HLL harmonic sum is an INTEGER sum of 2^(51−rank) terms
+  *    (Σ 2^-M_j would round order-dependently in doubles — scaled by
+  *    2^51 every term and the total are exact longs, ≤ 2^61);
+  *  - the only floats are final single-row divisions, truncated to 9
+  *    decimals, and `ln` goes through the repo's ln-trunc9 discipline.
+  *
+  * Estimator error is pinned by SketchesSpec (KMV ~1/√k, HLL
+  * ~1.04/√m, CMS overestimate-only with εN bound) and each gate query
+  * carries the EXACT count next to the estimate so the oracle
+  * value-checks both the sketch replay and its accuracy.
+  */
+object Sketches {
+
+  /** 60-bit uniform hash: first 15 hex chars of md5. Non-negative,
+    * engine-portable (DuckDB: `('0x'||substr(md5(v),1,15))::UBIGINT`). */
+  def h60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private def t9(x: Column): Column =
+    floor(x * lit(1e9)).cast("double") / lit(1e9)
+
+  private def ln9(x: Column): Column =
+    floor(log(x) * lit(1e9)).cast("double") / lit(1e9)
+
+  /** Bounded SORTED vector of the k smallest DISTINCT hashes — the
+    * KMV sketch state. Once the buffer is full, every hash ≥ the
+    * current k-th minimum exits on an O(1) compare (the overwhelming
+    * path on a big stream); candidates below it pay an O(k)
+    * dedup+insert, k small by design. Merge folds one buffer into the
+    * other, so partial aggregation is map-side and the shuffle
+    * carries ≤ k longs per partition per group. The buffer is a plain
+    * `Seq[Long]` under an ExpressionEncoder — Tungsten-serialized
+    * like any array column, no Kryo (kryo buffers need JVM module
+    * opens the serializer can't guarantee in every launcher). */
+  class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    def zero: Seq[Long] = Vector.empty
+    def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+      if (buf.length >= k && h >= buf.last) buf
+      else if (buf.contains(h)) buf
+      else {
+        val idx = buf.indexWhere(_ > h)
+        val pos = if (idx < 0) buf.length else idx
+        val ins = buf.patch(pos, Seq(h), 0)
+        if (ins.length > k) ins.dropRight(1) else ins
+      }
+    }
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      b.foldLeft(a)(reduce)
+    def finish(buf: Seq[Long]): Seq[Long] = buf
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** KMV distinct-count estimate per group: keep the k smallest
+    * distinct 60-bit hashes; with h_(k) the k-th smallest,
+    * est = (k−1) · 2^60 / h_(k) (the classic unbiased form — the k-th
+    * order statistic of n uniform draws sits at ≈ k/(n+1) of the
+    * range). Fewer than k distinct hashes ⇒ the sketch IS the exact
+    * distinct set and the estimate is its size.
+    *
+    * Output: (groupCol, kmv_n, kmv_est) — kmv_n = sketch fill
+    * (min(k, distinct)), kmv_est truncated to 9 decimals. Callers
+    * wanting accuracy eval join the exact distinct count alongside
+    * (the q191 gate does).
+    *
+    * Scale: ONE hash-aggregate whose state is ≤ k longs per group —
+    * vs exact count-distinct's shuffle of every distinct value. The
+    * sketch column is also mergeable across corpus shards (union =
+    * merge), which is what makes it a profiling artifact worth
+    * persisting. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2 ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new KmvAgg(k).toColumn
+    val hashed = df
+      .select(col(groupCol).cast("string").as("grp"),
+        h60(col(valueCol)).as("h"))
+      .as[(String, Long)]
+    hashed.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("kmin"))
+      .toDF("grp", "kmin")
+      .select(col("grp").as(groupCol),
+        size(col("kmin")).cast("long").as("kmv_n"),
+        element_at(col("kmin"), size(col("kmin"))).as("hk"))
+      .select(col(groupCol), col("kmv_n"),
+        when(col("kmv_n") < k, col("kmv_n").cast("double"))
+          .otherwise(t9(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("hk").cast("double")))
+          .as("kmv_est"))
+      .orderBy(col(groupCol))
+  }
+
+  /** HyperLogLog distinct-count estimate per group, m = 1024
+    * registers (p = 10): register = h mod 1024, and the register
+    * value is the leading-zero rank of the remaining 50-bit word
+    * (rank = 51 − len(bin(w)), 51 for w = 0 — `bin` drops leading
+    * zeros in both engines, so len(bin(w)) = ⌊log2 w⌋+1 exactly).
+    *
+    * Estimate: E = α_m · m² · 2^51 / Z_int with
+    * Z_int = Σ_j 2^(51−M_j) over all 1024 registers (empty ⇒ 2^51) —
+    * the harmonic-mean sum kept INTEGER (≤ 2^61) so aggregation
+    * order can't round it. Small-range correction (Flajolet §4): when
+    * E ≤ 2.5m and V = empty registers > 0, linear counting
+    * m·ln(m/V) (ln trunc9) replaces E.
+    *
+    * Output: (groupCol, hll_filled, hll_est) — filled register count
+    * and the 9-decimal-truncated estimate.
+    *
+    * Scale: state is ≤ 1024 (register, max-rank) pairs per group with
+    * map-side partials; the register table is mergeable across shards
+    * by register-wise MAX. */
+  def hllDistinct(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val m = 1024
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
+    val h = h60(col(valueCol))
+    val w = expr("_hll_h div 1024")
+    val regs = df
+      .select(col(groupCol).cast("string").as("grp"), h.as("_hll_h"))
+      .select(col("grp"), (col("_hll_h") % m).as("b"),
+        when(w === 0, lit(51))
+          .otherwise(lit(51) - length(bin(w))).as("rank"))
+      .groupBy(col("grp"), col("b")).agg(max(col("rank")).as("r"))
+    val stats = regs.groupBy(col("grp")).agg(
+      count(lit(1)).as("filled"),
+      sum(expr("shiftleft(1L, CAST(51 - r AS INT))")).as("zf"))
+    val zInt = col("zf") + (lit(m.toLong) - col("filled")) *
+      lit(1L << 51)
+    val rawE = alpha * lit(m.toDouble) * lit(m.toDouble) *
+      lit(math.pow(2, 51)) / zInt.cast("double")
+    val v = lit(m.toLong) - col("filled")
+    stats.select(col("grp").as(groupCol), col("filled").as("hll_filled"),
+        t9(when(rawE <= lit(2.5 * m) && v > 0,
+          lit(m.toDouble) * ln9(lit(m.toDouble) / v.cast("double")))
+          .otherwise(rawE)).as("hll_est"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Count-min frequency sketch: d hash rows × w buckets of exact
+    * counts; bucket_i(t) = md5-hash of "i:t" mod w, estimate =
+    * min_i counter[i][bucket_i(t)]. Overestimates only (collisions
+    * add), within εN (ε = e/w) with probability 1−e^-d — the
+    * streaming-standard point-frequency summary next to the repo's
+    * Misra-Gries heavy hitters (MG keeps the top survivors; CMS
+    * answers ANY point query from d·w integers).
+    *
+    * Returns (`termCol`, cms_est) for every probe term — join exact
+    * counts alongside to eval (the q193 gate does). Build is one
+    * d·|terms| explode + hash-aggregate into ≤ d·w counter rows;
+    * probes then broadcast-join the counter table d times each and
+    * take the min. */
+  def cmsEstimates(terms: DataFrame, termCol: String,
+      probes: DataFrame, probeCol: String, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2, s"cms needs d >= 1, w >= 2 ($d, $w)")
+    def bucket(t: Column, i: Column): Column =
+      conv(substring(md5(concat(i.cast("string"), lit(":"),
+        t.cast("string"))), 1, 8), 16, 10).cast("long") % w
+    val rows = explode(sequence(lit(0), lit(d - 1))).as("i")
+    val counters = terms
+      .select(col(termCol).cast("string").as("t"))
+      .select(col("t"), rows)
+      .select(col("i"), bucket(col("t"), col("i")).as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("cnt"))
+    val probed = probes
+      .select(col(probeCol).cast("string").as("p")).distinct()
+      .select(col("p"), rows)
+      .select(col("p"), col("i"), bucket(col("p"), col("i")).as("b"))
+    probed
+      .join(counters, Seq("i", "b"), "left")
+      .groupBy(col("p"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .select(col("p").as(termCol), col("cms_est"))
+      .orderBy(col(termCol))
+  }
+}

@@ -322,6 +322,79 @@ object GraphQueries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** q194: BFS hop distance (≤ 6, undirected) from the nation-3
+    * supplier seed set over the SPARSE endorsement graph (q176's
+    * quantity ≥ 49 cut, so distances actually spread) — the
+    * distance-from-trusted-seeds prior
+    * ([[graft.operators.Graph.hopDistance]]). The oracle is the
+    * recursive-CTE frontier closure with MIN(dist) per node. */
+  def q194HopDistance(s: SparkSession, d: String): DataFrame = {
+    val e = orders(s, d)
+      .join(lineitem(s, d).filter(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val seeds = supplier(s, d).filter(col("s_nationkey") === 3)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    graft.operators.Graph.hopDistance(e, seeds, maxHops = 6)
+  }
+
+  private val q194Oracle: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE l_quantity >= 49),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION SELECT dst, src FROM e0),
+      |seeds AS (SELECT DISTINCT 's' || s_suppkey AS node
+      |          FROM supplier WHERE s_nationkey = 3),
+      |r AS (
+      |  SELECT node, 0 AS dist FROM seeds
+      |  UNION
+      |  SELECT e.dst AS node, r.dist + 1
+      |  FROM r JOIN e ON e.src = r.node WHERE r.dist < 6)
+      |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM r GROUP BY node ORDER BY node""".stripMargin
+
+  /** q195: 4-round synchronous label propagation over the sparse
+    * co-order part graph (quantity ≥ 45 line items) —
+    * [[graft.operators.Graph.labelPropagation]] community labels with
+    * the deterministic (count DESC, label ASC) tie order; the oracle
+    * unrolls the same four mode-relabel rounds. */
+  def q195LabelPropagation(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).filter(col("l_quantity") >= 45)
+    val a = li.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    graft.operators.Graph.labelPropagation(edges, iters = 4)
+  }
+
+  private val q195Oracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT e.dst AS node, p.lab, COUNT(*) AS cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, p.lab) AS rn
+         |    FROM e JOIN l${i - 1} p ON e.src = p.node
+         |    GROUP BY e.dst, p.lab)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45),
+       |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+       |     UNION SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+       |$rounds
+       |SELECT node, lab AS community FROM l4 ORDER BY node""".stripMargin
+  }
+
   private val q176Oracle: String =
     """WITH RECURSIVE e0 AS (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -347,6 +420,8 @@ object GraphQueries {
     "q186_assortativity" -> (q186Assortativity _),
     "q188_shared_neighbors" -> (q188SharedNeighbors _),
     "q190_kcore" -> (q190KCore _),
+    "q194_hop_distance" -> (q194HopDistance _),
+    "q195_label_propagation" -> (q195LabelPropagation _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -358,5 +433,7 @@ object GraphQueries {
     "q186_assortativity" -> q186Oracle,
     "q188_shared_neighbors" -> q188Oracle,
     "q190_kcore" -> q190Oracle,
+    "q194_hop_distance" -> q194Oracle,
+    "q195_label_propagation" -> q195Oracle,
   )
 }

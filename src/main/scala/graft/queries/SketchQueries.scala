@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+import graft.operators.Sketches
+
+/** Sketch suite — KMV / HyperLogLog cardinality estimation and
+  * count-min point frequencies ([[graft.operators.Sketches]]), each
+  * gated with the EXACT statistic alongside so the oracle
+  * value-checks both the deterministic sketch replay and its
+  * accuracy at this corpus size. Hashes are the md5-prefix device
+  * (`conv(substr(md5(v),1,15),16,10)` ≡
+  * `('0x'||substr(md5(v),1,15))::UBIGINT`), so DuckDB replays every
+  * register / heap / counter bit-exactly.
+  */
+object SketchQueries {
+
+  /** Whitespace tokens of `documents.text` (single-space split,
+    * empties dropped) — the shared term stream for q192/q193. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("lang"),
+      explode(filter(split(col("text"), " "),
+        x => length(x) > 0)).as("tok"))
+
+  private val docTokensSql: String =
+    """toks AS (
+      |  SELECT lang,
+      |    unnest(list_filter(string_split(text, ' '),
+      |      x -> len(x) > 0)) AS tok
+      |  FROM documents)""".stripMargin
+
+  /** q191: KMV (k=128) distinct-customer estimate per order priority
+    * vs the exact count — the groupwise COUNT(DISTINCT) a 100 TB
+    * profiling pass replaces with a k-long mergeable sketch. */
+  def q191KmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val est = Sketches.kmvDistinct(o, "o_orderpriority", "o_custkey",
+      k = 128)
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    est.join(exact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("exact_distinct"),
+        col("kmv_n"), col("kmv_est"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q191Oracle: String =
+    """WITH h AS (
+      |  SELECT DISTINCT o_orderpriority,
+      |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+      |      ::UBIGINT::BIGINT AS h
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority, h,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h)
+      |      AS rn
+      |  FROM h),
+      |sk AS (
+      |  SELECT o_orderpriority,
+      |    COUNT(CASE WHEN rn <= 128 THEN 1 END) AS kmv_n,
+      |    MAX(CASE WHEN rn <= 128 THEN h END) AS hk
+      |  FROM r GROUP BY 1),
+      |e AS (
+      |  SELECT o_orderpriority,
+      |    COUNT(DISTINCT o_custkey) AS exact_distinct
+      |  FROM orders GROUP BY 1)
+      |SELECT e.o_orderpriority, e.exact_distinct, sk.kmv_n,
+      |  CASE WHEN sk.kmv_n < 128 THEN CAST(sk.kmv_n AS DOUBLE)
+      |  ELSE floor(127e0 * 1152921504606846976e0 / CAST(sk.hk AS DOUBLE)
+      |    * 1e9) / 1e9 END AS kmv_est
+      |FROM e JOIN sk USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q192: HyperLogLog (m=1024) vocabulary-size estimate per document
+    * language vs the exact distinct token count — the per-slice vocab
+    * profile that runs in 1024 integers per group instead of a
+    * distinct-token shuffle. */
+  def q192HllVocab(s: SparkSession, d: String): DataFrame = {
+    val toks = docTokens(s, d)
+    val est = Sketches.hllDistinct(toks, "lang", "tok")
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact_vocab"))
+    est.join(exact, "lang")
+      .select(col("lang"), col("exact_vocab"), col("hll_filled"),
+        col("hll_est"))
+      .orderBy(col("lang"))
+  }
+
+  private val q192Oracle: String =
+    s"""WITH $docTokensSql,
+       |h AS (
+       |  SELECT lang,
+       |    ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+       |  FROM toks),
+       |regs AS (
+       |  SELECT lang, h % 1024 AS b,
+       |    MAX(CASE WHEN h // 1024 = 0 THEN 51
+       |        ELSE 51 - length(bin(h // 1024)) END) AS r
+       |  FROM h GROUP BY 1, 2),
+       |st AS (
+       |  SELECT lang, COUNT(*) AS filled,
+       |    SUM(1::BIGINT << CAST(51 - r AS INT))::BIGINT AS zf
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT lang, filled,
+       |    (0.7213e0 / (1e0 + 1.079e0 / 1024e0)) * 1024e0 * 1024e0
+       |      * 2251799813685248e0
+       |      / CAST(zf + (1024 - filled) * (1::BIGINT << 51) AS DOUBLE)
+       |      AS rawE
+       |  FROM st),
+       |e AS (
+       |  SELECT lang, COUNT(DISTINCT tok) AS exact_vocab FROM toks
+       |  GROUP BY 1)
+       |SELECT e.lang, e.exact_vocab, est.filled AS hll_filled,
+       |  floor(CASE WHEN est.rawE <= 2560e0 AND est.filled < 1024
+       |    THEN 1024e0 * (floor(ln(1024e0 /
+       |      CAST(1024 - est.filled AS DOUBLE)) * 1e9) / 1e9)
+       |    ELSE est.rawE END * 1e9) / 1e9 AS hll_est
+       |FROM e JOIN est USING (lang)
+       |ORDER BY lang""".stripMargin
+
+  /** q193: count-min (d=4, w=256) point-frequency estimates for every
+    * token with exact count ≥ 100, next to the exact counts — the
+    * overestimate-only guarantee (est ≥ exact, within εN) is visible
+    * in the gated values. */
+  def q193CmsTermFreq(s: SparkSession, d: String): DataFrame = {
+    val toks = docTokens(s, d).select(col("tok"))
+    val exact = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact.filter(col("exact_cnt") >= 100)
+    val est = Sketches.cmsEstimates(toks, "tok", probes, "tok",
+      d = 4, w = 256)
+    probes.join(est, "tok")
+      .select(col("tok"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("tok"))
+  }
+
+  private val q193Oracle: String =
+    s"""WITH $docTokensSql,
+       |cnt AS (
+       |  SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
+       |counters AS (
+       |  SELECT i,
+       |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))
+       |      ::UBIGINT::BIGINT % 256 AS b,
+       |    COUNT(*) AS c
+       |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+       |  GROUP BY 1, 2),
+       |probes AS (SELECT tok, exact_cnt FROM cnt WHERE exact_cnt >= 100),
+       |pb AS (
+       |  SELECT p.tok, i.i,
+       |    ('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || p.tok),
+       |      1, 8))::UBIGINT::BIGINT % 256 AS b
+       |  FROM probes p
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i),
+       |est AS (
+       |  SELECT pb.tok, MIN(COALESCE(counters.c, 0)) AS cms_est
+       |  FROM pb LEFT JOIN counters
+       |    ON counters.i = pb.i AND counters.b = pb.b
+       |  GROUP BY 1)
+       |SELECT p.tok, p.exact_cnt, est.cms_est
+       |FROM probes p JOIN est USING (tok)
+       |ORDER BY tok""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_kmv_distinct" -> (q191KmvDistinct _),
+    "q192_hll_vocab" -> (q192HllVocab _),
+    "q193_cms_term_freq" -> (q193CmsTermFreq _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q191_kmv_distinct" -> q191Oracle,
+    "q192_hll_vocab" -> q192Oracle,
+    "q193_cms_term_freq" -> q193Oracle,
+  )
+}

@@ -614,4 +614,65 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(histUpdate)
   }
+
+  case class HashEvent(group: String, h: Long)
+
+  /** KMV sketch state: the k smallest distinct hashes seen so far
+    * (sorted ascending, size ≤ k — bounded FOREVER regardless of
+    * stream volume) + emission version. */
+  case class KmvState(kmin: Seq[Long], ver: Long)
+
+  case class KmvRow(group: String, ver: Long, kmvN: Long, est: Double)
+
+  private def kmvUpdate(k: Int)(group: String,
+      events: Iterator[HashEvent],
+      state: GroupState[KmvState]): Iterator[KmvRow] = {
+    val prev = state.getOption.getOrElse(KmvState(Nil, 0L))
+    var set = scala.collection.immutable.TreeSet.empty[Long] ++
+      prev.kmin
+    events.foreach { e =>
+      if (set.size < k) set += e.h
+      else if (e.h < set.max && !set.contains(e.h))
+        set = (set + e.h) - set.max
+    }
+    val next = KmvState(set.toSeq, prev.ver + 1)
+    state.update(next)
+    // identical scalar expression shape to the batch estimator
+    // (Sketches.kmvDistinct): IEEE ops in the same order + trunc9
+    val n = set.size
+    val est =
+      if (n < k) n.toDouble
+      else {
+        val raw = (k - 1).toDouble * math.pow(2, 60) /
+          set.max.toDouble
+        math.floor(raw * 1e9) / 1e9
+      }
+    Iterator.single(KmvRow(group, next.ver, n.toLong, est))
+  }
+
+  /** CONTINUOUS distinct-count estimation — the streaming form of
+    * [[graft.operators.Sketches.kmvDistinct]]: per-group KMV sketch
+    * (k smallest distinct md5-prefix hashes) folded in
+    * `flatMapGroupsWithState`, state ≤ k longs per group forever.
+    * Every trigger emits the group's current (fill, estimate) with a
+    * version; the latest version per group is bit-identical to the
+    * batch operator run on the same prefix (same hash, same
+    * IEEE-ordered estimator, same trunc9). Update output mode.
+    *
+    * Expects (`groupCol` string-castable, `valueCol`) columns. */
+  def streamingKmvDistinct(values: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String,
+      k: Int = 128): Dataset[KmvRow] = {
+    require(k >= 2, s"kmv needs k >= 2 ($k)")
+    val spark = values.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    values
+      .select(col(groupCol).cast("string").as("group"),
+        graft.operators.Sketches.h60(col(valueCol)).as("h"))
+      .as[HashEvent]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(kmvUpdate(k))
+  }
 }

@@ -10,10 +10,17 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Queries whose CORRECT sf0.001 answer is the empty relation (the
+    * driver's value gate runs at sf0.01, where each is non-empty):
+    * q190's 80-core — the sf0.001 co-order graph peels entirely
+    * (documented semantics: "empty when the whole graph peels"). */
+  private val emptyOkAtSf0001 = Set("q190_kcore")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001 and returns rows") {
       val df = fn(spark, sf)
-      assert(df.count() > 0, s"$name returned no rows")
+      if (emptyOkAtSf0001(name)) df.count() // must still execute
+      else assert(df.count() > 0, s"$name returned no rows")
     }
   }
 

@@ -206,6 +206,50 @@ class GraphSpec extends SparkTestBase {
     assert(all.count() === 6L)
   }
 
+  test("hopDistance: chain distances, hop cap, directed mode, " +
+      "unreachable nodes absent") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("x", "y")) // x-y disconnected from the seed
+    val seeds = Seq("a").toDF("node")
+    val full = Graph.hopDistance(chain.toDF("src", "dst"), seeds,
+        maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L,
+      "e" -> 4L))
+    val capped = Graph.hopDistance(chain.toDF("src", "dst"), seeds,
+        maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // directed: edges only flow forward, so seeding at c reaches d, e
+    // but never b; undirected from c reaches everything
+    val dir = Graph.hopDistance(chain.toDF("src", "dst"),
+        Seq("c").toDF("node"), maxHops = 10, directed = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dir === Map("c" -> 0L, "d" -> 1L, "e" -> 2L))
+    // a seed absent from the graph still reports itself at dist 0
+    val lone = Graph.hopDistance(chain.toDF("src", "dst"),
+      Seq("q").toDF("node"), maxHops = 3).collect()
+    assert(lone.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("q", 0L)))
+  }
+
+  test("labelPropagation: bridged triangles settle into two " +
+      "communities (scalar replay), partitioning-invariant") {
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d"))
+    // hand replay of 4 synchronous mode-relabel rounds with the
+    // (count DESC, label ASC) tie order (see python derivation in
+    // history): {a,b,c} -> a, {d,e,f} -> c
+    val out = Graph.labelPropagation(g.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "c", "f" -> "c"))
+    val rep = Graph.labelPropagation(
+        g.toDF("src", "dst").repartition(7), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep === out)
+  }
+
   test("assortativity is null on a degree-regular graph (zero " +
       "degree variance), and noise edges collapse first") {
     // 4-cycle, with reversed duplicates and a self-loop mixed in
