@@ -324,6 +324,38 @@ object ScaleBench {
             concat(lit("d"), pmod(col("doc_id") * 13 + 5, cap)).as("dst"))
           fullEval(graft.operators.Graph.hits(e1.unionByName(e2)))
         }),
+        // KMV + HLL sketches over the scaled token stream: state is
+        // k longs / 1024 registers per group regardless of K, so the
+        // row must track the token-stream scan linearly — superlinear
+        // growth would mean the sketch state started spilling into
+        // the shuffle.
+        "sketch_vocab" -> (() => {
+          val toks = docs.select(
+            (col("doc_id") % 5).cast("string").as("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          graft.operators.Sketches.kmvDistinct(toks, "lang", "tok")
+            .count() +
+            graft.operators.Sketches.hllDistinct(toks, "lang", "tok")
+              .count()
+        }),
+        // BFS frontier expansion over the 2-out-regular graph from a
+        // fixed 1000-seed set, 4 hops: per-round cost is the frontier
+        // join against the pre-partitioned edge table — the row must
+        // track K (edge volume) roughly linearly while round count
+        // stays fixed.
+        "hop_distance_4" -> (() => {
+          val cap = lit(1000000L * k)
+          val e1 = docs.select(
+            concat(lit("d"), col("doc_id")).as("src"),
+            concat(lit("d"), pmod(col("doc_id") * 7 + 1, cap)).as("dst"))
+          val e2 = docs.select(
+            concat(lit("d"), col("doc_id")).as("src"),
+            concat(lit("d"), pmod(col("doc_id") * 13 + 5, cap)).as("dst"))
+          val seeds = docs.filter(col("doc_id") < 1000)
+            .select(concat(lit("d"), col("doc_id")).as("node"))
+          fullEval(graft.operators.Graph.hopDistance(
+            e1.unionByName(e2), seeds, maxHops = 4))
+        }),
         // connected components on the ADVERSARIAL long-chain graph:
         // each replica block is one path of ~n nodes, so diameter =
         // component size — the case plain min-label propagation needs

@@ -79,6 +79,79 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Raw KMV sketch per group: (groupCol, kmin array<long>) — the k
+    * smallest distinct hashes, sorted ascending. The mergeable
+    * artifact behind [[kmvDistinct]] and [[kmvSetOps]]; persist it
+    * per shard/snapshot and merge later (array_union + sort + trim)
+    * instead of re-scanning the corpus. */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2 ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new KmvAgg(k).toColumn
+    df.select(col(groupCol).cast("string").as("grp"),
+        h60(col(valueCol)).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("kmin"))
+      .toDF(groupCol, "kmin")
+  }
+
+  /** KMV set algebra over every PAIR of group sketches (Beyer et al.
+    * 2007): from the k-smallest-hash sketches of A and B alone —
+    * without touching the raw data again —
+    *
+    *  - |A∪B|: the union sketch is the k smallest of kmin_A ∪ kmin_B
+    *    (provably the KMV sketch of A∪B), estimated as in
+    *    [[kmvDistinct]];
+    *  - ρ = |kmin_A ∩ kmin_B ∩ union-sketch|, i.e. shared hashes at
+    *    or below the union's k-th minimum — a k-sample of A∪B in
+    *    which ρ/k estimates the Jaccard similarity;
+    *  - |A∩B| = (ρ · est_union) / k.
+    *
+    * When the union sketch is not full both input sketches are
+    * complete, so union/intersection counts are EXACT (and the
+    * estimators below reduce to them). All arithmetic is the trunc9 /
+    * IEEE-ordered discipline, replayed by the oracle.
+    *
+    * Intended for a BOUNDED group set (languages, sources, shards —
+    * the profiling regime); the pair join is a self-join on k-long
+    * arrays, |G|² pairs of O(k) work each.
+    *
+    * Output: (grp_a, grp_b, union_n, est_union, rho, est_inter,
+    * est_jaccard) for grp_a < grp_b, ordered by (grp_a, grp_b). */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 128): DataFrame = {
+    val sk = kmvSketch(df, groupCol, valueCol, k)
+    val a = sk.select(col(groupCol).as("grp_a"), col("kmin").as("ka"))
+    val b = sk.select(col(groupCol).as("grp_b"), col("kmin").as("kb"))
+    val u = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+    val pairs = a.join(b, col("grp_a") < col("grp_b"))
+      .withColumn("u", u)
+      .withColumn("union_n", size(col("u")).cast("long"))
+      .withColumn("kth", element_at(col("u"), size(col("u"))))
+      .withColumn("rho",
+        size(filter(array_intersect(col("ka"), col("kb")),
+          x => x <= col("kth"))).cast("long"))
+    val full = col("union_n") === k
+    val estU = when(!full, col("union_n").cast("double"))
+      .otherwise(t9(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+        col("kth").cast("double")))
+    pairs
+      .withColumn("est_union", estU)
+      .withColumn("est_inter",
+        when(!full, col("rho").cast("double"))
+          .otherwise(t9(col("rho").cast("double") * col("est_union") /
+            lit(k.toDouble))))
+      .withColumn("est_jaccard",
+        t9(col("rho").cast("double") / col("union_n").cast("double")))
+      .select(col("grp_a"), col("grp_b"), col("union_n"),
+        col("est_union"), col("rho"), col("est_inter"),
+        col("est_jaccard"))
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
   /** KMV distinct-count estimate per group: keep the k smallest
     * distinct 60-bit hashes; with h_(k) the k-th smallest,
     * est = (k−1) · 2^60 / h_(k) (the classic unbiased form — the k-th
@@ -98,18 +171,8 @@ object Sketches {
     * persisting. */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 128): DataFrame = {
-    require(k >= 2, s"kmv needs k >= 2 ($k)")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val agg = new KmvAgg(k).toColumn
-    val hashed = df
-      .select(col(groupCol).cast("string").as("grp"),
-        h60(col(valueCol)).as("h"))
-      .as[(String, Long)]
-    hashed.groupByKey(_._1).mapValues(_._2)
-      .agg(agg.name("kmin"))
-      .toDF("grp", "kmin")
-      .select(col("grp").as(groupCol),
+    kmvSketch(df, groupCol, valueCol, k)
+      .select(col(groupCol),
         size(col("kmin")).cast("long").as("kmv_n"),
         element_at(col("kmin"), size(col("kmin"))).as("hk"))
       .select(col(groupCol), col("kmv_n"),

@@ -163,15 +163,169 @@ object SketchQueries {
        |FROM probes p JOIN est USING (tok)
        |ORDER BY tok""".stripMargin
 
+  /** q196: KMV set algebra between per-language vocabulary sketches —
+    * union / intersection / Jaccard estimated from the k=128 sketches
+    * ALONE ([[graft.operators.Sketches.kmvSetOps]]), gated next to
+    * the exact pairwise counts. */
+  def q196SketchSetops(s: SparkSession, d: String): DataFrame = {
+    val toks = docTokens(s, d)
+    val ops = graft.operators.Sketches.kmvSetOps(toks, "lang", "tok",
+      k = 128)
+    val vt = toks.distinct()
+    val inter = vt.select(col("lang").as("grp_a"), col("tok"))
+      .join(vt.select(col("lang").as("grp_b"), col("tok")), Seq("tok"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val sizes = vt.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = sizes.select(col("lang").as("grp_a"), col("n").as("na"))
+      .join(sizes.select(col("lang").as("grp_b"), col("n").as("nb")),
+        col("grp_a") < col("grp_b"))
+    val exact = pairs.join(inter, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"),
+        (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+    exact.join(ops, Seq("grp_a", "grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("exact_union"),
+        col("exact_inter"), col("union_n"), col("est_union"),
+        col("rho"), col("est_inter"), col("est_jaccard"))
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
+  private val q196Oracle: String =
+    s"""WITH $docTokensSql,
+       |h AS (
+       |  SELECT DISTINCT lang,
+       |    ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+       |  FROM toks),
+       |r AS (
+       |  SELECT lang, h,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS (
+       |  SELECT lang, list(h ORDER BY h) AS kmin
+       |  FROM r WHERE rn <= 128 GROUP BY lang),
+       |p AS (
+       |  SELECT a.lang AS grp_a, b.lang AS grp_b,
+       |    a.kmin AS ka, b.kmin AS kb,
+       |    list_sort(list_distinct(list_concat(a.kmin, b.kmin)))[1:128]
+       |      AS u
+       |  FROM sk a JOIN sk b ON a.lang < b.lang),
+       |q AS (
+       |  SELECT grp_a, grp_b, CAST(len(u) AS BIGINT) AS union_n,
+       |    u[len(u)] AS kth,
+       |    CAST(len(list_filter(list_intersect(ka, kb),
+       |      x -> x <= u[len(u)])) AS BIGINT) AS rho
+       |  FROM p),
+       |est AS (
+       |  SELECT grp_a, grp_b, union_n, rho,
+       |    CASE WHEN union_n < 128 THEN CAST(union_n AS DOUBLE)
+       |      ELSE floor(127e0 * 1152921504606846976e0 /
+       |        CAST(kth AS DOUBLE) * 1e9) / 1e9 END AS est_union
+       |  FROM q),
+       |est2 AS (
+       |  SELECT grp_a, grp_b, union_n, est_union, rho,
+       |    CASE WHEN union_n < 128 THEN CAST(rho AS DOUBLE)
+       |      ELSE floor(CAST(rho AS DOUBLE) * est_union / 128e0 * 1e9)
+       |        / 1e9 END AS est_inter,
+       |    floor(CAST(rho AS DOUBLE) / CAST(union_n AS DOUBLE) * 1e9)
+       |      / 1e9 AS est_jaccard
+       |  FROM est),
+       |vt AS (SELECT DISTINCT lang, tok FROM toks),
+       |iv AS (
+       |  SELECT a.lang AS grp_a, b.lang AS grp_b, COUNT(*) AS exact_inter
+       |  FROM vt a JOIN vt b ON a.tok = b.tok AND a.lang < b.lang
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT lang, COUNT(*) AS n FROM vt GROUP BY 1),
+       |ex AS (
+       |  SELECT a.lang AS grp_a, b.lang AS grp_b,
+       |    a.n + b.n - COALESCE(iv.exact_inter, 0) AS exact_union,
+       |    COALESCE(iv.exact_inter, 0) AS exact_inter
+       |  FROM sz a JOIN sz b ON a.lang < b.lang
+       |  LEFT JOIN iv ON iv.grp_a = a.lang AND iv.grp_b = b.lang)
+       |SELECT ex.grp_a, ex.grp_b, ex.exact_union, ex.exact_inter,
+       |  est2.union_n, est2.est_union, est2.rho, est2.est_inter,
+       |  est2.est_jaccard
+       |FROM ex JOIN est2 USING (grp_a, grp_b)
+       |ORDER BY grp_a, grp_b""".stripMargin
+
+  /** q197: sketched column profile of `orders`
+    * ([[graft.operators.Profile.profileSketched]]) — exact null
+    * accounting + HLL distinct estimates, gated next to the exact
+    * distinct counts from the exact profiler. */
+  def q197ProfileSketched(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+      "o_orderpriority", "o_orderstatus")
+    val o = orders(s, d)
+    val sk = graft.operators.Profile.profileSketched(o, cols)
+    val ex = graft.operators.Profile.profile(o, cols)
+      .select(col("column_name"), col("n_distinct"))
+    sk.join(ex, "column_name")
+      .select(col("column_name"), col("non_null"), col("nulls"),
+        col("n_distinct"), col("distinct_est"))
+      .orderBy(col("column_name"))
+  }
+
+  private val q197Oracle: String = {
+    val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+      "o_orderpriority", "o_orderstatus")
+    val stack = cols.map(c =>
+      s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS v FROM orders")
+      .mkString("\n  UNION ALL ")
+    s"""WITH stacked AS (
+       |  $stack),
+       |cnts AS (
+       |  SELECT column_name, COUNT(v) AS non_null,
+       |    COUNT(*) - COUNT(v) AS nulls
+       |  FROM stacked GROUP BY 1),
+       |ex AS (
+       |  SELECT column_name, COUNT(DISTINCT v) AS n_distinct
+       |  FROM stacked GROUP BY 1),
+       |h AS (
+       |  SELECT column_name,
+       |    ('0x' || substr(md5(v), 1, 15))::UBIGINT::BIGINT AS h
+       |  FROM stacked WHERE v IS NOT NULL),
+       |regs AS (
+       |  SELECT column_name, h % 1024 AS b,
+       |    MAX(CASE WHEN h // 1024 = 0 THEN 51
+       |        ELSE 51 - length(bin(h // 1024)) END) AS r
+       |  FROM h GROUP BY 1, 2),
+       |st AS (
+       |  SELECT column_name, COUNT(*) AS filled,
+       |    SUM(1::BIGINT << CAST(51 - r AS INT))::BIGINT AS zf
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT column_name, filled,
+       |    (0.7213e0 / (1e0 + 1.079e0 / 1024e0)) * 1024e0 * 1024e0
+       |      * 2251799813685248e0
+       |      / CAST(zf + (1024 - filled) * (1::BIGINT << 51) AS DOUBLE)
+       |      AS rawE
+       |  FROM st)
+       |SELECT c.column_name, c.non_null, c.nulls, ex.n_distinct,
+       |  floor(CASE WHEN est.rawE <= 2560e0 AND est.filled < 1024
+       |    THEN 1024e0 * (floor(ln(1024e0 /
+       |      CAST(1024 - est.filled AS DOUBLE)) * 1e9) / 1e9)
+       |    ELSE est.rawE END * 1e9) / 1e9 AS distinct_est
+       |FROM cnts c JOIN ex USING (column_name)
+       |  JOIN est USING (column_name)
+       |ORDER BY column_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_kmv_distinct" -> (q191KmvDistinct _),
     "q192_hll_vocab" -> (q192HllVocab _),
     "q193_cms_term_freq" -> (q193CmsTermFreq _),
+    "q196_sketch_setops" -> (q196SketchSetops _),
+    "q197_profile_sketched" -> (q197ProfileSketched _),
   )
 
   val oracle: Map[String, String] = Map(
     "q191_kmv_distinct" -> q191Oracle,
     "q192_hll_vocab" -> q192Oracle,
     "q193_cms_term_freq" -> q193Oracle,
+    "q196_sketch_setops" -> q196Oracle,
+    "q197_profile_sketched" -> q197Oracle,
   )
 }

@@ -123,4 +123,22 @@ class PlanSpec2 extends SparkTestBase {
       assert(bnl <= 2, s"$q: unexpected nested-loop joins")
     }
   }
+
+  test("sketch + propagation queries (q191-q197): keyed shuffles " +
+      "only — the sole nested-loops are bounded sketch-pair joins") {
+    for (q <- Seq("q191_kmv_distinct", "q192_hll_vocab",
+        "q193_cms_term_freq", "q194_hop_distance",
+        "q195_label_propagation", "q197_profile_sketched")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+    // q196 pairs |languages|² SKETCHES (k-long arrays, one row per
+    // group) under inequality keys — the intended bounded
+    // nested-loops; the token-stream side stays hash-joined
+    val p196 = SparkEntry.queries("q196_sketch_setops")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p196.contains("CartesianProduct"), "q196")
+  }
 }

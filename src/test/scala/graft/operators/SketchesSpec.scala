@@ -89,6 +89,47 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("kmvSetOps: exact below k, sane estimates above, jaccard " +
+      "between overlapping vocabularies") {
+    // A = 0..59, B = 40..99: |A|=60 |B|=60 |A∩B|=20 |A∪B|=100 — all
+    // below k=128, so every output is exact
+    val df = ((0 until 60).map(("A", _)) ++ (40 until 100).map(("B", _)))
+      .toDF("g", "v")
+    val r = Sketches.kmvSetOps(df, "g", "v", k = 128).head()
+    assert(r.getLong(2) === 100L) // union_n
+    assert(r.getDouble(3) === 100.0) // est_union exact
+    assert(r.getLong(4) === 20L) // rho = exact intersection
+    assert(r.getDouble(5) === 20.0) // est_inter exact
+    assert(math.abs(r.getDouble(6) - 0.2) < 1e-9) // jaccard 20/100
+
+    // above k: 4000-element sets with 2000 shared
+    val big = ((0 until 4000).map(("A", _)) ++
+      (2000 until 6000).map(("B", _))).toDF("g", "v")
+    val b = Sketches.kmvSetOps(big, "g", "v", k = 128).head()
+    assert(math.abs(b.getDouble(3) - 6000.0) / 6000.0 < 0.3,
+      s"union est ${b.getDouble(3)}")
+    assert(math.abs(b.getDouble(6) - 2000.0 / 6000.0) < 0.2,
+      s"jaccard est ${b.getDouble(6)}")
+  }
+
+  test("profileSketched: exact null accounting, hll estimates near " +
+      "exact distincts") {
+    val df = spark.range(3000).select(col("id"),
+      when(col("id") % 10 =!= 0, col("id") % 500).as("gappy"),
+      (col("id") % 7).cast("string").as("small"))
+    val out = Profile.profileSketched(df,
+        Seq("id", "gappy", "small")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("id")._1 === 3000L && out("id")._2 === 0L)
+    assert(out("gappy")._1 === 2700L && out("gappy")._2 === 300L)
+    assert(out("small")._1 === 3000L && out("small")._2 === 0L)
+    // linear counting at 7 distinct: -m·ln(1 - 7/m) ≈ 7.02
+    assert(math.abs(out("small")._3 - 7.0) < 0.5)
+    assert(math.abs(out("id")._3 - 3000.0) / 3000.0 < 0.13)
+    assert(math.abs(out("gappy")._3 - 450.0) / 450.0 < 0.13)
+  }
+
   test("cms is partitioning-invariant") {
     val df = spark.range(4000)
       .select((col("id") % 97).cast("string").as("t"))
