@@ -297,4 +297,41 @@ object Graft {
     * ([[operators.Graph.kCore]]). */
   def kCore(edges: DataFrame, k: Int): DataFrame =
     operators.Graph.kCore(edges, k)
+
+  /** Distinct-count estimate per group from a k-long mergeable KMV
+    * sketch ([[operators.Sketches.kmvDistinct]]). */
+  def distinctEstimate(df: DataFrame, group: String, value: String,
+      k: Int = 128): DataFrame =
+    Sketches.kmvDistinct(df, group, value, k)
+
+  /** Union / intersection / Jaccard estimates between every pair of
+    * group sketches, from the sketches alone
+    * ([[operators.Sketches.kmvSetOps]]). */
+  def sketchSetOps(df: DataFrame, group: String, value: String,
+      k: Int = 128): DataFrame =
+    Sketches.kmvSetOps(df, group, value, k)
+
+  /** Point-frequency estimates for `probes` from a d×w count-min
+    * sketch of `terms` ([[operators.Sketches.cmsEstimates]]). */
+  def frequencyEstimates(terms: DataFrame, termCol: String,
+      probes: DataFrame, probeCol: String): DataFrame =
+    Sketches.cmsEstimates(terms, termCol, probes, probeCol)
+
+  /** Column profile with exact null accounting and HLL-sketched
+    * distinct counts ([[operators.Profile.profileSketched]]) — the
+    * form that scales to arbitrary corpora. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    Profile.profileSketched(df, cols)
+
+  /** BFS hop distance from a seed set over an edge list
+    * ([[operators.Graph.hopDistance]]) — the distance-from-trusted-
+    * sources prior. */
+  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      directed: Boolean = false): DataFrame =
+    operators.Graph.hopDistance(edges, seeds, maxHops, directed)
+
+  /** Synchronous label-propagation communities over an edge list
+    * ([[operators.Graph.labelPropagation]]). */
+  def communities(edges: DataFrame, iters: Int = 4): DataFrame =
+    operators.Graph.labelPropagation(edges, iters)
 }

@@ -99,6 +99,57 @@ object Pca {
       order.map(i => (0 until d).map(r => v(r)(i)).toArray).toArray)
   }
 
+  /** Leading principal axis by DISTRIBUTED power iteration — the
+    * scale path next to [[pcaProject]]'s driver-side Jacobi: at
+    * embedding dims where a d×d collect stops being a "bounded
+    * driver step" (d=4096 ⇒ 16M cells), the covariance stays a
+    * DataFrame and each iteration is one broadcast-join matvec
+    * w = C·v over the d² cell table + a one-row max-abs normalizer —
+    * no driver state at any d.
+    *
+    * Determinism (the q162/q163 discipline): v₀ = 1 (the all-ones
+    * start; safe for covariance matrices unless the top axis is
+    * exactly orthogonal to 1 — callers with adversarial symmetry can
+    * reseed), every product term 12-truncated into a DECIMAL(18,15)
+    * exact sum, each round's vector max-abs-normalized and
+    * 12-truncated, fixed `iters`. The oracle unrolls the identical
+    * rounds, so the result is engine- and partitioning-exact
+    * (convergence to ±v₁ included: both engines walk the same signed
+    * trajectory).
+    *
+    * Output: (i, v, lambda_inf) — the normalized axis component per
+    * dimension and the final infinity-norm growth factor (→ |λ₁| as
+    * the iteration converges), ordered by i. */
+  def powerIteration(df: DataFrame, vecCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"powerIteration needs iters >= 1 ($iters)")
+    def t12(x: Column): Column =
+      floor(x * lit(1e12)).cast("double") / lit(1e12)
+    val cov = covariance(df, vecCol)
+      .select(col("i"), col("j"), col("cov"))
+      .localCheckpoint()
+    var v = cov.select(col("i").as("vi")).distinct()
+      .select(col("vi"), lit(1.0).as("v"))
+      .localCheckpoint()
+    var lambda: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = cov
+        .join(broadcast(v), col("j") === col("vi"))
+        .groupBy(col("i"))
+        .agg(sum(t12(col("cov") * col("v"))
+          .cast(DecimalType(18, 15))).cast("double").as("w"))
+        .localCheckpoint()
+      lambda = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(lambda))
+        .select(col("i").as("vi"), t12(col("w") / col("m")).as("v"))
+        .localCheckpoint()
+    }
+    v.crossJoin(broadcast(lambda))
+      .select(col("vi").as("i"), col("v"),
+        t12(col("m")).as("lambda_inf"))
+      .orderBy(col("i"))
+  }
+
   /** Project embeddings onto the top-k principal axes of their own
     * covariance. The d×d collect is the one driver-side step
     * (bounded by dimension, not data); axes return as literal arrays

@@ -65,6 +65,15 @@ object RankingQueries {
   def q174EmbeddingCovariance(s: SparkSession, d: String): DataFrame =
     graft.operators.Pca.covariance(embeddings(s, d), "embedding")
 
+  /** q198: leading principal axis by DISTRIBUTED power iteration
+    * ([[graft.operators.Pca.powerIteration]]) — the scale path next
+    * to q174/q177's driver-side Jacobi: 8 matvec rounds over the d²
+    * covariance cells, max-abs normalized, fully SQL-replayable
+    * (unlike the eigensolve, which needed the fixture-parquet gate). */
+  def q198PowerIteration(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca.powerIteration(embeddings(s, d), "embedding",
+      iters = 8)
+
   /** CJK-aware token CTE over plain documents (the q101 device
     * without the multilingual fixture concat). */
   private val TokCtes: String =
@@ -209,6 +218,7 @@ object RankingQueries {
     "q167_hamming_retrieval" -> (q167HammingRetrieval _),
     "q173_moore_lewis" -> (q173MooreLewis _),
     "q174_embedding_covariance" -> (q174EmbeddingCovariance _),
+    "q198_power_iteration" -> (q198PowerIteration _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -237,7 +247,51 @@ object RankingQueries {
         |SELECT e.i, e.j, e.exy - ma.mu * mb.mu AS cov
         |FROM e JOIN mu ma ON e.i = ma.i JOIN mu mb ON e.j = mb.i
         |ORDER BY e.i, e.j""".stripMargin,
+    "q198_power_iteration" -> q198Oracle,
   )
+
+  /** q198 oracle: the q174 covariance CTEs + 8 unrolled matvec
+    * rounds, each MATERIALIZED (the q163 lesson: per-round CTEs are
+    * referenced twice — by the max and the normalize — and default
+    * inlining re-evaluates the whole chain exponentially). */
+  private lazy val q198Oracle: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT cov.i,
+         |    CAST(SUM(CAST(floor(cov.cov * v.v * 1e12) / 1e12
+         |      AS DECIMAL(18,15))) AS DOUBLE) AS w
+         |  FROM cov JOIN v${r - 1} v ON cov.j = v.vi
+         |  GROUP BY cov.i),
+         |m$r AS MATERIALIZED (SELECT MAX(abs(w)) AS m FROM w$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i AS vi, floor(w / m * 1e12) / 1e12 AS v
+         |  FROM w$r CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |mu AS (
+       |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+       |    / COUNT(*) AS mu
+       |  FROM x GROUP BY 1),
+       |p AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    floor(a.v * b.v * 1e9) / 1e9 AS p
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id),
+       |e AS (
+       |  SELECT i, j, CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE)
+       |    / COUNT(*) AS exy
+       |  FROM p GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT e.i, e.j, e.exy - ma.mu * mb.mu AS cov
+       |  FROM e JOIN mu ma ON e.i = ma.i JOIN mu mb ON e.j = mb.i),
+       |v0 AS (SELECT DISTINCT i AS vi, 1e0 AS v FROM cov),
+       |$rounds
+       |SELECT v8.vi AS i, v8.v, floor(m8.m * 1e12) / 1e12
+       |  AS lambda_inf
+       |FROM v8 CROSS JOIN m8 ORDER BY i""".stripMargin
+  }
 
   private lazy val q173Oracle: String =
     raw"""WITH tl AS (

@@ -53,4 +53,23 @@ class GraftFacadeSpec extends SparkTestBase {
       length(col("text")) % 2 === 0).count() === 50)
     assert(Graft.fuzzyMatches(docs, "text").columns.contains("dist"))
   }
+
+  test("r8 facade entries: sketches, profiling, and seeded graph " +
+      "propagation are wired") {
+    import spark.implicits._
+    val vals = (0 until 300).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    val de = Graft.distinctEstimate(vals, "g", "v", k = 64)
+    assert(de.columns.toSeq === Seq("g", "kmv_n", "kmv_est"))
+    assert(de.count() === 2)
+    assert(Graft.sketchSetOps(vals, "g", "v", k = 64).count() === 1)
+    val fe = Graft.frequencyEstimates(vals, "v", vals.limit(5), "v")
+    assert(fe.columns.contains("cms_est") && fe.count() === 5)
+    val pc = Graft.profileColumns(vals, Seq("g", "v"))
+    assert(pc.columns.toSeq ===
+      Seq("column_name", "non_null", "nulls", "distinct_est"))
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val hd = Graft.hopDistance(edges, Seq("a").toDF("node"), 3)
+    assert(hd.count() === 3)
+    assert(Graft.communities(edges).count() === 3)
+  }
 }

@@ -63,4 +63,37 @@ class PcaSpec extends SparkTestBase {
         ys.map(y => (y - my) * (y - my)).sum)
     assert(math.abs(math.abs(corr) - 1.0) < 1e-6, s"corr $corr")
   }
+
+  test("powerIteration recovers the Jacobi leading axis (up to " +
+      "max-abs scale and sign) and its eigenvalue, " +
+      "partition-invariant") {
+    val rows = (0 until 80).map { i =>
+      val a = (i % 9) - 4.0
+      val b = ((i / 9) % 3 - 1.0) * 0.2
+      (i.toLong, Array(a.toFloat, (a * 0.5).toFloat, b.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Pca.powerIteration(df, "embedding", iters = 12)
+      .collect()
+    val v = out.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val lam = out.head.getDouble(2)
+    // reference: driver Jacobi on the same exact covariance
+    val cells = Pca.covariance(df, "embedding").collect()
+    val m = Array.ofDim[Double](3, 3)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val (vals, vecs) = Pca.jacobiEigen(m)
+    val axis = vecs(0)
+    val mx = axis.map(math.abs).max
+    val scaled = axis.map(_ / mx) // max-abs normalized, like the op
+    val sign = if (scaled(0) * v(0) < 0) -1.0 else 1.0
+    for (i <- 0 until 3)
+      assert(math.abs(v(i) - sign * scaled(i)) < 1e-6,
+        s"axis[$i]: ${v(i)} vs ${sign * scaled(i)}")
+    assert(math.abs(lam - vals(0)) / vals(0) < 1e-6,
+      s"lambda_inf $lam vs eigenvalue ${vals(0)}")
+    val rep = Pca.powerIteration(df.repartition(11), "embedding",
+      iters = 12).collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .toMap
+    assert(rep === v)
+  }
 }
