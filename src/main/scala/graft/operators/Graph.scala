@@ -83,21 +83,39 @@ object Graph {
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src"))
       .localCheckpoint()
-    val cnt = nodes.agg(count(lit(1)).as("nn"))
-    var pr = nodes.crossJoin(broadcast(cnt))
-      .select(col("node"), t12(lit(1.0) / col("nn")).as("pr"))
+    // One bounded driver action (a single long — the same class as
+    // the documented k-means/BPE bounded collects) hoists the node
+    // count out of the loop: teleport/nn is the IDENTICAL IEEE
+    // division the oracle performs per row, done once. The r8 bench
+    // found the earlier per-round `crossJoin(broadcast(cnt))` was
+    // recomputing the count job every round — ~2x the whole
+    // iteration's cost on the sf0.1 graph (9.6 s vs the 3.4 s
+    // personalized sibling that pre-materializes its teleport).
+    val nn = nodes.count()
+    val tpn = teleport / nn
+    var pr = nodes.select(col("node"), t12(lit(1.0 / nn)).as("pr"))
+      .localCheckpoint()
+    // Nodes with NO in-edges have the constant rank t/N every round —
+    // computed once; each round's update then touches only the
+    // aggregation's target rows (the HITS deferral device), so the
+    // per-round plan is edge-join + aggregate + union, nothing
+    // nodes-wide. Value-identical to the all-nodes left join: a
+    // target node's m is always defined (every source holds a rank),
+    // so the COALESCE arm of the oracle only ever fires for no-in
+    // nodes, which is exactly the constant frame.
+    val noIn = nodes
+      .join(ed.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node"), t12(lit(tpn)).as("pr"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val agg = ed
         .join(pr, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
-      pr = nodes
-        .join(agg, nodes("node") === agg("dst"), "left")
-        .crossJoin(broadcast(cnt))
-        .select(col("node"),
-          t12(lit(teleport) / col("nn") +
-            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+      pr = noIn.unionByName(
+          agg.select(col("dst").as("node"),
+            t12(lit(tpn) + lit(damping) * col("m")).as("pr")))
         .localCheckpoint()
     }
     pr.orderBy(col("node"))
