@@ -30,6 +30,32 @@ object Corpus {
       Seq(keyCol), "left_anti")
   }
 
+  /** C4-style badwords document filter (Raffel et al. 2020 §2.2 —
+    * the "List of Dirty, Naughty ... Words" gate every public web
+    * corpus applies): drop any document containing at least one
+    * blocked TOKEN (lowercased whitespace token, the C4 matching
+    * unit). Returns survivors with their full columns.
+    *
+    * Scale: the block list broadcasts (thousands of words); the doc
+    * side explodes to lowercased tokens, inner-joins the broadcast
+    * list, and the matched doc-id set anti-joins back — two map-side
+    * hash probes and one distinct on matched ids, no shuffle of the
+    * token stream. A doc matches on membership only, so the token
+    * stream needs no ordering and duplicate matches collapse in the
+    * distinct. */
+  def badwordsFilter(df: DataFrame, idCol: String, textCol: String,
+      badwords: DataFrame): DataFrame = {
+    val bcol = badwords.columns.head
+    val bw = broadcast(badwords
+      .select(lower(col(bcol)).as("_bw")).distinct())
+    val matched = df
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
+      .join(bw, col("_tok") === col("_bw"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Exact 1-based global rank of every row under `sortCols` WITHOUT
     * a single-partition window: range-repartition on the sort key,
     * sort within partitions, then assign indexes in two passes

@@ -488,6 +488,41 @@ object Graph {
       .limit(k)
   }
 
+  /** Weighted co-occurrence graph from a (group, item) incidence
+    * list — the graph-CONSTRUCTION step in front of every co-order /
+    * co-citation / term-co-occurrence analysis in this suite (q179,
+    * q186, q188, q190, q195 build this inline; the operator is the
+    * reusable, skew-guarded form). Two items are linked once per
+    * group they share; `weight` counts shared groups.
+    *
+    * Scale: the pair enumeration is Σ_g C(|g|, 2) — quadratic in
+    * group size, fatal on mega-groups (a 10⁶-item group alone yields
+    * 5·10¹¹ pairs). `maxGroupSize` drops oversized groups BEFORE the
+    * self-join (the maxDegree/maxDf device: a group containing
+    * everything carries no co-occurrence signal but all the cost);
+    * `minWeight` floors hapax edges after aggregation. Both keyed
+    * shuffles; no windows, no driver state.
+    *
+    * Output: (src, dst, weight) with src < dst, ordered. */
+  def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 10000, minWeight: Long = 1): DataFrame = {
+    // incidence feeds the size guard AND both join sides
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("it"))
+      .distinct()
+      .localCheckpoint()
+    val kept = gi.join(
+      gi.groupBy(col("g")).agg(count(lit(1)).as("gsz"))
+        .filter(col("gsz") <= maxGroupSize).select(col("g")),
+      Seq("g"), "left_semi")
+    kept.select(col("g"), col("it").as("src"))
+      .join(kept.select(col("g"), col("it").as("dst")), "g")
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Multi-source BFS hop distance from a seed set — the
     * "distance from trusted sources" prior a corpus pipeline computes
     * over a link graph (TrustRank's discrete cousin: pages ≤ h hops

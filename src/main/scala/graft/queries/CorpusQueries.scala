@@ -126,6 +126,91 @@ object CorpusQueries {
     Corpus.readabilityStats(documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** q199: C4-style badwords document gate
+    * ([[Corpus.badwordsFilter]]) — documents containing any blocked
+    * token (lowercased, \s+ split) dropped; the broadcast list +
+    * semi-join + anti-join shape is the 100 TB form of the LDNOOBW
+    * filter every public web corpus applies. */
+  def q199BadwordsFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bad = Seq("dup", "corrupt", "spam").toDF("word")
+    Corpus.badwordsFilter(documents(s, d), "doc_id", "text", bad)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q199Oracle: String =
+    raw"""WITH bad AS (
+      |  SELECT * FROM (VALUES ('dup'), ('corrupt'), ('spam'))
+      |    b(word)),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |m AS (
+      |  SELECT DISTINCT doc_id FROM toks
+      |  JOIN bad ON toks.tok = bad.word)
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM m)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q201: skip-gram pairs with unigram^0.75 negative sampling
+    * ([[graft.operators.SkipGram.pairsWithNegatives]]) over the
+    * doc_id < 50 slice — every positive pair and every hash-drawn
+    * negative replayed token-exactly by the oracle's interval
+    * lookup. */
+  def q201SkipgramNegatives(s: SparkSession, d: String): DataFrame =
+    graft.operators.SkipGram.pairsWithNegatives(
+        documents(s, d).filter(col("doc_id") < 50), "doc_id", "text",
+        window = 1, negatives = 2)
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        col("off").cast("long").as("off"), col("center"),
+        col("context"), col("neg_idx").cast("long").as("neg_idx"),
+        col("negative"))
+      .orderBy(col("doc"), col("pos"), col("off"), col("neg_idx"))
+
+  private val q201Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      |tl AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |    x -> len(x) > 0) AS t
+      |  FROM docs),
+      |toks AS (
+      |  SELECT doc_id AS doc, generate_subscripts(t, 1) - 1 AS pos,
+      |    unnest(t) AS w
+      |  FROM tl),
+      |targets AS (
+      |  SELECT doc, pos, w AS center, off, pos + off AS tpos
+      |  FROM toks CROSS JOIN (SELECT unnest([-1, 1]) AS off)),
+      |pairs AS (
+      |  SELECT t.doc, t.pos, t.off, t.center, k.w AS context
+      |  FROM targets t
+      |  JOIN toks k ON k.doc = t.doc AND k.pos = t.tpos),
+      |vw AS (
+      |  SELECT w, CAST(floor(sqrt(sqrt(
+      |      CAST(cnt AS DOUBLE) * cnt * cnt)) * 1000) AS BIGINT)
+      |    AS wgt
+      |  FROM (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1)),
+      |cum AS (
+      |  SELECT w, wgt, SUM(wgt) OVER (ORDER BY w
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw1
+      |  FROM vw),
+      |cum2 AS (SELECT w, cw1 - wgt AS cw0, cw1 FROM cum),
+      |tot AS (SELECT MAX(cw1) AS total FROM cum),
+      |draws AS (
+      |  SELECT doc, pos, off, center, context, neg_idx,
+      |    ('0x' || substr(md5('neg:' || doc || ':' || pos || ':' ||
+      |      off || ':' || neg_idx), 1, 15))::UBIGINT::BIGINT % total
+      |      AS u
+      |  FROM pairs
+      |  CROSS JOIN (SELECT unnest([0, 1]) AS neg_idx)
+      |  CROSS JOIN tot)
+      |SELECT d.doc, d.pos, d.off, d.center, d.context, d.neg_idx,
+      |  c.w AS negative
+      |FROM draws d JOIN cum2 c ON d.u >= c.cw0 AND d.u < c.cw1
+      |ORDER BY doc, pos, off, neg_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_rouge_eval" -> (q180RougeEval _),
     "q181_cluster_keep_longest" -> (q181ClusterKeepLongest _),
@@ -135,6 +220,8 @@ object CorpusQueries {
     "q185_pmi_collocations" -> (q185PmiCollocations _),
     "q187_langid_confusion" -> (q187LangidConfusion _),
     "q189_readability" -> (q189Readability _),
+    "q199_badwords_filter" -> (q199BadwordsFilter _),
+    "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -318,5 +405,7 @@ object CorpusQueries {
         |SELECT doc_id, n_chars, rnk, bucket, pos,
         |  row_number() OVER (ORDER BY pos, bucket) AS training_pos
         |FROM p ORDER BY training_pos""".stripMargin,
+    "q199_badwords_filter" -> q199Oracle,
+    "q201_skipgram_negatives" -> q201Oracle,
   )
 }

@@ -395,6 +395,29 @@ object GraphQueries {
        |SELECT node, lab AS community FROM l4 ORDER BY node""".stripMargin
   }
 
+  /** q200: weighted co-occurrence graph construction
+    * ([[graft.operators.Graph.coOccurrence]]) from the order→part
+    * incidence list — maxGroupSize = 6 (BINDING: the largest orders
+    * are excluded before the pair join, exercising the skew guard)
+    * and a weight ≥ 2 floor. */
+  def q200Cooccurrence(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.coOccurrence(
+      lineitem(s, d).select(col("l_orderkey").as("g"),
+        col("l_partkey").as("it")),
+      "g", "it", maxGroupSize = 6, minWeight = 2)
+
+  private val q200Oracle: String =
+    """WITH gi AS (
+      |  SELECT DISTINCT l_orderkey AS g, l_partkey AS it
+      |  FROM lineitem),
+      |sz AS (SELECT g, COUNT(*) AS c FROM gi GROUP BY 1),
+      |kept AS (
+      |  SELECT gi.g, gi.it FROM gi JOIN sz USING (g) WHERE sz.c <= 6)
+      |SELECT a.it AS src, b.it AS dst, COUNT(*) AS weight
+      |FROM kept a JOIN kept b ON a.g = b.g AND a.it < b.it
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY src, dst""".stripMargin
+
   private val q176Oracle: String =
     """WITH RECURSIVE e0 AS (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -422,6 +445,7 @@ object GraphQueries {
     "q190_kcore" -> (q190KCore _),
     "q194_hop_distance" -> (q194HopDistance _),
     "q195_label_propagation" -> (q195LabelPropagation _),
+    "q200_cooccurrence" -> (q200Cooccurrence _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -435,5 +459,6 @@ object GraphQueries {
     "q190_kcore" -> q190Oracle,
     "q194_hop_distance" -> q194Oracle,
     "q195_label_propagation" -> q195Oracle,
+    "q200_cooccurrence" -> q200Oracle,
   )
 }

@@ -141,4 +141,21 @@ class PlanSpec2 extends SparkTestBase {
       .queryExecution.sparkPlan.toString
     assert(!p196.contains("CartesianProduct"), "q196")
   }
+
+  test("training-pair queries (q198-q201): no cartesians; the " +
+      "skip-gram negative lookup is a hash join on cumulative " +
+      "slices, not a nested loop against the vocab") {
+    for (q <- Seq("q198_power_iteration", "q199_badwords_filter",
+        "q200_cooccurrence")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    val p201 = SparkEntry.queries("q201_skipgram_negatives")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p201.contains("CartesianProduct"), "q201")
+    // allowed: the two one-row total-weight broadcasts
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p201).size
+    assert(bnl <= 2, s"q201: $bnl nested-loop joins")
+  }
 }

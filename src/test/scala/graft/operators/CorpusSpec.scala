@@ -149,4 +149,22 @@ class CorpusSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), plan)
   }
+
+  test("badwordsFilter drops docs containing a blocked token " +
+      "(case-insensitive, token-exact), keeps substring look-alikes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "this has BadWord inside"),
+      (3L, "badwordish is not a match"), // substring, not a token
+      (4L, "ends with badword")).toDF("doc_id", "text")
+    val bad = Seq("badword").toDF("word")
+    val kept = Corpus.badwordsFilter(docs, "doc_id", "text", bad)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+    // blocklist side broadcasts; the doc side never shuffles tokens
+    val plan = Corpus.badwordsFilter(docs, "doc_id", "text", bad)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

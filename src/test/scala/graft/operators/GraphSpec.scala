@@ -206,6 +206,32 @@ class GraphSpec extends SparkTestBase {
     assert(all.count() === 6L)
   }
 
+  test("coOccurrence: shared-group counting, size guard excludes " +
+      "mega-groups, weight floor") {
+    val inc = Seq(
+      ("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "a"), ("g2", "b"),
+      ("g2", "a"), // duplicate incidence collapses
+      ("g3", "a"), ("g3", "b"), ("g3", "c"), ("g3", "d"), ("g3", "e"))
+      .toDF("g", "it")
+    val all = Graph.coOccurrence(inc, "g", "it").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(all(("a", "b")) === 3L) // g1, g2, g3
+    assert(all(("a", "c")) === 2L) // g1, g3
+    // dropping g3 via the size guard removes its pairs entirely
+    val guarded = Graph.coOccurrence(inc, "g", "it",
+        maxGroupSize = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(guarded(("a", "b")) === 2L)
+    assert(!guarded.contains(("d", "e")))
+    // weight floor keeps only repeated pairs
+    val floored = Graph.coOccurrence(inc, "g", "it", minWeight = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(floored === Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
   test("hopDistance: chain distances, hop cap, directed mode, " +
       "unreachable nodes absent") {
     val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
