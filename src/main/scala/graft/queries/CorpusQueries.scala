@@ -211,6 +211,65 @@ object CorpusQueries {
       |FROM draws d JOIN cum2 c ON d.u >= c.cw0 AND d.u < c.cw1
       |ORDER BY doc, pos, off, neg_idx""".stripMargin
 
+  /** q202: T5 span corruption
+    * ([[graft.operators.SpanCorruption.corrupt]]) over the
+    * doc_id < 100 slice — noiseRate 0.15, spanLen 3 (the T5
+    * defaults); the oracle replays every hash decision, island,
+    * sentinel number, and both rebuilt strings. */
+  def q202SpanCorruption(s: SparkSession, d: String): DataFrame =
+    graft.operators.SpanCorruption.corrupt(
+      documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+
+  private val q202Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |tl AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |    x -> len(x) > 0) AS t
+      |  FROM docs),
+      |toks AS (
+      |  SELECT doc_id AS doc, generate_subscripts(t, 1) - 1 AS pos,
+      |    unnest(t) AS w
+      |  FROM tl),
+      |n AS (
+      |  SELECT doc, pos, w,
+      |    ('0x' || substr(md5('span:' || doc || ':' || (pos // 3)),
+      |      1, 8))::UBIGINT::BIGINT % 1000 < 150 AS noise
+      |  FROM toks),
+      |r AS (
+      |  SELECT *, SUM(CASE WHEN noise THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc ORDER BY pos) AS nseq
+      |  FROM n),
+      |i AS (
+      |  SELECT *, CASE WHEN noise THEN pos - nseq END AS island
+      |  FROM r),
+      |kk AS (
+      |  SELECT *, CASE WHEN noise THEN DENSE_RANK()
+      |    OVER (PARTITION BY doc ORDER BY island NULLS LAST) - 1 END
+      |    AS k
+      |  FROM i),
+      |f AS (
+      |  SELECT *, noise AND ROW_NUMBER()
+      |    OVER (PARTITION BY doc, island ORDER BY pos) = 1 AS first
+      |  FROM kk),
+      |p AS (
+      |  SELECT doc, pos, noise, island,
+      |    CASE WHEN NOT noise THEN w
+      |      WHEN first THEN '<extra_id_' || k || '>' END AS inp,
+      |    CASE WHEN noise THEN
+      |      CASE WHEN first THEN '<extra_id_' || k || '> ' || w
+      |        ELSE w END END AS tgt
+      |  FROM f)
+      |SELECT doc AS doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN noise THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_masked,
+      |  COUNT(DISTINCT island) AS n_spans,
+      |  COALESCE(string_agg(inp, ' ' ORDER BY pos)
+      |    FILTER (WHERE inp IS NOT NULL), '') AS input_text,
+      |  COALESCE(string_agg(tgt, ' ' ORDER BY pos)
+      |    FILTER (WHERE tgt IS NOT NULL), '') AS target_text
+      |FROM p GROUP BY doc ORDER BY doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_rouge_eval" -> (q180RougeEval _),
     "q181_cluster_keep_longest" -> (q181ClusterKeepLongest _),
@@ -222,6 +281,7 @@ object CorpusQueries {
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
+    "q202_span_corruption" -> (q202SpanCorruption _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -407,5 +467,6 @@ object CorpusQueries {
         |FROM p ORDER BY training_pos""".stripMargin,
     "q199_badwords_filter" -> q199Oracle,
     "q201_skipgram_negatives" -> q201Oracle,
+    "q202_span_corruption" -> q202Oracle,
   )
 }
