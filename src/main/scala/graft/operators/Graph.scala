@@ -570,6 +570,64 @@ object Graph {
     visited.orderBy(col("node"))
   }
 
+  /** Deterministic random-walk corpus generation (DeepWalk, Perozzi
+    * et al. 2014; the unbiased node2vec special case) — one
+    * fixed-length walk per start node over the symmetrized graph,
+    * the sequence-materialization step in front of skip-gram
+    * training over graphs ([[SkipGram]] consumes the output exactly
+    * like token streams).
+    *
+    * Each step picks neighbor index
+    * md5("walk:" start ":" step) mod degree(current) — a pure
+    * function of (start, step), so walks are engine- and
+    * partitioning-exact and the oracle replays every transition
+    * through the same indexed adjacency (neighbors numbered in
+    * lexicographic order).
+    *
+    * Scale: the indexed adjacency builds once (one window over
+    * per-node neighbor lists, bounded by degree) and is
+    * pre-partitioned by node; each step is ONE equi-join of the
+    * walk frontier against it — `steps` keyed joins total, walk
+    * state one row per walk. Dead ends (impossible on a symmetrized
+    * graph) would simply end walks early via the inner join.
+    *
+    * Output: (start, step, node) for step 0..steps, ordered. */
+  def randomWalks(edges: DataFrame, steps: Int = 4): DataFrame = {
+    require(steps >= 1, s"randomWalks needs steps >= 1 ($steps)")
+    val e0 = edges.select(col("src"), col("dst"))
+    val sym = e0.union(e0.select(col("dst"), col("src")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = sym
+      .withColumn("idx", row_number().over(wAdj))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))))
+      .select(col("src").as("cur"), col("dst").as("nxt"),
+        col("idx"), col("deg"))
+      .repartition(col("cur"))
+      .localCheckpoint()
+    var walk = adj.select(col("cur").as("start")).distinct()
+      .select(col("start"), col("start").as("node"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    out += walk.select(col("start"), lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val pick = conv(substring(md5(concat(lit("walk:"), col("start"),
+        lit(":"), lit(t))), 1, 15), 16, 10).cast("long")
+      walk = walk
+        .join(adj, col("node") === col("cur"))
+        .filter(col("idx") === pick % col("deg") + 1)
+        .select(col("start"), col("nxt").as("node"))
+        .localCheckpoint()
+      out += walk.select(col("start"), lit(t.toLong).as("step"),
+        col("node"))
+    }
+    out.reduce(_ unionByName _).orderBy(col("start"), col("step"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for a FIXED
     * round count — the near-linear community detector for corpus link
     * graphs (communities = topical clusters / mirror farms; the

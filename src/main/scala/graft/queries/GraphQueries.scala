@@ -418,6 +418,49 @@ object GraphQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |ORDER BY src, dst""".stripMargin
 
+  /** q203: deterministic 4-step random walks
+    * ([[graft.operators.Graph.randomWalks]]) from every node of the
+    * sparse endorsement graph — the DeepWalk sequence
+    * materialization; the oracle replays each transition through the
+    * same lexicographically-indexed adjacency. */
+  def q203RandomWalks(s: SparkSession, d: String): DataFrame = {
+    val e = orders(s, d)
+      .join(lineitem(s, d).filter(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.operators.Graph.randomWalks(e, steps = 4)
+  }
+
+  private val q203Oracle: String = {
+    val steps = (1 to 4).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.start, a.nxt AS node
+         |  FROM w${t - 1} w JOIN adj a ON a.cur = w.node
+         |    AND a.idx = ('0x' || substr(md5('walk:' || w.start ||
+         |      ':' || $t), 1, 15))::UBIGINT::BIGINT % a.deg + 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (0 to 4).map(t =>
+      s"SELECT start, CAST($t AS BIGINT) AS step, node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE l_quantity >= 49),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |adj AS MATERIALIZED (
+       |  SELECT src AS cur, dst AS nxt,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS idx,
+       |    COUNT(*) OVER (PARTITION BY src) AS deg
+       |  FROM e WHERE src <> dst),
+       |w0 AS (SELECT DISTINCT cur AS start, cur AS node FROM adj),
+       |$steps
+       |SELECT * FROM (
+       |  $sel)
+       |ORDER BY start, step""".stripMargin
+  }
+
   private val q176Oracle: String =
     """WITH RECURSIVE e0 AS (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -446,6 +489,7 @@ object GraphQueries {
     "q194_hop_distance" -> (q194HopDistance _),
     "q195_label_propagation" -> (q195LabelPropagation _),
     "q200_cooccurrence" -> (q200Cooccurrence _),
+    "q203_random_walks" -> (q203RandomWalks _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -460,5 +504,6 @@ object GraphQueries {
     "q194_hop_distance" -> q194Oracle,
     "q195_label_propagation" -> q195Oracle,
     "q200_cooccurrence" -> q200Oracle,
+    "q203_random_walks" -> q203Oracle,
   )
 }

@@ -206,6 +206,33 @@ class GraphSpec extends SparkTestBase {
     assert(all.count() === 6L)
   }
 
+  test("randomWalks: every transition follows a real edge, one walk " +
+      "per start node, deterministic under repartition") {
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("b", "d"))
+    val sym = (g ++ g.map(_.swap)).toSet
+    val walks = Graph.randomWalks(g.toDF("src", "dst"), steps = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2)))
+    // one position per (start, step): 4 starts x 5 steps
+    assert(walks.length === 20)
+    assert(walks.filter(_._2 == 0L).map(w => w._1 -> w._3).toMap ===
+      Map("a" -> "a", "b" -> "b", "c" -> "c", "d" -> "d"))
+    val byWalk = walks.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).toSeq)
+    byWalk.foreach { case (start, path) =>
+      path.sliding(2).foreach { p =>
+        assert(sym.contains((p(0), p(1))),
+          s"walk $start took a non-edge ${p(0)}->${p(1)}")
+      }
+    }
+    val rep = Graph.randomWalks(g.toDF("src", "dst").repartition(5),
+        steps = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rep.sortBy(w => (w._1, w._2)).toSeq ===
+      walks.sortBy(w => (w._1, w._2)).toSeq)
+  }
+
   test("coOccurrence: shared-group counting, size guard excludes " +
       "mega-groups, weight floor") {
     val inc = Seq(
