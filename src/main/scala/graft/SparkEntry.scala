@@ -22,6 +22,7 @@ object SparkEntry {
     (RankingQueries.queries, RankingQueries.oracle),
     (CorpusQueries.queries, CorpusQueries.oracle),
     (SketchQueries.queries, SketchQueries.oracle),
+    (UnigramQueries.queries, UnigramQueries.oracle),
     (graft.analytics.SqlSuite.queries, graft.analytics.SqlSuite.oracle),
   )
 
