@@ -334,4 +334,23 @@ object Graft {
     * ([[operators.Graph.labelPropagation]]). */
   def communities(edges: DataFrame, iters: Int = 4): DataFrame =
     operators.Graph.labelPropagation(edges, iters)
+
+  /** Fill-in-the-middle training records with deterministic cuts
+    * and PSM/SPM sentinel orders ([[operators.Fim.transform]]). */
+  def fim(docs: DataFrame, id: String, text: String,
+      fimRate: Double = 0.5, spmRate: Double = 0.5): DataFrame =
+    operators.Fim.transform(docs, id, text, fimRate, spmRate)
+
+  /** Chat-template SFT records with a loss-mask character boundary
+    * ([[operators.Sft.renderChat]]). */
+  def sftRecords(docs: DataFrame, id: String, text: String,
+      promptTokens: Int = 12): DataFrame =
+    operators.Sft.renderChat(docs, id, text,
+      promptTokens = promptTokens)
+
+  /** Chosen/rejected preference pairs per group under a score
+    * column ([[operators.Sft.preferencePairs]]). */
+  def preferencePairs(scored: DataFrame, groupCols: Seq[String],
+      id: String, score: String): DataFrame =
+    operators.Sft.preferencePairs(scored, groupCols, id, score)
 }

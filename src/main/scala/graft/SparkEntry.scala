@@ -23,6 +23,7 @@ object SparkEntry {
     (CorpusQueries.queries, CorpusQueries.oracle),
     (SketchQueries.queries, SketchQueries.oracle),
     (UnigramQueries.queries, UnigramQueries.oracle),
+    (SftQueries.queries, SftQueries.oracle),
     (graft.analytics.SqlSuite.queries, graft.analytics.SqlSuite.oracle),
   )
 

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning data materialization: the two record
+  * constructors an instruction-tuning pipeline runs after curation —
+  * chat-template rendering with a loss-mask boundary, and
+  * preference-pair (chosen/rejected) assembly for DPO/RLHF-style
+  * objectives.
+  *
+  * Both are pure column algebra over already-curated frames: render
+  * is a narrow projection (scan-speed at 100 TB), pairs are one
+  * hash-aggregation with map-side combine (min/max of lexicographic
+  * structs — no window, no self-join, no per-group state beyond two
+  * structs). */
+object Sft {
+
+  /** Render (prompt, response) chat records from documents: the
+    * first `promptTokens` whitespace tokens become the user turn,
+    * the remainder the assistant turn, rendered under a fixed
+    * role-sentinel template. Documents too short to yield a
+    * non-empty response are dropped (a real SFT builder's minimum
+    * viable record). `lossStart` is the 1-based character offset in
+    * `rendered` where the assistant span begins — the loss-mask
+    * boundary a trainer needs so prompt tokens contribute no loss.
+    *
+    * Output: (idCol, n_tokens, response_tokens, rendered,
+    * loss_start, rendered_md5). */
+  def renderChat(docs: DataFrame, idCol: String, textCol: String,
+      system: String = "You are a helpful assistant.",
+      promptTokens: Int = 12): DataFrame = {
+    require(promptTokens >= 1, s"promptTokens >= 1 ($promptTokens)")
+    val toks = filter(split(col(textCol), " "), x => length(x) > 0)
+    val withToks = docs
+      .select(col(idCol), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > promptTokens)
+    val prompt = array_join(slice(col("toks"), 1, promptTokens), " ")
+    val response = array_join(
+      slice(col("toks"), lit(promptTokens + 1),
+        (col("n_tokens") - promptTokens).cast("int")), " ")
+    val head = concat(lit(s"<|system|>\n$system\n<|user|>\n"),
+      prompt, lit("\n<|assistant|>\n"))
+    withToks.select(
+        col(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - promptTokens).as("response_tokens"),
+        concat(head, response, lit("<|end|>")).as("rendered"),
+        (length(head) + 1).cast("long").as("loss_start"))
+      .withColumn("rendered_md5", md5(col("rendered")))
+  }
+
+  /** Preference pairs per group: chosen = argmax(score), rejected =
+    * argmin(score), ties resolved deterministically (chosen prefers
+    * the SMALLER id on equal score, rejected the LARGER — so a
+    * two-doc tied group still yields a well-defined, non-degenerate
+    * pair). Groups that cannot produce two distinct members (size 1,
+    * or all scores AND ids equal — impossible with unique ids) are
+    * dropped. `margin` is the raw score gap; callers gate on it for
+    * DPO-style filtering.
+    *
+    * One aggregation, no join: argmax/argmin ride lexicographic
+    * struct min/max — (score, −id) max ⇒ score desc then id asc;
+    * (score, −id) min ⇒ score asc then id desc — which combine
+    * map-side, so a group never materializes its members.
+    *
+    * Output: (groupCols*, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin, group_size). */
+  def preferencePairs(scored: DataFrame, groupCols: Seq[String],
+      idCol: String, scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val id = col(idCol)
+    val s = col(scoreCol)
+    val packed = struct(s.as("score"), (-id).as("nid"), id.as("id"))
+    scored
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(packed).as("ch"), min(packed).as("rj"),
+        count(lit(1)).as("group_size"))
+      .filter(col("ch.id") =!= col("rj.id"))
+      .select(groupCols.map(col) ++ Seq(
+        col("ch.id").as("chosen_id"),
+        col("rj.id").as("rejected_id"),
+        col("ch.score").as("chosen_score"),
+        col("rj.score").as("rejected_score"),
+        (col("ch.score") - col("rj.score")).as("margin"),
+        col("group_size")): _*)
+  }
+}

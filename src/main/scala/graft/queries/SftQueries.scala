@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+import graft.operators.{Corpus, Fim, Sft}
+
+/** Fine-tuning data-materialization suite: fill-in-the-middle
+  * splits ([[graft.operators.Fim]]), chat-template rendering with
+  * loss-mask boundaries, and preference-pair assembly
+  * ([[graft.operators.Sft]]) — the record constructors that sit
+  * between corpus curation and the trainer. Every hash decision,
+  * cut point, rendered string, and tie-break is replayed
+  * value-exactly by the DuckDB oracle. */
+object SftQueries {
+
+  /** q206: FIM materialization over the corpus — 50% transform
+    * rate, 50/50 PSM/SPM among transformed, character-level cuts;
+    * the oracle replays every hash, both cuts, and the full
+    * rendered string (gated via its md5 too). */
+  def q206FimTransform(s: SparkSession, d: String): DataFrame =
+    Fim.transform(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q206Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, text, n,
+      |    ('0x' || substr(md5('fim:a:' || doc_id), 1, 8))
+      |      ::UBIGINT::BIGINT % (n + 1) AS c1,
+      |    ('0x' || substr(md5('fim:b:' || doc_id), 1, 8))
+      |      ::UBIGINT::BIGINT % (n + 1) AS c2,
+      |    ('0x' || substr(md5('fim:r:' || doc_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 1000 < 500 AS do_fim,
+      |    ('0x' || substr(md5('fim:s:' || doc_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 1000 < 500 AS do_spm
+      |  FROM d),
+      |c AS (
+      |  SELECT *, LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+      |  FROM h),
+      |p AS (
+      |  SELECT doc_id, text, n, do_fim, do_spm, lo, hi,
+      |    substr(text, 1, CAST(lo AS INT)) AS pre,
+      |    substr(text, CAST(lo AS INT) + 1, CAST(hi - lo AS INT))
+      |      AS mid,
+      |    substr(text, CAST(hi AS INT) + 1) AS suf
+      |  FROM c),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN NOT do_fim THEN 'plain'
+      |      WHEN do_spm THEN 'spm' ELSE 'psm' END AS mode,
+      |    CASE WHEN do_fim THEN lo END AS cut_lo,
+      |    CASE WHEN do_fim THEN hi END AS cut_hi,
+      |    n AS n_chars,
+      |    CASE WHEN NOT do_fim THEN text
+      |      WHEN do_spm THEN '<fim_suffix>' || suf ||
+      |        '<fim_prefix>' || pre || '<fim_middle>' || mid
+      |      ELSE '<fim_prefix>' || pre ||
+      |        '<fim_suffix>' || suf || '<fim_middle>' || mid
+      |    END AS rendered
+      |  FROM p)
+      |SELECT doc_id, mode, cut_lo, cut_hi, n_chars, rendered,
+      |  md5(rendered) AS rendered_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q207: chat-template SFT records — first 12 whitespace tokens
+    * as the user turn, remainder as the assistant turn, 1-based
+    * loss-mask character boundary; too-short docs dropped. */
+  def q207SftRender(s: SparkSession, d: String): DataFrame =
+    Sft.renderChat(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q207Oracle: String =
+    """WITH tl AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens
+      |  FROM tl WHERE len(t) > 12),
+      |r AS (
+      |  SELECT doc_id, n_tokens, n_tokens - 12 AS response_tokens,
+      |    '<|system|>' || chr(10) || 'You are a helpful assistant.'
+      |      || chr(10) || '<|user|>' || chr(10) ||
+      |      array_to_string(t[1:12], ' ') || chr(10) ||
+      |      '<|assistant|>' || chr(10) AS head,
+      |    array_to_string(t[13:], ' ') AS resp
+      |  FROM f)
+      |SELECT doc_id, n_tokens, response_tokens,
+      |  head || resp || '<|end|>' AS rendered,
+      |  CAST(len(head) + 1 AS BIGINT) AS loss_start,
+      |  md5(head || resp || '<|end|>') AS rendered_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q208: preference pairs per (lang, source) under the Flesch
+    * reading-ease score ([[Corpus.readabilityStats]], the q189
+    * scorer): chosen = most readable (ties → smaller doc_id),
+    * rejected = least readable (ties → larger doc_id) — one
+    * map-side-combining aggregation, no window, no self-join. */
+  def q208PreferencePairs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = Corpus.readabilityStats(docs, "doc_id", "text")
+      .filter(col("flesch").isNotNull)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        "doc_id")
+    Sft.preferencePairs(scored, Seq("lang", "source"), "doc_id",
+        "flesch")
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q208Oracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |      AS BIGINT) AS words,
+      |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT)) AS sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS syllables
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang, source,
+      |    floor((CAST(206.835 AS DOUBLE) -
+      |      CAST(1.015 AS DOUBLE) *
+      |        (CAST(words AS DOUBLE) / sentences) -
+      |      CAST(84.6 AS DOUBLE) *
+      |        (CAST(syllables AS DOUBLE) / words)) * 1e9) / 1e9
+      |      AS flesch
+      |  FROM c WHERE words > 0),
+      |rk AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY flesch DESC, doc_id ASC) AS rc,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY flesch ASC, doc_id DESC) AS rr,
+      |    COUNT(*) OVER (PARTITION BY lang, source) AS group_size
+      |  FROM sc)
+      |SELECT ch.lang, ch.source, ch.doc_id AS chosen_id,
+      |  rj.doc_id AS rejected_id, ch.flesch AS chosen_score,
+      |  rj.flesch AS rejected_score,
+      |  ch.flesch - rj.flesch AS margin,
+      |  CAST(ch.group_size AS BIGINT) AS group_size
+      |FROM (SELECT * FROM rk WHERE rc = 1) ch
+      |JOIN (SELECT * FROM rk WHERE rr = 1) rj
+      |  ON rj.lang = ch.lang AND rj.source = ch.source
+      |WHERE ch.doc_id <> rj.doc_id
+      |ORDER BY ch.lang, ch.source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_fim_transform" -> (q206FimTransform _),
+    "q207_sft_render" -> (q207SftRender _),
+    "q208_preference_pairs" -> (q208PreferencePairs _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q206_fim_transform" -> q206Oracle,
+    "q207_sft_render" -> q207Oracle,
+    "q208_preference_pairs" -> q208Oracle,
+  )
+}

@@ -158,4 +158,22 @@ class PlanSpec2 extends SparkTestBase {
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p201).size
     assert(bnl <= 2, s"q201: $bnl nested-loop joins")
   }
+
+  test("SFT materialization (q206-q208): FIM and chat rendering " +
+      "are shuffle-free scans (presentation sort only); preference " +
+      "pairs are one aggregation with no window and no self-join") {
+    for (q <- Seq("q206_fim_transform", "q207_sft_render")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+      // exactly the one Exchange feeding the final orderBy sort
+      val ex = "Exchange".r.findAllIn(p).size
+      assert(ex <= 1, s"$q: $ex exchanges\n$p")
+      assert(!p.contains("Window"), q)
+    }
+    val p208 = SparkEntry.queries("q208_preference_pairs")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p208.contains("CartesianProduct") &&
+      !p208.contains("Window"), s"q208\n$p208")
+  }
 }
