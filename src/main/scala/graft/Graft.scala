@@ -353,4 +353,30 @@ object Graft {
   def preferencePairs(scored: DataFrame, groupCols: Seq[String],
       id: String, score: String): DataFrame =
     operators.Sft.preferencePairs(scored, groupCols, id, score)
+
+  /** Content-defined chunks (gear rolling hash, FastCDC-style size
+    * bounds) — edit-resilient chunk boundaries for chunk-hash dedup
+    * ([[operators.Cdc.chunks]]). */
+  def cdcChunks(docs: DataFrame, id: String, text: String,
+      divisor: Int = 64, minSize: Int = 16,
+      maxSize: Int = 256): DataFrame =
+    operators.Cdc.chunks(docs, id, text, divisor, minSize, maxSize)
+
+  /** Train a unigram-LM subword vocabulary: seed from substring
+    * frequencies, then `emSteps` EM rounds
+    * ([[operators.Unigram]]). Returns (piece, usage|freq, cost). */
+  def trainUnigramVocab(docs: DataFrame, text: String,
+      emSteps: Int = 1): DataFrame = {
+    val w = operators.Unigram.words(docs, text)
+    (1 to emSteps).foldLeft(operators.Unigram.seedVocab(w)) {
+      (v, _) => operators.Unigram.emStep(w, v)
+    }
+  }
+
+  /** Viterbi-segment corpus words under a (piece, cost) vocabulary
+    * ([[operators.Unigram.segment]]). */
+  def segmentWords(docs: DataFrame, text: String,
+      vocab: DataFrame): DataFrame =
+    operators.Unigram.segment(operators.Unigram.words(docs, text),
+      vocab)
 }

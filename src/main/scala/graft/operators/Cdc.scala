@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (the gear/FastCDC family — Xia et al.
+  * 2016): split text at positions where a rolling content hash hits
+  * a boundary pattern, so chunk boundaries SURVIVE insertions and
+  * deletions — the property that makes chunk-hash dedup robust
+  * across near-identical documents where fixed-size windows would
+  * misalign after one edit. This is the chunking layer under
+  * suffix/ExactSubstr-style corpus dedup at 100 TB.
+  *
+  * Hash: the gear recurrence h ← (2·h + code(c)) mod 2^20. Because
+  * the multiplier is 2, a character j positions back contributes
+  * code·2^j, which vanishes mod 2^20 once j ≥ 20 — the recurrence
+  * IS a sliding 20-char window hash with no explicit subtraction,
+  * so the hash, the boundary test, and the min/max size rule all
+  * ride ONE O(n) in-row fold whose state is (h, last boundary,
+  * boundary list). No second pass, no per-position array — and
+  * nothing for CollapseProject to inline quadratically (the lesson:
+  * a column referenced inside a higher-order-function lambda gets
+  * substituted into the loop body; keep per-element state IN the
+  * fold). Codes are `ascii` code points — ASCII/BMP corpora;
+  * pre-normalize wider text upstream, as [[SuffixArray]] documents.
+  *
+  * Boundaries: h ≡ 0 mod `divisor` (mean chunk ≈ divisor chars)
+  * accepted only ≥ `minSize` after the previous boundary; a
+  * boundary is FORCED at `maxSize` (FastCDC's normalized-size
+  * bounds). Per-doc cost is O(n) fold steps plus O(n/minSize)
+  * boundary-list rebuilds per accepted boundary.
+  *
+  * Output: one row per chunk (idCol, chunk_idx, start, chunk_len,
+  * chunk_md5) — start 0-based; the md5 carries chunk identity into
+  * dedup joins without materializing chunk text twice. Empty
+  * documents yield no rows. */
+object Cdc {
+
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 64, minSize: Int = 16,
+      maxSize: Int = 256): DataFrame = {
+    require(divisor >= 2 && minSize >= 1 && maxSize > minSize,
+      s"need divisor >= 2, 1 <= minSize < maxSize " +
+        s"($divisor, $minSize, $maxSize)")
+    val mod = 1 << 20
+    val withH = docs
+      .select(col(idCol), col(textCol).as("t"),
+        length(col(textCol)).as("n"))
+      .filter(col("n") > 0)
+      // one pass: gear hash + sequential accept/force in a single
+      // fold, state (h, last boundary, bounds); h recomputes per
+      // branch (O(1) each) since SQL lambdas have no let-binding
+      .withColumn("bounds", expr(
+        s"""aggregate(sequence(1, n),
+           |  named_struct('h', cast(0 as long), 'last', 0,
+           |    'bs', cast(array() as array<int>)),
+           |  (acc, i) -> if(i - acc.last >= $maxSize
+           |      or (i - acc.last >= $minSize
+           |        and (acc.h * 2 + ascii(substring(t, i, 1)))
+           |          % $mod % $divisor = 0),
+           |    named_struct(
+           |      'h', (acc.h * 2 + ascii(substring(t, i, 1))) % $mod,
+           |      'last', i, 'bs', concat(acc.bs, array(i))),
+           |    named_struct(
+           |      'h', (acc.h * 2 + ascii(substring(t, i, 1))) % $mod,
+           |      'last', acc.last, 'bs', acc.bs)),
+           |  acc -> if(acc.last = n and size(acc.bs) > 0, acc.bs,
+           |    concat(acc.bs, array(cast(n as int)))))""".stripMargin))
+    // starts = 0 :: bounds[..-1], zipped in-row — no window, no
+    // shuffle; the whole operator stays a narrow scan
+    withH
+      .withColumn("spans", expr(
+        """arrays_zip(
+          |  concat(array(0), slice(bounds, 1, size(bounds) - 1)),
+          |  bounds)""".stripMargin))
+      .select(col(idCol), col("t"),
+        posexplode(col("spans")).as(Seq("chunk_idx", "sp")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("sp.0").cast("long").as("start"),
+        (col("sp.bounds") - col("sp.0")).cast("long")
+          .as("chunk_len"),
+        md5(expr("substring(t, sp.`0` + 1, sp.bounds - sp.`0`)"))
+          .as("chunk_md5"))
+  }
+}

@@ -86,38 +86,61 @@ object Unigram {
 
   /** Viterbi-segment every word under `vocab` (piece, cost).
     * Output: (w, wcnt, total_cost, n_pieces, seg) with seg the
-    * space-joined argmin pieces. Requires the vocab to cover every
-    * single character of every word (seedVocab guarantees it;
-    * [[emStep]] preserves used singles — a word with an uncoverable
-    * character would surface as a null piece here, loudly). */
+    * space-joined argmin pieces. [[seedVocab]] guarantees full
+    * coverage (every single char); under a PRUNED vocab (e.g. an
+    * [[emStep]] output) unreachable DP positions carry an IEEE-inf
+    * sentinel that poisons any path through them, and a word the
+    * vocab cannot cover at all surfaces loudly as (total_cost =
+    * Infinity, n_pieces = 0, seg = ''). */
   def segment(wordsDf: DataFrame, vocab: DataFrame,
       maxPieceLen: Int = 6): DataFrame = {
-    val matches = subs(wordsDf, maxPieceLen)
+    // LEFT join so a word with zero vocab coverage keeps a row (an
+    // empty match list → all-inf DP → the loud unsegmentable shape)
+    // instead of silently vanishing from the output
+    val ms = subs(wordsDf, maxPieceLen)
       .join(vocab.select(col("piece"), col("cost")), "piece")
-      .groupBy(col("w"), col("wcnt"))
+      .groupBy(col("w"))
       .agg(collect_list(struct(col("s"), (col("s") + col("l"))
         .cast("int").as("e"), col("cost"))).as("ms"))
+    val matches = wordsDf.join(ms, Seq("w"), "left")
+      .withColumn("ms", coalesce(col("ms"), expr(
+        "cast(array() as array<struct<s:int,e:int,cost:double>>)")))
       .withColumn("n", length(col("w")).cast("int"))
     // best[j] (1-based list, entry 1 = position 0): struct(cost, frm)
+    // unreachable positions (no surviving piece ends there — can
+    // happen under a PRUNED vocab, never under seedVocab) carry an
+    // (Infinity, -2) sentinel: IEEE inf poisons any path through
+    // them, finite candidates always sort ahead, and the entries
+    // stay non-null (a null struct in the accumulator array breaks
+    // codegen's non-null element assumption)
     val dp = matches.withColumn("best",
       expr("""aggregate(
         sequence(1, n),
         array(named_struct('cost', cast(0.0 as double), 'frm', -1)),
         (acc, j) -> concat(acc, array(
-          element_at(
-            array_sort(transform(
-              filter(ms, m -> m.e = j),
-              m -> named_struct(
-                'cost', element_at(acc, m.s + 1).cost + m.cost,
-                'frm', m.s))),
-            1))))"""))
+          coalesce(
+            try_element_at(
+              array_sort(transform(
+                filter(ms, m -> m.e = j),
+                m -> named_struct(
+                  'cost', element_at(acc, m.s + 1).cost + m.cost,
+                  'frm', m.s))),
+              1),
+            named_struct('cost', cast('Infinity' as double),
+              'frm', -2)))))"""))
     // backpointer walk: state (pos, pieces); prepend pieces walking
     // from n back to 0 (at most n steps, idle once pos = 0)
+    // an unsegmentable word (infinite best at n) walks zero steps
+    // and surfaces loudly: n_pieces = 0, seg = '', total_cost = inf;
+    // a finite chain only ever references finite predecessors, so
+    // the guard holds along the whole walk
     val walked = dp.withColumn("walk",
       expr("""aggregate(
         sequence(1, n),
         named_struct('pos', n, 'pieces', cast(array() as array<string>)),
-        (acc, j) -> if(acc.pos > 0,
+        (acc, j) -> if(acc.pos > 0
+            and element_at(best, acc.pos + 1).cost <
+              cast('Infinity' as double),
           named_struct(
             'pos', element_at(best, acc.pos + 1).frm,
             'pieces', concat(

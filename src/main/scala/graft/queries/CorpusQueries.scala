@@ -270,7 +270,63 @@ object CorpusQueries {
       |    FILTER (WHERE tgt IS NOT NULL), '') AS target_text
       |FROM p GROUP BY doc ORDER BY doc""".stripMargin
 
+  /** q209: content-defined chunking ([[graft.operators.Cdc.chunks]])
+    * — gear rolling hash, divisor 64, size bounds [16, 256]; the
+    * oracle replays every per-position window hash and the
+    * sequential accept/force fold, then every chunk span and md5. */
+  def q209CdcChunks(s: SparkSession, d: String): DataFrame =
+    graft.operators.Cdc.chunks(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q209Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text AS t, CAST(len(text) AS INT) AS n
+      |  FROM documents WHERE len(text) > 0),
+      |b AS (
+      |  SELECT doc_id, t, n,
+      |    list_reduce(
+      |      list_prepend(
+      |        [struct_pack(h := CAST(0 AS BIGINT), last := 0,
+      |          bs := CAST([] AS INT[]))],
+      |        list_transform(generate_series(1, n), x ->
+      |          CAST(NULL AS STRUCT(h BIGINT, last INTEGER,
+      |            bs INTEGER[])[]))),
+      |      (acc, x) -> list_append(acc, CASE
+      |        WHEN len(acc) - acc[len(acc)].last >= 256
+      |          OR (len(acc) - acc[len(acc)].last >= 16
+      |            AND (acc[len(acc)].h * 2 +
+      |              ord(substr(t, len(acc), 1))) % 1048576 % 64 = 0)
+      |        THEN struct_pack(
+      |          h := (acc[len(acc)].h * 2 +
+      |            ord(substr(t, len(acc), 1))) % 1048576,
+      |          last := len(acc),
+      |          bs := list_append(acc[len(acc)].bs, len(acc)))
+      |        ELSE struct_pack(
+      |          h := (acc[len(acc)].h * 2 +
+      |            ord(substr(t, len(acc), 1))) % 1048576,
+      |          last := acc[len(acc)].last,
+      |          bs := acc[len(acc)].bs) END)) AS res
+      |  FROM d),
+      |bb AS (
+      |  SELECT doc_id, t, n,
+      |    CASE WHEN res[n + 1].last = n AND len(res[n + 1].bs) > 0
+      |      THEN res[n + 1].bs
+      |      ELSE list_append(res[n + 1].bs, n) END AS bs
+      |  FROM b),
+      |sp AS (
+      |  SELECT doc_id, t, bs,
+      |    list_prepend(0, bs[1:len(bs) - 1]) AS starts
+      |  FROM bb)
+      |SELECT doc_id, CAST(gi - 1 AS BIGINT) AS chunk_idx,
+      |  CAST(starts[gi] AS BIGINT) AS start,
+      |  CAST(bs[gi] - starts[gi] AS BIGINT) AS chunk_len,
+      |  md5(substr(t, starts[gi] + 1, bs[gi] - starts[gi]))
+      |    AS chunk_md5
+      |FROM sp, LATERAL unnest(generate_series(1, len(bs))) AS g(gi)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_cdc_chunks" -> (q209CdcChunks _),
     "q180_rouge_eval" -> (q180RougeEval _),
     "q181_cluster_keep_longest" -> (q181ClusterKeepLongest _),
     "q182_blocklist" -> (q182Blocklist _),
@@ -285,6 +341,7 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q209_cdc_chunks" -> q209Oracle,
     "q180_rouge_eval" ->
       """WITH tok AS (
         |  SELECT doc_id,

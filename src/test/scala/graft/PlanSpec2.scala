@@ -176,4 +176,17 @@ class PlanSpec2 extends SparkTestBase {
     assert(!p208.contains("CartesianProduct") &&
       !p208.contains("Window"), s"q208\n$p208")
   }
+
+  test("CDC chunking (q209) is a shuffle-free narrow scan before " +
+      "its presentation sort; unigram compression (q210) has no " +
+      "cartesian and only broadcast one-row stat joins") {
+    val p209 = SparkEntry.queries("q209_cdc_chunks")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p209.contains("CartesianProduct") &&
+      !p209.contains("Window"), s"q209\n$p209")
+    assert("Exchange".r.findAllIn(p209).size <= 1, s"q209\n$p209")
+    val p210 = SparkEntry.queries("q210_unigram_compression")(
+      spark, sf).queryExecution.sparkPlan.toString
+    assert(!p210.contains("CartesianProduct"), s"q210\n$p210")
+  }
 }

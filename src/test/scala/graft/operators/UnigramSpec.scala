@@ -71,4 +71,40 @@ class UnigramSpec extends SparkTestBase {
       .collect()
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  test("a pruned vocab routes around unreachable positions; a " +
+      "fully uncoverable word surfaces as (inf, 0 pieces, '')") {
+    val words = Seq(("abc", 1L), ("xyz", 1L)).toDF("w", "wcnt")
+    // no 'b' and no piece ending at position 2 of abc except 'ab';
+    // 'c' closes it — path must route a|b-free: ab + c
+    val vocab = Seq(("a", 1.0), ("ab", 1.5), ("c", 2.0))
+      .toDF("piece", "cost")
+    val out = Unigram.segment(words, vocab).orderBy("w").collect()
+    val abc = out(0)
+    assert(abc.getString(4) === "ab c")
+    assert(abc.getDouble(2) === 3.5)
+    // xyz has zero vocab coverage
+    val xyz = out(1)
+    assert(xyz.getDouble(2).isPosInfinity)
+    assert(xyz.getLong(3) === 0L && xyz.getString(4) === "")
+  }
+
+  test("the second E-step under an emStep vocab stays segmentable " +
+      "and never inflates piece counts") {
+    val docs = Seq.fill(6)("spark chunk merge spark chunk")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val w = Unigram.words(docs, "text")
+    val v1 = Unigram.seedVocab(w, minCount = 2, maxSize = 64)
+    val v2 = Unigram.emStep(w, v1)
+    val s1 = Unigram.segment(w, v1).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val s2 = Unigram.segment(w, v2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(2))))
+      .toMap
+    s2.foreach { case (word, (n2, cost)) =>
+      assert(!cost.isInfinity, s"$word unsegmentable after EM")
+      assert(n2 <= s1(word) + 1, s"$word inflated: $n2 vs ${s1(word)}")
+    }
+  }
 }
