@@ -379,4 +379,10 @@ object Graft {
       vocab: DataFrame): DataFrame =
     operators.Unigram.segment(operators.Unigram.words(docs, text),
       vocab)
+
+  /** NN-descent k-NN graph over an embedding column — the
+    * graph-based ANN build path ([[operators.NnDescent.knnGraph]]). */
+  def knnGraph(emb: DataFrame, id: String, vec: String, k: Int = 6,
+      iters: Int = 2): DataFrame =
+    operators.NnDescent.knnGraph(emb, id, vec, k, iters)
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.cosine
+
+/** NN-descent k-NN graph construction (Dong, Moses & Li 2011,
+  * "Efficient K-Nearest Neighbor Graph Construction for Generic
+  * Similarity Measures") — the graph-based ANN family next to the
+  * engine's IVF, PQ and hyperplane-LSH paths, and the build step
+  * under HNSW/DiskANN-style serving: start from a pseudo-random
+  * k-NN guess and repeatedly let every node compare itself against
+  * its neighbors' neighbors, keeping the best k. Converges in a few
+  * rounds because "a neighbor of a neighbor is likely a neighbor".
+  *
+  * Shapes, per round: undirected edge closure (union + distinct),
+  * ONE self-join for neighbor-of-neighbor candidates (bounded by
+  * (2k)² per node — the paper's B[v]×B[v] join, here without the
+  * ρ-sampling knob since k is small), two embedding lookups to
+  * score, and a per-node top-k window. All keyed shuffles, no
+  * cartesian, no driver state beyond one bounded count;
+  * `localCheckpoint` cuts lineage between rounds (swap for reliable
+  * checkpoint on a cluster, as in [[Graph]]).
+  *
+  * Determinism (oracle-replayable): init neighbor j of the node at
+  * dense rank i is the node at rank (i + 1 + md5₍₈₎("nn:id:j") mod
+  * (n−1)) mod n — a pure hash function of (id, j); scores are the
+  * left-to-right double cosine that matches DuckDB's
+  * list_dot_product bit-for-bit; ties break on neighbor id. The
+  * init ranking is a window over BARE IDS (n longs, not vectors);
+  * at extreme scale swap it for a zipWithIndex-style dense rank.
+  *
+  * Output: (u, v, score, rnk) — directed k-NN lists, rnk 1..k. */
+object NnDescent {
+
+  private def h8(salt: String, a: Column, b: Column): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), a, lit(":"), b)),
+      1, 8), 16, 10).cast("long")
+
+  /** Pseudo-random (hash-derived) initial k-NN guess, scored. */
+  def initGraph(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 6): DataFrame = {
+    val v = vecs(emb, idCol, vecCol)
+    val n = v.count()
+    require(n >= 2 && k >= 1 && k < n,
+      s"need 2 <= k+1 <= n (k=$k, n=$n)")
+    val idx = v.select(col("id"))
+      .withColumn("i", row_number().over(Window.orderBy("id")) - 1)
+    val edges = idx
+      .select(col("id"), col("i"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("ti",
+        (col("i") + lit(1L) + h8("nn", col("id"), col("j"))
+          % lit(n - 1)) % lit(n))
+      .join(idx.select(col("i").as("ti"), col("id").as("v")), "ti")
+      .select(col("id").as("u"), col("v")).distinct()
+    score(edges, v, k)
+  }
+
+  /** One NN-descent refinement round over a scored graph. */
+  def refine(graph: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, k: Int = 6): DataFrame = {
+    val v = vecs(emb, idCol, vecCol)
+    val und = graph.select(col("u"), col("v"))
+      .union(graph.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val cand = und.as("a")
+      .join(und.as("b"), col("a.v") === col("b.u"))
+      .select(col("a.u").as("u"), col("b.v").as("v"))
+      .filter(col("u") =!= col("v"))
+    score(cand.union(graph.select(col("u"), col("v"))).distinct(),
+      v, k)
+  }
+
+  /** Init + `iters` refinement rounds. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 6, iters: Int = 2): DataFrame = {
+    require(iters >= 0, s"iters >= 0 ($iters)")
+    (1 to iters).foldLeft(initGraph(emb, idCol, vecCol, k)) {
+      (g, _) => refine(g.localCheckpoint(), emb, idCol, vecCol, k)
+    }
+  }
+
+  private def vecs(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("e"))
+
+  private def score(edges: DataFrame, v: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("v"))
+    edges
+      .join(v.select(col("id").as("u"), col("e").as("ue")), "u")
+      .join(v.select(col("id").as("v"), col("e").as("ve")), "v")
+      .withColumn("score", cosine(col("ue"), col("ve")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("u"), col("v"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+}

@@ -373,7 +373,71 @@ object VectorQueries {
       .orderBy(col("qid"))
   }
 
+  /** q211: NN-descent k-NN graph ([[graft.operators.NnDescent]]) —
+    * hash-derived init + 2 neighbor-of-neighbor refinement rounds,
+    * k=6; the oracle replays the init permutation, both candidate
+    * closures, every cosine and every tie-broken rank. */
+  def q211NnDescent(s: SparkSession, d: String): DataFrame =
+    graft.operators.NnDescent.knnGraph(embeddings(s, d), "vec_id",
+        "embedding", k = 6, iters = 2)
+      .orderBy(col("u"), col("rnk"))
+
+  /** Score + per-node top-6 rank of the (u, v) edge CTE `src`. */
+  private def nnScore(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT u, v, score, rnk FROM (
+       |    SELECT s.u, s.v, s.score,
+       |      ROW_NUMBER() OVER (PARTITION BY s.u
+       |        ORDER BY s.score DESC, s.v) AS rnk
+       |    FROM (
+       |      SELECT c.u, c.v,
+       |        list_dot_product(a.e, b.e) /
+       |          (sqrt(list_dot_product(a.e, a.e)) *
+       |           sqrt(list_dot_product(b.e, b.e))) AS score
+       |      FROM $src c
+       |      JOIN vv a ON a.id = c.u
+       |      JOIN vv b ON b.id = c.v) s)
+       |  WHERE rnk <= 6)""".stripMargin
+
+  /** One NN-descent round: undirected closure of `prev`, one
+    * neighbor-of-neighbor self-join, rescore, top-6. */
+  private def nnRound(prev: String, sfx: String): String =
+    s"""und$sfx AS (
+       |  SELECT u, v FROM $prev
+       |  UNION
+       |  SELECT v AS u, u AS v FROM $prev),
+       |cd$sfx AS (
+       |  SELECT a.u, b.v FROM und$sfx a
+       |  JOIN und$sfx b ON a.v = b.u WHERE a.u <> b.v
+       |  UNION
+       |  SELECT u, v FROM $prev),
+       |${nnScore(s"cd$sfx", s"g$sfx")}""".stripMargin
+
+  private val q211Oracle: String =
+    s"""WITH vv AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |nn AS (SELECT COUNT(*) AS n FROM vv),
+       |idx AS (
+       |  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS i
+       |  FROM vv),
+       |ie AS (
+       |  SELECT x.id AS u, y.id AS v
+       |  FROM idx x
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) j
+       |  CROSS JOIN nn
+       |  JOIN idx y ON y.i = (x.i + 1 +
+       |    ('0x' || substr(md5('nn:' || x.id || ':' || j.j), 1, 8))
+       |      ::UBIGINT::BIGINT % (n - 1)) % n
+       |  GROUP BY 1, 2),
+       |${nnScore("ie", "g0")},
+       |${nnRound("g0", "1")},
+       |${nnRound("g1", "2")}
+       |SELECT u, v, score, CAST(rnk AS BIGINT) AS rnk FROM g2
+       |ORDER BY u, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_nn_descent" -> (q211NnDescent _),
     "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
     "q113_hard_negatives" -> (q113HardNegatives _),
@@ -881,6 +945,7 @@ object VectorQueries {
              .mkString(" UNION ALL ")})
          |ORDER BY qid, rnk""".stripMargin
     },
+    "q211_nn_descent" -> q211Oracle,
     "q31_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
         |           FROM embeddings),

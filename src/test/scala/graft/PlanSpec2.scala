@@ -189,4 +189,13 @@ class PlanSpec2 extends SparkTestBase {
       spark, sf).queryExecution.sparkPlan.toString
     assert(!p210.contains("CartesianProduct"), s"q210\n$p210")
   }
+
+  test("NN-descent (q211): keyed joins only — no cartesian; the " +
+      "one-row count rides a broadcast") {
+    val p = SparkEntry.queries("q211_nn_descent")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), s"q211\n$p")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"q211: $bnl nested-loop joins\n$p")
+  }
 }

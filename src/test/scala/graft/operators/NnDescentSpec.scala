@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** NN-descent invariants: recall climbs monotonically from the
+  * random init toward the brute-force truth, every output edge is a
+  * valid scored pair, determinism under repartition, and no
+  * cartesian in the plan. */
+class NnDescentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // clustered synthetic vectors so the true k-NN structure is real:
+  // 8 well-separated anchors + small deterministic jitter
+  private def corpus(n: Int, d: Int = 16) = {
+    val r = new scala.util.Random(42)
+    val anchors = Array.fill(8, d)(r.nextGaussian() * 5)
+    (0 until n).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, a.map(x => (x + r.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def recallVsTruth(graph: Map[Long, Set[Long]],
+      truth: Map[Long, Set[Long]]): Double = {
+    val hits = truth.map { case (u, t) =>
+      graph.getOrElse(u, Set.empty).intersect(t).size
+    }.sum
+    hits.toDouble / truth.values.map(_.size).sum
+  }
+
+  test("two refinement rounds lift recall far above the hash init " +
+      "on clustered data") {
+    val emb = corpus(240)
+    val truth = SimilaritySearch.bruteForceTopKHeap(
+        emb, "vec_id", emb, "vec_id", "embedding", k = 7)
+      .filter(col("qid") =!= col("cid")).filter(col("rnk") <= 7)
+      .collect().groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getLong(1)).toSet.take(6) }
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (u, rs) => u -> rs.map(_.getLong(1)).toSet }
+    val init = asMap(NnDescent.initGraph(emb, "vec_id", "embedding"))
+    val r2 = asMap(NnDescent.knnGraph(emb, "vec_id", "embedding",
+      k = 6, iters = 2))
+    val recallInit = recallVsTruth(init, truth)
+    val recall2 = recallVsTruth(r2, truth)
+    assert(recallInit < 0.3, s"init recall $recallInit (not random?)")
+    assert(recall2 > recallInit + 0.3,
+      s"no convergence: $recallInit -> $recall2")
+    assert(recall2 > 0.6, s"round-2 recall $recall2")
+  }
+
+  test("output shape: k ranked neighbors per node, no self edges, " +
+      "scores descending per node") {
+    val emb = corpus(100)
+    val out = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 4,
+      iters = 1).collect()
+    val byU = out.groupBy(_.getLong(0))
+    assert(byU.size === 100)
+    byU.foreach { case (u, rows) =>
+      assert(rows.length === 4)
+      assert(rows.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+      assert(!rows.exists(_.getLong(1) == u))
+      val byRnk = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("deterministic under repartition") {
+    val emb = corpus(80)
+    val a = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 5,
+      iters = 1).orderBy("u", "rnk").collect()
+    val b = NnDescent.knnGraph(emb.repartition(7), "vec_id",
+      "embedding", k = 5, iters = 1).orderBy("u", "rnk").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("no cartesian product anywhere in the refine plan") {
+    val emb = corpus(60)
+    val plan = NnDescent.refine(
+      NnDescent.initGraph(emb, "vec_id", "embedding", k = 4),
+      emb, "vec_id", "embedding", k = 4)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
