@@ -400,6 +400,31 @@ object ScaleBench {
             emb.select(col("vec_id"),
               col("embedding").cast("array<float>").as("embedding")),
             "vec_id", "embedding", tokens = 8, subDim = 8))),
+        // CDC chunking is a shuffle-free O(n)-per-doc scan: the row
+        // must track corpus chars linearly; superlinear growth would
+        // mean the in-row fold regressed to quadratic (the
+        // CollapseProject hazard Cdc.scala documents).
+        "cdc_chunks" -> (() =>
+          fullEval(graft.operators.Cdc.chunks(docs, "doc_id",
+            "text"))),
+        // unigram Viterbi segmentation: corpus ×K collapses to the
+        // SAME distinct-word table (replica token aside), so the row
+        // must be nearly FLAT — growth here would mean the E-step
+        // scales with corpus volume instead of vocabulary.
+        "unigram_segment" -> (() => {
+          val w = graft.operators.Unigram.words(docs, "text")
+          fullEval(graft.operators.Unigram.segment(w,
+            graft.operators.Unigram.seedVocab(w)))
+        }),
+        // NN-descent over ×K vectors, one refine round: candidate
+        // volume is (2k)² per node — linear in nodes at fixed k; the
+        // row must track K linearly (superlinear = the
+        // neighbor-of-neighbor join stopped being degree-bounded).
+        "nn_descent_r1" -> (() =>
+          fullEval(graft.operators.NnDescent.knnGraph(
+            emb.select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding")),
+            "vec_id", "embedding", k = 6, iters = 1))),
         "simhash_exhaustive_tiled" -> (() =>
           graft.queries.TextQueries.simhashPairsOver(docs).count()),
         "simhash_banded" -> (() =>
