@@ -385,4 +385,25 @@ object Graft {
   def knnGraph(emb: DataFrame, id: String, vec: String, k: Int = 6,
       iters: Int = 2): DataFrame =
     operators.NnDescent.knnGraph(emb, id, vec, k, iters)
+
+  /** Multi-turn chat transcripts from an event log: gap
+    * sessionization + alternating roles + turn cap
+    * ([[operators.Sft.assembleConversations]]). */
+  def conversations(events: DataFrame, user: String, ts: String,
+      order: String, text: String, gapMinutes: Int = 30,
+      maxTurns: Int = 8): DataFrame =
+    operators.Sft.assembleConversations(events, user, ts, order,
+      text, gapMinutes, maxTurns)
+
+  /** Reciprocal-rank fusion of quality scorers on incompatible
+    * scales ([[operators.Corpus.rrfFusion]]). */
+  def qualityFusion(scored: DataFrame, id: String,
+      scoreCols: Seq[String], kRrf: Int = 60): DataFrame =
+    operators.Corpus.rrfFusion(scored, id, scoreCols, kRrf)
+
+  /** Exactly-k-per-group deterministic sample
+    * ([[operators.Split.sampleKPerGroup]]). */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String],
+      key: String, k: Int): DataFrame =
+    operators.Split.sampleKPerGroup(df, groupCols, key, k)
 }

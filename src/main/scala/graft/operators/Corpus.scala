@@ -260,4 +260,40 @@ object Corpus {
               (col("syllables").cast("double") / col("words"))) *
             lit(1e9)).cast("double") / lit(1e9)))
   }
+
+  /** Reciprocal-rank fusion of several quality scores (the RRF
+    * formula of Cormack et al. 2009, applied to corpus curation
+    * instead of retrieval): each score column ranks the corpus
+    * descending (ties → smaller id first), and
+    * fused = Σ 1/(kRrf + rank) left-to-right over `scoreCols` —
+    * a fixed IEEE addition chain, so the fusion is engine-exact
+    * with no decimal discipline needed. Rank-based fusion is the
+    * standard way to combine scorers on incompatible scales
+    * (a Flesch score, a log-odds, a length prior) without
+    * per-scorer calibration.
+    *
+    * Shape: one window per score column over (score desc, id) —
+    * S full-data sorts, the honest cost of exact global ranks; at
+    * 100 TB swap exact ranks for the closed-form NTILE bucket
+    * arithmetic above ([[exactQuantiles]]) if bucket-grade ranks
+    * suffice. Null scores rank last (they still receive a rank).
+    *
+    * Output: (idCol, rank_<c> per score col, fused). */
+  def rrfFusion(scored: DataFrame, idCol: String,
+      scoreCols: Seq[String], kRrf: Int = 60): DataFrame = {
+    require(scoreCols.nonEmpty && kRrf >= 1,
+      s"need score columns and kRrf >= 1 ($scoreCols, $kRrf)")
+    val ranked = scoreCols.foldLeft(scored) { (df, c) =>
+      df.withColumn(s"rank_$c",
+        row_number().over(Window
+          .orderBy(col(c).desc_nulls_last, col(idCol)))
+          .cast("long"))
+    }
+    val fused = scoreCols
+      .map(c => lit(1.0) / (lit(kRrf.toDouble) + col(s"rank_$c")))
+      .reduce(_ + _)
+    ranked.select(
+      (col(idCol) +: scoreCols.map(c => col(s"rank_$c"))) :+
+        fused.as("fused"): _*)
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Supervised-fine-tuning data materialization: the two record
   * constructors an instruction-tuning pipeline runs after curation —
@@ -48,6 +49,59 @@ object Sft {
         (col("n_tokens") - promptTokens).as("response_tokens"),
         concat(head, response, lit("<|end|>")).as("rendered"),
         (length(head) + 1).cast("long").as("loss_start"))
+      .withColumn("rendered_md5", md5(col("rendered")))
+  }
+
+  /** Assemble multi-turn chat transcripts from an event log: gap
+    * sessionization (a new conversation after `gapMinutes` of
+    * inactivity — the q02 device), strict (ts, orderCol) turn
+    * order, roles alternating user/assistant from the first turn,
+    * first `maxTurns` turns kept. The rendered string is rebuilt
+    * with the order-preserving sorted-struct aggregation
+    * ([[SpanCorruption]]'s device) — one shuffle on the session
+    * key, no per-group state beyond the capped turn list.
+    *
+    * Output: (userCol, session_idx, n_events, n_turns, rendered,
+    * rendered_md5), session_idx 1-based per user. */
+  def assembleConversations(events: DataFrame, userCol: String,
+      tsCol: String, orderCol: String, textCol: String,
+      gapMinutes: Int = 30, maxTurns: Int = 8): DataFrame = {
+    require(gapMinutes >= 1 && maxTurns >= 1,
+      s"gapMinutes, maxTurns >= 1 ($gapMinutes, $maxTurns)")
+    val wUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    // microsecond precision: the ts column carries sub-second parts
+    // and second-truncated gaps would disagree with the oracle
+    val sessions = events
+      .withColumn("ts_us", expr(s"unix_micros(`$tsCol`)"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") >
+            gapMinutes * 60000000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(wUser))
+    val wSess = Window
+      .partitionBy(col(userCol), col("session_idx"))
+      .orderBy(col(tsCol), col(orderCol))
+    val turns = sessions
+      .withColumn("turn", row_number().over(wSess))
+      .withColumn("piece",
+        when(col("turn") <= maxTurns,
+          concat(
+            when(col("turn") % 2 === 1, lit("<|user|>\n"))
+              .otherwise(lit("<|assistant|>\n")),
+            col(textCol), lit("\n"))))
+    turns
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("piece").isNotNull, 1L).otherwise(0L))
+          .as("n_turns"),
+        concat(array_join(transform(
+            array_sort(collect_list(when(col("piece").isNotNull,
+              struct(col("turn"), col("piece").as("p"))))),
+            x => x.getField("p")), ""), lit("<|end|>"))
+          .as("rendered"))
       .withColumn("rendered_md5", md5(col("rendered")))
   }
 

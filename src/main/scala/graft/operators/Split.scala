@@ -277,4 +277,27 @@ object Split {
           .as("sample_rate"))
       .orderBy(col(strataCol))
   }
+
+  /** Deterministic fixed-size sample: exactly min(k, |group|) rows
+    * per group, chosen by md5-hash rank (salted independently of
+    * [[splitBucket]] so nesting under [[hashSplit]] stays unbiased),
+    * ties impossible (the full digest prefix + key breaks them).
+    * The rate-based [[stratifiedSample]] cannot promise a COUNT;
+    * this is the "give me exactly 10k examples per language" form
+    * an eval-set builder needs. One window per group over (hash,
+    * key) — the per-group sort is bounded by group size; for
+    * pathological mega-groups pre-thin with [[stratifiedSample]]
+    * first. */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty && k >= 1,
+      s"need group columns and k >= 1 ($groupCols, $k)")
+    val h = md5(concat(lit("samplek:"), col(keyCol).cast("string")))
+    df.withColumn("_sk_rank",
+        row_number().over(Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(h, col(keyCol))))
+      .filter(col("_sk_rank") <= k)
+      .drop("_sk_rank")
+  }
 }

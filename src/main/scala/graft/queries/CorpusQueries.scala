@@ -325,8 +325,82 @@ object CorpusQueries {
       |FROM sp, LATERAL unnest(generate_series(1, len(bs))) AS g(gi)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q213: reciprocal-rank fusion of three incompatible quality
+    * scorers — Flesch reading-ease, type-token ratio, and word
+    * count ([[graft.operators.Corpus.rrfFusion]]); every rank and
+    * the fused sum replay exactly (fixed IEEE addition chain). */
+  def q213QualityFusion(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toks = filter(split(col("text"), " "),
+      x => length(x) > 0)
+    val scored = Corpus.readabilityStats(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("ttr"),
+        size(toks).cast("double").as("wlen")), "doc_id")
+    Corpus.rrfFusion(scored, "doc_id",
+        Seq("flesch", "ttr", "wlen"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q213Oracle: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |      AS BIGINT) AS words,
+      |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT)) AS sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS syllables,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+      |      AS t
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN words > 0 THEN
+      |      floor((CAST(206.835 AS DOUBLE) -
+      |        CAST(1.015 AS DOUBLE) *
+      |          (CAST(words AS DOUBLE) / sentences) -
+      |        CAST(84.6 AS DOUBLE) *
+      |          (CAST(syllables AS DOUBLE) / words)) * 1e9) / 1e9
+      |    END AS flesch,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+      |    CAST(len(t) AS DOUBLE) AS wlen
+      |  FROM c),
+      |rk AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY flesch DESC NULLS LAST,
+      |      doc_id) AS rank_flesch,
+      |    ROW_NUMBER() OVER (ORDER BY ttr DESC NULLS LAST, doc_id)
+      |      AS rank_ttr,
+      |    ROW_NUMBER() OVER (ORDER BY wlen DESC NULLS LAST, doc_id)
+      |      AS rank_wlen
+      |  FROM sc)
+      |SELECT doc_id, rank_flesch, rank_ttr, rank_wlen,
+      |  1.0 / (60.0 + rank_flesch) + 1.0 / (60.0 + rank_ttr) +
+      |    1.0 / (60.0 + rank_wlen) AS fused
+      |FROM rk ORDER BY doc_id""".stripMargin
+
+  /** q214: exactly-3-per-(lang, source) deterministic sample
+    * ([[graft.operators.Split.sampleKPerGroup]]) — the fixed-COUNT
+    * eval-set builder the rate-based q80 sampler cannot express. */
+  def q214SampleKPerGroup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.sampleKPerGroup(documents(s, d),
+        Seq("lang", "source"), "doc_id", 3)
+      .orderBy(col("doc_id"))
+
+  private val q214Oracle: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+      |    ORDER BY md5('samplek:' || CAST(doc_id AS VARCHAR)),
+      |      doc_id) AS r
+      |  FROM documents) x
+      |WHERE r <= 3 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q209_cdc_chunks" -> (q209CdcChunks _),
+    "q213_quality_fusion" -> (q213QualityFusion _),
+    "q214_sample_k_per_group" -> (q214SampleKPerGroup _),
     "q180_rouge_eval" -> (q180RougeEval _),
     "q181_cluster_keep_longest" -> (q181ClusterKeepLongest _),
     "q182_blocklist" -> (q182Blocklist _),
@@ -342,6 +416,8 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q209_cdc_chunks" -> q209Oracle,
+    "q213_quality_fusion" -> q213Oracle,
+    "q214_sample_k_per_group" -> q214Oracle,
     "q180_rouge_eval" ->
       """WITH tok AS (
         |  SELECT doc_id,

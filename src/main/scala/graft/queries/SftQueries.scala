@@ -148,15 +148,71 @@ object SftQueries {
       |WHERE ch.doc_id <> rj.doc_id
       |ORDER BY ch.lang, ch.source""".stripMargin
 
+  /** q212: multi-turn conversation assembly from the event log
+    * ([[Sft.assembleConversations]]) — 30-min gap sessionization at
+    * MICROSECOND precision, alternating roles, 8-turn cap, rendered
+    * transcript gated via md5. Turn text is event_type + the props
+    * JSON field (never a raw double — double-to-string rendering is
+    * engine-specific). */
+  def q212Conversations(s: SparkSession, d: String): DataFrame =
+    Sft.assembleConversations(
+      events(s, d).withColumn("turn_text",
+        concat(col("event_type"), lit("#"),
+          get_json_object(col("props"), "$.k"))),
+      "user_id", "ts", "event_id", "turn_text")
+      .orderBy(col("user_id"), col("session_idx"))
+
+  private val q212Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, epoch_us(ts) AS ts_us,
+      |    event_type || '#' || json_extract_string(props, '$.k')
+      |      AS turn_text
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000
+      |    THEN 1 ELSE 0 END AS ns
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (
+      |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS BIGINT) AS session_idx
+      |  FROM s),
+      |t AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id,
+      |    session_idx ORDER BY ts, event_id) AS turn
+      |  FROM s2),
+      |p AS (
+      |  SELECT user_id, session_idx, turn,
+      |    CASE WHEN turn <= 8 THEN
+      |      (CASE WHEN turn % 2 = 1 THEN '<|user|>' || chr(10)
+      |        ELSE '<|assistant|>' || chr(10) END) ||
+      |      turn_text || chr(10)
+      |    END AS piece
+      |  FROM t),
+      |r AS (
+      |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN piece IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_turns,
+      |    COALESCE(string_agg(piece, '' ORDER BY turn)
+      |      FILTER (WHERE piece IS NOT NULL), '') || '<|end|>'
+      |      AS rendered
+      |  FROM p GROUP BY 1, 2)
+      |SELECT user_id, session_idx, n_events, n_turns, rendered,
+      |  md5(rendered) AS rendered_md5
+      |FROM r ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q206_fim_transform" -> (q206FimTransform _),
     "q207_sft_render" -> (q207SftRender _),
     "q208_preference_pairs" -> (q208PreferencePairs _),
+    "q212_conversations" -> (q212Conversations _),
   )
 
   val oracle: Map[String, String] = Map(
     "q206_fim_transform" -> q206Oracle,
     "q207_sft_render" -> q207Oracle,
     "q208_preference_pairs" -> q208Oracle,
+    "q212_conversations" -> q212Oracle,
   )
 }

@@ -198,4 +198,14 @@ class PlanSpec2 extends SparkTestBase {
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnl <= 1, s"q211: $bnl nested-loop joins\n$p")
   }
+
+  test("SFT/curation batch 10 (q212-q214): no cartesians; " +
+      "conversation assembly shuffles only on the session keys") {
+    for (q <- Seq("q212_conversations", "q213_quality_fusion",
+        "q214_sample_k_per_group")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
 }

@@ -167,4 +167,24 @@ class CorpusSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("rrfFusion: a doc ranked first everywhere gets the max " +
+      "possible fused score; null scores rank last; ties break on " +
+      "id") {
+    val scored = Seq(
+      (1L, 0.9, 0.9),               // best on both
+      (2L, 0.5, 0.5),
+      (3L, 0.5, 0.1),               // ties doc 2 on a -> id order
+      (4L, Double.NaN, 0.0)).toDF("id", "a", "b")
+      .withColumn("a", when(col("id") === 4L, lit(null))
+        .otherwise(col("a")))
+    val out = Corpus.rrfFusion(scored, "id", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((1L, 1L, 1.0 / 61 + 1.0 / 61)))
+    assert(out(2L)._1 === 2L && out(3L)._1 === 3L) // id tie-break
+    assert(out(4L)._1 === 4L)                      // null ranks last
+    // fused respects rank dominance
+    assert(out(1L)._3 > out(2L)._3 && out(2L)._3 > out(4L)._3)
+  }
 }

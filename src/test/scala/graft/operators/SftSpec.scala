@@ -69,6 +69,41 @@ class SftSpec extends SparkTestBase {
       b.getLong(2) === 12L && b.getDouble(5) === 0.0)
   }
 
+  test("assembleConversations: gap sessionization, alternating " +
+      "roles, turn cap, and md5 agreement") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val events = Seq(
+      // user 1, session 1: 3 close events
+      (1L, ts(0), 1L, "hello"), (1L, ts(60), 2L, "hi"),
+      (1L, ts(120), 3L, "bye"),
+      // user 1, session 2: after a 31-min gap
+      (1L, ts(120 + 31 * 60), 4L, "again"),
+      // user 2: 10 events -> capped at 8 turns
+      ) ++ (0 until 10).map(i => (2L, ts(i.toLong * 10), 10L + i,
+        s"m$i"))
+    val df = events.toDF("user_id", "ts", "event_id", "txt")
+    val out = Sft.assembleConversations(df, "user_id", "ts",
+      "event_id", "txt").orderBy("user_id", "session_idx").collect()
+    assert(out.length === 3)
+    val s1 = out(0)
+    assert(s1.getLong(2) === 3L && s1.getLong(3) === 3L)
+    assert(s1.getString(4) ===
+      "<|user|>\nhello\n<|assistant|>\nhi\n<|user|>\nbye\n<|end|>")
+    val s2 = out(1)
+    assert(s2.getLong(1) === 2L && s2.getLong(2) === 1L)
+    assert(s2.getString(4) === "<|user|>\nagain\n<|end|>")
+    val u2 = out(2)
+    assert(u2.getLong(2) === 10L && u2.getLong(3) === 8L)
+    assert(u2.getString(4).split("<\\|user\\|>").length === 5)
+    out.foreach { r =>
+      val md5Ref = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(4).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(5) === md5Ref)
+    }
+  }
+
   test("preferencePairs aggregates without a join or window " +
       "(single hash-aggregate plan)") {
     val scored = (0L until 100L).map(i =>

@@ -182,4 +182,27 @@ class SplitSpec extends SparkTestBase {
     val spend = plan.values.map(_.getAs[Double]("need_tokens")).sum
     assert(math.abs(spend - 10100.0) < 1e-6)
   }
+
+  test("sampleKPerGroup: exactly min(k, |group|) rows per group, " +
+      "deterministic under repartition, stable as k grows (k=2 " +
+      "sample is a subset of k=4)") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"g${i % 7}")).toSeq
+      .toDF("id", "g")
+    val s2 = Split.sampleKPerGroup(df, Seq("g"), "id", 2)
+    val s4 = Split.sampleKPerGroup(df, Seq("g"), "id", 4)
+    val by2 = s2.collect().groupBy(_.getString(1))
+    assert(by2.size === 7 && by2.values.forall(_.length === 2))
+    val set2 = s2.collect().map(_.getLong(0)).toSet
+    val set4 = s4.collect().map(_.getLong(0)).toSet
+    assert(set2.subsetOf(set4))
+    val a = s2.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = Split.sampleKPerGroup(df.repartition(11), Seq("g"),
+      "id", 2).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // tiny group: returns the whole group, never errors
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
+    assert(Split.sampleKPerGroup(tiny, Seq("g"), "id", 5)
+      .count() === 2L)
+  }
 }
