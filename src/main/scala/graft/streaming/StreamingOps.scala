@@ -724,4 +724,97 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(cmsUpdate)
   }
+
+  case class ConvEvent(user: String, tsUs: Long, ord: Long,
+      text: String)
+
+  /** Per-user open-conversation state: bounded by `ConvMaxTurns`
+    * rendered turns + three counters, FOREVER, regardless of stream
+    * volume (closed sessions leave the state at close time). */
+  case class ConvState(lastTs: Long, sessionIdx: Long,
+      nEvents: Long, turns: Seq[String], ver: Long)
+
+  case class ConvRow(user: String, sessionIdx: Long, ver: Long,
+      closed: Boolean, nEvents: Long, nTurns: Long,
+      rendered: String, renderedMd5: String)
+
+  val ConvGapUs: Long = 30L * 60 * 1000000
+  val ConvMaxTurns: Int = 8
+
+  private def convMd5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def convRender(turns: Seq[String]): String =
+    turns.mkString + "<|end|>"
+
+  private def convRow(user: String, st: ConvState,
+      closed: Boolean): ConvRow = {
+    val rendered = convRender(st.turns)
+    ConvRow(user, st.sessionIdx, st.ver, closed, st.nEvents,
+      st.turns.size.toLong, rendered, convMd5(rendered))
+  }
+
+  private def convUpdate(user: String, events: Iterator[ConvEvent],
+      state: GroupState[ConvState]): Iterator[ConvRow] = {
+    var st = state.getOption.getOrElse(
+      ConvState(Long.MinValue, 0L, 0L, Nil, 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[ConvRow]
+    // within a micro-batch the iterator is unordered — restore the
+    // (ts, ord) total order the batch operator's windows use
+    events.toSeq.sortBy(e => (e.tsUs, e.ord)).foreach { e =>
+      val gap = st.sessionIdx == 0L ||
+        e.tsUs - st.lastTs > ConvGapUs
+      if (gap) {
+        if (st.sessionIdx > 0L)
+          out += convRow(user, st.copy(ver = st.ver + 1),
+            closed = true)
+        st = ConvState(e.tsUs, st.sessionIdx + 1, 0L, Nil,
+          st.ver + 1)
+      }
+      val turn = st.nEvents + 1
+      val piece =
+        if (turn <= ConvMaxTurns)
+          Seq((if (turn % 2 == 1) "<|user|>\n"
+            else "<|assistant|>\n") + e.text + "\n")
+        else Nil
+      st = st.copy(lastTs = e.tsUs, nEvents = turn,
+        turns = st.turns ++ piece)
+    }
+    st = st.copy(ver = st.ver + 1)
+    state.update(st)
+    if (st.sessionIdx > 0L)
+      out += convRow(user, st, closed = false)
+    out.iterator
+  }
+
+  /** CONTINUOUS conversation assembly — the streaming form of
+    * [[graft.operators.Sft.assembleConversations]] (30-min gap,
+    * 8-turn cap, alternating roles): per-user keyed state holds
+    * only the OPEN conversation (bounded turn list); a gap closes
+    * the session and emits its final transcript (`closed = true`),
+    * and every trigger also emits the open session's current
+    * snapshot (versioned, `closed = false`). The latest row per
+    * (user, session) — closed rows final, open rows at max version
+    * — is string- and md5-identical to the batch operator run on
+    * the same prefix. Update output mode.
+    *
+    * Expects (user string-castable, tsUs long microseconds, ord,
+    * text) columns. */
+  def streamingConversations(events: org.apache.spark.sql.DataFrame,
+      userCol: String, tsUsCol: String, ordCol: String,
+      textCol: String): Dataset[ConvRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .select(col(userCol).cast("string").as("user"),
+        col(tsUsCol).cast("long").as("tsUs"),
+        col(ordCol).cast("long").as("ord"),
+        col(textCol).cast("string").as("text"))
+      .as[ConvEvent]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(convUpdate)
+  }
 }
