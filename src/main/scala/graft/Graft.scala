@@ -406,4 +406,11 @@ object Graft {
   def sampleKPerGroup(df: DataFrame, groupCols: Seq[String],
       key: String, k: Int): DataFrame =
     operators.Split.sampleKPerGroup(df, groupCols, key, k)
+
+  /** EXACT Jaccard-threshold similarity self-join via prefix
+    * filtering — no false negatives
+    * ([[operators.Dedup.jaccardPrefixJoin]]). */
+  def similarPairsExact(docs: DataFrame, id: String, text: String,
+      tau: Double = 0.7): DataFrame =
+    operators.Dedup.jaccardPrefixJoin(docs, id, text, tau)
 }

@@ -1080,4 +1080,71 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** EXACT Jaccard-threshold self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al.
+    * 2008): every pair with token-set Jaccard ≥ `tau` is returned,
+    * with NO false negatives — the guarantee the probabilistic
+    * LSH/banding paths ([[minhashBands]], [[simhash]]) trade away.
+    *
+    * Device: order the vocabulary globally by ascending document
+    * frequency (rarest first); a document's PREFIX is its first
+    * |T| − ⌈τ·|T|⌉ + 1 tokens in that order. Two sets with Jaccard
+    * ≥ τ MUST share a prefix token (pigeonhole on the overlap
+    * bound), so the inverted index over PREFIX tokens alone
+    * generates all candidates — and prefix tokens are by
+    * construction the RAREST, so posting lists stay short on Zipf
+    * vocabularies. Candidates then pass the length filter
+    * (|B| ≥ ⌈τ·|A|⌉) and exact verification on rank arrays.
+    *
+    * Shapes: token df + global rank (one VOCABULARY-sized window —
+    * vocab, not corpus; swap for a two-pass range rank at extreme
+    * vocab), per-doc sorted rank array, prefix explode, per-token
+    * pair explode, exact array_intersect verify. One corpus-sized
+    * shuffle for the index, pair work bounded by prefix posting
+    * lists.
+    *
+    * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard), id_a < id_b,
+    * jaccard ≥ tau exact. */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String,
+      textCol: String, tau: Double = 0.7): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0, 1] ($tau)")
+    val toks = df.select(col(idCol).as("doc"),
+      explode(array_distinct(filter(split(col(textCol), " "),
+        x => length(x) > 0))).as("tok"))
+    val ranks = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("_df"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_df"), col("tok"))).cast("long"))
+      .select(col("tok"), col("rank"))
+    val docs = toks.join(ranks, "tok")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("rank"))).as("ra"))
+      .withColumn("sz", size(col("ra")))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int"))
+    val prefix = docs.select(col("doc"), col("sz"),
+      explode(expr("slice(ra, 1, plen)")).as("rank"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.rank") === col("b.rank") &&
+        col("a.doc") < col("b.doc") &&
+        // length filter both ways: τ·max(|A|,|B|) ≤ min(|A|,|B|)
+        col("b.sz") >= ceil(lit(tau) * col("a.sz")) &&
+        col("a.sz") >= ceil(lit(tau) * col("b.sz")))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc").as("id_a"), col("ra").as("raa"),
+        col("sz").as("sz_a")), "id_a")
+      .join(docs.select(col("doc").as("id_b"), col("ra").as("rab"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("raa"), col("rab"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("sz_a").cast("long").as("sz_a"),
+        col("sz_b").cast("long").as("sz_b"), col("jaccard"))
+  }
 }

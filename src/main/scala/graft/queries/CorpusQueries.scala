@@ -397,10 +397,59 @@ object CorpusQueries {
       |  FROM documents) x
       |WHERE r <= 3 ORDER BY doc_id""".stripMargin
 
+  /** q215: EXACT Jaccard-threshold similarity join via prefix
+    * filtering ([[graft.operators.Dedup.jaccardPrefixJoin]],
+    * AllPairs/PPJoin) at τ=0.9 over the doc_id < 200 slice — the
+    * no-false-negative complement of the LSH/banding dedup paths;
+    * the oracle replays the df-ranked vocabulary, every prefix,
+    * the length filter, and the exact verify. */
+  def q215JaccardPrefixJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.jaccardPrefixJoin(
+        documents(s, d).filter(col("doc_id") < 200), "doc_id",
+        "text", tau = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q215Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS doc,
+      |    unnest(list_distinct(list_filter(string_split(text, ' '),
+      |      x -> len(x) > 0))) AS tok
+      |  FROM documents WHERE doc_id < 200),
+      |rk AS (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*), tok)
+      |    AS rank
+      |  FROM toks GROUP BY tok),
+      |d2 AS (
+      |  SELECT doc, ra, sz,
+      |    CAST(sz - ceil(0.9 * sz) + 1 AS INT) AS plen
+      |  FROM (
+      |    SELECT doc, list_sort(list(rank)) AS ra, COUNT(*) AS sz
+      |    FROM toks JOIN rk USING (tok) GROUP BY doc) dd),
+      |pfx AS (
+      |  SELECT doc, sz, unnest(ra[1:plen]) AS rank FROM d2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      |  FROM pfx a JOIN pfx b ON a.rank = b.rank AND a.doc < b.doc
+      |    AND b.sz >= ceil(0.9 * a.sz)
+      |    AND a.sz >= ceil(0.9 * b.sz)),
+      |v AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(x.ra, y.ra)) AS BIGINT) AS inter,
+      |    CAST(x.sz AS BIGINT) AS sz_a, CAST(y.sz AS BIGINT) AS sz_b
+      |  FROM cand c
+      |  JOIN d2 x ON x.doc = c.id_a
+      |  JOIN d2 y ON y.doc = c.id_b)
+      |SELECT id_a, id_b, inter, sz_a, sz_b,
+      |  CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+      |FROM v
+      |WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q209_cdc_chunks" -> (q209CdcChunks _),
     "q213_quality_fusion" -> (q213QualityFusion _),
     "q214_sample_k_per_group" -> (q214SampleKPerGroup _),
+    "q215_jaccard_prefix_join" -> (q215JaccardPrefixJoin _),
     "q180_rouge_eval" -> (q180RougeEval _),
     "q181_cluster_keep_longest" -> (q181ClusterKeepLongest _),
     "q182_blocklist" -> (q182Blocklist _),
@@ -418,6 +467,7 @@ object CorpusQueries {
     "q209_cdc_chunks" -> q209Oracle,
     "q213_quality_fusion" -> q213Oracle,
     "q214_sample_k_per_group" -> q214Oracle,
+    "q215_jaccard_prefix_join" -> q215Oracle,
     "q180_rouge_eval" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -199,10 +199,10 @@ class PlanSpec2 extends SparkTestBase {
     assert(bnl <= 1, s"q211: $bnl nested-loop joins\n$p")
   }
 
-  test("SFT/curation batch 10 (q212-q214): no cartesians; " +
+  test("SFT/curation batch 10+ (q212-q215): no cartesians; " +
       "conversation assembly shuffles only on the session keys") {
     for (q <- Seq("q212_conversations", "q213_quality_fusion",
-        "q214_sample_k_per_group")) {
+        "q214_sample_k_per_group", "q215_jaccard_prefix_join")) {
       val p = SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), q)

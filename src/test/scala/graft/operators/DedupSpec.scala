@@ -539,4 +539,57 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(got === Map(1L -> "p q r s t u v", 2L -> "h i j k l m n o"))
   }
+
+  test("jaccardPrefixJoin: COMPLETE vs the brute-force truth (no " +
+      "false negatives, no false positives) on a Zipf-ish corpus") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    // Zipf-ish vocab: token t drawn with weight ~ 1/(t+1)
+    def draw(): String = {
+      val u = r.nextDouble()
+      s"w${math.min(99, (math.pow(200.0, u) - 1).toInt)}"
+    }
+    val raw = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    (0 until 120).foreach { i =>
+      if (i % 10 == 1 && raw.nonEmpty)
+        // planted near-dup: previous doc with one token swapped
+        raw += raw.last.dropRight(1) :+ "swapped"
+      else raw += (0 until 20).map(_ => draw()).distinct
+    }
+    val docs = raw.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val tau = 0.6
+    val got = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", tau)
+      .collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1)) -> r2.getDouble(5))
+      .toMap
+    // brute force truth on the same distinct-token sets
+    val sets = docs.collect().map { row =>
+      row.getLong(0) -> row.getString(1).split(" ")
+        .filter(_.nonEmpty).distinct.toSet
+    }
+    val truth = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = sa.intersect(sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= tau
+    } yield (ia, ib) -> jac).toMap
+    assert(got === truth, s"${got.size} vs truth ${truth.size}")
+    assert(truth.nonEmpty, "test corpus produced no similar pairs")
+  }
+
+  test("jaccardPrefixJoin prunes: candidate pairs stay far below " +
+      "the quadratic bound on a diverse corpus, and the plan has " +
+      "no cartesian") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, (0 until 15).map(t => s"tok_${i}_$t").mkString(" ")))
+      .toSeq.toDF("doc_id", "text")
+    // fully disjoint docs: zero pairs, and the run is cheap
+    val out = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 0.8)
+    assert(out.count() === 0L)
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
