@@ -43,44 +43,47 @@ object Cdc {
       s"need divisor >= 2, 1 <= minSize < maxSize " +
         s"($divisor, $minSize, $maxSize)")
     val mod = 1 << 20
-    val withH = docs
+    // ONE expression end to end: the fold input is the pre-computed
+    // code-point array (ascii evaluated once per char, no substring
+    // seek per step), the finish lambda closes the boundary list AND
+    // emits the (start, end) spans — so the O(n) fold is evaluated
+    // exactly once (any separate helper column would be
+    // CollapseProject-inlined into every consumer; the closed list
+    // `bs2` is re-evaluated a few times inside the O(b)-element
+    // finish, an O(b²) cost with b = boundary count — negligible)
+    val bs2 = "if(acc.last = n and size(acc.bs) > 0, acc.bs, " +
+      "concat(acc.bs, array(cast(n as int))))"
+    val spansExpr =
+      s"""aggregate(
+         |  transform(split(t, ''), ch -> ascii(ch)),
+         |  named_struct('i', 0, 'h', cast(0 as long), 'last', 0,
+         |    'bs', cast(array() as array<int>)),
+         |  (acc, c) -> if(acc.i + 1 - acc.last >= $maxSize
+         |      or (acc.i + 1 - acc.last >= $minSize
+         |        and (acc.h * 2 + c) % $mod % $divisor = 0),
+         |    named_struct('i', acc.i + 1,
+         |      'h', (acc.h * 2 + c) % $mod,
+         |      'last', acc.i + 1,
+         |      'bs', concat(acc.bs, array(acc.i + 1))),
+         |    named_struct('i', acc.i + 1,
+         |      'h', (acc.h * 2 + c) % $mod,
+         |      'last', acc.last, 'bs', acc.bs)),
+         |  acc -> transform(sequence(1, size($bs2)),
+         |    gi -> named_struct(
+         |      's', if(gi = 1, 0, element_at($bs2, gi - 1)),
+         |      'e', element_at($bs2, gi))))""".stripMargin
+    docs
       .select(col(idCol), col(textCol).as("t"),
         length(col(textCol)).as("n"))
       .filter(col("n") > 0)
-      // one pass: gear hash + sequential accept/force in a single
-      // fold, state (h, last boundary, bounds); h recomputes per
-      // branch (O(1) each) since SQL lambdas have no let-binding
-      .withColumn("bounds", expr(
-        s"""aggregate(sequence(1, n),
-           |  named_struct('h', cast(0 as long), 'last', 0,
-           |    'bs', cast(array() as array<int>)),
-           |  (acc, i) -> if(i - acc.last >= $maxSize
-           |      or (i - acc.last >= $minSize
-           |        and (acc.h * 2 + ascii(substring(t, i, 1)))
-           |          % $mod % $divisor = 0),
-           |    named_struct(
-           |      'h', (acc.h * 2 + ascii(substring(t, i, 1))) % $mod,
-           |      'last', i, 'bs', concat(acc.bs, array(i))),
-           |    named_struct(
-           |      'h', (acc.h * 2 + ascii(substring(t, i, 1))) % $mod,
-           |      'last', acc.last, 'bs', acc.bs)),
-           |  acc -> if(acc.last = n and size(acc.bs) > 0, acc.bs,
-           |    concat(acc.bs, array(cast(n as int)))))""".stripMargin))
-    // starts = 0 :: bounds[..-1], zipped in-row — no window, no
-    // shuffle; the whole operator stays a narrow scan
-    withH
-      .withColumn("spans", expr(
-        """arrays_zip(
-          |  concat(array(0), slice(bounds, 1, size(bounds) - 1)),
-          |  bounds)""".stripMargin))
+      .withColumn("spans", expr(spansExpr))
       .select(col(idCol), col("t"),
         posexplode(col("spans")).as(Seq("chunk_idx", "sp")))
       .select(col(idCol),
         col("chunk_idx").cast("long").as("chunk_idx"),
-        col("sp.0").cast("long").as("start"),
-        (col("sp.bounds") - col("sp.0")).cast("long")
-          .as("chunk_len"),
-        md5(expr("substring(t, sp.`0` + 1, sp.bounds - sp.`0`)"))
+        col("sp.s").cast("long").as("start"),
+        (col("sp.e") - col("sp.s")).cast("long").as("chunk_len"),
+        md5(expr("substring(t, sp.s + 1, sp.e - sp.s)"))
           .as("chunk_md5"))
   }
 }

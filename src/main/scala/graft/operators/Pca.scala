@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
 
 /** Embedding covariance + PCA/whitening — the linear-algebra step
   * embedding pipelines run before clustering/dedup (SemDeDup-class
@@ -125,27 +126,40 @@ object Pca {
     require(iters >= 1, s"powerIteration needs iters >= 1 ($iters)")
     def t12(x: Column): Column =
       floor(x * lit(1e12)).cast("double") / lit(1e12)
+    // job-count discipline (the q163 HITS lesson): ONE eager
+    // materialization per round, and the tiny frames coalesce so
+    // stages don't schedule 32 near-empty tasks over d rows
     val cov = covariance(df, vecCol)
       .select(col("i"), col("j"), col("cov"))
+      .coalesce(4)
       .localCheckpoint()
     var v = cov.select(col("i").as("vi")).distinct()
-      .select(col("vi"), lit(1.0).as("v"))
+      .select(col("vi"), lit(1.0).as("v"), lit(0.0).as("m"))
+      .coalesce(1)
       .localCheckpoint()
-    var lambda: DataFrame = null
+    // the max-abs normalizer rides as a WINDOW column over the
+    // d-row round output (one global partition of a frame that is
+    // already coalesce(1)) — identical arithmetic to the previous
+    // one-row-aggregate broadcast, one fewer job per round; each
+    // round is exactly one checkpoint job plus the matvec
+    // broadcast. Deferring the checkpoint (every 4th round) was
+    // MEASURED SLOWER: Catalyst re-analyzes the deepening plan at
+    // every broadcast materialization.
+    val wAll = Window.partitionBy()
     for (_ <- 1 to iters) {
-      val w = cov
-        .join(broadcast(v), col("j") === col("vi"))
+      v = cov
+        .join(broadcast(v.select(col("vi"), col("v"))),
+          col("j") === col("vi"))
         .groupBy(col("i"))
         .agg(sum(t12(col("cov") * col("v"))
           .cast(DecimalType(18, 15))).cast("double").as("w"))
-        .localCheckpoint()
-      lambda = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(lambda))
-        .select(col("i").as("vi"), t12(col("w") / col("m")).as("v"))
+        .withColumn("m", max(abs(col("w"))).over(wAll))
+        .select(col("i").as("vi"), t12(col("w") / col("m")).as("v"),
+          col("m"))
+        .coalesce(1)
         .localCheckpoint()
     }
-    v.crossJoin(broadcast(lambda))
-      .select(col("vi").as("i"), col("v"),
+    v.select(col("vi").as("i"), col("v"),
         t12(col("m")).as("lambda_inf"))
       .orderBy(col("i"))
   }
