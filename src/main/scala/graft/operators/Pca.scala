@@ -121,31 +121,25 @@ object Pca {
     * Output: (i, v, lambda_inf) — the normalized axis component per
     * dimension and the final infinity-norm growth factor (→ |λ₁| as
     * the iteration converges), ordered by i. */
-  def powerIteration(df: DataFrame, vecCol: String,
-      iters: Int = 8): DataFrame = {
-    require(iters >= 1, s"powerIteration needs iters >= 1 ($iters)")
-    def t12(x: Column): Column =
-      floor(x * lit(1e12)).cast("double") / lit(1e12)
-    // job-count discipline (the q163 HITS lesson): ONE eager
-    // materialization per round, and the tiny frames coalesce so
-    // stages don't schedule 32 near-empty tasks over d rows
-    val cov = covariance(df, vecCol)
-      .select(col("i"), col("j"), col("cov"))
-      .coalesce(4)
-      .localCheckpoint()
+  private def t12(x: Column): Column =
+    floor(x * lit(1e12)).cast("double") / lit(1e12)
+
+  /** The shared iteration loop over an (i, j, cov) cell table.
+    * Returns the un-presented (vi, v, m) frame. Job-count
+    * discipline (the q163 HITS lesson): ONE eager materialization
+    * per round; the max-abs normalizer rides as a WINDOW column
+    * over the d-row coalesce(1) round output (identical arithmetic
+    * to a one-row-aggregate broadcast, one fewer job per round).
+    * Deferring the per-round checkpoint (e.g. to every 4th round)
+    * was MEASURED SLOWER — Catalyst re-analyzes the deepening plan
+    * at every broadcast materialization. */
+  private def powerIterateCov(cov: DataFrame,
+      iters: Int): DataFrame = {
+    val wAll = Window.partitionBy()
     var v = cov.select(col("i").as("vi")).distinct()
       .select(col("vi"), lit(1.0).as("v"), lit(0.0).as("m"))
       .coalesce(1)
       .localCheckpoint()
-    // the max-abs normalizer rides as a WINDOW column over the
-    // d-row round output (one global partition of a frame that is
-    // already coalesce(1)) — identical arithmetic to the previous
-    // one-row-aggregate broadcast, one fewer job per round; each
-    // round is exactly one checkpoint job plus the matvec
-    // broadcast. Deferring the checkpoint (every 4th round) was
-    // MEASURED SLOWER: Catalyst re-analyzes the deepening plan at
-    // every broadcast materialization.
-    val wAll = Window.partitionBy()
     for (_ <- 1 to iters) {
       v = cov
         .join(broadcast(v.select(col("vi"), col("v"))),
@@ -159,7 +153,72 @@ object Pca {
         .coalesce(1)
         .localCheckpoint()
     }
-    v.select(col("vi").as("i"), col("v"),
+    v
+  }
+
+  def powerIteration(df: DataFrame, vecCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"powerIteration needs iters >= 1 ($iters)")
+    val cov = covariance(df, vecCol)
+      .select(col("i"), col("j"), col("cov"))
+      .coalesce(4)
+      .localCheckpoint()
+    powerIterateCov(cov, iters)
+      .select(col("vi").as("i"), col("v"),
+        t12(col("m")).as("lambda_inf"))
+      .orderBy(col("i"))
+  }
+
+  /** Second principal axis by HOTELLING DEFLATION, fully
+    * distributed: extract the leading axis u with
+    * [[powerIterateCov]], deflate the cell table —
+    * C' = C − λ·(u uᵀ)/(uᵀu) with the Rayleigh quotient
+    * λ = (uᵀ C u)/(uᵀ u), i.e. per cell
+    * C'ᵢⱼ = C ᵢⱼ − k·uᵢ·uⱼ with the ONE scalar
+    * k = t12(s1/(s2·s2)), s1 = Σ t12(Cᵢⱼ·uᵢ·uⱼ),
+    * s2 = Σ t12(uᵢ²) (both exact decimal sums) — then run the same
+    * iteration on C'. No driver state at any d; the deflation is
+    * one broadcast-join projection over the d² cells.
+    *
+    * Determinism: every scalar is a truncated fixed IEEE chain and
+    * both iterations are the q198 discipline, so the oracle unrolls
+    * the whole two-phase trajectory exactly. Output: (i, v,
+    * lambda_inf) for the SECOND axis, ordered by i. */
+  def secondAxisDeflated(df: DataFrame, vecCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"needs iters >= 1 ($iters)")
+    val cov = covariance(df, vecCol)
+      .select(col("i"), col("j"), col("cov"))
+      .coalesce(4)
+      .localCheckpoint()
+    val u = powerIterateCov(cov, iters)
+      .select(col("vi"), col("v"))
+      .coalesce(1)
+      .localCheckpoint()
+    val s1 = cov
+      .join(broadcast(u.select(col("vi").as("ai"),
+        col("v").as("va"))), col("i") === col("ai"))
+      .join(broadcast(u.select(col("vi").as("bj"),
+        col("v").as("vb"))), col("j") === col("bj"))
+      .agg(sum(t12(col("cov") * col("va") * col("vb"))
+        .cast(DecimalType(18, 15))).cast("double").as("s1"))
+    val s2 = u.agg(sum(t12(col("v") * col("v"))
+      .cast(DecimalType(18, 15))).cast("double").as("s2"))
+    val k = s1.crossJoin(broadcast(s2))
+      .select(t12(col("s1") / (col("s2") * col("s2"))).as("k"))
+    val cov2 = cov
+      .join(broadcast(u.select(col("vi").as("ai"),
+        col("v").as("va"))), col("i") === col("ai"))
+      .join(broadcast(u.select(col("vi").as("bj"),
+        col("v").as("vb"))), col("j") === col("bj"))
+      .crossJoin(broadcast(k))
+      .select(col("i"), col("j"),
+        t12(col("cov") - col("k") * col("va") * col("vb"))
+          .as("cov"))
+      .coalesce(4)
+      .localCheckpoint()
+    powerIterateCov(cov2, iters)
+      .select(col("vi").as("i"), col("v"),
         t12(col("m")).as("lambda_inf"))
       .orderBy(col("i"))
   }

@@ -74,6 +74,15 @@ object RankingQueries {
     graft.operators.Pca.powerIteration(embeddings(s, d), "embedding",
       iters = 8)
 
+  /** q216: SECOND principal axis by Hotelling deflation
+    * ([[graft.operators.Pca.secondAxisDeflated]]) — C' = C −
+    * λ·(u uᵀ)/(uᵀu) with the q198 axis as u, then the same 8-round
+    * iteration on C'; the oracle replays both phases and the
+    * Rayleigh scalars exactly. */
+  def q216SecondAxis(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca.secondAxisDeflated(embeddings(s, d),
+      "embedding", iters = 8)
+
   /** CJK-aware token CTE over plain documents (the q101 device
     * without the multilingual fixture concat). */
   private val TokCtes: String =
@@ -219,6 +228,7 @@ object RankingQueries {
     "q173_moore_lewis" -> (q173MooreLewis _),
     "q174_embedding_covariance" -> (q174EmbeddingCovariance _),
     "q198_power_iteration" -> (q198PowerIteration _),
+    "q216_second_axis" -> (q216SecondAxis _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -248,26 +258,32 @@ object RankingQueries {
         |FROM e JOIN mu ma ON e.i = ma.i JOIN mu mb ON e.j = mb.i
         |ORDER BY e.i, e.j""".stripMargin,
     "q198_power_iteration" -> q198Oracle,
+    "q216_second_axis" -> q216Oracle,
   )
 
-  /** q198 oracle: the q174 covariance CTEs + 8 unrolled matvec
-    * rounds, each MATERIALIZED (the q163 lesson: per-round CTEs are
-    * referenced twice — by the max and the normalize — and default
-    * inlining re-evaluates the whole chain exponentially). */
-  private lazy val q198Oracle: String = {
-    val rounds = (1 to 8).map { r =>
-      s"""w$r AS MATERIALIZED (
+  /** 8 unrolled matvec rounds over the cell CTE `covName`, CTE
+    * names prefixed `p`, each MATERIALIZED (the q163 lesson:
+    * per-round CTEs are referenced twice — by the max and the
+    * normalize — and default inlining re-evaluates the whole chain
+    * exponentially). Expects a `${p}v0` init CTE. */
+  private def piRounds(covName: String, p: String): String =
+    (1 to 8).map { r =>
+      s"""${p}w$r AS MATERIALIZED (
          |  SELECT cov.i,
          |    CAST(SUM(CAST(floor(cov.cov * v.v * 1e12) / 1e12
          |      AS DECIMAL(18,15))) AS DOUBLE) AS w
-         |  FROM cov JOIN v${r - 1} v ON cov.j = v.vi
+         |  FROM $covName cov JOIN ${p}v${r - 1} v ON cov.j = v.vi
          |  GROUP BY cov.i),
-         |m$r AS MATERIALIZED (SELECT MAX(abs(w)) AS m FROM w$r),
-         |v$r AS MATERIALIZED (
+         |${p}m$r AS MATERIALIZED (
+         |  SELECT MAX(abs(w)) AS m FROM ${p}w$r),
+         |${p}v$r AS MATERIALIZED (
          |  SELECT i AS vi, floor(w / m * 1e12) / 1e12 AS v
-         |  FROM w$r CROSS JOIN m$r)""".stripMargin
+         |  FROM ${p}w$r CROSS JOIN ${p}m$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH x AS (
+
+  /** q174's covariance CTE chain ending in `cov`. */
+  private lazy val covCtes: String =
+    s"""x AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
        |    CAST(unnest(embedding) AS DOUBLE) AS v
        |  FROM embeddings),
@@ -285,13 +301,48 @@ object RankingQueries {
        |  FROM p GROUP BY 1, 2),
        |cov AS MATERIALIZED (
        |  SELECT e.i, e.j, e.exy - ma.mu * mb.mu AS cov
-       |  FROM e JOIN mu ma ON e.i = ma.i JOIN mu mb ON e.j = mb.i),
+       |  FROM e JOIN mu ma ON e.i = ma.i
+       |  JOIN mu mb ON e.j = mb.i)""".stripMargin
+
+  private lazy val q198Oracle: String =
+    s"""WITH $covCtes,
        |v0 AS (SELECT DISTINCT i AS vi, 1e0 AS v FROM cov),
-       |$rounds
+       |${piRounds("cov", "")}
        |SELECT v8.vi AS i, v8.v, floor(m8.m * 1e12) / 1e12
        |  AS lambda_inf
        |FROM v8 CROSS JOIN m8 ORDER BY i""".stripMargin
-  }
+
+  /** q216 oracle: the full two-phase deflation trajectory — q198's
+    * 8 rounds, the Rayleigh scalars s1/s2, the deflated cell table,
+    * and 8 more rounds under the `b` prefix. */
+  private lazy val q216Oracle: String =
+    s"""WITH $covCtes,
+       |v0 AS (SELECT DISTINCT i AS vi, 1e0 AS v FROM cov),
+       |${piRounds("cov", "")},
+       |u AS MATERIALIZED (SELECT vi, v FROM v8),
+       |s1 AS MATERIALIZED (
+       |  SELECT CAST(SUM(CAST(floor(cov.cov * a.v * b.v * 1e12)
+       |    / 1e12 AS DECIMAL(18,15))) AS DOUBLE) AS s1
+       |  FROM cov JOIN u a ON cov.i = a.vi
+       |  JOIN u b ON cov.j = b.vi),
+       |s2 AS MATERIALIZED (
+       |  SELECT CAST(SUM(CAST(floor(v * v * 1e12) / 1e12
+       |    AS DECIMAL(18,15))) AS DOUBLE) AS s2
+       |  FROM u),
+       |kk AS MATERIALIZED (
+       |  SELECT floor(s1 / (s2 * s2) * 1e12) / 1e12 AS k
+       |  FROM s1 CROSS JOIN s2),
+       |cov2 AS MATERIALIZED (
+       |  SELECT cov.i, cov.j,
+       |    floor((cov.cov - kk.k * a.v * b.v) * 1e12) / 1e12 AS cov
+       |  FROM cov JOIN u a ON cov.i = a.vi
+       |  JOIN u b ON cov.j = b.vi
+       |  CROSS JOIN kk),
+       |bv0 AS (SELECT DISTINCT i AS vi, 1e0 AS v FROM cov2),
+       |${piRounds("cov2", "b")}
+       |SELECT bv8.vi AS i, bv8.v, floor(bm8.m * 1e12) / 1e12
+       |  AS lambda_inf
+       |FROM bv8 CROSS JOIN bm8 ORDER BY i""".stripMargin
 
   private lazy val q173Oracle: String =
     raw"""WITH tl AS (

@@ -96,4 +96,42 @@ class PcaSpec extends SparkTestBase {
       .toMap
     assert(rep === v)
   }
+
+  test("secondAxisDeflated recovers the Jacobi SECOND axis and " +
+      "eigenvalue; the two power axes are near-orthogonal") {
+    val rows = (0 until 80).map { i =>
+      val a = (i % 9) - 4.0
+      val b = ((i / 9) % 3 - 1.0) * 0.9
+      (i.toLong, Array(a.toFloat, (a * 0.5 + b).toFloat,
+        (b * 2.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val a1 = Pca.powerIteration(df, "embedding", iters = 16)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val out2 = Pca.secondAxisDeflated(df, "embedding", iters = 16)
+      .collect()
+    val a2 = out2.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val lam2 = out2.head.getDouble(2)
+    // Jacobi reference on the exact covariance
+    val cells = Pca.covariance(df, "embedding").collect()
+    val m = Array.ofDim[Double](3, 3)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val (vals, vecs) = Pca.jacobiEigen(m)
+    val ref = vecs(1)
+    val mx = ref.map(math.abs).max
+    val scaled = ref.map(_ / mx)
+    val dom = (0 until 3).maxBy(i => math.abs(scaled(i)))
+    val sign = if (scaled(dom) * a2(dom) < 0) -1.0 else 1.0
+    for (i <- 0 until 3)
+      assert(math.abs(a2(i) - sign * scaled(i)) < 1e-4,
+        s"axis2[$i]: ${a2(i)} vs ${sign * scaled(i)}")
+    assert(math.abs(lam2 - vals(1)) / vals(1) < 1e-4,
+      s"lambda2 $lam2 vs ${vals(1)}")
+    // near-orthogonality of the two max-abs-normalized axes
+    val dot = (0 until 3).map(i => a1(i) * a2(i)).sum
+    val n1 = math.sqrt((0 until 3).map(i => a1(i) * a1(i)).sum)
+    val n2 = math.sqrt((0 until 3).map(i => a2(i) * a2(i)).sum)
+    assert(math.abs(dot / (n1 * n2)) < 1e-3,
+      s"axes not orthogonal: cos=${dot / (n1 * n2)}")
+  }
 }
