@@ -185,16 +185,26 @@ object Pca {
     * the whole two-phase trajectory exactly. Output: (i, v,
     * lambda_inf) for the SECOND axis, ordered by i. */
   def secondAxisDeflated(df: DataFrame, vecCol: String,
+      iters: Int = 8): DataFrame =
+    topTwoAxes(df, vecCol, iters).filter(col("axis") === 2)
+      .select(col("i"), col("v"), col("lambda_inf"))
+      .orderBy(col("i"))
+
+  /** Both leading axes in one pass: the covariance and the first
+    * iteration are computed ONCE and shared between the q198 axis
+    * and its deflated successor. Output: (axis ∈ {1, 2}, i, v,
+    * lambda_inf). */
+  def topTwoAxes(df: DataFrame, vecCol: String,
       iters: Int = 8): DataFrame = {
     require(iters >= 1, s"needs iters >= 1 ($iters)")
     val cov = covariance(df, vecCol)
       .select(col("i"), col("j"), col("cov"))
       .coalesce(4)
       .localCheckpoint()
-    val u = powerIterateCov(cov, iters)
-      .select(col("vi"), col("v"))
+    val u1 = powerIterateCov(cov, iters)
       .coalesce(1)
       .localCheckpoint()
+    val u = u1.select(col("vi"), col("v"))
     val s1 = cov
       .join(broadcast(u.select(col("vi").as("ai"),
         col("v").as("va"))), col("i") === col("ai"))
@@ -217,10 +227,47 @@ object Pca {
           .as("cov"))
       .coalesce(4)
       .localCheckpoint()
-    powerIterateCov(cov2, iters)
-      .select(col("vi").as("i"), col("v"),
+    val u2 = powerIterateCov(cov2, iters)
+    u1.select(lit(1).as("axis"), col("vi").as("i"), col("v"),
         t12(col("m")).as("lambda_inf"))
-      .orderBy(col("i"))
+      .unionByName(u2.select(lit(2).as("axis"), col("vi").as("i"),
+        col("v"), t12(col("m")).as("lambda_inf")))
+  }
+
+  /** Whitened 2-component projection: each embedding's coordinates
+    * on the two leading power axes, scaled to UNIT VARIANCE —
+    * w = (x·v) / (‖v‖₂·√λ), which equals (x·v̂)/√λ for the unit
+    * axis v̂ (the power axes are max-abs normalized, so the ‖v‖₂
+    * factor must divide out; λ is the infinity-norm growth factor,
+    * which converges to the eigenvalue under EITHER normalization).
+    * One explode-join-aggregate pass over the corpus, axes
+    * broadcast; every product term 12-truncated into an exact
+    * decimal sum, final scale one truncated IEEE chain —
+    * engine-exact. Output: (idCol, w1, w2). */
+  def whitenedProject2(df: DataFrame, idCol: String,
+      vecCol: String, iters: Int = 8): DataFrame = {
+    val axes = topTwoAxes(df, vecCol, iters)
+      .coalesce(1)
+      .localCheckpoint()
+    val nrm = axes.groupBy(col("axis").as("naxis"))
+      .agg(sqrt(sum(t12(col("v") * col("v"))
+        .cast(DecimalType(18, 15))).cast("double")).as("nrm"))
+    val withNrm = axes.join(broadcast(nrm),
+      col("axis") === col("naxis"))
+    val x = df.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("i", "xv")))
+    def proj(axis: Int, out: String): DataFrame = x
+      .join(broadcast(withNrm.filter(col("axis") === axis)
+        .select(col("i"), col("v"), col("lambda_inf"),
+          col("nrm"))), "i")
+      .groupBy(col(idCol))
+      .agg(sum(t12(col("xv") * col("v"))
+          .cast(DecimalType(18, 15))).cast("double").as("p"),
+        max(col("lambda_inf")).as("lam"), max(col("nrm")).as("nr"))
+      .select(col(idCol),
+        t12(col("p") / (col("nr") * sqrt(col("lam")))).as(out))
+    proj(1, "w1").join(proj(2, "w2"), idCol).orderBy(col(idCol))
   }
 
   /** Project embeddings onto the top-k principal axes of their own

@@ -83,6 +83,14 @@ object RankingQueries {
     graft.operators.Pca.secondAxisDeflated(embeddings(s, d),
       "embedding", iters = 8)
 
+  /** q217: whitened 2-component projection
+    * ([[graft.operators.Pca.whitenedProject2]]) — each embedding's
+    * coordinates on the two leading power axes scaled by 1/√λ; the
+    * oracle replays both axis phases plus the projection pass. */
+  def q217WhitenedProjection(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca.whitenedProject2(embeddings(s, d), "vec_id",
+      "embedding", iters = 8)
+
   /** CJK-aware token CTE over plain documents (the q101 device
     * without the multilingual fixture concat). */
   private val TokCtes: String =
@@ -229,6 +237,7 @@ object RankingQueries {
     "q174_embedding_covariance" -> (q174EmbeddingCovariance _),
     "q198_power_iteration" -> (q198PowerIteration _),
     "q216_second_axis" -> (q216SecondAxis _),
+    "q217_whitened_projection" -> (q217WhitenedProjection _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -259,6 +268,7 @@ object RankingQueries {
         |ORDER BY e.i, e.j""".stripMargin,
     "q198_power_iteration" -> q198Oracle,
     "q216_second_axis" -> q216Oracle,
+    "q217_whitened_projection" -> q217Oracle,
   )
 
   /** 8 unrolled matvec rounds over the cell CTE `covName`, CTE
@@ -312,11 +322,11 @@ object RankingQueries {
        |  AS lambda_inf
        |FROM v8 CROSS JOIN m8 ORDER BY i""".stripMargin
 
-  /** q216 oracle: the full two-phase deflation trajectory — q198's
-    * 8 rounds, the Rayleigh scalars s1/s2, the deflated cell table,
-    * and 8 more rounds under the `b` prefix. */
-  private lazy val q216Oracle: String =
-    s"""WITH $covCtes,
+  /** Shared two-phase CTE chain: covariance, q198's 8 rounds, the
+    * Rayleigh scalars s1/s2, the deflated cell table, and 8 more
+    * rounds under the `b` prefix. */
+  private lazy val twoAxisCtes: String =
+    s"""$covCtes,
        |v0 AS (SELECT DISTINCT i AS vi, 1e0 AS v FROM cov),
        |${piRounds("cov", "")},
        |u AS MATERIALIZED (SELECT vi, v FROM v8),
@@ -339,10 +349,53 @@ object RankingQueries {
        |  JOIN u b ON cov.j = b.vi
        |  CROSS JOIN kk),
        |bv0 AS (SELECT DISTINCT i AS vi, 1e0 AS v FROM cov2),
-       |${piRounds("cov2", "b")}
+       |${piRounds("cov2", "b")}""".stripMargin
+
+  private lazy val q216Oracle: String =
+    s"""WITH $twoAxisCtes
        |SELECT bv8.vi AS i, bv8.v, floor(bm8.m * 1e12) / 1e12
        |  AS lambda_inf
        |FROM bv8 CROSS JOIN bm8 ORDER BY i""".stripMargin
+
+  /** q217 oracle: the two-phase chain + whitened projections —
+    * per-embedding decimal-exact dot with each axis, scaled by
+    * 1/√λ_inf. */
+  private lazy val q217Oracle: String =
+    s"""WITH $twoAxisCtes,
+       |xx AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS xv
+       |  FROM embeddings),
+       |n1 AS (
+       |  SELECT sqrt(CAST(SUM(CAST(floor(v * v * 1e12) / 1e12
+       |    AS DECIMAL(18,15))) AS DOUBLE)) AS nrm
+       |  FROM v8),
+       |n2 AS (
+       |  SELECT sqrt(CAST(SUM(CAST(floor(v * v * 1e12) / 1e12
+       |    AS DECIMAL(18,15))) AS DOUBLE)) AS nrm
+       |  FROM bv8),
+       |pw1 AS (
+       |  SELECT xx.vec_id,
+       |    floor(CAST(SUM(CAST(floor(xx.xv * v.v * 1e12) / 1e12
+       |      AS DECIMAL(18,15))) AS DOUBLE) /
+       |      (ANY_VALUE(n1.nrm) *
+       |        sqrt(floor(ANY_VALUE(m8.m) * 1e12) / 1e12)) * 1e12)
+       |      / 1e12 AS w1
+       |  FROM xx JOIN v8 v ON xx.i = v.vi CROSS JOIN m8
+       |  CROSS JOIN n1
+       |  GROUP BY xx.vec_id),
+       |pw2 AS (
+       |  SELECT xx.vec_id,
+       |    floor(CAST(SUM(CAST(floor(xx.xv * v.v * 1e12) / 1e12
+       |      AS DECIMAL(18,15))) AS DOUBLE) /
+       |      (ANY_VALUE(n2.nrm) *
+       |        sqrt(floor(ANY_VALUE(bm8.m) * 1e12) / 1e12)) * 1e12)
+       |      / 1e12 AS w2
+       |  FROM xx JOIN bv8 v ON xx.i = v.vi CROSS JOIN bm8
+       |  CROSS JOIN n2
+       |  GROUP BY xx.vec_id)
+       |SELECT pw1.vec_id, pw1.w1, pw2.w2
+       |FROM pw1 JOIN pw2 USING (vec_id) ORDER BY vec_id""".stripMargin
 
   private lazy val q173Oracle: String =
     raw"""WITH tl AS (

@@ -134,4 +134,30 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(dot / (n1 * n2)) < 1e-3,
       s"axes not orthogonal: cos=${dot / (n1 * n2)}")
   }
+
+  test("whitenedProject2 components have ~unit variance and are " +
+      "~uncorrelated (the point of whitening)") {
+    val r = new scala.util.Random(5)
+    val rows = (0 until 400).map { i =>
+      val a = r.nextGaussian() * 3
+      val b = r.nextGaussian()
+      (i.toLong, Array((a + b * 0.3).toFloat, (a * 0.4 - b).toFloat,
+        (b * 0.8 + a * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val w = Pca.whitenedProject2(df, "vec_id", "embedding",
+      iters = 20).collect().map(r2 =>
+        (r2.getDouble(1), r2.getDouble(2)))
+    val n = w.length.toDouble
+    def stats(xs: Array[Double]) = {
+      val mu = xs.sum / n
+      (mu, xs.map(x => (x - mu) * (x - mu)).sum / n)
+    }
+    val (m1, v1) = stats(w.map(_._1))
+    val (m2, v2) = stats(w.map(_._2))
+    assert(math.abs(v1 - 1.0) < 0.05, s"var(w1)=$v1")
+    assert(math.abs(v2 - 1.0) < 0.05, s"var(w2)=$v2")
+    val covW = w.map { case (x, y) => (x - m1) * (y - m2) }.sum / n
+    assert(math.abs(covW) < 0.05, s"cov(w1,w2)=$covW")
+  }
 }
