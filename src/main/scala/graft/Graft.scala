@@ -413,4 +413,23 @@ object Graft {
   def similarPairsExact(docs: DataFrame, id: String, text: String,
       tau: Double = 0.7): DataFrame =
     operators.Dedup.jaccardPrefixJoin(docs, id, text, tau)
+
+  /** Chunk-hash near-dup pairs over content-defined chunks —
+    * edit-shift-robust ([[operators.Cdc.sharedChunkPairs]]). */
+  def chunkDedupPairs(docs: DataFrame, id: String, text: String,
+      minShared: Int = 2): DataFrame =
+    operators.Cdc.sharedChunkPairs(docs, id, text,
+      minShared = minShared)
+
+  /** Both leading principal axes (power iteration + Hotelling
+    * deflation) ([[operators.Pca.topTwoAxes]]). */
+  def principalAxes(df: DataFrame, vec: String,
+      iters: Int = 8): DataFrame =
+    operators.Pca.topTwoAxes(df, vec, iters)
+
+  /** Unit-variance 2-component whitened embedding projection
+    * ([[operators.Pca.whitenedProject2]]). */
+  def whiten2(df: DataFrame, id: String, vec: String,
+      iters: Int = 8): DataFrame =
+    operators.Pca.whitenedProject2(df, id, vec, iters)
 }

@@ -86,4 +86,46 @@ object Cdc {
         md5(expr("substring(t, sp.s + 1, sp.e - sp.s)"))
           .as("chunk_md5"))
   }
+
+  /** Chunk-hash near-dup pairs — the dedup join [[chunks]] exists
+    * to feed: documents sharing content-defined chunks, found by an
+    * inverted index over chunk md5s. Because boundaries are
+    * content-defined, a shared span keeps producing IDENTICAL chunk
+    * hashes even when its position shifts between documents — the
+    * property that makes this robust where fixed windows misalign.
+    *
+    * Hot hashes (boilerplate chunks appearing in > `maxDf` docs)
+    * are dropped BEFORE the pair join, the same skew guard as the
+    * shingle index ([[Dedup.jaccardPairsWide]]); remaining posting
+    * lists bound pair work. Output: (id_a, id_b, shared_chunks,
+    * shared_chars), id_a < id_b, only pairs sharing ≥ `minShared`
+    * chunks. */
+  def sharedChunkPairs(docs: DataFrame, idCol: String,
+      textCol: String, divisor: Int = 64, minSize: Int = 16,
+      maxSize: Int = 256, maxDf: Int = 50,
+      minShared: Int = 2): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1,
+      s"maxDf >= 2, minShared >= 1 ($maxDf, $minShared)")
+    val ch = chunks(docs, idCol, textCol, divisor, minSize, maxSize)
+      .select(col(idCol).as("doc"), col("chunk_md5"),
+        col("chunk_len"))
+      // one row per (doc, hash): a chunk repeated WITHIN a doc
+      // counts once toward a cross-doc pair
+      .groupBy(col("doc"), col("chunk_md5"))
+      .agg(max(col("chunk_len")).as("chunk_len"))
+    val cool = ch
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk_md5"))))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+    cool.as("a")
+      .join(cool.as("b"),
+        col("a.chunk_md5") === col("b.chunk_md5") &&
+          col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"),
+        sum(col("a.chunk_len")).as("shared_chars"))
+      .filter(col("shared_chunks") >= minShared)
+  }
 }

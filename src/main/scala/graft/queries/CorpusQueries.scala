@@ -278,8 +278,10 @@ object CorpusQueries {
     graft.operators.Cdc.chunks(documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"), col("chunk_idx"))
 
-  private val q209Oracle: String =
-    """WITH d AS (
+  /** CDC CTE chain shared by q209 and q218, ending in a `chunks`
+    * CTE with one row per (doc, chunk). */
+  private val cdcCtes: String =
+    """d AS (
       |  SELECT doc_id, text AS t, CAST(len(text) AS INT) AS n
       |  FROM documents WHERE len(text) > 0),
       |b AS (
@@ -316,14 +318,39 @@ object CorpusQueries {
       |sp AS (
       |  SELECT doc_id, t, bs,
       |    list_prepend(0, bs[1:len(bs) - 1]) AS starts
-      |  FROM bb)
-      |SELECT doc_id, CAST(gi - 1 AS BIGINT) AS chunk_idx,
-      |  CAST(starts[gi] AS BIGINT) AS start,
-      |  CAST(bs[gi] - starts[gi] AS BIGINT) AS chunk_len,
-      |  md5(substr(t, starts[gi] + 1, bs[gi] - starts[gi]))
-      |    AS chunk_md5
-      |FROM sp, LATERAL unnest(generate_series(1, len(bs))) AS g(gi)
-      |ORDER BY doc_id, chunk_idx""".stripMargin
+      |  FROM bb),
+      |chunks AS (
+      |  SELECT doc_id, CAST(gi - 1 AS BIGINT) AS chunk_idx,
+      |    CAST(starts[gi] AS BIGINT) AS start,
+      |    CAST(bs[gi] - starts[gi] AS BIGINT) AS chunk_len,
+      |    md5(substr(t, starts[gi] + 1, bs[gi] - starts[gi]))
+      |      AS chunk_md5
+      |  FROM sp, LATERAL unnest(generate_series(1, len(bs)))
+      |    AS g(gi))""".stripMargin
+
+  private lazy val q209Oracle: String =
+    s"""WITH $cdcCtes
+       |SELECT doc_id, chunk_idx, start, chunk_len, chunk_md5
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private lazy val q218Oracle: String =
+    s"""WITH $cdcCtes,
+       |ch AS (
+       |  SELECT doc_id AS doc, chunk_md5,
+       |    MAX(chunk_len) AS chunk_len
+       |  FROM chunks GROUP BY 1, 2),
+       |cool AS (
+       |  SELECT doc, chunk_md5, chunk_len FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY chunk_md5) AS df
+       |    FROM ch) x
+       |  WHERE df <= 50)
+       |SELECT a.doc AS id_a, b.doc AS id_b,
+       |  COUNT(*) AS shared_chunks,
+       |  CAST(SUM(a.chunk_len) AS BIGINT) AS shared_chars
+       |FROM cool a JOIN cool b ON a.chunk_md5 = b.chunk_md5
+       |  AND a.doc < b.doc
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** q213: reciprocal-rank fusion of three incompatible quality
     * scorers — Flesch reading-ease, type-token ratio, and word
@@ -445,8 +472,18 @@ object CorpusQueries {
       |WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q218: chunk-hash near-dup pairs over the CDC chunks
+    * ([[graft.operators.Cdc.sharedChunkPairs]]) — the dedup join
+    * content-defined chunking exists to feed; hot chunk hashes
+    * dropped before the pair join (the shingle-index skew guard). */
+  def q218ChunkDedupPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Cdc.sharedChunkPairs(documents(s, d), "doc_id",
+        "text")
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q209_cdc_chunks" -> (q209CdcChunks _),
+    "q218_chunk_dedup_pairs" -> (q218ChunkDedupPairs _),
     "q213_quality_fusion" -> (q213QualityFusion _),
     "q214_sample_k_per_group" -> (q214SampleKPerGroup _),
     "q215_jaccard_prefix_join" -> (q215JaccardPrefixJoin _),
@@ -465,6 +502,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q209_cdc_chunks" -> q209Oracle,
+    "q218_chunk_dedup_pairs" -> q218Oracle,
     "q213_quality_fusion" -> q213Oracle,
     "q214_sample_k_per_group" -> q214Oracle,
     "q215_jaccard_prefix_join" -> q215Oracle,

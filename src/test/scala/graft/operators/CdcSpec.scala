@@ -79,6 +79,30 @@ class CdcSpec extends SparkTestBase {
       plan)
   }
 
+  test("sharedChunkPairs: docs sharing a long span pair up even " +
+      "with different prefixes; unrelated docs do not; boilerplate " +
+      "chunks over maxDf drop") {
+    val shared = mkDoc(99, 1500)
+    val docs = Seq(
+      (1L, "PREFIX-A " + shared),
+      (2L, "a different and much longer prefix here " + shared),
+      (3L, mkDoc(3, 1500)),                      // unrelated
+      (4L, shared)) ++                           // identical body
+      // boilerplate: the same 300-char block in 60 docs
+      (100L until 160L).map(i => (i, mkDoc(77, 300)))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Cdc.sharedChunkPairs(df, "doc_id", "text",
+      maxDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"shifted dup not found: $pairs")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // the 60-doc boilerplate block exceeds maxDf -> no pair storm
+    assert(!pairs.keys.exists(p => p._1 >= 100L))
+    // shared chunk count is large relative to the shared span
+    assert(pairs((1L, 2L)) >= 10)
+  }
+
   test("mean chunk size tracks the divisor") {
     val docs = Seq((1L, mkDoc(11, 20000))).toDF("doc_id", "text")
     val n = Cdc.chunks(docs, "doc_id", "text").count()
