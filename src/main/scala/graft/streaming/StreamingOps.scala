@@ -725,6 +725,71 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(cmsUpdate)
   }
 
+  case class MomentEvent(group: String, v: Double)
+
+  /** Per-group exact moment state: count + DECIMAL(18,6)-exact sums
+    * of v and v² (the q95 discipline — BigDecimal addition is
+    * associative and exact, so the state is arrival-order-
+    * independent), three numbers per group forever. */
+  case class MomentState(n: Long, sum: BigDecimal, sumsq: BigDecimal,
+      ver: Long)
+
+  case class MomentRow(group: String, ver: Long, n: Long, mu: Double,
+      m2: Double, sigma2: Double)
+
+  /** Spark's own double→DECIMAL(18,6) cast path, so streamed state
+    * arithmetic is bit-identical to the batch `davg(_, 6)` sums. */
+  private def dec6(x: Double): BigDecimal = {
+    val d = org.apache.spark.sql.types.Decimal(x)
+    d.changePrecision(18, 6)
+    d.toBigDecimal
+  }
+
+  private def momentsUpdate(group: String,
+      events: Iterator[MomentEvent],
+      state: GroupState[MomentState]): Iterator[MomentRow] = {
+    val prev = state.getOption.getOrElse(
+      MomentState(0L, BigDecimal(0), BigDecimal(0), 0L))
+    var n = prev.n
+    var s = prev.sum
+    var s2 = prev.sumsq
+    events.foreach { e =>
+      n += 1
+      s += dec6(e.v)
+      s2 += dec6(e.v * e.v)
+    }
+    val next = MomentState(n, s, s2, prev.ver + 1)
+    state.update(next)
+    val mu = s.toDouble / n
+    val m2 = s2.toDouble / n
+    Iterator.single(MomentRow(group, next.ver, n, mu, m2,
+      m2 - mu * mu))
+  }
+
+  /** CONTINUOUS per-group moments — the streaming form of the q95
+    * outlier statistics: exact decimal sums of v and v² folded in
+    * keyed state (three numbers per group, arrival-order-
+    * independent), versioned emission of (n, μ, E[v²], σ²) every
+    * trigger. The latest version per group is bit-identical to the
+    * batch `davg(value, 6)` / `davg(value², 6)` moments on the same
+    * prefix — the monitor a data-quality pipeline runs against a
+    * live ingest stream. Update output mode.
+    *
+    * Expects (`groupCol` string-castable, `valueCol` double). */
+  def streamingMoments(values: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String): Dataset[MomentRow] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    values
+      .select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("double").as("v"))
+      .as[MomentEvent]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(momentsUpdate)
+  }
+
   case class ConvEvent(user: String, tsUs: Long, ord: Long,
       text: String)
 
