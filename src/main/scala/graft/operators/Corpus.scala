@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /** Corpus-curation operators a large-scale training-data pipeline
   * runs between dedup and packing: source blocklisting, exact global
@@ -295,5 +295,64 @@ object Corpus {
     ranked.select(
       (col(idCol) +: scoreCols.map(c => col(s"rank_$c"))) :+
         fused.as("fused"): _*)
+  }
+
+  private def ln9c(x: Column): Column =
+    floor(log(x) * lit(1e9)).cast("double") / lit(1e9)
+
+  private def t9c(x: Column): Column =
+    floor(x * lit(1e9)).cast("double") / lit(1e9)
+
+  /** Token-distribution drift between a corpus slice and its
+    * complement — the KL/JS divergence report a data-quality
+    * pipeline runs when a new crawl lands or a filter changes
+    * ("did this batch shift the distribution?"). Unigram counts
+    * per side, add-one smoothing over the UNION vocabulary (so
+    * either side's missing tokens contribute their smoothed mass),
+    * p·ln(p/q) terms 9-truncated into exact decimal sums:
+    *
+    *  - kl_ab = Σ p·(ln p − ln q), kl_ba symmetric,
+    *  - js = ½·Σ p·(ln p − ln m) + ½·Σ q·(ln q − ln m),
+    *    m = (p+q)/2 — bounded, symmetric, the drift metric to
+    *    alert on.
+    *
+    * One token scan → two bounded (vocab-sized) count tables →
+    * one full-outer vocab join; corpus-sized work is the scan.
+    * Output: one row (vocab_union, tokens_a, tokens_b, kl_ab,
+    * kl_ba, js). */
+  def distributionDrift(docs: DataFrame, textCol: String,
+      sliceA: Column): DataFrame = {
+    val toks = docs.select(sliceA.as("a"),
+      explode(filter(split(col(textCol), " "),
+        x => length(x) > 0)).as("tok"))
+    val ca = toks.filter(col("a")).groupBy(col("tok"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = toks.filter(!col("a")).groupBy(col("tok"))
+      .agg(count(lit(1)).as("cb"))
+    val joined = ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(count(lit(1)).as("v"),
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    def dsum15(c: Column): Column =
+      sum(c.cast(DecimalType(18, 15))).cast("double")
+    joined.crossJoin(broadcast(tot))
+      .select(col("v"), col("na"), col("nb"),
+        ((col("ca") + 1).cast("double") /
+          (col("na") + col("v"))).as("p"),
+        ((col("cb") + 1).cast("double") /
+          (col("nb") + col("v"))).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .agg(max(col("v")).as("vocab_union"),
+        max(col("na")).as("tokens_a"),
+        max(col("nb")).as("tokens_b"),
+        dsum15(t9c(col("p") * (ln9c(col("p")) - ln9c(col("q")))))
+          .as("kl_ab"),
+        dsum15(t9c(col("q") * (ln9c(col("q")) - ln9c(col("p")))))
+          .as("kl_ba"),
+        (dsum15(t9c(col("p") * (ln9c(col("p")) - ln9c(col("m")))))
+          / 2 +
+          dsum15(t9c(col("q") * (ln9c(col("q")) - ln9c(col("m")))))
+          / 2).as("js"))
   }
 }

@@ -60,6 +60,8 @@ object Sft {
     * with the order-preserving sorted-struct aggregation
     * ([[SpanCorruption]]'s device) — one shuffle on the session
     * key, no per-group state beyond the capped turn list.
+    * (ts, orderCol) must be row-unique per user — orderCol is the
+    * tie-break that makes turn order total.
     *
     * Output: (userCol, session_idx, n_events, n_turns, rendered,
     * rendered_md5), session_idx 1-based per user. */
@@ -119,6 +121,8 @@ object Sft {
     * (score, −id) min ⇒ score asc then id desc — which combine
     * map-side, so a group never materializes its members.
     *
+    * Null scores must be filtered upstream (a null score field
+    * makes the lexicographic struct order engine-defined).
     * Output: (groupCols*, chosen_id, rejected_id, chosen_score,
     * rejected_score, margin, group_size). */
   def preferencePairs(scored: DataFrame, groupCols: Seq[String],

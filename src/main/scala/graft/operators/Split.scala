@@ -287,7 +287,9 @@ object Split {
     * an eval-set builder needs. One window per group over (hash,
     * key) — the per-group sort is bounded by group size; for
     * pathological mega-groups pre-thin with [[stratifiedSample]]
-    * first. */
+    * first. `keyCol` must be row-unique (it is both the hash seed
+    * and the tie-break); duplicate keys make the choice among their
+    * rows partition-dependent. */
   def sampleKPerGroup(df: DataFrame, groupCols: Seq[String],
       keyCol: String, k: Int): DataFrame = {
     require(groupCols.nonEmpty && k >= 1,

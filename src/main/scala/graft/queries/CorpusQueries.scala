@@ -481,8 +481,57 @@ object CorpusQueries {
         "text")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q219: token-distribution drift between the English slice and
+    * the rest of the corpus
+    * ([[graft.operators.Corpus.distributionDrift]]) — add-one
+    * smoothed unigram KL both ways + the bounded JS divergence, all
+    * terms ln9/t9-truncated into exact decimal sums. */
+  def q219DistributionDrift(s: SparkSession, d: String): DataFrame =
+    Corpus.distributionDrift(documents(s, d), "text",
+      col("lang") === "en")
+
+  private val q219Oracle: String =
+    """WITH toks AS (
+      |  SELECT lang = 'en' AS a,
+      |    unnest(list_filter(string_split(text, ' '),
+      |      x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |ca AS (SELECT tok, COUNT(*) AS ca FROM toks WHERE a
+      |  GROUP BY 1),
+      |cb AS (SELECT tok, COUNT(*) AS cb FROM toks WHERE NOT a
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+      |  FROM ca FULL OUTER JOIN cb USING (tok)),
+      |t AS (
+      |  SELECT COUNT(*) AS v, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM j),
+      |pq AS (
+      |  SELECT v, na, nb,
+      |    CAST(ca + 1 AS DOUBLE) / (na + v) AS p,
+      |    CAST(cb + 1 AS DOUBLE) / (nb + v) AS q
+      |  FROM j CROSS JOIN t),
+      |mm AS (SELECT *, (p + q) / 2 AS m FROM pq)
+      |SELECT MAX(v) AS vocab_union, MAX(na) AS tokens_a,
+      |  MAX(nb) AS tokens_b,
+      |  CAST(SUM(CAST(floor(p * (floor(ln(p) * 1e9) / 1e9 -
+      |    floor(ln(q) * 1e9) / 1e9) * 1e9) / 1e9
+      |    AS DECIMAL(18,15))) AS DOUBLE) AS kl_ab,
+      |  CAST(SUM(CAST(floor(q * (floor(ln(q) * 1e9) / 1e9 -
+      |    floor(ln(p) * 1e9) / 1e9) * 1e9) / 1e9
+      |    AS DECIMAL(18,15))) AS DOUBLE) AS kl_ba,
+      |  CAST(SUM(CAST(floor(p * (floor(ln(p) * 1e9) / 1e9 -
+      |    floor(ln(m) * 1e9) / 1e9) * 1e9) / 1e9
+      |    AS DECIMAL(18,15))) AS DOUBLE) / 2 +
+      |  CAST(SUM(CAST(floor(q * (floor(ln(q) * 1e9) / 1e9 -
+      |    floor(ln(m) * 1e9) / 1e9) * 1e9) / 1e9
+      |    AS DECIMAL(18,15))) AS DOUBLE) / 2 AS js
+      |FROM mm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q209_cdc_chunks" -> (q209CdcChunks _),
+    "q219_distribution_drift" -> (q219DistributionDrift _),
     "q218_chunk_dedup_pairs" -> (q218ChunkDedupPairs _),
     "q213_quality_fusion" -> (q213QualityFusion _),
     "q214_sample_k_per_group" -> (q214SampleKPerGroup _),
@@ -502,6 +551,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q209_cdc_chunks" -> q209Oracle,
+    "q219_distribution_drift" -> q219Oracle,
     "q218_chunk_dedup_pairs" -> q218Oracle,
     "q213_quality_fusion" -> q213Oracle,
     "q214_sample_k_per_group" -> q214Oracle,

@@ -168,6 +168,31 @@ class CorpusSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("distributionDrift: identical distributions give ~zero " +
+      "divergence, disjoint vocabularies give large; js is " +
+      "symmetric and bounded by ln 2") {
+    import spark.implicits._
+    def drift(docs: Seq[(Boolean, String)]) =
+      Corpus.distributionDrift(docs.toDF("a", "text"), "text",
+        col("a")).head()
+    val same = drift(Seq(
+      (true, "x y z x y"), (false, "x y z x y"),
+      (true, "x y z x y"), (false, "x y z x y")))
+    assert(math.abs(same.getDouble(3)) < 1e-6, s"kl_ab ${same}")
+    assert(math.abs(same.getDouble(5)) < 1e-6)
+    // counts large enough that add-one smoothing stops dominating
+    val sideA = ("aa bb cc aa bb aa " * 40).trim
+    val sideB = ("dd ee ff dd ee dd " * 40).trim
+    val far = drift(Seq((true, sideA), (false, sideB)))
+    assert(far.getDouble(5) > 0.5, s"js ${far.getDouble(5)}")
+    assert(far.getDouble(5) <= math.log(2.0) + 1e-9)
+    // symmetry of js under slice swap
+    val swapped = drift(Seq((false, sideA), (true, sideB)))
+    assert(math.abs(far.getDouble(5) - swapped.getDouble(5)) < 1e-12)
+    // kl directions swap
+    assert(math.abs(far.getDouble(3) - swapped.getDouble(4)) < 1e-12)
+  }
+
   test("rrfFusion: a doc ranked first everywhere gets the max " +
       "possible fused score; null scores rank last; ties break on " +
       "id") {
