@@ -432,4 +432,20 @@ object Graft {
   def whiten2(df: DataFrame, id: String, vec: String,
       iters: Int = 8): DataFrame =
     operators.Pca.whitenedProject2(df, id, vec, iters)
+
+  /** Embedding-space eval-set decontamination — nearest eval
+    * neighbor + contamination flag
+    * ([[operators.SimilaritySearch.semanticDecontaminate]]). */
+  def semanticDecontaminate(corpus: DataFrame, id: String,
+      evalSet: DataFrame, evalId: String, vec: String,
+      threshold: Double = 0.9): DataFrame =
+    operators.SimilaritySearch.semanticDecontaminate(corpus, id,
+      evalSet, evalId, vec, threshold)
+
+  /** Token-distribution drift (KL both ways + JS) between a corpus
+    * slice and its complement
+    * ([[operators.Corpus.distributionDrift]]). */
+  def distributionDrift(docs: DataFrame, text: String,
+      sliceA: org.apache.spark.sql.Column): DataFrame =
+    operators.Corpus.distributionDrift(docs, text, sliceA)
 }

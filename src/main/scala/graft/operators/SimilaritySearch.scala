@@ -678,4 +678,40 @@ object SimilaritySearch {
         .as("pm"))
       .withColumn("centroid", transform(col("pm"), x => x.getField("m")))
       .select(col("cell_id"), col("centroid"))
+
+  /** SEMANTIC decontamination: nearest eval-set embedding per corpus
+    * embedding, with a contamination flag at `threshold` — the
+    * embedding-space complement of the n-gram decontamination path
+    * ([[graft.operators.Dedup]]'s bloom/n-gram screens catch verbatim
+    * leakage; this catches paraphrased leakage the way recent model
+    * reports audit eval sets). Eval sets are small by nature, so the
+    * eval side BROADCASTS and the corpus never shuffles: one
+    * map-side pass scores |corpus|×|eval| pairs, and the per-corpus
+    * argmax rides a lexicographic struct max (ties → smaller eval
+    * id) that combines map-side. For corpora where even the map-side
+    * product is too hot, pre-shortlist with the banded ANN paths and
+    * verify here.
+    *
+    * Output: (idCol, eval_id, score, flagged), one row per corpus
+    * embedding, ordered by idCol. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+      evalSet: DataFrame, evalIdCol: String, vecCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("ce"))
+    val t = evalSet.select(col(evalIdCol).as("eid"),
+      col(vecCol).cast("array<double>").as("te"))
+    c.crossJoin(broadcast(t))
+      .select(col("cid"),
+        struct(
+          graft.functions.VectorFunctions.cosine(col("ce"),
+            col("te")).as("score"),
+          (-col("eid")).as("neid"), col("eid").as("eid")).as("sc"))
+      .groupBy(col("cid"))
+      .agg(max(col("sc")).as("top"))
+      .select(col("cid").as(idCol), col("top.eid").as("eval_id"),
+        col("top.score").as("score"),
+        (col("top.score") >= threshold).as("flagged"))
+      .orderBy(col(idCol))
+  }
 }

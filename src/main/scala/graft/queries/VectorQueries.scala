@@ -436,8 +436,41 @@ object VectorQueries {
        |SELECT u, v, score, CAST(rnk AS BIGINT) AS rnk FROM g2
        |ORDER BY u, rnk""".stripMargin
 
+  /** q220: semantic decontamination
+    * ([[SimilaritySearch.semanticDecontaminate]]) — nearest
+    * eval-set embedding (vec_id < 20 as the held-out set) per
+    * corpus embedding, contamination flag at 0.4 (the synthetic
+    * corpus's upper similarity range); eval side broadcast, corpus
+    * never shuffles. */
+  def q220SemanticDecon(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    SimilaritySearch.semanticDecontaminate(
+      emb.filter(col("vec_id") >= 20), "vec_id",
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      threshold = 0.4)
+  }
+
+  private val q220Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT c.vec_id AS cid, t.vec_id AS eid,
+      |    list_dot_product(c.e, t.e) /
+      |      (sqrt(list_dot_product(c.e, c.e)) *
+      |       sqrt(list_dot_product(t.e, t.e))) AS score
+      |  FROM v c JOIN v t ON t.vec_id < 20 AND c.vec_id >= 20),
+      |r AS (
+      |  SELECT cid, eid, score, ROW_NUMBER() OVER (
+      |    PARTITION BY cid ORDER BY score DESC, eid) AS rnk
+      |  FROM pairs)
+      |SELECT cid AS vec_id, eid AS eval_id, score,
+      |  score >= 0.4 AS flagged
+      |FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_nn_descent" -> (q211NnDescent _),
+    "q220_semantic_decon" -> (q220SemanticDecon _),
     "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
     "q113_hard_negatives" -> (q113HardNegatives _),
@@ -946,6 +979,7 @@ object VectorQueries {
          |ORDER BY qid, rnk""".stripMargin
     },
     "q211_nn_descent" -> q211Oracle,
+    "q220_semantic_decon" -> q220Oracle,
     "q31_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
         |           FROM embeddings),

@@ -284,4 +284,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.orderBy("cell_id").collect().map(_.toSeq).toSeq ===
       b.orderBy("cell_id").collect().map(_.toSeq).toSeq)
   }
+
+  test("semanticDecontaminate: a corpus copy of an eval vector is " +
+      "flagged at ~1.0; distant vectors are not; plan broadcasts " +
+      "the eval side only") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    def vec() = Array.fill(16)(r.nextGaussian().toFloat)
+    val evalSet = (0L until 5L).map(i => (i, vec()))
+    // corpus: id 100 duplicates eval 3, id 101 is a small
+    // perturbation of eval 1, the rest are fresh
+    val corpus = Seq(
+      (100L, evalSet(3)._2.clone()),
+      (101L, evalSet(1)._2.map(x => x + 0.01f))) ++
+      (102L until 140L).map(i => (i, vec()))
+    val out = SimilaritySearch.semanticDecontaminate(
+      corpus.toDF("vec_id", "embedding"), "vec_id",
+      evalSet.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.95)
+      .collect().map(r2 => r2.getLong(0) ->
+        ((r2.getLong(1), r2.getDouble(2), r2.getBoolean(3)))).toMap
+    assert(out(100L)._1 === 3L && out(100L)._3,
+      s"copy not flagged: ${out(100L)}")
+    assert(out(100L)._2 > 0.9999)
+    assert(out(101L)._1 === 1L && out(101L)._3)
+    // every corpus row reports exactly one nearest eval row
+    assert(out.size === 40)
+    // 16-dim gaussians: fresh vectors almost never hit 0.95
+    assert(out.count(_._2._3) <= 4)
+    val plan = SimilaritySearch.semanticDecontaminate(
+      corpus.toDF("vec_id", "embedding"), "vec_id",
+      evalSet.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
