@@ -194,4 +194,60 @@ object Eval {
       .drop((1 to 2).flatMap(n => Seq(s"__cg$n", s"__rg$n")) ++
         Seq("__ctk", "__rtk"): _*)
   }
+
+  /** Embedding-quality metrics of Wang & Isola 2020 ("Understanding
+    * Contrastive Representation Learning through Alignment and
+    * Uniformity"): alignment = E‖x−y‖² over POSITIVE pairs (here:
+    * same `labelCol`), uniformity = ln E[exp(−2‖x−y‖²)] over random
+    * pairs — lower is better for both; together they separate
+    * "collapsed" from "spread but unstructured" embedding spaces.
+    *
+    * Pair shapes, both cartesian-free: positives are an equi-join
+    * on the label (Σ n_label² — band hot labels upstream if one
+    * label dominates); the uniformity sample is the RANDOM-BUCKET
+    * pair design — md5-bucket each id into `buckets` buckets and
+    * take all pairs WITHIN a bucket (an equi-join on the bucket,
+    * ≈ n²/buckets pairs, deterministic, unbiased over unordered
+    * pairs since bucket assignment is independent of content).
+    *
+    * Exactness: ‖x−y‖² = xx + yy − 2xy from three sequential dots
+    * (the list_dot_product-parity kernel), 9-truncated; means are
+    * exact decimal sums over counts; exp/ln are floor-truncated
+    * (the q133 device). Output: one row (n_align_pairs, alignment,
+    * n_unif_pairs, uniformity). */
+  def alignmentUniformity(emb: DataFrame, idCol: String,
+      labelCol: String, vecCol: String,
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets >= 1 ($buckets)")
+    import graft.functions.VectorFunctions.dotF64
+    def t9(x: Column): Column =
+      floor(x * lit(1e9)).cast("double") / lit(1e9)
+    def ln9(x: Column): Column =
+      floor(log(x) * lit(1e9)).cast("double") / lit(1e9)
+    def e9(x: Column): Column =
+      floor(exp(x) * lit(1e9)).cast("double") / lit(1e9)
+    def dsum9(c: Column): Column =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+        .cast("double")
+    val v = emb.select(col(idCol).as("id"), col(labelCol).as("lb"),
+      col(vecCol).cast("array<double>").as("e"),
+      (conv(substring(md5(concat(lit("au:"), col(idCol))), 1, 8),
+        16, 10).cast("long") % buckets).as("bk"))
+    def d2: Column =
+      t9(dotF64(col("a.e"), col("a.e")) +
+        dotF64(col("b.e"), col("b.e")) -
+        lit(2.0) * dotF64(col("a.e"), col("b.e")))
+    val align = v.as("a")
+      .join(v.as("b"), col("a.lb") === col("b.lb") &&
+        col("a.id") < col("b.id"))
+      .agg(count(lit(1)).as("n_align_pairs"),
+        (dsum9(d2) / count(lit(1))).as("alignment"))
+    val unif = v.as("a")
+      .join(v.as("b"), col("a.bk") === col("b.bk") &&
+        col("a.id") < col("b.id"))
+      .agg(count(lit(1)).as("n_unif_pairs"),
+        ln9(dsum9(e9(lit(-2.0) * d2)) / count(lit(1)))
+          .as("uniformity"))
+    align.crossJoin(broadcast(unif))
+  }
 }

@@ -468,9 +468,51 @@ object VectorQueries {
       |  score >= 0.4 AS flagged
       |FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin
 
+  /** q221: alignment/uniformity embedding-quality metrics
+    * ([[graft.operators.Eval.alignmentUniformity]]) — same-label
+    * positives, random-bucket uniformity pair sample; one row. */
+  def q221AlignmentUniformity(s: SparkSession,
+      d: String): DataFrame =
+    graft.operators.Eval.alignmentUniformity(embeddings(s, d),
+      "vec_id", "label", "embedding")
+
+  private val q221Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id AS id, label AS lb,
+      |    CAST(embedding AS DOUBLE[]) AS e,
+      |    ('0x' || substr(md5('au:' || vec_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 32 AS bk
+      |  FROM embeddings),
+      |ap AS (
+      |  SELECT floor((list_dot_product(a.e, a.e) +
+      |    list_dot_product(b.e, b.e) -
+      |    2.0 * list_dot_product(a.e, b.e)) * 1e9) / 1e9 AS d2
+      |  FROM v a JOIN v b ON a.lb = b.lb AND a.id < b.id),
+      |aa AS (
+      |  SELECT COUNT(*) AS n_align_pairs,
+      |    CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE)
+      |      / COUNT(*) AS alignment
+      |  FROM ap),
+      |up AS (
+      |  SELECT floor((list_dot_product(a.e, a.e) +
+      |    list_dot_product(b.e, b.e) -
+      |    2.0 * list_dot_product(a.e, b.e)) * 1e9) / 1e9 AS d2
+      |  FROM v a JOIN v b ON a.bk = b.bk AND a.id < b.id),
+      |uu AS (
+      |  SELECT COUNT(*) AS n_unif_pairs,
+      |    floor(ln(
+      |      CAST(SUM(CAST(floor(exp(-2.0 * d2) * 1e9) / 1e9
+      |        AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)) * 1e9)
+      |      / 1e9 AS uniformity
+      |  FROM up)
+      |SELECT aa.n_align_pairs, aa.alignment, uu.n_unif_pairs,
+      |  uu.uniformity
+      |FROM aa CROSS JOIN uu""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_nn_descent" -> (q211NnDescent _),
     "q220_semantic_decon" -> (q220SemanticDecon _),
+    "q221_alignment_uniformity" -> (q221AlignmentUniformity _),
     "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
     "q113_hard_negatives" -> (q113HardNegatives _),
@@ -980,6 +1022,7 @@ object VectorQueries {
     },
     "q211_nn_descent" -> q211Oracle,
     "q220_semantic_decon" -> q220Oracle,
+    "q221_alignment_uniformity" -> q221Oracle,
     "q31_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
         |           FROM embeddings),
