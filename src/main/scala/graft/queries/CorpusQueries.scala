@@ -408,6 +408,84 @@ object CorpusQueries {
       |    1.0 / (60.0 + rank_wlen) AS fused
       |FROM rk ORDER BY doc_id""".stripMargin
 
+  /** q222: fused-quality curriculum — the q213 RRF quality score
+    * drives [[Corpus.curriculumInterleave]] (cleanest first, 5
+    * difficulty buckets round-robined): the composed
+    * "score → order → interleave" pipeline a curriculum-training
+    * run materializes. The oracle chains the q213 rank CTEs into
+    * q184's window replay of the interleave. */
+  def q222QualityCurriculum(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toks = filter(split(col("text"), " "),
+      x => length(x) > 0)
+    val scored = Corpus.readabilityStats(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("ttr"),
+        size(toks).cast("double").as("wlen")), "doc_id")
+    val fused = Corpus.rrfFusion(scored, "doc_id",
+        Seq("flesch", "ttr", "wlen"))
+      .withColumn("neg_fused", -col("fused"))
+    Corpus.curriculumInterleave(
+        fused.select(col("doc_id"), col("neg_fused"), col("fused")),
+        "neg_fused", "doc_id", buckets = 5)
+      .select(col("doc_id"), col("fused"), col("rnk"),
+        col("bucket"), col("pos"), col("training_pos"))
+      .orderBy(col("training_pos"))
+  }
+
+  private val q222Oracle: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |      AS BIGINT) AS words,
+      |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT)) AS sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS syllables,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+      |      AS t
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN words > 0 THEN
+      |      floor((CAST(206.835 AS DOUBLE) -
+      |        CAST(1.015 AS DOUBLE) *
+      |          (CAST(words AS DOUBLE) / sentences) -
+      |        CAST(84.6 AS DOUBLE) *
+      |          (CAST(syllables AS DOUBLE) / words)) * 1e9) / 1e9
+      |    END AS flesch,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+      |    CAST(len(t) AS DOUBLE) AS wlen
+      |  FROM c),
+      |rk AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY flesch DESC NULLS LAST,
+      |      doc_id) AS rank_flesch,
+      |    ROW_NUMBER() OVER (ORDER BY ttr DESC NULLS LAST, doc_id)
+      |      AS rank_ttr,
+      |    ROW_NUMBER() OVER (ORDER BY wlen DESC NULLS LAST, doc_id)
+      |      AS rank_wlen
+      |  FROM sc),
+      |f AS (
+      |  SELECT doc_id,
+      |    1.0 / (60.0 + rank_flesch) + 1.0 / (60.0 + rank_ttr) +
+      |      1.0 / (60.0 + rank_wlen) AS fused
+      |  FROM rk),
+      |t2 AS (
+      |  SELECT doc_id, fused,
+      |    row_number() OVER (ORDER BY fused DESC, doc_id) AS rnk,
+      |    ntile(5) OVER (ORDER BY fused DESC, doc_id) AS bucket
+      |  FROM f),
+      |p2 AS (
+      |  SELECT doc_id, fused, rnk, bucket,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY rnk)
+      |      AS pos
+      |  FROM t2)
+      |SELECT doc_id, fused, rnk, bucket, pos,
+      |  row_number() OVER (ORDER BY pos, bucket) AS training_pos
+      |FROM p2 ORDER BY training_pos""".stripMargin
+
   /** q214: exactly-3-per-(lang, source) deterministic sample
     * ([[graft.operators.Split.sampleKPerGroup]]) — the fixed-COUNT
     * eval-set builder the rate-based q80 sampler cannot express. */
@@ -535,6 +613,7 @@ object CorpusQueries {
     "q218_chunk_dedup_pairs" -> (q218ChunkDedupPairs _),
     "q213_quality_fusion" -> (q213QualityFusion _),
     "q214_sample_k_per_group" -> (q214SampleKPerGroup _),
+    "q222_quality_curriculum" -> (q222QualityCurriculum _),
     "q215_jaccard_prefix_join" -> (q215JaccardPrefixJoin _),
     "q180_rouge_eval" -> (q180RougeEval _),
     "q181_cluster_keep_longest" -> (q181ClusterKeepLongest _),
@@ -555,6 +634,7 @@ object CorpusQueries {
     "q218_chunk_dedup_pairs" -> q218Oracle,
     "q213_quality_fusion" -> q213Oracle,
     "q214_sample_k_per_group" -> q214Oracle,
+    "q222_quality_curriculum" -> q222Oracle,
     "q215_jaccard_prefix_join" -> q215Oracle,
     "q180_rouge_eval" ->
       """WITH tok AS (
