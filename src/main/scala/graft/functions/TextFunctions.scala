@@ -643,4 +643,20 @@ object TextFunctions {
       "n_ips" -> regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long"),
       "n_phones" -> regexp_count(afterIp, lit(PhonePattern)).cast("long"))
   }
+
+  /** Tokens mixing LATIN with CYRILLIC/GREEK inside one word — the
+    * homoglyph-spoofing signature (Cyrillic а/е/і/с pasted into
+    * Latin words: "pаypal", "miсrosoft") that spam/phishing text
+    * carries and Unicode TR39 calls mixed-script confusables. A
+    * whole-word script switch (quoting Greek in an English doc) is
+    * normal; a WITHIN-word mix almost never is, which makes the
+    * count a high-precision quality signal. Java `\p{IsLatin}`
+    * etc. are the script properties (RE2 mirror: `\p{Latin}`). */
+  def mixedScriptTokens(text: Column): Column =
+    filter(wsTokens(text), t =>
+      t.rlike("\\p{IsLatin}") &&
+        t.rlike("[\\p{IsCyrillic}\\p{IsGreek}]"))
+
+  def mixedScriptCount(text: Column): Column =
+    size(mixedScriptTokens(text)).cast("long")
 }

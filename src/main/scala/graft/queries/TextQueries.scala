@@ -213,6 +213,67 @@ object TextQueries {
     * and the reference formulas in RE2 classes + nfc_normalize —
     * proving the Java-vs-RE2 Unicode category walk equivalence the
     * ASCII corpus (q55) cannot. */
+  /** Mixed-script confusable fixtures for q223: homoglyph-spoofed
+    * brand words (Cyrillic а/е/і/о inside Latin words), clean
+    * Cyrillic, clean Latin, Greek with one Latin-Greek blend, and
+    * all-Greek + all-Latin words with no within-word mixing. */
+  val ScriptFixtures: Seq[String] = Seq(
+    "paуpal login sеcure site",
+    "привет мир чисто",
+    "hello normal latin words only",
+    "γεια σου κόσμε mixεd",
+    "mіcrosoft аpple cоrrupt brands",
+    "ΑΒΓ pure greek αβγ")
+
+  /** q223: mixed-script (homoglyph) quality gate
+    * ([[graft.functions.TextFunctions.mixedScriptTokens]]) over the
+    * fixture-prefixed corpus (the q63 device): per doc, the count
+    * and ratio of tokens blending Latin with Cyrillic/Greek inside
+    * one word — the TR39 confusable-spoofing signal; the oracle
+    * re-derives the corpus and the script walk in RE2 classes. */
+  def q223MixedScript(s: SparkSession, d: String): DataFrame = {
+    val tu = concat(
+      element_at(typedlit(ScriptFixtures),
+        (col("doc_id") % ScriptFixtures.length + 1).cast("int")),
+      lit(" "),
+      expr("substring(text, 1, CAST(1 + doc_id % 53 AS INT))"))
+    documents(s, d)
+      .select(col("doc_id"), tu.as("tu"))
+      .select(col("doc_id"),
+        wsTokenCount(col("tu")).cast("long").as("n_tokens"),
+        graft.functions.TextFunctions.mixedScriptCount(col("tu"))
+          .as("n_mixed"))
+      .withColumn("mixed_ratio",
+        col("n_mixed").cast("double") / col("n_tokens"))
+      .withColumn("flagged", col("n_mixed") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q223Oracle: String = {
+    val fx = ScriptFixtures.map(f =>
+      "'" + f.replace("'", "''") + "'").mkString("[", ", ", "]")
+    val mixedLen = "len(list_filter(t, x -> " +
+      "regexp_matches(x, '\\p{Latin}') AND " +
+      "regexp_matches(x, '[\\p{Cyrillic}\\p{Greek}]')))"
+    raw"""WITH tu AS (
+      |  SELECT doc_id,
+      |    fx[CAST(doc_id % 6 AS INT) + 1] || ' ' ||
+      |      substr(text, 1, CAST(1 + doc_id % 53 AS INT)) AS tu
+      |  FROM documents
+      |  CROSS JOIN (SELECT $fx AS fx)),
+      |tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(tu,
+      |      '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+      |      x -> len(x) > 0) AS t
+      |  FROM tu)
+      |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST($mixedLen AS BIGINT) AS n_mixed,
+      |  CAST($mixedLen AS DOUBLE) / len(t) AS mixed_ratio,
+      |  $mixedLen > 0 AS flagged
+      |FROM tk ORDER BY doc_id""".stripMargin
+  }
+
   def q63QualityUnicode(s: SparkSession, d: String): DataFrame = {
     val tu = concat(
       element_at(typedlit(UnicodeFixtures),
@@ -1365,6 +1426,7 @@ object TextQueries {
     "q57_simhash_neardups" -> (q57SimhashNearDups _),
     "q55_quality_gate" -> (q55QualityGate _),
     "q63_quality_unicode" -> (q63QualityUnicode _),
+    "q223_mixed_script" -> (q223MixedScript _),
     "q56_simhash_pairs" -> (q56SimhashPairs _),
     "q23_lang_distribution" -> (q23LangDistribution _),
     "q24_token_stats" -> (q24TokenStats _),
@@ -2824,6 +2886,7 @@ object TextQueries {
     // runs on the raw text like the reference. The fixture list is
     // injected from UnicodeFixtures so both engines derive
     // byte-identical inputs.
+    "q223_mixed_script" -> q223Oracle,
     "q63_quality_unicode" ->
       raw"""WITH base AS (
         | SELECT doc_id,

@@ -296,4 +296,24 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(dedupKeyStr("cafe deja vu") !== want)
     assert(dedupKeyStr(null) === null)
   }
+
+  test("mixedScriptCount: within-word Latin+Cyrillic/Greek blends " +
+      "count; whole-word script switches and clean text do not") {
+    import spark.implicits._
+    val cases = Seq(
+      // Cyrillic у and е inside Latin words -> 2
+      ("paуpal login sеcure site", 2L),
+      ("привет мир чисто", 0L),               // clean Cyrillic
+      ("hello normal latin words only", 0L),  // clean Latin
+      // Greek words + English words is fine; "mixεd" is not
+      ("γεια σου κόσμε mixεd", 1L),
+      ("mіcrosoft аpple cоrrupt brands", 3L),
+      ("ΑΒΓ pure greek αβγ", 0L),
+      ("", 0L))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.TextFunctions.mixedScriptCount(
+        org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
 }
