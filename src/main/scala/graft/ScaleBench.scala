@@ -407,6 +407,46 @@ object ScaleBench {
         "cdc_chunks" -> (() =>
           fullEval(graft.operators.Cdc.chunks(docs, "doc_id",
             "text"))),
+        // conversation assembly over the ×K event stream: two
+        // session-key windows + one sorted-struct aggregate — the
+        // row must track events linearly (user count is fixed, so
+        // per-user work grows ×K but stays one partition's sort).
+        "conversations" -> (() =>
+          fullEval(graft.operators.Sft.assembleConversations(
+            events.withColumn("ts",
+              timestamp_micros(col("t_us"))),
+            "user_id", "ts", "event_id", "event_type"))),
+        // semantic decontamination: corpus ×K against a FIXED
+        // 20-vector broadcast eval set — map-side only, must be
+        // linear in corpus vectors.
+        "semantic_decon" -> (() => {
+          val evalSet = emb.filter(col("vec_id") < 20)
+          fullEval(SimilaritySearch.semanticDecontaminate(
+            emb.filter(col("vec_id") >= 20), "vec_id", evalSet,
+            "vec_id", "embedding"))
+        }),
+        // exact prefix-filter Jaccard join on a ZIPF-vocab synthetic
+        // corpus (the operator's regime — the word-salad docs table
+        // has a ~31-token vocab where EVERY token is hot, which is
+        // the documented adversarial case): docs ×K with per-doc
+        // token sets drawn Zipf-style from doc_id hashes. The row
+        // tracks the rare-token posting lists — near-linear.
+        "jaccard_prefix" -> (() => {
+          // every 10th doc clones its predecessor's token seed so
+          // the join has true pairs to find (rows > 0 at every K)
+          val zipf = docs.select(col("doc_id"),
+            concat_ws(" ", expr(
+              """transform(sequence(0, 14), j ->
+                |  concat('zt', cast(cast(
+                |    pow(4000.0,
+                |      (conv(substring(md5(concat('zp:',
+                |        doc_id - cast(doc_id % 10 = 1 as int),
+                |        ':', j)), 1, 8), 16, 10) % 1000) / 1000.0)
+                |    as long) as string)))""".stripMargin))
+              .as("ztext"))
+          fullEval(Dedup.jaccardPrefixJoin(zipf, "doc_id",
+            "ztext", tau = 0.6))
+        }),
         // unigram Viterbi segmentation: corpus ×K collapses to the
         // SAME distinct-word table (replica token aside), so the row
         // must be nearly FLAT — growth here would mean the E-step
