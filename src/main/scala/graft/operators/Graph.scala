@@ -121,6 +121,61 @@ object Graph {
     pr.orderBy(col("node"))
   }
 
+  /** WEIGHTED PageRank: pr'(v) = t/N + d·Σ_{u→v} pr(u)·w(u,v)/W(u)
+    * with W(u) = Σ out-weights — the centrality a weighted source
+    * graph (co-occurrence counts, link multiplicities, endorsement
+    * strengths) calls for, where [[pageRank]]'s uniform 1/outdeg
+    * split would flatten the signal. Weights must be positive LONGS
+    * (counts): w/W is then one exact IEEE division per edge, and
+    * every round replays engine-exactly under the same t12/DECIMAL
+    * discipline as the uniform sibling. Duplicate (src, dst) edges
+    * collapse by summing their weights.
+    *
+    * Same loop shape and cost as [[pageRank]]: weight-annotated
+    * edges pre-partitioned once, ONE data-sized shuffle per round,
+    * no-in-edge nodes as a once-computed constant frame, one
+    * bounded driver count. `edges`: (src, dst, `weightCol` long). */
+  def pageRankWeighted(edges: DataFrame, weightCol: String,
+      iters: Int = 5, damping: Double = 0.85,
+      teleport: Double = 0.15): DataFrame = {
+    require(math.abs(damping + teleport - 1.0) < 1e-9,
+      s"damping ($damping) + teleport ($teleport) must sum to 1")
+    val e = edges
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val ed = e.join(e.groupBy(col("src").as("onode"))
+          .agg(sum(col("w")).as("wsum")),
+        col("src") === col("onode"))
+      .select(col("src"), col("dst"), col("w"), col("wsum"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nn = nodes.count()
+    val tpn = teleport / nn
+    var pr = nodes.select(col("node"), t12(lit(1.0 / nn)).as("pr"))
+      .localCheckpoint()
+    val noIn = nodes
+      .join(ed.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node"), t12(lit(tpn)).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val agg = ed
+        .join(pr, col("src") === col("node"))
+        .select(col("dst"),
+          (col("pr") * col("w") / col("wsum")).as("c"))
+        .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
+      pr = noIn.unionByName(
+          agg.select(col("dst").as("node"),
+            t12(lit(tpn) + lit(damping) * col("m")).as("pr")))
+        .localCheckpoint()
+    }
+    pr.orderBy(col("node"))
+  }
+
   /** Personalized PageRank (random walk with restart): the teleport
     * mass lands on the SEED set instead of uniformly —
     * pr'(v) = t·tele(v) + d·Σ_{u→v} pr(u)/outdeg(u) with

@@ -128,6 +128,11 @@ object Sft {
   def preferencePairs(scored: DataFrame, groupCols: Seq[String],
       idCol: String, scoreCol: String): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
+    require(scored.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric — the anti-symmetric " +
+        "tie-break negates it (string ids would cast to null and " +
+        "make ties engine-defined)")
     val id = col(idCol)
     val s = col(scoreCol)
     val packed = struct(s.as("score"), (-id).as("nid"), id.as("id"))

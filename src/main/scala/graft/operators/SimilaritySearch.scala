@@ -697,6 +697,10 @@ object SimilaritySearch {
   def semanticDecontaminate(corpus: DataFrame, idCol: String,
       evalSet: DataFrame, evalIdCol: String, vecCol: String,
       threshold: Double = 0.9): DataFrame = {
+    require(evalSet.schema(evalIdCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"evalIdCol '$evalIdCol' must be numeric — the argmax " +
+        "tie-break negates it")
     val c = corpus.select(col(idCol).as("cid"),
       col(vecCol).cast("array<double>").as("ce"))
     val t = evalSet.select(col(evalIdCol).as("eid"),

@@ -28,6 +28,53 @@ object GraphQueries {
   def q162PageRank(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.pageRank(edgesDf(s, d))
 
+  /** q224: 5-round WEIGHTED PageRank over the endorsement graph
+    * with edge multiplicity as the weight (how many line items a
+    * customer bought from a supplier) —
+    * [[graft.operators.Graph.pageRankWeighted]]; the uniform q162
+    * flattens a 50-lineitem relationship to the same pull as a
+    * 1-lineitem one, the weighted walk does not. */
+  def q224PageRankWeighted(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRankWeighted(
+      orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).cast("long").as("w")),
+      "w")
+
+  private val q224Oracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""wpr$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    floor((0.15 / wcnt.nn + 0.85 * COALESCE(s$i.m, 0.0))
+         |      * 1e12) / 1e12 AS pr
+         |  FROM wnodes n CROSS JOIN wcnt
+         |  LEFT JOIN (
+         |    SELECT ew.dst,
+         |      CAST(SUM(CAST(p.pr * ew.w / od.wsum
+         |        AS DECIMAL(18,15))) AS DOUBLE) AS m
+         |    FROM ew JOIN wpr${i - 1} p ON ew.src = p.node
+         |           JOIN wod od ON ew.src = od.onode
+         |    GROUP BY ew.dst) s$i ON s$i.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ew AS MATERIALIZED (
+       |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |wnodes AS MATERIALIZED (
+       |  SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+       |wcnt AS MATERIALIZED (SELECT COUNT(*) AS nn FROM wnodes),
+       |wod AS (SELECT src AS onode, CAST(SUM(w) AS BIGINT) AS wsum
+       |  FROM ew GROUP BY 1),
+       |wpr0 AS (
+       |  SELECT node, floor((1.0 / nn) * 1e12) / 1e12 AS pr
+       |  FROM wnodes CROSS JOIN wcnt),
+       |$rounds
+       |SELECT node, pr FROM wpr5 ORDER BY node""".stripMargin
+  }
+
   /** q163: 5-round HITS (max-normalized) over the same graph — the
     * auth side ranks suppliers by weighted endorsement, the hub side
     * ranks customers by breadth of good suppliers. */
@@ -479,6 +526,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_pagerank" -> (q162PageRank _),
+    "q224_pagerank_weighted" -> (q224PageRankWeighted _),
     "q163_hits" -> (q163Hits _),
     "q175_personalized_pagerank" -> (q175Ppr _),
     "q176_components" -> (q176Components _),
@@ -494,6 +542,7 @@ object GraphQueries {
 
   val oracle: Map[String, String] = Map(
     "q162_pagerank" -> q162Oracle,
+    "q224_pagerank_weighted" -> q224Oracle,
     "q163_hits" -> q163Oracle,
     "q175_personalized_pagerank" -> q175Oracle,
     "q176_components" -> q176Oracle,

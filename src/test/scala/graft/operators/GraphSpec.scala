@@ -312,4 +312,34 @@ class GraphSpec extends SparkTestBase {
     assert(r.getAs[Long]("m") === 4L)
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
+  test("pageRankWeighted: a heavy edge pulls rank toward its " +
+      "target; uniform weights reduce to plain pageRank; " +
+      "duplicate edges collapse by weight sum") {
+    import spark.implicits._
+    // star: s -> a (weight 9), s -> b (weight 1)
+    val w = Seq(("s", "a", 9L), ("s", "b", 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pageRankWeighted(w, "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // above-teleport mass splits 9:1 (pr("s") is the pure-teleport
+    // baseline — no in-edges)
+    val base = pr("s")
+    val ratio = (pr("a") - base) / (pr("b") - base)
+    assert(ratio > 8.5 && ratio < 9.5,
+      s"weight split wrong: ratio $ratio in $pr")
+    // all-equal weights == the uniform operator, value for value
+    val edges = Seq(("x", "y"), ("y", "z"), ("z", "x"), ("x", "z"))
+      .toDF("src", "dst")
+    val uni = Graph.pageRank(edges, iters = 4)
+      .collect().map(_.toSeq).toSeq
+    val wuni = Graph.pageRankWeighted(
+      edges.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      "w", iters = 4).collect().map(_.toSeq).toSeq
+    assert(uni === wuni)
+    // duplicates collapse: (s,a,4)+(s,a,5) == (s,a,9)
+    val dup = Seq(("s", "a", 4L), ("s", "a", 5L), ("s", "b", 1L))
+      .toDF("src", "dst", "w")
+    val prDup = Graph.pageRankWeighted(dup, "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prDup === pr)
+  }
 }
