@@ -202,7 +202,91 @@ object SftQueries {
       |  md5(rendered) AS rendered_md5
       |FROM r ORDER BY user_id, session_idx""".stripMargin
 
+  /** q225: the END-TO-END SFT data build — badwords gate → exact
+    * dedup → chat-template rendering → train/val/test hash split →
+    * token-budget sequence packing of the train split; per-bin
+    * packing stats out. Five oracle-gated operators composed into
+    * the one materialization an instruction-tuning run ships; the
+    * oracle chains each stage's established CTE replay. */
+  def q225SftBuild(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val bad = Seq("dup", "corrupt", "spam").toDF("word")
+    val clean = graft.operators.Corpus.badwordsFilter(
+      docs, "doc_id", "text", bad)
+    val keep = graft.operators.Dedup.exactDedup(clean, "doc_id",
+      "text").select(col("doc_id"))
+    val surv = clean.join(keep, "doc_id")
+    val rec = Sft.renderChat(surv, "doc_id", "text")
+    val train = graft.operators.Split.hashSplit(rec, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("split") === "train")
+    graft.operators.Packing.packSequences(
+        train.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = 512, shards = 8)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio", col("total_tokens") / lit(512.0))
+      .orderBy(col("bin"))
+  }
+
+  private val q225Oracle: String =
+    """WITH bw AS (
+      |  SELECT * FROM (VALUES ('dup'), ('corrupt'), ('spam'))
+      |    b(word)),
+      |btoks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |bm AS (
+      |  SELECT DISTINCT doc_id FROM btoks
+      |  JOIN bw ON btoks.tok = bw.word),
+      |clean AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM bm)),
+      |keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM clean
+      |  GROUP BY md5(text)),
+      |surv AS (
+      |  SELECT c.doc_id, c.text FROM clean c JOIN keep
+      |  USING (doc_id)),
+      |tl AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |    x -> len(x) > 0) AS t
+      |  FROM surv),
+      |rec AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+      |  FROM tl WHERE len(t) > 12),
+      |spl AS (
+      |  SELECT doc_id, n_tokens FROM (
+      |    SELECT *, ('0x' || substr(md5('split:' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+      |      AS bkt
+      |    FROM rec) x
+      |  WHERE bkt < 8000),
+      |pc AS (
+      |  SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+      |    SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum
+      |  FROM spl),
+      |pb AS (
+      |  SELECT doc_id, n_tokens,
+      |    shard * 1000000 + CAST(FLOOR(
+      |      CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS bin
+      |  FROM pc)
+      |SELECT bin, COUNT(*) AS n_records,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(SUM(n_tokens) AS BIGINT) / 512.0 AS fill_ratio
+      |FROM pb GROUP BY bin ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_sft_build" -> (q225SftBuild _),
     "q206_fim_transform" -> (q206FimTransform _),
     "q207_sft_render" -> (q207SftRender _),
     "q208_preference_pairs" -> (q208PreferencePairs _),
@@ -210,6 +294,7 @@ object SftQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q225_sft_build" -> q225Oracle,
     "q206_fim_transform" -> q206Oracle,
     "q207_sft_render" -> q207Oracle,
     "q208_preference_pairs" -> q208Oracle,
