@@ -140,7 +140,11 @@ object Graph {
       teleport: Double = 0.15): DataFrame = {
     require(math.abs(damping + teleport - 1.0) < 1e-9,
       s"damping ($damping) + teleport ($teleport) must sum to 1")
+    // nonpositive weights are dropped up front (a zero-weight-only
+    // source would otherwise divide 0/0): the documented contract
+    // is count-like positive weights
     val e = edges
+      .filter(col(weightCol).cast("long") > 0)
       .groupBy(col("src"), col("dst"))
       .agg(sum(col(weightCol).cast("long")).as("w"))
       .localCheckpoint()
