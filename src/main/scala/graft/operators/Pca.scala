@@ -140,8 +140,8 @@ object Pca {
       .select(col("vi"), lit(1.0).as("v"), lit(0.0).as("m"))
       .coalesce(1)
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      v = cov
+    for (r <- 1 to iters) {
+      val next = cov
         .join(broadcast(v.select(col("vi"), col("v"))),
           col("j") === col("vi"))
         .groupBy(col("i"))
@@ -151,7 +151,14 @@ object Pca {
         .select(col("i").as("vi"), t12(col("w") / col("m")).as("v"),
           col("m"))
         .coalesce(1)
-        .localCheckpoint()
+      // with the window normalizer a round is ONE broadcast + the
+      // materialization; cutting lineage every OTHER round halves
+      // the checkpoint jobs while the un-cut plan stays 2 rounds
+      // deep (the every-4 variant of the OLD 3-job shape was
+      // measured slower from analyzer re-work — at depth 2 the
+      // trade flips)
+      v = if (r % 2 == 0 || r == iters) next.localCheckpoint()
+      else next
     }
     v
   }
