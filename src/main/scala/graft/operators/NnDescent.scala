@@ -82,6 +82,84 @@ object NnDescent {
     }
   }
 
+  /** Graph-based ANN SERVING over a built k-NN graph (the HNSW
+    * layer-0 search discipline, batched): every query starts at a
+    * hash-derived entry node and runs `steps` rounds of best-first
+    * beam expansion — expand the beam's out-neighbors, score
+    * against the query, keep the best `beam` (the union with the
+    * previous beam makes the best-so-far set monotone, so the walk
+    * cannot regress even without an explicit visited set). Returns
+    * the top `k` per query.
+    *
+    * Shapes, per round: beam × graph equi-join on the node id
+    * (≤ beam·k candidate edges per query), one embedding lookup,
+    * one per-query top-beam window; queries ride along as rows, so
+    * a million queries batch through the same three keyed shuffles.
+    * Deterministic: the entry nodes and every tie (score desc, id)
+    * are pure functions of the inputs — the oracle unrolls the
+    * rounds.
+    *
+    * CONNECTIVITY: a pure k-NN graph over strongly clustered data
+    * fragments into per-cluster islands a single walk cannot leave
+    * (the failure HNSW's upper layers and NSW's long random links
+    * exist to fix). The batch remedies here: `entries` hash-derived
+    * entry points per query (each island reachable with prob.
+    * ≈ its mass × entries), and/or union the [[initGraph]] edges —
+    * random long links — into the serve graph.
+    * Output: (qid, cid, score, rnk). */
+  def greedySearch(graph: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int = 5, beam: Int = 8,
+      steps: Int = 4, entries: Int = 4): DataFrame = {
+    require(k >= 1 && beam >= k && steps >= 0 && entries >= 1,
+      s"need 1 <= k <= beam, steps >= 0, entries >= 1 " +
+        s"($k, $beam, $steps, $entries)")
+    val v = vecs(emb, idCol, vecCol)
+    val n = v.count()
+    val idx = v.select(col("id"))
+      .withColumn("i", row_number().over(Window.orderBy("id")) - 1)
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("qe"))
+    // entry nodes: ranks md5(qid, e) mod n in the id order
+    val entry = q
+      .select(col("qid"),
+        explode(sequence(lit(0), lit(entries - 1))).as("en"))
+      .withColumn("ti", h8("nns", col("qid"), col("en")) % lit(n))
+      .select(col("qid"), col("ti")).distinct()
+      .join(idx.select(col("i").as("ti"), col("id").as("cid")), "ti")
+      .join(q, "qid")
+      .select(col("qid"), col("qe"), col("cid"))
+    val edges = graph.select(col("u"), col("v"))
+    def scoreBeam(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      cand
+        .join(v.select(col("id").as("cid"), col("e")), "cid")
+        .withColumn("score", cosine(col("qe"), col("e")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= beam)
+        .select(col("qid"), col("qe"), col("cid"), col("score"),
+          col("rnk"))
+    }
+    var b = scoreBeam(entry)
+    for (_ <- 1 to steps) {
+      // dedupe on bare (qid, cid) and re-attach the query vector —
+      // distinct over the embedding array would hash 8·d doubles
+      // per candidate for nothing
+      val expand = b
+        .join(edges, col("cid") === col("u"))
+        .select(col("qid"), col("v").as("cid"))
+        .union(b.select(col("qid"), col("cid")))
+        .distinct()
+        .join(q, "qid")
+        .select(col("qid"), col("qe"), col("cid"))
+      b = scoreBeam(expand).localCheckpoint()
+    }
+    b.filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   private def vecs(emb: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"),

@@ -509,10 +509,90 @@ object VectorQueries {
       |  uu.uniformity
       |FROM aa CROSS JOIN uu""".stripMargin
 
+  /** q226: graph-based ANN SERVING
+    * ([[graft.operators.NnDescent.greedySearch]]) — best-first beam
+    * search over the q211 k-NN graph for the first 8 vectors as
+    * queries (k=5, beam=8, 3 steps); the oracle unrolls the whole
+    * build AND every search round. */
+  def q226GraphSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val g = graft.operators.NnDescent.knnGraph(emb, "vec_id",
+      "embedding", k = 6, iters = 2)
+    graft.operators.NnDescent.greedySearch(g, emb, "vec_id",
+        "embedding", emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", k = 5, beam = 8, steps = 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** One beam round: score `src`'s (qid, cid) pairs, keep top-8. */
+  private def beamScore(src: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT qid, cid, score, rnk FROM (
+       |    SELECT s.qid, s.cid, s.score,
+       |      ROW_NUMBER() OVER (PARTITION BY s.qid
+       |        ORDER BY s.score DESC, s.cid) AS rnk
+       |    FROM (
+       |      SELECT c.qid, c.cid,
+       |        list_dot_product(q.qe, b.e) /
+       |          (sqrt(list_dot_product(q.qe, q.qe)) *
+       |           sqrt(list_dot_product(b.e, b.e))) AS score
+       |      FROM $src c
+       |      JOIN qv q ON q.qid = c.qid
+       |      JOIN vv b ON b.id = c.cid) s)
+       |  WHERE rnk <= 8)""".stripMargin
+
+  private def beamRound(prev: String, sfx: String): String =
+    s"""bx$sfx AS (
+       |  SELECT DISTINCT qid, cid FROM (
+       |    SELECT b.qid, e.v AS cid FROM $prev b
+       |    JOIN g2 e ON b.cid = e.u
+       |    UNION ALL
+       |    SELECT qid, cid FROM $prev) u),
+       |${beamScore(s"bx$sfx", s"bb$sfx")}""".stripMargin
+
+  private lazy val q226Oracle: String =
+    s"""WITH vv AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |nn AS (SELECT COUNT(*) AS n FROM vv),
+       |idx AS (
+       |  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS i
+       |  FROM vv),
+       |ie AS (
+       |  SELECT x.id AS u, y.id AS v
+       |  FROM idx x
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) j
+       |  CROSS JOIN nn
+       |  JOIN idx y ON y.i = (x.i + 1 +
+       |    ('0x' || substr(md5('nn:' || x.id || ':' || j.j), 1, 8))
+       |      ::UBIGINT::BIGINT % (n - 1)) % n
+       |  GROUP BY 1, 2),
+       |${nnScore("ie", "g0")},
+       |${nnRound("g0", "1")},
+       |${nnRound("g1", "2")},
+       |qv AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 8),
+       |en AS (
+       |  SELECT DISTINCT q.qid, y.id AS cid
+       |  FROM qv q
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS en) en
+       |  CROSS JOIN nn
+       |  JOIN idx y ON y.i =
+       |    ('0x' || substr(md5('nns:' || q.qid || ':' || en.en),
+       |      1, 8))::UBIGINT::BIGINT % n),
+       |${beamScore("en", "bb0")},
+       |${beamRound("bb0", "1")},
+       |${beamRound("bb1", "2")},
+       |${beamRound("bb2", "3")}
+       |SELECT qid, cid, score, CAST(rnk AS BIGINT) AS rnk
+       |FROM bb3 WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_nn_descent" -> (q211NnDescent _),
     "q220_semantic_decon" -> (q220SemanticDecon _),
     "q221_alignment_uniformity" -> (q221AlignmentUniformity _),
+    "q226_graph_search" -> (q226GraphSearch _),
     "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
     "q113_hard_negatives" -> (q113HardNegatives _),
@@ -1023,6 +1103,7 @@ object VectorQueries {
     "q211_nn_descent" -> q211Oracle,
     "q220_semantic_decon" -> q220Oracle,
     "q221_alignment_uniformity" -> q221Oracle,
+    "q226_graph_search" -> q226Oracle,
     "q31_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
         |           FROM embeddings),

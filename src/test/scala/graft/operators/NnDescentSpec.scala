@@ -76,6 +76,33 @@ class NnDescentSpec extends SparkTestBase {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("greedySearch over the built graph reaches near-brute-force " +
+      "top-1 on clustered data and improves with steps") {
+    val emb = corpus(240)
+    val g = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 6,
+      iters = 2)
+    val queries = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") < 30)
+    val truth = SimilaritySearch.bruteForceTopKHeap(
+        queries, "vec_id", emb, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 8 clusters fragment a pure k-NN graph: single-entry search
+    // is stuck in the entry's island, multi-entry escapes (the
+    // operator's documented connectivity remedy)
+    def top1(steps: Int, entries: Int) =
+      NnDescent.greedySearch(g, emb, "vec_id", "embedding", queries,
+        "vec_id", "embedding", k = 1, beam = 8, steps = steps,
+        entries = entries)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hit0 = top1(0, 24).count { case (q, c) => truth(q) == c }
+    val hit4 = top1(4, 24).count { case (q, c) => truth(q) == c }
+    val hitSingle = top1(4, 1).count { case (q, c) => truth(q) == c }
+    assert(hit4 > hit0, s"no improvement: $hit0 -> $hit4")
+    assert(hit4 >= 24, s"top-1 recall ${hit4 / 30.0} after 4 steps")
+    assert(hit4 > hitSingle,
+      s"multi-entry must beat single-entry: $hitSingle vs $hit4")
+  }
+
   test("no cartesian product anywhere in the refine plan") {
     val emb = corpus(60)
     val plan = NnDescent.refine(
