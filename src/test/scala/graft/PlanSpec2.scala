@@ -208,4 +208,22 @@ class PlanSpec2 extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), q)
     }
   }
+
+  test("round-tail batch (q218-q226): no cartesians; the decon/" +
+      "uniformity pair joins are equi- or broadcast-shaped") {
+    for (q <- Seq("q218_chunk_dedup_pairs", "q219_distribution_drift",
+        "q221_alignment_uniformity", "q222_quality_curriculum",
+        "q224_pagerank_weighted", "q225_sft_build",
+        "q226_graph_search")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // q220's corpus x broadcast(eval) BNL is the audited compute
+    // surface (the q31 pattern) — pin that it stays broadcast
+    val p220 = SparkEntry.queries("q220_semantic_decon")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(p220.contains("BroadcastNestedLoopJoin") &&
+      !p220.contains("CartesianProduct"), s"q220\n$p220")
+  }
 }
