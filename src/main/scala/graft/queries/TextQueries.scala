@@ -346,6 +346,53 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q227: context-length frontier — [[q75SequencePacking]]'s
+    * packer swept over budgets 128/256/512/1024, one row per
+    * budget (bins produced, token total, mean fill): the
+    * capacity-planning report that picks a training context
+    * length. Four window passes over the same (doc, tokens) frame;
+    * the oracle replays each budget's q75 CTE chain. */
+  def q227PackingFrontier(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    Seq(128, 256, 512, 1024).map { b =>
+      graft.operators.Packing.packSequences(toks, "doc_id",
+          "n_tokens", budget = b, shards = 8)
+        .agg(countDistinct(col("bin")).as("n_bins"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(lit(b.toLong).as("budget"), col("n_bins"),
+          col("total_tokens"),
+          (col("total_tokens").cast("double") /
+            (col("n_bins") * b)).as("mean_fill"))
+    }.reduce(_ unionByName _).orderBy(col("budget"))
+  }
+
+  private lazy val q227Oracle: String = {
+    val per = Seq(128, 256, 512, 1024).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS budget,
+         |  COUNT(DISTINCT shard * 1000000 + CAST(FLOOR(
+         |    CAST(cum - n_tokens AS DOUBLE) / $b) AS BIGINT))
+         |    AS n_bins,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) /
+         |    (COUNT(DISTINCT shard * 1000000 + CAST(FLOOR(
+         |      CAST(cum - n_tokens AS DOUBLE) / $b) AS BIGINT))
+         |     * $b) AS mean_fill
+         |FROM c""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    doc_id % 8 AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS cum
+       |  FROM t)
+       |SELECT * FROM ($per) u ORDER BY budget""".stripMargin
+  }
+
   /** Sequence packing ([[graft.operators.Packing.packSequences]]):
     * documents binned into 512-token training sequences across 8
     * shards; per-bin document counts, token totals and fill ratio.
@@ -1421,6 +1468,7 @@ object TextQueries {
     "q73_dataset_split" -> (q73DatasetSplit _),
     "q74_cluster_split" -> (q74ClusterSplit _),
     "q75_sequence_packing" -> (q75SequencePacking _),
+    "q227_packing_frontier" -> (q227PackingFrontier _),
     "q79_data_profile" -> (q79DataProfile _),
     "q80_stratified_sample" -> (q80StratifiedSample _),
     "q57_simhash_neardups" -> (q57SimhashNearDups _),
@@ -2665,6 +2713,7 @@ object TextQueries {
         |SELECT 'text', COUNT(text), COUNT(*) - COUNT(text),
         | COUNT(DISTINCT text) FROM documents
         |ORDER BY column_name""".stripMargin,
+    "q227_packing_frontier" -> q227Oracle,
     "q75_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
