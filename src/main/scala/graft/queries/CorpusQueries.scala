@@ -607,7 +607,43 @@ object CorpusQueries {
       |    AS DECIMAL(18,15))) AS DOUBLE) / 2 AS js
       |FROM mm""".stripMargin
 
+  /** q228: token frequency-of-frequencies spectrum — the
+    * Good-Turing N_c table (how many types occur exactly c times)
+    * plus each count's corpus-mass share; the companion statistic
+    * to the q172 Zipf slope, and the input every smoothing
+    * estimator (Good-Turing, Kneser-Ney discounts) is fitted on.
+    * Two bounded aggregations after the token scan. */
+  def q228FreqSpectrum(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(explode(filter(split(col("text"), " "),
+        x => length(x) > 0)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum(col("c")).as("tot"))
+    tf.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(tot))
+      .select(col("c"), col("n_types"),
+        ((col("c") * col("n_types")).cast("double") / col("tot"))
+          .as("mass_share"))
+      .orderBy(col("c"))
+  }
+
+  private val q228Oracle: String =
+    """WITH tf AS (
+      |  SELECT tok, COUNT(*) AS c FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '),
+      |      x -> len(x) > 0)) AS tok
+      |    FROM documents) t
+      |  GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM tf)
+      |SELECT c, COUNT(*) AS n_types,
+      |  CAST(c * COUNT(*) AS DOUBLE) / ANY_VALUE(tot.tot)
+      |    AS mass_share
+      |FROM tf CROSS JOIN tot
+      |GROUP BY c ORDER BY c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_freq_spectrum" -> (q228FreqSpectrum _),
     "q209_cdc_chunks" -> (q209CdcChunks _),
     "q219_distribution_drift" -> (q219DistributionDrift _),
     "q218_chunk_dedup_pairs" -> (q218ChunkDedupPairs _),
@@ -630,6 +666,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q209_cdc_chunks" -> q209Oracle,
+    "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,
     "q218_chunk_dedup_pairs" -> q218Oracle,
     "q213_quality_fusion" -> q213Oracle,
