@@ -319,7 +319,16 @@ object Corpus {
     * One token scan → two bounded (vocab-sized) count tables →
     * one full-outer vocab join; corpus-sized work is the scan.
     * Output: one row (vocab_union, tokens_a, tokens_b, kl_ab,
-    * kl_ba, js). */
+    * kl_ba, js).
+    *
+    * Degenerate inputs are SIGNALED, not silently degraded: rows
+    * where `sliceA` is NULL belong to neither side and are dropped
+    * before counting (a null slice label is "provenance unknown",
+    * not a vote for either distribution), and if either side ends
+    * up with zero tokens the KL/JS columns are NULL — comparing a
+    * real distribution against pure smoothing mass is not a drift
+    * measurement, and a null tells the caller so machine-readably
+    * (tokens_a/tokens_b carry which side was empty). */
   def distributionDrift(docs: DataFrame, textCol: String,
       sliceA: Column): DataFrame = {
     val toks = docs.select(sliceA.as("a"),
@@ -347,12 +356,20 @@ object Corpus {
         max(col("na")).as("tokens_a"),
         max(col("nb")).as("tokens_b"),
         dsum15(t9c(col("p") * (ln9c(col("p")) - ln9c(col("q")))))
-          .as("kl_ab"),
+          .as("_kl_ab"),
         dsum15(t9c(col("q") * (ln9c(col("q")) - ln9c(col("p")))))
-          .as("kl_ba"),
+          .as("_kl_ba"),
         (dsum15(t9c(col("p") * (ln9c(col("p")) - ln9c(col("m")))))
           / 2 +
           dsum15(t9c(col("q") * (ln9c(col("q")) - ln9c(col("m")))))
-          / 2).as("js"))
+          / 2).as("_js"))
+      // an empty side means there is no distribution to compare —
+      // null the divergences instead of reporting KL against pure
+      // add-one smoothing mass
+      .select(Seq(col("vocab_union"), col("tokens_a"),
+        col("tokens_b")) ++
+        Seq("kl_ab", "kl_ba", "js").map(c =>
+          when(col("tokens_a") > 0 && col("tokens_b") > 0,
+            col(s"_$c")).as(c)): _*)
   }
 }

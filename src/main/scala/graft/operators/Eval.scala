@@ -214,7 +214,16 @@ object Eval {
     * (the list_dot_product-parity kernel), 9-truncated; means are
     * exact decimal sums over counts; exp/ln are floor-truncated
     * (the q133 device). Output: one row (n_align_pairs, alignment,
-    * n_unif_pairs, uniformity). */
+    * n_unif_pairs, uniformity).
+    *
+    * PRECONDITION (overflow envelope): embeddings are expected
+    * ℓ²-NORMALIZED (as every embed/ANN path in this engine emits) —
+    * then ‖x−y‖² ≤ 4 and the DECIMAL(18,9) pair-sum holds ~2.5e8
+    * pairs per unit of d2 before overflowing to null. Feeding
+    * un-normalized large-magnitude vectors (or >1e8-pair label
+    * blocks) can silently null alignment/uniformity; normalize
+    * first (the metric is defined on the hypersphere anyway —
+    * Wang & Isola §4). */
   def alignmentUniformity(emb: DataFrame, idCol: String,
       labelCol: String, vecCol: String,
       buckets: Int = 32): DataFrame = {

@@ -28,11 +28,18 @@ import graft.functions.VectorFunctions.cosine
   * (n−1)) mod n — a pure hash function of (id, j); scores are the
   * left-to-right double cosine that matches DuckDB's
   * list_dot_product bit-for-bit; ties break on neighbor id. The
-  * init ranking is a window over BARE IDS (n longs, not vectors);
-  * at extreme scale swap it for a zipWithIndex-style dense rank.
+  * init ranking comes from [[Corpus.globalRank]] (range-partitioned
+  * two-pass zipWithIndex) — identical ranks to `row_number() OVER
+  * (ORDER BY id)` with NO single-partition sort at any scale.
   *
   * Output: (u, v, score, rnk) — directed k-NN lists, rnk 1..k. */
 object NnDescent {
+
+  /** 0-based dense rank of every id in id order — the scale-correct
+    * form of `row_number().over(Window.orderBy("id")) - 1`. */
+  private def denseIndex(v: DataFrame): DataFrame =
+    Corpus.globalRank(v.select(col("id")), Seq(col("id")), "__r")
+      .select(col("id"), (col("__r") - 1L).as("i"))
 
   private def h8(salt: String, a: Column, b: Column): Column =
     conv(substring(md5(concat(lit(s"$salt:"), a, lit(":"), b)),
@@ -45,8 +52,7 @@ object NnDescent {
     val n = v.count()
     require(n >= 2 && k >= 1 && k < n,
       s"need 2 <= k+1 <= n (k=$k, n=$n)")
-    val idx = v.select(col("id"))
-      .withColumn("i", row_number().over(Window.orderBy("id")) - 1)
+    val idx = denseIndex(v)
     val edges = idx
       .select(col("id"), col("i"),
         explode(sequence(lit(0), lit(k - 1))).as("j"))
@@ -116,8 +122,10 @@ object NnDescent {
         s"($k, $beam, $steps, $entries)")
     val v = vecs(emb, idCol, vecCol)
     val n = v.count()
-    val idx = v.select(col("id"))
-      .withColumn("i", row_number().over(Window.orderBy("id")) - 1)
+    require(n >= 1,
+      s"greedySearch needs a non-empty embedding frame (n=$n): the " +
+        "entry-node expression takes ranks mod n")
+    val idx = denseIndex(v)
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("qe"))
     // entry nodes: ranks md5(qid, e) mod n in the id order

@@ -252,10 +252,17 @@ object Pca {
     * decimal sum, final scale one truncated IEEE chain —
     * engine-exact. Output: (idCol, w1, w2). */
   def whitenedProject2(df: DataFrame, idCol: String,
-      vecCol: String, iters: Int = 8): DataFrame = {
-    val axes = topTwoAxes(df, vecCol, iters)
-      .coalesce(1)
-      .localCheckpoint()
+      vecCol: String, iters: Int = 8): DataFrame =
+    whitenedProject2From(
+      topTwoAxes(df, vecCol, iters).coalesce(1).localCheckpoint(),
+      df, idCol, vecCol)
+
+  /** [[whitenedProject2]] over PREBUILT axes (a [[topTwoAxes]]
+    * result, typically served from a persisted
+    * [[ModelArtifacts.cached]] table — train once, project many):
+    * only the projection pass runs. */
+  def whitenedProject2From(axes: DataFrame, df: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val nrm = axes.groupBy(col("axis").as("naxis"))
       .agg(sqrt(sum(t12(col("v") * col("v"))
         .cast(DecimalType(18, 15))).cast("double")).as("nrm"))

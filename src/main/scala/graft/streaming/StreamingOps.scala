@@ -741,7 +741,12 @@ object StreamingOps {
     * arithmetic is bit-identical to the batch `davg(_, 6)` sums. */
   private def dec6(x: Double): BigDecimal = {
     val d = org.apache.spark.sql.types.Decimal(x)
-    d.changePrecision(18, 6)
+    // changePrecision returns false on overflow, where the batch
+    // DECIMAL(18,6) cast would yield null — fail loudly rather than
+    // silently carrying an unclamped value that breaks the
+    // bit-identical-to-batch guarantee.
+    require(d.changePrecision(18, 6),
+      s"value $x overflows DECIMAL(18,6); the batch path would null")
     d.toBigDecimal
   }
 
@@ -826,8 +831,15 @@ object StreamingOps {
       ConvState(Long.MinValue, 0L, 0L, Nil, 0L))
     val out = scala.collection.mutable.ArrayBuffer.empty[ConvRow]
     // within a micro-batch the iterator is unordered — restore the
-    // (ts, ord) total order the batch operator's windows use
-    events.toSeq.sortBy(e => (e.tsUs, e.ord)).foreach { e =>
+    // (ts, ord) total order the batch operator's windows use. A LATE
+    // event (ts < the open session's lastTs) arriving in a LATER
+    // micro-batch cannot be re-ordered into place (earlier events are
+    // already folded into state), so it is DROPPED: appending it
+    // would silently diverge from the batch operator, and the parity
+    // guarantee is "identical to batch on the in-order prefix".
+    events.toSeq.sortBy(e => (e.tsUs, e.ord))
+      .filter(e => st.sessionIdx == 0L || e.tsUs >= st.lastTs)
+      .foreach { e =>
       val gap = st.sessionIdx == 0L ||
         e.tsUs - st.lastTs > ConvGapUs
       if (gap) {

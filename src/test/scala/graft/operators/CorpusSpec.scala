@@ -191,6 +191,13 @@ class CorpusSpec extends SparkTestBase {
     assert(math.abs(far.getDouble(5) - swapped.getDouble(5)) < 1e-12)
     // kl directions swap
     assert(math.abs(far.getDouble(3) - swapped.getDouble(4)) < 1e-12)
+    // an empty side is signaled, not silently compared against pure
+    // smoothing mass: the KL/JS columns come back NULL
+    val oneSided = Corpus.distributionDrift(
+      Seq((true, "x y z")).toDF("a", "text"), "text", col("a")).head()
+    assert(oneSided.getLong(2) === 0L) // tokens_b
+    assert(oneSided.isNullAt(3) && oneSided.isNullAt(4) &&
+      oneSided.isNullAt(5))
   }
 
   test("rrfFusion: a doc ranked first everywhere gets the max " +

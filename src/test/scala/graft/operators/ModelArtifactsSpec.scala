@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Fingerprint-guarded artifact cache: build-once/serve-many, value
+  * equality through the parquet round-trip, rebuild on a changed
+  * fingerprint, and metadata-only content fingerprints that move when
+  * the input files do. */
+class ModelArtifactsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cached builds exactly once per (name, fingerprint), serves " +
+      "value-identical rows, and rebuilds under a new fingerprint") {
+    var builds = 0
+    def make() = { builds += 1; Seq((1L, 0.5), (2L, -0.25))
+      .toDF("id", "w") }
+    val a = ModelArtifacts.cached(spark, "spec_art", "fp1")(make())
+    val b = ModelArtifacts.cached(spark, "spec_art", "fp1")(make())
+    assert(builds === 1, "second call must serve, not rebuild")
+    assert(a.orderBy("id").collect().toSeq ===
+      b.orderBy("id").collect().toSeq)
+    assert(a.orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 0.5), (2L, -0.25)))
+    ModelArtifacts.cached(spark, "spec_art", "fp2")(make())
+    assert(builds === 2, "a changed fingerprint is a new artifact")
+    // the old artifact is still intact (no cross-key invalidation)
+    val again = ModelArtifacts.cached(spark, "spec_art", "fp1")(make())
+    assert(builds === 2 && again.count() === 2)
+  }
+
+  test("cached rejects non-identifier names (table-name safety)") {
+    intercept[IllegalArgumentException] {
+      ModelArtifacts.cached(spark, "Bad Name!", "x")(
+        Seq(1).toDF("a"))
+    }
+  }
+
+  test("contentFingerprint is metadata-only and moves when a file's " +
+      "bytes (length) or set membership change") {
+    val dir = Files.createTempDirectory("graft_fp").toString
+    val f = Paths.get(dir, "part.parquet")
+    Files.writeString(f, "aaaa")
+    val fp1 = ModelArtifacts.contentFingerprint(spark, dir,
+      Seq("part.parquet"))
+    val fp1b = ModelArtifacts.contentFingerprint(spark, dir,
+      Seq("part.parquet"))
+    assert(fp1 === fp1b, "stable under re-listing")
+    Files.writeString(f, "aaaabbbb") // longer -> new length
+    val fp2 = ModelArtifacts.contentFingerprint(spark, dir,
+      Seq("part.parquet"))
+    assert(fp1 !== fp2, "length change must change the fingerprint")
+  }
+}

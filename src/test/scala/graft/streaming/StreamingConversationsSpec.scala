@@ -71,4 +71,14 @@ class StreamingConversationsSpec extends SparkTestBase {
     val s2 = streamed(Seq(prefix, sorted.drop(8)))
     assert(s2 === batch(events))
   }
+
+  test("a late event (ts before the open session's lastTs) arriving " +
+      "in a later micro-batch is dropped, keeping streamed == batch " +
+      "on the in-order prefix") {
+    val inOrder = Seq((9L, 0L, 1L, "a"), (9L, 60L, 2L, "b"),
+      (9L, 120L, 3L, "c"), (9L, 180L, 4L, "d"))
+    val late = (9L, 30L, 9L, "LATE") // ts 30 < lastTs 120 at arrival
+    val s = streamed(Seq(inOrder.take(3), late +: inOrder.drop(3)))
+    assert(s === batch(inOrder))
+  }
 }
