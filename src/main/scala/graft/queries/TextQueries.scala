@@ -722,6 +722,41 @@ object TextQueries {
       q133NbQuality(s, d), "nb_logodds", "is_seed", "doc_id",
       bins = 5)
 
+  /** TRAINED language identification ([[graft.operators.LangId]]):
+    * multiclass NB over hashed char 1-3-grams (1024 md5 buckets,
+    * first 200 codepoints), trained on the 80% hash-split slice of
+    * the marked multilingual corpus with the TRUE `lang` labels,
+    * scoring the held-out 20% — the model that closes the zh
+    * coverage hole the engine's own q187 heuristic eval exposed
+    * (the marker heuristic has no Chinese list at all; a learned
+    * char-gram model picks up the CJK 1-grams for free). The oracle
+    * replays training (class-conditional counts over the full
+    * class×bucket space, smoothed priors) and the argmax scoring
+    * value-exactly, ties included (decimal comparison). */
+  def q229LangidNb(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.operators.Split.hashSplit(
+      langMarkedDocs(s, d), "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    graft.operators.LangId.trainScore(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") === "test"),
+        "doc_id", "text", "lang")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("guess"),
+        col("n_grams"), col("nb_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q187 RE-RUN over the LEARNED model: the held-out confusion
+    * matrix of [[q229LangidNb]] — (truth, guess, n) with the zh
+    * diagonal POPULATED (the q187 heuristic matrix is structurally
+    * off-diagonal for zh). LangIdSpec additionally pins that the
+    * trained matrix beats the heuristic's diagonal mass on the same
+    * held-out docs. */
+  def q230LangidConfusion(s: SparkSession, d: String): DataFrame =
+    graft.operators.LangId.confusion(q229LangidNb(s, d), "lang",
+      "guess")
+
   /** Data-mixture plan ([[graft.operators.Split.mixturePlan]]): the
     * per-source sizing table (natural vs α=0.5 target share, token
     * need, epochs, sampling rate) for a 30k-token budget over the
@@ -1449,6 +1484,8 @@ object TextQueries {
     "q133_nb_quality" -> (q133NbQuality _),
     "q134_nb_confusion" -> (q134NbConfusion _),
     "q143_nb_calibration" -> (q143NbCalibration _),
+    "q229_langid_nb" -> (q229LangidNb _),
+    "q230_langid_confusion" -> (q230LangidConfusion _),
     "q145_mixture_plan" -> (q145MixturePlan _),
     "q146_novelty_by_source" -> (q146NoveltyBySource _),
     "q148_snapshot_diff" -> (q148SnapshotDiff _),
@@ -1594,6 +1631,85 @@ object TextQueries {
       |  lab.is_seed
       |FROM sc CROSS JOIN pr JOIN lab ON sc.doc_id = lab.doc_id
       |ORDER BY sc.doc_id""".stripMargin
+
+  /** Shared CTE chain for the q229/q230 LID oracles: marker-planted
+    * text capped to 200 codepoints, char 1-3-grams via
+    * generate_series/substr (code-point semantics in BOTH engines),
+    * md5-prefix buckets, the densified class×bucket NB model with
+    * 9-truncated lns, smoothed priors, per-(doc, class) decimal
+    * score sums, and the (score DESC, cls DESC) argmax — every step
+    * the value-exact mirror of [[graft.operators.LangId]]. */
+  private val LangIdCtes: String =
+    raw"""lab AS (
+      |  SELECT doc_id, lang,
+      |    substr($LangMarkerCaseSql || ' ' || text, 1, 200) AS t,
+      |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+      |      1, 8))::UBIGINT % 10000 < 8000 AS is_train
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, is_train, lang,
+      |    unnest(list_transform(generate_series(1, len(t)),
+      |      i -> substr(t, i, 1))) AS g FROM lab
+      |  UNION ALL
+      |  SELECT doc_id, is_train, lang,
+      |    unnest(list_transform(generate_series(1, len(t) - 1),
+      |      i -> substr(t, i, 2))) FROM lab WHERE len(t) >= 2
+      |  UNION ALL
+      |  SELECT doc_id, is_train, lang,
+      |    unnest(list_transform(generate_series(1, len(t) - 2),
+      |      i -> substr(t, i, 3))) FROM lab WHERE len(t) >= 3),
+      |toks AS (
+      |  SELECT doc_id, is_train, lang,
+      |    ('0x' || substr(md5(g), 1, 8))::UBIGINT % 1024 AS b
+      |  FROM grams),
+      |cls AS (SELECT DISTINCT lang AS cls FROM lab WHERE is_train),
+      |counts AS (
+      |  SELECT lang AS ccls, b, COUNT(*) AS cn
+      |  FROM toks WHERE is_train GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT cls, gb.b, COALESCE(cn, 0) AS cn
+      |  FROM cls CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 1023)) AS b) gb
+      |  LEFT JOIN counts ON cls = ccls AND gb.b = counts.b),
+      |model AS (
+      |  SELECT cls, b,
+      |    floor(ln((cn + 1.0e0) /
+      |      (SUM(cn) OVER (PARTITION BY cls) + 1024.0e0)) * 1e9)
+      |      / 1e9 AS lp
+      |  FROM dense),
+      |pr AS (
+      |  SELECT lang AS pcls,
+      |    floor(ln((COUNT(*) + 1.0e0) /
+      |      ((SELECT COUNT(*) FROM lab WHERE is_train) +
+      |       (SELECT COUNT(*) FROM cls) + 0.0e0)) * 1e9) / 1e9 AS pp
+      |  FROM lab WHERE is_train GROUP BY 1),
+      |percls AS (
+      |  SELECT t.doc_id, m.cls, COUNT(*) AS n_grams,
+      |    SUM(CAST(lp AS DECIMAL(18,9))) AS gsum
+      |  FROM toks t JOIN model m ON t.b = m.b
+      |  WHERE NOT t.is_train GROUP BY 1, 2),
+      |fin AS (
+      |  SELECT doc_id, cls, n_grams,
+      |    gsum + CAST(pp AS DECIMAL(18,9)) AS sc
+      |  FROM percls JOIN pr ON percls.cls = pr.pcls),
+      |best AS (
+      |  SELECT doc_id, n_grams, cls AS guess,
+      |    CAST(sc AS DOUBLE) AS nb_score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY sc DESC, cls DESC) AS rn
+      |  FROM fin)""".stripMargin
+
+  private val q229Oracle: String =
+    raw"""WITH $LangIdCtes
+      |SELECT b.doc_id, l.lang, b.guess, b.n_grams, b.nb_score
+      |FROM best b JOIN lab l USING (doc_id)
+      |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin
+
+  private val q230Oracle: String =
+    raw"""WITH $LangIdCtes
+      |SELECT l.lang AS truth, b.guess, COUNT(*) AS n
+      |FROM best b JOIN lab l USING (doc_id)
+      |WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** The q126 corpus-build replay (quality funnel + exact keeper
     * + LSH→Jaccard→components→min-id survivors) as a standalone
@@ -1807,6 +1923,8 @@ object TextQueries {
         |    END AS bleu_nobp
         |FROM wide ORDER BY doc_id""".stripMargin,
     "q133_nb_quality" -> q133Oracle,
+    "q229_langid_nb" -> q229Oracle,
+    "q230_langid_confusion" -> q230Oracle,
     "q134_nb_confusion" ->
       s"""WITH scored AS ($q133Oracle)
         |SELECT tp, fp, fn, tn,
