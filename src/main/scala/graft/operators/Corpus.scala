@@ -30,6 +30,76 @@ object Corpus {
       Seq(keyCol), "left_anti")
   }
 
+  /** Hostname from a raw URL: the authority component with scheme,
+    * userinfo, port, path/query/fragment and any trailing dot
+    * stripped, lowercased; NULL when the string has no
+    * `scheme://host` shape. One regex in the Java-regex ∩ RE2
+    * intersection (the q108 discipline), so SQL engines replay it
+    * byte-identically — the normalizer raw-URL provenance needs
+    * before per-domain caps/blocklists can key on anything. */
+  def urlHost(url: Column): Column = {
+    val h = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)", 1))
+    when(length(h) > 0, regexp_replace(h, "\\.$", ""))
+  }
+
+  /** Registrable domain (eTLD+1) of every row's raw URL against a
+    * snapshotted PUBLIC-SUFFIX LIST (`psl`: one `suffix` column of
+    * dotted label rules, e.g. "com", "co.uk", "github.io") — the
+    * per-domain unit C4/RefinedWeb-class pipelines cap and block on
+    * ("per domain" is eTLD+1, not raw host: news.bbc.co.uk and
+    * www.bbc.co.uk are both bbc.co.uk).
+    *
+    * Longest-suffix match (the PSL algorithm, plain rules): the
+    * public suffix is the longest rule matching a label-boundary
+    * suffix of the host, defaulting to the rightmost label when no
+    * rule matches (the PSL `*` prevailing rule); eTLD+1 is the
+    * suffix plus one preceding label, NULL when the host IS a bare
+    * public suffix (nothing registrable). Wildcard/exception PSL
+    * rules are out of scope for the snapshot fixture and documented
+    * so.
+    *
+    * Scale shape: candidate suffixes explode from DISTINCT hosts
+    * only (≤`maxSuffixLabels` rows each), the rule list BROADCASTS,
+    * and the per-host verdict joins back on the host key — the
+    * corpus itself never carries the explode. Adds (host,
+    * public_suffix, etld1). */
+  def registrableDomains(df: DataFrame, urlCol: String,
+      psl: DataFrame, maxSuffixLabels: Int = 4): DataFrame = {
+    require(maxSuffixLabels >= 1,
+      s"maxSuffixLabels >= 1 ($maxSuffixLabels)")
+    val pslCol = psl.columns.head
+    val rules = broadcast(
+      psl.select(lower(col(pslCol)).as("__cand")).distinct())
+    val withHost = df.withColumn("host", urlHost(col(urlCol)))
+    val hosts = withHost.select(col("host"))
+      .where(col("host").isNotNull).distinct()
+    def lab = split(col("host"), "\\.")
+    val matched = hosts
+      .select(col("host"), lab.as("__lab"), size(lab).as("__n"))
+      .select(col("host"), col("__lab"),
+        explode(sequence(lit(1),
+          least(col("__n"), lit(maxSuffixLabels)))).as("__l"))
+      .select(col("host"),
+        concat_ws(".", slice(col("__lab"), -col("__l"), col("__l")))
+          .as("__cand"), col("__l"))
+      .join(rules, Seq("__cand"))
+      .groupBy(col("host"))
+      .agg(max(col("__l")).as("__m"))
+    val info = hosts
+      .join(matched, Seq("host"), "left")
+      .select(col("host"), lab.as("__lab"), size(lab).as("__n"),
+        coalesce(col("__m"), lit(1)).as("__mm")) // PSL '*' default
+      .select(col("host"),
+        concat_ws(".",
+          slice(col("__lab"), -col("__mm"), col("__mm")))
+          .as("public_suffix"),
+        when(col("__n") > col("__mm"),
+          concat_ws(".", slice(col("__lab"), -(col("__mm") + 1),
+            col("__mm") + 1))).as("etld1"))
+    withHost.join(info, Seq("host"), "left")
+  }
+
   /** C4-style badwords document filter (Raffel et al. 2020 §2.2 —
     * the "List of Dirty, Naughty ... Words" gate every public web
     * corpus applies): drop any document containing at least one

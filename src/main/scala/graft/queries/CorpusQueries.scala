@@ -15,6 +15,96 @@ import graft.operators.{Corpus, Dedup, Eval}
   */
 object CorpusQueries {
 
+  /** Snapshotted public-suffix-list fixture for q158 (plain rules
+    * only — the longest-match core of the PSL; wildcard/exception
+    * rules are documented out of scope in
+    * [[graft.operators.Corpus.registrableDomains]]). Shared verbatim
+    * with the oracle's VALUES list so both engines match against the
+    * identical snapshot. */
+  private val PslFixture: Seq[String] = Seq(
+    "com", "net", "org", "edu", "gov", "io", "uk", "au", "jp",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+    "co.jp", "github.io")
+
+  /** Synthetic raw-URL provenance: 8 hosts cycling by doc_id,
+    * chosen to exercise every PSL branch — multi-label suffix
+    * (co.uk, two hosts collapsing into ONE bbc.co.uk domain),
+    * suffix-wins-over-TLD precedence (github.io beats io, so each
+    * subdomain IS its own registrable domain), the 1-label default
+    * (example.com), and the no-rule fallback (weird.internal →
+    * prevailing-rule last label). */
+  private val UrlHosts: Seq[String] = Seq(
+    "news.bbc.co.uk", "www.bbc.co.uk", "docs.github.io",
+    "api.github.io", "example.com", "www.example.com",
+    "data.example.com", "weird.internal")
+
+  /** q158: per-registrable-domain (eTLD+1) caps over raw-URL
+    * provenance — [[graft.operators.Corpus.urlHost]] +
+    * [[graft.operators.Corpus.registrableDomains]] (longest-suffix
+    * match against the broadcast PSL snapshot), then the q107
+    * per-group cap keyed on etld1 instead of raw host: the
+    * C4/RefinedWeb "per domain" is eTLD+1, so news.bbc.co.uk and
+    * www.bbc.co.uk share ONE cap budget. The oracle replays host
+    * extraction (shared regex), the longest-suffix match (a
+    * label-boundary LIKE join over the same VALUES snapshot), the
+    * default rule, and the capped row_number — value-exact. */
+  def q158DomainCap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hostsArr = array(UrlHosts.map(lit): _*)
+    val urls = documents(s, d).select(col("doc_id"),
+      concat(lit("https://"),
+        element_at(hostsArr, (col("doc_id") % 8 + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string")).as("url"))
+    val out = Corpus.registrableDomains(urls, "url",
+      PslFixture.toDF("suffix"))
+    graft.operators.Split.capPerGroup(
+        out.select(col("doc_id"), col("host"), col("public_suffix"),
+          col("etld1")),
+        "etld1", "doc_id", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q158Oracle: String = {
+    val pslValues = PslFixture.map(sf => s"('$sf')").mkString(", ")
+    val hostList = UrlHosts.map(h => s"'$h'").mkString("[", ", ", "]")
+    raw"""WITH psl AS (SELECT * FROM (VALUES $pslValues) p(suffix)),
+      |u AS (
+      |  SELECT doc_id, 'https://' ||
+      |    $hostList[CAST(doc_id % 8 + 1 AS INT)] ||
+      |    '/p/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, lower(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)', 1))
+      |    AS host
+      |  FROM u),
+      |m AS (
+      |  SELECT host, MAX(len(string_split(suffix, '.'))) AS mm
+      |  FROM (SELECT DISTINCT host FROM h) hh JOIN psl
+      |    ON hh.host = psl.suffix OR hh.host LIKE '%.' || psl.suffix
+      |  GROUP BY host),
+      |fin AS (
+      |  SELECT doc_id, host,
+      |    string_split(host, '.') AS ls,
+      |    COALESCE(mm, 1) AS mm
+      |  FROM h LEFT JOIN m USING (host)),
+      |dom AS (
+      |  SELECT doc_id, host,
+      |    array_to_string(ls[len(ls)-mm+1:len(ls)], '.')
+      |      AS public_suffix,
+      |    CASE WHEN len(ls) > mm THEN
+      |      array_to_string(ls[len(ls)-mm:len(ls)], '.') END AS etld1
+      |  FROM fin),
+      |capped AS (
+      |  SELECT doc_id, host, public_suffix, etld1,
+      |    row_number() OVER (PARTITION BY etld1 ORDER BY doc_id)
+      |      AS group_rank
+      |  FROM dom)
+      |SELECT doc_id, host, public_suffix, etld1, group_rank
+      |FROM capped WHERE group_rank <= 3
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -658,6 +748,7 @@ object CorpusQueries {
     "q184_curriculum" -> (q184Curriculum _),
     "q185_pmi_collocations" -> (q185PmiCollocations _),
     "q187_langid_confusion" -> (q187LangidConfusion _),
+    "q158_domain_cap" -> (q158DomainCap _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -665,6 +756,7 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q158_domain_cap" -> q158Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

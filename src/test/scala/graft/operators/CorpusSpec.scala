@@ -200,6 +200,50 @@ class CorpusSpec extends SparkTestBase {
       oneSided.isNullAt(5))
   }
 
+  test("urlHost strips scheme/userinfo/port/path/trailing dot and " +
+      "lowercases; no scheme://host shape -> null") {
+    val got = Seq(
+      "https://News.BBC.co.uk/p/1?q=2#f",
+      "http://user:pw@example.com:8080/x",
+      "ftp://host.example.org.",
+      "not a url", "relative/path", "mailto:a@b.c")
+      .toDF("url").select(Corpus.urlHost(col("url")))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(Some("news.bbc.co.uk"),
+      Some("example.com"), Some("host.example.org"), None, None,
+      None))
+  }
+
+  test("registrableDomains: longest-suffix wins, PSL default rule " +
+      "applies, a bare public suffix has no registrable domain, and " +
+      "unparseable URLs pass through with nulls") {
+    val psl = Seq("com", "uk", "co.uk", "github.io", "io")
+      .toDF("suffix")
+    val urls = Seq(
+      (1L, "https://news.bbc.co.uk/x"),   // co.uk beats uk
+      (2L, "https://bbc.co.uk"),          // etld1 == host
+      (3L, "https://co.uk"),              // bare suffix -> null etld1
+      (4L, "https://docs.github.io"),     // github.io beats io
+      (5L, "https://weird.internal/y"),   // no rule -> last label
+      (6L, "://broken")                   // no host -> all null
+    ).toDF("id", "url")
+    val out = Corpus.registrableDomains(urls, "url", psl)
+      .select("id", "host", "public_suffix", "etld1")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)), Option(r.getString(3))))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, Some("news.bbc.co.uk"), Some("co.uk"),
+        Some("bbc.co.uk")),
+      (2L, Some("bbc.co.uk"), Some("co.uk"), Some("bbc.co.uk")),
+      (3L, Some("co.uk"), Some("co.uk"), None),
+      (4L, Some("docs.github.io"), Some("github.io"),
+        Some("docs.github.io")),
+      (5L, Some("weird.internal"), Some("internal"),
+        Some("weird.internal")),
+      (6L, None, None, None)))
+  }
+
   test("rrfFusion: a doc ranked first everywhere gets the max " +
       "possible fused score; null scores rank last; ties break on " +
       "id") {
