@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Main-content HTML extraction — block-level boilerplate
+  * classification in the jusText family (Pomikálek 2011: segment at
+  * block tags, score each block by link density / length / stopword
+  * density, then a context pass where undecided blocks adopt a
+  * neighbor's verdict). This is the extraction step C4/RefinedWeb-
+  * class web curation runs where a flat `get_text` (the reference's
+  * BeautifulSoup call, `processors/document_processor.py:21-37`, and
+  * [[Ingest.htmlToText]]) keeps nav/footer/share chrome glued to the
+  * prose.
+  *
+  * DELIBERATELY deterministic-rules-only (no DOM, no trained model)
+  * so a SQL oracle replays every step: regex segmentation, integer
+  * character/word counts, IEEE ratio thresholds, and a window-based
+  * context pass. Divergences from jusText proper, documented: the
+  * context pass adopts the PREVIOUS decided block's class (jusText
+  * consults both sides); the stoplist is a parameter (jusText ships
+  * per-language lists, and its 0.30/0.32 density defaults assume
+  * them — the compact default list here uses lower cuts).
+  *
+  * Scale shape: one regex chain per document (codegen'd), one
+  * bounded explode to blocks, per-doc windows for the context pass —
+  * keyed shuffles only, nothing corpus².
+  */
+object Boilerplate {
+
+  /** Compact English stoplist for the density signal; callers
+    * curating other domains/languages pass their own. */
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "this", "that", "was",
+    "are", "be", "from", "but", "not")
+
+  /** Block-level tags: a closing or opening occurrence ends the
+    * current block. `html`/`head`/`title`/`body` are included so
+    * head chrome never glues onto the first content block; the
+    * `[\s/]` tail admits `<br/>` / `<hr />`. */
+  private val BlockTagSplit: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|td|th|tr|table|" +
+      "blockquote|pre|br|hr|section|article|header|footer|nav|" +
+      "aside|main|figure|figcaption|form|fieldset|html|head|title|" +
+      "body)(?:[\\s/][^>]*)?>"
+
+  /** Inline-tag strip + the 6-entity decode + whitespace collapse —
+    * the [[Ingest.htmlToText]] tail, shared by block text and anchor
+    * text so densities are ratios of IDENTICALLY cleaned strings. */
+  private def cleanFragment(b: Column): Column = {
+    val noTags = regexp_replace(b, "(?s)<[^>]+>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(e), r) }
+    trim(regexp_replace(entities, "\\s+", " "))
+  }
+
+  /** Script/style/comment removal — written WITHOUT the backreference
+    * `</\1>` form so RE2-only engines replay it. */
+  private def stripNonContent(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** Per-block signal + classification table. Output: (idCol,
+    * block_id, text, n_chars, n_words, link_density, stop_density,
+    * cls_raw, cls) — block_id is the block's raw segmentation
+    * position (gaps where empty inter-tag fragments were dropped),
+    * cls_raw ∈ {good, bad, short, near}, cls the post-context
+    * {good, bad}.
+    *
+    * Rules (jusText-shaped, thresholds as parameters):
+    *  - link_density > maxLinkDensity             → bad
+    *  - n_chars < lenLow ∧ link_density > 0       → bad
+    *  - n_chars < lenLow                          → short
+    *  - stop_density ≥ stopHigh ∧ n_chars > lenHigh → good
+    *  - stop_density ≥ stopHigh                   → near
+    *  - stop_density ≥ stopLow                    → near
+    *  - else                                      → bad
+    * Context: short/near adopt the PREVIOUS decided class (document
+    * order), defaulting to bad at the document head. */
+  def htmlBlocks(df: DataFrame, idCol: String, htmlCol: String,
+      stopwords: Seq[String] = DefaultStopwords,
+      maxLinkDensity: Double = 0.2, lenLow: Int = 70,
+      lenHigh: Int = 200, stopLow: Double = 0.15,
+      stopHigh: Double = 0.20): DataFrame = {
+    require(stopwords.nonEmpty && maxLinkDensity >= 0 &&
+      lenLow <= lenHigh && stopLow <= stopHigh, "bad thresholds")
+    val blocks = df
+      .select(col(idCol), posexplode(
+        split(stripNonContent(col(htmlCol)), BlockTagSplit))
+        .as(Seq("block_id", "rawb")))
+      .withColumn("text", cleanFragment(col("rawb")))
+      .filter(length(col("text")) > 0)
+    val anchors = regexp_extract_all(col("rawb"),
+      lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+    val toks = split(lower(col("text")), " ")
+    val signals = blocks
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("link_chars",
+        aggregate(transform(anchors, a => length(cleanFragment(a))),
+          lit(0), (acc, x) => acc + x))
+      .withColumn("link_density",
+        least(lit(1.0),
+          col("link_chars").cast("double") / col("n_chars")))
+      .withColumn("stop_density",
+        size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+          .cast("double") / col("n_words"))
+    val clsRaw = when(col("link_density") > maxLinkDensity, "bad")
+      .when(col("n_chars") < lenLow && col("link_density") > 0.0,
+        "bad")
+      .when(col("n_chars") < lenLow, "short")
+      .when(col("stop_density") >= stopHigh,
+        when(col("n_chars") > lenHigh, "good").otherwise("near"))
+      .when(col("stop_density") >= stopLow, "near")
+      .otherwise("bad")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("block_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signals
+      .withColumn("cls_raw", clsRaw)
+      .withColumn("cls",
+        when(col("cls_raw").isin("good", "bad"), col("cls_raw"))
+          .otherwise(coalesce(
+            last(when(col("cls_raw").isin("good", "bad"),
+              col("cls_raw")), ignoreNulls = true).over(w),
+            lit("bad"))))
+      .select(col(idCol), col("block_id").cast("long").as("block_id"),
+        col("text"), col("n_chars"), col("n_words"),
+        col("link_density"), col("stop_density"), col("cls_raw"),
+        col("cls"))
+  }
+
+  /** The kept prose only: good blocks re-joined in document order
+    * with newlines. Output: (idCol, main_text); docs with no good
+    * block are ABSENT (nothing extractable — callers union an
+    * anti-join if they need explicit empties). */
+  def mainContent(df: DataFrame, idCol: String, htmlCol: String,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame =
+    htmlBlocks(df, idCol, htmlCol, stopwords)
+      .filter(col("cls") === "good")
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("block_id"), col("text")))),
+        s => s.getField("text"))).as("main_text"))
+}

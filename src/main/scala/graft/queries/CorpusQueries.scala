@@ -105,6 +105,130 @@ object CorpusQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Stopword list for the q231 density signal, tuned to the
+    * synthetic corpus vocabulary (the operator's density thresholds
+    * assume the list covers the domain's function-word mass; see
+    * [[graft.operators.Boilerplate]] scaladoc). Shared verbatim with
+    * the oracle. */
+  private val Q231Stops: Seq[String] = Seq(
+    "a", "the", "table", "data", "value", "row", "scan", "part",
+    "join", "batch")
+
+  /** q231: jusText-class main-content HTML extraction
+    * ([[graft.operators.Boilerplate.htmlBlocks]]) — every document
+    * wrapped in a realistic page (head chrome, nav links, heading,
+    * body paragraph, share bar, footer) and segmented at block tags;
+    * per block the link-density / length / stopword-density rules
+    * plus the context pass classify nav/share/footer as boilerplate
+    * and keep the body prose. The oracle replays segmentation (RE2 ∩
+    * Java regex — the script/style strip deliberately avoids
+    * backreferences), the entity-decode chain, the integer counts,
+    * the IEEE density ratios, and the window context pass —
+    * value-exact per block. */
+  def q231HtmlMainContent(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{color:red}</style>" +
+        "<script>var x=1;</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></nav>" +
+        "<h1>Entry "), col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><div>Share: <a href=\"/tw\">Tweet</a> " +
+        "<a href=\"/fb\">Like</a></div>" +
+        "<footer>Copyright 2026 Example " +
+        "<a href=\"/terms\">Terms of use</a></footer></body></html>"))
+    val docs = documents(s, d).select(col("doc_id"), html.as("html"))
+    graft.operators.Boilerplate.htmlBlocks(docs, "doc_id", "html",
+        stopwords = Q231Stops)
+      .select(col("doc_id"), col("block_id"),
+        md5(col("text")).as("text_md5"), col("n_chars"),
+        col("n_words"), col("link_density"), col("stop_density"),
+        col("cls_raw"), col("cls"))
+      .orderBy(col("doc_id"), col("block_id"))
+  }
+
+  private val q231Oracle: String = {
+    val stops = Q231Stops.map(w => s"'$w'").mkString("[", ", ", "]")
+    def clean(x: String): String =
+      s"""trim(regexp_replace(replace(replace(replace(replace(
+        |replace(replace(regexp_replace($x, '(?s)<[^>]+>', ' ', 'g'),
+        |'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |'&quot;', '"'), '&#39;', ''''), '\\s+', ' ', 'g'))"""
+        .stripMargin.replace("\n", " ")
+    raw"""WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>p{color:red}</style>' ||
+      |    '<script>var x=1;</script></head><body>' ||
+      |    '<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
+      |    '<a href="/contact">Contact</a></nav>' ||
+      |    '<h1>Entry ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+      |    text ||
+      |    '</p><div>Share: <a href="/tw">Tweet</a> ' ||
+      |    '<a href="/fb">Like</a></div>' ||
+      |    '<footer>Copyright 2026 Example ' ||
+      |    '<a href="/terms">Terms of use</a></footer></body></html>'
+      |    AS html
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|td|th|tr|table|blockquote|pre|br|hr|section|article|header|footer|nav|aside|main|figure|figcaption|form|fieldset|html|head|title|body)(?:[\s/][^>]*)?>')
+      |    AS arr
+      |  FROM h),
+      |blk AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(arr)),
+      |    i -> {'bid': i - 1, 'rawb': arr[i]})) AS b
+      |  FROM sp),
+      |cl AS (
+      |  SELECT doc_id, b.bid AS block_id, b.rawb AS rawb,
+      |    ${clean("b.rawb")} AS text
+      |  FROM blk),
+      |nz AS (SELECT * FROM cl WHERE len(text) > 0),
+      |sig AS (
+      |  SELECT doc_id, block_id, text,
+      |    len(text) AS n_chars,
+      |    len(string_split(lower(text), ' ')) AS n_words,
+      |    COALESCE(list_sum(list_transform(
+      |      regexp_extract_all(rawb, '(?is)<a[^>]*>(.*?)</a>', 1),
+      |      a -> len(${clean("a")}))), 0) AS link_chars,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |      t -> list_contains($stops, t))) AS n_stop
+      |  FROM nz),
+      |dens AS (
+      |  SELECT doc_id, block_id, text, n_chars, n_words,
+      |    least(1.0, CAST(link_chars AS DOUBLE) / n_chars)
+      |      AS link_density,
+      |    CAST(n_stop AS DOUBLE) / n_words AS stop_density
+      |  FROM sig),
+      |c1 AS (
+      |  SELECT *, CASE
+      |    WHEN link_density > 0.2 THEN 'bad'
+      |    WHEN n_chars < 70 AND link_density > 0.0 THEN 'bad'
+      |    WHEN n_chars < 70 THEN 'short'
+      |    WHEN stop_density >= 0.20 THEN
+      |      CASE WHEN n_chars > 200 THEN 'good' ELSE 'near' END
+      |    WHEN stop_density >= 0.15 THEN 'near'
+      |    ELSE 'bad' END AS cls_raw
+      |  FROM dens),
+      |c2 AS (
+      |  SELECT *, CASE WHEN cls_raw IN ('good', 'bad') THEN cls_raw
+      |    ELSE COALESCE(last_value(
+      |      CASE WHEN cls_raw IN ('good', 'bad') THEN cls_raw END
+      |      IGNORE NULLS) OVER (PARTITION BY doc_id
+      |      ORDER BY block_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW), 'bad') END AS cls
+      |  FROM c1)
+      |SELECT doc_id, block_id, md5(text) AS text_md5, n_chars,
+      |  n_words, link_density, stop_density, cls_raw, cls
+      |FROM c2 ORDER BY doc_id, block_id""".stripMargin
+  }
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -749,6 +873,7 @@ object CorpusQueries {
     "q185_pmi_collocations" -> (q185PmiCollocations _),
     "q187_langid_confusion" -> (q187LangidConfusion _),
     "q158_domain_cap" -> (q158DomainCap _),
+    "q231_html_main_content" -> (q231HtmlMainContent _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -757,6 +882,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q158_domain_cap" -> q158Oracle,
+    "q231_html_main_content" -> q231Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** jusText-class block extraction: chrome dropped, prose kept, the
+  * context pass promotes short blocks between good prose, and the
+  * assembly preserves document order. */
+class BoilerplateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val prose1 = "the study of data in a system is one of the " +
+    "most useful things that a team can do for the quality of this " +
+    "work and for the people that depend on it every day in the " +
+    "field and it is a habit that pays for itself by the end of " +
+    "the first week of careful and honest measurement"
+  private val prose2 = "it is not an accident that the best results " +
+    "in this area are from teams that care about the data and the " +
+    "process and that keep the same standard for every part of it " +
+    "from the first sketch of an idea to the last report that is " +
+    "sent out at the end of the quarter"
+
+  private val page =
+    "<html><head><title>T</title><style>p{}</style>" +
+      "<script>bad()</script></head><body>" +
+      "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+      s"<p>$prose1</p>" +
+      "<h2>A heading</h2>" +
+      s"<p>$prose2</p>" +
+      "<div>Share: <a href='/t'>Tweet</a> <a href='/f'>Like</a></div>" +
+      "<footer>Copyright <a href='/t'>Terms</a></footer></body></html>"
+
+  test("nav/share/footer chrome is boilerplate, prose is good, and " +
+      "a short heading BETWEEN good blocks is promoted by context") {
+    val blocks = Boilerplate.htmlBlocks(
+      Seq((1L, page)).toDF("id", "html"), "id", "html")
+      .orderBy("block_id")
+      .select("text", "cls_raw", "cls")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2)))
+    val byText = blocks.map(b => b._1 -> b).toMap
+    assert(byText("Home About")._3 === "bad")
+    assert(byText(prose1)._3 === "good")
+    // the heading is 'short' context-free, 'good' after context
+    // (previous decided block is the good paragraph)
+    assert(byText("A heading")._2 === "short")
+    assert(byText("A heading")._3 === "good")
+    assert(byText(prose2)._3 === "good")
+    assert(byText("Share: Tweet Like")._3 === "bad")
+    assert(byText("Copyright Terms")._3 === "bad")
+    // script/style content never appears in any block
+    assert(!blocks.exists(_._1.contains("bad()")))
+    assert(!blocks.exists(_._1.contains("p{}")))
+  }
+
+  test("mainContent assembles only good blocks in document order; " +
+      "a doc with no good block is absent") {
+    val out = Boilerplate.mainContent(
+      Seq((1L, page),
+        (2L, "<body><nav><a href='/'>Only</a> chrome</nav></body>"))
+        .toDF("id", "html"), "id", "html")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L) === s"$prose1\nA heading\n$prose2")
+  }
+
+  test("entities decode and whitespace collapses in block text and " +
+      "in anchor text (densities are ratios of identically cleaned " +
+      "strings)") {
+    val html = "<body><p>x &amp;&nbsp; y&lt;z&gt; &quot;q&#39; " +
+      " \t\n end</p></body>"
+    val t = Boilerplate.htmlBlocks(
+      Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .select("text").head().getString(0)
+    assert(t === "x & y<z> \"q' end")
+  }
+
+  test("a link-saturated long block is bad regardless of stopword " +
+      "density (the link_density rule fires first)") {
+    val linky = "<body><div>" + (1 to 30).map(i =>
+      s"<a href='/$i'>the of and to in is it on for $i</a>")
+      .mkString(" ") + "</div></body>"
+    val cls = Boilerplate.htmlBlocks(
+      Seq((1L, linky)).toDF("id", "html"), "id", "html")
+      .select("cls").head().getString(0)
+    assert(cls === "bad")
+  }
+}
