@@ -181,6 +181,75 @@ object HttpServices {
     }
   }
 
+  /** Frame decode over `POST {endpoint}/decode_frame` — the
+    * production client for the H.264/VP9 external-codec boundary
+    * ([[Multimodal.FrameDecodeService]]): the job carries exactly
+    * the row the container walks emit (media_id, frame_idx, codec)
+    * plus the base64 payload (inline, the OCR convention — HTTP
+    * peers share no volume), and the reply is a base64 row-major
+    * 8-bit luma plane with its dimensions. `status` protocol:
+    * "success" → the plane (length must be width·height, checked);
+    * "unsupported" → None (the service explicitly declines the
+    * codec, the row drops like an undecodable image); anything else
+    * (or a job_id mismatch, or a malformed plane) throws so
+    * `Endpoints.withRetries` can engage. */
+  class HttpFrameDecodeService(endpoint: String,
+      timeoutSec: Long = 300) extends Multimodal.FrameDecodeService {
+
+    @transient private lazy val client: HttpClient =
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofSeconds(timeoutSec)).build()
+
+    def decodeFrame(job: Multimodal.FrameJob)
+        : Option[Multimodal.GrayFrame] = {
+      val om = mapper
+      val jobId = java.util.UUID.randomUUID().toString
+      val body = om.createObjectNode()
+      body.put("job_id", jobId)
+      body.put("media_id", job.mediaId)
+      body.put("frame_idx", job.frameIdx)
+      body.put("codec", job.codec)
+      body.put("payload_base64",
+        java.util.Base64.getEncoder.encodeToString(
+          if (job.payload == null) Array.emptyByteArray
+          else job.payload))
+      val req = HttpRequest.newBuilder(
+          URI.create(s"$endpoint/decode_frame"))
+        .timeout(Duration.ofSeconds(timeoutSec))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          om.writeValueAsString(body)))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new RuntimeException(s"decode_frame HTTP " +
+          s"${resp.statusCode()}: ${resp.body().take(200)}")
+      val root = om.readTree(resp.body())
+      val status =
+        if (root.hasNonNull("status")) root.get("status").asText()
+        else ""
+      if (status == "unsupported") return None
+      if (status != "success") {
+        val err = if (root.hasNonNull("error"))
+          root.get("error").asText() else "unknown"
+        throw new RuntimeException(s"decode_frame failed for " +
+          s"${job.mediaId}#${job.frameIdx} (${job.codec}): $err")
+      }
+      require(root.get("job_id").asText() == jobId,
+        s"decode_frame reply job_id mismatch for " +
+          s"${job.mediaId}#${job.frameIdx}")
+      val w = root.get("width").asInt()
+      val h = root.get("height").asInt()
+      val luma = java.util.Base64.getDecoder.decode(
+        root.get("luma_base64").asText(""))
+      require(w > 0 && h > 0 && luma.length == w * h,
+        s"decode_frame malformed plane for " +
+          s"${job.mediaId}#${job.frameIdx}: ${w}x$h vs " +
+          s"${luma.length} bytes")
+      Some(Multimodal.GrayFrame(w, h, luma))
+    }
+  }
+
   /** S5 ASR over `POST {endpoint}/transcribe`: the WhisperX worker's
     * job fields (`utils/whisper_utils.py:118-135`: job_id, language,
     * mime_type — audio travels base64-inline since HTTP peers share

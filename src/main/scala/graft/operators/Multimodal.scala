@@ -53,6 +53,51 @@ object Multimodal {
     def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]]
   }
 
+  /** One keyframe's decode job at the external frame-decode
+    * boundary: exactly the row the container walks emit
+    * ([[MultimodalCodecs.keyframePayloads]]). */
+  case class FrameJob(mediaId: String, frameIdx: Int, codec: String,
+    payload: Array[Byte])
+
+  /** A decoded keyframe: row-major 8-bit luma plane. */
+  case class GrayFrame(width: Int, height: Int, luma: Array[Byte])
+
+  /** External FRAME-DECODE boundary (the OCR/ASR/embed/LLM shape):
+    * entropy-coded bitstream decode (H.264 CABAC/CAVLC, VP9) is a
+    * codec-library concern, not a query-engine concern — the
+    * reference draws the same line, shelling out for page
+    * rasterization before OCR (`utils/ocr_utils.py:60-77`) and
+    * shipping no in-process video decoder at all. Implementations
+    * return None for codecs/payloads they do not support (the row
+    * is skipped, mirroring the ok=false discipline of
+    * [[decodeImages]]) and must be deterministic per content for
+    * the engine's tests. */
+  trait FrameDecodeService extends Serializable {
+    def decodeFrame(job: FrameJob): Option[GrayFrame]
+  }
+
+  /** Deterministic stand-in service: an 8×8 luma plane derived from
+    * a rolling hash of the payload — a pure function of content, so
+    * identical payloads land at Hamming distance 0 and the full
+    * served pipeline is testable without a decoder. */
+  object StubFrameDecodeService extends FrameDecodeService {
+    def decodeFrame(job: FrameJob): Option[GrayFrame] = {
+      if (job.payload == null || job.payload.isEmpty) return None
+      var h = 99991L
+      job.payload.foreach { b =>
+        h = h * 6364136223846793005L + b
+      }
+      val luma = new Array[Byte](64)
+      var i = 0
+      while (i < 64) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        luma(i) = ((h >>> 32) & 0xff).toByte
+        i += 1
+      }
+      Some(GrayFrame(8, 8, luma))
+    }
+  }
+
   /** Deterministic stand-in for the codec stack: dimensions and
     * features derive from a rolling hash of the bytes; empty payloads
     * are undecodable. Every value is a pure function of content, so
@@ -167,6 +212,77 @@ object Multimodal {
           .as("media_id"),
         col("frame_bytes").as("bytes"))
     imageNearDups(frames, bands, maxHamming)
+  }
+
+  /** Codec-tagged keyframe payloads per video: (media_id, frame_idx,
+    * codec, payload) — the container walks' output in the exact row
+    * shape the [[FrameDecodeService]] boundary consumes. Bounded
+    * explode (≤ framesPerVideo rows per video). */
+  def videoKeyframePayloads(media: DataFrame,
+      framesPerVideo: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MultimodalCodecs.keyframePayloads(
+            r.getAs[Array[Byte]](1), framesPerVideo)
+            .map { case (i, c, p) => Row(r.getString(0), i, c, p) }
+        }
+      }(enc)
+  }
+
+  /** VIDEO-frame near-dup mining ACROSS the frame-decode boundary:
+    * keyframes whose payloads decode locally (MJPEG / anything
+    * ImageIO reads) dHash in-process; H.264/VP9-class payloads route
+    * through the [[FrameDecodeService]] and their returned luma
+    * planes hash with [[MultimodalCodecs.dHash64Gray]] — ONE
+    * comparable 64-bit hash space either way, then the same banded
+    * Hamming join as [[videoFrameNearDups]]. Frames the service
+    * declines (None) drop, mirroring the ok=false discipline.
+    *
+    * Scale shape: the service client initializes once per partition
+    * and is called once per sampled keyframe (bounded by
+    * framesPerVideo); everything after the 8-byte hash is the
+    * text-simhash scale path — never an all-pairs frame scan. */
+  def videoFrameNearDupsServed(media: DataFrame,
+      service: FrameDecodeService, framesPerVideo: Int = 8,
+      bands: Int = 8, maxHamming: Int = 7): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("dhash", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val hashes = videoKeyframePayloads(media, framesPerVideo)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getString(0)
+          val idx = r.getInt(1)
+          val codec = r.getString(2)
+          val payload = r.getAs[Array[Byte]](3)
+          val local = MultimodalCodecs.dHash64(payload)
+          val hash = local.orElse {
+            service.decodeFrame(FrameJob(id, idx, codec, payload))
+              .flatMap(g => MultimodalCodecs.dHash64Gray(
+                g.width, g.height, g.luma))
+          }
+          hash.map(hs => Row(s"$id#$idx", hs))
+        }
+      }(enc)
+      // the banded join references the hash frame on BOTH sides of a
+      // self-join; without a lineage cut every external decode call
+      // would run once per reference — localCheckpoint pins "one
+      // keyframe = one service call" (swap for reliable checkpoint
+      // on a cluster, as in Graph)
+      .localCheckpoint()
+    Dedup.hashNearDups(hashes, "media_id", "dhash", bits = 64,
+      bands = bands, maxHamming = maxHamming)
   }
 
   /** Near-duplicate AUDIO mining: RMS-envelope gradient hash

@@ -263,34 +263,83 @@ object MultimodalCodecs {
     try {
       val img = JdkImageDecoder.decodeBounded(bytes).orNull
       if (img == null) return None
-      val w = 9; val h = 8
-      val small = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = small.createGraphics()
-      g.drawImage(img.getScaledInstance(w, h,
-        java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
-      g.dispose()
-      var bits = 0L
-      var y = 0
-      var i = 0
-      while (y < h) {
-        var x = 0
-        var prev = 0
-        while (x < w) {
-          val rgb = small.getRGB(x, y)
-          val luma = (((rgb >> 16) & 0xff) * 299 +
-            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-          if (x > 0) {
-            if (luma > prev) bits |= (1L << i)
-            i += 1
-          }
-          prev = luma
-          x += 1
-        }
-        y += 1
-      }
-      Some(bits)
+      Some(dHashOfImage(img))
     } catch { case _: Exception => None }
+  }
+
+  /** dHash64 over a RAW 8-bit LUMA PLANE (row-major w×h) — the form
+    * the [[Multimodal.FrameDecodeService]] boundary returns for
+    * codecs with no local decoder: same 9×8 area-average resize,
+    * same gradient bits, so service-decoded frames and locally
+    * decoded frames land in ONE comparable hash space (a re-encoded
+    * duplicate keeps its Hamming proximity across the boundary).
+    * None for a plane that is not exactly w·h bytes. */
+  def dHash64Gray(w: Int, h: Int,
+      luma: Array[Byte]): Option[Long] = {
+    if (w <= 0 || h <= 0 || luma == null ||
+      luma.length != w * h) return None
+    try {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, luma)
+      Some(dHashOfImage(img))
+    } catch { case _: Exception => None }
+  }
+
+  /** Shared dHash core: 9×8 AreaAveraging resize (pixel-exact
+    * deterministic box filter) + one bit per horizontal luma
+    * gradient sign. */
+  private def dHashOfImage(img: java.awt.Image): Long = {
+    val w = 9; val h = 8
+    val small = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.drawImage(img.getScaledInstance(w, h,
+      java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+    g.dispose()
+    var bits = 0L
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      var prev = 0
+      while (x < w) {
+        val rgb = small.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 +
+          ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        if (x > 0) {
+          if (luma > prev) bits |= (1L << i)
+          i += 1
+        }
+        prev = luma
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Codec-TAGGED keyframe payloads: (frame_idx, codec, payload)
+    * sampled evenly across the container's keyframe set — the exact
+    * row shape the [[Multimodal.FrameDecodeService]] boundary
+    * consumes. Codec identity comes from the container metadata
+    * (AVI is the engine's MJPEG path; MP4 stsd / MKV CodecID name
+    * their bitstreams); unknown containers yield Nil. */
+  def keyframePayloads(bytes: Array[Byte],
+      n: Int): Seq[(Int, String, Array[Byte])] = {
+    if (bytes == null || bytes.isEmpty || n <= 0) return Nil
+    if (AviVideo.isAvi(bytes))
+      AviVideo.sampleFrames(bytes, n).zipWithIndex
+        .map { case (p, i) => (i, "mjpeg", p) }
+    else if (Mp4Video.isMp4(bytes)) {
+      val codec = Mp4Video.info(bytes).map(_.codec).getOrElse("")
+      Mp4Video.sampleFrames(bytes, n).zipWithIndex
+        .map { case (p, i) => (i, codec, p) }
+    } else if (MkvVideo.isMkv(bytes)) {
+      val codec = MkvVideo.info(bytes).map(_.codec).getOrElse("")
+      MkvVideo.sampleFrames(bytes, n).zipWithIndex
+        .map { case (p, i) => (i, codec, p) }
+    } else Nil
   }
 
   /** Parsed MP4/MOV video-track summary. */

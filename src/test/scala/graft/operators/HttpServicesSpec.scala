@@ -193,4 +193,48 @@ class HttpServicesSpec extends AnyFunSuite {
         "answered: ctx two [source1]"))
     }
   }
+
+  test("HttpFrameDecodeService posts the container-walk row, parses " +
+      "the luma plane, maps 'unsupported' to None, and throws on a " +
+      "malformed plane so retries can engage") {
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]
+    withServer(Map("/decode_frame" -> { body =>
+      seen.set(body)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(body)
+      val jid = root.get("job_id").asText()
+      root.get("codec").asText() match {
+        case "avc1" =>
+          val luma = java.util.Base64.getEncoder
+            .encodeToString(Array[Byte](10, 20, 30, 40))
+          s"""{"status":"success","job_id":"$jid","width":2,""" +
+            s""""height":2,"luma_base64":"$luma"}"""
+        case "vp09" =>
+          s"""{"status":"unsupported","job_id":"$jid"}"""
+        case _ => // plane shorter than width*height
+          s"""{"status":"success","job_id":"$jid","width":2,""" +
+            s""""height":2,"luma_base64":"AAA="}"""
+      }
+    })) { base =>
+      val svc = new HttpServices.HttpFrameDecodeService(base)
+      val g = svc.decodeFrame(Multimodal.FrameJob("vid9", 3, "avc1",
+        "payload-bytes".getBytes)).get
+      assert(g.width === 2 && g.height === 2)
+      assert(g.luma.toSeq === Seq[Byte](10, 20, 30, 40))
+      // the request carried the container walk's row verbatim
+      assert(seen.get().contains("\"media_id\":\"vid9\""))
+      assert(seen.get().contains("\"frame_idx\":3"))
+      assert(seen.get().contains("\"codec\":\"avc1\""))
+      assert(seen.get().contains(java.util.Base64.getEncoder
+        .encodeToString("payload-bytes".getBytes)))
+      // an explicit decline is a skip, not an error
+      assert(svc.decodeFrame(Multimodal.FrameJob("v", 0, "vp09",
+        Array[Byte](1))) === None)
+      // a malformed plane (3 bytes for 2x2) must throw
+      intercept[IllegalArgumentException] {
+        svc.decodeFrame(Multimodal.FrameJob("v", 0, "mangled",
+          Array[Byte](1)))
+      }
+    }
+  }
 }

@@ -119,4 +119,130 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.rdd.getNumPartitions === 3)
     assert(out.count() === 4)
   }
+
+  // ---- minimal ISO BMFF (MP4) fixture: 5 samples of 7 bytes,
+  // keyframes 1/3/5 (1-based), avc1 — the MultimodalCodecsSpec
+  // builder with parameterized frame content ----
+  private def be(vals: Long*): Array[Byte] =
+    vals.flatMap(v => Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)).toArray
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val size = payload.length + 8
+    be(size) ++ typ.getBytes("US-ASCII") ++ payload
+  }
+  private def mp4Avc1(tag: String): Array[Byte] = {
+    val frames = (0 until 5).map(i => s"${tag}_$i") // 7 bytes each
+    require(frames.forall(_.length == 7))
+    val ftyp = box("ftyp", "isom".getBytes ++ be(0))
+    val mdat = box("mdat", frames.mkString("").getBytes)
+    val base = ftyp.length + 8
+    val stsd = box("stsd", be(0, 1) ++ be(8) ++ "avc1".getBytes)
+    val stsz = box("stsz", be(0, 7, 5))
+    val stsc = box("stsc", be(0, 1, 1, 2, 1))
+    val stco = box("stco", be(0, 3, base, base + 14, base + 28))
+    val stss = box("stss", be(0, 3, 1, 3, 5))
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stss)
+    val hdlr = box("hdlr", be(0, 0) ++ "vide".getBytes ++ be(0, 0, 0))
+    val mdia = box("mdia", hdlr ++ box("minf", stbl))
+    val tkhd = box("tkhd", be(0, 0, 0, 1, 0, 1200) ++ be(0, 0) ++
+      Array[Byte](0, 0, 0, 0, 1, 0, 0, 0) ++
+      be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000) ++
+      be(320L << 16, 240L << 16))
+    val mvhd = box("mvhd", be(0, 0, 0, 600, 1200))
+    ftyp ++ mdat ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+  }
+
+  test("videoKeyframePayloads tags MP4 keyframes with the container " +
+      "codec — the exact row shape the FrameDecodeService consumes") {
+    val rows = java.util.Arrays.asList(
+      Row("v1", "video", mp4Avc1("FRAME"), Map.empty[String, String]))
+    val m = spark.createDataFrame(rows, Multimodal.MediaSchema)
+    val out = Multimodal.videoKeyframePayloads(m, framesPerVideo = 8)
+      .collect().sortBy(_.getInt(1))
+      .map(r => (r.getInt(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](3))))
+    assert(out.toSeq === Seq((0, "avc1", "FRAME_0"),
+      (1, "avc1", "FRAME_2"), (2, "avc1", "FRAME_4")))
+  }
+
+  test("H.264-tagged payloads route through a LIVE HTTP frame-decode " +
+      "service into videoFrameNearDupsServed; identical content " +
+      "across containers lands at Hamming 0") {
+    val codecsSeen = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/decode_frame",
+      new com.sun.net.httpserver.HttpHandler {
+        def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val root = om.readTree(
+            new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+          codecsSeen.add(root.get("codec").asText())
+          val payload = java.util.Base64.getDecoder.decode(
+            root.get("payload_base64").asText())
+          // the server-side "decoder": the same content-deterministic
+          // plane the in-process stub produces
+          val g = Multimodal.StubFrameDecodeService.decodeFrame(
+            Multimodal.FrameJob("", 0, "", payload)).get
+          val resp = (s"""{"status":"success","job_id":"""" +
+            root.get("job_id").asText() +
+            s"""","width":${g.width},"height":${g.height},""" +
+            s""""luma_base64":"${java.util.Base64.getEncoder
+              .encodeToString(g.luma)}"}""").getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, resp.length)
+          ex.getResponseBody.write(resp)
+          ex.close()
+        }
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val rows = java.util.Arrays.asList(
+        Row("vidA", "video", mp4Avc1("FRAME"),
+          Map.empty[String, String]),
+        Row("vidB", "video", mp4Avc1("FRAME"), // same content
+          Map.empty[String, String]),
+        Row("vidC", "video", mp4Avc1("OTHER"),
+          Map.empty[String, String]))
+      val m = spark.createDataFrame(rows, Multimodal.MediaSchema)
+      val pairs = Multimodal.videoFrameNearDupsServed(m,
+          new HttpServices.HttpFrameDecodeService(base),
+          framesPerVideo = 8, maxHamming = 0)
+        .collect()
+        .map(r => Set(r.getString(0), r.getString(1)) -> r.getInt(2))
+        .toMap
+      assert(pairs === Map(
+        Set("vidA#0", "vidB#0") -> 0,
+        Set("vidA#1", "vidB#1") -> 0,
+        Set("vidA#2", "vidB#2") -> 0),
+        s"expected the 3 cross-file frame dups, got $pairs")
+      // every keyframe of every video crossed the boundary, all avc1
+      assert(codecsSeen.size === 9)
+      assert(codecsSeen.toArray.forall(_ == "avc1"))
+    } finally server.stop(0)
+  }
+
+  test("locally decodable MJPEG frames NEVER touch the service (the " +
+      "boundary is for codecs the JVM cannot decode)") {
+    object FailService extends Multimodal.FrameDecodeService {
+      def decodeFrame(job: Multimodal.FrameJob)
+          : Option[Multimodal.GrayFrame] =
+        throw new IllegalStateException(
+          s"service hit for local codec ${job.codec}")
+    }
+    val rows = java.util.Arrays.asList(
+      Row("a", "video", avi(Seq(frame(0), frame(1))),
+        Map.empty[String, String]),
+      Row("b", "video", avi(Seq(frame(0), frame(7))),
+        Map.empty[String, String]))
+    val m = spark.createDataFrame(rows, Multimodal.MediaSchema)
+    val pairs = Multimodal.videoFrameNearDupsServed(m, FailService,
+        framesPerVideo = 2, maxHamming = 2)
+      .collect()
+      .map(r => Set(r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    assert(pairs === Map(Set("a#0", "b#0") -> 0),
+      s"expected the one planted MJPEG dup, got $pairs")
+  }
 }
