@@ -86,7 +86,10 @@ object Bench {
     // single contended pass set the query's record 3-8x above its
     // quiet-box steady state. A median makes the number
     // self-defending — one contended pass can no longer set it.
-    val passes = 3
+    // Overridable (SPARK_GRAFT_PASSES=1) for the long large-SF scale
+    // audits, where one pass of the full registry is the budget and
+    // the calibration sentinel carries the contention defense.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val times = (1 to passes).map { _ =>
