@@ -137,6 +137,31 @@ object Boilerplate {
         col("cls"))
   }
 
+  /** Outlink extraction — every `<a href="...">` target in document
+    * order, the raw-HTML step web-graph construction starts from
+    * (crawl frontier seeding, PageRank-class authority over the
+    * corpus's own link structure, outlink-spam signals). Output:
+    * (idCol, link_id, href) with link_id the 0-based position of the
+    * anchor among the document's double-quoted hrefs; documents with
+    * no links are absent. Runs on the COMMENT-STRIPPED page (links
+    * inside `<script>`/`<style>`/comments are not content) but before
+    * block segmentation — chrome links are kept, because link-graph
+    * construction wants nav/footer edges too (it's the *text* paths
+    * that drop them).
+    *
+    * Deliberately regex-level and double-quote-only (RE2 ∩ Java so a
+    * SQL oracle replays it byte-exactly; single-quoted/bare hrefs are
+    * out of the snapshot's scope and documented so). Scale shape:
+    * one codegen'd regex chain per document + one bounded explode —
+    * no shuffle at all until the caller aggregates edges. */
+  def outlinks(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame =
+    df.select(col(idCol), posexplode(
+        regexp_extract_all(stripNonContent(col(htmlCol)),
+          lit("(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)))
+        .as(Seq("link_id", "href")))
+      .withColumn("link_id", col("link_id").cast("long"))
+
   /** The kept prose only: good blocks re-joined in document order
     * with newlines. Output: (idCol, main_text); docs with no good
     * block are ABSENT (nothing extractable — callers union an

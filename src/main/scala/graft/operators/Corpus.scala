@@ -43,6 +43,58 @@ object Corpus {
     when(length(h) > 0, regexp_replace(h, "\\.$", ""))
   }
 
+  /** Tracking query-parameters every canonicalizer drops by exact
+    * name; names beginning `utm_` are dropped by prefix regardless of
+    * this list. */
+  val DefaultTrackingParams: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "ref")
+
+  /** Canonical form of a raw URL — the WARC-pipeline exact-dedup key
+    * ("the same page fetched twice rarely has the same URL string"):
+    *   - scheme and host lowercased, userinfo and trailing host dot
+    *     dropped (the [[urlHost]] normalizer);
+    *   - default ports removed (http:80, https:443), others kept;
+    *   - empty path → "/";
+    *   - fragment dropped;
+    *   - tracking params removed (`utm_*` by prefix plus
+    *     `dropParams` by exact name), the survivors SORTED so
+    *     `?a=1&b=2` and `?b=2&a=1` collapse;
+    *   - NULL when the string has no `scheme://host` shape.
+    *
+    * Every step is a Java-regex ∩ RE2 string transform or an
+    * array_sort, so a SQL oracle replays the canonical string
+    * byte-exactly. Pure per-row expression chain (codegen'd, no
+    * shuffle); IPv6 bracket authorities are out of the snapshot's
+    * scope and documented so. Percent-encoding normalization is NOT
+    * attempted (%7E vs ~ stays distinct — decoding is lossy without
+    * a reserved-set table and real pipelines dedup post-fetch by
+    * content anyway). */
+  def canonicalizeUrl(url: Column,
+      dropParams: Seq[String] = DefaultTrackingParams): Column = {
+    val scheme = lower(regexp_extract(url,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = urlHost(url)
+    val port = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^:/?#]*:([0-9]+)", 1)
+    val keepPort = length(port) > 0 &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val noFrag = regexp_replace(url, "(?s)#.*", "")
+    val qry = regexp_extract(noFrag, "(?s)\\?(.*)", 1)
+    val kept = array_sort(filter(split(qry, "&"), p =>
+      length(p) > 0 && !p.startsWith("utm_") &&
+        !split(p, "=").getItem(0).isin(dropParams: _*)))
+    val joined = array_join(kept, "&")
+    when(host.isNotNull, concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(length(path) === 0, lit("/")).otherwise(path),
+      when(length(joined) > 0, concat(lit("?"), joined))
+        .otherwise(lit(""))))
+  }
+
   /** Registrable domain (eTLD+1) of every row's raw URL against a
     * snapshotted PUBLIC-SUFFIX LIST (`psl`: one `suffix` column of
     * dotted label rules, e.g. "com", "co.uk", "github.io") — the

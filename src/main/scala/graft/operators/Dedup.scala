@@ -517,6 +517,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Provenance-preserving dedup — one row per `key` group with the
+    * lowest-id representative, the member count, and the SORTED
+    * distinct `provCol` values merged onto the survivor: when dedup
+    * collapses mirrors/re-crawls of the same content, attribution
+    * and license trails must survive the drop (the "keep one copy,
+    * keep every source" requirement of audited corpus builds). One
+    * hash aggregation on the key — collect_set is bounded by the
+    * group's distinct-source count (mirror multiplicity, not corpus
+    * size); null provenance values are dropped by collect_set,
+    * documented. */
+  def dedupWithProvenance(df: DataFrame, idCol: String, key: Column,
+      provCol: String): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(col(idCol)).as("rep_id"),
+        count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_set(col(provCol))), ",")
+          .as("provenance"))
+
   /** Universal-hash-family constants for MinHash permutations:
     * h_p(x) = (aSlope·p + aBase)·x + (bSlope·p + bBase) mod M.
     * Shared with the DuckDB oracle SQL. */

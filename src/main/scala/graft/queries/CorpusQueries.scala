@@ -229,6 +229,180 @@ object CorpusQueries {
       |FROM c2 ORDER BY doc_id, block_id""".stripMargin
   }
 
+  /** q232: outlink web-graph construction from raw HTML
+    * ([[graft.operators.Boilerplate.outlinks]] →
+    * [[graft.operators.Corpus.urlHost]]) — every page carries two
+    * absolute cross-host links (hosts a deterministic function of
+    * doc_id over the q158 fixture list), one relative link (resolves
+    * to the source host), and one link INSIDE a script tag (must not
+    * be extracted); edges aggregate to (src_host, dst_host) with
+    * link and distinct-document weights — the host graph the Graph
+    * family (PageRank/HITS/components) consumes. The oracle replays
+    * the script strip, the href regex, host resolution, and the edge
+    * aggregation. */
+  def q232OutlinkGraph(s: SparkSession, d: String): DataFrame =
+    outlinkResolved(s, d)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("src_host"), col("dst_host"))
+
+  /** Shared q232/q234 device: synthetic pages → extracted hrefs →
+    * per-link resolved (doc_id, src_host, dst_host). */
+  private[queries] def outlinkResolved(s: SparkSession,
+      d: String): DataFrame = {
+    val hostsArr = array(UrlHosts.map(lit): _*)
+    def hostAt(e: org.apache.spark.sql.Column) =
+      element_at(hostsArr, (e % 8).cast("int") + 1)
+    val html = concat(
+      lit("<html><body><p>Doc "), col("doc_id").cast("string"),
+      lit(" cites <a href=\"https://"),
+      hostAt(col("doc_id") * 3 + 1),
+      lit("/x/"), col("doc_id").cast("string"),
+      lit("\">one</a> and <a href=\"https://"),
+      hostAt(col("doc_id") + 5),
+      lit("/y\">two</a> plus <a href=\"/local/"),
+      col("doc_id").cast("string"),
+      lit("\">self</a>.</p><script>var u=1; // <a " +
+        "href=\"https://evil.example/\">x</a></script>" +
+        "</body></html>"))
+    val docs = documents(s, d).select(col("doc_id"),
+      hostAt(col("doc_id")).as("src_host"), html.as("html"))
+    graft.operators.Boilerplate
+      .outlinks(docs.select(col("doc_id"), col("html")), "doc_id",
+        "html")
+      .join(docs.select(col("doc_id"), col("src_host")), Seq("doc_id"))
+      .withColumn("dst_host",
+        coalesce(Corpus.urlHost(col("href")), col("src_host")))
+      .select(col("doc_id"), col("src_host"), col("dst_host"))
+  }
+
+  /** The h/x/e CTE chain both the q232 oracle and the q234 composed
+    * oracle start from: page synthesis, comment/script strip, href
+    * extraction, host resolution. Ends at `e(doc_id, src_host,
+    * dst_host)`. */
+  private[queries] val OutlinkCtes: String = {
+    val hostList = UrlHosts.map(h => s"'$h'").mkString("[", ", ", "]")
+    raw"""h AS (
+      |  SELECT doc_id,
+      |    $hostList[CAST(doc_id % 8 AS INT) + 1] AS src_host,
+      |    '<html><body><p>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    ' cites <a href="https://' ||
+      |    $hostList[CAST((doc_id * 3 + 1) % 8 AS INT) + 1] ||
+      |    '/x/' || CAST(doc_id AS VARCHAR) ||
+      |    '">one</a> and <a href="https://' ||
+      |    $hostList[CAST((doc_id + 5) % 8 AS INT) + 1] ||
+      |    '/y">two</a> plus <a href="/local/' ||
+      |    CAST(doc_id AS VARCHAR) ||
+      |    '">self</a>.</p><script>var u=1; // <a ' ||
+      |    'href="https://evil.example/">x</a></script>' ||
+      |    '</body></html>' AS html
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, src_host, unnest(regexp_extract_all(
+      |    regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |    '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"', 1)) AS href
+      |  FROM h),
+      |e AS (
+      |  SELECT doc_id, src_host,
+      |    COALESCE(NULLIF(lower(regexp_extract(href,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)',
+      |      1)), ''), src_host) AS dst_host
+      |  FROM x)""".stripMargin
+  }
+
+  private val q232Oracle: String =
+    s"""WITH $OutlinkCtes
+      |SELECT src_host, dst_host, COUNT(*) AS n_links,
+      |  COUNT(DISTINCT doc_id) AS n_docs
+      |FROM e GROUP BY src_host, dst_host
+      |ORDER BY src_host, dst_host""".stripMargin
+
+  /** q233: URL canonicalization + exact URL dedup
+    * ([[graft.operators.Corpus.canonicalizeUrl]]) — four raw
+    * variants per path (case-mangled scheme/host, explicit :443,
+    * `utm_*`/`gclid` tracking params, permuted param order, fragment;
+    * plus a distinct http://:8080 family whose `ref` param drops and
+    * whose non-default port survives) collapse onto canonical keys;
+    * the dedup keeps the first doc and counts raw forms. The oracle
+    * replays every canonicalization step string-for-string. */
+  def q233UrlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    val v = col("doc_id") % 4
+    val pid = (col("doc_id") % 50).cast("string")
+    val url = when(v === 0, concat(
+        lit("HTTPS://WWW.Example.COM/a/"), pid, lit("?b=2&a=1")))
+      .when(v === 1, concat(lit("https://www.example.com:443/a/"),
+        pid, lit("?a=1&utm_source=feed&b=2#frag")))
+      .when(v === 2, concat(lit("https://www.example.com/a/"), pid,
+        lit("?utm_campaign=x&b=2&a=1&gclid=99")))
+      .otherwise(concat(lit("http://other.net:8080/p/"), pid,
+        lit("?ref=rss")))
+    documents(s, d).select(col("doc_id"), url.as("url"))
+      .withColumn("canon", Corpus.canonicalizeUrl(col("url")))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_raw_forms"))
+      .orderBy(col("canon"))
+  }
+
+  private val q233Oracle: String =
+    raw"""WITH u AS (
+      |  SELECT doc_id, CASE
+      |    WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Example.COM/a/' ||
+      |      CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1'
+      |    WHEN doc_id % 4 = 1 THEN
+      |      'https://www.example.com:443/a/' ||
+      |      CAST(doc_id % 50 AS VARCHAR) ||
+      |      '?a=1&utm_source=feed&b=2#frag'
+      |    WHEN doc_id % 4 = 2 THEN 'https://www.example.com/a/' ||
+      |      CAST(doc_id % 50 AS VARCHAR) ||
+      |      '?utm_campaign=x&b=2&a=1&gclid=99'
+      |    ELSE 'http://other.net:8080/p/' ||
+      |      CAST(doc_id % 50 AS VARCHAR) || '?ref=rss' END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)',
+      |      1)), '\.$$', '') AS host,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^:/?#]*:([0-9]+)',
+      |      1) AS port,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+      |    regexp_extract(regexp_replace(url, '(?s)#.*', ''),
+      |      '(?s)\?(.*)', 1) AS qry
+      |  FROM u),
+      |p AS (
+      |  SELECT doc_id, url, scheme, host, port, path,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(qry, '&'),
+      |      q -> len(q) > 0 AND NOT starts_with(q, 'utm_')
+      |        AND NOT list_contains(
+      |          ['gclid', 'fbclid', 'msclkid', 'ref'],
+      |          string_split(q, '=')[1]))), '&') AS joined
+      |  FROM c),
+      |k AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN len(host) > 0 THEN scheme || '://' || host ||
+      |      CASE WHEN len(port) > 0
+      |          AND NOT (scheme = 'http' AND port = '80')
+      |          AND NOT (scheme = 'https' AND port = '443')
+      |        THEN ':' || port ELSE '' END ||
+      |      CASE WHEN len(path) = 0 THEN '/' ELSE path END ||
+      |      CASE WHEN len(joined) > 0 THEN '?' || joined
+      |        ELSE '' END END AS canon
+      |  FROM p)
+      |SELECT canon, MIN(doc_id) AS first_doc, COUNT(*) AS n_urls,
+      |  COUNT(DISTINCT url) AS n_raw_forms
+      |FROM k GROUP BY canon ORDER BY canon""".stripMargin
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -874,6 +1048,8 @@ object CorpusQueries {
     "q187_langid_confusion" -> (q187LangidConfusion _),
     "q158_domain_cap" -> (q158DomainCap _),
     "q231_html_main_content" -> (q231HtmlMainContent _),
+    "q232_outlink_graph" -> (q232OutlinkGraph _),
+    "q233_url_canonical_dedup" -> (q233UrlCanonicalDedup _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -883,6 +1059,8 @@ object CorpusQueries {
   val oracle: Map[String, String] = Map(
     "q158_domain_cap" -> q158Oracle,
     "q231_html_main_content" -> q231Oracle,
+    "q232_outlink_graph" -> q232Oracle,
+    "q233_url_canonical_dedup" -> q233Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

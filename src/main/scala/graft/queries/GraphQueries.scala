@@ -43,7 +43,10 @@ object GraphQueries {
         .agg(count(lit(1)).cast("long").as("w")),
       "w")
 
-  private val q224Oracle: String = {
+  /** Weighted-PageRank oracle rounds over an `ew(src, dst, w)` CTE
+    * the caller supplies (q224: the endorsement graph; q234: the
+    * outlink web graph extracted from raw HTML). */
+  private def wprOracleFrom(ewPrefix: String): String = {
     val rounds = (1 to 5).map { i =>
       s"""wpr$i AS MATERIALIZED (
          |  SELECT n.node,
@@ -58,11 +61,7 @@ object GraphQueries {
          |           JOIN wod od ON ew.src = od.onode
          |    GROUP BY ew.dst) s$i ON s$i.dst = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ew AS MATERIALIZED (
-       |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
-       |    CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  GROUP BY 1, 2),
+    s"""WITH $ewPrefix,
        |wnodes AS MATERIALIZED (
        |  SELECT src AS node FROM ew UNION SELECT dst FROM ew),
        |wcnt AS MATERIALIZED (SELECT COUNT(*) AS nn FROM wnodes),
@@ -74,6 +73,35 @@ object GraphQueries {
        |$rounds
        |SELECT node, pr FROM wpr5 ORDER BY node""".stripMargin
   }
+
+  private val q224Oracle: String = wprOracleFrom(
+    """ew AS MATERIALIZED (
+       |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2)""".stripMargin)
+
+  /** q234: WEB AUTHORITY composed end-to-end from raw HTML — the
+    * q232 extraction chain (script strip → href regex → host
+    * resolution) aggregated to a weighted host graph and pushed
+    * through the SAME 5-round weighted PageRank as q224: the "which
+    * domains does the corpus itself endorse" signal real web-curation
+    * pipelines rank crawl frontiers and source weights by. The oracle
+    * chains the q232 CTEs into the q224 round replay — the hash match
+    * proves the COMPOSITION, not just the parts. */
+  def q234WebAuthority(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRankWeighted(
+      CorpusQueries.outlinkResolved(s, d)
+        .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
+        .agg(count(lit(1)).cast("long").as("w")),
+      "w")
+
+  private val q234Oracle: String = wprOracleFrom(
+    s"""${CorpusQueries.OutlinkCtes},
+       |ew AS MATERIALIZED (
+       |  SELECT src_host AS src, dst_host AS dst,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM e GROUP BY 1, 2)""".stripMargin)
 
   /** q163: 5-round HITS (max-normalized) over the same graph — the
     * auth side ranks suppliers by weighted endorsement, the hub side
@@ -527,6 +555,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_pagerank" -> (q162PageRank _),
     "q224_pagerank_weighted" -> (q224PageRankWeighted _),
+    "q234_web_authority" -> (q234WebAuthority _),
     "q163_hits" -> (q163Hits _),
     "q175_personalized_pagerank" -> (q175Ppr _),
     "q176_components" -> (q176Components _),
@@ -543,6 +572,7 @@ object GraphQueries {
   val oracle: Map[String, String] = Map(
     "q162_pagerank" -> q162Oracle,
     "q224_pagerank_weighted" -> q224Oracle,
+    "q234_web_authority" -> q234Oracle,
     "q163_hits" -> q163Oracle,
     "q175_personalized_pagerank" -> q175Oracle,
     "q176_components" -> q176Oracle,

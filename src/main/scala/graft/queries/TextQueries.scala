@@ -1223,6 +1223,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q235: provenance-preserving normalized dedup
+    * ([[graft.operators.Dedup.dedupWithProvenance]] keyed on the
+    * q123 [[dedupKey]]) — the [[DedupKeyFixture]] rows get distinct
+    * mirror sources, so the collapsed "Café déjà vu" group proves the
+    * survivor carries the SORTED union of every dropped copy's
+    * provenance; corpus docs keep their own `source`. The oracle
+    * replays the key (nfc_normalize/lower/collapse) and the
+    * list(DISTINCT)-sorted merge. */
+  def q235ProvenanceDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = DedupKeyFixture.zipWithIndex.map {
+      case ((id, t), i) => (id, t, s"mirror-${('a' + i).toChar}")
+    }.toDF("doc_id", "text", "source")
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+      .unionByName(fixture)
+    graft.operators.Dedup
+      .dedupWithProvenance(docs, "doc_id", dedupKey(col("text")),
+        "source")
+      .select(md5(col("dedup_key")).as("key_md5"), col("rep_id"),
+        col("n_members"), col("provenance"))
+      .orderBy(col("rep_id"))
+  }
+
   /** Fixture docs exercising the paragraph-dedup classes the single-
     * line corpus cannot: cross-doc shared paragraphs, blank-line
     * separators, a doc that is ENTIRELY a duplicate, and intra-doc
@@ -1461,6 +1485,7 @@ object TextQueries {
     "q156_prf_expansion" -> (q156PrfExpansion _),
     "q125_epoch_shuffle" -> (q125EpochShuffle _),
     "q123_normalized_dedup" -> (q123NormalizedDedup _),
+    "q235_provenance_dedup" -> (q235ProvenanceDedup _),
     "q136_paragraph_dedup" -> (q136ParagraphDedup _),
     "q137_gopher_repetition" -> (q137GopherRepetition _),
     "q153_boilerplate_lines" -> (q153BoilerplateLines _),
@@ -2209,6 +2234,24 @@ object TextQueries {
          |SELECT doc_id, canonical_id,
          |  doc_id <> canonical_id AS is_dup
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q235_provenance_dedup" -> {
+      val vals = DedupKeyFixture.zipWithIndex.map { case ((id, t), i) =>
+        s"($id, '${t.replace("'", "''")}', 'mirror-${('a' + i).toChar}')"
+      }.mkString(", ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $vals)
+         |    AS v(doc_id, text, source)),
+         |g AS (
+         |  SELECT trim(regexp_replace(nfc_normalize(lower(text)),
+         |      '\\s+', ' ', 'g')) AS k,
+         |    MIN(doc_id) AS rep_id, COUNT(*) AS n_members,
+         |    array_to_string(list_sort(list(DISTINCT source)), ',')
+         |      AS provenance
+         |  FROM all_docs GROUP BY 1)
+         |SELECT md5(k) AS key_md5, rep_id, n_members, provenance
+         |FROM g ORDER BY rep_id""".stripMargin
     },
     "q136_paragraph_dedup" -> {
       val vals = ParagraphFixture.map { case (id, t) =>

@@ -53,6 +53,25 @@ class BoilerplateSpec extends SparkTestBase {
     assert(!blocks.exists(_._1.contains("p{}")))
   }
 
+  test("outlinks: double-quoted hrefs in document order, script/" +
+      "style/comment links excluded, linkless docs absent") {
+    val html1 = "<p>see <a href=\"https://a.com/1\">x</a> then " +
+      "<a class=\"z\" href=\"/rel\">y</a></p>" +
+      "<script>var a; // <a href=\"https://evil/\">no</a></script>" +
+      "<!-- <a href=\"https://gone/\">no</a> -->" +
+      "<a href=\"https://b.net/2\">z</a>" +
+      "<a href='https://single.quoted/'>out of scope</a>"
+    val out = Boilerplate.outlinks(
+      Seq((1L, html1), (2L, "<p>no links at all</p>"))
+        .toDF("id", "html"), "id", "html")
+      .orderBy("id", "link_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, "https://a.com/1"),
+      (1L, 1L, "/rel"),
+      (1L, 2L, "https://b.net/2")))
+  }
+
   test("mainContent assembles only good blocks in document order; " +
       "a doc with no good block is absent") {
     val out = Boilerplate.mainContent(

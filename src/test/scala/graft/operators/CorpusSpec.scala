@@ -244,6 +244,28 @@ class CorpusSpec extends SparkTestBase {
       (6L, None, None, None)))
   }
 
+  test("canonicalizeUrl: case/port/fragment/tracking-param/param-" +
+      "order normalization, non-default port kept, no-scheme null") {
+    val got = Seq(
+      "HTTPS://WWW.Example.COM/a/1?b=2&a=1",
+      "https://www.example.com:443/a/1?a=1&utm_source=f&b=2#frag",
+      "https://www.example.com/a/1?utm_campaign=x&b=2&a=1&gclid=9",
+      "http://u:p@Other.net:8080/p/2?ref=rss",
+      "http://host.example.org.:80",
+      "https://keep.net:8443/x?z=1&y=2",
+      "relative/only")
+      .toDF("url").select(Corpus.canonicalizeUrl(col("url")))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(
+      Some("https://www.example.com/a/1?a=1&b=2"),
+      Some("https://www.example.com/a/1?a=1&b=2"),
+      Some("https://www.example.com/a/1?a=1&b=2"),
+      Some("http://other.net:8080/p/2"),
+      Some("http://host.example.org/"),
+      Some("https://keep.net:8443/x?y=2&z=1"),
+      None))
+  }
+
   test("rrfFusion: a doc ranked first everywhere gets the max " +
       "possible fused score; null scores rank last; ties break on " +
       "id") {

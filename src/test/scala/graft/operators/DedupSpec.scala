@@ -28,6 +28,24 @@ class DedupSpec extends SparkTestBase {
     assert(dup.getAs[Long]("doc_id") === 1L)
   }
 
+  test("dedupWithProvenance merges sorted distinct sources onto the " +
+      "lowest-id representative; singletons keep their own") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text", "web"),
+      (7L, "same text", "archive"),
+      (3L, "same text", "web"),
+      (5L, "unique text", "wiki"))
+      .toDF("id", "text", "src")
+    val out = Dedup.dedupWithProvenance(df, "id", col("text"), "src")
+      .select("dedup_key", "rep_id", "n_members", "provenance")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._2)
+    assert(out.toSeq === Seq(
+      ("same text", 1L, 3L, "archive,web"),
+      ("unique text", 5L, 1L, "wiki")))
+  }
+
   test("exactDedup is idempotent under re-ingestion (D2)") {
     val once = Dedup.exactDedup(docs, "doc_id", "text")
     val twice = Dedup.exactDedup(docs.union(docs), "doc_id", "text")
