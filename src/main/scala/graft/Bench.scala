@@ -109,7 +109,11 @@ object Bench {
     val total =
       if (results.nonEmpty) math.rint(results.values.sum * 1000) / 1000
       else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build":$idxBuild,"artifact_build":$artBuild,"passes":$passes,"calib_pre":$calibPre,"calib_post":$calibPost,"sf":"$sfDir"}""")
+    // passes + cpus ride in the JSON so cross-run comparisons are
+    // machine-checkably like-for-like (the r9 sf1 audit's lesson:
+    // a 3-pass-median vs single-pass ratio misreads warm-up as
+    // super-linear scaling).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build":$idxBuild,"artifact_build":$artBuild,"passes":$passes,"cpus":$cpus,"calib_pre":$calibPre,"calib_post":$calibPost,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -162,6 +162,40 @@ object Boilerplate {
         .as(Seq("link_id", "href")))
       .withColumn("link_id", col("link_id").cast("long"))
 
+  /** Page-level metadata extraction — the four signals web curation
+    * reads BEFORE touching body text: the `<html lang="…">` declared
+    * language (a prior for LID routing), the `<title>` (cleaned with
+    * the same fragment chain as block text), the robots `noindex`
+    * verdict (C4-class pipelines honor it as a consent signal), and
+    * the `rel="canonical"` link (the page's OWN dedup key —
+    * canonical-preferred URL dedup collapses alias URLs the string
+    * canonicalizer cannot). Output: (idCol, html_lang, title,
+    * noindex, canonical_url), missing signals NULL (noindex false).
+    *
+    * Regex-level, double-quoted, name-before-content attribute order
+    * only (RE2 ∩ Java so a SQL oracle replays byte-exactly; the
+    * bounded snapshot scope the outlink extractor documents). Pure
+    * per-row codegen'd chain, no shuffle. */
+  def htmlMeta(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    val langAttr = regexp_extract(h,
+      "(?is)<html\\s[^>]*?lang\\s*=\\s*\"([^\"]*)\"", 1)
+    val title = cleanFragment(regexp_extract(h,
+      "(?is)<title[^>]*>(.*?)</title>", 1))
+    val robots = lower(regexp_extract(h,
+      "(?is)<meta\\s[^>]*?name\\s*=\\s*\"robots\"[^>]*?" +
+        "content\\s*=\\s*\"([^\"]*)\"", 1))
+    val canonical = regexp_extract(h,
+      "(?is)<link\\s[^>]*?rel\\s*=\\s*\"canonical\"[^>]*?" +
+        "href\\s*=\\s*\"([^\"]*)\"", 1)
+    df.select(col(idCol),
+      when(length(langAttr) > 0, lower(langAttr)).as("html_lang"),
+      when(length(title) > 0, title).as("title"),
+      robots.contains("noindex").as("noindex"),
+      when(length(canonical) > 0, canonical).as("canonical_url"))
+  }
+
   /** The kept prose only: good blocks re-joined in document order
     * with newlines. Output: (idCol, main_text); docs with no good
     * block are ABSENT (nothing extractable — callers union an

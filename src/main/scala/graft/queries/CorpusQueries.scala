@@ -329,10 +329,11 @@ object CorpusQueries {
     * whose non-default port survives) collapse onto canonical keys;
     * the dedup keeps the first doc and counts raw forms. The oracle
     * replays every canonicalization step string-for-string. */
-  def q233UrlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
+  /** The q233 synthetic raw-URL variant column (shared with q237). */
+  private def urlVariantsCol: org.apache.spark.sql.Column = {
     val v = col("doc_id") % 4
     val pid = (col("doc_id") % 50).cast("string")
-    val url = when(v === 0, concat(
+    when(v === 0, concat(
         lit("HTTPS://WWW.Example.COM/a/"), pid, lit("?b=2&a=1")))
       .when(v === 1, concat(lit("https://www.example.com:443/a/"),
         pid, lit("?a=1&utm_source=feed&b=2#frag")))
@@ -340,7 +341,10 @@ object CorpusQueries {
         lit("?utm_campaign=x&b=2&a=1&gclid=99")))
       .otherwise(concat(lit("http://other.net:8080/p/"), pid,
         lit("?ref=rss")))
-    documents(s, d).select(col("doc_id"), url.as("url"))
+  }
+
+  def q233UrlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).select(col("doc_id"), urlVariantsCol.as("url"))
       .withColumn("canon", Corpus.canonicalizeUrl(col("url")))
       .groupBy(col("canon"))
       .agg(min(col("doc_id")).as("first_doc"),
@@ -349,22 +353,11 @@ object CorpusQueries {
       .orderBy(col("canon"))
   }
 
-  private val q233Oracle: String =
-    raw"""WITH u AS (
-      |  SELECT doc_id, CASE
-      |    WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Example.COM/a/' ||
-      |      CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1'
-      |    WHEN doc_id % 4 = 1 THEN
-      |      'https://www.example.com:443/a/' ||
-      |      CAST(doc_id % 50 AS VARCHAR) ||
-      |      '?a=1&utm_source=feed&b=2#frag'
-      |    WHEN doc_id % 4 = 2 THEN 'https://www.example.com/a/' ||
-      |      CAST(doc_id % 50 AS VARCHAR) ||
-      |      '?utm_campaign=x&b=2&a=1&gclid=99'
-      |    ELSE 'http://other.net:8080/p/' ||
-      |      CAST(doc_id % 50 AS VARCHAR) || '?ref=rss' END AS url
-      |  FROM documents),
-      |c AS (
+  /** The c/p/k canonicalization-replay chain over a caller-supplied
+    * `u(doc_id, url)` CTE — shared by q233 and the composed q237.
+    * Ends at `k(doc_id, url, canon)`. */
+  private[queries] def canonCtes(src: String): String =
+    raw"""c AS (
       |  SELECT doc_id, url,
       |    lower(regexp_extract(url,
       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -378,7 +371,7 @@ object CorpusQueries {
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
       |    regexp_extract(regexp_replace(url, '(?s)#.*', ''),
       |      '(?s)\?(.*)', 1) AS qry
-      |  FROM u),
+      |  FROM $src),
       |p AS (
       |  SELECT doc_id, url, scheme, host, port, path,
       |    array_to_string(list_sort(list_filter(
@@ -398,10 +391,172 @@ object CorpusQueries {
       |      CASE WHEN len(path) = 0 THEN '/' ELSE path END ||
       |      CASE WHEN len(joined) > 0 THEN '?' || joined
       |        ELSE '' END END AS canon
-      |  FROM p)
+      |  FROM p)""".stripMargin
+
+  /** The q233 synthetic raw-URL variants as a `u(doc_id, url)` CTE
+    * body. */
+  private val UrlVariantsCte: String =
+    raw"""u AS (
+      |  SELECT doc_id, CASE
+      |    WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Example.COM/a/' ||
+      |      CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1'
+      |    WHEN doc_id % 4 = 1 THEN
+      |      'https://www.example.com:443/a/' ||
+      |      CAST(doc_id % 50 AS VARCHAR) ||
+      |      '?a=1&utm_source=feed&b=2#frag'
+      |    WHEN doc_id % 4 = 2 THEN 'https://www.example.com/a/' ||
+      |      CAST(doc_id % 50 AS VARCHAR) ||
+      |      '?utm_campaign=x&b=2&a=1&gclid=99'
+      |    ELSE 'http://other.net:8080/p/' ||
+      |      CAST(doc_id % 50 AS VARCHAR) || '?ref=rss' END AS url
+      |  FROM documents)""".stripMargin
+
+  private val q233Oracle: String =
+    s"""WITH $UrlVariantsCte,
+      |${canonCtes("u")}
       |SELECT canon, MIN(doc_id) AS first_doc, COUNT(*) AS n_urls,
       |  COUNT(DISTINCT url) AS n_raw_forms
       |FROM k GROUP BY canon ORDER BY canon""".stripMargin
+
+  /** Synthetic page column for q236/q237: lang attribute cycles
+    * en/DE/absent, a robots meta is present for half the ids (one
+    * noindex, one index), EVEN ids carry a `rel="canonical"` link
+    * onto a page/<id%25> key that unifies MORE than the raw URL
+    * does, and the title carries an entity so the decode chain is
+    * exercised. */
+  private def metaPageCol: org.apache.spark.sql.Column = {
+    val langFrag = when(col("doc_id") % 3 === 0, lit(" lang=\"en\""))
+      .when(col("doc_id") % 3 === 1, lit(" lang=\"DE\""))
+      .otherwise(lit(""))
+    val robotsFrag = when(col("doc_id") % 4 === 1,
+        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+      .when(col("doc_id") % 4 === 2,
+        lit("<meta name=\"robots\" content=\"index, follow\">"))
+      .otherwise(lit(""))
+    val canonFrag = when(col("doc_id") % 2 === 0, concat(
+        lit("<link rel=\"canonical\" " +
+          "href=\"https://www.example.com/page/"),
+        (col("doc_id") % 25).cast("string"), lit("\">")))
+      .otherwise(lit(""))
+    concat(lit("<html"), langFrag, lit("><head><title>Doc "),
+      col("doc_id").cast("string"), lit(" &amp; notes</title>"),
+      robotsFrag, canonFrag, lit("</head><body><p>"), col("text"),
+      lit("</p></body></html>"))
+  }
+
+  /** The q236/q237 page synthesis as a `pg(doc_id, html)` CTE. */
+  private val MetaPageCte: String =
+    raw"""pg AS (
+      |  SELECT doc_id,
+      |    '<html' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' lang="en"'
+      |         WHEN doc_id % 3 = 1 THEN ' lang="DE"'
+      |         ELSE '' END ||
+      |    '><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    ' &amp; notes</title>' ||
+      |    CASE WHEN doc_id % 4 = 1 THEN
+      |        '<meta name="robots" content="noindex, nofollow">'
+      |      WHEN doc_id % 4 = 2 THEN
+      |        '<meta name="robots" content="index, follow">'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |        '<link rel="canonical" ' ||
+      |        'href="https://www.example.com/page/' ||
+      |        CAST(doc_id % 25 AS VARCHAR) || '">'
+      |      ELSE '' END ||
+      |    '</head><body><p>' || text || '</p></body></html>' AS html
+      |  FROM documents)""".stripMargin
+
+  /** The four metadata signal extractions over `pg`, as a
+    * `mx(doc_id, l, t, r, cu)` CTE (raw regex captures; empties not
+    * yet nulled). */
+  private val MetaExtractCte: String = {
+    def clean(x: String): String =
+      s"""trim(regexp_replace(replace(replace(replace(replace(
+        |replace(replace(regexp_replace($x, '(?s)<[^>]+>', ' ', 'g'),
+        |'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |'&quot;', '"'), '&#39;', ''''), '\\s+', ' ', 'g'))"""
+        .stripMargin.replace("\n", " ")
+    raw"""mx AS (
+      |  SELECT doc_id,
+      |    regexp_extract(html,
+      |      '(?is)<html\s[^>]*?lang\s*=\s*"([^"]*)"', 1) AS l,
+      |    ${clean(raw"""regexp_extract(html,
+      |      '(?is)<title[^>]*>(.*?)</title>', 1)""")} AS t,
+      |    lower(regexp_extract(html,
+      |      '(?is)<meta\s[^>]*?name\s*=\s*"robots"[^>]*?content\s*=\s*"([^"]*)"',
+      |      1)) AS r,
+      |    regexp_extract(html,
+      |      '(?is)<link\s[^>]*?rel\s*=\s*"canonical"[^>]*?href\s*=\s*"([^"]*)"',
+      |      1) AS cu
+      |  FROM pg)""".stripMargin
+  }
+
+  /** q236: page-metadata extraction
+    * ([[graft.operators.Boilerplate.htmlMeta]]) — declared-language
+    * attribute (lowercased), cleaned title (entity decode), robots
+    * noindex verdict, canonical link; every signal deliberately
+    * absent on a slice of ids so the NULL paths are value-checked
+    * too. */
+  def q236HtmlMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      metaPageCol.as("html"))
+    graft.operators.Boilerplate.htmlMeta(docs, "doc_id", "html")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q236Oracle: String =
+    s"""WITH $MetaPageCte,
+      |$MetaExtractCte
+      |SELECT doc_id,
+      |  CASE WHEN len(l) > 0 THEN lower(l) END AS html_lang,
+      |  CASE WHEN len(t) > 0 THEN t END AS title,
+      |  contains(r, 'noindex') AS noindex,
+      |  CASE WHEN len(cu) > 0 THEN cu END AS canonical_url
+      |FROM mx ORDER BY doc_id""".stripMargin
+
+  /** q237: canonical-link-PREFERRED URL dedup — the composition web
+    * pipelines actually run: the page's own `rel="canonical"` beats
+    * string canonicalization when present (EVEN ids collapse onto
+    * page/<id%25> keys that unify across distinct raw paths — alias
+    * structure no string rule can see), raw URLs fall back to
+    * [[graft.operators.Corpus.canonicalizeUrl]]. The oracle chains
+    * the page synthesis + extraction CTEs into the q233
+    * canonicalization replay. */
+  def q237CanonicalPreferredDedup(s: SparkSession,
+      d: String): DataFrame = {
+    val pages = documents(s, d).select(col("doc_id"),
+      urlVariantsCol.as("url"), metaPageCol.as("html"))
+    val meta = graft.operators.Boilerplate
+      .htmlMeta(pages, "doc_id", "html")
+      .select(col("doc_id"), col("canonical_url"))
+    pages.join(meta, Seq("doc_id"))
+      .withColumn("canon", Corpus.canonicalizeUrl(
+        coalesce(col("canonical_url"), col("url"))))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("n_pages"),
+        sum(when(col("canonical_url").isNotNull, 1L).otherwise(0L))
+          .as("n_via_canonical"))
+      .orderBy(col("canon"))
+  }
+
+  private val q237Oracle: String =
+    s"""WITH $MetaPageCte,
+      |$MetaExtractCte,
+      |$UrlVariantsCte,
+      |eff AS (
+      |  SELECT u.doc_id,
+      |    COALESCE(NULLIF(mx.cu, ''), u.url) AS url,
+      |    CASE WHEN len(mx.cu) > 0 THEN 1 ELSE 0 END AS via_canon
+      |  FROM u JOIN mx ON mx.doc_id = u.doc_id),
+      |u2 AS (SELECT doc_id, url FROM eff),
+      |${canonCtes("u2")}
+      |SELECT k.canon, MIN(k.doc_id) AS first_doc,
+      |  COUNT(*) AS n_pages,
+      |  CAST(SUM(eff.via_canon) AS BIGINT) AS n_via_canonical
+      |FROM k JOIN eff ON eff.doc_id = k.doc_id
+      |GROUP BY k.canon ORDER BY k.canon""".stripMargin
 
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
@@ -1050,6 +1205,8 @@ object CorpusQueries {
     "q231_html_main_content" -> (q231HtmlMainContent _),
     "q232_outlink_graph" -> (q232OutlinkGraph _),
     "q233_url_canonical_dedup" -> (q233UrlCanonicalDedup _),
+    "q236_html_meta" -> (q236HtmlMeta _),
+    "q237_canonical_preferred_dedup" -> (q237CanonicalPreferredDedup _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -1061,6 +1218,8 @@ object CorpusQueries {
     "q231_html_main_content" -> q231Oracle,
     "q232_outlink_graph" -> q232Oracle,
     "q233_url_canonical_dedup" -> q233Oracle,
+    "q236_html_meta" -> q236Oracle,
+    "q237_canonical_preferred_dedup" -> q237Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

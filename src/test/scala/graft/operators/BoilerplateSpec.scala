@@ -72,6 +72,28 @@ class BoilerplateSpec extends SparkTestBase {
       (1L, 2L, "https://b.net/2")))
   }
 
+  test("htmlMeta: lang lowercased, title entity-decoded, noindex " +
+      "detected inside the content list, canonical extracted; " +
+      "absent signals are null/false") {
+    val p1 = "<html LANG=\"EN-us\"><head>" +
+      "<title> A &amp; B   C </title>" +
+      "<meta name=\"robots\" content=\"NOINDEX, nofollow\">" +
+      "<link rel=\"canonical\" href=\"https://ex.com/c\">" +
+      "</head><body><p>x</p></body></html>"
+    val p2 = "<html><head><title></title>" +
+      "<meta name=\"robots\" content=\"index, follow\">" +
+      "</head><body>y</body></html>"
+    val out = Boilerplate.htmlMeta(
+      Seq((1L, p1), (2L, p2)).toDF("id", "html"), "id", "html")
+      .orderBy("id")
+      .collect().map(r => (Option(r.getString(1)),
+        Option(r.getString(2)), r.getBoolean(3),
+        Option(r.getString(4))))
+    assert(out.toSeq === Seq(
+      (Some("en-us"), Some("A & B C"), true, Some("https://ex.com/c")),
+      (None, None, false, None)))
+  }
+
   test("mainContent assembles only good blocks in document order; " +
       "a doc with no good block is absent") {
     val out = Boilerplate.mainContent(
