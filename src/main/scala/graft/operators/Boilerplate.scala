@@ -162,6 +162,30 @@ object Boilerplate {
         .as(Seq("link_id", "href")))
       .withColumn("link_id", col("link_id").cast("long"))
 
+  /** Outlinks WITH their anchor text — the (href, text) pairs that
+    * feed anchor-text aggregation, the classic off-page relevance
+    * signal ("what the web calls this page"): per target, the terms
+    * of every anchor pointing at it. Differs from [[outlinks]] in
+    * requiring a well-formed `<a …>…</a>` (the text capture needs
+    * the close tag); anchor text is cleaned with the SAME fragment
+    * chain as block text. Output: (idCol, link_id, href, anchor);
+    * anchors whose cleaned text is empty keep the row (href still a
+    * link) with anchor = ''. Same regex-snapshot scope as
+    * [[outlinks]]: double-quoted hrefs, RE2 ∩ Java. */
+  def outlinksWithText(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    val pat = lit("(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>" +
+      "(.*?)</a>")
+    val stripped = stripNonContent(col(htmlCol))
+    df.select(col(idCol), posexplode(arrays_zip(
+        regexp_extract_all(stripped, pat, lit(1)),
+        regexp_extract_all(stripped, pat, lit(2))))
+        .as(Seq("link_id", "z")))
+      .select(col(idCol), col("link_id").cast("long").as("link_id"),
+        col("z.0").as("href"),
+        cleanFragment(col("z.1")).as("anchor"))
+  }
+
   /** Page-level metadata extraction — the four signals web curation
     * reads BEFORE touching body text: the `<html lang="…">` declared
     * language (a prior for LID routing), the `<title>` (cleaned with

@@ -558,6 +558,141 @@ object CorpusQueries {
       |FROM k JOIN eff ON eff.doc_id = k.doc_id
       |GROUP BY k.canon ORDER BY k.canon""".stripMargin
 
+  /** Anchor-term vocabulary for q238 (shared with the oracle). */
+  private val AnchorTerms1 = Seq("best", "fresh", "weekly",
+    "archived", "primary")
+  private val AnchorTerms2 = Seq("report", "tables", "index")
+
+  /** q238: anchor-text aggregation per target host
+    * ([[graft.operators.Boilerplate.outlinksWithText]]) — the
+    * off-page relevance signal: for every host, the top-3 terms the
+    * corpus's anchors use when linking TO it (count desc, term asc).
+    * Pages carry two absolute links whose hosts and anchor wordings
+    * are deterministic functions of doc_id, so term counts vary by
+    * host. The oracle replays extraction (two grouped captures over
+    * the same pattern, zipped by position), cleaning, host
+    * resolution, tokenization, and the ranked window. */
+  def q238AnchorText(s: SparkSession, d: String): DataFrame = {
+    val hostsArr = array(UrlHosts.map(lit): _*)
+    def hostAt(e: org.apache.spark.sql.Column) =
+      element_at(hostsArr, (e % 8).cast("int") + 1)
+    val t1 = element_at(array(AnchorTerms1.map(lit): _*),
+      (col("doc_id") % 5).cast("int") + 1)
+    val t2 = element_at(array(AnchorTerms2.map(lit): _*),
+      (col("doc_id") % 3).cast("int") + 1)
+    val html = concat(
+      lit("<p><a href=\"https://"), hostAt(col("doc_id") * 3 + 1),
+      lit("/x\">"), t1, lit(" data</a> and <a href=\"https://"),
+      hostAt(col("doc_id") + 5), lit("/y\">"), t2,
+      lit("</a></p>"))
+    val docs = documents(s, d).select(col("doc_id"),
+      html.as("html"))
+    val links = graft.operators.Boilerplate
+      .outlinksWithText(docs, "doc_id", "html")
+      .withColumn("dst_host", Corpus.urlHost(col("href")))
+    val counts = links
+      .select(col("dst_host"), explode(split(col("anchor"), " "))
+        .as("term"))
+      .groupBy(col("dst_host"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dst_host"))
+          .orderBy(col("n").desc, col("term"))))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("dst_host"), col("rnk"))
+  }
+
+  private val q238Oracle: String = {
+    val hostList = UrlHosts.map(h => s"'$h'").mkString("[", ", ", "]")
+    val tl1 = AnchorTerms1.map(t => s"'$t'").mkString("[", ", ", "]")
+    val tl2 = AnchorTerms2.map(t => s"'$t'").mkString("[", ", ", "]")
+    raw"""WITH h AS (
+      |  SELECT doc_id,
+      |    '<p><a href="https://' ||
+      |    $hostList[CAST((doc_id * 3 + 1) % 8 AS INT) + 1] ||
+      |    '/x">' || $tl1[CAST(doc_id % 5 AS INT) + 1] ||
+      |    ' data</a> and <a href="https://' ||
+      |    $hostList[CAST((doc_id + 5) % 8 AS INT) + 1] ||
+      |    '/y">' || $tl2[CAST(doc_id % 3 AS INT) + 1] ||
+      |    '</a></p>' AS html
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(html,
+      |      '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 1)
+      |      AS hr,
+      |    regexp_extract_all(html,
+      |      '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 2)
+      |      AS tx
+      |  FROM h),
+      |lk AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(hr[u.i],
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)',
+      |      1)) AS dst_host,
+      |    trim(regexp_replace(regexp_replace(tx[u.i],
+      |      '(?s)<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor
+      |  FROM ex, LATERAL unnest(generate_series(1, len(hr))) u(i)),
+      |tm AS (
+      |  SELECT dst_host, unnest(string_split(anchor, ' ')) AS term
+      |  FROM lk),
+      |cn AS (
+      |  SELECT dst_host, term, COUNT(*) AS n
+      |  FROM tm GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT dst_host, term, n, ROW_NUMBER() OVER (
+      |    PARTITION BY dst_host ORDER BY n DESC, term) AS rnk
+      |  FROM cn)
+      |SELECT dst_host, term, n, rnk FROM rk WHERE rnk <= 3
+      |ORDER BY dst_host, rnk""".stripMargin
+  }
+
+  /** q239: blocked fuzzy-key join (Levenshtein ≤ 2) — the
+    * entity-resolution primitive (typo'd titles, OCR'd names,
+    * slightly-divergent mirrors): probes are part names with their
+    * 3rd character dropped, candidates block on (2-char prefix,
+    * length ±2) — an EQUI-join, never all-pairs — and only
+    * candidate pairs pay the edit-distance verify. Both engines
+    * compute classic unweighted Levenshtein, replayed value-exactly.
+    * At corpus scale the 2-char prefix blocks shard the name space
+    * ~constant-factor; tighter blocking (q-gram prefixes, the q215
+    * PPJoin device) composes when names are long. */
+  def q239FuzzyNameJoin(s: SparkSession, d: String): DataFrame = {
+    val parts = part(s, d).select(col("p_partkey"), col("p_name"))
+    val probes = parts
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("probe_key"),
+        concat(substring(col("p_name"), 1, 2),
+          substring(col("p_name"), 4, 1 << 20)).as("probe_name"))
+    probes
+      .withColumn("blk", substring(col("probe_name"), 1, 2))
+      .join(parts.withColumn("blk", substring(col("p_name"), 1, 2)),
+        Seq("blk"))
+      .filter(abs(length(col("p_name")) -
+        length(col("probe_name"))) <= 2)
+      .withColumn("dist",
+        levenshtein(col("probe_name"), col("p_name")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("probe_key"), col("p_partkey"), col("dist"))
+      .orderBy(col("probe_key"), col("p_partkey"))
+  }
+
+  private val q239Oracle: String =
+    """WITH probes AS (
+      |  SELECT p_partkey AS probe_key,
+      |    substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
+      |  FROM part WHERE p_partkey % 10 = 0),
+      |cand AS (
+      |  SELECT probe_key, p_partkey,
+      |    CAST(levenshtein(probe_name, p_name) AS BIGINT) AS dist
+      |  FROM probes JOIN part
+      |    ON substr(probe_name, 1, 2) = substr(p_name, 1, 2)
+      |    AND abs(len(p_name) - len(probe_name)) <= 2)
+      |SELECT probe_key, p_partkey, dist FROM cand WHERE dist <= 2
+      |ORDER BY probe_key, p_partkey""".stripMargin
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -1207,6 +1342,8 @@ object CorpusQueries {
     "q233_url_canonical_dedup" -> (q233UrlCanonicalDedup _),
     "q236_html_meta" -> (q236HtmlMeta _),
     "q237_canonical_preferred_dedup" -> (q237CanonicalPreferredDedup _),
+    "q238_anchor_text" -> (q238AnchorText _),
+    "q239_fuzzy_name_join" -> (q239FuzzyNameJoin _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -1220,6 +1357,8 @@ object CorpusQueries {
     "q233_url_canonical_dedup" -> q233Oracle,
     "q236_html_meta" -> q236Oracle,
     "q237_canonical_preferred_dedup" -> q237Oracle,
+    "q238_anchor_text" -> q238Oracle,
+    "q239_fuzzy_name_join" -> q239Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

@@ -72,6 +72,22 @@ class BoilerplateSpec extends SparkTestBase {
       (1L, 2L, "https://b.net/2")))
   }
 
+  test("outlinksWithText: (href, cleaned anchor) pairs stay aligned " +
+      "in document order; nested markup in anchors is stripped") {
+    val html = "<p><a href=\"https://a.com/\">First &amp; " +
+      "<b>bold</b></a> mid <a href=\"/rel\"><img src=\"x\"></a>" +
+      "<a href=\"https://b.net/\">last</a></p>"
+    val out = Boilerplate.outlinksWithText(
+      Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .orderBy("link_id")
+      .collect().map(r => (r.getLong(1), r.getString(2),
+        r.getString(3)))
+    assert(out.toSeq === Seq(
+      (0L, "https://a.com/", "First & bold"),
+      (1L, "/rel", ""),
+      (2L, "https://b.net/", "last")))
+  }
+
   test("htmlMeta: lang lowercased, title entity-decoded, noindex " +
       "detected inside the content list, canonical extracted; " +
       "absent signals are null/false") {
