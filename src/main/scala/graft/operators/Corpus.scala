@@ -152,6 +152,101 @@ object Corpus {
     withHost.join(info, Seq("host"), "left")
   }
 
+  /** Content-type routing signals — the deterministic code/math/
+    * prose triage every mixed web corpus runs before per-type
+    * pipelines (code gets lexer-aware dedup and license scans, math
+    * gets TeX normalization, prose gets the quality chain). Signals,
+    * all in-row and SQL-replayable:
+    *   - `code_char_density`: fraction of `{ } ( ) ; =` characters;
+    *   - `code_line_frac`: fraction of lines that are indented
+    *     (2+ spaces / tab) or end in `; { }`;
+    *   - `math_char_density`: fraction of `$ \ ^ _` characters.
+    * Routing: code when either code signal clears its cut, else math
+    * when the math density clears its cut, else prose. Thresholds
+    * are parameters — the defaults separate the fixture classes and
+    * real corpora tune them. One codegen'd expression chain, no
+    * shuffle. */
+  def contentTypeSignals(df: DataFrame, idCol: String,
+      textCol: String, codeCharCut: Double = 0.03,
+      codeLineCut: Double = 0.4,
+      mathCharCut: Double = 0.02): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("double")
+    def removed(cls: String) =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("double")
+    val codeChar = removed("[{}();=]") / n
+    val mathChar = removed("[$\\\\^_]") / n
+    val lines = split(t, "\n")
+    val codeLines = filter(lines, l =>
+      l.rlike("^(  |\\t)") || l.rlike("[;{}]\\s*$"))
+    val codeLineFrac =
+      size(codeLines).cast("double") / size(lines).cast("double")
+    df.select(col(idCol),
+        codeChar.as("code_char_density"),
+        codeLineFrac.as("code_line_frac"),
+        mathChar.as("math_char_density"))
+      .withColumn("content_type",
+        when(col("code_char_density") > codeCharCut ||
+          col("code_line_frac") > codeLineCut, "code")
+          .when(col("math_char_density") > mathCharCut, "math")
+          .otherwise("prose"))
+  }
+
+  /** Parse robots.txt bodies into a (host, rule_type, prefix) rule
+    * table: `Disallow:` / `Allow:` lines, trimmed, empty prefixes
+    * dropped (an empty Disallow allows everything — no rule). The
+    * single-group snapshot scope is documented: per-user-agent
+    * sections are NOT separated (the fixture corpus carries only
+    * `*` groups), matching what the SQL oracle can replay. */
+  def robotsRules(df: DataFrame, hostCol: String,
+      txtCol: String): DataFrame =
+    df.select(col(hostCol).as("host"),
+        explode(split(col(txtCol), "\n")).as("line"))
+      .select(col("host"), trim(col("line")).as("line"))
+      .withColumn("rule_type",
+        when(col("line").startsWith("Disallow:"), "disallow")
+          .when(col("line").startsWith("Allow:"), "allow"))
+      .filter(col("rule_type").isNotNull)
+      .withColumn("prefix", trim(expr(
+        "substring(line, instr(line, ':') + 1, 1048576)")))
+      .filter(length(col("prefix")) > 0)
+      .select(col("host"), col("rule_type"), col("prefix"))
+
+  /** Robots-consent gate (Google REP semantics, the crawl-hygiene
+    * twin of the q236 noindex signal): a URL's verdict comes from
+    * the LONGEST matching rule prefix on its host — Allow wins ties
+    * (allow_len >= disallow_len), no matching rule means allowed.
+    * The rule table BROADCASTS (robots bodies are tiny next to the
+    * corpus); each URL joins its host's rules, keeps prefix matches,
+    * and one keyed agg takes the two max lengths — the corpus never
+    * fans out past its own matched-rule count. Adds (host, path,
+    * allowed). */
+  def robotsGate(urls: DataFrame, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val withParts = urls
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("path", {
+        val p = regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        when(length(p) === 0, "/").otherwise(p)
+      })
+    val matched = withParts
+      .join(broadcast(rules), Seq("host"), "left")
+      .withColumn("hit", col("prefix").isNotNull &&
+        col("path").startsWith(col("prefix")))
+    val verdict = matched
+      .groupBy(withParts.columns.map(col): _*)
+      .agg(
+        max(when(col("hit") && col("rule_type") === "allow",
+          length(col("prefix"))).otherwise(lit(-1)))
+          .as("allow_len"),
+        max(when(col("hit") && col("rule_type") === "disallow",
+          length(col("prefix"))).otherwise(lit(-1)))
+          .as("disallow_len"))
+    verdict.withColumn("allowed",
+      col("allow_len") >= col("disallow_len"))
+  }
+
   /** C4-style badwords document filter (Raffel et al. 2020 §2.2 —
     * the "List of Dirty, Naughty ... Words" gate every public web
     * corpus applies): drop any document containing at least one

@@ -693,6 +693,147 @@ object CorpusQueries {
       |SELECT probe_key, p_partkey, dist FROM cand WHERE dist <= 2
       |ORDER BY probe_key, p_partkey""".stripMargin
 
+  /** Fixture docs exercising the content classes the prose corpus
+    * cannot: indented/semicolon code, brace-dense one-liner code,
+    * TeX-marker math. Shared verbatim with the q240 oracle VALUES. */
+  private val ContentTypeFixture: Seq[(Long, String)] = Seq(
+    (9400001L, "def main():\n  x = compute(1)\n  return x;\n"),
+    (9400002L, "function f(a) { return a * 2; }"),
+    (9400003L, "Let $x$ be the root: \\sum_i x_i^2 stays small"),
+    (9400004L, "plain prose about the results and the methods used"))
+
+  /** q240: content-type routing (code / math / prose)
+    * ([[graft.operators.Corpus.contentTypeSignals]]) — the triage in
+    * front of per-type pipelines; the corpus (all prose) is unioned
+    * with [[ContentTypeFixture]] so every route is value-checked.
+    * The oracle replays the char-class removals, the line-shape
+    * regexes, and the IEEE ratios. */
+  def q240ContentType(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(ContentTypeFixture.toDF("doc_id", "text"))
+    Corpus.contentTypeSignals(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q240Oracle: String = {
+    val vals = ContentTypeFixture.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")
+        .replace("\n", "' || chr(10) || '")}')"
+    }.mkString(", ")
+    raw"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(text) - len(regexp_replace(text, '[{}();=]', '',
+      |      'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+      |      AS code_char_density,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '^(  |' || chr(9) || ')')
+      |        OR regexp_matches(l, '[;{}]\s*$$'))) AS DOUBLE) /
+      |      CAST(len(string_split(text, chr(10))) AS DOUBLE)
+      |      AS code_line_frac,
+      |    CAST(len(text) - len(regexp_replace(text, '[$$\\^_]', '',
+      |      'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+      |      AS math_char_density
+      |  FROM all_docs)
+      |SELECT doc_id, code_char_density, code_line_frac,
+      |  math_char_density,
+      |  CASE WHEN code_char_density > 0.03 OR code_line_frac > 0.4
+      |      THEN 'code'
+      |    WHEN math_char_density > 0.02 THEN 'math'
+      |    ELSE 'prose' END AS content_type
+      |FROM sig ORDER BY doc_id""".stripMargin
+  }
+
+  /** Robots fixture: a host with an Allow override inside a
+    * Disallowed subtree, a host whose only Disallow is EMPTY (no
+    * rule — everything allowed), and a blanket `Disallow: /` host.
+    * Shared verbatim with the q241 oracle. */
+  private val RobotsFixture: Seq[(String, String)] = Seq(
+    ("crawl.example.com", "User-agent: *\nDisallow: /private\n" +
+      "Allow: /private/public\nDisallow: /tmp/"),
+    ("open.example.net", "User-agent: *\nDisallow:"),
+    ("closed.example.org", "User-agent: *\nDisallow: /"))
+
+  private val RobotsPaths: Seq[String] = Seq(
+    "/private/x", "/private/public/y", "/tmp/z", "/open/w")
+
+  /** q241: robots-consent gate
+    * ([[graft.operators.Corpus.robotsRules]] +
+    * [[graft.operators.Corpus.robotsGate]]) — Google REP longest-
+    * match semantics: Allow wins ties, no matching rule = allowed;
+    * the crawl-consent twin of the q236 noindex signal. URLs cycle
+    * the three fixture hosts × four paths so every verdict branch
+    * (Allow override, empty Disallow, blanket Disallow, no-match)
+    * is value-checked. */
+  def q241RobotsGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hostsArr = array(RobotsFixture.map(h => lit(h._1)): _*)
+    val pathsArr = array(RobotsPaths.map(lit): _*)
+    val urls = documents(s, d).select(col("doc_id"),
+      concat(lit("https://"),
+        element_at(hostsArr, (col("doc_id") % 3).cast("int") + 1),
+        element_at(pathsArr, (col("doc_id") % 4).cast("int") + 1))
+        .as("url"))
+    val rules = Corpus.robotsRules(
+      RobotsFixture.toDF("host", "robots_txt"), "host", "robots_txt")
+    Corpus.robotsGate(urls, "url", rules)
+      .select(col("doc_id"), col("host"), col("path"),
+        col("allow_len").cast("long").as("allow_len"),
+        col("disallow_len").cast("long").as("disallow_len"),
+        col("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q241Oracle: String = {
+    val rbVals = RobotsFixture.map { case (h, t) =>
+      s"('$h', '${t.replace("'", "''")
+        .replace("\n", "' || chr(10) || '")}')"
+    }.mkString(", ")
+    val hostList = RobotsFixture.map(h => s"'${h._1}'")
+      .mkString("[", ", ", "]")
+    val pathList = RobotsPaths.map(p => s"'$p'")
+      .mkString("[", ", ", "]")
+    raw"""WITH rb AS (
+      |  SELECT * FROM (VALUES $rbVals) r(host, robots_txt)),
+      |ln AS (
+      |  SELECT host, trim(u.l) AS line
+      |  FROM rb, LATERAL unnest(string_split(robots_txt, chr(10)))
+      |    u(l)),
+      |typed AS (
+      |  SELECT host,
+      |    CASE WHEN starts_with(line, 'Disallow:') THEN 'disallow'
+      |      WHEN starts_with(line, 'Allow:') THEN 'allow' END
+      |      AS rule_type,
+      |    trim(substr(line, instr(line, ':') + 1)) AS prefix
+      |  FROM ln),
+      |rules AS (
+      |  SELECT host, rule_type, prefix FROM typed
+      |  WHERE rule_type IS NOT NULL AND len(prefix) > 0),
+      |u AS (
+      |  SELECT doc_id,
+      |    $hostList[CAST(doc_id % 3 AS INT) + 1] AS host,
+      |    $pathList[CAST(doc_id % 4 AS INT) + 1] AS path
+      |  FROM documents),
+      |m AS (
+      |  SELECT u.doc_id, u.host, u.path,
+      |    MAX(CASE WHEN r.prefix IS NOT NULL
+      |      AND starts_with(u.path, r.prefix)
+      |      AND r.rule_type = 'allow'
+      |      THEN len(r.prefix) ELSE -1 END) AS allow_len,
+      |    MAX(CASE WHEN r.prefix IS NOT NULL
+      |      AND starts_with(u.path, r.prefix)
+      |      AND r.rule_type = 'disallow'
+      |      THEN len(r.prefix) ELSE -1 END) AS disallow_len
+      |  FROM u LEFT JOIN rules r ON r.host = u.host
+      |  GROUP BY u.doc_id, u.host, u.path)
+      |SELECT doc_id, host, path, allow_len, disallow_len,
+      |  allow_len >= disallow_len AS allowed
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -1344,6 +1485,8 @@ object CorpusQueries {
     "q237_canonical_preferred_dedup" -> (q237CanonicalPreferredDedup _),
     "q238_anchor_text" -> (q238AnchorText _),
     "q239_fuzzy_name_join" -> (q239FuzzyNameJoin _),
+    "q240_content_type" -> (q240ContentType _),
+    "q241_robots_gate" -> (q241RobotsGate _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -1359,6 +1502,8 @@ object CorpusQueries {
     "q237_canonical_preferred_dedup" -> q237Oracle,
     "q238_anchor_text" -> q238Oracle,
     "q239_fuzzy_name_join" -> q239Oracle,
+    "q240_content_type" -> q240Oracle,
+    "q241_robots_gate" -> q241Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

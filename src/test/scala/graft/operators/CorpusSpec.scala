@@ -266,6 +266,39 @@ class CorpusSpec extends SparkTestBase {
       None))
   }
 
+  test("contentTypeSignals routes indented/brace code, TeX math, " +
+      "and prose; signals are exact ratios") {
+    val df = Seq(
+      (1L, "def f():\n  x = g(1)\n  return x;"),
+      (2L, "Let $x$ be \\sum_i x_i^2 of the set"),
+      (3L, "plain words about plain things here"))
+      .toDF("id", "text")
+    val out = Corpus.contentTypeSignals(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out === Map(1L -> "code", 2L -> "math", 3L -> "prose"))
+  }
+
+  test("robotsGate: longest match wins, Allow beats Disallow on " +
+      "ties, empty Disallow is no rule, unknown host allowed") {
+    val rules = Corpus.robotsRules(Seq(
+      ("a.com", "User-agent: *\nDisallow: /p\nAllow: /p/ok\n" +
+        "Disallow: /p/ok"),   // tie at /p/ok -> allow wins
+      ("b.net", "User-agent: *\nDisallow:"))
+      .toDF("host", "txt"), "host", "txt")
+    val urls = Seq(
+      (1L, "https://a.com/p/x"),      // /p disallow -> blocked
+      (2L, "https://a.com/p/ok/y"),   // tie -> allowed
+      (3L, "https://a.com/q"),        // no match -> allowed
+      (4L, "https://b.net/p"),        // empty disallow -> allowed
+      (5L, "https://nowhere.org/z")   // no rules at all -> allowed
+    ).toDF("id", "url")
+    val got = Corpus.robotsGate(urls, "url", rules)
+      .select("id", "allowed")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> true))
+  }
+
   test("rrfFusion: a doc ranked first everywhere gets the max " +
       "possible fused score; null scores rank last; ties break on " +
       "id") {
