@@ -148,30 +148,23 @@ object CorpusQueries {
       .orderBy(col("doc_id"), col("block_id"))
   }
 
-  private val q231Oracle: String = {
+  /** SQL form of [[graft.operators.Boilerplate]]'s fragment-clean
+    * chain (tag strip, 6-entity decode, whitespace collapse). */
+  private def cleanSql(x: String): String =
+    s"""trim(regexp_replace(replace(replace(replace(replace(
+      |replace(replace(regexp_replace($x, '(?s)<[^>]+>', ' ', 'g'),
+      |'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      |'&quot;', '"'), '&#39;', ''''), '\\s+', ' ', 'g'))"""
+      .stripMargin.replace("\n", " ")
+
+  /** The q231 block-classification chain (segmentation → clean →
+    * signals → rules → context window) over a caller-supplied
+    * `$src(doc_id, html)` CTE — shared by q231 and the composed
+    * q242. Ends at `c2(doc_id, block_id, text, …, cls)`. */
+  private def blockCtes(src: String): String = {
     val stops = Q231Stops.map(w => s"'$w'").mkString("[", ", ", "]")
-    def clean(x: String): String =
-      s"""trim(regexp_replace(replace(replace(replace(replace(
-        |replace(replace(regexp_replace($x, '(?s)<[^>]+>', ' ', 'g'),
-        |'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-        |'&quot;', '"'), '&#39;', ''''), '\\s+', ' ', 'g'))"""
-        .stripMargin.replace("\n", " ")
-    raw"""WITH h AS (
-      |  SELECT doc_id,
-      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-      |    '</title><style>p{color:red}</style>' ||
-      |    '<script>var x=1;</script></head><body>' ||
-      |    '<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
-      |    '<a href="/contact">Contact</a></nav>' ||
-      |    '<h1>Entry ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
-      |    text ||
-      |    '</p><div>Share: <a href="/tw">Tweet</a> ' ||
-      |    '<a href="/fb">Like</a></div>' ||
-      |    '<footer>Copyright 2026 Example ' ||
-      |    '<a href="/terms">Terms of use</a></footer></body></html>'
-      |    AS html
-      |  FROM documents),
-      |sp AS (
+    val clean = cleanSql _
+    raw"""sp AS (
       |  SELECT doc_id, regexp_split_to_array(
       |    regexp_replace(regexp_replace(regexp_replace(html,
       |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
@@ -179,7 +172,7 @@ object CorpusQueries {
       |      '(?s)<!--.*?-->', ' ', 'g'),
       |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|td|th|tr|table|blockquote|pre|br|hr|section|article|header|footer|nav|aside|main|figure|figcaption|form|fieldset|html|head|title|body)(?:[\s/][^>]*)?>')
       |    AS arr
-      |  FROM h),
+      |  FROM $src),
       |blk AS (
       |  SELECT doc_id, unnest(list_transform(
       |    generate_series(1, len(arr)),
@@ -223,7 +216,26 @@ object CorpusQueries {
       |      IGNORE NULLS) OVER (PARTITION BY doc_id
       |      ORDER BY block_id ROWS BETWEEN UNBOUNDED PRECEDING AND
       |      CURRENT ROW), 'bad') END AS cls
-      |  FROM c1)
+      |  FROM c1)""".stripMargin
+  }
+
+  private val q231Oracle: String = {
+    raw"""WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>p{color:red}</style>' ||
+      |    '<script>var x=1;</script></head><body>' ||
+      |    '<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
+      |    '<a href="/contact">Contact</a></nav>' ||
+      |    '<h1>Entry ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+      |    text ||
+      |    '</p><div>Share: <a href="/tw">Tweet</a> ' ||
+      |    '<a href="/fb">Like</a></div>' ||
+      |    '<footer>Copyright 2026 Example ' ||
+      |    '<a href="/terms">Terms of use</a></footer></body></html>'
+      |    AS html
+      |  FROM documents),
+      |${blockCtes("h")}
       |SELECT doc_id, block_id, md5(text) AS text_md5, n_chars,
       |  n_words, link_density, stop_density, cls_raw, cls
       |FROM c2 ORDER BY doc_id, block_id""".stripMargin
@@ -424,46 +436,54 @@ object CorpusQueries {
     * onto a page/<id%25> key that unifies MORE than the raw URL
     * does, and the title carries an entity so the decode chain is
     * exercised. */
-  private def metaPageCol: org.apache.spark.sql.Column = {
-    val langFrag = when(col("doc_id") % 3 === 0, lit(" lang=\"en\""))
-      .when(col("doc_id") % 3 === 1, lit(" lang=\"DE\""))
-      .otherwise(lit(""))
-    val robotsFrag = when(col("doc_id") % 4 === 1,
-        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
-      .when(col("doc_id") % 4 === 2,
-        lit("<meta name=\"robots\" content=\"index, follow\">"))
-      .otherwise(lit(""))
-    val canonFrag = when(col("doc_id") % 2 === 0, concat(
-        lit("<link rel=\"canonical\" " +
-          "href=\"https://www.example.com/page/"),
-        (col("doc_id") % 25).cast("string"), lit("\">")))
-      .otherwise(lit(""))
-    concat(lit("<html"), langFrag, lit("><head><title>Doc "),
-      col("doc_id").cast("string"), lit(" &amp; notes</title>"),
-      robotsFrag, canonFrag, lit("</head><body><p>"), col("text"),
-      lit("</p></body></html>"))
-  }
+  private def langFragCol = when(col("doc_id") % 3 === 0,
+      lit(" lang=\"en\""))
+    .when(col("doc_id") % 3 === 1, lit(" lang=\"DE\""))
+    .otherwise(lit(""))
+  private def robotsFragCol = when(col("doc_id") % 4 === 1,
+      lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+    .when(col("doc_id") % 4 === 2,
+      lit("<meta name=\"robots\" content=\"index, follow\">"))
+    .otherwise(lit(""))
+  private def canonFragCol = when(col("doc_id") % 2 === 0, concat(
+      lit("<link rel=\"canonical\" " +
+        "href=\"https://www.example.com/page/"),
+      (col("doc_id") % 25).cast("string"), lit("\">")))
+    .otherwise(lit(""))
 
-  /** The q236/q237 page synthesis as a `pg(doc_id, html)` CTE. */
-  private val MetaPageCte: String =
-    raw"""pg AS (
-      |  SELECT doc_id,
-      |    '<html' ||
-      |    CASE WHEN doc_id % 3 = 0 THEN ' lang="en"'
+  private def metaPageCol: org.apache.spark.sql.Column =
+    concat(lit("<html"), langFragCol, lit("><head><title>Doc "),
+      col("doc_id").cast("string"), lit(" &amp; notes</title>"),
+      robotsFragCol, canonFragCol, lit("</head><body><p>"),
+      col("text"), lit("</p></body></html>"))
+
+  private val LangFragSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN ' lang="en"'
       |         WHEN doc_id % 3 = 1 THEN ' lang="DE"'
-      |         ELSE '' END ||
-      |    '><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-      |    ' &amp; notes</title>' ||
-      |    CASE WHEN doc_id % 4 = 1 THEN
+      |         ELSE '' END""".stripMargin
+  private val RobotsFragSql: String =
+    """CASE WHEN doc_id % 4 = 1 THEN
       |        '<meta name="robots" content="noindex, nofollow">'
       |      WHEN doc_id % 4 = 2 THEN
       |        '<meta name="robots" content="index, follow">'
-      |      ELSE '' END ||
-      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      ELSE '' END""".stripMargin
+  private val CanonFragSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN
       |        '<link rel="canonical" ' ||
       |        'href="https://www.example.com/page/' ||
       |        CAST(doc_id % 25 AS VARCHAR) || '">'
-      |      ELSE '' END ||
+      |      ELSE '' END""".stripMargin
+
+  /** The q236/q237 page synthesis as a `pg(doc_id, html)` CTE. */
+  private val MetaPageCte: String =
+    s"""pg AS (
+      |  SELECT doc_id,
+      |    '<html' ||
+      |    $LangFragSql ||
+      |    '><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    ' &amp; notes</title>' ||
+      |    $RobotsFragSql ||
+      |    $CanonFragSql ||
       |    '</head><body><p>' || text || '</p></body></html>' AS html
       |  FROM documents)""".stripMargin
 
@@ -557,6 +577,108 @@ object CorpusQueries {
       |  CAST(SUM(eff.via_canon) AS BIGINT) AS n_via_canonical
       |FROM k JOIN eff ON eff.doc_id = k.doc_id
       |GROUP BY k.canon ORDER BY k.canon""".stripMargin
+
+  /** The q242 page: q236's head signals (lang, robots, canonical)
+    * ON TOP OF q231's chrome-heavy body — one page that exercises
+    * the whole curation chain. */
+  private def curationPageCol: org.apache.spark.sql.Column =
+    concat(lit("<html"), langFragCol,
+      lit("><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{color:red}</style>" +
+        "<script>var x=1;</script>"),
+      robotsFragCol, canonFragCol,
+      lit("</head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></nav>" +
+        "<h1>Entry "), col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><div>Share: <a href=\"/tw\">Tweet</a> " +
+        "<a href=\"/fb\">Like</a></div>" +
+        "<footer>Copyright 2026 Example " +
+        "<a href=\"/terms\">Terms of use</a></footer></body></html>"))
+
+  private val CurationPageCte: String =
+    s"""pg AS (
+      |  SELECT doc_id,
+      |    '<html' ||
+      |    $LangFragSql ||
+      |    '><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>p{color:red}</style>' ||
+      |    '<script>var x=1;</script>' ||
+      |    $RobotsFragSql ||
+      |    $CanonFragSql ||
+      |    '</head><body>' ||
+      |    '<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
+      |    '<a href="/contact">Contact</a></nav>' ||
+      |    '<h1>Entry ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+      |    text ||
+      |    '</p><div>Share: <a href="/tw">Tweet</a> ' ||
+      |    '<a href="/fb">Like</a></div>' ||
+      |    '<footer>Copyright 2026 Example ' ||
+      |    '<a href="/terms">Terms of use</a></footer></body></html>'
+      |    AS html
+      |  FROM documents)""".stripMargin
+
+  /** q242: the composed END-TO-END WEB CURATION BUILD — what a web
+    * pipeline actually materializes from raw crawl HTML, in one
+    * query: metadata extraction → robots-noindex consent drop →
+    * jusText main-content extraction on the survivors →
+    * canonical-link-preferred URL dedup → one corpus row per
+    * canonical page (representative doc, page count, main-text
+    * digest). Chains the q236 + q231 + q233/q237 machinery; the
+    * oracle chains ALL their CTE replays, so the hash match proves
+    * the four-stage COMPOSITION, not just the parts. */
+  def q242WebCurationBuild(s: SparkSession, d: String): DataFrame = {
+    val pages = documents(s, d).select(col("doc_id"),
+      urlVariantsCol.as("url"), curationPageCol.as("html"))
+    val meta = graft.operators.Boilerplate
+      .htmlMeta(pages, "doc_id", "html")
+    val kept = pages.join(meta.select(col("doc_id"), col("noindex"),
+        col("canonical_url")), Seq("doc_id"))
+      .filter(!col("noindex"))
+    val main = graft.operators.Boilerplate.mainContent(
+      kept.select(col("doc_id"), col("html")), "doc_id", "html",
+      Q231Stops)
+    val grp = kept
+      .withColumn("canon", Corpus.canonicalizeUrl(
+        coalesce(col("canonical_url"), col("url"))))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("n_pages"))
+    grp
+      .join(main.withColumnRenamed("doc_id", "first_doc"),
+        Seq("first_doc"), "left")
+      .select(col("canon"), col("first_doc"), col("n_pages"),
+        md5(coalesce(col("main_text"), lit(""))).as("main_md5"))
+      .orderBy(col("canon"))
+  }
+
+  private val q242Oracle: String =
+    s"""WITH $CurationPageCte,
+      |$MetaExtractCte,
+      |keep AS (
+      |  SELECT pg.doc_id, pg.html FROM pg
+      |  JOIN mx ON mx.doc_id = pg.doc_id
+      |  WHERE NOT contains(mx.r, 'noindex')),
+      |${blockCtes("keep")},
+      |mc AS (
+      |  SELECT doc_id,
+      |    string_agg(text, chr(10) ORDER BY block_id) AS main_text
+      |  FROM c2 WHERE cls = 'good' GROUP BY doc_id),
+      |$UrlVariantsCte,
+      |u2 AS (
+      |  SELECT u.doc_id,
+      |    COALESCE(NULLIF(mx.cu, ''), u.url) AS url
+      |  FROM u JOIN mx ON mx.doc_id = u.doc_id
+      |       JOIN keep ON keep.doc_id = u.doc_id),
+      |${canonCtes("u2")},
+      |grp AS (
+      |  SELECT canon, MIN(doc_id) AS first_doc, COUNT(*) AS n_pages
+      |  FROM k GROUP BY canon)
+      |SELECT g.canon, g.first_doc, g.n_pages,
+      |  md5(COALESCE(mc.main_text, '')) AS main_md5
+      |FROM grp g LEFT JOIN mc ON mc.doc_id = g.first_doc
+      |ORDER BY g.canon""".stripMargin
 
   /** Anchor-term vocabulary for q238 (shared with the oracle). */
   private val AnchorTerms1 = Seq("best", "fresh", "weekly",
@@ -1487,6 +1609,7 @@ object CorpusQueries {
     "q239_fuzzy_name_join" -> (q239FuzzyNameJoin _),
     "q240_content_type" -> (q240ContentType _),
     "q241_robots_gate" -> (q241RobotsGate _),
+    "q242_web_curation_build" -> (q242WebCurationBuild _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -1504,6 +1627,7 @@ object CorpusQueries {
     "q239_fuzzy_name_join" -> q239Oracle,
     "q240_content_type" -> q240Oracle,
     "q241_robots_gate" -> q241Oracle,
+    "q242_web_curation_build" -> q242Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,
