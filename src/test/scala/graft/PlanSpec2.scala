@@ -226,4 +226,23 @@ class PlanSpec2 extends SparkTestBase {
     assert(p220.contains("BroadcastNestedLoopJoin") &&
       !p220.contains("CartesianProduct"), s"q220\n$p220")
   }
+
+  test("r9 web-curation batch (q232-q242): no cartesians; the " +
+      "robots rule table and the PSL snapshot ride broadcasts; the " +
+      "fuzzy join blocks as an equi-join") {
+    for (q <- Seq("q232_outlink_graph", "q233_url_canonical_dedup",
+        "q234_web_authority", "q235_provenance_dedup",
+        "q236_html_meta", "q237_canonical_preferred_dedup",
+        "q238_anchor_text", "q239_fuzzy_name_join",
+        "q240_content_type", "q241_robots_gate",
+        "q242_web_curation_build")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+    val p241 = SparkEntry.queries("q241_robots_gate")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(p241.contains("BroadcastHashJoin"), s"q241\n$p241")
+  }
 }
