@@ -680,6 +680,143 @@ object CorpusQueries {
       |FROM grp g LEFT JOIN mc ON mc.doc_id = g.first_doc
       |ORDER BY g.canon""".stripMargin
 
+  /** q243: the CRAWL TRIAGE DATASHEET — one audit row a crawl
+    * operator reads before committing a fetch batch to the corpus:
+    * page count, noindex count (q236), robots-blocked count (q241,
+    * on the FETCH url — the canonical link only redirects dedup,
+    * never consent), surviving count, distinct canonical pages among
+    * survivors (q233/q237), and the declared-language mix. Fetch
+    * urls cycle the robots fixture hosts × paths; pages are the
+    * q242 curation synthesis. One aggregation row; the oracle
+    * chains the q236 + q241 + q233 replays into the same single
+    * GROUP BY (). */
+  def q243CrawlDatasheet(s: SparkSession, d: String): DataFrame = {
+    val hostsArr = array(RobotsFixture.map(h => lit(h._1)): _*)
+    val pathsArr = array(RobotsPaths.map(lit): _*)
+    val pages = documents(s, d).select(col("doc_id"),
+      concat(lit("https://"),
+        element_at(hostsArr, (col("doc_id") % 3).cast("int") + 1),
+        element_at(pathsArr, (col("doc_id") % 4).cast("int") + 1))
+        .as("url"),
+      curationPageCol.as("html"))
+    val meta = graft.operators.Boilerplate
+      .htmlMeta(pages, "doc_id", "html")
+      .select(col("doc_id"), col("html_lang"), col("noindex"),
+        col("canonical_url"))
+    val rules = Corpus.robotsRules(
+      { import s.implicits._
+        RobotsFixture.toDF("host", "robots_txt") },
+      "host", "robots_txt")
+    val gated = Corpus
+      .robotsGate(pages.select(col("doc_id"), col("url")), "url",
+        rules)
+      .select(col("doc_id"), col("allowed"))
+    val joined = pages.join(meta, Seq("doc_id"))
+      .join(gated, Seq("doc_id"))
+      .withColumn("kept", !col("noindex") && col("allowed"))
+      .withColumn("canon", Corpus.canonicalizeUrl(
+        coalesce(col("canonical_url"), col("url"))))
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    joined.agg(
+      count(lit(1)).as("n_pages"),
+      cnt(col("noindex")).as("n_noindex"),
+      cnt(!col("allowed")).as("n_robots_blocked"),
+      cnt(col("kept")).as("n_kept"),
+      countDistinct(when(col("kept"), col("canon")))
+        .as("n_canonical"),
+      cnt(col("html_lang") === "en").as("lang_en"),
+      cnt(col("html_lang") === "de").as("lang_de"),
+      cnt(col("html_lang").isNull).as("lang_none"))
+  }
+
+  // lazy: RobotsFixture/RobotsPaths are declared later in the object
+  // (with the q241 family); a strict val here would read them as null
+  // during <clinit>
+  private lazy val q243Oracle: String = {
+    val hostList = RobotsFixture.map(h => s"'${h._1}'")
+      .mkString("[", ", ", "]")
+    val pathList = RobotsPaths.map(p => s"'$p'")
+      .mkString("[", ", ", "]")
+    val rbVals = RobotsFixture.map { case (h, t) =>
+      s"('$h', '${t.replace("'", "''")
+        .replace("\n", "' || chr(10) || '")}')"
+    }.mkString(", ")
+    s"""WITH $CurationPageCte,
+      |$MetaExtractCte,
+      |u AS (
+      |  SELECT doc_id,
+      |    'https://' || $hostList[CAST(doc_id % 3 AS INT) + 1] ||
+      |    $pathList[CAST(doc_id % 4 AS INT) + 1] AS url
+      |  FROM documents),
+      |rb AS (
+      |  SELECT * FROM (VALUES $rbVals) r(host, robots_txt)),
+      |ln AS (
+      |  SELECT host, trim(uu.l) AS line
+      |  FROM rb, LATERAL unnest(string_split(robots_txt, chr(10)))
+      |    uu(l)),
+      |typed AS (
+      |  SELECT host,
+      |    CASE WHEN starts_with(line, 'Disallow:') THEN 'disallow'
+      |      WHEN starts_with(line, 'Allow:') THEN 'allow' END
+      |      AS rule_type,
+      |    trim(substr(line, instr(line, ':') + 1)) AS prefix
+      |  FROM ln),
+      |rules AS (
+      |  SELECT host, rule_type, prefix FROM typed
+      |  WHERE rule_type IS NOT NULL AND len(prefix) > 0),
+      |uh AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)',
+      |      1)) AS host,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      |  FROM u),
+      |m AS (
+      |  SELECT uh.doc_id,
+      |    MAX(CASE WHEN r.prefix IS NOT NULL
+      |      AND starts_with(uh.path, r.prefix)
+      |      AND r.rule_type = 'allow'
+      |      THEN len(r.prefix) ELSE -1 END) >=
+      |    MAX(CASE WHEN r.prefix IS NOT NULL
+      |      AND starts_with(uh.path, r.prefix)
+      |      AND r.rule_type = 'disallow'
+      |      THEN len(r.prefix) ELSE -1 END) AS allowed
+      |  FROM uh LEFT JOIN rules r ON r.host = uh.host
+      |  GROUP BY uh.doc_id),
+      |eff AS (
+      |  SELECT u.doc_id,
+      |    COALESCE(NULLIF(mx.cu, ''), u.url) AS url
+      |  FROM u JOIN mx ON mx.doc_id = u.doc_id),
+      |${canonCtes("eff")},
+      |j AS (
+      |  SELECT mx.doc_id,
+      |    contains(mx.r, 'noindex') AS noindex,
+      |    m.allowed AS allowed,
+      |    NOT contains(mx.r, 'noindex') AND m.allowed AS kept,
+      |    CASE WHEN len(mx.l) > 0 THEN lower(mx.l) END AS html_lang,
+      |    k.canon AS canon
+      |  FROM mx JOIN m ON m.doc_id = mx.doc_id
+      |       JOIN k ON k.doc_id = mx.doc_id)
+      |SELECT COUNT(*) AS n_pages,
+      |  CAST(SUM(CASE WHEN noindex THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_noindex,
+      |  CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_robots_blocked,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  COUNT(DISTINCT CASE WHEN kept THEN canon END)
+      |    AS n_canonical,
+      |  CAST(SUM(CASE WHEN html_lang = 'en' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS lang_en,
+      |  CAST(SUM(CASE WHEN html_lang = 'de' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS lang_de,
+      |  CAST(SUM(CASE WHEN html_lang IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS lang_none
+      |FROM j""".stripMargin
+  }
+
   /** Anchor-term vocabulary for q238 (shared with the oracle). */
   private val AnchorTerms1 = Seq("best", "fresh", "weekly",
     "archived", "primary")
@@ -1610,6 +1747,7 @@ object CorpusQueries {
     "q240_content_type" -> (q240ContentType _),
     "q241_robots_gate" -> (q241RobotsGate _),
     "q242_web_curation_build" -> (q242WebCurationBuild _),
+    "q243_crawl_datasheet" -> (q243CrawlDatasheet _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -1628,6 +1766,7 @@ object CorpusQueries {
     "q240_content_type" -> q240Oracle,
     "q241_robots_gate" -> q241Oracle,
     "q242_web_curation_build" -> q242Oracle,
+    "q243_crawl_datasheet" -> q243Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,
