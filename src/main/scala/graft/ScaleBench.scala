@@ -229,6 +229,44 @@ object ScaleBench {
               .as("name"))).reduce(_ unionByName _)
           Dedup.fuzzyMatches(names, "name", maxDist = 2).count()
         }),
+        // composed web-curation build (q242 class, r9): page-metadata
+        // extraction → noindex drop → jusText block classification +
+        // main-content assembly → canonical-URL dedup. The work is
+        // per-row regex chains + one per-doc window + one keyed agg —
+        // must scale linearly; canonical groups collapse replicas
+        // (doc_id mod keys repeat across replicas), so the dedup tail
+        // is constant-size while the extraction front is K×.
+        "web_curation" -> (() => {
+          val pages = docs.select(col("doc_id"),
+            concat(lit("<html><head><title>Doc "),
+              col("doc_id").cast("string"), lit("</title>"),
+              when(col("doc_id") % 7 === 0, lit(
+                "<meta name=\"robots\" content=\"noindex\">"))
+                .otherwise(lit("")),
+              lit("</head><body><nav><a href=\"/\">Home</a> " +
+                "<a href=\"/a\">About</a></nav><h1>E</h1><p>"),
+              col("text"),
+              lit("</p><footer>C <a href=\"/t\">T</a></footer>" +
+                "</body></html>")).as("html"),
+            concat(lit("https://h"),
+              (col("doc_id") % 97).cast("string"),
+              lit(".example.com/p/"),
+              (col("doc_id") % 1000).cast("string"),
+              lit("?utm_source=x&b=2&a=1")).as("url"))
+          val meta = graft.operators.Boilerplate
+            .htmlMeta(pages, "doc_id", "html")
+          val kept = pages.join(meta.select(col("doc_id"),
+              col("noindex")), Seq("doc_id"))
+            .filter(!col("noindex"))
+          val main = graft.operators.Boilerplate.mainContent(
+            kept.select(col("doc_id"), col("html")), "doc_id",
+            "html")
+          val canon = kept.withColumn("c",
+              graft.operators.Corpus.canonicalizeUrl(col("url")))
+            .groupBy(col("c"))
+            .agg(min(col("doc_id")).as("doc_id"))
+          canon.join(main, Seq("doc_id"), "left").count()
+        }),
         // composed corpus build (q126): quality funnel + exact keeper
         // → banded near-dup removal, over K corpus replicas WITH
         // lang/source retained. NOTE: replicas of one base doc are

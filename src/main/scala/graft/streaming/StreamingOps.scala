@@ -215,6 +215,27 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Streaming canonical-URL dedup — the crawl-frontier form of
+    * [[graft.operators.Corpus.canonicalizeUrl]]: a fetch feed
+    * usually sees the same page under many alias URLs (tracking
+    * params, case, default ports, param order); keying the
+    * watermark-bounded seen-set on the CANONICAL string collapses
+    * them as they arrive, so the fetcher never downloads an alias
+    * twice inside the in-flight window. The canonicalizer is a pure
+    * per-row expression (no extra state); the state bound and the
+    * at-least-once boundary are exactly [[streamingExactDedup]]'s.
+    * Rows whose URL has no scheme://host shape canonicalize to NULL
+    * and pass through dropDuplicates as their own (shared) null key
+    * — gate upstream if the feed can carry garbage. */
+  def streamingCanonicalUrlDedup(docs: org.apache.spark.sql.DataFrame,
+      urlCol: String, tsCol: String,
+      delay: String): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("canon_url", graft.operators.Corpus
+        .canonicalizeUrl(org.apache.spark.sql.functions.col(urlCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("canon_url")
+
   /** Streaming corpus materialization — the batch corpus build's
     * quality funnel (the q117/q126 gates: language, word-count floor,
     * mean-word-length floor, lexical-diversity floor) followed by

@@ -54,6 +54,43 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(batchHashes === streamedHashes)
   }
 
+  test("canonical-URL dedup: alias URLs (params/case/port/fragment) " +
+      "collapse across micro-batches; streamed set == batch " +
+      "canonical dedup") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "HTTPS://Ex.COM/a?b=2&a=1", ts(0)),
+      (2L, "https://ex.com:443/a?a=1&b=2&utm_source=f#x", ts(1)),
+      (3L, "https://ex.com/other", ts(1)),
+      (4L, "https://ex.com/a?b=2&a=1&gclid=9", ts(2)),
+      (5L, "http://other.net:8080/p", ts(2)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDS().toDF("doc_id", "url", "event_ts")
+    val q = StreamingOps.streamingCanonicalUrlDedup(docs, "url",
+        "event_ts", delay = "10 minutes")
+      .writeStream.format("memory").queryName("canon_out")
+      .outputMode("append").start()
+    input.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("canon_out").select("canon_url")
+      .as[String].collect().sorted.toSeq
+    assert(streamed === Seq("http://other.net:8080/p",
+      "https://ex.com/a?a=1&b=2", "https://ex.com/other"))
+    // first arrival wins: doc 1 represents the alias family
+    assert(spark.table("canon_out").select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L))
+    // batch agreement on the distinct canonical set
+    val batch = rows.toDF("doc_id", "url", "event_ts")
+      .select(graft.operators.Corpus.canonicalizeUrl($"url")
+        .as("c")).distinct()
+      .as[String].collect().sorted.toSeq
+    assert(batch === streamed)
+  }
+
   test("state is watermark-bounded: content re-emits once its " +
       "original has aged out (the documented at-least-once boundary)") {
     implicit val sq = spark.sqlContext
