@@ -629,8 +629,12 @@ object CorpusQueries {
     * oracle chains ALL their CTE replays, so the hash match proves
     * the four-stage COMPOSITION, not just the parts. */
   def q242WebCurationBuild(s: SparkSession, d: String): DataFrame = {
+    // the synthesized page frame feeds THREE branches (metadata,
+    // main content, canonical grouping) — materialize once so the
+    // regex-heavy synthesis isn't recomputed per branch
     val pages = documents(s, d).select(col("doc_id"),
       urlVariantsCol.as("url"), curationPageCol.as("html"))
+      .localCheckpoint()
     val meta = graft.operators.Boilerplate
       .htmlMeta(pages, "doc_id", "html")
     val kept = pages.join(meta.select(col("doc_id"), col("noindex"),
@@ -693,12 +697,14 @@ object CorpusQueries {
   def q243CrawlDatasheet(s: SparkSession, d: String): DataFrame = {
     val hostsArr = array(RobotsFixture.map(h => lit(h._1)): _*)
     val pathsArr = array(RobotsPaths.map(lit): _*)
+    // two consumers (metadata, robots gate) — materialize once
     val pages = documents(s, d).select(col("doc_id"),
       concat(lit("https://"),
         element_at(hostsArr, (col("doc_id") % 3).cast("int") + 1),
         element_at(pathsArr, (col("doc_id") % 4).cast("int") + 1))
         .as("url"),
       curationPageCol.as("html"))
+      .localCheckpoint()
     val meta = graft.operators.Boilerplate
       .htmlMeta(pages, "doc_id", "html")
       .select(col("doc_id"), col("html_lang"), col("noindex"),
