@@ -186,6 +186,39 @@ object Boilerplate {
         cleanFragment(col("z.1")).as("anchor"))
   }
 
+  /** HTML table extraction — `<table>` bodies to structured
+    * (table_id, row_id, col_id, cell) records, the extraction step
+    * table-QA / table-grounding corpora start from (a flat text path
+    * smears cells together and loses the grid). Three nested bounded
+    * explodes (tables → rows → cells), cells cleaned with the SAME
+    * fragment chain as block text; `is_header` marks rows whose
+    * FIRST cell tag is `<th>`. Same regex-snapshot scope as the rest
+    * of the family (well-formed close tags, RE2 ∩ Java; nested
+    * tables stay inside their outer cell's raw capture and are out
+    * of the snapshot's scope, documented). */
+  def htmlTables(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    val tables = df.select(col(idCol), posexplode(
+        regexp_extract_all(stripNonContent(col(htmlCol)),
+          lit("(?is)<table[^>]*>(.*?)</table>"), lit(1)))
+        .as(Seq("table_id", "tbl")))
+    val rows = tables.select(col(idCol), col("table_id"), posexplode(
+        regexp_extract_all(col("tbl"),
+          lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1)))
+        .as(Seq("row_id", "rowh")))
+    rows.select(col(idCol), col("table_id").cast("long"),
+        col("row_id").cast("long"),
+        regexp_extract(col("rowh"), "(?is)<(t[dh])[^>]*>", 1)
+          .as("first_tag"),
+        posexplode(regexp_extract_all(col("rowh"),
+          lit("(?is)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)))
+          .as(Seq("col_id", "cellh")))
+      .select(col(idCol), col("table_id"), col("row_id"),
+        col("col_id").cast("long").as("col_id"),
+        cleanFragment(col("cellh")).as("cell"),
+        (lower(col("first_tag")) === "th").as("is_header"))
+  }
+
   /** Page-level metadata extraction — the four signals web curation
     * reads BEFORE touching body text: the `<html lang="…">` declared
     * language (a prior for LID routing), the `<title>` (cleaned with

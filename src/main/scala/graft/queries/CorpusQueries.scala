@@ -823,6 +823,73 @@ object CorpusQueries {
       |FROM j""".stripMargin
   }
 
+  /** q244: HTML table extraction to structured grid records
+    * ([[graft.operators.Boilerplate.htmlTables]]) — every page
+    * carries a header-rowed 3×2 table of doc fields, a script
+    * containing a FAKE table (must not extract), and a second 1×2
+    * table with an entity in a cell; the oracle replays the three
+    * nested explodes, the header-tag probe, and the cell clean. */
+  def q244HtmlTables(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><body><p>intro</p><table><tr><th>k</th><th>v</th>" +
+        "</tr><tr><td>id</td><td>"), col("doc_id").cast("string"),
+      lit("</td></tr><tr><td>len</td><td>"),
+      col("n_chars").cast("string"),
+      lit("</td></tr></table><script>var t = '<table><tr><td>no" +
+        "</td></tr></table>';</script><table class=\"x\"><tr>" +
+        "<td>src &amp; kind</td><td>"), col("source"),
+      lit("</td></tr></table></body></html>"))
+    graft.operators.Boilerplate.htmlTables(
+        documents(s, d).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+      .orderBy(col("doc_id"), col("table_id"), col("row_id"),
+        col("col_id"))
+  }
+
+  private val q244Oracle: String =
+    s"""WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><body><p>intro</p><table><tr><th>k</th><th>v</th>' ||
+      |    '</tr><tr><td>id</td><td>' || CAST(doc_id AS VARCHAR) ||
+      |    '</td></tr><tr><td>len</td><td>' ||
+      |    CAST(n_chars AS VARCHAR) ||
+      |    '</td></tr></table><script>var t = ''<table><tr><td>no' ||
+      |    '</td></tr></table>'';</script><table class="x"><tr>' ||
+      |    '<td>src &amp; kind</td><td>' || source ||
+      |    '</td></tr></table></body></html>' AS html
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g') AS shtml
+      |  FROM h),
+      |tb AS (
+      |  SELECT doc_id, t.i - 1 AS table_id, tbls[t.i] AS tbl
+      |  FROM (SELECT doc_id, regexp_extract_all(shtml,
+      |      '(?is)<table[^>]*>(.*?)</table>', 1) AS tbls FROM st),
+      |    LATERAL unnest(generate_series(1, len(tbls))) t(i)),
+      |rw AS (
+      |  SELECT doc_id, table_id, r.i - 1 AS row_id, rws[r.i] AS rowh
+      |  FROM (SELECT doc_id, table_id, regexp_extract_all(tbl,
+      |      '(?is)<tr[^>]*>(.*?)</tr>', 1) AS rws FROM tb),
+      |    LATERAL unnest(generate_series(1, len(rws))) r(i)),
+      |cw AS (
+      |  SELECT doc_id, table_id, row_id, rowh,
+      |    regexp_extract_all(rowh,
+      |      '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1) AS cells
+      |  FROM rw),
+      |cl AS (
+      |  SELECT doc_id, table_id, row_id, c.i - 1 AS col_id,
+      |    ${cleanSql("cells[c.i]")} AS cell,
+      |    lower(regexp_extract(rowh, '(?is)<(t[dh])[^>]*>', 1))
+      |      = 'th' AS is_header
+      |  FROM cw,
+      |    LATERAL unnest(generate_series(1, len(cells))) c(i))
+      |SELECT doc_id, table_id, row_id, col_id, cell, is_header
+      |FROM cl ORDER BY doc_id, table_id, row_id, col_id""".stripMargin
+
   /** Anchor-term vocabulary for q238 (shared with the oracle). */
   private val AnchorTerms1 = Seq("best", "fresh", "weekly",
     "archived", "primary")
@@ -1754,6 +1821,7 @@ object CorpusQueries {
     "q241_robots_gate" -> (q241RobotsGate _),
     "q242_web_curation_build" -> (q242WebCurationBuild _),
     "q243_crawl_datasheet" -> (q243CrawlDatasheet _),
+    "q244_html_tables" -> (q244HtmlTables _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -1773,6 +1841,7 @@ object CorpusQueries {
     "q241_robots_gate" -> q241Oracle,
     "q242_web_curation_build" -> q242Oracle,
     "q243_crawl_datasheet" -> q243Oracle,
+    "q244_html_tables" -> q244Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

@@ -88,6 +88,25 @@ class BoilerplateSpec extends SparkTestBase {
       (2L, "https://b.net/", "last")))
   }
 
+  test("htmlTables: grid positions align, header rows flagged by " +
+      "their first cell tag, script tables excluded, cells cleaned") {
+    val html = "<table><tr><th>K</th><th>V</th></tr>" +
+      "<tr><td>a &amp; b</td><td><b>2</b></td></tr></table>" +
+      "<script>var t='<table><tr><td>no</td></tr></table>'</script>" +
+      "<table><tr><td>x</td></tr></table>"
+    val out = Boilerplate.htmlTables(
+      Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .orderBy("table_id", "row_id", "col_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 0L, "K", true),
+      (0L, 0L, 1L, "V", true),
+      (0L, 1L, 0L, "a & b", false),
+      (0L, 1L, 1L, "2", false),
+      (1L, 0L, 0L, "x", false)))
+  }
+
   test("htmlMeta: lang lowercased, title entity-decoded, noindex " +
       "detected inside the content list, canonical extracted; " +
       "absent signals are null/false") {
