@@ -1166,6 +1166,72 @@ object CorpusQueries {
       |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** q245: ENTITY RESOLUTION end-to-end — fuzzy name clusters with
+    * membership mapped back to rows. The scale-correct shape: the
+    * blocked Levenshtein pair join (the q239 device) runs over the
+    * DISTINCT-NAME universe (64 names here; always ≪ row count —
+    * raw-row pair joins go quadratic in name multiplicity), the
+    * clusters come from [[graft.operators.Graph.connectedComponents]]
+    * over the name graph (distance ≤ 3 here — the corpus's 64-name
+    * vocabulary has a minimum inter-name distance of 3; thresholds
+    * are data-tuned in any real ER pass), and rows get their entity
+    * by a BROADCAST join on the assignment table. Blocking bounds
+    * recall to prefix-sharing names by construction. Names with no
+    * fuzzy neighbor are their own entity. The oracle replays the
+    * pair join, a recursive
+    * min-label closure (string MIN, matching the operator's string
+    * labels), and the row rollup. */
+  def q245EntityClusters(s: SparkSession, d: String): DataFrame = {
+    val parts = part(s, d).select(col("p_partkey"), col("p_name"))
+    val names = parts.select(col("p_name")).distinct()
+    def side(n: String, l: String) = names.select(
+      substring(col("p_name"), 1, 2).as("blk"),
+      col("p_name").as(n), length(col("p_name")).as(l))
+    val pairs = side("na", "la").join(side("nb", "lb"), Seq("blk"))
+      .filter(col("na") < col("nb") &&
+        abs(col("la") - col("lb")) <= 3 &&
+        levenshtein(col("na"), col("nb")) <= 3)
+      .select(col("na").as("src"), col("nb").as("dst"))
+    val comp = graft.operators.Graph.connectedComponents(pairs)
+    val assigned = names
+      .join(comp.withColumnRenamed("node", "p_name"), Seq("p_name"),
+        "left")
+      .select(col("p_name"),
+        coalesce(col("component"), col("p_name")).as("entity"))
+    parts.join(broadcast(assigned), Seq("p_name"))
+      .groupBy(col("entity"))
+      .agg(countDistinct(col("p_name")).as("n_names"),
+        count(lit(1)).as("n_parts"),
+        min(col("p_partkey")).as("min_partkey"))
+      .orderBy(col("entity"))
+  }
+
+  private val q245Oracle: String =
+    """WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+      |n2 AS (SELECT p_name, substr(p_name, 1, 2) AS blk,
+      |  len(p_name) AS ln FROM names),
+      |pe AS (
+      |  SELECT a.p_name AS src, b.p_name AS dst
+      |  FROM n2 a JOIN n2 b ON a.blk = b.blk AND a.p_name < b.p_name
+      |    AND abs(a.ln - b.ln) <= 3
+      |    AND levenshtein(a.p_name, b.p_name) <= 3),
+      |e AS (SELECT src, dst FROM pe UNION SELECT dst, src FROM pe),
+      |enodes AS (SELECT DISTINCT src AS node FROM e),
+      |r AS (
+      |  SELECT node, node AS lab FROM enodes
+      |  UNION
+      |  SELECT e.dst AS node, r.lab
+      |  FROM r JOIN e ON e.src = r.node),
+      |cc AS (SELECT node AS p_name, MIN(lab) AS component
+      |  FROM r GROUP BY node),
+      |asg AS (
+      |  SELECT n.p_name, COALESCE(cc.component, n.p_name) AS entity
+      |  FROM names n LEFT JOIN cc ON cc.p_name = n.p_name)
+      |SELECT a.entity, COUNT(DISTINCT p.p_name) AS n_names,
+      |  COUNT(*) AS n_parts, MIN(p.p_partkey) AS min_partkey
+      |FROM part p JOIN asg a ON a.p_name = p.p_name
+      |GROUP BY a.entity ORDER BY a.entity""".stripMargin
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -1822,6 +1888,7 @@ object CorpusQueries {
     "q242_web_curation_build" -> (q242WebCurationBuild _),
     "q243_crawl_datasheet" -> (q243CrawlDatasheet _),
     "q244_html_tables" -> (q244HtmlTables _),
+    "q245_entity_clusters" -> (q245EntityClusters _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -1842,6 +1909,7 @@ object CorpusQueries {
     "q242_web_curation_build" -> q242Oracle,
     "q243_crawl_datasheet" -> q243Oracle,
     "q244_html_tables" -> q244Oracle,
+    "q245_entity_clusters" -> q245Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,
