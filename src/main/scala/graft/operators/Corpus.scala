@@ -64,8 +64,9 @@ object Corpus {
     * Every step is a Java-regex ∩ RE2 string transform or an
     * array_sort, so a SQL oracle replays the canonical string
     * byte-exactly. Pure per-row expression chain (codegen'd, no
-    * shuffle); IPv6 bracket authorities are out of the snapshot's
-    * scope and documented so. Percent-encoding normalization is NOT
+    * shuffle); IPv6 bracket authorities and IDN/punycode host
+    * folding are out of the snapshot's scope and documented so.
+    * Percent-encoding normalization is NOT
     * attempted (%7E vs ~ stays distinct — decoding is lossy without
     * a reserved-set table and real pipelines dedup post-fetch by
     * content anyway). */
@@ -165,7 +166,9 @@ object Corpus {
     * when the math density clears its cut, else prose. Thresholds
     * are parameters — the defaults separate the fixture classes and
     * real corpora tune them. One codegen'd expression chain, no
-    * shuffle. */
+    * shuffle. Expects non-empty text: an empty string divides 0/0
+    * (NaN densities, which fail every cut → prose) — gate empties
+    * upstream if the distinction matters. */
   def contentTypeSignals(df: DataFrame, idCol: String,
       textCol: String, codeCharCut: Double = 0.03,
       codeLineCut: Double = 0.4,
@@ -193,19 +196,22 @@ object Corpus {
   }
 
   /** Parse robots.txt bodies into a (host, rule_type, prefix) rule
-    * table: `Disallow:` / `Allow:` lines, trimmed, empty prefixes
-    * dropped (an empty Disallow allows everything — no rule). The
-    * single-group snapshot scope is documented: per-user-agent
-    * sections are NOT separated (the fixture corpus carries only
-    * `*` groups), matching what the SQL oracle can replay. */
+    * table: `Disallow:` / `Allow:` lines (field names matched
+    * case-insensitively, REP §2.1), trailing `#` comments stripped,
+    * trimmed, empty prefixes dropped (an empty Disallow allows
+    * everything — no rule). The single-group snapshot scope is
+    * documented: per-user-agent sections are NOT separated (the
+    * fixture corpus carries only `*` groups), matching what the SQL
+    * oracle can replay. */
   def robotsRules(df: DataFrame, hostCol: String,
       txtCol: String): DataFrame =
     df.select(col(hostCol).as("host"),
         explode(split(col(txtCol), "\n")).as("line"))
-      .select(col("host"), trim(col("line")).as("line"))
+      .select(col("host"),
+        trim(regexp_replace(col("line"), "#.*", "")).as("line"))
       .withColumn("rule_type",
-        when(col("line").startsWith("Disallow:"), "disallow")
-          .when(col("line").startsWith("Allow:"), "allow"))
+        when(lower(col("line")).startsWith("disallow:"), "disallow")
+          .when(lower(col("line")).startsWith("allow:"), "allow"))
       .filter(col("rule_type").isNotNull)
       .withColumn("prefix", trim(expr(
         "substring(line, instr(line, ':') + 1, 1048576)")))
@@ -220,7 +226,10 @@ object Corpus {
     * corpus); each URL joins its host's rules, keeps prefix matches,
     * and one keyed agg takes the two max lengths — the corpus never
     * fans out past its own matched-rule count. Adds (host, path,
-    * allowed). */
+    * allowed). A URL with no scheme://host shape gets a NULL host,
+    * matches no rules, and is therefore `allowed` (vacuously —
+    * nothing forbids it); gate unparseable URLs upstream if they
+    * should be dropped instead. */
   def robotsGate(urls: DataFrame, urlCol: String,
       rules: DataFrame): DataFrame = {
     val withParts = urls

@@ -758,13 +758,13 @@ object CorpusQueries {
       |rb AS (
       |  SELECT * FROM (VALUES $rbVals) r(host, robots_txt)),
       |ln AS (
-      |  SELECT host, trim(uu.l) AS line
+      |  SELECT host, trim(regexp_replace(uu.l, '#.*', '', 'g')) AS line
       |  FROM rb, LATERAL unnest(string_split(robots_txt, chr(10)))
       |    uu(l)),
       |typed AS (
       |  SELECT host,
-      |    CASE WHEN starts_with(line, 'Disallow:') THEN 'disallow'
-      |      WHEN starts_with(line, 'Allow:') THEN 'allow' END
+      |    CASE WHEN starts_with(lower(line), 'disallow:') THEN 'disallow'
+      |      WHEN starts_with(lower(line), 'allow:') THEN 'allow' END
       |      AS rule_type,
       |    trim(substr(line, instr(line, ':') + 1)) AS prefix
       |  FROM ln),
@@ -1085,7 +1085,7 @@ object CorpusQueries {
     * Shared verbatim with the q241 oracle. */
   private val RobotsFixture: Seq[(String, String)] = Seq(
     ("crawl.example.com", "User-agent: *\nDisallow: /private\n" +
-      "Allow: /private/public\nDisallow: /tmp/"),
+      "Allow: /private/public\ndisallow: /tmp/ # temp trees"),
     ("open.example.net", "User-agent: *\nDisallow:"),
     ("closed.example.org", "User-agent: *\nDisallow: /"))
 
@@ -1131,13 +1131,13 @@ object CorpusQueries {
     raw"""WITH rb AS (
       |  SELECT * FROM (VALUES $rbVals) r(host, robots_txt)),
       |ln AS (
-      |  SELECT host, trim(u.l) AS line
+      |  SELECT host, trim(regexp_replace(u.l, '#.*', '', 'g')) AS line
       |  FROM rb, LATERAL unnest(string_split(robots_txt, chr(10)))
       |    u(l)),
       |typed AS (
       |  SELECT host,
-      |    CASE WHEN starts_with(line, 'Disallow:') THEN 'disallow'
-      |      WHEN starts_with(line, 'Allow:') THEN 'allow' END
+      |    CASE WHEN starts_with(lower(line), 'disallow:') THEN 'disallow'
+      |      WHEN starts_with(lower(line), 'allow:') THEN 'allow' END
       |      AS rule_type,
       |    trim(substr(line, instr(line, ':') + 1)) AS prefix
       |  FROM ln),

@@ -281,8 +281,8 @@ class CorpusSpec extends SparkTestBase {
   test("robotsGate: longest match wins, Allow beats Disallow on " +
       "ties, empty Disallow is no rule, unknown host allowed") {
     val rules = Corpus.robotsRules(Seq(
-      ("a.com", "User-agent: *\nDisallow: /p\nAllow: /p/ok\n" +
-        "Disallow: /p/ok"),   // tie at /p/ok -> allow wins
+      ("a.com", "User-agent: *\ndisallow: /p # lowercase+comment\n" +
+        "Allow: /p/ok\nDISALLOW: /p/ok"),  // tie at /p/ok -> allow
       ("b.net", "User-agent: *\nDisallow:"))
       .toDF("host", "txt"), "host", "txt")
     val urls = Seq(
