@@ -256,6 +256,48 @@ object Corpus {
       col("allow_len") >= col("disallow_len"))
   }
 
+  /** Line-level corrections (RefinedWeb §G.2 / Falcon "line-wise
+    * filters"): drop structural junk lines — too short, numeric-only,
+    * social counters ("3 likes"), mostly-uppercase nav — rebuild the
+    * document from the survivors in order, and GATE the document on
+    * the fraction of characters kept (a page that was mostly junk is
+    * junk). All rules are RE2 ∩ Java regexes and integer ratios, so
+    * a SQL oracle replays the rebuilt text byte-exactly. One bounded
+    * explode + one keyed agg; no shuffle beyond the doc key.
+    *
+    * Output per doc: (idCol, n_lines, n_kept, char_keep_ratio,
+    * doc_kept, clean_text). Empty input text yields ratio NaN and
+    * doc_kept false — gate empties upstream. */
+  def lineCorrections(df: DataFrame, idCol: String, textCol: String,
+      minLineChars: Int = 10, upperCut: Double = 0.6,
+      charKeepCut: Double = 0.8): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(
+      split(col(textCol), "\n")).as(Seq("line_id", "line")))
+    val t = trim(col("line"))
+    val letters = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val uppers = length(regexp_replace(t, "[^A-Z]", ""))
+    val upperHeavy = letters > 0 &&
+      uppers.cast("double") / letters.cast("double") > upperCut
+    val keep = !(length(t) < minLineChars ||
+      t.rlike("^[0-9 .,%/()-]+$") ||
+      lower(t).rlike("^[0-9]+ (likes|views|comments|shares)$") ||
+      upperHeavy)
+    lines
+      .withColumn("keep", keep)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        (sum(when(col("keep"), length(col("line"))).otherwise(0L))
+          .cast("double") /
+          sum(length(col("line"))).cast("double"))
+          .as("char_keep_ratio"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("line_id"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+      .withColumn("doc_kept", col("char_keep_ratio") >= charKeepCut)
+  }
+
   /** C4-style badwords document filter (Raffel et al. 2020 §2.2 —
     * the "List of Dirty, Naughty ... Words" gate every public web
     * corpus applies): drop any document containing at least one

@@ -1232,6 +1232,75 @@ object CorpusQueries {
       |FROM part p JOIN asg a ON a.p_name = p.p_name
       |GROUP BY a.entity ORDER BY a.entity""".stripMargin
 
+  /** Fixture docs exercising every line rule (the single-line corpus
+    * can only exercise the keep path): uppercase nav, numeric-only,
+    * social counter, short, and an all-junk doc the char-ratio gate
+    * drops. Shared verbatim with the q246 oracle VALUES. */
+  private val LineFixture: Seq[(Long, String)] = Seq(
+    (9500001L, "HOME ABOUT CONTACT\n" +
+      "the quick brown fox jumps over the lazy dog today\n42\n" +
+      "3 likes\nanother long and reasonable prose line here"),
+    (9500002L, "12.5%\n- - -\nNAV BAR\nok"),
+    (9500003L, "a decent single line that clears every rule easily"))
+
+  /** q246: line-level corrections + char-ratio document gate
+    * ([[graft.operators.Corpus.lineCorrections]] — the RefinedWeb
+    * §G.2 "line-wise filters" step between extraction and dedup).
+    * The oracle replays line segmentation, all four drop rules, the
+    * ordered rebuild, and the IEEE keep-ratio. */
+  def q246LineCorrections(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(LineFixture.toDF("doc_id", "text"))
+    Corpus.lineCorrections(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("char_keep_ratio"), col("doc_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q246Oracle: String = {
+    val vals = LineFixture.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")
+        .replace("\n", "' || chr(10) || '")}')"
+    }.mkString(", ")
+    raw"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+      |ln AS (
+      |  SELECT doc_id, u.i - 1 AS line_id, ls[u.i] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |    FROM all_docs),
+      |    LATERAL unnest(generate_series(1, len(ls))) u(i)),
+      |cl AS (SELECT doc_id, line_id, line, trim(line) AS t FROM ln),
+      |k AS (
+      |  SELECT doc_id, line_id, line,
+      |    NOT (len(t) < 10
+      |      OR regexp_matches(t, '^[0-9 .,%/()-]+$$')
+      |      OR regexp_matches(lower(t),
+      |        '^[0-9]+ (likes|views|comments|shares)$$')
+      |      OR (len(regexp_replace(t, '[^A-Za-z]', '', 'g')) > 0
+      |        AND CAST(len(regexp_replace(t, '[^A-Z]', '', 'g'))
+      |            AS DOUBLE) /
+      |          CAST(len(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+      |            AS DOUBLE) > 0.6)) AS keep
+      |  FROM cl),
+      |g AS (
+      |  SELECT doc_id, COUNT(*) AS n_lines,
+      |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_kept,
+      |    CAST(SUM(CASE WHEN keep THEN len(line) ELSE 0 END)
+      |      AS DOUBLE) / CAST(SUM(len(line)) AS DOUBLE)
+      |      AS char_keep_ratio,
+      |    COALESCE(string_agg(CASE WHEN keep THEN line END,
+      |      chr(10) ORDER BY line_id), '') AS clean_text
+      |  FROM k GROUP BY doc_id)
+      |SELECT doc_id, n_lines, n_kept, char_keep_ratio,
+      |  char_keep_ratio >= 0.8 AS doc_kept,
+      |  md5(clean_text) AS clean_md5
+      |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -1889,6 +1958,7 @@ object CorpusQueries {
     "q243_crawl_datasheet" -> (q243CrawlDatasheet _),
     "q244_html_tables" -> (q244HtmlTables _),
     "q245_entity_clusters" -> (q245EntityClusters _),
+    "q246_line_corrections" -> (q246LineCorrections _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -1910,6 +1980,7 @@ object CorpusQueries {
     "q243_crawl_datasheet" -> q243Oracle,
     "q244_html_tables" -> q244Oracle,
     "q245_entity_clusters" -> q245Oracle,
+    "q246_line_corrections" -> q246Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

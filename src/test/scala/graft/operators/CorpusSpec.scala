@@ -299,6 +299,26 @@ class CorpusSpec extends SparkTestBase {
       4L -> true, 5L -> true))
   }
 
+  test("lineCorrections: uppercase nav / numeric / counter / short " +
+      "lines drop, prose survives in order, all-junk doc is gated") {
+    val df = Seq(
+      (1L, "HOME ABOUT US\nthe first good prose line of the page " +
+        "carries real content\n42\n7 likes\n" +
+        "the second good prose line of the page also carries some"),
+      (2L, "12.5%\nNAV BAR\nok"))
+      .toDF("id", "text")
+    val out = Corpus.lineCorrections(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(5),
+          r.getString(4))).toMap
+    assert(out(1L)._1 === 5L && out(1L)._2 === 2L)
+    assert(out(1L)._3 === true)
+    assert(out(1L)._4 ===
+      "the first good prose line of the page carries real content\n" +
+      "the second good prose line of the page also carries some")
+    assert(out(2L) === ((3L, 0L, false, "")))
+  }
+
   test("rrfFusion: a doc ranked first everywhere gets the max " +
       "possible fused score; null scores rank last; ties break on " +
       "id") {
