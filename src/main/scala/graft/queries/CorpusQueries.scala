@@ -1259,21 +1259,19 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val q246Oracle: String = {
-    val vals = LineFixture.map { case (id, t) =>
-      s"($id, '${t.replace("'", "''")
-        .replace("\n", "' || chr(10) || '")}')"
-    }.mkString(", ")
-    raw"""WITH all_docs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
-      |ln AS (
+  /** The q246 line-correction chain over a caller-supplied
+    * `$src(doc_id, text)` CTE — shared by q246 and the composed
+    * q247. Ends at `lg(doc_id, n_lines, n_kept, char_keep_ratio,
+    * clean_text)`. */
+  private def lineCtes(src: String): String =
+    raw"""lln AS (
       |  SELECT doc_id, u.i - 1 AS line_id, ls[u.i] AS line
       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
-      |    FROM all_docs),
+      |    FROM $src),
       |    LATERAL unnest(generate_series(1, len(ls))) u(i)),
-      |cl AS (SELECT doc_id, line_id, line, trim(line) AS t FROM ln),
-      |k AS (
+      |lcl AS (SELECT doc_id, line_id, line, trim(line) AS t
+      |  FROM lln),
+      |lk AS (
       |  SELECT doc_id, line_id, line,
       |    NOT (len(t) < 10
       |      OR regexp_matches(t, '^[0-9 .,%/()-]+$$')
@@ -1284,8 +1282,8 @@ object CorpusQueries {
       |            AS DOUBLE) /
       |          CAST(len(regexp_replace(t, '[^A-Za-z]', '', 'g'))
       |            AS DOUBLE) > 0.6)) AS keep
-      |  FROM cl),
-      |g AS (
+      |  FROM lcl),
+      |lg AS (
       |  SELECT doc_id, COUNT(*) AS n_lines,
       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n_kept,
@@ -1294,12 +1292,78 @@ object CorpusQueries {
       |      AS char_keep_ratio,
       |    COALESCE(string_agg(CASE WHEN keep THEN line END,
       |      chr(10) ORDER BY line_id), '') AS clean_text
-      |  FROM k GROUP BY doc_id)
+      |  FROM lk GROUP BY doc_id)""".stripMargin
+
+  private val q246Oracle: String = {
+    val vals = LineFixture.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")
+        .replace("\n", "' || chr(10) || '")}')"
+    }.mkString(", ")
+    s"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+      |${lineCtes("all_docs")}
       |SELECT doc_id, n_lines, n_kept, char_keep_ratio,
       |  char_keep_ratio >= 0.8 AS doc_kept,
       |  md5(clean_text) AS clean_md5
-      |FROM g ORDER BY doc_id""".stripMargin
+      |FROM lg ORDER BY doc_id""".stripMargin
   }
+
+  /** q247: the RefinedWeb-style MACRODATA FUNNEL composed in one
+    * query — raw crawl HTML → metadata extraction → robots-noindex
+    * consent drop → jusText main-content extraction → line-level
+    * corrections + char-ratio gate → normalized (q123-key) dedup →
+    * one corpus row per surviving canonical text. Five stages, five
+    * operators, ONE oracle chaining every replay — the hash match
+    * proves the full funnel composition. */
+  def q247RefinedBuild(s: SparkSession, d: String): DataFrame = {
+    val pages = documents(s, d).select(col("doc_id"),
+      curationPageCol.as("html")).localCheckpoint()
+    val meta = graft.operators.Boilerplate
+      .htmlMeta(pages, "doc_id", "html")
+      .select(col("doc_id"), col("noindex"))
+    val kept = pages.join(meta, Seq("doc_id"))
+      .filter(!col("noindex"))
+    val main = graft.operators.Boilerplate.mainContent(
+      kept.select(col("doc_id"), col("html")), "doc_id", "html",
+      Q231Stops)
+    val lc = Corpus.lineCorrections(
+        main.select(col("doc_id"), col("main_text").as("text")),
+        "doc_id", "text")
+      .filter(col("doc_kept"))
+    lc.groupBy(graft.functions.TextFunctions
+        .dedupKey(col("clean_text")).as("dkey"))
+      .agg(min(col("doc_id")).as("rep_doc"),
+        count(lit(1)).as("n_members"))
+      .select(md5(col("dkey")).as("key_md5"), col("rep_doc"),
+        col("n_members"))
+      .orderBy(col("rep_doc"))
+  }
+
+  private val q247Oracle: String =
+    s"""WITH $CurationPageCte,
+      |$MetaExtractCte,
+      |keep AS (
+      |  SELECT pg.doc_id, pg.html FROM pg
+      |  JOIN mx ON mx.doc_id = pg.doc_id
+      |  WHERE NOT contains(mx.r, 'noindex')),
+      |${blockCtes("keep")},
+      |mc AS (
+      |  SELECT doc_id,
+      |    string_agg(text, chr(10) ORDER BY block_id) AS main_text
+      |  FROM c2 WHERE cls = 'good' GROUP BY doc_id),
+      |lt AS (SELECT doc_id, main_text AS text FROM mc),
+      |${lineCtes("lt")},
+      |surv AS (
+      |  SELECT doc_id, clean_text FROM lg
+      |  WHERE char_keep_ratio >= 0.8),
+      |dd AS (
+      |  SELECT trim(regexp_replace(nfc_normalize(lower(clean_text)),
+      |      '\\s+', ' ', 'g')) AS dkey,
+      |    MIN(doc_id) AS rep_doc, COUNT(*) AS n_members
+      |  FROM surv GROUP BY 1)
+      |SELECT md5(dkey) AS key_md5, rep_doc, n_members
+      |FROM dd ORDER BY rep_doc""".stripMargin
 
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
@@ -1959,6 +2023,7 @@ object CorpusQueries {
     "q244_html_tables" -> (q244HtmlTables _),
     "q245_entity_clusters" -> (q245EntityClusters _),
     "q246_line_corrections" -> (q246LineCorrections _),
+    "q247_refined_build" -> (q247RefinedBuild _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -1981,6 +2046,7 @@ object CorpusQueries {
     "q244_html_tables" -> q244Oracle,
     "q245_entity_clusters" -> q245Oracle,
     "q246_line_corrections" -> q246Oracle,
+    "q247_refined_build" -> q247Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,
