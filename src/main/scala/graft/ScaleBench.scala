@@ -253,6 +253,7 @@ object ScaleBench {
               lit(".example.com/p/"),
               (col("doc_id") % 1000).cast("string"),
               lit("?utm_source=x&b=2&a=1")).as("url"))
+            .localCheckpoint() // 3 consumer branches (q242 discipline)
           val meta = graft.operators.Boilerplate
             .htmlMeta(pages, "doc_id", "html")
           val kept = pages.join(meta.select(col("doc_id"),

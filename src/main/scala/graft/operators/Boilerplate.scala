@@ -231,11 +231,14 @@ object Boilerplate {
     *
     * Regex-level, double-quoted, name-before-content attribute order
     * only (RE2 ∩ Java so a SQL oracle replays byte-exactly; the
-    * bounded snapshot scope the outlink extractor documents). Pure
-    * per-row codegen'd chain, no shuffle. */
+    * bounded snapshot scope the outlink extractor documents). Runs
+    * on the COMMENT/SCRIPT/STYLE-STRIPPED page like every other
+    * extractor in this family — a noindex meta inside a comment or
+    * a script string is not a consent signal and must not drop the
+    * page. Pure per-row codegen'd chain, no shuffle. */
   def htmlMeta(df: DataFrame, idCol: String,
       htmlCol: String): DataFrame = {
-    val h = col(htmlCol)
+    val h = stripNonContent(col(htmlCol))
     val langAttr = regexp_extract(h,
       "(?is)<html\\s[^>]*?lang\\s*=\\s*\"([^\"]*)\"", 1)
     val title = cleanFragment(regexp_extract(h,

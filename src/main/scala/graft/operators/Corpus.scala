@@ -166,15 +166,16 @@ object Corpus {
     * when the math density clears its cut, else prose. Thresholds
     * are parameters — the defaults separate the fixture classes and
     * real corpora tune them. One codegen'd expression chain, no
-    * shuffle. Expects non-empty text: an empty string divides 0/0
-    * (NaN densities, which fail every cut → prose) — gate empties
-    * upstream if the distinction matters. */
+    * shuffle. Empty text has no densities: all three signals are
+    * NULL and the row routes to prose (a deliberate guard — a raw
+    * NaN ratio would satisfy `NaN > cut` under Spark's NaN-greatest
+    * ordering and mis-route empties to code). */
   def contentTypeSignals(df: DataFrame, idCol: String,
       textCol: String, codeCharCut: Double = 0.03,
       codeLineCut: Double = 0.4,
       mathCharCut: Double = 0.02): DataFrame = {
     val t = col(textCol)
-    val n = length(t).cast("double")
+    val n = when(length(t) > 0, length(t).cast("double"))
     def removed(cls: String) =
       (length(t) - length(regexp_replace(t, cls, ""))).cast("double")
     val codeChar = removed("[{}();=]") / n
@@ -223,13 +224,21 @@ object Corpus {
     * the LONGEST matching rule prefix on its host — Allow wins ties
     * (allow_len >= disallow_len), no matching rule means allowed.
     * The rule table BROADCASTS (robots bodies are tiny next to the
-    * corpus); each URL joins its host's rules, keeps prefix matches,
-    * and one keyed agg takes the two max lengths — the corpus never
-    * fans out past its own matched-rule count. Adds (host, path,
-    * allowed). A URL with no scheme://host shape gets a NULL host,
-    * matches no rules, and is therefore `allowed` (vacuously —
-    * nothing forbids it); gate unparseable URLs upstream if they
-    * should be dropped instead. */
+    * corpus); verdicts compute over the DISTINCT (host, path) set —
+    * prefix matches + one keyed agg of the two max lengths — and
+    * join back, so the operator is ROW-PRESERVING (duplicate
+    * frontier rows each keep their verdict) and indifferent to
+    * whatever other columns, of any type, ride along. Adds (host,
+    * path, allow_len, disallow_len, allowed).
+    *
+    * Scope notes: rules are PLAIN PREFIXES — REP `*`/`$` wildcard
+    * rules are NOT interpreted (a star-pattern Disallow, e.g. a
+    * .php-suffix rule, becomes a literal never-matching prefix;
+    * corpora using wildcards need a regex-rule extension). A URL
+    * with no scheme://host shape gets
+    * a NULL host, matches no rules, and is therefore `allowed`
+    * (vacuously — nothing forbids it); gate unparseable URLs
+    * upstream if they should be dropped instead. */
   def robotsGate(urls: DataFrame, urlCol: String,
       rules: DataFrame): DataFrame = {
     val withParts = urls
@@ -239,12 +248,20 @@ object Corpus {
           "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
         when(length(p) === 0, "/").otherwise(p)
       })
-    val matched = withParts
+    // verdict per DISTINCT (host, path), joined back: the operator
+    // is ROW-PRESERVING (duplicate frontier rows each keep their
+    // verdict) and indifferent to whatever other columns — of any
+    // type — ride along on the input. The join key uses a null-safe
+    // host surrogate so unparseable-URL rows (NULL host) still get
+    // their vacuous allow.
+    val hk = coalesce(col("host"), lit(" "))
+    val keyed = withParts.withColumn("_hk", hk)
+    val verdict = keyed
+      .select(col("_hk"), col("host"), col("path")).distinct()
       .join(broadcast(rules), Seq("host"), "left")
       .withColumn("hit", col("prefix").isNotNull &&
         col("path").startsWith(col("prefix")))
-    val verdict = matched
-      .groupBy(withParts.columns.map(col): _*)
+      .groupBy(col("_hk"), col("path"))
       .agg(
         max(when(col("hit") && col("rule_type") === "allow",
           length(col("prefix"))).otherwise(lit(-1)))
@@ -252,8 +269,9 @@ object Corpus {
         max(when(col("hit") && col("rule_type") === "disallow",
           length(col("prefix"))).otherwise(lit(-1)))
           .as("disallow_len"))
-    verdict.withColumn("allowed",
-      col("allow_len") >= col("disallow_len"))
+      .withColumn("allowed",
+        col("allow_len") >= col("disallow_len"))
+    keyed.join(verdict, Seq("_hk", "path")).drop("_hk")
   }
 
   /** Line-level corrections (RefinedWeb §G.2 / Falcon "line-wise
@@ -266,8 +284,11 @@ object Corpus {
     * explode + one keyed agg; no shuffle beyond the doc key.
     *
     * Output per doc: (idCol, n_lines, n_kept, char_keep_ratio,
-    * doc_kept, clean_text). Empty input text yields ratio NaN and
-    * doc_kept false — gate empties upstream. */
+    * doc_kept, clean_text). A doc with zero total characters
+    * (empty / all-newline text) has NO ratio — char_keep_ratio is
+    * NULL and doc_kept false (a raw NaN ratio would satisfy
+    * `NaN >= cut` under Spark's NaN-greatest ordering and pass a
+    * fully blank document through the junk gate). */
   def lineCorrections(df: DataFrame, idCol: String, textCol: String,
       minLineChars: Int = 10, upperCut: Double = 0.6,
       charKeepCut: Double = 0.8): DataFrame = {
@@ -289,13 +310,15 @@ object Corpus {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         (sum(when(col("keep"), length(col("line"))).otherwise(0L))
           .cast("double") /
-          sum(length(col("line"))).cast("double"))
+          when(sum(length(col("line"))) > 0,
+            sum(length(col("line"))).cast("double")))
           .as("char_keep_ratio"),
         concat_ws("\n", transform(
           array_sort(collect_list(when(col("keep"),
             struct(col("line_id"), col("line"))))),
           s => s.getField("line"))).as("clean_text"))
-      .withColumn("doc_kept", col("char_keep_ratio") >= charKeepCut)
+      .withColumn("doc_kept",
+        coalesce(col("char_keep_ratio") >= charKeepCut, lit(false)))
   }
 
   /** C4-style badwords document filter (Raffel et al. 2020 §2.2 —

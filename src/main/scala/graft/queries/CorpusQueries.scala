@@ -490,18 +490,19 @@ object CorpusQueries {
   /** The four metadata signal extractions over `pg`, as a
     * `mx(doc_id, l, t, r, cu)` CTE (raw regex captures; empties not
     * yet nulled). */
-  private val MetaExtractCte: String = {
-    def clean(x: String): String =
-      s"""trim(regexp_replace(replace(replace(replace(replace(
-        |replace(replace(regexp_replace($x, '(?s)<[^>]+>', ' ', 'g'),
-        |'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-        |'&quot;', '"'), '&#39;', ''''), '\\s+', ' ', 'g'))"""
-        .stripMargin.replace("\n", " ")
-    raw"""mx AS (
+  private val MetaExtractCte: String =
+    raw"""mxs AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g') AS html
+      |  FROM pg),
+      |mx AS (
       |  SELECT doc_id,
       |    regexp_extract(html,
       |      '(?is)<html\s[^>]*?lang\s*=\s*"([^"]*)"', 1) AS l,
-      |    ${clean(raw"""regexp_extract(html,
+      |    ${cleanSql(raw"""regexp_extract(html,
       |      '(?is)<title[^>]*>(.*?)</title>', 1)""")} AS t,
       |    lower(regexp_extract(html,
       |      '(?is)<meta\s[^>]*?name\s*=\s*"robots"[^>]*?content\s*=\s*"([^"]*)"',
@@ -509,8 +510,7 @@ object CorpusQueries {
       |    regexp_extract(html,
       |      '(?is)<link\s[^>]*?rel\s*=\s*"canonical"[^>]*?href\s*=\s*"([^"]*)"',
       |      1) AS cu
-      |  FROM pg)""".stripMargin
-  }
+      |  FROM mxs)""".stripMargin
 
   /** q236: page-metadata extraction
     * ([[graft.operators.Boilerplate.htmlMeta]]) — declared-language

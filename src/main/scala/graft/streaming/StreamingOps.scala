@@ -224,17 +224,25 @@ object StreamingOps {
     * twice inside the in-flight window. The canonicalizer is a pure
     * per-row expression (no extra state); the state bound and the
     * at-least-once boundary are exactly [[streamingExactDedup]]'s.
-    * Rows whose URL has no scheme://host shape canonicalize to NULL
-    * and pass through dropDuplicates as their own (shared) null key
-    * — gate upstream if the feed can carry garbage. */
+    * Rows whose URL has no scheme://host shape canonicalize to NULL;
+    * the dedup key falls back to the RAW url string for those (a
+    * shared NULL key would silently drop every distinct garbage URL
+    * after the first — identical garbage still dedups, different
+    * garbage passes through). */
   def streamingCanonicalUrlDedup(docs: org.apache.spark.sql.DataFrame,
       urlCol: String, tsCol: String,
-      delay: String): org.apache.spark.sql.DataFrame =
+      delay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
     docs
-      .withColumn("canon_url", graft.operators.Corpus
-        .canonicalizeUrl(org.apache.spark.sql.functions.col(urlCol)))
+      .withColumn("canon_url",
+        graft.operators.Corpus.canonicalizeUrl(col(urlCol)))
+      .withColumn("_dedup_key",
+        coalesce(col("canon_url"), concat(lit(" raw:"),
+          col(urlCol))))
       .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("canon_url")
+      .dropDuplicatesWithinWatermark("_dedup_key")
+      .drop("_dedup_key")
+  }
 
   /** Streaming corpus materialization — the batch corpus build's
     * quality funnel (the q117/q126 gates: language, word-count floor,

@@ -127,6 +127,16 @@ class BoilerplateSpec extends SparkTestBase {
     assert(out.toSeq === Seq(
       (Some("en-us"), Some("A & B C"), true, Some("https://ex.com/c")),
       (None, None, false, None)))
+    // a noindex inside a comment or script string is NOT consent —
+    // htmlMeta runs on the stripped page like the rest of the family
+    val p3 = "<html><head><title>ok</title>" +
+      "<!-- <meta name=\"robots\" content=\"noindex\"> -->" +
+      "<script>d('<meta name=\"robots\" content=\"noindex\">')" +
+      "</script></head><body>x</body></html>"
+    val m3 = Boilerplate.htmlMeta(
+      Seq((3L, p3)).toDF("id", "html"), "id", "html").head
+    assert(m3.getBoolean(3) === false)
+    assert(m3.getString(2) === "ok")
   }
 
   test("mainContent assembles only good blocks in document order; " +

@@ -276,6 +276,11 @@ class CorpusSpec extends SparkTestBase {
     val out = Corpus.contentTypeSignals(df, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(out === Map(1L -> "code", 2L -> "math", 3L -> "prose"))
+    // empty text: null densities, prose route (NOT code — a raw NaN
+    // ratio would satisfy NaN > cut under Spark's NaN ordering)
+    val e = Corpus.contentTypeSignals(
+      Seq((9L, "")).toDF("id", "text"), "id", "text").head
+    assert(e.isNullAt(1) && e.isNullAt(3) && e.getString(4) === "prose")
   }
 
   test("robotsGate: longest match wins, Allow beats Disallow on " +
@@ -297,6 +302,13 @@ class CorpusSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got === Map(1L -> false, 2L -> true, 3L -> true,
       4L -> true, 5L -> true))
+    // row-preserving: duplicate frontier rows each keep a verdict
+    val dup = Corpus.robotsGate(
+      Seq((1L, "https://a.com/p/x"), (1L, "https://a.com/p/x"),
+        (2L, "garbage no scheme")).toDF("id", "url"),
+      "url", rules)
+    assert(dup.count() === 3L)
+    assert(dup.filter(col("allowed")).count() === 1L) // the garbage row
   }
 
   test("lineCorrections: uppercase nav / numeric / counter / short " +
@@ -317,6 +329,10 @@ class CorpusSpec extends SparkTestBase {
       "the first good prose line of the page carries real content\n" +
       "the second good prose line of the page also carries some")
     assert(out(2L) === ((3L, 0L, false, "")))
+    // zero-char doc: ratio NULL, gate false (NOT NaN >= cut -> true)
+    val z = Corpus.lineCorrections(
+      Seq((9L, "\n\n")).toDF("id", "text"), "id", "text").head
+    assert(z.isNullAt(3) && z.getBoolean(5) === false)
   }
 
   test("rrfFusion: a doc ranked first everywhere gets the max " +

@@ -64,7 +64,11 @@ class StreamingDedupSpec extends SparkTestBase {
       (2L, "https://ex.com:443/a?a=1&b=2&utm_source=f#x", ts(1)),
       (3L, "https://ex.com/other", ts(1)),
       (4L, "https://ex.com/a?b=2&a=1&gclid=9", ts(2)),
-      (5L, "http://other.net:8080/p", ts(2)))
+      (5L, "http://other.net:8080/p", ts(2)),
+      // two DIFFERENT unparseable urls: both must pass (the raw-url
+      // fallback key — a shared NULL key would drop the second)
+      (6L, "not a url", ts(2)),
+      (7L, "also not a url", ts(2)))
     val input = MemoryStream[(Long, String, Timestamp)]
     val docs = input.toDS().toDF("doc_id", "url", "event_ts")
     val q = StreamingOps.streamingCanonicalUrlDedup(docs, "url",
@@ -76,17 +80,19 @@ class StreamingDedupSpec extends SparkTestBase {
     input.addData(rows.drop(3): _*)
     q.processAllAvailable()
     q.stop()
-    val streamed = spark.table("canon_out").select("canon_url")
+    val streamed = spark.table("canon_out")
+      .filter($"canon_url".isNotNull).select("canon_url")
       .as[String].collect().sorted.toSeq
     assert(streamed === Seq("http://other.net:8080/p",
       "https://ex.com/a?a=1&b=2", "https://ex.com/other"))
-    // first arrival wins: doc 1 represents the alias family
+    // first arrival wins for the alias family; BOTH distinct
+    // garbage rows pass through (raw-url fallback key)
     assert(spark.table("canon_out").select("doc_id")
-      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L, 6L, 7L))
     // batch agreement on the distinct canonical set
     val batch = rows.toDF("doc_id", "url", "event_ts")
       .select(graft.operators.Corpus.canonicalizeUrl($"url")
-        .as("c")).distinct()
+        .as("c")).filter($"c".isNotNull).distinct()
       .as[String].collect().sorted.toSeq
     assert(batch === streamed)
   }
