@@ -274,6 +274,42 @@ object Corpus {
     keyed.join(verdict, Seq("_hk", "path")).drop("_hk")
   }
 
+  /** Permissive-license identifiers for the default gate: exact ids
+    * plus BSD-* by prefix. */
+  val PermissiveLicenses: Seq[String] =
+    Seq("MIT", "Apache-2.0", "ISC", "Unlicense", "0BSD")
+
+  /** License tagging for code/doc corpora (The-Stack-class corpora
+    * gate on this before anything else ships): the machine-readable
+    * `SPDX-License-Identifier:` tag wins; absent that, conservative
+    * phrase probes for the three big families (MIT's "permission is
+    * hereby granted", the Apache 2.0 title, the GPL title) tag with
+    * an explicit `-phrase` suffix so downstream knows the weaker
+    * provenance; untagged docs stay NULL (unknown ≠ permissive).
+    * `permissive` is true for [[PermissiveLicenses]] + `BSD-*` SPDX
+    * tags ONLY — phrase-derived tags are never auto-permissive.
+    * Pure per-row regex chain; adds (license, permissive). */
+  def licenseTags(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val spdx = regexp_extract(t,
+      "(?i)SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)", 1)
+    val low = lower(t)
+    val phrase = when(
+        low.contains("permission is hereby granted"),
+        "MIT-phrase")
+      .when(low.contains("apache license") &&
+        low.contains("version 2.0"), "Apache-2.0-phrase")
+      .when(low.contains("gnu general public license"),
+        "GPL-phrase")
+    val license = when(length(spdx) > 0, spdx).otherwise(phrase)
+    df.withColumn("license", license)
+      .withColumn("permissive",
+        coalesce(
+          license.isin(PermissiveLicenses: _*) ||
+            license.startsWith("BSD-"), lit(false)))
+  }
+
   /** Line-level corrections (RefinedWeb §G.2 / Falcon "line-wise
     * filters"): drop structural junk lines — too short, numeric-only,
     * social counters ("3 likes"), mostly-uppercase nav — rebuild the

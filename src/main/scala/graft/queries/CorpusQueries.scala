@@ -1365,6 +1365,136 @@ object CorpusQueries {
       |SELECT md5(dkey) AS key_md5, rep_doc, n_members
       |FROM dd ORDER BY rep_doc""".stripMargin
 
+  /** Fixture docs carrying every license-detection branch (the prose
+    * corpus is untagged): SPDX MIT/Apache/GPL/BSD tags in three
+    * comment styles, the three phrase probes. Shared verbatim with
+    * the q248 oracle VALUES. */
+  private val LicenseFixture: Seq[(Long, String)] = Seq(
+    (9600001L, "// SPDX-License-Identifier: MIT\nint main() {}"),
+    (9600002L, "# SPDX-License-Identifier: Apache-2.0\nsetup here"),
+    (9600003L, "/* SPDX-License-Identifier: GPL-3.0-only */ body"),
+    (9600004L, "Permission is hereby granted, free of charge, to " +
+      "any person obtaining a copy of this software"),
+    (9600005L, "Licensed under the Apache License, Version 2.0 " +
+      "(the License); you may not use this file"),
+    (9600006L, "This program is free software under the GNU " +
+      "General Public License as published"),
+    (9600007L, "SPDX-License-Identifier: BSD-3-Clause"))
+
+  /** q248: license tagging + permissive gate
+    * ([[graft.operators.Corpus.licenseTags]] — the The-Stack-class
+    * compliance step in front of any code-corpus ship). SPDX wins,
+    * phrase probes tag with `-phrase` provenance, unknown stays
+    * NULL and is never permissive. */
+  def q248LicenseTags(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(LicenseFixture.toDF("doc_id", "text"))
+    Corpus.licenseTags(docs, "doc_id", "text")
+      .select(col("doc_id"), col("license"), col("permissive"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q248Oracle: String = {
+    val vals = LicenseFixture.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")
+        .replace("\n", "' || chr(10) || '")}')"
+    }.mkString(", ")
+    val perm = Corpus.PermissiveLicenses.map(l => s"'$l'")
+      .mkString("[", ", ", "]")
+    raw"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+      |x AS (
+      |  SELECT doc_id,
+      |    regexp_extract(text,
+      |      '(?i)SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)',
+      |      1) AS spdx,
+      |    lower(text) AS low
+      |  FROM all_docs),
+      |l AS (
+      |  SELECT doc_id, CASE
+      |    WHEN len(spdx) > 0 THEN spdx
+      |    WHEN contains(low, 'permission is hereby granted')
+      |      THEN 'MIT-phrase'
+      |    WHEN contains(low, 'apache license')
+      |        AND contains(low, 'version 2.0')
+      |      THEN 'Apache-2.0-phrase'
+      |    WHEN contains(low, 'gnu general public license')
+      |      THEN 'GPL-phrase' END AS license
+      |  FROM x)
+      |SELECT doc_id, license,
+      |  COALESCE(list_contains($perm, license)
+      |    OR starts_with(license, 'BSD-'), false) AS permissive
+      |FROM l ORDER BY doc_id""".stripMargin
+  }
+
+  /** q249: notebook→script materialization
+    * ([[graft.operators.Notebooks.script]]) — every doc becomes a
+    * synthetic nbformat-4 notebook (markdown title, two code cells
+    * with real `\n` escapes in the source-line arrays, a markdown
+    * tail); the query parses with Spark's native from_json, keeps
+    * code cells in document order, and digests the assembled
+    * script. The oracle replays the JSON walk with DuckDB's json
+    * functions (json_each + typed-list cast), proving the two
+    * engines decode the SAME escapes and assemble the SAME bytes. */
+  def q249NotebookScript(s: SparkSession, d: String): DataFrame = {
+    val nb = concat(
+      lit("""{"nbformat":4,"cells":[""" +
+        """{"cell_type":"markdown","source":["# Doc """),
+      col("doc_id").cast("string"),
+      lit(""""]},{"cell_type":"code","source":["x = """),
+      col("doc_id").cast("string"),
+      lit("""\n","print(x)"]},""" +
+        """{"cell_type":"code","source":["y = """),
+      col("n_chars").cast("string"),
+      lit("""\n","x + y"]},""" +
+        """{"cell_type":"markdown","source":["the end"]}]}"""))
+    val docs = documents(s, d).select(col("doc_id"), nb.as("nb"))
+    graft.operators.Notebooks.script(docs, "doc_id", "nb")
+      .select(col("doc_id"), col("n_code"), col("n_markdown"),
+        md5(col("script")).as("script_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q249Oracle: String =
+    raw"""WITH u AS (
+      |  SELECT doc_id,
+      |    '{"nbformat":4,"cells":[' ||
+      |    '{"cell_type":"markdown","source":["# Doc ' ||
+      |    CAST(doc_id AS VARCHAR) ||
+      |    '"]},{"cell_type":"code","source":["x = ' ||
+      |    CAST(doc_id AS VARCHAR) ||
+      |    '\n","print(x)"]},' ||
+      |    '{"cell_type":"code","source":["y = ' ||
+      |    CAST(n_chars AS VARCHAR) ||
+      |    '\n","x + y"]},' ||
+      |    '{"cell_type":"markdown","source":["the end"]}]}' AS nb
+      |  FROM documents),
+      |ce AS (
+      |  SELECT doc_id, CAST(ci.i - 1 AS BIGINT) AS cell_id,
+      |    json_extract_string(nb,
+      |      '$$.cells[' || (ci.i - 1) || '].cell_type') AS cell_type,
+      |    array_to_string(list_transform(generate_series(1,
+      |      CAST(json_array_length(nb,
+      |        '$$.cells[' || (ci.i - 1) || '].source') AS INT)),
+      |      j -> json_extract_string(nb, '$$.cells[' || (ci.i - 1)
+      |        || '].source[' || (j - 1) || ']')), '') AS src
+      |  FROM u, LATERAL unnest(generate_series(1,
+      |    CAST(json_array_length(nb, '$$.cells') AS INT))) ci(i)),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN cell_type = 'code' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_code,
+      |    CAST(SUM(CASE WHEN cell_type = 'markdown' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_markdown,
+      |    COALESCE(string_agg(
+      |      CASE WHEN cell_type = 'code' THEN src END,
+      |      chr(10) || chr(10) ORDER BY cell_id), '') AS script
+      |  FROM ce GROUP BY doc_id)
+      |SELECT doc_id, n_code, n_markdown, md5(script) AS script_md5
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -2024,6 +2154,8 @@ object CorpusQueries {
     "q245_entity_clusters" -> (q245EntityClusters _),
     "q246_line_corrections" -> (q246LineCorrections _),
     "q247_refined_build" -> (q247RefinedBuild _),
+    "q248_license_tags" -> (q248LicenseTags _),
+    "q249_notebook_script" -> (q249NotebookScript _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -2047,6 +2179,8 @@ object CorpusQueries {
     "q245_entity_clusters" -> q245Oracle,
     "q246_line_corrections" -> q246Oracle,
     "q247_refined_build" -> q247Oracle,
+    "q248_license_tags" -> q248Oracle,
+    "q249_notebook_script" -> q249Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,
