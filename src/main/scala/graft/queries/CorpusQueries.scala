@@ -1048,15 +1048,12 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val q240Oracle: String = {
-    val vals = ContentTypeFixture.map { case (id, t) =>
-      s"($id, '${t.replace("'", "''")
-        .replace("\n", "' || chr(10) || '")}')"
-    }.mkString(", ")
-    raw"""WITH all_docs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
-      |sig AS (
+  /** The q240 signal+routing chain over a caller-supplied
+    * `$src(doc_id, text)` CTE — shared by q240 and the composed
+    * q250. Ends at `csig(doc_id, code_char_density, code_line_frac,
+    * math_char_density, content_type)`. */
+  private def contentSigCtes(src: String): String =
+    raw"""csig0 AS (
       |  SELECT doc_id,
       |    CAST(len(text) - len(regexp_replace(text, '[{}();=]', '',
       |      'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
@@ -1069,14 +1066,27 @@ object CorpusQueries {
       |    CAST(len(text) - len(regexp_replace(text, '[$$\\^_]', '',
       |      'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
       |      AS math_char_density
-      |  FROM all_docs)
-      |SELECT doc_id, code_char_density, code_line_frac,
-      |  math_char_density,
-      |  CASE WHEN code_char_density > 0.03 OR code_line_frac > 0.4
+      |  FROM $src),
+      |csig AS (
+      |  SELECT *, CASE
+      |    WHEN code_char_density > 0.03 OR code_line_frac > 0.4
       |      THEN 'code'
       |    WHEN math_char_density > 0.02 THEN 'math'
       |    ELSE 'prose' END AS content_type
-      |FROM sig ORDER BY doc_id""".stripMargin
+      |  FROM csig0)""".stripMargin
+
+  private val q240Oracle: String = {
+    val vals = ContentTypeFixture.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")
+        .replace("\n", "' || chr(10) || '")}')"
+    }.mkString(", ")
+    s"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+      |${contentSigCtes("all_docs")}
+      |SELECT doc_id, code_char_density, code_line_frac,
+      |  math_char_density, content_type
+      |FROM csig ORDER BY doc_id""".stripMargin
   }
 
   /** Robots fixture: a host with an Allow override inside a
@@ -1400,19 +1410,28 @@ object CorpusQueries {
       s"($id, '${t.replace("'", "''")
         .replace("\n", "' || chr(10) || '")}')"
     }.mkString(", ")
-    val perm = Corpus.PermissiveLicenses.map(l => s"'$l'")
-      .mkString("[", ", ", "]")
-    raw"""WITH all_docs AS (
+    s"""WITH all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
-      |x AS (
+      |${licenseCtes("all_docs")}
+      |SELECT doc_id, license, permissive
+      |FROM lic ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q248 license chain over a caller-supplied
+    * `$src(doc_id, text)` CTE — shared by q248 and the composed
+    * q250. Ends at `lic(doc_id, license, permissive)`. */
+  private def licenseCtes(src: String): String = {
+    val perm = Corpus.PermissiveLicenses.map(l => s"'$l'")
+      .mkString("[", ", ", "]")
+    raw"""licx AS (
       |  SELECT doc_id,
       |    regexp_extract(text,
       |      '(?i)SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)',
       |      1) AS spdx,
       |    lower(text) AS low
-      |  FROM all_docs),
-      |l AS (
+      |  FROM $src),
+      |licl AS (
       |  SELECT doc_id, CASE
       |    WHEN len(spdx) > 0 THEN spdx
       |    WHEN contains(low, 'permission is hereby granted')
@@ -1422,11 +1441,12 @@ object CorpusQueries {
       |      THEN 'Apache-2.0-phrase'
       |    WHEN contains(low, 'gnu general public license')
       |      THEN 'GPL-phrase' END AS license
-      |  FROM x)
-      |SELECT doc_id, license,
-      |  COALESCE(list_contains($perm, license)
-      |    OR starts_with(license, 'BSD-'), false) AS permissive
-      |FROM l ORDER BY doc_id""".stripMargin
+      |  FROM licx),
+      |lic AS (
+      |  SELECT doc_id, license,
+      |    COALESCE(list_contains($perm, license)
+      |      OR starts_with(license, 'BSD-'), false) AS permissive
+      |  FROM licl)""".stripMargin
   }
 
   /** q249: notebook→script materialization
@@ -1438,29 +1458,31 @@ object CorpusQueries {
     * script. The oracle replays the JSON walk with DuckDB's json
     * functions (json_each + typed-list cast), proving the two
     * engines decode the SAME escapes and assemble the SAME bytes. */
+  /** The synthetic nbformat-4 notebook JSON (shared q249/q250). */
+  private def nbJsonCol: org.apache.spark.sql.Column = concat(
+    lit("""{"nbformat":4,"cells":[""" +
+      """{"cell_type":"markdown","source":["# Doc """),
+    col("doc_id").cast("string"),
+    lit(""""]},{"cell_type":"code","source":["x = """),
+    col("doc_id").cast("string"),
+    lit("""\n","print(x)"]},""" +
+      """{"cell_type":"code","source":["y = """),
+    col("n_chars").cast("string"),
+    lit("""\n","x + y"]},""" +
+      """{"cell_type":"markdown","source":["the end"]}]}"""))
+
   def q249NotebookScript(s: SparkSession, d: String): DataFrame = {
-    val nb = concat(
-      lit("""{"nbformat":4,"cells":[""" +
-        """{"cell_type":"markdown","source":["# Doc """),
-      col("doc_id").cast("string"),
-      lit(""""]},{"cell_type":"code","source":["x = """),
-      col("doc_id").cast("string"),
-      lit("""\n","print(x)"]},""" +
-        """{"cell_type":"code","source":["y = """),
-      col("n_chars").cast("string"),
-      lit("""\n","x + y"]},""" +
-        """{"cell_type":"markdown","source":["the end"]}]}"""))
-    val docs = documents(s, d).select(col("doc_id"), nb.as("nb"))
+    val docs = documents(s, d).select(col("doc_id"),
+      nbJsonCol.as("nb"))
     graft.operators.Notebooks.script(docs, "doc_id", "nb")
       .select(col("doc_id"), col("n_code"), col("n_markdown"),
         md5(col("script")).as("script_md5"))
       .orderBy(col("doc_id"))
   }
 
-  private val q249Oracle: String =
-    raw"""WITH u AS (
-      |  SELECT doc_id,
-      |    '{"nbformat":4,"cells":[' ||
+  /** SQL expression synthesizing the q249/q250 notebook JSON. */
+  private val NbJsonSql: String =
+    raw"""'{"nbformat":4,"cells":[' ||
       |    '{"cell_type":"markdown","source":["# Doc ' ||
       |    CAST(doc_id AS VARCHAR) ||
       |    '"]},{"cell_type":"code","source":["x = ' ||
@@ -1469,20 +1491,26 @@ object CorpusQueries {
       |    '{"cell_type":"code","source":["y = ' ||
       |    CAST(n_chars AS VARCHAR) ||
       |    '\n","x + y"]},' ||
-      |    '{"cell_type":"markdown","source":["the end"]}]}' AS nb
-      |  FROM documents),
-      |ce AS (
+      |    '{"cell_type":"markdown","source":["the end"]}]}'"""
+      .stripMargin
+
+  /** The q249 JSON-walk chain over a caller-supplied
+    * `$src(doc_id, nb)` CTE — shared by q249 and the composed q250.
+    * Ends at `nbg(doc_id, n_code, n_markdown, script)`. */
+  private def nbCellCtes(src: String): String =
+    raw"""nbce AS (
       |  SELECT doc_id, CAST(ci.i - 1 AS BIGINT) AS cell_id,
       |    json_extract_string(nb,
       |      '$$.cells[' || (ci.i - 1) || '].cell_type') AS cell_type,
       |    array_to_string(list_transform(generate_series(1,
       |      CAST(json_array_length(nb,
       |        '$$.cells[' || (ci.i - 1) || '].source') AS INT)),
-      |      j -> json_extract_string(nb, '$$.cells[' || (ci.i - 1)
-      |        || '].source[' || (j - 1) || ']')), '') AS src
-      |  FROM u, LATERAL unnest(generate_series(1,
+      |      j -> json_extract_string(nb, '$$.cells[' ||
+      |        (ci.i - 1) || '].source[' || (j - 1) || ']')), '')
+      |        AS src
+      |  FROM $src, LATERAL unnest(generate_series(1,
       |    CAST(json_array_length(nb, '$$.cells') AS INT))) ci(i)),
-      |g AS (
+      |nbg AS (
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN cell_type = 'code' THEN 1 ELSE 0 END)
       |      AS BIGINT) AS n_code,
@@ -1491,9 +1519,95 @@ object CorpusQueries {
       |    COALESCE(string_agg(
       |      CASE WHEN cell_type = 'code' THEN src END,
       |      chr(10) || chr(10) ORDER BY cell_id), '') AS script
-      |  FROM ce GROUP BY doc_id)
+      |  FROM nbce GROUP BY doc_id)""".stripMargin
+
+  private val q249Oracle: String =
+    s"""WITH u AS (
+      |  SELECT doc_id, $NbJsonSql AS nb
+      |  FROM documents),
+      |${nbCellCtes("u")}
       |SELECT doc_id, n_code, n_markdown, md5(script) AS script_md5
-      |FROM g ORDER BY doc_id""".stripMargin
+      |FROM nbg ORDER BY doc_id""".stripMargin
+
+  /** q250: the composed CODE-CORPUS BUILD — the code-side flagship
+    * mirroring q242/q247's web funnels: a mixed feed (a third
+    * notebooks, a third license-headered code files cycling
+    * MIT/Apache/GPL/untagged, a third prose) flows through notebook→
+    * script materialization (q249), content-type routing (q240 —
+    * prose drops), and the license gate (q248 — known-nonpermissive
+    * drops, unknown survives with NULL provenance); survivors emit
+    * with their text digest. One oracle chains the nbformat walk,
+    * the signal routing, and the license chain — the three-stage
+    * COMPOSITION is what the hash match proves. */
+  def q250CodeCorpusBuild(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"),
+      col("n_chars"))
+    val nbs = graft.operators.Notebooks.script(
+        base.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), nbJsonCol.as("nb")),
+        "doc_id", "nb")
+      .select(col("doc_id"), col("script").as("text"))
+    val header = when(col("doc_id") % 4 === 0,
+        lit("// SPDX-License-Identifier: MIT\n"))
+      .when(col("doc_id") % 4 === 1,
+        lit("# SPDX-License-Identifier: Apache-2.0\n"))
+      .when(col("doc_id") % 4 === 2,
+        lit("/* SPDX-License-Identifier: GPL-3.0-only */\n"))
+      .otherwise(lit(""))
+    val files = base.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), concat(header, lit("x = "),
+        col("doc_id").cast("string"), lit(";\nprint(x);"))
+        .as("text"))
+    val prose = base.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"))
+    val un = nbs.unionByName(files).unionByName(prose)
+      .localCheckpoint() // 2 consumers: routing join + license tag
+    val routed = un.join(
+      Corpus.contentTypeSignals(un, "doc_id", "text")
+        .select(col("doc_id"), col("content_type")), Seq("doc_id"))
+    Corpus.licenseTags(routed, "doc_id", "text")
+      .filter(col("content_type") === "code" &&
+        (col("permissive") || col("license").isNull))
+      .select(col("doc_id"), col("license"), col("permissive"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q250Oracle: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, text, n_chars FROM documents),
+      |nbu AS (
+      |  SELECT doc_id, $NbJsonSql AS nb
+      |  FROM base WHERE doc_id % 3 = 0),
+      |${nbCellCtes("nbu")},
+      |files AS (
+      |  SELECT doc_id, CASE
+      |    WHEN doc_id % 4 = 0
+      |      THEN '// SPDX-License-Identifier: MIT' || chr(10)
+      |    WHEN doc_id % 4 = 1
+      |      THEN '# SPDX-License-Identifier: Apache-2.0' || chr(10)
+      |    WHEN doc_id % 4 = 2
+      |      THEN '/* SPDX-License-Identifier: GPL-3.0-only */'
+      |        || chr(10)
+      |    ELSE '' END ||
+      |    'x = ' || CAST(doc_id AS VARCHAR) || ';' || chr(10) ||
+      |    'print(x);' AS text
+      |  FROM base WHERE doc_id % 3 = 1),
+      |un AS (
+      |  SELECT doc_id, script AS text FROM nbg
+      |  UNION ALL SELECT doc_id, text FROM files
+      |  UNION ALL SELECT doc_id, text FROM base
+      |    WHERE doc_id % 3 = 2),
+      |${contentSigCtes("un")},
+      |${licenseCtes("un")}
+      |SELECT un.doc_id, lic.license, lic.permissive,
+      |  md5(un.text) AS text_md5
+      |FROM un
+      |JOIN csig ON csig.doc_id = un.doc_id
+      |JOIN lic ON lic.doc_id = un.doc_id
+      |WHERE csig.content_type = 'code'
+      |  AND (lic.permissive OR lic.license IS NULL)
+      |ORDER BY un.doc_id""".stripMargin
 
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
@@ -2156,6 +2270,7 @@ object CorpusQueries {
     "q247_refined_build" -> (q247RefinedBuild _),
     "q248_license_tags" -> (q248LicenseTags _),
     "q249_notebook_script" -> (q249NotebookScript _),
+    "q250_code_corpus_build" -> (q250CodeCorpusBuild _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -2181,6 +2296,7 @@ object CorpusQueries {
     "q247_refined_build" -> q247Oracle,
     "q248_license_tags" -> q248Oracle,
     "q249_notebook_script" -> q249Oracle,
+    "q250_code_corpus_build" -> q250Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

@@ -238,7 +238,8 @@ class PlanSpec2 extends SparkTestBase {
         "q242_web_curation_build", "q243_crawl_datasheet",
         "q244_html_tables", "q245_entity_clusters",
         "q246_line_corrections", "q247_refined_build",
-        "q248_license_tags", "q249_notebook_script")) {
+        "q248_license_tags", "q249_notebook_script",
+        "q250_code_corpus_build")) {
       val p = SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), q)
