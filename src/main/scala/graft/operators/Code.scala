@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Code-corpus structure operators: the line-level parses a
+  * commit/code pipeline runs after license/content triage —
+  * unified-diff accounting (commit-message + diff corpora train on
+  * the ADDED code, not the patch syntax) and function-level
+  * chunking (retrieval/dedup units for code are definitions, not
+  * fixed windows). Everything is line arithmetic + per-doc windows:
+  * SQL-replayable, no shuffle beyond the doc key. */
+object Code {
+
+  /** Unified-diff accounting + added-code extraction. Per doc:
+    * (idCol, n_files, n_hunks, n_added, n_removed, added_code) —
+    * `+++ `/`--- ` file headers and `@@` hunk markers counted, NOT
+    * treated as added/removed lines; `added_code` is the `+` lines
+    * in patch order with the prefix stripped (what the trainer
+    * actually reads). Docs that contain no diff markers yield
+    * zero counts and empty added_code — the operator never guesses
+    * whether a doc IS a diff (route upstream). */
+  def diffStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(
+      split(col(textCol), "\n")).as(Seq("line_id", "line")))
+    val isNewFile = col("line").startsWith("+++ ")
+    val isOldFile = col("line").startsWith("--- ")
+    val isHunk = col("line").startsWith("@@")
+    val isAdd = col("line").startsWith("+") && !isNewFile
+    val isDel = col("line").startsWith("-") && !isOldFile
+    lines.groupBy(col(idCol))
+      .agg(
+        sum(when(isNewFile, 1L).otherwise(0L)).as("n_files"),
+        sum(when(isHunk, 1L).otherwise(0L)).as("n_hunks"),
+        sum(when(isAdd, 1L).otherwise(0L)).as("n_added"),
+        sum(when(isDel, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(isAdd,
+            struct(col("line_id"), col("line"))))),
+          s => substring(s.getField("line"), 2, Int.MaxValue)))
+          .as("added_code"))
+  }
+
+  /** Function-level chunking for indentation languages (the Python
+    * `def `/`class ` convention): every TOP-LEVEL definition line
+    * (no leading whitespace) starts a new chunk; lines before the
+    * first definition form chunk 0 (imports/prelude). Output one
+    * row per chunk: (idCol, chunk_id, first_line, n_lines, chunk).
+    * A running count over the per-doc line window assigns chunk
+    * ids — bounded per doc, never corpus-wide. Brace-language
+    * chunking needs a lexer and is out of this operator's scope,
+    * documented. */
+  def functionChunks(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(
+      split(col(textCol), "\n")).as(Seq("line_id", "line")))
+    val isBoundary = col("line").rlike("^(def|class) ")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("line_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .withColumn("chunk_id",
+        sum(when(isBoundary, 1L).otherwise(0L)).over(w))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(min(col("line_id")).cast("long").as("first_line"),
+        count(lit(1)).as("n_lines"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(
+            struct(col("line_id"), col("line")))),
+          s => s.getField("line"))).as("chunk"))
+  }
+}

@@ -1609,6 +1609,135 @@ object CorpusQueries {
       |  AND (lic.permissive OR lic.license IS NULL)
       |ORDER BY un.doc_id""".stripMargin
 
+  /** q251: unified-diff accounting + added-code extraction
+    * ([[graft.operators.Code.diffStats]] — commit-data corpora train
+    * on the ADDED code, not patch syntax). Every doc becomes a
+    * synthetic patch (one or two file blocks by parity, hunk
+    * headers, context/removed/added lines); file headers and hunk
+    * markers must count as structure, never as +/- lines. */
+  def q251DiffStats(s: SparkSession, d: String): DataFrame = {
+    val pid = (col("doc_id") % 7).cast("string")
+    val second = when(col("doc_id") % 2 === 0, concat(
+        lit("\n--- a/README.md\n+++ b/README.md\n@@ -1 +1 @@\n" +
+          "-old doc\n+new doc for "), col("doc_id").cast("string")))
+      .otherwise(lit(""))
+    val diff = concat(
+      lit("--- a/src/"), pid, lit(".py\n+++ b/src/"), pid,
+      lit(".py\n@@ -1,2 +1,3 @@\n context line stays\n-old_value = "),
+      col("doc_id").cast("string"), lit("\n+new_value = "),
+      col("doc_id").cast("string"), lit("\n+print(new_value)"),
+      second)
+    graft.operators.Code.diffStats(
+        documents(s, d).select(col("doc_id"), diff.as("text")),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_files"), col("n_hunks"),
+        col("n_added"), col("n_removed"),
+        md5(col("added_code")).as("added_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q251Oracle: String =
+    raw"""WITH u AS (
+      |  SELECT doc_id,
+      |    '--- a/src/' || CAST(doc_id % 7 AS VARCHAR) || '.py' ||
+      |    chr(10) || '+++ b/src/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.py' || chr(10) || '@@ -1,2 +1,3 @@' || chr(10) ||
+      |    ' context line stays' || chr(10) ||
+      |    '-old_value = ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+      |    '+new_value = ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+      |    '+print(new_value)' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      chr(10) || '--- a/README.md' || chr(10) ||
+      |      '+++ b/README.md' || chr(10) || '@@ -1 +1 @@' ||
+      |      chr(10) || '-old doc' || chr(10) ||
+      |      '+new doc for ' || CAST(doc_id AS VARCHAR)
+      |    ELSE '' END AS text
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id, u2.i - 1 AS line_id, ls[u2.i] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |    FROM u),
+      |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
+      |cl AS (
+      |  SELECT doc_id, line_id, line,
+      |    starts_with(line, '+++ ') AS is_nf,
+      |    starts_with(line, '--- ') AS is_of,
+      |    starts_with(line, '@@') AS is_hunk,
+      |    starts_with(line, '+') AND NOT starts_with(line, '+++ ')
+      |      AS is_add,
+      |    starts_with(line, '-') AND NOT starts_with(line, '--- ')
+      |      AS is_del
+      |  FROM ln),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN is_nf THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_files,
+      |    CAST(SUM(CASE WHEN is_hunk THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hunks,
+      |    CAST(SUM(CASE WHEN is_add THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_added,
+      |    CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_removed,
+      |    COALESCE(string_agg(CASE WHEN is_add THEN substr(line, 2)
+      |      END, chr(10) ORDER BY line_id), '') AS added_code
+      |  FROM cl GROUP BY doc_id)
+      |SELECT doc_id, n_files, n_hunks, n_added, n_removed,
+      |  md5(added_code) AS added_md5
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** q252: function-level code chunking
+    * ([[graft.operators.Code.functionChunks]] — the retrieval/dedup
+    * unit for code is the definition, not a fixed window). Every doc
+    * becomes a python-ish file (prelude, a top-level def, a class
+    * with an INDENTED inner def that must NOT split); the oracle
+    * replays the running boundary count and the per-chunk rebuild. */
+  def q252FunctionChunks(s: SparkSession, d: String): DataFrame = {
+    val src = concat(
+      lit("import os\n\ndef f"), (col("doc_id") % 5).cast("string"),
+      lit("(x):\n    return x + "), col("doc_id").cast("string"),
+      lit("\n\nclass C"), (col("doc_id") % 3).cast("string"),
+      lit(":\n    def m(self):\n        pass"))
+    graft.operators.Code.functionChunks(
+        documents(s, d).select(col("doc_id"), src.as("text")),
+        "doc_id", "text")
+      .select(col("doc_id"), col("chunk_id"), col("first_line"),
+        col("n_lines"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val q252Oracle: String =
+    raw"""WITH u AS (
+      |  SELECT doc_id,
+      |    'import os' || chr(10) || chr(10) ||
+      |    'def f' || CAST(doc_id % 5 AS VARCHAR) || '(x):' ||
+      |    chr(10) || '    return x + ' ||
+      |    CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+      |    'class C' || CAST(doc_id % 3 AS VARCHAR) || ':' ||
+      |    chr(10) || '    def m(self):' || chr(10) ||
+      |    '        pass' AS text
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id, u2.i - 1 AS line_id, ls[u2.i] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |    FROM u),
+      |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
+      |ck AS (
+      |  SELECT doc_id, line_id, line,
+      |    SUM(CASE WHEN regexp_matches(line, '^(def|class) ')
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+      |      ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) AS chunk_id
+      |  FROM ln),
+      |g AS (
+      |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |    CAST(MIN(line_id) AS BIGINT) AS first_line,
+      |    COUNT(*) AS n_lines,
+      |    string_agg(line, chr(10) ORDER BY line_id) AS chunk
+      |  FROM ck GROUP BY doc_id, chunk_id)
+      |SELECT doc_id, chunk_id, first_line, n_lines,
+      |  md5(chunk) AS chunk_md5
+      |FROM g ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -2271,6 +2400,8 @@ object CorpusQueries {
     "q248_license_tags" -> (q248LicenseTags _),
     "q249_notebook_script" -> (q249NotebookScript _),
     "q250_code_corpus_build" -> (q250CodeCorpusBuild _),
+    "q251_diff_stats" -> (q251DiffStats _),
+    "q252_function_chunks" -> (q252FunctionChunks _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -2297,6 +2428,8 @@ object CorpusQueries {
     "q248_license_tags" -> q248Oracle,
     "q249_notebook_script" -> q249Oracle,
     "q250_code_corpus_build" -> q250Oracle,
+    "q251_diff_stats" -> q251Oracle,
+    "q252_function_chunks" -> q252Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** [[Code]] — diff accounting distinguishes structure from content
+  * lines; function chunking splits only at top level. */
+class CodeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("diffStats: file headers and hunks are structure, a bare '+' " +
+      "is an added empty line, non-diff docs are all-zero") {
+    val patch = "--- a/x.py\n+++ b/x.py\n@@ -1 +1,3 @@\n ctx\n" +
+      "-gone\n+added one\n+\n+added two"
+    val out = Code.diffStats(
+      Seq((1L, patch), (2L, "just prose, no diff at all"))
+        .toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out(1L) === ((1L, 1L, 3L, 1L, "added one\n\nadded two")))
+    assert(out(2L) === ((0L, 0L, 0L, 0L, "")))
+  }
+
+  test("functionChunks: prelude is chunk 0, indented defs never " +
+      "split, chunks rebuild byte-exactly in order") {
+    val src = "import a\n\ndef f(x):\n    return x\n\n" +
+      "class C:\n    def m(self):\n        pass"
+    val out = Code.functionChunks(
+      Seq((1L, src)).toDF("id", "text"), "id", "text")
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, "import a\n"),
+      (1L, 2L, 3L, "def f(x):\n    return x\n"),
+      (2L, 5L, 3L, "class C:\n    def m(self):\n        pass")))
+  }
+}
