@@ -43,6 +43,31 @@ object Code {
           .as("added_code"))
   }
 
+  /** Import extraction (Python convention): top-level `import X` /
+    * `import X as Y` / `from X import …` lines → the referenced
+    * module, the edge list dependency analysis starts from (module
+    * popularity ranks, stdlib/third-party mix, dependency graphs
+    * feeding the Graph family). Output one row per import line:
+    * (idCol, line_id, module) — dotted module paths kept whole;
+    * indented (conditional/function-local) imports are deliberately
+    * included, relative `from . import` forms yield no module and
+    * are skipped. */
+  def imports(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(
+      split(col(textCol), "\n")).as(Seq("line_id", "line")))
+    val t = trim(col("line"))
+    val m = when(length(regexp_extract(t,
+        "^import ([A-Za-z_][A-Za-z0-9_.]*)", 1)) > 0,
+        regexp_extract(t, "^import ([A-Za-z_][A-Za-z0-9_.]*)", 1))
+      .otherwise(regexp_extract(t,
+        "^from ([A-Za-z_][A-Za-z0-9_.]*) import ", 1))
+    lines.withColumn("module", m)
+      .filter(length(col("module")) > 0)
+      .select(col(idCol), col("line_id").cast("long").as("line_id"),
+        col("module"))
+  }
+
   /** Function-level chunking for indentation languages (the Python
     * `def `/`class ` convention): every TOP-LEVEL definition line
     * (no leading whitespace) starts a new chunk; lines before the

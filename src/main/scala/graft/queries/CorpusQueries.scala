@@ -1738,6 +1738,62 @@ object CorpusQueries {
       |  md5(chunk) AS chunk_md5
       |FROM g ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q253: module-dependency stats from import extraction
+    * ([[graft.operators.Code.imports]]) — the popularity table
+    * dependency analysis starts from. Files cycle four import
+    * shapes (plain, aliased, from-import, dotted) plus a non-import
+    * body; per module: referencing docs and total references. */
+  def q253ImportStats(s: SparkSession, d: String): DataFrame = {
+    val imp1 = element_at(array(
+      lit("import os"), lit("import sys as system"),
+      lit("from json import loads"),
+      lit("import collections.abc")),
+      (col("doc_id") % 4).cast("int") + 1)
+    val imp2 = element_at(array(
+      lit("import math"), lit("from re import compile ")),
+      (col("doc_id") % 2).cast("int") + 1)
+    val src = concat(imp1, lit("\n"), imp2,
+      lit("\n\ndef f(x):\n    import json\n    return x"))
+    graft.operators.Code.imports(
+        documents(s, d).select(col("doc_id"), src.as("text")),
+        "doc_id", "text")
+      .groupBy(col("module"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_refs"))
+      .orderBy(col("module"))
+  }
+
+  private val q253Oracle: String =
+    raw"""WITH u AS (
+      |  SELECT doc_id,
+      |    ['import os', 'import sys as system',
+      |     'from json import loads', 'import collections.abc']
+      |      [CAST(doc_id % 4 AS INT) + 1] || chr(10) ||
+      |    ['import math', 'from re import compile ']
+      |      [CAST(doc_id % 2 AS INT) + 1] || chr(10) || chr(10) ||
+      |    'def f(x):' || chr(10) || '    import json' || chr(10) ||
+      |    '    return x' AS text
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id, trim(ls[u2.i]) AS t
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |    FROM u),
+      |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
+      |m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(regexp_extract(t,
+      |        '^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)) > 0
+      |      THEN regexp_extract(t,
+      |        '^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)
+      |      ELSE regexp_extract(t,
+      |        '^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1)
+      |    END AS module
+      |  FROM ln),
+      |f AS (SELECT doc_id, module FROM m WHERE len(module) > 0)
+      |SELECT module, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_refs
+      |FROM f GROUP BY module ORDER BY module""".stripMargin
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -2402,6 +2458,7 @@ object CorpusQueries {
     "q250_code_corpus_build" -> (q250CodeCorpusBuild _),
     "q251_diff_stats" -> (q251DiffStats _),
     "q252_function_chunks" -> (q252FunctionChunks _),
+    "q253_import_stats" -> (q253ImportStats _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -2430,6 +2487,7 @@ object CorpusQueries {
     "q250_code_corpus_build" -> q250Oracle,
     "q251_diff_stats" -> q251Oracle,
     "q252_function_chunks" -> q252Oracle,
+    "q253_import_stats" -> q253Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

@@ -20,6 +20,20 @@ class CodeSpec extends SparkTestBase {
     assert(out(2L) === ((0L, 0L, 0L, 0L, "")))
   }
 
+  test("imports: plain/aliased/from/dotted/indented forms extract " +
+      "their module; relative and non-import lines don't") {
+    val src = "import os\nimport sys as system\n" +
+      "from json import loads\nimport collections.abc\n" +
+      "    import math\nfrom . import sibling\n" +
+      "x = 'import fake'\n# import comment"
+    val out = Code.imports(
+      Seq((1L, src)).toDF("id", "text"), "id", "text")
+      .orderBy("line_id")
+      .collect().map(_.getString(2))
+    assert(out.toSeq === Seq("os", "sys", "json",
+      "collections.abc", "math"))
+  }
+
   test("functionChunks: prelude is chunk 0, indented defs never " +
       "split, chunks rebuild byte-exactly in order") {
     val src = "import a\n\ndef f(x):\n    return x\n\n" +
