@@ -34,6 +34,30 @@ object WhitespaceTokenizer extends Tokenizer {
   */
 object Chunker {
 
+  /** Markdown link/image extraction — the markdown-side parallel of
+    * the HTML outlink extractor ([[Boilerplate.outlinks]]): every
+    * `[text](target)` and `![alt](src)` in document order, the raw
+    * material for link graphs over markdown corpora and for image
+    * manifests (every multimodal doc pipeline starts by LISTING the
+    * referenced media). Output: (idCol, link_id, is_image, anchor,
+    * target). One two-capture regex over the document (RE2 ∩ Java —
+    * no backreferences), position-zipped like the HTML family;
+    * reference-style `[text][id]` links are out of the snapshot's
+    * scope, documented. */
+  def markdownLinks(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val pat = lit("(!?)\\[([^\\]]*)\\]\\(([^)\\s]*)\\)")
+    val t = col(textCol)
+    df.select(col(idCol), posexplode(arrays_zip(
+        regexp_extract_all(t, pat, lit(1)),
+        regexp_extract_all(t, pat, lit(2)),
+        regexp_extract_all(t, pat, lit(3))))
+        .as(Seq("link_id", "z")))
+      .select(col(idCol), col("link_id").cast("long").as("link_id"),
+        (col("z.0") === "!").as("is_image"),
+        col("z.1").as("anchor"), col("z.2").as("target"))
+  }
+
   /** One emitted chunk with its provenance. */
   case class Piece(text: String, page: Int, h1: String, h2: String,
       chunkIndex: Int, totalChunks: Int)

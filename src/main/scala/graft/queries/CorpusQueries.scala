@@ -1794,6 +1794,69 @@ object CorpusQueries {
       |  COUNT(*) AS n_refs
       |FROM f GROUP BY module ORDER BY module""".stripMargin
 
+  /** q254: markdown link/image extraction
+    * ([[graft.operators.Chunker.markdownLinks]]) — every doc becomes
+    * a markdown page with two cross-host links (the q158 host
+    * fixture), one image reference, and a literal bracket pair that
+    * must NOT extract; host resolution reuses
+    * [[graft.operators.Corpus.urlHost]] (relative targets NULL). */
+  def q254MarkdownLinks(s: SparkSession, d: String): DataFrame = {
+    val hostsArr = array(UrlHosts.map(lit): _*)
+    def hostAt(e: org.apache.spark.sql.Column) =
+      element_at(hostsArr, (e % 8).cast("int") + 1)
+    val md = concat(
+      lit("# Doc "), col("doc_id").cast("string"),
+      lit("\n\nSee [the spec](https://"),
+      hostAt(col("doc_id") * 3 + 1),
+      lit("/spec) and [notes](https://"), hostAt(col("doc_id") + 5),
+      lit("/n/"), col("doc_id").cast("string"),
+      lit(") plus ![chart](img/"), (col("doc_id") % 9).cast("string"),
+      lit(".png) but not [broken brackets or (loose parens."))
+    graft.operators.Chunker.markdownLinks(
+        documents(s, d).select(col("doc_id"), md.as("md")),
+        "doc_id", "md")
+      .withColumn("target_host", Corpus.urlHost(col("target")))
+      .orderBy(col("doc_id"), col("link_id"))
+  }
+
+  private val q254Oracle: String = {
+    val hostList = UrlHosts.map(h => s"'$h'").mkString("[", ", ", "]")
+    raw"""WITH u AS (
+      |  SELECT doc_id,
+      |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+      |    || 'See [the spec](https://' ||
+      |    $hostList[CAST((doc_id * 3 + 1) % 8 AS INT) + 1] ||
+      |    '/spec) and [notes](https://' ||
+      |    $hostList[CAST((doc_id + 5) % 8 AS INT) + 1] ||
+      |    '/n/' || CAST(doc_id AS VARCHAR) ||
+      |    ') plus ![chart](img/' ||
+      |    CAST(doc_id % 9 AS VARCHAR) ||
+      |    '.png) but not [broken brackets or (loose parens.' AS md
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(md,
+      |      '(!?)\[([^\]]*)\]\(([^)\s]*)\)', 1) AS bang,
+      |    regexp_extract_all(md,
+      |      '(!?)\[([^\]]*)\]\(([^)\s]*)\)', 2) AS anch,
+      |    regexp_extract_all(md,
+      |      '(!?)\[([^\]]*)\]\(([^)\s]*)\)', 3) AS tgt
+      |  FROM u),
+      |lk AS (
+      |  SELECT doc_id, CAST(ci.i - 1 AS BIGINT) AS link_id,
+      |    bang[ci.i] = '!' AS is_image,
+      |    anch[ci.i] AS anchor, tgt[ci.i] AS target
+      |  FROM ex, LATERAL unnest(generate_series(1, len(bang)))
+      |    ci(i))
+      |SELECT doc_id, link_id, is_image, anchor, target,
+      |  CASE WHEN len(lower(regexp_extract(target,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)',
+      |    1))) > 0 THEN lower(regexp_extract(target,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)',
+      |    1)) END AS target_host
+      |FROM lk ORDER BY doc_id, link_id""".stripMargin
+  }
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -2459,6 +2522,7 @@ object CorpusQueries {
     "q251_diff_stats" -> (q251DiffStats _),
     "q252_function_chunks" -> (q252FunctionChunks _),
     "q253_import_stats" -> (q253ImportStats _),
+    "q254_markdown_links" -> (q254MarkdownLinks _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -2488,6 +2552,7 @@ object CorpusQueries {
     "q251_diff_stats" -> q251Oracle,
     "q252_function_chunks" -> q252Oracle,
     "q253_import_stats" -> q253Oracle,
+    "q254_markdown_links" -> q254Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

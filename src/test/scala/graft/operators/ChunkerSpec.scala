@@ -12,6 +12,22 @@ class ChunkerSpec extends SparkTestBase {
   private val words = Array("alpha", "beta", "gamma", "delta",
     "epsilon", "zeta", "eta", "theta")
 
+  test("markdownLinks: links and images in order with the image " +
+      "flag, literal brackets and loose parens never extract") {
+    import spark.implicits._
+    val md = "intro [a](https://x.com/1) mid ![img](p/q.png) " +
+      "[rel](../d) and [broken bracket or (loose paren."
+    val out = Chunker.markdownLinks(
+      Seq((1L, md)).toDF("id", "md"), "id", "md")
+      .orderBy("link_id")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2),
+        r.getString(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (0L, false, "a", "https://x.com/1"),
+      (1L, true, "img", "p/q.png"),
+      (2L, false, "rel", "../d")))
+  }
+
   test("token windows: zero loss — dropping overlaps reconstructs input") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>
