@@ -1857,6 +1857,69 @@ object CorpusQueries {
       |FROM lk ORDER BY doc_id, link_id""".stripMargin
   }
 
+  /** q255: module co-occurrence ("imported together") — the
+    * dependency-graph construction over q253's import extraction:
+    * distinct modules per doc pair within the doc (m1 < m2), edges
+    * weighted by co-importing docs. Pair work is Σ C(imports/doc, 2)
+    * — bounded by per-doc import counts, never corpus². */
+  def q255ImportCooccurrence(s: SparkSession,
+      d: String): DataFrame = {
+    val imp1 = element_at(array(
+      lit("import os"), lit("import sys as system"),
+      lit("from json import loads"),
+      lit("import collections.abc")),
+      (col("doc_id") % 4).cast("int") + 1)
+    val imp2 = element_at(array(
+      lit("import math"), lit("from re import compile ")),
+      (col("doc_id") % 2).cast("int") + 1)
+    val src = concat(imp1, lit("\n"), imp2,
+      lit("\n\ndef f(x):\n    import json\n    return x"))
+    val mods = graft.operators.Code.imports(
+        documents(s, d).select(col("doc_id"), src.as("text")),
+        "doc_id", "text")
+      .select(col("doc_id"), col("module")).distinct()
+    mods.select(col("doc_id"), col("module").as("m1"))
+      .join(mods.select(col("doc_id"), col("module").as("m2")),
+        Seq("doc_id"))
+      .filter(col("m1") < col("m2"))
+      .groupBy(col("m1"), col("m2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("m1"), col("m2"))
+  }
+
+  private val q255Oracle: String =
+    raw"""WITH u AS (
+      |  SELECT doc_id,
+      |    ['import os', 'import sys as system',
+      |     'from json import loads', 'import collections.abc']
+      |      [CAST(doc_id % 4 AS INT) + 1] || chr(10) ||
+      |    ['import math', 'from re import compile ']
+      |      [CAST(doc_id % 2 AS INT) + 1] || chr(10) || chr(10) ||
+      |    'def f(x):' || chr(10) || '    import json' || chr(10) ||
+      |    '    return x' AS text
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id, trim(ls[u2.i]) AS t
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |    FROM u),
+      |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
+      |m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(regexp_extract(t,
+      |        '^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)) > 0
+      |      THEN regexp_extract(t,
+      |        '^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)
+      |      ELSE regexp_extract(t,
+      |        '^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1)
+      |    END AS module
+      |  FROM ln),
+      |f AS (SELECT DISTINCT doc_id, module FROM m
+      |  WHERE len(module) > 0)
+      |SELECT a.module AS m1, b.module AS m2, COUNT(*) AS n_docs
+      |FROM f a JOIN f b
+      |  ON a.doc_id = b.doc_id AND a.module < b.module
+      |GROUP BY a.module, b.module ORDER BY m1, m2""".stripMargin
+
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
     * every summarization eval is benchmarked over. Pure map stage:
@@ -2523,6 +2586,7 @@ object CorpusQueries {
     "q252_function_chunks" -> (q252FunctionChunks _),
     "q253_import_stats" -> (q253ImportStats _),
     "q254_markdown_links" -> (q254MarkdownLinks _),
+    "q255_import_cooccurrence" -> (q255ImportCooccurrence _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -2553,6 +2617,7 @@ object CorpusQueries {
     "q252_function_chunks" -> q252Oracle,
     "q253_import_stats" -> q253Oracle,
     "q254_markdown_links" -> q254Oracle,
+    "q255_import_cooccurrence" -> q255Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

@@ -241,7 +241,7 @@ class PlanSpec2 extends SparkTestBase {
         "q248_license_tags", "q249_notebook_script",
         "q250_code_corpus_build", "q251_diff_stats",
         "q252_function_chunks", "q253_import_stats",
-        "q254_markdown_links")) {
+        "q254_markdown_links", "q255_import_cooccurrence")) {
       val p = SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), q)
