@@ -40,13 +40,16 @@ object Chunker {
     * material for link graphs over markdown corpora and for image
     * manifests (every multimodal doc pipeline starts by LISTING the
     * referenced media). Output: (idCol, link_id, is_image, anchor,
-    * target). One two-capture regex over the document (RE2 ∩ Java —
-    * no backreferences), position-zipped like the HTML family;
+    * target). One three-capture regex over the document (RE2 ∩ Java
+    * — no backreferences), position-zipped like the HTML family;
+    * titled links `[text](url "Title")` / `[text](url 'Title')`
+    * extract the url (the title is matched, not captured);
     * reference-style `[text][id]` links are out of the snapshot's
     * scope, documented. */
   def markdownLinks(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val pat = lit("(!?)\\[([^\\]]*)\\]\\(([^)\\s]*)\\)")
+    val pat = lit("(!?)\\[([^\\]]*)\\]\\(([^)\\s]*)" +
+      "(?:\\s+(?:\"[^\"]*\"|'[^']*'))?\\)")
     val t = col(textCol)
     df.select(col(idCol), posexplode(arrays_zip(
         regexp_extract_all(t, pat, lit(1)),

@@ -20,19 +20,36 @@ object Code {
     * in patch order with the prefix stripped (what the trainer
     * actually reads). Docs that contain no diff markers yield
     * zero counts and empty added_code — the operator never guesses
-    * whether a doc IS a diff (route upstream). */
+    * whether a doc IS a diff (route upstream).
+    *
+    * Header disambiguation: hunk-body content can itself render as
+    * `--- x` (a removed line whose content starts `-- x`) or
+    * `+++ y` (an added `++ y`), so a `--- ` line is a FILE HEADER
+    * only when the next line is `+++ `, and a `+++ ` line only when
+    * the previous line is `--- ` — real unified diffs always emit
+    * the header pair adjacently. The one remaining ambiguity (a
+    * removed `-- x` line immediately followed by an added `++ y`
+    * line, forging an adjacent header pair) requires full
+    * hunk-length bookkeeping from the `@@ -a,b +c,d @@` counts and
+    * is out of this line-local operator's scope, documented. */
   def diffStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val lines = df.select(col(idCol), posexplode(
       split(col(textCol), "\n")).as(Seq("line_id", "line")))
-    val isNewFile = col("line").startsWith("+++ ")
-    val isOldFile = col("line").startsWith("--- ")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("line_id"))
+    val nextLine = lead(col("line"), 1).over(w)
+    val prevLine = lag(col("line"), 1).over(w)
+    val withHdr = lines
+      .withColumn("is_nf", col("line").startsWith("+++ ") &&
+        coalesce(prevLine.startsWith("--- "), lit(false)))
+      .withColumn("is_of", col("line").startsWith("--- ") &&
+        coalesce(nextLine.startsWith("+++ "), lit(false)))
+    val isAdd = col("line").startsWith("+") && !col("is_nf")
+    val isDel = col("line").startsWith("-") && !col("is_of")
     val isHunk = col("line").startsWith("@@")
-    val isAdd = col("line").startsWith("+") && !isNewFile
-    val isDel = col("line").startsWith("-") && !isOldFile
-    lines.groupBy(col(idCol))
+    withHdr.groupBy(col(idCol))
       .agg(
-        sum(when(isNewFile, 1L).otherwise(0L)).as("n_files"),
+        sum(when(col("is_nf"), 1L).otherwise(0L)).as("n_files"),
         sum(when(isHunk, 1L).otherwise(0L)).as("n_hunks"),
         sum(when(isAdd, 1L).otherwise(0L)).as("n_added"),
         sum(when(isDel, 1L).otherwise(0L)).as("n_removed"),
@@ -44,46 +61,58 @@ object Code {
   }
 
   /** Import extraction (Python convention): top-level `import X` /
-    * `import X as Y` / `from X import …` lines → the referenced
-    * module, the edge list dependency analysis starts from (module
-    * popularity ranks, stdlib/third-party mix, dependency graphs
-    * feeding the Graph family). Output one row per import line:
-    * (idCol, line_id, module) — dotted module paths kept whole;
-    * indented (conditional/function-local) imports are deliberately
-    * included, relative `from . import` forms yield no module and
-    * are skipped. */
+    * `import X as Y` / `import X, Y, Z` (comma lists, each module
+    * kept) / `from X import …` lines → the referenced modules, the
+    * edge list dependency analysis starts from (module popularity
+    * ranks, stdlib/third-party mix, dependency graphs feeding the
+    * Graph family). Output one row per referenced module:
+    * (idCol, line_id, module) — a comma-list line yields one row
+    * per module, all sharing the line_id; dotted module paths kept
+    * whole; indented (conditional/function-local) imports are
+    * deliberately included, relative `from . import` forms yield no
+    * module and are skipped. */
   def imports(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val lines = df.select(col(idCol), posexplode(
       split(col(textCol), "\n")).as(Seq("line_id", "line")))
     val t = trim(col("line"))
-    val m = when(length(regexp_extract(t,
-        "^import ([A-Za-z_][A-Za-z0-9_.]*)", 1)) > 0,
-        regexp_extract(t, "^import ([A-Za-z_][A-Za-z0-9_.]*)", 1))
-      .otherwise(regexp_extract(t,
-        "^from ([A-Za-z_][A-Za-z0-9_.]*) import ", 1))
-    lines.withColumn("module", m)
-      .filter(length(col("module")) > 0)
+    val fromMod = regexp_extract(t,
+      "^from ([A-Za-z_][A-Za-z0-9_.]*) import ", 1)
+    val mods = when(t.rlike("^import "),
+        filter(transform(
+          split(regexp_replace(t, "^import ", ""), ","),
+          x => regexp_extract(trim(x),
+            "^([A-Za-z_][A-Za-z0-9_.]*)", 1)),
+          x => length(x) > 0))
+      .otherwise(filter(array(fromMod), x => length(x) > 0))
+    lines
       .select(col(idCol), col("line_id").cast("long").as("line_id"),
-        col("module"))
+        explode(mods).as("module"))
   }
 
   /** Function-level chunking for indentation languages (the Python
-    * `def `/`class ` convention): every TOP-LEVEL definition line
-    * (no leading whitespace) starts a new chunk; lines before the
-    * first definition form chunk 0 (imports/prelude). Output one
-    * row per chunk: (idCol, chunk_id, first_line, n_lines, chunk).
-    * A running count over the per-doc line window assigns chunk
-    * ids — bounded per doc, never corpus-wide. Brace-language
-    * chunking needs a lexer and is out of this operator's scope,
-    * documented. */
+    * `def `/`class `/`async def ` convention): every TOP-LEVEL
+    * definition line (no leading whitespace) starts a new chunk,
+    * and a run of top-level `@decorator` lines binds to the
+    * definition it precedes (the chunk starts at the FIRST
+    * decorator, so decorated defs keep their decorators); lines
+    * before the first definition form chunk 0 (imports/prelude).
+    * Output one row per chunk: (idCol, chunk_id, first_line,
+    * n_lines, chunk). A running count over the per-doc line window
+    * assigns chunk ids — bounded per doc, never corpus-wide.
+    * Brace-language chunking needs a lexer and is out of this
+    * operator's scope, documented. */
   def functionChunks(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val lines = df.select(col(idCol), posexplode(
       split(col(textCol), "\n")).as(Seq("line_id", "line")))
-    val isBoundary = col("line").rlike("^(def|class) ")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("line_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isDefLine = col("line").rlike("^(async +def|def|class) ")
+    val isDecLine = col("line").rlike("^@")
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("line_id"))
+    val prevDec = coalesce(lag(isDecLine, 1).over(wOrd), lit(false))
+    val isBoundary = (isDefLine || isDecLine) && !prevDec
+    val w = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
     lines
       .withColumn("chunk_id",
         sum(when(isBoundary, 1L).otherwise(0L)).over(w))

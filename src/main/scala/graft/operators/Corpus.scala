@@ -286,14 +286,24 @@ object Corpus {
     * hereby granted", the Apache 2.0 title, the GPL title) tag with
     * an explicit `-phrase` suffix so downstream knows the weaker
     * provenance; untagged docs stay NULL (unknown ≠ permissive).
-    * `permissive` is true for [[PermissiveLicenses]] + `BSD-*` SPDX
-    * tags ONLY — phrase-derived tags are never auto-permissive.
-    * Pure per-row regex chain; adds (license, permissive). */
+    * Compound SPDX EXPRESSIONS (`MIT AND GPL-3.0-only`,
+    * `GPL-2.0-only WITH Classpath-exception-2.0`,
+    * `(MIT OR Apache-2.0)`) are captured WHOLE — the operator-chain
+    * grammar (ids joined by AND/OR/WITH, any case) extends the
+    * capture past the first token so a GPL-encumbered conjunction
+    * can never truncate to its permissive head. `permissive` is
+    * true ONLY for a SINGLE-id tag (no expression operators) that
+    * case-insensitively matches [[PermissiveLicenses]] or `BSD-*` —
+    * compound expressions and phrase-derived tags are never
+    * auto-permissive (evaluating SPDX boolean logic is a compliance
+    * decision, not a tagging one). Pure per-row regex chain; adds
+    * (license, permissive). */
   def licenseTags(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val t = col(textCol)
     val spdx = regexp_extract(t,
-      "(?i)SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)", 1)
+      "(?i)SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+()-]+" +
+        "(?:[ \\t]+(?:AND|OR|WITH)[ \\t]+[A-Za-z0-9.+()-]+)*)", 1)
     val low = lower(t)
     val phrase = when(
         low.contains("permission is hereby granted"),
@@ -303,11 +313,13 @@ object Corpus {
       .when(low.contains("gnu general public license"),
         "GPL-phrase")
     val license = when(length(spdx) > 0, spdx).otherwise(phrase)
+    val single = !license.rlike("[ \\t]")
+    val permUpper = PermissiveLicenses.map(_.toUpperCase)
     df.withColumn("license", license)
       .withColumn("permissive",
         coalesce(
-          license.isin(PermissiveLicenses: _*) ||
-            license.startsWith("BSD-"), lit(false)))
+          single && (upper(license).isin(permUpper: _*) ||
+            upper(license).startsWith("BSD-")), lit(false)))
   }
 
   /** Line-level corrections (RefinedWeb §G.2 / Falcon "line-wise
