@@ -89,7 +89,20 @@ object Bench {
     // Overridable (SPARK_GRAFT_PASSES=1) for the long large-SF scale
     // audits, where one pass of the full registry is the budget and
     // the calibration sentinel carries the contention defense.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // Validated: '0' would make the times seq empty (median index
+    // crash) and a non-numeric value would kill the whole bench run
+    // with NumberFormatException — fall back to 3 loudly instead.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES")
+      .map { raw =>
+        scala.util.Try(raw.trim.toInt).toOption.filter(_ >= 1)
+          .getOrElse {
+            System.err.println(
+              s"[bench] SPARK_GRAFT_PASSES='$raw' invalid " +
+                "(need an int >= 1); using 3")
+            3
+          }
+      }
+      .getOrElse(3)
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val times = (1 to passes).map { _ =>

@@ -183,8 +183,12 @@ object Corpus {
     val lines = split(t, "\n")
     val codeLines = filter(lines, l =>
       l.rlike("^(  |\\t)") || l.rlike("[;{}]\\s*$"))
-    val codeLineFrac =
-      size(codeLines).cast("double") / size(lines).cast("double")
+    // split('') yields [''], so the line ratio needs its own
+    // empty-text guard — the char densities get NULL through `n`
+    // but 0/1 here would be a non-NULL 0.0, contradicting the
+    // all-NULL contract above (and the oracle's 0/0 would be NaN).
+    val codeLineFrac = when(length(t) > 0,
+      size(codeLines).cast("double") / size(lines).cast("double"))
     df.select(col(idCol),
         codeChar.as("code_char_density"),
         codeLineFrac.as("code_line_frac"),

@@ -71,7 +71,10 @@ object ModelArtifacts {
     * no current table exists. `name` must be a lowercase identifier;
     * table identity is `graft_art_<name>_<md5(fingerprint)₃₂>`, so a
     * changed input gets a NEW table and staleness is structurally
-    * impossible. The parquet round-trip is value-exact for every
+    * impossible; SUPERSEDED tables of the same name (differing hash)
+    * are dropped at rebuild time so regenerated corpora never leak
+    * stale parquet in the warehouse (re-requesting an old
+    * fingerprint rebuilds). The parquet round-trip is value-exact for every
     * Spark SQL type (doubles bit-preserved), so serving from the
     * artifact is indistinguishable from re-running `build`. */
   def cached(spark: SparkSession, name: String, fingerprint: String)
@@ -80,6 +83,17 @@ object ModelArtifacts {
       s"artifact name must be a lowercase identifier ($name)")
     val table = s"graft_art_${name}_${md5hex(fingerprint).take(8)}"
     if (!spark.catalog.tableExists(table)) {
+      // A regenerated corpus gets a NEW hash suffix; the superseded
+      // graft_art_<name>_<oldhash> tables are never looked up again
+      // but would leak parquet in the warehouse indefinitely — drop
+      // them before the rebuild (safe under the documented
+      // single-builder contract: nothing can be reading a table
+      // whose fingerprint no longer matches any live input).
+      val prefix = s"graft_art_${name}_"
+      spark.catalog.listTables().collect()
+        .map(_.name)
+        .filter(t => t.startsWith(prefix) && t != table)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       clearOrphanLocation(spark, table)
       build.write.format("parquet").saveAsTable(table)
     }

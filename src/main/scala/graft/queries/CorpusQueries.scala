@@ -1032,7 +1032,11 @@ object CorpusQueries {
     (9400001L, "def main():\n  x = compute(1)\n  return x;\n"),
     (9400002L, "function f(a) { return a * 2; }"),
     (9400003L, "Let $x$ be the root: \\sum_i x_i^2 stays small"),
-    (9400004L, "plain prose about the results and the methods used"))
+    (9400004L, "plain prose about the results and the methods used"),
+    // Empty text: all three signals NULL, route prose — exercises
+    // the split('')→[''] guard (an unguarded line ratio would emit
+    // 0.0 in Spark and NaN in the oracle's IEEE 0/0).
+    (9400005L, ""))
 
   /** q240: content-type routing (code / math / prose)
     * ([[graft.operators.Corpus.contentTypeSignals]]) — the triage in
@@ -1055,17 +1059,20 @@ object CorpusQueries {
   private def contentSigCtes(src: String): String =
     raw"""csig0 AS (
       |  SELECT doc_id,
-      |    CAST(len(text) - len(regexp_replace(text, '[{}();=]', '',
-      |      'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
-      |      AS code_char_density,
-      |    CAST(len(list_filter(string_split(text, chr(10)),
-      |      l -> regexp_matches(l, '^(  |' || chr(9) || ')')
-      |        OR regexp_matches(l, '[;{}]\s*$$'))) AS DOUBLE) /
-      |      CAST(len(string_split(text, chr(10))) AS DOUBLE)
-      |      AS code_line_frac,
-      |    CAST(len(text) - len(regexp_replace(text, '[$$\\^_]', '',
-      |      'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
-      |      AS math_char_density
+      |    CASE WHEN len(text) > 0 THEN
+      |      CAST(len(text) - len(regexp_replace(text, '[{}();=]', '',
+      |        'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+      |      END AS code_char_density,
+      |    CASE WHEN len(text) > 0 THEN
+      |      CAST(len(list_filter(string_split(text, chr(10)),
+      |        l -> regexp_matches(l, '^(  |' || chr(9) || ')')
+      |          OR regexp_matches(l, '[;{}]\s*$$'))) AS DOUBLE) /
+      |        CAST(len(string_split(text, chr(10))) AS DOUBLE)
+      |      END AS code_line_frac,
+      |    CASE WHEN len(text) > 0 THEN
+      |      CAST(len(text) - len(regexp_replace(text, '[$$\\^_]', '',
+      |        'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+      |      END AS math_char_density
       |  FROM $src),
       |csig AS (
       |  SELECT *, CASE
@@ -1389,7 +1396,16 @@ object CorpusQueries {
       "(the License); you may not use this file"),
     (9600006L, "This program is free software under the GNU " +
       "General Public License as published"),
-    (9600007L, "SPDX-License-Identifier: BSD-3-Clause"))
+    (9600007L, "SPDX-License-Identifier: BSD-3-Clause"),
+    // Compound SPDX expressions: captured WHOLE, never permissive —
+    // a first-token-only capture would truncate 9600008 to 'MIT'
+    // and wrongly gate a GPL-encumbered conjunction permissive.
+    (9600008L, "# SPDX-License-Identifier: MIT AND GPL-3.0-only"),
+    (9600009L, "// SPDX-License-Identifier: GPL-2.0-only WITH " +
+      "Classpath-exception-2.0"),
+    (9600010L, "/* SPDX-License-Identifier: (MIT OR Apache-2.0) */"),
+    // Lowercase single id: permissive matching is case-insensitive.
+    (9600011L, "# SPDX-License-Identifier: mit"))
 
   /** q248: license tagging + permissive gate
     * ([[graft.operators.Corpus.licenseTags]] — the The-Stack-class
@@ -1422,12 +1438,18 @@ object CorpusQueries {
     * `$src(doc_id, text)` CTE — shared by q248 and the composed
     * q250. Ends at `lic(doc_id, license, permissive)`. */
   private def licenseCtes(src: String): String = {
-    val perm = Corpus.PermissiveLicenses.map(l => s"'$l'")
-      .mkString("[", ", ", "]")
+    val permUpper = Corpus.PermissiveLicenses
+      .map(l => s"'${l.toUpperCase}'").mkString("[", ", ", "]")
+    // The SPDX capture replays the operator's compound-expression
+    // grammar (token (AND|OR|WITH token)*, parens in the char class)
+    // so 'MIT AND GPL-3.0-only' can never truncate to its permissive
+    // head; permissive requires a SINGLE-token tag (no whitespace)
+    // and matches case-insensitively, exactly like the operator.
     raw"""licx AS (
       |  SELECT doc_id,
       |    regexp_extract(text,
-      |      '(?i)SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)',
+      |      '(?i)SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+()-]+' ||
+      |      '(?:[ \t]+(?:AND|OR|WITH)[ \t]+[A-Za-z0-9.+()-]+)*)',
       |      1) AS spdx,
       |    lower(text) AS low
       |  FROM $src),
@@ -1444,8 +1466,10 @@ object CorpusQueries {
       |  FROM licx),
       |lic AS (
       |  SELECT doc_id, license,
-      |    COALESCE(list_contains($perm, license)
-      |      OR starts_with(license, 'BSD-'), false) AS permissive
+      |    COALESCE(NOT regexp_matches(license, '[ \t]')
+      |      AND (list_contains($permUpper, upper(license))
+      |        OR starts_with(upper(license), 'BSD-')), false)
+      |      AS permissive
       |  FROM licl)""".stripMargin
   }
 
@@ -1617,10 +1641,15 @@ object CorpusQueries {
     * markers must count as structure, never as +/- lines. */
   def q251DiffStats(s: SparkSession, d: String): DataFrame = {
     val pid = (col("doc_id") % 7).cast("string")
+    // Odd docs carry FORGED header-lookalikes: a `+++ ` line whose
+    // predecessor is not `--- ` (an added `++ ` line) and a `--- `
+    // line with no `+++ ` successor (a removed `-- ` line) — the
+    // adjacency disambiguation the operator exists for, so an
+    // unconditional-header oracle would misclassify both.
     val second = when(col("doc_id") % 2 === 0, concat(
         lit("\n--- a/README.md\n+++ b/README.md\n@@ -1 +1 @@\n" +
           "-old doc\n+new doc for "), col("doc_id").cast("string")))
-      .otherwise(lit(""))
+      .otherwise(lit("\n+++ forged add ++ line\n--- forged del -- line"))
     val diff = concat(
       lit("--- a/src/"), pid, lit(".py\n+++ b/src/"), pid,
       lit(".py\n@@ -1,2 +1,3 @@\n context line stays\n-old_value = "),
@@ -1651,23 +1680,28 @@ object CorpusQueries {
       |      '+++ b/README.md' || chr(10) || '@@ -1 +1 @@' ||
       |      chr(10) || '-old doc' || chr(10) ||
       |      '+new doc for ' || CAST(doc_id AS VARCHAR)
-      |    ELSE '' END AS text
+      |    ELSE chr(10) || '+++ forged add ++ line' || chr(10) ||
+      |      '--- forged del -- line' END AS text
       |  FROM documents),
       |ln AS (
       |  SELECT doc_id, u2.i - 1 AS line_id, ls[u2.i] AS line
       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
       |    FROM u),
       |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
-      |cl AS (
+      |cl0 AS (
       |  SELECT doc_id, line_id, line,
-      |    starts_with(line, '+++ ') AS is_nf,
-      |    starts_with(line, '--- ') AS is_of,
-      |    starts_with(line, '@@') AS is_hunk,
-      |    starts_with(line, '+') AND NOT starts_with(line, '+++ ')
-      |      AS is_add,
-      |    starts_with(line, '-') AND NOT starts_with(line, '--- ')
-      |      AS is_del
-      |  FROM ln),
+      |    starts_with(line, '+++ ') AND COALESCE(
+      |      starts_with(lag(line) OVER w, '--- '), false) AS is_nf,
+      |    starts_with(line, '--- ') AND COALESCE(
+      |      starts_with(lead(line) OVER w, '+++ '), false) AS is_of,
+      |    starts_with(line, '@@') AS is_hunk
+      |  FROM ln
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY line_id)),
+      |cl AS (
+      |  SELECT doc_id, line_id, line, is_nf, is_of, is_hunk,
+      |    starts_with(line, '+') AND NOT is_nf AS is_add,
+      |    starts_with(line, '-') AND NOT is_of AS is_del
+      |  FROM cl0),
       |g AS (
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN is_nf THEN 1 ELSE 0 END) AS BIGINT)
@@ -1692,10 +1726,18 @@ object CorpusQueries {
     * with an INDENTED inner def that must NOT split); the oracle
     * replays the running boundary count and the per-chunk rebuild. */
   def q252FunctionChunks(s: SparkSession, d: String): DataFrame = {
+    // The decorated ASYNC def exercises the full boundary grammar:
+    // the chunk must start at the FIRST decorator (a def-only oracle
+    // regex would glue decorators to the previous chunk and miss the
+    // async-def boundary entirely); the indented def still never
+    // splits.
     val src = concat(
       lit("import os\n\ndef f"), (col("doc_id") % 5).cast("string"),
       lit("(x):\n    return x + "), col("doc_id").cast("string"),
-      lit("\n\nclass C"), (col("doc_id") % 3).cast("string"),
+      lit("\n\n@cached\n@wraps\nasync def g"),
+      (col("doc_id") % 4).cast("string"),
+      lit("():\n    await h()\n\nclass C"),
+      (col("doc_id") % 3).cast("string"),
       lit(":\n    def m(self):\n        pass"))
     graft.operators.Code.functionChunks(
         documents(s, d).select(col("doc_id"), src.as("text")),
@@ -1712,6 +1754,9 @@ object CorpusQueries {
       |    'def f' || CAST(doc_id % 5 AS VARCHAR) || '(x):' ||
       |    chr(10) || '    return x + ' ||
       |    CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+      |    '@cached' || chr(10) || '@wraps' || chr(10) ||
+      |    'async def g' || CAST(doc_id % 4 AS VARCHAR) || '():' ||
+      |    chr(10) || '    await h()' || chr(10) || chr(10) ||
       |    'class C' || CAST(doc_id % 3 AS VARCHAR) || ':' ||
       |    chr(10) || '    def m(self):' || chr(10) ||
       |    '        pass' AS text
@@ -1721,13 +1766,21 @@ object CorpusQueries {
       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
       |    FROM u),
       |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
+      |bd AS (
+      |  SELECT doc_id, line_id, line,
+      |    (regexp_matches(line, '^(async +def|def|class) ')
+      |       OR regexp_matches(line, '^@'))
+      |      AND NOT COALESCE(regexp_matches(
+      |        lag(line) OVER (PARTITION BY doc_id ORDER BY line_id),
+      |        '^@'), false) AS is_boundary
+      |  FROM ln),
       |ck AS (
       |  SELECT doc_id, line_id, line,
-      |    SUM(CASE WHEN regexp_matches(line, '^(def|class) ')
+      |    SUM(CASE WHEN is_boundary
       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
       |      ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND
       |      CURRENT ROW) AS chunk_id
-      |  FROM ln),
+      |  FROM bd),
       |g AS (
       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
       |    CAST(MIN(line_id) AS BIGINT) AS first_line,
@@ -1743,17 +1796,63 @@ object CorpusQueries {
     * dependency analysis starts from. Files cycle four import
     * shapes (plain, aliased, from-import, dotted) plus a non-import
     * body; per module: referencing docs and total references. */
-  def q253ImportStats(s: SparkSession, d: String): DataFrame = {
+  /** Shared q253/q255 synthesized import source: the four line
+    * shapes (plain, aliased, from-import, dotted) plus a COMMA LIST
+    * with an in-list alias (`import math, functools as ft` — two
+    * modules from one line, the form a first-module-only oracle
+    * regex would half-miss) and a function-local import. */
+  private def importSrcCol: org.apache.spark.sql.Column = {
     val imp1 = element_at(array(
       lit("import os"), lit("import sys as system"),
       lit("from json import loads"),
       lit("import collections.abc")),
       (col("doc_id") % 4).cast("int") + 1)
     val imp2 = element_at(array(
-      lit("import math"), lit("from re import compile ")),
+      lit("import math, functools as ft"),
+      lit("from re import compile ")),
       (col("doc_id") % 2).cast("int") + 1)
-    val src = concat(imp1, lit("\n"), imp2,
+    concat(imp1, lit("\n"), imp2,
       lit("\n\ndef f(x):\n    import json\n    return x"))
+  }
+
+  /** The q253/q255 oracle CTE chain over the shared synthesized
+    * source: ends at `f(doc_id, module)`, one row per module
+    * REFERENCE (comma lists expanded like the operator — split the
+    * `import ` remainder on commas, head identifier of each part). */
+  private val importCtes: String =
+    raw"""u AS (
+      |  SELECT doc_id,
+      |    ['import os', 'import sys as system',
+      |     'from json import loads', 'import collections.abc']
+      |      [CAST(doc_id % 4 AS INT) + 1] || chr(10) ||
+      |    ['import math, functools as ft', 'from re import compile ']
+      |      [CAST(doc_id % 2 AS INT) + 1] || chr(10) || chr(10) ||
+      |    'def f(x):' || chr(10) || '    import json' || chr(10) ||
+      |    '    return x' AS text
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id, trim(ls[u2.i]) AS t
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |    FROM u),
+      |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
+      |m0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN regexp_matches(t, '^import ')
+      |      THEN list_transform(
+      |        string_split(regexp_replace(t, '^import ', ''), ','),
+      |        x -> regexp_extract(trim(x),
+      |          '^([A-Za-z_][A-Za-z0-9_.]*)', 1))
+      |      ELSE [regexp_extract(t,
+      |        '^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1)]
+      |    END AS mods
+      |  FROM ln),
+      |f AS (
+      |  SELECT doc_id, u3.module
+      |  FROM m0, LATERAL unnest(list_filter(mods, x -> len(x) > 0))
+      |    u3(module))""".stripMargin
+
+  def q253ImportStats(s: SparkSession, d: String): DataFrame = {
+    val src = importSrcCol
     graft.operators.Code.imports(
         documents(s, d).select(col("doc_id"), src.as("text")),
         "doc_id", "text")
@@ -1764,32 +1863,7 @@ object CorpusQueries {
   }
 
   private val q253Oracle: String =
-    raw"""WITH u AS (
-      |  SELECT doc_id,
-      |    ['import os', 'import sys as system',
-      |     'from json import loads', 'import collections.abc']
-      |      [CAST(doc_id % 4 AS INT) + 1] || chr(10) ||
-      |    ['import math', 'from re import compile ']
-      |      [CAST(doc_id % 2 AS INT) + 1] || chr(10) || chr(10) ||
-      |    'def f(x):' || chr(10) || '    import json' || chr(10) ||
-      |    '    return x' AS text
-      |  FROM documents),
-      |ln AS (
-      |  SELECT doc_id, trim(ls[u2.i]) AS t
-      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
-      |    FROM u),
-      |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
-      |m AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(regexp_extract(t,
-      |        '^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)) > 0
-      |      THEN regexp_extract(t,
-      |        '^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)
-      |      ELSE regexp_extract(t,
-      |        '^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1)
-      |    END AS module
-      |  FROM ln),
-      |f AS (SELECT doc_id, module FROM m WHERE len(module) > 0)
+    s"""WITH $importCtes
       |SELECT module, COUNT(DISTINCT doc_id) AS n_docs,
       |  COUNT(*) AS n_refs
       |FROM f GROUP BY module ORDER BY module""".stripMargin
@@ -1864,16 +1938,7 @@ object CorpusQueries {
     * — bounded by per-doc import counts, never corpus². */
   def q255ImportCooccurrence(s: SparkSession,
       d: String): DataFrame = {
-    val imp1 = element_at(array(
-      lit("import os"), lit("import sys as system"),
-      lit("from json import loads"),
-      lit("import collections.abc")),
-      (col("doc_id") % 4).cast("int") + 1)
-    val imp2 = element_at(array(
-      lit("import math"), lit("from re import compile ")),
-      (col("doc_id") % 2).cast("int") + 1)
-    val src = concat(imp1, lit("\n"), imp2,
-      lit("\n\ndef f(x):\n    import json\n    return x"))
+    val src = importSrcCol
     val mods = graft.operators.Code.imports(
         documents(s, d).select(col("doc_id"), src.as("text")),
         "doc_id", "text")
@@ -1888,35 +1953,10 @@ object CorpusQueries {
   }
 
   private val q255Oracle: String =
-    raw"""WITH u AS (
-      |  SELECT doc_id,
-      |    ['import os', 'import sys as system',
-      |     'from json import loads', 'import collections.abc']
-      |      [CAST(doc_id % 4 AS INT) + 1] || chr(10) ||
-      |    ['import math', 'from re import compile ']
-      |      [CAST(doc_id % 2 AS INT) + 1] || chr(10) || chr(10) ||
-      |    'def f(x):' || chr(10) || '    import json' || chr(10) ||
-      |    '    return x' AS text
-      |  FROM documents),
-      |ln AS (
-      |  SELECT doc_id, trim(ls[u2.i]) AS t
-      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
-      |    FROM u),
-      |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
-      |m AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(regexp_extract(t,
-      |        '^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)) > 0
-      |      THEN regexp_extract(t,
-      |        '^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)
-      |      ELSE regexp_extract(t,
-      |        '^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1)
-      |    END AS module
-      |  FROM ln),
-      |f AS (SELECT DISTINCT doc_id, module FROM m
-      |  WHERE len(module) > 0)
+    s"""WITH $importCtes,
+      |fd AS (SELECT DISTINCT doc_id, module FROM f)
       |SELECT a.module AS m1, b.module AS m2, COUNT(*) AS n_docs
-      |FROM f a JOIN f b
+      |FROM fd a JOIN fd b
       |  ON a.doc_id = b.doc_id AND a.module < b.module
       |GROUP BY a.module, b.module ORDER BY m1, m2""".stripMargin
 

@@ -280,7 +280,8 @@ class CorpusSpec extends SparkTestBase {
     // ratio would satisfy NaN > cut under Spark's NaN ordering)
     val e = Corpus.contentTypeSignals(
       Seq((9L, "")).toDF("id", "text"), "id", "text").head
-    assert(e.isNullAt(1) && e.isNullAt(3) && e.getString(4) === "prose")
+    assert(e.isNullAt(1) && e.isNullAt(2) && e.isNullAt(3) &&
+      e.getString(4) === "prose")
   }
 
   test("robotsGate: longest match wins, Allow beats Disallow on " +

@@ -25,9 +25,15 @@ class ModelArtifactsSpec extends SparkTestBase {
       Seq((1L, 0.5), (2L, -0.25)))
     ModelArtifacts.cached(spark, "spec_art", "fp2")(make())
     assert(builds === 2, "a changed fingerprint is a new artifact")
-    // the old artifact is still intact (no cross-key invalidation)
+    // superseded fingerprints are DROPPED on rebuild — a regenerated
+    // corpus must not leak its predecessor's parquet in the
+    // warehouse forever; exactly one spec_art table survives
+    val live = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_art_spec_art_"))
+    assert(live.length === 1, s"one live artifact, got ${live.toSeq}")
+    // re-requesting the superseded fingerprint therefore rebuilds
     val again = ModelArtifacts.cached(spark, "spec_art", "fp1")(make())
-    assert(builds === 2 && again.count() === 2)
+    assert(builds === 3 && again.count() === 2)
   }
 
   test("cached rejects non-identifier names (table-name safety)") {
