@@ -515,7 +515,40 @@ object ScaleBench {
         "cosine_banded" -> (() =>
           SimilaritySearch.cosineNearDupsBanded(emb, "vec_id",
             "embedding", threshold = 0.999, bits = 256, bands = 16,
-            center = true).count()))
+            center = true).count()),
+        // r10 additions. code-structure parses (identifier subtokens
+        // + comment accounting over docs rendered as code): per-row
+        // regex chains + one per-doc window + keyed aggs —
+        // embarrassingly parallel, must scale linearly.
+        "code_structure" -> (() => {
+          val src = docs.select(col("doc_id"),
+            concat(lit("\"\"\"doc\"\"\"\n# c\ndef handleUserData_"),
+              (col("doc_id") % 7).cast("string"),
+              lit("(x):\n    return x  # t\n"), col("text"))
+              .as("text"))
+          val ids = graft.operators.Code.identifierSubtokens(
+            src, "doc_id", "text")
+            .groupBy("subtoken").count().count()
+          val cs = graft.operators.Code.commentStats(
+            src, "doc_id", "text").count()
+          ids + cs
+        }),
+        // vocab coverage: token stream scanned twice (count pass +
+        // probe pass), vocab table stays VOCABULARY-sized at every K
+        // (replica tokens reuse the base vocabulary), kept set
+        // broadcasts — linear in the token stream.
+        "vocab_coverage" -> (() =>
+          graft.operators.Corpus.vocabCoverage(docs, "doc_id",
+            "text", vocabSize = 1000).count()),
+        // margin mining EXACT form: the pair frame is |L|x|R|, so
+        // the row must scale ~K^2 — the documented reason the hot-
+        // corpus path feeds ANN k-NN lists instead of the cross
+        // score. K=1/2/4 prints the quadratic curve on purpose.
+        "margin_mining_exact" -> (() =>
+          SimilaritySearch.marginMining(
+            emb.filter(col("vec_id") % 2 === 0), "vec_id",
+            emb.filter(col("vec_id") % 2 === 1), "vec_id",
+            "embedding", k = 4, marginThreshold = 1.0).count()))
       val wanted = nameFilter.split(",").toSeq
       for ((name, run) <- runs if wanted.exists(name.contains)) {
         val (sec, rows) = time(run())

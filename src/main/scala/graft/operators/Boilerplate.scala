@@ -219,6 +219,43 @@ object Boilerplate {
         (lower(col("first_tag")) === "th").as("is_header"))
   }
 
+  /** Grid → markdown-table linearization — the table-to-text step
+    * table-QA/grounding corpora run over [[htmlTables]] output
+    * (training text needs the GRID's structure back in token form;
+    * flat extraction already smeared it). Assembly rule, declared so
+    * a SQL oracle replays the bytes:
+    *   - each row renders `| c0 | c1 | … |` (cells in col_id order);
+    *   - when row 0 is a header row (`is_header`), a `| --- | … |`
+    *     separator with row 0's column count follows it;
+    *   - rows join with newlines in row_id order.
+    * Output per table: (idCol, table_id, n_rows, n_cols, markdown)
+    * where n_cols is the MAX row width (ragged rows render at their
+    * own width — no cell invention). Two keyed aggregations on the
+    * (doc, table) key, both bounded by table size; docs never
+    * shuffle whole. */
+  def linearizeTables(grid: DataFrame, idCol: String): DataFrame = {
+    val rowStr = grid.groupBy(col(idCol), col("table_id"),
+        col("row_id"))
+      .agg(
+        concat(lit("| "), concat_ws(" | ", transform(
+          array_sort(collect_list(struct(col("col_id"), col("cell")))),
+          s => s.getField("cell"))), lit(" |")).as("row_md"),
+        count(lit(1)).as("row_w"),
+        max(col("is_header")).as("row_hdr"))
+    rowStr.groupBy(col(idCol), col("table_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("row_w")).as("n_cols"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("row_id"),
+            col("row_md"), col("row_hdr"), col("row_w")))),
+          s => when(s.getField("row_id") === 0 && s.getField("row_hdr"),
+            concat(s.getField("row_md"), lit("\n| "),
+              concat_ws(" | ", array_repeat(lit("---"),
+                s.getField("row_w").cast("int"))), lit(" |")))
+            .otherwise(s.getField("row_md")))).as("markdown"))
+  }
+
   /** Page-level metadata extraction — the four signals web curation
     * reads BEFORE touching body text: the `<html lang="…">` declared
     * language (a prior for LID routing), the `<title>` (cleaned with

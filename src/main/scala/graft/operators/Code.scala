@@ -90,6 +90,101 @@ object Code {
         explode(mods).as("module"))
   }
 
+  /** Python keywords excluded from identifier extraction — the
+    * fixed broadcast-literal list (VOCABULARY-sized; never a join). */
+  val PythonKeywords: Seq[String] = Seq(
+    "False", "None", "True", "and", "as", "assert", "async",
+    "await", "break", "class", "continue", "def", "del", "elif",
+    "else", "except", "finally", "for", "from", "global", "if",
+    "import", "in", "is", "lambda", "nonlocal", "not", "or",
+    "pass", "raise", "return", "try", "while", "with", "yield")
+
+  /** Identifier extraction + subtoken splitting — the vocabulary
+    * analysis a code-LM tokenizer budget starts from (camelCase /
+    * snake_case compounds dominate code text, so raw-identifier
+    * frequencies mislead; StarCoder/The-Stack-class studies count
+    * SUBTOKENS). Per identifier occurrence one row per subtoken:
+    * (idCol, ident, subtoken). The split grammar, declared:
+    *   - identifiers are `[A-Za-z_][A-Za-z0-9_]*` runs (keywords in
+    *     [[PythonKeywords]] dropped; string/comment contents are NOT
+    *     lexed out — line-local extraction, documented);
+    *   - boundaries: `_`, lower→Upper (`userName`), and the end of
+    *     an acronym run (`HTTPServer` → `HTTP Server`);
+    *   - subtokens are lowercased; empty fragments (from `__init__`
+    *     edges) drop.
+    * Pure per-row regex chain + one bounded explode — no shuffle;
+    * aggregation is the caller's. */
+  def identifierSubtokens(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val idents = filter(
+      // regexp_extract_all needs a capturing group; group 1 is the
+      // whole identifier.
+      expr(s"regexp_extract_all($textCol, " +
+        "'([A-Za-z_][A-Za-z0-9_]*)', 1)"),
+      x => !x.isin(PythonKeywords: _*))
+    val withIdent = df.select(col(idCol),
+      explode(idents).as("ident"))
+    val spaced = regexp_replace(
+      regexp_replace(col("ident"), "([a-z0-9])([A-Z])", "$1 $2"),
+      "([A-Z]+)([A-Z][a-z])", "$1 $2")
+    withIdent.select(col(idCol), col("ident"),
+      explode(filter(split(lower(spaced), "[_ ]+"),
+        x => length(x) > 0)).as("subtoken"))
+  }
+
+  /** Comment/docstring accounting for Python-convention sources —
+    * the comment-density signal code-quality gates use (a file that
+    * is mostly comments is prose in disguise; zero comments on a
+    * large file is its own smell). Line classes, in precedence
+    * order, all replayable from a per-doc running triple-quote
+    * marker count (cum BEFORE the line odd ⇒ inside a docstring):
+    *   - `docstring`: inside, or the line carries a triple-quote;
+    *   - `comment`: trimmed line starts `#`;
+    *   - `blank`: trimmed line empty;
+    *   - `code`: everything else.
+    * Scope declared: `#` inside string literals and single-quoted
+    * `'''` docstrings are not lexed (line-local rules — the
+    * [[identifierSubtokens]] contract). Output per doc: (idCol,
+    * n_code, n_comment, n_docstring, n_blank, comment_ratio) where
+    * the ratio is (comment+docstring)/(code+comment+docstring),
+    * NULL when the denominator is zero (all-blank docs have no
+    * ratio — the NaN-routing guard every gate in this family
+    * carries). One bounded explode + per-doc window + one keyed
+    * agg. */
+  def commentStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(
+      split(col(textCol), "\n")).as(Seq("line_id", "line")))
+    val markers =
+      ((length(col("line")) -
+        length(regexp_replace(col("line"), "\"\"\"", ""))) / 3)
+        .cast("long")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("line_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = sum(markers).over(w) - markers
+    val t = trim(col("line"))
+    val cls = when(cumBefore % 2 === 1 || markers > 0, "docstring")
+      .when(t.startsWith("#"), "comment")
+      .when(length(t) === 0, "blank")
+      .otherwise("code")
+    val counted = lines.withColumn("cls", cls)
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("cls") === "code", 1L).otherwise(0L))
+          .as("n_code"),
+        sum(when(col("cls") === "comment", 1L).otherwise(0L))
+          .as("n_comment"),
+        sum(when(col("cls") === "docstring", 1L).otherwise(0L))
+          .as("n_docstring"),
+        sum(when(col("cls") === "blank", 1L).otherwise(0L))
+          .as("n_blank"))
+    val denom = col("n_code") + col("n_comment") + col("n_docstring")
+    counted.withColumn("comment_ratio",
+      when(denom > 0,
+        (col("n_comment") + col("n_docstring")).cast("double") /
+          denom.cast("double")))
+  }
+
   /** Function-level chunking for indentation languages (the Python
     * `def `/`class `/`async def ` convention): every TOP-LEVEL
     * definition line (no leading whitespace) starts a new chunk,

@@ -399,6 +399,136 @@ object Corpus {
     df.join(matched, Seq(idCol), "left_anti")
   }
 
+  /** Vocabulary-coverage report under a corpus-trained top-K word
+    * vocabulary — the tokenizer-budget planning number (what OOV
+    * rate does a K-entry word vocab leave on THIS corpus?) and the
+    * per-doc outlier signal (a doc whose tokens are mostly
+    * out-of-vocabulary is foreign to the corpus: wrong language,
+    * binary junk, or template noise). Token unit = lowercased
+    * whitespace token (the [[badwordsFilter]] / C4 matching unit);
+    * the vocabulary is the top `vocabSize` tokens by (count desc,
+    * token asc — deterministic tie).
+    *
+    * Output per doc: (idCol, n_tokens, n_oov, n_types, n_oov_types,
+    * oov_rate), rate NULL on token-less docs (no 0/0).
+    *
+    * Scale: counts aggregate is VOCABULARY-sized; the top-K rank
+    * window runs over that vocab table, not the corpus (the
+    * [[graft.operators.Dedup.jaccardPrefixJoin]] device — swap for
+    * [[globalRank]] at extreme vocab); the kept vocab broadcasts
+    * back onto the token stream, so documents never shuffle. The
+    * token explode runs twice (count pass + probe pass) — two scans
+    * beat materializing a corpus-sized token frame. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    def toks = df.select(col(idCol), explode(
+      filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("tok"))
+    val vocab = broadcast(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("_cnt"))
+        .withColumn("_vrank", row_number().over(
+          Window.orderBy(desc("_cnt"), col("tok"))))
+        .filter(col("_vrank") <= vocabSize)
+        .select(col("tok"), lit(true).as("_in_vocab")))
+    val agg = toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L))
+          .as("n_oov"),
+        countDistinct(col("tok")).as("n_types"),
+        countDistinct(when(col("_in_vocab").isNull, col("tok")))
+          .as("n_oov_types"))
+    // Token-less docs have no token rows, so the aggregate alone
+    // would DROP them — join back onto the doc set so they report
+    // zero counters and a NULL rate (a gate reading this frame must
+    // see every doc it was asked about).
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_oov_types"), lit(0L)).as("n_oov_types"))
+      .withColumn("oov_rate", when(col("n_tokens") > 0,
+        col("n_oov").cast("double") / col("n_tokens").cast("double")))
+  }
+
+  /** Rule-based sentence segmentation — the unit beneath the
+    * paragraph/line operators that translation mining, SFT slicing,
+    * and sentence-level dedup key on. Grammar, declared (RE2 ∩ Java
+    * — no lookarounds, so a SQL oracle replays it):
+    * a sentence is a maximal run of non-terminator characters plus
+    * its trailing `[.!?]+` run (`([^.!?]+[.!?]+|[^.!?]+$)`); the
+    * unterminated tail is its own sentence; sentences trim and
+    * empty trims drop, then re-number contiguously. Abbreviation
+    * periods ("Dr.") split — the line-local scope every operator in
+    * this family declares; a corpus that needs abbreviation tables
+    * routes through a trained segmenter upstream.
+    * Output: (idCol, sent_id, sentence), one bounded explode, no
+    * shuffle. */
+  def sentences(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val raw = expr(s"regexp_extract_all($textCol, " +
+      "'([^.!?]+[.!?]+|[^.!?]+$)', 1)")
+    val kept = filter(transform(raw, s => trim(s)),
+      s => length(s) > 0)
+    df.select(col(idCol), posexplode(kept)
+      .as(Seq("sent_id", "sentence")))
+      .withColumn("sent_id", col("sent_id").cast("long"))
+  }
+
+  /** Heaps'-law vocabulary growth curve — distinct word types vs
+    * tokens seen at `checkpoints` evenly-spaced prefixes of the
+    * corpus in `idCol` order: the vocabulary-scaling diagnostic
+    * (companion to the Zipf slope and the Good-Turing spectrum)
+    * that sizes tokenizer vocabularies and predicts OOV decay
+    * before a 100 TB pass commits to one. Token unit = lowercased
+    * whitespace token (the [[vocabCoverage]] unit).
+    *
+    * Output per checkpoint 1..K: (checkpoint, n_docs, n_tokens,
+    * n_types) where the prefix is the first ⌊i·n/K⌋ docs.
+    *
+    * Scale: doc order comes from [[globalRank]] (two-pass range
+    * rank, never a single-partition window); each type collapses to
+    * its FIRST-occurrence rank and each doc to its token count
+    * BEFORE the checkpoint join, so the ≤-join explodes only
+    * vocabulary-sized and doc-count-sized frames by K (broadcast
+    * K rows), never the token stream. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 1, s"checkpoints >= 1 ($checkpoints)")
+    val spark = df.sparkSession
+    val ranked = globalRank(df.select(col(idCol), col(textCol)),
+      Seq(col(idCol)), "rnk")
+    val toks = ranked.select(col("rnk"), explode(
+      filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("tok"))
+    val firstRank = toks.groupBy(col("tok"))
+      .agg(min(col("rnk")).as("first_rnk"))
+    val docTokens = toks.groupBy(col("rnk"))
+      .agg(count(lit(1)).as("n_toks"))
+    // doc count rides as a broadcast one-row frame (the
+    // curriculumInterleave device) — no driver action in the plan
+    val nRow = df.agg(count(lit(1)).as("_n"))
+    val cps = broadcast(spark.range(1, checkpoints + 1L)
+      .select(col("id").as("checkpoint"))
+      .crossJoin(nRow)
+      .select(col("checkpoint"),
+        floor(col("checkpoint") * col("_n") / checkpoints)
+          .as("cutoff")))
+    val types = firstRank.join(cps,
+        col("first_rnk") <= col("cutoff"))
+      .groupBy(col("checkpoint"), col("cutoff"))
+      .agg(count(lit(1)).as("n_types"))
+    val tokens = docTokens.join(cps, col("rnk") <= col("cutoff"))
+      .groupBy(col("checkpoint"))
+      .agg(sum(col("n_toks")).as("n_tokens"))
+    types.join(tokens, Seq("checkpoint"), "left")
+      .select(col("checkpoint"), col("cutoff").as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("n_types"))
+  }
+
   /** Exact 1-based global rank of every row under `sortCols` WITHOUT
     * a single-partition window: range-repartition on the sort key,
     * sort within partitions, then assign indexes in two passes

@@ -718,4 +718,66 @@ object SimilaritySearch {
         (col("top.score") >= threshold).as("flagged"))
       .orderBy(col(idCol))
   }
+
+  /** Margin-based pair mining between two embedding sets (Artetxe &
+    * Schwenk 2019 §4.2, the "ratio" margin — the bitext/paraphrase
+    * mining step multilingual and dedup pipelines run where raw
+    * cosine fails: a hub vector that is close to EVERYTHING scores
+    * high everywhere, so each pair's score is normalized by the two
+    * sides' local k-NN score mass). Per pair:
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK(x) + avgTopK(y)) / 2)
+    *
+    * computed on trunc9 integer score sums (floor(cos·1e9) longs —
+    * aggregation order can't move a bit, and both final divisions
+    * are single IEEE ops, so a SQL oracle replays margins exactly).
+    * Emitted pairs are MUTUAL margin-best (x's best y is x, and
+    * vice versa; ties break on the partner id) with margin ≥
+    * `marginThreshold`. Pairs whose combined top-k mass is ≤ 0
+    * (adversarially anti-correlated sets) have no meaningful margin
+    * and drop before ranking, declared.
+    *
+    * Scale: the right set broadcasts (the eval/pivot side — the
+    * [[semanticDecontaminate]] contract); the left set never
+    * shuffles whole. The full cross-score is the EXACT form; for
+    * hot corpora the pair frame is the two directed ANN k-NN lists
+    * ([[NnDescent]] / IVF shortlists) instead — margins only ever
+    * read each side's top-k neighborhood. */
+  def marginMining(left: DataFrame, leftIdCol: String,
+      right: DataFrame, rightIdCol: String, vecCol: String,
+      k: Int = 4, marginThreshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1 ($k)")
+    val l = left.select(col(leftIdCol).as("lid"),
+      col(vecCol).cast("array<double>").as("le"))
+    val r = right.select(col(rightIdCol).as("rid"),
+      col(vecCol).cast("array<double>").as("re"))
+    val pairs = l.crossJoin(broadcast(r))
+      .select(col("lid"), col("rid"),
+        graft.functions.VectorFunctions.cosine(col("le"),
+          col("re")).as("score"))
+      .withColumn("s9", floor(col("score") * 1e9).cast("long"))
+      // 4 window/agg consumers below — score once, not four times
+      .localCheckpoint()
+    val rl = row_number().over(Window.partitionBy(col("lid"))
+      .orderBy(desc("s9"), col("rid")))
+    val rr = row_number().over(Window.partitionBy(col("rid"))
+      .orderBy(desc("s9"), col("lid")))
+    val ranked = pairs.withColumn("rl", rl).withColumn("rr", rr)
+    val ax = ranked.filter(col("rl") <= k).groupBy(col("lid"))
+      .agg(sum(col("s9")).as("ax9"))
+    val ay = ranked.filter(col("rr") <= k).groupBy(col("rid"))
+      .agg(sum(col("s9")).as("ay9"))
+    val m = pairs.join(ax, "lid").join(ay, "rid")
+      .filter(col("ax9") + col("ay9") > 0)
+      .withColumn("margin", col("s9").cast("double") /
+        ((col("ax9") + col("ay9")).cast("double") / lit(2.0 * k)))
+    val bl = row_number().over(Window.partitionBy(col("lid"))
+      .orderBy(desc("margin"), col("rid")))
+    val br = row_number().over(Window.partitionBy(col("rid"))
+      .orderBy(desc("margin"), col("lid")))
+    m.withColumn("bl", bl).withColumn("br", br)
+      .filter(col("bl") === 1 && col("br") === 1 &&
+        col("margin") >= marginThreshold)
+      .select(col("lid"), col("rid"), col("score"), col("margin"))
+  }
 }

@@ -829,25 +829,33 @@ object CorpusQueries {
     * containing a FAKE table (must not extract), and a second 1×2
     * table with an entity in a cell; the oracle replays the three
     * nested explodes, the header-tag probe, and the cell clean. */
+  /** Shared q244/q258 synthesized table page: a header-rowed
+    * 3-row table, a script-embedded decoy table (excluded), and a
+    * single-row entity-bearing table. */
+  private def tableHtmlCol: org.apache.spark.sql.Column = concat(
+    lit("<html><body><p>intro</p><table><tr><th>k</th><th>v</th>" +
+      "</tr><tr><td>id</td><td>"), col("doc_id").cast("string"),
+    lit("</td></tr><tr><td>len</td><td>"),
+    col("n_chars").cast("string"),
+    lit("</td></tr></table><script>var t = '<table><tr><td>no" +
+      "</td></tr></table>';</script><table class=\"x\"><tr>" +
+      "<td>src &amp; kind</td><td>"), col("source"),
+    lit("</td></tr></table></body></html>"))
+
   def q244HtmlTables(s: SparkSession, d: String): DataFrame = {
-    val html = concat(
-      lit("<html><body><p>intro</p><table><tr><th>k</th><th>v</th>" +
-        "</tr><tr><td>id</td><td>"), col("doc_id").cast("string"),
-      lit("</td></tr><tr><td>len</td><td>"),
-      col("n_chars").cast("string"),
-      lit("</td></tr></table><script>var t = '<table><tr><td>no" +
-        "</td></tr></table>';</script><table class=\"x\"><tr>" +
-        "<td>src &amp; kind</td><td>"), col("source"),
-      lit("</td></tr></table></body></html>"))
     graft.operators.Boilerplate.htmlTables(
-        documents(s, d).select(col("doc_id"), html.as("html")),
+        documents(s, d).select(col("doc_id"),
+          tableHtmlCol.as("html")),
         "doc_id", "html")
       .orderBy(col("doc_id"), col("table_id"), col("row_id"),
         col("col_id"))
   }
 
-  private val q244Oracle: String =
-    s"""WITH h AS (
+  /** The q244 grid chain over the shared synthesized page — ends at
+    * `cl(doc_id, table_id, row_id, col_id, cell, is_header)`;
+    * shared by q244 and the q258 linearization. */
+  private val htmlGridCtes: String =
+    s"""h AS (
       |  SELECT doc_id,
       |    '<html><body><p>intro</p><table><tr><th>k</th><th>v</th>' ||
       |    '</tr><tr><td>id</td><td>' || CAST(doc_id AS VARCHAR) ||
@@ -886,9 +894,50 @@ object CorpusQueries {
       |    lower(regexp_extract(rowh, '(?is)<(t[dh])[^>]*>', 1))
       |      = 'th' AS is_header
       |  FROM cw,
-      |    LATERAL unnest(generate_series(1, len(cells))) c(i))
+      |    LATERAL unnest(generate_series(1, len(cells))) c(i))""".stripMargin
+
+  private val q244Oracle: String =
+    s"""WITH $htmlGridCtes
       |SELECT doc_id, table_id, row_id, col_id, cell, is_header
       |FROM cl ORDER BY doc_id, table_id, row_id, col_id""".stripMargin
+
+  /** q258: grid → markdown-table linearization
+    * ([[graft.operators.Boilerplate.linearizeTables]] over the q244
+    * extraction) — the table-to-text step that puts the GRID's
+    * structure back into token form for table-QA/grounding corpora;
+    * the header table renders with its `| --- |` separator, the
+    * headerless one without. The oracle chains the q244 grid replay
+    * into the byte-exact row/table string assembly (newline-bearing
+    * markdown rides the verify/JSON path directly — the q207
+    * control-char device). */
+  def q258LinearizeTables(s: SparkSession, d: String): DataFrame = {
+    val grid = graft.operators.Boilerplate.htmlTables(
+      documents(s, d).select(col("doc_id"), tableHtmlCol.as("html")),
+      "doc_id", "html")
+    graft.operators.Boilerplate.linearizeTables(grid, "doc_id")
+      .orderBy(col("doc_id"), col("table_id"))
+  }
+
+  private val q258Oracle: String =
+    s"""WITH $htmlGridCtes,
+      |rs AS (
+      |  SELECT doc_id, table_id, row_id,
+      |    '| ' || string_agg(cell, ' | ' ORDER BY col_id) || ' |'
+      |      AS row_md,
+      |    COUNT(*) AS row_w,
+      |    bool_or(is_header) AS row_hdr
+      |  FROM cl GROUP BY doc_id, table_id, row_id),
+      |tt AS (
+      |  SELECT doc_id, table_id,
+      |    COUNT(*) AS n_rows,
+      |    MAX(row_w) AS n_cols,
+      |    string_agg(CASE WHEN row_id = 0 AND row_hdr THEN
+      |        row_md || chr(10) || '| ' ||
+      |        repeat('--- | ', CAST(row_w AS INT) - 1) || '--- |'
+      |      ELSE row_md END, chr(10) ORDER BY row_id) AS markdown
+      |  FROM rs GROUP BY doc_id, table_id)
+      |SELECT doc_id, table_id, n_rows, n_cols, markdown
+      |FROM tt ORDER BY doc_id, table_id""".stripMargin
 
   /** Anchor-term vocabulary for q238 (shared with the oracle). */
   private val AnchorTerms1 = Seq("best", "fresh", "weekly",
@@ -1563,7 +1612,11 @@ object CorpusQueries {
     * with their text digest. One oracle chains the nbformat walk,
     * the signal routing, and the license chain — the three-stage
     * COMPOSITION is what the hash match proves. */
-  def q250CodeCorpusBuild(s: SparkSession, d: String): DataFrame = {
+  /** The shared q250/q261 mixed code feed: a third notebooks
+    * (materialized to scripts), a third license-headered code files
+    * cycling MIT/Apache/GPL/untagged, a third prose; checkpointed
+    * once for its multiple consumers. */
+  private def codeFeed(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"),
       col("n_chars"))
     val nbs = graft.operators.Notebooks.script(
@@ -1584,8 +1637,11 @@ object CorpusQueries {
         .as("text"))
     val prose = base.filter(col("doc_id") % 3 === 2)
       .select(col("doc_id"), col("text"))
-    val un = nbs.unionByName(files).unionByName(prose)
-      .localCheckpoint() // 2 consumers: routing join + license tag
+    nbs.unionByName(files).unionByName(prose).localCheckpoint()
+  }
+
+  def q250CodeCorpusBuild(s: SparkSession, d: String): DataFrame = {
+    val un = codeFeed(s, d)
     val routed = un.join(
       Corpus.contentTypeSignals(un, "doc_id", "text")
         .select(col("doc_id"), col("content_type")), Seq("doc_id"))
@@ -1597,8 +1653,9 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val q250Oracle: String =
-    s"""WITH base AS (
+  /** The q250/q261 oracle feed chain — ends at `un(doc_id, text)`. */
+  private lazy val codeFeedCtes: String =
+    s"""base AS (
       |  SELECT doc_id, text, n_chars FROM documents),
       |nbu AS (
       |  SELECT doc_id, $NbJsonSql AS nb
@@ -1611,8 +1668,8 @@ object CorpusQueries {
       |    WHEN doc_id % 4 = 1
       |      THEN '# SPDX-License-Identifier: Apache-2.0' || chr(10)
       |    WHEN doc_id % 4 = 2
-      |      THEN '/* SPDX-License-Identifier: GPL-3.0-only */'
-      |        || chr(10)
+      |      THEN '/* SPDX-License-Identifier: GPL-3.0-only */' ||
+      |        chr(10)
       |    ELSE '' END ||
       |    'x = ' || CAST(doc_id AS VARCHAR) || ';' || chr(10) ||
       |    'print(x);' AS text
@@ -1621,7 +1678,13 @@ object CorpusQueries {
       |  SELECT doc_id, script AS text FROM nbg
       |  UNION ALL SELECT doc_id, text FROM files
       |  UNION ALL SELECT doc_id, text FROM base
-      |    WHERE doc_id % 3 = 2),
+      |    WHERE doc_id % 3 = 2)""".stripMargin
+  // NB: helper CTE strings are re-scanned by the OUTER oracle's
+  // stripMargin, so no embedded line may begin with whitespace+'|'
+  // (e.g. a leading '||' concat) — keep '||' at end-of-line.
+
+  private val q250Oracle: String =
+    s"""WITH $codeFeedCtes,
       |${contentSigCtes("un")},
       |${licenseCtes("un")}
       |SELECT un.doc_id, lic.license, lic.permissive,
@@ -1815,10 +1878,35 @@ object CorpusQueries {
       lit("\n\ndef f(x):\n    import json\n    return x"))
   }
 
+  /** Import-extraction replay over a caller-supplied
+    * `$src(doc_id, text)` CTE — ends at `f(doc_id, module)`, one row
+    * per module REFERENCE (comma lists expanded like the operator —
+    * split the `import ` remainder on commas, head identifier of
+    * each part). Shared by q253/q255/q261. */
+  private def importExtractCtes(src: String): String =
+    raw"""iln AS (
+      |  SELECT doc_id, trim(ls[u2.i]) AS t
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |    FROM $src),
+      |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
+      |im0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN regexp_matches(t, '^import ')
+      |      THEN list_transform(
+      |        string_split(regexp_replace(t, '^import ', ''), ','),
+      |        x -> regexp_extract(trim(x),
+      |          '^([A-Za-z_][A-Za-z0-9_.]*)', 1))
+      |      ELSE [regexp_extract(t,
+      |        '^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1)]
+      |    END AS mods
+      |  FROM iln),
+      |f AS (
+      |  SELECT doc_id, u3.module
+      |  FROM im0, LATERAL unnest(list_filter(mods, x -> len(x) > 0))
+      |    u3(module))""".stripMargin
+
   /** The q253/q255 oracle CTE chain over the shared synthesized
-    * source: ends at `f(doc_id, module)`, one row per module
-    * REFERENCE (comma lists expanded like the operator — split the
-    * `import ` remainder on commas, head identifier of each part). */
+    * source. */
   private val importCtes: String =
     raw"""u AS (
       |  SELECT doc_id,
@@ -1830,26 +1918,7 @@ object CorpusQueries {
       |    'def f(x):' || chr(10) || '    import json' || chr(10) ||
       |    '    return x' AS text
       |  FROM documents),
-      |ln AS (
-      |  SELECT doc_id, trim(ls[u2.i]) AS t
-      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
-      |    FROM u),
-      |    LATERAL unnest(generate_series(1, len(ls))) u2(i)),
-      |m0 AS (
-      |  SELECT doc_id,
-      |    CASE WHEN regexp_matches(t, '^import ')
-      |      THEN list_transform(
-      |        string_split(regexp_replace(t, '^import ', ''), ','),
-      |        x -> regexp_extract(trim(x),
-      |          '^([A-Za-z_][A-Za-z0-9_.]*)', 1))
-      |      ELSE [regexp_extract(t,
-      |        '^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1)]
-      |    END AS mods
-      |  FROM ln),
-      |f AS (
-      |  SELECT doc_id, u3.module
-      |  FROM m0, LATERAL unnest(list_filter(mods, x -> len(x) > 0))
-      |    u3(module))""".stripMargin
+      |""".stripMargin + importExtractCtes("u")
 
   def q253ImportStats(s: SparkSession, d: String): DataFrame = {
     val src = importSrcCol
@@ -1959,6 +2028,354 @@ object CorpusQueries {
       |FROM fd a JOIN fd b
       |  ON a.doc_id = b.doc_id AND a.module < b.module
       |GROUP BY a.module, b.module ORDER BY m1, m2""".stripMargin
+
+  /** q256: identifier extraction + subtoken splitting
+    * ([[graft.operators.Code.identifierSubtokens]]) — the
+    * code-vocabulary analysis a code-LM tokenizer budget starts
+    * from. The synthesized source exercises every split class:
+    * snake_case with a numeric tail, lowerCamel, an ACRONYM run
+    * (`getHTTPResponse` → get/http/response), SCREAMING_SNAKE, and
+    * keyword exclusion (`def`/`return` never count). */
+  def q256IdentifierSubtokens(s: SparkSession,
+      d: String): DataFrame = {
+    val src = concat(
+      lit("def loadUserData_"), (col("doc_id") % 5).cast("string"),
+      lit("(x):\n    userName = getHTTPResponse(x)\n" +
+        "    MAX_RETRY_COUNT = "), col("doc_id").cast("string"),
+      lit("\n    return userName"))
+    graft.operators.Code.identifierSubtokens(
+        documents(s, d).select(col("doc_id"), src.as("text")),
+        "doc_id", "text")
+      .groupBy(col("subtoken"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_refs"))
+      .orderBy(col("subtoken"))
+  }
+
+  private val q256Oracle: String = {
+    val kw = graft.operators.Code.PythonKeywords
+      .map(k => s"'$k'").mkString("[", ", ", "]")
+    raw"""WITH u AS (
+      |  SELECT doc_id,
+      |    'def loadUserData_' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    '(x):' || chr(10) ||
+      |    '    userName = getHTTPResponse(x)' || chr(10) ||
+      |    '    MAX_RETRY_COUNT = ' || CAST(doc_id AS VARCHAR) ||
+      |    chr(10) || '    return userName' AS text
+      |  FROM documents),
+      |ids AS (
+      |  SELECT doc_id, u2.ident
+      |  FROM u, LATERAL unnest(list_filter(
+      |    regexp_extract_all(text, '([A-Za-z_][A-Za-z0-9_]*)', 1),
+      |    x -> NOT list_contains($kw, x))) u2(ident)),
+      |sp AS (
+      |  SELECT doc_id, lower(regexp_replace(regexp_replace(ident,
+      |    '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+      |    '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g')) AS spaced
+      |  FROM ids),
+      |st AS (
+      |  SELECT doc_id, u3.subtoken
+      |  FROM sp, LATERAL unnest(list_filter(
+      |    string_split_regex(spaced, '[_ ]+'), x -> len(x) > 0))
+      |    u3(subtoken))
+      |SELECT subtoken, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_refs
+      |FROM st GROUP BY subtoken ORDER BY subtoken""".stripMargin
+  }
+
+  /** q257: comment/docstring accounting
+    * ([[graft.operators.Code.commentStats]]) — the comment-density
+    * quality signal for code corpora. The synthesized file
+    * exercises a multi-line module docstring (open marker line,
+    * interior line, bare close), a `#` comment, a blank line, code
+    * with a TRAILING `#` (still code — line-local rules, declared),
+    * and a one-line indented docstring (two markers, stays closed). */
+  def q257CommentStats(s: SparkSession, d: String): DataFrame = {
+    val q3 = "\"\"\""
+    val src = concat(
+      lit(q3 + "Doc "), col("doc_id").cast("string"),
+      lit(" utilities.\ninterior line\n" + q3 +
+        "\n# setup comment\nimport os\n\ndef f(x):  # trailing\n" +
+        "    " + q3 + "inner docstring" + q3 + "\n    return x + "),
+      col("doc_id").cast("string"))
+    graft.operators.Code.commentStats(
+        documents(s, d).select(col("doc_id"), src.as("text")),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Comment/docstring-accounting replay over a caller-supplied
+    * `$src(doc_id, text)` CTE — ends at `cg(doc_id, n_code,
+    * n_comment, n_docstring, n_blank)`. Shared by q257/q261. */
+  private def commentCtes(src: String): String = {
+    val q3 = "\"\"\"" // three double-quotes (can't sit in a Scala
+                      // triple-quoted literal directly)
+    raw"""cln AS (
+      |  SELECT doc_id, u9.i - 1 AS line_id, ls[u9.i] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |    FROM $src),
+      |    LATERAL unnest(generate_series(1, len(ls))) u9(i)),
+      |cmk AS (
+      |  SELECT doc_id, line_id, line,
+      |    (len(line) - len(replace(line, '$q3', ''))) // 3
+      |      AS markers
+      |  FROM cln),
+      |ccm AS (
+      |  SELECT *, SUM(markers) OVER (PARTITION BY doc_id
+      |    ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) - markers AS cum_before
+      |  FROM cmk),
+      |ccls AS (
+      |  SELECT doc_id, CASE
+      |    WHEN cum_before % 2 = 1 OR markers > 0 THEN 'docstring'
+      |    WHEN starts_with(trim(line), '#') THEN 'comment'
+      |    WHEN len(trim(line)) = 0 THEN 'blank'
+      |    ELSE 'code' END AS cls
+      |  FROM ccm),
+      |cg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN cls = 'code' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_code,
+      |    CAST(SUM(CASE WHEN cls = 'comment' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_comment,
+      |    CAST(SUM(CASE WHEN cls = 'docstring' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_docstring,
+      |    CAST(SUM(CASE WHEN cls = 'blank' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_blank
+      |  FROM ccls GROUP BY doc_id)""".stripMargin
+  }
+
+  private val q257Oracle: String = {
+    val q3 = "\"\"\""
+    raw"""WITH u AS (
+      |  SELECT doc_id,
+      |    '${q3}Doc ' || CAST(doc_id AS VARCHAR) || ' utilities.' ||
+      |    chr(10) || 'interior line' || chr(10) || '$q3' ||
+      |    chr(10) || '# setup comment' || chr(10) || 'import os' ||
+      |    chr(10) || chr(10) || 'def f(x):  # trailing' || chr(10)
+      |    || '    ${q3}inner docstring$q3' || chr(10) ||
+      |    '    return x + ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents),
+      |${commentCtes("u")}
+      |SELECT doc_id, n_code, n_comment, n_docstring, n_blank,
+      |  CASE WHEN n_code + n_comment + n_docstring > 0 THEN
+      |    CAST(n_comment + n_docstring AS DOUBLE) /
+      |    CAST(n_code + n_comment + n_docstring AS DOUBLE)
+      |  END AS comment_ratio
+      |FROM cg ORDER BY doc_id""".stripMargin
+  }
+
+  /** q259: vocabulary-coverage report
+    * ([[graft.operators.Corpus.vocabCoverage]]) — per-doc OOV rate
+    * under the corpus-trained top-500 word vocabulary: the
+    * tokenizer-budget planning number and the foreign-doc outlier
+    * signal. The oracle replays the count ranking (count desc,
+    * token asc), the top-K cut, and every per-doc counter. */
+  def q259VocabCoverage(s: SparkSession, d: String): DataFrame =
+    Corpus.vocabCoverage(
+      documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", vocabSize = 500)
+      .orderBy(col("doc_id"))
+
+  private val q259Oracle: String =
+    raw"""WITH tk AS (
+      |  SELECT doc_id, u2.tok
+      |  FROM documents, LATERAL unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0)) u2(tok)),
+      |vc AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+      |vr AS (
+      |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok)
+      |    AS vrank
+      |  FROM vc),
+      |vocab AS (SELECT tok FROM vr WHERE vrank <= 500),
+      |j AS (
+      |  SELECT tk.doc_id, tk.tok, vocab.tok IS NOT NULL AS iv
+      |  FROM tk LEFT JOIN vocab ON tk.tok = vocab.tok),
+      |g AS (
+      |  SELECT doc_id,
+      |    COUNT(*) AS n_tokens,
+      |    CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_oov,
+      |    COUNT(DISTINCT tok) AS n_types,
+      |    COUNT(DISTINCT CASE WHEN NOT iv THEN tok END)
+      |      AS n_oov_types
+      |  FROM j GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_tokens, 0) AS n_tokens,
+      |  COALESCE(n_oov, 0) AS n_oov,
+      |  COALESCE(n_types, 0) AS n_types,
+      |  COALESCE(n_oov_types, 0) AS n_oov_types,
+      |  CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
+      |    CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |  END AS oov_rate
+      |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q261: the composed CODE-CORPUS DATASHEET — the one-row audit a
+    * code-corpus ship publishes (the q243/q150 device for the code
+    * family): the q250 mixed feed flows through content-type
+    * routing, the license chain, comment/docstring accounting, and
+    * import extraction, and ONE aggregate row reports route mix,
+    * license posture, comment density mass, and import surface.
+    * The oracle chains FIVE established replays (nbformat walk →
+    * routing signals → license chain → comment parity → import
+    * expansion) — the composition is what the hash match proves. */
+  def q261CodeDatasheet(s: SparkSession, d: String): DataFrame = {
+    val un = codeFeed(s, d)
+    val routed = Corpus.contentTypeSignals(un, "doc_id", "text")
+      .select(col("doc_id"), col("content_type"))
+    val lic = Corpus.licenseTags(un, "doc_id", "text")
+      .select(col("doc_id"), col("license"), col("permissive"))
+    val cst = graft.operators.Code.commentStats(un, "doc_id", "text")
+      .select(col("doc_id"), col("n_code"), col("n_comment"),
+        col("n_docstring"))
+    val impAgg = graft.operators.Code.imports(un, "doc_id", "text")
+      .agg(count(lit(1)).as("n_import_refs"),
+        countDistinct(col("module")).as("n_modules"))
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    un.select(col("doc_id"))
+      .join(routed, Seq("doc_id"))
+      .join(lic, Seq("doc_id"))
+      .join(cst, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        cnt(col("content_type") === "code").as("n_code_docs"),
+        cnt(col("content_type") === "math").as("n_math_docs"),
+        cnt(col("content_type") === "prose").as("n_prose_docs"),
+        cnt(col("permissive")).as("n_permissive"),
+        cnt(col("license").isNotNull && !col("permissive"))
+          .as("n_restricted"),
+        cnt(col("license").isNull).as("n_unknown"),
+        sum(col("n_code")).as("code_lines"),
+        (sum(col("n_comment")) + sum(col("n_docstring")))
+          .as("comment_lines"))
+      .crossJoin(impAgg)
+  }
+
+  private val q261Oracle: String =
+    s"""WITH $codeFeedCtes,
+      |${contentSigCtes("un")},
+      |${licenseCtes("un")},
+      |${commentCtes("un")},
+      |${importExtractCtes("un")},
+      |ia AS (
+      |  SELECT COUNT(*) AS n_import_refs,
+      |    COUNT(DISTINCT module) AS n_modules
+      |  FROM f),
+      |da AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN content_type = 'code' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_code_docs,
+      |    CAST(SUM(CASE WHEN content_type = 'math' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_math_docs,
+      |    CAST(SUM(CASE WHEN content_type = 'prose' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_prose_docs,
+      |    CAST(SUM(CASE WHEN permissive THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_permissive,
+      |    CAST(SUM(CASE WHEN license IS NOT NULL
+      |      AND NOT permissive THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_restricted,
+      |    CAST(SUM(CASE WHEN license IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_unknown,
+      |    CAST(SUM(n_code) AS BIGINT) AS code_lines,
+      |    CAST(SUM(n_comment) + SUM(n_docstring) AS BIGINT)
+      |      AS comment_lines
+      |  FROM un
+      |  JOIN csig USING (doc_id)
+      |  JOIN lic USING (doc_id)
+      |  JOIN cg USING (doc_id))
+      |SELECT da.n_docs, da.n_code_docs, da.n_math_docs,
+      |  da.n_prose_docs, da.n_permissive, da.n_restricted,
+      |  da.n_unknown, da.code_lines, da.comment_lines,
+      |  ia.n_import_refs, ia.n_modules
+      |FROM da CROSS JOIN ia""".stripMargin
+
+  /** Fixture rows for q262 — the segmentation edge cases: multi-
+    * terminator runs, an unterminated tail, a terminator-only doc
+    * (zero sentences), and an empty doc. */
+  private val SentenceFixture: Seq[(Long, String)] = Seq(
+    (9700001L, "One. Two!! Three? tail with no dot"),
+    (9700002L, "..."),
+    (9700003L, ""),
+    (9700004L, "  spaced.   out  "))
+
+  /** q262: rule-based sentence segmentation
+    * ([[graft.operators.Corpus.sentences]]) — the unit beneath the
+    * paragraph/line operators; corpus docs plus the edge fixture,
+    * every sentence byte-checked. */
+  def q262Sentences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(SentenceFixture.toDF("doc_id", "text"))
+    Corpus.sentences(docs, "doc_id", "text")
+      .orderBy(col("doc_id"), col("sent_id"))
+  }
+
+  private val q262Oracle: String = {
+    val vals = SentenceFixture.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    raw"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+      |sx AS (
+      |  SELECT doc_id, list_filter(list_transform(
+      |    regexp_extract_all(text, '([^.!?]+[.!?]+|[^.!?]+$$)', 1),
+      |    s -> trim(s)), s -> len(s) > 0) AS sents
+      |  FROM all_docs),
+      |e AS (
+      |  SELECT doc_id, CAST(u2.i - 1 AS BIGINT) AS sent_id,
+      |    sents[u2.i] AS sentence
+      |  FROM sx, LATERAL unnest(generate_series(1, len(sents)))
+      |    u2(i))
+      |SELECT doc_id, sent_id, sentence FROM e
+      |ORDER BY doc_id, sent_id""".stripMargin
+  }
+
+  /** q263: Heaps'-law vocabulary growth
+    * ([[graft.operators.Corpus.vocabGrowth]]) — distinct types vs
+    * tokens at 10 corpus prefixes in doc_id order; the oracle
+    * replays the rank, the first-occurrence collapse, and both
+    * checkpoint joins. */
+  def q263VocabGrowth(s: SparkSession, d: String): DataFrame =
+    Corpus.vocabGrowth(
+      documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", checkpoints = 10)
+      .orderBy(col("checkpoint"))
+
+  private val q263Oracle: String =
+    raw"""WITH rk AS (
+      |  SELECT doc_id, text,
+      |    row_number() OVER (ORDER BY doc_id) AS rnk
+      |  FROM documents),
+      |tk AS (
+      |  SELECT rnk, u2.tok
+      |  FROM rk, LATERAL unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0)) u2(tok)),
+      |fr AS (SELECT tok, MIN(rnk) AS first_rnk FROM tk
+      |  GROUP BY tok),
+      |dt AS (SELECT rnk, COUNT(*) AS n_toks FROM tk GROUP BY rnk),
+      |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |cp AS (
+      |  SELECT g.i AS checkpoint,
+      |    CAST(floor(g.i * n / 10) AS BIGINT) AS cutoff
+      |  FROM nn, LATERAL unnest(generate_series(1, 10)) g(i)),
+      |ty AS (
+      |  SELECT checkpoint, cutoff, COUNT(*) AS n_types
+      |  FROM fr JOIN cp ON first_rnk <= cutoff
+      |  GROUP BY checkpoint, cutoff),
+      |tt AS (
+      |  SELECT checkpoint, SUM(n_toks) AS n_tokens
+      |  FROM dt JOIN cp ON rnk <= cutoff
+      |  GROUP BY checkpoint)
+      |SELECT ty.checkpoint, ty.cutoff AS n_docs,
+      |  CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  ty.n_types
+      |FROM ty LEFT JOIN tt ON tt.checkpoint = ty.checkpoint
+      |ORDER BY ty.checkpoint""".stripMargin
 
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
@@ -2627,6 +3044,13 @@ object CorpusQueries {
     "q253_import_stats" -> (q253ImportStats _),
     "q254_markdown_links" -> (q254MarkdownLinks _),
     "q255_import_cooccurrence" -> (q255ImportCooccurrence _),
+    "q256_identifier_subtokens" -> (q256IdentifierSubtokens _),
+    "q257_comment_stats" -> (q257CommentStats _),
+    "q258_linearize_tables" -> (q258LinearizeTables _),
+    "q259_vocab_coverage" -> (q259VocabCoverage _),
+    "q261_code_datasheet" -> (q261CodeDatasheet _),
+    "q262_sentences" -> (q262Sentences _),
+    "q263_vocab_growth" -> (q263VocabGrowth _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -2658,6 +3082,13 @@ object CorpusQueries {
     "q253_import_stats" -> q253Oracle,
     "q254_markdown_links" -> q254Oracle,
     "q255_import_cooccurrence" -> q255Oracle,
+    "q256_identifier_subtokens" -> q256Oracle,
+    "q257_comment_stats" -> q257Oracle,
+    "q258_linearize_tables" -> q258Oracle,
+    "q259_vocab_coverage" -> q259Oracle,
+    "q261_code_datasheet" -> q261Oracle,
+    "q262_sentences" -> q262Oracle,
+    "q263_vocab_growth" -> q263Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

@@ -509,6 +509,67 @@ object VectorQueries {
       |  uu.uniformity
       |FROM aa CROSS JOIN uu""".stripMargin
 
+  /** q260: margin-based pair mining
+    * ([[graft.operators.SimilaritySearch.marginMining]], Artetxe &
+    * Schwenk 2019 ratio margin) — mutual margin-best pairs between
+    * the even-id and odd-id embedding halves at k=4, margin ≥ 1.0:
+    * the bitext/paraphrase mining step where raw cosine fails on
+    * hub vectors. Margins ride trunc9 integer top-k sums + two
+    * single IEEE divisions, so the oracle replays every margin and
+    * both mutual-best windows exactly. */
+  def q260MarginMining(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    SimilaritySearch.marginMining(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id",
+        emb.filter(col("vec_id") % 2 === 1), "vec_id",
+        "embedding", k = 4, marginThreshold = 1.0)
+      .orderBy(col("lid"))
+  }
+
+  private val q260Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS lid, b.vec_id AS rid,
+      |    list_dot_product(a.e, b.e) /
+      |      (sqrt(list_dot_product(a.e, a.e)) *
+      |       sqrt(list_dot_product(b.e, b.e))) AS score
+      |  FROM v a JOIN v b
+      |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+      |p9 AS (
+      |  SELECT lid, rid, score,
+      |    CAST(floor(score * 1e9) AS BIGINT) AS s9
+      |  FROM p),
+      |rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY lid
+      |      ORDER BY s9 DESC, rid) AS rl,
+      |    row_number() OVER (PARTITION BY rid
+      |      ORDER BY s9 DESC, lid) AS rr
+      |  FROM p9),
+      |ax AS (SELECT lid, SUM(s9) AS ax9 FROM rk
+      |  WHERE rl <= 4 GROUP BY lid),
+      |ay AS (SELECT rid, SUM(s9) AS ay9 FROM rk
+      |  WHERE rr <= 4 GROUP BY rid),
+      |m AS (
+      |  SELECT p9.lid, p9.rid, p9.score,
+      |    CAST(p9.s9 AS DOUBLE) /
+      |      (CAST(ax.ax9 + ay.ay9 AS DOUBLE) / 8.0) AS margin
+      |  FROM p9 JOIN ax ON ax.lid = p9.lid
+      |  JOIN ay ON ay.rid = p9.rid
+      |  WHERE ax.ax9 + ay.ay9 > 0),
+      |b AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY lid
+      |      ORDER BY margin DESC, rid) AS bl,
+      |    row_number() OVER (PARTITION BY rid
+      |      ORDER BY margin DESC, lid) AS br
+      |  FROM m)
+      |SELECT lid, rid, score, margin FROM b
+      |WHERE bl = 1 AND br = 1 AND margin >= 1.0
+      |ORDER BY lid""".stripMargin
+
   /** q226: graph-based ANN SERVING
     * ([[graft.operators.NnDescent.greedySearch]]) — best-first beam
     * search over the q211 k-NN graph for the first 8 vectors as
@@ -592,6 +653,7 @@ object VectorQueries {
     "q211_nn_descent" -> (q211NnDescent _),
     "q220_semantic_decon" -> (q220SemanticDecon _),
     "q221_alignment_uniformity" -> (q221AlignmentUniformity _),
+    "q260_margin_mining" -> (q260MarginMining _),
     "q226_graph_search" -> (q226GraphSearch _),
     "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
@@ -1103,6 +1165,7 @@ object VectorQueries {
     "q211_nn_descent" -> q211Oracle,
     "q220_semantic_decon" -> q220Oracle,
     "q221_alignment_uniformity" -> q221Oracle,
+    "q260_margin_mining" -> q260Oracle,
     "q226_graph_search" -> q226Oracle,
     "q31_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e

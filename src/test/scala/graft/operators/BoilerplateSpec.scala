@@ -171,4 +171,25 @@ class BoilerplateSpec extends SparkTestBase {
       .select("cls").head().getString(0)
     assert(cls === "bad")
   }
+
+  test("linearizeTables: header table gets a separator at row 0's " +
+      "width, headerless doesn't, ragged rows render at their own " +
+      "width, cells rejoin in col order") {
+    val html = "<body>" +
+      "<table><tr><th>a</th><th>b</th></tr>" +
+      "<tr><td>1</td><td>2</td></tr>" +
+      "<tr><td>only</td></tr></table>" + // ragged 1-cell row
+      "<table><tr><td>x</td><td>y</td></tr></table>" + // no header
+      "</body>"
+    val out = Boilerplate.linearizeTables(
+      Boilerplate.htmlTables(
+        Seq((1L, html)).toDF("id", "html"), "id", "html"), "id")
+      .orderBy("table_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 2L,
+        "| a | b |\n| --- | --- |\n| 1 | 2 |\n| only |"),
+      (1L, 1L, 2L, "| x | y |")))
+  }
 }

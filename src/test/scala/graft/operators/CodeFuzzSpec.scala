@@ -58,4 +58,32 @@ class CodeFuzzSpec extends SparkTestBase {
         (col("char_keep_ratio") < 0 ||
           col("char_keep_ratio") > 1))).count() === 0L)
   }
+
+  test("sentences on fuzz input: no exceptions; sentences are " +
+      "non-empty, trimmed, and rebuild only from doc characters") {
+    val s = Corpus.sentences(docs, "id", "text")
+    assert(s.filter(length(col("sentence")) === 0 ||
+      col("sentence").startsWith(" ") ||
+      col("sentence").endsWith(" ")).count() === 0L)
+    // ids contiguous from 0 per doc
+    val ids = s.groupBy(col("id"))
+      .agg(min(col("sent_id")).as("mn"), max(col("sent_id")).as("mx"),
+        count(lit(1)).as("c"))
+    assert(ids.filter(col("mn") =!= 0 ||
+      col("mx") =!= col("c") - 1).count() === 0L)
+  }
+
+  test("identifierSubtokens / commentStats on fuzz input: " +
+      "subtokens lowercase and non-empty; line classes partition " +
+      "the doc") {
+    val st = Code.identifierSubtokens(docs, "id", "text")
+    assert(st.filter(length(col("subtoken")) === 0 ||
+      col("subtoken") =!= lower(col("subtoken"))).count() === 0L)
+    val cs = Code.commentStats(docs, "id", "text")
+    val expect = docs.select(col("id"),
+      size(split(col("text"), "\n")).cast("long").as("n"))
+    assert(cs.join(expect, Seq("id"))
+      .filter(col("n_code") + col("n_comment") + col("n_docstring") +
+        col("n_blank") =!= col("n")).count() === 0L)
+  }
 }

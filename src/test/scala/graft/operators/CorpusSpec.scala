@@ -284,6 +284,58 @@ class CorpusSpec extends SparkTestBase {
       e.getString(4) === "prose")
   }
 
+  test("vocabCoverage: top-K by (count desc, token asc), per-doc " +
+      "OOV counters, token-less docs keep a zero row w/ NULL rate") {
+    val docs = Seq((1L, "a a b c"), (2L, "A d"), (3L, ""))
+      .toDF("id", "text")
+    val out = Corpus.vocabCoverage(docs, "id", "text", vocabSize = 2)
+      .orderBy("id").collect()
+    // counts: a=3 (case-folded), b=1, c=1, d=1 -> vocab {a, b}
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getLong(4), r1.getDouble(5)) === (4L, 1L, 3L, 1L, 0.25))
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getLong(4), r2.getDouble(5)) === (2L, 1L, 2L, 1L, 0.5))
+    val r3 = out(2) // empty text: zero counters, no 0/0 rate
+    assert((r3.getLong(1), r3.getLong(2), r3.getLong(3),
+      r3.getLong(4)) === (0L, 0L, 0L, 0L) && r3.isNullAt(5))
+  }
+
+  test("sentences: terminator runs bind to their sentence, " +
+      "unterminated tail kept, terminator-only and empty docs " +
+      "yield nothing, ids contiguous after trims") {
+    val out = Corpus.sentences(Seq(
+      (1L, "One. Two!! Three? tail no dot"),
+      (2L, "..."), (3L, ""), (4L, "  spaced.   out  "))
+      .toDF("id", "text"), "id", "text")
+      .orderBy("id", "sent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, "One."), (1L, 1L, "Two!!"), (1L, 2L, "Three?"),
+      (1L, 3L, "tail no dot"),
+      (4L, 0L, "spaced."), (4L, 1L, "out")))
+  }
+
+  test("vocabGrowth: monotone types/tokens, exact counts at every " +
+      "prefix, ragged final checkpoint lands on n") {
+    // 4 docs in id order; vocab introduced: d1 {a b}, d2 {a c},
+    // d3 {d}, d4 {} (empty)
+    val docs = Seq((10L, "a b"), (20L, "a c a"), (30L, "d"),
+      (40L, "")).toDF("id", "text")
+    val out = Corpus.vocabGrowth(docs, "id", "text",
+        checkpoints = 4)
+      .orderBy("checkpoint")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 2L),  // after d1: 2 tokens, {a,b}
+      (2L, 2L, 5L, 3L),  // +d2: 5 tokens, {a,b,c}
+      (3L, 3L, 6L, 4L),  // +d3
+      (4L, 4L, 6L, 4L))) // +empty d4: unchanged
+  }
+
   test("robotsGate: longest match wins, Allow beats Disallow on " +
       "ties, empty Disallow is no rule, unknown host allowed") {
     val rules = Corpus.robotsRules(Seq(

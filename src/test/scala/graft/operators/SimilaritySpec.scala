@@ -319,4 +319,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("marginMining: the margin demotes a hub the raw cosine " +
+      "prefers, pairs are mutual-best, threshold filters") {
+    import spark.implicits._
+    // Unit-circle 2-d vectors; cosine = cos(angle difference).
+    //   left x (0 deg):  raw-cosine best is hub h (cos .900) but
+    //     h is z's darling (cos .990), so h's k-NN mass is high and
+    //     margin picks y (cos .850) instead;
+    //   left z pairs with h (mutual, margin 1.0).
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val left = Seq((0L, v(0.0)), (2L, v(-33.952)))
+      .toDF("vec_id", "embedding")
+    val right = Seq((1L, v(31.788)), (3L, v(-25.842)))
+      .toDF("vec_id", "embedding") // 1 = y, 3 = h (the hub)
+    val out = SimilaritySearch.marginMining(left, "vec_id",
+        right, "vec_id", "embedding", k = 1,
+        marginThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(out.map(p => (p._1, p._2)).toSet === Set((0L, 1L),
+      (2L, 3L)), s"hub demoted, mutual pairs: ${out.toSeq}")
+    val xy = out.find(_._1 == 0L).get
+    // raw cosine preferred the hub (cos(x,h) ~= .900 > .850) yet
+    // the emitted partner is y with margin ~ .850/((.900+.850)/2)
+    assert(xy._3 < 0.9 && math.abs(xy._4 - 0.9714) < 0.01)
+    // a higher floor drops the sub-threshold pair, keeps the 1.0 one
+    val strict = SimilaritySearch.marginMining(left, "vec_id",
+      right, "vec_id", "embedding", k = 1, marginThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSet === Set((2L, 3L)))
+  }
 }
