@@ -125,4 +125,44 @@ object Packing {
           .as("pad_frac"))
       .orderBy(col("ctx"))
   }
+
+  /** Length-bucketed inference batching — the dynamic-batching step
+    * teacher scoring / embedding / reranking fleets run so a batch
+    * pads every item to ITS OWN max, not the corpus max: items sort
+    * by (length desc, id), fixed `batchSize` groups slice off the
+    * rank, and each batch reports its padding waste. A random-order
+    * batcher pads to the global tail; length-sorted batching is the
+    * standard fix (the bucketing behind every serving framework's
+    * length-grouped sampler).
+    *
+    * Output per batch: (batch_id, n_items, max_len, sum_len,
+    * padding, pad_frac) — `padding` = n_items·max_len − sum_len,
+    * `pad_frac` its share of the padded volume (NULL when the padded
+    * volume is zero: all-empty batches have no meaningful fraction).
+    * Integer counters + one final IEEE division — oracle-exact.
+    *
+    * Scale: the global length order comes from
+    * [[graft.operators.Corpus.globalRank]] (range repartition +
+    * two-pass index — never a single-partition window); the batch
+    * aggregate groups on `batch_id`, which the rank makes contiguous
+    * within range partitions (near-local aggregation). */
+  def lengthBucketedBatches(df: DataFrame, idCol: String,
+      tokenCol: String, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize >= 1 ($batchSize)")
+    val ranked = Corpus.globalRank(
+      df.select(col(idCol), col(tokenCol)),
+      Seq(col(tokenCol).desc, col(idCol)), "rnk")
+    val batched = ranked.withColumn("batch_id",
+      floor((col("rnk") - 1) / batchSize).cast("long"))
+    val agg = batched.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_items"),
+        max(col(tokenCol)).cast("long").as("max_len"),
+        sum(col(tokenCol)).cast("long").as("sum_len"))
+      .withColumn("padding",
+        col("n_items") * col("max_len") - col("sum_len"))
+    agg.withColumn("pad_frac",
+      when(col("n_items") * col("max_len") > 0,
+        col("padding").cast("double") /
+          (col("n_items") * col("max_len")).cast("double")))
+  }
 }

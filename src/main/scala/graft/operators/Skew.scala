@@ -43,4 +43,38 @@ object Skew {
   def heavyHitters(df: DataFrame, keyCol: String, n: Int): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col(keyCol)).limit(n)
+
+  /** Join/aggregation-key SKEW DIAGNOSTICS — the pre-flight a 100 TB
+    * shuffle runs before committing to a partitioning: the top-K hot
+    * keys with their corpus share and hot factor (count ÷ the
+    * uniform-key expectation `n_rows/n_keys`; a hot factor of 40
+    * means that key's reducer gets 40× the average partition — the
+    * number the `salts` parameter of [[saltedJoin]] is sized from).
+    * Globals ride every row (one broadcast one-row frame) so the
+    * frame stays a single relation. Both divisions are single IEEE
+    * ops on exact integer counts — oracle-exact.
+    *
+    * Scale: one map-side-combining count per key, a one-row global
+    * fold over the KEY-sized count table, and a top-K take — the
+    * corpus shuffles once, on the key being diagnosed. */
+  def keyDiagnostics(df: DataFrame, keyCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK >= 1 ($topK)")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val globals = counts.agg(sum(col("cnt")).as("_nr"),
+      count(lit(1)).as("_nk"))
+    val top = counts.orderBy(desc("cnt"), col("key")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cnt"), col("key"))))
+    top.crossJoin(broadcast(globals))
+      .select(col("rnk").cast("long").as("rnk"), col("key"),
+        col("cnt"),
+        (col("cnt").cast("double") / col("_nr").cast("double"))
+          .as("share"),
+        (col("cnt").cast("double") * col("_nk") / col("_nr"))
+          .as("hot_factor"),
+        col("_nr").as("n_rows"), col("_nk").as("n_keys"))
+  }
 }

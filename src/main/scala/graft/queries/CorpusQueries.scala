@@ -2212,6 +2212,73 @@ object CorpusQueries {
       |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q266: the composed INFERENCE-SERVING MANIFEST — what a
+    * teacher-scoring/embedding fleet actually reads: the q259
+    * vocabulary-coverage frame gates out foreign-doc outliers
+    * (OOV rate > 0.5 under the corpus top-500 vocab), survivors
+    * flow into q264's length-bucketed batching (desc token count,
+    * 32/batch), and each batch reports its padding waste. The
+    * oracle chains the coverage replay into the rank/batch
+    * arithmetic — the gate→batch COMPOSITION is what the hash match
+    * proves. */
+  def q266ServingManifest(s: SparkSession, d: String): DataFrame = {
+    val cov = Corpus.vocabCoverage(
+      documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", vocabSize = 500)
+    val keep = cov.filter(col("oov_rate").isNotNull &&
+      col("oov_rate") <= 0.5)
+    graft.operators.Packing.lengthBucketedBatches(
+        keep.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", batchSize = 32)
+      .orderBy(col("batch_id"))
+  }
+
+  private val q266Oracle: String =
+    raw"""WITH tk AS (
+      |  SELECT doc_id, u2.tok
+      |  FROM documents, LATERAL unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0)) u2(tok)),
+      |vc AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+      |vr AS (
+      |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok)
+      |    AS vrank
+      |  FROM vc),
+      |vocab AS (SELECT tok FROM vr WHERE vrank <= 500),
+      |j AS (
+      |  SELECT tk.doc_id, vocab.tok IS NOT NULL AS iv
+      |  FROM tk LEFT JOIN vocab ON tk.tok = vocab.tok),
+      |g AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_oov
+      |  FROM j GROUP BY doc_id),
+      |keep AS (
+      |  SELECT doc_id, n_tokens FROM g
+      |  WHERE CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |    <= 0.5),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+      |      AS rnk
+      |  FROM keep),
+      |b AS (
+      |  SELECT n_tokens, CAST(FLOOR(
+      |    CAST(rnk - 1 AS DOUBLE) / 32) AS BIGINT) AS batch_id
+      |  FROM r),
+      |gb AS (
+      |  SELECT batch_id, COUNT(*) AS n_items,
+      |    CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS sum_len
+      |  FROM b GROUP BY batch_id)
+      |SELECT batch_id, n_items, max_len, sum_len,
+      |  n_items * max_len - sum_len AS padding,
+      |  CASE WHEN n_items * max_len > 0 THEN
+      |    CAST(n_items * max_len - sum_len AS DOUBLE) /
+      |    CAST(n_items * max_len AS DOUBLE)
+      |  END AS pad_frac
+      |FROM gb ORDER BY batch_id""".stripMargin
+
   /** q261: the composed CODE-CORPUS DATASHEET — the one-row audit a
     * code-corpus ship publishes (the q243/q150 device for the code
     * family): the q250 mixed feed flows through content-type
@@ -3051,6 +3118,7 @@ object CorpusQueries {
     "q261_code_datasheet" -> (q261CodeDatasheet _),
     "q262_sentences" -> (q262Sentences _),
     "q263_vocab_growth" -> (q263VocabGrowth _),
+    "q266_serving_manifest" -> (q266ServingManifest _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -3089,6 +3157,7 @@ object CorpusQueries {
     "q261_code_datasheet" -> q261Oracle,
     "q262_sentences" -> q262Oracle,
     "q263_vocab_growth" -> q263Oracle,
+    "q266_serving_manifest" -> q266Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

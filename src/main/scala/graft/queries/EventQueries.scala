@@ -377,7 +377,20 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q265: join-key skew diagnostics
+    * ([[graft.operators.Skew.keyDiagnostics]]) — the pre-flight a
+    * 100 TB shuffle runs on its key before committing to a
+    * partitioning: top-20 hot user_ids with corpus share and hot
+    * factor (count ÷ uniform expectation), the number
+    * [[graft.operators.Skew.saltedJoin]]'s `salts` is sized from. */
+  def q265KeySkew(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.keyDiagnostics(
+      events(s, d).select(col("user_id")), "user_id", topK = 20)
+      .withColumnRenamed("key", "user_id")
+      .orderBy(col("rnk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_key_skew" -> (q265KeySkew _),
     "q168_interval_load" -> (q168IntervalLoad _),
     "q95_value_outliers" -> (q95ValueOutliers _),
     "q81_cohort_retention" -> (q81CohortRetention _),
@@ -402,6 +415,23 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q265_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events
+        |  GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS nr, COUNT(*) AS nk
+        |  FROM c),
+        |t AS (
+        |  SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk
+        |  FROM c)
+        |SELECT CAST(t.rnk AS BIGINT) AS rnk, t.user_id, t.cnt,
+        |  CAST(t.cnt AS DOUBLE) / CAST(g.nr AS DOUBLE) AS share,
+        |  CAST(t.cnt AS DOUBLE) * g.nk / g.nr AS hot_factor,
+        |  g.nr AS n_rows, g.nk AS n_keys
+        |FROM t CROSS JOIN g WHERE t.rnk <= 20
+        |ORDER BY rnk""".stripMargin,
     "q168_interval_load" ->
       """WITH b AS (
         |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta, event_id

@@ -410,6 +410,19 @@ object TextQueries {
       .withColumn("fill_ratio", col("total_tokens") / lit(512.0))
       .orderBy(col("bin"))
 
+  /** q264: length-bucketed inference batching
+    * ([[graft.operators.Packing.lengthBucketedBatches]]) — the
+    * dynamic-batching manifest a teacher-scoring/embedding fleet
+    * runs with: docs sort by (token count desc, id) via the two-pass
+    * global rank, fixed 32-item batches, per-batch padding waste.
+    * The oracle replays the rank and every counter. */
+  def q264LengthBatches(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.lengthBucketedBatches(
+      documents(s, d).select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", batchSize = 32)
+      .orderBy(col("batch_id"))
+
   /** Stratified downsampling ([[graft.operators.Split.stratifiedSample]]):
     * rebalance the corpus by language — keep 40% of `en`, 70% of
     * `zh`, everything else — then count the surviving distribution.
@@ -1530,6 +1543,7 @@ object TextQueries {
     "q73_dataset_split" -> (q73DatasetSplit _),
     "q74_cluster_split" -> (q74ClusterSplit _),
     "q75_sequence_packing" -> (q75SequencePacking _),
+    "q264_length_batches" -> (q264LengthBatches _),
     "q227_packing_frontier" -> (q227PackingFrontier _),
     "q79_data_profile" -> (q79DataProfile _),
     "q80_stratified_sample" -> (q80StratifiedSample _),
@@ -2875,6 +2889,31 @@ object TextQueries {
         | COUNT(DISTINCT text) FROM documents
         |ORDER BY column_name""".stripMargin,
     "q227_packing_frontier" -> q227Oracle,
+    "q264_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+        |      AS rnk
+        |  FROM t),
+        |b AS (
+        |  SELECT n_tokens, CAST(FLOOR(
+        |    CAST(rnk - 1 AS DOUBLE) / 32) AS BIGINT) AS batch_id
+        |  FROM r),
+        |g AS (
+        |  SELECT batch_id, COUNT(*) AS n_items,
+        |    CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS sum_len
+        |  FROM b GROUP BY batch_id)
+        |SELECT batch_id, n_items, max_len, sum_len,
+        |  n_items * max_len - sum_len AS padding,
+        |  CASE WHEN n_items * max_len > 0 THEN
+        |    CAST(n_items * max_len - sum_len AS DOUBLE) /
+        |    CAST(n_items * max_len AS DOUBLE)
+        |  END AS pad_frac
+        |FROM g ORDER BY batch_id""".stripMargin,
     "q75_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -113,4 +113,24 @@ class PackingSpec extends SparkTestBase {
     // kept: 10+100+256 = 366 of 768 slots
     assert(c256.getAs[Double]("pad_frac") === 1.0 - 366.0 / 768.0)
   }
+
+  test("lengthBucketedBatches: longest-first batches, ragged tail, " +
+      "hand-computed padding, sorted waste beats a scrambled order") {
+    import spark.implicits._
+    // lengths 9,8,5,4,2 in scrambled id order; batchSize 2 ->
+    // batches [9,8], [5,4], [2]
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 2L), (4L, 8L),
+      (5L, 4L)).toDF("id", "n_tok")
+    val out = Packing.lengthBucketedBatches(docs, "id", "n_tok", 2)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 9L, 17L, 1L, 1.0 / 18.0),
+      (1L, 2L, 5L, 9L, 1L, 1.0 / 10.0),
+      (2L, 1L, 2L, 2L, 0L, 0.0)))
+    // total sorted padding (2) < the id-order batching's ([5,9]
+    // pads 4, [2,8] pads 6, [4] pads 0 -> 10)
+    assert(out.map(_._5).sum === 2L)
+  }
 }

@@ -44,4 +44,20 @@ class SkewSpec extends SparkTestBase {
     val top = Skew.heavyHitters(skewed, "k", 2).collect()
     assert(top(0).getLong(0) === 1L && top(0).getLong(1) === 10000L)
   }
+
+  test("keyDiagnostics: hand-computed share and hot factor, " +
+      "deterministic tie order, globals on every row") {
+    import spark.implicits._
+    // 8 rows over 4 keys: a=4, b=2, c=1, d=1 -> mean 2
+    val df = Seq("a", "a", "a", "a", "b", "b", "c", "d")
+      .toDF("k")
+    val out = Skew.keyDiagnostics(df, "k", topK = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, "a", 4L, 0.5, 2.0, 8L, 4L),
+      (2L, "b", 2L, 0.25, 1.0, 8L, 4L),
+      (3L, "c", 1L, 0.125, 0.5, 8L, 4L))) // c before d on the tie
+  }
 }
