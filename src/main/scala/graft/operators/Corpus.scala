@@ -518,15 +518,20 @@ object Corpus {
           .as("cutoff")))
     val types = firstRank.join(cps,
         col("first_rnk") <= col("cutoff"))
-      .groupBy(col("checkpoint"), col("cutoff"))
+      .groupBy(col("checkpoint"))
       .agg(count(lit(1)).as("n_types"))
     val tokens = docTokens.join(cps, col("rnk") <= col("cutoff"))
       .groupBy(col("checkpoint"))
       .agg(sum(col("n_toks")).as("n_tokens"))
-    types.join(tokens, Seq("checkpoint"), "left")
+    // the checkpoint frame DRIVES the output: a zero-cutoff or
+    // all-empty prefix still reports its row (with zeros) — the
+    // declared 1..K contract; the inner ≤-joins alone would silently
+    // drop it
+    cps.join(types, Seq("checkpoint"), "left")
+      .join(tokens, Seq("checkpoint"), "left")
       .select(col("checkpoint"), col("cutoff").as("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        col("n_types"))
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
   }
 
   /** Exact 1-based global rank of every row under `sortCols` WITHOUT

@@ -71,10 +71,12 @@ object ModelArtifacts {
     * no current table exists. `name` must be a lowercase identifier;
     * table identity is `graft_art_<name>_<md5(fingerprint)₃₂>`, so a
     * changed input gets a NEW table and staleness is structurally
-    * impossible; SUPERSEDED tables of the same name (differing hash)
-    * are dropped at rebuild time so regenerated corpora never leak
-    * stale parquet in the warehouse (re-requesting an old
-    * fingerprint rebuilds). The parquet round-trip is value-exact for every
+    * impossible; STALE tables of the same name (a differing hash no
+    * caller has served this session) are dropped at rebuild time so
+    * regenerated corpora never leak parquet in the warehouse, while
+    * fingerprints that are live in this session (two datasets
+    * alternating under one name) are never dropped out from under
+    * their readers. The parquet round-trip is value-exact for every
     * Spark SQL type (doubles bit-preserved), so serving from the
     * artifact is indistinguishable from re-running `build`. */
   def cached(spark: SparkSession, name: String, fingerprint: String)
@@ -83,20 +85,32 @@ object ModelArtifacts {
       s"artifact name must be a lowercase identifier ($name)")
     val table = s"graft_art_${name}_${md5hex(fingerprint).take(8)}"
     if (!spark.catalog.tableExists(table)) {
-      // A regenerated corpus gets a NEW hash suffix; the superseded
-      // graft_art_<name>_<oldhash> tables are never looked up again
-      // but would leak parquet in the warehouse indefinitely — drop
-      // them before the rebuild (safe under the documented
-      // single-builder contract: nothing can be reading a table
-      // whose fingerprint no longer matches any live input).
-      val prefix = s"graft_art_${name}_"
+      // A regenerated corpus gets a NEW hash suffix; superseded
+      // graft_art_<name>_<oldhash> tables would leak parquet in the
+      // warehouse indefinitely — drop them before the rebuild. Two
+      // guards keep the drop from destroying LIVE tables:
+      //   - the sibling pattern anchors to this exact name + an
+      //     8-hex hash (underscores are legal in names, so a bare
+      //     startsWith("graft_art_pca_") would also eat pca_axes);
+      //   - tables this session has SERVED stay alive (two datasets
+      //     alternating fingerprints under one name must not thrash
+      //     each other's builds; only hashes no caller has touched
+      //     this session — true cross-session staleness — drop).
+      val sibling = s"graft_art_${name}_[0-9a-f]{8}".r
       spark.catalog.listTables().collect()
         .map(_.name)
-        .filter(t => t.startsWith(prefix) && t != table)
+        .filter(t => sibling.matches(t) && t != table &&
+          !servedTables.contains(t))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       clearOrphanLocation(spark, table)
       build.write.format("parquet").saveAsTable(table)
     }
+    servedTables.add(table)
     spark.table(table)
   }
+
+  /** Artifact tables served by THIS session (JVM) — never dropped
+    * by the sibling cleanup; see [[cached]]. */
+  private val servedTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -2177,8 +2177,12 @@ object CorpusQueries {
       "doc_id", "text", vocabSize = 500)
       .orderBy(col("doc_id"))
 
-  private val q259Oracle: String =
-    raw"""WITH tk AS (
+  /** Vocabulary-coverage replay over the documents table (top-500
+    * vocab) — ends at `g(doc_id, n_tokens, n_oov, n_types,
+    * n_oov_types)`. Shared by q259 and the composed q266 so the
+    * ranking/probe arithmetic lives in ONE place. */
+  private val coverageCtes: String =
+    raw"""tk AS (
       |  SELECT doc_id, u2.tok
       |  FROM documents, LATERAL unnest(list_filter(
       |    string_split_regex(lower(text), '\s+'),
@@ -2200,7 +2204,10 @@ object CorpusQueries {
       |    COUNT(DISTINCT tok) AS n_types,
       |    COUNT(DISTINCT CASE WHEN NOT iv THEN tok END)
       |      AS n_oov_types
-      |  FROM j GROUP BY doc_id)
+      |  FROM j GROUP BY doc_id)""".stripMargin
+
+  private val q259Oracle: String =
+    s"""WITH $coverageCtes
       |SELECT d.doc_id,
       |  COALESCE(n_tokens, 0) AS n_tokens,
       |  COALESCE(n_oov, 0) AS n_oov,
@@ -2234,50 +2241,13 @@ object CorpusQueries {
   }
 
   private val q266Oracle: String =
-    raw"""WITH tk AS (
-      |  SELECT doc_id, u2.tok
-      |  FROM documents, LATERAL unnest(list_filter(
-      |    string_split_regex(lower(text), '\s+'),
-      |    t -> len(t) > 0)) u2(tok)),
-      |vc AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
-      |vr AS (
-      |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok)
-      |    AS vrank
-      |  FROM vc),
-      |vocab AS (SELECT tok FROM vr WHERE vrank <= 500),
-      |j AS (
-      |  SELECT tk.doc_id, vocab.tok IS NOT NULL AS iv
-      |  FROM tk LEFT JOIN vocab ON tk.tok = vocab.tok),
-      |g AS (
-      |  SELECT doc_id, COUNT(*) AS n_tokens,
-      |    CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS n_oov
-      |  FROM j GROUP BY doc_id),
+    s"""WITH $coverageCtes,
       |keep AS (
       |  SELECT doc_id, n_tokens FROM g
       |  WHERE CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
       |    <= 0.5),
-      |r AS (
-      |  SELECT doc_id, n_tokens,
-      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id)
-      |      AS rnk
-      |  FROM keep),
-      |b AS (
-      |  SELECT n_tokens, CAST(FLOOR(
-      |    CAST(rnk - 1 AS DOUBLE) / 32) AS BIGINT) AS batch_id
-      |  FROM r),
-      |gb AS (
-      |  SELECT batch_id, COUNT(*) AS n_items,
-      |    CAST(MAX(n_tokens) AS BIGINT) AS max_len,
-      |    CAST(SUM(n_tokens) AS BIGINT) AS sum_len
-      |  FROM b GROUP BY batch_id)
-      |SELECT batch_id, n_items, max_len, sum_len,
-      |  n_items * max_len - sum_len AS padding,
-      |  CASE WHEN n_items * max_len > 0 THEN
-      |    CAST(n_items * max_len - sum_len AS DOUBLE) /
-      |    CAST(n_items * max_len AS DOUBLE)
-      |  END AS pad_frac
-      |FROM gb ORDER BY batch_id""".stripMargin
+      |${Tables.lengthBatchCtes("keep", 32)}
+      |${Tables.lengthBatchSelect}""".stripMargin
 
   /** q261: the composed CODE-CORPUS DATASHEET — the one-row audit a
     * code-corpus ship publishes (the q243/q150 device for the code
@@ -2431,18 +2401,20 @@ object CorpusQueries {
       |    CAST(floor(g.i * n / 10) AS BIGINT) AS cutoff
       |  FROM nn, LATERAL unnest(generate_series(1, 10)) g(i)),
       |ty AS (
-      |  SELECT checkpoint, cutoff, COUNT(*) AS n_types
+      |  SELECT checkpoint, COUNT(*) AS n_types
       |  FROM fr JOIN cp ON first_rnk <= cutoff
-      |  GROUP BY checkpoint, cutoff),
+      |  GROUP BY checkpoint),
       |tt AS (
       |  SELECT checkpoint, SUM(n_toks) AS n_tokens
       |  FROM dt JOIN cp ON rnk <= cutoff
       |  GROUP BY checkpoint)
-      |SELECT ty.checkpoint, ty.cutoff AS n_docs,
+      |SELECT cp.checkpoint, cp.cutoff AS n_docs,
       |  CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
-      |  ty.n_types
-      |FROM ty LEFT JOIN tt ON tt.checkpoint = ty.checkpoint
-      |ORDER BY ty.checkpoint""".stripMargin
+      |  CAST(COALESCE(ty.n_types, 0) AS BIGINT) AS n_types
+      |FROM cp
+      |LEFT JOIN ty ON ty.checkpoint = cp.checkpoint
+      |LEFT JOIN tt ON tt.checkpoint = cp.checkpoint
+      |ORDER BY cp.checkpoint""".stripMargin
 
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline

@@ -41,6 +41,40 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Length-bucketed-batch oracle replay over a caller-supplied
+    * `$src(doc_id, n_tokens)` CTE (the
+    * [[graft.operators.Packing.lengthBucketedBatches]] arithmetic) —
+    * ends at `gb(batch_id, n_items, max_len, sum_len)`; pair with
+    * [[lengthBatchSelect]]. Shared by q264 and the composed q266 so
+    * the rank/batch arithmetic lives in ONE place. */
+  private[queries] def lengthBatchCtes(src: String,
+      batchSize: Int): String =
+    s"""lbr AS (
+      |  SELECT doc_id, n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+      |      AS rnk
+      |  FROM $src),
+      |lbb AS (
+      |  SELECT n_tokens, CAST(FLOOR(
+      |    CAST(rnk - 1 AS DOUBLE) / $batchSize) AS BIGINT)
+      |    AS batch_id
+      |  FROM lbr),
+      |gb AS (
+      |  SELECT batch_id, COUNT(*) AS n_items,
+      |    CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS sum_len
+      |  FROM lbb GROUP BY batch_id)""".stripMargin
+
+  /** The final projection over [[lengthBatchCtes]]'s `gb`. */
+  private[queries] val lengthBatchSelect: String =
+    """SELECT batch_id, n_items, max_len, sum_len,
+      |  n_items * max_len - sum_len AS padding,
+      |  CASE WHEN n_items * max_len > 0 THEN
+      |    CAST(n_items * max_len - sum_len AS DOUBLE) /
+      |    CAST(n_items * max_len AS DOUBLE)
+      |  END AS pad_frac
+      |FROM gb ORDER BY batch_id""".stripMargin
+
   /** Exact sum of a double column: per-row cast to DECIMAL(18,scale)
     * (deterministic), exact decimal sum, final cast to double.
     * DuckDB mirror: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE). */

@@ -2890,30 +2890,11 @@ object TextQueries {
         |ORDER BY column_name""".stripMargin,
     "q227_packing_frontier" -> q227Oracle,
     "q264_length_batches" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, n_tokens,
-        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id)
-        |      AS rnk
-        |  FROM t),
-        |b AS (
-        |  SELECT n_tokens, CAST(FLOOR(
-        |    CAST(rnk - 1 AS DOUBLE) / 32) AS BIGINT) AS batch_id
-        |  FROM r),
-        |g AS (
-        |  SELECT batch_id, COUNT(*) AS n_items,
-        |    CAST(MAX(n_tokens) AS BIGINT) AS max_len,
-        |    CAST(SUM(n_tokens) AS BIGINT) AS sum_len
-        |  FROM b GROUP BY batch_id)
-        |SELECT batch_id, n_items, max_len, sum_len,
-        |  n_items * max_len - sum_len AS padding,
-        |  CASE WHEN n_items * max_len > 0 THEN
-        |    CAST(n_items * max_len - sum_len AS DOUBLE) /
-        |    CAST(n_items * max_len AS DOUBLE)
-        |  END AS pad_frac
-        |FROM g ORDER BY batch_id""".stripMargin,
+        |${Tables.lengthBatchCtes("t", 32)}
+        |${Tables.lengthBatchSelect}""".stripMargin,
     "q75_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -334,6 +334,16 @@ class CorpusSpec extends SparkTestBase {
       (2L, 2L, 5L, 3L),  // +d2: 5 tokens, {a,b,c}
       (3L, 3L, 6L, 4L),  // +d3
       (4L, 4L, 6L, 4L))) // +empty d4: unchanged
+    // more checkpoints than docs: zero-cutoff prefixes still report
+    // their (zeroed) rows — all K rows present, the 1..K contract
+    val wide = Corpus.vocabGrowth(docs, "id", "text",
+        checkpoints = 8)
+      .orderBy("checkpoint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(wide.length === 8)
+    assert(wide(0) === ((1L, 0L, 0L, 0L)), s"got ${wide.toSeq}")
+    assert(wide(7) === ((8L, 4L, 6L, 4L)))
   }
 
   test("robotsGate: longest match wins, Allow beats Disallow on " +

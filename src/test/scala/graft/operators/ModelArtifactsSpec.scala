@@ -25,15 +25,30 @@ class ModelArtifactsSpec extends SparkTestBase {
       Seq((1L, 0.5), (2L, -0.25)))
     ModelArtifacts.cached(spark, "spec_art", "fp2")(make())
     assert(builds === 2, "a changed fingerprint is a new artifact")
-    // superseded fingerprints are DROPPED on rebuild — a regenerated
-    // corpus must not leak its predecessor's parquet in the
-    // warehouse forever; exactly one spec_art table survives
-    val live = spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith("graft_art_spec_art_"))
-    assert(live.length === 1, s"one live artifact, got ${live.toSeq}")
-    // re-requesting the superseded fingerprint therefore rebuilds
+    // fp1 was SERVED this session, so the fp2 build must NOT drop it
+    // (alternating datasets under one name never thrash each other)
     val again = ModelArtifacts.cached(spark, "spec_art", "fp1")(make())
-    assert(builds === 3 && again.count() === 2)
+    assert(builds === 2 && again.count() === 2,
+      "live fingerprints survive sibling rebuilds")
+  }
+
+  test("cached drops STALE same-name siblings (unserved hash) on " +
+      "rebuild, but never a different artifact whose name merely " +
+      "extends this one") {
+    // simulate a previous session's leftover: a sibling hash this
+    // JVM never served, plus a name-extension artifact
+    Seq((1L, 1.0)).toDF("id", "w").write.format("parquet")
+      .saveAsTable("graft_art_spec_stale_deadbeef")
+    ModelArtifacts.cached(spark, "spec_stale_sub", "x")(
+      Seq((9L, 9.0)).toDF("id", "w"))
+    ModelArtifacts.cached(spark, "spec_stale", "fresh")(
+      Seq((2L, 2.0)).toDF("id", "w"))
+    val live = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_art_spec_stale")).sorted
+    assert(!live.contains("graft_art_spec_stale_deadbeef"),
+      s"stale unserved sibling must drop: ${live.toSeq}")
+    assert(live.exists(_.startsWith("graft_art_spec_stale_sub_")),
+      s"name-extension artifact must survive: ${live.toSeq}")
   }
 
   test("cached rejects non-identifier names (table-name safety)") {
