@@ -453,6 +453,55 @@ object Corpus {
         col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Per-document Unicode SCRIPT-MIX signals — the routing/quality
+    * layer beneath language ID (a LID model sees tokens; the script
+    * histogram sees raw code points, so it catches what LID can't:
+    * mixed-script spoofing, mislabeled transliterations, binary
+    * junk). Ratios over total characters for six families — latin,
+    * cyrillic, greek, arabic, cjk (Han+Hiragana+Katakana+Hangul),
+    * digit — via the [[contentTypeSignals]] char-class-removal
+    * device (script property classes, RE2 ∩ Java: `\p{IsLatin}` ≙
+    * RE2 `\p{Latin}`). Empty text: all ratios NULL, dominant NULL.
+    * `dominant_script` = the letter family with the max ratio
+    * (first in the declared order on ties; NULL when no letter
+    * family is present at all); `n_scripts` counts letter
+    * families above 5% — ≥2 is the mixed-script flag. One codegen'd
+    * per-row chain, no shuffle. */
+  def scriptMix(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = when(length(t) > 0, length(t).cast("double"))
+    def ratio(cls: String) =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("double") / n
+    val fams = Seq(
+      "latin" -> "\\p{IsLatin}",
+      "cyrillic" -> "\\p{IsCyrillic}",
+      "greek" -> "\\p{IsGreek}",
+      "arabic" -> "\\p{IsArabic}",
+      "cjk" -> ("[\\p{IsHan}\\p{IsHiragana}" +
+        "\\p{IsKatakana}\\p{IsHangul}]"),
+      "digit" -> "[0-9]")
+    val withRatios = df.select(col(idCol) +: fams.map { case (f, cls) =>
+      ratio(cls).as(s"${f}_ratio")
+    }: _*)
+    val letters = fams.map(_._1).filter(_ != "digit")
+    val mx = greatest(letters.map(f => col(s"${f}_ratio")): _*)
+    val dominant = letters.foldRight(lit(null).cast("string")) {
+      case (f, acc) =>
+        when(col(s"${f}_ratio") === mx, f).otherwise(acc)
+    }
+    val nScripts = letters.map(f =>
+      when(col(s"${f}_ratio") > 0.05, 1).otherwise(0))
+      .reduce(_ + _)
+    withRatios
+      // no letters at all (digits/punct-only, or empty) -> NULL,
+      // not a vacuous 'latin' at ratio 0
+      .withColumn("dominant_script", when(mx > 0, dominant))
+      .withColumn("n_scripts", nScripts.cast("long"))
+      .withColumn("mixed_script",
+        coalesce(col("n_scripts") >= 2, lit(false)))
+  }
+
   /** Rule-based sentence segmentation — the unit beneath the
     * paragraph/line operators that translation mining, SFT slicing,
     * and sentence-level dedup key on. Grammar, declared (RE2 ∩ Java

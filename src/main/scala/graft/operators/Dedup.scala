@@ -1165,4 +1165,54 @@ object Dedup {
         col("sz_a").cast("long").as("sz_a"),
         col("sz_b").cast("long").as("sz_b"), col("jaccard"))
   }
+
+  /** Cross-source exact-content overlap matrix — the provenance
+    * audit a multi-source corpus runs before mixing weights are
+    * chosen (two "independent" sources sharing half their content
+    * double-count in every mixture computation; the matrix says
+    * which pairs do). One row per unordered source pair with the
+    * number of distinct content keys (md5 of the text) present in
+    * BOTH.
+    *
+    * Scale: the corpus collapses to DISTINCT (key, source) first —
+    * key-pair work is then Σ C(sources-per-key, 2), bounded by the
+    * SOURCE count per key, never by document multiplicity; the pair
+    * join is a hash equi-join on the key. */
+  def crossSourceOverlap(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val keyed = df.select(md5(col(textCol)).as("_k"),
+      col(srcCol).as("source")).distinct()
+    keyed.as("a")
+      .join(keyed.as("b"), col("a._k") === col("b._k") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_keys"))
+  }
+
+  /** Exact-dup cluster-size histogram + dedup savings — the
+    * before/after numbers a dedup pass is justified with: clusters
+    * by content key (md5 of text), keep-lowest-id survivor, and per
+    * cluster-size bucket the cluster count, document count, and
+    * characters saved (total chars − survivor chars). One content-
+    * key aggregation + one bucket aggregation; text never
+    * self-joins. */
+  def dedupSavingsHistogram(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val clusters = df.select(md5(col(textCol)).as("_k"),
+        col(idCol).as("_id"),
+        length(col(textCol)).cast("long").as("_chars"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("_chars")).as("_total"),
+        min(struct(col("_id"), col("_chars"))).as("_survivor"))
+      .select(col("cluster_size"),
+        (col("_total") - col("_survivor").getField("_chars"))
+          .as("_saved"))
+    clusters.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size").cast("long"))
+          .as("n_docs"),
+        sum(col("_saved")).as("chars_saved"))
+  }
 }

@@ -2249,6 +2249,133 @@ object CorpusQueries {
       |${Tables.lengthBatchCtes("keep", 32)}
       |${Tables.lengthBatchSelect}""".stripMargin
 
+  /** q267: cross-source exact-content overlap matrix
+    * ([[graft.operators.Dedup.crossSourceOverlap]]) — the
+    * provenance audit run before mixture weights are chosen. A
+    * deterministic mirror feed (every 10th doc re-emitted under
+    * source 'mirror') plants cross-source duplicates so every
+    * matrix cell is value-checked. */
+  def q267SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"),
+      col("source"))
+    val mirrors = base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id") + 9000000L, col("text"),
+        lit("mirror").as("source"))
+      .toDF("doc_id", "text", "source")
+    graft.operators.Dedup.crossSourceOverlap(
+        base.unionByName(mirrors), "text", "source")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val q267Oracle: String =
+    """WITH un AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 9000000, text, 'mirror' FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |k AS (SELECT DISTINCT md5(text) AS kk, source FROM un)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  COUNT(*) AS n_shared_keys
+      |FROM k a JOIN k b
+      |  ON a.kk = b.kk AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** q268: Unicode script-mix signals
+    * ([[graft.operators.Corpus.scriptMix]]) — the routing layer
+    * beneath LID; corpus docs plus a fixture covering every family,
+    * a mixed-script (spoofing-shaped) doc, a digits-only doc, and
+    * an empty doc. */
+  private val ScriptFixture: Seq[(Long, String)] = Seq(
+    (9800001L, "Чисто русский текст без примесей"),
+    (9800002L, "Ελληνικό κείμενο εδώ"),
+    (9800003L, "نص عربي بسيط"),
+    (9800004L, "日本語のテキストとハングル한글"),
+    (9800005L, "pаypаl lоgin pаge"), // cyrillic а/о in latin words
+    (9800006L, "1234567890"),
+    (9800007L, ""))
+
+  def q268ScriptMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(ScriptFixture.toDF("doc_id", "text"))
+    Corpus.scriptMix(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q268Oracle: String = {
+    val vals = ScriptFixture.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    val fams = Seq(
+      "latin" -> raw"\p{Latin}",
+      "cyrillic" -> raw"\p{Cyrillic}",
+      "greek" -> raw"\p{Greek}",
+      "arabic" -> raw"\p{Arabic}",
+      "cjk" -> raw"[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]",
+      "digit" -> "[0-9]")
+    val ratios = fams.map { case (f, cls) =>
+      s"""CASE WHEN len(text) > 0 THEN
+        |      CAST(len(text) - len(regexp_replace(text, '$cls',
+        |        '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+        |      END AS ${f}_ratio""".stripMargin
+    }.mkString(",\n    ")
+    val letters = fams.map(_._1).filter(_ != "digit")
+    val mx = letters.map(f => s"${f}_ratio").mkString(
+      "greatest(", ", ", ")")
+    val dominant = letters.map(f =>
+      s"WHEN ${f}_ratio = $mx THEN '$f'").mkString(
+      "CASE ", " ", "END")
+    val nScripts = letters.map(f =>
+      s"CASE WHEN ${f}_ratio > 0.05 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+      |r AS (
+      |  SELECT doc_id,
+      |    $ratios
+      |  FROM all_docs)
+      |SELECT doc_id, latin_ratio, cyrillic_ratio, greek_ratio,
+      |  arabic_ratio, cjk_ratio, digit_ratio,
+      |  CASE WHEN $mx > 0 THEN $dominant END AS dominant_script,
+      |  CAST($nScripts AS BIGINT) AS n_scripts,
+      |  COALESCE(($nScripts) >= 2, false) AS mixed_script
+      |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** q269: exact-dup cluster-size histogram + dedup savings
+    * ([[graft.operators.Dedup.dedupSavingsHistogram]]) — the
+    * before/after a dedup pass is justified with; the q267 mirror
+    * feed plants deterministic size-2 clusters. */
+  def q269DedupSavings(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val mirrors = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    graft.operators.Dedup.dedupSavingsHistogram(
+        base.unionByName(mirrors), "doc_id", "text")
+      .orderBy(col("cluster_size"))
+  }
+
+  private val q269Oracle: String =
+    """WITH un AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 9000000, text FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |cl AS (
+      |  SELECT md5(text) AS kk, COUNT(*) AS cluster_size,
+      |    CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+      |    CAST(arg_min(len(text), doc_id) AS BIGINT)
+      |      AS survivor_chars
+      |  FROM un GROUP BY md5(text))
+      |SELECT cluster_size, COUNT(*) AS n_clusters,
+      |  COUNT(*) * cluster_size AS n_docs,
+      |  CAST(SUM(total_chars - survivor_chars) AS BIGINT)
+      |    AS chars_saved
+      |FROM cl GROUP BY cluster_size
+      |ORDER BY cluster_size""".stripMargin
+
   /** q261: the composed CODE-CORPUS DATASHEET — the one-row audit a
     * code-corpus ship publishes (the q243/q150 device for the code
     * family): the q250 mixed feed flows through content-type
@@ -3091,6 +3218,9 @@ object CorpusQueries {
     "q262_sentences" -> (q262Sentences _),
     "q263_vocab_growth" -> (q263VocabGrowth _),
     "q266_serving_manifest" -> (q266ServingManifest _),
+    "q267_source_overlap" -> (q267SourceOverlap _),
+    "q268_script_mix" -> (q268ScriptMix _),
+    "q269_dedup_savings" -> (q269DedupSavings _),
     "q189_readability" -> (q189Readability _),
     "q199_badwords_filter" -> (q199BadwordsFilter _),
     "q201_skipgram_negatives" -> (q201SkipgramNegatives _),
@@ -3130,6 +3260,9 @@ object CorpusQueries {
     "q262_sentences" -> q262Oracle,
     "q263_vocab_growth" -> q263Oracle,
     "q266_serving_manifest" -> q266Oracle,
+    "q267_source_overlap" -> q267Oracle,
+    "q268_script_mix" -> q268Oracle,
+    "q269_dedup_savings" -> q269Oracle,
     "q209_cdc_chunks" -> q209Oracle,
     "q228_freq_spectrum" -> q228Oracle,
     "q219_distribution_drift" -> q219Oracle,

@@ -526,17 +526,20 @@ object VectorQueries {
       .orderBy(col("lid"))
   }
 
-  private val q260Oracle: String =
-    """WITH v AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-      |  FROM embeddings),
-      |p AS (
-      |  SELECT a.vec_id AS lid, b.vec_id AS rid,
+  /** Margin-mining oracle replay over caller-supplied
+    * `$leftSrc(lid, e)` / `$rightSrc(rid, e)` CTEs (the
+    * [[SimilaritySearch.marginMining]] arithmetic: trunc9 integer
+    * top-k sums, two single IEEE divisions, mutual-best windows) —
+    * ends at the final pair projection. Shared by q260 and the
+    * composed q270 so the margin arithmetic lives in ONE place. */
+  private def marginCtes(leftSrc: String, rightSrc: String,
+      k: Int, threshold: Double): String =
+    s"""p AS (
+      |  SELECT a.lid, b.rid,
       |    list_dot_product(a.e, b.e) /
       |      (sqrt(list_dot_product(a.e, a.e)) *
       |       sqrt(list_dot_product(b.e, b.e))) AS score
-      |  FROM v a JOIN v b
-      |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+      |  FROM $leftSrc a CROSS JOIN $rightSrc b),
       |p9 AS (
       |  SELECT lid, rid, score,
       |    CAST(floor(score * 1e9) AS BIGINT) AS s9
@@ -549,26 +552,92 @@ object VectorQueries {
       |      ORDER BY s9 DESC, lid) AS rr
       |  FROM p9),
       |ax AS (SELECT lid, SUM(s9) AS ax9 FROM rk
-      |  WHERE rl <= 4 GROUP BY lid),
+      |  WHERE rl <= $k GROUP BY lid),
       |ay AS (SELECT rid, SUM(s9) AS ay9 FROM rk
-      |  WHERE rr <= 4 GROUP BY rid),
+      |  WHERE rr <= $k GROUP BY rid),
       |m AS (
       |  SELECT p9.lid, p9.rid, p9.score,
       |    CAST(p9.s9 AS DOUBLE) /
-      |      (CAST(ax.ax9 + ay.ay9 AS DOUBLE) / 8.0) AS margin
+      |      (CAST(ax.ax9 + ay.ay9 AS DOUBLE) / ${2.0 * k})
+      |      AS margin
       |  FROM p9 JOIN ax ON ax.lid = p9.lid
       |  JOIN ay ON ay.rid = p9.rid
       |  WHERE ax.ax9 + ay.ay9 > 0),
-      |b AS (
+      |bm AS (
       |  SELECT *,
       |    row_number() OVER (PARTITION BY lid
       |      ORDER BY margin DESC, rid) AS bl,
       |    row_number() OVER (PARTITION BY rid
       |      ORDER BY margin DESC, lid) AS br
       |  FROM m)
-      |SELECT lid, rid, score, margin FROM b
-      |WHERE bl = 1 AND br = 1 AND margin >= 1.0
+      |SELECT lid, rid, score, margin FROM bm
+      |WHERE bl = 1 AND br = 1 AND margin >= $threshold
       |ORDER BY lid""".stripMargin
+
+  private val q260Oracle: String =
+    s"""WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |l AS (SELECT vec_id AS lid, e FROM v WHERE vec_id % 2 = 0),
+      |r AS (SELECT vec_id AS rid, e FROM v WHERE vec_id % 2 = 1),
+      |${marginCtes("l", "r", 4, 1.0)}""".stripMargin
+
+  /** q270: the composed SENTENCE-LEVEL PARALLEL-PAIR MINING chain —
+    * what a translation-mining pass actually runs: documents split
+    * into sentences ([[graft.operators.Corpus.sentences]], docs
+    * < 40 as the probe slice), every sentence embedded by a
+    * deterministic md5-derived 8-dim vector (the engine-portable
+    * hash-vector device — a stand-in for the model embedder that
+    * keeps the chain oracle-replayable end to end), the even-doc
+    * and odd-doc sides mined for mutual margin-best pairs
+    * ([[SimilaritySearch.marginMining]], k=4). The oracle chains
+    * the sentence replay, the hex-slice vector derivation, and the
+    * full margin arithmetic — the three-family COMPOSITION is what
+    * the hash match proves. */
+  def q270SentenceMining(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.queries.Tables.documents(s, d)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val sents = graft.operators.Corpus
+      .sentences(docs, "doc_id", "text")
+    val h = md5(col("sentence"))
+    val vec = array((0 until 8).map { j =>
+      conv(substring(h, j * 4 + 1, 4), 16, 10).cast("long")
+        .cast("double") / 65535.0 - 0.5
+    }: _*)
+    val keyed = sents.select(
+      (col("doc_id") * 100000 + col("sent_id")).as("sid"),
+      col("doc_id"), vec.as("vec"))
+    SimilaritySearch.marginMining(
+        keyed.filter(col("doc_id") % 2 === 0), "sid",
+        keyed.filter(col("doc_id") % 2 === 1), "sid",
+        "vec", k = 4, marginThreshold = 1.0)
+      .orderBy(col("lid"), col("rid"))
+  }
+
+  private val q270Oracle: String = {
+    val vecSql = (0 until 8).map { j =>
+      s"CAST(('0x' || substr(md5(sentence), ${j * 4 + 1}, 4)) " +
+        "AS UBIGINT)::BIGINT / 65535.0 - 0.5"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH sx AS (
+      |  SELECT doc_id, list_filter(list_transform(
+      |    regexp_extract_all(text, '([^.!?]+[.!?]+|[^.!?]+$$)', 1),
+      |    s -> trim(s)), s -> len(s) > 0) AS sents
+      |  FROM documents WHERE doc_id < 40),
+      |se AS (
+      |  SELECT doc_id, CAST(u2.i - 1 AS BIGINT) AS sent_id,
+      |    sents[u2.i] AS sentence
+      |  FROM sx, LATERAL unnest(generate_series(1, len(sents)))
+      |    u2(i)),
+      |sv AS (
+      |  SELECT doc_id, doc_id * 100000 + sent_id AS sid,
+      |    $vecSql AS e
+      |  FROM se),
+      |l AS (SELECT sid AS lid, e FROM sv WHERE doc_id % 2 = 0),
+      |r AS (SELECT sid AS rid, e FROM sv WHERE doc_id % 2 = 1),
+      |${marginCtes("l", "r", 4, 1.0)}""".stripMargin
+  }
 
   /** q226: graph-based ANN SERVING
     * ([[graft.operators.NnDescent.greedySearch]]) — best-first beam
@@ -654,6 +723,7 @@ object VectorQueries {
     "q220_semantic_decon" -> (q220SemanticDecon _),
     "q221_alignment_uniformity" -> (q221AlignmentUniformity _),
     "q260_margin_mining" -> (q260MarginMining _),
+    "q270_sentence_mining" -> (q270SentenceMining _),
     "q226_graph_search" -> (q226GraphSearch _),
     "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
@@ -1166,6 +1236,7 @@ object VectorQueries {
     "q220_semantic_decon" -> q220Oracle,
     "q221_alignment_uniformity" -> q221Oracle,
     "q260_margin_mining" -> q260Oracle,
+    "q270_sentence_mining" -> q270Oracle,
     "q226_graph_search" -> q226Oracle,
     "q31_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e

@@ -302,6 +302,28 @@ class CorpusSpec extends SparkTestBase {
       r3.getLong(4)) === (0L, 0L, 0L, 0L) && r3.isNullAt(5))
   }
 
+  test("scriptMix: per-family ratios, mixed-script spoofing " +
+      "flagged, digits-only and empty docs have no dominant") {
+    val out = Corpus.scriptMix(Seq(
+      (1L, "pаypаl site"),  // 2 cyrillic 'а' among latin
+      (2L, "Ωμέγα κείμενο"),
+      (3L, "12345"),
+      (4L, "")).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L) // 11 chars: 8 latin, 2 cyrillic, 1 space
+    assert(r1.getDouble(1) === 8.0 / 11.0 &&
+      r1.getDouble(2) === 2.0 / 11.0)
+    assert(r1.getString(7) === "latin" && r1.getLong(8) === 2L &&
+      r1.getBoolean(9), "spoofing-shaped doc must flag mixed")
+    val r2 = out(2L)
+    assert(r2.getString(7) === "greek" && !r2.getBoolean(9))
+    val r3 = out(3L) // digits only: ratios 0, no dominant
+    assert(r3.getDouble(6) === 1.0 && r3.isNullAt(7) &&
+      r3.getLong(8) === 0L)
+    val r4 = out(4L) // empty: all NULL
+    assert(r4.isNullAt(1) && r4.isNullAt(7) && !r4.getBoolean(9))
+  }
+
   test("sentences: terminator runs bind to their sentence, " +
       "unterminated tail kept, terminator-only and empty docs " +
       "yield nothing, ids contiguous after trims") {
@@ -344,6 +366,21 @@ class CorpusSpec extends SparkTestBase {
     assert(wide.length === 8)
     assert(wide(0) === ((1L, 0L, 0L, 0L)), s"got ${wide.toSeq}")
     assert(wide(7) === ((8L, 4L, 6L, 4L)))
+  }
+
+  test("vocabCoverage / vocabGrowth are partition-invariant (the " +
+      "rank and first-occurrence logic cannot depend on layout)") {
+    val docs = (1L to 60L).map(i =>
+      (i, (0L to i % 7).map(j => s"w${(i * j) % 11}").mkString(" ")))
+      .toDF("id", "text")
+    def cov(df: org.apache.spark.sql.DataFrame) =
+      Corpus.vocabCoverage(df, "id", "text", vocabSize = 5)
+        .orderBy("id").collect().toSeq
+    def gro(df: org.apache.spark.sql.DataFrame) =
+      Corpus.vocabGrowth(df, "id", "text", checkpoints = 6)
+        .orderBy("checkpoint").collect().toSeq
+    assert(cov(docs) === cov(docs.repartition(7)))
+    assert(gro(docs) === gro(docs.repartition(7)))
   }
 
   test("robotsGate: longest match wins, Allow beats Disallow on " +

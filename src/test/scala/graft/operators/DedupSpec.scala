@@ -610,4 +610,39 @@ class DedupSpec extends SparkTestBase {
     val plan = out.queryExecution.sparkPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("crossSourceOverlap: distinct keys per pair, multiplicity " +
+      "collapsed, unordered pairs once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared one", "a"), (2L, "shared one", "b"),
+      (3L, "shared one", "b"),   // multiplicity inside b collapses
+      (4L, "shared two", "a"), (5L, "shared two", "c"),
+      (6L, "only a", "a"),
+      (7L, "tri", "a"), (8L, "tri", "b"), (9L, "tri", "c"))
+      .toDF("id", "text", "src")
+    val out = Dedup.crossSourceOverlap(docs, "text", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(out === Map(("a", "b") -> 2L, ("a", "c") -> 2L,
+      ("b", "c") -> 1L))
+  }
+
+  test("dedupSavingsHistogram: lowest-id survivor's chars kept, " +
+      "bucket counts exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "xxxx"), (2L, "xxxx"), (3L, "xxxx"), // cluster of 3
+      (10L, "yy"), (11L, "yy"),                 // cluster of 2
+      (20L, "zzz"))                             // singleton
+      .toDF("id", "text")
+    val out = Dedup.dedupSavingsHistogram(docs, "id", "text")
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 0L),
+      (2L, 1L, 2L, 2L),   // 4 total - 2 survivor
+      (3L, 1L, 3L, 8L)))  // 12 total - 4 survivor
+  }
 }
