@@ -24,6 +24,7 @@ object SparkEntry {
     (SketchQueries.queries, SketchQueries.oracle),
     (UnigramQueries.queries, UnigramQueries.oracle),
     (SftQueries.queries, SftQueries.oracle),
+    (GovernanceQueries.queries, GovernanceQueries.oracle),
     (graft.analytics.SqlSuite.queries, graft.analytics.SqlSuite.oracle),
   )
 

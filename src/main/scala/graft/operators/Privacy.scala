@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy / disclosure-risk auditing for training corpora (builder
+  * brief: operations a large-scale training-data pipeline needs —
+  * corpora built from user-generated or licensed data ship with a
+  * re-identification audit the same way they ship a datasheet).
+  *
+  * Model (Sweeney 2002, k-anonymity; Machanavajjhala et al. 2007,
+  * l-diversity): a row's quasi-identifier (QI) tuple is the
+  * combination of externally-linkable attributes (region, segment,
+  * binned numeric). A release is k-anonymous when every emitted QI
+  * group holds ≥ k rows, and l-diverse when every group carries ≥ l
+  * distinct values of the sensitive attribute — k alone does not
+  * stop attribute disclosure when a group is sensitive-homogeneous.
+  *
+  * Scale shape: every audit is ONE hash aggregate over the QI tuple
+  * (map-side combined); the generalization ladder is L such
+  * aggregates (one per rung) joined back to rows on the grouped key
+  * — the group tables are ≤ |distinct QI| rows, far smaller than the
+  * corpus, so the joins are standard shuffle-hash/broadcast joins on
+  * aggregated frames, never row×row work. No windows, no driver
+  * state, no UDFs — all codegen'd native functions, which is also
+  * what lets the DuckDB oracle replay every decision value-exactly.
+  */
+object Privacy {
+
+  /** Deterministic equi-width bin for a numeric quasi-identifier:
+    * floor(x / width) — the generalization device both engines
+    * reproduce bit-identically (floor of an IEEE division). */
+  def bin(c: Column, width: Double): Column =
+    floor(c / lit(width)).cast("long")
+
+  /** Per-QI-group disclosure audit: group size, k-anonymity flag,
+    * l-diversity (exact distinct count of `sensitiveCol` within the
+    * group), and the l-diversity flag. One aggregate pass. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[Column],
+      quasiNames: Seq[String], sensitiveCol: Column,
+      k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && quasiCols.length == quasiNames.length,
+      "one name per quasi-identifier column")
+    require(k >= 1 && l >= 1, "k and l must be >= 1")
+    df.groupBy(quasiCols.zip(quasiNames).map { case (c, n) => c.as(n) }: _*)
+      .agg(
+        count(lit(1)).as("group_size"),
+        countDistinct(sensitiveCol).as("l_diversity"))
+      .withColumn("k_anonymous", col("group_size") >= k)
+      .withColumn("l_diverse", col("l_diversity") >= l)
+  }
+
+  /** Suppression release: keep only rows whose QI group has ≥ k
+    * members (the minimal k-anonymity enforcement — no
+    * generalization, rows in small groups are dropped). Implemented
+    * as an aggregate on the QI tuple joined back on the same tuple,
+    * so the filter decision is exactly the audit's. */
+  def suppress(df: DataFrame, quasiCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val names = quasiCols.indices.map(i => s"__qi_$i")
+    val keyed = df.withColumns(names.zip(quasiCols).toMap)
+    val big = keyed.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("__gs"))
+      .filter(col("__gs") >= k)
+      .drop("__gs")
+    keyed.join(big, names, "left_semi").drop(names: _*)
+  }
+
+  /** Generalization ladder (the Datafly/Incognito full-domain
+    * device specialized to one numeric QI): each row is anchored at
+    * the FINEST bin width (first element of `widths`, ordered fine →
+    * coarse) at which its (categorical QIs × binned numeric) group
+    * reaches k; rows failing every rung are `suppressed`. Returns the
+    * input plus `anchor_level` ("w<width>" or "suppressed") and
+    * `anchor_group_size` (the group size at the anchoring rung; null
+    * when suppressed).
+    *
+    * Monotonicity note: coarser bins merge finer ones, so group size
+    * is non-decreasing up the ladder — the first-satisfying rung is
+    * well-defined and nested under re-runs with a widths prefix. */
+  def generalizationLadder(df: DataFrame, catQuasi: Seq[Column],
+      catNames: Seq[String], numCol: Column, widths: Seq[Double],
+      k: Int): DataFrame = {
+    require(widths.nonEmpty && widths == widths.sorted,
+      "widths must be ordered fine to coarse")
+    require(k >= 1, "k must be >= 1")
+    val catKeyed = df.withColumns(
+      catNames.zip(catQuasi).toMap + ("__num" -> numCol))
+    val withBins = widths.zipWithIndex.foldLeft(catKeyed) {
+      case (d, (w, i)) => d.withColumn(s"__b_$i", bin(col("__num"), w))
+    }
+    val joined = widths.indices.foldLeft(withBins) { case (d, i) =>
+      val keys = catNames :+ s"__b_$i"
+      val counts = withBins.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"__gs_$i"))
+      d.join(counts, keys)
+    }
+    val anchor = widths.zipWithIndex
+      .foldRight(lit("suppressed")) { case ((w, i), elseCol) =>
+        when(col(s"__gs_$i") >= k,
+          lit(if (w == w.floor) s"w${w.toLong}" else s"w$w"))
+          .otherwise(elseCol)
+      }
+    val anchorSize = widths.indices
+      .foldRight(lit(null).cast("long")) { case (i, elseCol) =>
+        when(col(s"__gs_$i") >= k, col(s"__gs_$i")).otherwise(elseCol)
+      }
+    joined
+      .withColumn("anchor_level", anchor)
+      .withColumn("anchor_group_size", anchorSize)
+      .drop("__num")
+      .drop(widths.indices.map(i => s"__b_$i"): _*)
+      .drop(widths.indices.map(i => s"__gs_$i"): _*)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Privacy]] — disclosure-audit semantics pinned on hand-built
+  * groups: the k boundary (k-1 suppressed, k kept), l-diversity
+  * counting vs distinct sensitive values, ladder anchoring at the
+  * finest satisfying rung, and partition-invariance of every
+  * decision (pure aggregates — no order dependence). */
+class PrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (id, region, segment, balance) — region/segment are the QIs.
+  // Group (r1,a): 3 rows; (r1,b): 2 rows; (r2,a): 1 row.
+  private def rows = Seq(
+    (1L, "r1", "a", 120.0), (2L, "r1", "a", 130.0), (3L, "r1", "a", 140.0),
+    (4L, "r1", "b", 150.0), (5L, "r1", "b", 260.0),
+    (6L, "r2", "a", 270.0)
+  ).toDF("id", "region", "segment", "bal")
+
+  test("kAnonymityAudit: group sizes, k boundary, l-diversity") {
+    val audit = Privacy.kAnonymityAudit(rows,
+        Seq(col("region")), Seq("region"),
+        sensitiveCol = col("segment"), k = 3, l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toSet
+    // r1: 5 rows, 2 segments -> k-anon (>=3), l-diverse (>=2)
+    // r2: 1 row, 1 segment -> neither
+    assert(audit === Set(
+      ("r1", 5L, 2L, true, true),
+      ("r2", 1L, 1L, false, false)))
+  }
+
+  test("suppress keeps exactly the rows of groups with >= k members") {
+    val kept = Privacy.suppress(rows.repartition(7),
+        Seq(col("region"), col("segment")), k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L)) // (r2,a) size 1 dropped
+    // boundary: k = 3 keeps only the size-3 group
+    val kept3 = Privacy.suppress(rows,
+        Seq(col("region"), col("segment")), k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept3 === Set(1L, 2L, 3L))
+  }
+
+  test("suppress preserves the input schema") {
+    val out = Privacy.suppress(rows, Seq(col("region")), k = 1)
+    assert(out.columns.toSeq === Seq("id", "region", "segment", "bal"))
+    assert(out.count() === 6)
+  }
+
+  test("generalizationLadder anchors at the finest satisfying rung") {
+    // widths 100 then 1000; k=2.
+    // bal bins at w100: 120/130/140 -> 1,1,1 ; 150 -> 1 ; 260,270 -> 2,2
+    // group key = (region, bin):
+    //  (r1,1): ids 1,2,3,4 -> size 4 >= 2 -> anchored w100
+    //  (r1,2): id 5 -> size 1 ; (r2,2): id 6 -> size 1
+    // at w1000 all bals bin to 0: (r1,0) size 5 -> id 5 anchored w1000
+    //  (r2,0) size 1 -> id 6 suppressed
+    val out = Privacy.generalizationLadder(rows,
+        Seq(col("region")), Seq("region"), col("bal"),
+        widths = Seq(100.0, 1000.0), k = 2)
+      .select("id", "anchor_level", "anchor_group_size")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, "w100", 4L), (2L, "w100", 4L), (3L, "w100", 4L),
+      (4L, "w100", 4L),
+      (5L, "w1000", 5L),
+      (6L, "suppressed", -1L)))
+  }
+
+  test("ladder decisions are partition-invariant") {
+    val a = Privacy.generalizationLadder(rows.repartition(13),
+        Seq(col("region")), Seq("region"), col("bal"),
+        widths = Seq(100.0, 1000.0), k = 2)
+      .select("id", "anchor_level").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Privacy.generalizationLadder(rows.coalesce(1),
+        Seq(col("region")), Seq("region"), col("bal"),
+        widths = Seq(100.0, 1000.0), k = 2)
+      .select("id", "anchor_level").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
+
+  test("bin is floor(x/width) including negatives") {
+    val d = Seq(-150.0, -100.0, -1.0, 0.0, 99.0, 100.0)
+      .toDF("x").select(Privacy.bin(col("x"), 100.0).as("b"))
+      .as[Long].collect().toSeq
+    assert(d === Seq(-2L, -1L, -1L, 0L, 0L, 1L))
+  }
+}
