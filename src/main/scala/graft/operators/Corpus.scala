@@ -899,4 +899,63 @@ object Corpus {
           when(col("tokens_a") > 0 && col("tokens_b") > 0,
             col(s"_$c")).as(c)): _*)
   }
+
+  /** Cross-source quantile-mapping score calibration: scores
+    * produced per source (different classifier versions, different
+    * heuristics) are not comparable on their raw scale — a 0.8 from
+    * one grader is not a 0.8 from another. The standard fix before
+    * mixing is rank-based distribution mapping: replace each row's
+    * score with the GLOBAL score distribution's value at the row's
+    * within-source quantile. Bucketized to `buckets` equal-width
+    * quantile bins so the mapping table is tiny and the whole
+    * decision is exact-integer + one IEEE division per row (which
+    * is what lets the DuckDB oracle replay it bit-identically).
+    *
+    * Output: idCol, sourceCol, score, src_pct (percent_rank within
+    * source, ties broken by id), bucket, calibrated (the global
+    * max-score of the row's quantile bucket; empty buckets inherit
+    * the previous bucket's value).
+    *
+    * Scale shape: the within-source side is a source-partitioned
+    * window (parallel across sources); the global side reuses the
+    * [[globalRank]] two-pass device — range exchange + per-partition
+    * zipWithIndex, never a single-partition window — folded into a
+    * `buckets`-row map that broadcasts back onto the corpus. The
+    * bucket-fill window runs over the `buckets`-row spine, bounded
+    * by the bucket count, not the data. */
+  def quantileCalibrate(df: DataFrame, idCol: String,
+      sourceCol: String, scoreCol: String,
+      buckets: Int = 20): DataFrame = {
+    require(buckets >= 2, "need at least two quantile buckets")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(sourceCol),
+      col(scoreCol).as("score"))
+    def bucketOf(pct: Column): Column =
+      least(floor(pct * buckets), lit(buckets - 1)).cast("long")
+    val srcPct = percent_rank().over(Window.partitionBy(col(sourceCol))
+      .orderBy(col("score"), col(idCol)))
+    val withSrc = base
+      .withColumn("src_pct", srcPct)
+      .withColumn("bucket", bucketOf(col("src_pct")))
+    // global side: two-pass rank, never a global window
+    val ranked = globalRank(base.select(col(idCol), col("score")),
+      Seq(col("score"), col(idCol)))
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val gBuckets = ranked.crossJoin(broadcast(n))
+      .select(col("score"), bucketOf(
+        when(col("__n") > 1,
+          (col("rnk") - 1).cast("double") / (col("__n") - 1))
+          .otherwise(lit(0.0))).as("gbucket"))
+      .groupBy(col("gbucket")).agg(max(col("score")).as("__cal"))
+    val spine = spark.range(buckets.toLong).toDF("gbucket")
+    val fill = spine.join(gBuckets, Seq("gbucket"), "left")
+      .withColumn("calibrated", last(col("__cal"), ignoreNulls = true)
+        .over(Window.orderBy(col("gbucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("gbucket"), col("calibrated"))
+    withSrc.join(broadcast(fill),
+        col("bucket") === col("gbucket"), "left")
+      .drop("gbucket")
+  }
 }

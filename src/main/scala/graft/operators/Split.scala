@@ -302,4 +302,38 @@ object Split {
       .filter(col("_sk_rank") <= k)
       .drop("_sk_rank")
   }
+
+  /** Rendezvous (highest-random-weight / HRW, Thaler–Ravishankar
+    * 1998) shard assignment: a key goes to the shard whose
+    * hash(shard-vnode, key) is greatest. The property that matters
+    * for re-sharding a 100-TB corpus incrementally: adding a shard
+    * moves ONLY the keys the new shard now wins (≈ its weight share)
+    * — no key ever moves BETWEEN surviving shards, so a grow/shrink
+    * invalidates the minimum possible data. Integer weights are
+    * expressed as virtual nodes (weight w = w independent hash
+    * draws), keeping the argmax exact-integer — no float powers, so
+    * the DuckDB oracle replays it bit-identically.
+    *
+    * Shape: a pure per-row expression — Σw md5 digests folded
+    * through `array_max` over (hash, shard, vnode) structs (field-
+    * order comparison = deterministic tie-break). No shuffle, no
+    * UDF, codegen-friendly; keep Σw modest (tens), which real shard
+    * maps are. */
+  def rendezvousShard(key: Column, shards: Seq[(String, Int)]): Column = {
+    require(shards.nonEmpty && shards.forall(_._2 >= 1),
+      "need at least one shard, integer weights >= 1")
+    require(shards.map(_._1).distinct.length == shards.length,
+      "shard names must be unique")
+    val structs = for ((name, w) <- shards; v <- 0 until w) yield {
+      val h = conv(substring(md5(concat(lit(s"hrw:$name:$v:"),
+        key.cast("string"))), 1, 8), 16, 10).cast("long")
+      struct(h.as("h"), lit(name).as("shard"), lit(v).as("vn"))
+    }
+    array_max(array(structs: _*)).getField("shard")
+  }
+
+  /** Adds a `shard` column via [[rendezvousShard]] keyed on `keyCol`. */
+  def rendezvousAssign(df: DataFrame, keyCol: String,
+      shards: Seq[(String, Int)]): DataFrame =
+    df.withColumn("shard", rendezvousShard(col(keyCol), shards))
 }

@@ -94,13 +94,102 @@ object GovernanceQueries {
       |  MIN(ags) AS min_group_size, MAX(ags) AS max_group_size
       |FROM a GROUP BY anchor_level ORDER BY anchor_level""".stripMargin
 
+  /** q273: rendezvous (HRW) shard-assignment plan
+    * ([[graft.operators.Split.rendezvousShard]]) — documents hashed
+    * onto an 8-shard map with one double-weight shard, summarized
+    * per shard. Pure per-row argmax over md5 draws (no shuffle of
+    * the corpus; the summary aggregate is the only exchange); the
+    * oracle replays the identical integer argmax with the identical
+    * (hash, shard, vnode) tie-break. */
+  private val ShardMap: Seq[(String, Int)] =
+    ("s0" -> 2) +: (1 to 7).map(i => s"s$i" -> 1)
+
+  def q273RendezvousShards(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.rendezvousAssign(
+        documents(s, d).select(col("doc_id")), "doc_id", ShardMap)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
+  private val q273Oracle: String = {
+    val vnodes = ShardMap.flatMap { case (n, w) =>
+      (0 until w).map(v => s"('$n', $v)") }.mkString(", ")
+    s"""WITH v(shard, vn) AS (VALUES $vnodes),
+      |h AS (
+      |  SELECT d.doc_id, v.shard, v.vn,
+      |    ('0x' || substr(md5('hrw:' || v.shard || ':' ||
+      |      CAST(v.vn AS VARCHAR) || ':' ||
+      |      CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hv
+      |  FROM documents d CROSS JOIN v),
+      |r AS (
+      |  SELECT doc_id, shard, row_number() OVER (
+      |    PARTITION BY doc_id
+      |    ORDER BY hv DESC, shard DESC, vn DESC) AS rn
+      |  FROM h)
+      |SELECT shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+      |  MAX(doc_id) AS max_doc
+      |FROM r WHERE rn = 1 GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  /** q274: cross-source quantile-mapping score calibration
+    * ([[graft.operators.Corpus.quantileCalibrate]]) — each source's
+    * length score mapped onto the global distribution through 20
+    * quantile buckets, emitted per document. The within-source side
+    * is a source-partitioned window; the global side is the
+    * two-pass rank folded to a 20-row broadcast map. */
+  def q274QuantileCalibration(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.quantileCalibrate(
+        documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "source", "n_chars", buckets = 20)
+      .orderBy(col("doc_id"))
+
+  private val q274Oracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, source, n_chars AS score FROM documents),
+      |sp AS (
+      |  SELECT doc_id, source, score,
+      |    percent_rank() OVER (PARTITION BY source
+      |      ORDER BY score, doc_id) AS src_pct
+      |  FROM s),
+      |sb AS (
+      |  SELECT doc_id, source, score, src_pct,
+      |    CAST(LEAST(FLOOR(src_pct * 20), 19) AS BIGINT) AS bucket
+      |  FROM sp),
+      |gp AS (
+      |  SELECT score,
+      |    percent_rank() OVER (ORDER BY score, doc_id) AS g_pct
+      |  FROM s),
+      |gb AS (
+      |  SELECT CAST(LEAST(FLOOR(g_pct * 20), 19) AS BIGINT)
+      |    AS gbucket, MAX(score) AS cal
+      |  FROM gp GROUP BY 1),
+      |spine AS (SELECT unnest(range(0, 20)) AS gbucket),
+      |fill AS (
+      |  SELECT spine.gbucket,
+      |    last_value(gb.cal IGNORE NULLS) OVER (
+      |      ORDER BY spine.gbucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS calibrated
+      |  FROM spine LEFT JOIN gb USING (gbucket))
+      |SELECT sb.doc_id, sb.source, sb.score, sb.src_pct, sb.bucket,
+      |  fill.calibrated
+      |FROM sb JOIN fill ON sb.bucket = fill.gbucket
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
     "q272_generalization_ladder" -> (q272GeneralizationLadder _),
+    "q273_rendezvous_shards" -> (q273RendezvousShards _),
+    "q274_quantile_calibration" -> (q274QuantileCalibration _),
   )
 
   val oracle: Map[String, String] = Map(
     "q271_k_anonymity_audit" -> q271Oracle,
     "q272_generalization_ladder" -> q272Oracle,
+    "q273_rendezvous_shards" -> q273Oracle,
+    "q274_quantile_calibration" -> q274Oracle,
   )
 }

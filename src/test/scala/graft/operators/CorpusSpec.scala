@@ -26,6 +26,55 @@ class CorpusSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("quantileCalibrate maps within-source ranks onto the global " +
+      "distribution and fills empty buckets from the left") {
+    // source a: scores 1..4 ; source b: scores 101..104.
+    // Calibrated values must come from the GLOBAL distribution, and
+    // equal ranks across sources must calibrate identically.
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L),
+      (5L, "b", 101L), (6L, "b", 102L), (7L, "b", 103L), (8L, "b", 104L)
+    ).toDF("id", "src", "sc")
+    val out = Corpus.quantileCalibrate(df, "id", "src", "sc", buckets = 4)
+      .select("id", "src", "src_pct", "bucket", "calibrated")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // within-source pcts: 0, 1/3, 2/3, 1 -> buckets 0,1,2,3
+    assert(out.map(_._4).toSeq === Seq(0L, 1L, 2L, 3L, 0L, 1L, 2L, 3L))
+    // same rank in a and b -> identical calibrated value
+    for (i <- 0 until 4)
+      assert(out(i)._5 === out(i + 4)._5, s"rank $i")
+    // calibrated values are global bucket maxima: global pcts are
+    // k/7 for k=0..7 -> buckets 0,0,1,1,2,2,3,3 over sorted scores
+    // 1,2,3,4,101,102,103,104 -> maxima 2,4,102,104
+    assert(out.take(4).map(_._5).toSeq === Seq(2L, 4L, 102L, 104L))
+    // partition invariance
+    val again = Corpus.quantileCalibrate(df.repartition(5), "id",
+        "src", "sc", buckets = 4)
+      .select("id", "calibrated").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(again === out.map(t => (t._1, t._5)).toSeq)
+  }
+
+  test("quantileCalibrate fills globally-empty buckets from the " +
+      "previous bucket") {
+    // 5 global rows over 10 buckets -> global pcts 0,.25,.5,.75,1
+    // land in buckets 0,2,5,7,9; buckets 1,3,4,6,8 are EMPTY.
+    // Source a has 4 rows -> within-source pcts 0,1/3,2/3,1 ->
+    // buckets 0,3,6,9: rows 2 and 3 look up empty buckets and must
+    // inherit the previous filled bucket's max (2 and 3).
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L),
+      (5L, "b", 100L)).toDF("id", "src", "sc")
+    val out = Corpus.quantileCalibrate(df, "id", "src", "sc",
+        buckets = 10)
+      .select("id", "bucket", "calibrated").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, 0L, 1L), (2L, 3L, 2L), (3L, 6L, 3L), (4L, 9L, 100L),
+      (5L, 0L, 1L)))
+  }
+
   test("curriculumInterleave closed-form arithmetic matches the " +
       "window replay across ragged n / k combinations") {
     for (n <- Seq(3, 17, 101); k <- Seq(1, 4, 5)) {

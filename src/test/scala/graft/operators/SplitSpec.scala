@@ -205,4 +205,50 @@ class SplitSpec extends SparkTestBase {
     assert(Split.sampleKPerGroup(tiny, Seq("g"), "id", 5)
       .count() === 2L)
   }
+
+  test("rendezvous shard: total, deterministic, weight-proportional") {
+    import spark.implicits._
+    val keys = (0L until 3000L).toDF("id")
+    val shards = Seq("a" -> 2, "b" -> 1)
+    val got = Split.rendezvousAssign(keys, "id", shards)
+    val counts = got.groupBy("shard").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 3000L) // total: every key assigned
+    // a holds 2 of 3 vnodes -> expect ~2000; loose 10% band
+    assert(counts("a") > 1800L && counts("a") < 2200L, counts)
+    // deterministic across partitionings
+    val again = Split.rendezvousAssign(keys.repartition(7), "id", shards)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got.orderBy("id").collect().map(_.getString(1)).toSeq === again)
+  }
+
+  test("rendezvous shard: adding a shard only moves keys TO it " +
+      "(minimal disruption)") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("id")
+    val before = Split.rendezvousAssign(keys, "id",
+        Seq("a" -> 1, "b" -> 1, "c" -> 1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Split.rendezvousAssign(keys, "id",
+        Seq("a" -> 1, "b" -> 1, "c" -> 1, "d" -> 1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = before.keys.filter(k => before(k) != after(k))
+    assert(moved.nonEmpty) // d won something
+    assert(moved.forall(k => after(k) == "d"))
+  }
+
+  test("rendezvous shard: raising a weight only moves keys INTO " +
+      "that shard") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("id")
+    val before = Split.rendezvousAssign(keys, "id",
+        Seq("a" -> 1, "b" -> 1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Split.rendezvousAssign(keys, "id",
+        Seq("a" -> 2, "b" -> 1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = before.keys.filter(k => before(k) != after(k))
+    assert(moved.nonEmpty)
+    assert(moved.forall(k => after(k) == "a"))
+  }
 }
