@@ -1215,4 +1215,36 @@ object Dedup {
           .as("n_docs"),
         sum(col("_saved")).as("chars_saved"))
   }
+
+  /** LSH parameter planner: the banding S-curve P(candidate | sim=s)
+    * = 1 − (1 − s^r)^b for each (bands b, rows-per-band r)
+    * candidate, tabulated on a similarity grid — the table an
+    * operator of [[minhashBands]] reads to pick (b, r) for a target
+    * threshold before burning a corpus-sized pass (Leskovec–
+    * Rajaraman–Ullman, MMDS §3.4; the threshold sits near
+    * (1/b)^(1/r), where the curve crosses ~0.5).
+    *
+    * Determinism discipline: s^r and (1−p)^b are expanded as
+    * explicit left-associated multiply chains — repeated IEEE
+    * multiplication, NOT pow() (whose libm rounding differs across
+    * engines) — so the DuckDB oracle reproduces every cell
+    * bit-identically. Planner-sized frame (|combos| × gridSteps
+    * rows); no data is touched. */
+  def lshPlanCurve(spark: org.apache.spark.sql.SparkSession,
+      combos: Seq[(Int, Int)], gridSteps: Int = 20): DataFrame = {
+    require(combos.nonEmpty && combos.forall { case (b, r) =>
+      b >= 1 && r >= 1 }, "need (bands, rowsPerBand) combos >= 1")
+    require(gridSteps >= 2, "need a grid")
+    def chain(base: Column, n: Int): Column =
+      (1 until n).foldLeft(base)((acc, _) => acc * base)
+    combos.map { case (b, r) =>
+      val grid = spark.range(1L, gridSteps.toLong).toDF("i")
+        .select((col("i").cast("double") / gridSteps.toDouble).as("s"))
+      val p1 = chain(col("s"), r)
+      val miss = chain(lit(1.0) - p1, b)
+      grid.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        col("s"), (lit(1.0) - miss).as("collision_p"))
+        .withColumn("crossed_half", col("collision_p") >= 0.5)
+    }.reduce(_ unionByName _)
+  }
 }

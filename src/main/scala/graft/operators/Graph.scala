@@ -784,4 +784,48 @@ object Graph {
       .union(cur.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Redirect-chain resolution (the crawl-frontier normalization
+    * step: HTTP 301/302 maps and URL-alias tables are a successor
+    * function, and dedup/caps must key on the FINAL target). Given a
+    * redirect map (srcCol → dstCol; multiple rows per src are
+    * collapsed to min(dst) for determinism), computes for every node
+    * (sources AND targets) the node reached after following up to
+    * `maxDepth` hops, with `resolved = false` for nodes still
+    * sitting on an outgoing edge after that many hops — redirect
+    * CYCLES and over-long chains, which a crawler drops rather than
+    * loops on.
+    *
+    * Pointer doubling: successor S(x) = next(x), or x when terminal
+    * (terminals are fixed points), composed with itself
+    * ceil(log2(maxDepth)) times, so the result is exactly
+    * S^(2^rounds) — ⌈log₂ d⌉ self-joins on the (node, ptr) frame
+    * instead of d sequential joins; each round is one equi-join on
+    * the node id, data-sized, checkpointed. The same device as
+    * [[connectedComponents]], specialized to functional graphs.
+    *
+    * Output: node, final, resolved. */
+  def resolveRedirects(edges: DataFrame, srcCol: String,
+      dstCol: String, maxDepth: Int = 16): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val e = edges.groupBy(col(srcCol).as("node"))
+      .agg(min(col(dstCol)).as("nxt"))
+    val nodes = e.select(col("node"))
+      .union(e.select(col("nxt").as("node"))).distinct()
+    var cur = nodes.join(e, Seq("node"), "left")
+      .select(col("node"), coalesce(col("nxt"), col("node")).as("ptr"))
+      .localCheckpoint()
+    val rounds = math.ceil(math.log(maxDepth.toDouble) /
+      math.log(2.0)).toInt.max(1)
+    for (_ <- 1 to rounds) {
+      cur = cur.alias("a")
+        .join(cur.alias("b"), col("a.ptr") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.ptr").as("ptr"))
+        .localCheckpoint()
+    }
+    cur.join(e.select(col("node").as("__src"), lit(true).as("__out")),
+        col("ptr") === col("__src"), "left")
+      .select(col("node"), col("ptr").as("final"),
+        coalesce(!col("__out"), lit(true)).as("resolved"))
+  }
 }

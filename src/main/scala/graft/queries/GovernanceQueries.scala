@@ -179,11 +179,88 @@ object GovernanceQueries {
       |FROM sb JOIN fill ON sb.bucket = fill.gbucket
       |ORDER BY doc_id""".stripMargin
 
+  /** q275: LSH banding-parameter planner
+    * ([[graft.operators.Dedup.lshPlanCurve]]) — the S-curve table
+    * for three 128-hash layouts, the table read before choosing
+    * (bands, rows) for a MinHash pass. Planner-sized; the oracle
+    * replays the same explicit multiply chains (never pow()). */
+  private val LshCombos: Seq[(Int, Int)] = Seq((8, 16), (16, 8), (32, 4))
+
+  def q275LshPlan(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.lshPlanCurve(s, LshCombos, gridSteps = 20)
+      .orderBy(col("bands"), col("s"))
+
+  private val q275Oracle: String = {
+    def chain(e: String, n: Int): String =
+      Seq.fill(n)(e).mkString("(", " * ", ")")
+    val selects = LshCombos.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band, s,
+        |  1.0 - ${chain("q", b)} AS collision_p
+        |FROM (
+        |  SELECT s, 1.0 - ${chain("s", r)} AS q
+        |  FROM (SELECT CAST(i AS DOUBLE) / 20.0 AS s
+        |        FROM range(1, 20) t(i)))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT bands, rows_per_band, s, collision_p,
+      |  collision_p >= 0.5 AS crossed_half
+      |FROM ($selects)
+      |ORDER BY bands, s""".stripMargin
+  }
+
+  /** q276: redirect-chain resolution
+    * ([[graft.operators.Graph.resolveRedirects]]) — a deterministic
+    * alias map over the corpus ids (chains of length up to 7 ending
+    * at multiples of 8) plus a planted 2-cycle and a self-loop;
+    * every node resolved to its final target by pointer doubling
+    * (4 joins = 16 hops), cycles flagged unresolved. The oracle
+    * walks the same successor function 16 steps recursively. */
+  def q276RedirectResolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chains = documents(s, d)
+      .filter(col("doc_id") % 8 =!= 0)
+      .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+    val planted = Seq(
+      (9000001L, 9000002L), (9000002L, 9000001L), // 2-cycle
+      (9000003L, 9000003L)                        // self-loop
+    ).toDF("src", "dst")
+    graft.operators.Graph.resolveRedirects(
+        chains.unionByName(planted), "src", "dst", maxDepth = 16)
+      .orderBy(col("node"))
+  }
+
+  private val q276Oracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT src, MIN(dst) AS nxt FROM (
+      |    SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+      |    WHERE doc_id % 8 <> 0
+      |    UNION ALL
+      |    SELECT * FROM (VALUES (9000001, 9000002),
+      |      (9000002, 9000001), (9000003, 9000003)) v(src, dst))
+      |  GROUP BY src),
+      |nodes AS (
+      |  -- DISTINCT over UNION ALL, not UNION: inside a WITH
+      |  -- RECURSIVE list DuckDB gives a bare UNION recursive-union
+      |  -- semantics and the dedup is lost
+      |  SELECT DISTINCT n FROM (
+      |    SELECT src AS n FROM e UNION ALL SELECT nxt FROM e)),
+      |walk(n, cur, d) AS (
+      |  SELECT n, n, 0 FROM nodes
+      |  UNION ALL
+      |  SELECT w.n, COALESCE(e.nxt, w.cur), w.d + 1
+      |  FROM walk w LEFT JOIN e ON w.cur = e.src
+      |  WHERE w.d < 16)
+      |SELECT w.n AS node, w.cur AS final,
+      |  w.cur NOT IN (SELECT src FROM e) AS resolved
+      |FROM walk w WHERE w.d = 16
+      |ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
     "q272_generalization_ladder" -> (q272GeneralizationLadder _),
     "q273_rendezvous_shards" -> (q273RendezvousShards _),
     "q274_quantile_calibration" -> (q274QuantileCalibration _),
+    "q275_lsh_plan" -> (q275LshPlan _),
+    "q276_redirect_resolution" -> (q276RedirectResolution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -191,5 +268,7 @@ object GovernanceQueries {
     "q272_generalization_ladder" -> q272Oracle,
     "q273_rendezvous_shards" -> q273Oracle,
     "q274_quantile_calibration" -> q274Oracle,
+    "q275_lsh_plan" -> q275Oracle,
+    "q276_redirect_resolution" -> q276Oracle,
   )
 }

@@ -645,4 +645,24 @@ class DedupSpec extends SparkTestBase {
       (2L, 1L, 2L, 2L),   // 4 total - 2 survivor
       (3L, 1L, 3L, 8L)))  // 12 total - 4 survivor
   }
+
+  test("lshPlanCurve: S-curve values, monotonicity, and band shift") {
+    val out = Dedup.lshPlanCurve(spark, Seq((8, 16), (32, 4)),
+        gridSteps = 20)
+      .collect().map(r => ((r.getInt(0), r.getInt(1),
+        r.getDouble(2)), r.getDouble(3))).toMap
+    // closed-form replay with the same left-assoc multiply chain
+    def chain(x: Double, n: Int): Double =
+      (1 until n).foldLeft(x)((a, _) => a * x)
+    for (((b, r, s), p) <- out)
+      assert(p === 1.0 - chain(1.0 - chain(s, r), b), s"b=$b r=$r s=$s")
+    // monotone increasing in s for each combo
+    for ((b, r) <- Seq((8, 16), (32, 4))) {
+      val curve = (1 until 20).map(i => out((b, r, i / 20.0)))
+      assert(curve.zip(curve.tail).forall { case (a, c) => a <= c })
+    }
+    // more, shorter bands catch lower similarities: at s=0.5 the
+    // (32,4) layout collides far more often than (8,16)
+    assert(out((32, 4, 0.5)) > 0.8 && out((8, 16, 0.5)) < 0.001)
+  }
 }

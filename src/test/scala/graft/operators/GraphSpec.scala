@@ -342,4 +342,30 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(prDup === pr)
   }
+
+  test("resolveRedirects follows chains to terminals and flags " +
+      "cycles unresolved") {
+    import spark.implicits._
+    // chain 5->4->3->2->1 (terminal), 2-cycle 10<->11, self-loop 12,
+    // and a fork-shaped alias pair 20->1, 21->1
+    val edges = Seq(
+      (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (10L, 11L), (11L, 10L), (12L, 12L),
+      (20L, 1L), (21L, 1L)).toDF("src", "dst")
+    val out = Graph.resolveRedirects(edges, "src", "dst", maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getBoolean(2)))).toMap
+    assert(out(5L) === ((1L, true)))
+    assert(out(4L) === ((1L, true)))
+    assert(out(2L) === ((1L, true)))
+    assert(out(1L) === ((1L, true)))   // terminal resolves to itself
+    assert(out(20L) === ((1L, true)) && out(21L) === ((1L, true)))
+    assert(!out(10L)._2 && !out(11L)._2) // cycle: unresolved
+    assert(out(12L) === ((12L, false))) // self-loop: unresolved
+    // multi-edge src collapses to min(dst) deterministically
+    val multi = Seq((1L, 3L), (1L, 2L)).toDF("src", "dst")
+    val m = Graph.resolveRedirects(multi, "src", "dst", maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 2L)
+  }
 }
