@@ -1216,6 +1216,38 @@ object Dedup {
         sum(col("_saved")).as("chars_saved"))
   }
 
+  /** Per-document duplicated-n-gram fraction — the memorization-risk
+    * audit (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", reports exactly this: the fraction of
+    * a document's n-grams that occur elsewhere in the corpus;
+    * high-fraction docs are the ones a model regurgitates). For each
+    * doc: its distinct n-gram shingles, how many of them appear in
+    * ≥ 2 documents, and the fraction.
+    *
+    * Shape: one shingle explode (distinct-per-doc in-pass), one
+    * gram-level count aggregate, one gram-keyed join back, one
+    * per-doc aggregate — the q218 inverted-index family; the widest
+    * exchange carries one row per distinct (doc, gram). Docs with
+    * fewer than n tokens surface with n_shingles = 0 and a null
+    * fraction (never silently dropped). */
+  def duplicatedNgramFraction(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(wordShinglesFast(col(textCol), n))).as("g"))
+    val gc = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    val per = sh.join(gc, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("nd") >= 2, 1)).as("n_dup"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_shingles") > 0,
+          col("n_dup").cast("double") /
+            col("n_shingles").cast("double")).as("dup_frac"))
+  }
+
   /** LSH parameter planner: the banding S-curve P(candidate | sim=s)
     * = 1 − (1 − s^r)^b for each (bands b, rows-per-band r)
     * candidate, tabulated on a similarity grid — the table an

@@ -147,8 +147,43 @@ object SuffixArray {
     */
   def longestRepeats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 20, window: Int = 4096): DataFrame = {
+    val txt = docs.select(col(idCol).as("tdoc"),
+      col(textCol).as("ttext"))
+    val topk = adjacentLcps(docs, idCol, textCol, window)
+      .orderBy(col("lcp").desc, col("r"))
+      .limit(k)
+    topk
+      .join(txt, col("a_doc") === col("tdoc"))
+      .select(col("r").as("rank"), col("a_doc"), col("a_off"),
+        col("b_doc"), col("b_off"), col("lcp"),
+        md5(col("ttext").substr((col("a_off") + 1).cast("int"),
+          col("lcp").cast("int"))).as("prefix_md5"))
+      .orderBy(col("lcp").desc, col("rank"))
+  }
+
+  /** All adjacent-rank LCPs from the suffix ranking — the full LCP
+    * array of the generalized suffix array (one row per rank r <
+    * maxRank: the LCP of ranks r and r+1, with one representative
+    * position per side). [[longestRepeats]] is its top-k; the
+    * cross-corpus shared-substring audit consumes it whole, because
+    * the LCP of ANY two suffixes is the MIN of the adjacent LCPs
+    * between their ranks (the classic range-min identity). Same
+    * windowed compare loop as documented on [[longestRepeats]].
+    *
+    * Output: (r, a_doc, a_off, b_doc, b_off, lcp) where (a_*) sits
+    * at rank r and (b_*) at rank r+1. */
+  def adjacentLcps(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4096): DataFrame =
+    adjacentLcpsFromRanks(docs, idCol, textCol,
+      suffixRanks(docs, idCol, textCol), window)
+
+  /** [[adjacentLcps]] over a precomputed [[suffixRanks]] frame, so a
+    * caller that also needs the ranking (the cross-corpus audit)
+    * pays the prefix-doubling once. */
+  def adjacentLcpsFromRanks(docs: DataFrame, idCol: String,
+      textCol: String, ranks: DataFrame,
+      window: Int = 4096): DataFrame = {
     require(window >= 2, s"window must be >= 2 ($window)")
-    val ranks = suffixRanks(docs, idCol, textCol)
     val reps = ranks
       .groupBy(col("suffix_rank").as("r"))
       .agg(min(struct(col(idCol), col("off"))).as("p"))
@@ -198,15 +233,79 @@ object SuffixArray {
       open = stepped.filter(col("sat")).drop("sat")
       win = math.min(win * 2, 1 << 16)
     }
-    val topk = done.reduce(_ unionByName _)
-      .orderBy(col("lcp").desc, col("r"))
-      .limit(k)
-    topk
-      .join(txt, col("a_doc") === col("tdoc"))
-      .select(col("r").as("rank"), col("a_doc"), col("a_off"),
-        col("b_doc"), col("b_off"), col("lcp"),
-        md5(col("ttext").substr((col("a_off") + 1).cast("int"),
-          col("lcp").cast("int"))).as("prefix_md5"))
-      .orderBy(col("lcp").desc, col("rank"))
+    done.reduce(_ unionByName _)
+  }
+
+  /** Cross-corpus exact-substring contamination audit (the TRUE
+    * ExactSubstr metric, Lee et al. 2022 / Carlini et al.
+    * memorization audits): for every document labeled `evalLabel`,
+    * the length of the LONGEST substring it shares with ANY
+    * differently-labeled (train) document, and the offset where it
+    * occurs. q94/q138's n-gram and q220's embedding decontamination
+    * approximate this; the suffix array computes it exactly —
+    * an eval doc with a 200-char shared span IS contaminated no
+    * matter how its 13-grams hash.
+    *
+    * Device: generalized suffix array over both corpora, full LCP
+    * array ([[adjacentLcps]]), then the range-min identity — the
+    * longest train-shared prefix of an eval suffix is the min of
+    * adjacent LCPs to the NEAREST train-bearing rank (above or
+    * below), maximized over the two directions; identical suffixes
+    * (train suffix at the SAME rank) share their full length. The
+    * nearest-train scans are cumulative-count groups + frame-bounded
+    * running mins over the rank-ordered LCP table.
+    *
+    * Input contract: run over the audit slice (the eval set + its
+    * candidate train corpus) — the rank-ordered scan windows are
+    * global-ordered over the slice's suffix table, the same contract
+    * as [[longestRepeats]]; shard a larger audit by eval partition.
+    *
+    * Output: one row per eval doc: (idCol, longest_shared, at_off) —
+    * longest_shared = 0 when nothing is shared. */
+  def crossCorpusShared(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, evalLabel: String,
+      window: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranks = suffixRanks(docs, idCol, textCol).localCheckpoint()
+    val labeled = ranks.join(
+      docs.select(col(idCol), col(labelCol).as("__lbl"),
+        length(col(textCol)).cast("long").as("__len")), Seq(idCol))
+    val flags = labeled.groupBy(col("suffix_rank").as("r"))
+      .agg(max(when(col("__lbl") =!= evalLabel, 1L).otherwise(0L))
+          .as("has_train"))
+    val lcps = adjacentLcpsFromRanks(docs, idCol, textCol, ranks, window)
+      .select(col("r"), col("lcp"))
+    val wOrd = Window.orderBy(col("r"))
+    val rankTable = flags.join(lcps, Seq("r"), "left")
+      .withColumn("lcp_prev", lag(col("lcp"), 1).over(wOrd))
+      .withColumn("grp_prev", sum(col("has_train")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("grp_next", sum(col("has_train")).over(
+        Window.orderBy(col("r").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val shared = rankTable
+      .withColumn("shared_prev", when(col("grp_prev") > 0,
+        min(col("lcp")).over(Window.partitionBy(col("grp_prev"))
+          .orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, -1))))
+      .withColumn("shared_next", when(col("grp_next") > 0,
+        min(col("lcp_prev")).over(Window.partitionBy(col("grp_next"))
+          .orderBy(col("r").desc)
+          .rowsBetween(Window.unboundedPreceding, -1))))
+      .select(col("r"), col("has_train"),
+        coalesce(col("shared_prev"), lit(0L)).as("sp"),
+        coalesce(col("shared_next"), lit(0L)).as("sn"))
+    val evalSuffixes = labeled.filter(col("__lbl") === evalLabel)
+      .select(col(idCol), col("off"), col("__len"),
+        col("suffix_rank").as("r"))
+    evalSuffixes.join(shared, Seq("r"))
+      .withColumn("__shared", when(col("has_train") === 1L,
+          col("__len") - col("off"))
+        .otherwise(greatest(col("sp"), col("sn"))))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__shared").as("s"), (-col("off")).as("no")))
+        .as("m"))
+      .select(col(idCol), col("m.s").as("longest_shared"),
+        (-col("m.no")).as("at_off"))
   }
 }

@@ -254,6 +254,115 @@ object GovernanceQueries {
       |FROM walk w WHERE w.d = 16
       |ORDER BY node""".stripMargin
 
+  /** q277: per-document duplicated-5-gram fraction
+    * ([[graft.operators.Dedup.duplicatedNgramFraction]]) — the
+    * Lee-et-al. memorization-risk audit over the corpus; every
+    * count and fraction value-checked. */
+  def q277MemorizationAudit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.duplicatedNgramFraction(
+        documents(s, d), "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+
+  private val q277Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |i AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM t),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(w[i:i+4], ' ') AS g
+      |  FROM i),
+      |gc AS (SELECT g, COUNT(*) AS nd FROM sh GROUP BY g),
+      |per AS (
+      |  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |    COUNT(CASE WHEN nd >= 2 THEN 1 END) AS n_dup
+      |  FROM sh JOIN gc USING (g) GROUP BY sh.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_shingles, 0) AS n_shingles,
+      |  COALESCE(n_dup, 0) AS n_dup,
+      |  CASE WHEN n_shingles > 0 THEN
+      |    CAST(n_dup AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+      |  END AS dup_frac
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q278: cross-corpus EXACT-substring contamination audit
+    * ([[graft.operators.SuffixArray.crossCorpusShared]]) — over the
+    * q169 2% corpus slice, docs at doc_id%100==0 play the eval set
+    * and the rest the train corpus; for each eval doc, the longest
+    * character span shared verbatim with any train doc and where it
+    * sits. The oracle materializes every suffix, dense-ranks, and
+    * replays the full LCP array + nearest-train range-min windows. */
+  def q278ExactContamination(s: SparkSession, d: String): DataFrame =
+    graft.operators.SuffixArray.crossCorpusShared(
+        documents(s, d).filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("text"),
+            when(col("doc_id") % 100 === 0, "eval").otherwise("train")
+              .as("lbl")),
+        "doc_id", "text", "lbl", "eval")
+      .orderBy(col("doc_id"))
+
+  private val q278Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 100 = 0 THEN 'eval' ELSE 'train' END
+      |      AS lbl
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |pos AS (
+      |  SELECT doc_id, lbl, length(text) AS len, i AS off,
+      |    substr(text, CAST(i + 1 AS INT)) AS suffix
+      |  FROM d, LATERAL unnest(range(0, length(text))) t(i)),
+      |rk AS (SELECT *, DENSE_RANK() OVER (ORDER BY suffix) - 1 AS r
+      |  FROM pos),
+      |fl AS (SELECT r,
+      |    MAX(CASE WHEN lbl <> 'eval' THEN 1 ELSE 0 END) AS has_train
+      |  FROM rk GROUP BY r),
+      |rep AS (SELECT r, suffix FROM (
+      |    SELECT r, suffix, ROW_NUMBER() OVER (
+      |      PARTITION BY r ORDER BY doc_id, off) AS rn FROM rk)
+      |  WHERE rn = 1),
+      |pr AS (SELECT a.r, a.suffix AS sa, b.suffix AS sb,
+      |    least(length(a.suffix), length(b.suffix)) AS ml
+      |  FROM rep a JOIN rep b ON b.r = a.r + 1),
+      |lc0 AS (SELECT r, ml, [substr(sa, i, 1) = substr(sb, i, 1)
+      |    FOR i IN range(1, CAST(ml + 1 AS INT))] AS f
+      |  FROM pr),
+      |lc AS (SELECT r, CAST(CASE
+      |    WHEN COALESCE(list_position(f, false), 0) = 0 THEN ml
+      |    ELSE list_position(f, false) - 1 END AS BIGINT) AS lcp
+      |  FROM lc0),
+      |rt AS (SELECT fl.r, fl.has_train, lc.lcp,
+      |    lag(lc.lcp) OVER (ORDER BY fl.r) AS lcp_prev,
+      |    SUM(fl.has_train) OVER (ORDER BY fl.r
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS grp_prev,
+      |    SUM(fl.has_train) OVER (ORDER BY fl.r DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS grp_next
+      |  FROM fl LEFT JOIN lc ON fl.r = lc.r),
+      |sh AS (SELECT r, has_train,
+      |    COALESCE(CASE WHEN grp_prev > 0 THEN
+      |      MIN(lcp) OVER (PARTITION BY grp_prev ORDER BY r
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      END, 0) AS sp,
+      |    COALESCE(CASE WHEN grp_next > 0 THEN
+      |      MIN(lcp_prev) OVER (PARTITION BY grp_next ORDER BY r DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      END, 0) AS sn
+      |  FROM rt),
+      |js AS (SELECT rk.doc_id, rk.off,
+      |    CASE WHEN sh.has_train = 1 THEN rk.len - rk.off
+      |         ELSE GREATEST(sp, sn) END AS shared
+      |  FROM rk JOIN sh ON rk.r = sh.r WHERE rk.lbl = 'eval'),
+      |mx AS (SELECT doc_id, off, shared,
+      |    MAX(shared) OVER (PARTITION BY doc_id) AS longest_shared
+      |  FROM js)
+      |SELECT doc_id, CAST(longest_shared AS BIGINT)
+      |    AS longest_shared,
+      |  MIN(off) AS at_off
+      |FROM mx WHERE shared = longest_shared
+      |GROUP BY doc_id, longest_shared ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
     "q272_generalization_ladder" -> (q272GeneralizationLadder _),
@@ -261,6 +370,8 @@ object GovernanceQueries {
     "q274_quantile_calibration" -> (q274QuantileCalibration _),
     "q275_lsh_plan" -> (q275LshPlan _),
     "q276_redirect_resolution" -> (q276RedirectResolution _),
+    "q277_memorization_audit" -> (q277MemorizationAudit _),
+    "q278_exact_contamination" -> (q278ExactContamination _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -270,5 +381,7 @@ object GovernanceQueries {
     "q274_quantile_calibration" -> q274Oracle,
     "q275_lsh_plan" -> q275Oracle,
     "q276_redirect_resolution" -> q276Oracle,
+    "q277_memorization_audit" -> q277Oracle,
+    "q278_exact_contamination" -> q278Oracle,
   )
 }

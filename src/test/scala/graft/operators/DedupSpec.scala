@@ -646,6 +646,31 @@ class DedupSpec extends SparkTestBase {
       (3L, 1L, 3L, 8L)))  // 12 total - 4 survivor
   }
 
+  test("duplicatedNgramFraction counts cross-corpus shingle reuse " +
+      "per doc, keeps short docs with null fraction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),     // shingles: "a b c d e","b c d e f"
+      (2L, "a b c d e x"),     // shares "a b c d e" with doc 1
+      (3L, "p q r s t"),       // unique single shingle
+      (4L, "short doc")        // < 5 tokens -> no shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramFraction(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((1L, 0L, 0.0)))
+    assert(out(4L) === ((0L, 0L, -1.0))) // null fraction, not dropped
+    // within-doc repetition is NOT cross-corpus duplication: a
+    // shingle repeated inside one doc only counts once
+    val rep = Seq((1L, "a b c d e a b c d e"), (2L, "z z z z z"))
+      .toDF("doc_id", "text")
+    val r2 = Dedup.duplicatedNgramFraction(rep, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r2(1L) === 0L && r2(2L) === 0L)
+  }
+
   test("lshPlanCurve: S-curve values, monotonicity, and band shift") {
     val out = Dedup.lshPlanCurve(spark, Seq((8, 16), (32, 4)),
         gridSteps = 20)

@@ -141,4 +141,71 @@ class SuffixArraySpec extends SparkTestBase {
       .toMap
     assert(b === a)
   }
+
+  /** Brute force: for an eval doc, the longest substring occurring in
+    * any train doc, and the smallest offset achieving it. */
+  private def bruteShared(ev: String,
+      train: Seq[String]): (Long, Long) = {
+    def sharedAt(off: Int): Int = {
+      var best = 0
+      var l = ev.length - off
+      while (l > best) {
+        if (train.exists(_.contains(ev.substring(off, off + l))))
+          best = l
+        l -= 1
+      }
+      best
+    }
+    val per = (0 until ev.length).map(o => (sharedAt(o), o))
+    if (per.isEmpty) (0L, 0L)
+    else {
+      val mx = per.map(_._1).max
+      (mx.toLong, per.filter(_._1 == mx).map(_._2).min.toLong)
+    }
+  }
+
+  test("crossCorpusShared: hand cases — interior LCS, identical " +
+      "suffix, nothing shared, eval-eval sharing excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefgh", "train"),
+      (2L, "xxcdefyy", "eval"),   // LCS "cdef" at off 2
+      (3L, "efgh", "eval"),       // identical to a train suffix
+      (4L, "zzzz", "eval"),       // disjoint alphabet: nothing
+      (5L, "qqqq", "eval"),       // shares only with eval 6 — must
+      (6L, "qqqq", "eval")        //   NOT count (same label)
+    ).toDF("doc_id", "text", "lbl")
+    val out = SuffixArray.crossCorpusShared(docs, "doc_id", "text",
+        "lbl", "eval")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(2)))).toMap
+    assert(out(2L) === ((4L, 2L)))
+    assert(out(3L) === ((4L, 0L)))
+    assert(out(4L) === ((0L, 0L)))
+    assert(out(5L) === ((0L, 0L)) && out(6L) === ((0L, 0L)))
+  }
+
+  test("crossCorpusShared matches brute force on dense two-letter " +
+      "corpora (long shared runs, many rank ties)") {
+    import spark.implicits._
+    // deterministic pseudo-random a/b strings: heavy suffix-rank
+    // collisions and nontrivial cross-doc runs
+    def mk(seed: Int, n: Int): String =
+      (0 until n).map(i => if (((seed * 31 + i * 17) % 7) < 3) 'a'
+        else 'b').mkString
+    val train = Seq(mk(1, 24), mk(2, 19))
+    val evals = Seq(mk(3, 21), mk(4, 16), "ababab")
+    val docs = (train.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "train") } ++
+      evals.zipWithIndex.map { case (t, i) =>
+        (100L + i, t, "eval") }).toDF("doc_id", "text", "lbl")
+    val out = SuffixArray.crossCorpusShared(docs, "doc_id", "text",
+        "lbl", "eval")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(2)))).toMap
+    for ((ev, i) <- evals.zipWithIndex) {
+      val exp = bruteShared(ev, train)
+      assert(out(100L + i) === exp, s"eval $i '$ev' expected $exp")
+    }
+  }
 }
