@@ -1248,6 +1248,49 @@ object Dedup {
             col("n_shingles").cast("double")).as("dup_frac"))
   }
 
+  /** LSH candidate-quality sweep — the measured counterpart of the
+    * analytic [[lshPlanCurve]]: run the ACTUAL banding
+    * ([[lshCandidatePairs]]) against the indexed-exact Jaccard truth
+    * ([[jaccardPairs]], same shingles and df cap) and report, per
+    * similarity threshold, how many truly-similar pairs the bands
+    * caught (recall) and what fraction of candidates were worth
+    * verifying (precision). This is the table that justifies a
+    * chosen (numHashes, bands) before an exact-verify pass burns a
+    * corpus-sized join.
+    *
+    * Shape: the two established pair pipelines, one full-outer join
+    * on the pair key, a broadcast of the |thresholds|-row grid, one
+    * conditional aggregate. Pair-frame-sized work, same bound as the
+    * q28 path that feeds it. */
+  def lshQualitySweep(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxDf: Int = 50,
+      thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8))
+      : DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val truth = jaccardPairs(df, idCol, textCol, shingleN, maxDf)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val cand = lshCandidatePairs(df, idCol, textCol, shingleN,
+        numHashes, bands)
+      .withColumn("is_cand", lit(true))
+    val pairs = truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .select(coalesce(col("jaccard"), lit(0.0)).as("jacc"),
+        coalesce(col("is_cand"), lit(false)).as("is_cand"))
+    val thr = thresholds.toDF("t")
+    pairs.crossJoin(broadcast(thr))
+      .groupBy(col("t"))
+      .agg(count(when(col("jacc") >= col("t"), 1)).as("n_true"),
+        count(when(col("is_cand"), 1)).as("n_cand"),
+        count(when(col("is_cand") && col("jacc") >= col("t"), 1))
+          .as("n_hit"))
+      .withColumn("precision", when(col("n_cand") > 0,
+        col("n_hit").cast("double") / col("n_cand").cast("double")))
+      .withColumn("recall", when(col("n_true") > 0,
+        col("n_hit").cast("double") / col("n_true").cast("double")))
+  }
+
   /** LSH parameter planner: the banding S-curve P(candidate | sim=s)
     * = 1 − (1 − s^r)^b for each (bands b, rows-per-band r)
     * candidate, tabulated on a similarity grid — the table an

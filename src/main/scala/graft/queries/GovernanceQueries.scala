@@ -363,6 +363,39 @@ object GovernanceQueries {
       |FROM mx WHERE shared = longest_shared
       |GROUP BY doc_id, longest_shared ORDER BY doc_id""".stripMargin
 
+  /** q280: phrase-blocklist audit
+    * ([[graft.operators.MultiPattern.matches]]) — one Aho–Corasick
+    * pass reporting, per (doc, phrase), the first hit offset and the
+    * overlap-inclusive occurrence count; the SUBSTRING counterpart
+    * of the token-level q199 badwords gate (multi-word phrases, the
+    * naive plan is |patterns| scans per doc). The oracle brute-
+    * checks every alignment position. */
+  private val BlockPhrases: Seq[String] = Seq(
+    "row scan", "table", "fast merge", "spark", "a a",
+    "scan slow fast", "never-present-phrase")
+
+  def q280PhraseBlocklist(s: SparkSession, d: String): DataFrame =
+    graft.operators.MultiPattern.matches(
+        documents(s, d), "doc_id", "text", BlockPhrases)
+      .orderBy(col("doc_id"), col("pattern"))
+
+  private val q280Oracle: String = {
+    val vals = BlockPhrases.map(p =>
+      s"('${p.replace("'", "''")}')").mkString(", ")
+    s"""WITH p(pat) AS (VALUES $vals),
+      |m AS (
+      |  SELECT d.doc_id, p.pat, i AS pos
+      |  FROM documents d
+      |  CROSS JOIN p,
+      |  LATERAL unnest(range(0,
+      |    greatest(len(d.text) - len(p.pat) + 1, 0))) t(i)
+      |  WHERE substr(d.text, CAST(i + 1 AS INT), len(p.pat)) = p.pat)
+      |SELECT doc_id, pat AS pattern, MIN(pos) AS first_pos,
+      |  COUNT(*) AS n_occurrences
+      |FROM m GROUP BY doc_id, pat
+      |ORDER BY doc_id, pattern""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
     "q272_generalization_ladder" -> (q272GeneralizationLadder _),
@@ -372,6 +405,7 @@ object GovernanceQueries {
     "q276_redirect_resolution" -> (q276RedirectResolution _),
     "q277_memorization_audit" -> (q277MemorizationAudit _),
     "q278_exact_contamination" -> (q278ExactContamination _),
+    "q280_phrase_blocklist" -> (q280PhraseBlocklist _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -383,5 +417,6 @@ object GovernanceQueries {
     "q276_redirect_resolution" -> q276Oracle,
     "q277_memorization_audit" -> q277Oracle,
     "q278_exact_contamination" -> q278Oracle,
+    "q280_phrase_blocklist" -> q280Oracle,
   )
 }

@@ -90,6 +90,16 @@ object TextQueries {
       shingleN = 3, numHashes = 16, bands = 4)
       .orderBy(col("doc_id"), col("band"))
 
+  /** q279: LSH candidate-quality sweep
+    * ([[Dedup.lshQualitySweep]]) — the measured precision/recall of
+    * the q29 banding against the q28 exact-Jaccard truth, per
+    * similarity threshold; the empirical counterpart of the q275
+    * analytic S-curve. */
+  def q279LshQualitySweep(s: SparkSession, d: String): DataFrame =
+    Dedup.lshQualitySweep(documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, maxDf = 50)
+      .orderBy(col("t"))
+
   /** 60-bit SimHash fingerprints (term-frequency-weighted bit votes
     * over md5-derived token hashes). */
   def q30Simhash(s: SparkSession, d: String): DataFrame =
@@ -1560,6 +1570,7 @@ object TextQueries {
     "q28_jaccard_pairs" -> (q28JaccardPairs _),
     "q29_minhash_bands" -> (q29MinhashBands _),
     "q30_simhash" -> (q30Simhash _),
+    "q279_lsh_quality_sweep" -> (q279LshQualitySweep _),
   )
 
   /** SQL CASE planting the same per-language markers as
@@ -1884,6 +1895,64 @@ object TextQueries {
       | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
       |comp AS (SELECT src AS id, MIN(dst) AS mn
       |         FROM reach GROUP BY src)""".stripMargin
+
+  /** Shared q28-family oracle body: exact 3-gram Jaccard pairs over
+    * the df-capped inverted shingle index, ending at
+    * `jac(id_a, id_b, common, jaccard)` (ALL pairs — q28 takes the
+    * top-100 slice, the q279 sweep consumes it whole). ONE copy so
+    * the truth side of the sweep can never drift from q28. */
+  private val JaccardPairCtes: String =
+    """sh AS (
+      | SELECT DISTINCT doc_id, unnest(list_transform(
+      |   generate_series(1, len(string_split(text,' ')) - 2),
+      |   i -> string_split(text,' ')[i] || ' ' ||
+      |        string_split(text,' ')[i+1] || ' ' ||
+      |        string_split(text,' ')[i+2])) AS s
+      | FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |kept AS (
+      | SELECT doc_id, s FROM sh WHERE s IN (
+      |   SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+      |common AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |jac AS (
+      | SELECT id_a, id_b, common,
+      |  CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+      | FROM common JOIN sizes x ON id_a = x.doc_id
+      |  JOIN sizes y ON id_b = y.doc_id)""".stripMargin
+
+  /** Shared q29-family oracle body: 16-hash/4-band MinHash banding,
+    * ending at `bandsb(doc_id, band, band_hash)` — q29 selects it
+    * directly, the q279 sweep self-joins it into candidate pairs. */
+  private val MinhashBandCtes: String =
+    s"""shb AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, len(string_split(text,' ')) - 2),
+      |   i -> string_split(text,' ')[i] || ' ' ||
+      |        string_split(text,' ')[i+1] || ' ' ||
+      |        string_split(text,' ')[i+2])) AS ss
+      | FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |hsb AS (
+      | SELECT doc_id, list_transform(ss,
+      |   s -> ('0x' || substr(md5(s), 1, 7))::UBIGINT::BIGINT) AS hv
+      | FROM shb WHERE len(ss) > 0),
+      |mhb AS (
+      | SELECT doc_id, list_transform(generate_series(0, 15),
+      |   p -> list_min(list_transform(hv, h ->
+      |     ((${Dedup.MhA1}*p + ${Dedup.MhA0}) * h
+      |      + (${Dedup.MhB1}*p + ${Dedup.MhB0}))
+      |      % ${Dedup.MhMod}))) AS sig
+      | FROM hsb),
+      |bandsb AS (
+      | SELECT doc_id, band,
+      |  md5(CAST(sig[band*4+1] AS VARCHAR) || '|' ||
+      |      CAST(sig[band*4+2] AS VARCHAR) || '|' ||
+      |      CAST(sig[band*4+3] AS VARCHAR) || '|' ||
+      |      CAST(sig[band*4+4] AS VARCHAR)) AS band_hash
+      | FROM mhb, (SELECT unnest(generate_series(0, 3)) AS band))"""
+      .stripMargin
 
   val oracle: Map[String, String] = Map(
     "q161_heavy_hitters" ->
@@ -3284,52 +3353,45 @@ object TextQueries {
          |LIMIT 100""".stripMargin
     },
     "q28_jaccard_pairs" ->
-      """WITH sh AS (
-        | SELECT DISTINCT doc_id, unnest(list_transform(
-        |   generate_series(1, len(string_split(text,' ')) - 2),
-        |   i -> string_split(text,' ')[i] || ' ' ||
-        |        string_split(text,' ')[i+1] || ' ' ||
-        |        string_split(text,' ')[i+2])) AS s
-        | FROM documents WHERE len(string_split(text,' ')) >= 3),
-        |kept AS (
-        | SELECT doc_id, s FROM sh WHERE s IN (
-        |   SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
-        |common AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2)
-        |SELECT id_a, id_b, common,
-        | CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
-        |FROM common JOIN sizes x ON id_a = x.doc_id
-        | JOIN sizes y ON id_b = y.doc_id
+      s"""WITH $JaccardPairCtes
+        |SELECT id_a, id_b, common, jaccard FROM jac
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
     "q29_minhash_bands" ->
-      s"""WITH sh AS (
-        | SELECT doc_id, list_distinct(list_transform(
-        |   generate_series(1, len(string_split(text,' ')) - 2),
-        |   i -> string_split(text,' ')[i] || ' ' ||
-        |        string_split(text,' ')[i+1] || ' ' ||
-        |        string_split(text,' ')[i+2])) AS ss
-        | FROM documents WHERE len(string_split(text,' ')) >= 3),
-        |hs AS (
-        | SELECT doc_id, list_transform(ss,
-        |   s -> ('0x' || substr(md5(s), 1, 7))::UBIGINT::BIGINT) AS hv
-        | FROM sh WHERE len(ss) > 0),
-        |mh AS (
-        | SELECT doc_id, list_transform(generate_series(0, 15),
-        |   p -> list_min(list_transform(hv, h ->
-        |     ((${Dedup.MhA1}*p + ${Dedup.MhA0}) * h
-        |      + (${Dedup.MhB1}*p + ${Dedup.MhB0}))
-        |      % ${Dedup.MhMod}))) AS sig
-        | FROM hs)
-        |SELECT doc_id, band,
-        | md5(CAST(sig[band*4+1] AS VARCHAR) || '|' ||
-        |     CAST(sig[band*4+2] AS VARCHAR) || '|' ||
-        |     CAST(sig[band*4+3] AS VARCHAR) || '|' ||
-        |     CAST(sig[band*4+4] AS VARCHAR)) AS band_hash
-        |FROM mh, (SELECT unnest(generate_series(0, 3)) AS band)
+      s"""WITH $MinhashBandCtes
+        |SELECT doc_id, band, band_hash FROM bandsb
         |ORDER BY doc_id, band""".stripMargin,
+    "q279_lsh_quality_sweep" ->
+      s"""WITH $JaccardPairCtes,
+        |$MinhashBandCtes,
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM bandsb a JOIN bandsb b
+        |   ON a.band = b.band AND a.band_hash = b.band_hash
+        |     AND a.doc_id < b.doc_id),
+        |pairs AS (
+        | SELECT COALESCE(jac.jaccard, 0.0) AS jacc,
+        |   cand.id_a IS NOT NULL AS is_cand
+        | FROM jac FULL OUTER JOIN cand
+        |   ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b),
+        |thr(t) AS (
+        | SELECT CAST(x AS DOUBLE) FROM (VALUES (0.3), (0.4), (0.5),
+        |   (0.6), (0.7), (0.8)) v(x))
+        |SELECT t,
+        | COUNT(CASE WHEN jacc >= t THEN 1 END) AS n_true,
+        | COUNT(CASE WHEN is_cand THEN 1 END) AS n_cand,
+        | COUNT(CASE WHEN is_cand AND jacc >= t THEN 1 END) AS n_hit,
+        | CASE WHEN COUNT(CASE WHEN is_cand THEN 1 END) > 0 THEN
+        |   CAST(COUNT(CASE WHEN is_cand AND jacc >= t THEN 1 END)
+        |     AS DOUBLE) /
+        |   CAST(COUNT(CASE WHEN is_cand THEN 1 END) AS DOUBLE)
+        | END AS precision,
+        | CASE WHEN COUNT(CASE WHEN jacc >= t THEN 1 END) > 0 THEN
+        |   CAST(COUNT(CASE WHEN is_cand AND jacc >= t THEN 1 END)
+        |     AS DOUBLE) /
+        |   CAST(COUNT(CASE WHEN jacc >= t THEN 1 END) AS DOUBLE)
+        | END AS recall
+        |FROM pairs CROSS JOIN thr
+        |GROUP BY t ORDER BY t""".stripMargin,
     "q30_simhash" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS t
