@@ -396,6 +396,124 @@ object GovernanceQueries {
       |ORDER BY doc_id, pattern""".stripMargin
   }
 
+  /** q281: checksum-validated PII audit
+    * ([[graft.functions.Checksums]]) — the q108 scrub extended with
+    * the validation layer real scrubbers run: 13–19-digit runs are
+    * only cards if Luhn-valid, IBAN-shaped tokens only accounts if
+    * ISO 7064 mod-97-valid, and ONLY validated candidates are
+    * redacted. Each doc gets one constructed-valid and one
+    * constructed-invalid card and IBAN planted (the check digit
+    * arithmetic is itself engine code under test), so both branches
+    * of every validator are value-checked on every row; the md5
+    * proves the checksum-gated redaction byte-exactly. */
+  def q281ChecksumPii(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Checksums._
+    val body = lpad((col("doc_id") * 7919 + 11).cast("string"), 15, "0")
+    val bodyB = lpad((col("doc_id") * 104729 + 3).cast("string"), 15, "0")
+    val validCard = concat(body, luhnCheckDigit(body).cast("string"))
+    val invalidCard = concat(bodyB,
+      ((luhnCheckDigit(bodyB) + 5) % 10).cast("string"))
+    val bban = lpad((col("doc_id") * 48271 + 7).cast("string"), 16, "0")
+    val cc = ibanCheckDigits(lit("DE"), bban)
+    val ccBad = (cc - 1) % 97 + 2
+    val planted = concat(col("text"),
+      lit(" card "), validCard, lit(" ref "), invalidCard,
+      lit(" iban DE"), lpad(cc.cast("string"), 2, "0"), bban,
+      lit(" alt DE"), lpad(ccBad.cast("string"), 2, "0"), bban)
+    val doc = documents(s, d).select(col("doc_id"), planted.as("t"))
+    val cands = cardCandidates(col("t"))
+    val okCards = filter(cands, c => luhnValid(c))
+    val icands = ibanCandidates(col("t"))
+    val okIbans = filter(icands, c => ibanValid(c))
+    doc.select(col("doc_id"),
+        size(cands).cast("long").as("n_card_candidates"),
+        size(okCards).cast("long").as("n_cards_valid"),
+        size(icands).cast("long").as("n_iban_candidates"),
+        size(okIbans).cast("long").as("n_ibans_valid"),
+        md5(redactValid(redactValid(col("t"), okCards, "<CARD>"),
+          okIbans, "<IBAN>")).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The Luhn mod-10 sum as a DuckDB expression over digit string
+    * `$s` of length `$s` chars, doubling at distance-from-right
+    * `$par` mod 2 (1 = validation over the full number, 0 = check-
+    * digit construction over the body). */
+  private def luhnSumSql(s: String, par: Int): String =
+    s"""list_sum(list_transform(generate_series(1, len($s)), i ->
+      |    CASE WHEN (len($s) - i) % 2 = $par THEN
+      |      CASE WHEN 2*(ascii(substr($s,i,1))-48) > 9
+      |        THEN 2*(ascii(substr($s,i,1))-48) - 9
+      |        ELSE 2*(ascii(substr($s,i,1))-48) END
+      |      ELSE ascii(substr($s,i,1))-48 END))""".stripMargin
+
+  /** ISO 7064 mod-97 left fold over the digit string `$s` (first
+    * list element seeds the fold — identical to an init-0 fold since
+    * a single digit is its own residue). */
+  private def mod97Sql(s: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($s)),
+      |      i -> CAST(ascii(substr($s,i,1))-48 AS BIGINT)),
+      |    (acc, x) -> (acc*10 + x) % 97)""".stripMargin
+
+  private val q281Oracle: String = {
+    val expand = """array_to_string(list_transform(
+      |      generate_series(1, len(re)), i ->
+      |      CASE WHEN ascii(substr(re,i,1)) >= 65
+      |        THEN CAST(ascii(substr(re,i,1))-55 AS VARCHAR)
+      |        ELSE substr(re,i,1) END), '')""".stripMargin
+    s"""WITH pl AS (
+      |  SELECT doc_id, text,
+      |    lpad(CAST(doc_id*7919 + 11 AS VARCHAR), 15, '0') AS body,
+      |    lpad(CAST(doc_id*104729 + 3 AS VARCHAR), 15, '0') AS bodyb,
+      |    lpad(CAST(doc_id*48271 + 7 AS VARCHAR), 16, '0') AS bban
+      |  FROM documents),
+      |chk AS (
+      |  SELECT doc_id, text, body, bodyb, bban,
+      |    (10 - ${luhnSumSql("body", 0)} % 10) % 10 AS cd,
+      |    (10 - ${luhnSumSql("bodyb", 0)} % 10) % 10 AS cdb,
+      |    98 - (SELECT ${mod97Sql("s")} FROM
+      |      (SELECT bban || '131400' AS s)) AS cc
+      |  FROM pl),
+      |pt AS (
+      |  SELECT doc_id,
+      |    text || ' card ' || body || CAST(cd AS VARCHAR)
+      |      || ' ref ' || bodyb || CAST((cdb + 5) % 10 AS VARCHAR)
+      |      || ' iban DE' || lpad(CAST(cc AS VARCHAR), 2, '0') || bban
+      |      || ' alt DE' || lpad(CAST((cc - 1) % 97 + 2 AS VARCHAR),
+      |           2, '0') || bban AS t
+      |  FROM chk),
+      |cand AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(t, '\\b[0-9]{13,19}\\b')) AS c
+      |  FROM pt),
+      |cv AS (SELECT doc_id, c,
+      |    ${luhnSumSql("c", 1)} % 10 = 0 AS ok FROM cand),
+      |ca AS (SELECT doc_id, COUNT(*) AS n_card_candidates,
+      |    COUNT(CASE WHEN ok THEN 1 END) AS n_cards_valid,
+      |    list_sort(list(c) FILTER (WHERE ok)) AS oks
+      |  FROM cv GROUP BY doc_id),
+      |ic AS (SELECT doc_id, unnest(regexp_extract_all(t,
+      |    '\\b[A-Z]{2}[0-9]{2}[0-9A-Z]{11,30}\\b')) AS s
+      |  FROM pt),
+      |iv AS (SELECT doc_id, s,
+      |    (SELECT ${mod97Sql("ex")} FROM (SELECT $expand AS ex)) = 1
+      |      AS ok
+      |  FROM (SELECT doc_id, s, substr(s,5) || substr(s,1,4) AS re
+      |        FROM ic)),
+      |ia AS (SELECT doc_id, COUNT(*) AS n_iban_candidates,
+      |    COUNT(CASE WHEN ok THEN 1 END) AS n_ibans_valid,
+      |    list_sort(list(s) FILTER (WHERE ok)) AS oks
+      |  FROM iv GROUP BY doc_id)
+      |SELECT pt.doc_id, ca.n_card_candidates, ca.n_cards_valid,
+      |  ia.n_iban_candidates, ia.n_ibans_valid,
+      |  md5(list_reduce(list_prepend(
+      |    list_reduce(list_prepend(pt.t, ca.oks),
+      |      (a, x) -> replace(a, x, '<CARD>')), ia.oks),
+      |    (a, x) -> replace(a, x, '<IBAN>'))) AS red_md5
+      |FROM pt JOIN ca ON pt.doc_id = ca.doc_id
+      |  JOIN ia ON pt.doc_id = ia.doc_id
+      |ORDER BY pt.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
     "q272_generalization_ladder" -> (q272GeneralizationLadder _),
@@ -406,6 +524,7 @@ object GovernanceQueries {
     "q277_memorization_audit" -> (q277MemorizationAudit _),
     "q278_exact_contamination" -> (q278ExactContamination _),
     "q280_phrase_blocklist" -> (q280PhraseBlocklist _),
+    "q281_checksum_pii" -> (q281ChecksumPii _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -418,5 +537,6 @@ object GovernanceQueries {
     "q277_memorization_audit" -> q277Oracle,
     "q278_exact_contamination" -> q278Oracle,
     "q280_phrase_blocklist" -> q280Oracle,
+    "q281_checksum_pii" -> q281Oracle,
   )
 }
