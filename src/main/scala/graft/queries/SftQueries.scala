@@ -285,8 +285,109 @@ object SftQueries {
       |  CAST(SUM(n_tokens) AS BIGINT) / 512.0 AS fill_ratio
       |FROM pb GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Synthetic 4-rater label frame for the agreement family: rater
+    * r's label for doc d is the doc's `lang` with probability 0.7
+    * and a deterministic off-label otherwise, both decided by the
+    * established md5-prefix hash device — so agreement is real but
+    * imperfect, every κ branch is exercised, and the oracle replays
+    * the labels bit-identically. */
+  private def raterLabels(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("rate:"),
+      col("doc_id").cast("string"), lit(":"),
+      col("rater").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), lit(3L))).as("rater"))
+      .withColumn("h", h)
+      .withColumn("label", when(col("h") < 7, col("lang"))
+        .otherwise(concat(lit("alt"), (col("h") - 7).cast("string"))))
+      .select("doc_id", "rater", "label")
+  }
+
+  /** The q282/q283 shared oracle CTE ending at
+    * `rl(doc_id, rater, label)` — the exact [[raterLabels]] replay. */
+  private val RaterCtes: String =
+    """rl AS (
+      |  SELECT doc_id, r AS rater,
+      |    CASE WHEN h < 7 THEN lang
+      |      ELSE 'alt' || CAST(h - 7 AS VARCHAR) END AS label
+      |  FROM (
+      |    SELECT doc_id, lang, r,
+      |      ('0x' || substr(md5('rate:' || doc_id || ':' || r), 1, 8))
+      |        ::UBIGINT::BIGINT % 10 AS h
+      |    FROM documents,
+      |      (SELECT unnest(generate_series(0, 3)) AS r)))""".stripMargin
+
+  /** q282: Fleiss' κ over the 4-rater label frame
+    * ([[graft.operators.Agreement.fleissKappa]]) — corpus-level
+    * beyond-chance agreement as an exact integer rational plus one
+    * final double division; `r_min`/`r_max` prove the balanced
+    * design the statistic requires. */
+  def q282FleissKappa(s: SparkSession, d: String): DataFrame =
+    graft.operators.Agreement.fleissKappa(
+      raterLabels(s, d), "doc_id", "rater", "label")
+
+  private val q282Oracle: String =
+    s"""WITH $RaterCtes,
+      |cells AS (SELECT doc_id, label, COUNT(*) AS n
+      |  FROM rl GROUP BY 1, 2),
+      |pi AS (SELECT doc_id, SUM(n) AS r, SUM(n*n) AS s2
+      |  FROM cells GROUP BY 1),
+      |mg AS (SELECT SUM(c*c) AS sum_c2, COUNT(*) AS n_labels
+      |  FROM (SELECT label, SUM(n) AS c FROM cells GROUP BY 1)),
+      |tt AS (SELECT COUNT(*) AS n_items, SUM(r) AS nr, SUM(s2) AS a,
+      |    MIN(r) AS r_min, MAX(r) AS r_max FROM pi)
+      |SELECT CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(r_min AS BIGINT) AS r_min,
+      |  CAST(r_max AS BIGINT) AS r_max,
+      |  CAST(n_labels AS BIGINT) AS n_labels,
+      |  CAST((a - nr)*nr*nr - nr*(r_max - 1)*sum_c2 AS BIGINT) AS num,
+      |  CAST(nr*(r_max - 1)*(nr*nr - sum_c2) AS BIGINT) AS den,
+      |  CAST(CAST((a - nr)*nr*nr - nr*(r_max - 1)*sum_c2 AS BIGINT)
+      |      AS DOUBLE) /
+      |    CAST(CAST(nr*(r_max - 1)*(nr*nr - sum_c2) AS BIGINT)
+      |      AS DOUBLE) AS kappa
+      |FROM tt, mg""".stripMargin
+
+  /** q283: pairwise Cohen's κ matrix over the same label frame
+    * ([[graft.operators.Agreement.cohenKappaPairs]]) — the
+    * drifting-annotator detector, one exact-rational row per rater
+    * pair. */
+  def q283CohenPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Agreement.cohenKappaPairs(
+        raterLabels(s, d), "doc_id", "rater", "label")
+      .orderBy(col("rater_a"), col("rater_b"))
+
+  private val q283Oracle: String =
+    s"""WITH $RaterCtes,
+      |pr AS (SELECT a.rater AS rater_a, b.rater AS rater_b,
+      |    COUNT(*) AS n_items,
+      |    COUNT(CASE WHEN a.label = b.label THEN 1 END) AS n_agree
+      |  FROM rl a JOIN rl b
+      |    ON a.doc_id = b.doc_id AND a.rater < b.rater
+      |  GROUP BY 1, 2),
+      |m AS (SELECT rater, label, COUNT(*) AS m FROM rl GROUP BY 1, 2),
+      |s AS (SELECT x.rater AS rater_a, y.rater AS rater_b,
+      |    SUM(x.m * y.m) AS s
+      |  FROM m x JOIN m y ON x.label = y.label AND x.rater < y.rater
+      |  GROUP BY 1, 2)
+      |SELECT pr.rater_a, pr.rater_b,
+      |  CAST(pr.n_items AS BIGINT) AS n_items,
+      |  CAST(pr.n_agree AS BIGINT) AS n_agree,
+      |  CAST(pr.n_items * pr.n_agree - s.s AS BIGINT) AS num,
+      |  CAST(pr.n_items * pr.n_items - s.s AS BIGINT) AS den,
+      |  CAST(CAST(pr.n_items * pr.n_agree - s.s AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(pr.n_items * pr.n_items - s.s AS BIGINT)
+      |        AS DOUBLE) AS kappa
+      |FROM pr JOIN s
+      |  ON pr.rater_a = s.rater_a AND pr.rater_b = s.rater_b
+      |ORDER BY pr.rater_a, pr.rater_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_sft_build" -> (q225SftBuild _),
+    "q282_fleiss_kappa" -> (q282FleissKappa _),
+    "q283_cohen_pairs" -> (q283CohenPairs _),
     "q206_fim_transform" -> (q206FimTransform _),
     "q207_sft_render" -> (q207SftRender _),
     "q208_preference_pairs" -> (q208PreferencePairs _),
@@ -295,6 +396,8 @@ object SftQueries {
 
   val oracle: Map[String, String] = Map(
     "q225_sft_build" -> q225Oracle,
+    "q282_fleiss_kappa" -> q282Oracle,
+    "q283_cohen_pairs" -> q283Oracle,
     "q206_fim_transform" -> q206Oracle,
     "q207_sft_render" -> q207Oracle,
     "q208_preference_pairs" -> q208Oracle,
