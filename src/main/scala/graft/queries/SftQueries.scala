@@ -384,10 +384,93 @@ object SftQueries {
       |  ON pr.rater_a = s.rater_a AND pr.rater_b = s.rater_b
       |ORDER BY pr.rater_a, pr.rater_b""".stripMargin
 
+  /** q284: Bradley–Terry preference-strength fit
+    * ([[graft.operators.BradleyTerry.fit]], 8 MM rounds) over
+    * comparisons synthesized from a KNOWN BT model: items 0–7 with
+    * latent strength i+1, per-doc matchup and outcome drawn by the
+    * md5 device with P(a beats b) = (a+1)/(a+b+2) — so the fit is
+    * exercised on data the model actually generates. The oracle
+    * unrolls all 8 MM rounds under the t12/DECIMAL contract. */
+  def q284BradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val a = col("doc_id") % 8
+    val h7 = conv(substring(md5(concat(lit("bt:p:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 7
+    val b = (a + 1 + h7) % 8
+    val draw = conv(substring(md5(concat(lit("bt:w:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % (a + b + 2)
+    val cmp = documents(s, d).select(
+      when(draw < a + 1, a).otherwise(b).as("winner"),
+      when(draw < a + 1, b).otherwise(a).as("loser"))
+    graft.operators.BradleyTerry.fit(cmp, "winner", "loser",
+        rounds = 8)
+      .orderBy(col("item"))
+  }
+
+  private val q284Oracle: String = {
+    val rounds = (1 to 8).map { r =>
+      val prev = s"w${r - 1}"
+      // MATERIALIZED: w$r references w${r-1} twice — DuckDB would
+      // otherwise inline the chain exponentially (2^rounds scans).
+      s"""d$r AS MATERIALIZED (
+        |  SELECT g.i AS item,
+        |    CAST(SUM(CAST(floor(g.n_ij / (si.s + sj.s) * 1e12) / 1e12
+        |      AS DECIMAL(28,15))) AS DOUBLE) AS d
+        |  FROM games g JOIN $prev si ON g.i = si.item
+        |    JOIN $prev sj ON g.j = sj.item
+        |  GROUP BY 1),
+        |r$r AS MATERIALIZED (
+        |  SELECT wins.item,
+        |    floor(wins.n_wins / d$r.d * 1e12) / 1e12 AS s_raw
+        |  FROM wins JOIN d$r ON wins.item = d$r.item),
+        |w$r AS MATERIALIZED (
+        |  SELECT item, floor(s_raw / t.tot * 1e12) / 1e12 AS s
+        |  FROM r$r, (SELECT CAST(SUM(CAST(s_raw AS DECIMAL(28,15)))
+        |    AS DOUBLE) AS tot FROM r$r) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cmp AS MATERIALIZED (
+      |  SELECT CASE WHEN draw < a + 1 THEN a ELSE b END AS winner,
+      |    CASE WHEN draw < a + 1 THEN b ELSE a END AS loser
+      |  FROM (
+      |    SELECT a, b,
+      |      ('0x' || substr(md5('bt:w:' || doc_id), 1, 8))
+      |        ::UBIGINT::BIGINT % (a + b + 2) AS draw
+      |    FROM (
+      |      SELECT doc_id, doc_id % 8 AS a,
+      |        (doc_id % 8 + 1 +
+      |          ('0x' || substr(md5('bt:p:' || doc_id), 1, 8))
+      |            ::UBIGINT::BIGINT % 7) % 8 AS b
+      |      FROM documents))),
+      |dir AS MATERIALIZED (SELECT winner, loser, COUNT(*) AS n
+      |  FROM cmp GROUP BY 1, 2),
+      |games AS MATERIALIZED (
+      |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS n_ij FROM (
+      |    SELECT winner AS i, loser AS j, n FROM dir
+      |    UNION ALL SELECT loser AS i, winner AS j, n FROM dir)
+      |  GROUP BY 1, 2),
+      |wins AS MATERIALIZED (
+      |  SELECT it.item, CAST(COALESCE(w.w, 0) AS BIGINT)
+      |    AS n_wins
+      |  FROM (SELECT DISTINCT i AS item FROM games) it
+      |  LEFT JOIN (SELECT winner AS item, SUM(n) AS w FROM dir
+      |    GROUP BY 1) w ON it.item = w.item),
+      |w0 AS MATERIALIZED (
+      |  SELECT item, CAST(1.0 AS DOUBLE) AS s FROM wins),
+      |$rounds,
+      |played AS (SELECT i AS item, CAST(SUM(n_ij) AS BIGINT)
+      |    AS n_games FROM games GROUP BY 1)
+      |SELECT wins.item, wins.n_wins, played.n_games, w8.s AS strength
+      |FROM wins JOIN played ON wins.item = played.item
+      |  JOIN w8 ON wins.item = w8.item
+      |ORDER BY wins.item""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_sft_build" -> (q225SftBuild _),
     "q282_fleiss_kappa" -> (q282FleissKappa _),
     "q283_cohen_pairs" -> (q283CohenPairs _),
+    "q284_bradley_terry" -> (q284BradleyTerry _),
     "q206_fim_transform" -> (q206FimTransform _),
     "q207_sft_render" -> (q207SftRender _),
     "q208_preference_pairs" -> (q208PreferencePairs _),
@@ -398,6 +481,7 @@ object SftQueries {
     "q225_sft_build" -> q225Oracle,
     "q282_fleiss_kappa" -> q282Oracle,
     "q283_cohen_pairs" -> q283Oracle,
+    "q284_bradley_terry" -> q284Oracle,
     "q206_fim_transform" -> q206Oracle,
     "q207_sft_render" -> q207Oracle,
     "q208_preference_pairs" -> q208Oracle,
