@@ -46,7 +46,9 @@ object GraphQueries {
   /** Weighted-PageRank oracle rounds over an `ew(src, dst, w)` CTE
     * the caller supplies (q224: the endorsement graph; q234: the
     * outlink web graph extracted from raw HTML). */
-  private def wprOracleFrom(ewPrefix: String): String = {
+  private def wprOracleFrom(ewPrefix: String,
+      finalSelect: String = "SELECT node, pr FROM wpr5 ORDER BY node")
+      : String = {
     val rounds = (1 to 5).map { i =>
       s"""wpr$i AS MATERIALIZED (
          |  SELECT n.node,
@@ -71,7 +73,7 @@ object GraphQueries {
        |  SELECT node, floor((1.0 / nn) * 1e12) / 1e12 AS pr
        |  FROM wnodes CROSS JOIN wcnt),
        |$rounds
-       |SELECT node, pr FROM wpr5 ORDER BY node""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   private val q224Oracle: String = wprOracleFrom(
@@ -102,6 +104,48 @@ object GraphQueries {
        |  SELECT src_host AS src, dst_host AS dst,
        |    CAST(COUNT(*) AS BIGINT) AS w
        |  FROM e GROUP BY 1, 2)""".stripMargin)
+
+  /** q285: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+    * the corpus token co-occurrence graph (adjacent-token window,
+    * symmetrized, co-occurrence count as edge weight) pushed through
+    * the SAME 5-round weighted PageRank as q224/q234, top-30 tokens
+    * by rank with a (pr DESC, token) tie-break. The graph-centrality
+    * keyphrase ranker that needs no training data; composition is
+    * hash-proven end-to-end by chaining the pair CTEs into the q224
+    * round replay. */
+  def q285TextrankKeywords(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val pairs = documents(s, d)
+      .select(explode(zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+    val ew = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"),
+        col("a").as("dst")))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    graft.operators.Graph.pageRankWeighted(ew, "w")
+      .orderBy(col("pr").desc, col("node")).limit(30)
+  }
+
+  private val q285Oracle: String = wprOracleFrom(
+    """tokp AS (
+      |  SELECT string_split(text, ' ') AS tk FROM documents),
+      |adjp AS MATERIALIZED (
+      |  SELECT tk[i] AS a, tk[i + 1] AS b
+      |  FROM tokp, LATERAL unnest(
+      |    generate_series(1, len(tk) - 1)) t(i)
+      |  WHERE tk[i] <> tk[i + 1]),
+      |ew AS MATERIALIZED (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+      |    SELECT a AS src, b AS dst FROM adjp
+      |    UNION ALL SELECT b AS src, a AS dst FROM adjp)
+      |  GROUP BY 1, 2)""".stripMargin,
+    finalSelect =
+      "SELECT node, pr FROM wpr5 ORDER BY pr DESC, node LIMIT 30")
 
   /** q163: 5-round HITS (max-normalized) over the same graph — the
     * auth side ranks suppliers by weighted endorsement, the hub side
@@ -555,6 +599,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_pagerank" -> (q162PageRank _),
     "q224_pagerank_weighted" -> (q224PageRankWeighted _),
+    "q285_textrank_keywords" -> (q285TextrankKeywords _),
     "q234_web_authority" -> (q234WebAuthority _),
     "q163_hits" -> (q163Hits _),
     "q175_personalized_pagerank" -> (q175Ppr _),
@@ -572,6 +617,7 @@ object GraphQueries {
   val oracle: Map[String, String] = Map(
     "q162_pagerank" -> q162Oracle,
     "q224_pagerank_weighted" -> q224Oracle,
+    "q285_textrank_keywords" -> q285Oracle,
     "q234_web_authority" -> q234Oracle,
     "q163_hits" -> q163Oracle,
     "q175_personalized_pagerank" -> q175Oracle,
