@@ -828,4 +828,59 @@ object Graph {
       .select(col("node"), col("ptr").as("final"),
         coalesce(!col("__out"), lit(true)).as("resolved"))
   }
+
+  /** HyperBall (Boldi & Vigna 2013): per-node neighborhood-size
+    * estimates at growing radius via HLL register merges along
+    * edges — the web-scale device for closeness/harmonic centrality,
+    * where exact per-node BFS from every source is quadratic. Round
+    * t merges each node's register table with its OUT-neighbors'
+    * round-(t−1) tables (register-wise MAX — HLL union is exact for
+    * unions), so |ball_t(v)| estimates nodes reachable from v within
+    * t hops; harmonic_est = Σ_t (|B_t|−|B_{t−1}|)/t. For the classic
+    * "harmonic centrality of incoming distances", pass the
+    * TRANSPOSED edge frame (on symmetric graphs they coincide).
+    *
+    * Exactness: registers are integers (order-free MAX merges);
+    * every estimate is the [[Sketches.hllEstimate]] arithmetic
+    * (integer harmonic sum, 9-decimal truncation), and each
+    * harmonic term is re-truncated — so R rounds replay
+    * bit-identically in SQL.
+    *
+    * Scale shape: state is ≤ m·n register rows total (in practice
+    * min(ball, m) per node); each round is one edge-keyed join +
+    * one hash aggregate — the same per-round cost envelope as
+    * [[pageRank]], with no per-node BFS and no driver state. */
+  def hyperBall(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    def t9(x: Column): Column =
+      floor(x * lit(1e9)).cast("double") / lit(1e9)
+    var regs = Sketches.hllRegisters(nodes, "node", "node")
+      .localCheckpoint()
+    var ests = Vector(Sketches.hllEstimate(regs, "node")
+      .select(col("node"), col("hll_est").as("est_0")))
+    for (t <- 1 to rounds) {
+      val pulled = e
+        .join(regs.withColumnRenamed("grp", "dst"), Seq("dst"))
+        .select(col("src").as("grp"), col("b"), col("r"))
+      regs = pulled.unionByName(
+          regs.select(col("grp"), col("b"), col("r")))
+        .groupBy(col("grp"), col("b")).agg(max(col("r")).as("r"))
+        .localCheckpoint()
+      ests = ests :+ Sketches.hllEstimate(regs, "node")
+        .select(col("node"), col("hll_est").as(s"est_$t"))
+    }
+    val joined = ests.reduce((a, b) => a.join(b, Seq("node")))
+    val harmonic = (1 to rounds)
+      .map(t => t9((col(s"est_$t") - col(s"est_${t - 1}")) /
+        lit(t.toDouble)))
+      .reduce(_ + _)
+    joined.select(col("node"),
+      col(s"est_$rounds").as("ball_est"),
+      harmonic.as("harmonic_est"))
+  }
 }

@@ -204,16 +204,33 @@ object Sketches {
     * by register-wise MAX. */
   def hllDistinct(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val m = 1024
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
+    val regs = hllRegisters(df, groupCol, valueCol)
+    hllEstimate(regs, groupCol).orderBy(col(groupCol))
+  }
+
+  /** The HLL register table alone: max-rank rows `(grp, b, r)` for
+    * `valueCol` per group — the mergeable state [[hllDistinct]]
+    * estimates from, exposed so iterative consumers (the
+    * [[Graph.hyperBall]] neighborhood sketches) can UNION register
+    * tables across rounds and re-estimate. */
+  def hllRegisters(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val h = h60(col(valueCol))
     val w = expr("_hll_h div 1024")
-    val regs = df
-      .select(col(groupCol).cast("string").as("grp"), h.as("_hll_h"))
-      .select(col("grp"), (col("_hll_h") % m).as("b"),
+    df.select(col(groupCol).cast("string").as("grp"), h.as("_hll_h"))
+      .select(col("grp"), (col("_hll_h") % 1024).as("b"),
         when(w === 0, lit(51))
           .otherwise(lit(51) - length(bin(w))).as("rank"))
       .groupBy(col("grp"), col("b")).agg(max(col("rank")).as("r"))
+  }
+
+  /** Estimate from a `(grp, b, r)` register table (the exact
+    * [[hllDistinct]] arithmetic: integer harmonic sum, α_m bias,
+    * linear-counting small-range correction, 9-decimal truncation).
+    * Returns `(groupCol, hll_filled, hll_est)`, unordered. */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+    val m = 1024
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
     val stats = regs.groupBy(col("grp")).agg(
       count(lit(1)).as("filled"),
       sum(expr("shiftleft(1L, CAST(51 - r AS INT))")).as("zf"))
@@ -223,10 +240,9 @@ object Sketches {
       lit(math.pow(2, 51)) / zInt.cast("double")
     val v = lit(m.toLong) - col("filled")
     stats.select(col("grp").as(groupCol), col("filled").as("hll_filled"),
-        t9(when(rawE <= lit(2.5 * m) && v > 0,
-          lit(m.toDouble) * ln9(lit(m.toDouble) / v.cast("double")))
-          .otherwise(rawE)).as("hll_est"))
-      .orderBy(col(groupCol))
+      t9(when(rawE <= lit(2.5 * m) && v > 0,
+        lit(m.toDouble) * ln9(lit(m.toDouble) / v.cast("double")))
+        .otherwise(rawE)).as("hll_est"))
   }
 
   /** Count-min frequency sketch: d hash rows × w buckets of exact

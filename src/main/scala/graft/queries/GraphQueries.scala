@@ -113,7 +113,15 @@ object GraphQueries {
     * keyphrase ranker that needs no training data; composition is
     * hash-proven end-to-end by chaining the pair CTEs into the q224
     * round replay. */
-  def q285TextrankKeywords(s: SparkSession, d: String): DataFrame = {
+  def q285TextrankKeywords(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRankWeighted(tokenCoocEdges(s, d), "w")
+      .orderBy(col("pr").desc, col("node")).limit(30)
+
+  /** The symmetrized adjacent-token co-occurrence graph over
+    * `documents` — shared by q285 (TextRank) and q286 (HyperBall):
+    * `(src, dst, w)` with w = co-occurrence count, self-pairs
+    * dropped. */
+  private def tokenCoocEdges(s: SparkSession, d: String): DataFrame = {
     val tk = split(col("text"), " ")
     val pairs = documents(s, d)
       .select(explode(zip_with(
@@ -122,16 +130,16 @@ object GraphQueries {
         (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .where(col("a") =!= col("b"))
-    val ew = pairs.select(col("a").as("src"), col("b").as("dst"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"),
         col("a").as("dst")))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).cast("long").as("w"))
-    graft.operators.Graph.pageRankWeighted(ew, "w")
-      .orderBy(col("pr").desc, col("node")).limit(30)
   }
 
-  private val q285Oracle: String = wprOracleFrom(
+  /** The q285/q286 shared oracle CTEs ending at `ew(src, dst, w)` —
+    * the exact [[tokenCoocEdges]] replay. */
+  private val TokenEdgeCtes: String =
     """tokp AS (
       |  SELECT string_split(text, ' ') AS tk FROM documents),
       |adjp AS MATERIALIZED (
@@ -143,9 +151,80 @@ object GraphQueries {
       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
       |    SELECT a AS src, b AS dst FROM adjp
       |    UNION ALL SELECT b AS src, a AS dst FROM adjp)
-      |  GROUP BY 1, 2)""".stripMargin,
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val q285Oracle: String = wprOracleFrom(TokenEdgeCtes,
     finalSelect =
       "SELECT node, pr FROM wpr5 ORDER BY pr DESC, node LIMIT 30")
+
+  /** q286: HyperBall neighborhood function + harmonic centrality
+    * ([[graft.operators.Graph.hyperBall]], 4 rounds) over the same
+    * token co-occurrence graph — per-token reach estimates at
+    * radius 4 and the Σ(|B_t|−|B_{t−1}|)/t harmonic score, all from
+    * HLL register merges (no per-node BFS). The oracle replays every
+    * register table and every estimate round bit-identically. */
+  def q286Hyperball(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.hyperBall(
+        tokenCoocEdges(s, d).select(col("src"), col("dst")),
+        rounds = 4)
+      .orderBy(col("node"))
+
+  private val q286Oracle: String = {
+    def estCte(t: Int): String =
+      s"""hest$t AS MATERIALIZED (
+        |  SELECT node,
+        |    floor(CASE WHEN rawE <= 2560e0 AND filled < 1024
+        |      THEN 1024e0 * (floor(ln(1024e0 /
+        |        CAST(1024 - filled AS DOUBLE)) * 1e9) / 1e9)
+        |      ELSE rawE END * 1e9) / 1e9 AS est
+        |  FROM (
+        |    SELECT node, filled,
+        |      (0.7213e0 / (1e0 + 1.079e0 / 1024e0)) * 1024e0 * 1024e0
+        |        * 2251799813685248e0
+        |        / CAST(zf + (1024 - filled) * (1::BIGINT << 51)
+        |            AS DOUBLE) AS rawE
+        |    FROM (
+        |      SELECT node, COUNT(*) AS filled,
+        |        SUM(1::BIGINT << CAST(51 - r AS INT))::BIGINT AS zf
+        |      FROM hregs$t GROUP BY 1)))""".stripMargin
+    val rounds = (1 to 4).map { t =>
+      s"""hregs$t AS MATERIALIZED (
+        |  SELECT node, b, MAX(r) AS r FROM (
+        |    SELECT e.src AS node, p.b, p.r
+        |    FROM hedges e JOIN hregs${t - 1} p ON e.dst = p.node
+        |    UNION ALL SELECT node, b, r FROM hregs${t - 1})
+        |  GROUP BY 1, 2),
+        |${estCte(t)}""".stripMargin
+    }.mkString(",\n")
+    val harmonic = (1 to 4)
+      .map(t => s"floor((hest$t.est - hest${t - 1}.est) " +
+        s"/ ${t}e0 * 1e9) / 1e9")
+      .mkString(" + ")
+    s"""WITH $TokenEdgeCtes,
+      |hedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ew),
+      |hnodes AS MATERIALIZED (
+      |  SELECT src AS node FROM hedges
+      |  UNION SELECT dst FROM hedges),
+      |hregs0 AS MATERIALIZED (
+      |  SELECT node, h % 1024 AS b,
+      |    MAX(CASE WHEN h // 1024 = 0 THEN 51
+      |      ELSE 51 - length(bin(h // 1024)) END) AS r
+      |  FROM (
+      |    SELECT node,
+      |      ('0x' || substr(md5(node), 1, 15))::UBIGINT::BIGINT AS h
+      |    FROM hnodes)
+      |  GROUP BY 1, 2),
+      |${estCte(0)},
+      |$rounds
+      |SELECT hest0.node, hest4.est AS ball_est,
+      |  $harmonic AS harmonic_est
+      |FROM hest0
+      |  JOIN hest1 ON hest0.node = hest1.node
+      |  JOIN hest2 ON hest0.node = hest2.node
+      |  JOIN hest3 ON hest0.node = hest3.node
+      |  JOIN hest4 ON hest0.node = hest4.node
+      |ORDER BY hest0.node""".stripMargin
+  }
 
   /** q163: 5-round HITS (max-normalized) over the same graph — the
     * auth side ranks suppliers by weighted endorsement, the hub side
@@ -600,6 +679,7 @@ object GraphQueries {
     "q162_pagerank" -> (q162PageRank _),
     "q224_pagerank_weighted" -> (q224PageRankWeighted _),
     "q285_textrank_keywords" -> (q285TextrankKeywords _),
+    "q286_hyperball" -> (q286Hyperball _),
     "q234_web_authority" -> (q234WebAuthority _),
     "q163_hits" -> (q163Hits _),
     "q175_personalized_pagerank" -> (q175Ppr _),
@@ -618,6 +698,7 @@ object GraphQueries {
     "q162_pagerank" -> q162Oracle,
     "q224_pagerank_weighted" -> q224Oracle,
     "q285_textrank_keywords" -> q285Oracle,
+    "q286_hyperball" -> q286Oracle,
     "q234_web_authority" -> q234Oracle,
     "q163_hits" -> q163Oracle,
     "q175_personalized_pagerank" -> q175Oracle,

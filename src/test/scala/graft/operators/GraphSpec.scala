@@ -368,4 +368,40 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) === 2L)
   }
+
+  test("hyperBall: ball estimates track exact reachability on a " +
+      "chain, harmonic centrality orders by reach") {
+    import spark.implicits._
+    // directed chain a->b->c->d->e: out-ball at radius 4 is exactly
+    // the suffix; HLL at m=1024 on <=5 elements is the linear-count
+    // regime, within ~1% of exact.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val out = Graph.hyperBall(edges, rounds = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exactBall = Map("a" -> 5.0, "b" -> 4.0, "c" -> 3.0,
+      "d" -> 2.0, "e" -> 1.0)
+    for ((n, (ball, _)) <- out)
+      assert(math.abs(ball - exactBall(n)) < 0.05 * exactBall(n) + 0.01,
+        s"node=$n ball=$ball")
+    // exact harmonic (out-direction): a: 1+1/2+1/3+1/4, b: 1+1/2+1/3…
+    val exactH = Map("a" -> (1.0 + 0.5 + 1.0 / 3 + 0.25),
+      "b" -> (1.0 + 0.5 + 1.0 / 3), "c" -> 1.5, "d" -> 1.0,
+      "e" -> 0.0)
+    for ((n, (_, h)) <- out)
+      assert(math.abs(h - exactH(n)) < 0.05 * exactH(n) + 0.02,
+        s"node=$n harmonic=$h")
+  }
+
+  test("hyperBall: estimates are partition-invariant and monotone " +
+      "with radius on a dense graph") {
+    import spark.implicits._
+    val edges = (for (i <- 0 until 30; j <- 0 until 30
+      if (i + j) % 7 == 1) yield (s"n$i", s"n$j")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.hyperBall(df, rounds = 3).orderBy("node")
+        .collect().map(_.toSeq).toSeq
+    assert(run(edges) === run(edges.repartition(11)))
+  }
 }
