@@ -850,15 +850,20 @@ object Graph {
     * min(ball, m) per node); each round is one edge-keyed join +
     * one hash aggregate — the same per-round cost envelope as
     * [[pageRank]], with no per-node BFS and no driver state. */
-  def hyperBall(edges: DataFrame, rounds: Int = 4): DataFrame = {
+  private def t9(x: Column): Column =
+    floor(x * lit(1e9)).cast("double") / lit(1e9)
+
+  /** The HyperBall round loop: per-round per-node ball-size
+    * estimate frames `(node, est_t)` for t = 0..rounds (shared by
+    * [[hyperBall]] and [[hyperBallProfile]]). */
+  private def hyperBallRounds(edges: DataFrame,
+      rounds: Int): Vector[DataFrame] = {
     require(rounds >= 1, "need at least one round")
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    def t9(x: Column): Column =
-      floor(x * lit(1e9)).cast("double") / lit(1e9)
     var regs = Sketches.hllRegisters(nodes, "node", "node")
       .localCheckpoint()
     var ests = Vector(Sketches.hllEstimate(regs, "node")
@@ -874,6 +879,11 @@ object Graph {
       ests = ests :+ Sketches.hllEstimate(regs, "node")
         .select(col("node"), col("hll_est").as(s"est_$t"))
     }
+    ests
+  }
+
+  def hyperBall(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val ests = hyperBallRounds(edges, rounds)
     val joined = ests.reduce((a, b) => a.join(b, Seq("node")))
     val harmonic = (1 to rounds)
       .map(t => t9((col(s"est_$t") - col(s"est_${t - 1}")) /
@@ -882,5 +892,40 @@ object Graph {
     joined.select(col("node"),
       col(s"est_$rounds").as("ball_est"),
       harmonic.as("harmonic_est"))
+  }
+
+  /** The graph-level HyperBall deliverables: the NEIGHBORHOOD
+    * FUNCTION N(t) = Σ_v |B_t(v)| (estimated reachable pairs within
+    * t hops) per radius, its fraction of the final value, and the
+    * interpolated EFFECTIVE DIAMETER — the smallest (fractional) t
+    * at which N(t) reaches 90% of N(rounds), the headline statistic
+    * HyperBall exists to compute at web scale.
+    *
+    * Totals are order-free (t9 estimates summed over DECIMAL(38,9)),
+    * and the interpolation runs over the (rounds+1)-row profile —
+    * the partition-less window there is bounded by the round count,
+    * never by data (the Pca d-row frame contract). */
+  def hyperBallProfile(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val ests = hyperBallRounds(edges, rounds)
+    val prof = ests.zipWithIndex.map { case (df, t) =>
+      df.agg(t9(sum(col(s"est_$t")
+          .cast(DecimalType(38, 9))).cast("double")).as("total"))
+        .select(lit(t.toLong).as("t"), col("total"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    val fin = prof.agg(max(when(col("t") === rounds, col("total")))
+      .as("final_total"))
+    val rows = prof.crossJoin(broadcast(fin))
+      .withColumn("frac", t9(col("total") / col("final_total")))
+      .withColumn("prev", lag(col("total"), 1).over(w))
+    val target = col("final_total") * lit(0.9)
+    val eff = rows.where(col("total") >= target)
+      .orderBy(col("t")).limit(1)
+      .select(when(col("prev").isNull || col("total") <= col("prev"),
+          col("t").cast("double"))
+        .otherwise(col("t") - 1 + (target - col("prev")) /
+          (col("total") - col("prev"))).as("eff_diameter"))
+    rows.select(col("t"), col("total").as("total_reach"), col("frac"))
+      .crossJoin(broadcast(eff))
   }
 }

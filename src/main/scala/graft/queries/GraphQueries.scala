@@ -169,7 +169,9 @@ object GraphQueries {
         rounds = 4)
       .orderBy(col("node"))
 
-  private val q286Oracle: String = {
+  /** The full q286/q287 shared HyperBall CTE chain: token edges →
+    * register tables hregs0..4 → per-node estimates hest0..4. */
+  private val HyperballCtes: String = {
     def estCte(t: Int): String =
       s"""hest$t AS MATERIALIZED (
         |  SELECT node,
@@ -196,11 +198,7 @@ object GraphQueries {
         |  GROUP BY 1, 2),
         |${estCte(t)}""".stripMargin
     }.mkString(",\n")
-    val harmonic = (1 to 4)
-      .map(t => s"floor((hest$t.est - hest${t - 1}.est) " +
-        s"/ ${t}e0 * 1e9) / 1e9")
-      .mkString(" + ")
-    s"""WITH $TokenEdgeCtes,
+    s"""$TokenEdgeCtes,
       |hedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ew),
       |hnodes AS MATERIALIZED (
       |  SELECT src AS node FROM hedges
@@ -215,7 +213,15 @@ object GraphQueries {
       |    FROM hnodes)
       |  GROUP BY 1, 2),
       |${estCte(0)},
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  private val q286Oracle: String = {
+    val harmonic = (1 to 4)
+      .map(t => s"floor((hest$t.est - hest${t - 1}.est) " +
+        s"/ ${t}e0 * 1e9) / 1e9")
+      .mkString(" + ")
+    s"""WITH $HyperballCtes
       |SELECT hest0.node, hest4.est AS ball_est,
       |  $harmonic AS harmonic_est
       |FROM hest0
@@ -224,6 +230,45 @@ object GraphQueries {
       |  JOIN hest3 ON hest0.node = hest3.node
       |  JOIN hest4 ON hest0.node = hest4.node
       |ORDER BY hest0.node""".stripMargin
+  }
+
+  /** q287: the HyperBall graph-level profile
+    * ([[graft.operators.Graph.hyperBallProfile]]) — the neighborhood
+    * function N(t) per radius with its fraction of N(4), plus the
+    * 90%-interpolated EFFECTIVE DIAMETER (the statistic HyperBall
+    * exists to compute at web scale), over the same token graph. */
+  def q287HyperballProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.hyperBallProfile(
+        tokenCoocEdges(s, d).select(col("src"), col("dst")),
+        rounds = 4)
+      .orderBy(col("t"))
+
+  private val q287Oracle: String = {
+    val profRows = (0 to 4).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS t,
+        |      floor(CAST(SUM(CAST(est AS DECIMAL(38,9))) AS DOUBLE)
+        |        * 1e9) / 1e9 AS total FROM hest$t""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $HyperballCtes,
+      |prof AS MATERIALIZED (
+      |  $profRows),
+      |fin AS (SELECT MAX(CASE WHEN t = 4 THEN total END)
+      |    AS final_total FROM prof),
+      |rowsx AS (
+      |  SELECT t, total,
+      |    floor(total / final_total * 1e9) / 1e9 AS frac,
+      |    lag(total) OVER (ORDER BY t) AS prev, final_total
+      |  FROM prof, fin),
+      |eff AS (
+      |  SELECT CASE WHEN prev IS NULL OR total <= prev
+      |      THEN CAST(t AS DOUBLE)
+      |      ELSE t - 1 + (final_total * 0.9 - prev) / (total - prev)
+      |    END AS eff_diameter
+      |  FROM rowsx WHERE total >= final_total * 0.9
+      |  ORDER BY t LIMIT 1)
+      |SELECT rowsx.t, rowsx.total AS total_reach, rowsx.frac,
+      |  eff.eff_diameter
+      |FROM rowsx, eff ORDER BY rowsx.t""".stripMargin
   }
 
   /** q163: 5-round HITS (max-normalized) over the same graph — the
@@ -680,6 +725,7 @@ object GraphQueries {
     "q224_pagerank_weighted" -> (q224PageRankWeighted _),
     "q285_textrank_keywords" -> (q285TextrankKeywords _),
     "q286_hyperball" -> (q286Hyperball _),
+    "q287_hyperball_profile" -> (q287HyperballProfile _),
     "q234_web_authority" -> (q234WebAuthority _),
     "q163_hits" -> (q163Hits _),
     "q175_personalized_pagerank" -> (q175Ppr _),
@@ -699,6 +745,7 @@ object GraphQueries {
     "q224_pagerank_weighted" -> q224Oracle,
     "q285_textrank_keywords" -> q285Oracle,
     "q286_hyperball" -> q286Oracle,
+    "q287_hyperball_profile" -> q287Oracle,
     "q234_web_authority" -> q234Oracle,
     "q163_hits" -> q163Oracle,
     "q175_personalized_pagerank" -> q175Oracle,

@@ -404,4 +404,26 @@ class GraphSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq
     assert(run(edges) === run(edges.repartition(11)))
   }
+
+  test("hyperBallProfile: neighborhood function grows to the node " +
+      "count on a cycle, effective diameter interpolates") {
+    import spark.implicits._
+    // directed 6-cycle: |B_t(v)| = t + 1 for every v, so
+    // N(t) ≈ 6(t+1) and N(4) ≈ 30; N(t)/N(4) hits 0.9 between t=3
+    // (24/30 = 0.8) and t=4 (1.0) → eff_diameter ≈ 3.5.
+    val edges = (0 until 6).map(i => (s"v$i", s"v${(i + 1) % 6}"))
+      .toDF("src", "dst")
+    val rows = Graph.hyperBallProfile(edges, rounds = 4)
+      .orderBy("t").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    val totals = rows.map(_.getDouble(1))
+    for (t <- 0 to 4)
+      assert(math.abs(totals(t) - 6.0 * (t + 1)) < 0.05 * 6 * (t + 1),
+        s"t=$t total=${totals(t)}")
+    assert(totals.zip(totals.tail).forall { case (a, b) => a < b })
+    val eff = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) === eff))
+    assert(math.abs(eff - 3.5) < 0.1, s"eff=$eff")
+    assert(math.abs(rows.last.getDouble(2) - 1.0) < 1e-9)
+  }
 }
