@@ -1571,7 +1571,51 @@ object TextQueries {
     "q29_minhash_bands" -> (q29MinhashBands _),
     "q30_simhash" -> (q30Simhash _),
     "q279_lsh_quality_sweep" -> (q279LshQualitySweep _),
+    "q288_zipf_fit" -> (q288ZipfFit _),
   )
+
+  /** q288: Zipf rank–frequency power-law fit
+    * ([[graft.operators.PowerLaw.zipfFit]]) — OLS of ln f = a + b·ln r
+    * over the top-200 token ranks; the corpus-health statistic whose
+    * slope (≈ −1 for natural text) flattens on templated/boilerplate
+    * corpora. Exact-decimal OLS sums; the oracle replays point
+    * construction and the closed form bit-identically. */
+  def q288ZipfFit(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    graft.operators.PowerLaw.zipfFit(cnt, "t", "c", topR = 200)
+  }
+
+  private val q288Oracle: String =
+    """WITH tokz AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |cntz AS (SELECT t, COUNT(*) AS c FROM tokz GROUP BY 1),
+      |topz AS (
+      |  SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank
+      |  FROM cntz ORDER BY c DESC, t LIMIT 200),
+      |pts AS (
+      |  SELECT floor(ln(CAST(rank AS DOUBLE)) * 1e9) / 1e9 AS x,
+      |    floor(ln(CAST(c AS DOUBLE)) * 1e9) / 1e9 AS y
+      |  FROM topz),
+      |st AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(floor(x * x * 1e9) / 1e9 AS DECIMAL(38,9)))
+      |      AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(floor(x * y * 1e9) / 1e9 AS DECIMAL(38,9)))
+      |      AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(floor(y * y * 1e9) / 1e9 AS DECIMAL(38,9)))
+      |      AS DOUBLE) AS syy
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_ranks,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+      |    AS intercept,
+      |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      |FROM st""".stripMargin
 
   /** SQL CASE planting the same per-language markers as
     * [[langMarkedDocs]]. */
@@ -3360,6 +3404,7 @@ object TextQueries {
       s"""WITH $MinhashBandCtes
         |SELECT doc_id, band, band_hash FROM bandsb
         |ORDER BY doc_id, band""".stripMargin,
+    "q288_zipf_fit" -> q288Oracle,
     "q279_lsh_quality_sweep" ->
       s"""WITH $JaccardPairCtes,
         |$MinhashBandCtes,
