@@ -51,6 +51,26 @@ object PowerLaw {
     val pts = ranked.select(
       ln9(col("rank").cast("double")).as("x"),
       ln9(col("c").cast("double")).as("y"))
+    olsFit(pts, "n_ranks")
+  }
+
+  /** OLS power-law fit of `yCol = K·xCol^b` on ANY positive (x, y)
+    * frame — ln9 both coordinates and fit; the Heaps'-law
+    * vocabulary-growth exponent is `logLogFit(vocabGrowth(...),
+    * "n_tokens", "n_types")`. Rows with a non-positive coordinate
+    * are excluded (their log is undefined). Returns one row:
+    * `(n_points, slope, intercept, r2)`. */
+  def logLogFit(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val pts = df.where(col(xCol) > 0 && col(yCol) > 0)
+      .select(ln9(col(xCol).cast("double")).as("x"),
+        ln9(col(yCol).cast("double")).as("y"))
+    olsFit(pts, "n_points")
+  }
+
+  /** The shared exact-decimal OLS closed form over a `(x, y)` point
+    * frame (coordinates already 9-decimal-truncated). */
+  private def olsFit(pts: DataFrame, nAlias: String): DataFrame = {
     val s = pts.agg(count(lit(1)).as("n"),
       xsum(col("x")).as("sx"), xsum(col("y")).as("sy"),
       xsum(t9(col("x") * col("x"))).as("sxx"),
@@ -62,7 +82,7 @@ object PowerLaw {
       (col("n") * col("sxy") - col("sx") * col("sy"))
     val r2den = (col("n") * col("sxx") - col("sx") * col("sx")) *
       (col("n") * col("syy") - col("sy") * col("sy"))
-    s.select(col("n").as("n_ranks"), slope.as("slope"),
+    s.select(col("n").as(nAlias), slope.as("slope"),
       ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
       (r2num / r2den).as("r2"))
   }

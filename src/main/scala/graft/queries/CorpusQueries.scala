@@ -2509,8 +2509,10 @@ object CorpusQueries {
       "doc_id", "text", checkpoints = 10)
       .orderBy(col("checkpoint"))
 
-  private val q263Oracle: String =
-    raw"""WITH rk AS (
+  /** The q263/q289 shared vocab-growth oracle chain, ending at
+    * `growth(checkpoint, n_docs, n_tokens, n_types)`. */
+  private val VocabGrowthCtes: String =
+    raw"""rk AS (
       |  SELECT doc_id, text,
       |    row_number() OVER (ORDER BY doc_id) AS rnk
       |  FROM documents),
@@ -2534,14 +2536,40 @@ object CorpusQueries {
       |tt AS (
       |  SELECT checkpoint, SUM(n_toks) AS n_tokens
       |  FROM dt JOIN cp ON rnk <= cutoff
-      |  GROUP BY checkpoint)
-      |SELECT cp.checkpoint, cp.cutoff AS n_docs,
-      |  CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
-      |  CAST(COALESCE(ty.n_types, 0) AS BIGINT) AS n_types
-      |FROM cp
-      |LEFT JOIN ty ON ty.checkpoint = cp.checkpoint
-      |LEFT JOIN tt ON tt.checkpoint = cp.checkpoint
-      |ORDER BY cp.checkpoint""".stripMargin
+      |  GROUP BY checkpoint),
+      |growth AS (
+      |  SELECT cp.checkpoint, cp.cutoff AS n_docs,
+      |    CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |    CAST(COALESCE(ty.n_types, 0) AS BIGINT) AS n_types
+      |  FROM cp
+      |  LEFT JOIN ty ON ty.checkpoint = cp.checkpoint
+      |  LEFT JOIN tt ON tt.checkpoint = cp.checkpoint)""".stripMargin
+
+  private val q263Oracle: String =
+    s"""WITH $VocabGrowthCtes
+      |SELECT checkpoint, n_docs, n_tokens, n_types
+      |FROM growth ORDER BY checkpoint""".stripMargin
+
+  /** q289: Heaps'-law exponent fit
+    * ([[graft.operators.PowerLaw.logLogFit]] over the q263 growth
+    * curve) — OLS of ln V = ln K + β·ln n over the 10 corpus
+    * prefixes; β (≈0.4–0.6 for natural text) is the
+    * vocabulary-scaling forecast a tokenizer budget is sized
+    * against. Oracle = the q263 chain + the shared OLS tail. */
+  def q289HeapsFit(s: SparkSession, d: String): DataFrame =
+    graft.operators.PowerLaw.logLogFit(
+      Corpus.vocabGrowth(
+        documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", checkpoints = 10),
+      "n_tokens", "n_types")
+
+  private val q289Oracle: String =
+    s"""WITH $VocabGrowthCtes,
+      |pts AS (
+      |  SELECT floor(ln(CAST(n_tokens AS DOUBLE)) * 1e9) / 1e9 AS x,
+      |    floor(ln(CAST(n_types AS DOUBLE)) * 1e9) / 1e9 AS y
+      |  FROM growth WHERE n_tokens > 0 AND n_types > 0),
+      |${Tables.olsLogLogTailSql("pts", "n_points")}""".stripMargin
 
   /** q180: ROUGE-1/2 of the lead-30-token extractive baseline against
     * the full document ([[Eval.rougeStats]]) — the lead-k baseline
@@ -3217,6 +3245,7 @@ object CorpusQueries {
     "q261_code_datasheet" -> (q261CodeDatasheet _),
     "q262_sentences" -> (q262Sentences _),
     "q263_vocab_growth" -> (q263VocabGrowth _),
+    "q289_heaps_fit" -> (q289HeapsFit _),
     "q266_serving_manifest" -> (q266ServingManifest _),
     "q267_source_overlap" -> (q267SourceOverlap _),
     "q268_script_mix" -> (q268ScriptMix _),
@@ -3259,6 +3288,7 @@ object CorpusQueries {
     "q261_code_datasheet" -> q261Oracle,
     "q262_sentences" -> q262Oracle,
     "q263_vocab_growth" -> q263Oracle,
+    "q289_heaps_fit" -> q289Oracle,
     "q266_serving_manifest" -> q266Oracle,
     "q267_source_overlap" -> q267Oracle,
     "q268_script_mix" -> q268Oracle,

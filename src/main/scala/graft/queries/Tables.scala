@@ -75,6 +75,31 @@ object Tables {
       |  END AS pad_frac
       |FROM gb ORDER BY batch_id""".stripMargin
 
+  /** Shared exact-decimal OLS oracle tail over a caller-supplied
+    * `$pts(x, y)` CTE of 9-decimal-truncated ln coordinates — the
+    * [[graft.operators.PowerLaw]] closed form (q288 Zipf, q289
+    * Heaps). Emits the stats CTE plus the final one-row SELECT. */
+  private[queries] def olsLogLogTailSql(pts: String,
+      nAlias: String): String =
+    s"""stols AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(floor(x * x * 1e9) / 1e9 AS DECIMAL(38,9)))
+      |      AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(floor(x * y * 1e9) / 1e9 AS DECIMAL(38,9)))
+      |      AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(floor(y * y * 1e9) / 1e9 AS DECIMAL(38,9)))
+      |      AS DOUBLE) AS syy
+      |  FROM $pts)
+      |SELECT CAST(n AS BIGINT) AS $nAlias,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+      |    AS intercept,
+      |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      |FROM stols""".stripMargin
+
   /** Exact sum of a double column: per-row cast to DECIMAL(18,scale)
     * (deterministic), exact decimal sum, final cast to double.
     * DuckDB mirror: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE). */

@@ -1588,7 +1588,7 @@ object TextQueries {
   }
 
   private val q288Oracle: String =
-    """WITH tokz AS (
+    s"""WITH tokz AS (
       |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
       |cntz AS (SELECT t, COUNT(*) AS c FROM tokz GROUP BY 1),
       |topz AS (
@@ -1598,24 +1598,7 @@ object TextQueries {
       |  SELECT floor(ln(CAST(rank AS DOUBLE)) * 1e9) / 1e9 AS x,
       |    floor(ln(CAST(c AS DOUBLE)) * 1e9) / 1e9 AS y
       |  FROM topz),
-      |st AS (
-      |  SELECT COUNT(*) AS n,
-      |    CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(floor(x * x * 1e9) / 1e9 AS DECIMAL(38,9)))
-      |      AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(floor(x * y * 1e9) / 1e9 AS DECIMAL(38,9)))
-      |      AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(floor(y * y * 1e9) / 1e9 AS DECIMAL(38,9)))
-      |      AS DOUBLE) AS syy
-      |  FROM pts)
-      |SELECT CAST(n AS BIGINT) AS n_ranks,
-      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-      |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-      |    AS intercept,
-      |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
-      |FROM st""".stripMargin
+      |${Tables.olsLogLogTailSql("pts", "n_ranks")}""".stripMargin
 
   /** SQL CASE planting the same per-language markers as
     * [[langMarkedDocs]]. */
