@@ -112,4 +112,67 @@ object Privacy {
       .drop(widths.indices.map(i => s"__b_$i"): _*)
       .drop(widths.indices.map(i => s"__gs_$i"): _*)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) over an
+    * ORDERED sensitive attribute: k/l alone don't stop attribute
+    * disclosure when a group's sensitive DISTRIBUTION skews from the
+    * corpus's (a group that is 90% top-decile leaks even with l
+    * distinct values). Per QI group, the ordered Earth-Mover's
+    * Distance between the group's and the global sensitive
+    * distribution: EMD = (1/(m−1)) Σ_i |Σ_{j≤i} (Q_j − P_j)|.
+    *
+    * Exactness device: cross-multiplied INTEGER cumulants
+    * D_i = Σ_{j≤i} (n_gj·N − n_j·n_g) — every aggregation is
+    * integer and order-free; EMD = Σ|D_i| / (N·n_g·(m−1)) is
+    * emitted as its exact num/den pair plus one final double
+    * division (the Agreement-family contract).
+    *
+    * Scale shape: one aggregate to the (QI, value) cell table, a
+    * broadcast of the m-row global distribution, a cumulative
+    * window PARTITIONED BY the QI group over m rows per group
+    * (m = distinct sensitive values, bounded), one final group
+    * aggregate. Missing (group, value) cells materialize via the
+    * broadcast value grid so cumulants never skip a step. */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[Column],
+      quasiNames: Seq[String], sensitiveCol: Column,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty && quasiCols.length == quasiNames.length,
+      "one name per quasi-identifier column")
+    require(t > 0 && t <= 1, "t in (0, 1]")
+    val keyed = df.select(
+      quasiCols.zip(quasiNames).map { case (c, n) => c.as(n) } :+
+        sensitiveCol.as("__s"): _*)
+    val cells = keyed.groupBy(
+        (quasiNames.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__ng_s"))
+    val groups = cells.groupBy(quasiNames.map(col): _*)
+      .agg(sum(col("__ng_s")).as("__ng"))
+    val global = cells.groupBy(col("__s"))
+      .agg(sum(col("__ng_s")).as("__n_s"))
+    val totals = global.agg(sum(col("__n_s")).as("__n"),
+      count(lit(1)).as("__m"))
+    // dense (group × value) grid so every cumulant step exists
+    val grid = groups.crossJoin(broadcast(global))
+      .join(cells, quasiNames :+ "__s", "left")
+      .withColumn("__ng_s", coalesce(col("__ng_s"), lit(0L)))
+      .crossJoin(broadcast(totals))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiNames.map(col): _*)
+      .orderBy(col("__s"))
+    val cum = grid.withColumn("__d",
+      sum(col("__ng_s") * col("__n") - col("__n_s") * col("__ng"))
+        .over(w))
+    val out = cum.groupBy(
+        (quasiNames.map(col) :+ col("__ng").as("group_size") :+
+          col("__n") :+ col("__m")): _*)
+      .agg(sum(abs(col("__d"))).as("emd_num"))
+      .withColumn("emd_den",
+        col("__n") * col("group_size") * (col("__m") - 1))
+      .withColumn("emd",
+        col("emd_num").cast("double") / col("emd_den").cast("double"))
+      .withColumn("t_close", col("emd") <= t)
+    out.select((quasiNames.map(col) :+ col("group_size") :+
+      col("emd_num") :+ col("emd_den") :+ col("emd") :+
+      col("t_close")): _*)
+  }
 }

@@ -396,6 +396,53 @@ object GovernanceQueries {
       |ORDER BY doc_id, pattern""".stripMargin
   }
 
+  /** q290: t-closeness audit ([[Privacy.tClosenessAudit]]) — the
+    * third leg of the disclosure family (q271 k/l, q272 ladder):
+    * per-market-segment ordered EMD between the group's
+    * account-balance-decile distribution and the corpus's, as an
+    * exact integer rational (cross-multiplied cumulants) plus one
+    * final double division; flags groups whose sensitive
+    * distribution skews beyond t = 0.05. */
+  def q290TCloseness(s: SparkSession, d: String): DataFrame =
+    Privacy.tClosenessAudit(customer(s, d),
+        quasiCols = Seq(col("c_mktsegment")),
+        quasiNames = Seq("c_mktsegment"),
+        sensitiveCol = Privacy.bin(col("c_acctbal"), 1000.0),
+        t = 0.05)
+      .orderBy(col("c_mktsegment"))
+
+  private val q290Oracle: String =
+    """WITH cls AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS s
+      |  FROM customer),
+      |cells AS (SELECT seg, s, COUNT(*) AS ngs FROM cls
+      |  GROUP BY 1, 2),
+      |grp AS (SELECT seg, SUM(ngs) AS ng FROM cells GROUP BY 1),
+      |glb AS (SELECT s, SUM(ngs) AS ns FROM cells GROUP BY 1),
+      |tot AS (SELECT SUM(ns) AS n, COUNT(*) AS m FROM glb),
+      |grid AS (
+      |  SELECT grp.seg, glb.s, grp.ng, glb.ns,
+      |    COALESCE(cells.ngs, 0) AS ngs, tot.n, tot.m
+      |  FROM grp CROSS JOIN glb CROSS JOIN tot
+      |  LEFT JOIN cells ON cells.seg = grp.seg AND cells.s = glb.s),
+      |cum AS (
+      |  SELECT seg, ng, n, m,
+      |    SUM(ngs * n - ns * ng) OVER (PARTITION BY seg ORDER BY s)
+      |      AS d
+      |  FROM grid)
+      |SELECT seg AS c_mktsegment,
+      |  CAST(ng AS BIGINT) AS group_size,
+      |  CAST(SUM(ABS(d)) AS BIGINT) AS emd_num,
+      |  CAST(n * ng * (m - 1) AS BIGINT) AS emd_den,
+      |  CAST(CAST(SUM(ABS(d)) AS BIGINT) AS DOUBLE) /
+      |    CAST(CAST(n * ng * (m - 1) AS BIGINT) AS DOUBLE) AS emd,
+      |  CAST(CAST(SUM(ABS(d)) AS BIGINT) AS DOUBLE) /
+      |    CAST(CAST(n * ng * (m - 1) AS BIGINT) AS DOUBLE) <= 0.05
+      |    AS t_close
+      |FROM cum GROUP BY seg, ng, n, m
+      |ORDER BY seg""".stripMargin
+
   /** q281: checksum-validated PII audit
     * ([[graft.functions.Checksums]]) — the q108 scrub extended with
     * the validation layer real scrubbers run: 13–19-digit runs are
@@ -525,6 +572,7 @@ object GovernanceQueries {
     "q278_exact_contamination" -> (q278ExactContamination _),
     "q280_phrase_blocklist" -> (q280PhraseBlocklist _),
     "q281_checksum_pii" -> (q281ChecksumPii _),
+    "q290_t_closeness" -> (q290TCloseness _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -538,5 +586,6 @@ object GovernanceQueries {
     "q278_exact_contamination" -> q278Oracle,
     "q280_phrase_blocklist" -> q280Oracle,
     "q281_checksum_pii" -> q281Oracle,
+    "q290_t_closeness" -> q290Oracle,
   )
 }

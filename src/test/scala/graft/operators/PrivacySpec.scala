@@ -91,4 +91,51 @@ class PrivacySpec extends SparkTestBase {
       .as[Long].collect().toSeq
     assert(d === Seq(-2L, -1L, -1L, 0L, 0L, 1L))
   }
+
+  test("tClosenessAudit: hand-computed ordered EMD, exact " +
+      "rationals, zero for a group matching the global mix") {
+    // A: [0,0,0,1], B: [0,1,1,1] → global (4,4), N=8, m=2.
+    // Q_A=(3/4,1/4) vs P=(1/2,1/2): ordered EMD = 1/4. B symmetric.
+    val rows = Seq(("A", 0L), ("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 0L), ("B", 1L), ("B", 1L), ("B", 1L)).toDF("g", "s")
+    val out = Privacy.tClosenessAudit(rows, Seq(col("g")), Seq("g"),
+        col("s"), t = 0.3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getBoolean(5)))).toMap
+    assert(out("A") === ((4L, 8L, 32L, 0.25, true)))
+    assert(out("B") === ((4L, 8L, 32L, 0.25, true)))
+    // a group with the global mix has EMD exactly 0
+    val rows2 = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L))
+      .toDF("g", "s")
+    val z = Privacy.tClosenessAudit(rows2, Seq(col("g")), Seq("g"),
+      col("s"), t = 0.05).collect()
+    assert(z.forall(r => r.getLong(2) === 0L && r.getDouble(4) === 0.0))
+  }
+
+  test("tClosenessAudit: missing (group, value) cells enter the " +
+      "cumulant; ordering drives the distance") {
+    // A holds only the LOWEST value, B only the HIGHEST, C only the
+    // middle — under ordered EMD the extremes are farther from the
+    // global mix than the middle is.
+    val rows = Seq(("A", 0L), ("B", 2L), ("C", 1L)).toDF("g", "s")
+    val out = Privacy.tClosenessAudit(rows, Seq(col("g")), Seq("g"),
+        col("s"), t = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // P=(1/3,1/3,1/3). A: cum diffs (2/3, 1/3) → EMD = 1/2.
+    // C: (−1/3, 1/3)... wait cum: Q=(0,1,0): (−1/3, +1/3) → 1/3.
+    assert(math.abs(out("A") - 0.5) < 1e-12)
+    assert(math.abs(out("B") - 0.5) < 1e-12)
+    assert(math.abs(out("C") - 1.0 / 3) < 1e-12)
+    assert(out("A") > out("C") && out("B") > out("C"))
+  }
+
+  test("tClosenessAudit is partition-invariant") {
+    val rows = (0L until 120L)
+      .map(i => (s"g${i % 4}", (i * 7) % 5)).toDF("g", "s")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Privacy.tClosenessAudit(df, Seq(col("g")), Seq("g"), col("s"),
+        t = 0.1).orderBy("g").collect().map(_.toSeq).toSeq
+    assert(run(rows) === run(rows.repartition(17)))
+  }
 }
