@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy maximum-coverage source selection — the data-acquisition
+  * planner: "which K sources (crawls, dumps, vendors) add the most
+  * NEW content, in what order?" Each round picks the source with
+  * the largest count of word-shingles not yet covered by earlier
+  * picks (the classic (1−1/e)-approximation to max-coverage, the
+  * standard greedy data-buying heuristic), reporting per pick its
+  * marginal gain and the cumulative distinct-shingle coverage.
+  *
+  * All counting is integer over a DISTINCT (shingle, source) pair
+  * table — exact and order-free — and the winner tie-break is
+  * (gain DESC, source ASC), so K rounds replay exactly in SQL.
+  *
+  * Scale shape: the pair table is ONE distinct aggregate of the
+  * exploded shingle stream; each round is one anti-join against the
+  * covered set + a source-count aggregate (|sources|-row frame) +
+  * a sort-limit-1 winner. The covered set is shingle-bounded and
+  * checkpointed per round; `picks` is planner-bounded (you are
+  * choosing datasets, not documents). Once no source has positive
+  * marginal gain, later rounds emit NO row — a zero-gain source is
+  * not a pick. */
+object CoveragePlanner {
+
+  def greedySourceCoverage(df: DataFrame, textCol: String,
+      sourceCol: String, shingleN: Int = 3, picks: Int = 5)
+      : DataFrame = {
+    require(shingleN >= 1, "shingleN must be >= 1")
+    require(picks >= 1, "picks must be >= 1")
+    val tk = split(col(textCol), " ")
+    val sh = when(size(tk) >= shingleN,
+      transform(sequence(lit(1), size(tk) - (shingleN - 1)),
+        i => concat_ws(" ",
+          (0 until shingleN).map(o => element_at(tk, i + o)): _*)))
+      .otherwise(array())
+    val pairs = df
+      .select(col(sourceCol).as("source"), explode(sh).as("shingle"))
+      .distinct().localCheckpoint()
+    val total = pairs.select(col("shingle")).distinct()
+      .agg(count(lit(1)).as("total"))
+    var covered = pairs.select(col("shingle")).where(lit(false))
+    var picked = pairs.select(col("source")).where(lit(false))
+    var rows = Vector.empty[DataFrame]
+    for (r <- 1 to picks) {
+      val remaining = pairs
+        .join(covered, Seq("shingle"), "left_anti")
+        .join(picked, Seq("source"), "left_anti")
+      val winner = remaining.groupBy(col("source"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source")).limit(1)
+        .localCheckpoint()
+      covered = covered.unionByName(
+          pairs.join(broadcast(winner.select(col("source"))),
+            Seq("source"), "left_semi").select(col("shingle")))
+        .distinct().localCheckpoint()
+      picked = picked.unionByName(winner.select(col("source")))
+        .localCheckpoint()
+      val cum = covered.agg(count(lit(1)).as("cum_covered"))
+      rows = rows :+ winner
+        .select(lit(r.toLong).as("round"), col("source"), col("gain"))
+        .crossJoin(broadcast(cum))
+    }
+    rows.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .withColumn("cum_frac", col("cum_covered").cast("double") /
+        col("total").cast("double"))
+      .select(col("round"), col("source"), col("gain"),
+        col("cum_covered"), col("cum_frac"))
+  }
+}

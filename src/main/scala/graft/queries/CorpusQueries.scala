@@ -3198,6 +3198,65 @@ object CorpusQueries {
       |FROM tf CROSS JOIN tot
       |GROUP BY c ORDER BY c""".stripMargin
 
+  /** q291: greedy max-coverage source selection
+    * ([[graft.operators.CoveragePlanner.greedySourceCoverage]]) —
+    * the data-acquisition plan: the 5 sources that add the most NEW
+    * 3-gram shingles, in pick order, with marginal gain and
+    * cumulative coverage. The oracle unrolls all five greedy rounds
+    * (anti-membership + argmax + covered-set union) exactly. */
+  def q291SourceCoverage(s: SparkSession, d: String): DataFrame =
+    graft.operators.CoveragePlanner.greedySourceCoverage(
+        documents(s, d).select(col("text"), col("source")),
+        "text", "source", shingleN = 3, picks = 5)
+      .orderBy(col("round"))
+
+  private val q291Oracle: String = {
+    val rounds = (1 to 5).map { r =>
+      val cond = if (r == 1) "TRUE" else {
+        val prevWs = (1 until r)
+          .map(i => s"SELECT source FROM w$i").mkString(" UNION ALL ")
+        s"""p.shingle NOT IN (SELECT shingle FROM c${r - 1})
+          |      AND p.source NOT IN ($prevWs)""".stripMargin
+      }
+      val cover = if (r == 1)
+        "SELECT DISTINCT shingle FROM prs JOIN w1 USING (source)"
+      else
+        s"""SELECT shingle FROM c${r - 1}
+          |  UNION
+          |  SELECT shingle FROM prs JOIN w$r USING (source)""".stripMargin
+      s"""g$r AS (
+        |  SELECT p.source, COUNT(*) AS gain FROM prs p
+        |  WHERE $cond GROUP BY 1),
+        |w$r AS MATERIALIZED (
+        |  SELECT CAST($r AS BIGINT) AS round, source,
+        |    CAST(gain AS BIGINT) AS gain
+        |  FROM g$r ORDER BY gain DESC, source LIMIT 1),
+        |c$r AS MATERIALIZED (
+        |  $cover)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to 5).map { r =>
+      s"""SELECT w$r.round, w$r.source, w$r.gain,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$r) AS cum_covered,
+        |  CAST((SELECT COUNT(*) FROM c$r) AS DOUBLE) /
+        |    CAST(tot.total AS DOUBLE) AS cum_frac
+        |FROM w$r CROSS JOIN tot""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH prs AS MATERIALIZED (
+      |  SELECT DISTINCT source, s AS shingle FROM (
+      |    SELECT source, unnest(list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |           string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2])) AS s
+      |    FROM documents
+      |    WHERE len(string_split(text, ' ')) >= 3)),
+      |tot AS (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT)
+      |    AS total FROM prs),
+      |$rounds
+      |$finals
+      |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_freq_spectrum" -> (q228FreqSpectrum _),
     "q209_cdc_chunks" -> (q209CdcChunks _),
@@ -3246,6 +3305,7 @@ object CorpusQueries {
     "q262_sentences" -> (q262Sentences _),
     "q263_vocab_growth" -> (q263VocabGrowth _),
     "q289_heaps_fit" -> (q289HeapsFit _),
+    "q291_source_coverage" -> (q291SourceCoverage _),
     "q266_serving_manifest" -> (q266ServingManifest _),
     "q267_source_overlap" -> (q267SourceOverlap _),
     "q268_script_mix" -> (q268ScriptMix _),
@@ -3289,6 +3349,7 @@ object CorpusQueries {
     "q262_sentences" -> q262Oracle,
     "q263_vocab_growth" -> q263Oracle,
     "q289_heaps_fit" -> q289Oracle,
+    "q291_source_coverage" -> q291Oracle,
     "q266_serving_manifest" -> q266Oracle,
     "q267_source_overlap" -> q267Oracle,
     "q268_script_mix" -> q268Oracle,
