@@ -1572,7 +1572,40 @@ object TextQueries {
     "q30_simhash" -> (q30Simhash _),
     "q279_lsh_quality_sweep" -> (q279LshQualitySweep _),
     "q288_zipf_fit" -> (q288ZipfFit _),
+    "q292_pareto_front" -> (q292ParetoFront _),
   )
+
+  /** q292: Pareto-front curation
+    * ([[graft.operators.Skyline.paretoFront]]) — the documents that
+    * are jointly un-dominated on (token cost, repetition): no other
+    * doc is both shorter and less repetitive. The engine runs the
+    * grid-pruned skyline; the oracle is the brute-force NOT EXISTS
+    * definition, so the hash match IS the pruning-correctness
+    * proof. */
+  def q292ParetoFront(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val pts = documents(s, d).select(col("doc_id"),
+      size(tk).cast("long").as("n_tokens"),
+      (lit(1.0) - size(array_distinct(tk)).cast("double") /
+        size(tk).cast("double")).as("rep_frac"))
+    graft.operators.Skyline.paretoFront(pts, "n_tokens", "rep_frac")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q292Oracle: String =
+    """WITH ptsk AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+      |        AS DOUBLE) /
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS rep_frac
+      |  FROM documents)
+      |SELECT p.doc_id, p.n_tokens, p.rep_frac FROM ptsk p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM ptsk q
+      |  WHERE q.n_tokens <= p.n_tokens AND q.rep_frac <= p.rep_frac
+      |    AND (q.n_tokens < p.n_tokens OR q.rep_frac < p.rep_frac))
+      |ORDER BY doc_id""".stripMargin
 
   /** q288: Zipf rank–frequency power-law fit
     * ([[graft.operators.PowerLaw.zipfFit]]) — OLS of ln f = a + b·ln r
@@ -3388,6 +3421,7 @@ object TextQueries {
         |SELECT doc_id, band, band_hash FROM bandsb
         |ORDER BY doc_id, band""".stripMargin,
     "q288_zipf_fit" -> q288Oracle,
+    "q292_pareto_front" -> q292Oracle,
     "q279_lsh_quality_sweep" ->
       s"""WITH $JaccardPairCtes,
         |$MinhashBandCtes,
