@@ -1573,7 +1573,61 @@ object TextQueries {
     "q279_lsh_quality_sweep" -> (q279LshQualitySweep _),
     "q288_zipf_fit" -> (q288ZipfFit _),
     "q292_pareto_front" -> (q292ParetoFront _),
+    "q293_spearman_signals" -> (q293SpearmanSignals _),
   )
+
+  /** q293: signal-redundancy matrix
+    * ([[graft.operators.RankCorrelation.spearmanPairs]]) — Spearman
+    * ρ between the per-doc curation signals (chars, tokens, types);
+    * two signals at ρ≈1 gate the same documents, so one is wasted
+    * compute at scale. Integer doubled-average-rank moments over
+    * DECIMAL(38,0) (oracle: HUGEINT) with a single correctly-rounded
+    * sqrt at the end. */
+  def q293SpearmanSignals(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val sigs = documents(s, d).select(col("doc_id"), col("n_chars"),
+      size(tk).cast("long").as("n_tokens"),
+      size(array_distinct(tk)).cast("long").as("n_types"))
+    graft.operators.RankCorrelation.spearmanPairs(sigs, "doc_id",
+        Seq("n_chars", "n_tokens", "n_types"))
+      .orderBy(col("sig_a"), col("sig_b"))
+  }
+
+  private val q293Oracle: String = {
+    val sigs = Seq("n_chars", "n_tokens", "n_types")
+    val rankCtes = sigs.map { s =>
+      s"""rc_$s AS (
+        |  SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS dr
+        |  FROM (SELECT $s AS v, COUNT(*) AS c FROM bsig GROUP BY 1)),
+        |jr_$s AS (
+        |  SELECT doc_id, rc_$s.dr AS dr FROM bsig
+        |  JOIN rc_$s ON bsig.$s = rc_$s.v)""".stripMargin
+    }.mkString(",\n")
+    val pairSelects = (for {
+      i <- sigs.indices; j <- sigs.indices if i < j
+    } yield {
+      val (a, b) = (sigs(i), sigs(j))
+      s"""SELECT '$a' AS sig_a, '$b' AS sig_b, COUNT(*) AS n,
+        |  CAST(COUNT(*) * SUM(x.dr * y.dr) - SUM(x.dr) * SUM(y.dr)
+        |    AS DOUBLE) /
+        |  sqrt(CAST(COUNT(*) * SUM(x.dr * x.dr)
+        |      - SUM(x.dr) * SUM(x.dr) AS DOUBLE) *
+        |    CAST(COUNT(*) * SUM(y.dr * y.dr)
+        |      - SUM(y.dr) * SUM(y.dr) AS DOUBLE)) AS rho
+        |FROM jr_$a x JOIN jr_$b y ON x.doc_id = y.doc_id""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH bsig AS MATERIALIZED (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS n_types
+      |  FROM documents),
+      |$rankCtes
+      |$pairSelects
+      |ORDER BY sig_a, sig_b""".stripMargin
+  }
 
   /** q292: Pareto-front curation
     * ([[graft.operators.Skyline.paretoFront]]) — the documents that
@@ -3422,6 +3476,7 @@ object TextQueries {
         |ORDER BY doc_id, band""".stripMargin,
     "q288_zipf_fit" -> q288Oracle,
     "q292_pareto_front" -> q292Oracle,
+    "q293_spearman_signals" -> q293Oracle,
     "q279_lsh_quality_sweep" ->
       s"""WITH $JaccardPairCtes,
         |$MinhashBandCtes,
