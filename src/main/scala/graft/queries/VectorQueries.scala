@@ -739,13 +739,60 @@ object VectorQueries {
     "q159_matryoshka_recall" -> (q159MatryoshkaRecall _),
     "q58_embedding_neardups" -> (q58EmbeddingNearDups _),
     "q31_knn_bruteforce" -> (q31KnnBruteForce _),
+    "q294_kcenter_select" -> (q294KCenterSelect _),
     "q155_mmr_diversify" -> (q155MmrDiversify _),
     "q32_label_centroids" -> (q32LabelCentroids _),
     "q33_vector_norms" -> (q33VectorNorms _),
     "q34_cosine_top_pairs" -> (q34CosineTopPairs _),
   )
 
+  /** q294: greedy k-center diverse-subset selection
+    * ([[graft.operators.DiverseSelection.kCenterSelect]], K=6) —
+    * the farthest-first exemplar traversal over the embedding table;
+    * pick order + covering radius per pick. The oracle unrolls all
+    * five post-seed rounds with the q31 distance device. */
+  def q294KCenterSelect(s: SparkSession, d: String): DataFrame =
+    graft.operators.DiverseSelection.kCenterSelect(
+        embeddings(s, d), "vec_id", "embedding", k = 6)
+      .orderBy(col("round"))
+
+  private val q294Oracle: String = {
+    val rounds = (2 to 6).map { r =>
+      val prev = s"acc${r - 1}"
+      s"""dd$r AS (
+        |  SELECT p.pid,
+        |    MIN(CASE WHEN p.nrm > 0 AND c.nrm > 0
+        |      THEN 1.0 - list_dot_product(p.e, c.e) / (p.nrm * c.nrm)
+        |      ELSE 1.0 END) AS dist
+        |  FROM vvk p CROSS JOIN $prev c
+        |  WHERE p.pid NOT IN (SELECT pid FROM $prev)
+        |  GROUP BY p.pid),
+        |ck$r AS MATERIALIZED (
+        |  SELECT CAST($r AS BIGINT) AS round, w.pid, vvk.e, vvk.nrm,
+        |    w.dist
+        |  FROM (SELECT pid, dist FROM dd$r
+        |        ORDER BY dist DESC, pid LIMIT 1) w
+        |  JOIN vvk ON vvk.pid = w.pid),
+        |acc$r AS MATERIALIZED (
+        |  SELECT * FROM $prev UNION ALL SELECT * FROM ck$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH vvk AS MATERIALIZED (
+      |  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS e,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |acc1 AS MATERIALIZED (
+      |  SELECT CAST(1 AS BIGINT) AS round, pid, e, nrm,
+      |    CAST(0.0 AS DOUBLE) AS dist
+      |  FROM vvk ORDER BY pid LIMIT 1),
+      |$rounds
+      |SELECT round, pid AS vec_id, dist FROM acc6
+      |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q294_kcenter_select" -> q294Oracle,
     "q124_retrieval_metrics" -> {
       // the gain table is driver-computed ONCE and interpolated into
       // both the plan and this SQL (see Eval.scaledGains) — no libm
