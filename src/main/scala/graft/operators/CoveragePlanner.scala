@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * (gain DESC, source ASC), so K rounds replay exactly in SQL.
   *
   * Scale shape: the pair table is ONE distinct aggregate of the
-  * exploded shingle stream; each round is one anti-join against the
-  * covered set + a source-count aggregate (|sources|-row frame) +
-  * a sort-limit-1 winner. The covered set is shingle-bounded and
-  * checkpointed per round; `picks` is planner-bounded (you are
+  * exploded shingle stream; each round is a source-count aggregate
+  * (|sources|-row frame), a sort-limit-1 winner, and ONE anti-join
+  * that SHRINKS the remaining pair table by the winner's shingles —
+  * no covered-set ever materializes (its size is the running sum of
+  * the gains, which are disjoint by construction), so per-round work
+  * decreases monotonically. `picks` is planner-bounded (you are
   * choosing datasets, not documents). Once no source has positive
   * marginal gain, later rounds emit NO row — a zero-gain source is
   * not a pick. */
@@ -41,30 +43,34 @@ object CoveragePlanner {
       .distinct().localCheckpoint()
     val total = pairs.select(col("shingle")).distinct()
       .agg(count(lit(1)).as("total"))
-    var covered = pairs.select(col("shingle")).where(lit(false))
-    var picked = pairs.select(col("source")).where(lit(false))
+    var remaining = pairs
     var rows = Vector.empty[DataFrame]
     for (r <- 1 to picks) {
-      val remaining = pairs
-        .join(covered, Seq("shingle"), "left_anti")
-        .join(picked, Seq("source"), "left_anti")
       val winner = remaining.groupBy(col("source"))
         .agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("source")).limit(1)
         .localCheckpoint()
-      covered = covered.unionByName(
-          pairs.join(broadcast(winner.select(col("source"))),
-            Seq("source"), "left_semi").select(col("shingle")))
-        .distinct().localCheckpoint()
-      picked = picked.unionByName(winner.select(col("source")))
+      val winShingles = remaining
+        .join(broadcast(winner.select(col("source"))),
+          Seq("source"), "left_semi")
+        .select(col("shingle"))
+      remaining = remaining
+        .join(broadcast(winner.select(col("source"))),
+          Seq("source"), "left_anti")
+        .join(winShingles, Seq("shingle"), "left_anti")
         .localCheckpoint()
-      val cum = covered.agg(count(lit(1)).as("cum_covered"))
       rows = rows :+ winner
         .select(lit(r.toLong).as("round"), col("source"), col("gain"))
-        .crossJoin(broadcast(cum))
     }
+    // gains are disjoint new shingles, so cumulative coverage is
+    // their running sum — a window over the ≤picks-row result frame
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("round"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
     rows.reduce(_ unionByName _)
       .crossJoin(broadcast(total))
+      .withColumn("cum_covered", sum(col("gain")).over(w))
       .withColumn("cum_frac", col("cum_covered").cast("double") /
         col("total").cast("double"))
       .select(col("round"), col("source"), col("gain"),
