@@ -548,7 +548,51 @@ object ScaleBench {
           SimilaritySearch.marginMining(
             emb.filter(col("vec_id") % 2 === 0), "vec_id",
             emb.filter(col("vec_id") % 2 === 1), "vec_id",
-            "embedding", k = 4, marginThreshold = 1.0).count()))
+            "embedding", k = 4, marginThreshold = 1.0).count()),
+        // r10 families: one data-sized join+agg per round (hyperball),
+        // per-x agg + bounded windows (skyline), K shrinking linear
+        // passes (coverage/kcenter), distinct-value windows (spearman)
+        "hyperball_4r" -> (() => {
+          val cap = lit(1000000L * k)
+          val e = (1 to 3).map(s => docs.select(
+              col("doc_id").cast("string").as("src"),
+              pmod(col("doc_id") * 31 + s, cap).cast("string").as("dst")))
+            .reduce(_ unionByName _)
+          fullEval(graft.operators.Graph.hyperBall(e, rounds = 4))
+        }),
+        "skyline_front" -> (() => {
+          val tk = split(col("text"), " ")
+          fullEval(graft.operators.Skyline.paretoFront(
+            docs.select(col("doc_id"),
+              size(tk).cast("long").as("x"),
+              (lit(1.0) - size(array_distinct(tk)).cast("double") /
+                size(tk).cast("double")).as("y")), "x", "y"))
+        }),
+        "coverage_greedy5" -> (() =>
+          fullEval(graft.operators.CoveragePlanner.greedySourceCoverage(
+            docs.withColumn("source",
+              concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+            "text", "source", shingleN = 3, picks = 5))),
+        "kcenter_8" -> (() =>
+          fullEval(graft.operators.DiverseSelection.kCenterSelect(
+            emb, "vec_id", "embedding", k = 8))),
+        "spearman_ranks" -> (() => {
+          val tk = split(col("text"), " ")
+          fullEval(graft.operators.RankCorrelation.spearmanPairs(
+            docs.select(col("doc_id"), length(col("text")).as("a"),
+              size(tk).cast("long").as("b"),
+              size(array_distinct(tk)).cast("long").as("c")),
+            "doc_id", Seq("a", "b", "c")))
+        }),
+        "bradley_terry_8r" -> (() => {
+          val a = pmod(col("doc_id"), lit(8))
+          val b = pmod(col("doc_id") * 7 + 1, lit(8))
+          val cmp = docs.where(a =!= b).select(
+            when(col("doc_id") % 3 === 0, a).otherwise(b).as("winner"),
+            when(col("doc_id") % 3 === 0, b).otherwise(a).as("loser"))
+          fullEval(graft.operators.BradleyTerry.fit(
+            cmp, "winner", "loser", rounds = 8))
+        }))
       val wanted = nameFilter.split(",").toSeq
       for ((name, run) <- runs if wanted.exists(name.contains)) {
         val (sec, rows) = time(run())
