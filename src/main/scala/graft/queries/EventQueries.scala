@@ -389,7 +389,54 @@ object EventQueries {
       .withColumnRenamed("key", "user_id")
       .orderBy(col("rnk"))
 
+  /** q295: interval union / coverage
+    * ([[graft.operators.Intervals.mergedCoverage]]) — the multimodal
+    * segment bookkeeping: per media item, merged covered length,
+    * island count, and span over synthetic `[start, end)` segments
+    * derived arithmetically from events (overlaps and touching
+    * segments everywhere). Two media-partitioned windows + two hash
+    * aggregates; all integer. */
+  def q295IntervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val start = (col("event_id") * 37) % 5000
+    val seg = events(s, d).select(
+      (col("user_id") % 20).as("media_id"),
+      start.as("seg_start"),
+      (start + 1 + col("event_id") % 300).as("seg_end"))
+    graft.operators.Intervals.mergedCoverage(seg, "media_id",
+        "seg_start", "seg_end")
+      .orderBy(col("media_id"))
+  }
+
+  private val q295Oracle: String =
+    """WITH segi AS (
+      |  SELECT user_id % 20 AS m, (event_id * 37) % 5000 AS s,
+      |    (event_id * 37) % 5000 + 1 + event_id % 300 AS e
+      |  FROM events),
+      |mk AS (
+      |  SELECT m, s, e,
+      |    MAX(e) OVER (PARTITION BY m ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM segi),
+      |nw AS (
+      |  SELECT m, s, e,
+      |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+      |  FROM mk),
+      |isl AS (
+      |  SELECT m, s, e,
+      |    SUM(nw) OVER (PARTITION BY m ORDER BY s, e) AS isl
+      |  FROM nw),
+      |gi AS (
+      |  SELECT m, isl, MIN(s) AS i_s, MAX(e) AS i_e, COUNT(*) AS n
+      |  FROM isl GROUP BY m, isl)
+      |SELECT m AS media_id,
+      |  CAST(SUM(n) AS BIGINT) AS n_segments,
+      |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(i_e - i_s) AS BIGINT) AS covered_len,
+      |  CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_len
+      |FROM gi GROUP BY m ORDER BY m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_interval_coverage" -> (q295IntervalCoverage _),
     "q265_key_skew" -> (q265KeySkew _),
     "q168_interval_load" -> (q168IntervalLoad _),
     "q95_value_outliers" -> (q95ValueOutliers _),
@@ -415,6 +462,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q295_interval_coverage" -> q295Oracle,
     "q265_key_skew" ->
       """WITH c AS (
         |  SELECT user_id, COUNT(*) AS cnt FROM events
