@@ -435,8 +435,78 @@ object EventQueries {
       |  CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_len
       |FROM gi GROUP BY m ORDER BY m""".stripMargin
 
+  /** q296: ordered event-sequence matching (the ClickHouse
+    * `sequenceMatch` shape) — per user, the ts-ordered type-initial
+    * string (rebuilt with the q212 sorted-struct device, md5-gated)
+    * plus two in-order pattern flags: signup→view→purchase and
+    * view→click→purchase. The regex runs ONCE per user on the
+    * user-bounded sequence string — never a per-pattern event scan. */
+  def q296SequenceMatch(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      struct(unix_micros(col("ts")).as("t"),
+        col("event_id").as("i"),
+        substring(col("event_type"), 1, 1).as("c")).as("st"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(col("st"))),
+          x => x.getField("c")), "").as("__seq"))
+      .select(col("user_id"), col("n_events"),
+        md5(col("__seq")).as("seq_md5"),
+        col("__seq").rlike("s.*v.*p").as("has_signup_view_purchase"),
+        col("__seq").rlike("v.*c.*p").as("has_view_click_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q296Oracle: String =
+    """WITH sq AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events, md5(seq) AS seq_md5,
+      |  regexp_matches(seq, 's.*v.*p') AS has_signup_view_purchase,
+      |  regexp_matches(seq, 'v.*c.*p') AS has_view_click_purchase
+      |FROM sq ORDER BY user_id""".stripMargin
+
+  /** q297: CUSUM drift detection over the daily error-count series —
+    * the upper-CUSUM recursion S_t = max(0, S_{t−1} + x_t − k) made
+    * WINDOW-EXPRESSIBLE via the prefix identity
+    * S_t = C_t − min(0, min_{j≤t} C_j) with C the running sum of
+    * (x − k): two windows over the day-bounded series, all integer;
+    * alarm when S exceeds h. k=70, h=25. */
+  def q297CusumDrift(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .where(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Cusum.upperCusum(daily, Seq.empty, "day", "x",
+        k = 70L, h = 25L)
+      .select(col("day"), col("x"), col("cusum"), col("alarm"))
+      .orderBy(col("day"))
+  }
+
+  private val q297Oracle: String =
+    """WITH dly AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |cm AS (
+      |  SELECT day, x,
+      |    SUM(x - 70) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM dly),
+      |sm AS (
+      |  SELECT day, x,
+      |    c - LEAST(0, MIN(c) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      |  FROM cm)
+      |SELECT day, CAST(x AS BIGINT) AS x, CAST(s AS BIGINT) AS cusum,
+      |  s > 25 AS alarm
+      |FROM sm ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q295_interval_coverage" -> (q295IntervalCoverage _),
+    "q296_sequence_match" -> (q296SequenceMatch _),
+    "q297_cusum_drift" -> (q297CusumDrift _),
     "q265_key_skew" -> (q265KeySkew _),
     "q168_interval_load" -> (q168IntervalLoad _),
     "q95_value_outliers" -> (q95ValueOutliers _),
@@ -463,6 +533,8 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q295_interval_coverage" -> q295Oracle,
+    "q296_sequence_match" -> q296Oracle,
+    "q297_cusum_drift" -> q297Oracle,
     "q265_key_skew" ->
       """WITH c AS (
         |  SELECT user_id, COUNT(*) AS cnt FROM events
