@@ -923,4 +923,54 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(convUpdate)
   }
+
+  case class CusumEvent(group: String, bucket: Long, x: Long)
+
+  /** Two longs per group, forever: the last processed bucket and
+    * the running CUSUM statistic. */
+  case class CusumState(lastBucket: Long, s: Long)
+
+  case class CusumRow(group: String, bucket: Long, x: Long,
+      cusum: Long, alarm: Boolean)
+
+  /** Streaming upper CUSUM (the live form of
+    * [[graft.operators.Cusum.upperCusum]]): per-group drift alarms
+    * over bucketed counts as they arrive. State is TWO longs per
+    * group regardless of stream volume. Contract: one row per
+    * (group, bucket), buckets non-regressing across micro-batches
+    * (the upstream windowed count with a watermark provides exactly
+    * that); within a micro-batch rows are applied in bucket order,
+    * and a bucket at or before the last processed one is DROPPED —
+    * exactly-once per bucket. Streamed output ≡
+    * [[graft.operators.Cusum.upperCusum]] on the same prefix
+    * (StreamingCusumSpec). */
+  def streamingCusum(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, bucketCol: String, xCol: String,
+      k: Long, h: Long): Dataset[CusumRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    df.select(col(groupCol).cast("string").as("group"),
+        col(bucketCol).cast("long").as("bucket"),
+        col(xCol).cast("long").as("x"))
+      .as[CusumEvent]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[CusumEvent],
+            state: GroupState[CusumState]) =>
+          val st = state.getOption.getOrElse(
+            CusumState(Long.MinValue, 0L))
+          var s = st.s
+          var last = st.lastBucket
+          val rows = it.toSeq.sortBy(_.bucket)
+            .filter(_.bucket > last).map { e =>
+              s = math.max(0L, s + e.x - k)
+              last = e.bucket
+              CusumRow(g, e.bucket, e.x, s, s > h)
+            }
+          state.update(CusumState(last, s))
+          rows.iterator
+      }
+  }
 }
