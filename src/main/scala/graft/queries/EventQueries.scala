@@ -503,8 +503,75 @@ object EventQueries {
       |  s > 25 AS alarm
       |FROM sm ORDER BY day""".stripMargin
 
+  /** Benford first-digit probabilities log10(1+1/d), computed ONCE
+    * on the driver and interpolated as literals into BOTH plans (the
+    * q124 gains device) — no libm log evaluated inside either
+    * engine. */
+  private val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** q298: Benford first-significant-digit audit over order totals —
+    * the classic fabricated-numbers screen (Benford 1938; Nigrini's
+    * forensic-accounting use): per-digit observed vs expected
+    * counts and the χ² statistic. First digits extracted via
+    * floor(v·100) → string (no log10 in-plan); χ² terms summed
+    * decimal-exact. */
+  def q298BenfordAudit(s: SparkSession, d: String): DataFrame = {
+    val pExpr = BenfordP.zipWithIndex
+      .foldLeft(lit(Double.NaN)) { case (e, (p, i)) =>
+        when(col("digit") === (i + 1).toString, lit(p)).otherwise(e) }
+    val digits = orders(s, d)
+      .select(substring(floor(col("o_totalprice") * 100)
+        .cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n"))
+    val terms = digits.crossJoin(broadcast(tot))
+      .withColumn("benford_frac", pExpr)
+      .withColumn("expected", col("n").cast("double") *
+        col("benford_frac"))
+      .withColumn("term",
+        (col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) /
+          col("expected"))
+    val chi2 = terms.agg(graft.queries.Tables.dsum(col("term"), 9)
+      .as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"), col("benford_frac"),
+        col("term"), col("chi2"))
+      .orderBy(col("digit"))
+  }
+
+  private val q298Oracle: String = {
+    // `e0` forces a DOUBLE literal — a bare decimal literal parses
+    // as DECIMAL in DuckDB and its decimal→double conversion can
+    // land one ulp off the string→double parse Spark's lit() uses
+    val pCase = BenfordP.zipWithIndex.map { case (p, i) =>
+      s"WHEN digit = '${i + 1}' THEN ${p}e0" }.mkString(" ")
+    s"""WITH dg AS (
+      |  SELECT substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS digit
+      |  FROM orders),
+      |cnt AS (SELECT digit, COUNT(*) AS n_obs FROM dg GROUP BY 1),
+      |tt AS (SELECT SUM(n_obs) AS n FROM cnt),
+      |tm AS (
+      |  SELECT digit, n_obs,
+      |    CASE $pCase END AS benford_frac,
+      |    (CAST(n_obs AS DOUBLE) -
+      |      CAST(n AS DOUBLE) * (CASE $pCase END)) *
+      |    (CAST(n_obs AS DOUBLE) -
+      |      CAST(n AS DOUBLE) * (CASE $pCase END)) /
+      |    (CAST(n AS DOUBLE) * (CASE $pCase END)) AS term
+      |  FROM cnt, tt),
+      |c2 AS (SELECT CAST(SUM(CAST(term AS DECIMAL(18,9)))
+      |    AS DOUBLE) AS chi2 FROM tm)
+      |SELECT tm.digit, CAST(tm.n_obs AS BIGINT) AS n_obs,
+      |  tm.benford_frac, tm.term, c2.chi2
+      |FROM tm, c2 ORDER BY tm.digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q295_interval_coverage" -> (q295IntervalCoverage _),
+    "q298_benford_audit" -> (q298BenfordAudit _),
     "q296_sequence_match" -> (q296SequenceMatch _),
     "q297_cusum_drift" -> (q297CusumDrift _),
     "q265_key_skew" -> (q265KeySkew _),
@@ -535,6 +602,7 @@ object EventQueries {
     "q295_interval_coverage" -> q295Oracle,
     "q296_sequence_match" -> q296Oracle,
     "q297_cusum_drift" -> q297Oracle,
+    "q298_benford_audit" -> q298Oracle,
     "q265_key_skew" ->
       """WITH c AS (
         |  SELECT user_id, COUNT(*) AS cnt FROM events
