@@ -561,7 +561,131 @@ object GovernanceQueries {
       |ORDER BY pt.doc_id""".stripMargin
   }
 
+  /** q299: Fellegi–Sunter record linkage with EM
+    * ([[graft.operators.RecordLinkage.emFit]], 3 rounds) — customer
+    * linked against a deterministically perturbed copy of itself
+    * (per row the md5 device picks ONE field to corrupt: name, or
+    * balance bin, or balance cents, or none), blocked on
+    * (nation, segment); agreement fields are exact-name /
+    * balance-bin / cents. The oracle replays the perturbation,
+    * the blocking join, and all three EM rounds bit-identically. */
+  def q299RecordLinkage(s: SparkSession, d: String): DataFrame = {
+    val a = customer(s, d).select(col("c_name").as("name_a"),
+      col("c_acctbal").as("bal_a"), col("c_nationkey").as("nk"),
+      col("c_mktsegment").as("seg"))
+    val h = conv(substring(md5(concat(lit("rl:"),
+      col("c_custkey").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 4
+    val b = customer(s, d).select(
+      when(h === 0, concat(col("c_name"), lit("x")))
+        .otherwise(col("c_name")).as("name_b"),
+      when(h === 1, col("c_acctbal") + 100.0)
+        .when(h === 2, col("c_acctbal") + 0.011)
+        .otherwise(col("c_acctbal")).as("bal_b"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    val pairs = a.join(b, Seq("nk", "seg"))
+      .select((col("name_a") === col("name_b")).as("agree_name"),
+        (floor(col("bal_a") / 100.0) === floor(col("bal_b") / 100.0))
+          .as("agree_bal"),
+        // +1e6 keeps the dividend positive (balances can be
+        // negative) so % agrees across engines; integer modulo
+        (((floor(col("bal_a") * 100.0).cast("long") + 1000000L)
+            % 100L) ===
+          ((floor(col("bal_b") * 100.0).cast("long") + 1000000L)
+            % 100L)).as("agree_cents"))
+    graft.operators.RecordLinkage.emFit(pairs,
+        Seq("agree_name", "agree_bal", "agree_cents"), rounds = 3)
+      .orderBy(col("field"))
+  }
+
+  private val q299Oracle: String = {
+    // E-step weight expression under params row em{r-1}: products
+    // left-associated in field order, exactly the engine's fold
+    val numM: String =
+      s"""(lam * (CASE WHEN a0 THEN m0 ELSE 1.0 - m0 END)
+        |      * (CASE WHEN a1 THEN m1 ELSE 1.0 - m1 END)
+        |      * (CASE WHEN a2 THEN m2 ELSE 1.0 - m2 END))"""
+        .stripMargin
+    val denU =
+      s"""((1.0 - lam) * (CASE WHEN a0 THEN u0 ELSE 1.0 - u0 END)
+        |      * (CASE WHEN a1 THEN u1 ELSE 1.0 - u1 END)
+        |      * (CASE WHEN a2 THEN u2 ELSE 1.0 - u2 END))"""
+        .stripMargin
+    val rounds = (1 to 3).map { r =>
+      s"""wr$r AS (
+        |  SELECT a0, a1, a2,
+        |    floor($numM / ($numM + $denU) * 1e9) / 1e9
+        |      AS w
+        |  FROM prx, em${r - 1}),
+        |wc$r AS (
+        |  SELECT a0, a1, a2, w,
+        |    floor((1.0 - w) * 1e9) / 1e9 AS wc
+        |  FROM wr$r),
+        |ag$r AS (
+        |  SELECT CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS sw,
+        |    CAST(SUM(CAST(wc AS DECIMAL(38,9))) AS DOUBLE) AS swc,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(CASE WHEN a0 THEN w ELSE 0.0e0 END
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS swa0,
+        |    CAST(SUM(CAST(CASE WHEN a1 THEN w ELSE 0.0e0 END
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS swa1,
+        |    CAST(SUM(CAST(CASE WHEN a2 THEN w ELSE 0.0e0 END
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS swa2,
+        |    CAST(SUM(CAST(CASE WHEN a0 THEN wc ELSE 0.0e0 END
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS swca0,
+        |    CAST(SUM(CAST(CASE WHEN a1 THEN wc ELSE 0.0e0 END
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS swca1,
+        |    CAST(SUM(CAST(CASE WHEN a2 THEN wc ELSE 0.0e0 END
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS swca2
+        |  FROM wc$r),
+        |em$r AS MATERIALIZED (
+        |  SELECT floor(swa0 / sw * 1e9) / 1e9 AS m0,
+        |    floor(swca0 / swc * 1e9) / 1e9 AS u0,
+        |    floor(swa1 / sw * 1e9) / 1e9 AS m1,
+        |    floor(swca1 / swc * 1e9) / 1e9 AS u1,
+        |    floor(swa2 / sw * 1e9) / 1e9 AS m2,
+        |    floor(swca2 / swc * 1e9) / 1e9 AS u2,
+        |    floor(sw / CAST(n AS DOUBLE) * 1e9) / 1e9 AS lam
+        |  FROM ag$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH aaa AS (
+      |  SELECT c_name AS name_a, c_acctbal AS bal_a,
+      |    c_nationkey AS nk, c_mktsegment AS seg
+      |  FROM customer),
+      |bbb AS (
+      |  SELECT CASE WHEN h = 0 THEN c_name || 'x' ELSE c_name END
+      |      AS name_b,
+      |    CASE WHEN h = 1 THEN c_acctbal + 100.0
+      |      WHEN h = 2 THEN c_acctbal + 0.011
+      |      ELSE c_acctbal END AS bal_b,
+      |    c_nationkey AS nk, c_mktsegment AS seg
+      |  FROM (SELECT *,
+      |      ('0x' || substr(md5('rl:' || c_custkey), 1, 8))
+      |        ::UBIGINT::BIGINT % 4 AS h
+      |    FROM customer)),
+      |prx AS MATERIALIZED (
+      |  SELECT name_a = name_b AS a0,
+      |    floor(bal_a / 100.0) = floor(bal_b / 100.0) AS a1,
+      |    (CAST(floor(bal_a * 100.0) AS BIGINT) + 1000000) % 100 =
+      |      (CAST(floor(bal_b * 100.0) AS BIGINT) + 1000000) % 100
+      |      AS a2
+      |  FROM aaa JOIN bbb USING (nk, seg)),
+      |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM prx),
+      |em0 AS (SELECT 0.9e0 AS m0, 0.1e0 AS u0, 0.9e0 AS m1,
+      |  0.1e0 AS u1, 0.9e0 AS m2, 0.1e0 AS u2, 0.1e0 AS lam),
+      |$rounds
+      |SELECT * FROM (
+      |  SELECT 'agree_name' AS field, m0 AS m, u0 AS u, lam AS lambda,
+      |    np.n_pairs FROM em3, np
+      |  UNION ALL
+      |  SELECT 'agree_bal', m1, u1, lam, np.n_pairs FROM em3, np
+      |  UNION ALL
+      |  SELECT 'agree_cents', m2, u2, lam, np.n_pairs FROM em3, np)
+      |ORDER BY field""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_record_linkage" -> (q299RecordLinkage _),
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
     "q272_generalization_ladder" -> (q272GeneralizationLadder _),
     "q273_rendezvous_shards" -> (q273RendezvousShards _),
@@ -576,6 +700,7 @@ object GovernanceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q299_record_linkage" -> q299Oracle,
     "q271_k_anonymity_audit" -> q271Oracle,
     "q272_generalization_ladder" -> q272Oracle,
     "q273_rendezvous_shards" -> q273Oracle,
