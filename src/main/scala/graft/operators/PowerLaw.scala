@@ -68,22 +68,48 @@ object PowerLaw {
     olsFit(pts, "n_points")
   }
 
+  /** Per-group Zipf fit: the [[zipfFit]] arithmetic with ranks and
+    * OLS moments PARTITIONED by `groupCol` — one row per group
+    * (`groupCol, n_ranks, slope, intercept, r2`). The rank window
+    * is per-group-vocabulary-bounded; moments are one grouped
+    * aggregate. */
+  def zipfFitByGroup(counts: DataFrame, groupCol: String,
+      termCol: String, countCol: String, topR: Int = 200)
+      : DataFrame = {
+    require(topR >= 2, "need at least two ranks to fit")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(countCol).desc, col(termCol))
+    val pts = counts
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topR)
+      .select(col(groupCol),
+        ln9(col("rank").cast("double")).as("x"),
+        ln9(col(countCol).cast("double")).as("y"))
+    olsFit(pts, "n_ranks", Seq(groupCol))
+  }
+
   /** The shared exact-decimal OLS closed form over a `(x, y)` point
-    * frame (coordinates already 9-decimal-truncated). */
-  private def olsFit(pts: DataFrame, nAlias: String): DataFrame = {
-    val s = pts.agg(count(lit(1)).as("n"),
+    * frame (coordinates already 9-decimal-truncated), optionally
+    * grouped. */
+  private def olsFit(pts: DataFrame, nAlias: String,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n"),
       xsum(col("x")).as("sx"), xsum(col("y")).as("sy"),
       xsum(t9(col("x") * col("x"))).as("sxx"),
       xsum(t9(col("x") * col("y"))).as("sxy"),
       xsum(t9(col("y") * col("y"))).as("syy"))
+    val s = pts.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (col("n") * col("sxx") - col("sx") * col("sx"))
     val r2num = (col("n") * col("sxy") - col("sx") * col("sy")) *
       (col("n") * col("sxy") - col("sx") * col("sy"))
     val r2den = (col("n") * col("sxx") - col("sx") * col("sx")) *
       (col("n") * col("syy") - col("sy") * col("sy"))
-    s.select(col("n").as(nAlias), slope.as("slope"),
+    s.select(groupCols.map(col) ++ Seq(col("n").as(nAlias),
+      slope.as("slope"),
       ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
-      (r2num / r2den).as("r2"))
+      (r2num / r2den).as("r2")): _*)
   }
 }

@@ -3210,8 +3210,10 @@ object CorpusQueries {
         "text", "source", shingleN = 3, picks = 5)
       .orderBy(col("round"))
 
-  private val q291Oracle: String = {
-    val rounds = (1 to 5).map { r =>
+  /** The greedy-coverage oracle CTE chain for `picks` rounds
+    * (prs/tot/g_r/w_r/c_r) — shared by q291 and the composed q300. */
+  private def coverageCtes(picks: Int): String = {
+    val rounds = (1 to picks).map { r =>
       val cond = if (r == 1) "TRUE" else {
         val prevWs = (1 until r)
           .map(i => s"SELECT source FROM w$i").mkString(" UNION ALL ")
@@ -3234,14 +3236,7 @@ object CorpusQueries {
         |c$r AS MATERIALIZED (
         |  $cover)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to 5).map { r =>
-      s"""SELECT w$r.round, w$r.source, w$r.gain,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$r) AS cum_covered,
-        |  CAST((SELECT COUNT(*) FROM c$r) AS DOUBLE) /
-        |    CAST(tot.total AS DOUBLE) AS cum_frac
-        |FROM w$r CROSS JOIN tot""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH prs AS MATERIALIZED (
+    s"""prs AS MATERIALIZED (
       |  SELECT DISTINCT source, s AS shingle FROM (
       |    SELECT source, unnest(list_transform(
       |      generate_series(1, len(string_split(text, ' ')) - 2),
@@ -3252,10 +3247,86 @@ object CorpusQueries {
       |    WHERE len(string_split(text, ' ')) >= 3)),
       |tot AS (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT)
       |    AS total FROM prs),
-      |$rounds
-      |$finals
-      |ORDER BY round""".stripMargin
+      |$rounds""".stripMargin
   }
+
+  /** Per-round final rows over [[coverageCtes]]. */
+  private def coverageFinals(picks: Int): String =
+    (1 to picks).map { r =>
+      s"""SELECT w$r.round, w$r.source, w$r.gain,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$r) AS cum_covered,
+        |  CAST((SELECT COUNT(*) FROM c$r) AS DOUBLE) /
+        |    CAST(tot.total AS DOUBLE) AS cum_frac
+        |FROM w$r CROSS JOIN tot""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  private val q291Oracle: String =
+    s"""WITH ${coverageCtes(5)}
+      |${coverageFinals(5)}
+      |ORDER BY round""".stripMargin
+
+  /** q300: the DATA-ACQUISITION DATASHEET — the session's composed
+    * flagship: the top-3 greedy coverage picks (q291's device) drive
+    * per-source Zipf slope fits (q288's device, grouped) through a
+    * plain join — no driver branching anywhere; the hash match
+    * proves the COMPOSITION end to end. Per picked source: pick
+    * order, marginal new-shingle gain, cumulative coverage fraction,
+    * and the source's rank–frequency health (slope ≈ −1, r²). */
+  def q300AcquisitionDatasheet(s: SparkSession, d: String)
+      : DataFrame = {
+    val picks = graft.operators.CoveragePlanner.greedySourceCoverage(
+      documents(s, d).select(col("text"), col("source")),
+      "text", "source", shingleN = 3, picks = 3)
+    val counts = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val fits = graft.operators.PowerLaw.zipfFitByGroup(counts,
+      "source", "t", "c", topR = 50)
+    picks.join(fits, Seq("source"))
+      .select(col("round"), col("source"), col("gain"),
+        col("cum_frac"), col("n_ranks"), col("slope"), col("r2"))
+      .orderBy(col("round"))
+  }
+
+  private val q300Oracle: String =
+    s"""WITH ${coverageCtes(3)},
+      |wall AS (
+      |  ${coverageFinals(3)}),
+      |tokq AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |cq AS (SELECT source, t, COUNT(*) AS c FROM tokq
+      |  GROUP BY 1, 2),
+      |topq AS (
+      |  SELECT source, t, c, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY c DESC, t) AS rank
+      |  FROM cq),
+      |ptsq AS (
+      |  SELECT source,
+      |    floor(ln(CAST(rank AS DOUBLE)) * 1e9) / 1e9 AS x,
+      |    floor(ln(CAST(c AS DOUBLE)) * 1e9) / 1e9 AS y
+      |  FROM topq WHERE rank <= 50),
+      |stq AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(floor(x * x * 1e9) / 1e9 AS DECIMAL(38,9)))
+      |      AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(floor(x * y * 1e9) / 1e9 AS DECIMAL(38,9)))
+      |      AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(floor(y * y * 1e9) / 1e9 AS DECIMAL(38,9)))
+      |      AS DOUBLE) AS syy
+      |  FROM ptsq GROUP BY source)
+      |SELECT wall.round, wall.source, wall.gain, wall.cum_frac,
+      |  CAST(stq.n AS BIGINT) AS n_ranks,
+      |  (stq.n * stq.sxy - stq.sx * stq.sy) /
+      |    (stq.n * stq.sxx - stq.sx * stq.sx) AS slope,
+      |  ((stq.n * stq.sxy - stq.sx * stq.sy) *
+      |    (stq.n * stq.sxy - stq.sx * stq.sy)) /
+      |  ((stq.n * stq.sxx - stq.sx * stq.sx) *
+      |    (stq.n * stq.syy - stq.sy * stq.sy)) AS r2
+      |FROM wall JOIN stq ON wall.source = stq.source
+      |ORDER BY wall.round""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_freq_spectrum" -> (q228FreqSpectrum _),
@@ -3306,6 +3377,7 @@ object CorpusQueries {
     "q263_vocab_growth" -> (q263VocabGrowth _),
     "q289_heaps_fit" -> (q289HeapsFit _),
     "q291_source_coverage" -> (q291SourceCoverage _),
+    "q300_acquisition_datasheet" -> (q300AcquisitionDatasheet _),
     "q266_serving_manifest" -> (q266ServingManifest _),
     "q267_source_overlap" -> (q267SourceOverlap _),
     "q268_script_mix" -> (q268ScriptMix _),
@@ -3350,6 +3422,7 @@ object CorpusQueries {
     "q263_vocab_growth" -> q263Oracle,
     "q289_heaps_fit" -> q289Oracle,
     "q291_source_coverage" -> q291Oracle,
+    "q300_acquisition_datasheet" -> q300Oracle,
     "q266_serving_manifest" -> q266Oracle,
     "q267_source_overlap" -> q267Oracle,
     "q268_script_mix" -> q268Oracle,
