@@ -207,6 +207,78 @@ object GovernanceQueries {
       |ORDER BY bands, s""".stripMargin
   }
 
+  /** q301: LSH layout RECOMMENDER — closes the planning loop the
+    * q275 curve opens: for every way to spend 16 minhashes
+    * ((bands, rows) ∈ 16×1 … 1×16), interpolate the similarity s₅₀
+    * where the S-curve crosses P=0.5 and recommend the layout whose
+    * s₅₀ sits closest to the target threshold 0.5 (tie → fewer
+    * bands). Layouts that never cross within the grid (1×16 crosses
+    * at ≈0.958) emit no row by construction. Planner-sized. */
+  private val RecCombos: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  def q301LshRecommend(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bands"), col("rows_per_band"))
+      .orderBy(col("s"))
+    val crossed = graft.operators.Dedup
+      .lshPlanCurve(s, RecCombos, gridSteps = 20)
+      .withColumn("p_prev",
+        coalesce(lag(col("collision_p"), 1).over(w), lit(0.0)))
+      .withColumn("s_prev", coalesce(lag(col("s"), 1).over(w),
+        lit(0.0)))
+      .where(col("collision_p") >= 0.5 && col("p_prev") < 0.5)
+      .withColumn("s50", col("s_prev") +
+        (lit(0.5) - col("p_prev")) /
+          (col("collision_p") - col("p_prev")) *
+          (col("s") - col("s_prev")))
+      .withColumn("dist", abs(col("s50") - lit(0.5)))
+    val best = crossed.orderBy(col("dist"), col("bands")).limit(1)
+      .select(col("bands").as("bb"), col("rows_per_band").as("br"))
+    crossed.crossJoin(broadcast(best))
+      .select(col("bands"), col("rows_per_band"), col("s50"),
+        col("dist"),
+        (col("bands") === col("bb") &&
+          col("rows_per_band") === col("br")).as("recommended"))
+      .orderBy(col("bands"))
+  }
+
+  private val q301Oracle: String = {
+    def chain(e: String, n: Int): String =
+      Seq.fill(n)(e).mkString("(", " * ", ")")
+    val selects = RecCombos.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band, s,
+        |  1.0 - ${chain("q", b)} AS collision_p
+        |FROM (
+        |  SELECT s, 1.0 - ${chain("s", r)} AS q
+        |  FROM (SELECT CAST(i AS DOUBLE) / 20.0 AS s
+        |        FROM range(1, 20) t(i)))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH curvr AS ($selects),
+      |plr AS (
+      |  SELECT bands, rows_per_band, s, collision_p,
+      |    COALESCE(lag(collision_p) OVER (
+      |      PARTITION BY bands, rows_per_band ORDER BY s), 0.0e0)
+      |      AS p_prev,
+      |    COALESCE(lag(s) OVER (
+      |      PARTITION BY bands, rows_per_band ORDER BY s), 0.0e0)
+      |      AS s_prev
+      |  FROM curvr),
+      |crr AS (
+      |  SELECT bands, rows_per_band,
+      |    s_prev + (0.5 - p_prev) / (collision_p - p_prev)
+      |      * (s - s_prev) AS s50
+      |  FROM plr WHERE collision_p >= 0.5 AND p_prev < 0.5),
+      |ddr AS (SELECT bands, rows_per_band, s50,
+      |    abs(s50 - 0.5) AS dist FROM crr),
+      |bst AS (SELECT bands AS bb, rows_per_band AS br FROM ddr
+      |  ORDER BY dist, bands LIMIT 1)
+      |SELECT ddr.bands, ddr.rows_per_band, ddr.s50, ddr.dist,
+      |  ddr.bands = bst.bb AND ddr.rows_per_band = bst.br
+      |    AS recommended
+      |FROM ddr, bst ORDER BY ddr.bands""".stripMargin
+  }
+
   /** q276: redirect-chain resolution
     * ([[graft.operators.Graph.resolveRedirects]]) — a deterministic
     * alias map over the corpus ids (chains of length up to 7 ending
@@ -697,6 +769,7 @@ object GovernanceQueries {
     "q280_phrase_blocklist" -> (q280PhraseBlocklist _),
     "q281_checksum_pii" -> (q281ChecksumPii _),
     "q290_t_closeness" -> (q290TCloseness _),
+    "q301_lsh_recommend" -> (q301LshRecommend _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -712,5 +785,6 @@ object GovernanceQueries {
     "q280_phrase_blocklist" -> q280Oracle,
     "q281_checksum_pii" -> q281Oracle,
     "q290_t_closeness" -> q290Oracle,
+    "q301_lsh_recommend" -> q301Oracle,
   )
 }
