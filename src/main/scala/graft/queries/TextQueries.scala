@@ -1574,7 +1574,77 @@ object TextQueries {
     "q288_zipf_fit" -> (q288ZipfFit _),
     "q292_pareto_front" -> (q292ParetoFront _),
     "q293_spearman_signals" -> (q293SpearmanSignals _),
+    "q302_cluster_purity" -> (q302ClusterPurity _),
   )
+
+  /** q302: single-link dedup CLUSTER-PURITY audit — the known
+    * failure mode of LSH + connected components at scale is
+    * over-merging (one spurious band collision chains two true
+    * clusters together); this audits it: components over the RAW
+    * candidate graph, then per cluster the fraction of candidate
+    * pairs whose EXACT kept-shingle Jaccard is below the 0.5
+    * threshold (a pair with no shared kept shingle counts 0). A
+    * cluster with false_frac ≫ 0 is a chain-merge, the reason
+    * q120's pipeline verifies BEFORE closing. */
+  def q302ClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
+      .select(col("id_a"), col("id_b")).distinct()
+    val comp = graft.operators.Graph.connectedComponents(
+      cand.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, maxDf = 50)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val pairs = cand
+      .join(comp.select(col("node").as("id_a"),
+        col("component").as("cluster")), Seq("id_a"))
+      .join(jac, Seq("id_a", "id_b"), "left")
+      .withColumn("jv", coalesce(col("jaccard"), lit(0.0)))
+    val pstats = pairs.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("jv") < 0.5, 1)).as("n_false"))
+    comp.groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(pstats, Seq("cluster"))
+      .withColumn("false_frac",
+        col("n_false").cast("double") / col("n_pairs").cast("double"))
+      .orderBy(col("cluster"))
+  }
+
+  // def, not val: JaccardPairCtes/MinhashBandCtes are declared later
+  // in the file and would still be null at a val's init time
+  private def q302Oracle: String =
+    s"""WITH RECURSIVE $JaccardPairCtes,
+      |$MinhashBandCtes,
+      |candc AS MATERIALIZED (
+      | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM bandsb a JOIN bandsb b
+      |   ON a.band = b.band AND a.band_hash = b.band_hash
+      |     AND a.doc_id < b.doc_id),
+      |ec AS (SELECT id_a AS src, id_b AS dst FROM candc
+      |       UNION ALL SELECT id_b, id_a FROM candc),
+      |reachc AS (
+      | SELECT src, dst FROM ec
+      | UNION
+      | SELECT r.src, ec.dst FROM reachc r JOIN ec ON r.dst = ec.src),
+      |compc AS MATERIALIZED (
+      | SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+      | FROM reachc GROUP BY src),
+      |pairc AS (
+      | SELECT cc.cluster, COALESCE(j.jaccard, 0.0) AS jv
+      | FROM candc c JOIN compc cc ON c.id_a = cc.node
+      | LEFT JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b),
+      |psc AS (SELECT cluster, COUNT(*) AS n_pairs,
+      |   COUNT(CASE WHEN jv < 0.5 THEN 1 END) AS n_false
+      | FROM pairc GROUP BY 1),
+      |memc AS (SELECT cluster, COUNT(*) AS n_members
+      | FROM compc GROUP BY 1)
+      |SELECT memc.cluster, memc.n_members, psc.n_pairs, psc.n_false,
+      |  CAST(psc.n_false AS DOUBLE) / CAST(psc.n_pairs AS DOUBLE)
+      |    AS false_frac
+      |FROM memc JOIN psc ON memc.cluster = psc.cluster
+      |ORDER BY memc.cluster""".stripMargin
 
   /** q293: signal-redundancy matrix
     * ([[graft.operators.RankCorrelation.spearmanPairs]]) — Spearman
@@ -3477,6 +3547,7 @@ object TextQueries {
     "q288_zipf_fit" -> q288Oracle,
     "q292_pareto_front" -> q292Oracle,
     "q293_spearman_signals" -> q293Oracle,
+    "q302_cluster_purity" -> q302Oracle,
     "q279_lsh_quality_sweep" ->
       s"""WITH $JaccardPairCtes,
         |$MinhashBandCtes,
