@@ -569,9 +569,73 @@ object EventQueries {
       |FROM tm, c2 ORDER BY tm.digit""".stripMargin
   }
 
+  /** q303: LAST-TOUCH revenue attribution — the marketing-classic
+    * the events table exists for: each purchase's value is credited
+    * to the most recent preceding view/click by the same user within
+    * a 24 h lookback ('direct' when none). One user-partitioned
+    * window carrying the last touch (two IGNORE-NULLS last_values
+    * over the strictly-preceding frame), then a 3-row aggregate with
+    * the dsum decimal device on the revenue. */
+  def q303Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"),
+      unix_micros(col("ts")).as("t_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val isTouch = col("event_type") === "view" ||
+      col("event_type") === "click"
+    val carried = ev
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true)
+          .over(w))
+      .withColumn("touch_t",
+        last(when(isTouch, col("t_us")), ignoreNulls = true).over(w))
+    carried.where(col("event_type") === "purchase")
+      .withColumn("credited",
+        when(col("touch_type").isNotNull &&
+          col("t_us") - col("touch_t") <= 86400000000L,
+          col("touch_type")).otherwise(lit("direct")))
+      .groupBy(col("credited"))
+      .agg(count(lit(1)).as("n_conversions"),
+        dsum(col("value"), 2).as("total_value"))
+      .orderBy(col("credited"))
+  }
+
+  private val q303Oracle: String =
+    """WITH evx AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_us(ts) AS t_us
+      |  FROM events),
+      |cx AS (
+      |  SELECT event_id, user_id, event_type, value, t_us,
+      |    last_value(CASE WHEN event_type IN ('view', 'click')
+      |      THEN event_type END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch_type,
+      |    last_value(CASE WHEN event_type IN ('view', 'click')
+      |      THEN t_us END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch_t
+      |  FROM evx),
+      |pp AS (
+      |  SELECT CASE WHEN touch_type IS NOT NULL
+      |      AND t_us - touch_t <= 86400000000 THEN touch_type
+      |      ELSE 'direct' END AS credited, value
+      |  FROM cx WHERE event_type = 'purchase')
+      |SELECT credited, COUNT(*) AS n_conversions,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_value
+      |FROM pp GROUP BY credited ORDER BY credited""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q295_interval_coverage" -> (q295IntervalCoverage _),
     "q298_benford_audit" -> (q298BenfordAudit _),
+    "q303_attribution" -> (q303Attribution _),
     "q296_sequence_match" -> (q296SequenceMatch _),
     "q297_cusum_drift" -> (q297CusumDrift _),
     "q265_key_skew" -> (q265KeySkew _),
@@ -603,6 +667,7 @@ object EventQueries {
     "q296_sequence_match" -> q296Oracle,
     "q297_cusum_drift" -> q297Oracle,
     "q298_benford_audit" -> q298Oracle,
+    "q303_attribution" -> q303Oracle,
     "q265_key_skew" ->
       """WITH c AS (
         |  SELECT user_id, COUNT(*) AS cnt FROM events
