@@ -133,6 +133,73 @@ object GovernanceQueries {
       |FROM r WHERE rn = 1 GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** q304: shard-balance χ² audit — did the q273 rendezvous
+    * assignment actually land the WEIGHTED share on each shard?
+    * Expected fraction = w_s / Σw; the χ² term is kept integer by
+    * cross-multiplication ((Σw·o_s − n·w_s)² over Σw·n·w_s, one
+    * double division per shard), then summed decimal-exact. The
+    * audit every sharded materialization publishes next to its
+    * manifest. */
+  def q304ShardBalance(s: SparkSession, d: String): DataFrame = {
+    val totalW = ShardMap.map(_._2).sum
+    val wExpr = ShardMap.foldLeft(lit(null).cast("long")) {
+      case (e, (name, wt)) =>
+        when(col("shard") === name, lit(wt.toLong)).otherwise(e)
+    }
+    val counts = graft.operators.Split.rendezvousAssign(
+        documents(s, d).select(col("doc_id")), "doc_id", ShardMap)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", wExpr)
+    val tot = counts.agg(sum(col("n_docs")).as("n"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("term",
+        ((lit(totalW.toLong) * col("n_docs") - col("n") * col("w")) *
+          (lit(totalW.toLong) * col("n_docs") - col("n") * col("w")))
+          .cast("double") /
+          (lit(totalW.toLong) * col("n") * col("w")).cast("double"))
+    val chi2 = terms.agg(dsum(col("term"), 9).as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("shard"), col("n_docs"), col("w"), col("term"),
+        col("chi2"))
+      .orderBy(col("shard"))
+  }
+
+  private val q304Oracle: String = {
+    val totalW = ShardMap.map(_._2).sum
+    val wCase = ShardMap.map { case (n, wt) =>
+      s"WHEN shard = '$n' THEN $wt" }.mkString(" ")
+    val vnodes = ShardMap.flatMap { case (n, w) =>
+      (0 until w).map(v => s"('$n', $v)") }.mkString(", ")
+    s"""WITH v(shard, vn) AS (VALUES $vnodes),
+      |h AS (
+      |  SELECT d.doc_id, v.shard, v.vn,
+      |    ('0x' || substr(md5('hrw:' || v.shard || ':' ||
+      |      CAST(v.vn AS VARCHAR) || ':' ||
+      |      CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hv
+      |  FROM documents d CROSS JOIN v),
+      |r AS (
+      |  SELECT doc_id, shard, row_number() OVER (
+      |    PARTITION BY doc_id
+      |    ORDER BY hv DESC, shard DESC, vn DESC) AS rn
+      |  FROM h),
+      |cnts AS (
+      |  SELECT shard, COUNT(*) AS n_docs,
+      |    CAST(CASE $wCase END AS BIGINT) AS w
+      |  FROM r WHERE rn = 1 GROUP BY shard),
+      |ttl AS (SELECT SUM(n_docs) AS n FROM cnts),
+      |tms AS (
+      |  SELECT shard, n_docs, w,
+      |    CAST(($totalW * n_docs - n * w) * ($totalW * n_docs - n * w)
+      |      AS DOUBLE) /
+      |    CAST($totalW * n * w AS DOUBLE) AS term
+      |  FROM cnts, ttl),
+      |cc AS (SELECT CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE)
+      |    AS chi2 FROM tms)
+      |SELECT tms.shard, CAST(tms.n_docs AS BIGINT) AS n_docs, tms.w,
+      |  tms.term, cc.chi2
+      |FROM tms, cc ORDER BY tms.shard""".stripMargin
+  }
+
   /** q274: cross-source quantile-mapping score calibration
     * ([[graft.operators.Corpus.quantileCalibrate]]) — each source's
     * length score mapped onto the global distribution through 20
@@ -770,6 +837,7 @@ object GovernanceQueries {
     "q281_checksum_pii" -> (q281ChecksumPii _),
     "q290_t_closeness" -> (q290TCloseness _),
     "q301_lsh_recommend" -> (q301LshRecommend _),
+    "q304_shard_balance" -> (q304ShardBalance _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -786,5 +854,6 @@ object GovernanceQueries {
     "q281_checksum_pii" -> q281Oracle,
     "q290_t_closeness" -> q290Oracle,
     "q301_lsh_recommend" -> q301Oracle,
+    "q304_shard_balance" -> q304Oracle,
   )
 }
