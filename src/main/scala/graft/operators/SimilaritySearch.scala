@@ -575,6 +575,44 @@ object SimilaritySearch {
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
   }
 
+  /** Corpus×corpus directed IVF k-NN lists — the shortlist builder
+    * under [[marginMiningShortlist]] and any all-pairs-ish mining
+    * pass: the same cell-probe discipline as [[ivfTopK]], but the
+    * fine scan is a KEYED SHUFFLE join on cell_id instead of a
+    * query-side broadcast, because here the query set is itself
+    * corpus-sized (half the corpus, not a handful of probes).
+    * With √n cells, each query scans nProbe cells of ≈√n vectors —
+    * O(n^1.5) total fine-scan pairs vs the exact form's n², and
+    * every shuffle is keyed (cell_id, qid); nothing corpus-sized
+    * ever broadcasts or collects. Returns (qid, cid, score, rnk),
+    * rnk 1..k per qid. */
+  def ivfKnnLists(queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val cellW = Window.partitionBy(col("_rid")).orderBy(
+      desc("_cscore"), col("cell_id"))
+    def assign(df: DataFrame, idC: String, probes: Int): DataFrame =
+      df.withColumn("_rid", col(idC))
+        .crossJoin(broadcast(centroids))
+        .withColumn("_cscore", cosine(col(vecCol), col("centroid")))
+        .withColumn("_crnk", row_number().over(cellW))
+        .filter(col("_crnk") <= probes)
+        .drop("_cscore", "_crnk", "centroid", "_rid")
+    val corpusCells = assign(corpus, corpusIdCol, 1)
+      .select(col(corpusIdCol).as("cid"), col(vecCol).as("cvec"),
+        col("cell_id"))
+    val queryCells = assign(queries, queryIdCol, nProbe)
+      .select(col(queryIdCol).as("qid"), col(vecCol).as("qvec"),
+        col("cell_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score"), col("cid"))
+    corpusCells.join(queryCells, Seq("cell_id"))
+      .withColumn("score", cosine(col("qvec"), col("cvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+  }
+
   /** Lloyd's k-means coarse quantizer for IVF over corpora WITHOUT
     * labels (the label-centroid shortcut only works on labeled
     * testdata). Deterministic: initial centroids are the k vectors
@@ -739,10 +777,11 @@ object SimilaritySearch {
     *
     * Scale: the right set broadcasts (the eval/pivot side — the
     * [[semanticDecontaminate]] contract); the left set never
-    * shuffles whole. The full cross-score is the EXACT form; for
-    * hot corpora the pair frame is the two directed ANN k-NN lists
-    * ([[NnDescent]] / IVF shortlists) instead — margins only ever
-    * read each side's top-k neighborhood. */
+    * shuffles whole. The full cross-score is the EXACT form — the
+    * recall oracle; hot corpora run [[marginMiningShortlist]] over
+    * the two directed ANN k-NN lists ([[ivfKnnLists]] /
+    * [[NnDescent]]) instead — margins only ever read each side's
+    * top-k neighborhood. */
   def marginMining(left: DataFrame, leftIdCol: String,
       right: DataFrame, rightIdCol: String, vecCol: String,
       k: Int = 4, marginThreshold: Double = 1.0): DataFrame = {
@@ -755,6 +794,46 @@ object SimilaritySearch {
       .select(col("lid"), col("rid"),
         graft.functions.VectorFunctions.cosine(col("le"),
           col("re")).as("score"))
+    marginRank(pairs, k, marginThreshold)
+  }
+
+  /** PRODUCTION-SHAPE margin mining over a precomputed candidate
+    * pair frame (`candidates(lid, rid)` — typically the union of
+    * the two directed ANN k-NN lists from [[ivfKnnLists]] or
+    * [[NnDescent.knnGraph]]): the exact [[marginMining]] arithmetic
+    * (trunc9 integer top-k sums, single-IEEE divisions, mutual
+    * margin-best windows) restricted to the candidate set. Margins
+    * normalize by each side's top-k score mass WITHIN the candidate
+    * set; when the shortlist contains each id's true top-k partner
+    * set the masses — and hence every margin on a shortlisted
+    * pair — equal the exact form's.
+    *
+    * Scale: cost is O(|candidates|) = O(n·k·nProbe-ish), never
+    * |L|×|R|. Vectors arrive via two keyed shuffle joins (nothing
+    * broadcasts — both sides are corpus-sized), then the same four
+    * window/agg consumers as the exact form. */
+  def marginMiningShortlist(left: DataFrame, leftIdCol: String,
+      right: DataFrame, rightIdCol: String, vecCol: String,
+      candidates: DataFrame, k: Int = 4,
+      marginThreshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1 ($k)")
+    val l = left.select(col(leftIdCol).as("lid"),
+      col(vecCol).cast("array<double>").as("le"))
+    val r = right.select(col(rightIdCol).as("rid"),
+      col(vecCol).cast("array<double>").as("re"))
+    val pairs = candidates.select(col("lid"), col("rid")).distinct()
+      .join(l, "lid").join(r, "rid")
+      .select(col("lid"), col("rid"),
+        graft.functions.VectorFunctions.cosine(col("le"),
+          col("re")).as("score"))
+    marginRank(pairs, k, marginThreshold)
+  }
+
+  /** The shared margin arithmetic over a scored (lid, rid, score)
+    * pair frame — trunc9 sums, margins, mutual-best filter. */
+  private def marginRank(scored: DataFrame, k: Int,
+      marginThreshold: Double): DataFrame = {
+    val pairs = scored
       .withColumn("s9", floor(col("score") * 1e9).cast("long"))
       // 4 window/agg consumers below — score once, not four times
       .localCheckpoint()

@@ -540,7 +540,14 @@ object VectorQueries {
       |      (sqrt(list_dot_product(a.e, a.e)) *
       |       sqrt(list_dot_product(b.e, b.e))) AS score
       |  FROM $leftSrc a CROSS JOIN $rightSrc b),
-      |p9 AS (
+      |${marginArithCtes(k, threshold)}""".stripMargin
+
+  /** The margin arithmetic alone (p9 → mutual-best projection),
+    * reading an already-defined `p(lid, rid, score)` CTE — shared by
+    * the exact cross-join form above and the q305 shortlist form
+    * whose `p` is the IVF candidate pair set. */
+  private def marginArithCtes(k: Int, threshold: Double): String =
+    s"""p9 AS (
       |  SELECT lid, rid, score,
       |    CAST(floor(score * 1e9) AS BIGINT) AS s9
       |  FROM p),
@@ -639,6 +646,101 @@ object VectorQueries {
       |${marginCtes("l", "r", 4, 1.0)}""".stripMargin
   }
 
+  /** q305: SHORTLIST-BACKED margin mining — the production shape of
+    * q260 ([[SimilaritySearch.marginMiningShortlist]]): the pair
+    * frame is the union of the two directed IVF k-NN lists
+    * ([[SimilaritySearch.ivfKnnLists]], label centroids, k=8,
+    * nProbe=4) between the even- and odd-id halves, so the compute
+    * surface is O(n·k) candidate pairs instead of q260's |L|×|R|
+    * cross-score. The oracle replays the centroid table, both
+    * directed shortlists (probe-4 assignment, per-query top-8), and
+    * the full q260 margin arithmetic restricted to that candidate
+    * set — every margin and both mutual-best windows value-exact.
+    * Recall vs the exact q260 pairs is the ANN trade the shortlist
+    * buys its O(n·k) with — measured in SimilaritySpec (≈0.78–0.81
+    * on the weakly-clustered synthetic embeddings at nProbe=4 of 10
+    * cells; the q147 sweep device is how a deployment picks the
+    * operating point). */
+  def q305MarginMiningAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val l = emb.filter(col("vec_id") % 2 === 0)
+    val r = emb.filter(col("vec_id") % 2 === 1)
+    val cents = SimilaritySearch.labelCentroids(emb, "label",
+      "embedding")
+    val lr = SimilaritySearch.ivfKnnLists(l, "vec_id", r, "vec_id",
+      "embedding", cents, k = 8, nProbe = 4)
+    val rl = SimilaritySearch.ivfKnnLists(r, "vec_id", l, "vec_id",
+      "embedding", cents, k = 8, nProbe = 4)
+    val cand = lr.select(col("qid").as("lid"), col("cid").as("rid"))
+      .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
+    SimilaritySearch.marginMiningShortlist(l, "vec_id", r, "vec_id",
+        "embedding", cand, k = 4, marginThreshold = 1.0)
+      .orderBy(col("lid"))
+  }
+
+  /** One directed IVF shortlist CTE: queries = `$qPar`-parity ids
+    * probing 4 cells, corpus = opposite parity in its 1 home cell;
+    * top-8 per query, projected as (lid, rid) with the even id
+    * always on the left. */
+  private def ivfListCte(out: String, qPar: Int): String = {
+    val cPar = 1 - qPar
+    val (lidSrc, ridSrc) =
+      if (qPar == 0) ("q.vec_id", "c.vec_id")
+      else ("c.vec_id", "q.vec_id")
+    s"""$out AS (
+       |  SELECT lid, rid FROM (
+       |    SELECT $lidSrc AS lid, $ridSrc AS rid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.e, c.e) /
+       |          (sqrt(list_dot_product(q.e, q.e)) *
+       |           sqrt(list_dot_product(c.e, c.e))) DESC,
+       |        c.vec_id) AS rnk
+       |    FROM asg q JOIN asg c USING (cell_id)
+       |    WHERE q.vec_id % 2 = $qPar AND c.vec_id % 2 = $cPar
+       |      AND c.r <= 1 AND q.r <= 4)
+       |  WHERE rnk <= 8)""".stripMargin
+  }
+
+  private val q305Oracle: String =
+    s"""WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS cell_id, pos,
+      |    CAST(SUM(CAST(ev AS DECIMAL(18,9))) AS DOUBLE)
+      |      / COUNT(*) AS m
+      |  FROM (SELECT label,
+      |          generate_subscripts(embedding, 1) - 1 AS pos,
+      |          CAST(unnest(embedding) AS DOUBLE) AS ev
+      |        FROM embeddings)
+      |  GROUP BY 1, 2),
+      |cvec AS (SELECT cell_id, list(m ORDER BY pos) AS centroid
+      |  FROM cent GROUP BY 1),
+      |asg AS (
+      |  SELECT vec_id, e, cell_id, r FROM (
+      |    SELECT c.vec_id, c.e, cv.cell_id, ROW_NUMBER() OVER (
+      |      PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(c.e, cv.centroid) /
+      |          (sqrt(list_dot_product(c.e, c.e)) *
+      |           sqrt(list_dot_product(cv.centroid, cv.centroid)))
+      |          DESC,
+      |        cv.cell_id) AS r
+      |    FROM v c, cvec cv) WHERE r <= 4),
+      |${ivfListCte("lrl", 0)},
+      |${ivfListCte("rll", 1)},
+      |cand AS (SELECT lid, rid FROM lrl
+      |  UNION SELECT lid, rid FROM rll),
+      |l AS (SELECT vec_id AS lid, e FROM v WHERE vec_id % 2 = 0),
+      |r AS (SELECT vec_id AS rid, e FROM v WHERE vec_id % 2 = 1),
+      |p AS (
+      |  SELECT cd.lid, cd.rid,
+      |    list_dot_product(a.e, b.e) /
+      |      (sqrt(list_dot_product(a.e, a.e)) *
+      |       sqrt(list_dot_product(b.e, b.e))) AS score
+      |  FROM cand cd JOIN l a ON a.lid = cd.lid
+      |  JOIN r b ON b.rid = cd.rid),
+      |${marginArithCtes(4, 1.0)}""".stripMargin
+
   /** q226: graph-based ANN SERVING
     * ([[graft.operators.NnDescent.greedySearch]]) — best-first beam
     * search over the q211 k-NN graph for the first 8 vectors as
@@ -724,6 +826,7 @@ object VectorQueries {
     "q221_alignment_uniformity" -> (q221AlignmentUniformity _),
     "q260_margin_mining" -> (q260MarginMining _),
     "q270_sentence_mining" -> (q270SentenceMining _),
+    "q305_margin_mining_ann" -> (q305MarginMiningAnn _),
     "q226_graph_search" -> (q226GraphSearch _),
     "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
@@ -1283,6 +1386,7 @@ object VectorQueries {
     "q220_semantic_decon" -> q220Oracle,
     "q221_alignment_uniformity" -> q221Oracle,
     "q260_margin_mining" -> q260Oracle,
+    "q305_margin_mining_ann" -> q305Oracle,
     "q270_sentence_mining" -> q270Oracle,
     "q226_graph_search" -> q226Oracle,
     "q31_knn_bruteforce" ->

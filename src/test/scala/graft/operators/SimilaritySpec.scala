@@ -352,4 +352,48 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(strict.toSet === Set((2L, 3L)))
   }
+
+  test("marginMiningShortlist: IVF-shortlist margins recover the " +
+      "exact mutual-best pairs with high recall, agreeing scores") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val l = emb.filter(col("vec_id") % 2 === 0)
+    val r = emb.filter(col("vec_id") % 2 === 1)
+    val exact = SimilaritySearch.marginMining(l, "vec_id",
+        r, "vec_id", "embedding", k = 4, marginThreshold = 1.0)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getDouble(2), x.getDouble(3)))).toMap
+    val cents = SimilaritySearch.labelCentroids(emb, "label",
+      "embedding")
+    val lr = SimilaritySearch.ivfKnnLists(l, "vec_id", r, "vec_id",
+      "embedding", cents, k = 8, nProbe = 4)
+    val rl = SimilaritySearch.ivfKnnLists(r, "vec_id", l, "vec_id",
+      "embedding", cents, k = 8, nProbe = 4)
+    val cand = lr.select(col("qid").as("lid"), col("cid").as("rid"))
+      .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
+    val short = SimilaritySearch.marginMiningShortlist(l, "vec_id",
+        r, "vec_id", "embedding", cand, k = 4,
+        marginThreshold = 1.0)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getDouble(2), x.getDouble(3)))).toMap
+    assert(exact.nonEmpty, "exact form must emit pairs at sf0.001")
+    val hit = short.keySet.intersect(exact.keySet)
+    val recall = hit.size.toDouble / exact.size
+    info(f"shortlist recall vs exact: $recall%.3f " +
+      s"(${hit.size}/${exact.size}, shortlist ${short.size})")
+    // measured 0.805 at sf0.001 (124/154) — nProbe-bound on the
+    // weakly-clustered synthetic embeddings (10 label cells);
+    // nProbe=8 reaches 1.000, k>8 changes nothing (swept r11)
+    assert(recall >= 0.75,
+      f"IVF-shortlist recall $recall%.3f below 0.75")
+    // on a recovered pair the raw cosine is the same number; the
+    // margin may differ (shortlist-local top-k mass) but only up:
+    // removing non-top candidates can only shrink the mass.
+    hit.foreach { k =>
+      assert(short(k)._1 === exact(k)._1,
+        s"score drift on $k: ${short(k)._1} vs ${exact(k)._1}")
+      assert(short(k)._2 >= exact(k)._2 - 1e-12,
+        s"shortlist margin below exact on $k")
+    }
+  }
 }
