@@ -481,6 +481,79 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** BIPARTITE [[fuzzyMatches]] — probe-vs-catalog fuzzy join: every
+    * (left, right) pair within Levenshtein `maxDist`, via the same
+    * Gravano q-gram candidate device (shared-gram equi-join under a
+    * joint `maxDf` stop-gram cap) plus the same two-sided residual
+    * discipline (short names and every-gram-dropped names probe the
+    * OTHER side through the length-key equi-join). Candidates are
+    * name-level (both sides `distinct()` first); ids join back at
+    * the end, so repeated names fan out exactly. Per-gram join
+    * output is bounded by the df cap (≤ maxDf² per gram) and the
+    * gram-key cardinality scales with the data — never a fixed
+    * block count, never a cartesian.
+    *
+    * Output: (lid, rid, dist) — one row per (left-id, right-id)
+    * pair whose names match within maxDist (including dist 0). */
+  def fuzzyJoin(left: DataFrame, leftIdCol: String,
+      leftNameCol: String, right: DataFrame, rightIdCol: String,
+      rightNameCol: String, maxDist: Int = 2, q: Int = 3,
+      maxDf: Int = 1000): DataFrame = {
+    val l = left.select(col(leftIdCol).as("lid"),
+      col(leftNameCol).cast("string").as("name_l"))
+      .filter(col("name_l").isNotNull)
+    val r = right.select(col(rightIdCol).as("rid"),
+      col(rightNameCol).cast("string").as("name_r"))
+      .filter(col("name_r").isNotNull)
+    val ln = l.select(col("name_l").as("name")).distinct()
+      .withColumn("side", lit(0))
+    val rn = r.select(col("name_r").as("name")).distinct()
+      .withColumn("side", lit(1))
+    val names = ln.unionByName(rn)
+    val shortCap = (maxDist + 1) * q
+    val grams = names
+      .select(col("name"), col("side"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(length(col("name")) -
+          (q - 1), lit(1))),
+          i => col("name").substr(i, lit(q))))).as("g"))
+    val keptGrams = grams
+      .withColumn("_df", count(lit(1)).over(
+        Window.partitionBy(col("g"))))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+    val viaGrams = keptGrams.filter(col("side") === 0)
+      .select(col("name").as("name_l"), col("g"))
+      .join(keptGrams.filter(col("side") === 1)
+        .select(col("name").as("name_r"), col("g")), "g")
+      .select(col("name_l"), col("name_r"))
+    val namesL = names.withColumn("_l", length(col("name")))
+    val noGram = namesL.join(
+      keptGrams.select(col("name"), col("side")).distinct(),
+      Seq("name", "side"), "left_anti")
+    val residual = namesL.filter(col("_l") < shortCap)
+      .unionByName(noGram.filter(col("_l") >= shortCap))
+    val resExp = residual.select(col("name").as("name_x"),
+      col("side"),
+      explode(sequence(col("_l") - maxDist, col("_l") + maxDist))
+        .as("_l"))
+    // each residual name probes the OTHER side's length buckets
+    val viaResidual = resExp.filter(col("side") === 0)
+      .join(namesL.filter(col("side") === 1)
+        .select(col("name").as("name_r"), col("_l")), "_l")
+      .select(col("name_x").as("name_l"), col("name_r"))
+      .unionByName(resExp.filter(col("side") === 1)
+        .join(namesL.filter(col("side") === 0)
+          .select(col("name").as("name_l"), col("_l")), "_l")
+        .select(col("name_l"), col("name_x").as("name_r")))
+    viaGrams.union(viaResidual).distinct()
+      .filter(abs(length(col("name_l")) - length(col("name_r")))
+        <= maxDist)
+      .withColumn("dist", levenshtein(col("name_l"), col("name_r")))
+      .filter(col("dist") <= maxDist)
+      .join(l, "name_l").join(r, "name_r")
+      .select(col("lid"), col("rid"), col("dist"))
+  }
+
   /** Train→test contamination check (the published LM-training
     * decontamination shape: GPT-3 appendix C / PaLM §6.3 measure
     * test examples sharing word n-grams with the training set). Per

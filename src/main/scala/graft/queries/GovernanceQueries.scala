@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Privacy
 import Tables._
@@ -704,25 +704,56 @@ object GovernanceQueries {
     * ([[graft.operators.RecordLinkage.emFit]], 3 rounds) — customer
     * linked against a deterministically perturbed copy of itself
     * (per row the md5 device picks ONE field to corrupt: name, or
-    * balance bin, or balance cents, or none), blocked on
-    * (nation, segment); agreement fields are exact-name /
-    * balance-bin / cents. The oracle replays the perturbation,
-    * the blocking join, and all three EM rounds bit-identically. */
+    * balance bin, or balance cents, or none); agreement fields are
+    * exact-name / balance-bin / cents.
+    *
+    * BLOCKING (the r10 verdict's scale fix): the r10 form blocked on
+    * (nation, segment) — cardinality fixed at 125, so block size
+    * grows linearly with the data and the pair count quadratically.
+    * This registers the multi-pass DATA-CARDINALITY discipline
+    * (Winkler's multi-pass blocking, the standard FS deployment
+    * shape) instead, as the DISTINCT union of three equi-join
+    * passes, each with O(1)-expected block sizes:
+    *   1. exact name  — holds every true pair whose name survived
+    *      (h ≠ 0 corrupts balance or nothing);
+    *   2. exact balance — holds the name-corrupted true pairs
+    *      (h = 0 leaves balance untouched), block key cardinality
+    *      ≈ n (doubles, both engines bit-identical);
+    *   3. md5 bucket of the name, modulus = |customer| — a
+    *      deterministic pseudo-random O(n)-pair sample that
+    *      supplies the representative NON-match population the u /
+    *      λ estimates need (passes 1–2 alone would leave u resting
+    *      on a handful of accidental balance collisions).
+    * Candidate pairs are O(n) total (vs ~n²/125): every pass is a
+    * keyed hash join on a key whose cardinality scales with the
+    * data; the one `count()` moves a single long to the driver for
+    * the bucket modulus. The oracle replays the perturbation, all
+    * three blocking passes, the distinct, and all three EM rounds
+    * bit-identically. */
   def q299RecordLinkage(s: SparkSession, d: String): DataFrame = {
-    val a = customer(s, d).select(col("c_name").as("name_a"),
-      col("c_acctbal").as("bal_a"), col("c_nationkey").as("nk"),
-      col("c_mktsegment").as("seg"))
+    val cust = customer(s, d)
+    val a = cust.select(col("c_custkey").as("ck_a"),
+      col("c_name").as("name_a"), col("c_acctbal").as("bal_a"))
     val h = conv(substring(md5(concat(lit("rl:"),
       col("c_custkey").cast("string"))), 1, 8), 16, 10)
       .cast("long") % 4
-    val b = customer(s, d).select(
+    val b = cust.select(col("c_custkey").as("ck_b"),
       when(h === 0, concat(col("c_name"), lit("x")))
         .otherwise(col("c_name")).as("name_b"),
       when(h === 1, col("c_acctbal") + 100.0)
         .when(h === 2, col("c_acctbal") + 0.011)
-        .otherwise(col("c_acctbal")).as("bal_b"),
-      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-    val pairs = a.join(b, Seq("nk", "seg"))
+        .otherwise(col("c_acctbal")).as("bal_b"))
+    val nB = cust.count()
+    def bkt(c: Column): Column =
+      conv(substring(md5(concat(lit("blk:"), c)), 1, 8), 16, 10)
+        .cast("long") % nB
+    val p1 = a.join(b, col("name_a") === col("name_b"))
+    val p2 = a.join(b, col("bal_a") === col("bal_b"))
+    val p3 = a.withColumn("_bk", bkt(col("name_a")))
+      .join(b.withColumn("_bk", bkt(col("name_b"))), "_bk")
+      .drop("_bk")
+    val pairs = p1.unionByName(p2).unionByName(p3)
+      .dropDuplicates("ck_a", "ck_b")
       .select((col("name_a") === col("name_b")).as("agree_name"),
         (floor(col("bal_a") / 100.0) === floor(col("bal_b") / 100.0))
           .as("agree_bal"),
@@ -788,27 +819,42 @@ object GovernanceQueries {
         |  FROM ag$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH aaa AS (
-      |  SELECT c_name AS name_a, c_acctbal AS bal_a,
-      |    c_nationkey AS nk, c_mktsegment AS seg
+      |  SELECT c_custkey AS ck_a, c_name AS name_a,
+      |    c_acctbal AS bal_a
       |  FROM customer),
       |bbb AS (
-      |  SELECT CASE WHEN h = 0 THEN c_name || 'x' ELSE c_name END
+      |  SELECT c_custkey AS ck_b,
+      |    CASE WHEN h = 0 THEN c_name || 'x' ELSE c_name END
       |      AS name_b,
       |    CASE WHEN h = 1 THEN c_acctbal + 100.0
       |      WHEN h = 2 THEN c_acctbal + 0.011
-      |      ELSE c_acctbal END AS bal_b,
-      |    c_nationkey AS nk, c_mktsegment AS seg
+      |      ELSE c_acctbal END AS bal_b
       |  FROM (SELECT *,
       |      ('0x' || substr(md5('rl:' || c_custkey), 1, 8))
       |        ::UBIGINT::BIGINT % 4 AS h
       |    FROM customer)),
+      |nbc AS (SELECT COUNT(*) AS nb FROM customer),
+      |cnd AS (
+      |  SELECT DISTINCT ck_a, ck_b, name_a, name_b, bal_a, bal_b
+      |  FROM (
+      |    SELECT a.*, b.* FROM aaa a JOIN bbb b
+      |      ON a.name_a = b.name_b
+      |    UNION ALL
+      |    SELECT a.*, b.* FROM aaa a JOIN bbb b
+      |      ON a.bal_a = b.bal_b
+      |    UNION ALL
+      |    SELECT a.*, b.* FROM aaa a JOIN bbb b ON
+      |      ('0x' || substr(md5('blk:' || a.name_a), 1, 8))
+      |        ::UBIGINT::BIGINT % (SELECT nb FROM nbc) =
+      |      ('0x' || substr(md5('blk:' || b.name_b), 1, 8))
+      |        ::UBIGINT::BIGINT % (SELECT nb FROM nbc))),
       |prx AS MATERIALIZED (
       |  SELECT name_a = name_b AS a0,
       |    floor(bal_a / 100.0) = floor(bal_b / 100.0) AS a1,
       |    (CAST(floor(bal_a * 100.0) AS BIGINT) + 1000000) % 100 =
       |      (CAST(floor(bal_b * 100.0) AS BIGINT) + 1000000) % 100
       |      AS a2
-      |  FROM aaa JOIN bbb USING (nk, seg)),
+      |  FROM cnd),
       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM prx),
       |em0 AS (SELECT 0.9e0 AS m0, 0.1e0 AS u0, 0.9e0 AS m1,
       |  0.1e0 AS u1, 0.9e0 AS m2, 0.1e0 AS u2, 0.1e0 AS lam),

@@ -538,6 +538,33 @@ class DedupSpec extends SparkTestBase {
       "stop-gram pair must be recovered via the residual path")
   }
 
+  test("fuzzyJoin: bipartite pairs across the q-gram and residual " +
+      "paths, id fan-out on repeated names, no CartesianProduct") {
+    import spark.implicits._
+    val probes = Seq((10L, "wrinch industrial"), (11L, "bolz"),
+      (12L, "nothing like these")).toDF("pid", "pname")
+    val catalog = Seq((1L, "wrench industrial"),
+      (2L, "wrench industrial"), // repeated name → both ids pair
+      (3L, "bolt"), (4L, "unrelated catalog entry"))
+      .toDF("cid", "cname")
+    val got = Dedup.fuzzyJoin(probes, "pid", "pname",
+      catalog, "cid", "cname", maxDist = 2)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "fuzzyJoin must stay hash-join shaped")
+    val pairs = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((10L, 1L, 1), (10L, 2L, 1), (11L, 3L, 1)))
+    // dist-0 (exact) pairs are emitted too — a probe that IS a
+    // catalog name must not be dropped
+    val exact = Dedup.fuzzyJoin(
+      Seq((20L, "bolt")).toDF("pid", "pname"), "pid", "pname",
+      catalog, "cid", "cname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(exact === Set((20L, 3L, 0)))
+  }
+
   test("fuzzy matching resolves over distinct values, not rows") {
     import spark.implicits._
     val rows = Seq((1L, "alpha beta"), (2L, "alpha beta"),
