@@ -114,7 +114,16 @@ object Checksums {
   /** Replace every candidate in `valid` (a string array) with
     * `token` — the checksum-gated redaction: candidates that FAIL
     * validation are left untouched, which is the operator's whole
-    * reason to exist. Literal replace, not regex. */
+    * reason to exist. The replacement is anchored with the SAME
+    * `\b` word boundary the candidate extraction used, so a valid
+    * value that also occurs EMBEDDED inside a longer digit/alnum
+    * run (a run that was never a candidate, e.g. a 17-digit string
+    * containing a valid 16-digit card) is NOT rewritten there —
+    * failing/non-candidate text stays byte-identical (r10 advice).
+    * Precondition (both on-board candidate families satisfy it):
+    * candidates consist of word characters only, so they need no
+    * regex quoting and `\b` anchors exactly. */
   def redactValid(text: Column, valid: Column, token: String): Column =
-    aggregate(valid, text, (acc, c) => replace(acc, c, lit(token)))
+    aggregate(valid, text, (acc, c) => regexp_replace(acc,
+      concat(lit("\\b"), c, lit("\\b")), lit(token)))
 }

@@ -71,7 +71,15 @@ object Agreement {
   /** Pairwise Cohen's κ: one row per unordered rater pair (a < b).
     * With n common items, agree = |{i : label_a(i) = label_b(i)}|,
     * and S = Σ_j m_aj·m_bj (marginal product over labels):
-    *   κ = (n·agree − S) / (n² − S)           — all integer. */
+    *   κ = (n·agree − S) / (n² − S)           — all integer.
+    *
+    * The marginals m_aj / m_bj are computed over the pair's COMMON
+    * items (the joined frame), not over all items each rater ever
+    * labeled — when raters rate different item subsets the
+    * chance-agreement term P_e is only defined on the items both
+    * actually rated (Cohen 1960's table is the pair's own
+    * contingency table). A pair sharing no label values at all gets
+    * S = 0 (κ = agree/n). */
   def cohenKappaPairs(df: DataFrame, itemCol: String,
       raterCol: String, labelCol: String): DataFrame = {
     val lab = df.select(col(itemCol).as("item"),
@@ -80,22 +88,26 @@ object Agreement {
       col("label").as("label_a"))
     val b = lab.select(col("item"), col("rater").as("rater_b"),
       col("label").as("label_b"))
-    val pairs = a.join(b, Seq("item"))
+    val joined = a.join(b, Seq("item"))
       .where(col("rater_a") < col("rater_b"))
+    val pairs = joined
       .groupBy(col("rater_a"), col("rater_b"))
       .agg(count(lit(1)).as("n_items"),
         count(when(col("label_a") === col("label_b"), 1))
           .as("n_agree"))
-    val m = lab.groupBy(col("rater"), col("label"))
-      .agg(count(lit(1)).as("m"))
-    val s = m.select(col("rater").as("rater_a"),
-        col("label"), col("m").as("m_a"))
-      .join(m.select(col("rater").as("rater_b"), col("label"),
-        col("m").as("m_b")), Seq("label"))
-      .where(col("rater_a") < col("rater_b"))
+    val ma = joined
+      .groupBy(col("rater_a"), col("rater_b"), col("label_a"))
+      .agg(count(lit(1)).as("m_a"))
+      .withColumnRenamed("label_a", "label")
+    val mb = joined
+      .groupBy(col("rater_a"), col("rater_b"), col("label_b"))
+      .agg(count(lit(1)).as("m_b"))
+      .withColumnRenamed("label_b", "label")
+    val s = ma.join(mb, Seq("rater_a", "rater_b", "label"))
       .groupBy(col("rater_a"), col("rater_b"))
       .agg(sum(col("m_a") * col("m_b")).as("s"))
-    pairs.join(s, Seq("rater_a", "rater_b"))
+    pairs.join(s, Seq("rater_a", "rater_b"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
       .withColumn("num", col("n_items") * col("n_agree") - col("s"))
       .withColumn("den",
         col("n_items") * col("n_items") - col("s"))

@@ -796,12 +796,15 @@ object Graph {
     * CYCLES and over-long chains, which a crawler drops rather than
     * loops on.
     *
-    * Pointer doubling: successor S(x) = next(x), or x when terminal
-    * (terminals are fixed points), composed with itself
-    * ceil(log2(maxDepth)) times, so the result is exactly
-    * S^(2^rounds) — ⌈log₂ d⌉ self-joins on the (node, ptr) frame
-    * instead of d sequential joins; each round is one equi-join on
-    * the node id, data-sized, checkpointed. The same device as
+    * Pointer doubling with EXACT depth: successor S(x) = next(x),
+    * or x when terminal (terminals are fixed points), raised to
+    * S^maxDepth by binary exponentiation — square-and-multiply over
+    * the (node, ptr) frame, ≤ 2·⌊log₂ d⌋ equi-joins instead of d
+    * sequential joins, and exactly `maxDepth` compositions for ANY
+    * maxDepth (the r10 form rounded up to the next power of two, so
+    * maxDepth=10 silently followed 16 hops and over-long chains in
+    * (10, 16] were reported resolved). Each join is keyed on the
+    * node id, data-sized, checkpointed. The same device as
     * [[connectedComponents]], specialized to functional graphs.
     *
     * Output: node, final, resolved. */
@@ -812,18 +815,22 @@ object Graph {
       .agg(min(col(dstCol)).as("nxt"))
     val nodes = e.select(col("node"))
       .union(e.select(col("nxt").as("node"))).distinct()
-    var cur = nodes.join(e, Seq("node"), "left")
-      .select(col("node"), coalesce(col("nxt"), col("node")).as("ptr"))
-      .localCheckpoint()
-    val rounds = math.ceil(math.log(maxDepth.toDouble) /
-      math.log(2.0)).toInt.max(1)
-    for (_ <- 1 to rounds) {
-      cur = cur.alias("a")
-        .join(cur.alias("b"), col("a.ptr") === col("b.node"))
+    def compose(f: DataFrame, g: DataFrame): DataFrame =
+      f.alias("a").join(g.alias("b"), col("a.ptr") === col("b.node"))
         .select(col("a.node").as("node"), col("b.ptr").as("ptr"))
         .localCheckpoint()
+    var pow = nodes.join(e, Seq("node"), "left")
+      .select(col("node"), coalesce(col("nxt"), col("node")).as("ptr"))
+      .localCheckpoint()                     // S^1
+    var acc: DataFrame = null                // S^(consumed bits)
+    var d = maxDepth
+    while (d > 0) {
+      if ((d & 1) == 1)
+        acc = if (acc == null) pow else compose(acc, pow)
+      d >>= 1
+      if (d > 0) pow = compose(pow, pow)
     }
-    cur.join(e.select(col("node").as("__src"), lit(true).as("__out")),
+    acc.join(e.select(col("node").as("__src"), lit(true).as("__out")),
         col("ptr") === col("__src"), "left")
       .select(col("node"), col("ptr").as("final"),
         coalesce(!col("__out"), lit(true)).as("resolved"))

@@ -95,18 +95,58 @@ object ModelArtifacts {
       //   - tables this session has SERVED stay alive (two datasets
       //     alternating fingerprints under one name must not thrash
       //     each other's builds; only hashes no caller has touched
-      //     this session — true cross-session staleness — drop).
+      //     this session — true cross-session staleness — drop);
+      //   - an AGE LEASE (newest data file under the table location
+      //     older than spark.graft.artifactDropAgeMs, default 24 h):
+      //     the servedTables guard is process-local, so in a SHARED
+      //     warehouse a concurrent session's just-built artifact
+      //     (different fingerprint, same name) would otherwise drop
+      //     out from under its readers. A freshly written table is
+      //     never old enough to drop; single-session deployments can
+      //     set the age to 0 to reclaim space eagerly.
+      val dropAgeMs = spark.conf.getOption(
+        "spark.graft.artifactDropAgeMs").map(_.toLong)
+        .getOrElse(24L * 3600 * 1000)
       val sibling = s"graft_art_${name}_[0-9a-f]{8}".r
+      val now = System.currentTimeMillis()
       spark.catalog.listTables().collect()
         .map(_.name)
         .filter(t => sibling.matches(t) && t != table &&
-          !servedTables.contains(t))
+          !servedTables.contains(t) &&
+          now - newestFileMtime(spark, t) > dropAgeMs)
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       clearOrphanLocation(spark, table)
       build.write.format("parquet").saveAsTable(table)
     }
     servedTables.add(table)
     spark.table(table)
+  }
+
+  /** Newest data-file mtime under a sibling table's warehouse
+    * location — the age-lease input for the [[cached]] cleanup.
+    * Leaf files, not the directory status (object stores return
+    * synthetic directory mtimes). An unreadable or empty location
+    * reports mtime 0 (= arbitrarily old: a location with no data
+    * files serves nobody, so dropping it is safe). */
+  private def newestFileMtime(spark: SparkSession,
+      t: String): Long = {
+    try {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+      val fs = p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var newest = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getModificationTime > newest)
+            newest = st.getModificationTime
+        }
+        newest
+      }
+    } catch { case _: Throwable => 0L }
   }
 
   /** Artifact tables served by THIS session (JVM) — never dropped

@@ -602,10 +602,14 @@ object GovernanceQueries {
     val bban = lpad((col("doc_id") * 48271 + 7).cast("string"), 16, "0")
     val cc = ibanCheckDigits(lit("DE"), bban)
     val ccBad = (cc - 1) % 97 + 2
+    // " pad 00<card>000": a 21-digit run (not a candidate — too
+    // long) CONTAINING the valid card; the \b-anchored redaction
+    // must leave it byte-identical (r10 advice fixture)
     val planted = concat(col("text"),
       lit(" card "), validCard, lit(" ref "), invalidCard,
       lit(" iban DE"), lpad(cc.cast("string"), 2, "0"), bban,
-      lit(" alt DE"), lpad(ccBad.cast("string"), 2, "0"), bban)
+      lit(" alt DE"), lpad(ccBad.cast("string"), 2, "0"), bban,
+      lit(" pad 00"), validCard, lit("000"))
     val doc = documents(s, d).select(col("doc_id"), planted.as("t"))
     val cands = cardCandidates(col("t"))
     val okCards = filter(cands, c => luhnValid(c))
@@ -666,7 +670,8 @@ object GovernanceQueries {
       |      || ' ref ' || bodyb || CAST((cdb + 5) % 10 AS VARCHAR)
       |      || ' iban DE' || lpad(CAST(cc AS VARCHAR), 2, '0') || bban
       |      || ' alt DE' || lpad(CAST((cc - 1) % 97 + 2 AS VARCHAR),
-      |           2, '0') || bban AS t
+      |           2, '0') || bban
+      |      || ' pad 00' || body || CAST(cd AS VARCHAR) || '000' AS t
       |  FROM chk),
       |cand AS (SELECT doc_id,
       |    unnest(regexp_extract_all(t, '\\b[0-9]{13,19}\\b')) AS c
@@ -693,8 +698,10 @@ object GovernanceQueries {
       |  ia.n_iban_candidates, ia.n_ibans_valid,
       |  md5(list_reduce(list_prepend(
       |    list_reduce(list_prepend(pt.t, ca.oks),
-      |      (a, x) -> replace(a, x, '<CARD>')), ia.oks),
-      |    (a, x) -> replace(a, x, '<IBAN>'))) AS red_md5
+      |      (a, x) -> regexp_replace(a, '\\b' || x || '\\b',
+      |        '<CARD>', 'g')), ia.oks),
+      |    (a, x) -> regexp_replace(a, '\\b' || x || '\\b',
+      |      '<IBAN>', 'g'))) AS red_md5
       |FROM pt JOIN ca ON pt.doc_id = ca.doc_id
       |  JOIN ia ON pt.doc_id = ia.doc_id
       |ORDER BY pt.doc_id""".stripMargin

@@ -361,26 +361,32 @@ object SftQueries {
 
   private val q283Oracle: String =
     s"""WITH $RaterCtes,
-      |pr AS (SELECT a.rater AS rater_a, b.rater AS rater_b,
-      |    COUNT(*) AS n_items,
-      |    COUNT(CASE WHEN a.label = b.label THEN 1 END) AS n_agree
+      |pr0 AS (SELECT a.rater AS rater_a, b.rater AS rater_b,
+      |    a.label AS label_a, b.label AS label_b
       |  FROM rl a JOIN rl b
-      |    ON a.doc_id = b.doc_id AND a.rater < b.rater
-      |  GROUP BY 1, 2),
-      |m AS (SELECT rater, label, COUNT(*) AS m FROM rl GROUP BY 1, 2),
-      |s AS (SELECT x.rater AS rater_a, y.rater AS rater_b,
-      |    SUM(x.m * y.m) AS s
-      |  FROM m x JOIN m y ON x.label = y.label AND x.rater < y.rater
+      |    ON a.doc_id = b.doc_id AND a.rater < b.rater),
+      |pr AS (SELECT rater_a, rater_b, COUNT(*) AS n_items,
+      |    COUNT(CASE WHEN label_a = label_b THEN 1 END) AS n_agree
+      |  FROM pr0 GROUP BY 1, 2),
+      |ma AS (SELECT rater_a, rater_b, label_a AS label,
+      |    COUNT(*) AS m FROM pr0 GROUP BY 1, 2, 3),
+      |mb AS (SELECT rater_a, rater_b, label_b AS label,
+      |    COUNT(*) AS m FROM pr0 GROUP BY 1, 2, 3),
+      |s AS (SELECT rater_a, rater_b, SUM(x.m * y.m) AS s
+      |  FROM ma x JOIN mb y USING (rater_a, rater_b, label)
       |  GROUP BY 1, 2)
       |SELECT pr.rater_a, pr.rater_b,
       |  CAST(pr.n_items AS BIGINT) AS n_items,
       |  CAST(pr.n_agree AS BIGINT) AS n_agree,
-      |  CAST(pr.n_items * pr.n_agree - s.s AS BIGINT) AS num,
-      |  CAST(pr.n_items * pr.n_items - s.s AS BIGINT) AS den,
-      |  CAST(CAST(pr.n_items * pr.n_agree - s.s AS BIGINT) AS DOUBLE)
-      |    / CAST(CAST(pr.n_items * pr.n_items - s.s AS BIGINT)
-      |        AS DOUBLE) AS kappa
-      |FROM pr JOIN s
+      |  CAST(pr.n_items * pr.n_agree - COALESCE(s.s, 0) AS BIGINT)
+      |    AS num,
+      |  CAST(pr.n_items * pr.n_items - COALESCE(s.s, 0) AS BIGINT)
+      |    AS den,
+      |  CAST(CAST(pr.n_items * pr.n_agree - COALESCE(s.s, 0)
+      |      AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(pr.n_items * pr.n_items - COALESCE(s.s, 0)
+      |        AS BIGINT) AS DOUBLE) AS kappa
+      |FROM pr LEFT JOIN s
       |  ON pr.rater_a = s.rater_a AND pr.rater_b = s.rater_b
       |ORDER BY pr.rater_a, pr.rater_b""".stripMargin
 

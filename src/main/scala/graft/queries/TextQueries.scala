@@ -1500,7 +1500,49 @@ object TextQueries {
       k = 20, capacity = 1024)
   }
 
+  /** q306: compression-ratio ORDERING CONTRACT
+    * ([[graft.functions.TextFunctions.compressionRatio]]) — the one
+    * quality signal no SQL engine can replay (zlib), gated through
+    * its rank order instead of its values: five fixture texts with
+    * widely separated compressibility classes (single-char run <
+    * template repetition < varied prose < high-entropy hex < empty,
+    * the empty-string ratio pinned at 1.0 by contract) are ranked
+    * by the engine's deflate ratio; the oracle declares the
+    * expected ranks as VALUES. A zlib regression that reorders any
+    * class boundary — the exact property the Gopher/RefinedWeb
+    * "compresses like template spam" filters rely on — now fails
+    * the driver gate, not just the spec. */
+  def q306CompressionOrdering(s: SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Int): String = md.digest(s"cr:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val fixture = Seq(
+      (1L, "a" * 4000),
+      (2L, "the quick brown fox jumps over the lazy dog. " * 100),
+      (3L, (0 until 40).map(i => s"paragraph ${hex(i).take(6)} " +
+        "mixes fresh tokens with familiar connectives so deflate " +
+        "finds some but not all structure").mkString(". ")),
+      (4L, (0 until 60).map(hex).mkString),
+      (5L, ""))
+    val docs = fixture.toDF("doc_id", "text")
+    docs.select(col("doc_id"),
+        compressionRatio(col("text")).as("r"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("r"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rnk"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q306Oracle: String =
+    """SELECT doc_id, rnk FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      |  (2, 2), (3, 3), (4, 4), (5, 5)) v(doc_id, rnk)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_compression_ordering" -> (q306CompressionOrdering _),
     "q161_heavy_hitters" -> (q161HeavyHitters _),
     "q157_bleu_eval" -> (q157BleuEval _),
     "q126_corpus_materialization" -> (q126CorpusMaterialization _),
@@ -2139,6 +2181,7 @@ object TextQueries {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q306_compression_ordering" -> q306Oracle,
     "q161_heavy_hitters" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS tk
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

@@ -91,4 +91,17 @@ class ChecksumsSpec extends SparkTestBase {
       .collect()(0).getString(0)
     assert(out === "a <CARD> b 1234567812345678 c")
   }
+
+  test("redaction is \\b-anchored: a valid card embedded in a " +
+      "longer non-candidate digit run stays untouched (r10 advice)") {
+    // 21-digit run (too long to be a candidate) contains the valid
+    // card as a substring; only the standalone occurrence redacts
+    val t = "x 004532015112830366000 y 4532015112830366 z"
+    val out = Seq(t).toDF("t")
+      .select(Checksums.redactValid(col("t"),
+        filter(Checksums.cardCandidates(col("t")),
+          c => Checksums.luhnValid(c)), "<CARD>"))
+      .collect()(0).getString(0)
+    assert(out === "x 004532015112830366000 y <CARD> z")
+  }
 }

@@ -76,6 +76,37 @@ class AgreementSpec extends SparkTestBase {
     assert(r.getAs[Double]("kappa") === 0.4)
   }
 
+  test("cohenKappaPairs: marginals restrict to the pair's common " +
+      "items when raters rate different subsets (r10 advice)") {
+    // raters 0/1 share items 0–9 (perfect agreement there); rater 0
+    // also labeled 90 extra items all "no". Cohen's table for the
+    // pair is 10 yes-yes cells → kappa must be computed from the 10
+    // common items (S = 100, num = 10*10−100 = 0 ... all-"yes"
+    // degenerate) — so use a mixed common set instead:
+    //   common: 5 yes-yes + 5 no-no (perfect agreement, balanced)
+    //   rater 0 alone: 90 extra "no" labels that must NOT leak into
+    //   the marginals (global marginals would give S = 95*5+5*5 and
+    //   a kappa != 1).
+    val common =
+      (0 until 5).flatMap(i => Seq((i.toLong, 0L, "yes"),
+        (i.toLong, 1L, "yes"))) ++
+      (5 until 10).flatMap(i => Seq((i.toLong, 0L, "no"),
+        (i.toLong, 1L, "no")))
+    val extra = (100 until 190).map(i => (i.toLong, 0L, "no"))
+    val out = Agreement.cohenKappaPairs(
+      (common ++ extra).toDF("item", "rater", "label"),
+      "item", "rater", "label").collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_items") === 10L)
+    assert(r.getAs[Long]("n_agree") === 10L)
+    // common-item marginals: m_a = m_b = (5 yes, 5 no) → S = 50,
+    // num = 100−50, den = 100−50 → kappa exactly 1
+    assert(r.getAs[Long]("num") === 50L)
+    assert(r.getAs[Long]("den") === 50L)
+    assert(r.getAs[Double]("kappa") === 1.0)
+  }
+
   test("cohenKappaPairs emits one row per unordered pair") {
     val rows = for (i <- 0L to 19L; r <- 0L to 2L)
       yield (i, r, if ((i + r) % 3 == 0) "a" else "b")

@@ -369,6 +369,29 @@ class GraphSpec extends SparkTestBase {
     assert(m(1L) === 2L)
   }
 
+  test("resolveRedirects follows EXACTLY maxDepth hops for " +
+      "non-power-of-two depths (r10 advice: no round-up to 16)") {
+    import spark.implicits._
+    // chain 12->11->...->1->0 (terminal). At maxDepth=10: node 10
+    // reaches 0 in exactly 10 hops (resolved); node 11 needs 11 and
+    // node 12 needs 12 — the r10 power-of-two round-up (16 hops)
+    // reported them resolved; the exact form must flag both.
+    val edges = (1L to 12L).map(i => (i, i - 1)).toDF("src", "dst")
+    val out = Graph.resolveRedirects(edges, "src", "dst",
+        maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getBoolean(2)))).toMap
+    assert(out(10L) === ((0L, true)))
+    assert(out(11L) === ((1L, false)),
+      "11-hop chain at maxDepth=10 must stop one short, unresolved")
+    assert(out(12L) === ((2L, false)))
+    // maxDepth=1 follows a single hop
+    val one = Graph.resolveRedirects(edges, "src", "dst", maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getBoolean(2)))).toMap
+    assert(one(2L) === ((1L, false)) && one(1L) === ((0L, true)))
+  }
+
   test("hyperBall: ball estimates track exact reachability on a " +
       "chain, harmonic centrality orders by reach") {
     import spark.implicits._

@@ -32,23 +32,37 @@ class ModelArtifactsSpec extends SparkTestBase {
       "live fingerprints survive sibling rebuilds")
   }
 
-  test("cached drops STALE same-name siblings (unserved hash) on " +
-      "rebuild, but never a different artifact whose name merely " +
-      "extends this one") {
+  test("cached drops STALE same-name siblings (unserved hash, past " +
+      "the age lease) on rebuild, but never a different artifact " +
+      "whose name merely extends this one, and never a FRESH " +
+      "sibling under the default lease (shared-warehouse safety)") {
     // simulate a previous session's leftover: a sibling hash this
     // JVM never served, plus a name-extension artifact
     Seq((1L, 1.0)).toDF("id", "w").write.format("parquet")
       .saveAsTable("graft_art_spec_stale_deadbeef")
     ModelArtifacts.cached(spark, "spec_stale_sub", "x")(
       Seq((9L, 9.0)).toDF("id", "w"))
+    // under the DEFAULT 24 h lease the just-written sibling is too
+    // young to drop — a concurrent session's live build must survive
     ModelArtifacts.cached(spark, "spec_stale", "fresh")(
       Seq((2L, 2.0)).toDF("id", "w"))
-    val live = spark.catalog.listTables().collect().map(_.name)
+    val liveFresh = spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith("graft_art_spec_stale")).sorted
-    assert(!live.contains("graft_art_spec_stale_deadbeef"),
-      s"stale unserved sibling must drop: ${live.toSeq}")
-    assert(live.exists(_.startsWith("graft_art_spec_stale_sub_")),
-      s"name-extension artifact must survive: ${live.toSeq}")
+    assert(liveFresh.contains("graft_art_spec_stale_deadbeef"),
+      s"young sibling must survive the default lease: " +
+        s"${liveFresh.toSeq}")
+    // age 0 = single-session eager reclaim: now it drops
+    spark.conf.set("spark.graft.artifactDropAgeMs", "0")
+    try {
+      ModelArtifacts.cached(spark, "spec_stale", "fresh2")(
+        Seq((3L, 3.0)).toDF("id", "w"))
+      val live = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_art_spec_stale")).sorted
+      assert(!live.contains("graft_art_spec_stale_deadbeef"),
+        s"stale unserved sibling must drop at age 0: ${live.toSeq}")
+      assert(live.exists(_.startsWith("graft_art_spec_stale_sub_")),
+        s"name-extension artifact must survive: ${live.toSeq}")
+    } finally spark.conf.unset("spark.graft.artifactDropAgeMs")
   }
 
   test("cached rejects non-identifier names (table-name safety)") {
