@@ -397,11 +397,23 @@ object EventQueries {
     * segments everywhere). Two media-partitioned windows + two hash
     * aggregates; all integer. */
   def q295IntervalCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val start = (col("event_id") * 37) % 5000
+    // Fixture media 9000295: the boundary classes the derived
+    // segments cannot be GUARANTEED to hit — exact touch (merge, not
+    // a new island), full containment, an exact duplicate, and a
+    // gap-of-1 island break (r11 oracle-fidelity sweep).
+    val planted = Seq(
+      (9000295L, 0L, 10L), (9000295L, 10L, 20L),  // touching
+      (9000295L, 2L, 5L),                         // contained
+      (9000295L, 0L, 10L),                        // duplicate
+      (9000295L, 21L, 30L))                       // gap of exactly 1
+      .toDF("media_id", "seg_start", "seg_end")
     val seg = events(s, d).select(
       (col("user_id") % 20).as("media_id"),
-      start.as("seg_start"),
-      (start + 1 + col("event_id") % 300).as("seg_end"))
+      start.cast("long").as("seg_start"),
+      (start + 1 + col("event_id") % 300).cast("long").as("seg_end"))
+      .unionByName(planted)
     graft.operators.Intervals.mergedCoverage(seg, "media_id",
         "seg_start", "seg_end")
       .orderBy(col("media_id"))
@@ -411,7 +423,11 @@ object EventQueries {
     """WITH segi AS (
       |  SELECT user_id % 20 AS m, (event_id * 37) % 5000 AS s,
       |    (event_id * 37) % 5000 + 1 + event_id % 300 AS e
-      |  FROM events),
+      |  FROM events
+      |  UNION ALL
+      |  SELECT * FROM (VALUES (9000295, 0, 10), (9000295, 10, 20),
+      |    (9000295, 2, 5), (9000295, 0, 10), (9000295, 21, 30))
+      |    v(m, s, e)),
       |mk AS (
       |  SELECT m, s, e,
       |    MAX(e) OVER (PARTITION BY m ORDER BY s, e
@@ -442,10 +458,28 @@ object EventQueries {
     * view→click→purchase. The regex runs ONCE per user on the
     * user-bounded sequence string — never a per-pattern event scan. */
   def q296SequenceMatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Fixture user 9000296: exact-timestamp ties whose event_id
+    // order OPPOSES the type-initial order ('v' has the lower id at
+    // t=1000, 's' the lower id at t=2000) — a sort that fell back to
+    // the type char instead of event_id would flip the sequence
+    // string; plus the pattern chars arriving out of order (p before
+    // v) so both rlike flags are exercised false-then-true on ties
+    // (r11 oracle-fidelity sweep).
+    val planted = Seq(
+      (9000296L, 1L, 1000L, "view"), (9000296L, 2L, 1000L, "signup"),
+      (9000296L, 3L, 2000L, "signup"), (9000296L, 4L, 2000L, "click"),
+      (9000296L, 5L, 3000L, "purchase"), (9000296L, 6L, 3000L, "view"))
+      .toDF("user_id", "event_id", "t_us", "event_type")
     val ev = events(s, d).select(col("user_id"),
-      struct(unix_micros(col("ts")).as("t"),
-        col("event_id").as("i"),
-        substring(col("event_type"), 1, 1).as("c")).as("st"))
+        unix_micros(col("ts")).as("t_us"), col("event_id"),
+        col("event_type"))
+      .unionByName(planted.select(col("user_id"), col("t_us"),
+        col("event_id"), col("event_type")))
+      .select(col("user_id"),
+        struct(col("t_us").as("t"),
+          col("event_id").as("i"),
+          substring(col("event_type"), 1, 1).as("c")).as("st"))
     ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         array_join(transform(array_sort(collect_list(col("st"))),
@@ -458,11 +492,20 @@ object EventQueries {
   }
 
   private val q296Oracle: String =
-    """WITH sq AS (
+    """WITH evu AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+      |  FROM events
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (9000296, 1000, 1, 'view'), (9000296, 1000, 2, 'signup'),
+      |    (9000296, 2000, 3, 'signup'), (9000296, 2000, 4, 'click'),
+      |    (9000296, 3000, 5, 'purchase'), (9000296, 3000, 6, 'view'))
+      |    v(user_id, t_us, event_id, event_type)),
+      |sq AS (
       |  SELECT user_id, COUNT(*) AS n_events,
       |    string_agg(substr(event_type, 1, 1), ''
-      |      ORDER BY ts, event_id) AS seq
-      |  FROM events GROUP BY user_id)
+      |      ORDER BY t_us, event_id) AS seq
+      |  FROM evu GROUP BY user_id)
       |SELECT user_id, n_events, md5(seq) AS seq_md5,
       |  regexp_matches(seq, 's.*v.*p') AS has_signup_view_purchase,
       |  regexp_matches(seq, 'v.*c.*p') AS has_view_click_purchase
@@ -475,10 +518,26 @@ object EventQueries {
     * (x − k): two windows over the day-bounded series, all integer;
     * alarm when S exceeds h. k=70, h=25. */
   def q297CusumDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Fixture prefix (1970, sorts before every real day): drives S
+    // through the boundaries the organic series cannot be counted
+    // on to hit — S landing EXACTLY on h (alarm strict >, so false),
+    // h+1 (true), an x−k = 0 zero-increment day, and the max(0,·)
+    // floor reset; the prefix ends at S = 0 so every real day's
+    // cusum is unchanged (r11 oracle-fidelity sweep).
+    val planted = Seq(
+      ("1970-01-01", 95L),   // S = 25 = h  → alarm false
+      ("1970-01-02", 71L),   // S = 26     → alarm true
+      ("1970-01-03", 70L),   // x−k = 0, S stays 26 → true
+      ("1970-01-04", 0L),    // S = max(0, −44) = 0 → false
+      ("1970-01-05", 0L))    // S = 0 → false; prefix exits at 0
+      .toDF("day_s", "x")
+      .select(to_date(col("day_s")).as("day"), col("x"))
     val daily = events(s, d)
       .where(col("event_type") === "error")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
+      .unionByName(planted)
     graft.operators.Cusum.upperCusum(daily, Seq.empty, "day", "x",
         k = 70L, h = 25L)
       .select(col("day"), col("x"), col("cusum"), col("alarm"))
@@ -488,7 +547,11 @@ object EventQueries {
   private val q297Oracle: String =
     """WITH dly AS (
       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
-      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |  FROM events WHERE event_type = 'error' GROUP BY 1
+      |  UNION ALL
+      |  SELECT CAST(d AS DATE), x FROM (VALUES
+      |    ('1970-01-01', 95), ('1970-01-02', 71), ('1970-01-03', 70),
+      |    ('1970-01-04', 0), ('1970-01-05', 0)) v(d, x)),
       |cm AS (
       |  SELECT day, x,
       |    SUM(x - 70) OVER (ORDER BY day
@@ -517,12 +580,23 @@ object EventQueries {
     * floor(v·100) → string (no log10 in-plan); χ² terms summed
     * decimal-exact. */
   def q298BenfordAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val pExpr = BenfordP.zipWithIndex
       .foldLeft(lit(Double.NaN)) { case (e, (p, i)) =>
         when(col("digit") === (i + 1).toString, lit(p)).otherwise(e) }
-    val digits = orders(s, d)
+    // Fixture totals exercising the NON-significant digit classes:
+    // a sub-cent value (first extracted char '0') and a negative
+    // total (first char '-'). Both must be EXCLUDED by the explicit
+    // 1–9 filter below — without that filter the engine emitted NaN
+    // benford_frac where the oracle's ELSE-less CASE gives NULL, a
+    // divergence the organic TPC-H totals (all ≥ 850ish) never
+    // exposed (r11 oracle-fidelity sweep).
+    val planted = Seq(0.005, -500.0).toDF("o_totalprice")
+    val digits = orders(s, d).select(col("o_totalprice"))
+      .unionByName(planted)
       .select(substring(floor(col("o_totalprice") * 100)
         .cast("long").cast("string"), 1, 1).as("digit"))
+      .where(col("digit").between("1", "9"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
     val tot = digits.agg(sum(col("n_obs")).as("n"))
     val terms = digits.crossJoin(broadcast(tot))
@@ -550,8 +624,11 @@ object EventQueries {
     s"""WITH dg AS (
       |  SELECT substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
       |    AS VARCHAR), 1, 1) AS digit
-      |  FROM orders),
-      |cnt AS (SELECT digit, COUNT(*) AS n_obs FROM dg GROUP BY 1),
+      |  FROM (SELECT o_totalprice FROM orders
+      |        UNION ALL SELECT * FROM (VALUES (0.005e0), (-500.0e0))
+      |          v(o_totalprice))),
+      |cnt AS (SELECT digit, COUNT(*) AS n_obs FROM dg
+      |  WHERE digit BETWEEN '1' AND '9' GROUP BY 1),
       |tt AS (SELECT SUM(n_obs) AS n FROM cnt),
       |tm AS (
       |  SELECT digit, n_obs,
@@ -577,9 +654,25 @@ object EventQueries {
     * over the strictly-preceding frame), then a 3-row aggregate with
     * the dsum decimal device on the revenue. */
   def q303Attribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Fixture users 9000303/9000304: the lookback boundaries the
+    // organic stream cannot be counted on to hit — a purchase
+    // EXACTLY 24 h after its touch (≤ keeps it credited), 24 h + 1 µs
+    // (direct), a same-timestamp click→purchase tie resolved by
+    // event_id in the strictly-preceding frame (Δ = 0), and a
+    // purchase with no preceding event at all (r11 sweep).
+    val planted = Seq(
+      (900000001L, 9000303L, "view", 0.0, 0L),
+      (900000002L, 9000303L, "purchase", 10.0, 86400000000L),
+      (900000003L, 9000303L, "purchase", 20.0, 86400000001L),
+      (900000004L, 9000303L, "click", 0.0, 200000000000L),
+      (900000005L, 9000303L, "purchase", 30.0, 200000000000L),
+      (900000006L, 9000304L, "purchase", 40.0, 0L))
+      .toDF("event_id", "user_id", "event_type", "value", "t_us")
     val ev = events(s, d).select(col("event_id"), col("user_id"),
-      col("event_type"), col("value"),
-      unix_micros(col("ts")).as("t_us"))
+        col("event_type"), col("value"),
+        unix_micros(col("ts")).as("t_us"))
+      .unionByName(planted)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("t_us"), col("event_id"))
@@ -608,7 +701,16 @@ object EventQueries {
     """WITH evx AS (
       |  SELECT event_id, user_id, event_type, value,
       |    epoch_us(ts) AS t_us
-      |  FROM events),
+      |  FROM events
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (900000001, 9000303, 'view', 0.0e0, 0),
+      |    (900000002, 9000303, 'purchase', 10.0e0, 86400000000),
+      |    (900000003, 9000303, 'purchase', 20.0e0, 86400000001),
+      |    (900000004, 9000303, 'click', 0.0e0, 200000000000),
+      |    (900000005, 9000303, 'purchase', 30.0e0, 200000000000),
+      |    (900000006, 9000304, 'purchase', 40.0e0, 0))
+      |    v(event_id, user_id, event_type, value, t_us)),
       |cx AS (
       |  SELECT event_id, user_id, event_type, value, t_us,
       |    last_value(CASE WHEN event_type IN ('view', 'click')
