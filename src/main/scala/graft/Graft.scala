@@ -183,6 +183,41 @@ object Graft {
       maxDist: Int = 2): DataFrame =
     operators.Dedup.fuzzyMatches(df, name, maxDist)
 
+  /** Bipartite probe-vs-catalog fuzzy join (Levenshtein ≤ maxDist)
+    * via the df-capped q-gram candidate device; (lid, rid, dist). */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftName: String,
+      right: DataFrame, rightId: String, rightName: String,
+      maxDist: Int = 2): DataFrame =
+    operators.Dedup.fuzzyJoin(left, leftId, leftName,
+      right, rightId, rightName, maxDist)
+
+  /** Margin-based pair mining (Artetxe & Schwenk ratio margin)
+    * between two embedding sets — the EXACT cross-score form; for
+    * corpus-scale inputs use [[marginMiningAnn]]. */
+  def marginMining(left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String, vec: String,
+      k: Int = 4, threshold: Double = 1.0): DataFrame =
+    operators.SimilaritySearch.marginMining(left, leftId,
+      right, rightId, vec, k, threshold)
+
+  /** Production-shape margin mining: the identical margin
+    * arithmetic over the union of the two directed IVF k-NN
+    * shortlists (O(n·k) candidate pairs, never |L|×|R|). */
+  def marginMiningAnn(left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String, vec: String,
+      centroids: DataFrame, k: Int = 4, threshold: Double = 1.0,
+      listK: Int = 8, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val lr = operators.SimilaritySearch.ivfKnnLists(left, leftId,
+      right, rightId, vec, centroids, listK, nProbe)
+    val rl = operators.SimilaritySearch.ivfKnnLists(right, rightId,
+      left, leftId, vec, centroids, listK, nProbe)
+    val cand = lr.select(col("qid").as("lid"), col("cid").as("rid"))
+      .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
+    operators.SimilaritySearch.marginMiningShortlist(left, leftId,
+      right, rightId, vec, cand, k, threshold)
+  }
+
   /** Evenly-sampled video key frames as opaque coded bytes: one row
     * per (media row, frame). Real containers: MJPEG-AVI, MP4/MOV
     * (ISO BMFF sample tables), Matroska/WebM (EBML cluster walk);

@@ -575,6 +575,24 @@ object SimilaritySearch {
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
   }
 
+  /** Random-SAMPLE coarse quantizer: the `cells` smallest-id
+    * vectors ARE the centroid table (cell_id = the vector's own
+    * id) — the sampling-quantizer baseline every IVF library ships
+    * (train on a data sample; Lloyd refinement =
+    * [[kmeansCentroids]], drop-in when training budget allows).
+    * Unlike a label column (FIXED cardinality — the q299/q239
+    * blocking hazard), `cells` is sized by [[coarseCellCount]] ≈
+    * √n, so per-cell scan length SCALES with the data. The
+    * orderBy+limit moves only `cells` rows; deterministic, and a
+    * SQL rank window replays it exactly. */
+  def sampleCentroids(df: DataFrame, idCol: String, vecCol: String,
+      cells: Int): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1 ($cells)")
+    df.orderBy(col(idCol)).limit(cells)
+      .select(col(idCol).as("cell_id"),
+        col(vecCol).cast("array<double>").as("centroid"))
+  }
+
   /** Corpus×corpus directed IVF k-NN lists — the shortlist builder
     * under [[marginMiningShortlist]] and any all-pairs-ish mining
     * pass: the same cell-probe discipline as [[ivfTopK]], but the

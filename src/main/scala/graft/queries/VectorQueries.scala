@@ -382,8 +382,9 @@ object VectorQueries {
         "embedding", k = 6, iters = 2)
       .orderBy(col("u"), col("rnk"))
 
-  /** Score + per-node top-6 rank of the (u, v) edge CTE `src`. */
-  private def nnScore(src: String, out: String): String =
+  /** Score + per-node top-k rank of the (u, v) edge CTE `src`. */
+  private def nnScore(src: String, out: String,
+      k: Int = 6): String =
     s"""$out AS (
        |  SELECT u, v, score, rnk FROM (
        |    SELECT s.u, s.v, s.score,
@@ -397,11 +398,12 @@ object VectorQueries {
        |      FROM $src c
        |      JOIN vv a ON a.id = c.u
        |      JOIN vv b ON b.id = c.v) s)
-       |  WHERE rnk <= 6)""".stripMargin
+       |  WHERE rnk <= $k)""".stripMargin
 
   /** One NN-descent round: undirected closure of `prev`, one
-    * neighbor-of-neighbor self-join, rescore, top-6. */
-  private def nnRound(prev: String, sfx: String): String =
+    * neighbor-of-neighbor self-join, rescore, top-k. */
+  private def nnRound(prev: String, sfx: String,
+      k: Int = 6): String =
     s"""und$sfx AS (
        |  SELECT u, v FROM $prev
        |  UNION
@@ -411,7 +413,7 @@ object VectorQueries {
        |  JOIN und$sfx b ON a.v = b.u WHERE a.u <> b.v
        |  UNION
        |  SELECT u, v FROM $prev),
-       |${nnScore(s"cd$sfx", s"g$sfx")}""".stripMargin
+       |${nnScore(s"cd$sfx", s"g$sfx", k)}""".stripMargin
 
   private val q211Oracle: String =
     s"""WITH vv AS (
@@ -648,31 +650,48 @@ object VectorQueries {
 
   /** q305: SHORTLIST-BACKED margin mining — the production shape of
     * q260 ([[SimilaritySearch.marginMiningShortlist]]): the pair
-    * frame is the union of the two directed IVF k-NN lists
-    * ([[SimilaritySearch.ivfKnnLists]], label centroids, k=8,
-    * nProbe=4) between the even- and odd-id halves, so the compute
-    * surface is O(n·k) candidate pairs instead of q260's |L|×|R|
-    * cross-score. The oracle replays the centroid table, both
-    * directed shortlists (probe-4 assignment, per-query top-8), and
-    * the full q260 margin arithmetic restricted to that candidate
-    * set — every margin and both mutual-best windows value-exact.
-    * Recall vs the exact q260 pairs is the ANN trade the shortlist
-    * buys its O(n·k) with — measured in SimilaritySpec (≈0.78–0.81
-    * on the weakly-clustered synthetic embeddings at nProbe=4 of 10
-    * cells; the q147 sweep device is how a deployment picks the
-    * operating point). */
+    * frame is the MULTI-MODAL union of two independent ANN
+    * devices, each blind to the other's misses:
+    *   (a) the two directed IVF k-NN lists
+    *       ([[SimilaritySearch.ivfKnnLists]], √n-cell SAMPLE
+    *       quantizer, k=8, nProbe=4) — the cell count scales with
+    *       the data ([[SimilaritySearch.coarseCellCount]]; a label
+    *       column would be a fixed-cardinality key, the exact
+    *       q299/q239 blocking hazard: the r11 first cut's 10 label
+    *       cells made the fine scan n²/10 and 56 s at sf1);
+    *   (b) the cross-parity edges of the [[NnDescent]] k-NN graph
+    *       (k=12, 3 refinement rounds — O(n·k²) per round, linear
+    *       in n; the q211 machinery).
+    * Fine-scan cost is O(n^1.5 + n·k²) vs q260's |L|×|R|. The
+    * oracle replays the cell-count arithmetic, the sample-quantizer
+    * table, both probe-4 shortlists, the full NN-descent build
+    * (init permutation + 3 candidate closures), the candidate
+    * union, and the q260 margin arithmetic on that pair set —
+    * value-exact. Recall vs the exact q260 pairs, measured in
+    * SimilaritySpec at sf0.001: 0.987 for the union (IVF alone
+    * 0.584, NN-descent alone 0.909 — the r11 sweep in NOTES); the
+    * q147 sweep device is how a deployment re-picks operating
+    * points as the corpus grows. */
   def q305MarginMiningAnn(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val l = emb.filter(col("vec_id") % 2 === 0)
     val r = emb.filter(col("vec_id") % 2 === 1)
-    val cents = SimilaritySearch.labelCentroids(emb, "label",
-      "embedding")
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
+      "embedding", SimilaritySearch.coarseCellCount(emb.count()))
     val lr = SimilaritySearch.ivfKnnLists(l, "vec_id", r, "vec_id",
       "embedding", cents, k = 8, nProbe = 4)
     val rl = SimilaritySearch.ivfKnnLists(r, "vec_id", l, "vec_id",
       "embedding", cents, k = 8, nProbe = 4)
+    val g = graft.operators.NnDescent.knnGraph(emb, "vec_id",
+      "embedding", k = 12, iters = 3)
+    val und = g.select(col("u"), col("v"))
+      .union(g.select(col("v").as("u"), col("u").as("v")))
+    val nnCand = und
+      .filter(col("u") % 2 === 0 && col("v") % 2 === 1)
+      .select(col("u").as("lid"), col("v").as("rid"))
     val cand = lr.select(col("qid").as("lid"), col("cid").as("rid"))
       .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
+      .union(nnCand)
     SimilaritySearch.marginMiningShortlist(l, "vec_id", r, "vec_id",
         "embedding", cand, k = 4, marginThreshold = 1.0)
       .orderBy(col("lid"))
@@ -705,17 +724,16 @@ object VectorQueries {
     s"""WITH v AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
       |  FROM embeddings),
-      |cent AS (
-      |  SELECT label AS cell_id, pos,
-      |    CAST(SUM(CAST(ev AS DECIMAL(18,9))) AS DOUBLE)
-      |      / COUNT(*) AS m
-      |  FROM (SELECT label,
-      |          generate_subscripts(embedding, 1) - 1 AS pos,
-      |          CAST(unnest(embedding) AS DOUBLE) AS ev
-      |        FROM embeddings)
-      |  GROUP BY 1, 2),
-      |cvec AS (SELECT cell_id, list(m ORDER BY pos) AS centroid
-      |  FROM cent GROUP BY 1),
+      |ncc AS (
+      |  SELECT GREATEST(16, LEAST(65536,
+      |    CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS nc
+      |  FROM embeddings),
+      |cvec AS (
+      |  SELECT vec_id AS cell_id, e AS centroid FROM (
+      |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id)
+      |      AS crn
+      |    FROM v), ncc
+      |  WHERE crn <= nc),
       |asg AS (
       |  SELECT vec_id, e, cell_id, r FROM (
       |    SELECT c.vec_id, c.e, cv.cell_id, ROW_NUMBER() OVER (
@@ -728,8 +746,30 @@ object VectorQueries {
       |    FROM v c, cvec cv) WHERE r <= 4),
       |${ivfListCte("lrl", 0)},
       |${ivfListCte("rll", 1)},
+      |vv AS (SELECT vec_id AS id, e FROM v),
+      |nnn AS (SELECT COUNT(*) AS n FROM vv),
+      |idx AS (
+      |  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS i
+      |  FROM vv),
+      |ie AS (
+      |  SELECT x.id AS u, y.id AS v
+      |  FROM idx x
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) j
+      |  CROSS JOIN nnn
+      |  JOIN idx y ON y.i = (x.i + 1 +
+      |    ('0x' || substr(md5('nn:' || x.id || ':' || j.j), 1, 8))
+      |      ::UBIGINT::BIGINT % (n - 1)) % n
+      |  GROUP BY 1, 2),
+      |${nnScore("ie", "g0", 12)},
+      |${nnRound("g0", "1", 12)},
+      |${nnRound("g1", "2", 12)},
+      |${nnRound("g2", "3", 12)},
+      |gund AS (SELECT u, v FROM g3
+      |  UNION ALL SELECT v AS u, u AS v FROM g3),
       |cand AS (SELECT lid, rid FROM lrl
-      |  UNION SELECT lid, rid FROM rll),
+      |  UNION SELECT lid, rid FROM rll
+      |  UNION SELECT u AS lid, v AS rid FROM gund
+      |    WHERE u % 2 = 0 AND v % 2 = 1),
       |l AS (SELECT vec_id AS lid, e FROM v WHERE vec_id % 2 = 0),
       |r AS (SELECT vec_id AS rid, e FROM v WHERE vec_id % 2 = 1),
       |p AS (

@@ -54,6 +54,32 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(Graft.fuzzyMatches(docs, "text").columns.contains("dist"))
   }
 
+  test("r11 facade entries: fuzzyJoin / marginMining / " +
+      "marginMiningAnn are wired") {
+    import spark.implicits._
+    val a = Seq((1L, "wrench set"), (2L, "bolt"))
+      .toDF("id", "name")
+    val b = Seq((10L, "wrinch set"), (11L, "nut"))
+      .toDF("id", "name")
+    val fj = Graft.fuzzyJoin(a, "id", "name", b, "id", "name")
+    assert(fj.columns.toSeq === Seq("lid", "rid", "dist"))
+    assert(fj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet === Set((1L, 10L)))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val l = emb.filter(col("vec_id") < 50)
+    val r = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+    val mm = Graft.marginMining(l, "vec_id", r, "vec_id",
+      "embedding")
+    assert(mm.columns.toSeq === Seq("lid", "rid", "score", "margin"))
+    assert(mm.count() > 0)
+    val cents = operators.SimilaritySearch.labelCentroids(emb,
+      "label", "embedding")
+    val ma = Graft.marginMiningAnn(l, "vec_id", r, "vec_id",
+      "embedding", cents)
+    assert(ma.columns.toSeq === Seq("lid", "rid", "score", "margin"))
+    assert(ma.count() > 0)
+  }
+
   test("r8 facade entries: sketches, profiling, and seeded graph " +
       "propagation are wired") {
     import spark.implicits._
