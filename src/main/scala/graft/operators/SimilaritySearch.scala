@@ -551,24 +551,48 @@ object SimilaritySearch {
     * above is the exactness oracle. */
   def ivfTopK(queries: DataFrame, queryIdCol: String, corpus: DataFrame,
       corpusIdCol: String, vecCol: String, centroids: DataFrame,
-      k: Int, nProbe: Int = 2): DataFrame = {
+      k: Int, nProbe: Int = 2): DataFrame =
+    ivfFineScan(queries, queryIdCol, corpus, corpusIdCol, vecCol,
+      centroids, k, nProbe, broadcastQueries = true)
+
+  /** Nearest-`probes`-cells assignment under `centroids` (broadcast;
+    * ties break on cell_id) — shared by [[ivfTopK]] and
+    * [[ivfKnnLists]]. */
+  private def probeCells(df: DataFrame, idC: String, vecCol: String,
+      centroids: DataFrame, probes: Int): DataFrame = {
     val cellW = Window.partitionBy(col("_rid")).orderBy(
       desc("_cscore"), col("cell_id"))
-    def assign(df: DataFrame, idC: String, probes: Int): DataFrame =
-      df.withColumn("_rid", col(idC))
-        .crossJoin(broadcast(centroids))
-        .withColumn("_cscore", cosine(col(vecCol), col("centroid")))
-        .withColumn("_crnk", row_number().over(cellW))
-        .filter(col("_crnk") <= probes)
-        .drop("_cscore", "_crnk", "centroid", "_rid")
-    val corpusCells = assign(corpus, corpusIdCol, 1)
+    df.withColumn("_rid", col(idC))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_cscore", cosine(col(vecCol), col("centroid")))
+      .withColumn("_crnk", row_number().over(cellW))
+      .filter(col("_crnk") <= probes)
+      .drop("_cscore", "_crnk", "centroid", "_rid")
+  }
+
+  /** The IVF fine scan: probe-cell assignment on both sides, join
+    * on cell_id, per-query top-k. `broadcastQueries` picks the join
+    * strategy: broadcast for a handful of probes ([[ivfTopK]]),
+    * keyed shuffle when the query set is corpus-sized
+    * ([[ivfKnnLists]]). */
+  private def ivfFineScan(queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, nProbe: Int,
+      broadcastQueries: Boolean): DataFrame = {
+    val corpusCells = probeCells(corpus, corpusIdCol, vecCol,
+        centroids, 1)
       .select(col(corpusIdCol).as("cid"), col(vecCol).as("cvec"),
         col("cell_id"))
-    val queryCells = assign(queries, queryIdCol, nProbe)
+    val queryCells = probeCells(queries, queryIdCol, vecCol,
+        centroids, nProbe)
       .select(col(queryIdCol).as("qid"), col(vecCol).as("qvec"),
         col("cell_id"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("cid"))
-    corpusCells.join(broadcast(queryCells), Seq("cell_id"))
+    val joined =
+      if (broadcastQueries)
+        corpusCells.join(broadcast(queryCells), Seq("cell_id"))
+      else corpusCells.join(queryCells, Seq("cell_id"))
+    joined
       .withColumn("score", cosine(col("qvec"), col("cvec")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -606,30 +630,9 @@ object SimilaritySearch {
     * rnk 1..k per qid. */
   def ivfKnnLists(queries: DataFrame, queryIdCol: String,
       corpus: DataFrame, corpusIdCol: String, vecCol: String,
-      centroids: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val cellW = Window.partitionBy(col("_rid")).orderBy(
-      desc("_cscore"), col("cell_id"))
-    def assign(df: DataFrame, idC: String, probes: Int): DataFrame =
-      df.withColumn("_rid", col(idC))
-        .crossJoin(broadcast(centroids))
-        .withColumn("_cscore", cosine(col(vecCol), col("centroid")))
-        .withColumn("_crnk", row_number().over(cellW))
-        .filter(col("_crnk") <= probes)
-        .drop("_cscore", "_crnk", "centroid", "_rid")
-    val corpusCells = assign(corpus, corpusIdCol, 1)
-      .select(col(corpusIdCol).as("cid"), col(vecCol).as("cvec"),
-        col("cell_id"))
-    val queryCells = assign(queries, queryIdCol, nProbe)
-      .select(col(queryIdCol).as("qid"), col(vecCol).as("qvec"),
-        col("cell_id"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(desc("score"), col("cid"))
-    corpusCells.join(queryCells, Seq("cell_id"))
-      .withColumn("score", cosine(col("qvec"), col("cvec")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("cid"), col("score"), col("rnk"))
-  }
+      centroids: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+    ivfFineScan(queries, queryIdCol, corpus, corpusIdCol, vecCol,
+      centroids, k, nProbe, broadcastQueries = false)
 
   /** Lloyd's k-means coarse quantizer for IVF over corpora WITHOUT
     * labels (the label-centroid shortcut only works on labeled
