@@ -252,30 +252,17 @@ object ScaleBench {
         // feeding the margin arithmetic; the EXACT cross-score form
         // is deliberately absent here (it is the quadratic truth)
         "margin_shortlist" -> (() => {
-          val l = emb.filter(col("vec_id") % 2 === 0)
-          val r = emb.filter(col("vec_id") % 2 === 1)
-          val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
-            "embedding", SimilaritySearch.coarseCellCount(emb.count()))
-          val lr = SimilaritySearch.ivfKnnLists(l, "vec_id", r,
-            "vec_id", "embedding", cents, k = 8, nProbe = 4)
-          val rl = SimilaritySearch.ivfKnnLists(r, "vec_id", l,
-            "vec_id", "embedding", cents, k = 8, nProbe = 4)
-          val g = graft.operators.NnDescent.knnGraph(emb, "vec_id",
-            "embedding", k = 12, iters = 3)
-          val und = g.select(col("u"), col("v"))
-            .union(g.select(col("v").as("u"), col("u").as("v")))
-          val cand = lr.select(col("qid").as("lid"),
-              col("cid").as("rid"))
-            .union(rl.select(col("cid").as("lid"),
-              col("qid").as("rid")))
-            .union(und.filter(col("u") % 2 === 0 &&
-                col("v") % 2 === 1)
-              .select(col("u").as("lid"), col("v").as("rid")))
-          SimilaritySearch.marginMiningShortlist(l, "vec_id", r,
-            "vec_id", "embedding", cand, k = 4,
+          val cand = SimilaritySearch.parityMarginCandidates(emb,
+            "vec_id", "embedding")
+          SimilaritySearch.marginMiningShortlist(
+            emb.filter(col("vec_id") % 2 === 0), "vec_id",
+            emb.filter(col("vec_id") % 2 === 1), "vec_id",
+            "embedding", cand, k = 4,
             marginThreshold = 1.0).count()
         }),
         // r11: the q299 multi-pass record-linkage blocking at scale
+        // — the SAME linkagePairs construction the registered query
+        // runs, so the row measures the registered shape
         "record_linkage_em3" -> (() => {
           val base = spark.read.parquet(s"$sfDir/customer.parquet")
             .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -285,33 +272,10 @@ object ScaleBench {
               concat(col("c_name"), lit(s" v$r")).as("c_name"),
               (col("c_acctbal") + lit(r * 0.01)).as("c_acctbal")))
             .reduce(_ unionByName _)
-          val a = cust.select(col("c_custkey").as("ck_a"),
-            col("c_name").as("name_a"), col("c_acctbal").as("bal_a"))
-          val h = conv(substring(md5(concat(lit("rl:"),
-            col("c_custkey").cast("string"))), 1, 8), 16, 10)
-            .cast("long") % 4
-          val b = cust.select(col("c_custkey").as("ck_b"),
-            when(h === 0, concat(col("c_name"), lit("x")))
-              .otherwise(col("c_name")).as("name_b"),
-            when(h === 1, col("c_acctbal") + 100.0)
-              .when(h === 2, col("c_acctbal") + 0.011)
-              .otherwise(col("c_acctbal")).as("bal_b"))
-          val nB = cust.count()
-          def bkt(c: org.apache.spark.sql.Column) =
-            conv(substring(md5(concat(lit("blk:"), c)), 1, 8),
-              16, 10).cast("long") % nB
-          val pairs = a.join(b, col("name_a") === col("name_b"))
-            .unionByName(a.join(b, col("bal_a") === col("bal_b")))
-            .unionByName(a.withColumn("_bk", bkt(col("name_a")))
-              .join(b.withColumn("_bk", bkt(col("name_b"))), "_bk")
-              .drop("_bk"))
-            .dropDuplicates("ck_a", "ck_b")
-            .select((col("name_a") === col("name_b"))
-                .as("agree_name"),
-              (floor(col("bal_a") / 100.0) ===
-                floor(col("bal_b") / 100.0)).as("agree_bal"))
-          graft.operators.RecordLinkage.emFit(pairs,
-            Seq("agree_name", "agree_bal"), rounds = 3).count()
+          graft.operators.RecordLinkage.emFit(
+            graft.queries.GovernanceQueries.linkagePairs(cust),
+            Seq("agree_name", "agree_bal", "agree_cents"),
+            rounds = 3).count()
         }),
         // composed web-curation build (q242 class, r9): page-metadata
         // extraction → noindex drop → jusText block classification +

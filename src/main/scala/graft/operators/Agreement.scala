@@ -88,8 +88,12 @@ object Agreement {
       col("label").as("label_a"))
     val b = lab.select(col("item"), col("rater").as("rater_b"),
       col("label").as("label_b"))
+    // 3 aggregation consumers below (pairs, ma, mb) — materialize
+    // the R²-fan-out self-join once, not three times (the marginRank
+    // discipline)
     val joined = a.join(b, Seq("item"))
       .where(col("rater_a") < col("rater_b"))
+      .localCheckpoint()
     val pairs = joined
       .groupBy(col("rater_a"), col("rater_b"))
       .agg(count(lit(1)).as("n_items"),

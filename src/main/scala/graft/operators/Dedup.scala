@@ -445,27 +445,14 @@ object Dedup {
     val names = df.select(col(nameCol).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct()
     val shortCap = (maxDist + 1) * q // guarantee floor on max length
-    val grams = names
-      .select(col("name"), explode(array_distinct(
-        transform(sequence(lit(1), greatest(length(col("name")) -
-          (q - 1), lit(1))),
-          i => col("name").substr(i, lit(q))))).as("g"))
-    val keptGrams = grams
-      .withColumn("_df", count(lit(1)).over(
-        Window.partitionBy(col("g"))))
-      .filter(col("_df") <= maxDf)
-      .drop("_df")
+    val keptGrams = dfCapped(nameGrams(names, q), maxDf)
     val viaGrams = keptGrams.select(col("name").as("name_a"), col("g"))
       .join(keptGrams.select(col("name").as("name_b"), col("g")), "g")
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b"))
     val namesL = names.withColumn("_l", length(col("name")))
-    // residual = below the guarantee floor ∪ every-gram-dropped
-    // (disjoint union: the anti-join half keeps only floor-or-longer)
-    val noGram = namesL.join(
-      keptGrams.select(col("name")).distinct(), Seq("name"), "left_anti")
-    val residual = namesL.filter(col("_l") < shortCap)
-      .unionByName(noGram.filter(col("_l") >= shortCap))
+    val residual =
+      residualNames(namesL, keptGrams, Seq("name"), shortCap)
     val resExp = residual.select(col("name").as("name_r"),
       explode(sequence(col("_l") - maxDist, col("_l") + maxDist))
         .as("_l"))
@@ -479,6 +466,37 @@ object Dedup {
         <= maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** q-gram explosion of a `name` frame (passthrough columns ride
+    * along): one row per (input row, DISTINCT gram) — the shared
+    * candidate-index builder under [[fuzzyMatches]] / [[fuzzyJoin]]. */
+  private def nameGrams(names: DataFrame, q: Int): DataFrame =
+    names.withColumn("g", explode(array_distinct(
+      transform(sequence(lit(1), greatest(length(col("name")) -
+        (q - 1), lit(1))),
+        i => col("name").substr(i, lit(q))))))
+
+  /** Stop-gram cap: keep gram rows whose gram's global df ≤ maxDf. */
+  private def dfCapped(grams: DataFrame, maxDf: Int): DataFrame =
+    grams
+      .withColumn("_df", count(lit(1)).over(
+        Window.partitionBy(col("g"))))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+
+  /** The residual name set (rows of `namesL`, which carries `_l`):
+    * names below the (d+1)·q guarantee floor ∪ names whose EVERY
+    * gram was df-dropped — the recall patch both fuzzy devices
+    * route through the length-key equi-join. `keyCols` identifies a
+    * name row (name alone, or name+side for the bipartite form). */
+  private def residualNames(namesL: DataFrame, keptGrams: DataFrame,
+      keyCols: Seq[String], shortCap: Int): DataFrame = {
+    val noGram = namesL.join(
+      keptGrams.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+    namesL.filter(col("_l") < shortCap)
+      .unionByName(noGram.filter(col("_l") >= shortCap))
   }
 
   /** BIPARTITE [[fuzzyMatches]] — probe-vs-catalog fuzzy join: every
@@ -511,27 +529,15 @@ object Dedup {
       .withColumn("side", lit(1))
     val names = ln.unionByName(rn)
     val shortCap = (maxDist + 1) * q
-    val grams = names
-      .select(col("name"), col("side"), explode(array_distinct(
-        transform(sequence(lit(1), greatest(length(col("name")) -
-          (q - 1), lit(1))),
-          i => col("name").substr(i, lit(q))))).as("g"))
-    val keptGrams = grams
-      .withColumn("_df", count(lit(1)).over(
-        Window.partitionBy(col("g"))))
-      .filter(col("_df") <= maxDf)
-      .drop("_df")
+    val keptGrams = dfCapped(nameGrams(names, q), maxDf)
     val viaGrams = keptGrams.filter(col("side") === 0)
       .select(col("name").as("name_l"), col("g"))
       .join(keptGrams.filter(col("side") === 1)
         .select(col("name").as("name_r"), col("g")), "g")
       .select(col("name_l"), col("name_r"))
     val namesL = names.withColumn("_l", length(col("name")))
-    val noGram = namesL.join(
-      keptGrams.select(col("name"), col("side")).distinct(),
-      Seq("name", "side"), "left_anti")
-    val residual = namesL.filter(col("_l") < shortCap)
-      .unionByName(noGram.filter(col("_l") >= shortCap))
+    val residual = residualNames(namesL, keptGrams,
+      Seq("name", "side"), shortCap)
     val resExp = residual.select(col("name").as("name_x"),
       col("side"),
       explode(sequence(col("_l") - maxDist, col("_l") + maxDist))

@@ -125,9 +125,13 @@ object ModelArtifacts {
   /** Newest data-file mtime under a sibling table's warehouse
     * location — the age-lease input for the [[cached]] cleanup.
     * Leaf files, not the directory status (object stores return
-    * synthetic directory mtimes). An unreadable or empty location
-    * reports mtime 0 (= arbitrarily old: a location with no data
-    * files serves nobody, so dropping it is safe). */
+    * synthetic directory mtimes). FAIL-CLOSED (r11 review): a
+    * listing error or a location the warehouse-path guess cannot
+    * find reports Long.MaxValue (= never old enough to drop) — the
+    * lease exists to protect a concurrent session's live table, so
+    * uncertainty must KEEP the table, not doom it. Only a location
+    * that demonstrably exists and holds no data files reports 0
+    * (it serves nobody; dropping it is safe). */
   private def newestFileMtime(spark: SparkSession,
       t: String): Long = {
     try {
@@ -135,7 +139,7 @@ object ModelArtifacts {
       val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
       val fs = p.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) 0L
+      if (!fs.exists(p)) Long.MaxValue
       else {
         val it = fs.listFiles(p, true)
         var newest = 0L
@@ -146,7 +150,7 @@ object ModelArtifacts {
         }
         newest
       }
-    } catch { case _: Throwable => 0L }
+    } catch { case _: Throwable => Long.MaxValue }
   }
 
   /** Artifact tables served by THIS session (JVM) — never dropped

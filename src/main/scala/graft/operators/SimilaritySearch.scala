@@ -850,6 +850,40 @@ object SimilaritySearch {
     marginRank(pairs, k, marginThreshold)
   }
 
+  /** The q305 MULTI-MODAL candidate device in one place (used by
+    * the registered query, its recall spec, and ScaleBench — a
+    * tuning change here changes all three together): candidate
+    * (lid, rid) pairs between the EVEN- and ODD-id halves of `emb`,
+    * as the union of two independent ANN devices, each blind to the
+    * other's misses:
+    *   (a) the two directed IVF k-NN lists over a √n-cell
+    *       [[sampleCentroids]] quantizer (listK, nProbe);
+    *   (b) the cross-parity edges of the [[NnDescent]] k-NN graph
+    *       (graphK, graphIters).
+    * Measured at sf0.001 (r11 sweep): union recall 0.987 vs the
+    * exact mutual-best pairs, IVF alone 0.584, NN-descent alone
+    * 0.909. Requires a numeric id column (the parity split). */
+  def parityMarginCandidates(emb: DataFrame, idCol: String,
+      vecCol: String, listK: Int = 8, nProbe: Int = 4,
+      graphK: Int = 12, graphIters: Int = 3): DataFrame = {
+    val l = emb.filter(col(idCol) % 2 === 0)
+    val r = emb.filter(col(idCol) % 2 === 1)
+    val cents = sampleCentroids(emb, idCol, vecCol,
+      coarseCellCount(emb.count()))
+    val lr = ivfKnnLists(l, idCol, r, idCol, vecCol, cents,
+      listK, nProbe)
+    val rl = ivfKnnLists(r, idCol, l, idCol, vecCol, cents,
+      listK, nProbe)
+    val g = NnDescent.knnGraph(emb, idCol, vecCol, graphK,
+      graphIters)
+    val und = g.select(col("u"), col("v"))
+      .union(g.select(col("v").as("u"), col("u").as("v")))
+    lr.select(col("qid").as("lid"), col("cid").as("rid"))
+      .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
+      .union(und.filter(col("u") % 2 === 0 && col("v") % 2 === 1)
+        .select(col("u").as("lid"), col("v").as("rid")))
+  }
+
   /** The shared margin arithmetic over a scored (lid, rid, score)
     * pair frame — trunc9 sums, margins, mutual-best filter. */
   private def marginRank(scored: DataFrame, k: Int,

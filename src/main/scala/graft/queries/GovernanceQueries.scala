@@ -737,8 +737,12 @@ object GovernanceQueries {
     * the bucket modulus. The oracle replays the perturbation, all
     * three blocking passes, the distinct, and all three EM rounds
     * bit-identically. */
-  def q299RecordLinkage(s: SparkSession, d: String): DataFrame = {
-    val cust = customer(s, d)
+  /** The q299 candidate construction (perturbed copy + the three
+    * blocking passes + agreement projection) over any
+    * (c_custkey, c_name, c_acctbal) frame — ONE definition shared
+    * by the registered query and ScaleBench's scaling row, so the
+    * bench always measures the registered blocking shape. */
+  private[graft] def linkagePairs(cust: DataFrame): DataFrame = {
     val a = cust.select(col("c_custkey").as("ck_a"),
       col("c_name").as("name_a"), col("c_acctbal").as("bal_a"))
     val h = conv(substring(md5(concat(lit("rl:"),
@@ -759,7 +763,7 @@ object GovernanceQueries {
     val p3 = a.withColumn("_bk", bkt(col("name_a")))
       .join(b.withColumn("_bk", bkt(col("name_b"))), "_bk")
       .drop("_bk")
-    val pairs = p1.unionByName(p2).unionByName(p3)
+    p1.unionByName(p2).unionByName(p3)
       .dropDuplicates("ck_a", "ck_b")
       .select((col("name_a") === col("name_b")).as("agree_name"),
         (floor(col("bal_a") / 100.0) === floor(col("bal_b") / 100.0))
@@ -770,10 +774,14 @@ object GovernanceQueries {
             % 100L) ===
           ((floor(col("bal_b") * 100.0).cast("long") + 1000000L)
             % 100L)).as("agree_cents"))
-    graft.operators.RecordLinkage.emFit(pairs,
+  }
+
+  def q299RecordLinkage(s: SparkSession, d: String): DataFrame =
+    graft.operators.RecordLinkage.emFit(
+        linkagePairs(customer(s, d).select(col("c_custkey"),
+          col("c_name"), col("c_acctbal"))),
         Seq("agree_name", "agree_bal", "agree_cents"), rounds = 3)
       .orderBy(col("field"))
-  }
 
   private val q299Oracle: String = {
     // E-step weight expression under params row em{r-1}: products

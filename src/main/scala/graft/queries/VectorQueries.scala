@@ -674,25 +674,11 @@ object VectorQueries {
     * points as the corpus grows. */
   def q305MarginMiningAnn(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val l = emb.filter(col("vec_id") % 2 === 0)
-    val r = emb.filter(col("vec_id") % 2 === 1)
-    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
-      "embedding", SimilaritySearch.coarseCellCount(emb.count()))
-    val lr = SimilaritySearch.ivfKnnLists(l, "vec_id", r, "vec_id",
-      "embedding", cents, k = 8, nProbe = 4)
-    val rl = SimilaritySearch.ivfKnnLists(r, "vec_id", l, "vec_id",
-      "embedding", cents, k = 8, nProbe = 4)
-    val g = graft.operators.NnDescent.knnGraph(emb, "vec_id",
-      "embedding", k = 12, iters = 3)
-    val und = g.select(col("u"), col("v"))
-      .union(g.select(col("v").as("u"), col("u").as("v")))
-    val nnCand = und
-      .filter(col("u") % 2 === 0 && col("v") % 2 === 1)
-      .select(col("u").as("lid"), col("v").as("rid"))
-    val cand = lr.select(col("qid").as("lid"), col("cid").as("rid"))
-      .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
-      .union(nnCand)
-    SimilaritySearch.marginMiningShortlist(l, "vec_id", r, "vec_id",
+    val cand = SimilaritySearch.parityMarginCandidates(emb,
+      "vec_id", "embedding")
+    SimilaritySearch.marginMiningShortlist(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id",
+        emb.filter(col("vec_id") % 2 === 1), "vec_id",
         "embedding", cand, k = 4, marginThreshold = 1.0)
       .orderBy(col("lid"))
   }

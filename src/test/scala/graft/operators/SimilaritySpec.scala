@@ -363,20 +363,8 @@ class SimilaritySpec extends SparkTestBase {
         r, "vec_id", "embedding", k = 4, marginThreshold = 1.0)
       .collect().map(x => ((x.getLong(0), x.getLong(1)),
         (x.getDouble(2), x.getDouble(3)))).toMap
-    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
-      "embedding", SimilaritySearch.coarseCellCount(emb.count()))
-    val lr = SimilaritySearch.ivfKnnLists(l, "vec_id", r, "vec_id",
-      "embedding", cents, k = 8, nProbe = 4)
-    val rl = SimilaritySearch.ivfKnnLists(r, "vec_id", l, "vec_id",
-      "embedding", cents, k = 8, nProbe = 4)
-    val g = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 12,
-      iters = 3)
-    val und = g.select(col("u"), col("v"))
-      .union(g.select(col("v").as("u"), col("u").as("v")))
-    val cand = lr.select(col("qid").as("lid"), col("cid").as("rid"))
-      .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
-      .union(und.filter(col("u") % 2 === 0 && col("v") % 2 === 1)
-        .select(col("u").as("lid"), col("v").as("rid")))
+    val cand = SimilaritySearch.parityMarginCandidates(emb,
+      "vec_id", "embedding")
     val short = SimilaritySearch.marginMiningShortlist(l, "vec_id",
         r, "vec_id", "embedding", cand, k = 4,
         marginThreshold = 1.0)
