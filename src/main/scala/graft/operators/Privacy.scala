@@ -113,6 +113,118 @@ object Privacy {
       .drop(widths.indices.map(i => s"__gs_$i"): _*)
   }
 
+  /** Strong-diversity audit (Machanavajjhala et al. 2007, §3-4):
+    * distinct-l (q271's check) is the WEAK form — a group can hold l
+    * distinct sensitive values yet be 98% one value. This audit adds
+    * the paper's two strengthenings per QI group:
+    *
+    *  - ENTROPY l-diversity: −Σ p_s·ln p_s ≥ ln l, computed as
+    *    ln(n_g) − (Σ n_s·ln n_s)/n_g so every aggregation is over
+    *    exact terms (trunc9 ln per cell, DECIMAL(18,9) sum — the
+    *    [[graft.operators.LanguageModel]] portability discipline);
+    *  - RECURSIVE (c,l)-diversity: r₁ < c·(r_l + … + r_m) over the
+    *    DESCENDING-sorted cell counts r — pure integer arithmetic
+    *    (the tail sum is tie-order invariant: tied counts are equal,
+    *    so which tied cell lands on rank l doesn't change the sum).
+    *
+    * Scale shape: one aggregate to (QI, value) cells, one m-row-per-
+    * group window for the rank, one group aggregate — same contract
+    * as [[kAnonymityAudit]], never row×row. */
+  def diversityAudit(df: DataFrame, quasiCols: Seq[Column],
+      quasiNames: Seq[String], sensitiveCol: Column,
+      l: Int, c: Int): DataFrame = {
+    require(quasiCols.nonEmpty && quasiCols.length == quasiNames.length,
+      "one name per quasi-identifier column")
+    require(l >= 2 && c >= 1, "l >= 2 and c >= 1")
+    def ln9(x: Column): Column =
+      floor(log(x) * lit(1e9)).cast("double") / lit(1e9)
+    val cells = df.select(
+        quasiCols.zip(quasiNames).map { case (qc, n) => qc.as(n) } :+
+          sensitiveCol.as("__s"): _*)
+      .groupBy((quasiNames.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__ns"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiNames.map(col): _*)
+      .orderBy(col("__ns").desc, col("__s"))
+    val ranked = cells.withColumn("__rk", row_number().over(w))
+    val out = ranked.groupBy(quasiNames.map(col): _*)
+      .agg(
+        sum(col("__ns")).as("group_size"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__ns")).as("r1"),
+        sum(when(col("__rk") >= l, col("__ns")).otherwise(lit(0L)))
+          .as("tail_sum"),
+        // count factor as DECIMAL(12,0): DECIMAL(18,9) × BIGINT
+        // would need precision 18+20+1 > 38, and Spark's
+        // allowPrecisionLoss trims the SCALE to 8 — rounding the
+        // 9th decimal the oracle keeps. 18+12+1 = 31 stays exact.
+        sum((ln9(col("__ns")).cast(DecimalSum) *
+            col("__ns").cast(DecimalCnt)))
+          .as("__nslnns"))
+      .withColumn("entropy",
+        ln9(col("group_size")) -
+          col("__nslnns").cast("double") / col("group_size"))
+      .withColumn("entropy_l_diverse",
+        col("entropy") >= lit(math.floor(math.log(l) * 1e9) / 1e9))
+      .withColumn("recursive_cl_diverse",
+        col("r1") < lit(c) * col("tail_sum"))
+      .drop("__nslnns")
+    out.select((quasiNames.map(col) :+ col("group_size") :+
+      col("n_distinct") :+ col("entropy") :+
+      col("entropy_l_diverse") :+ col("r1") :+ col("tail_sum") :+
+      col("recursive_cl_diverse")): _*)
+  }
+
+  private val DecimalSum =
+    org.apache.spark.sql.types.DecimalType(18, 9)
+  private val DecimalCnt =
+    org.apache.spark.sql.types.DecimalType(12, 0)
+
+  /** Differentially-private count release (Dwork, McSherry, Nissim &
+    * Smith 2006 — the Laplace mechanism): per-group counts plus
+    * Laplace(Δ/ε) noise with sensitivity Δ=1 (one individual moves
+    * one count by one). Noise is DETERMINISTIC given `seed` — the
+    * uniform comes from md5 over (seed, group key), mapped through
+    * the inverse CDF
+    *   noise = −(1/ε)·sgn(u−½)·ln(1 − 2|u−½|),
+    * so an auditor (and the oracle) can replay the release bit-
+    * exactly; a production release would swap the seed for entropy
+    * while keeping the mechanism identical. u = (v+½)/2²⁴ with v a
+    * 24-bit md5 slice can never hit ½ exactly nor drive the ln
+    * argument to 0. The ln is trunc9'd (engine-portable); the rest
+    * is one multiply chain per group. One aggregate pass; the noise
+    * projection is map-only over the group table. */
+  def laplaceRelease(df: DataFrame, groupCols: Seq[Column],
+      groupNames: Seq[String], epsilon: Double,
+      seed: String): DataFrame = {
+    require(groupCols.nonEmpty && groupCols.length == groupNames.length,
+      "one name per group column")
+    require(epsilon > 0, "epsilon must be positive")
+    def ln9(x: Column): Column =
+      floor(log(x) * lit(1e9)).cast("double") / lit(1e9)
+    val counts = df.groupBy(
+        groupCols.zip(groupNames).map { case (gc, n) => gc.as(n) }: _*)
+      .agg(count(lit(1)).as("true_count"))
+    val key = concat_ws("",
+      (lit(seed) +: groupNames.map(n => col(n).cast("string"))): _*)
+    val v = conv(substring(md5(key), 1, 6), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(16777216.0)
+    val shifted = u - lit(0.5)
+    val sgn = when(shifted >= 0, lit(1.0)).otherwise(lit(-1.0))
+    val noise = -(lit(1.0) / lit(epsilon)) * sgn *
+      ln9(lit(1.0) - lit(2.0) * abs(shifted))
+    counts
+      .withColumn("noise", noise)
+      .withColumn("noisy_count",
+        col("true_count").cast("double") + col("noise"))
+      .withColumn("released_count",
+        // floor(x+½), not round(): both engines floor identically,
+        // where round() half-case conventions could differ
+        greatest(floor(col("noisy_count") + lit(0.5)).cast("long"),
+          lit(0L)))
+      .withColumn("epsilon", lit(epsilon))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) over an
     * ORDERED sensitive attribute: k/l alone don't stop attribute
     * disclosure when a group's sensitive DISTRIBUTION skews from the

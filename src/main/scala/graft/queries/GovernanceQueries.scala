@@ -884,6 +884,131 @@ object GovernanceQueries {
       |ORDER BY field""".stripMargin
   }
 
+  /** The q307 boundary fixture (planted alongside the organic
+    * customer rows; the oracle replays the same VALUES): group 901 =
+    * UNIFORM over exactly l=3 segments (entropy sits on the ln(3)
+    * boundary — the compare must land identically in both engines),
+    * group 902 = near-homogeneous with only 2 distinct values
+    * (tail_sum 0, the recursive flag's degenerate branch), group
+    * 903 = counts 3,3,3,1 with a THREE-WAY TIE straddling rank l
+    * (the tail sum must be tie-order invariant). */
+  private val DiversityFixture: Seq[(Int, Double, String)] =
+    Seq.fill(4)((901, 100.0, "AUTOMOBILE")) ++
+      Seq.fill(4)((901, 100.0, "BUILDING")) ++
+      Seq.fill(4)((901, 100.0, "MACHINERY")) ++
+      Seq.fill(5)((902, 100.0, "AUTOMOBILE")) ++
+      Seq((902, 100.0, "FURNITURE")) ++
+      Seq.fill(3)((903, 100.0, "AUTOMOBILE")) ++
+      Seq.fill(3)((903, 100.0, "BUILDING")) ++
+      Seq.fill(3)((903, 100.0, "MACHINERY")) ++
+      Seq((903, 100.0, "HOUSEHOLD"))
+
+  /** q307: strong-diversity disclosure audit
+    * ([[Privacy.diversityAudit]]) — the l-diversity ladder's missing
+    * rungs over q271's release frame: per (nation × 2000-width
+    * balance bin) group, ENTROPY l-diversity (≥ ln 3) and RECURSIVE
+    * (c,l)-diversity (r₁ < 2·tail₃) alongside the distinct count.
+    * Boundary fixture groups planted (see [[DiversityFixture]]). */
+  def q307DiversityAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = customer(s, d).select(col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"))
+    val planted = DiversityFixture
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+    Privacy.diversityAudit(base.unionByName(planted),
+        quasiCols = Seq(col("c_nationkey"),
+          Privacy.bin(col("c_acctbal"), 2000.0)),
+        quasiNames = Seq("c_nationkey", "bal_bucket"),
+        sensitiveCol = col("c_mktsegment"), l = 3, c = 2)
+      .orderBy(col("c_nationkey"), col("bal_bucket"))
+  }
+
+  private val q307Oracle: String = {
+    val vals = DiversityFixture
+      .map { case (n, b, m) => s"($n, $b, '$m')" }.mkString(", ")
+    s"""WITH base AS (
+      |  SELECT c_nationkey, c_acctbal, c_mktsegment FROM customer
+      |  UNION ALL
+      |  SELECT * FROM (VALUES $vals)
+      |    t(c_nationkey, c_acctbal, c_mktsegment)),
+      |cls AS (
+      |  SELECT c_nationkey,
+      |    CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket,
+      |    c_mktsegment AS s
+      |  FROM base),
+      |cells AS (
+      |  SELECT c_nationkey, bal_bucket, s, COUNT(*) AS ns
+      |  FROM cls GROUP BY 1, 2, 3),
+      |rk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY c_nationkey, bal_bucket
+      |    ORDER BY ns DESC, s) AS rk
+      |  FROM cells),
+      |g AS (
+      |  SELECT c_nationkey, bal_bucket,
+      |    SUM(ns) AS group_size, COUNT(*) AS n_distinct,
+      |    MAX(ns) AS r1,
+      |    SUM(CASE WHEN rk >= 3 THEN ns ELSE 0 END) AS tail_sum,
+      |    CAST(SUM(CAST(floor(ln(ns) * 1e9) / 1e9 AS DECIMAL(18,9))
+      |      * CAST(ns AS DECIMAL(12,0))) AS DOUBLE) AS nslnns
+      |  FROM rk GROUP BY 1, 2)
+      |SELECT c_nationkey, CAST(group_size AS BIGINT) AS group_size,
+      |  bal_bucket, CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  floor(ln(group_size) * 1e9) / 1e9 - nslnns / group_size
+      |    AS entropy,
+      |  floor(ln(group_size) * 1e9) / 1e9 - nslnns / group_size
+      |    >= floor(ln(3) * 1e9) / 1e9 AS entropy_l_diverse,
+      |  CAST(r1 AS BIGINT) AS r1,
+      |  CAST(tail_sum AS BIGINT) AS tail_sum,
+      |  r1 < 2 * tail_sum AS recursive_cl_diverse
+      |FROM g ORDER BY c_nationkey, bal_bucket""".stripMargin
+  }
+
+  /** q308: differentially-private count release
+    * ([[Privacy.laplaceRelease]], Dwork et al. 2006) — per-nation
+    * customer counts under the ε=1 Laplace mechanism with the
+    * deterministic md5 noise stream (seed "dp1:", chosen so the
+    * planted singleton group 901 draws noise ≈ −2.44 and exercises
+    * the ≥0 release clamp; organic nations land on both signs of
+    * u−½). The oracle replays the inverse-CDF draw bit-exactly. */
+  def q308DpRelease(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = customer(s, d).select(col("c_nationkey"))
+    val planted = Seq(901).toDF("c_nationkey")
+    Privacy.laplaceRelease(base.unionByName(planted),
+        groupCols = Seq(col("c_nationkey")),
+        groupNames = Seq("c_nationkey"),
+        epsilon = 1.0, seed = "dp1:")
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q308Oracle: String =
+    """WITH base AS (
+      |  SELECT c_nationkey FROM customer
+      |  UNION ALL SELECT 901),
+      |counts AS (
+      |  SELECT c_nationkey, COUNT(*) AS true_count
+      |  FROM base GROUP BY 1),
+      |n AS (
+      |  SELECT c_nationkey, true_count,
+      |    (CAST(('0x' || substr(md5('dp1:' ||
+      |        CAST(c_nationkey AS VARCHAR)), 1, 6))::UBIGINT
+      |      AS DOUBLE) + 0.5e0) / 16777216.0e0 AS u
+      |  FROM counts),
+      |r AS (
+      |  SELECT c_nationkey, true_count,
+      |    -(1.0e0 / 1.0e0) *
+      |      (CASE WHEN u - 0.5e0 >= 0 THEN 1.0e0 ELSE -1.0e0 END) *
+      |      (floor(ln(1.0e0 - 2.0e0 * abs(u - 0.5e0)) * 1e9) / 1e9)
+      |      AS noise
+      |  FROM n)
+      |SELECT c_nationkey, true_count, noise,
+      |  CAST(true_count AS DOUBLE) + noise AS noisy_count,
+      |  GREATEST(CAST(FLOOR(CAST(true_count AS DOUBLE) + noise
+      |    + 0.5e0) AS BIGINT), 0) AS released_count,
+      |  1.0e0 AS epsilon
+      |FROM r ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q299_record_linkage" -> (q299RecordLinkage _),
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
@@ -899,6 +1024,8 @@ object GovernanceQueries {
     "q290_t_closeness" -> (q290TCloseness _),
     "q301_lsh_recommend" -> (q301LshRecommend _),
     "q304_shard_balance" -> (q304ShardBalance _),
+    "q307_diversity_audit" -> (q307DiversityAudit _),
+    "q308_dp_release" -> (q308DpRelease _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -916,5 +1043,7 @@ object GovernanceQueries {
     "q290_t_closeness" -> q290Oracle,
     "q301_lsh_recommend" -> q301Oracle,
     "q304_shard_balance" -> q304Oracle,
+    "q307_diversity_audit" -> q307Oracle,
+    "q308_dp_release" -> q308Oracle,
   )
 }

@@ -138,4 +138,78 @@ class PrivacySpec extends SparkTestBase {
         t = 0.1).orderBy("g").collect().map(_.toSeq).toSeq
     assert(run(rows) === run(rows.repartition(17)))
   }
+
+  test("diversityAudit: entropy and recursive (c,l) on hand-built " +
+      "groups, incl. the uniform-l boundary and a rank-l tie") {
+    // U: uniform over exactly 3 values (4+4+4) — entropy ≈ ln 3, the
+    //    boundary class; recursive r1=4 < 2·(tail=4).
+    // H: 5+1 — low entropy, only 2 distinct: tail (rank≥3) = 0 so
+    //    the recursive check degenerates to r1 < 0 = false.
+    // T: 3+3+3+1 — a three-way tie straddles rank 3; tail must be
+    //    the tie-order-invariant 3+1 = 4.
+    val rows = (
+      Seq.fill(4)(("U", "a")) ++ Seq.fill(4)(("U", "b")) ++
+        Seq.fill(4)(("U", "c")) ++
+        Seq.fill(5)(("H", "a")) ++ Seq(("H", "d")) ++
+        Seq.fill(3)(("T", "a")) ++ Seq.fill(3)(("T", "b")) ++
+        Seq.fill(3)(("T", "c")) ++ Seq(("T", "d"))
+      ).toDF("g", "s")
+    val out = Privacy.diversityAudit(rows, Seq(col("g")), Seq("g"),
+        col("s"), l = 3, c = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = out("U")
+    assert(u.getLong(1) === 12L && u.getLong(2) === 3L)
+    assert(math.abs(u.getDouble(3) - math.log(3)) < 1e-8)
+    assert(u.getLong(5) === 4L && u.getLong(6) === 4L)
+    assert(u.getBoolean(7)) // 4 < 2·4
+    val h = out("H")
+    assert(h.getLong(2) === 2L && h.getLong(6) === 0L)
+    assert(!h.getBoolean(4) && !h.getBoolean(7))
+    // H entropy: ln 6 − (5·ln 5)/6 ≈ 0.45056
+    assert(math.abs(h.getDouble(3) -
+      (math.log(6) - 5 * math.log(5) / 6)) < 1e-8)
+    val t = out("T")
+    assert(t.getLong(5) === 3L && t.getLong(6) === 4L)
+    assert(t.getBoolean(7)) // 3 < 2·4
+  }
+
+  test("diversityAudit is partition-invariant") {
+    val rows = (0L until 200L)
+      .map(i => (s"g${i % 5}", s"s${(i * 13) % 7}")).toDF("g", "s")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Privacy.diversityAudit(df, Seq(col("g")), Seq("g"), col("s"),
+        l = 3, c = 2).orderBy("g").collect().map(_.toSeq).toSeq
+    assert(run(rows) === run(rows.repartition(23)))
+  }
+
+  test("laplaceRelease: deterministic replayable noise, both signs, " +
+      "epsilon scaling, and the >= 0 release clamp") {
+    val rows = (0L until 300L).map(i => ("g" + (i % 6)))
+      .toDF("g")
+    val r1 = Privacy.laplaceRelease(rows, Seq(col("g")), Seq("g"),
+      epsilon = 1.0, seed = "t:")
+    val r2 = Privacy.laplaceRelease(rows, Seq(col("g")), Seq("g"),
+      epsilon = 1.0, seed = "t:")
+    assert(r1.collect().toSeq === r2.collect().toSeq) // same seed ⇒ same release
+    val byG = r1.collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(byG.values.exists(_ > 0) && byG.values.exists(_ < 0))
+    // ε scaling: Laplace(1/ε) — halving ε exactly doubles each draw
+    val half = Privacy.laplaceRelease(rows, Seq(col("g")), Seq("g"),
+        epsilon = 0.5, seed = "t:")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    byG.foreach { case (g, n) =>
+      assert(math.abs(half(g) - 2 * n) < 1e-12)
+    }
+    // clamp: the (seed "t:", group "lone", ε=0.2) draw is the fixed
+    // value −5.78120477, so count 1 + noise floors below 0 and the
+    // release clamps
+    val single = Seq("lone").toDF("g")
+    val out = Privacy.laplaceRelease(single, Seq(col("g")),
+        Seq("g"), epsilon = 0.2, seed = "t:").collect().head
+    assert(math.abs(out.getDouble(2) - (-5.78120477)) < 1e-9)
+    assert(out.getLong(4) === 0L)
+    // true counts are preserved alongside the noise
+    assert(r1.collect().map(r => r.getLong(1)).sum === 300L)
+  }
 }
