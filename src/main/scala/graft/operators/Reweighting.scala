@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-mixture domain reweighting via multiplicative weights
+  * over excess loss — the deterministic core of DoReMi (Xie et al.
+  * 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+  * Pretraining"): domains whose loss exceeds the current
+  * weighted-average baseline are UP-weighted exponentially,
+  *
+  *   w'_d ∝ w_d · exp(η · max(loss_d − Σ_e w_e·loss_e, 0)),
+  *
+  * iterated T rounds from the uniform mixture. DoReMi runs this
+  * with proxy-model excess losses; the operator takes ANY per-domain
+  * loss table (the q310 query feeds corpus-LM surprisal), keeping
+  * the update rule itself exact and replayable.
+  *
+  * Exactness (the [[RecordLinkage]] 9-decimal contract): input
+  * losses, the uniform start, each weighted-baseline term, and each
+  * exp factor are truncated to 9 decimals; the two per-round sums
+  * (baseline, normalizer) run over DECIMAL(38,9) so partial-
+  * aggregation order cannot move an ulp — T rounds unroll into a
+  * bit-identical SQL oracle.
+  *
+  * Scale shape: the loss table is domain-sized (tens of rows —
+  * checkpointed once so rounds never re-derive it); every round is
+  * one aggregate of that table plus a broadcast 1-row scalar. The
+  * corpus appears only in whatever pass BUILT the loss table. */
+object Reweighting {
+
+  private def t9(x: org.apache.spark.sql.Column) =
+    floor(x * lit(1e9)).cast("double") / lit(1e9)
+
+  private def xsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(38, 9))).cast("double")
+
+  /** Multiplicative-weights reweighting over a (domain, loss) table.
+    * Returns the per-round trace: (round, domain, loss, excess,
+    * weight) for rounds 1..T, `weight` the post-update normalized
+    * mixture weight. */
+  def domainReweight(losses: DataFrame, domainCol: String,
+      lossCol: String, eta: Double, rounds: Int): DataFrame = {
+    require(eta > 0, "eta must be positive")
+    require(rounds >= 1, "need at least one round")
+    val base = losses.select(col(domainCol).as("domain"),
+      t9(col(lossCol)).as("loss")).localCheckpoint()
+    val nD = base.agg(count(lit(1)).as("__d"))
+    var cur = base.crossJoin(broadcast(nD))
+      .withColumn("weight", t9(lit(1.0) / col("__d").cast("double")))
+      .select(col("domain"), col("loss"), col("weight"))
+    val traces = (1 to rounds).map { t =>
+      val bl = cur.agg(xsum(t9(col("weight") * col("loss")))
+        .as("__bl"))
+      val upd = cur.crossJoin(broadcast(bl))
+        .withColumn("excess",
+          greatest(col("loss") - col("__bl"), lit(0.0)))
+        .withColumn("__wu",
+          col("weight") * t9(exp(lit(eta) * col("excess"))))
+      val z = upd.agg(xsum(t9(col("__wu"))).as("__z"))
+      cur = upd.crossJoin(broadcast(z))
+        .withColumn("weight", col("__wu") / col("__z"))
+        .select(col("domain"), col("loss"), col("excess"),
+          col("weight"))
+        .localCheckpoint()
+      cur.withColumn("round", lit(t))
+    }
+    traces.reduce(_ unionByName _)
+      .select(col("round"), col("domain"), col("loss"),
+        col("excess"), col("weight"))
+  }
+}

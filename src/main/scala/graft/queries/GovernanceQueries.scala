@@ -1009,6 +1009,275 @@ object GovernanceQueries {
       |  1.0e0 AS epsilon
       |FROM r ORDER BY c_nationkey""".stripMargin
 
+  /** q309: disparate-impact audit of a curation gate
+    * ([[graft.operators.Fairness.disparateImpact]], EEOC four-fifths
+    * rule / Feldman et al. 2015) — the quality gate here is a
+    * Latin-centric acceptance rule (20–20000 whitespace tokens AND
+    * Latin-script ratio ≥ 0.5) audited per language group against
+    * the best-off group. On the synthetic corpus (space-delimited
+    * Latin-heavy text in every lang) the organic groups all clear
+    * the four-fifths bar with distinct rates; the planted lang 'zz'
+    * (three empty-text docs) exercises the failing branch: rate 0,
+    * impact ratio 0, flag false — and the empty-text division guard
+    * (Spark NaN vs DuckDB NULL ratios both collapse through the
+    * already-false token-count conjunct, never reaching output).
+    * One aggregate + a broadcast 1-row reference — nothing beyond
+    * the single corpus pass. */
+  def q309DisparateImpact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val base = documents(s, d).select(col("lang"), col("text"))
+    val planted = Seq(("zz", ""), ("zz", ""), ("zz", ""))
+      .toDF("lang", "text")
+    val accepted =
+      TextFunctions.wsTokenCount(col("text")).between(20, 20000) &&
+        TextFunctions.latinScriptRatio(col("text")) >= 0.5
+    graft.operators.Fairness.disparateImpact(
+        base.unionByName(planted), col("lang"), "lang", accepted)
+      .orderBy(col("lang"))
+  }
+
+  private val q309Oracle: String =
+    raw"""WITH base AS (
+      |  SELECT lang, text FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES ('zz', ''), ('zz', ''), ('zz', ''))
+      |    t(lang, text)),
+      |sc AS (
+      |  SELECT lang,
+      |    len(list_filter(regexp_split_to_array(text,
+      |      '[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+'),
+      |      x -> len(x) > 0)) AS n_tok,
+      |    CAST(len(regexp_replace(text, '[^\p{Latin}\p{M}]', '', 'g'))
+      |      AS DOUBLE) / len(text) AS lr
+      |  FROM base),
+      |acc AS (
+      |  SELECT lang,
+      |    CASE WHEN n_tok BETWEEN 20 AND 20000 AND lr >= 0.5e0
+      |      THEN 1 ELSE 0 END AS a
+      |  FROM sc),
+      |g AS (
+      |  SELECT lang, COUNT(*) AS n_total, SUM(a) AS n_accepted,
+      |    CAST(SUM(a) AS DOUBLE) / COUNT(*) AS accept_rate
+      |  FROM acc GROUP BY 1),
+      |ref AS (
+      |  SELECT lang AS ref_group, n_total AS rn, n_accepted AS ra
+      |  FROM g ORDER BY accept_rate DESC, lang LIMIT 1)
+      |SELECT g.lang, CAST(g.n_total AS BIGINT) AS n_total,
+      |  CAST(g.n_accepted AS BIGINT) AS n_accepted, g.accept_rate,
+      |  ref.ref_group,
+      |  g.accept_rate / (CAST(ref.ra AS DOUBLE) / ref.rn)
+      |    AS impact_ratio,
+      |  g.n_accepted * ref.rn * 10 >= ref.ra * g.n_total * 8
+      |    AS four_fifths_ok,
+      |  g.accept_rate - CAST(ref.ra AS DOUBLE) / ref.rn
+      |    AS parity_diff
+      |FROM g CROSS JOIN ref ORDER BY g.lang""".stripMargin
+
+  /** q311: isotonic calibration of a curation signal
+    * ([[graft.operators.Calibration.isotonicFit]]) — calibrates the
+    * Latin-script ratio against the ground-truth "is English" label
+    * over 20 score bins via the closed-form max–min identity, so
+    * the raw bin rates (non-monotone under sampling noise) become
+    * the least-squares monotone fit. Pure joins/aggregates: one
+    * corpus pass for the binning, then constant-size (≤ bins³) bin
+    * algebra the oracle replays exactly (integer prefix sums, one
+    * double division per pair, min/max). */
+  def q311IsotonicCalibration(s: SparkSession, d: String): DataFrame =
+    graft.operators.Calibration.isotonicFit(
+        documents(s, d).filter(length(col("text")) > 0),
+        graft.functions.TextFunctions.latinScriptRatio(col("text")),
+        col("lang") === "en", bins = 20)
+      .orderBy(col("bin"))
+
+  private val q311Oracle: String =
+    raw"""WITH base AS (
+      |  SELECT CAST(len(regexp_replace(text, '[^\p{Latin}\p{M}]',
+      |      '', 'g')) AS DOUBLE) / len(text) AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE len(text) > 0),
+      |b AS (
+      |  SELECT CAST(LEAST(FLOOR(s * 20), 19) AS BIGINT) AS bin,
+      |    COUNT(*) AS n, SUM(y) AS pos
+      |  FROM base GROUP BY 1),
+      |c AS (
+      |  SELECT bin, n, pos,
+      |    SUM(n) OVER (ORDER BY bin) AS ncum,
+      |    SUM(pos) OVER (ORDER BY bin) AS pcum
+      |  FROM b),
+      |pairs AS (
+      |  SELECT j.bin AS jb, k.bin AS kb,
+      |    CAST(k.pcum - (j.pcum - j.pos) AS DOUBLE) /
+      |      (k.ncum - (j.ncum - j.n)) AS m
+      |  FROM c j JOIN c k ON j.bin <= k.bin),
+      |mn AS (
+      |  SELECT i.bin AS ib, p.jb, MIN(p.m) AS mmin
+      |  FROM c i JOIN pairs p
+      |    ON p.jb <= i.bin AND p.kb >= i.bin
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT ib AS bin, MAX(mmin) AS iso_rate
+      |  FROM mn GROUP BY 1)
+      |SELECT b.bin, CAST(b.n AS BIGINT) AS n,
+      |  CAST(b.pos AS BIGINT) AS pos,
+      |  CAST(b.pos AS DOUBLE) / b.n AS raw_rate, iso.iso_rate
+      |FROM b JOIN iso USING (bin) ORDER BY bin""".stripMargin
+
+  /** q312: split-conformal quality thresholds
+    * ([[graft.operators.Calibration.conformalThresholds]]) — over
+    * English documents, nonconformity = 1 − Latin-script ratio; a
+    * 20% md5 calibration split yields the ⌈(1−α)(n+1)⌉-th order
+    * statistic per α ∈ {0.10, 0.25} and the held-out 80% reports
+    * empirical coverage against the finite-sample ≥ 1−α guarantee.
+    * The only data-sized work is the calibration-slice sort behind
+    * the order statistic (inherent to exact split conformal); the
+    * thresholds broadcast back to the held-out slice. */
+  def q312ConformalThresholds(s: SparkSession, d: String): DataFrame = {
+    val en = documents(s, d)
+      .filter(col("lang") === "en" && length(col("text")) > 0)
+      .select(col("doc_id"),
+        (lit(1.0) - graft.functions.TextFunctions
+          .latinScriptRatio(col("text"))).as("nc"),
+        (graft.operators.Split.splitBucket(col("doc_id")) < 2000)
+          .as("is_cal"))
+    graft.operators.Calibration.conformalThresholds(
+        en.filter(col("is_cal")), en.filter(!col("is_cal")),
+        col("nc"), col("doc_id"), alphas = Seq(0.1, 0.25))
+      .orderBy(col("alpha"))
+  }
+
+  private val q312Oracle: String =
+    raw"""WITH en AS (
+      |  SELECT doc_id,
+      |    1.0e0 - CAST(len(regexp_replace(text, '[^\p{Latin}\p{M}]',
+      |      '', 'g')) AS DOUBLE) / len(text) AS nc,
+      |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+      |      1, 8))::UBIGINT % 10000 < 2000 AS is_cal
+      |  FROM documents WHERE lang = 'en' AND len(text) > 0),
+      |cal AS (SELECT nc, doc_id FROM en WHERE is_cal),
+      |n AS (SELECT COUNT(*) AS n_cal FROM cal),
+      |r AS (SELECT nc,
+      |    row_number() OVER (ORDER BY nc, doc_id) AS rn
+      |  FROM cal),
+      |t AS (SELECT nc FROM en WHERE NOT is_cal),
+      |per AS (
+      |  SELECT a.alpha, n.n_cal,
+      |    CAST(CEIL((1.0e0 - a.alpha) * (n.n_cal + 1)) AS BIGINT)
+      |      AS k_index
+      |  FROM (VALUES (0.1e0), (0.25e0)) a(alpha) CROSS JOIN n),
+      |thr AS (
+      |  SELECT per.alpha, per.n_cal, per.k_index, r.nc AS threshold
+      |  FROM per JOIN r ON r.rn = per.k_index),
+      |cov AS (
+      |  SELECT thr.alpha, thr.n_cal, thr.k_index, thr.threshold,
+      |    COUNT(*) AS n_test,
+      |    SUM(CASE WHEN t.nc <= thr.threshold THEN 1 ELSE 0 END)
+      |      AS n_covered
+      |  FROM thr CROSS JOIN t GROUP BY 1, 2, 3, 4)
+      |SELECT alpha, n_cal, k_index, threshold,
+      |  CAST(n_test AS BIGINT) AS n_test,
+      |  CAST(n_covered AS BIGINT) AS n_covered,
+      |  CAST(n_covered AS DOUBLE) / n_test AS coverage,
+      |  1.0e0 - alpha AS guarantee
+      |FROM cov ORDER BY alpha""".stripMargin
+
+  /** q310: DoReMi-style training-mixture reweighting
+    * ([[graft.operators.Reweighting.domainReweight]], Xie et al.
+    * 2023) — per-source losses are mean corpus-LM unigram surprisal
+    * (one token pass: the occurrence stream collapses immediately to
+    * (source, word) counts; the count tables are vocabulary-sized
+    * join keys, never the raw stream), then 3 multiplicative-weights
+    * rounds at η = 0.5 from the uniform mixture. Rare-vocabulary
+    * sources carry excess loss and gain weight; the oracle unrolls
+    * the rounds into bit-identical CTEs (trunc9 logs/exps, decimal
+    * sums — the q299 EM discipline). */
+  def q310DomainReweight(s: SparkSession, d: String): DataFrame = {
+    def t9(x: org.apache.spark.sql.Column) =
+      floor(x * lit(1e9)).cast("double") / lit(1e9)
+    val occ = documents(s, d).select(col("source"),
+        explode(graft.functions.TextFunctions.wsTokens(col("text")))
+          .as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_sw"))
+    val uni = occ.groupBy(col("w").as("uw"))
+      .agg(sum(col("n_sw")).as("cw"))
+    val tot = uni.agg(sum(col("cw")).as("nn"))
+    val sc = occ.join(uni, col("w") === col("uw"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_sw"),
+        (-(floor(log(col("cw").cast("double") / col("nn")) *
+          lit(1e9)).cast("double") / lit(1e9))).as("s9"))
+    val loss = sc.groupBy(col("source"))
+      .agg((sum(col("s9").cast(DecimalType18_9) *
+          col("n_sw").cast(DecimalType12_0)).cast("double") /
+        sum(col("n_sw"))).as("loss"))
+    graft.operators.Reweighting.domainReweight(loss, "source",
+        "loss", eta = 0.5, rounds = 3)
+      .orderBy(col("round"), col("domain"))
+  }
+
+  private val DecimalType18_9 =
+    org.apache.spark.sql.types.DecimalType(18, 9)
+  private val DecimalType12_0 =
+    org.apache.spark.sql.types.DecimalType(12, 0)
+
+  private val q310Oracle: String = {
+    val ws = raw"[ \t\n\x{0B}\f\r\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}" +
+      raw"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+    val roundCtes = (1 to 3).map { t =>
+      val prev = if (t == 1) "w0" else s"w${t - 1}"
+      s"""bl$t AS (
+        |  SELECT CAST(SUM(CAST(floor(w * loss * 1e9) / 1e9
+        |    AS DECIMAL(38,9))) AS DOUBLE) AS bl FROM $prev),
+        |u$t AS (
+        |  SELECT source, loss,
+        |    GREATEST(loss - bl, 0.0e0) AS excess,
+        |    w * (floor(exp(0.5e0 * GREATEST(loss - bl, 0.0e0))
+        |      * 1e9) / 1e9) AS wu
+        |  FROM $prev CROSS JOIN bl$t),
+        |z$t AS (
+        |  SELECT CAST(SUM(CAST(floor(wu * 1e9) / 1e9
+        |    AS DECIMAL(38,9))) AS DOUBLE) AS z FROM u$t),
+        |w$t AS (
+        |  SELECT source, loss, excess, wu / z AS w
+        |  FROM u$t CROSS JOIN z$t)""".stripMargin
+    }.mkString(",\n")
+    val trace = (1 to 3).map { t =>
+      s"""SELECT $t AS round, source AS domain, loss, excess,
+        |  w AS weight
+        |FROM w$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    raw"""WITH toks AS (
+      |  SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(text, '$ws'),
+      |    x -> len(x) > 0)) AS w
+      |  FROM documents),
+      |occ AS (
+      |  SELECT source, w, COUNT(*) AS n_sw FROM toks GROUP BY 1, 2),
+      |uni AS (SELECT w, SUM(n_sw) AS cw FROM occ GROUP BY 1),
+      |tot AS (SELECT SUM(cw) AS nn FROM uni),
+      |sc AS (
+      |  SELECT occ.source, occ.n_sw,
+      |    -(floor(ln(CAST(uni.cw AS DOUBLE) / nn) * 1e9) / 1e9)
+      |      AS s9
+      |  FROM occ JOIN uni USING (w) CROSS JOIN tot),
+      |loss0 AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(s9 AS DECIMAL(18,9))
+      |        * CAST(n_sw AS DECIMAL(12,0))) AS DOUBLE)
+      |      / SUM(n_sw) AS loss
+      |  FROM sc GROUP BY 1),
+      |loss AS (
+      |  SELECT source, floor(loss * 1e9) / 1e9 AS loss FROM loss0),
+      |dd AS (SELECT COUNT(*) AS d FROM loss),
+      |w0 AS (
+      |  SELECT source, loss,
+      |    floor(1.0e0 / d * 1e9) / 1e9 AS w
+      |  FROM loss CROSS JOIN dd),
+      |$roundCtes
+      |$trace
+      |ORDER BY round, source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q299_record_linkage" -> (q299RecordLinkage _),
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
@@ -1026,6 +1295,10 @@ object GovernanceQueries {
     "q304_shard_balance" -> (q304ShardBalance _),
     "q307_diversity_audit" -> (q307DiversityAudit _),
     "q308_dp_release" -> (q308DpRelease _),
+    "q309_disparate_impact" -> (q309DisparateImpact _),
+    "q310_domain_reweight" -> (q310DomainReweight _),
+    "q311_isotonic_calibration" -> (q311IsotonicCalibration _),
+    "q312_conformal_thresholds" -> (q312ConformalThresholds _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1045,5 +1318,9 @@ object GovernanceQueries {
     "q304_shard_balance" -> q304Oracle,
     "q307_diversity_audit" -> q307Oracle,
     "q308_dp_release" -> q308Oracle,
+    "q309_disparate_impact" -> q309Oracle,
+    "q310_domain_reweight" -> q310Oracle,
+    "q311_isotonic_calibration" -> q311Oracle,
+    "q312_conformal_thresholds" -> q312Oracle,
   )
 }
