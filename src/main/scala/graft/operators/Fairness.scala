@@ -34,15 +34,26 @@ object Fairness {
     * ref_group, impact_ratio, four_fifths_ok, parity_diff). A null
     * acceptance counts as rejected (both engines' CASE semantics). */
   def disparateImpact(df: DataFrame, groupCol: Column,
-      groupName: String, acceptedCol: Column): DataFrame = {
-    // group table materialized once: the reference row below is a
+      groupName: String, acceptedCol: Column): DataFrame =
+    auditFromCounts(
+      df.select(groupCol.as(groupName), acceptedCol.as("__acc"))
+        .groupBy(col(groupName))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__acc"), lit(1L)).otherwise(lit(0L)))
+            .as("n_accepted")),
+      groupName)
+
+  /** The audit arithmetic over a PRE-AGGREGATED
+    * (group, n_total, n_accepted) counter table — shared by
+    * [[disparateImpact]] and the streaming monitor's live counter
+    * snapshots ([[graft.streaming.StreamingOps]]), so the flag a
+    * dashboard shows mid-stream is the exact batch decision. */
+  def auditFromCounts(counts: DataFrame,
+      groupName: String): DataFrame = {
+    // counter table materialized once: the reference row below is a
     // second consumer, and without the checkpoint it would re-run
-    // the corpus aggregate
-    val g = df.select(groupCol.as(groupName), acceptedCol.as("__acc"))
-      .groupBy(col(groupName))
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("__acc"), lit(1L)).otherwise(lit(0L)))
-          .as("n_accepted"))
+    // the upstream aggregate
+    val g = counts
       .withColumn("accept_rate",
         col("n_accepted").cast("double") / col("n_total"))
       .localCheckpoint()

@@ -929,4 +929,130 @@ object MultimodalCodecs {
         }
       }(enc)
   }
+
+  /** EXIF metadata (CIPA DC-008 / TIFF 6.0 IFD walk) from a JPEG's
+    * APP1 segment — the typed-metadata layer a multimodal corpus
+    * audit needs before training on crawled images: capture device,
+    * orientation (rotation-normalize BEFORE hashing/dedup, or
+    * rotated duplicates slip every pixel hash), original timestamp
+    * (temporal dedup/split keys), and — the governance hook — a
+    * GPS-IFD PRESENCE flag: embedded GPS coordinates are location
+    * PII, and a release audit wants the count of GPS-bearing images
+    * the same way q108/q281 count PAN/IBAN hits in text.
+    *
+    * Parse shape: JPEG marker walk (FFD8, big-endian segment
+    * lengths) to the first APP1 with the `Exif\0\0` header, then a
+    * TIFF IFD walk honoring the declared byte order (II/MM): IFD0
+    * tags Make/Model/Orientation/DateTime, the 0x8769 Exif sub-IFD
+    * (DateTimeOriginal, PixelX/YDimension), 0x8825 GPS pointer. All
+    * reads are bounds-checked; any structural violation fails
+    * CLOSED to None (the q130 contract) — hostile dimensions cost
+    * nothing because only the directory, never pixel data, is read. */
+  object Exif {
+    final case class ExifInfo(byteOrder: String,
+        make: Option[String], model: Option[String],
+        orientation: Option[Int], dateTime: Option[String],
+        dateTimeOriginal: Option[String],
+        pixelX: Option[Long], pixelY: Option[Long],
+        hasGps: Boolean)
+
+    private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
+
+    /** APP1/Exif payload offset within a JPEG, if present. */
+    private def app1Offset(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8)
+        return None
+      var o = 2
+      while (o + 4 <= b.length && u8(b, o) == 0xff) {
+        val marker = u8(b, o + 1)
+        if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS
+        val len = (u8(b, o + 2) << 8) | u8(b, o + 3)
+        if (len < 2 || o + 2 + len > b.length) return None
+        if (marker == 0xe1 && len >= 8 &&
+            b.slice(o + 4, o + 10).sameElements(
+              Array[Byte]('E', 'x', 'i', 'f', 0, 0)))
+          return Some((o + 10, o + 2 + len))
+        o += 2 + len
+      }
+      None
+    }
+
+    def parse(bytes: Array[Byte]): Option[ExifInfo] = try {
+      app1Offset(bytes).flatMap { case (tiff, end) =>
+        if (tiff + 8 > end) None
+        else {
+          val le =
+            if (bytes(tiff) == 'I' && bytes(tiff + 1) == 'I') Some(true)
+            else if (bytes(tiff) == 'M' && bytes(tiff + 1) == 'M')
+              Some(false)
+            else None
+          le.flatMap { little =>
+            def u16(o: Int): Int =
+              if (little) u8(bytes, o) | (u8(bytes, o + 1) << 8)
+              else (u8(bytes, o) << 8) | u8(bytes, o + 1)
+            def u32(o: Int): Long =
+              if (little) (u8(bytes, o) | (u8(bytes, o + 1) << 8) |
+                (u8(bytes, o + 2) << 16)).toLong |
+                (u8(bytes, o + 3).toLong << 24)
+              else (u8(bytes, o).toLong << 24) |
+                (u8(bytes, o + 1) << 16).toLong |
+                (u8(bytes, o + 2) << 8).toLong | u8(bytes, o + 3)
+            if (u16(tiff + 2) != 42) None
+            else {
+              // one IFD -> tag -> raw value map (types 2/3/4 only —
+              // the tags below use nothing else)
+              def ifd(off0: Long): Map[Int, Either[String, Long]] = {
+                val off = tiff + off0
+                if (off0 <= 0 || off + 2 > end) return Map.empty
+                val n = u16(off.toInt)
+                (0 until n).flatMap { i =>
+                  val e = off.toInt + 2 + i * 12
+                  if (e + 12 > end) None
+                  else {
+                    val tag = u16(e); val typ = u16(e + 2)
+                    val cnt = u32(e + 4)
+                    typ match {
+                      case 2 => // ASCII, count incl. NUL
+                        val start = if (cnt <= 4) e + 8
+                          else (tiff + u32(e + 8)).toInt
+                        if (cnt < 1 || cnt > 4096 ||
+                            start < 0 || start + cnt > end) None
+                        else Some(tag -> Left(new String(bytes,
+                          start, cnt.toInt - 1, "ISO-8859-1")))
+                      case 3 if cnt == 1 =>
+                        Some(tag -> Right(u16(e + 8).toLong))
+                      case 4 if cnt == 1 =>
+                        Some(tag -> Right(u32(e + 8)))
+                      case _ => None
+                    }
+                  }
+                }.toMap
+              }
+              val ifd0 = ifd(u32(tiff + 4))
+              if (ifd0.isEmpty) None
+              else {
+                val sub = ifd0.get(0x8769)
+                  .collect { case Right(p) => ifd(p) }
+                  .getOrElse(Map.empty)
+                def str(m: Map[Int, Either[String, Long]], t: Int) =
+                  m.get(t).collect { case Left(s) => s }
+                def num(m: Map[Int, Either[String, Long]], t: Int) =
+                  m.get(t).collect { case Right(v) => v }
+                Some(ExifInfo(
+                  byteOrder = if (little) "II" else "MM",
+                  make = str(ifd0, 0x010f),
+                  model = str(ifd0, 0x0110),
+                  orientation = num(ifd0, 0x0112).map(_.toInt),
+                  dateTime = str(ifd0, 0x0132),
+                  dateTimeOriginal = str(sub, 0x9003),
+                  pixelX = num(sub, 0xa002),
+                  pixelY = num(sub, 0xa003),
+                  hasGps = ifd0.contains(0x8825)))
+              }
+            }
+          }
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
 }

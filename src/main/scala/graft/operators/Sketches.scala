@@ -282,4 +282,40 @@ object Sketches {
       .select(col("p").as(termCol), col("cms_est"))
       .orderBy(col(termCol))
   }
+
+  /** Rank-guarantee check for approximate quantile estimates
+    * (Greenwald–Khanna 2001 — the sketch behind Spark's
+    * `approx_percentile`): an estimate for quantile q over n values
+    * must occupy a rank within ε·n of ⌈q·n⌉. `ests` supplies one
+    * (q, est, n) row per probed quantile; the check joins every
+    * estimate against the value stream ONCE (one broadcast + one
+    * aggregate pass for ALL quantiles — never a per-quantile scan)
+    * and reports whether the estimate's rank interval
+    * [#{v < est}+1, #{v ≤ est}] intersects the allowed band.
+    *
+    * This is the CONTRACT half of a sketch gate: the estimates
+    * themselves are merge-order dependent (any mergeable sketch's
+    * are), but the guarantee is not — within_bound is stable run to
+    * run, which is what lets a driver gate sit on top of a
+    * nondeterministic sketch. */
+  def quantileRankCheck(values: DataFrame, valueCol: String,
+      ests: DataFrame, eps: Double): DataFrame = {
+    require(eps > 0 && eps < 1, "eps in (0, 1)")
+    values.select(col(valueCol).as("__v"))
+      .crossJoin(broadcast(ests.select(col("q"), col("est"),
+        col("n"))))
+      .groupBy(col("q"), col("n"))
+      .agg(
+        sum(when(col("__v") < col("est"), lit(1L)).otherwise(lit(0L)))
+          .as("__rlo"),
+        sum(when(col("__v") <= col("est"), lit(1L))
+          .otherwise(lit(0L))).as("__rhi"))
+      .select(col("q"), col("n").as("n_rows"),
+        ((col("__rlo") + lit(1L)).cast("double") <=
+          ceil(col("q") * col("n")).cast("double") +
+            lit(eps) * col("n") &&
+          col("__rhi").cast("double") >=
+            ceil(col("q") * col("n")).cast("double") -
+              lit(eps) * col("n")).as("within_bound"))
+  }
 }

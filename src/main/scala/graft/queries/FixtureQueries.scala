@@ -328,6 +328,168 @@ object FixtureQueries {
       rms0: Option[Double], rms1: Option[Double],
       rms2: Option[Double], rms3: Option[Double])
 
+  // ---- EXIF fixtures (q313) --------------------------------------
+
+  /** Deterministic JPEG via the JDK encoder (only its DIMENSIONS and
+    * marker structure matter to q313 — the recorded values are the
+    * EXIF parse, not pixel bytes). */
+  private def jpegBytes(w: Int, h: Int)(f: (Int, Int) => Int)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Hand-assembled Exif APP1 segment (TIFF 6.0): IFD0 with
+    * Make/Model/Orientation/DateTime + Exif sub-IFD
+    * (DateTimeOriginal, PixelX/Y) and optionally a GPS-IFD pointer —
+    * in either byte order, so the parser's II and MM walks are both
+    * fixture-exercised. */
+  private def exifApp1(little: Boolean, make: String, model: String,
+      orientation: Int, dateTime: String, dtOrig: String,
+      px: Long, py: Long, gps: Boolean): Array[Byte] = {
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (little) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+      else { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (little) { tiff.write((v & 0xff).toInt)
+        tiff.write(((v >> 8) & 0xff).toInt)
+        tiff.write(((v >> 16) & 0xff).toInt)
+        tiff.write(((v >> 24) & 0xff).toInt) }
+      else { tiff.write(((v >> 24) & 0xff).toInt)
+        tiff.write(((v >> 16) & 0xff).toInt)
+        tiff.write(((v >> 8) & 0xff).toInt)
+        tiff.write((v & 0xff).toInt) }
+    // layout: header(8) | IFD0 | strings | exif IFD | dto string |
+    //         gps IFD (empty)
+    val mkB = make + "\u0000"; val mdB = model + "\u0000"
+    val dtB = dateTime + "\u0000"; val dtoB = dtOrig + "\u0000"
+    val n0 = if (gps) 6 else 5
+    val ifd0Size = 2 + n0 * 12 + 4
+    val strOff = 8 + ifd0Size
+    val mkOff = strOff
+    val mdOff = mkOff + mkB.length
+    val dtOff = mdOff + mdB.length
+    val exifOff = dtOff + dtB.length
+    val exifSize = 2 + 3 * 12 + 4
+    val dtoOff = exifOff + exifSize
+    val gpsOff = dtoOff + dtoB.length
+    tiff.write(if (little) 'I' else 'M')
+    tiff.write(if (little) 'I' else 'M')
+    w16(42); w32(8L)
+    def entry(tag: Int, typ: Int, cnt: Long)(value: => Unit): Unit = {
+      w16(tag); w16(typ); w32(cnt)
+      val before = tiff.size(); value
+      while (tiff.size() < before + 4) tiff.write(0)
+    }
+    def ascii(tag: Int, s: String, off: Int): Unit =
+      entry(tag, 2, s.length.toLong) {
+        if (s.length <= 4) s.foreach(c => tiff.write(c.toInt))
+        else w32(off.toLong)
+      }
+    w16(n0)
+    ascii(0x010f, mkB, mkOff)
+    ascii(0x0110, mdB, mdOff)
+    entry(0x0112, 3, 1L) { w16(orientation) }
+    ascii(0x0132, dtB, dtOff)
+    entry(0x8769, 4, 1L) { w32(exifOff.toLong) }
+    if (gps) entry(0x8825, 4, 1L) { w32(gpsOff.toLong) }
+    w32(0L) // next IFD
+    mkB.foreach(c => tiff.write(c.toInt))
+    mdB.foreach(c => tiff.write(c.toInt))
+    dtB.foreach(c => tiff.write(c.toInt))
+    w16(3)
+    ascii(0x9003, dtoB, dtoOff)
+    entry(0xa002, 4, 1L) { w32(px) }
+    entry(0xa003, 4, 1L) { w32(py) }
+    w32(0L)
+    dtoB.foreach(c => tiff.write(c.toInt))
+    w16(0); w32(0L) // empty GPS IFD
+    val t = tiff.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xff); seg.write(0xe1)
+    val len = 2 + 6 + t.length
+    seg.write((len >> 8) & 0xff); seg.write(len & 0xff)
+    seg.write("Exif".getBytes("ISO-8859-1")); seg.write(0); seg.write(0)
+    seg.write(t)
+    seg.toByteArray
+  }
+
+  /** Splice an APP1 segment right after a JPEG's SOI marker. */
+  private def withExif(jpeg: Array[Byte],
+      app1: Array[Byte]): Array[Byte] =
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+
+  private def exifFixtures: Seq[(String, Array[Byte])] = {
+    val jA = jpegBytes(24, 16)((x, y) => ((x * 10) << 16) | (y * 15))
+    val jB = jpegBytes(16, 16)((x, y) => ((x ^ y) * 17) << 8)
+    val gpsApp1 = exifApp1(little = true, "GraftCam", "GC-100",
+      orientation = 6, "2024:03:01 10:00:00", "2024:02:29 09:58:57",
+      px = 24L, py = 16L, gps = true)
+    val mmApp1 = exifApp1(little = false, "OtherCo", "MM-1",
+      orientation = 1, "2023:12:31 23:59:59", "2023:12:31 23:59:58",
+      px = 16L, py = 16L, gps = false)
+    val truncated = {
+      val a = exifApp1(little = true, "TruncCo", "T-1", 3,
+        "2024:01:01 00:00:00", "2024:01:01 00:00:00", 8L, 8L,
+        gps = false)
+      // keep the APP1 header but chop the TIFF directory mid-entry;
+      // the segment LENGTH is rewritten to match so the marker walk
+      // still parses and the IFD bounds check is what trips
+      val cut = a.take(24)
+      val len = cut.length - 2
+      cut(2) = ((len >> 8) & 0xff).toByte
+      cut(3) = (len & 0xff).toByte
+      cut
+    }
+    Seq(
+      ("exif_gps_ii", withExif(jA, gpsApp1)),
+      ("exif_mm", withExif(jB, mmApp1)),
+      ("exif_trunc", withExif(jB, truncated)),
+      ("no_exif", jA),
+      ("not_jpeg", pngBytes(8, 8)((x, y) => x * y * 1000)))
+  }
+
+  private case class ExifRow(media_id: String, decodable: Boolean,
+      has_exif: Boolean, byte_order: Option[String],
+      make: Option[String], model: Option[String],
+      orientation: Option[Int], date_time: Option[String],
+      date_time_original: Option[String], pixel_x: Option[Long],
+      pixel_y: Option[Long], has_gps: Boolean)
+
+  /** q313: EXIF metadata + GPS-PII audit over the hand-built JPEG
+    * fixtures ([[graft.operators.MultimodalCodecs.Exif]]): both TIFF
+    * byte orders value-checked, the truncated directory fails
+    * CLOSED, EXIF-less and non-JPEG bytes report has_exif=false, and
+    * `decodable` proves the APP1 splice keeps every image
+    * ImageIO-readable (metadata never costs the pixel path). Oracle
+    * = recorded expected parquet (the q128/q130 device — byte-level
+    * parsing is not SQL-derivable). */
+  def q313ExifMetadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MultimodalCodecs
+    val media = exifFixtures.toDF("media_id", "bytes")
+      .as[(String, Array[Byte])]
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val dims = MultimodalCodecs.JdkImageDecoder.imageDims(bytes)
+        MultimodalCodecs.Exif.parse(bytes) match {
+          case Some(e) => ExifRow(id, dims.isDefined, has_exif = true,
+            Some(e.byteOrder), e.make, e.model, e.orientation,
+            e.dateTime, e.dateTimeOriginal, e.pixelX, e.pixelY,
+            e.hasGps)
+          case None => ExifRow(id, dims.isDefined, has_exif = false,
+            None, None, None, None, None, None, None, None,
+            has_gps = false)
+        }
+      }
+    }.toDF().orderBy(col("media_id"))
+  }
+
   private def mediaFixtures: Seq[(String, String, Array[Byte])] = {
     val imgA = pngBytes(16, 16)((x, y) =>
       ((x * 17) << 16) | ((y * 17) << 8) | ((x ^ y) * 17))
@@ -585,6 +747,7 @@ object FixtureQueries {
     "q128_pdf_extract" -> (q128PdfExtract _),
     "q129_tokenize" -> (q129Tokenize _),
     "q130_codec_features" -> (q130CodecFeatures _),
+    "q313_exif_metadata" -> (q313ExifMetadata _),
     "q131_sparse_stemmed" -> (q131SparseStemmed _),
     "q140_bpe_train" -> (q140BpeTrain _),
     "q144_bpe_fertility" -> (q144BpeFertility _))

@@ -973,4 +973,51 @@ object StreamingOps {
           rows.iterator
       }
   }
+
+  case class AccEvent(group: String, seq: Long, acc: Boolean)
+
+  /** Three longs per group, forever: last processed sequence, total
+    * seen, total accepted. */
+  case class AccState(lastSeq: Long, n: Long, acc: Long)
+
+  case class AccRow(group: String, last_seq: Long, n_total: Long,
+      n_accepted: Long)
+
+  /** Streaming acceptance counters — the live feed under a
+    * disparate-impact dashboard
+    * ([[graft.operators.Fairness.auditFromCounts]] over the latest
+    * row per group IS the batch audit; StreamingFairnessSpec proves
+    * counter-exactness and audit equality). Contract mirrors
+    * [[streamingCusum]]: events carry a per-group MONOTONE sequence
+    * (an ingest offset / file position); within a micro-batch events
+    * apply in sequence order, and an event at or before the last
+    * processed sequence is DROPPED — exactly-once under replays,
+    * with state bounded at three longs per group regardless of
+    * stream volume. Emits one updated counter row per group per
+    * micro-batch that touched it. */
+  def streamingAcceptanceCounters(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, seqCol: String,
+      acceptedCol: String): Dataset[AccRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    df.select(col(groupCol).cast("string").as("group"),
+        col(seqCol).cast("long").as("seq"),
+        col(acceptedCol).cast("boolean").as("acc"))
+      .as[AccEvent]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[AccEvent],
+            state: GroupState[AccState]) =>
+          val st = state.getOption.getOrElse(
+            AccState(Long.MinValue, 0L, 0L))
+          var last = st.lastSeq; var n = st.n; var a = st.acc
+          it.toSeq.sortBy(_.seq).filter(_.seq > last).foreach { e =>
+            last = e.seq; n += 1L; if (e.acc) a += 1L
+          }
+          state.update(AccState(last, n, a))
+          Iterator.single(AccRow(g, last, n, a))
+      }
+  }
 }
