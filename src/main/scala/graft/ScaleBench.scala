@@ -364,6 +364,69 @@ object ScaleBench {
         // per-pair BLEU is a pure map stage (in-row clipped counts);
         // worst case per row is ref == cand (every distinct gram
         // matches). The row must scale linearly with docs.
+        // r11 governance/calibration families — every one must be
+        // data-linear: diversity/impact are single QI aggregates (+
+        // an m-row-per-group rank window), isotonic is one binning
+        // aggregate + constant bin algebra, conformal's only
+        // data-sized step is the calibration-slice sort, DP is one
+        // user-keyed window + a group aggregate, CKA is the two
+        // fixed-d covariance passes, the quantile row is two
+        // aggregate passes (sketch + rank check).
+        "diversity_audit" -> (() =>
+          fullEval(graft.operators.Privacy.diversityAudit(
+            events.select(pmod(col("event_id"), lit(97)).as("qi"),
+              col("event_type")),
+            Seq(col("qi")), Seq("qi"), col("event_type"),
+            l = 3, c = 2))),
+        "disparate_impact" -> (() =>
+          fullEval(graft.operators.Fairness.disparateImpact(
+            docs.select(pmod(col("doc_id"), lit(7)).as("g"),
+              (length(col("text")) % 5 =!= 0).as("ok")),
+            col("g"), "g", col("ok")))),
+        "isotonic_fit" -> (() =>
+          fullEval(graft.operators.Calibration.isotonicFit(
+            docs.select(
+              (pmod(col("doc_id") * 2654435761L, lit(1000L))
+                .cast("double") / 1000.0).as("s"),
+              (length(col("text")) % 3 === 0).as("y")),
+            col("s"), col("y"), bins = 20))),
+        "conformal_2a" -> (() => {
+          val scored = docs.select(col("doc_id"),
+            (pmod(col("doc_id") * 40503L, lit(10000L))
+              .cast("double") / 10000.0).as("nc"),
+            (pmod(col("doc_id"), lit(5)) === 0).as("is_cal"))
+          fullEval(graft.operators.Calibration.conformalThresholds(
+            scored.filter(col("is_cal")),
+            scored.filter(!col("is_cal")),
+            col("nc"), col("doc_id"), alphas = Seq(0.1, 0.25)))
+        }),
+        "dp_bounded" -> (() =>
+          fullEval(graft.operators.Privacy.laplaceRelease(
+            graft.operators.Privacy.boundContribution(
+              events.select(col("user_id"), col("event_id")),
+              col("user_id"), col("event_id"), cap = 5),
+            Seq(pmod(col("user_id"), lit(50))), Seq("g"),
+            epsilon = 1.0, seed = "sb:", sensitivity = 5.0))),
+        "cka_64" -> (() =>
+          fullEval(graft.operators.Cka.linearCka(
+            emb.select(col("embedding").as("x"),
+              transform(col("embedding"), v => v * 0.5 + 0.1)
+                .as("y")),
+            col("x"), col("y"), d = 64))),
+        "approx_quantiles" -> (() => {
+          val vals = events.select(col("value").cast("double")
+            .as("v")).filter(col("v").isNotNull)
+          val qs = Seq(0.1, 0.5, 0.9)
+          val ests = vals.agg(expr(
+              "approx_percentile(v, array(0.1D, 0.5D, 0.9D), 1000)")
+              .as("es"), count(lit(1)).as("n"))
+            .select(posexplode(col("es")).as(Seq("qi", "est")),
+              col("n"))
+            .select(element_at(array(qs.map(lit): _*), col("qi") + 1)
+              .as("q"), col("est"), col("n"))
+          fullEval(graft.operators.Sketches.quantileRankCheck(
+            vals, "v", ests, eps = 0.001))
+        }),
         "bleu_stats" -> (() =>
           graft.operators.Eval.bleuStats(
             docs.select(col("doc_id"), col("text").as("cand"),

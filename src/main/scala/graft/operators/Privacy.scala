@@ -196,10 +196,11 @@ object Privacy {
     * projection is map-only over the group table. */
   def laplaceRelease(df: DataFrame, groupCols: Seq[Column],
       groupNames: Seq[String], epsilon: Double,
-      seed: String): DataFrame = {
+      seed: String, sensitivity: Double = 1.0): DataFrame = {
     require(groupCols.nonEmpty && groupCols.length == groupNames.length,
       "one name per group column")
     require(epsilon > 0, "epsilon must be positive")
+    require(sensitivity > 0, "sensitivity must be positive")
     def ln9(x: Column): Column =
       floor(log(x) * lit(1e9)).cast("double") / lit(1e9)
     val counts = df.groupBy(
@@ -211,7 +212,7 @@ object Privacy {
     val u = (v.cast("double") + lit(0.5)) / lit(16777216.0)
     val shifted = u - lit(0.5)
     val sgn = when(shifted >= 0, lit(1.0)).otherwise(lit(-1.0))
-    val noise = -(lit(1.0) / lit(epsilon)) * sgn *
+    val noise = -(lit(sensitivity) / lit(epsilon)) * sgn *
       ln9(lit(1.0) - lit(2.0) * abs(shifted))
     counts
       .withColumn("noise", noise)
@@ -223,6 +224,27 @@ object Privacy {
         greatest(floor(col("noisy_count") + lit(0.5)).cast("long"),
           lit(0L)))
       .withColumn("epsilon", lit(epsilon))
+      .withColumn("sensitivity", lit(sensitivity))
+  }
+
+  /** User-level contribution bounding (the practical companion of
+    * [[laplaceRelease]] — Wilson et al. 2020, "Differentially
+    * private SQL with bounded user contributions"): COUNT sensitivity
+    * is "how much can ONE user move the answer", which for raw event
+    * tables is unbounded. Capping each user at `cap` rows (a
+    * deterministic per-user row_number, `orderCol` as the keep
+    * preference) makes the sensitivity exactly `cap`, which the
+    * release must then use as its noise scale. Returns the capped
+    * frame; the per-user window is the one data-sized operation and
+    * shuffles on the user key exactly once. */
+  def boundContribution(df: DataFrame, userCol: Column,
+      orderCol: Column, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
   }
 
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) over an

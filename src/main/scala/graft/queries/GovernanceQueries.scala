@@ -1006,7 +1006,7 @@ object GovernanceQueries {
       |  CAST(true_count AS DOUBLE) + noise AS noisy_count,
       |  GREATEST(CAST(FLOOR(CAST(true_count AS DOUBLE) + noise
       |    + 0.5e0) AS BIGINT), 0) AS released_count,
-      |  1.0e0 AS epsilon
+      |  1.0e0 AS epsilon, 1.0e0 AS sensitivity
       |FROM r ORDER BY c_nationkey""".stripMargin
 
   /** q309: disparate-impact audit of a curation gate
@@ -1278,6 +1278,64 @@ object GovernanceQueries {
       |ORDER BY round, source""".stripMargin
   }
 
+  /** q315: USER-LEVEL differential privacy with bounded
+    * contribution ([[Privacy.boundContribution]] +
+    * [[Privacy.laplaceRelease]], Wilson et al. 2020) — the q308
+    * mechanism made honest for event tables: per-nation ORDER
+    * counts, but one customer can place many orders, so raw count
+    * sensitivity is unbounded; capping each customer at 5 orders
+    * (deterministic o_orderkey preference) makes sensitivity exactly
+    * 5, and the Laplace scale grows to match (5/ε). The oracle
+    * replays the cap window, the customer→nation join, and the
+    * seeded draw bit-exactly. The per-user window shuffles once on
+    * the user key; everything after is group-table-sized. */
+  def q315DpBoundedContribution(s: SparkSession,
+      d: String): DataFrame = {
+    val capped = Privacy.boundContribution(
+      orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+      col("o_custkey"), col("o_orderkey"), cap = 5)
+    val base = capped.join(
+      customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+    Privacy.laplaceRelease(base,
+        groupCols = Seq(col("c_nationkey")),
+        groupNames = Seq("c_nationkey"),
+        epsilon = 1.0, seed = "dpu:", sensitivity = 5.0)
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q315Oracle: String =
+    """WITH capped AS (
+      |  SELECT o_custkey FROM (
+      |    SELECT o_custkey, row_number() OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      |    FROM orders) t WHERE rn <= 5),
+      |base AS (
+      |  SELECT c.c_nationkey
+      |  FROM capped k JOIN customer c ON k.o_custkey = c.c_custkey),
+      |counts AS (
+      |  SELECT c_nationkey, COUNT(*) AS true_count
+      |  FROM base GROUP BY 1),
+      |n AS (
+      |  SELECT c_nationkey, true_count,
+      |    (CAST(('0x' || substr(md5('dpu:' ||
+      |        CAST(c_nationkey AS VARCHAR)), 1, 6))::UBIGINT
+      |      AS DOUBLE) + 0.5e0) / 16777216.0e0 AS u
+      |  FROM counts),
+      |r AS (
+      |  SELECT c_nationkey, true_count,
+      |    -(5.0e0 / 1.0e0) *
+      |      (CASE WHEN u - 0.5e0 >= 0 THEN 1.0e0 ELSE -1.0e0 END) *
+      |      (floor(ln(1.0e0 - 2.0e0 * abs(u - 0.5e0)) * 1e9) / 1e9)
+      |      AS noise
+      |  FROM n)
+      |SELECT c_nationkey, true_count, noise,
+      |  CAST(true_count AS DOUBLE) + noise AS noisy_count,
+      |  GREATEST(CAST(FLOOR(CAST(true_count AS DOUBLE) + noise
+      |    + 0.5e0) AS BIGINT), 0) AS released_count,
+      |  1.0e0 AS epsilon, 5.0e0 AS sensitivity
+      |FROM r ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q299_record_linkage" -> (q299RecordLinkage _),
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
@@ -1297,6 +1355,7 @@ object GovernanceQueries {
     "q308_dp_release" -> (q308DpRelease _),
     "q309_disparate_impact" -> (q309DisparateImpact _),
     "q310_domain_reweight" -> (q310DomainReweight _),
+    "q315_dp_bounded_contribution" -> (q315DpBoundedContribution _),
     "q311_isotonic_calibration" -> (q311IsotonicCalibration _),
     "q312_conformal_thresholds" -> (q312ConformalThresholds _),
   )
@@ -1320,6 +1379,7 @@ object GovernanceQueries {
     "q308_dp_release" -> q308Oracle,
     "q309_disparate_impact" -> q309Oracle,
     "q310_domain_reweight" -> q310Oracle,
+    "q315_dp_bounded_contribution" -> q315Oracle,
     "q311_isotonic_calibration" -> q311Oracle,
     "q312_conformal_thresholds" -> q312Oracle,
   )

@@ -248,7 +248,82 @@ object RankingQueries {
        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** q316: CKA quantization audit ([[graft.operators.Cka]]) — how
+    * much representation geometry does the q68 symmetric-int8
+    * quantization keep? X = the raw embeddings, Y = their
+    * dequantized int8 view (per-vector scale = max|x|/127, values
+    * trunc9'd so the covariance build's decimal casts stay
+    * engine-portable), CKA via one concatenated covariance pass.
+    * Expected ≈ 1 − O(quant-noise²); the oracle replays the
+    * quantization, both q174-style covariance passes, the block
+    * sums, and the final ratio bit-exactly. */
+  def q316CkaQuantization(s: SparkSession, d: String): DataFrame = {
+    def t9x(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e9)).cast("double") / lit(1e9)
+    val emb = embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale",
+        aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x)))
+          / 127.0)
+      .withColumn("y", transform(col("e"), x =>
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(t9x(round(x / col("scale")) * col("scale")))))
+    graft.operators.Cka.linearCka(emb, col("e"), col("y"), d = 64)
+  }
+
+  private val q316Oracle: String =
+    """WITH e0 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, x,
+      |    list_max(list_transform(x, v -> abs(v))) / 127.0e0
+      |      AS scale
+      |  FROM e0),
+      |zz AS (
+      |  SELECT vec_id, x || list_transform(x, v ->
+      |    CASE WHEN scale = 0.0e0 THEN 0.0e0
+      |      ELSE floor(round(v / scale) * scale * 1e9) / 1e9 END)
+      |    AS z
+      |  FROM sc),
+      |xs AS (
+      |  SELECT vec_id, generate_subscripts(z, 1) - 1 AS i,
+      |    CAST(unnest(z) AS DOUBLE) AS v
+      |  FROM zz),
+      |mu AS (
+      |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+      |    / COUNT(*) AS mu
+      |  FROM xs GROUP BY 1),
+      |p AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    floor(a.v * b.v * 1e9) / 1e9 AS p
+      |  FROM xs a JOIN xs b ON a.vec_id = b.vec_id),
+      |e AS (
+      |  SELECT i, j, CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE)
+      |    / COUNT(*) AS exy
+      |  FROM p GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT e.i, e.j, e.exy - ma.mu * mb.mu AS cov
+      |  FROM e JOIN mu ma ON e.i = ma.i JOIN mu mb ON e.j = mb.i),
+      |sums AS (
+      |  SELECT
+      |    CAST(SUM(CAST(CASE WHEN i < 64 AND j >= 64
+      |      THEN floor(cov * cov * 1e9) / 1e9 ELSE 0.0e0 END
+      |      AS DECIMAL(38,9))) AS DOUBLE) AS hsic_xy,
+      |    CAST(SUM(CAST(CASE WHEN i < 64 AND j < 64
+      |      THEN floor(cov * cov * 1e9) / 1e9 ELSE 0.0e0 END
+      |      AS DECIMAL(38,9))) AS DOUBLE) AS norm_xx,
+      |    CAST(SUM(CAST(CASE WHEN i >= 64 AND j >= 64
+      |      THEN floor(cov * cov * 1e9) / 1e9 ELSE 0.0e0 END
+      |      AS DECIMAL(38,9))) AS DOUBLE) AS norm_yy
+      |  FROM cells)
+      |SELECT 64 AS dim, hsic_xy, norm_xx, norm_yy,
+      |  hsic_xy / (sqrt(norm_xx) * sqrt(norm_yy)) AS cka
+      |FROM sums""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_cka_quantization" -> (q316CkaQuantization _),
     "q164_kneser_ney" -> (q164KneserNey _),
     "q165_dirichlet_ql" -> (q165DirichletQl _),
     "q166_maxsim" -> (q166MaxSim _),
@@ -261,6 +336,7 @@ object RankingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q316_cka_quantization" -> q316Oracle,
     "q164_kneser_ney" -> q164Oracle,
     "q165_dirichlet_ql" -> q165Oracle,
     "q166_maxsim" -> q166Oracle,

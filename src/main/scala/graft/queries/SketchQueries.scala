@@ -313,7 +313,45 @@ object SketchQueries {
        |ORDER BY column_name""".stripMargin
   }
 
+  private val Q314Quantiles =
+    Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** q314: GK-sketch quantiles under the published rank guarantee
+    * ([[Sketches.quantileRankCheck]]) — the 100 TB quantile path is
+    * Spark's mergeable `approx_percentile` (one pass, no global
+    * sort), whose ESTIMATES are merge-order dependent and therefore
+    * ungateable; what IS gateable is the Greenwald–Khanna contract
+    * itself: every estimate's rank must sit within ε·n of ⌈q·n⌉.
+    * The engine computes the sketch, then independently rank-checks
+    * each estimate against the raw values (one broadcast + one
+    * aggregate pass for all 7 quantiles) and emits only the stable
+    * (q, n_rows, within_bound) verdicts; the oracle asserts the
+    * contract (the q306 ordering-gate device) — any run where the
+    * sketch violated its bound flips the row red. ε = 1/accuracy =
+    * 1/1000. */
+  def q314ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val qArr = Q314Quantiles.map(q => s"${q}D").mkString(", ")
+    val ests = li
+      .agg(expr(s"approx_percentile(v, array($qArr), 1000)")
+        .as("ests"), count(lit(1)).as("n"))
+      .select(posexplode(col("ests")).as(Seq("qi", "est")), col("n"))
+      .select(element_at(array(Q314Quantiles.map(lit): _*),
+        col("qi") + 1).as("q"), col("est"), col("n"))
+    Sketches.quantileRankCheck(li, "v", ests, eps = 0.001)
+      .orderBy(col("q"))
+  }
+
+  private val q314Oracle: String = {
+    val vals = Q314Quantiles.map(q => s"(${q}e0)").mkString(", ")
+    s"""WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+      |SELECT q, n.n_rows, TRUE AS within_bound
+      |FROM (VALUES $vals) t(q) CROSS JOIN n
+      |ORDER BY q""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_approx_quantiles" -> (q314ApproxQuantiles _),
     "q191_kmv_distinct" -> (q191KmvDistinct _),
     "q192_hll_vocab" -> (q192HllVocab _),
     "q193_cms_term_freq" -> (q193CmsTermFreq _),
@@ -322,6 +360,7 @@ object SketchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q314_approx_quantiles" -> q314Oracle,
     "q191_kmv_distinct" -> q191Oracle,
     "q192_hll_vocab" -> q192Oracle,
     "q193_cms_term_freq" -> q193Oracle,

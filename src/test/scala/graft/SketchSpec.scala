@@ -91,6 +91,60 @@ class SketchSpec extends SparkTestBase {
       s"estimate $unioned too far from exact $exact")
   }
 
+  test("quantileRankCheck: detects in-band and out-of-band " +
+      "estimates, including the exact band edge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // values 1..1000; eps = 0.01 -> band of ±10 ranks around ceil(q·n)
+    val vals = (1 to 1000).map(_.toDouble).toDF("v")
+    def check(q: Double, est: Double): Boolean =
+      graft.operators.Sketches.quantileRankCheck(vals, "v",
+          Seq((q, est, 1000L)).toDF("q", "est", "n"), eps = 0.01)
+        .collect().head.getBoolean(2)
+    assert(check(0.5, 500.0))           // dead center
+    assert(check(0.5, 510.0))           // rank 510 = 500 + 10, edge
+    assert(!check(0.5, 511.0))          // one past the band
+    assert(check(0.5, 490.0))           // lower edge
+    assert(!check(0.5, 489.0))
+    assert(check(0.99, 1000.0))         // top quantile, max element
+    assert(!check(0.99, 500.0))
+    // duplicates widen the occupied rank interval: 500 copies of 1,
+    // 500 of 2 -> the value 1 spans ranks [1, 500] and must satisfy
+    // q = 0.5 even though its midpoint is far from 500
+    val dup = (Seq.fill(500)(1.0) ++ Seq.fill(500)(2.0)).toDF("v")
+    val got = graft.operators.Sketches.quantileRankCheck(dup, "v",
+        Seq((0.5, 1.0, 1000L)).toDF("q", "est", "n"), eps = 0.01)
+      .collect().head.getBoolean(2)
+    assert(got)
+  }
+
+  test("approx_percentile estimates pass the rank check across " +
+      "adversarial distributions (the q314 contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val dists: Seq[(String, Seq[Double])] = Seq(
+      ("uniform", (1 to 5000).map(_.toDouble)),
+      ("zipf", (1 to 5000).map(i => 5000.0 / i)),
+      ("constant", Seq.fill(5000)(7.0)),
+      ("two-point", (1 to 5000).map(i => if (i % 10 == 0) 1e9 else 0.0)))
+    dists.foreach { case (name, xs) =>
+      val df = xs.toDF("v")
+      val qArr = qs.map(q => s"${q}D").mkString(", ")
+      val ests = df.agg(expr(
+          s"approx_percentile(v, array($qArr), 100)").as("es"),
+          count(lit(1)).as("n"))
+        .select(posexplode(col("es")).as(Seq("qi", "est")), col("n"))
+        .select(element_at(array(qs.map(lit): _*), col("qi") + 1)
+          .as("q"), col("est"), col("n"))
+      val out = graft.operators.Sketches.quantileRankCheck(df, "v",
+        ests, eps = 0.01).collect()
+      assert(out.length === qs.length)
+      assert(out.forall(_.getBoolean(2)),
+        s"$name violated the GK bound: ${out.mkString(";")}")
+    }
+  }
+
   test("bloom filter: no false negatives, FPP near the configured " +
       "bound (the join-pruning sketch)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -212,4 +212,36 @@ class PrivacySpec extends SparkTestBase {
     // true counts are preserved alongside the noise
     assert(r1.collect().map(r => r.getLong(1)).sum === 300L)
   }
+
+  test("laplaceRelease sensitivity scales the noise exactly and is " +
+      "reported") {
+    val rows = (0L until 60L).map(i => "g" + (i % 3)).toDF("g")
+    def noises(sens: Double) =
+      Privacy.laplaceRelease(rows, Seq(col("g")), Seq("g"),
+          epsilon = 1.0, seed = "s:", sensitivity = sens)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getDouble(6))).toMap
+    val s1 = noises(1.0); val s5 = noises(5.0)
+    s1.foreach { case (g, (n1, rep1)) =>
+      assert(rep1 === 1.0)
+      assert(math.abs(s5(g)._1 - 5.0 * n1) < 1e-12)
+      assert(s5(g)._2 === 5.0)
+    }
+  }
+
+  test("boundContribution caps per-user rows with a deterministic " +
+      "keep preference") {
+    val rows = (0L until 40L).map(i => (i % 4, i)).toDF("u", "k")
+    val capped = Privacy.boundContribution(rows, col("u"), col("k"),
+      cap = 3)
+    val byU = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // each user keeps exactly its 3 SMALLEST keys (order preference)
+    (0L until 4L).foreach { u =>
+      assert(byU(u) === Seq(u, u + 4, u + 8))
+    }
+    // cap >= group size keeps everything
+    assert(Privacy.boundContribution(rows, col("u"), col("k"), 100)
+      .count() === 40L)
+  }
 }
