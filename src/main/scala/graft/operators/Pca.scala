@@ -38,17 +38,47 @@ object Pca {
   /** Exact covariance matrix of a float-array embedding column.
     * Output: (i, j, cov) over all d² index pairs, ordered. */
   def covariance(df: DataFrame, vecCol: String): DataFrame = {
-    val x = df.select(posexplode(col(vecCol)).as(Seq("i", "xi")),
+    // r11 rewrite, two parts (36x on the q316 128-dim build):
+    //
+    // 1. Explode ONCE into a materialized (rid, i, xi) element
+    //    table, then self-join on the row id for the n·d² product
+    //    stream (the oracle's own shape). The previous
+    //    transform()-lambda Generate fell out of whole-stage codegen
+    //    (NOTES trap 3), and worse, CollapseProject inlined the
+    //    INPUT array expression into the generator, re-evaluating a
+    //    derived vector column (q316's concat + dequant) per
+    //    (row, i) pair. The checkpoint evaluates every derived
+    //    column exactly once and also serves the mean pass — one
+    //    input scan total.
+    // 2. Sum exact INTEGER 1e-9 units, not DECIMAL(18,9) casts of
+    //    doubles: Spark's double→decimal cast goes through
+    //    Double.toString (the NOTES trap-2 mechanism) — ~250k
+    //    rows/s/core, which made the pair aggregation the hidden
+    //    hot path (25 s forced vs 2.4 s count-pruned at sf0.1).
+    //    floor(x·1e9) is an exact long; long→DECIMAL(30,0) is a
+    //    compact-path cast; the sum is order-free-exact with
+    //    headroom to ~10^21 unit-sum (10^12 rows at |x| ≤ 1) where
+    //    a bare BIGINT sum would overflow at 10^9.
+    //    Both engines then divide the unit sum by 1e9 and by n in
+    //    the same order (the oracles mirror the sequence).
+    val x = df
+      .select(monotonically_increasing_id().as("rid"),
         col(vecCol).as("arr"))
-      .select(col("i"), col("xi").cast("double").as("xi"), col("arr"))
+      .select(col("rid"), posexplode(col("arr")).as(Seq("i", "xi")))
+      .select(col("rid"), col("i"),
+        col("xi").cast("double").as("xi"))
+      .localCheckpoint()
+    def unitSum(c: Column): Column =
+      sum(floor(c * lit(1e9)).cast("long").cast(DecimalType(30, 0)))
+        .cast("double") / lit(1e9)
     val mu = x.groupBy(col("i").as("mi"))
-      .agg((dsum9(col("xi")) / count(lit(1))).as("mu"))
+      .agg((unitSum(col("xi")) / count(lit(1))).as("mu"))
     val exy = x
-      .select(col("i"), posexplode(
-        transform(col("arr"), y => t9(col("xi") * y.cast("double"))))
-        .as(Seq("j", "p")))
+      .join(x.select(col("rid"), col("i").as("j"),
+        col("xi").as("xj")), "rid")
+      .select(col("i"), col("j"), (col("xi") * col("xj")).as("p"))
       .groupBy(col("i"), col("j"))
-      .agg((dsum9(col("p")) / count(lit(1))).as("exy"))
+      .agg((unitSum(col("p")) / count(lit(1))).as("exy"))
     exy
       .join(broadcast(mu), col("i") === col("mi"))
       .drop("mi")

@@ -74,7 +74,11 @@ object RankingQueries {
     * serve-many is the deployment shape, and the fingerprint guard
     * makes staleness structurally impossible. */
   private def pcaAxes(s: SparkSession, d: String): DataFrame =
-    graft.operators.ModelArtifacts.cached(s, "pca2",
+    // name carries an engine-semantics version: the content
+    // fingerprint tracks DATA only, so an arithmetic change in the
+    // covariance build (r11 unit-sum rewrite) must rotate the name
+    // or stale warehouse artifacts would serve pre-rewrite values
+    graft.operators.ModelArtifacts.cached(s, "pca2_r11",
       graft.operators.ModelArtifacts.contentFingerprint(s, d,
         Seq("embeddings.parquet"))) {
       graft.operators.Pca.topTwoAxes(embeddings(s, d), "embedding",
@@ -292,16 +296,15 @@ object RankingQueries {
       |    CAST(unnest(z) AS DOUBLE) AS v
       |  FROM zz),
       |mu AS (
-      |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
-      |    / COUNT(*) AS mu
+      |  SELECT i, CAST(SUM(CAST(floor(v * 1e9) AS DECIMAL(30,0)))
+      |      AS DOUBLE) / 1e9 / COUNT(*) AS mu
       |  FROM xs GROUP BY 1),
       |p AS (
-      |  SELECT a.i AS i, b.i AS j,
-      |    floor(a.v * b.v * 1e9) / 1e9 AS p
+      |  SELECT a.i AS i, b.i AS j, a.v * b.v AS p
       |  FROM xs a JOIN xs b ON a.vec_id = b.vec_id),
       |e AS (
-      |  SELECT i, j, CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE)
-      |    / COUNT(*) AS exy
+      |  SELECT i, j, CAST(SUM(CAST(floor(p * 1e9) AS DECIMAL(30,0)))
+      |      AS DOUBLE) / 1e9 / COUNT(*) AS exy
       |  FROM p GROUP BY 1, 2),
       |cells AS (
       |  SELECT e.i, e.j, e.exy - ma.mu * mb.mu AS cov
@@ -348,16 +351,15 @@ object RankingQueries {
         |    CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings),
         |mu AS (
-        |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
-        |    / COUNT(*) AS mu
+        |  SELECT i, CAST(SUM(CAST(floor(v * 1e9) AS DECIMAL(30,0)))
+        |      AS DOUBLE) / 1e9 / COUNT(*) AS mu
         |  FROM x GROUP BY 1),
         |p AS (
-        |  SELECT a.i AS i, b.i AS j,
-        |    floor(a.v * b.v * 1e9) / 1e9 AS p
+        |  SELECT a.i AS i, b.i AS j, a.v * b.v AS p
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id),
         |e AS (
-        |  SELECT i, j, CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE)
-        |    / COUNT(*) AS exy
+        |  SELECT i, j, CAST(SUM(CAST(floor(p * 1e9) AS DECIMAL(30,0)))
+        |      AS DOUBLE) / 1e9 / COUNT(*) AS exy
         |  FROM p GROUP BY 1, 2)
         |SELECT e.i, e.j, e.exy - ma.mu * mb.mu AS cov
         |FROM e JOIN mu ma ON e.i = ma.i JOIN mu mb ON e.j = mb.i
@@ -388,22 +390,26 @@ object RankingQueries {
     }.mkString(",\n")
 
   /** q174's covariance CTE chain ending in `cov`. */
+  // r11: integer 1e-9 unit sums (floor(v·1e9) is an exact BIGINT;
+  // the DECIMAL(30,0) sum is order-free) — mirrors the
+  // Pca.covariance rewrite that removed the per-row double→decimal
+  // toString cast; the /1e9 /COUNT division sequence must match the
+  // engine exactly.
   private lazy val covCtes: String =
     s"""x AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
        |    CAST(unnest(embedding) AS DOUBLE) AS v
        |  FROM embeddings),
        |mu AS (
-       |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
-       |    / COUNT(*) AS mu
+       |  SELECT i, CAST(SUM(CAST(floor(v * 1e9) AS DECIMAL(30,0)))
+       |      AS DOUBLE) / 1e9 / COUNT(*) AS mu
        |  FROM x GROUP BY 1),
        |p AS (
-       |  SELECT a.i AS i, b.i AS j,
-       |    floor(a.v * b.v * 1e9) / 1e9 AS p
+       |  SELECT a.i AS i, b.i AS j, a.v * b.v AS p
        |  FROM x a JOIN x b ON a.vec_id = b.vec_id),
        |e AS (
-       |  SELECT i, j, CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE)
-       |    / COUNT(*) AS exy
+       |  SELECT i, j, CAST(SUM(CAST(floor(p * 1e9) AS DECIMAL(30,0)))
+       |      AS DOUBLE) / 1e9 / COUNT(*) AS exy
        |  FROM p GROUP BY 1, 2),
        |cov AS MATERIALIZED (
        |  SELECT e.i, e.j, e.exy - ma.mu * mb.mu AS cov
