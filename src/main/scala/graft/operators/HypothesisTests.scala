@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-shift and multiple-testing machinery for corpus
+  * audits (builder brief: a release pipeline compares snapshots,
+  * splits, and sources STATISTICALLY — "the validation split looks
+  * different" and "which of 200 sources fail the digit audit" are
+  * hypothesis-testing questions, and running 200 tests needs a
+  * false-discovery correction, not 200 raw α's).
+  *
+  *  - [[ksTwoSample]] — exact two-sample Kolmogorov–Smirnov
+  *    statistic D = sup_x |F_A(x) − F_B(x)| with the asymptotic
+  *    α-level threshold c(α)·√((n_a+n_b)/(n_a·n_b)) (Smirnov 1948;
+  *    c(0.05) = 1.358). The sup runs over the DISTINCT-value table
+  *    (right-continuous ECDFs step only there), with the gap
+  *    numerator kept in exact integers: |c_A·n_B − c_B·n_A|, as
+  *    DECIMAL(38,0) products so 10⁹-row samples cannot overflow.
+  *  - [[binomialBhAudit]] — per-group EXACT binomial test of a
+  *    binary property against the pooled global rate, with
+  *    Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995)
+  *    across the groups. The pmf is computed by the log-space
+  *    recurrence ln pmf(j+1) = ln pmf(j) + ln((n−j)/(j+1)) +
+  *    ln(p/(1−p)) — one row per (group, j ≤ n_g), a per-group
+  *    prefix sum, NO factorials/lgamma — with every log and pmf
+  *    term truncated to 12 decimals and summed over DECIMAL(38,12)
+  *    (the BradleyTerry-grade contract), so both tails replay
+  *    bit-identically in SQL. Probabilities below 10⁻¹² truncate to
+  *    0 — decision-grade (BH thresholds live at α·r/m ≫ 10⁻⁹) and
+  *    identical in both engines.
+  *
+  * Scale shape: KS = one distinct-value aggregate + a cumulative
+  * window over that table (callers bin first when the column is
+  * near-continuous — the sup over bin edges bounds the exact D
+  * within the bin resolution). The binomial audit = one group
+  * aggregate + a Σ(n_g+1)-row pmf grid with per-group prefix
+  * windows + an m-row BH ranking — linear in the data, windowed
+  * only over group-local grids. */
+object HypothesisTests {
+
+  private def t12(x: Column): Column =
+    floor(x * lit(1e12)).cast("double") / lit(1e12)
+
+  private def xsum12(c: Column): Column =
+    sum(c.cast(DecimalType(38, 12))).cast("double")
+
+  /** Exact two-sample KS over `valueCol`, sample A = rows where
+    * `isACol`. Output one row: (n_a, n_b, d_stat, crit, reject)
+    * at the given asymptotic c(α) coefficient (1.358 ⇒ α = 0.05). */
+  def ksTwoSample(df: DataFrame, valueCol: Column, isACol: Column,
+      cAlpha: Double = 1.358): DataFrame = {
+    val vals = df.select(valueCol.as("v"),
+        when(isACol, lit(1L)).otherwise(lit(0L)).as("a"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("na_v"),
+        sum(lit(1L) - col("a")).as("nb_v"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals.select(
+      sum(col("na_v")).over(w).as("ca"),
+      sum(col("nb_v")).over(w).as("cb"))
+    val n = df.select(
+      sum(when(isACol, lit(1L)).otherwise(lit(0L))).as("n_a"),
+      sum(when(isACol, lit(0L)).otherwise(lit(1L))).as("n_b"))
+    cum.crossJoin(broadcast(n))
+      .select(col("n_a"), col("n_b"),
+        abs(col("ca").cast(DecimalType(38, 0)) * col("n_b") -
+          col("cb").cast(DecimalType(38, 0)) * col("n_a"))
+          .as("gap"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("gap")).as("d_num"))
+      .select(col("n_a"), col("n_b"),
+        (col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b"))).as("d_stat"),
+        (lit(cAlpha) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a").cast("double") * col("n_b")))).as("crit"))
+      .withColumn("reject", col("d_stat") > col("crit"))
+  }
+
+  /** Per-group exact binomial test of P(property) against the
+    * POOLED rate, BH-corrected at FDR `alpha`. Output per group:
+    * (groupName, n, k, rate, p_value, bh_rank, rejected) —
+    * two-sided p by the doubled-smaller-tail convention, capped at
+    * 1. Groups are ranked by (p, group) and BH rejects every rank ≤
+    * the largest r with p_(r) ≤ r·α/m. */
+  def binomialBhAudit(df: DataFrame, groupCol: Column,
+      groupName: String, propertyCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    val g = df.select(groupCol.as(groupName),
+        when(propertyCol, lit(1L)).otherwise(lit(0L)).as("__x"))
+      .groupBy(col(groupName))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("k"))
+      .localCheckpoint()
+    val tot = g.agg(sum(col("n")).as("__nt"), sum(col("k")).as("__kt"))
+      .select((col("__kt").cast("double") / col("__nt")).as("__p0"))
+    // per-group pmf grid j = 0..n under p0, via the log recurrence;
+    // lnr(j) = ln((n-j+1)/j) + ln(p0/(1-p0)) is the step INTO j
+    val grid = g.crossJoin(broadcast(tot))
+      .select(col(groupName), col("n"), col("k"), col("__p0"),
+        explode(sequence(lit(0L), col("n"))).as("j"))
+    val stepped = grid.withColumn("__lnr",
+      when(col("j") === 0L, lit(0.0)).otherwise(
+        t12(log((col("n") - col("j") + lit(1L)).cast("double") /
+          col("j"))) +
+          t12(log(col("__p0") / (lit(1.0) - col("__p0"))))))
+    val wj = Window.partitionBy(col(groupName)).orderBy(col("j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pmf = stepped
+      .withColumn("__lnpmf",
+        // n as DECIMAL(12,0): 12+20+1 = 33 keeps scale 12 exact —
+        // wider factors would push precision past 38 and Spark
+        // trims the SCALE (the q307 lesson)
+        (col("n").cast(DecimalType(12, 0)) *
+          t12(log(lit(1.0) - col("__p0"))).cast(DecimalType(20, 12)))
+          .cast("double") +
+          // over() must attach to the aggregate itself — wrapping
+          // the cast makes the analyzer read sum() as a grouped
+          // aggregate (MISSING_GROUP_BY)
+          sum(col("__lnr").cast(DecimalType(38, 12))).over(wj)
+            .cast("double"))
+      .withColumn("__pmf", t12(exp(col("__lnpmf"))))
+    val tails = pmf.groupBy(col(groupName), col("n"), col("k"))
+      .agg(
+        xsum12(when(col("j") <= col("k"), col("__pmf"))
+          .otherwise(lit(0.0))).as("__lo"),
+        xsum12(when(col("j") >= col("k"), col("__pmf"))
+          .otherwise(lit(0.0))).as("__hi"))
+      .select(col(groupName), col("n"), col("k"),
+        (col("k").cast("double") / col("n")).as("rate"),
+        least(lit(1.0),
+          lit(2.0) * least(col("__lo"), col("__hi"))).as("p_value"))
+    bhReject(tails, groupName, alpha)
+  }
+
+  /** Benjamini–Hochberg step-up selection over a (…, p_value) frame:
+    * rank by (p, group), reject every rank ≤ the LARGEST r with
+    * p_(r) ≤ r·α/m — including any intermediate rank that itself
+    * failed its threshold (the step-up property that distinguishes
+    * BH from naive per-rank thresholding). All input columns pass
+    * through; adds bh_rank and rejected. Group-table-sized. */
+  def bhReject(tails: DataFrame, groupName: String,
+      alpha: Double): DataFrame = {
+    val m = tails.agg(count(lit(1)).as("__m"))
+    val ranked = tails.crossJoin(broadcast(m))
+      .withColumn("bh_rank", row_number().over(
+          Window.orderBy(col("p_value"), col(groupName)))
+        .cast("long"))
+      .withColumn("__pass",
+        col("p_value") <= col("bh_rank").cast("double") *
+          lit(alpha) / col("__m"))
+    val cutoff = ranked
+      .agg(max(when(col("__pass"), col("bh_rank")).otherwise(lit(0L)))
+        .as("__cut"))
+    ranked.crossJoin(broadcast(cutoff))
+      .drop("__m", "__pass")
+      .withColumn("rejected", col("bh_rank") <= col("__cut"))
+      .drop("__cut")
+  }
+}

@@ -1336,6 +1336,155 @@ object GovernanceQueries {
       |  1.0e0 AS epsilon, 5.0e0 AS sensitivity
       |FROM r ORDER BY c_nationkey""".stripMargin
 
+  /** q317: exact two-sample Kolmogorov–Smirnov drift test
+    * ([[graft.operators.HypothesisTests.ksTwoSample]]) — both
+    * branches value-checked: the organic de-vs-rest length
+    * comparison (distributions match by construction → accept) and
+    * a planted group shifted to [5000, 5030) (D ≈ 1 → reject). The
+    * gap numerator stays in exact DECIMAL(38,0) integers; the sup
+    * runs over the distinct-value table. */
+  def q317KsTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.HypothesisTests
+    val base = documents(s, d).select(col("lang"), col("n_chars"))
+    val planted = (0 until 30).map(i => ("xx", 5000L + i))
+      .toDF("lang", "n_chars")
+    val t1 = HypothesisTests.ksTwoSample(base, col("n_chars"),
+        col("lang") === "de")
+      .select(lit("de_vs_rest").as("test"), col("n_a"), col("n_b"),
+        col("d_stat"), col("crit"), col("reject"))
+    val t2 = HypothesisTests.ksTwoSample(base.unionByName(planted),
+        col("n_chars"), col("lang") === "xx")
+      .select(lit("planted_shift").as("test"), col("n_a"),
+        col("n_b"), col("d_stat"), col("crit"), col("reject"))
+    t1.unionByName(t2).orderBy(col("test"))
+  }
+
+  private val q317Oracle: String = {
+    def ks(tag: String, src: String, condA: String): String =
+      s"""vals_$tag AS (
+        |  SELECT n_chars AS v,
+        |    SUM(CASE WHEN $condA THEN 1 ELSE 0 END) AS na_v,
+        |    SUM(CASE WHEN $condA THEN 0 ELSE 1 END) AS nb_v
+        |  FROM $src GROUP BY 1),
+        |cum_$tag AS (
+        |  SELECT SUM(na_v) OVER (ORDER BY v) AS ca,
+        |    SUM(nb_v) OVER (ORDER BY v) AS cb
+        |  FROM vals_$tag),
+        |nn_$tag AS (
+        |  SELECT CAST(SUM(CASE WHEN $condA THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN $condA THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_b
+        |  FROM $src),
+        |dd_$tag AS (
+        |  SELECT n_a, n_b,
+        |    MAX(ABS(CAST(ca AS DECIMAL(38,0)) * n_b -
+        |      CAST(cb AS DECIMAL(38,0)) * n_a)) AS d_num
+        |  FROM cum_$tag CROSS JOIN nn_$tag GROUP BY 1, 2)""".stripMargin
+    def sel(tag: String, label: String): String =
+      s"""SELECT '$label' AS test, n_a, n_b,
+        |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+        |    AS d_stat,
+        |  1.358e0 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+        |    (CAST(n_a AS DOUBLE) * n_b)) AS crit,
+        |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) >
+        |    1.358e0 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+        |      (CAST(n_a AS DOUBLE) * n_b)) AS reject
+        |FROM dd_$tag""".stripMargin
+    s"""WITH base AS (SELECT lang, n_chars FROM documents),
+      |allx AS (
+      |  SELECT lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT 'xx', 5000 + i FROM range(0, 30) t(i)),
+      |${ks("a", "base", "lang = 'de'")},
+      |${ks("b", "allx", "lang = 'xx'")}
+      |${sel("a", "de_vs_rest")}
+      |UNION ALL
+      |${sel("b", "planted_shift")}
+      |ORDER BY test""".stripMargin
+  }
+
+  /** q318: per-source exact binomial digit audit under BH FDR
+    * control ([[graft.operators.HypothesisTests.binomialBhAudit]])
+    * — which sources' leading-digit-1 rate departs from the pooled
+    * corpus rate, at FDR 0.05 across all sources. The planted
+    * source (40 docs, n_chars ∈ [100, 140) → rate 1.0) must be the
+    * rejection; the 20 organic sources fluctuate within binomial
+    * noise and must survive. The oracle replays the pmf log
+    * recurrence, both tails, and the BH ranking bit-identically. */
+  def q318BinomialBh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).select(col("source"), col("n_chars"))
+    val planted = (0 until 40).map(i => ("biased9", 100L + i))
+      .toDF("source", "n_chars")
+    graft.operators.HypothesisTests.binomialBhAudit(
+        base.unionByName(planted), col("source"), "source",
+        substring(col("n_chars").cast("string"), 1, 1) === "1",
+        alpha = 0.05)
+      .orderBy(col("source"))
+  }
+
+  private val q318Oracle: String =
+    """WITH base AS (
+      |  SELECT source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT 'biased9', 100 + i FROM range(0, 40) t(i)),
+      |g AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    SUM(CASE WHEN substr(CAST(n_chars AS VARCHAR), 1, 1) = '1'
+      |      THEN 1 ELSE 0 END) AS k
+      |  FROM base GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(k) AS DOUBLE) / SUM(n) AS p0 FROM g),
+      |grid AS (
+      |  SELECT g.source, g.n, g.k, tot.p0,
+      |    unnest(range(0, g.n + 1)) AS j
+      |  FROM g CROSS JOIN tot),
+      |st AS (
+      |  SELECT source, n, k, p0, j,
+      |    CASE WHEN j = 0 THEN 0.0e0 ELSE
+      |      floor(ln(CAST(n - j + 1 AS DOUBLE) / j) * 1e12) / 1e12
+      |      + floor(ln(p0 / (1.0e0 - p0)) * 1e12) / 1e12 END AS lnr
+      |  FROM grid),
+      |pm AS (
+      |  SELECT source, n, k, j,
+      |    CAST(CAST(n AS DECIMAL(12,0)) *
+      |      CAST(floor(ln(1.0e0 - p0) * 1e12) / 1e12
+      |        AS DECIMAL(20,12)) AS DOUBLE)
+      |    + CAST(SUM(CAST(lnr AS DECIMAL(38,12))) OVER (
+      |        PARTITION BY source ORDER BY j) AS DOUBLE) AS lnpmf
+      |  FROM st),
+      |pf AS (
+      |  SELECT source, n, k, j,
+      |    floor(exp(lnpmf) * 1e12) / 1e12 AS pmf
+      |  FROM pm),
+      |tails AS (
+      |  SELECT source, n, k,
+      |    CAST(SUM(CAST(CASE WHEN j <= k THEN pmf ELSE 0.0e0 END
+      |      AS DECIMAL(38,12))) AS DOUBLE) AS lo,
+      |    CAST(SUM(CAST(CASE WHEN j >= k THEN pmf ELSE 0.0e0 END
+      |      AS DECIMAL(38,12))) AS DOUBLE) AS hi
+      |  FROM pf GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT source, n, k, CAST(k AS DOUBLE) / n AS rate,
+      |    LEAST(1.0e0, 2.0e0 * LEAST(lo, hi)) AS p_value
+      |  FROM tails),
+      |m AS (SELECT COUNT(*) AS m FROM p),
+      |r AS (
+      |  SELECT p.source, p.n, p.k, p.rate, p.p_value, m.m,
+      |    row_number() OVER (ORDER BY p.p_value, p.source)
+      |      AS bh_rank
+      |  FROM p CROSS JOIN m),
+      |ct AS (
+      |  SELECT MAX(CASE WHEN p_value <=
+      |      CAST(bh_rank AS DOUBLE) * 0.05e0 / m
+      |    THEN bh_rank ELSE 0 END) AS cut
+      |  FROM r)
+      |SELECT r.source, CAST(r.n AS BIGINT) AS n,
+      |  CAST(r.k AS BIGINT) AS k, r.rate, r.p_value, r.bh_rank,
+      |  r.bh_rank <= ct.cut AS rejected
+      |FROM r CROSS JOIN ct ORDER BY r.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q299_record_linkage" -> (q299RecordLinkage _),
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
@@ -1356,6 +1505,8 @@ object GovernanceQueries {
     "q309_disparate_impact" -> (q309DisparateImpact _),
     "q310_domain_reweight" -> (q310DomainReweight _),
     "q315_dp_bounded_contribution" -> (q315DpBoundedContribution _),
+    "q317_ks_test" -> (q317KsTest _),
+    "q318_binomial_bh" -> (q318BinomialBh _),
     "q311_isotonic_calibration" -> (q311IsotonicCalibration _),
     "q312_conformal_thresholds" -> (q312ConformalThresholds _),
   )
@@ -1380,6 +1531,8 @@ object GovernanceQueries {
     "q309_disparate_impact" -> q309Oracle,
     "q310_domain_reweight" -> q310Oracle,
     "q315_dp_bounded_contribution" -> q315Oracle,
+    "q317_ks_test" -> q317Oracle,
+    "q318_binomial_bh" -> q318Oracle,
     "q311_isotonic_calibration" -> q311Oracle,
     "q312_conformal_thresholds" -> q312Oracle,
   )

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[HypothesisTests]] — KS pinned on hand-computed statistics,
+  * the exact binomial p against a BigDecimal reference, and the BH
+  * step-up property on crafted p-values. */
+class HypothesisTestsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("KS: hand-computed D, disjoint samples give D = 1, ties " +
+      "shared across samples are handled at the step") {
+    // A = {1, 3, 5}, B = {2, 3, 4, 6}: ECDF gaps at distinct values
+    // v=1: |1/3-0|   v=2: |1/3-1/4|  v=3: |2/3-2/4|
+    // v=4: |2/3-3/4| v=5: |1-3/4|    v=6: 0   -> D = 1/3 at v=1
+    val df = (Seq(1, 3, 5).map((_, true)) ++
+      Seq(2, 3, 4, 6).map((_, false))).toDF("v", "a")
+    val r = HypothesisTests.ksTwoSample(df, col("v"), col("a"))
+      .collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - 1.0 / 3) < 1e-12)
+    // disjoint samples: D = 1; note the ASYMPTOTIC threshold
+    // exceeds 1 for tiny samples (n=3 vs 2 -> crit 1.24, honest
+    // "cannot reject"), so the reject branch needs real sizes
+    val tiny = (Seq(1, 2, 3).map((_, true)) ++
+      Seq(10, 11).map((_, false))).toDF("v", "a")
+    val dTiny = HypothesisTests.ksTwoSample(tiny, col("v"),
+      col("a")).collect().head
+    assert(dTiny.getDouble(2) === 1.0)
+    assert(dTiny.getDouble(3) > 1.0 && !dTiny.getBoolean(4))
+    val disjoint = ((0 until 30).map(i => (i, true)) ++
+      (0 until 20).map(i => (100 + i, false))).toDF("v", "a")
+    val d2 = HypothesisTests.ksTwoSample(disjoint, col("v"),
+      col("a")).collect().head
+    assert(d2.getDouble(2) === 1.0 && d2.getBoolean(4))
+  }
+
+  test("KS: identical large samples accept; a clean shift rejects") {
+    val same = (0 until 400).map(i => (i % 100, i % 2 == 0))
+      .toDF("v", "a")
+    assert(!HypothesisTests.ksTwoSample(same, col("v"), col("a"))
+      .collect().head.getBoolean(4))
+    val shifted = ((0 until 200).map(i => (i % 100, true)) ++
+      (0 until 200).map(i => (i % 100 + 60, false))).toDF("v", "a")
+    assert(HypothesisTests.ksTwoSample(shifted, col("v"), col("a"))
+      .collect().head.getBoolean(4))
+  }
+
+  /** Exact binomial two-sided p (doubled smaller tail) reference
+    * via BigDecimal pmf accumulation. */
+  private def refP(n: Int, k: Int, p: Double): Double = {
+    val pmf = (0 to n).map { j =>
+      val logC = (1 to j).map(i =>
+        math.log((n - j + i).toDouble / i)).sum
+      math.exp(logC + j * math.log(p) + (n - j) * math.log(1 - p))
+    }
+    val lo = pmf.take(k + 1).sum
+    val hi = pmf.drop(k).sum
+    math.min(1.0, 2.0 * math.min(lo, hi))
+  }
+
+  test("binomial p-values match the direct reference within the " +
+      "trunc12 grade and the pooled-rate null is centered") {
+    // 4 groups of 50; group g3 has a strong excess of the property
+    val rows = (0 until 200).map { i =>
+      val g = s"g${i % 4}"
+      val prop =
+        if (i % 4 == 3) i % 10 < 8 // 80%
+        else i % 10 < 3            // 30%
+      (g, prop)
+    }.toDF("g", "prop")
+    val out = HypothesisTests.binomialBhAudit(rows, col("g"), "g",
+        col("prop"), alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4),
+          r.getBoolean(6))).toMap
+    // pooled rate from the audited data itself (i%10 cycles under
+    // i%4 give g0/g2 rate .4, g1 rate .2, g3 rate .8 -> p0 = .45)
+    val p0 = out.values.map(_._2).sum.toDouble /
+      out.values.map(_._1).sum
+    assert(p0 === 0.45)
+    out.foreach { case (g, (n, k, p, _)) =>
+      assert(n === 50L)
+      assert(math.abs(p - refP(n.toInt, k.toInt, p0)) < 1e-6,
+        s"$g: $p vs ${refP(n.toInt, k.toInt, p0)}")
+    }
+    // two-sided: the excess group (g3, .8) AND the deficit group
+    // (g1, .2) both depart from .45; the .4 groups survive
+    assert(out("g3")._4 && out("g1")._4)
+    assert(!out("g0")._4 && !out("g2")._4)
+  }
+
+  test("BH step-up rejects THROUGH an intermediate failing rank") {
+    // m=4, alpha=0.2 -> thresholds .05 .10 .15 .20
+    // ps .04 (pass), .12 (fail), .13 (pass), .9 (fail) -> cutoff 3:
+    // rank 2 is rejected despite failing its own threshold
+    val tails = Seq(("a", 0.04), ("b", 0.12), ("c", 0.13),
+      ("d", 0.9)).toDF("g", "p_value")
+    val out = HypothesisTests.bhReject(tails, "g", alpha = 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("a") === ((1L, true)))
+    assert(out("b") === ((2L, true))) // step-up property
+    assert(out("c") === ((3L, true)))
+    assert(out("d") === ((4L, false)))
+    // all-null case: nothing passes -> nothing rejected
+    val none = Seq(("a", 0.5), ("b", 0.9)).toDF("g", "p_value")
+    assert(HypothesisTests.bhReject(none, "g", 0.05)
+      .collect().forall(!_.getBoolean(3)))
+  }
+
+  test("partition invariance") {
+    val rows = (0 until 300).map(i =>
+      (s"g${i % 6}", (i * 13) % 7 < 2)).toDF("g", "prop")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      HypothesisTests.binomialBhAudit(df, col("g"), "g",
+        col("prop"), 0.1).orderBy("g").collect().map(_.toSeq).toSeq
+    assert(run(rows) === run(rows.repartition(13)))
+    val ks = (0 until 300).map(i => (i % 40, i % 3 == 0))
+      .toDF("v", "a")
+    def runKs(df: org.apache.spark.sql.DataFrame) =
+      HypothesisTests.ksTwoSample(df, col("v"), col("a"))
+        .collect().map(_.toSeq).toSeq
+    assert(runKs(ks) === runKs(ks.repartition(17)))
+  }
+}
