@@ -106,15 +106,23 @@ object Calibration {
         Window.orderBy(col("__nc"), col("__id"))).as("__rn"))
       .localCheckpoint()
     val n = scored.agg(count(lit(1)).as("n_cal"))
-    val thrAll = alphas.map { a =>
-      val kIdx = n.select(col("n_cal"),
+    val kIdxAll = alphas.map { a =>
+      n.select(lit(a).as("alpha"), col("n_cal"),
         ceil(lit(1.0 - a) * (col("n_cal") + lit(1L)))
           .cast("long").as("k_index"))
-      ranked.join(broadcast(kIdx),
-          col("__rn") === col("k_index"))
-        .select(lit(a).as("alpha"), col("n_cal"), col("k_index"),
-          col("__nc").as("threshold"))
     }.reduce(_ unionByName _)
+    // k_index can EXCEED n_cal when α < 1/(n_cal+1): split conformal
+    // defines the threshold as +∞ there (coverage trivially ≥ 1−α) —
+    // a LEFT join keeps the α row instead of silently dropping it
+    // (r11 review); the rank table is still scanned once for all α
+    val found = ranked.join(broadcast(kIdxAll),
+        col("__rn") === col("k_index"))
+      .select(col("alpha").as("__fa"), col("__nc"))
+    val thrAll = kIdxAll.join(broadcast(found),
+        col("alpha") === col("__fa"), "left")
+      .select(col("alpha"), col("n_cal"), col("k_index"),
+        coalesce(col("__nc"), lit(Double.PositiveInfinity))
+          .as("threshold"))
     val t = test.select(nonconformityCol.as("__tnc"))
       .filter(col("__tnc").isNotNull)
     t.crossJoin(broadcast(thrAll))

@@ -507,9 +507,19 @@ object Dedup {
     * OTHER side through the length-key equi-join). Candidates are
     * name-level (both sides `distinct()` first); ids join back at
     * the end, so repeated names fan out exactly. Per-gram join
-    * output is bounded by the df cap (≤ maxDf² per gram) and the
-    * gram-key cardinality scales with the data — never a fixed
-    * block count, never a cartesian.
+    * output is bounded by the df cap (≤ maxDf² per gram) and, for
+    * open name spaces, the gram-key cardinality scales with the
+    * data — never a fixed block count, never a cartesian.
+    *
+    * SIZING CAVEAT (r11 review): over a FIXED vocabulary the gram
+    * TYPE count plateaus while per-gram df grows with scale; once
+    * df exceeds `maxDf` for every gram, all names fall to the
+    * residual path, which equi-joins on the LENGTH key — a fixed
+    * ~|length-range| block count, i.e. the quadratic hazard this
+    * device exists to avoid. For fixed-vocabulary inputs size
+    * `maxDf` ∝ corpus (keeping the ≤ maxDf² per-gram bound a
+    * constant FRACTION of the data, which is the actual contract)
+    * rather than using the absolute default.
     *
     * Output: (lid, rid, dist) — one row per (left-id, right-id)
     * pair whose names match within maxDist (including dist 0). */

@@ -52,20 +52,26 @@ object HypothesisTests {
     * at the given asymptotic c(α) coefficient (1.358 ⇒ α = 0.05). */
   def ksTwoSample(df: DataFrame, valueCol: Column, isACol: Column,
       cAlpha: Double = 1.358): DataFrame = {
+    // one distinct-value aggregate serves BOTH the ECDF steps and
+    // the sample sizes — n_a/n_b MUST come from the same null-
+    // filtered stream as the cumulants, or null values inflate the
+    // denominators and understate D exactly when one sample has
+    // more missing values (itself a drift symptom; r11 review)
     val vals = df.select(valueCol.as("v"),
         when(isACol, lit(1L)).otherwise(lit(0L)).as("a"))
       .filter(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(sum(col("a")).as("na_v"),
         sum(lit(1L) - col("a")).as("nb_v"))
+      .localCheckpoint()
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = vals.select(
       sum(col("na_v")).over(w).as("ca"),
       sum(col("nb_v")).over(w).as("cb"))
-    val n = df.select(
-      sum(when(isACol, lit(1L)).otherwise(lit(0L))).as("n_a"),
-      sum(when(isACol, lit(0L)).otherwise(lit(1L))).as("n_b"))
+    val n = vals.agg(
+      sum(col("na_v")).as("n_a"),
+      sum(col("nb_v")).as("n_b"))
     cum.crossJoin(broadcast(n))
       .select(col("n_a"), col("n_b"),
         abs(col("ca").cast(DecimalType(38, 0)) * col("n_b") -
@@ -102,12 +108,18 @@ object HypothesisTests {
     // lnr(j) = ln((n-j+1)/j) + ln(p0/(1-p0)) is the step INTO j
     val grid = g.crossJoin(broadcast(tot))
       .select(col(groupName), col("n"), col("k"), col("__p0"),
+        // ANSI double division THROWS on zero and log(0) is invalid,
+        // so a degenerate pooled rate (p0 ∈ {0,1}) needs a sentinel
+        // INSIDE the log/division arguments — the downstream p-value
+        // override makes every sentinel-derived pmf irrelevant
+        when(col("__p0") <= lit(0.0) || col("__p0") >= lit(1.0),
+          lit(0.5)).otherwise(col("__p0")).as("__sp0"),
         explode(sequence(lit(0L), col("n"))).as("j"))
     val stepped = grid.withColumn("__lnr",
       when(col("j") === 0L, lit(0.0)).otherwise(
         t12(log((col("n") - col("j") + lit(1L)).cast("double") /
           col("j"))) +
-          t12(log(col("__p0") / (lit(1.0) - col("__p0"))))))
+          t12(log(col("__sp0") / (lit(1.0) - col("__sp0"))))))
     val wj = Window.partitionBy(col(groupName)).orderBy(col("j"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pmf = stepped
@@ -116,7 +128,7 @@ object HypothesisTests {
         // wider factors would push precision past 38 and Spark
         // trims the SCALE (the q307 lesson)
         (col("n").cast(DecimalType(12, 0)) *
-          t12(log(lit(1.0) - col("__p0"))).cast(DecimalType(20, 12)))
+          t12(log(lit(1.0) - col("__sp0"))).cast(DecimalType(20, 12)))
           .cast("double") +
           // over() must attach to the aggregate itself — wrapping
           // the cast makes the analyzer read sum() as a grouped
@@ -124,7 +136,8 @@ object HypothesisTests {
           sum(col("__lnr").cast(DecimalType(38, 12))).over(wj)
             .cast("double"))
       .withColumn("__pmf", t12(exp(col("__lnpmf"))))
-    val tails = pmf.groupBy(col(groupName), col("n"), col("k"))
+    val tails = pmf.groupBy(col(groupName), col("n"), col("k"),
+        col("__p0"))
       .agg(
         xsum12(when(col("j") <= col("k"), col("__pmf"))
           .otherwise(lit(0.0))).as("__lo"),
@@ -132,8 +145,16 @@ object HypothesisTests {
           .otherwise(lit(0.0))).as("__hi"))
       .select(col(groupName), col("n"), col("k"),
         (col("k").cast("double") / col("n")).as("rate"),
-        least(lit(1.0),
-          lit(2.0) * least(col("__lo"), col("__hi"))).as("p_value"))
+        // degenerate pooled rate (every row has / lacks the
+        // property): ln(p0/(1−p0)) is log-of-zero → NULL pmf → null
+        // p-values that bhReject would rank FIRST; the only
+        // consistent observation under p0 ∈ {0,1} is the pooled one
+        // itself, so p = 1 and nothing rejects (r11 review)
+        when(col("__p0") <= lit(0.0) || col("__p0") >= lit(1.0),
+          lit(1.0))
+          .otherwise(least(lit(1.0),
+            lit(2.0) * least(col("__lo"), col("__hi"))))
+          .as("p_value"))
     bhReject(tails, groupName, alpha)
   }
 

@@ -78,12 +78,21 @@ object ModelArtifacts {
     * alternating under one name) are never dropped out from under
     * their readers. The parquet round-trip is value-exact for every
     * Spark SQL type (doubles bit-preserved), so serving from the
-    * artifact is indistinguishable from re-running `build`. */
-  def cached(spark: SparkSession, name: String, fingerprint: String)
+    * artifact is indistinguishable from re-running `build`.
+    *
+    * `version` is the builder's SEMANTICS version, folded into the
+    * table hash alongside the data fingerprint: content fingerprints
+    * track DATA only, so an arithmetic change in `build` MUST bump
+    * the version or a warehouse populated by the previous code
+    * serves stale values (the r11 covariance rewrite exposed this;
+    * versioning at this layer replaces ad-hoc name rotation). */
+  def cached(spark: SparkSession, name: String, fingerprint: String,
+      version: String = "1")
       (build: => DataFrame): DataFrame = {
     require(name.matches("[a-z0-9_]+"),
       s"artifact name must be a lowercase identifier ($name)")
-    val table = s"graft_art_${name}_${md5hex(fingerprint).take(8)}"
+    val table = s"graft_art_${name}_" +
+      md5hex(s"$version|$fingerprint").take(8)
     if (!spark.catalog.tableExists(table)) {
       // A regenerated corpus gets a NEW hash suffix; superseded
       // graft_art_<name>_<oldhash> tables would leak parquet in the

@@ -1013,12 +1013,15 @@ object MultimodalCodecs {
                     val cnt = u32(e + 4)
                     typ match {
                       case 2 => // ASCII, count incl. NUL
-                        val start = if (cnt <= 4) e + 8
-                          else (tiff + u32(e + 8)).toInt
+                        // bounds-check in LONG: a hostile ~2^32
+                        // offset would wrap .toInt into the valid
+                        // range and read garbage (r11 review)
+                        val start: Long = if (cnt <= 4) (e + 8).toLong
+                          else tiff.toLong + u32(e + 8)
                         if (cnt < 1 || cnt > 4096 ||
                             start < 0 || start + cnt > end) None
                         else Some(tag -> Left(new String(bytes,
-                          start, cnt.toInt - 1, "ISO-8859-1")))
+                          start.toInt, cnt.toInt - 1, "ISO-8859-1")))
                       case 3 if cnt == 1 =>
                         Some(tag -> Right(u16(e + 8).toLong))
                       case 4 if cnt == 1 =>

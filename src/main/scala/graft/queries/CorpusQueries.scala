@@ -1035,8 +1035,12 @@ object CorpusQueries {
     * slightly-divergent mirrors): probes are part names with their
     * 3rd character dropped, matched against the part catalog via
     * [[graft.operators.Dedup.fuzzyJoin]] — the df-capped q-gram
-    * candidate device (the q114 discipline, bipartite), whose
-    * gram-key cardinality scales WITH the data. The r10 form
+    * candidate device (the q114 discipline, bipartite). Gram-key
+    * cardinality scales with the data for OPEN name spaces; over a
+    * FIXED vocabulary (TPC-H's ~92 color words) the gram TYPE count
+    * plateaus and per-gram df grows with scale, so the df cap must
+    * scale ∝ corpus (see the fuzzyJoin scaladoc) or the residual
+    * path re-blocks on the ~40-value length key. The r10 form
     * blocked on the 2-char name prefix — a fixed ~50-value key over
     * TPC-H's color vocabulary, so block sizes grew linearly and the
     * pair count quadratically; that form also missed any dist ≤ 2

@@ -952,8 +952,9 @@ object GovernanceQueries {
       |    CAST(SUM(CAST(floor(ln(ns) * 1e9) / 1e9 AS DECIMAL(18,9))
       |      * CAST(ns AS DECIMAL(12,0))) AS DOUBLE) AS nslnns
       |  FROM rk GROUP BY 1, 2)
-      |SELECT c_nationkey, CAST(group_size AS BIGINT) AS group_size,
-      |  bal_bucket, CAST(n_distinct AS BIGINT) AS n_distinct,
+      |SELECT c_nationkey, bal_bucket,
+      |  CAST(group_size AS BIGINT) AS group_size,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
       |  floor(ln(group_size) * 1e9) / 1e9 - nslnns / group_size
       |    AS entropy,
       |  floor(ln(group_size) * 1e9) / 1e9 - nslnns / group_size
@@ -1165,8 +1166,9 @@ object GovernanceQueries {
       |      AS k_index
       |  FROM (VALUES (0.1e0), (0.25e0)) a(alpha) CROSS JOIN n),
       |thr AS (
-      |  SELECT per.alpha, per.n_cal, per.k_index, r.nc AS threshold
-      |  FROM per JOIN r ON r.rn = per.k_index),
+      |  SELECT per.alpha, per.n_cal, per.k_index,
+      |    COALESCE(r.nc, CAST('infinity' AS DOUBLE)) AS threshold
+      |  FROM per LEFT JOIN r ON r.rn = per.k_index),
       |cov AS (
       |  SELECT thr.alpha, thr.n_cal, thr.k_index, thr.threshold,
       |    COUNT(*) AS n_test,
@@ -1366,17 +1368,15 @@ object GovernanceQueries {
         |  SELECT n_chars AS v,
         |    SUM(CASE WHEN $condA THEN 1 ELSE 0 END) AS na_v,
         |    SUM(CASE WHEN $condA THEN 0 ELSE 1 END) AS nb_v
-        |  FROM $src GROUP BY 1),
+        |  FROM $src WHERE n_chars IS NOT NULL GROUP BY 1),
         |cum_$tag AS (
         |  SELECT SUM(na_v) OVER (ORDER BY v) AS ca,
         |    SUM(nb_v) OVER (ORDER BY v) AS cb
         |  FROM vals_$tag),
         |nn_$tag AS (
-        |  SELECT CAST(SUM(CASE WHEN $condA THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_a,
-        |    CAST(SUM(CASE WHEN $condA THEN 0 ELSE 1 END)
-        |      AS BIGINT) AS n_b
-        |  FROM $src),
+        |  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb_v) AS BIGINT) AS n_b
+        |  FROM vals_$tag),
         |dd_$tag AS (
         |  SELECT n_a, n_b,
         |    MAX(ABS(CAST(ca AS DECIMAL(38,0)) * n_b -
@@ -1447,7 +1447,7 @@ object GovernanceQueries {
       |      + floor(ln(p0 / (1.0e0 - p0)) * 1e12) / 1e12 END AS lnr
       |  FROM grid),
       |pm AS (
-      |  SELECT source, n, k, j,
+      |  SELECT source, n, k, p0, j,
       |    CAST(CAST(n AS DECIMAL(12,0)) *
       |      CAST(floor(ln(1.0e0 - p0) * 1e12) / 1e12
       |        AS DECIMAL(20,12)) AS DOUBLE)
@@ -1455,19 +1455,20 @@ object GovernanceQueries {
       |        PARTITION BY source ORDER BY j) AS DOUBLE) AS lnpmf
       |  FROM st),
       |pf AS (
-      |  SELECT source, n, k, j,
+      |  SELECT source, n, k, p0, j,
       |    floor(exp(lnpmf) * 1e12) / 1e12 AS pmf
       |  FROM pm),
       |tails AS (
-      |  SELECT source, n, k,
+      |  SELECT source, n, k, p0,
       |    CAST(SUM(CAST(CASE WHEN j <= k THEN pmf ELSE 0.0e0 END
       |      AS DECIMAL(38,12))) AS DOUBLE) AS lo,
       |    CAST(SUM(CAST(CASE WHEN j >= k THEN pmf ELSE 0.0e0 END
       |      AS DECIMAL(38,12))) AS DOUBLE) AS hi
-      |  FROM pf GROUP BY 1, 2, 3),
+      |  FROM pf GROUP BY 1, 2, 3, 4),
       |p AS (
       |  SELECT source, n, k, CAST(k AS DOUBLE) / n AS rate,
-      |    LEAST(1.0e0, 2.0e0 * LEAST(lo, hi)) AS p_value
+      |    CASE WHEN p0 <= 0.0e0 OR p0 >= 1.0e0 THEN 1.0e0
+      |      ELSE LEAST(1.0e0, 2.0e0 * LEAST(lo, hi)) END AS p_value
       |  FROM tails),
       |m AS (SELECT COUNT(*) AS m FROM p),
       |r AS (

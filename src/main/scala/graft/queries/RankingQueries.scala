@@ -74,13 +74,12 @@ object RankingQueries {
     * serve-many is the deployment shape, and the fingerprint guard
     * makes staleness structurally impossible. */
   private def pcaAxes(s: SparkSession, d: String): DataFrame =
-    // name carries an engine-semantics version: the content
-    // fingerprint tracks DATA only, so an arithmetic change in the
-    // covariance build (r11 unit-sum rewrite) must rotate the name
-    // or stale warehouse artifacts would serve pre-rewrite values
-    graft.operators.ModelArtifacts.cached(s, "pca2_r11",
+    // version "2" = the r11 unit-sum covariance arithmetic; the
+    // version (not a name rotation) is what isolates artifacts
+    // built by older code from this build's oracles
+    graft.operators.ModelArtifacts.cached(s, "pca2",
       graft.operators.ModelArtifacts.contentFingerprint(s, d,
-        Seq("embeddings.parquet"))) {
+        Seq("embeddings.parquet")), version = "2") {
       graft.operators.Pca.topTwoAxes(embeddings(s, d), "embedding",
         iters = 8)
     }

@@ -963,12 +963,18 @@ object StreamingOps {
             CusumState(Long.MinValue, 0L))
           var s = st.s
           var last = st.lastBucket
-          val rows = it.toSeq.sortBy(_.bucket)
-            .filter(_.bucket > last).map { e =>
+          // the duplicate guard must sit INSIDE the fold: a strict
+          // .filter(_.bucket > last) evaluates against the PRE-batch
+          // watermark, so a bucket replayed twice within one
+          // micro-batch would be applied twice (r11 review)
+          val rows = it.toSeq.sortBy(_.bucket).flatMap { e =>
+            if (e.bucket <= last) None
+            else {
               s = math.max(0L, s + e.x - k)
               last = e.bucket
-              CusumRow(g, e.bucket, e.x, s, s > h)
+              Some(CusumRow(g, e.bucket, e.x, s, s > h))
             }
+          }
           state.update(CusumState(last, s))
           rows.iterator
       }
@@ -1013,8 +1019,13 @@ object StreamingOps {
           val st = state.getOption.getOrElse(
             AccState(Long.MinValue, 0L, 0L))
           var last = st.lastSeq; var n = st.n; var a = st.acc
-          it.toSeq.sortBy(_.seq).filter(_.seq > last).foreach { e =>
-            last = e.seq; n += 1L; if (e.acc) a += 1L
+          // duplicate guard INSIDE the fold (not a strict pre-pass
+          // filter): a sequence replayed twice within ONE micro-batch
+          // must count once (r11 review)
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (e.seq > last) {
+              last = e.seq; n += 1L; if (e.acc) a += 1L
+            }
           }
           state.update(AccState(last, n, a))
           Iterator.single(AccRow(g, last, n, a))

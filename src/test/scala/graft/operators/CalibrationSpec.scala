@@ -96,6 +96,24 @@ class CalibrationSpec extends SparkTestBase {
     assert(out.getDouble(7) === 0.5)
   }
 
+  test("conformal: alpha below 1/(n_cal+1) keeps its row with " +
+      "threshold +inf and trivial coverage") {
+    val cal = (1 to 5).map(i => (i.toDouble, i.toLong))
+      .toDF("nc", "id")
+    val test = Seq((3.0, 100L), (99.0, 101L)).toDF("nc", "id")
+    val out = Calibration.conformalThresholds(cal, test, col("nc"),
+        col("id"), alphas = Seq(0.1, 0.5)).orderBy("alpha")
+      .collect()
+    assert(out.length === 2) // the 0.1 row must NOT vanish
+    val tight = out(0) // alpha = 0.1: k = ceil(.9*6) = 6 > 5
+    assert(tight.getLong(2) === 6L)
+    assert(tight.getDouble(3).isPosInfinity)
+    assert(tight.getLong(5) === 2L &&
+      tight.getDouble(6) === 1.0) // everything covered
+    val loose = out(1) // alpha = 0.5: k = 3 -> threshold 3.0
+    assert(loose.getDouble(3) === 3.0)
+  }
+
   test("conformal ties break on id and the threshold is a real " +
       "calibration value; partition invariance") {
     val cal = Seq.fill(20)(1.0).zipWithIndex

@@ -110,6 +110,19 @@ class HypothesisTestsSpec extends SparkTestBase {
       .collect().forall(!_.getBoolean(3)))
   }
 
+  test("degenerate pooled rate (all rows share the property) gives " +
+      "p = 1 everywhere and no rejections, never null") {
+    val rows = (0 until 60).map(i => (s"g${i % 3}", true))
+      .toDF("g", "prop")
+    val out = HypothesisTests.binomialBhAudit(rows, col("g"), "g",
+      col("prop"), alpha = 0.05).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(!r.isNullAt(4) && r.getDouble(4) === 1.0)
+      assert(!r.getBoolean(6))
+    }
+  }
+
   test("partition invariance") {
     val rows = (0 until 300).map(i =>
       (s"g${i % 6}", (i * 13) % 7 < 2)).toDF("g", "prop")

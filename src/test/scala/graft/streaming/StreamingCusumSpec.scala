@@ -65,4 +65,11 @@ class StreamingCusumSpec extends SparkTestBase {
       .flatMap(c => Seq(c, c)) // every chunk sent twice
     assert(streamed(withDups, "cu_f") === batch(series))
   }
+
+  test("duplicate buckets WITHIN one micro-batch apply once") {
+    // the r11 review case: a strict pre-pass filter against the
+    // pre-batch watermark would apply same-batch duplicates twice
+    val doubled = Seq(series.flatMap(e => Seq(e, e)))
+    assert(streamed(doubled, "cu_g") === batch(series))
+  }
 }

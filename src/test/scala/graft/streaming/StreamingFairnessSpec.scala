@@ -62,6 +62,13 @@ class StreamingFairnessSpec extends SparkTestBase {
     assert(streamed(withDups, "fa_d") === batchCounts(events))
   }
 
+  test("duplicates WITHIN one micro-batch are dropped exactly-once") {
+    // an at-least-once source whose redelivery coalesces into a
+    // single trigger: every event appears twice in the same chunk
+    val doubled = Seq(events.flatMap(e => Seq(e, e)))
+    assert(streamed(doubled, "fa_g") === batchCounts(events))
+  }
+
   test("mid-stream prefix equals the batch answer for that prefix") {
     val prefix = events.filter(_._2 < 60)
     assert(streamed(Seq(prefix), "fa_e") === batchCounts(prefix))
