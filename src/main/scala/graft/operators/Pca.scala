@@ -61,9 +61,20 @@ object Pca {
     //    a bare BIGINT sum would overflow at 10^9.
     //    Both engines then divide the unit sum by 1e9 and by n in
     //    the same order (the oracles mirror the sequence).
+    // repartition BEFORE the checkpoint: a single-file input keeps
+    // one partition through explode + checkpoint, and every
+    // downstream stage (the d-way join fan-out, the cell aggregate)
+    // inherits that — measured 9.7 s at 4 cores vs 8.8 s at 32 at
+    // sf0.1, i.e. no parallel speedup at all. Spreading the element
+    // rows costs one shuffle of the input's own bytes and buys the
+    // whole n·d² stream its parallelism. rid is assigned BEFORE the
+    // shuffle so the self-join key stays consistent.
+    val shufflePartitions = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val x = df
       .select(monotonically_increasing_id().as("rid"),
         col(vecCol).as("arr"))
+      .repartition(shufflePartitions, col("rid"))
       .select(col("rid"), posexplode(col("arr")).as(Seq("i", "xi")))
       .select(col("rid"), col("i"),
         col("xi").cast("double").as("xi"))
