@@ -27,14 +27,11 @@ object ScaleBench {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
-  /** Row count through an aggregation that also checksums every
-    * output column — forces FULL evaluation of the plan (count()
-    * alone lets the optimizer prune operators whose columns nothing
-    * references, e.g. the Window inside the union+window as-of). */
-  private def fullEval(df: DataFrame): Long =
-    df.select(xxhash64(df.columns.map(col): _*).as("_h"))
-      .agg(sum(pmod(col("_h"), lit(1000000007L))), count(lit(1)))
-      .head.getLong(1)
+  /** Full-evaluation forcing (count() alone lets the optimizer prune
+    * operators whose columns nothing references, e.g. the Window
+    * inside the union+window as-of). Shared with Bench since r12 —
+    * see graft.Force. */
+  private def fullEval(df: DataFrame): Long = Force.fullEval(df)
 
   def scaledDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val base = spark.read.parquet(s"$dir/documents.parquet")

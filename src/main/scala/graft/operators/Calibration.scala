@@ -45,14 +45,30 @@ object Calibration {
     val binned = df.select(scoreCol.as("__s"),
         labelCol.cast("boolean").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
-      .select(least(floor(col("__s") * lit(bins)), lit(bins - 1))
-        .cast("long").as("bin"),
+      .select(binIndex(col("__s"), bins).as("bin"),
         when(col("__y"), lit(1L)).otherwise(lit(0L)).as("__yi"))
-    // ONE corpus pass: the ≤bins-row bin table is materialized so
-    // the pair/triple algebra below (4 consumers) never re-scans
-    // the input (the marginRank discipline)
-    val b = binned.groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("__yi")).as("pos"))
+    // ONE corpus pass: the ≤bins-row bin table feeds the shared
+    // fit-from-counts algebra
+    isotonicFromBinCounts(binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__yi")).as("pos")))
+  }
+
+  /** The equal-width bin index shared by the batch fit and the
+    * streaming bin counters ([[graft.streaming.StreamingOps]]) —
+    * scores in [0,1], bin = min(floor(s·bins), bins−1). */
+  private[graft] def binIndex(score: Column, bins: Int): Column =
+    least(floor(score * lit(bins)), lit(bins - 1)).cast("long")
+
+  /** The isotonic max–min algebra over a PRE-AGGREGATED
+    * (bin, n, pos) counter table — shared by [[isotonicFit]] and
+    * the streaming monitor's live bin-counter snapshots, so the
+    * calibration curve a dashboard shows mid-stream is the exact
+    * batch fit (the [[Fairness.auditFromCounts]] device). */
+  def isotonicFromBinCounts(counts: DataFrame): DataFrame = {
+    // the ≤bins-row table is materialized so the pair/triple algebra
+    // below (4 consumers) never re-runs the upstream aggregate (the
+    // marginRank discipline)
+    val b = counts.select(col("bin"), col("n"), col("pos"))
       .localCheckpoint()
     // prefix sums over the ≤bins-row bin table (the single-partition
     // window is constant-size by construction, never corpus-sized)

@@ -441,11 +441,15 @@ object Dedup {
     * Output: (name_a, name_b, dist), name_a < name_b, one row per
     * matched pair. */
   def fuzzyMatches(df: DataFrame, nameCol: String, maxDist: Int = 2,
-      q: Int = 3, maxDf: Int = 1000): DataFrame = {
-    val names = df.select(col(nameCol).cast("string").as("name"))
+      q: Int = 3, maxDf: Int = AutoDf): DataFrame = {
+    val names0 = df.select(col(nameCol).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct()
+    // the distinct universe feeds the gram index, the length table
+    // AND (under AutoDf) a count — materialize it once
+    val names = names0.localCheckpoint()
+    val cap = resolveDfCap(maxDf, names)
     val shortCap = (maxDist + 1) * q // guarantee floor on max length
-    val keptGrams = dfCapped(nameGrams(names, q), maxDf)
+    val keptGrams = dfCapped(nameGrams(names, q), cap)
     val viaGrams = keptGrams.select(col("name").as("name_a"), col("g"))
       .join(keptGrams.select(col("name").as("name_b"), col("g")), "g")
       .filter(col("name_a") < col("name_b"))
@@ -476,6 +480,54 @@ object Dedup {
       transform(sequence(lit(1), greatest(length(col("name")) -
         (q - 1), lit(1))),
         i => col("name").substr(i, lit(q))))))
+
+  /** Sentinel `maxDf` value: size the stop-gram cap from the data —
+    * max(1000, ⌈1% of the distinct-name universe⌉). The r11 review
+    * proved any ABSOLUTE cap degenerates over a fixed vocabulary:
+    * per-gram df grows ∝ corpus, so a constant cap eventually drops
+    * every gram and the residual path silently re-blocks on the
+    * ~|length-range|-value length key — the quadratic hazard the
+    * gram device exists to avoid. An n-scaled cap keeps the
+    * separation stable at every scale: grams in >1% of names are
+    * stop-grams (dropped), and a name's RAREST gram — what keeps it
+    * off the residual path — has df ∝ vocabulary-pair frequency,
+    * a tiny fraction of n that stays far below the 1% line as both
+    * grow linearly (DedupSpec pins liveness at 1× vs 10×). The 1000
+    * floor preserves the historical small-corpus behavior exactly. */
+  val AutoDf: Int = 0
+
+  /** Resolve a caller `maxDf` (explicit > 0, or [[AutoDf]]) against
+    * the distinct-name universe. `names` must be cheap to count
+    * (callers pass the localCheckpoint'd universe). */
+  private[operators] def resolveDfCap(maxDf: Int,
+      names: DataFrame): Int =
+    if (maxDf > 0) maxDf
+    else math.min(Int.MaxValue.toLong,
+      math.max(1000L, math.ceil(names.count() * 0.01).toLong)).toInt
+
+  /** Blocking-liveness diagnostic for the fuzzy devices: one row —
+    * (n_names, df_cap, n_residual, residual_share) — over the same
+    * distinct-name universe, gram index, and stop-gram cap
+    * [[fuzzyMatches]] would use. A residual_share creeping toward 1
+    * means the cap is degenerating the gram index into length-key
+    * blocking (the scale hazard); with [[AutoDf]] it stays pinned
+    * near the short-name floor at any corpus size. */
+  def fuzzyBlockingStats(df: DataFrame, nameCol: String,
+      maxDist: Int = 2, q: Int = 3, maxDf: Int = AutoDf): DataFrame = {
+    val names = df.select(col(nameCol).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct().localCheckpoint()
+    val cap = resolveDfCap(maxDf, names)
+    val shortCap = (maxDist + 1) * q
+    val keptGrams = dfCapped(nameGrams(names, q), cap)
+    val namesL = names.withColumn("_l", length(col("name")))
+    val residual =
+      residualNames(namesL, keptGrams, Seq("name"), shortCap)
+    names.agg(count(lit(1)).as("n_names"))
+      .crossJoin(residual.agg(count(lit(1)).as("n_residual")))
+      .select(col("n_names"), lit(cap).as("df_cap"), col("n_residual"),
+        (col("n_residual").cast("double") / col("n_names"))
+          .as("residual_share"))
+  }
 
   /** Stop-gram cap: keep gram rows whose gram's global df ≤ maxDf. */
   private def dfCapped(grams: DataFrame, maxDf: Int): DataFrame =
@@ -511,22 +563,25 @@ object Dedup {
     * open name spaces, the gram-key cardinality scales with the
     * data — never a fixed block count, never a cartesian.
     *
-    * SIZING CAVEAT (r11 review): over a FIXED vocabulary the gram
-    * TYPE count plateaus while per-gram df grows with scale; once
-    * df exceeds `maxDf` for every gram, all names fall to the
-    * residual path, which equi-joins on the LENGTH key — a fixed
-    * ~|length-range| block count, i.e. the quadratic hazard this
-    * device exists to avoid. For fixed-vocabulary inputs size
-    * `maxDf` ∝ corpus (keeping the ≤ maxDf² per-gram bound a
-    * constant FRACTION of the data, which is the actual contract)
-    * rather than using the absolute default.
+    * SIZING (r11 review → r12 fix): over a FIXED vocabulary the
+    * gram TYPE count plateaus while per-gram df grows with scale;
+    * once df exceeds an ABSOLUTE `maxDf` for every gram, all names
+    * fall to the residual path, which equi-joins on the LENGTH
+    * key — a fixed ~|length-range| block count, i.e. the quadratic
+    * hazard this device exists to avoid. The default is therefore
+    * [[AutoDf]]: the cap is sized ∝ the distinct-name universe
+    * (max(1000, 1% of names)), so gram blocking stays live at every
+    * scale (DedupSpec pins 1× vs 10× liveness;
+    * [[fuzzyBlockingStats]] is the production diagnostic). Pass an
+    * explicit `maxDf > 0` only for corpora whose df distribution
+    * you've measured.
     *
     * Output: (lid, rid, dist) — one row per (left-id, right-id)
     * pair whose names match within maxDist (including dist 0). */
   def fuzzyJoin(left: DataFrame, leftIdCol: String,
       leftNameCol: String, right: DataFrame, rightIdCol: String,
       rightNameCol: String, maxDist: Int = 2, q: Int = 3,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = AutoDf): DataFrame = {
     val l = left.select(col(leftIdCol).as("lid"),
       col(leftNameCol).cast("string").as("name_l"))
       .filter(col("name_l").isNotNull)
@@ -537,9 +592,12 @@ object Dedup {
       .withColumn("side", lit(0))
     val rn = r.select(col("name_r").as("name")).distinct()
       .withColumn("side", lit(1))
-    val names = ln.unionByName(rn)
+    // both-side universe materialized once: gram index + length
+    // table + (under AutoDf) the sizing count all read it
+    val names = ln.unionByName(rn).localCheckpoint()
+    val cap = resolveDfCap(maxDf, names)
     val shortCap = (maxDist + 1) * q
-    val keptGrams = dfCapped(nameGrams(names, q), maxDf)
+    val keptGrams = dfCapped(nameGrams(names, q), cap)
     val viaGrams = keptGrams.filter(col("side") === 0)
       .select(col("name").as("name_l"), col("g"))
       .join(keptGrams.filter(col("side") === 1)

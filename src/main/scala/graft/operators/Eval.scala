@@ -259,4 +259,93 @@ object Eval {
           .as("uniformity"))
     align.crossJoin(broadcast(unif))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1) per problem over an n-sample
+    * candidate table: with c of n candidates correct,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i)/(n−i),
+    *
+    * the estimator every code-eval harness reports. Output one row
+    * per (problem, k): (problem, k, n, c, pass_at_k); pass_at_k is
+    * null when k > n (the estimator needs n ≥ k samples — a
+    * diagnostic row, not a silent drop, the ksTwoSample discipline).
+    *
+    * Cross-engine exactness: n, c, i are integers, each factor is a
+    * single IEEE division (correctly rounded from exact integer
+    * operands in every engine), and the product folds in fixed
+    * ascending-i order — bit-identical to the oracle's list_reduce
+    * with NO truncation tricks needed. When k ≤ n−c the product is
+    * taken as written; when n−c < k some factor is exactly 0 and
+    * pass@k = 1 exactly.
+    *
+    * Scale shape: ONE corpus aggregate to (problem, n, c) — map-side
+    * combining counts, never candidate text through the shuffle —
+    * then the k-factor fold runs over the problem-level table
+    * (|problems|·|ks| rows; the interpreted-lambda cost lives on
+    * that small table, never the corpus — NOTES trap 3 is priced). */
+  def passAtK(candidates: DataFrame, problemCol: Column,
+      correctCol: Column, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    val agg = candidates.select(problemCol.as("problem"),
+        when(coalesce(correctCol.cast("boolean"), lit(false)),
+          lit(1L)).otherwise(lit(0L)).as("__c"))
+      .groupBy(col("problem"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("c"))
+    agg.select(col("problem"), col("n"), col("c"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .withColumn("pass_at_k",
+        when(col("k") > col("n"), lit(null).cast("double"))
+          .otherwise(lit(1.0) - aggregate(
+            sequence(lit(0L), col("k") - 1L),
+            lit(1.0),
+            (acc, i) => acc *
+              ((col("n") - col("c") - i).cast("double") /
+                (col("n") - i).cast("double")))))
+      .select(col("problem"), col("k"), col("n"), col("c"),
+        col("pass_at_k"))
+  }
+
+  /** Self-consistency / majority-vote scoring (Wang et al. 2022,
+    * "Self-Consistency Improves Chain of Thought Reasoning"): per
+    * problem, the MODAL answer across n sampled candidates (ties
+    * broken by the lexicographically smallest answer — the
+    * engine-wide deterministic tie-break), its vote count and
+    * share, and whether the consensus answer is correct. `correct`
+    * must be a property of the ANSWER (all candidates with equal
+    * answer carry equal correctness); the operator takes bool_or
+    * over the modal answer's candidates, so one inconsistent flag
+    * widens to "some grader accepted it" rather than
+    * engine-defined row pick.
+    *
+    * Scale shape: two hash aggregates — (problem, answer) vote
+    * counts, then one min(struct) per problem (map-side combining;
+    * a group never materializes its members, the preferencePairs
+    * device). Null answers count as the sentinel empty string
+    * (a vote for "no answer", not a dropped row — n must equal the
+    * sample count). */
+  def consensusVote(candidates: DataFrame, problemCol: Column,
+      answerCol: Column, correctCol: Column): DataFrame = {
+    val votes = candidates.select(problemCol.as("problem"),
+        coalesce(answerCol.cast("string"), lit("")).as("answer"),
+        coalesce(correctCol.cast("boolean"), lit(false)).as("__ok"))
+      .groupBy(col("problem"), col("answer"))
+      .agg(count(lit(1)).as("votes"),
+        max(when(col("__ok"), lit(1L)).otherwise(lit(0L))).as("__okv"))
+    votes
+      .groupBy(col("problem"))
+      .agg(
+        // min(struct(-votes, answer, ...)) = votes DESC, answer ASC
+        min(struct((-col("votes")).as("nv"), col("answer"),
+          col("votes"), col("__okv"))).as("ch"),
+        sum(col("votes")).as("n"),
+        count(lit(1)).as("n_distinct_answers"))
+      .select(col("problem"), col("n"), col("n_distinct_answers"),
+        col("ch.answer").as("consensus_answer"),
+        col("ch.votes").as("consensus_votes"),
+        (col("ch.votes").cast("double") / col("n"))
+          .as("vote_share"),
+        (col("ch.__okv") === 1L).as("consensus_correct"))
+  }
 }

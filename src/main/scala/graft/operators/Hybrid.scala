@@ -50,8 +50,20 @@ object Hybrid {
     * and scoring tail, bit-identical scores. */
   def bm25Terms(corpus: DataFrame, idCol: String, textCol: String,
       qterms: DataFrame, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    val tf = termFrequencies(corpus, idCol, textCol)
+      b: Double = 0.75): DataFrame =
+    bm25FromTf(corpus.select(col(idCol).as("doc")),
+      termFrequencies(corpus, idCol, textCol), qterms, k1, b)
+
+  /** [[bm25Terms]] over a PRECOMPUTED (doc, term, tf) frame plus the
+    * corpus doc-id frame — the entry point for callers that reuse
+    * ONE tokenized corpus across several BM25 passes
+    * ([[prfExpandedBm25]] runs two; re-deriving tf per pass would
+    * re-scan and re-tokenize the full text each time, the r11
+    * advisory). `ids` must carry one `doc` row per corpus document
+    * INCLUDING null-text ones, `tf` exactly [[termFrequencies]] of
+    * the same corpus — both are the caller's to checkpoint. */
+  private[operators] def bm25FromTf(ids: DataFrame, tf: DataFrame,
+      qterms: DataFrame, k1: Double, b: Double): DataFrame = {
     // Tokenize the corpus text ONCE: doc length, corpus stats, and
     // document frequency all derive from the tf frame, whose groupBy
     // exchange AQE materializes once and reuses across the three
@@ -64,7 +76,7 @@ object Hybrid {
     // no tf rows; the left join from corpus ids keeps them as null
     // dl — exactly tokenCount's null — so n_docs and avgdl keep
     // whole-corpus semantics.
-    val docLen = corpus.select(col(idCol).as("doc"))
+    val docLen = ids
       .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
         Seq("doc"), "left")
     val stats = docLen.agg(
@@ -102,11 +114,17 @@ object Hybrid {
     val qt = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
         .as("term"))
-    val fb = prefetch(bm25Terms(corpus, idCol, textCol, qt, k1, b),
-      fbDocs).select(col("qid"), col("doc"))
-    val tf = termFrequencies(corpus, idCol, textCol)
+    // tokenize the corpus ONCE for all of: the two BM25 passes, the
+    // expansion weights, and the df table (r11 advisory — the former
+    // shape re-derived tf per consumer, re-scanning and re-tokenizing
+    // the full text twice more; the marginRank localCheckpoint
+    // discipline, Agreement.scala)
+    val tf = termFrequencies(corpus, idCol, textCol).localCheckpoint()
+    val ids = corpus.select(col(idCol).as("doc")).localCheckpoint()
+    val fb = prefetch(bm25FromTf(ids, tf, qt, k1, b), fbDocs)
+      .select(col("qid"), col("doc"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val nDocs = ids.agg(count(lit(1)).as("n_docs"))
     val expansion = fb.join(tf, Seq("doc"))
       .groupBy(col("qid"), col("term"))
       .agg(sum(col("tf")).as("fbtf"))
@@ -124,8 +142,7 @@ object Hybrid {
       .select(col("qid"), col("term"))
     // disjoint by the anti-join, both sides distinct ⇒ the union is
     // already a distinct (qid, term) set
-    bm25Terms(corpus, idCol, textCol, qt.unionByName(expansion),
-      k1, b)
+    bm25FromTf(ids, tf, qt.unionByName(expansion), k1, b)
   }
 
   /** The BM25 scoring tail over a joined candidate frame carrying

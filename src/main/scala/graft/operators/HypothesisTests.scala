@@ -79,12 +79,21 @@ object HypothesisTests {
           .as("gap"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("gap")).as("d_num"))
+      // an EMPTY sample (the isACol predicate matched nothing, or
+      // everything) has no ECDF: under ANSI the n_a·n_b denominator
+      // would THROW a divide-by-zero mid-audit. Emit the diagnostic
+      // instead — null d_stat/crit, reject = false ("cannot test"),
+      // with n_a/n_b showing WHICH side was empty (r12 advice)
       .select(col("n_a"), col("n_b"),
-        (col("d_num").cast("double") /
-          (col("n_a").cast("double") * col("n_b"))).as("d_stat"),
-        (lit(cAlpha) * sqrt((col("n_a") + col("n_b")).cast("double") /
-          (col("n_a").cast("double") * col("n_b")))).as("crit"))
-      .withColumn("reject", col("d_stat") > col("crit"))
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise(col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b"))).as("d_stat"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise(lit(cAlpha) *
+            sqrt((col("n_a") + col("n_b")).cast("double") /
+              (col("n_a").cast("double") * col("n_b")))).as("crit"))
+      .withColumn("reject",
+        coalesce(col("d_stat") > col("crit"), lit(false)))
   }
 
   /** Per-group exact binomial test of P(property) against the

@@ -70,4 +70,65 @@ object Reweighting {
       .select(col("round"), col("domain"), col("loss"),
         col("excess"), col("weight"))
   }
+
+  /** RHO-style per-example excess-loss selection (Mindermann et al.
+    * 2022, "Prioritized Training on Points that are Learnable,
+    * Worth Learning, and Not Yet Learnt"): each example's REDUCIBLE
+    * loss is its current-model loss minus a reference-model loss —
+    * high current loss alone marks noise/unlearnable text; high
+    * EXCESS marks learnable-and-not-yet-learnt — and training keeps
+    * the top-ρ fraction by excess. The DoReMi companion at example
+    * granularity (that one reweights domains; this one selects
+    * rows).
+    *
+    * Selection contract: k_target = ⌈ρ·n⌉; the threshold is the
+    * LARGEST excess value v such that |{excess ≥ v}| ≥ k_target,
+    * and every row with excess ≥ threshold is selected — ties at
+    * the threshold are ALL kept (n_selected ≥ k_target,
+    * deterministic, no engine-defined row pick among equal-excess
+    * rows; the boundary overshoot is exactly the threshold's tie
+    * count). Null losses are dropped (nothing to score).
+    *
+    * Scale shape: one corpus aggregate to the DISTINCT-excess table
+    * (bounded by value cardinality, the ksTwoSample device), one
+    * cumulative window over THAT table (never the corpus), one
+    * 1-row threshold broadcast back — the corpus is scanned once
+    * and shuffled once (the groupBy), with no corpus-sized window
+    * and no driver-side state beyond the threshold row. Excess is
+    * t9-truncated before grouping so the distinct table cannot be
+    * inflated by sub-ulp noise across engines.
+    *
+    * Output per surviving input row: (id, loss, ref_loss, excess,
+    * selected) plus the constant (n_total, k_target, threshold)
+    * columns a datasheet wants alongside. */
+  def excessLossSelect(df: DataFrame, idCol: String, lossCol: String,
+      refLossCol: String, rho: Double): DataFrame = {
+    require(rho > 0 && rho <= 1, "rho in (0, 1]")
+    val scored = df.select(col(idCol).as("id"),
+        t9(col(lossCol)).as("loss"),
+        t9(col(refLossCol)).as("ref_loss"))
+      .filter(col("loss").isNotNull && col("ref_loss").isNotNull)
+      .withColumn("excess", t9(col("loss") - col("ref_loss")))
+      .localCheckpoint()
+    val dist = scored.groupBy(col("excess"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("excess").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = dist.select(col("excess"),
+      sum(col("__cnt")).over(w).as("__cum"))
+    val n = scored.agg(count(lit(1)).as("n_total"))
+    val thr = cum.crossJoin(broadcast(n))
+      .withColumn("__k",
+        ceil(lit(rho) * col("n_total").cast("double")).cast("long"))
+      .filter(col("__cum") >= col("__k"))
+      .agg(max(col("excess")).as("threshold"),
+        max(col("__k")).as("k_target"),
+        max(col("n_total")).as("n_total"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("id"), col("loss"), col("ref_loss"), col("excess"),
+        (col("excess") >= col("threshold")).as("selected"),
+        col("n_total"), col("k_target"), col("threshold"))
+  }
 }

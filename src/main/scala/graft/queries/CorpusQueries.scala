@@ -1039,8 +1039,10 @@ object CorpusQueries {
     * cardinality scales with the data for OPEN name spaces; over a
     * FIXED vocabulary (TPC-H's ~92 color words) the gram TYPE count
     * plateaus and per-gram df grows with scale, so the df cap must
-    * scale ∝ corpus (see the fuzzyJoin scaladoc) or the residual
-    * path re-blocks on the ~40-value length key. The r10 form
+    * scale ∝ corpus — which the default `maxDf = AutoDf` now does
+    * (r12: max(1000, 1% of distinct names), see the fuzzyJoin
+    * scaladoc), keeping gram blocking live instead of silently
+    * re-blocking on the ~40-value length key. The r10 form
     * blocked on the 2-char name prefix — a fixed ~50-value key over
     * TPC-H's color vocabulary, so block sizes grew linearly and the
     * pair count quadratically; that form also missed any dist ≤ 2

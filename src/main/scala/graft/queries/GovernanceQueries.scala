@@ -724,8 +724,18 @@ object GovernanceQueries {
     *   1. exact name  — holds every true pair whose name survived
     *      (h ≠ 0 corrupts balance or nothing);
     *   2. exact balance — holds the name-corrupted true pairs
-    *      (h = 0 leaves balance untouched), block key cardinality
-    *      ≈ n (doubles, both engines bit-identical);
+    *      (h = 0 leaves balance untouched). DOMAIN BOUND (r12
+    *      advice): c_acctbal's TPC-H domain is fixed
+    *      ([-999.99, 9999.99] ⇒ ~1.1M cent values), so the block
+    *      key cardinality is min(n, 1.1M) and the pass-2 pair count
+    *      grows ~n²/1.1M once n ≫ 1.1M — negligible through
+    *      sf≈100 (15M customers ⇒ ~2·10⁸ pairs, each a 3-boolean
+    *      row), but a caller linking on a similarly band-limited
+    *      key at larger n should df-cap the heavy key values (the
+    *      fuzzy device's stop-gram discipline: a balance shared by
+    *      thousands of records carries no linkage evidence, and EM's
+    *      u-estimate needs a SAMPLE of non-matches, not all of
+    *      them — pass 3 already supplies that sample at O(n));
     *   3. md5 bucket of the name, modulus = |customer| — a
     *      deterministic pseudo-random O(n)-pair sample that
     *      supplies the representative NON-match population the u /
@@ -1486,7 +1496,65 @@ object GovernanceQueries {
       |  r.bh_rank <= ct.cut AS rejected
       |FROM r CROSS JOIN ct ORDER BY r.source""".stripMargin
 
+  /** q321: RHO-style excess-loss data selection
+    * ([[graft.operators.Reweighting.excessLossSelect]], Mindermann
+    * et al. 2022) at ρ = 0.25 — the per-EXAMPLE companion to q310's
+    * per-domain DoReMi reweighting: each document carries a
+    * current-model and a reference-model loss (the md5 device, 3
+    * exact decimal digits — an engine-portable stand-in for two
+    * scored model passes that keeps every loss, excess, threshold,
+    * and tie replayable), and training keeps every row whose excess
+    * clears the ⌈ρ·n⌉-th-largest boundary, ties at the threshold
+    * all kept. The oracle replays the losses, the distinct-excess
+    * cumulative table, the threshold, and the flag per row. */
+  def q321ExcessLossSelect(s: SparkSession, d: String): DataFrame = {
+    def h(tag: String) = conv(substring(md5(concat(lit(tag),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val scored = documents(s, d).select(col("doc_id"),
+      (h("rho:l:").cast("double") / 1000.0).as("model_loss"),
+      (h("rho:r:").cast("double") / 1000.0).as("ref_model_loss"))
+    graft.operators.Reweighting.excessLossSelect(scored, "doc_id",
+        "model_loss", "ref_model_loss", rho = 0.25)
+      .orderBy(col("id"))
+  }
+
+  private val q321Oracle: String =
+    """WITH s AS (
+      |  SELECT doc_id AS id,
+      |    floor((('0x' || substr(md5('rho:l:' || doc_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 10000) / 1000.0 * 1e9) / 1e9
+      |      AS loss,
+      |    floor((('0x' || substr(md5('rho:r:' || doc_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 10000) / 1000.0 * 1e9) / 1e9
+      |      AS ref_loss
+      |  FROM documents),
+      |sx AS (
+      |  SELECT id, loss, ref_loss,
+      |    floor((loss - ref_loss) * 1e9) / 1e9 AS excess
+      |  FROM s),
+      |d AS (SELECT excess, COUNT(*) AS c FROM sx GROUP BY 1),
+      |cum AS (
+      |  SELECT excess, CAST(SUM(c) OVER (ORDER BY excess DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cm
+      |  FROM d),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM sx),
+      |thr AS (
+      |  SELECT MAX(excess) AS threshold,
+      |    CAST(CEIL(0.25 * CAST(n_total AS DOUBLE)) AS BIGINT)
+      |      AS k_target,
+      |    n_total
+      |  FROM cum, n
+      |  WHERE cm >= CAST(CEIL(0.25 * CAST(n_total AS DOUBLE))
+      |    AS BIGINT)
+      |  GROUP BY n_total)
+      |SELECT id, loss, ref_loss, excess,
+      |  excess >= threshold AS selected, n_total, k_target, threshold
+      |FROM sx, thr ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_excess_loss_select" -> (q321ExcessLossSelect _),
     "q299_record_linkage" -> (q299RecordLinkage _),
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
     "q272_generalization_ladder" -> (q272GeneralizationLadder _),
@@ -1513,6 +1581,7 @@ object GovernanceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q321_excess_loss_select" -> q321Oracle,
     "q299_record_linkage" -> q299Oracle,
     "q271_k_anonymity_audit" -> q271Oracle,
     "q272_generalization_ladder" -> q272Oracle,

@@ -472,7 +472,114 @@ object SftQueries {
       |ORDER BY wins.item""".stripMargin
   }
 
+  /** Synthetic n=10-sample eval-candidate frame over a problem
+    * slice of `orders` — the shared fixture under q319/q320: the
+    * true answer is `o_orderkey % 5`; sample s of problem p answers
+    * correctly when the md5 device's h = md5('ev:p:s') % 10 < 6
+    * (≈60% per-sample accuracy) and otherwise emits the
+    * deterministic off-answer `(p + h) % 5` (h % 5 ≠ 0 for
+    * h ∈ 6..9, so an off-answer NEVER collides with the truth).
+    * Every hash, answer, and correctness flag replays in SQL. */
+  private def evalCandidates(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ev:"),
+      col("problem").cast("string"), lit(":"),
+      col("sample").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10
+    orders(s, d).select(col("o_orderkey").as("problem"))
+      .filter(col("problem") % 20 === 0)
+      .select(col("problem"),
+        explode(sequence(lit(0L), lit(9L))).as("sample"))
+      .withColumn("h", h)
+      .withColumn("answer",
+        when(col("h") < 6, (col("problem") % 5).cast("string"))
+          .otherwise(((col("problem") + col("h")) % 5)
+            .cast("string")))
+      .withColumn("correct",
+        col("answer") === (col("problem") % 5).cast("string"))
+      .select("problem", "sample", "answer", "correct")
+  }
+
+  /** The q319/q320 shared oracle CTE ending at
+    * `cand(problem, sample, answer, correct)` — the exact
+    * [[evalCandidates]] replay. */
+  private val CandCtes: String =
+    """cand AS (
+      |  SELECT problem, s AS sample,
+      |    CASE WHEN h < 6 THEN CAST(problem % 5 AS VARCHAR)
+      |      ELSE CAST((problem + h) % 5 AS VARCHAR) END AS answer,
+      |    h < 6 AS correct
+      |  FROM (
+      |    SELECT o_orderkey AS problem, s,
+      |      ('0x' || substr(md5('ev:' || o_orderkey || ':' || s),
+      |        1, 8))::UBIGINT::BIGINT % 10 AS h
+      |    FROM orders, (SELECT unnest(generate_series(0, 9)) AS s)
+      |    WHERE o_orderkey % 20 = 0))""".stripMargin
+
+  /** q319: unbiased pass@k over the n=10 eval-candidate fixture
+    * ([[graft.operators.Eval.passAtK]], Chen et al. 2021 eq. 1) at
+    * k ∈ {1, 4, 10} — the code-eval family's headline metric next
+    * to BLEU/ROUGE/retrieval (q124/q157/q176). The oracle replays
+    * the candidate hashes, the (n, c) aggregate, and the
+    * fixed-order factor product via list_reduce. */
+  def q319PassAtK(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.passAtK(evalCandidates(s, d),
+        col("problem"), col("correct"), Seq(1, 4, 10))
+      .orderBy(col("problem"), col("k"))
+
+  private val q319Oracle: String =
+    s"""WITH $CandCtes,
+      |agg AS (
+      |  SELECT problem, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(CASE WHEN correct THEN 1 END) AS BIGINT) AS c
+      |  FROM cand GROUP BY 1),
+      |ks AS (SELECT unnest([1, 4, 10]) AS k)
+      |SELECT problem, CAST(k AS BIGINT) AS k, n, c,
+      |  CASE WHEN k > n THEN NULL
+      |    ELSE 1.0 - list_reduce(
+      |      list_prepend(CAST(1.0 AS DOUBLE),
+      |        list_transform(generate_series(0, k - 1),
+      |          i -> CAST(n - c - i AS DOUBLE) / (n - i))),
+      |      (a, b) -> a * b)
+      |  END AS pass_at_k
+      |FROM agg CROSS JOIN ks
+      |ORDER BY problem, k""".stripMargin
+
+  /** q320: self-consistency majority voting over the same candidate
+    * fixture ([[graft.operators.Eval.consensusVote]], Wang et al.
+    * 2022) — modal answer, vote share, and consensus correctness
+    * per problem, ties broken by the smallest answer. The oracle
+    * replays the vote table and the (votes DESC, answer ASC)
+    * mode selection. */
+  def q320Consensus(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.consensusVote(evalCandidates(s, d),
+        col("problem"), col("answer"), col("correct"))
+      .orderBy(col("problem"))
+
+  private val q320Oracle: String =
+    s"""WITH $CandCtes,
+      |v AS (
+      |  SELECT problem, answer, CAST(COUNT(*) AS BIGINT) AS votes,
+      |    MAX(CASE WHEN correct THEN 1 ELSE 0 END) AS okv
+      |  FROM cand GROUP BY 1, 2),
+      |t AS (
+      |  SELECT problem, CAST(SUM(votes) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct_answers
+      |  FROM v GROUP BY 1),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY problem
+      |    ORDER BY votes DESC, answer ASC) AS r
+      |  FROM v)
+      |SELECT t.problem, t.n, t.n_distinct_answers,
+      |  rk.answer AS consensus_answer,
+      |  rk.votes AS consensus_votes,
+      |  CAST(rk.votes AS DOUBLE) / t.n AS vote_share,
+      |  rk.okv = 1 AS consensus_correct
+      |FROM t JOIN rk ON t.problem = rk.problem AND rk.r = 1
+      |ORDER BY t.problem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_pass_at_k" -> (q319PassAtK _),
+    "q320_consensus_vote" -> (q320Consensus _),
     "q225_sft_build" -> (q225SftBuild _),
     "q282_fleiss_kappa" -> (q282FleissKappa _),
     "q283_cohen_pairs" -> (q283CohenPairs _),
@@ -484,6 +591,8 @@ object SftQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q319_pass_at_k" -> q319Oracle,
+    "q320_consensus_vote" -> q320Oracle,
     "q225_sft_build" -> q225Oracle,
     "q282_fleiss_kappa" -> q282Oracle,
     "q283_cohen_pairs" -> q283Oracle,

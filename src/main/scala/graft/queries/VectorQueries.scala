@@ -518,15 +518,42 @@ object VectorQueries {
     * the bitext/paraphrase mining step where raw cosine fails on
     * hub vectors. Margins ride trunc9 integer top-k sums + two
     * single IEEE divisions, so the oracle replays every margin and
-    * both mutual-best windows exactly. */
+    * both mutual-best windows exactly.
+    *
+    * SCALE GATE (r11 verdict item 4): q260 is by design the exact
+    * |L|×|R| TRUTH BASELINE for the registered production shape
+    * q305 — quadratic compute, 91 s at sf1 and a wall at 100×. Each
+    * side is therefore gated to a deterministic md5 SAMPLE of
+    * ~[[Q260SideCap]] expected rows: the keep fraction is
+    * min(1, cap/n_side) realized as an md5-bucket filter, so the
+    * gate is the IDENTITY at sf ≤ 0.1 (sides ≤ 1000 — every
+    * registered value to date is unchanged) and caps the pair count
+    * at ~cap² beyond it. The oracle replays the same two counts and
+    * filters, so the row stays value-exact at EVERY scale factor;
+    * the q305↔q260 recall checks run at sf0.001 (SimilaritySpec),
+    * inside the identity region. */
   def q260MarginMining(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    def gate(side: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val n = side.count()
+      val keep = math.floor(
+        1e6 * math.min(1.0, Q260SideCap.toDouble / n)).toLong
+      side.filter(conv(substring(md5(concat(lit("mm:"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000L < lit(keep))
+    }
     SimilaritySearch.marginMining(
-        emb.filter(col("vec_id") % 2 === 0), "vec_id",
-        emb.filter(col("vec_id") % 2 === 1), "vec_id",
+        gate(emb.filter(col("vec_id") % 2 === 0)), "vec_id",
+        gate(emb.filter(col("vec_id") % 2 === 1)), "vec_id",
         "embedding", k = 4, marginThreshold = 1.0)
       .orderBy(col("lid"))
   }
+
+  /** Expected per-side row cap of the q260 exact-truth gate: 2500
+    * keeps ≤ ~6.25M pair scores (the sf0.1-class cost) at any SF
+    * while staying the identity for every side ≤ 2500 rows. */
+  private val Q260SideCap: Int = 2500
 
   /** Margin-mining oracle replay over caller-supplied
     * `$leftSrc(lid, e)` / `$rightSrc(rid, e)` CTEs (the
@@ -583,13 +610,24 @@ object VectorQueries {
       |WHERE bl = 1 AND br = 1 AND margin >= $threshold
       |ORDER BY lid""".stripMargin
 
-  private val q260Oracle: String =
+  private val q260Oracle: String = {
+    // the scale gate's keep threshold per side, replayed with the
+    // same two counts + md5-bucket filter as the engine
+    def keepSql(parity: Int) =
+      s"""CAST(FLOOR(1000000 * LEAST(1.0, ${Q260SideCap.toDouble} /
+        |    (SELECT COUNT(*) FROM v WHERE vec_id % 2 = $parity)))
+        |    AS BIGINT)""".stripMargin
     s"""WITH v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       |  FROM embeddings),
-      |l AS (SELECT vec_id AS lid, e FROM v WHERE vec_id % 2 = 0),
-      |r AS (SELECT vec_id AS rid, e FROM v WHERE vec_id % 2 = 1),
+      |l AS (SELECT vec_id AS lid, e FROM v WHERE vec_id % 2 = 0
+      |  AND ('0x' || substr(md5('mm:' || vec_id), 1, 8))
+      |    ::UBIGINT::BIGINT % 1000000 < ${keepSql(0)}),
+      |r AS (SELECT vec_id AS rid, e FROM v WHERE vec_id % 2 = 1
+      |  AND ('0x' || substr(md5('mm:' || vec_id), 1, 8))
+      |    ::UBIGINT::BIGINT % 1000000 < ${keepSql(1)}),
       |${marginCtes("l", "r", 4, 1.0)}""".stripMargin
+  }
 
   /** q270: the composed SENTENCE-LEVEL PARALLEL-PAIR MINING chain —
     * what a translation-mining pass actually runs: documents split

@@ -1007,9 +1007,13 @@ object StreamingOps {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // null acceptance counts as rejected — the batch
+    // Fairness.disparateImpact this mirrors counts null that way, and
+    // AccEvent.acc is a non-nullable primitive (a bare null would
+    // crash the query at deserialization, r12 advice)
     df.select(col(groupCol).cast("string").as("group"),
         col(seqCol).cast("long").as("seq"),
-        col(acceptedCol).cast("boolean").as("acc"))
+        coalesce(col(acceptedCol).cast("boolean"), lit(false)).as("acc"))
       .as[AccEvent]
       .groupByKey(_.group)
       .flatMapGroupsWithState(OutputMode.Update,
@@ -1029,6 +1033,131 @@ object StreamingOps {
           }
           state.update(AccState(last, n, a))
           Iterator.single(AccRow(g, last, n, a))
+      }
+  }
+
+  case class CalBinEvent(bin: Long, seq: Long, y: Long)
+
+  /** Three longs per nonempty bin, forever. */
+  case class CalBinState(lastSeq: Long, n: Long, pos: Long)
+
+  case class CalBinRow(bin: Long, last_seq: Long, n: Long, pos: Long)
+
+  /** Streaming isotonic-calibration bin counters — the live feed
+    * under a calibration dashboard:
+    * [[graft.operators.Calibration.isotonicFromBinCounts]] over the
+    * latest row per bin IS the batch isotonic fit
+    * (StreamingCalibrationSpec proves counter exactness and fit
+    * equality). Contract mirrors [[streamingAcceptanceCounters]]:
+    * rows carry a per-bin MONOTONE sequence (a global ingest offset
+    * works — the bin assignment is deterministic and row-local);
+    * within a micro-batch rows apply in sequence order and a row at
+    * or before the bin's last processed sequence is DROPPED —
+    * exactly-once under replays, with state three longs per
+    * NONEMPTY bin (≤ `bins` groups total, regardless of volume).
+    * Null score/label rows are dropped, as in the batch fit. */
+  def streamingCalibrationBins(df: org.apache.spark.sql.DataFrame,
+      scoreCol: String, labelCol: String, seqCol: String,
+      bins: Int): Dataset[CalBinRow] = {
+    require(bins >= 2 && bins <= 64, "bins in [2, 64]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    df.select(col(scoreCol).as("__s"),
+        col(labelCol).cast("boolean").as("__y"),
+        col(seqCol).cast("long").as("seq"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .select(
+        graft.operators.Calibration.binIndex(col("__s"), bins)
+          .as("bin"),
+        col("seq"),
+        when(col("__y"), lit(1L)).otherwise(lit(0L)).as("y"))
+      .as[CalBinEvent]
+      .groupByKey(_.bin)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (bin: Long, it: Iterator[CalBinEvent],
+            state: GroupState[CalBinState]) =>
+          val st = state.getOption.getOrElse(
+            CalBinState(Long.MinValue, 0L, 0L))
+          var last = st.lastSeq; var n = st.n; var p = st.pos
+          // duplicate guard INSIDE the fold (the r11 CUSUM lesson):
+          // a sequence replayed twice within ONE micro-batch must
+          // count once
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (e.seq > last) { last = e.seq; n += 1L; p += e.y }
+          }
+          state.update(CalBinState(last, n, p))
+          Iterator.single(CalBinRow(bin, last, n, p))
+      }
+  }
+
+  case class ConfEvent(group: String, seq: Long, nc: Double)
+
+  /** Last processed sequence + the calibration value multiset. The
+    * state is the calibration SLICE, not the corpus — split
+    * conformal's exact order statistic needs every calibration
+    * nonconformity (same contract as the batch operator, whose
+    * order-statistic window also materializes the slice); callers
+    * stream the small calibration split here, never the held-out
+    * data, so state stays sample-sized by construction. */
+  case class ConfState(lastSeq: Long, values: Seq[Double])
+
+  case class ConfThresholdRow(group: String, alpha: Double,
+      n_cal: Long, k_index: Long, threshold: Double)
+
+  /** Streaming split-conformal thresholds — the live form of
+    * [[graft.operators.Calibration.conformalThresholds]]'s
+    * calibration leg: per group and α, the ⌈(1−α)(n_cal+1)⌉-th
+    * smallest nonconformity seen so far (+∞ while n_cal is too
+    * small — the conformal convention, r11 review), emitted after
+    * every micro-batch that touched the group. Streamed thresholds
+    * on any prefix ≡ the batch operator on the same prefix
+    * (StreamingCalibrationSpec). Exactly-once under replays via the
+    * same per-group monotone-sequence contract as
+    * [[streamingAcceptanceCounters]]; null nonconformities are
+    * dropped, as in batch. Held-out coverage stays a batch concern:
+    * join the emitted thresholds to the test slice with
+    * `nc <= threshold`, exactly the batch tail. */
+  def streamingConformalThresholds(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, seqCol: String, ncCol: String,
+      alphas: Seq[Double]): Dataset[ConfThresholdRow] = {
+    require(alphas.nonEmpty && alphas.forall(a => a > 0 && a < 1),
+      "alphas in (0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    df.select(col(groupCol).cast("string").as("group"),
+        col(seqCol).cast("long").as("seq"),
+        col(ncCol).cast("double").as("nc"))
+      .filter(col("nc").isNotNull)
+      .as[ConfEvent]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[ConfEvent],
+            state: GroupState[ConfState]) =>
+          val st = state.getOption.getOrElse(
+            ConfState(Long.MinValue, Vector.empty))
+          var last = st.lastSeq
+          val fresh = Vector.newBuilder[Double]
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (e.seq > last) { last = e.seq; fresh += e.nc }
+          }
+          // one sort per touched group per micro-batch over the
+          // sample-sized calibration slice
+          val values = (st.values ++ fresh.result()).sorted
+          state.update(ConfState(last, values))
+          val n = values.length.toLong
+          alphas.iterator.map { a =>
+            // the batch operator's arithmetic exactly: k in DOUBLE
+            // ceil (matching its ceil(lit(1-a) * (n_cal+1))), +∞
+            // when k exceeds n_cal
+            val k = math.ceil((1.0 - a) * (n + 1L)).toLong
+            val thr = if (k <= n && k >= 1) values((k - 1).toInt)
+              else Double.PositiveInfinity
+            ConfThresholdRow(g, a, n, k, thr)
+          }
       }
   }
 }

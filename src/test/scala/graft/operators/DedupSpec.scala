@@ -565,6 +565,48 @@ class DedupSpec extends SparkTestBase {
     assert(exact === Set((20L, 3L, 0)))
   }
 
+  test("fuzzy blocking stays LIVE on a 10x fixed-vocabulary corpus " +
+      "under AutoDf, where an absolute cap degenerates (r12)") {
+    import spark.implicits._
+    // fixed 12-word vocabulary, 4-word names (the TPC-H p_name
+    // shape; base-12 digits of i pick the words, so names are
+    // distinct combos): gram TYPES plateau while per-gram df grows
+    // with n — exactly the regime the r11 review flagged. No
+    // per-name salt: every gram must come from the fixed vocabulary
+    // or the degeneration never manifests. Word ends/starts are all
+    // DISTINCT letters so a boundary 3-gram "x y" identifies one
+    // word PAIR — a name's rarest gram, with df ≈ n/144, the
+    // cleanest possible df ∝ n signal.
+    val vocab = ('a' to 'l').map(c => s"${c}zz$c").toVector
+    def corpus(n: Int) = spark.range(n).map { i =>
+      val a = vocab((i % 12).toInt)
+      val b = vocab(((i / 12) % 12).toInt)
+      val c = vocab(((i / 144) % 12).toInt)
+      val d = vocab(((i / 1728) % 12).toInt)
+      (i, s"$a $b $c $d")
+    }.toDF("id", "name")
+    def share(n: Int, maxDf: Int): Double =
+      Dedup.fuzzyBlockingStats(corpus(n), "name", maxDf = maxDf)
+        .collect().head.getAs[Double]("residual_share")
+    // absolute cap 50: live at 1x (pair-gram df = 1728/144 = 12),
+    // but at 10x every pair-gram df = 120-144 exceeds the cap -> all
+    // names fall to the length-key residual (the documented
+    // quadratic hazard)
+    assert(share(1728, 50) < 0.05)
+    assert(share(17280, 50) > 0.95)
+    // AutoDf: the rarest (word-pair boundary) grams stay far under
+    // the n-scaled cap at both scales -> gram blocking stays live
+    assert(share(1728, Dedup.AutoDf) < 0.05)
+    assert(share(17280, Dedup.AutoDf) < 0.05)
+    // and above the 1000 floor the cap itself scales ~ 1% of names
+    val big = spark.range(250000).select(
+      concat(lit("n"), col("id")).as("name")).localCheckpoint()
+    assert(Dedup.resolveDfCap(Dedup.AutoDf, big) === 2500)
+    assert(Dedup.resolveDfCap(Dedup.AutoDf,
+      big.limit(5000).localCheckpoint()) === 1000)
+    assert(Dedup.resolveDfCap(7, big) === 7) // explicit wins
+  }
+
   test("fuzzy matching resolves over distinct values, not rows") {
     import spark.implicits._
     val rows = Seq((1L, "alpha beta"), (2L, "alpha beta"),

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Eval.passAtK]] / [[Eval.consensusVote]] /
+  * [[Reweighting.excessLossSelect]] — the SFT eval-harness family
+  * pinned against hand-computed references (exact combinatorics,
+  * deterministic tie-breaks, tie-inclusive selection). */
+class EvalHarnessSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference pass@k by the same factored product. */
+  private def refPass(n: Int, c: Int, k: Int): Double =
+    1.0 - (0 until k).foldLeft(1.0) { (acc, i) =>
+      // factor FIRST, then multiply — the operator and oracle both
+      // fold acc * (f_i); (acc*x)/y associates differently by an ulp
+      acc * ((n - c - i).toDouble / (n - i))
+    }
+
+  test("pass@k: boundary cases — c=0 is exactly 0, n-c<k is " +
+      "exactly 1, k>n is null, k=n needs one survivor") {
+    val cand = (
+      (0 until 10).map(i => (1L, i.toLong, false)) ++      // c=0
+      (0 until 10).map(i => (2L, i.toLong, i < 8)) ++      // n-c=2<4
+      (0 until 3).map(i => (3L, i.toLong, i == 0))         // n=3,c=1
+    ).toDF("p", "s", "ok")
+    val got = Eval.passAtK(cand, col("p"), col("ok"), Seq(4))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L) === Some(0.0))
+    assert(got(2L) === Some(1.0))
+    assert(got(3L) === None) // k=4 > n=3
+    // k = n: pass@n = 1 iff c >= 1
+    val gotN = Eval.passAtK(cand.filter(col("p") === 3L),
+        col("p"), col("ok"), Seq(3))
+      .collect().head.getDouble(4)
+    assert(gotN === 1.0)
+  }
+
+  test("pass@k matches the Chen et al. estimator on a mixed table " +
+      "and the combinatorial identity 1 - C(n-c,k)/C(n,k)") {
+    val cand = (0 until 10).flatMap(p =>
+      (0 until 10).map(s => (p.toLong, s.toLong, s < p)))
+      .toDF("p", "s", "ok") // problem p has c = p correct of n = 10
+    val got = Eval.passAtK(cand, col("p"), col("ok"), Seq(1, 5))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    (0 until 10).foreach { p =>
+      assert(got((p.toLong, 1L)) === refPass(10, p, 1))
+      assert(got((p.toLong, 5L)) === refPass(10, p, 5))
+      // identity vs exact binomial coefficients
+      def choose(n: Int, k: Int): Double =
+        (0 until k).foldLeft(1.0)((a, i) => a * (n - i) / (i + 1))
+      assert(math.abs(got((p.toLong, 5L)) -
+        (1.0 - choose(10 - p, 5) / choose(10, 5))) < 1e-12)
+    }
+    // pass@1 is the per-sample accuracy (as IEEE 1 - (n-c)/n —
+    // 1 - 0.7 is 0.30000000000000004, not the literal 0.3)
+    assert(got((3L, 1L)) === 1.0 - 7.0 / 10.0)
+  }
+
+  test("consensus: modal answer with deterministic tie-break, " +
+      "null answers count as '' votes") {
+    val cand = Seq(
+      (1L, "x", true), (1L, "x", true), (1L, "y", false),   // x wins
+      (2L, "b", false), (2L, "a", true),                    // tie->a
+      (3L, null, false), (3L, null, false), (3L, "z", true) // ''
+    ).toDF("p", "a", "ok")
+    val got = Eval.consensusVote(cand, col("p"), col("a"), col("ok"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got(1L) === ((3L, 2L, "x", 2L, 2.0 / 3, true)))
+    assert(got(2L) === ((2L, 2L, "a", 1L, 0.5, true)))
+    assert(got(3L) === ((3L, 2L, "", 2L, 2.0 / 3, false)))
+  }
+
+  test("excessLossSelect: exact top-rho boundary, ties at the " +
+      "threshold are ALL kept, null losses dropped") {
+    // excesses: 4, 3, 3, 2, 1, 0 (ids 1..6); rho=0.5 of n=6 -> k=3;
+    // threshold = 3 (cum at 3 is exactly 3), ids 1,2,3 selected
+    val df = Seq[(Long, java.lang.Double, java.lang.Double)](
+      (1L, 5.0, 1.0), (2L, 4.0, 1.0), (3L, 3.0, 0.0),
+      (4L, 2.0, 0.0), (5L, 1.0, 0.0), (6L, 0.0, 0.0),
+      (7L, null, 1.0)
+    ).toDF("id", "l", "r")
+    val got = Reweighting.excessLossSelect(df, "id", "l", "r", 0.5)
+      .collect()
+    assert(got.length === 6, "null-loss row must be dropped")
+    val sel = got.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(sel === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false))
+    assert(got.head.getAs[Long]("n_total") === 6L)
+    assert(got.head.getAs[Long]("k_target") === 3L)
+    assert(got.head.getAs[Double]("threshold") === 3.0)
+    // tie overflow: make the threshold value 3 appear 3 times ->
+    // k=3 but 4 rows clear the bar (1 above + 3 ties all kept)
+    val tied = Seq((1L, 5.0, 1.0), (2L, 3.0, 0.0), (3L, 3.0, 0.0),
+      (4L, 3.0, 0.0), (5L, 1.0, 0.0), (6L, 0.0, 0.0))
+      .toDF("id", "l", "r")
+    val got2 = Reweighting.excessLossSelect(tied, "id", "l", "r", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got2 === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> true, 5L -> false, 6L -> false))
+  }
+
+  test("excessLossSelect: rho=1 selects everything; a single row " +
+      "selects itself") {
+    val df = Seq((1L, 2.0, 1.0), (2L, 0.5, 1.0)).toDF("id", "l", "r")
+    val all = Reweighting.excessLossSelect(df, "id", "l", "r", 1.0)
+      .collect().map(_.getBoolean(4))
+    assert(all.forall(identity))
+    val one = Reweighting.excessLossSelect(
+        Seq((9L, 1.0, 0.5)).toDF("id", "l", "r"),
+        "id", "l", "r", 0.1)
+      .collect()
+    assert(one.length === 1 && one.head.getBoolean(4))
+  }
+}

@@ -36,6 +36,22 @@ class HypothesisTestsSpec extends SparkTestBase {
     assert(d2.getDouble(2) === 1.0 && d2.getBoolean(4))
   }
 
+  test("KS: an empty sample yields a null-D diagnostic row, not an " +
+      "ANSI divide-by-zero") {
+    // predicate matches nothing -> n_a = 0: the row must survive
+    // with null d_stat/crit and reject = false so a drift dashboard
+    // shows "cannot test (empty side)" instead of a crashed job
+    val allB = Seq((1, false), (2, false), (3, false)).toDF("v", "a")
+    val r = HypothesisTests.ksTwoSample(allB, col("v"), col("a"))
+      .collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 3L)
+    assert(r.isNullAt(2) && r.isNullAt(3) && !r.getBoolean(4))
+    // fully empty input (or all-null values): zero rows, no crash
+    val none = Seq.empty[(Int, Boolean)].toDF("v", "a")
+    assert(HypothesisTests.ksTwoSample(none, col("v"), col("a"))
+      .collect().isEmpty)
+  }
+
   test("KS: identical large samples accept; a clean shift rejects") {
     val same = (0 until 400).map(i => (i % 100, i % 2 == 0))
       .toDF("v", "a")

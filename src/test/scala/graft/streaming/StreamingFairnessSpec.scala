@@ -69,6 +69,26 @@ class StreamingFairnessSpec extends SparkTestBase {
     assert(streamed(doubled, "fa_g") === batchCounts(events))
   }
 
+  test("null acceptance counts as rejected, matching the batch " +
+      "audit (not a deserialization crash)") {
+    // java.lang.Boolean events so the acceptance column is genuinely
+    // nullable; batch disparateImpact's when().otherwise(0) counts
+    // null as rejected, and the stream must agree
+    val input = MemoryStream[(String, Long, java.lang.Boolean)](spark, 1)
+    val out = StreamingOps.streamingAcceptanceCounters(
+      input.toDF().toDF("g", "seq", "ok"), "g", "seq", "ok")
+    val q = out.writeStream.format("memory").queryName("fa_null")
+      .outputMode("update").start()
+    input.addData(("en", 0L, true), ("en", 1L, null),
+      ("en", 2L, false), ("de", 0L, null))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fa_null").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map("en" -> ((3L, 1L)), "de" -> ((1L, 0L))))
+  }
+
   test("mid-stream prefix equals the batch answer for that prefix") {
     val prefix = events.filter(_._2 < 60)
     assert(streamed(Seq(prefix), "fa_e") === batchCounts(prefix))
