@@ -113,10 +113,19 @@ object Bench {
       case (name, fn) =>
         val times = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
-          try { Force.fullEval(fn(spark, sfDir)) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e"); -1L }
-          (System.nanoTime() - t0) / 1e9
+          // a FAILED pass records the -1.0 sentinel, not its
+          // time-to-failure: full-eval forcing can surface errors
+          // count() never hit, and a millisecond abort would
+          // otherwise read as a speedup in the round-over-round
+          // diff (r12 review). The median of a part-failed triple
+          // is then negative — machine-visibly broken, never fast.
+          try {
+            Force.fullEval(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            -1.0
+          }
         }.sorted
         name -> times(passes / 2)
     }.toMap

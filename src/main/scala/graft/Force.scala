@@ -36,12 +36,17 @@ object Force {
   }
 
   /** Row count through an aggregation that also checksums every
-    * output column — forces FULL evaluation of the plan. */
+    * output column — forces FULL evaluation of the plan. Columns
+    * are first renamed POSITIONALLY (toDF) so duplicate or
+    * dot-containing output names — legal in Spark results, and
+    * harmless to the count() forcing this replaces — cannot make
+    * the name-based col() resolution throw. */
   def fullEval(df: DataFrame): Long = {
-    val cols = df.schema.fields.map { f =>
+    val renamed = df.toDF(df.columns.indices.map(i => s"_fe$i"): _*)
+    val cols = renamed.schema.fields.map { f =>
       if (hashable(f.dataType)) col(f.name) else to_json(col(f.name))
     }
-    df.select(xxhash64(cols.toSeq: _*).as("_h"))
+    renamed.select(xxhash64(cols.toSeq: _*).as("_h"))
       .agg(sum(pmod(col("_h"), lit(1000000007L))), count(lit(1)))
       .head.getLong(1)
   }

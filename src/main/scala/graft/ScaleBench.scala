@@ -404,6 +404,34 @@ object ScaleBench {
               col("user_id"), col("event_id"), cap = 5),
             Seq(pmod(col("user_id"), lit(50))), Seq("g"),
             epsilon = 1.0, seed = "sb:", sensitivity = 5.0))),
+        // r12: RHO excess-loss selection — the distinct-excess table
+        // is value-cardinality-bounded (≤ ~20k t9 values here) at
+        // any K, so the only data-sized work is the one scored-frame
+        // groupBy; wall time should stay ~flat in K per row scanned
+        "rho_select" -> (() =>
+          fullEval(graft.operators.Reweighting.excessLossSelect(
+            docs.select(col("doc_id"),
+              (pmod(col("doc_id") * 2654435761L, lit(10000L))
+                .cast("double") / 1000.0).as("l"),
+              (pmod(col("doc_id") * 40503L, lit(10000L))
+                .cast("double") / 1000.0).as("r")),
+            "doc_id", "l", "r", rho = 0.25))),
+        // r12: pass@k + consensus over a 10-sample candidate frame
+        // derived from the scaled docs — one map-side-combining
+        // aggregate each; candidate strings never enter a shuffle
+        "eval_harness" -> (() => {
+          val cand = docs.select(col("doc_id").as("p"),
+              explode(sequence(lit(0L), lit(9L))).as("s"))
+            .withColumn("ok",
+              pmod(col("p") * 31L + col("s") * 7L, lit(10L)) < 6)
+            .withColumn("ans",
+              when(col("ok"), col("p") % 5).otherwise(col("s") % 5)
+                .cast("string"))
+          fullEval(graft.operators.Eval.passAtK(
+            cand, col("p"), col("ok"), Seq(1, 5, 10))) +
+          fullEval(graft.operators.Eval.consensusVote(
+            cand, col("p"), col("ans"), col("ok")))
+        }),
         "cka_64" -> (() =>
           fullEval(graft.operators.Cka.linearCka(
             emb.select(col("embedding").as("x"),

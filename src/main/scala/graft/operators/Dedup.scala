@@ -442,21 +442,12 @@ object Dedup {
     * matched pair. */
   def fuzzyMatches(df: DataFrame, nameCol: String, maxDist: Int = 2,
       q: Int = 3, maxDf: Int = AutoDf): DataFrame = {
-    val names0 = df.select(col(nameCol).cast("string").as("name"))
-      .filter(col("name").isNotNull).distinct()
-    // the distinct universe feeds the gram index, the length table
-    // AND (under AutoDf) a count — materialize it once
-    val names = names0.localCheckpoint()
-    val cap = resolveDfCap(maxDf, names)
-    val shortCap = (maxDist + 1) * q // guarantee floor on max length
-    val keptGrams = dfCapped(nameGrams(names, q), cap)
+    val pre = fuzzyPrefix(df, nameCol, maxDist, q, maxDf)
+    import pre.{keptGrams, namesL, residual}
     val viaGrams = keptGrams.select(col("name").as("name_a"), col("g"))
       .join(keptGrams.select(col("name").as("name_b"), col("g")), "g")
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b"))
-    val namesL = names.withColumn("_l", length(col("name")))
-    val residual =
-      residualNames(namesL, keptGrams, Seq("name"), shortCap)
     val resExp = residual.select(col("name").as("name_r"),
       explode(sequence(col("_l") - maxDist, col("_l") + maxDist))
         .as("_l"))
@@ -481,50 +472,99 @@ object Dedup {
         (q - 1), lit(1))),
         i => col("name").substr(i, lit(q))))))
 
-  /** Sentinel `maxDf` value: size the stop-gram cap from the data —
-    * max(1000, ⌈1% of the distinct-name universe⌉). The r11 review
-    * proved any ABSOLUTE cap degenerates over a fixed vocabulary:
-    * per-gram df grows ∝ corpus, so a constant cap eventually drops
-    * every gram and the residual path silently re-blocks on the
-    * ~|length-range|-value length key — the quadratic hazard the
-    * gram device exists to avoid. An n-scaled cap keeps the
-    * separation stable at every scale: grams in >1% of names are
-    * stop-grams (dropped), and a name's RAREST gram — what keeps it
-    * off the residual path — has df ∝ vocabulary-pair frequency,
-    * a tiny fraction of n that stays far below the 1% line as both
-    * grow linearly (DedupSpec pins liveness at 1× vs 10×). The 1000
-    * floor preserves the historical small-corpus behavior exactly. */
+  /** Sentinel `maxDf` value: size the stop-gram cap from the DATA —
+    * max(1000, the 95th percentile of each name's RAREST-gram df).
+    * The r11 review proved any ABSOLUTE cap degenerates over a
+    * fixed vocabulary: per-gram df grows ∝ corpus, so a constant
+    * cap eventually drops every gram and the residual path silently
+    * re-blocks on the ~|length-range|-value length key — the
+    * quadratic hazard the gram device exists to avoid. A name stays
+    * on the gram path iff its RAREST gram survives the cap, so the
+    * per-name min-df quantile is the exact liveness requirement:
+    * ≥95% of names keep a gram at ANY scale (DedupSpec pins 1× vs
+    * 10× liveness and above-floor scaling), while every gram more
+    * common than that is dropped — crucial, because a kept gram
+    * costs up to df² candidate pairs, and a naive n-scaled cap
+    * (1% of names) was measured 24× SLOWER at sf1 on q239 than the
+    * old fixed cap precisely because it kept mid-frequency grams
+    * the liveness contract never needed. The 1000 floor preserves
+    * the historical small-corpus behavior exactly. Corpora whose
+    * min-df distribution is heavy-tailed (a few names with ONLY
+    * ultra-common grams) inflate the quantile; give those an
+    * explicit `maxDf` measured on the data. */
   val AutoDf: Int = 0
 
   /** Resolve a caller `maxDf` (explicit > 0, or [[AutoDf]]) against
-    * the distinct-name universe. `names` must be cheap to count
-    * (callers pass the localCheckpoint'd universe). */
-  private[operators] def resolveDfCap(maxDf: Int,
-      names: DataFrame): Int =
+    * the gram index: the q95 of per-`keyCols` min gram df, floored
+    * at 1000. Two aggregates over the gram-row stream (whose df
+    * window [[dfCapped]] shuffles anyway) + a cumulative window
+    * over the DISTINCT min-df table (value-bounded, the ksTwoSample
+    * device); two scalar driver reads. */
+  private[operators] def resolveDfCap(maxDf: Int, grams: DataFrame,
+      keyCols: Seq[String]): Int =
     if (maxDf > 0) maxDf
-    else math.min(Int.MaxValue.toLong,
-      math.max(1000L, math.ceil(names.count() * 0.01).toLong)).toInt
+    else {
+      val minDf = grams
+        .withColumn("_df", count(lit(1)).over(
+          Window.partitionBy(col("g"))))
+        .groupBy(keyCols.map(col): _*)
+        .agg(min(col("_df")).as("_m"))
+      val dm = minDf.groupBy(col("_m"))
+        .agg(count(lit(1)).as("_c"))
+        .localCheckpoint()
+      val nRow = dm.agg(sum(col("_c")).as("_n")).head
+      if (nRow.isNullAt(0)) 1000
+      else {
+        val k = math.ceil(0.95 * nRow.getLong(0)).toLong
+        val wc = Window.orderBy(col("_m"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cap = dm
+          .select(col("_m"), sum(col("_c")).over(wc).as("_cum"))
+          .filter(col("_cum") >= k)
+          .agg(min(col("_m"))).head.getLong(0)
+        math.min(Int.MaxValue.toLong, math.max(1000L, cap)).toInt
+      }
+    }
+
+  /** The candidate-pipeline prefix SHARED by [[fuzzyMatches]] and
+    * [[fuzzyBlockingStats]] — distinct universe (checkpointed: it
+    * feeds the gram index, the length table, and the AutoDf count),
+    * resolved cap, df-capped gram index, length table, residual
+    * set. One definition, so the production diagnostic measures
+    * exactly the pipeline the matcher runs (r12 review: two
+    * hand-synced copies would let them drift — the failure the
+    * diagnostic exists to catch). */
+  private case class FuzzyPrefix(names: DataFrame, cap: Int,
+      keptGrams: DataFrame, namesL: DataFrame, residual: DataFrame)
+
+  private def fuzzyPrefix(df: DataFrame, nameCol: String,
+      maxDist: Int, q: Int, maxDf: Int): FuzzyPrefix = {
+    val names = df.select(col(nameCol).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct().localCheckpoint()
+    val grams = nameGrams(names, q)
+    val cap = resolveDfCap(maxDf, grams, Seq("name"))
+    val shortCap = (maxDist + 1) * q // guarantee floor on max length
+    val keptGrams = dfCapped(grams, cap)
+    val namesL = names.withColumn("_l", length(col("name")))
+    FuzzyPrefix(names, cap, keptGrams, namesL,
+      residualNames(namesL, keptGrams, Seq("name"), shortCap))
+  }
 
   /** Blocking-liveness diagnostic for the fuzzy devices: one row —
     * (n_names, df_cap, n_residual, residual_share) — over the same
     * distinct-name universe, gram index, and stop-gram cap
-    * [[fuzzyMatches]] would use. A residual_share creeping toward 1
-    * means the cap is degenerating the gram index into length-key
-    * blocking (the scale hazard); with [[AutoDf]] it stays pinned
-    * near the short-name floor at any corpus size. */
+    * [[fuzzyMatches]] uses (literally [[fuzzyPrefix]]). A
+    * residual_share creeping toward 1 means the cap is degenerating
+    * the gram index into length-key blocking (the scale hazard);
+    * with [[AutoDf]] it stays pinned near the short-name floor at
+    * any corpus size. */
   def fuzzyBlockingStats(df: DataFrame, nameCol: String,
       maxDist: Int = 2, q: Int = 3, maxDf: Int = AutoDf): DataFrame = {
-    val names = df.select(col(nameCol).cast("string").as("name"))
-      .filter(col("name").isNotNull).distinct().localCheckpoint()
-    val cap = resolveDfCap(maxDf, names)
-    val shortCap = (maxDist + 1) * q
-    val keptGrams = dfCapped(nameGrams(names, q), cap)
-    val namesL = names.withColumn("_l", length(col("name")))
-    val residual =
-      residualNames(namesL, keptGrams, Seq("name"), shortCap)
-    names.agg(count(lit(1)).as("n_names"))
-      .crossJoin(residual.agg(count(lit(1)).as("n_residual")))
-      .select(col("n_names"), lit(cap).as("df_cap"), col("n_residual"),
+    val pre = fuzzyPrefix(df, nameCol, maxDist, q, maxDf)
+    pre.names.agg(count(lit(1)).as("n_names"))
+      .crossJoin(pre.residual.agg(count(lit(1)).as("n_residual")))
+      .select(col("n_names"), lit(pre.cap).as("df_cap"),
+        col("n_residual"),
         (col("n_residual").cast("double") / col("n_names"))
           .as("residual_share"))
   }
@@ -569,12 +609,13 @@ object Dedup {
     * fall to the residual path, which equi-joins on the LENGTH
     * key — a fixed ~|length-range| block count, i.e. the quadratic
     * hazard this device exists to avoid. The default is therefore
-    * [[AutoDf]]: the cap is sized ∝ the distinct-name universe
-    * (max(1000, 1% of names)), so gram blocking stays live at every
-    * scale (DedupSpec pins 1× vs 10× liveness;
-    * [[fuzzyBlockingStats]] is the production diagnostic). Pass an
-    * explicit `maxDf > 0` only for corpora whose df distribution
-    * you've measured.
+    * [[AutoDf]]: the cap is the q95 of per-name RAREST-gram df
+    * (floored at 1000) — the exact liveness requirement, keeping
+    * ≥95% of names on the gram path with the CHEAPEST grams that
+    * suffice at every scale (DedupSpec pins 1× vs 10× liveness and
+    * above-floor scaling; [[fuzzyBlockingStats]] is the production
+    * diagnostic). Pass an explicit `maxDf > 0` only for corpora
+    * whose df distribution you've measured.
     *
     * Output: (lid, rid, dist) — one row per (left-id, right-id)
     * pair whose names match within maxDist (including dist 0). */
@@ -593,11 +634,12 @@ object Dedup {
     val rn = r.select(col("name_r").as("name")).distinct()
       .withColumn("side", lit(1))
     // both-side universe materialized once: gram index + length
-    // table + (under AutoDf) the sizing count all read it
+    // table + (under AutoDf) the sizing aggregates all read it
     val names = ln.unionByName(rn).localCheckpoint()
-    val cap = resolveDfCap(maxDf, names)
+    val grams = nameGrams(names, q)
+    val cap = resolveDfCap(maxDf, grams, Seq("name", "side"))
     val shortCap = (maxDist + 1) * q
-    val keptGrams = dfCapped(nameGrams(names, q), cap)
+    val keptGrams = dfCapped(grams, cap)
     val viaGrams = keptGrams.filter(col("side") === 0)
       .select(col("name").as("name_l"), col("g"))
       .join(keptGrams.filter(col("side") === 1)
@@ -619,11 +661,20 @@ object Dedup {
         .join(namesL.filter(col("side") === 0)
           .select(col("name").as("name_l"), col("_l")), "_l")
         .select(col("name_l"), col("name_x").as("name_r")))
-    viaGrams.union(viaResidual).distinct()
+    val verified = viaGrams.union(viaResidual).distinct()
       .filter(abs(length(col("name_l")) - length(col("name_r")))
         <= maxDist)
       .withColumn("dist", levenshtein(col("name_l"), col("name_r")))
       .filter(col("dist") <= maxDist)
+      // materialize the verified NAME-pair table (small by the
+      // df-cap + residual bounds) before the id fan-out: without
+      // the barrier the optimizer re-inlines the levenshtein into
+      // the post-join projection, so `dist` is recomputed once per
+      // (lid, rid) OUTPUT row instead of once per name pair —
+      // measured 101 s vs 3 s at sf1, where 7k name pairs fan out
+      // to 6.9e7 id pairs (r12)
+      .localCheckpoint()
+    verified
       .join(l, "name_l").join(r, "name_r")
       .select(col("lid"), col("rid"), col("dist"))
   }

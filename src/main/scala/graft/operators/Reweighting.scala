@@ -90,11 +90,13 @@ object Reweighting {
     * count). Null losses are dropped (nothing to score).
     *
     * Scale shape: one corpus aggregate to the DISTINCT-excess table
-    * (bounded by value cardinality, the ksTwoSample device), one
-    * cumulative window over THAT table (never the corpus), one
-    * 1-row threshold broadcast back — the corpus is scanned once
-    * and shuffled once (the groupBy), with no corpus-sized window
-    * and no driver-side state beyond the threshold row. Excess is
+    * (bounded by value cardinality, the ksTwoSample device —
+    * checkpointed, so n_total and the cumulative window both read
+    * the small table), one cumulative window over THAT table (never
+    * the corpus), one 1-row threshold broadcast back over a second
+    * corpus scan for the per-row flag — two scans, one shuffle (the
+    * groupBy), no corpus-sized window, no corpus-sized cache, no
+    * driver-side state beyond the threshold row. Excess is
     * t9-truncated before grouping so the distinct table cannot be
     * inflated by sub-ulp noise across engines.
     *
@@ -109,16 +111,21 @@ object Reweighting {
         t9(col(refLossCol)).as("ref_loss"))
       .filter(col("loss").isNotNull && col("ref_loss").isNotNull)
       .withColumn("excess", t9(col("loss") - col("ref_loss")))
-      .localCheckpoint()
+    // the checkpoint goes on the VALUE-CARDINALITY-BOUNDED distinct
+    // table, never the corpus-sized scored frame (the ksTwoSample
+    // discipline; r12 review): n_total derives from the same table,
+    // so the corpus is scanned exactly twice (threshold pass + flag
+    // pass) and nothing data-sized enters executor storage
     val dist = scored.groupBy(col("excess"))
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("excess").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
     val cum = dist.select(col("excess"),
       sum(col("__cnt")).over(w).as("__cum"))
-    val n = scored.agg(count(lit(1)).as("n_total"))
+    val n = dist.agg(sum(col("__cnt")).as("n_total"))
     val thr = cum.crossJoin(broadcast(n))
       .withColumn("__k",
         ceil(lit(rho) * col("n_total").cast("double")).cast("long"))

@@ -1039,10 +1039,11 @@ object CorpusQueries {
     * cardinality scales with the data for OPEN name spaces; over a
     * FIXED vocabulary (TPC-H's ~92 color words) the gram TYPE count
     * plateaus and per-gram df grows with scale, so the df cap must
-    * scale ∝ corpus — which the default `maxDf = AutoDf` now does
-    * (r12: max(1000, 1% of distinct names), see the fuzzyJoin
-    * scaladoc), keeping gram blocking live instead of silently
-    * re-blocking on the ~40-value length key. The r10 form
+    * track the data — which the default `maxDf = AutoDf` now does
+    * (r12: the q95 of per-name rarest-gram df, floored at 1000 —
+    * see the fuzzyJoin scaladoc), keeping gram blocking live with
+    * the cheapest sufficient grams instead of silently re-blocking
+    * on the ~40-value length key. The r10 form
     * blocked on the 2-char name prefix — a fixed ~50-value key over
     * TPC-H's color vocabulary, so block sizes grew linearly and the
     * pair count quadratically; that form also missed any dist ≤ 2

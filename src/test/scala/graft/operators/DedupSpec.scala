@@ -595,16 +595,30 @@ class DedupSpec extends SparkTestBase {
     assert(share(1728, 50) < 0.05)
     assert(share(17280, 50) > 0.95)
     // AutoDf: the rarest (word-pair boundary) grams stay far under
-    // the n-scaled cap at both scales -> gram blocking stays live
+    // the cap at both scales -> gram blocking stays live
     assert(share(1728, Dedup.AutoDf) < 0.05)
     assert(share(17280, Dedup.AutoDf) < 0.05)
-    // and above the 1000 floor the cap itself scales ~ 1% of names
-    val big = spark.range(250000).select(
-      concat(lit("n"), col("id")).as("name")).localCheckpoint()
-    assert(Dedup.resolveDfCap(Dedup.AutoDf, big) === 2500)
-    assert(Dedup.resolveDfCap(Dedup.AutoDf,
-      big.limit(5000).localCheckpoint()) === 1000)
-    assert(Dedup.resolveDfCap(7, big) === 7) // explicit wins
+    // ABOVE the 1000 floor the cap tracks the per-name rarest-gram
+    // df quantile: 5-word names (12^5 combos) at n = 50000 put the
+    // rarest (boundary-pair) grams at df ~ 1000-2500 > the floor,
+    // and the q95 contract bounds the residual share at 5% BY
+    // CONSTRUCTION while the cap stays far below the interior-gram
+    // dfs (~ n*5/12 = 20833) a naive n-scaled cap would have kept
+    def corpus5(n: Int) = spark.range(n).map { i =>
+      val ws = (0 until 5).map(j =>
+        vocab(((i / math.pow(12, j).toLong) % 12).toInt))
+      (i, ws.mkString(" "))
+    }.toDF("id", "name")
+    val stats = Dedup.fuzzyBlockingStats(corpus5(50000), "name")
+      .collect().head
+    val cap = stats.getAs[Int]("df_cap")
+    assert(cap > 1000 && cap < 5000,
+      s"cap $cap must track the boundary-gram df band, not the floor")
+    assert(stats.getAs[Double]("residual_share") <= 0.051)
+    // explicit maxDf still wins over the data-derived cap
+    val statsExplicit = Dedup.fuzzyBlockingStats(corpus5(50000),
+      "name", maxDf = 7).collect().head
+    assert(statsExplicit.getAs[Int]("df_cap") === 7)
   }
 
   test("fuzzy matching resolves over distinct values, not rows") {
