@@ -82,12 +82,22 @@ object Hybrid {
     val stats = docLen.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25FromStats(tf, docLen, stats, dfreq, qterms, k1, b)
+  }
+
+  /** The scoring join over fully PRECOMPUTED corpus-side tables —
+    * the innermost entry point, for callers running SEVERAL term
+    * sets against one corpus ([[prfExpandedBm25]]'s two passes):
+    * docLen/stats/dfreq are identical across passes, so deriving
+    * them per pass would re-aggregate the full tf frame each time. */
+  private[operators] def bm25FromStats(tf: DataFrame,
+      docLen: DataFrame, stats: DataFrame, dfreq: DataFrame,
+      qterms: DataFrame, k1: Double, b: Double): DataFrame =
     scoreBm25(qterms
       .join(tf, Seq("term"))
       .join(dfreq, Seq("term"))
       .join(docLen, Seq("doc"))
       .crossJoin(broadcast(stats)), k1, b)
-  }
 
   /** RM3-style pseudo-relevance feedback (Lavrenko & Croft relevance
     * models, the Anserini/Lucene RM3 default shape simplified to a
@@ -121,10 +131,25 @@ object Hybrid {
     // discipline, Agreement.scala)
     val tf = termFrequencies(corpus, idCol, textCol).localCheckpoint()
     val ids = corpus.select(col(idCol).as("doc")).localCheckpoint()
-    val fb = prefetch(bm25FromTf(ids, tf, qt, k1, b), fbDocs)
-      .select(col("qid"), col("doc"))
+    // ... and aggregate the corpus-side tables ONCE for both BM25
+    // passes + the expansion weights: docLen/stats/dfreq are pure
+    // functions of the checkpointed tf, identical across passes —
+    // the doc-length table is materialized too (doc-count-sized,
+    // far smaller than tf) so the second pass reuses bytes, not a
+    // re-aggregation
+    val docLen = ids
+      .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
+        Seq("doc"), "left")
+      .localCheckpoint()
+    val stats = docLen.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = ids.agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val fb = prefetch(
+        bm25FromStats(tf, docLen, stats, dfreq, qt, k1, b), fbDocs)
+      .select(col("qid"), col("doc"))
+    val nDocs = stats.select(col("n_docs"))
     val expansion = fb.join(tf, Seq("doc"))
       .groupBy(col("qid"), col("term"))
       .agg(sum(col("tf")).as("fbtf"))
@@ -142,7 +167,8 @@ object Hybrid {
       .select(col("qid"), col("term"))
     // disjoint by the anti-join, both sides distinct ⇒ the union is
     // already a distinct (qid, term) set
-    bm25FromTf(ids, tf, qt.unionByName(expansion), k1, b)
+    bm25FromStats(tf, docLen, stats, dfreq,
+      qt.unionByName(expansion), k1, b)
   }
 
   /** The BM25 scoring tail over a joined candidate frame carrying
