@@ -286,14 +286,22 @@ object Eval {
     * (|problems|·|ks| rows; the interpreted-lambda cost lives on
     * that small table, never the corpus — NOTES trap 3 is priced). */
   def passAtK(candidates: DataFrame, problemCol: Column,
-      correctCol: Column, ks: Seq[Int]): DataFrame = {
-    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
-    val agg = candidates.select(problemCol.as("problem"),
+      correctCol: Column, ks: Seq[Int]): DataFrame =
+    passAtKFromCounts(candidates.select(problemCol.as("problem"),
         when(coalesce(correctCol.cast("boolean"), lit(false)),
           lit(1L)).otherwise(lit(0L)).as("__c"))
       .groupBy(col("problem"))
-      .agg(count(lit(1)).as("n"), sum(col("__c")).as("c"))
-    agg.select(col("problem"), col("n"), col("c"),
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("c")), ks)
+
+  /** The pass@k estimator arithmetic over a PRE-AGGREGATED
+    * (problem, n, c) counter table — shared by [[passAtK]] and the
+    * streaming monitor's live vote snapshots
+    * ([[graft.streaming.StreamingOps]]; the
+    * [[Fairness.auditFromCounts]] device), so the pass@k a live
+    * eval dashboard shows mid-run is the exact batch estimate. */
+  def passAtKFromCounts(counts: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    counts.select(col("problem"), col("n"), col("c"),
         explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
       .withColumn("pass_at_k",
         when(col("k") > col("n"), lit(null).cast("double"))
@@ -306,6 +314,15 @@ object Eval {
       .select(col("problem"), col("k"), col("n"), col("c"),
         col("pass_at_k"))
   }
+
+  /** [[passAtKFromCounts]] over a (problem, answer, votes, ok) VOTE
+    * table (the streaming monitor's state grain): n = Σ votes,
+    * c = Σ votes over answers the grader accepted. */
+  def passAtKFromVotes(votes: DataFrame, ks: Seq[Int]): DataFrame =
+    passAtKFromCounts(votes.groupBy(col("problem"))
+      .agg(sum(col("votes")).as("n"),
+        sum(when(col("ok"), col("votes")).otherwise(lit(0L)))
+          .as("c")), ks)
 
   /** Self-consistency / majority-vote scoring (Wang et al. 2022,
     * "Self-Consistency Improves Chain of Thought Reasoning"): per
@@ -326,19 +343,27 @@ object Eval {
     * (a vote for "no answer", not a dropped row — n must equal the
     * sample count). */
   def consensusVote(candidates: DataFrame, problemCol: Column,
-      answerCol: Column, correctCol: Column): DataFrame = {
-    val votes = candidates.select(problemCol.as("problem"),
+      answerCol: Column, correctCol: Column): DataFrame =
+    consensusFromVotes(candidates.select(problemCol.as("problem"),
         coalesce(answerCol.cast("string"), lit("")).as("answer"),
         coalesce(correctCol.cast("boolean"), lit(false)).as("__ok"))
       .groupBy(col("problem"), col("answer"))
       .agg(count(lit(1)).as("votes"),
-        max(when(col("__ok"), lit(1L)).otherwise(lit(0L))).as("__okv"))
+        (max(when(col("__ok"), lit(1L)).otherwise(lit(0L))) === 1L)
+          .as("ok")))
+
+  /** The mode-selection arithmetic over a PRE-AGGREGATED
+    * (problem, answer, votes, ok) vote table — shared by
+    * [[consensusVote]] and the streaming monitor's live vote
+    * snapshots, so the consensus a dashboard shows mid-run is the
+    * exact batch decision. */
+  def consensusFromVotes(votes: DataFrame): DataFrame =
     votes
       .groupBy(col("problem"))
       .agg(
         // min(struct(-votes, answer, ...)) = votes DESC, answer ASC
         min(struct((-col("votes")).as("nv"), col("answer"),
-          col("votes"), col("__okv"))).as("ch"),
+          col("votes"), col("ok"))).as("ch"),
         sum(col("votes")).as("n"),
         count(lit(1)).as("n_distinct_answers"))
       .select(col("problem"), col("n"), col("n_distinct_answers"),
@@ -346,6 +371,5 @@ object Eval {
         col("ch.votes").as("consensus_votes"),
         (col("ch.votes").cast("double") / col("n"))
           .as("vote_share"),
-        (col("ch.__okv") === 1L).as("consensus_correct"))
-  }
+        col("ch.ok").as("consensus_correct"))
 }

@@ -1092,6 +1092,62 @@ object StreamingOps {
       }
   }
 
+  case class VoteEvent(problem: String, answer: String, seq: Long,
+      ok: Boolean)
+
+  /** Per (problem, answer): last processed sequence, vote count,
+    * grader-accepted flag (sticky true). */
+  case class VoteState(lastSeq: Long, votes: Long, ok: Boolean)
+
+  case class VoteRow(problem: String, answer: String, last_seq: Long,
+      votes: Long, ok: Boolean)
+
+  /** Streaming eval-vote counters — the live feed under a pass@k /
+    * self-consistency dashboard: the latest row per (problem,
+    * answer) IS the batch vote table, so
+    * [[graft.operators.Eval.consensusFromVotes]] over the snapshot
+    * equals the batch [[graft.operators.Eval.consensusVote]] and
+    * [[graft.operators.Eval.passAtKFromVotes]] equals the batch
+    * [[graft.operators.Eval.passAtK]] (StreamingEvalSpec proves
+    * both). Contract mirrors [[streamingAcceptanceCounters]]:
+    * events carry a per-(problem, answer) MONOTONE sequence (a
+    * global sample offset works — a replayed event re-derives the
+    * same answer and lands in the same group); within a micro-batch
+    * events apply in sequence order and an event at or before the
+    * group's last processed sequence is DROPPED — exactly-once
+    * under replays, state three fields per distinct (problem,
+    * answer). Null answers count as '' votes and null correctness
+    * as rejected, the batch semantics. */
+  def streamingEvalVotes(df: org.apache.spark.sql.DataFrame,
+      problemCol: String, answerCol: String, seqCol: String,
+      correctCol: String): Dataset[VoteRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    df.select(col(problemCol).cast("string").as("problem"),
+        coalesce(col(answerCol).cast("string"), lit(""))
+          .as("answer"),
+        col(seqCol).cast("long").as("seq"),
+        coalesce(col(correctCol).cast("boolean"), lit(false))
+          .as("ok"))
+      .as[VoteEvent]
+      .groupByKey(e => (e.problem, e.answer))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, String), it: Iterator[VoteEvent],
+            state: GroupState[VoteState]) =>
+          val st = state.getOption.getOrElse(
+            VoteState(Long.MinValue, 0L, false))
+          var last = st.lastSeq; var v = st.votes; var o = st.ok
+          // duplicate guard INSIDE the fold (the r11 CUSUM lesson)
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (e.seq > last) { last = e.seq; v += 1L; o = o || e.ok }
+          }
+          state.update(VoteState(last, v, o))
+          Iterator.single(VoteRow(key._1, key._2, last, v, o))
+      }
+  }
+
   case class ConfEvent(group: String, seq: Long, nc: Double)
 
   /** Last processed sequence + the calibration value multiset. The
