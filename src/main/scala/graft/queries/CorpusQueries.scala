@@ -3332,7 +3332,58 @@ object CorpusQueries {
       |FROM wall JOIN stq ON wall.source = stq.source
       |ORDER BY wall.round""".stripMargin
 
+  /** q322: fuzzy-blocking liveness diagnostic
+    * ([[graft.operators.Dedup.fuzzyBlockingStats]]) over the part
+    * catalog — the ops row published next to every q114/q239-class
+    * entity-resolution job: the distinct-name universe, the
+    * AutoDf-resolved stop-gram cap (q95 of per-name rarest-gram df,
+    * floored at 1000 — r12), and the residual share that tells an
+    * operator whether gram blocking is still live or silently
+    * degenerating into length-key blocking. The oracle replays the
+    * gram explosion, the per-gram df, the per-name min-df quantile,
+    * the floor, and the two residual routes (short names ∪
+    * every-gram-dropped names) — so the hash match value-checks the
+    * cap-resolution machinery itself. */
+  def q322BlockingStats(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.fuzzyBlockingStats(part(s, d), "p_name")
+
+  private val q322Oracle: String =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name AS name FROM part
+      |  WHERE p_name IS NOT NULL),
+      |g0 AS (
+      |  SELECT name, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(name) - 2, 1)),
+      |    i -> substr(name, i, 3)))) AS g
+      |  FROM names),
+      |gdf AS (SELECT g, COUNT(*) AS df FROM g0 GROUP BY 1),
+      |mindf AS (SELECT name, MIN(df) AS m
+      |  FROM g0 JOIN gdf USING (g) GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM names),
+      |dm AS (SELECT m, COUNT(*) AS c FROM mindf GROUP BY 1),
+      |cum AS (SELECT m, SUM(c) OVER (ORDER BY m
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+      |  FROM dm),
+      |cap AS (
+      |  SELECT GREATEST(1000, (SELECT MIN(m) FROM cum, nn
+      |    WHERE cm >= CEIL(0.95 * n))) AS df_cap),
+      |kept AS (
+      |  SELECT DISTINCT g0.name FROM g0 JOIN gdf USING (g), cap
+      |  WHERE gdf.df <= cap.df_cap),
+      |resid AS (
+      |  SELECT name FROM names WHERE len(name) < 9
+      |  UNION ALL
+      |  SELECT name FROM names WHERE len(name) >= 9
+      |    AND name NOT IN (SELECT name FROM kept))
+      |SELECT (SELECT COUNT(*) FROM names) AS n_names,
+      |  CAST(cap.df_cap AS INT) AS df_cap,
+      |  (SELECT COUNT(*) FROM resid) AS n_residual,
+      |  CAST((SELECT COUNT(*) FROM resid) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM names) AS residual_share
+      |FROM cap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_blocking_stats" -> (q322BlockingStats _),
     "q228_freq_spectrum" -> (q228FreqSpectrum _),
     "q209_cdc_chunks" -> (q209CdcChunks _),
     "q219_distribution_drift" -> (q219DistributionDrift _),
@@ -3401,6 +3452,7 @@ object CorpusQueries {
     "q237_canonical_preferred_dedup" -> q237Oracle,
     "q238_anchor_text" -> q238Oracle,
     "q239_fuzzy_name_join" -> q239Oracle,
+    "q322_blocking_stats" -> q322Oracle,
     "q240_content_type" -> q240Oracle,
     "q241_robots_gate" -> q241Oracle,
     "q242_web_curation_build" -> q242Oracle,
