@@ -127,7 +127,11 @@ object Bench {
             -1.0
           }
         }.sorted
-        name -> times(passes / 2)
+        // ANY failed pass poisons the row to the sentinel: a median
+        // over the surviving passes would read biased-FAST (the
+        // median of [-1, tA, tB] is min(tA, tB)) and hide a flaky
+        // failure as a healthy, slightly-improved row (r12 review)
+        name -> (if (times.head < 0) -1.0 else times(passes / 2))
     }.toMap
     // The harness keeps only the tail of the run's output, so the
     // one JSON line must stay well under 2000 bytes for 60+ queries:

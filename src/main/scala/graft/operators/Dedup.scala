@@ -494,19 +494,34 @@ object Dedup {
     * explicit `maxDf` measured on the data. */
   val AutoDf: Int = 0
 
+  /** Gram index with its per-gram df attached — ONE window, shared
+    * by the [[AutoDf]] sizing quantile and the kept-gram filter.
+    * Under AutoDf the windowed frame is CHECKPOINTED: the sizing
+    * pass is an eager action and the kept-gram filter a second
+    * consumer, so without the barrier the explode + df exchange
+    * (the hottest shuffle of every fuzzy call) would run twice
+    * (r12 review). The frame is name-UNIVERSE-sized (~L grams per
+    * distinct name), never corpus-sized. An explicit cap keeps the
+    * historical single-lazy-window shape (no sizing action exists
+    * to share with). */
+  private def gramsWithDf(names: DataFrame, q: Int,
+      auto: Boolean): DataFrame = {
+    val w = nameGrams(names, q).withColumn("_df",
+      count(lit(1)).over(Window.partitionBy(col("g"))))
+    if (auto) w.localCheckpoint() else w
+  }
+
   /** Resolve a caller `maxDf` (explicit > 0, or [[AutoDf]]) against
-    * the gram index: the q95 of per-`keyCols` min gram df, floored
-    * at 1000. Two aggregates over the gram-row stream (whose df
-    * window [[dfCapped]] shuffles anyway) + a cumulative window
-    * over the DISTINCT min-df table (value-bounded, the ksTwoSample
-    * device); two scalar driver reads. */
-  private[operators] def resolveDfCap(maxDf: Int, grams: DataFrame,
+    * a [[gramsWithDf]] frame: the q95 of per-`keyCols` min gram df,
+    * floored at 1000. One aggregate over the (checkpointed) gram
+    * frame + a cumulative window over the DISTINCT min-df table
+    * (value-bounded, the ksTwoSample device); two scalar driver
+    * reads. */
+  private[operators] def resolveDfCap(maxDf: Int, gramsW: DataFrame,
       keyCols: Seq[String]): Int =
     if (maxDf > 0) maxDf
     else {
-      val minDf = grams
-        .withColumn("_df", count(lit(1)).over(
-          Window.partitionBy(col("g"))))
+      val minDf = gramsW
         .groupBy(keyCols.map(col): _*)
         .agg(min(col("_df")).as("_m"))
       val dm = minDf.groupBy(col("_m"))
@@ -541,10 +556,10 @@ object Dedup {
       maxDist: Int, q: Int, maxDf: Int): FuzzyPrefix = {
     val names = df.select(col(nameCol).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct().localCheckpoint()
-    val grams = nameGrams(names, q)
-    val cap = resolveDfCap(maxDf, grams, Seq("name"))
+    val gramsW = gramsWithDf(names, q, auto = maxDf <= 0)
+    val cap = resolveDfCap(maxDf, gramsW, Seq("name"))
     val shortCap = (maxDist + 1) * q // guarantee floor on max length
-    val keptGrams = dfCapped(grams, cap)
+    val keptGrams = gramsW.filter(col("_df") <= cap).drop("_df")
     val namesL = names.withColumn("_l", length(col("name")))
     FuzzyPrefix(names, cap, keptGrams, namesL,
       residualNames(namesL, keptGrams, Seq("name"), shortCap))
@@ -568,14 +583,6 @@ object Dedup {
         (col("n_residual").cast("double") / col("n_names"))
           .as("residual_share"))
   }
-
-  /** Stop-gram cap: keep gram rows whose gram's global df ≤ maxDf. */
-  private def dfCapped(grams: DataFrame, maxDf: Int): DataFrame =
-    grams
-      .withColumn("_df", count(lit(1)).over(
-        Window.partitionBy(col("g"))))
-      .filter(col("_df") <= maxDf)
-      .drop("_df")
 
   /** The residual name set (rows of `namesL`, which carries `_l`):
     * names below the (d+1)·q guarantee floor ∪ names whose EVERY
@@ -636,10 +643,10 @@ object Dedup {
     // both-side universe materialized once: gram index + length
     // table + (under AutoDf) the sizing aggregates all read it
     val names = ln.unionByName(rn).localCheckpoint()
-    val grams = nameGrams(names, q)
-    val cap = resolveDfCap(maxDf, grams, Seq("name", "side"))
+    val gramsW = gramsWithDf(names, q, auto = maxDf <= 0)
+    val cap = resolveDfCap(maxDf, gramsW, Seq("name", "side"))
     val shortCap = (maxDist + 1) * q
-    val keptGrams = dfCapped(grams, cap)
+    val keptGrams = gramsW.filter(col("_df") <= cap).drop("_df")
     val viaGrams = keptGrams.filter(col("side") === 0)
       .select(col("name").as("name_l"), col("g"))
       .join(keptGrams.filter(col("side") === 1)

@@ -315,14 +315,16 @@ object Eval {
         col("pass_at_k"))
   }
 
-  /** [[passAtKFromCounts]] over a (problem, answer, votes, ok) VOTE
-    * table (the streaming monitor's state grain): n = Σ votes,
-    * c = Σ votes over answers the grader accepted. */
+  /** [[passAtKFromCounts]] over a
+    * (problem, answer, votes, ok_votes) VOTE table (the streaming
+    * monitor's state grain): n = Σ votes, c = Σ ok_votes — the
+    * ACCEPTED-vote count, not votes gated on a per-answer boolean,
+    * so a noisy grader (same answer, per-sample disagreement)
+    * still reproduces the batch [[passAtK]] exactly (r12 review). */
   def passAtKFromVotes(votes: DataFrame, ks: Seq[Int]): DataFrame =
     passAtKFromCounts(votes.groupBy(col("problem"))
       .agg(sum(col("votes")).as("n"),
-        sum(when(col("ok"), col("votes")).otherwise(lit(0L)))
-          .as("c")), ks)
+        sum(col("ok_votes")).as("c")), ks)
 
   /** Self-consistency / majority-vote scoring (Wang et al. 2022,
     * "Self-Consistency Improves Chain of Thought Reasoning"): per

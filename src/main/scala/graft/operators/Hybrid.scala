@@ -76,13 +76,24 @@ object Hybrid {
     // no tf rows; the left join from corpus ids keeps them as null
     // dl — exactly tokenCount's null — so n_docs and avgdl keep
     // whole-corpus semantics.
+    val (docLen, stats, dfreq) = corpusTables(ids, tf)
+    bm25FromStats(tf, docLen, stats, dfreq, qterms, k1, b)
+  }
+
+  /** The three corpus-side tables every BM25 pass reads — ONE
+    * definition, so the single-pass path and [[prfExpandedBm25]]'s
+    * shared-checkpoint path cannot drift (the scores' bit-identity
+    * contract hangs on these aggregations staying identical;
+    * r12 review). */
+  private def corpusTables(ids: DataFrame,
+      tf: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val docLen = ids
       .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
         Seq("doc"), "left")
     val stats = docLen.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    bm25FromStats(tf, docLen, stats, dfreq, qterms, k1, b)
+    (docLen, stats, dfreq)
   }
 
   /** The scoring join over fully PRECOMPUTED corpus-side tables —
@@ -132,20 +143,15 @@ object Hybrid {
     val tf = termFrequencies(corpus, idCol, textCol).localCheckpoint()
     val ids = corpus.select(col(idCol).as("doc")).localCheckpoint()
     // ... and aggregate the corpus-side tables ONCE for both BM25
-    // passes + the expansion weights: docLen/stats/dfreq are pure
-    // functions of the checkpointed tf, identical across passes —
-    // the doc-length table is materialized too (doc-count-sized,
-    // far smaller than tf) so the second pass reuses bytes, not a
-    // re-aggregation
-    val docLen = ids
-      .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
-        Seq("doc"), "left")
-      .localCheckpoint()
-    val stats = docLen.agg(
-      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .localCheckpoint()
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+    // passes + the expansion weights: docLen/stats/dfreq come from
+    // the SAME builder the single-pass path uses (corpusTables —
+    // bit-identity by construction), checkpointed here because this
+    // path has multiple consumers per table (doc-count- and
+    // vocabulary-sized frames, far smaller than tf)
+    val (docLen0, stats0, dfreq0) = corpusTables(ids, tf)
+    val docLen = docLen0.localCheckpoint()
+    val stats = stats0.localCheckpoint()
+    val dfreq = dfreq0.localCheckpoint()
     val fb = prefetch(
         bm25FromStats(tf, docLen, stats, dfreq, qt, k1, b), fbDocs)
       .select(col("qid"), col("doc"))

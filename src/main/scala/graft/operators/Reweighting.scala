@@ -98,7 +98,12 @@ object Reweighting {
     * groupBy), no corpus-sized window, no corpus-sized cache, no
     * driver-side state beyond the threshold row. Excess is
     * t9-truncated before grouping so the distinct table cannot be
-    * inflated by sub-ulp noise across engines.
+    * inflated by sub-ulp noise across engines. PRECONDITION: `df`
+    * must be deterministic under recomputation (every input in this
+    * engine is — the md5-device discipline); the two scans must see
+    * the same rows or the broadcast threshold describes data the
+    * flag pass no longer reads. A rand()-derived input needs the
+    * caller to checkpoint it first.
     *
     * Output per surviving input row: (id, loss, ref_loss, excess,
     * selected) plus the constant (n_total, k_target, threshold)

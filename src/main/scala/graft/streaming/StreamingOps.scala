@@ -1096,11 +1096,14 @@ object StreamingOps {
       ok: Boolean)
 
   /** Per (problem, answer): last processed sequence, vote count,
-    * grader-accepted flag (sticky true). */
-  case class VoteState(lastSeq: Long, votes: Long, ok: Boolean)
+    * accepted-vote count — okVotes (not a sticky boolean) so a
+    * NOISY grader (same answer, per-sample disagreement) still
+    * yields the exact batch pass@k c = Σ accepted votes
+    * (r12 review). */
+  case class VoteState(lastSeq: Long, votes: Long, okVotes: Long)
 
   case class VoteRow(problem: String, answer: String, last_seq: Long,
-      votes: Long, ok: Boolean)
+      votes: Long, ok_votes: Long, ok: Boolean)
 
   /** Streaming eval-vote counters — the live feed under a pass@k /
     * self-consistency dashboard: the latest row per (problem,
@@ -1137,14 +1140,16 @@ object StreamingOps {
         (key: (String, String), it: Iterator[VoteEvent],
             state: GroupState[VoteState]) =>
           val st = state.getOption.getOrElse(
-            VoteState(Long.MinValue, 0L, false))
-          var last = st.lastSeq; var v = st.votes; var o = st.ok
+            VoteState(Long.MinValue, 0L, 0L))
+          var last = st.lastSeq; var v = st.votes; var o = st.okVotes
           // duplicate guard INSIDE the fold (the r11 CUSUM lesson)
           it.toSeq.sortBy(_.seq).foreach { e =>
-            if (e.seq > last) { last = e.seq; v += 1L; o = o || e.ok }
+            if (e.seq > last) {
+              last = e.seq; v += 1L; if (e.ok) o += 1L
+            }
           }
           state.update(VoteState(last, v, o))
-          Iterator.single(VoteRow(key._1, key._2, last, v, o))
+          Iterator.single(VoteRow(key._1, key._2, last, v, o, o > 0L))
       }
   }
 

@@ -29,15 +29,16 @@ class StreamingEvalSpec extends SparkTestBase {
     }
 
   private def batchVotes(rows: Seq[(String, String, Long, Boolean)])
-      : Map[(String, String), (Long, Boolean)] =
+      : Map[(String, String), (Long, Long)] =
     rows.groupBy(r => (r._1, r._2)).map { case (k, xs) =>
-      k -> ((xs.size.toLong, xs.exists(_._4)))
+      k -> ((xs.size.toLong, xs.count(_._4).toLong))
     }
 
-  /** Latest counter row per (problem, answer) from the memory sink. */
+  /** Latest counter row per (problem, answer) from the memory sink:
+    * (votes, ok_votes). */
   private def streamed(
       chunks: Seq[Seq[(String, String, Long, Boolean)]],
-      name: String): Map[(String, String), (Long, Boolean)] = {
+      name: String): Map[(String, String), (Long, Long)] = {
     val input = MemoryStream[(String, String, Long, Boolean)](spark, 1)
     val out = StreamingOps.streamingEvalVotes(
       input.toDF().toDF("p", "a", "seq", "ok"), "p", "a", "seq", "ok")
@@ -47,13 +48,17 @@ class StreamingEvalSpec extends SparkTestBase {
     q.stop()
     spark.table(name).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getBoolean(4)))
+        r.getLong(3), r.getLong(4)))
       .groupBy(t => (t._1, t._2))
       .map { case (k, rows) =>
         val last = rows.maxBy(_._3)
         k -> ((last._4, last._5))
       }
   }
+
+  private def snapDf(m: Map[(String, String), (Long, Long)]) =
+    m.toSeq.map { case ((p, a), (v, ov)) => (p, a, v, ov, ov > 0) }
+      .toDF("problem", "answer", "votes", "ok_votes", "ok")
 
   test("streamed vote counters == batch, fed whole / chunked / " +
       "with replayed and same-batch duplicates") {
@@ -68,9 +73,7 @@ class StreamingEvalSpec extends SparkTestBase {
 
   test("consensusFromVotes and passAtKFromVotes over the live " +
       "snapshot == the batch operators") {
-    val snap = streamed(events.grouped(33).toSeq, "ev_e").toSeq
-      .map { case ((p, a), (v, ok)) => (p, a, v, ok) }
-      .toDF("problem", "answer", "votes", "ok")
+    val snap = snapDf(streamed(events.grouped(33).toSeq, "ev_e"))
     val df = events.toDF("problem", "answer", "seq", "ok")
     val liveCons = Eval.consensusFromVotes(snap)
       .orderBy("problem").collect().map(_.toSeq).toSeq
@@ -95,6 +98,24 @@ class StreamingEvalSpec extends SparkTestBase {
     assert(streamed(Seq(prefix), "ev_f") === batchVotes(prefix))
   }
 
+  test("a NOISY grader (same answer, per-sample disagreement) " +
+      "still reproduces batch pass@k exactly via ok_votes") {
+    // one problem, one answer voted 4x with grades T,F,F,T:
+    // batch n=4, c=2 -> pass@1 = 1 - (2/4)*... ; a sticky boolean
+    // state would report c=4 (the r12 review's failure case)
+    val noisy = Seq(("p", "x", 0L, true), ("p", "x", 1L, false),
+      ("p", "x", 2L, false), ("p", "x", 3L, true))
+    val snap = snapDf(streamed(Seq(noisy), "ev_noisy"))
+    val live = Eval.passAtKFromVotes(snap, Seq(1, 2))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val batch = Eval.passAtK(
+        noisy.toDF("problem", "answer", "seq", "ok"),
+        col("problem"), col("ok"), Seq(1, 2))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(live === batch)
+    assert(live.head(3) === 2L, "c must be the accepted-VOTE count")
+  }
+
   test("null answers count as '' votes and null correctness as " +
       "rejected, matching batch") {
     val input = MemoryStream[(String, String, Long, java.lang.Boolean)](
@@ -108,8 +129,9 @@ class StreamingEvalSpec extends SparkTestBase {
     q.processAllAvailable()
     q.stop()
     val got = spark.table("ev_null").collect()
-      .map(r => (r.getString(1), r.getLong(3), r.getBoolean(4)))
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
       .toSet
-    assert(got === Set(("", 2L, false), ("x", 1L, true)))
+    assert(got === Set(("", 2L, 0L, false), ("x", 1L, 1L, true)))
   }
 }
