@@ -96,6 +96,66 @@ object HypothesisTests {
         coalesce(col("d_stat") > col("crit"), lit(false)))
   }
 
+  /** Pearson chi-squared test of INDEPENDENCE between two
+    * categorical columns (the family's categorical member next to
+    * [[ksTwoSample]]'s continuous drift test and
+    * [[binomialBhAudit]]'s per-group rate audit — "is quality-gate
+    * acceptance independent of source?" is a contingency-table
+    * question). X² = Σ_ij (O_ij·N − R_i·C_j)² / (N·R_i·C_j), the
+    * N-scaled identity form that keeps the numerator's inner term
+    * EXACT: O·N and R·C are DECIMAL(38,0) integer products (no
+    * overflow through 10¹⁸-row tables), their difference casts to
+    * double ONCE, and each cell term is t12-truncated and summed
+    * over DECIMAL(38,12) — bit-replayable in SQL, no float
+    * accumulation. The decision compares X² against a
+    * caller-supplied critical value for the table's (r−1)(c−1)
+    * degrees of freedom (the [[ksTwoSample]] cAlpha discipline —
+    * the χ² inverse CDF is not elementary, and a release gate pins
+    * its α and df anyway). Null category values are their own
+    * level ("(null)") — a missing label is a category, not a
+    * dropped row.
+    *
+    * Scale shape: ONE aggregate to the r·c-cell contingency table
+    * (map-side combined), margins derived from those cells
+    * (cell-table-sized aggregates), a broadcast totals row — the
+    * corpus is scanned once; nothing downstream exceeds r·c rows.
+    * Output one row: (n, n_rows, n_cols, dof, x2, crit, reject). */
+  def chiSquaredIndependence(df: DataFrame, rowCol: Column,
+      colCol: Column, crit: Double): DataFrame = {
+    require(crit > 0, "crit must be positive")
+    val Dec38 = DecimalType(38, 0)
+    val cells = df.select(
+        coalesce(rowCol.cast("string"), lit("(null)")).as("__r"),
+        coalesce(colCol.cast("string"), lit("(null)")).as("__c"))
+      .groupBy(col("__r"), col("__c"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint()
+    val rm = cells.groupBy(col("__r")).agg(sum(col("__o")).as("__rn"))
+    val cm = cells.groupBy(col("__c")).agg(sum(col("__o")).as("__cn"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      count_distinct(col("__r")).as("__nr"),
+      count_distinct(col("__c")).as("__nc"))
+    cells.join(rm, "__r").join(cm, "__c")
+      .crossJoin(broadcast(tot))
+      // d² via d·d, never pow(d, 2): multiplication is IEEE-exact
+      // everywhere while pow is a libm call engines may round
+      // differently at the last ulp
+      .withColumn("__d",
+        (col("__o").cast(Dec38) * col("__n") -
+          col("__rn").cast(Dec38) * col("__cn")).cast("double"))
+      .select(col("__n"), col("__nr"), col("__nc"),
+        t12(col("__d") * col("__d") /
+          (col("__n").cast("double") * col("__rn") * col("__cn")))
+          .as("__t"))
+      .groupBy(col("__n"), col("__nr"), col("__nc"))
+      .agg(xsum12(col("__t")).as("x2"))
+      .select(col("__n").as("n"), col("__nr").as("n_rows"),
+        col("__nc").as("n_cols"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
+        col("x2"), lit(crit).as("crit"),
+        (col("x2") > lit(crit)).as("reject"))
+  }
+
   /** Per-group exact binomial test of P(property) against the
     * POOLED rate, BH-corrected at FDR `alpha`. Output per group:
     * (groupName, n, k, rate, p_value, bh_rank, rejected) —

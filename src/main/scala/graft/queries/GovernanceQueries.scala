@@ -1553,7 +1553,89 @@ object GovernanceQueries {
       |  excess >= threshold AS selected, n_total, k_target, threshold
       |FROM sx, thr ORDER BY id""".stripMargin
 
+  /** q323: Pearson chi-squared independence audit
+    * ([[graft.operators.HypothesisTests.chiSquaredIndependence]]) —
+    * the hypothesis family's CATEGORICAL member next to q317's
+    * continuous KS and q318's per-group rates: is a 4-level
+    * document category independent of language? Two value-checked
+    * branches at the χ²₀.₀₅ critical value for dof = 4·3 = 12
+    * (21.026): `organic_independent` uses an md5-derived category
+    * (independent of lang by construction — X² ≈ 10.8 at sf0.01,
+    * accept) and `planted_dependent` collapses zh documents onto
+    * two of the four categories (X² ≈ 54, reject). The oracle
+    * replays the category hash, the contingency cells, both
+    * margins, the exact DECIMAL inner terms, and the t12/decimal
+    * sum. */
+  def q323ChiSquared(s: SparkSession, d: String): DataFrame = {
+    val h4 = conv(substring(md5(concat(lit("chi2:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 4
+    val base = documents(s, d).select(col("doc_id"), col("lang"))
+      .withColumn("h4", h4)
+    val crit12 = 21.026 // χ² upper-5% point at dof 12
+    val t1 = graft.operators.HypothesisTests.chiSquaredIndependence(
+        base, col("lang"), col("h4"), crit12)
+      .withColumn("test", lit("organic_independent"))
+    val planted = base.withColumn("cat",
+      when(col("lang") === "zh", col("h4") % 2)
+        .otherwise(col("h4")))
+    val t2 = graft.operators.HypothesisTests.chiSquaredIndependence(
+        planted, col("lang"), col("cat"), crit12)
+      .withColumn("test", lit("planted_dependent"))
+    t1.unionByName(t2)
+      .select(col("test"), col("n"), col("n_rows"), col("n_cols"),
+        col("dof"), col("x2"), col("crit"), col("reject"))
+      .orderBy(col("test"))
+  }
+
+  private val q323Oracle: String = {
+    // one branch's replay over a caller-supplied category expression
+    def branch(catSql: String, label: String): String =
+      s"""SELECT '$label' AS test, n.n, t.nr AS n_rows, t.nc AS n_cols,
+        |  (t.nr - 1) * (t.nc - 1) AS dof,
+        |  CAST(SUM(CAST(floor(
+        |      ((ce.o::DECIMAL(18,0) * n.n -
+        |        rm.rn::DECIMAL(18,0) * cm.cn)::DOUBLE *
+        |       (ce.o::DECIMAL(18,0) * n.n -
+        |        rm.rn::DECIMAL(18,0) * cm.cn)::DOUBLE) /
+        |      ((n.n::DOUBLE * rm.rn) * cm.cn) * 1e12) / 1e12
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS x2,
+        |  CAST(21.026 AS DOUBLE) AS crit,
+        |  CAST(SUM(CAST(floor(
+        |      ((ce.o::DECIMAL(18,0) * n.n -
+        |        rm.rn::DECIMAL(18,0) * cm.cn)::DOUBLE *
+        |       (ce.o::DECIMAL(18,0) * n.n -
+        |        rm.rn::DECIMAL(18,0) * cm.cn)::DOUBLE) /
+        |      ((n.n::DOUBLE * rm.rn) * cm.cn) * 1e12) / 1e12
+        |    AS DECIMAL(38,12))) AS DOUBLE) > CAST(21.026 AS DOUBLE) AS reject
+        |FROM (SELECT lang AS r, CAST($catSql AS VARCHAR) AS c,
+        |    COUNT(*) AS o FROM b GROUP BY 1, 2) ce
+        |JOIN (SELECT lang AS r, COUNT(*) AS rn FROM b GROUP BY 1) rm
+        |  ON ce.r = rm.r
+        |JOIN (SELECT CAST($catSql AS VARCHAR) AS c, COUNT(*) AS cn
+        |    FROM b GROUP BY 1) cm ON ce.c = cm.c
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b) n
+        |CROSS JOIN (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT $catSql) AS BIGINT) AS nc FROM b) t
+        |GROUP BY n.n, t.nr, t.nc""".stripMargin
+    s"""WITH b AS (
+      |  SELECT lang,
+      |    ('0x' || substr(md5('chi2:' || doc_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 4 AS h4,
+      |    CASE WHEN lang = 'zh'
+      |      THEN ('0x' || substr(md5('chi2:' || doc_id), 1, 8))
+      |        ::UBIGINT::BIGINT % 4 % 2
+      |      ELSE ('0x' || substr(md5('chi2:' || doc_id), 1, 8))
+      |        ::UBIGINT::BIGINT % 4 END AS cat
+      |  FROM documents)
+      |${branch("h4", "organic_independent")}
+      |UNION ALL
+      |${branch("cat", "planted_dependent")}
+      |ORDER BY test""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_chi_squared" -> (q323ChiSquared _),
     "q321_excess_loss_select" -> (q321ExcessLossSelect _),
     "q299_record_linkage" -> (q299RecordLinkage _),
     "q271_k_anonymity_audit" -> (q271KAnonymityAudit _),
@@ -1581,6 +1663,7 @@ object GovernanceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q323_chi_squared" -> q323Oracle,
     "q321_excess_loss_select" -> q321Oracle,
     "q299_record_linkage" -> q299Oracle,
     "q271_k_anonymity_audit" -> q271Oracle,

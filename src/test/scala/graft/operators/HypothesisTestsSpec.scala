@@ -63,6 +63,37 @@ class HypothesisTestsSpec extends SparkTestBase {
       .collect().head.getBoolean(4))
   }
 
+  test("chi-squared independence: hand-computed 2x2, exact zero " +
+      "on a perfectly independent table, null category level") {
+    // O = [[10,20],[20,10]]: classic X^2 = 4*(25/15) = 6.6667 (t12
+    // per-term: 4 * 1.666666666666 = 6.666666666664); df=1, crit
+    // 3.841 -> reject
+    val dep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r", "c")
+    val rd = HypothesisTests.chiSquaredIndependence(dep, col("r"),
+      col("c"), crit = 3.841).collect().head
+    assert(rd.getLong(0) === 60L && rd.getLong(3) === 1L)
+    assert(math.abs(rd.getDouble(4) - 6.666666666664) < 1e-12)
+    assert(rd.getBoolean(6))
+    // perfectly independent margins -> every d = O*N - R*C = 0
+    val ind = (for (r <- Seq("a", "b"); c <- Seq("x", "y", "z");
+      _ <- 0 until 5) yield (r, c)).toDF("r", "c")
+    val ri = HypothesisTests.chiSquaredIndependence(ind, col("r"),
+      col("c"), crit = 5.991).collect().head
+    assert(ri.getDouble(4) === 0.0 && !ri.getBoolean(6))
+    assert(ri.getLong(1) === 2L && ri.getLong(2) === 3L &&
+      ri.getLong(3) === 2L)
+    // a null category value is its own level, not a dropped row
+    val withNull = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("a", null))
+      ++ Seq.fill(5)(("b", "x")) ++ Seq.fill(5)(("b", null)))
+      .toDF("r", "c")
+    val rn = HypothesisTests.chiSquaredIndependence(withNull,
+      col("r"), col("c"), crit = 3.841).collect().head
+    assert(rn.getLong(0) === 20L && rn.getLong(2) === 2L)
+    assert(rn.getDouble(4) === 0.0)
+  }
+
   /** Exact binomial two-sided p (doubled smaller tail) reference
     * via BigDecimal pmf accumulation. */
   private def refP(n: Int, k: Int, p: Double): Double = {
