@@ -483,4 +483,39 @@ object Graft {
   def distributionDrift(docs: DataFrame, text: String,
       sliceA: org.apache.spark.sql.Column): DataFrame =
     operators.Corpus.distributionDrift(docs, text, sliceA)
+
+  // ---- r12: eval harness + selection + audits ------------------------
+
+  /** Unbiased pass@k per problem (Chen et al. 2021) over an
+    * n-sample candidate table; (problem, k, n, c, pass_at_k). */
+  def passAtK(candidates: DataFrame, problem: String,
+      correct: String, ks: Seq[Int]): DataFrame =
+    operators.Eval.passAtK(candidates, col(problem), col(correct), ks)
+
+  /** Self-consistency majority voting (Wang et al. 2022): modal
+    * answer, vote share, consensus correctness per problem. */
+  def consensusVote(candidates: DataFrame, problem: String,
+      answer: String, correct: String): DataFrame =
+    operators.Eval.consensusVote(candidates, col(problem),
+      col(answer), col(correct))
+
+  /** RHO-style excess-loss selection (Mindermann et al. 2022):
+    * top-⌈ρ·n⌉ examples by model-minus-reference loss, ties at the
+    * threshold all kept. */
+  def excessLossSelect(df: DataFrame, id: String, loss: String,
+      refLoss: String, rho: Double): DataFrame =
+    operators.Reweighting.excessLossSelect(df, id, loss, refLoss, rho)
+
+  /** Pearson chi-squared independence audit of two categorical
+    * columns against a caller-pinned critical value. */
+  def chiSquaredIndependence(df: DataFrame, rowCol: String,
+      colCol: String, crit: Double): DataFrame =
+    operators.HypothesisTests.chiSquaredIndependence(df,
+      col(rowCol), col(colCol), crit)
+
+  /** Fuzzy-blocking liveness diagnostic: (n_names, df_cap,
+    * n_residual, residual_share) for the q-gram entity-resolution
+    * devices under the AutoDf quantile cap. */
+  def fuzzyBlockingStats(df: DataFrame, name: String): DataFrame =
+    operators.Dedup.fuzzyBlockingStats(df, name)
 }

@@ -98,4 +98,32 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(hd.count() === 3)
     assert(Graft.communities(edges).count() === 3)
   }
+
+  test("r12 facade entries: passAtK / consensusVote / " +
+      "excessLossSelect / chiSquaredIndependence / " +
+      "fuzzyBlockingStats are wired") {
+    import spark.implicits._
+    val cand = Seq((1L, "x", true), (1L, "x", true), (1L, "y", false),
+      (2L, "a", false), (2L, "a", false)).toDF("p", "a", "ok")
+    val pk = Graft.passAtK(cand, "p", "ok", Seq(1, 2))
+    assert(pk.columns.toSeq ===
+      Seq("problem", "k", "n", "c", "pass_at_k"))
+    assert(pk.count() === 4)
+    val cv = Graft.consensusVote(cand, "p", "a", "ok")
+    assert(cv.columns.contains("consensus_answer") && cv.count() === 2)
+    val sel = Graft.excessLossSelect(
+      Seq((1L, 2.0, 1.0), (2L, 0.5, 1.0)).toDF("id", "l", "r"),
+      "id", "l", "r", rho = 0.5)
+    assert(sel.columns.contains("selected") && sel.count() === 2)
+    val chi = Graft.chiSquaredIndependence(
+      Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+        .toDF("r", "c"), "r", "c", crit = 3.841)
+    assert(chi.columns.toSeq === Seq("n", "n_rows", "n_cols", "dof",
+      "x2", "crit", "reject"))
+    assert(chi.count() === 1)
+    val bs = Graft.fuzzyBlockingStats(docs, "text")
+    assert(bs.columns.toSeq === Seq("n_names", "df_cap",
+      "n_residual", "residual_share"))
+    assert(bs.count() === 1)
+  }
 }
