@@ -382,29 +382,39 @@ object Graph {
     *
     * Scale: the naive neighbor-pair enumeration is Σ_v C(deg(v), 2) —
     * quadratic in the hot node's degree, fatal on skewed graphs. This
-    * uses the degree-ordered orientation (Chiba–Nishizeki 1985; the
-    * shuffle formulation is Suri–Vassilvitskii WWW'11): each
-    * undirected edge is directed from its (deg, id)-smaller endpoint
-    * to the larger, so wedges are only enumerated at a triangle's
-    * LOWEST-degree corner and every out-degree is O(√m). All three
-    * stages are plain keyed shuffles (distinct, self-join on the
-    * wedge corner, edge-close join) — no windows, no driver state;
-    * the orientation only changes the join sizes, never the counts.
+    * uses the degree-ordered orientation (Chiba–Nishizeki 1985) in
+    * its EDGE-ITERATOR form: each undirected edge is directed from
+    * its (deg, id)-smaller endpoint to the larger (out-degrees are
+    * then O(√m)), out-neighborhoods are packed into per-node arrays,
+    * and each oriented edge (a,b) counts the triangle closures as
+    * |N⁺(a) ∩ N⁺(b)| — every triangle lands exactly once, at its
+    * lowest-two-corners edge, with the intersection elements being
+    * the third corners. vs the wedge-materialization formulation
+    * (Suri–Vassilvitskii WWW'11) this never shuffles the Σ out-deg²
+    * wedge set as ROWS: the only super-linear volume is the packed
+    * neighbor arrays riding the one edge-keyed shuffle (same int
+    * count, ~10× fewer bytes+rows), and the per-node credits fold
+    * into one explode + map-side-combined sum. No windows, no driver
+    * state; the orientation changes the join sizes, never the counts.
     */
   def triangleStats(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     // canon feeds deg + orientation, deg feeds orientation + output,
-    // oriented feeds BOTH wedge sides and the closing join — without
-    // materialization Spark re-derives each subtree per reference
-    // (the canon scan ran 3× in the unpinned plan); localCheckpoint
-    // computes each once (the iterative-loop discipline applied to a
-    // DAG with fan-out)
+    // oriented feeds the adjacency build AND both closure joins —
+    // without materialization Spark re-derives each subtree per
+    // reference (the canon scan ran 3× in the unpinned plan). canon
+    // and oriented are scratch tables consumed only INSIDE the
+    // operator (the returned plan references deg + closed alone), so
+    // they persist() — freeable below, and Dataset.unpersist cannot
+    // reclaim localCheckpoint blocks — while deg/closed, which the
+    // returned plan keeps referencing, are checkpointed. The eager
+    // downstream checkpoints force both caches.
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .persist()
     val deg = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -420,23 +430,61 @@ object Graph {
           .otherwise(struct(col("v").as("a"), col("u").as("b"),
             col("du").as("db")))
           .as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      // pin the cached partitioning to the tail: the adjacency
+      // build AND the N⁺(a) join below then need ZERO exchanges
+      .repartition(col("a"))
+      .persist()
+    // packed out-neighborhoods (≤ O(√m) elements each, by the
+    // orientation); zero exchange — oriented is already clustered on a
+    val adj = oriented.groupBy(col("a"))
+      .agg(collect_list(col("b")).as("nbrs"))
+    // ride N⁺(a) onto each edge (zero exchange — same clustering),
+    // then ONE edge-keyed shuffle by b carries the packed arrays to
+    // N⁺(b); shuffle-hash so the fat side is never sorted. The per-
+    // edge intersection |N⁺(a) ∩ N⁺(b)| closes every wedge at once —
+    // the Σ out-deg² wedge set never exists as shuffled rows.
+    // The intersection is the expensive scalar here, and downstream
+    // it fans out into THREE references (both corner weights + the
+    // third-corner list) — without a physical barrier the optimizer
+    // re-inlines and recomputes it per reference (the q239 fan-out-
+    // recompute class; an expression-level `let` via a 1-element
+    // transform was tried and is worse: higher-order functions are
+    // CodegenFallback and knock the whole stage out of codegen). So
+    // the closure list is computed ONCE and checkpointed; the
+    // surviving table is |E_closed| rows carrying 3·|triangles| ints.
+    val closed = oriented
+      .join(adj.hint("shuffle_hash"), "a")
+      .select(col("a"), col("b"), col("nbrs").as("na"))
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb"))
+        .hint("shuffle_hash"), "b")
+      .select(col("a"), col("b"),
+        array_intersect(col("na"), col("nb")).as("cs"))
+      // filter AFTER the barrier: predicate pushdown would otherwise
+      // substitute the alias and evaluate the intersect a second time
       .localCheckpoint()
-    // wedges at the lowest-ordered corner: out-neighbor pairs (b, c)
-    // with b before c in the SAME (deg, id) total order — the closing
-    // edge of a real triangle is then necessarily oriented b→c
-    val wedges = oriented.select(col("a"), col("b"), col("db"))
-      .join(oriented.select(col("a"), col("b").as("c"),
-        col("db").as("dc")), "a")
-      .filter(col("db") < col("dc") ||
-        (col("db") === col("dc") && col("b") < col("c")))
-    val tris = wedges
-      .join(oriented.select(col("a").as("b"), col("b").as("c")),
-        Seq("b", "c"), "left_semi")
-      .select(col("a"), col("b"), col("c"))
-    val perNode = tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      .filter(size(col("cs")) > 0)
+    // localCheckpoint is eager, so `closed` is materialized here and
+    // the returned plan references only `deg` and `closed` — free the
+    // scratch caches now instead of letting them crowd the storage
+    // pool for the rest of the session (leaked blocks were evicting
+    // LIVE blocks on later queries in a long-lived JVM); the plans
+    // keep full lineage, so a late recompute stays correct, just cold
+    canon.unpersist()
+    oriented.unpersist()
+    // per-node credits in one pass: the edge's two low corners each
+    // get the closure count, every third corner gets 1; explode feeds
+    // a map-side-combined sum (≤ |V| distinct keys per partition)
+    val perNode = closed
+      .select(col("a"), col("b"), col("cs"),
+        size(col("cs")).cast("long").as("tc"))
+      .select(explode(concat(
+        array(struct(col("a").as("node"), col("tc").as("w")),
+          struct(col("b").as("node"), col("tc").as("w"))),
+        transform(col("cs"),
+          c => struct(c.as("node"), lit(1L).as("w"))))).as("e"))
+      .groupBy(col("e.node").as("node"))
+      .agg(sum(col("e.w")).as("tri"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"),
