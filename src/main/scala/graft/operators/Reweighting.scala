@@ -108,6 +108,46 @@ object Reweighting {
     * Output per surviving input row: (id, loss, ref_loss, excess,
     * selected) plus the constant (n_total, k_target, threshold)
     * columns a datasheet wants alongside. */
+  /** The t9-truncated excess expression [[excessLossSelect]] scores
+    * with — exposed so the streaming counter twin feeds its state
+    * through the IDENTICAL codegen arithmetic (streamed ≡ batch is
+    * then a bit-identity, not an approximation). */
+  private[graft] def excessColumn(
+      loss: org.apache.spark.sql.Column,
+      refLoss: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    t9(t9(loss) - t9(refLoss))
+
+  /** Threshold arithmetic over a per-excess COUNT table
+    * (`excessCol`, `cntCol`) → one row (threshold, k_target,
+    * n_total) under [[excessLossSelect]]'s selection contract —
+    * shared by the batch operator and the live counters
+    * ([[graft.streaming.StreamingOps.streamingExcessCounters]]),
+    * whose snapshot through this function IS the batch threshold
+    * (the auditFromCounts device, fourth application). The input is
+    * value-cardinality bounded, so the cumulative window runs over
+    * the small table, never a corpus. */
+  def excessThresholdFromCounts(dist: DataFrame, excessCol: String,
+      cntCol: String, rho: Double): DataFrame = {
+    require(rho > 0 && rho <= 1, "rho in (0, 1]")
+    val d = dist.select(col(excessCol).as("excess"),
+      col(cntCol).cast("long").as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("excess").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = d.select(col("excess"),
+      sum(col("__cnt")).over(w).as("__cum"))
+    val n = d.agg(sum(col("__cnt")).as("n_total"))
+    cum.crossJoin(broadcast(n))
+      .withColumn("__k",
+        ceil(lit(rho) * col("n_total").cast("double")).cast("long"))
+      .filter(col("__cum") >= col("__k"))
+      .agg(max(col("excess")).as("threshold"),
+        max(col("__k")).as("k_target"),
+        max(col("n_total")).as("n_total"))
+  }
+
   def excessLossSelect(df: DataFrame, idCol: String, lossCol: String,
       refLossCol: String, rho: Double): DataFrame = {
     require(rho > 0 && rho <= 1, "rho in (0, 1]")
@@ -115,6 +155,11 @@ object Reweighting {
         t9(col(lossCol)).as("loss"),
         t9(col(refLossCol)).as("ref_loss"))
       .filter(col("loss").isNotNull && col("ref_loss").isNotNull)
+      // = excessColumn(raw loss, raw ref_loss): the t9 pre-truncation
+      // lives in the select above. NOT rewritten as
+      // excessColumn(col("loss"), ...) on the truncated columns —
+      // floor-truncation is not IEEE-idempotent, a third t9 could
+      // shift the last digit
       .withColumn("excess", t9(col("loss") - col("ref_loss")))
     // the checkpoint goes on the VALUE-CARDINALITY-BOUNDED distinct
     // table, never the corpus-sized scored frame (the ksTwoSample
@@ -124,20 +169,7 @@ object Reweighting {
     val dist = scored.groupBy(col("excess"))
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("excess").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val cum = dist.select(col("excess"),
-      sum(col("__cnt")).over(w).as("__cum"))
-    val n = dist.agg(sum(col("__cnt")).as("n_total"))
-    val thr = cum.crossJoin(broadcast(n))
-      .withColumn("__k",
-        ceil(lit(rho) * col("n_total").cast("double")).cast("long"))
-      .filter(col("__cum") >= col("__k"))
-      .agg(max(col("excess")).as("threshold"),
-        max(col("__k")).as("k_target"),
-        max(col("n_total")).as("n_total"))
+    val thr = excessThresholdFromCounts(dist, "excess", "__cnt", rho)
     scored.crossJoin(broadcast(thr))
       .select(col("id"), col("loss"), col("ref_loss"), col("excess"),
         (col("excess") >= col("threshold")).as("selected"),

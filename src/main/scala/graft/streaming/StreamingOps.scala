@@ -1153,6 +1153,61 @@ object StreamingOps {
       }
   }
 
+  case class ExcessEvent(excess: Double, seq: Long)
+
+  /** Two longs per DISTINCT t9-truncated excess value, forever. */
+  case class ExcessState(lastSeq: Long, cnt: Long)
+
+  case class ExcessCountRow(excess: Double, last_seq: Long, cnt: Long)
+
+  /** Streaming per-excess-value counters — the live form of
+    * [[graft.operators.Reweighting.excessLossSelect]]'s
+    * distinct-excess table:
+    * [[graft.operators.Reweighting.excessThresholdFromCounts]] over
+    * the latest row per excess IS the batch RHO selection threshold
+    * (the auditFromCounts device; StreamingReweightingSpec proves
+    * counter exactness and threshold equality). The excess is scored
+    * through the batch operator's OWN t9 expression
+    * ([[graft.operators.Reweighting.excessColumn]]) before grouping,
+    * so state is bounded by the same VALUE cardinality the batch
+    * distinct table carries — never the corpus. Contract mirrors
+    * [[streamingAcceptanceCounters]]: rows carry a per-value
+    * MONOTONE sequence (a global ingest offset works — the excess
+    * assignment is deterministic and row-local); within a
+    * micro-batch rows apply in sequence order and a row at or before
+    * the value's last processed sequence is DROPPED — exactly-once
+    * under replays and same-batch duplicates. Null losses are
+    * dropped, as in batch. */
+  def streamingExcessCounters(df: org.apache.spark.sql.DataFrame,
+      seqCol: String, lossCol: String,
+      refLossCol: String): Dataset[ExcessCountRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    df.select(
+        graft.operators.Reweighting.excessColumn(
+          col(lossCol).cast("double"), col(refLossCol).cast("double"))
+          .as("excess"),
+        col(seqCol).cast("long").as("seq"))
+      .filter(col("excess").isNotNull)
+      .as[ExcessEvent]
+      .groupByKey(_.excess)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (x: Double, it: Iterator[ExcessEvent],
+            state: GroupState[ExcessState]) =>
+          val st = state.getOption.getOrElse(
+            ExcessState(Long.MinValue, 0L))
+          var last = st.lastSeq; var c = st.cnt
+          // duplicate guard INSIDE the fold (the r11 CUSUM lesson)
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (e.seq > last) { last = e.seq; c += 1L }
+          }
+          state.update(ExcessState(last, c))
+          Iterator.single(ExcessCountRow(x, last, c))
+      }
+  }
+
   case class ConfEvent(group: String, seq: Long, nc: Double)
 
   /** Last processed sequence + the calibration value multiset. The
