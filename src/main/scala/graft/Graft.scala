@@ -518,4 +518,31 @@ object Graft {
     * devices under the AutoDf quantile cap. */
   def fuzzyBlockingStats(df: DataFrame, name: String): DataFrame =
     operators.Dedup.fuzzyBlockingStats(df, name)
+
+  // ---- r12.2: dedup-aware eval + per-variant audits -------------------
+
+  /** Duplicate-corrected pass@k: per k, the naive problem mean next
+    * to the cluster-mean-of-means over `clusters(problem, cluster)`
+    * — the gap is the eval set's duplication bias. */
+  def passAtKDedupAware(candidates: DataFrame, problem: String,
+      correct: String, clusters: DataFrame,
+      ks: Seq[Int]): DataFrame =
+    operators.Eval.passAtKDedupAware(candidates, col(problem),
+      col(correct), clusters, ks)
+
+  /** Per-variant chi-squared independence audit (one test per value
+    * of `variant`, single corpus pass) — drive with planted effect
+    * sizes for a detection-threshold power sweep. */
+  def chiSquaredIndependenceBy(df: DataFrame, variant: String,
+      rowCol: String, colCol: String, crit: Double): DataFrame =
+    operators.HypothesisTests.chiSquaredIndependenceBy(df,
+      col(variant), col(rowCol), col(colCol), crit)
+
+  /** RHO threshold arithmetic over a per-excess count table — the
+    * batch anchor for [[streaming.StreamingOps.streamingExcessCounters]]
+    * live snapshots. */
+  def excessThresholdFromCounts(dist: DataFrame, excess: String,
+      cnt: String, rho: Double): DataFrame =
+    operators.Reweighting.excessThresholdFromCounts(dist, excess,
+      cnt, rho)
 }

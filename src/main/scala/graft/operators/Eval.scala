@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Retrieval evaluation — the metrics harness a search/RAG stack is
   * tuned against: per-query recall@k, precision@k, MRR, and NDCG@k of
@@ -325,6 +326,66 @@ object Eval {
     passAtKFromCounts(votes.groupBy(col("problem"))
       .agg(sum(col("votes")).as("n"),
         sum(col("ok_votes")).as("c")), ks)
+
+  /** DEDUP-AWARE pass@k: eval sets carry near-duplicate problems
+    * (template families, contaminated rephrasings), and the naive
+    * mean over problems counts a duplicated problem once PER COPY —
+    * a 30-copy template family drags the headline number toward its
+    * own difficulty. Given a problem→cluster assignment (produced by
+    * any of the engine's dedup devices: exact/normalized keys,
+    * MinHash components via [[Dedup]], `q74`-style connected
+    * components), this reports, per k:
+    *
+    *   macro_naive = mean over PROBLEMS of pass@k
+    *   macro_dedup = mean over CLUSTERS of (mean over the cluster's
+    *                 problems of pass@k)
+    *
+    * so each distinct problem family contributes once. The gap
+    * between the two columns is the duplication bias itself — the
+    * datasheet number a contaminated-eval audit wants.
+    *
+    * Exactness: per-problem pass@k values are the [[passAtK]]
+    * estimator's exact products; each is t9-truncated, inner and
+    * outer sums run over DECIMAL(38,9) (order-independent), each
+    * mean is ONE IEEE division, and cluster means are t9-truncated
+    * before the outer sum — bit-replayable in SQL. Problems where
+    * pass@k is undefined (k > n) are EXCLUDED from both means and
+    * from that k's problem/cluster counts (diagnostic-row
+    * discipline, not a silent zero).
+    *
+    * Scale shape: ONE corpus aggregate to (problem, n, c), one
+    * problem-table join to `clusters(problem, cluster)`, two
+    * problem-table-sized hash aggregates — the corpus never rides
+    * a shuffle wider than the counts pass. Output per k:
+    * (k, n_problems, n_clusters, macro_naive, macro_dedup). */
+  def passAtKDedupAware(candidates: DataFrame, problemCol: Column,
+      correctCol: Column, clusters: DataFrame,
+      ks: Seq[Int]): DataFrame = {
+    def t9(x: Column): Column =
+      floor(x * lit(1e9)).cast("double") / lit(1e9)
+    def dsum9(c: Column): Column =
+      sum(c.cast(DecimalType(38, 9))).cast("double")
+    val perProblem = passAtK(candidates, problemCol, correctCol, ks)
+      .filter(col("pass_at_k").isNotNull)
+      .join(clusters.select(col("problem"), col("cluster")),
+        Seq("problem"))
+      .select(col("k"), col("cluster"), t9(col("pass_at_k")).as("p"))
+    val perCluster = perProblem
+      .groupBy(col("k"), col("cluster"))
+      .agg(dsum9(col("p")).as("__ps"), count(lit(1)).as("__np"))
+      .select(col("k"), col("cluster"),
+        t9(col("__ps") / col("__np")).as("cm"),
+        col("__ps"), col("__np"))
+    perCluster
+      .groupBy(col("k"))
+      .agg(sum(col("__np")).as("n_problems"),
+        count(lit(1)).as("n_clusters"),
+        dsum9(col("__ps")).as("__allp"),
+        dsum9(col("cm")).as("__allc"))
+      .select(col("k"), col("n_problems"), col("n_clusters"),
+        (col("__allp") / col("n_problems")).as("macro_naive"),
+        (col("__allc") / col("n_clusters")).as("macro_dedup"))
+  }
 
   /** Self-consistency / majority-vote scoring (Wang et al. 2022,
     * "Self-Consistency Improves Chain of Thought Reasoning"): per

@@ -156,6 +156,60 @@ object HypothesisTests {
         (col("x2") > lit(crit)).as("reject"))
   }
 
+  /** [[chiSquaredIndependence]] PER VARIANT: one independence test
+    * for every value of `variantCol`, in one pass — the per-segment
+    * form ("is acceptance independent of source, per language / per
+    * snapshot / per planted effect size?") and the engine the
+    * power-sweep query drives (the q147 sweep device: plant a known
+    * association at a grid of strengths as variants, and the reject
+    * column traces the test's detection threshold at this n and
+    * crit). Identical N-scaled exact arithmetic per variant; every
+    * aggregate gains the variant key, margins/totals join back on
+    * it (variant-sized tables — AQE broadcasts them), the corpus is
+    * still scanned once. Output one row per variant:
+    * (variant, n, n_rows, n_cols, dof, x2, w, crit, reject) — `w` is
+    * the measured Cohen effect size √(X²/n), the scale-free column
+    * two sweeps at different n compare by. */
+  def chiSquaredIndependenceBy(df: DataFrame, variantCol: Column,
+      rowCol: Column, colCol: Column, crit: Double): DataFrame = {
+    require(crit > 0, "crit must be positive")
+    val Dec38 = DecimalType(38, 0)
+    val cells = df.select(
+        variantCol.cast("string").as("variant"),
+        coalesce(rowCol.cast("string"), lit("(null)")).as("__r"),
+        coalesce(colCol.cast("string"), lit("(null)")).as("__c"))
+      .groupBy(col("variant"), col("__r"), col("__c"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint()
+    val rm = cells.groupBy(col("variant"), col("__r"))
+      .agg(sum(col("__o")).as("__rn"))
+    val cm = cells.groupBy(col("variant"), col("__c"))
+      .agg(sum(col("__o")).as("__cn"))
+    val tot = cells.groupBy(col("variant"))
+      .agg(sum(col("__o")).as("__n"),
+        count_distinct(col("__r")).as("__nr"),
+        count_distinct(col("__c")).as("__nc"))
+    cells.join(rm, Seq("variant", "__r"))
+      .join(cm, Seq("variant", "__c"))
+      .join(tot, Seq("variant"))
+      .withColumn("__d",
+        (col("__o").cast(Dec38) * col("__n") -
+          col("__rn").cast(Dec38) * col("__cn")).cast("double"))
+      .select(col("variant"), col("__n"), col("__nr"), col("__nc"),
+        t12(col("__d") * col("__d") /
+          (col("__n").cast("double") * col("__rn") * col("__cn")))
+          .as("__t"))
+      .groupBy(col("variant"), col("__n"), col("__nr"), col("__nc"))
+      .agg(xsum12(col("__t")).as("x2"))
+      .select(col("variant"), col("__n").as("n"),
+        col("__nr").as("n_rows"), col("__nc").as("n_cols"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
+        col("x2"),
+        t12(sqrt(col("x2") / col("__n").cast("double"))).as("w"),
+        lit(crit).as("crit"),
+        (col("x2") > lit(crit)).as("reject"))
+  }
+
   /** Per-group exact binomial test of P(property) against the
     * POOLED rate, BH-corrected at FDR `alpha`. Output per group:
     * (groupName, n, k, rate, p_value, bh_rank, rejected) —

@@ -1634,7 +1634,98 @@ object GovernanceQueries {
       |ORDER BY test""".stripMargin
   }
 
+  /** q325: chi-squared POWER SWEEP
+    * ([[graft.operators.HypothesisTests.chiSquaredIndependenceBy]],
+    * the q147 recall-sweep device applied to the q323 test): a
+    * known lang→category association is PLANTED at five strengths
+    * δ ∈ {0, .03, .06, .12, .25} — per document, an md5-uniform
+    * u ∈ [0, 65536) decides (u < ⌊δ·65536⌋, integer thresholds
+    * computed once and shipped as literals to both engines) whether
+    * the category is the deterministic lang function or the
+    * independent q323-style hash — and each δ-variant is tested at
+    * the same χ²₀.₀₅/dof-12 critical value. The reject column
+    * traces the detection threshold at this n; `w` = √(X²/n) is the
+    * measured Cohen effect size the planted δ should move
+    * monotonically. Oracle replays both hashes, the grid cross
+    * join, the per-variant contingency/margin tables, and the exact
+    * DECIMAL/t12 X² stack. */
+  def q325ChiSquaredPower(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("pw:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 65536
+    val h4 = conv(substring(md5(concat(lit("pw2:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 4
+    // ⌊δ·65536⌋ for the grid, driver-side once (the scaledGains
+    // discipline: ONE set of integer thresholds feeds both engines)
+    val grid = Seq("0.00" -> 0L, "0.03" -> 1966L, "0.06" -> 3932L,
+      "0.12" -> 7864L, "0.25" -> 16384L)
+    val planted = documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("u", u).withColumn("h4", h4)
+      .select(col("lang"), col("u"), col("h4"),
+        explode(array(grid.map { case (lbl, t) =>
+          struct(lit(lbl).as("variant"), lit(t).as("t"))
+        }: _*)).as("g"))
+      .withColumn("cat",
+        when(col("u") < col("g.t"),
+          ascii(substring(col("lang"), 1, 1)) % 4)
+          .otherwise(col("h4")))
+    graft.operators.HypothesisTests.chiSquaredIndependenceBy(
+        planted, col("g.variant"), col("lang"), col("cat"), 21.026)
+      .orderBy(col("variant"))
+  }
+
+  private val q325Oracle: String = {
+    val term =
+      """floor(
+        |      ((ce.o::DECIMAL(18,0) * n.n -
+        |        rm.rn::DECIMAL(18,0) * cm.cn)::DOUBLE *
+        |       (ce.o::DECIMAL(18,0) * n.n -
+        |        rm.rn::DECIMAL(18,0) * cm.cn)::DOUBLE) /
+        |      ((n.n::DOUBLE * rm.rn) * cm.cn) * 1e12) / 1e12""".stripMargin
+    s"""WITH b AS (
+      |  SELECT lang,
+      |    ('0x' || substr(md5('pw:' || doc_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 65536 AS u,
+      |    ('0x' || substr(md5('pw2:' || doc_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 4 AS h4
+      |  FROM documents),
+      |g(variant, t) AS (VALUES ('0.00', 0), ('0.03', 1966),
+      |  ('0.06', 3932), ('0.12', 7864), ('0.25', 16384)),
+      |p AS (
+      |  SELECT g.variant, b.lang,
+      |    CASE WHEN b.u < g.t THEN ascii(substr(b.lang, 1, 1)) % 4
+      |      ELSE b.h4 END AS cat
+      |  FROM b CROSS JOIN g),
+      |ce AS (SELECT variant, lang AS r, CAST(cat AS VARCHAR) AS c,
+      |    COUNT(*) AS o FROM p GROUP BY 1, 2, 3),
+      |rm AS (SELECT variant, lang AS r, COUNT(*) AS rn
+      |  FROM p GROUP BY 1, 2),
+      |cm AS (SELECT variant, CAST(cat AS VARCHAR) AS c, COUNT(*) AS cn
+      |  FROM p GROUP BY 1, 2),
+      |n AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+      |    CAST(COUNT(DISTINCT cat) AS BIGINT) AS nc
+      |  FROM p GROUP BY 1),
+      |x AS (
+      |  SELECT ce.variant, n.n, n.nr, n.nc,
+      |    CAST(SUM(CAST($term AS DECIMAL(38,12))) AS DOUBLE) AS x2
+      |  FROM ce
+      |  JOIN rm ON ce.variant = rm.variant AND ce.r = rm.r
+      |  JOIN cm ON ce.variant = cm.variant AND ce.c = cm.c
+      |  JOIN n ON ce.variant = n.variant
+      |  GROUP BY ce.variant, n.n, n.nr, n.nc)
+      |SELECT variant, n, nr AS n_rows, nc AS n_cols,
+      |  (nr - 1) * (nc - 1) AS dof, x2,
+      |  floor(sqrt(x2 / n) * 1e12) / 1e12 AS w,
+      |  CAST(21.026 AS DOUBLE) AS crit,
+      |  x2 > CAST(21.026 AS DOUBLE) AS reject
+      |FROM x ORDER BY variant""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_chi_squared_power" -> (q325ChiSquaredPower _),
     "q323_chi_squared" -> (q323ChiSquared _),
     "q321_excess_loss_select" -> (q321ExcessLossSelect _),
     "q299_record_linkage" -> (q299RecordLinkage _),
@@ -1663,6 +1754,7 @@ object GovernanceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q325_chi_squared_power" -> q325Oracle,
     "q323_chi_squared" -> q323Oracle,
     "q321_excess_loss_select" -> q321Oracle,
     "q299_record_linkage" -> q299Oracle,

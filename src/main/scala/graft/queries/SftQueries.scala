@@ -577,7 +577,68 @@ object SftQueries {
       |FROM t JOIN rk ON t.problem = rk.problem AND rk.r = 1
       |ORDER BY t.problem""".stripMargin
 
+  /** q324: DEDUP-AWARE pass@k
+    * ([[graft.operators.Eval.passAtKDedupAware]]) over the q319
+    * candidate fixture with problems clustered into order-key blocks
+    * of 800 (40 problems per family — the stand-in for the template/
+    * near-dup families a real eval set carries; production wiring
+    * feeds MinHash component labels, q74-style). Reports per k the
+    * naive problem-mean next to the cluster-mean-of-means and the
+    * counts, so the gap IS the duplication bias. The oracle replays
+    * the candidate hashes, the per-problem estimator, the block
+    * assignment, and both DECIMAL(38,9) mean stacks. */
+  def q324DedupPassAtK(s: SparkSession, d: String): DataFrame = {
+    val cand = evalCandidates(s, d)
+    val clusters = cand.select(col("problem")).distinct()
+      .select(col("problem"),
+        (col("problem") - pmod(col("problem"), lit(800L)))
+          .as("cluster"))
+    graft.operators.Eval.passAtKDedupAware(cand, col("problem"),
+        col("correct"), clusters, Seq(1, 4, 10))
+      .orderBy(col("k"))
+  }
+
+  private val q324Oracle: String =
+    s"""WITH $CandCtes,
+      |agg AS (
+      |  SELECT problem, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(CASE WHEN correct THEN 1 END) AS BIGINT) AS c
+      |  FROM cand GROUP BY 1),
+      |ks AS (SELECT unnest([1, 4, 10]) AS k),
+      |pk AS (
+      |  SELECT problem, CAST(k AS BIGINT) AS k,
+      |    CASE WHEN k > n THEN NULL
+      |      ELSE 1.0 - list_reduce(
+      |        list_prepend(CAST(1.0 AS DOUBLE),
+      |          list_transform(generate_series(0, k - 1),
+      |            i -> CAST(n - c - i AS DOUBLE) / (n - i))),
+      |        (a, b) -> a * b)
+      |    END AS pass_at_k
+      |  FROM agg CROSS JOIN ks),
+      |cl AS (
+      |  SELECT problem, problem - problem % 800 AS cluster
+      |  FROM (SELECT DISTINCT problem FROM cand)),
+      |j AS (
+      |  SELECT pk.k, cl.cluster,
+      |    floor(pk.pass_at_k * 1e9) / 1e9 AS p
+      |  FROM pk JOIN cl USING (problem)
+      |  WHERE pk.pass_at_k IS NOT NULL),
+      |pc AS (
+      |  SELECT k, cluster,
+      |    CAST(SUM(CAST(p AS DECIMAL(38,9))) AS DOUBLE) AS ps,
+      |    CAST(COUNT(*) AS BIGINT) AS np
+      |  FROM j GROUP BY 1, 2)
+      |SELECT k, CAST(SUM(np) AS BIGINT) AS n_problems,
+      |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(CAST(ps AS DECIMAL(38,9))) AS DOUBLE)
+      |    / CAST(SUM(np) AS BIGINT) AS macro_naive,
+      |  CAST(SUM(CAST(floor(ps / np * 1e9) / 1e9
+      |    AS DECIMAL(38,9))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS BIGINT) AS macro_dedup
+      |FROM pc GROUP BY k ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_dedup_pass_at_k" -> (q324DedupPassAtK _),
     "q319_pass_at_k" -> (q319PassAtK _),
     "q320_consensus_vote" -> (q320Consensus _),
     "q225_sft_build" -> (q225SftBuild _),
@@ -591,6 +652,7 @@ object SftQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q324_dedup_pass_at_k" -> q324Oracle,
     "q319_pass_at_k" -> q319Oracle,
     "q320_consensus_vote" -> q320Oracle,
     "q225_sft_build" -> q225Oracle,

@@ -126,4 +126,30 @@ class GraftFacadeSpec extends SparkTestBase {
       "n_residual", "residual_share"))
     assert(bs.count() === 1)
   }
+
+  test("r12.2 facade entries: passAtKDedupAware / " +
+      "chiSquaredIndependenceBy / excessThresholdFromCounts are " +
+      "wired") {
+    import spark.implicits._
+    val cand = Seq((1L, true), (1L, false), (2L, false), (2L, false))
+      .toDF("p", "ok")
+    val cl = Seq((1L, "A"), (2L, "A")).toDF("problem", "cluster")
+    val pk = Graft.passAtKDedupAware(cand, "p", "ok", cl, Seq(1))
+    assert(pk.columns.toSeq === Seq("k", "n_problems", "n_clusters",
+      "macro_naive", "macro_dedup"))
+    assert(pk.count() === 1)
+    val chi = Graft.chiSquaredIndependenceBy(
+      Seq(("v1", "a", "x"), ("v1", "b", "y"), ("v2", "a", "x"),
+        ("v2", "b", "x")).toDF("v", "r", "c"),
+      "v", "r", "c", crit = 3.841)
+    assert(chi.columns.toSeq === Seq("variant", "n", "n_rows",
+      "n_cols", "dof", "x2", "w", "crit", "reject"))
+    assert(chi.count() === 2)
+    val thr = Graft.excessThresholdFromCounts(
+      Seq((1.0, 3L), (2.0, 1L)).toDF("excess", "cnt"),
+      "excess", "cnt", rho = 0.25)
+    assert(thr.columns.toSeq ===
+      Seq("threshold", "k_target", "n_total"))
+    assert(thr.collect().head.getDouble(0) === 2.0)
+  }
 }

@@ -118,4 +118,65 @@ class EvalHarnessSpec extends SparkTestBase {
       .collect()
     assert(one.length === 1 && one.head.getBoolean(4))
   }
+
+  test("passAtKDedupAware: hand-computed two-cluster means, and a " +
+      "duplicated family moves macro_naive but not macro_dedup") {
+    def t9d(x: Double): Double = math.floor(x * 1e9) / 1e9
+    // the operator's sums run over DECIMAL(38,9), not IEEE adds —
+    // the reference must too (a double fold differs by an ulp)
+    def dsum(xs: Double*): Double = xs.map(x =>
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    // cluster A = {p1 (n=4,c=2), p2 (n=4,c=0)}, cluster B = {p3
+    // (n=4,c=1)}; k=2
+    val cand = (
+      (0 until 4).map(i => (1L, i.toLong, i < 2)) ++
+      (0 until 4).map(i => (2L, i.toLong, false)) ++
+      (0 until 4).map(i => (3L, i.toLong, i < 1))
+    ).toDF("p", "s", "ok")
+    val clusters = Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("problem", "cluster")
+    val got = Eval.passAtKDedupAware(cand, col("p"), col("ok"),
+      clusters, Seq(2)).collect().head
+    val (p1, p2, p3) = (refPass(4, 2, 2), refPass(4, 0, 2),
+      refPass(4, 1, 2))
+    assert(got.getAs[Long]("n_problems") === 3L)
+    assert(got.getAs[Long]("n_clusters") === 2L)
+    assert(got.getAs[Double]("macro_naive") ===
+      dsum(t9d(p1), t9d(p2), t9d(p3)) / 3)
+    val mA = t9d(dsum(t9d(p1), t9d(p2)) / 2)
+    val mB = t9d(dsum(t9d(p3)) / 1)
+    assert(got.getAs[Double]("macro_dedup") === dsum(mA, mB) / 2)
+    // duplicate cluster A's problems 5x under new problem ids:
+    // naive shifts toward A's mean, dedup-aware is unchanged
+    val dup = cand.unionByName(
+      cand.filter(col("p") =!= 3L).withColumn("p", col("p") + 10L)
+        .unionByName(cand.filter(col("p") =!= 3L)
+          .withColumn("p", col("p") + 20L)))
+    val dupClusters = Seq((1L, "A"), (2L, "A"), (11L, "A"),
+      (12L, "A"), (21L, "A"), (22L, "A"), (3L, "B"))
+      .toDF("problem", "cluster")
+    val got2 = Eval.passAtKDedupAware(dup, col("p"), col("ok"),
+      dupClusters, Seq(2)).collect().head
+    assert(got2.getAs[Long]("n_problems") === 7L)
+    assert(got2.getAs[Long]("n_clusters") === 2L)
+    assert(got2.getAs[Double]("macro_dedup") === (mA + mB) / 2)
+    assert(got2.getAs[Double]("macro_naive") !==
+      got.getAs[Double]("macro_naive"))
+  }
+
+  test("passAtKDedupAware: problems with undefined pass@k (k > n) " +
+      "drop from that k's means and counts") {
+    val cand = (
+      (0 until 4).map(i => (1L, i.toLong, i < 2)) ++
+      (0 until 2).map(i => (2L, i.toLong, i < 1))   // n=2 < k=4
+    ).toDF("p", "s", "ok")
+    val clusters = Seq((1L, "A"), (2L, "B")).toDF("problem", "cluster")
+    val got = Eval.passAtKDedupAware(cand, col("p"), col("ok"),
+        clusters, Seq(4)).collect().head
+    assert(got.getAs[Long]("n_problems") === 1L)
+    assert(got.getAs[Long]("n_clusters") === 1L)
+    assert(got.getAs[Double]("macro_naive") === 1.0)
+    assert(got.getAs[Double]("macro_dedup") === 1.0)
+  }
 }

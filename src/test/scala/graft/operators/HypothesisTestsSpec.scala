@@ -94,6 +94,35 @@ class HypothesisTestsSpec extends SparkTestBase {
     assert(rn.getDouble(4) === 0.0)
   }
 
+  test("chiSquaredIndependenceBy: per-variant rows equal the " +
+      "single-variant operator run per slice, and w = sqrt(x2/n)") {
+    val dep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r", "c").withColumn("v", lit("dep"))
+    val ind = (for (r <- Seq("a", "b"); c <- Seq("x", "y");
+      _ <- 0 until 5) yield (r, c)).toDF("r", "c")
+      .withColumn("v", lit("ind"))
+    val both = dep.unionByName(ind)
+    val got = HypothesisTests.chiSquaredIndependenceBy(both,
+        col("v"), col("r"), col("c"), crit = 3.841)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((v, slice) <- Seq("dep" -> dep, "ind" -> ind)) {
+      val single = HypothesisTests.chiSquaredIndependence(slice,
+        col("r"), col("c"), crit = 3.841).collect().head
+      val g = got(v)
+      assert(g.getLong(1) === single.getLong(0))       // n
+      assert(g.getLong(2) === single.getLong(1))       // n_rows
+      assert(g.getLong(3) === single.getLong(2))       // n_cols
+      assert(g.getLong(4) === single.getLong(3))       // dof
+      assert(g.getDouble(5) === single.getDouble(4))   // x2
+      assert(g.getBoolean(8) === single.getBoolean(6)) // reject
+      val w = math.floor(math.sqrt(
+        single.getDouble(4) / single.getLong(0)) * 1e12) / 1e12
+      assert(g.getDouble(6) === w)
+    }
+    assert(got("dep").getBoolean(8) && !got("ind").getBoolean(8))
+  }
+
   /** Exact binomial two-sided p (doubled smaller tail) reference
     * via BigDecimal pmf accumulation. */
   private def refP(n: Int, k: Int, p: Double): Double = {
