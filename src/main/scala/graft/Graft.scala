@@ -545,4 +545,20 @@ object Graft {
       cnt: String, rho: Double): DataFrame =
     operators.Reweighting.excessThresholdFromCounts(dist, excess,
       cnt, rho)
+
+  /** GRPO-style group-normalized advantage (Shao et al. 2024): per
+    * sample, (reward − group mean) / group std, with zero-variance
+    * groups flagged as null-advantage diagnostics. */
+  def groupNormalizedAdvantage(df: DataFrame, problem: String,
+      sample: String, reward: String): DataFrame =
+    operators.Eval.groupNormalizedAdvantage(df, col(problem),
+      col(sample), col(reward))
+
+  /** Unbiased best-of-n yield curve (the WebGPT BoN estimator) per
+    * problem over an N-sample reward table; n > N rows are null
+    * diagnostics. */
+  def bestOfNCurve(df: DataFrame, problem: String, sample: String,
+      reward: String, ns: Seq[Int]): DataFrame =
+    operators.Eval.bestOfNCurve(df, col(problem), col(sample),
+      col(reward), ns)
 }

@@ -24,6 +24,9 @@ object Eval {
 
   private val Ln2 = math.log(2.0)
 
+  private def t9(x: Column): Column =
+    floor(x * lit(1e9)).cast("double") / lit(1e9)
+
   /** Scaled DCG gains for ranks 1..k — floor(1e9·ln2/ln(r+1)) —
     * computed ONCE on the driver and shipped as literals to BOTH the
     * plan and the q124 oracle. At power-of-two ranks the quotient is
@@ -326,6 +329,125 @@ object Eval {
     passAtKFromCounts(votes.groupBy(col("problem"))
       .agg(sum(col("votes")).as("n"),
         sum(col("ok_votes")).as("c")), ks)
+
+  /** GRPO-style GROUP-NORMALIZED ADVANTAGE (Shao et al. 2024,
+    * "DeepSeekMath", eq. 3 — the group-relative policy-optimization
+    * baseline): per problem, each sampled candidate's advantage is
+    * its reward standardized against the GROUP's own mean and
+    * population std, A_i = (r_i − mean_g) / std_g — the
+    * value-model-free baseline every GRPO/RLOO-style RL run computes
+    * over exactly this (problem, sample, reward) table.
+    *
+    * Exactness: rewards are t9-truncated then SCALED TO LONGS
+    * (r9 = ⌊r·10⁹⌋); Σr9 and Σr9² are exact DECIMAL(38,0) integer
+    * sums (order-independent, map-side partial), and mean/std/
+    * advantage are a fixed sequence of single IEEE operations on
+    * those exact integers — replayable bit-identically:
+    *   mean = S1 / (n·10⁹)
+    *   std  = √( ((n·S2 − S1²) / (n·n)) / 10¹⁸ )   (population)
+    *   adv  = t9( ((r9·n − S1) / (n·10⁹)) / std )
+    * A zero-variance group (all rewards equal — GRPO's degenerate
+    * group, where implementations skip the batch) yields NULL
+    * advantages with the flag column, not a division blow-up.
+    *
+    * Scale shape: ONE corpus aggregate to (problem, n, S1, S2), one
+    * broadcast-sized join back onto the sample stream — the corpus
+    * is scanned twice and never windowed. Output per input row:
+    * (problem, sample, reward, n, mean, std, advantage,
+    * degenerate). */
+  def groupNormalizedAdvantage(df: DataFrame, problemCol: Column,
+      sampleCol: Column, rewardCol: Column): DataFrame = {
+    val Dec38 = DecimalType(38, 0)
+    val scored = df.select(problemCol.as("problem"),
+        sampleCol.as("sample"),
+        floor(rewardCol.cast("double") * lit(1e9)).cast("long")
+          .as("__r9"))
+      .filter(col("__r9").isNotNull)
+    val g = scored.groupBy(col("problem"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__r9").cast(Dec38)).as("__s1"),
+        sum((col("__r9").cast(Dec38) * col("__r9"))).as("__s2"))
+    val withG = scored.join(g, Seq("problem"))
+      .withColumn("__var",
+        ((col("n").cast(Dec38) * col("__s2") -
+          col("__s1") * col("__s1")).cast("double") /
+          (col("n").cast("double") * col("n"))) / lit(1e18))
+      .withColumn("std", sqrt(col("__var")))
+    withG.select(col("problem"), col("sample"),
+      (col("__r9").cast("double") / lit(1e9)).as("reward"),
+      col("n"),
+      (col("__s1").cast("double") /
+        (col("n").cast("double") * lit(1e9))).as("mean"),
+      col("std"),
+      when(col("std") > 0.0,
+        t9(((col("__r9").cast(Dec38) * col("n") - col("__s1"))
+          .cast("double") / (col("n").cast("double") * lit(1e9))) /
+          col("std")))
+        .otherwise(lit(null).cast("double")).as("advantage"),
+      (col("std") === 0.0).as("degenerate"))
+  }
+
+  /** Unbiased BEST-OF-N yield curve (the WebGPT/summarization-RLHF
+    * BoN estimator — Nakano et al. 2021 appendix: with N sampled
+    * rewards per problem, the expected maximum of a UNIFORM
+    * n-subsample has the closed form Σ_i w_i·r_(i) over the sorted
+    * sample, w_i = (C(i,n) − C(i−1,n)) / C(N,n) — every n-subset's
+    * max attributed to its rank, no resampling). The curve over
+    * n ∈ `ns` is how an RLHF run sizes its sampling budget: where
+    * it flattens, more samples stop buying reward.
+    *
+    * Exactness: ranks are assigned by (reward, sample id) — a total
+    * order, and equal rewards make the weight attribution
+    * order-free; the combinatorial ratio R_i = C(i,n)/C(N,n) is the
+    * fixed-ascending product Π_{k<n} (i−k)/(N−k) of single IEEE
+    * divisions (the q319 fold device — bit-identical in any
+    * engine), w_i = R_i − R_{i−1} one subtraction, each term
+    * t9(w_i·t9(r_i)) and the per-(problem, n) sum runs over
+    * DECIMAL(38,9). Rows with n > N are null diagnostics.
+    *
+    * Scale shape: one rank window per problem (group-local), the
+    * |ns|-way explode and the n-length interpreted fold run on the
+    * sample table (cost |samples|·|ns|·max(n) multiplications), one
+    * hash aggregate back to (problem, n). Nothing exceeds the
+    * sample table's size. */
+  def bestOfNCurve(df: DataFrame, problemCol: Column,
+      sampleCol: Column, rewardCol: Column,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be >= 1")
+    val w = Window.partitionBy(col("problem"))
+      .orderBy(col("__r"), col("sample"))
+    val ranked = df.select(problemCol.as("problem"),
+        sampleCol.as("sample"),
+        t9(rewardCol.cast("double")).as("__r"))
+      .filter(col("__r").isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__N",
+        count(lit(1)).over(Window.partitionBy(col("problem"))))
+    def ratio(i: Column, n: Column): Column =
+      when(i < n, lit(0.0)).otherwise(aggregate(
+        sequence(lit(0L), n - 1L), lit(1.0),
+        (acc, k) => acc * ((i - k).cast("double") /
+          (col("__N") - k).cast("double"))))
+    ranked
+      .select(col("problem"), col("__r"), col("__i"), col("__N"),
+        explode(array(ns.map(n => lit(n.toLong)): _*)).as("n"))
+      // the n > N diagnostic rows must not evaluate the fold at all:
+      // its (N−k) denominators hit zero there, and an Inf/NaN term
+      // would poison the DECIMAL cast (DuckDB refuses it outright)
+      .withColumn("__w",
+        when(col("n") > col("__N"), lit(0.0))
+          .otherwise(ratio(col("__i"), col("n")) -
+            ratio(col("__i") - 1L, col("n"))))
+      .groupBy(col("problem"), col("n"))
+      .agg(max(col("__N")).as("n_samples"),
+        sum(t9(col("__w") * col("__r"))
+          .cast(DecimalType(38, 9))).cast("double")
+          .as("__bon"))
+      .select(col("problem"), col("n"), col("n_samples"),
+        when(col("n") > col("n_samples"),
+          lit(null).cast("double"))
+          .otherwise(col("__bon")).as("best_of_n"))
+  }
 
   /** DEDUP-AWARE pass@k: eval sets carry near-duplicate problems
     * (template families, contaminated rephrasings), and the naive

@@ -577,6 +577,113 @@ object SftQueries {
       |FROM t JOIN rk ON t.problem = rk.problem AND rk.r = 1
       |ORDER BY t.problem""".stripMargin
 
+  /** Shared (problem, sample, reward) fixture for the RL-analytics
+    * rows q326/q327: 8 samples per q319-population problem, reward
+    * = md5-uniform in [0, 1) at 3 decimal places — every reward
+    * replays in SQL. */
+  private def rewardSamples(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderkey").as("problem"))
+      .filter(col("problem") % 20 === 0)
+      .select(col("problem"),
+        explode(sequence(lit(0L), lit(7L))).as("sample"))
+      .withColumn("reward",
+        (conv(substring(md5(concat(lit("rw:"),
+          col("problem").cast("string"), lit(":"),
+          col("sample").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000).cast("double") / 1000.0)
+
+  /** The q326/q327 shared oracle CTE ending at
+    * `rw(problem, sample, reward)` — the exact [[rewardSamples]]
+    * replay. */
+  private val RwCtes: String =
+    """rw AS (
+      |  SELECT o_orderkey AS problem, s AS sample,
+      |    CAST(('0x' || substr(md5('rw:' || o_orderkey || ':' || s),
+      |      1, 8))::UBIGINT::BIGINT % 1000 AS DOUBLE) / 1000.0
+      |      AS reward
+      |  FROM orders, (SELECT unnest(generate_series(0, 7)) AS s)
+      |  WHERE o_orderkey % 20 = 0)""".stripMargin
+
+  /** q326: GRPO group-normalized advantage
+    * ([[graft.operators.Eval.groupNormalizedAdvantage]], Shao et
+    * al. 2024 eq. 3) over the 8-sample reward fixture — the
+    * value-model-free RL baseline at (problem, sample) grain. The
+    * oracle replays the reward hashes, the exact HUGEINT/DECIMAL
+    * integer moment sums, and the fixed IEEE mean/std/advantage
+    * sequence. */
+  def q326GroupAdvantage(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.groupNormalizedAdvantage(
+        rewardSamples(s, d), col("problem"), col("sample"),
+        col("reward"))
+      .orderBy(col("problem"), col("sample"))
+
+  private val q326Oracle: String =
+    s"""WITH $RwCtes,
+      |sc AS (
+      |  SELECT problem, sample,
+      |    CAST(floor(reward * 1e9) AS BIGINT) AS r9
+      |  FROM rw),
+      |g AS (
+      |  SELECT problem, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(r9) AS HUGEINT) AS s1,
+      |    SUM(CAST(r9 AS HUGEINT) * r9) AS s2
+      |  FROM sc GROUP BY 1),
+      |j AS (
+      |  SELECT sc.problem, sc.sample, sc.r9, g.n, g.s1,
+      |    sqrt(CAST(CAST(g.n AS HUGEINT) * g.s2 - g.s1 * g.s1
+      |        AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * g.n) / 1e18) AS std
+      |  FROM sc JOIN g USING (problem))
+      |SELECT problem, sample,
+      |  CAST(r9 AS DOUBLE) / 1e9 AS reward, n,
+      |  CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mean,
+      |  std,
+      |  CASE WHEN std > 0 THEN
+      |    floor(CAST(CAST(r9 AS HUGEINT) * n - s1 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * 1e9) / std * 1e9) / 1e9
+      |    ELSE NULL END AS advantage,
+      |  std = 0 AS degenerate
+      |FROM j ORDER BY problem, sample""".stripMargin
+
+  /** q327: unbiased best-of-n yield curve
+    * ([[graft.operators.Eval.bestOfNCurve]], the WebGPT BoN
+    * estimator) at n ∈ {1, 4, 16} over the same fixture — n=16 > N=8
+    * exercises the null diagnostic. The oracle replays the rank
+    * window, the fixed-order combinatorial ratio folds, and the
+    * t9/DECIMAL term sums. */
+  def q327BestOfN(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.bestOfNCurve(rewardSamples(s, d),
+        col("problem"), col("sample"), col("reward"), Seq(1, 4, 16))
+      .orderBy(col("problem"), col("n"))
+
+  private val q327Oracle: String = {
+    def fold(iExpr: String): String =
+      s"""CASE WHEN $iExpr < n THEN 0.0 ELSE list_reduce(
+        |    list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(generate_series(0, n - 1),
+        |        k -> CAST($iExpr - k AS DOUBLE) / (nn - k))),
+        |    (a, b) -> a * b) END""".stripMargin
+    s"""WITH $RwCtes,
+      |rk AS (
+      |  SELECT problem, floor(reward * 1e9) / 1e9 AS r,
+      |    CAST(row_number() OVER (PARTITION BY problem
+      |      ORDER BY floor(reward * 1e9) / 1e9, sample) AS BIGINT)
+      |      AS i,
+      |    CAST(COUNT(*) OVER (PARTITION BY problem) AS BIGINT) AS nn
+      |  FROM rw),
+      |t AS (
+      |  SELECT problem, CAST(n AS BIGINT) AS n, nn,
+      |    CASE WHEN n > nn THEN 0.0
+      |      ELSE (${fold("i")}) - (${fold("i - 1")}) END AS w, r
+      |  FROM rk CROSS JOIN (SELECT unnest([1, 4, 16]) AS n))
+      |SELECT problem, n, MAX(nn) AS n_samples,
+      |  CASE WHEN n > MAX(nn) THEN NULL
+      |    ELSE CAST(SUM(CAST(floor(w * r * 1e9) / 1e9
+      |      AS DECIMAL(38,9))) AS DOUBLE) END AS best_of_n
+      |FROM t GROUP BY problem, n
+      |ORDER BY problem, n""".stripMargin
+  }
+
   /** q324: DEDUP-AWARE pass@k
     * ([[graft.operators.Eval.passAtKDedupAware]]) over the q319
     * candidate fixture with problems clustered into order-key blocks
@@ -638,6 +745,8 @@ object SftQueries {
       |FROM pc GROUP BY k ORDER BY k""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_group_advantage" -> (q326GroupAdvantage _),
+    "q327_best_of_n" -> (q327BestOfN _),
     "q324_dedup_pass_at_k" -> (q324DedupPassAtK _),
     "q319_pass_at_k" -> (q319PassAtK _),
     "q320_consensus_vote" -> (q320Consensus _),
@@ -652,6 +761,8 @@ object SftQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q326_group_advantage" -> q326Oracle,
+    "q327_best_of_n" -> q327Oracle,
     "q324_dedup_pass_at_k" -> q324Oracle,
     "q319_pass_at_k" -> q319Oracle,
     "q320_consensus_vote" -> q320Oracle,

@@ -151,5 +151,17 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(thr.columns.toSeq ===
       Seq("threshold", "k_target", "n_total"))
     assert(thr.collect().head.getDouble(0) === 2.0)
+    val adv = Graft.groupNormalizedAdvantage(
+      Seq((1L, 0L, 0.0), (1L, 1L, 1.0)).toDF("p", "s", "r"),
+      "p", "s", "r")
+    assert(adv.columns.toSeq === Seq("problem", "sample", "reward",
+      "n", "mean", "std", "advantage", "degenerate"))
+    assert(adv.count() === 2)
+    val bon = Graft.bestOfNCurve(
+      Seq((1L, 0L, 0.1), (1L, 1L, 0.9)).toDF("p", "s", "r"),
+      "p", "s", "r", Seq(1, 2))
+    assert(bon.columns.toSeq ===
+      Seq("problem", "n", "n_samples", "best_of_n"))
+    assert(bon.count() === 2)
   }
 }

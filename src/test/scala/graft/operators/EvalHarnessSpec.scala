@@ -165,6 +165,51 @@ class EvalHarnessSpec extends SparkTestBase {
       got.getAs[Double]("macro_naive"))
   }
 
+  test("groupNormalizedAdvantage: hand-computed two-point group, " +
+      "zero-variance group is a null-advantage diagnostic") {
+    val df = Seq((1L, 0L, 0.0), (1L, 1L, 1.0),
+      (2L, 0L, 0.25), (2L, 1L, 0.25), (2L, 2L, 0.25))
+      .toDF("p", "s", "r")
+    val got = Eval.groupNormalizedAdvantage(df, col("p"), col("s"),
+      col("r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // group 1: mean .5, population std .5, adv = ±1
+    assert(got((1L, 0L)).getAs[Double]("mean") === 0.5)
+    assert(got((1L, 0L)).getAs[Double]("std") === 0.5)
+    assert(got((1L, 0L)).getAs[Double]("advantage") === -1.0)
+    assert(got((1L, 1L)).getAs[Double]("advantage") === 1.0)
+    assert(!got((1L, 0L)).getAs[Boolean]("degenerate"))
+    // group 2: all equal -> degenerate, advantage null
+    assert(got((2L, 0L)).getAs[Boolean]("degenerate"))
+    assert(got((2L, 0L)).isNullAt(6))
+    assert(got((2L, 1L)).getAs[Double]("std") === 0.0)
+  }
+
+  test("bestOfNCurve: n=1 is the group mean, n=N is the max, the " +
+      "curve is nondecreasing, n>N is a null diagnostic") {
+    def t9d(x: Double): Double = math.floor(x * 1e9) / 1e9
+    val rs = Seq(0.2, 0.9, 0.4, 0.7)
+    val df = rs.zipWithIndex.map { case (r, i) => (1L, i.toLong, r) }
+      .toDF("p", "s", "r")
+    val got = Eval.bestOfNCurve(df, col("p"), col("s"), col("r"),
+      Seq(1, 2, 4, 9)).collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // n=1: every rank weighted 1/N — the plain mean of t9 terms
+    val mean = rs.map(r => t9d(0.25 * t9d(r))).sum
+    assert(math.abs(got(1L).get - mean) < 1e-9)
+    // n=N: all weight on the top rank
+    assert(math.abs(got(4L).get - 0.9) < 1e-8)
+    assert(got(1L).get <= got(2L).get && got(2L).get <= got(4L).get)
+    assert(got(9L) === None)
+    // weights telescope: best-of-2 over {0.2,0.4,0.7,0.9} =
+    // (C(2,2)-C(1,2))r2 ... = (1/6)(0·r1 + 1·r4... hand value:
+    // ranks 1..4 = .2,.4,.7,.9; w_i = (C(i,2)-C(i-1,2))/C(4,2) =
+    // (0,1,2,3)/6
+    val bo2 = (1.0 / 6) * 0.4 + (2.0 / 6) * 0.7 + (3.0 / 6) * 0.9
+    assert(math.abs(got(2L).get - bo2) < 1e-8)
+  }
+
   test("passAtKDedupAware: problems with undefined pass@k (k > n) " +
       "drop from that k's means and counts") {
     val cand = (
