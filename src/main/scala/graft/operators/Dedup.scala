@@ -1172,9 +1172,16 @@ object Dedup {
         .localCheckpoint()
       converged =
         updated.filter(col("comp") =!= col("prev")).isEmpty
-      val next = updated.select(col("id"), col("comp")).persist()
-      labels.unpersist()
-      labels = next
+      // the new labels are a bare projection over the updated
+      // checkpoint — no second copy; the PREVIOUS round's frame is
+      // dead now, so free its backing blocks (round 0's persist via
+      // unpersist, later rounds' checkpoint RDDs via the bridge —
+      // Dataset.unpersist cannot reach those, and without the free
+      // every round leaked one labels-sized RDD)
+      if (i == 0) labels.unpersist()
+      else org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeCheckpointBlocks(labels)
+      labels = updated.select(col("id"), col("comp"))
       i += 1
     }
     edges.unpersist()

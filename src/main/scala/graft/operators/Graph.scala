@@ -38,6 +38,21 @@ object Graph {
   private def t12(x: Column): Column =
     floor(x * lit(1e12)).cast("double") / lit(1e12)
 
+  /** Roll an iterative frame: checkpoint the new round eagerly, then
+    * free the PREVIOUS round's blocks — after the eager checkpoint
+    * the old frame is provably dead (nothing downstream references
+    * it; its plan is a bare LogicalRDD leaf, so the free never
+    * touches the loop-invariant tables). Without this every round
+    * leaks one node-sized RDD into the storage pool for the life of
+    * the session — on long peels (k-core, components) dozens of dead
+    * copies, enough to evict the blocks the query still needs. */
+  private def roll(prev: DataFrame, next: DataFrame): DataFrame = {
+    val ck = next.localCheckpoint()
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .freeCheckpointBlocks(prev)
+    ck
+  }
+
   /** Exact sum of a double column via DECIMAL(18,15) terms (scores
     * are ≤ 1-ish here, so 3 integer digits is ample headroom). */
   private def xsum(c: Column): Column =
@@ -113,10 +128,9 @@ object Graph {
         .join(pr, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
-      pr = noIn.unionByName(
-          agg.select(col("dst").as("node"),
-            t12(lit(tpn) + lit(damping) * col("m")).as("pr")))
-        .localCheckpoint()
+      pr = roll(pr, noIn.unionByName(
+        agg.select(col("dst").as("node"),
+          t12(lit(tpn) + lit(damping) * col("m")).as("pr"))))
     }
     pr.orderBy(col("node"))
   }
@@ -172,10 +186,9 @@ object Graph {
         .select(col("dst"),
           (col("pr") * col("w") / col("wsum")).as("c"))
         .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
-      pr = noIn.unionByName(
-          agg.select(col("dst").as("node"),
-            t12(lit(tpn) + lit(damping) * col("m")).as("pr")))
-        .localCheckpoint()
+      pr = roll(pr, noIn.unionByName(
+        agg.select(col("dst").as("node"),
+          t12(lit(tpn) + lit(damping) * col("m")).as("pr"))))
     }
     pr.orderBy(col("node"))
   }
@@ -224,12 +237,11 @@ object Graph {
         .join(pr, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
-      pr = tele
+      pr = roll(pr, tele
         .join(agg, tele("node") === agg("dst"), "left")
         .select(col("node"),
           t12(lit(teleport) * col("tele") +
-            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
-        .localCheckpoint()
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr")))
     }
     pr.orderBy(col("node"))
   }
@@ -289,6 +301,13 @@ object Graph {
           least(col("lab"), coalesce(col("plab"), col("lab")))
             .as("lab"), col("old"))
         .localCheckpoint()
+      // next is materialized: prop and the previous round's labels
+      // are dead — free both (the roll discipline; an unbounded peel
+      // would otherwise hold 2 node-sized RDDs per round forever)
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeCheckpointBlocks(prop)
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeCheckpointBlocks(lab)
       changed = next.filter(col("lab") =!= col("old")).count()
       lab = next.select(col("node"), col("lab"))
     }
@@ -340,11 +359,22 @@ object Graph {
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     var authNz: DataFrame = null
     var hubNz: DataFrame = null
+    var prevAraw: DataFrame = null
+    var prevHraw: DataFrame = null
     for (_ <- 1 to iters) {
       val araw = eSrc
         .join(hub, col("src") === col("node"))
         .groupBy(col("dst")).agg(xsum(col("hub")).as("a"))
         .localCheckpoint()
+      // this round's auth sums consumed the previous round's frames —
+      // free both (the roll discipline); the FINAL round's frames are
+      // never freed here, and the output references only those
+      if (prevAraw != null) {
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeCheckpointBlocks(prevAraw)
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeCheckpointBlocks(prevHraw)
+      }
       val amax = araw.agg(max(col("a")).as("am"))
       authNz = araw.crossJoin(broadcast(amax))
         .select(col("dst").as("node"),
@@ -359,6 +389,8 @@ object Graph {
         .select(col("src").as("node"),
           t12(col("h") / col("hm")).as("hub"))
       hub = hubNz
+      prevAraw = araw
+      prevHraw = hraw
     }
     nodes
       .join(authNz.select(col("node").as("an"), col("auth")),
@@ -769,15 +801,14 @@ object Graph {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("cnt").desc, col("lab"))
     for (_ <- 1 to iters) {
-      lab = sym
+      lab = roll(lab, sym
         .join(lab.withColumnRenamed("node", "ln"),
           col("src") === col("ln"))
         .groupBy(col("dst").as("node"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("node"), col("lab"))
-        .localCheckpoint()
+        .select(col("node"), col("lab")))
     }
     lab.select(col("node"), col("lab").as("community"))
       .orderBy(col("node"))
@@ -822,6 +853,8 @@ object Graph {
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .localCheckpoint()
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeCheckpointBlocks(cur)
       val nextCount = next.count()
       converged = nextCount == curCount
       cur = next
@@ -872,12 +905,30 @@ object Graph {
       .localCheckpoint()                     // S^1
     var acc: DataFrame = null                // S^(consumed bits)
     var d = maxDepth
+    // frees follow the roll discipline; compose() checkpoints, so
+    // every frame here is a bare LogicalRDD and a freed predecessor
+    // is never referenced by a survivor. `acc eq pow` aliasing (the
+    // first set bit) guards the pow-advance free.
     while (d > 0) {
       if ((d & 1) == 1)
-        acc = if (acc == null) pow else compose(acc, pow)
+        acc = if (acc == null) pow else {
+          val a2 = compose(acc, pow)
+          org.apache.spark.sql.graftbridge.CheckpointBridge
+            .freeCheckpointBlocks(acc)
+          a2
+        }
       d >>= 1
-      if (d > 0) pow = compose(pow, pow)
+      if (d > 0) {
+        val p2 = compose(pow, pow)
+        if (!(acc eq pow))
+          org.apache.spark.sql.graftbridge.CheckpointBridge
+            .freeCheckpointBlocks(pow)
+        pow = p2
+      }
     }
+    if (!(acc eq pow))
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeCheckpointBlocks(pow)
     acc.join(e.select(col("node").as("__src"), lit(true).as("__out")),
         col("ptr") === col("__src"), "left")
       .select(col("node"), col("ptr").as("final"),
