@@ -561,4 +561,11 @@ object Graft {
       reward: String, ns: Seq[Int]): DataFrame =
     operators.Eval.bestOfNCurve(df, col(problem), col(sample),
       col(reward), ns)
+
+  /** GRPO advantage arithmetic over a (problem, r9, cnt) counter
+    * table — the batch anchor for
+    * [[streaming.StreamingOps.streamingRewardCounters]] live
+    * snapshots. */
+  def advantageFromCounts(counts: DataFrame): DataFrame =
+    operators.Eval.advantageFromCounts(counts)
 }

@@ -355,36 +355,72 @@ object Eval {
     * is scanned twice and never windowed. Output per input row:
     * (problem, sample, reward, n, mean, std, advantage,
     * degenerate). */
+  /** The scaled-integer reward [[groupNormalizedAdvantage]] scores
+    * with — exposed so the streaming counter twin keys its state
+    * through the IDENTICAL codegen arithmetic. */
+  private[graft] def r9Column(reward: Column): Column =
+    floor(reward.cast("double") * lit(1e9)).cast("long")
+
+  /** The mean/std/advantage arithmetic over exact integer moment
+    * columns (__r9, n, __s1, __s2) — the ONE sequence of IEEE
+    * operations shared by [[groupNormalizedAdvantage]] and
+    * [[advantageFromCounts]]. */
+  private def advantageCols(idCols: Seq[Column]): Seq[Column] = {
+    val Dec38 = DecimalType(38, 0)
+    val variance =
+      ((col("n").cast(Dec38) * col("__s2") -
+        col("__s1") * col("__s1")).cast("double") /
+        (col("n").cast("double") * col("n"))) / lit(1e18)
+    val std = sqrt(variance)
+    idCols ++ Seq(
+      (col("__r9").cast("double") / lit(1e9)).as("reward"),
+      col("n"),
+      (col("__s1").cast("double") /
+        (col("n").cast("double") * lit(1e9))).as("mean"),
+      std.as("std"),
+      when(std > 0.0,
+        t9(((col("__r9").cast(Dec38) * col("n") - col("__s1"))
+          .cast("double") / (col("n").cast("double") * lit(1e9))) /
+          std))
+        .otherwise(lit(null).cast("double")).as("advantage"),
+      (std === 0.0).as("degenerate"))
+  }
+
   def groupNormalizedAdvantage(df: DataFrame, problemCol: Column,
       sampleCol: Column, rewardCol: Column): DataFrame = {
     val Dec38 = DecimalType(38, 0)
     val scored = df.select(problemCol.as("problem"),
-        sampleCol.as("sample"),
-        floor(rewardCol.cast("double") * lit(1e9)).cast("long")
-          .as("__r9"))
+        sampleCol.as("sample"), r9Column(rewardCol).as("__r9"))
       .filter(col("__r9").isNotNull)
     val g = scored.groupBy(col("problem"))
       .agg(count(lit(1)).as("n"),
         sum(col("__r9").cast(Dec38)).as("__s1"),
         sum((col("__r9").cast(Dec38) * col("__r9"))).as("__s2"))
-    val withG = scored.join(g, Seq("problem"))
-      .withColumn("__var",
-        ((col("n").cast(Dec38) * col("__s2") -
-          col("__s1") * col("__s1")).cast("double") /
-          (col("n").cast("double") * col("n"))) / lit(1e18))
-      .withColumn("std", sqrt(col("__var")))
-    withG.select(col("problem"), col("sample"),
-      (col("__r9").cast("double") / lit(1e9)).as("reward"),
-      col("n"),
-      (col("__s1").cast("double") /
-        (col("n").cast("double") * lit(1e9))).as("mean"),
-      col("std"),
-      when(col("std") > 0.0,
-        t9(((col("__r9").cast(Dec38) * col("n") - col("__s1"))
-          .cast("double") / (col("n").cast("double") * lit(1e9))) /
-          col("std")))
-        .otherwise(lit(null).cast("double")).as("advantage"),
-      (col("std") === 0.0).as("degenerate"))
+    scored.join(g, Seq("problem"))
+      .select(advantageCols(Seq(col("problem"), col("sample"))): _*)
+  }
+
+  /** [[groupNormalizedAdvantage]] at (problem, DISTINCT reward)
+    * grain over a PRE-AGGREGATED (problem, r9, cnt) counter table —
+    * the streaming monitor's state grain
+    * ([[graft.streaming.StreamingOps.streamingRewardCounters]]; the
+    * auditFromCounts device): moments rebuild as exact DECIMAL
+    * count-weighted sums, then the identical IEEE sequence — the
+    * advantage a live RL dashboard shows mid-run is the exact batch
+    * value for every sample carrying that reward. */
+  def advantageFromCounts(counts: DataFrame): DataFrame = {
+    val Dec38 = DecimalType(38, 0)
+    val c = counts.select(col("problem"),
+      col("r9").cast("long").as("__r9"),
+      col("cnt").cast("long").as("__cnt"))
+    val g = c.groupBy(col("problem"))
+      .agg(sum(col("__cnt")).as("n"),
+        sum(col("__r9").cast(Dec38) * col("__cnt")).as("__s1"),
+        sum(col("__r9").cast(Dec38) * col("__r9") * col("__cnt"))
+          .as("__s2"))
+    c.join(g, Seq("problem"))
+      .select(advantageCols(Seq(col("problem"),
+        col("__r9").as("r9"))): _*)
   }
 
   /** Unbiased BEST-OF-N yield curve (the WebGPT/summarization-RLHF

@@ -1208,6 +1208,56 @@ object StreamingOps {
       }
   }
 
+  case class RewardEvent(problem: String, r9: Long, seq: Long)
+
+  /** Two longs per (problem, distinct scaled reward), forever. */
+  case class RewardState(lastSeq: Long, cnt: Long)
+
+  case class RewardCountRow(problem: String, r9: Long,
+    last_seq: Long, cnt: Long)
+
+  /** Streaming (problem, reward) counters — the live form of
+    * [[graft.operators.Eval.groupNormalizedAdvantage]]'s moment
+    * table: [[graft.operators.Eval.advantageFromCounts]] over the
+    * latest row per (problem, r9) IS the batch GRPO advantage for
+    * every sample carrying that reward (the auditFromCounts device;
+    * StreamingAdvantageSpec proves counter exactness and advantage
+    * equality). Rewards are keyed through the batch operator's OWN
+    * scaled-integer expression, so state is bounded by the
+    * per-problem distinct-reward cardinality. Contract mirrors
+    * [[streamingAcceptanceCounters]]: per-key MONOTONE sequence (a
+    * global ingest offset works), in-order fold within a
+    * micro-batch, at-or-before-lastSeq rows DROPPED — exactly-once
+    * under replays and same-batch duplicates. Null rewards are
+    * dropped, as in batch. */
+  def streamingRewardCounters(df: org.apache.spark.sql.DataFrame,
+      problemCol: String, seqCol: String,
+      rewardCol: String): Dataset[RewardCountRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    df.select(col(problemCol).cast("string").as("problem"),
+        graft.operators.Eval.r9Column(col(rewardCol)).as("r9"),
+        col(seqCol).cast("long").as("seq"))
+      .filter(col("r9").isNotNull)
+      .as[RewardEvent]
+      .groupByKey(e => (e.problem, e.r9))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), it: Iterator[RewardEvent],
+            state: GroupState[RewardState]) =>
+          val st = state.getOption.getOrElse(
+            RewardState(Long.MinValue, 0L))
+          var last = st.lastSeq; var c = st.cnt
+          // duplicate guard INSIDE the fold (the r11 CUSUM lesson)
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (e.seq > last) { last = e.seq; c += 1L }
+          }
+          state.update(RewardState(last, c))
+          Iterator.single(RewardCountRow(key._1, key._2, last, c))
+      }
+  }
+
   case class ConfEvent(group: String, seq: Long, nc: Double)
 
   /** Last processed sequence + the calibration value multiset. The
