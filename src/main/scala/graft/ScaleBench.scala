@@ -432,6 +432,42 @@ object ScaleBench {
           fullEval(graft.operators.Eval.consensusVote(
             cand, col("p"), col("ans"), col("ok")))
         }),
+        // r12.2: GRPO advantage + best-of-n over an 8-sample reward
+        // frame (one moment aggregate + join back; rank window +
+        // bounded fold), dedup-aware pass@k (counts pass + two
+        // problem-table aggregates), per-variant chi-squared over a
+        // 5-way exploded grid (one corpus pass)
+        "rl_analytics" -> (() => {
+          val rw = docs.select(col("doc_id").as("p"),
+              explode(sequence(lit(0L), lit(7L))).as("s"))
+            .withColumn("r",
+              pmod(col("p") * 131L + col("s") * 17L, lit(1000L))
+                .cast("double") / 1000.0)
+          fullEval(graft.operators.Eval.groupNormalizedAdvantage(
+            rw, col("p"), col("s"), col("r"))) +
+          fullEval(graft.operators.Eval.bestOfNCurve(
+            rw, col("p"), col("s"), col("r"), Seq(1, 4, 8)))
+        }),
+        "dedup_pass_at_k" -> (() => {
+          val cand = docs.select(col("doc_id").as("p"),
+              explode(sequence(lit(0L), lit(9L))).as("s"))
+            .withColumn("ok",
+              pmod(col("p") * 31L + col("s") * 7L, lit(10L)) < 6)
+          val clusters = cand.select(col("p").as("problem")).distinct()
+            .withColumn("cluster",
+              col("problem") - pmod(col("problem"), lit(64L)))
+          fullEval(graft.operators.Eval.passAtKDedupAware(
+            cand, col("p"), col("ok"), clusters, Seq(1, 5, 10)))
+        }),
+        "chi_squared_by5" -> (() =>
+          fullEval(graft.operators.HypothesisTests
+            .chiSquaredIndependenceBy(
+              docs.select(
+                pmod(col("doc_id") * 31L, lit(5L)).as("rcat"),
+                pmod(col("doc_id") * 2654435761L, lit(4L)).as("c"),
+                explode(array((0 until 5).map(v =>
+                  lit(s"v$v")): _*)).as("variant")),
+              col("variant"), col("rcat"), col("c"), 21.026))),
         "cka_64" -> (() =>
           fullEval(graft.operators.Cka.linearCka(
             emb.select(col("embedding").as("x"),
