@@ -109,23 +109,12 @@ object Bench {
     // expression work and under-measured projection-heavy rows (the
     // cka_64 lesson, NOTES r11). Contract note for cross-round
     // comparison lives in NOTES.md "r12 bench forcing change".
-    // r12.2: start every query with a CLEAN storage pool. Operators
-    // localCheckpoint/persist intermediates, and Dataset.unpersist
-    // cannot reclaim checkpoint blocks — across 300+ sequential
-    // queries the leaked blocks fill the unified pool and evict the
-    // blocks of the query UNDER MEASUREMENT (observed: q179 2-3x
-    // pass-to-pass swings from eviction churn). Freeing every
-    // persistent RDD between queries is safe here: each query
-    // rebuilds its plan from parquet, and the cross-query artifacts
-    // (text index, model tables) are parquet-backed, not block-backed.
-    def clearPool(): Unit = {
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    // r12.2: start every query with a CLEAN storage pool
+    // (GraftSession.clearPool — observed: q179 2-3x pass-to-pass
+    // swings from leaked checkpoint blocks evicting live ones).
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        clearPool()
+        GraftSession.clearPool(spark)
         val times = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
           // a FAILED pass records the -1.0 sentinel, not its

@@ -61,4 +61,17 @@ object GraftSession {
     GraftExtensions.register(spark)
     spark
   }
+
+  /** Clean-storage-pool discipline shared by Bench and Verify: free
+    * every persistent RDD (operators' localCheckpoint blocks, which
+    * Dataset.unpersist cannot reach) and the cache manager between
+    * queries, so blocks leaked by one query never evict the blocks
+    * of the query under measurement. Safe between queries: every
+    * query rebuilds its plan from parquet, and the cross-query
+    * artifacts (text index, model tables) are parquet-backed. */
+  def clearPool(spark: SparkSession): Unit = {
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

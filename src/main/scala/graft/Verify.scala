@@ -17,12 +17,8 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      // clean storage pool per query (Bench discipline): leaked
-      // checkpoint blocks from earlier queries otherwise accumulate
-      // across the 300+-query dump and evict live blocks
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // clean storage pool per query (shared Bench discipline)
+      GraftSession.clearPool(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -509,7 +509,10 @@ object Eval {
     * before the outer sum — bit-replayable in SQL. Problems where
     * pass@k is undefined (k > n) are EXCLUDED from both means and
     * from that k's problem/cluster counts (diagnostic-row
-    * discipline, not a silent zero).
+    * discipline, not a silent zero). A problem ABSENT from the
+    * cluster map is its own singleton family (dedup devices label
+    * only problems that appear in a duplicate pair), so macro_naive
+    * is always the mean over the full eval set.
     *
     * Scale shape: ONE corpus aggregate to (problem, n, c), one
     * problem-table join to `clusters(problem, cluster)`, two
@@ -519,15 +522,25 @@ object Eval {
   def passAtKDedupAware(candidates: DataFrame, problemCol: Column,
       correctCol: Column, clusters: DataFrame,
       ks: Seq[Int]): DataFrame = {
-    def t9(x: Column): Column =
-      floor(x * lit(1e9)).cast("double") / lit(1e9)
     def dsum9(c: Column): Column =
       sum(c.cast(DecimalType(38, 9))).cast("double")
+    // LEFT join: dedup devices commonly label only problems that
+    // appear in a duplicate pair, so a problem absent from the
+    // cluster map is its OWN singleton family — an inner join would
+    // silently drop it from both means and macro_naive would stop
+    // being the mean over the eval set (r12.2 review). Cluster ids
+    // go through string space so the synthetic singleton key can
+    // never collide with a caller id.
     val perProblem = passAtK(candidates, problemCol, correctCol, ks)
       .filter(col("pass_at_k").isNotNull)
-      .join(clusters.select(col("problem"), col("cluster")),
-        Seq("problem"))
-      .select(col("k"), col("cluster"), t9(col("pass_at_k")).as("p"))
+      .join(clusters.select(col("problem"),
+        col("cluster").cast("string").as("cluster")),
+        Seq("problem"), "left")
+      .select(col("k"),
+        coalesce(col("cluster"),
+          concat(lit("__singleton:"), col("problem").cast("string")))
+          .as("cluster"),
+        t9(col("pass_at_k")).as("p"))
     val perCluster = perProblem
       .groupBy(col("k"), col("cluster"))
       .agg(dsum9(col("p")).as("__ps"), count(lit(1)).as("__np"))

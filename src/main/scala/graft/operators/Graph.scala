@@ -457,10 +457,8 @@ object Graph {
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("a"), col("v").as("b"),
-            col("dv").as("db")))
-          .otherwise(struct(col("v").as("a"), col("u").as("b"),
-            col("du").as("db")))
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b")))
           .as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       // pin the cached partitioning to the tail: the adjacency

@@ -85,15 +85,21 @@ object Hybrid {
     * shared-checkpoint path cannot drift (the scores' bit-identity
     * contract hangs on these aggregations staying identical;
     * r12 review). */
+  /** The corpus-stats aggregate over a (possibly checkpointed)
+    * docLen frame — split out so [[prfExpandedBm25]] can derive
+    * stats from the CHECKPOINTED docLen instead of re-running the
+    * ids⋈tf aggregation a second time (r12.2 review), while staying
+    * the one builder both paths share. */
+  private def statsOf(docLen: DataFrame): DataFrame =
+    docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
   private def corpusTables(ids: DataFrame,
       tf: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val docLen = ids
       .join(tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl")),
         Seq("doc"), "left")
-    val stats = docLen.agg(
-      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    (docLen, stats, dfreq)
+    (docLen, statsOf(docLen), dfreq)
   }
 
   /** The scoring join over fully PRECOMPUTED corpus-side tables —
@@ -148,9 +154,12 @@ object Hybrid {
     // bit-identity by construction), checkpointed here because this
     // path has multiple consumers per table (doc-count- and
     // vocabulary-sized frames, far smaller than tf)
-    val (docLen0, stats0, dfreq0) = corpusTables(ids, tf)
+    val (docLen0, _, dfreq0) = corpusTables(ids, tf)
     val docLen = docLen0.localCheckpoint()
-    val stats = stats0.localCheckpoint()
+    // stats derives from the CHECKPOINTED docLen (same statsOf
+    // builder — bit-identity by construction); aggregating the lazy
+    // docLen0 would re-run the ids⋈tf pass a second time
+    val stats = statsOf(docLen).localCheckpoint()
     val dfreq = dfreq0.localCheckpoint()
     val fb = prefetch(
         bm25FromStats(tf, docLen, stats, dfreq, qt, k1, b), fbDocs)

@@ -174,8 +174,12 @@ object HypothesisTests {
       rowCol: Column, colCol: Column, crit: Double): DataFrame = {
     require(crit > 0, "crit must be positive")
     val Dec38 = DecimalType(38, 0)
+    // a null variant is its own segment, same contract as the
+    // category columns — and the equi-joins below would silently
+    // DROP null keys otherwise (r12.2 review)
     val cells = df.select(
-        variantCol.cast("string").as("variant"),
+        coalesce(variantCol.cast("string"), lit("(null)"))
+          .as("variant"),
         coalesce(rowCol.cast("string"), lit("(null)")).as("__r"),
         coalesce(colCol.cast("string"), lit("(null)")).as("__c"))
       .groupBy(col("variant"), col("__r"), col("__c"))

@@ -224,4 +224,29 @@ class EvalHarnessSpec extends SparkTestBase {
     assert(got.getAs[Double]("macro_naive") === 1.0)
     assert(got.getAs[Double]("macro_dedup") === 1.0)
   }
+
+  test("passAtKDedupAware: a problem absent from the cluster map " +
+      "is its own singleton family, never a dropped row") {
+    // p1/p2 share family A; p3 is UNLABELED (the dedup-device shape:
+    // only duplicate-pair members get component rows)
+    val cand = (
+      (0 until 4).map(i => (1L, i.toLong, i < 2)) ++
+      (0 until 4).map(i => (2L, i.toLong, false)) ++
+      (0 until 4).map(i => (3L, i.toLong, i < 1))
+    ).toDF("p", "s", "ok")
+    val partial = Seq((1L, "A"), (2L, "A")).toDF("problem", "cluster")
+    val full = Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("problem", "cluster")
+    val gotP = Eval.passAtKDedupAware(cand, col("p"), col("ok"),
+      partial, Seq(2)).collect().head
+    val gotF = Eval.passAtKDedupAware(cand, col("p"), col("ok"),
+      full, Seq(2)).collect().head
+    // identical numbers: the missing p3 label means "singleton B"
+    assert(gotP.getAs[Long]("n_problems") === 3L)
+    assert(gotP.getAs[Long]("n_clusters") === 2L)
+    assert(gotP.getAs[Double]("macro_naive") ===
+      gotF.getAs[Double]("macro_naive"))
+    assert(gotP.getAs[Double]("macro_dedup") ===
+      gotF.getAs[Double]("macro_dedup"))
+  }
 }

@@ -121,6 +121,14 @@ class HypothesisTestsSpec extends SparkTestBase {
       assert(g.getDouble(6) === w)
     }
     assert(got("dep").getBoolean(8) && !got("ind").getBoolean(8))
+    // a null variant is its own segment, not a dropped population
+    // (the equi-joins would silently drop null keys unguarded)
+    val withNullV = dep.withColumn("v",
+      when(lit(true), lit(null).cast("string")))
+    val gn = HypothesisTests.chiSquaredIndependenceBy(withNullV,
+      col("v"), col("r"), col("c"), crit = 3.841).collect()
+    assert(gn.length === 1 && gn.head.getString(0) === "(null)")
+    assert(gn.head.getLong(1) === 60L)
   }
 
   /** Exact binomial two-sided p (doubled smaller tail) reference
