@@ -62,6 +62,24 @@ object GraftSession {
     spark
   }
 
+  /** Scale-adaptive fan-out for EXPRESSION-DENSE per-row stages
+    * (n-gram eval metrics, checksum validation, shingle explodes):
+    * Spark sizes input splits by BYTES, so a compute-heavy table
+    * that happens to be one small parquet file/row group plans ONE
+    * partition and serializes the whole stage onto a single core
+    * (the sf0.1 documents table is 600 KB → q157 ran 16 s on 1 of
+    * 32 cpus). A no-op whenever the scan already yields ≥ half the
+    * cluster's parallelism — at production scale inputs split
+    * naturally and this adds nothing; below that it pays one tiny
+    * exchange for full-width compute. Fan out the BASE columns and
+    * project the heavy expressions ABOVE the exchange. */
+  def fanOutForCompute(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   /** Clean-storage-pool discipline shared by Bench and Verify: free
     * every persistent RDD (operators' localCheckpoint blocks, which
     * Dataset.unpersist cannot reach) and the cache manager between

@@ -38,7 +38,10 @@ object CoveragePlanner {
         i => concat_ws(" ",
           (0 until shingleN).map(o => element_at(tk, i + o)): _*)))
       .otherwise(array())
-    val pairs = df
+    // fan out the base scan before the shingle explode — the
+    // expression-dense stage must run at cluster width even when the
+    // input is one small file/row group (no-op at scale)
+    val pairs = graft.GraftSession.fanOutForCompute(df)
       .select(col(sourceCol).as("source"), explode(sh).as("shingle"))
       .distinct().localCheckpoint()
     val total = pairs.select(col("shingle")).distinct()

@@ -762,7 +762,11 @@ object Dedup {
     * costs numHashes digests per shingle instead of one.) */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = df.select(col(idCol), explode(
+    // fan out before the shingle explode: the md5-per-shingle stage
+    // is expression-dense and must run at cluster width even when
+    // the input is one small file/row group (no-op at scale)
+    val sh = graft.GraftSession.fanOutForCompute(df)
+      .select(col(idCol), explode(
         array_distinct(wordShinglesFast(col(textCol), shingleN))).as("s"))
       .withColumn("h", conv(substring(md5(col("s")), 1, 7), 16, 10)
         .cast("long"))
@@ -972,7 +976,9 @@ object Dedup {
     * have small Hamming distance. Pure column-expression formulation:
     * explode tokens × bits, aggregate votes, reassemble bits. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
+    // fan out before the token x bit explode (see minhashSignatures)
+    val tok = graft.GraftSession.fanOutForCompute(df)
+      .select(col(idCol),
       explode(tokens(col(textCol))).as("t"))
       .withColumn("hv", conv(substring(md5(col("t")), 1, 15), 16, 10)
         .cast("long"))

@@ -20,7 +20,10 @@ object Hybrid {
   /** Per-(doc, term) term frequencies over whitespace tokens. */
   def termFrequencies(corpus: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    corpus.select(col(idCol).as("doc"),
+    // fanned out: the tokenize explode is the corpus-side hot stage
+    // and must run at cluster width on single-file inputs
+    graft.GraftSession.fanOutForCompute(corpus)
+      .select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -80,11 +83,6 @@ object Hybrid {
     bm25FromStats(tf, docLen, stats, dfreq, qterms, k1, b)
   }
 
-  /** The three corpus-side tables every BM25 pass reads — ONE
-    * definition, so the single-pass path and [[prfExpandedBm25]]'s
-    * shared-checkpoint path cannot drift (the scores' bit-identity
-    * contract hangs on these aggregations staying identical;
-    * r12 review). */
   /** The corpus-stats aggregate over a (possibly checkpointed)
     * docLen frame — split out so [[prfExpandedBm25]] can derive
     * stats from the CHECKPOINTED docLen instead of re-running the
@@ -93,6 +91,11 @@ object Hybrid {
   private def statsOf(docLen: DataFrame): DataFrame =
     docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
+  /** The three corpus-side tables every BM25 pass reads — ONE
+    * definition, so the single-pass path and [[prfExpandedBm25]]'s
+    * shared-checkpoint path cannot drift (the scores' bit-identity
+    * contract hangs on these aggregations staying identical;
+    * r12 review). */
   private def corpusTables(ids: DataFrame,
       tf: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val docLen = ids

@@ -2581,9 +2581,13 @@ object CorpusQueries {
     * all counts are in-row array folds. */
   def q180RougeEval(s: SparkSession, d: String): DataFrame = {
     val tk = split(trim(col("text")), "\\s+")
-    val pairs = documents(s, d).select(col("doc_id"),
-      concat_ws(" ", slice(tk, 1, 30)).as("cand"),
-      col("text").as("ref"))
+    // fan out the base scan: n-gram eval metrics are expression-
+    // dense and a single-file table would serialize them on one core
+    val pairs = graft.queries.Tables
+      .fanOutForCompute(documents(s, d))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(tk, 1, 30)).as("cand"),
+        col("text").as("ref"))
     Eval.rougeStats(pairs, "cand", "ref")
       .select(col("doc_id"),
         col("m1"), col("c1"), col("r1"),

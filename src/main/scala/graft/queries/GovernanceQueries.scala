@@ -610,18 +610,41 @@ object GovernanceQueries {
       lit(" iban DE"), lpad(cc.cast("string"), 2, "0"), bban,
       lit(" alt DE"), lpad(ccBad.cast("string"), 2, "0"), bban,
       lit(" pad 00"), validCard, lit("000"))
-    val doc = documents(s, d).select(col("doc_id"), planted.as("t"))
-    val cands = cardCandidates(col("t"))
-    val okCards = filter(cands, c => luhnValid(c))
-    val icands = ibanCandidates(col("t"))
-    val okIbans = filter(icands, c => ibanValid(c))
-    doc.select(col("doc_id"),
-        size(cands).cast("long").as("n_card_candidates"),
-        size(okCards).cast("long").as("n_cards_valid"),
-        size(icands).cast("long").as("n_iban_candidates"),
-        size(okIbans).cast("long").as("n_ibans_valid"),
-        md5(redactValid(redactValid(col("t"), okCards, "<CARD>"),
-          okIbans, "<IBAN>")).as("red_md5"))
+    // fan out the base scan first: the validator work below is
+    // expression-dense and a single-file table would otherwise run
+    // it on one core (Tables.fanOutForCompute)
+    val doc = graft.queries.Tables
+      .fanOutForCompute(documents(s, d))
+      .select(col("doc_id"), planted.as("t"))
+    // Stage the expensive scalars through 1-element Generate nodes:
+    // the candidate regexes and the interpreted validator filters
+    // each fan out into 2+ downstream references (sizes + redaction),
+    // and CollapseProject would otherwise re-inline and recompute
+    // them per reference (the q239 class, in expression space). A
+    // Generate evaluates its generator ONCE per row and exposes the
+    // results as ATTRIBUTES — single evaluation pinned without any
+    // data-sized materialization, so the pipeline stays one streaming
+    // scan at any corpus size.
+    val staged = doc
+      .select(col("doc_id"), col("t"),
+        explode(array(struct(
+          cardCandidates(col("t")).as("cands"),
+          ibanCandidates(col("t")).as("icands")))).as("g1"))
+      .select(col("doc_id"), col("t"),
+        col("g1.cands").as("cands"), col("g1.icands").as("icands"))
+      .select(col("doc_id"), col("t"), col("cands"), col("icands"),
+        explode(array(struct(
+          filter(col("cands"), c => luhnValid(c)).as("okc"),
+          filter(col("icands"), c => ibanValid(c)).as("oki"))))
+          .as("g2"))
+    staged.select(col("doc_id"),
+        size(col("cands")).cast("long").as("n_card_candidates"),
+        size(col("g2.okc")).cast("long").as("n_cards_valid"),
+        size(col("icands")).cast("long").as("n_iban_candidates"),
+        size(col("g2.oki")).cast("long").as("n_ibans_valid"),
+        md5(redactValid(
+          redactValid(col("t"), col("g2.okc"), "<CARD>"),
+          col("g2.oki"), "<IBAN>")).as("red_md5"))
       .orderBy(col("doc_id"))
   }
 

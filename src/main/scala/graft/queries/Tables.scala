@@ -41,6 +41,11 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** See [[graft.GraftSession.fanOutForCompute]] (central home so
+    * operators can use it too). */
+  def fanOutForCompute(df: DataFrame): DataFrame =
+    graft.GraftSession.fanOutForCompute(df)
+
   /** Length-bucketed-batch oracle replay over a caller-supplied
     * `$src(doc_id, n_tokens)` CTE (the
     * [[graft.operators.Packing.lengthBucketedBatches]] arithmetic) —

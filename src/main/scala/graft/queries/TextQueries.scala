@@ -1468,8 +1468,12 @@ object TextQueries {
       (col("doc_id") % 256).cast("string"),
       lit(".1 tel 555-123-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-    val pairs = documents(s, d).select(col("doc_id"),
-      redactPii(planted).as("cand"), planted.as("ref"))
+    // fan out the BASE scan, then project: the redact/n-gram work
+    // must sit ABOVE the exchange or it still runs on the single
+    // input split
+    val pairs = graft.queries.Tables.fanOutForCompute(documents(s, d))
+      .select(col("doc_id"),
+        redactPii(planted).as("cand"), planted.as("ref"))
     graft.operators.Eval.bleuStats(pairs, "cand", "ref")
       .select(col("doc_id"), col("cand_len"), col("ref_len"),
         col("m1"), col("t1"), col("m2"), col("t2"),
