@@ -20,10 +20,7 @@ object Hybrid {
   /** Per-(doc, term) term frequencies over whitespace tokens. */
   def termFrequencies(corpus: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    // fanned out: the tokenize explode is the corpus-side hot stage
-    // and must run at cluster width on single-file inputs
-    graft.GraftSession.fanOutForCompute(corpus)
-      .select(col(idCol).as("doc"),
+    corpus.select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))

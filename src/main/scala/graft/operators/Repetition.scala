@@ -77,8 +77,7 @@ object Repetition {
   /** One row per document with all 13 Gopher repetition signals. */
   def signals(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val docs = graft.GraftSession.fanOutForCompute(df)
-      .select(col(idCol).as("doc"), col(textCol).as("text"))
+    val docs = df.select(col(idCol).as("doc"), col(textCol).as("text"))
 
     val lineSig = unitSignals(docs, "doc", "text", "\n", "line")
     val paraSig = unitSignals(docs, "doc", "text", "\n\n", "para")

@@ -70,6 +70,9 @@ object SuffixArray {
     // which is exactly its final relation to any extension (prefix <
     // extension), so seeding preserves the doubling invariant.
     val seed = 16L
+    // (measured: a fanOutForCompute here is value-neutral — the
+    // doubling rounds are exchange/sort-bound, and the explode feeds
+    // straight into an exchange anyway)
     val pos = docs
       .select(col(idCol).as("doc"), length(col(textCol)).as("len"),
         col(textCol).as("t"),
