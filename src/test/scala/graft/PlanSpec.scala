@@ -96,12 +96,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q157: per-pair BLEU is map-only — the single exchange is the " +
-      "presentation sort") {
+  test("q157: per-pair BLEU never shuffles STATS — the only " +
+      "exchanges are the presentation sort and the compute fan-out") {
     val p = plan("q157_bleu_eval")
+    // r12.2: a deliberate base-scan repartition fans the expression-
+    // dense n-gram stage out past single-split inputs
+    // (GraftSession.fanOutForCompute), so the plan carries exactly
+    // one range exchange (ORDER BY) + at most one repartition, and
+    // still no aggregate/join exchange anywhere
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1, s"q157 must not shuffle stats:\n" +
+    assert(exchanges <= 2, s"q157 must not shuffle stats:\n" +
       p.take(1500))
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(800))
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"),
+      "per-pair BLEU must stay map-only")
   }
 
   test("q138: the bloom screen is the native might_contain expression " +
