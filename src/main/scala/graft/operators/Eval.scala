@@ -485,6 +485,68 @@ object Eval {
           .otherwise(col("__bon")).as("best_of_n"))
   }
 
+  /** [[bestOfNCurve]] over a PRE-AGGREGATED (problem, r9, weight)
+    * reward-multiset table — the auditFromCounts member for the
+    * yield curve, consumed by the streaming monitor's live sketch
+    * snapshots ([[graft.streaming.StreamingOps.streamingYieldSketch]]).
+    * `r9` is the batch operator's own scaled-integer reward key
+    * (⌊r·10⁹⌋, [[r9Column]]); `weight` is how many samples carry
+    * that reward. Each weight-w distinct value spans ranks
+    * (lo, lo+w] of the ascending sort, and the span is replayed
+    * PER RANK — same combinatorial fold, same per-rank
+    * t9(w_i·r)-term, same DECIMAL(38,9) sum as the batch operator —
+    * so on EXACT counts the output is bit-identical to
+    * [[bestOfNCurve]] on the raw samples (ties spread across ranks
+    * sum the same terms), and on a bounded-rank-error sketch the
+    * value error is bounded by (r_max−r_min)·n·E/N for rank error E
+    * (|F̂ⁿ−Fⁿ| ≤ n·|F̂−F|, integrated over the reward range).
+    *
+    * Scale shape: one count aggregate, one cumulative-weight window
+    * per problem (distinct-value-sized), then the rank explode —
+    * |samples|·|ns| rows, exactly the batch operator's own working
+    * set, never more. */
+  def bestOfNFromCounts(counts: DataFrame,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be >= 1")
+    val c = counts.select(col("problem"),
+        col("r9").cast("long").as("__r9"),
+        col("weight").cast("long").as("__cnt"))
+      .filter(col("__r9").isNotNull && col("__cnt") > 0)
+      .groupBy(col("problem"), col("__r9"))
+      .agg(sum(col("__cnt")).as("__cnt"))
+    val w = Window.partitionBy(col("problem")).orderBy(col("__r9"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = c
+      .withColumn("__hi", sum(col("__cnt")).over(w))
+      .withColumn("__N", sum(col("__cnt"))
+        .over(Window.partitionBy(col("problem"))))
+      .withColumn("__r", col("__r9").cast("double") / lit(1e9))
+    def ratio(i: Column, n: Column): Column =
+      when(i < n, lit(0.0)).otherwise(aggregate(
+        sequence(lit(0L), n - 1L), lit(1.0),
+        (acc, k) => acc * ((i - k).cast("double") /
+          (col("__N") - k).cast("double"))))
+    spans
+      .select(col("problem"), col("__r"), col("__N"),
+        explode(sequence(col("__hi") - col("__cnt") + 1L,
+          col("__hi"))).as("__i"))
+      .select(col("problem"), col("__r"), col("__N"), col("__i"),
+        explode(array(ns.map(n => lit(n.toLong)): _*)).as("n"))
+      .withColumn("__w",
+        when(col("n") > col("__N"), lit(0.0))
+          .otherwise(ratio(col("__i"), col("n")) -
+            ratio(col("__i") - 1L, col("n"))))
+      .groupBy(col("problem"), col("n"))
+      .agg(max(col("__N")).as("n_samples"),
+        sum(t9(col("__w") * col("__r"))
+          .cast(DecimalType(38, 9))).cast("double")
+          .as("__bon"))
+      .select(col("problem"), col("n"), col("n_samples"),
+        when(col("n") > col("n_samples"),
+          lit(null).cast("double"))
+          .otherwise(col("__bon")).as("best_of_n"))
+  }
+
   /** DEDUP-AWARE pass@k: eval sets carry near-duplicate problems
     * (template families, contaminated rephrasings), and the naive
     * mean over problems counts a duplicated problem once PER COPY —
@@ -528,23 +590,31 @@ object Eval {
     // appear in a duplicate pair, so a problem absent from the
     // cluster map is its OWN singleton family — an inner join would
     // silently drop it from both means and macro_naive would stop
-    // being the mean over the eval set (r12.2 review). Cluster ids
-    // go through string space so the synthetic singleton key can
-    // never collide with a caller id.
+    // being the mean over the eval set (r12.2 review). The cluster
+    // map is deduped to ONE row per problem first (min cluster id —
+    // deterministic): duplicate clusters(problem,*) rows would
+    // otherwise multiply that problem into several families,
+    // inflating n_problems and double-counting it in macro_naive
+    // (r12 advice). Singletons are keyed by a SEPARATE boolean
+    // column + the problem id, never by a string-prefix sentinel —
+    // a caller cluster id equal to any sentinel string can then
+    // never collide with a synthetic family (r12 advice).
+    val clusterOf = clusters
+      .select(col("problem"), col("cluster").cast("string").as("cluster"))
+      .groupBy(col("problem"))
+      .agg(min(col("cluster")).as("cluster"))
     val perProblem = passAtK(candidates, problemCol, correctCol, ks)
       .filter(col("pass_at_k").isNotNull)
-      .join(clusters.select(col("problem"),
-        col("cluster").cast("string").as("cluster")),
-        Seq("problem"), "left")
+      .join(clusterOf, Seq("problem"), "left")
       .select(col("k"),
-        coalesce(col("cluster"),
-          concat(lit("__singleton:"), col("problem").cast("string")))
+        col("cluster").isNull.as("__singleton"),
+        coalesce(col("cluster"), col("problem").cast("string"))
           .as("cluster"),
         t9(col("pass_at_k")).as("p"))
     val perCluster = perProblem
-      .groupBy(col("k"), col("cluster"))
+      .groupBy(col("k"), col("__singleton"), col("cluster"))
       .agg(dsum9(col("p")).as("__ps"), count(lit(1)).as("__np"))
-      .select(col("k"), col("cluster"),
+      .select(col("k"),
         t9(col("__ps") / col("__np")).as("cm"),
         col("__ps"), col("__np"))
     perCluster

@@ -581,18 +581,28 @@ object Graph {
     * decimals.
     *
     * Scale: pairs are enumerated AT the shared neighbor (one wedge
-    * row per middle node per neighbor pair), so the join volume is
+    * row per middle node per neighbor pair), so the wedge volume is
     * Σ_n C(deg(n), 2) — quadratic in hot-node degree. `maxDegree`
     * drops super-connector MIDDLES from the enumeration (the stop-
     * neighbor device, same role as maxDf in shingle Jaccard): a node
     * adjacent to everything carries no similarity signal but costs
     * C(huge, 2) wedges. Denominator degrees stay FULL degrees, so
-    * the cap only prunes candidate generation through hot middles. */
+    * the cap only prunes candidate generation through hot middles.
+    *
+    * The enumeration itself is the packed-adjacency
+    * [[graft.functions.OrderedPairsGenerator]] (r12 verdict item 2,
+    * the q179 edge-iterator template): each kept middle's
+    * neighborhood rides ONE groupBy shuffle as a sorted array, and
+    * the generator streams each (a < b) pair exactly once into a
+    * map-side-combined count. The old mids×mids self-join shuffled
+    * the adjacency twice, sort-merged it, generated BOTH orders of
+    * every pair and filtered half away — 2× the generated rows plus
+    * join machinery for the identical result. */
   def sharedNeighborSimilarity(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst",
       minShared: Int = 2, maxDegree: Int = 1000,
       k: Int = 50): DataFrame = {
-    // canon/deg/mids all fan out to 2+ consumers — materialize once
+    // canon/deg fan out to 2+ consumers — materialize once
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -605,13 +615,20 @@ object Graph {
       .localCheckpoint()
     val adj = canon.select(col("u").as("n"), col("v").as("x"))
       .union(canon.select(col("v").as("n"), col("u").as("x")))
-    val mids = adj
+    // left-semi degree gate keeps hot middles out BEFORE the pack;
+    // sort_array makes every emitted pair (a < b)-canonical with no
+    // per-pair comparison downstream
+    val packed = adj
       .join(deg.filter(col("deg") <= maxDegree)
-        .select(col("node").as("n")), "n")
-      .localCheckpoint()
-    val shared = mids.select(col("n"), col("x").as("a"))
-      .join(mids.select(col("n"), col("x").as("b")), "n")
-      .filter(col("a") < col("b"))
+        .select(col("node").as("n")), Seq("n"), "left_semi")
+      .groupBy(col("n"))
+      .agg(sort_array(collect_list(col("x"))).as("nbrs"))
+    val pairs = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.OrderedPairsGenerator(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(col("nbrs"))))
+    val shared = packed
+      .select(pairs.as(Seq("a", "b")))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -124,18 +124,24 @@ object HypothesisTests {
       colCol: Column, crit: Double): DataFrame = {
     require(crit > 0, "crit must be positive")
     val Dec38 = DecimalType(38, 0)
+    // cells fans out to 4 consumers → materialize once. persist(),
+    // not localCheckpoint: the scratch contingency table is consumed
+    // only INSIDE the operator, so it is freed below after the eager
+    // one-row checkpoint — a localCheckpoint here leaked one
+    // corpus-derived RDD per call for library callers outside the
+    // Bench/Verify clearPool harnesses (r12 advice).
     val cells = df.select(
         coalesce(rowCol.cast("string"), lit("(null)")).as("__r"),
         coalesce(colCol.cast("string"), lit("(null)")).as("__c"))
       .groupBy(col("__r"), col("__c"))
       .agg(count(lit(1)).as("__o"))
-      .localCheckpoint()
+      .persist()
     val rm = cells.groupBy(col("__r")).agg(sum(col("__o")).as("__rn"))
     val cm = cells.groupBy(col("__c")).agg(sum(col("__o")).as("__cn"))
     val tot = cells.agg(sum(col("__o")).as("__n"),
       count_distinct(col("__r")).as("__nr"),
       count_distinct(col("__c")).as("__nc"))
-    cells.join(rm, "__r").join(cm, "__c")
+    val out = cells.join(rm, "__r").join(cm, "__c")
       .crossJoin(broadcast(tot))
       // d² via d·d, never pow(d, 2): multiplication is IEEE-exact
       // everywhere while pow is a libm call engines may round
@@ -154,6 +160,12 @@ object HypothesisTests {
         ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
         col("x2"), lit(crit).as("crit"),
         (col("x2") > lit(crit)).as("reject"))
+      // eager ONE-ROW checkpoint forces the cells cache and lets the
+      // scratch table free immediately; the surviving block is a
+      // single decision row, not a contingency table
+      .localCheckpoint()
+    cells.unpersist(blocking = false)
+    out
   }
 
   /** [[chiSquaredIndependence]] PER VARIANT: one independence test
@@ -176,7 +188,16 @@ object HypothesisTests {
     val Dec38 = DecimalType(38, 0)
     // a null variant is its own segment, same contract as the
     // category columns — and the equi-joins below would silently
-    // DROP null keys otherwise (r12.2 review)
+    // DROP null keys otherwise (r12.2 review). The literal string
+    // "(null)" is RESERVED by this contract: a real variant or
+    // category value equal to it merges with the null level, by
+    // design and mirrored in every oracle replay — callers with a
+    // live "(null)" label must rename it first (r12 advice,
+    // documented rather than re-keyed: the sentinel is part of the
+    // registered oracle arithmetic).
+    // persist(), not localCheckpoint — freed after the eager
+    // variant-sized checkpoint below (same leak fix as the
+    // single-table variant).
     val cells = df.select(
         coalesce(variantCol.cast("string"), lit("(null)"))
           .as("variant"),
@@ -184,7 +205,7 @@ object HypothesisTests {
         coalesce(colCol.cast("string"), lit("(null)")).as("__c"))
       .groupBy(col("variant"), col("__r"), col("__c"))
       .agg(count(lit(1)).as("__o"))
-      .localCheckpoint()
+      .persist()
     val rm = cells.groupBy(col("variant"), col("__r"))
       .agg(sum(col("__o")).as("__rn"))
     val cm = cells.groupBy(col("variant"), col("__c"))
@@ -193,7 +214,7 @@ object HypothesisTests {
       .agg(sum(col("__o")).as("__n"),
         count_distinct(col("__r")).as("__nr"),
         count_distinct(col("__c")).as("__nc"))
-    cells.join(rm, Seq("variant", "__r"))
+    val out = cells.join(rm, Seq("variant", "__r"))
       .join(cm, Seq("variant", "__c"))
       .join(tot, Seq("variant"))
       .withColumn("__d",
@@ -212,6 +233,10 @@ object HypothesisTests {
         t12(sqrt(col("x2") / col("__n").cast("double"))).as("w"),
         lit(crit).as("crit"),
         (col("x2") > lit(crit)).as("reject"))
+      // eager variant-sized checkpoint → cells freed immediately
+      .localCheckpoint()
+    cells.unpersist(blocking = false)
+    out
   }
 
   /** Per-group exact binomial test of P(property) against the

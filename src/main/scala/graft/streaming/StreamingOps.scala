@@ -237,7 +237,7 @@ object StreamingOps {
       .withColumn("canon_url",
         graft.operators.Corpus.canonicalizeUrl(col(urlCol)))
       .withColumn("_dedup_key",
-        coalesce(col("canon_url"), concat(lit(" raw:"),
+        coalesce(col("canon_url"), concat(lit("\u0000raw:"),
           col(urlCol))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_dedup_key")
@@ -1323,6 +1323,131 @@ object StreamingOps {
             val thr = if (k <= n && k >= 1) values((k - 1).toInt)
               else Double.PositiveInfinity
             ConfThresholdRow(g, a, n, k, thr)
+          }
+      }
+  }
+
+  case class YieldEvent(problem: String, r9: Long, seq: Long)
+
+  /** Deterministic mergeable quantile-sketch state for one problem's
+    * reward stream: `levels(l)` holds ≤ `cap` scaled rewards each of
+    * weight 2^l, `parities(l)` alternates which half survives the
+    * next compaction of level l, `errW` is the EXACT running sum of
+    * per-compaction worst-case rank displacements (compacting level
+    * l adds ≤ 2^l), `n` the exact sample count. State is
+    * O(cap · log(n/cap)) longs per problem FOREVER — never the
+    * sample multiset. */
+  case class YieldState(lastSeq: Long, n: Long, errW: Long,
+      parities: Seq[Boolean], levels: Seq[Seq[Long]], ver: Long)
+
+  case class YieldSketchRow(problem: String, ver: Long,
+      n_samples: Long, rank_err_bound: Long, r9: Long, weight: Long)
+
+  /** Streaming reward-multiset SKETCH for the best-of-n yield curve
+    * — the live form of [[graft.operators.Eval.bestOfNCurve]], and
+    * the engine's first APPROXIMATE twin: the curve's weights need
+    * the FULL rank order of a problem's rewards, so an exact
+    * live twin would hold the whole sample multiset in state
+    * (unbounded for continuous rewards). This holds a KLL-style
+    * compactor stack instead (Karnin–Lang–Liberty 2016, with
+    * DETERMINISTIC alternating compaction à la Manku–Rajagopalan–
+    * Lindsay so replays and tests are bit-stable): level l holds
+    * ≤ `cap` items of weight 2^l; a full level sorts, keeps
+    * alternate items (offset flipping per compaction), and promotes
+    * them at doubled weight. Total weight is conserved exactly, so
+    * `n_samples` stays the exact count.
+    *
+    * ERROR CONTRACT (explicit — this twin is approximate by
+    * design): each compaction of level l displaces any value's rank
+    * by at most 2^l, and `rank_err_bound` is the exact running sum
+    * of those caps — for every threshold x, the sketch's weighted
+    * rank of x is within rank_err_bound of the true rank.
+    * Until the first compaction (n ≤ cap) the sketch IS the sample
+    * multiset: rank_err_bound = 0 and
+    * [[graft.operators.Eval.bestOfNFromCounts]] over the snapshot
+    * is BIT-IDENTICAL to the batch curve on the same prefix. After
+    * compaction, the curve value is within
+    * (r_max − r_min) · n · rank_err_bound / n_samples
+    * of batch for each curve point n (|F̂ⁿ − Fⁿ| ≤ n·|F̂ − F|
+    * integrated over the reward range; StreamingYieldSpec proves
+    * both regimes). With the default cap 256, rank_err_bound/n ≈
+    * log₂(n/cap)/cap — under 4% at a billion samples.
+    *
+    * Rewards are keyed through the batch operator's OWN
+    * scaled-integer expression ([[graft.operators.Eval.r9Column]]);
+    * null rewards are dropped, as in batch. Emission per trigger is
+    * the touched problem's CURRENT weighted value table
+    * (sketch-sized, versioned) — latest version per problem feeds
+    * `bestOfNFromCounts`, the auditFromCounts device. Exactly-once
+    * under replays and same-batch duplicates via the per-problem
+    * MONOTONE sequence contract of [[streamingAcceptanceCounters]].
+    * Update output mode. */
+  def streamingYieldSketch(df: org.apache.spark.sql.DataFrame,
+      problemCol: String, seqCol: String, rewardCol: String,
+      cap: Int = 256): Dataset[YieldSketchRow] = {
+    require(cap >= 2 && cap % 2 == 0, s"cap must be even >= 2 ($cap)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    df.select(col(problemCol).cast("string").as("problem"),
+        graft.operators.Eval.r9Column(col(rewardCol)).as("r9"),
+        col(seqCol).cast("long").as("seq"))
+      .filter(col("r9").isNotNull)
+      .as[YieldEvent]
+      .groupByKey(_.problem)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (p: String, it: Iterator[YieldEvent],
+            state: GroupState[YieldState]) =>
+          val st = state.getOption.getOrElse(
+            YieldState(Long.MinValue, 0L, 0L, Nil, Nil, 0L))
+          var last = st.lastSeq
+          var n = st.n
+          var errW = st.errW
+          val levels = scala.collection.mutable.ArrayBuffer
+            .empty[scala.collection.mutable.ArrayBuffer[Long]]
+          st.levels.foreach(l =>
+            levels += scala.collection.mutable.ArrayBuffer(l: _*))
+          val parities =
+            scala.collection.mutable.ArrayBuffer(st.parities: _*)
+          def compact(l: Int): Unit = {
+            if (l >= levels.length - 1) {
+              levels += scala.collection.mutable.ArrayBuffer.empty
+            }
+            if (l >= parities.length) parities += false
+            val sorted = levels(l).sorted
+            val off = if (parities(l)) 1 else 0
+            parities(l) = !parities(l)
+            val kept = (off until sorted.length by 2).map(sorted(_))
+            levels(l).clear()
+            levels(l + 1) ++= kept
+            errW += (1L << l)
+            if (levels(l + 1).length >= cap) compact(l + 1)
+          }
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (e.seq > last) {
+              last = e.seq
+              n += 1L
+              if (levels.isEmpty) {
+                levels += scala.collection.mutable.ArrayBuffer.empty
+              }
+              levels(0) += e.r9
+              if (levels(0).length >= cap) compact(0)
+            }
+          }
+          val next = YieldState(last, n, errW,
+            parities.toSeq, levels.map(_.toSeq).toSeq, st.ver + 1)
+          state.update(next)
+          // snapshot: weights aggregated per distinct value across
+          // levels — sketch-sized, never the stream
+          val weighted = scala.collection.mutable.LongMap.empty[Long]
+          levels.zipWithIndex.foreach { case (items, l) =>
+            val w = 1L << l
+            items.foreach(v =>
+              weighted(v) = weighted.getOrElse(v, 0L) + w)
+          }
+          weighted.toSeq.sortBy(_._1).iterator.map { case (v, w) =>
+            YieldSketchRow(p, next.ver, n, errW, v, w)
           }
       }
   }

@@ -249,4 +249,29 @@ class EvalHarnessSpec extends SparkTestBase {
     assert(gotP.getAs[Double]("macro_dedup") ===
       gotF.getAs[Double]("macro_dedup"))
   }
+
+  test("passAtKDedupAware: duplicate cluster rows for one problem " +
+      "never multiply it; a caller cluster id equal to the problem " +
+      "id never merges with a singleton") {
+    val cand = (
+      (0 until 4).map(i => (1L, i.toLong, i < 2)) ++
+      (0 until 4).map(i => (2L, i.toLong, false))
+    ).toDF("p", "s", "ok")
+    // p1 labeled TWICE (conflicting families) — must count once,
+    // deterministically in min("A","B") = "A"
+    val dup = Seq((1L, "A"), (1L, "B"))
+      .toDF("problem", "cluster")
+    val got = Eval.passAtKDedupAware(cand, col("p"), col("ok"),
+      dup, Seq(2)).collect().head
+    assert(got.getAs[Long]("n_problems") === 2L)
+    // p1 in family A, p2 an unlabeled singleton → 2 families
+    assert(got.getAs[Long]("n_clusters") === 2L)
+    // adversarial: p2 is unlabeled (singleton keyed by its problem
+    // id "2") while p1 carries the CALLER id "2" — the struct key
+    // (is_singleton, id) must keep them distinct families
+    val collide = Seq((1L, "2")).toDF("problem", "cluster")
+    val got2 = Eval.passAtKDedupAware(cand, col("p"), col("ok"),
+      collide, Seq(2)).collect().head
+    assert(got2.getAs[Long]("n_clusters") === 2L)
+  }
 }
