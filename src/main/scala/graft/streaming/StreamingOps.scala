@@ -1396,59 +1396,61 @@ object StreamingOps {
       .as[YieldEvent]
       .groupByKey(_.problem)
       .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.NoTimeout) {
-        (p: String, it: Iterator[YieldEvent],
-            state: GroupState[YieldState]) =>
-          val st = state.getOption.getOrElse(
-            YieldState(Long.MinValue, 0L, 0L, Nil, Nil, 0L))
-          var last = st.lastSeq
-          var n = st.n
-          var errW = st.errW
-          val levels = scala.collection.mutable.ArrayBuffer
-            .empty[scala.collection.mutable.ArrayBuffer[Long]]
-          st.levels.foreach(l =>
-            levels += scala.collection.mutable.ArrayBuffer(l: _*))
-          val parities =
-            scala.collection.mutable.ArrayBuffer(st.parities: _*)
-          def compact(l: Int): Unit = {
-            if (l >= levels.length - 1) {
-              levels += scala.collection.mutable.ArrayBuffer.empty
-            }
-            if (l >= parities.length) parities += false
-            val sorted = levels(l).sorted
-            val off = if (parities(l)) 1 else 0
-            parities(l) = !parities(l)
-            val kept = (off until sorted.length by 2).map(sorted(_))
-            levels(l).clear()
-            levels(l + 1) ++= kept
-            errW += (1L << l)
-            if (levels(l + 1).length >= cap) compact(l + 1)
-          }
-          it.toSeq.sortBy(_.seq).foreach { e =>
-            if (e.seq > last) {
-              last = e.seq
-              n += 1L
-              if (levels.isEmpty) {
-                levels += scala.collection.mutable.ArrayBuffer.empty
-              }
-              levels(0) += e.r9
-              if (levels(0).length >= cap) compact(0)
-            }
-          }
-          val next = YieldState(last, n, errW,
-            parities.toSeq, levels.map(_.toSeq).toSeq, st.ver + 1)
-          state.update(next)
-          // snapshot: weights aggregated per distinct value across
-          // levels — sketch-sized, never the stream
-          val weighted = scala.collection.mutable.LongMap.empty[Long]
-          levels.zipWithIndex.foreach { case (items, l) =>
-            val w = 1L << l
-            items.foreach(v =>
-              weighted(v) = weighted.getOrElse(v, 0L) + w)
-          }
-          weighted.toSeq.sortBy(_._1).iterator.map { case (v, w) =>
-            YieldSketchRow(p, next.ver, n, errW, v, w)
-          }
+        GroupStateTimeout.NoTimeout)(yieldUpdate(cap))
+  }
+
+  private def yieldUpdate(cap: Int)(p: String,
+      it: Iterator[YieldEvent],
+      state: GroupState[YieldState]): Iterator[YieldSketchRow] = {
+    val st = state.getOption.getOrElse(
+      YieldState(Long.MinValue, 0L, 0L, Nil, Nil, 0L))
+    var last = st.lastSeq
+    var n = st.n
+    var errW = st.errW
+    val levels = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    st.levels.foreach(l =>
+      levels += scala.collection.mutable.ArrayBuffer(l: _*))
+    val parities =
+      scala.collection.mutable.ArrayBuffer(st.parities: _*)
+    def compact(l: Int): Unit = {
+      if (l >= levels.length - 1) {
+        levels += scala.collection.mutable.ArrayBuffer.empty
       }
+      if (l >= parities.length) parities += false
+      val sorted = levels(l).sorted
+      val off = if (parities(l)) 1 else 0
+      parities(l) = !parities(l)
+      val kept = (off until sorted.length by 2).map(sorted(_))
+      levels(l).clear()
+      levels(l + 1) ++= kept
+      errW += (1L << l)
+      if (levels(l + 1).length >= cap) compact(l + 1)
+    }
+    it.toSeq.sortBy(_.seq).foreach { e =>
+      if (e.seq > last) {
+        last = e.seq
+        n += 1L
+        if (levels.isEmpty) {
+          levels += scala.collection.mutable.ArrayBuffer.empty
+        }
+        levels(0) += e.r9
+        if (levels(0).length >= cap) compact(0)
+      }
+    }
+    val next = YieldState(last, n, errW,
+      parities.toSeq, levels.map(_.toSeq).toSeq, st.ver + 1)
+    state.update(next)
+    // snapshot: weights aggregated per distinct value across
+    // levels — sketch-sized, never the stream
+    val weighted = scala.collection.mutable.LongMap.empty[Long]
+    levels.zipWithIndex.foreach { case (items, l) =>
+      val w = 1L << l
+      items.foreach(v =>
+        weighted(v) = weighted.getOrElse(v, 0L) + w)
+    }
+    weighted.toSeq.sortBy(_._1).iterator.map { case (v, w) =>
+      YieldSketchRow(p, next.ver, n, errW, v, w)
+    }
   }
 }

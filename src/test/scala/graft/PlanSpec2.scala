@@ -124,6 +124,25 @@ class PlanSpec2 extends SparkTestBase {
     }
   }
 
+  test("q188 wedge stage: packed-adjacency generators, no " +
+      "self-join — the pair enumeration must stream out of " +
+      "Generate nodes, never a mids x mids join (r12 verdict)") {
+    val p = SparkEntry.queries("q188_shared_neighbors")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    // edge build + wedge enumeration are all Generate-based
+    assert("Generate".r.findAllIn(p).size >= 2,
+      "expected posexplode/explode(slice) generate nodes")
+    // INNER joins: exactly the two tail deg lookups — the old wedge
+    // self-join would be a third. (The degree gates are LeftSemi,
+    // duplicated per union branch by pushdown, and don't touch the
+    // wedge row volume.)
+    val inner = "Join Inner".r.findAllIn(p).size +
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) Inner".r
+        .findAllIn(p).size
+    assert(inner <= 2, s"unexpected inner join in the wedge stage ($inner)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sketch + propagation queries (q191-q197): keyed shuffles " +
       "only — the sole nested-loops are bounded sketch-pair joins") {
     for (q <- Seq("q191_kmv_distinct", "q192_hll_vocab",

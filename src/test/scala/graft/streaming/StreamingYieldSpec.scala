@@ -63,7 +63,8 @@ class StreamingYieldSpec extends SparkTestBase {
     val all = spark.table(name).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
-    val latest = all.groupBy(_._1).map { case (_, rs) => rs.map(_._2).max }
+    val latest = all.groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._2).max }
     all.filter(t => latest(t._1) == t._2).toSeq
   }
 
