@@ -117,6 +117,9 @@ object Bench {
     // One sorted pass-set for a query; ANY failed pass poisons the
     // set to the -1.0 sentinel (a median over survivors would read
     // biased-FAST and hide a flaky failure as a healthy row).
+    // pass times are kept in CHRONOLOGICAL order (the r13 volatility
+    // audit initially misread sorted sets as monotone pass-over-pass
+    // degradation); median/spread sort internally
     def runSet(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Seq[Double] = {
@@ -130,12 +133,15 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e")
           -1.0
         }
-      }.sorted
-      if (times.head < 0) Seq(-1.0) else times
+      }
+      if (times.exists(_ < 0)) Seq(-1.0) else times
     }
     def medOf(ts: Seq[Double]): Double =
       if (ts.head < 0) -1.0
-      else math.rint(ts(ts.size / 2) * 1000) / 1000
+      else {
+        val s = ts.sorted
+        math.rint(s(s.size / 2) * 1000) / 1000
+      }
     // r13 SPREAD GUARD (r12 verdict item 1): a committed artifact
     // must defend itself against contended stretches — r12's shipped
     // medians overstated q284/q302/q205/q326 by 8-25x vs quiet
@@ -149,8 +155,9 @@ object Bench {
     // auditable, and `retried` lists the re-run rows.
     val detail = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = runSet(name, fn)
-      val contended = first.head > 0 && passes >= 2 &&
-        first.last / first.head > 2.0 && first.last - first.head > 0.5
+      val fs = first.sorted
+      val contended = fs.head > 0 && passes >= 2 &&
+        fs.last / fs.head > 2.0 && fs.last - fs.head > 0.5
       if (!contended) (name, first, Seq.empty[Double])
       else {
         val second = runSet(name, fn)

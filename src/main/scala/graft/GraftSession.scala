@@ -126,5 +126,15 @@ object GraftSession {
     try spark.catalog.clearCache() catch { case _: Throwable => () }
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // Shuffle files and broadcast pieces are reclaimed by
+    // ContextCleaner only after the DRIVER garbage-collects the
+    // owning RDD/exchange objects — and a large-heap driver may not
+    // GC for many queries, so dead shuffle data piles up on disk and
+    // in the page cache (observed r13: pass-over-pass monotone
+    // slowdowns, 8.3 → 15.9 → 21.2 s on an unchanged query, WORSE
+    // with a bigger heap because GC got rarer). One explicit driver
+    // GC per clear keeps the cleaner current; cost is ~10 ms on a
+    // bench-sized heap.
+    System.gc()
   }
 }

@@ -53,6 +53,32 @@ object Graph {
     ck
   }
 
+  /** [[roll]] + bit-exact FIXPOINT probe for the score loops: a
+    * round whose (node, pr) table equals the previous round's
+    * EXACTLY proves every remaining round a no-op — the update is a
+    * deterministic function of the previous table, so by induction
+    * the full unroll returns the identical result and the loop may
+    * stop (the q190 k-core early-exit device, generalized to the
+    * PageRank family). The probe is one node-table join + head(1)
+    * per round — bounded by |V|, never |E|. Measured r13: the
+    * endorsement graph reaches the t12 truncation grid's fixpoint
+    * at round 3 of 5 (a c→s bipartite graph converges in two
+    * sweeps), so q162/q175/q224 skip 2 of 5 edge-join rounds;
+    * graphs that never latch just pay the |V| probe. Exactness is
+    * unconditional — only an EXACT equality (never a tolerance)
+    * short-circuits. */
+  private def rollFix(prev: DataFrame, next: DataFrame)
+      : (DataFrame, Boolean) = {
+    val ck = next.localCheckpoint()
+    val same = ck.select(col("node"), col("pr").as("__npr"))
+      .join(prev, Seq("node"))
+      .filter(col("__npr") =!= col("pr"))
+      .head(1).isEmpty
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .freeCheckpointBlocks(prev)
+    (ck, same)
+  }
+
   /** Exact sum of a double column via DECIMAL(18,15) terms (scores
     * are ≤ 1-ish here, so 3 integer digits is ample headroom). */
   private def xsum(c: Column): Column =
@@ -123,14 +149,19 @@ object Graph {
         Seq("node"), "left_anti")
       .select(col("node"), t12(lit(tpn)).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var round = 0
+    var fixed = false
+    while (round < iters && !fixed) {
+      round += 1
       val agg = ed
         .join(pr, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
-      pr = roll(pr, noIn.unionByName(
+      val (next, same) = rollFix(pr, noIn.unionByName(
         agg.select(col("dst").as("node"),
           t12(lit(tpn) + lit(damping) * col("m")).as("pr"))))
+      pr = next
+      fixed = same
     }
     pr.orderBy(col("node"))
   }
@@ -180,15 +211,20 @@ object Graph {
         Seq("node"), "left_anti")
       .select(col("node"), t12(lit(tpn)).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var round = 0
+    var fixed = false
+    while (round < iters && !fixed) {
+      round += 1
       val agg = ed
         .join(pr, col("src") === col("node"))
         .select(col("dst"),
           (col("pr") * col("w") / col("wsum")).as("c"))
         .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
-      pr = roll(pr, noIn.unionByName(
+      val (next, same) = rollFix(pr, noIn.unionByName(
         agg.select(col("dst").as("node"),
           t12(lit(tpn) + lit(damping) * col("m")).as("pr"))))
+      pr = next
+      fixed = same
     }
     pr.orderBy(col("node"))
   }
@@ -232,16 +268,21 @@ object Graph {
       .localCheckpoint()
     var pr = tele.select(col("node"), col("tele").as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var round = 0
+    var fixed = false
+    while (round < iters && !fixed) {
+      round += 1
       val agg = ed
         .join(pr, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(xsum(col("c")).as("m"))
-      pr = roll(pr, tele
+      val (next, same) = rollFix(pr, tele
         .join(agg, tele("node") === agg("dst"), "left")
         .select(col("node"),
           t12(lit(teleport) * col("tele") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("pr")))
+      pr = next
+      fixed = same
     }
     pr.orderBy(col("node"))
   }
@@ -361,20 +402,14 @@ object Graph {
     var hubNz: DataFrame = null
     var prevAraw: DataFrame = null
     var prevHraw: DataFrame = null
-    for (_ <- 1 to iters) {
+    var round = 0
+    var fixed = false
+    while (round < iters && !fixed) {
+      round += 1
       val araw = eSrc
         .join(hub, col("src") === col("node"))
         .groupBy(col("dst")).agg(xsum(col("hub")).as("a"))
         .localCheckpoint()
-      // this round's auth sums consumed the previous round's frames —
-      // free both (the roll discipline); the FINAL round's frames are
-      // never freed here, and the output references only those
-      if (prevAraw != null) {
-        org.apache.spark.sql.graftbridge.CheckpointBridge
-          .freeCheckpointBlocks(prevAraw)
-        org.apache.spark.sql.graftbridge.CheckpointBridge
-          .freeCheckpointBlocks(prevHraw)
-      }
       val amax = araw.agg(max(col("a")).as("am"))
       authNz = araw.crossJoin(broadcast(amax))
         .select(col("dst").as("node"),
@@ -388,6 +423,30 @@ object Graph {
       hubNz = hraw.crossJoin(broadcast(hmax))
         .select(col("src").as("node"),
           t12(col("h") / col("hm")).as("hub"))
+      // fixpoint probe (the rollFix device): an UNCHANGED hub table
+      // makes every later round recompute identical araw/authNz/
+      // hraw, so stopping returns the exact full-unroll result. The
+      // nonzero frames can change node SETS between rounds, so the
+      // probe is a full-outer join — any unmatched node or changed
+      // value keeps iterating. Skipped for round 1 (the all-ones
+      // seed frame is nodes-wide by construction).
+      if (round > 1) {
+        fixed = hubNz.select(col("node"), col("hub").as("__nh"))
+          .join(hub, Seq("node"), "full")
+          .filter(col("__nh").isNull || col("hub").isNull ||
+            col("__nh") =!= col("hub"))
+          .head(1).isEmpty
+      }
+      // this round's sums (and the probe above) consumed the
+      // previous round's frames — free both AFTER the probe (the
+      // roll discipline); the FINAL round's frames are never freed
+      // here, and the output references only those
+      if (prevAraw != null) {
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeCheckpointBlocks(prevAraw)
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeCheckpointBlocks(prevHraw)
+      }
       hub = hubNz
       prevAraw = araw
       prevHraw = hraw

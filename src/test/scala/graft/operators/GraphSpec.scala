@@ -99,6 +99,29 @@ class GraphSpec extends SparkTestBase {
       "z4" -> "z1", "z5" -> "z1", "x" -> "x", "y" -> "x"))
   }
 
+  test("pageRank fixpoint short-circuit is value-identical: a " +
+      "bipartite graph converges in 2 rounds, so any higher iters " +
+      "returns the exact same table") {
+    // c->s bipartite (the endorsement-graph shape): sinks latch
+    // after round 2 and the t12 grid makes the fixpoint EXACT
+    val bip = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"),
+      ("c3", "s2"), ("c3", "s3"))
+    val at5 = Graph.pageRank(bip.toDF("src", "dst"), iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val at12 = Graph.pageRank(bip.toDF("src", "dst"), iters = 12)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(at5 === at12)
+    val w5 = Graph.pageRankWeighted(bip.toDF("src", "dst")
+        .withColumn("w", org.apache.spark.sql.functions.lit(2L)),
+      "w", iters = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val w12 = Graph.pageRankWeighted(bip.toDF("src", "dst")
+        .withColumn("w", org.apache.spark.sql.functions.lit(2L)),
+      "w", iters = 12).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(w5 === w12)
+  }
+
   test("pageRank is invariant to input partitioning") {
     val df = (1 to 40).map(i =>
       (s"n${i % 7}", s"n${(i * 3) % 7}")).toDF("src", "dst")
