@@ -684,6 +684,60 @@ object SftQueries {
       |ORDER BY problem, n""".stripMargin
   }
 
+  /** q328: best-of-n yield curve FROM COUNTS
+    * ([[graft.operators.Eval.bestOfNFromCounts]]) — the same curve
+    * as q327 computed from the PRE-AGGREGATED (problem, r9, weight)
+    * reward-multiset table, the auditFromCounts member the
+    * streaming yield sketch feeds (StreamingYieldSpec proves the
+    * two paths bit-equal; this row pins the counts path against
+    * DuckDB independently). The oracle replays the count aggregate,
+    * the cumulative rank spans, the per-rank combinatorial folds
+    * and the t9/DECIMAL term sums. */
+  def q328BestOfNCounts(s: SparkSession, d: String): DataFrame = {
+    val counts = rewardSamples(s, d)
+      .select(col("problem"),
+        graft.operators.Eval.r9Column(col("reward")).as("r9"))
+      .groupBy(col("problem"), col("r9"))
+      .agg(count(lit(1)).as("weight"))
+    graft.operators.Eval.bestOfNFromCounts(counts, Seq(1, 4, 16))
+      .orderBy(col("problem"), col("n"))
+  }
+
+  private val q328Oracle: String = {
+    def fold(iExpr: String): String =
+      s"""CASE WHEN $iExpr < n THEN 0.0 ELSE list_reduce(
+        |    list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(generate_series(0, n - 1),
+        |        k -> CAST($iExpr - k AS DOUBLE) / (nn - k))),
+        |    (a, b) -> a * b) END""".stripMargin
+    s"""WITH $RwCtes,
+      |c AS (
+      |  SELECT problem, CAST(floor(reward * 1e9) AS BIGINT) AS r9,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM rw GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT problem, r9, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY problem ORDER BY r9
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi,
+      |    CAST(SUM(cnt) OVER (PARTITION BY problem) AS BIGINT) AS nn
+      |  FROM c),
+      |rk AS (
+      |  SELECT problem, CAST(r9 AS DOUBLE) / 1e9 AS r, nn,
+      |    unnest(generate_series(hi - cnt + 1, hi)) AS i
+      |  FROM sp),
+      |t AS (
+      |  SELECT problem, CAST(n AS BIGINT) AS n, nn,
+      |    CASE WHEN n > nn THEN 0.0
+      |      ELSE (${fold("i")}) - (${fold("i - 1")}) END AS w, r
+      |  FROM rk CROSS JOIN (SELECT unnest([1, 4, 16]) AS n))
+      |SELECT problem, n, MAX(nn) AS n_samples,
+      |  CASE WHEN n > MAX(nn) THEN NULL
+      |    ELSE CAST(SUM(CAST(floor(w * r * 1e9) / 1e9
+      |      AS DECIMAL(38,9))) AS DOUBLE) END AS best_of_n
+      |FROM t GROUP BY problem, n
+      |ORDER BY problem, n""".stripMargin
+  }
+
   /** q324: DEDUP-AWARE pass@k
     * ([[graft.operators.Eval.passAtKDedupAware]]) over the q319
     * candidate fixture with problems clustered into order-key blocks
@@ -747,6 +801,7 @@ object SftQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q326_group_advantage" -> (q326GroupAdvantage _),
     "q327_best_of_n" -> (q327BestOfN _),
+    "q328_best_of_n_counts" -> (q328BestOfNCounts _),
     "q324_dedup_pass_at_k" -> (q324DedupPassAtK _),
     "q319_pass_at_k" -> (q319PassAtK _),
     "q320_consensus_vote" -> (q320Consensus _),
@@ -763,6 +818,7 @@ object SftQueries {
   val oracle: Map[String, String] = Map(
     "q326_group_advantage" -> q326Oracle,
     "q327_best_of_n" -> q327Oracle,
+    "q328_best_of_n_counts" -> q328Oracle,
     "q324_dedup_pass_at_k" -> q324Oracle,
     "q319_pass_at_k" -> q319Oracle,
     "q320_consensus_vote" -> q320Oracle,
