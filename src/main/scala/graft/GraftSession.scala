@@ -35,6 +35,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Shuffle width stays = cores here. A 512-wide
+      // initialPartitionNum + AQE-coalesce variant was measured at
+      // the 100× SF for the super-linear graph rows (r13) and was
+      // neutral-to-worse (q179 590 vs 581 s; q162 worse under
+      // comparable contention): the iterative loops checkpoint per
+      // round, and 16× the blocks/probe-tasks per round outweigh the
+      // smaller per-task aggregate state at single-box scale. On a
+      // real cluster the SAME plans get their width from
+      // spark.sql.shuffle.partitions sized to the cluster, not from
+      // this local session factory.
       // 128 MiB scan splits: big enough to amortize footer reads,
       // small enough that a 100 TB table still yields ~800k parallel
       // tasks rather than a handful of stragglers.
