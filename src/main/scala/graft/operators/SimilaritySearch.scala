@@ -656,6 +656,33 @@ object SimilaritySearch {
     math.max(minCells,
       math.min(maxCells, math.ceil(math.sqrt(n.toDouble)).toInt))
 
+  /** NEXT-SCALE-STEP quantizer sizing: #cells = ⌈(n²)^(1/3)⌉ ≈
+    * n^(2/3), clamped to [minCells, maxCells]. The √n optimum of
+    * [[coarseCellCount]] prices a corpus×corpus fine scan at
+    * n·nProbe·√n = O(n^1.5) total pairs — the curve the r13 sf10
+    * probe measured on q305 (PLANS.md: 10× data → 31.6× candidate
+    * work by design). Raising the cell exponent to 2/3 drops
+    * per-cell scan length to n^(1/3) and total fine-scan work to
+    * O(n^(4/3)) — ~21.5× on 10× — at the price of LOWER IVF recall
+    * at a fixed nProbe (fewer vectors scanned per query), which is
+    * why this is a value-affecting registered variant (q329), never
+    * a silent swap under q305. The root is computed in exact BigInt
+    * arithmetic (n² overflows Long past n ≈ 3×10⁹, and a libm
+    * `pow` at a ⌈⌉ boundary is not replayable across engines); the
+    * 262144-cell cap keeps the broadcast centroid table bounded
+    * (256k × dim doubles ≈ low hundreds of MB at dim 128 — the cap
+    * a 1000-executor cluster tolerates; probe-side centroid ranking
+    * stays a per-row broadcast loop). */
+  def coarseCellCountScaled(n: Long, minCells: Int = 16,
+      maxCells: Int = 262144): Int = {
+    require(n >= 0, s"n must be >= 0 ($n)")
+    val sq = BigInt(n) * BigInt(n)
+    var c = BigInt(math.max(0L, math.cbrt(sq.toDouble).toLong - 2))
+    while (c > 0 && (c - 1) * (c - 1) * (c - 1) >= sq) c -= 1
+    while (c * c * c < sq) c += 1
+    (BigInt(minCells).max(BigInt(maxCells).min(c))).toInt
+  }
+
   /** Deterministic ≈`maxTrain`-row training sample: keep rows whose
     * [[Split.splitBucket]] (md5 of the id — no rand(), stable across
     * runs, partitionings, and engines) falls under the sampling rate.
@@ -865,11 +892,12 @@ object SimilaritySearch {
     * 0.909. Requires a numeric id column (the parity split). */
   def parityMarginCandidates(emb: DataFrame, idCol: String,
       vecCol: String, listK: Int = 8, nProbe: Int = 4,
-      graphK: Int = 12, graphIters: Int = 3): DataFrame = {
+      graphK: Int = 12, graphIters: Int = 3,
+      cellsOf: Long => Int = coarseCellCount(_)): DataFrame = {
     val l = emb.filter(col(idCol) % 2 === 0)
     val r = emb.filter(col(idCol) % 2 === 1)
     val cents = sampleCentroids(emb, idCol, vecCol,
-      coarseCellCount(emb.count()))
+      cellsOf(emb.count()))
     val lr = ivfKnnLists(l, idCol, r, idCol, vecCol, cents,
       listK, nProbe)
     val rl = ivfKnnLists(r, idCol, l, idCol, vecCol, cents,
@@ -882,6 +910,79 @@ object SimilaritySearch {
       .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
       .union(und.filter(col("u") % 2 === 0 && col("v") % 2 === 1)
         .select(col("u").as("lid"), col("v").as("rid")))
+  }
+
+  /** ANN candidate RECALL GATE — the q314 verdict-style audit for
+    * the q305/q329 shortlist device: an approximation's published
+    * contract is checked IN the run, and only stable verdicts are
+    * emitted (the estimate itself is merge-order / operating-point
+    * dependent and ungateable; the contract is not).
+    *
+    * Contract checked: for a deterministic md5-sampled query set
+    * (≈`queryCap` per side — the q260 gate device, so the sample is
+    * replayable in SQL and identical across runs/engines), each
+    * query's EXACT cosine top-`k` over the FULL opposite parity
+    * (brute force, bounded-heap aggregation — |S|·n dot products,
+    * linear in n, nothing corpus-sized broadcasts) must appear in
+    * the PRODUCTION candidate shortlist at rate ≥ `threshold`.
+    * This audits the real [[parityMarginCandidates]] output — the
+    * same frame q305 mines — not a scaled-down twin: at 100 TB the
+    * exact leg stays |S|·n with S fixed, the one affordable way to
+    * measure recall where full truth is a wall.
+    *
+    * Output: one row per direction —
+    * (direction, n_queries, k, n_exact, n_hit, recall_ok).
+    * n_queries/n_exact replay in SQL (gate arithmetic + |S|·min(k,
+    * n_opposite)); recall_ok is the verdict the oracle ASSERTS
+    * (q306/q314 ordering-gate device) — a run where the shortlist
+    * lost recall flips the row red. n_hit is deterministic (every
+    * score and tie-break is) but only spec-pinned, not
+    * SQL-replayed; registered queries project it away. */
+  def annCandidateRecallGate(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, queryCap: Int = 512,
+      threshold: Double = 0.85,
+      cellsOf: Long => Int = coarseCellCount(_)): DataFrame = {
+    require(k >= 1, s"k must be >= 1 ($k)")
+    val cand = parityMarginCandidates(emb, idCol, vecCol,
+        cellsOf = cellsOf)
+      .select(col("lid"), col("rid")).distinct()
+      // built once, consumed by both direction audits
+      .localCheckpoint()
+    def gate(side: DataFrame): DataFrame = {
+      val n = side.count()
+      val keep = math.floor(
+        1e6 * math.min(1.0, queryCap.toDouble / math.max(1L, n)))
+        .toLong
+      side.filter(conv(substring(md5(concat(lit("rg:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000L < lit(keep))
+    }
+    def direction(dir: String, qs: DataFrame, corpus: DataFrame,
+        candQC: DataFrame): DataFrame = {
+      val sq = gate(qs)
+      val exact = bruteForceTopKHeap(sq, idCol, corpus, idCol,
+          vecCol, k)
+        .select(col("qid"), col("cid"))
+      val agg = exact
+        .join(candQC.withColumn("_hit", lit(1L)),
+          Seq("qid", "cid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
+      sq.agg(count(lit(1)).as("n_queries")).crossJoin(agg)
+        .select(lit(dir).as("direction"), col("n_queries"),
+          lit(k).as("k"), col("n_exact"), col("n_hit"),
+          (col("n_exact") === 0 ||
+            col("n_hit").cast("double") >=
+              lit(threshold) * col("n_exact").cast("double"))
+            .as("recall_ok"))
+    }
+    val qc = cand.select(col("lid").as("qid"), col("rid").as("cid"))
+    val cq = cand.select(col("rid").as("qid"), col("lid").as("cid"))
+    direction("even_to_odd", emb.filter(col(idCol) % 2 === 0),
+        emb.filter(col(idCol) % 2 === 1), qc)
+      .unionByName(direction("odd_to_even",
+        emb.filter(col(idCol) % 2 === 1),
+        emb.filter(col(idCol) % 2 === 0), cq))
   }
 
   /** The shared margin arithmetic over a scored (lid, rid, score)

@@ -721,6 +721,102 @@ object VectorQueries {
       .orderBy(col("lid"))
   }
 
+  /** q329: q305's NEXT SCALE STEP — identical margin-mining
+    * contract, but the coarse quantizer is sized at n^(2/3) cells
+    * ([[SimilaritySearch.coarseCellCountScaled]], exact-integer
+    * ⌈(n²)^(1/3)⌉) instead of √n, dropping total fine-scan work
+    * from O(n^1.5) to O(n^(4/3)) (~21.5× instead of ~31.6× per 10×
+    * step — the knob PLANS.md's r13 sf10 probe note says must rise
+    * at the scale step where n^1.5 stops fitting the round budget).
+    * Value-affecting (per-query IVF scan length falls to
+    * nProbe·n^(1/3), so IVF-side candidate recall drops; the
+    * NN-descent union member is unchanged and carries the recall
+    * floor — measured vs q305's pair set in SimilaritySpec), hence
+    * a REGISTERED variant with its own oracle replaying the
+    * cube-root sizing, never a silent swap under q305. */
+  def q329MarginMiningScaled(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cand = SimilaritySearch.parityMarginCandidates(emb,
+      "vec_id", "embedding",
+      cellsOf = SimilaritySearch.coarseCellCountScaled(_))
+    SimilaritySearch.marginMiningShortlist(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id",
+        emb.filter(col("vec_id") % 2 === 1), "vec_id",
+        "embedding", cand, k = 4, marginThreshold = 1.0)
+      .orderBy(col("lid"))
+  }
+
+  /** q330: ANN-shortlist RECALL GATE over BOTH registered margin
+    * devices ([[SimilaritySearch.annCandidateRecallGate]], the q314
+    * verdict-style contract audit): ~512 md5-sampled queries per
+    * direction, exact brute-force top-4 over the full opposite
+    * parity (|S|·n — linear, the one affordable truth at scale),
+    * hit-rate against the PRODUCTION candidate shortlist, verdict
+    * at threshold 0.9. Counts replay in SQL (the q260 gate
+    * arithmetic); the oracle ASSERTS recall_ok — a run where either
+    * device's shortlist lost recall at the verified operating point
+    * flips the row red.
+    *
+    * Measured curve (r13, this gate): sqrt device 0.956/0.963 at
+    * sf0.001, 0.966/0.967 at sf0.01, 0.771/0.797 at sf0.1,
+    * 0.526/0.502 at sf1; cbrt (q329) device 0.949/0.959, 0.959/
+    * 0.954, 0.740/0.743, 0.677/0.689. Two findings the gate makes
+    * machine-visible: (1) recall DECAYS with corpus size at fixed
+    * nProbe/graph-iters — the q147 sweep re-picks the operating
+    * point as the corpus grows, and this gate is the tripwire that
+    * says when; (2) at sf1 the n^(2/3)-cell device BEATS the √n
+    * device on recall (0.68 vs 0.51) while scanning ~8× fewer
+    * fine-scan pairs — on near-duplicate-structured corpora (the
+    * replica geometry of scaled testdata) finer cells keep true
+    * pairs co-located, so q329 is the scale path on BOTH axes. */
+  def q330AnnRecallGate(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    def gate(nm: String, cellsOf: Long => Int) =
+      SimilaritySearch.annCandidateRecallGate(emb, "vec_id",
+          "embedding", k = 4, queryCap = 512, threshold = 0.9,
+          cellsOf = cellsOf)
+        .withColumn("device", lit(nm))
+    gate("cells_n23",
+        SimilaritySearch.coarseCellCountScaled(_))
+      .unionByName(gate("cells_sqrt_n",
+        SimilaritySearch.coarseCellCount(_)))
+      .select(col("device"), col("direction"), col("n_queries"),
+        col("k"), col("n_exact"), col("recall_ok"))
+      .orderBy(col("device"), col("direction"))
+  }
+
+  private val q330Oracle: String =
+    """WITH ne AS (
+      |  SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 2 = 0),
+      |nod AS (
+      |  SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 2 = 1),
+      |sq AS (
+      |  SELECT COUNT(*) AS nq FROM embeddings, ne
+      |  WHERE vec_id % 2 = 0
+      |    AND ('0x' || substr(md5('rg:' || vec_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 1000000
+      |      < CAST(FLOOR(1000000 * LEAST(1.0,
+      |          512.0 / GREATEST(ne.n, 1))) AS BIGINT)),
+      |so AS (
+      |  SELECT COUNT(*) AS nq FROM embeddings, nod
+      |  WHERE vec_id % 2 = 1
+      |    AND ('0x' || substr(md5('rg:' || vec_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 1000000
+      |      < CAST(FLOOR(1000000 * LEAST(1.0,
+      |          512.0 / GREATEST(nod.n, 1))) AS BIGINT))
+      |SELECT * FROM (
+      |  SELECT d.device, 'even_to_odd' AS direction,
+      |    sq.nq AS n_queries, CAST(4 AS INTEGER) AS k,
+      |    sq.nq * LEAST(4, nod.n) AS n_exact, TRUE AS recall_ok
+      |  FROM (VALUES ('cells_sqrt_n'), ('cells_n23')) d(device),
+      |    sq, nod
+      |  UNION ALL
+      |  SELECT d.device, 'odd_to_even', so.nq, CAST(4 AS INTEGER),
+      |    so.nq * LEAST(4, ne.n), TRUE
+      |  FROM (VALUES ('cells_sqrt_n'), ('cells_n23')) d(device),
+      |    so, ne)
+      |ORDER BY device, direction""".stripMargin
+
   /** One directed IVF shortlist CTE: queries = `$qPar`-parity ids
     * probing 4 cells, corpus = opposite parity in its 1 home cell;
     * top-8 per query, projected as (lid, rid) with the even id
@@ -744,14 +840,16 @@ object VectorQueries {
        |  WHERE rnk <= 8)""".stripMargin
   }
 
-  private val q305Oracle: String =
+  /** The q305 oracle body, parameterized by the coarse-quantizer
+    * sizing CTE (must bind `ncc(nc)`): q305 plugs the √n rule,
+    * q329 the exact-integer n^(2/3) rule — everything downstream
+    * (sample-quantizer table, probe-4 shortlists, NN-descent
+    * rounds, candidate union, margin arithmetic) is shared. */
+  private def marginAnnOracle(nccSql: String): String =
     s"""WITH v AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
       |  FROM embeddings),
-      |ncc AS (
-      |  SELECT GREATEST(16, LEAST(65536,
-      |    CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS nc
-      |  FROM embeddings),
+      |$nccSql,
       |cvec AS (
       |  SELECT vec_id AS cell_id, e AS centroid FROM (
       |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id)
@@ -804,6 +902,27 @@ object VectorQueries {
       |  FROM cand cd JOIN l a ON a.lid = cd.lid
       |  JOIN r b ON b.rid = cd.rid),
       |${marginArithCtes(4, 1.0)}""".stripMargin
+
+  private val q305Oracle: String = marginAnnOracle(
+    """ncc AS (
+      |  SELECT GREATEST(16, LEAST(65536,
+      |    CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS nc
+      |  FROM embeddings)""".stripMargin)
+
+  /** q329's sizing rule replayed in exact integer arithmetic: nc =
+    * min{c : c³ ≥ n²}, i.e. ⌈(n²)^(1/3)⌉ — the engine's BigInt
+    * cube root ([[SimilaritySearch.coarseCellCountScaled]]) and
+    * this scan over candidates c ≤ max(n, 16) agree for every n
+    * (c = n always satisfies c³ ≥ n²), with no libm `pow` at a
+    * ceiling boundary on either side. */
+  private val q329Oracle: String = marginAnnOracle(
+    """ncc AS (
+      |  SELECT GREATEST(16, LEAST(262144, MIN(c))) AS nc
+      |  FROM (SELECT unnest(generate_series(1,
+      |          (SELECT GREATEST(COUNT(*), 16) FROM embeddings)))
+      |          AS c),
+      |       (SELECT COUNT(*) AS n FROM embeddings) cnt
+      |  WHERE c * c * c >= cnt.n * cnt.n)""".stripMargin)
 
   /** q226: graph-based ANN SERVING
     * ([[graft.operators.NnDescent.greedySearch]]) — best-first beam
@@ -891,6 +1010,8 @@ object VectorQueries {
     "q260_margin_mining" -> (q260MarginMining _),
     "q270_sentence_mining" -> (q270SentenceMining _),
     "q305_margin_mining_ann" -> (q305MarginMiningAnn _),
+    "q329_margin_mining_scaled" -> (q329MarginMiningScaled _),
+    "q330_ann_recall_gate" -> (q330AnnRecallGate _),
     "q226_graph_search" -> (q226GraphSearch _),
     "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
@@ -1451,6 +1572,8 @@ object VectorQueries {
     "q221_alignment_uniformity" -> q221Oracle,
     "q260_margin_mining" -> q260Oracle,
     "q305_margin_mining_ann" -> q305Oracle,
+    "q329_margin_mining_scaled" -> q329Oracle,
+    "q330_ann_recall_gate" -> q330Oracle,
     "q270_sentence_mining" -> q270Oracle,
     "q226_graph_search" -> q226Oracle,
     "q31_knn_bruteforce" ->

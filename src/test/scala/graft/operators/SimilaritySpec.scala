@@ -391,4 +391,64 @@ class SimilaritySpec extends SparkTestBase {
         s"shortlist margin below exact on $k")
     }
   }
+
+  test("coarseCellCountScaled is the exact integer ceil((n^2)^(1/3))" +
+      " with clamps — no libm pow at a ceiling boundary") {
+    import SimilaritySearch.coarseCellCountScaled
+    // brute-force agreement on small n: nc = min{c : c^3 >= n^2}
+    for (n <- 0L to 5000L by 7L) {
+      val sq = BigInt(n) * BigInt(n)
+      var c = BigInt(0)
+      while (c * c * c < sq) c += 1
+      val want = math.max(16, math.min(262144, c.toInt))
+      assert(coarseCellCountScaled(n) === want, s"n=$n")
+    }
+    // exact boundaries: n = k^3 gives n^2 = k^6, cbrt exactly k^2
+    for (k <- Seq(3L, 10L, 59L, 100L)) {
+      val n = k * k * k
+      val want = math.max(16, math.min(262144, (k * k).toInt))
+      assert(coarseCellCountScaled(n) === want, s"cube n=$n")
+      assert(coarseCellCountScaled(n + 1) === math.max(16,
+        math.min(262144, (k * k + 1).toInt)), s"cube+1 n=${n + 1}")
+    }
+    // n^2 overflows Long past ~3e9 rows: BigInt path + max clamp
+    assert(coarseCellCountScaled(4_000_000_000L) === 262144)
+    assert(coarseCellCountScaled(Long.MaxValue / 2) === 262144)
+    assert(coarseCellCountScaled(0L) === 16)
+  }
+
+  test("annCandidateRecallGate: verdict-style audit of the " +
+      "production shortlist against sampled exact brute-force truth") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nEven = emb.filter(col("vec_id") % 2 === 0).count()
+    val nOdd = emb.filter(col("vec_id") % 2 === 1).count()
+    val rows = SimilaritySearch.annCandidateRecallGate(emb,
+        "vec_id", "embedding", k = 4, queryCap = 512,
+        threshold = 0.9)
+      .orderBy("direction").collect()
+    assert(rows.length === 2)
+    val e2o = rows(0); val o2e = rows(1)
+    assert(e2o.getAs[String]("direction") === "even_to_odd")
+    // at sf0.001 both sides are under the 512 cap: the md5 gate is
+    // the identity, so the audit covers EVERY query exactly once
+    assert(e2o.getAs[Long]("n_queries") === nEven)
+    assert(o2e.getAs[Long]("n_queries") === nOdd)
+    assert(e2o.getAs[Long]("n_exact") ===
+      nEven * math.min(4L, nOdd))
+    // measured r13: 0.956 / 0.963 at sf0.001 — the verdict holds
+    // with ≥ 0.05 margin at the verified operating point
+    rows.foreach { r =>
+      val recall = r.getAs[Long]("n_hit").toDouble /
+        r.getAs[Long]("n_exact")
+      info(f"${r.getAs[String]("direction")} recall $recall%.3f")
+      assert(r.getAs[Boolean]("recall_ok"), f"recall $recall%.3f")
+      assert(recall >= 0.9 && recall <= 1.0)
+    }
+    // the verdict is LIVE, not vacuous: an unattainable threshold
+    // flips it false on the same counts
+    val strict = SimilaritySearch.annCandidateRecallGate(emb,
+        "vec_id", "embedding", k = 4, queryCap = 512,
+        threshold = 0.9999).collect()
+    assert(strict.forall(!_.getAs[Boolean]("recall_ok")))
+  }
 }
