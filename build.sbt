@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra JVM flags for forked runs (GC experiments on the large-SF
+  // probes — e.g. SPARK_GRAFT_JVM_OPTS="-XX:+UseParallelGC").
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
