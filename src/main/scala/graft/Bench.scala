@@ -186,7 +186,16 @@ object Bench {
     // contract, not regression.
     val retriedNames = detail.collect {
       case (n, _, prev) if prev.nonEmpty => n }
-    val tailFields = s""""index_build":$idxBuild,"artifact_build":$artBuild,"passes":$passes,"cpus":$cpus,"forcing":"fullEval","pool":"clearedPerPass","spread_guard":"2x_rerun_min_median","retried_count":${retriedNames.size},"calib_pre":$calibPre,"calib_post":$calibPost,"sf":"$sfDir""""
+    // heap_mb makes the JVM heap part of the committed evidence: the
+    // r13.2 forensics found heap OVER-provisioning is a 6-8x
+    // pathology on checkpoint-heavy rows (48g at sf1: q179 118-170 s,
+    // q137 62.5, q157 43.5; default 8g: 19-21 / 9.8 / 8.3, stable) —
+    // a bigger storage pool keeps more deserialized blocks live and
+    // G1 old-gen work explodes, where the 8g heap evicts early to
+    // page-cache-backed disk. An artifact without the heap field
+    // cannot be compared across runs.
+    val heapMb = Runtime.getRuntime.maxMemory >> 20
+    val tailFields = s""""index_build":$idxBuild,"artifact_build":$artBuild,"passes":$passes,"cpus":$cpus,"heap_mb":$heapMb,"forcing":"fullEval","pool":"clearedPerPass","spread_guard":"2x_rerun_min_median","retried_count":${retriedNames.size},"calib_pre":$calibPre,"calib_post":$calibPost,"sf":"$sfDir""""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$tailFields}""")
     // The driver archives only a ~2000-char tail of stdout, which in
     // r10 dropped 159/304 per-query times and both calib fields from
