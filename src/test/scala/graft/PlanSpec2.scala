@@ -124,6 +124,36 @@ class PlanSpec2 extends SparkTestBase {
     }
   }
 
+  test("q329/q330 margin scale path: fine scans and brute audit " +
+      "legs never plan a CartesianProduct — every cross pairing " +
+      "rides either a keyed cell_id join or a bounded-side " +
+      "broadcast (centroid table / 512-row sampled query set)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the candidate builder is where the fine scan lives (the
+    // registered frames eagerly checkpoint it away): pin BOTH
+    // quantizer sizings to keyed-join shape
+    for (cells <- Seq[Long => Int](
+        operators.SimilaritySearch.coarseCellCount(_),
+        operators.SimilaritySearch.coarseCellCountScaled(_))) {
+      // executedPlan: EnsureRequirements has inserted the exchanges
+      val p = operators.SimilaritySearch.parityMarginCandidates(
+          emb, "vec_id", "embedding", cellsOf = cells)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"))
+      // corpus-sized sides meet through a keyed exchange, never a
+      // corpus broadcast
+      assert(p.contains("Exchange hashpartitioning"))
+    }
+    // the registered frames downstream of the checkpoint stay
+    // cartesian-free too (windows, margin arithmetic, audit joins)
+    for (q <- Seq("q329_margin_mining_scaled", "q330_ann_recall_gate")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("q188 wedge stage: packed-adjacency generators, no " +
       "self-join — the pair enumeration must stream out of " +
       "Generate nodes, never a mids x mids join (r12 verdict)") {
