@@ -167,12 +167,17 @@ object Bench {
       }
     }
     val results = detail.map { case (n, ts, _) => n -> medOf(ts) }.toMap
-    // The harness keeps only the tail of the run's output, so the
-    // one JSON line must stay well under 2000 bytes for 60+ queries:
-    // short qNN keys (the contract's own example form) + ms rounding.
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
-    }.mkString("{", ",", "}")
+    // The harness keeps only a ~2000-byte TAIL of stdout — at 330
+    // queries a full per-query map (~4 KB) overflows it and the
+    // driver's round artifact reads "parsed": null (BENCH_r13, the
+    // r13 verdict's item 2). The stdout line therefore carries only
+    // the aggregate fields + the 10 SLOWEST rows (short qNN keys) +
+    // the path of the full artifact; every per-query time still
+    // rides the committed file below.
+    val qs = results.toSeq.sortBy { case (_, v) => -v }.take(10)
+      .sortBy(_._1).map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
+      }.mkString("{", ",", "}")
     val calibPost = calib()
     val total =
       if (results.nonEmpty) math.rint(results.values.sum * 1000) / 1000
@@ -195,8 +200,16 @@ object Bench {
     // page-cache-backed disk. An artifact without the heap field
     // cannot be compared across runs.
     val heapMb = Runtime.getRuntime.maxMemory >> 20
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
     val tailFields = s""""index_build":$idxBuild,"artifact_build":$artBuild,"passes":$passes,"cpus":$cpus,"heap_mb":$heapMb,"forcing":"fullEval","pool":"clearedPerPass","spread_guard":"2x_rerun_min_median","retried_count":${retriedNames.size},"calib_pre":$calibPre,"calib_post":$calibPost,"sf":"$sfDir""""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$tailFields}""")
+    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_note":"slowest_10_of_${results.size}","full":"$outPath",$tailFields}"""
+    // Hard budget check so a future field addition can't silently
+    // push the line back over the tail window.
+    if (stdoutLine.length > 1900)
+      System.err.println(s"[bench] stdout line ${stdoutLine.length}" +
+        " bytes — exceeds the 1900-byte tail budget, trim fields")
+    println(stdoutLine)
     // The driver archives only a ~2000-char tail of stdout, which in
     // r10 dropped 159/304 per-query times and both calib fields from
     // the round artifact. The SAME json — with FULL query names — also
@@ -218,8 +231,6 @@ object Bench {
     val rejected = fmtSets(_._3)
     val retriedJson = retriedNames
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"pass_times":$passTimes,"retried":$retriedJson,"rejected_sets":$rejected,$tailFields}""" + "\n")

@@ -27,8 +27,13 @@ object StageProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo; val m = si.taskMetrics
+        // wall only when BOTH timestamps exist — a stage missing
+        // submissionTime would otherwise read epoch-completion-minus-0
+        // and corrupt both the sort and wall_sum
+        val wallMs = (for (s <- si.submissionTime; c <- si.completionTime)
+          yield c - s).getOrElse(0L)
         stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(60),
-          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          wallMs,
           m.executorCpuTime / 1000000, m.jvmGCTime,
           m.shuffleReadMetrics.totalBytesRead >> 20,
           m.shuffleWriteMetrics.bytesWritten >> 20,

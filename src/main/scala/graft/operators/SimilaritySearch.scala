@@ -978,11 +978,22 @@ object SimilaritySearch {
     }
     val qc = cand.select(col("lid").as("qid"), col("rid").as("cid"))
     val cq = cand.select(col("rid").as("qid"), col("lid").as("cid"))
-    direction("even_to_odd", emb.filter(col(idCol) % 2 === 0),
+    val verdicts = direction("even_to_odd",
+        emb.filter(col(idCol) % 2 === 0),
         emb.filter(col(idCol) % 2 === 1), qc)
       .unionByName(direction("odd_to_even",
         emb.filter(col(idCol) % 2 === 1),
         emb.filter(col(idCol) % 2 === 0), cq))
+      // Eager 2-row materialization so the candidate checkpoint can
+      // be FREED here instead of leaking to library callers (r13
+      // verdict item 8): the returned frame is its own (tiny)
+      // checkpoint and no longer references `cand`'s blocks. The
+      // corpus-sized candidate frame would otherwise sit in the
+      // storage pool for the caller's session lifetime.
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .freeCheckpointBlocks(cand)
+    verdicts
   }
 
   /** The shared margin arithmetic over a scored (lid, rid, score)

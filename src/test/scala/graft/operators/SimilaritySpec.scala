@@ -451,4 +451,30 @@ class SimilaritySpec extends SparkTestBase {
         threshold = 0.9999).collect()
     assert(strict.forall(!_.getAs[Boolean]("recall_ok")))
   }
+
+  test("annCandidateRecallGate frees its candidate checkpoint " +
+      "(r13 verdict item 8): the returned frame is an eager bare " +
+      "LogicalRDD and the corpus-sized candidate blocks do not " +
+      "survive the call") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = SimilaritySearch.annCandidateRecallGate(emb,
+      "vec_id", "embedding", k = 4, queryCap = 64)
+    // (a) eager materialization: the result must be its own
+    // checkpoint (a bare LogicalRDD), never a plan that still
+    // references the freed candidate blocks
+    assert(out.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    // (b) post-call block count: new persisted entries are the
+    // knnGraph per-round checkpoints (graphIters = 3, awaiting
+    // ContextCleaner GC) plus the 2-row verdict frame — the
+    // candidate checkpoint was freed via the bridge, so WITHOUT the
+    // free this reads one higher
+    val newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(newIds.size <= 4, s"expected <= 4 surviving persisted " +
+      s"RDDs (3 knnGraph rounds + verdict), got ${newIds.size}")
+    // the freed candidate blocks were truly dead: the verdict frame
+    // still reads
+    assert(out.count() === 2L)
+  }
 }
