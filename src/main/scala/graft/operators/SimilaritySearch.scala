@@ -574,13 +574,20 @@ object SimilaritySearch {
     * on cell_id, per-query top-k. `broadcastQueries` picks the join
     * strategy: broadcast for a handful of probes ([[ivfTopK]]),
     * keyed shuffle when the query set is corpus-sized
-    * ([[ivfKnnLists]]). */
+    * ([[ivfKnnLists]]). `corpusAssign` > 1 posts each corpus vector
+    * to its that-many nearest cells (multi-assignment — the classic
+    * IVF recall lever for cell-boundary vectors: a true neighbor
+    * whose home cell the query missed is still found through its
+    * second cell), at corpusAssign× fine-scan volume; duplicate
+    * (qid, cid) pairs surfacing through several shared cells are
+    * deduped before ranking so one neighbor can't occupy two of
+    * the k slots. */
   private def ivfFineScan(queries: DataFrame, queryIdCol: String,
       corpus: DataFrame, corpusIdCol: String, vecCol: String,
       centroids: DataFrame, k: Int, nProbe: Int,
-      broadcastQueries: Boolean): DataFrame = {
+      broadcastQueries: Boolean, corpusAssign: Int = 1): DataFrame = {
     val corpusCells = probeCells(corpus, corpusIdCol, vecCol,
-        centroids, 1)
+        centroids, corpusAssign)
       .select(col(corpusIdCol).as("cid"), col(vecCol).as("cvec"),
         col("cell_id"))
     val queryCells = probeCells(queries, queryIdCol, vecCol,
@@ -592,7 +599,15 @@ object SimilaritySearch {
       if (broadcastQueries)
         corpusCells.join(broadcast(queryCells), Seq("cell_id"))
       else corpusCells.join(queryCells, Seq("cell_id"))
-    joined
+    val pairs =
+      // multi-assignment can surface the same (qid, cid) through
+      // several shared cells — dedupe BEFORE ranking so a duplicate
+      // can't occupy two of the k slots
+      if (corpusAssign > 1)
+        joined.select(col("qid"), col("qvec"), col("cid"),
+          col("cvec")).distinct()
+      else joined
+    pairs
       .withColumn("score", cosine(col("qvec"), col("cvec")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -630,9 +645,11 @@ object SimilaritySearch {
     * rnk 1..k per qid. */
   def ivfKnnLists(queries: DataFrame, queryIdCol: String,
       corpus: DataFrame, corpusIdCol: String, vecCol: String,
-      centroids: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+      centroids: DataFrame, k: Int, nProbe: Int = 2,
+      corpusAssign: Int = 1): DataFrame =
     ivfFineScan(queries, queryIdCol, corpus, corpusIdCol, vecCol,
-      centroids, k, nProbe, broadcastQueries = false)
+      centroids, k, nProbe, broadcastQueries = false,
+      corpusAssign = corpusAssign)
 
   /** Lloyd's k-means coarse quantizer for IVF over corpora WITHOUT
     * labels (the label-centroid shortcut only works on labeled
@@ -681,6 +698,31 @@ object SimilaritySearch {
     while (c > 0 && (c - 1) * (c - 1) * (c - 1) >= sq) c -= 1
     while (c * c * c < sq) c += 1
     (BigInt(minCells).max(BigInt(maxCells).min(c))).toInt
+  }
+
+  /** RECALL-HOLDING probe sizing (the r13 verdict's one capability
+    * hole): nProbe = min{p : p⁶ ≥ a·n} = ⌈(a·n)^(1/6)⌉, clamped to
+    * [minProbes, maxProbes] — the probe count GROWS as n^(1/6) so
+    * probed volume tracks the per-cell shrink of the n^(2/3)-cell
+    * quantizer ([[coarseCellCountScaled]]: per-cell length n^(1/3)
+    * falls as a FRACTION of n like n^(-2/3); probes × per-cell =
+    * a^(1/6)·n^(1/2) keeps the scanned fraction decaying only as
+    * n^(-1/2) instead of n^(-2/3)). Total fine-scan work returns to
+    * the √n device's O(n^1.5) — with recall that holds where the
+    * fixed-probe devices measurably decay (q330's curve: 0.97→0.51
+    * sqrt, 0.95→0.68 cbrt from sf0.01→sf1). Exact integer
+    * arithmetic end-to-end (p ≤ 65 keeps p⁶ ≤ 7.5e10 ≪ INT64; a·n
+    * rides BigInt here, HUGEINT in the oracle) so a SQL oracle
+    * replays the sizing bit-for-bit at every n. */
+  def probeCountScaled(n: Long, a: Int = 64, minProbes: Int = 4,
+      maxProbes: Int = 64): Int = {
+    require(n >= 0 && a >= 1, s"n >= 0 and a >= 1 ($n, $a)")
+    require(maxProbes >= minProbes && maxProbes <= 65,
+      s"probe clamp [$minProbes, $maxProbes] must sit within [.., 65]")
+    val target = BigInt(a) * BigInt(n)
+    var p = BigInt(1)
+    while (p < maxProbes && p * p * p * p * p * p < target) p += 1
+    math.max(minProbes, p.toInt)
   }
 
   /** Deterministic ≈`maxTrain`-row training sample: keep rows whose
@@ -893,15 +935,20 @@ object SimilaritySearch {
   def parityMarginCandidates(emb: DataFrame, idCol: String,
       vecCol: String, listK: Int = 8, nProbe: Int = 4,
       graphK: Int = 12, graphIters: Int = 3,
-      cellsOf: Long => Int = coarseCellCount(_)): DataFrame = {
+      cellsOf: Long => Int = coarseCellCount(_),
+      probesOf: Long => Int = _ => 0,
+      corpusAssign: Int = 1): DataFrame = {
     val l = emb.filter(col(idCol) % 2 === 0)
     val r = emb.filter(col(idCol) % 2 === 1)
-    val cents = sampleCentroids(emb, idCol, vecCol,
-      cellsOf(emb.count()))
+    val n = emb.count()
+    // probesOf (the q331 recall-holding rule — [[probeCountScaled]])
+    // overrides the static nProbe when it returns a positive count
+    val probes = { val p = probesOf(n); if (p > 0) p else nProbe }
+    val cents = sampleCentroids(emb, idCol, vecCol, cellsOf(n))
     val lr = ivfKnnLists(l, idCol, r, idCol, vecCol, cents,
-      listK, nProbe)
+      listK, probes, corpusAssign)
     val rl = ivfKnnLists(r, idCol, l, idCol, vecCol, cents,
-      listK, nProbe)
+      listK, probes, corpusAssign)
     val g = NnDescent.knnGraph(emb, idCol, vecCol, graphK,
       graphIters)
     val und = g.select(col("u"), col("v"))
@@ -941,10 +988,15 @@ object SimilaritySearch {
   def annCandidateRecallGate(emb: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, queryCap: Int = 512,
       threshold: Double = 0.85,
-      cellsOf: Long => Int = coarseCellCount(_)): DataFrame = {
+      cellsOf: Long => Int = coarseCellCount(_),
+      probesOf: Long => Int = _ => 0,
+      corpusAssign: Int = 1, graphK: Int = 12,
+      graphIters: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1 ($k)")
     val cand = parityMarginCandidates(emb, idCol, vecCol,
-        cellsOf = cellsOf)
+        graphK = graphK, graphIters = graphIters,
+        cellsOf = cellsOf, probesOf = probesOf,
+        corpusAssign = corpusAssign)
       .select(col("lid"), col("rid")).distinct()
       // built once, consumed by both direction audits
       .localCheckpoint()

@@ -385,7 +385,7 @@ object VectorQueries {
   /** Score + per-node top-k rank of the (u, v) edge CTE `src`. */
   private def nnScore(src: String, out: String,
       k: Int = 6): String =
-    s"""$out AS (
+    s"""$out AS MATERIALIZED (
        |  SELECT u, v, score, rnk FROM (
        |    SELECT s.u, s.v, s.score,
        |      ROW_NUMBER() OVER (PARTITION BY s.u
@@ -404,11 +404,11 @@ object VectorQueries {
     * neighbor-of-neighbor self-join, rescore, top-k. */
   private def nnRound(prev: String, sfx: String,
       k: Int = 6): String =
-    s"""und$sfx AS (
+    s"""und$sfx AS MATERIALIZED (
        |  SELECT u, v FROM $prev
        |  UNION
        |  SELECT v AS u, u AS v FROM $prev),
-       |cd$sfx AS (
+       |cd$sfx AS MATERIALIZED (
        |  SELECT a.u, b.v FROM und$sfx a
        |  JOIN und$sfx b ON a.v = b.u WHERE a.u <> b.v
        |  UNION
@@ -828,6 +828,92 @@ object VectorQueries {
       |    so, ne)
       |ORDER BY device, direction""".stripMargin
 
+  /** q331: the RECALL-HOLDING margin-mining operating point (the
+    * r13 verdict's one capability hole, closed by measurement):
+    * q329's n^(2/3)-cell quantizer, but every recall knob that the
+    * q330 gate measured decaying is re-sized —
+    *   - nProbe GROWS with n ([[SimilaritySearch.probeCountScaled]],
+    *     ⌈(64n)^(1/6)⌉ clamped [4, 64]) so probed volume tracks the
+    *     per-cell shrink instead of decaying as n^(-2/3);
+    *   - corpus MULTI-ASSIGNMENT 2 (each corpus vector posted to
+    *     its 2 nearest cells — the classic cell-boundary lever);
+    *   - NN-descent k=24 × 5 rounds (the union member that carries
+    *     the recall floor; still O(n·k²) per round, linear in n).
+    * Fine-scan work returns to O(n^1.5) — the √n device's budget,
+    * spent where it buys recall. Operating point frozen from the
+    * r14 measured sweep (PLANS.md): candidate recall 0.99/0.992 at
+    * sf0.1 and 0.935/0.925 at sf1, where q305/q329's fixed knobs
+    * read 0.77/0.51 and 0.74/0.68 — the q332 gate asserts ≥ 0.9 and
+    * stays green at sf0.1 AND sf1, not just the sf0.01 gate point.
+    * The oracle replays the whole device: BigInt cell sizing, the
+    * integer sixth-root probe rule, 2-cell assignment, the deduped
+    * fine scans, all 5 NN-descent rounds, and the margin
+    * arithmetic — value-exact. */
+  def q331MarginMiningHeld(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cand = SimilaritySearch.parityMarginCandidates(emb,
+      "vec_id", "embedding", graphK = 24, graphIters = 5,
+      cellsOf = SimilaritySearch.coarseCellCountScaled(_),
+      probesOf = SimilaritySearch.probeCountScaled(_, a = 64),
+      corpusAssign = 2)
+    SimilaritySearch.marginMiningShortlist(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id",
+        emb.filter(col("vec_id") % 2 === 1), "vec_id",
+        "embedding", cand, k = 4, marginThreshold = 1.0)
+      .orderBy(col("lid"))
+  }
+
+  /** q332: the q330-style recall gate over the q331 device — the
+    * row whose verdict HOLDS as the corpus grows (the designed
+    * contrast to q330, whose fixed-knob devices are documented to
+    * flip false at sf ≥ 0.1): measured 0.99/0.992 at sf0.1 and
+    * 0.935/0.925 at sf1 against the 0.9 threshold (r14 sweep,
+    * PLANS.md). recall_ok is asserted TRUE by the oracle at every
+    * SF — for THIS device that assertion is the point: scale must
+    * not degrade the answer. */
+  def q332AnnRecallHeldGate(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    SimilaritySearch.annCandidateRecallGate(emb, "vec_id",
+        "embedding", k = 4, queryCap = 512, threshold = 0.9,
+        cellsOf = SimilaritySearch.coarseCellCountScaled(_),
+        probesOf = SimilaritySearch.probeCountScaled(_, a = 64),
+        corpusAssign = 2, graphK = 24, graphIters = 5)
+      .withColumn("device", lit("held_n23cells_n16probes"))
+      .select(col("device"), col("direction"), col("n_queries"),
+        col("k"), col("n_exact"), col("recall_ok"))
+      .orderBy(col("direction"))
+  }
+
+  private val q332Oracle: String =
+    """WITH ne AS (
+      |  SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 2 = 0),
+      |nod AS (
+      |  SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 2 = 1),
+      |sq AS (
+      |  SELECT COUNT(*) AS nq FROM embeddings, ne
+      |  WHERE vec_id % 2 = 0
+      |    AND ('0x' || substr(md5('rg:' || vec_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 1000000
+      |      < CAST(FLOOR(1000000 * LEAST(1.0,
+      |          512.0 / GREATEST(ne.n, 1))) AS BIGINT)),
+      |so AS (
+      |  SELECT COUNT(*) AS nq FROM embeddings, nod
+      |  WHERE vec_id % 2 = 1
+      |    AND ('0x' || substr(md5('rg:' || vec_id), 1, 8))
+      |      ::UBIGINT::BIGINT % 1000000
+      |      < CAST(FLOOR(1000000 * LEAST(1.0,
+      |          512.0 / GREATEST(nod.n, 1))) AS BIGINT))
+      |SELECT 'held_n23cells_n16probes' AS device,
+      |  'even_to_odd' AS direction, sq.nq AS n_queries,
+      |  CAST(4 AS INTEGER) AS k, sq.nq * LEAST(4, nod.n) AS n_exact,
+      |  TRUE AS recall_ok
+      |FROM sq, nod
+      |UNION ALL
+      |SELECT 'held_n23cells_n16probes', 'odd_to_even', so.nq,
+      |  CAST(4 AS INTEGER), so.nq * LEAST(4, ne.n), TRUE
+      |FROM so, ne
+      |ORDER BY direction""".stripMargin
+
   /** One directed IVF shortlist CTE: queries = `$qPar`-parity ids
     * probing 4 cells, corpus = opposite parity in its 1 home cell;
     * top-8 per query, projected as (lid, rid) with the even id
@@ -931,7 +1017,7 @@ object VectorQueries {
     * candidate qualifies (true for n > ~1.34e8, where n^(2/3) >
     * 262145) — so c³ stays ≤ 1.8e16 ≪ INT64 range, and n² is
     * computed in HUGEINT (INT64 n² overflows past n ≈ 3.04e9). */
-  private val q329Oracle: String = marginAnnOracle(
+  private val nccCbrtSql: String =
     """ncc AS (
       |  SELECT GREATEST(16, LEAST(262144,
       |    COALESCE(MIN(c), 262145))) AS nc
@@ -940,7 +1026,121 @@ object VectorQueries {
       |           FROM embeddings))) AS c),
       |       (SELECT CAST(COUNT(*) AS HUGEINT) AS n
       |        FROM embeddings) cnt
-      |  WHERE CAST(c AS HUGEINT) * c * c >= cnt.n * cnt.n)""".stripMargin)
+      |  WHERE CAST(c AS HUGEINT) * c * c >= cnt.n * cnt.n)""".stripMargin
+
+  private val q329Oracle: String = marginAnnOracle(nccCbrtSql)
+
+  /** One directed IVF shortlist CTE pair for the q331 device:
+    * probe count read from the `npp` CTE, corpus side posted to its
+    * `corpusAssign` nearest cells, and the candidate (query, corpus)
+    * pairs DEDUPED before ranking (multi-assignment surfaces the
+    * same pair through several shared cells; the engine dedupes
+    * before its row_number for exactly this reason —
+    * [[SimilaritySearch.ivfKnnLists]]). */
+  private def ivfListCteHeld(out: String, qPar: Int,
+      corpusAssign: Int): String = {
+    val cPar = 1 - qPar
+    val (lidSrc, ridSrc) =
+      if (qPar == 0) ("d.qid", "d.cid") else ("d.cid", "d.qid")
+    s"""${out}p AS MATERIALIZED (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM asg q JOIN asg c USING (cell_id), npp
+       |  WHERE q.vec_id % 2 = $qPar AND c.vec_id % 2 = $cPar
+       |    AND c.r <= $corpusAssign AND q.r <= npp.p),
+       |$out AS (
+       |  SELECT lid, rid FROM (
+       |    SELECT $lidSrc AS lid, $ridSrc AS rid,
+       |      ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+       |        list_dot_product(a.e, b.e) /
+       |          (sqrt(list_dot_product(a.e, a.e)) *
+       |           sqrt(list_dot_product(b.e, b.e))) DESC,
+       |        d.cid) AS rnk
+       |    FROM ${out}p d JOIN v a ON a.vec_id = d.qid
+       |    JOIN v b ON b.vec_id = d.cid)
+       |  WHERE rnk <= 8)""".stripMargin
+  }
+
+  /** The q331 oracle: the [[marginAnnOracle]] pipeline with every
+    * recall knob parameterized and replayed in exact arithmetic —
+    * the `npp` CTE is the integer sixth-root probe rule
+    * ([[SimilaritySearch.probeCountScaled]]: p = min{c ≤ 64 :
+    * c⁶ ≥ a·n} clamped to ≥ 4, COALESCE = the ≤ 64 clamp; c⁶ ≤
+    * 6.9e10 ≪ INT64 and a·n rides HUGEINT, so the scan is exact at
+    * every n), cell assignment keeps GREATEST(p, corpusAssign)
+    * ranks, the fine scans dedupe multi-assigned pairs before
+    * ranking, and the NN-descent build runs `graphIters` rounds at
+    * `graphK`. */
+  private def marginAnnOracleHeld(nccSql: String, a: Int,
+      corpusAssign: Int, graphK: Int, graphIters: Int): String = {
+    val rounds = (1 to graphIters)
+      .map(i => nnRound(s"g${i - 1}", s"$i", graphK)).mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |$nccSql,
+      |npp AS (
+      |  SELECT GREATEST(4, COALESCE(MIN(c), 64)) AS p
+      |  FROM (SELECT unnest(generate_series(1, 64)) AS c),
+      |       (SELECT CAST(COUNT(*) AS HUGEINT) AS n
+      |        FROM embeddings) cnt
+      |  WHERE CAST(c AS HUGEINT) * c * c * c * c * c >= $a * cnt.n),
+      |cvec AS (
+      |  SELECT vec_id AS cell_id, e AS centroid FROM (
+      |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id)
+      |      AS crn
+      |    FROM v), ncc
+      |  WHERE crn <= nc),
+      |asg AS MATERIALIZED (
+      |  SELECT vec_id, e, cell_id, r FROM (
+      |    SELECT c.vec_id, c.e, cv.cell_id, ROW_NUMBER() OVER (
+      |      PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(c.e, cv.centroid) /
+      |          (sqrt(list_dot_product(c.e, c.e)) *
+      |           sqrt(list_dot_product(cv.centroid, cv.centroid)))
+      |          DESC,
+      |        cv.cell_id) AS r
+      |    FROM v c, cvec cv)
+      |  WHERE r <= (SELECT GREATEST(p, $corpusAssign) FROM npp)),
+      |${ivfListCteHeld("lrl", 0, corpusAssign)},
+      |${ivfListCteHeld("rll", 1, corpusAssign)},
+      |vv AS (SELECT vec_id AS id, e FROM v),
+      |nnn AS (SELECT COUNT(*) AS n FROM vv),
+      |idx AS (
+      |  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS i
+      |  FROM vv),
+      |ie AS (
+      |  SELECT x.id AS u, y.id AS v
+      |  FROM idx x
+      |  CROSS JOIN (SELECT unnest(generate_series(0,
+      |    ${graphK - 1})) AS j) j
+      |  CROSS JOIN nnn
+      |  JOIN idx y ON y.i = (x.i + 1 +
+      |    ('0x' || substr(md5('nn:' || x.id || ':' || j.j), 1, 8))
+      |      ::UBIGINT::BIGINT % (n - 1)) % n
+      |  GROUP BY 1, 2),
+      |${nnScore("ie", "g0", graphK)},
+      |$rounds,
+      |gund AS (SELECT u, v FROM g$graphIters
+      |  UNION ALL SELECT v AS u, u AS v FROM g$graphIters),
+      |cand AS (SELECT lid, rid FROM lrl
+      |  UNION SELECT lid, rid FROM rll
+      |  UNION SELECT u AS lid, v AS rid FROM gund
+      |    WHERE u % 2 = 0 AND v % 2 = 1),
+      |l AS (SELECT vec_id AS lid, e FROM v WHERE vec_id % 2 = 0),
+      |r AS (SELECT vec_id AS rid, e FROM v WHERE vec_id % 2 = 1),
+      |p AS (
+      |  SELECT cd.lid, cd.rid,
+      |    list_dot_product(a.e, b.e) /
+      |      (sqrt(list_dot_product(a.e, a.e)) *
+      |       sqrt(list_dot_product(b.e, b.e))) AS score
+      |  FROM cand cd JOIN l a ON a.lid = cd.lid
+      |  JOIN r b ON b.rid = cd.rid),
+      |${marginArithCtes(4, 1.0)}""".stripMargin
+  }
+
+  private val q331Oracle: String =
+    marginAnnOracleHeld(nccCbrtSql, a = 64, corpusAssign = 2,
+      graphK = 24, graphIters = 5)
 
   /** q226: graph-based ANN SERVING
     * ([[graft.operators.NnDescent.greedySearch]]) — best-first beam
@@ -1030,6 +1230,8 @@ object VectorQueries {
     "q305_margin_mining_ann" -> (q305MarginMiningAnn _),
     "q329_margin_mining_scaled" -> (q329MarginMiningScaled _),
     "q330_ann_recall_gate" -> (q330AnnRecallGate _),
+    "q331_margin_mining_held" -> (q331MarginMiningHeld _),
+    "q332_ann_recall_held_gate" -> (q332AnnRecallHeldGate _),
     "q226_graph_search" -> (q226GraphSearch _),
     "q124_retrieval_metrics" -> (q124RetrievalMetrics _),
     "q119_random_projection" -> (q119RandomProjection _),
@@ -1592,6 +1794,8 @@ object VectorQueries {
     "q305_margin_mining_ann" -> q305Oracle,
     "q329_margin_mining_scaled" -> q329Oracle,
     "q330_ann_recall_gate" -> q330Oracle,
+    "q331_margin_mining_held" -> q331Oracle,
+    "q332_ann_recall_held_gate" -> q332Oracle,
     "q270_sentence_mining" -> q270Oracle,
     "q226_graph_search" -> q226Oracle,
     "q31_knn_bruteforce" ->

@@ -417,6 +417,68 @@ class SimilaritySpec extends SparkTestBase {
     assert(coarseCellCountScaled(0L) === 16)
   }
 
+  test("probeCountScaled is the exact integer min{p : p^6 >= a*n} " +
+      "with clamps — the q331 recall-holding probe rule") {
+    import SimilaritySearch.probeCountScaled
+    // brute-force agreement across n and both registered a values
+    for (a <- Seq(64, 729); n <- 0L to 100000L by 131L) {
+      val target = BigInt(a) * BigInt(n)
+      var p = BigInt(1)
+      while (p < 64 && p * p * p * p * p * p < target) p += 1
+      val want = math.max(4, p.toInt)
+      assert(probeCountScaled(n, a) === want, s"a=$a n=$n")
+    }
+    // exact sixth-power boundaries: a*n = p^6 must give exactly p
+    for (p <- Seq(5L, 8L, 16L, 32L)) {
+      val n = p * p * p * p * p * p / 64
+      assert(probeCountScaled(n, a = 64) === math.max(4, p.toInt),
+        s"boundary p=$p")
+    }
+    // clamps: tiny n floors at 4, huge n ceils at 64; no overflow
+    // at any Long n (the target rides BigInt)
+    assert(probeCountScaled(0L) === 4)
+    assert(probeCountScaled(1L) === 4)
+    assert(probeCountScaled(Long.MaxValue) === 64)
+    // the operating-point constants: the frozen q331/q332 device
+    assert(probeCountScaled(500L, a = 64) === 6)   // sf0.01
+    assert(probeCountScaled(2000L, a = 64) === 8)  // sf0.1
+    assert(probeCountScaled(20000L, a = 64) === 11) // sf1
+    assert(probeCountScaled(200000L, a = 64) === 16) // sf10
+  }
+
+  test("ivfKnnLists corpus multi-assignment: duplicate (qid, cid) " +
+      "pairs through shared cells are deduped before ranking, so " +
+      "no neighbor occupies two of the k slots") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 2 === 0)
+    val c = emb.filter(col("vec_id") % 2 === 1)
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
+      "embedding", SimilaritySearch.coarseCellCountScaled(
+        emb.count()))
+    val lists = SimilaritySearch.ivfKnnLists(q, "vec_id", c,
+      "vec_id", "embedding", cents, k = 8, nProbe = 6,
+      corpusAssign = 2).cache()
+    try {
+      // (a) no duplicate (qid, cid) pair anywhere in the lists
+      assert(lists.count() ===
+        lists.select("qid", "cid").distinct().count())
+      // (b) per qid: ranks are 1..m contiguous and scores are
+      // non-increasing in rank
+      val bad = lists.groupBy("qid").agg(
+        count(lit(1)).as("m"), max(col("rnk")).as("mx"),
+        min(col("rnk")).as("mn")).filter(
+        col("mx") =!= col("m") || col("mn") =!= 1 ||
+          col("m") > 8).count()
+      assert(bad === 0L)
+      // (c) multi-assignment widens candidate coverage: every pair
+      // the single-assignment scan ranks is still reachable (the
+      // deduped ca=2 fine scan saw a superset of ca=1's pairs)
+      val ca1 = SimilaritySearch.ivfKnnLists(q, "vec_id", c,
+        "vec_id", "embedding", cents, k = 8, nProbe = 6)
+      assert(ca1.count() <= lists.count())
+    } finally lists.unpersist()
+  }
+
   test("annCandidateRecallGate: verdict-style audit of the " +
       "production shortlist against sampled exact brute-force truth") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
