@@ -38,6 +38,20 @@ object Graph {
   private def t12(x: Column): Column =
     floor(x * lit(1e12)).cast("double") / lit(1e12)
 
+  /** Storage level for the per-round checkpoint tables.
+    * `-Dgraft.fixpoint.storage=ser` switches the round blocks to
+    * MEMORY_AND_DISK_SER — the r14 A/B knob for the sf10
+    * GC-pause-share diagnosis (serialized rows are one byte-array
+    * object per partition block instead of millions of UnsafeRow
+    * objects for G1 to trace; the trade is serde CPU per round).
+    * Default stays MEMORY_AND_DISK (Spark's own localCheckpoint
+    * default) — flip only where measurement says so (PLANS.md r14
+    * keep/revert row). */
+  private def roundLevel: org.apache.spark.storage.StorageLevel =
+    if (sys.props.get("graft.fixpoint.storage").contains("ser"))
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   /** Roll an iterative frame: checkpoint the new round eagerly, then
     * free the PREVIOUS round's blocks — after the eager checkpoint
     * the old frame is provably dead (nothing downstream references
@@ -47,7 +61,7 @@ object Graph {
     * the session — on long peels (k-core, components) dozens of dead
     * copies, enough to evict the blocks the query still needs. */
   private def roll(prev: DataFrame, next: DataFrame): DataFrame = {
-    val ck = next.localCheckpoint()
+    val ck = next.localCheckpoint(true, roundLevel)
     org.apache.spark.sql.graftbridge.CheckpointBridge
       .freeCheckpointBlocks(prev)
     ck
@@ -69,7 +83,7 @@ object Graph {
     * short-circuits. */
   private def rollFix(prev: DataFrame, next: DataFrame)
       : (DataFrame, Boolean) = {
-    val ck = next.localCheckpoint()
+    val ck = next.localCheckpoint(true, roundLevel)
     val same = ck.select(col("node"), col("pr").as("__npr"))
       .join(prev, Seq("node"))
       .filter(col("__npr") =!= col("pr"))
@@ -694,13 +708,51 @@ object Graph {
         .select(col("node").as("x")), Seq("x"), "left_semi")
       .groupBy(col("n"))
       .agg(sort_array(collect_list(col("x"))).as("nbrs"))
-    val shared = packed
+    val pairs = packed
       .select(col("nbrs"), posexplode(col("nbrs")).as(Seq("i", "a")))
       .select(col("a"), explode(slice(col("nbrs"), col("i") + 2,
         size(col("nbrs")))).as("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+    // The wedge-pair aggregate is the dominant stage at scale (sf10
+    // StageProbe: 2 stages ≈ 300 s wall, ~100 GB in-memory spill
+    // accounting at 112M wedges). When every node id fits in an
+    // unsigned 32-bit slot, pack the (a, b) key into ONE long
+    // (a<<32 | b) so the partial and final aggregates hash/compare/
+    // spill an 8-byte primitive key instead of a 16-byte two-column
+    // row — same counts, unpacked after the HAVING floor. Ids
+    // outside [0, 2^32) (or a non-integral node type) keep the
+    // two-column aggregate — identical semantics, never wrong, just
+    // the unpacked width.
+    val nodeType = pairs.schema("a").dataType
+    val integralNodes = Seq("int", "bigint", "smallint", "tinyint")
+      .contains(nodeType.simpleString)
+    // dtype gate FIRST: the range probe casts to long, which throws
+    // under ANSI on non-numeric ids (string node names take the
+    // two-column aggregate without ever running the probe)
+    val packable = integralNodes && {
+      val idRange = deg.agg(
+        min(col("node").cast("long")).as("mn"),
+        max(col("node").cast("long")).as("mx")).head()
+      !idRange.isNullAt(0) && idRange.getLong(0) >= 0 &&
+        idRange.getLong(1) < (1L << 32)
+    }
+    val shared =
+      if (packable)
+        pairs
+          .select((shiftleft(col("a").cast("long"), 32)
+            .bitwiseOR(col("b").cast("long"))).as("ab"))
+          .groupBy(col("ab"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(shiftrightunsigned(col("ab"), 32)
+            .cast(nodeType).as("a"),
+            col("ab").bitwiseAND(lit((1L << 32) - 1))
+              .cast(nodeType).as("b"),
+            col("shared"))
+      else
+        pairs
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
     shared
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")

@@ -320,7 +320,14 @@ object FixtureQueries {
     el(0x1A45DFA3L, Array.emptyByteArray) ++ segment
   }
 
-  private case class MediaFeatures(media_id: String, kind: String,
+  // private[queries], NOT private: an object-private case class
+  // compiles without ACC_PUBLIC, so Spark's generated encoder code
+  // can't resolve its accessors under Janino and every q130 run
+  // falls back to the interpreted serializer (ERROR CodeGenerator +
+  // 30 stack traces per bench). Package-private keeps the class
+  // public in bytecode and the encoder in codegen.
+  private[queries] case class MediaFeatures(media_id: String,
+      kind: String,
       ok: Boolean, width: Option[Int], height: Option[Int],
       channels: Option[Int], duration_sec: Option[Double],
       n_frames: Option[Long], n_sync: Option[Long],

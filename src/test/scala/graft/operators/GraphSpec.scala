@@ -211,6 +211,25 @@ class GraphSpec extends SparkTestBase {
     assert(pruned(("a", "hub")) === 2L) // middles b, d — still found
   }
 
+  test("sharedNeighborSimilarity packed pair-long fast path equals " +
+      "the two-column aggregate: same graph, ids in vs out of the " +
+      "32-bit packing range") {
+    // K4 plus a pendant — every unordered pair shares 1-2 middles
+    val base = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L))
+    def run(off: Long) = Graph.sharedNeighborSimilarity(
+        base.map { case (u, v) => (u + off, v + off) }
+          .toDF("src", "dst"), minShared = 1, k = 50)
+      .collect()
+      .map(r => (r.getLong(0) - off, r.getLong(1) - off) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    val packed = run(0L)          // ids < 2^32: single-long agg key
+    val fallback = run(1L << 33)  // ids ≥ 2^32: two-column agg key
+    assert(packed === fallback)
+    assert(packed((1L, 2L))._1 === 2L) // middles {3, 4}
+    assert(packed((1L, 5L))._1 === 1L) // middle {4}
+  }
+
   test("kCore: pendant chain peels over cascading rounds, the " +
       "triangle core survives with within-core degrees") {
     // triangle x-y-z plus a tail z-p1-p2-p3: the 2-core is exactly
