@@ -30,5 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // Extra JVM flags for forked runs (GC experiments on the large-SF
   // probes — e.g. SPARK_GRAFT_JVM_OPTS="-XX:+UseParallelGC").
+  // Split on whitespace by DESIGN: the documented use is single
+  // -XX:/-D flags; a flag whose VALUE contains spaces would need a
+  // shell-style tokenizer — not supported, pass such flags by
+  // editing this file instead (r13 advice, accepted limitation).
   sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
     .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

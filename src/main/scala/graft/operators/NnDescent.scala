@@ -83,9 +83,32 @@ object NnDescent {
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 6, iters: Int = 2): DataFrame = {
     require(iters >= 0, s"iters >= 0 ($iters)")
-    (1 to iters).foldLeft(initGraph(emb, idCol, vecCol, k)) {
-      (g, _) => refine(g.localCheckpoint(), emb, idCol, vecCol, k)
+    // Round tables roll like Graph.roll: once round i's checkpoint
+    // is materialized, round i-1's blocks are provably dead (the
+    // new checkpoint is a bare leaf) — free them instead of leaking
+    // one graph-sized RDD per round for the session's life. On
+    // DEEP builds (iters >= 4 — the q331/q332 k=24×5 device) also
+    // nudge a driver GC per round: each round's candidate closure
+    // shuffles O(n·k²) pairs, and ContextCleaner reclaims those
+    // shuffle files only after the driver GCs the dead exchange
+    // objects — without the nudge a large-n build accumulates every
+    // round's shuffle on disk at once (the r14 sf10 gate run filled
+    // 73 GB of spill and died on ENOSPC). Shallow builds (iters
+    // ≤ 3: q211/q305/q329/q330) skip the GC — their accumulation is
+    // bounded and the pause is not free.
+    var cur = initGraph(emb, idCol, vecCol, k)
+    var prevCk: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ck = cur.localCheckpoint()
+      if (prevCk != null) {
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeCheckpointBlocks(prevCk)
+        if (iters >= 4) System.gc()
+      }
+      cur = refine(ck, emb, idCol, vecCol, k)
+      prevCk = ck
     }
+    cur
   }
 
   /** Graph-based ANN SERVING over a built k-NN graph (the HNSW

@@ -870,7 +870,16 @@ object VectorQueries {
     * 0.935/0.925 at sf1 against the 0.9 threshold (r14 sweep,
     * PLANS.md). recall_ok is asserted TRUE by the oracle at every
     * SF — for THIS device that assertion is the point: scale must
-    * not degrade the answer. */
+    * not degrade the answer.
+    *
+    * Measured contract ENVELOPE (recorded at the oracle, the r13
+    * advice discipline): green with margin through sf1 (n=20,000);
+    * at n=60,000 the device GRAZES the threshold (0.899/0.888 —
+    * r14 curve, PLANS.md) where the fixed devices had already
+    * fallen to 0.68 a decade of n earlier. A false past sf1 is the
+    * re-tune tripwire firing at the NEXT decade; the designed
+    * escalation (graphK ∝ n^(1/4), still SQL-replayable) is in
+    * PLANS.md. */
   def q332AnnRecallHeldGate(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     SimilaritySearch.annCandidateRecallGate(emb, "vec_id",
