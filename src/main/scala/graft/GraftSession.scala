@@ -49,6 +49,17 @@ object GraftSession {
       // small enough that a 100 TB table still yields ~800k parallel
       // tasks rather than a handful of stragglers.
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      // ObjectHashAggregate (the typed bounded-heap top-k path: TopK
+      // aggregators) falls back to SORT-BASED aggregation once a
+      // partition sees >128 distinct keys (the Spark default) — the
+      // fallback serializes every kryo heap buffer through a sort and
+      // measured 2-3× slower on the NN-descent candidate streams
+      // (r14). The heaps are k-bounded (≤ tens of rows × 16 B), so
+      // 64Ki in-memory buffers per task is ≤ ~30 MB at k=24 — safe at
+      // any scale; this is a correctness-of-operator-choice setting,
+      // not a local-box tune.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       // bucketed saveAsTable target — outside any source tree
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
@@ -108,6 +119,20 @@ object GraftSession {
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
+    // Only scan-rooted frames (scan/filter/project/LogicalRDD trees)
+    // are probed: their .rdd is pure file-split planning. A frame
+    // with a shuffle-inducing operator upstream gets its width from
+    // spark.sql.shuffle.partitions/AQE, and probing it under AQE
+    // EXECUTES its query stages — a silent double-run. Those callers
+    // handle width explicitly at the exchange instead.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val derived = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort |
+        _: Distinct | _: GlobalLimit | _: RepartitionOperation |
+        _: Generate => true
+      case _ => false
+    }
+    if (derived) return df
     val cache = fanOutDecisions.synchronized {
       var m = fanOutDecisions.get(spark)
       if (m == null) {

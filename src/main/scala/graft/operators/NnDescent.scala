@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions.cosine
+import graft.functions.VectorFunctions.{dotF64, l2Norm}
 
 /** NN-descent k-NN graph construction (Dong, Moses & Li 2011,
   * "Efficient K-Nearest Neighbor Graph Construction for Generic
@@ -60,7 +60,9 @@ object NnDescent {
         (col("i") + lit(1L) + h8("nn", col("id"), col("j"))
           % lit(n - 1)) % lit(n))
       .join(idx.select(col("i").as("ti"), col("id").as("v")), "ti")
-      .select(col("id").as("u"), col("v")).distinct()
+      .select(col("id").as("u"), col("v"))
+    // duplicate (u, v) draws collapse inside score() (the dedup-heap
+    // top-k, or an explicit distinct on the window fallback)
     score(edges, v, k)
   }
 
@@ -68,15 +70,31 @@ object NnDescent {
   def refine(graph: DataFrame, emb: DataFrame, idCol: String,
       vecCol: String, k: Int = 6): DataFrame = {
     val v = vecs(emb, idCol, vecCol)
+    // The undirected closure is a TINY id-pair frame (n·2k rows), but
+    // it seeds the round's dominant compute: the neighbor-of-neighbor
+    // self-join fans it out to n·(2k)² candidate pairs. Left to AQE,
+    // the closure's post-distinct width collapses to 1-2 partitions
+    // (a few MB of ids) and the whole wedge enumeration serializes
+    // onto 1-2 cores (r14 StageProbe: a 4.3 s-CPU stage on 2 tasks at
+    // sf0.1). One explicit round-robin exchange of the 2k·n id rows
+    // buys full-width enumeration — at cluster scale the frame is
+    // already wide and the exchange moves ~16 bytes/row, negligible
+    // against the (2k)²-fanout stage it parallelizes (guide §2.5:
+    // partition for the stage's OUTPUT work, not its input bytes).
     val und = graph.select(col("u"), col("v"))
       .union(graph.select(col("v").as("u"), col("u").as("v")))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
+        col("u"), col("v"))
       .distinct()
     val cand = und.as("a")
       .join(und.as("b"), col("a.v") === col("b.u"))
       .select(col("a.u").as("u"), col("b.v").as("v"))
       .filter(col("u") =!= col("v"))
-    score(cand.union(graph.select(col("u"), col("v"))).distinct(),
-      v, k)
+    // the candidate stream keeps its duplicates (one per shared
+    // middle): score() dedups inside the bounded-heap top-k, which
+    // measured ~25× cheaper than a distinct over the O(n·k²) stream
+    // followed by a ranked window (SegProbe r14)
+    score(cand.union(graph.select(col("u"), col("v"))), v, k)
   }
 
   /** Init + `iters` refinement rounds. */
@@ -161,12 +179,18 @@ object NnDescent {
       .join(q, "qid")
       .select(col("qid"), col("qe"), col("cid"))
     val edges = graph.select(col("u"), col("v"))
+    // beam volumes are queries×beam×k — bounded small by contract, so
+    // the per-pair cosine (3 dots) is cheaper than an extra
+    // norm-attach join per expansion round (measured r14: the joined
+    // form cost q226 ~+45%)
     def scoreBeam(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("cid"))
       cand
         .join(v.select(col("id").as("cid"), col("e")), "cid")
-        .withColumn("score", cosine(col("qe"), col("e")))
+        .withColumn("score",
+          dotF64(col("qe"), col("e")) /
+            (l2Norm(col("qe")) * l2Norm(col("e"))))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= beam)
         .select(col("qid"), col("qe"), col("cid"), col("score"),
@@ -196,17 +220,52 @@ object NnDescent {
     emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("e"))
 
+  /** Score a candidate edge stream (duplicates allowed) and keep the
+    * per-u top-k. Two r14-measured devices:
+    *  - norms once per VECTOR (n sqrt-dots), not per pair — cosine()
+    *    re-derived both norms inside every candidate (3 dots instead
+    *    of 1 on the O(n·k²) stream); same expressions, same divisor
+    *    product order, bit-identical scores;
+    *  - integral ids take the DEDUP-HEAP top-k ([[TopK.perQueryDedup]]
+    *    — map-side partial, duplicates collapse in-heap because a
+    *    duplicate pair's score is deterministic): SegProbe r14
+    *    measured the old distinct-then-ranked-window chain at ~50 s
+    *    CPU per refinement round at sf0.1 vs ~1 s of dot products.
+    *    Non-integral ids keep the distinct+window form (identical
+    *    values; TopKSpec pins heap≡window ordering). */
   private def score(edges: DataFrame, v: DataFrame,
       k: Int): DataFrame = {
-    val w = Window.partitionBy(col("u"))
-      .orderBy(col("score").desc, col("v"))
-    edges
-      .join(v.select(col("id").as("u"), col("e").as("ue")), "u")
-      .join(v.select(col("id").as("v"), col("e").as("ve")), "v")
-      .withColumn("score", cosine(col("ue"), col("ve")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("u"), col("v"), col("score"),
-        col("rnk").cast("long").as("rnk"))
+    val idType = v.schema("id").dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val vn = v.select(col("id"), col("e"), l2Norm(col("e")).as("n2"))
+    def attach(e: DataFrame): DataFrame = e
+      .join(vn.select(col("id").as("u"), col("e").as("ue"),
+        col("n2").as("un")), "u")
+      .join(vn.select(col("id").as("v"), col("e").as("ve"),
+        col("n2").as("vn")), "v")
+      .withColumn("score",
+        dotF64(col("ue"), col("ve")) / (col("un") * col("vn")))
+    if (integral)
+      TopK.perQueryDedup(
+          attach(edges).select(col("u").as("qid"),
+            col("v").as("id"), col("score")), k)
+        .select(col("qid").cast(idType).as("u"),
+          col("cid").cast(idType).as("v"), col("score"),
+          col("rnk").cast("long").as("rnk"))
+    else {
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("score").desc, col("v"))
+      attach(edges.distinct())
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("u"), col("v"), col("score"),
+          col("rnk").cast("long").as("rnk"))
+    }
   }
 }

@@ -29,8 +29,9 @@ object SimilaritySearch {
     // bit-identical.
     val q = queries.select(col(queryIdCol).as("qid"),
       col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
-    val c = corpus.select(col(corpusIdCol).as("cid"),
-      col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm"))
+    val c = graft.GraftSession.fanOutForCompute(
+      corpus.select(col(corpusIdCol).as("cid"),
+        col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm")))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("score",
         dotF64(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
@@ -55,8 +56,9 @@ object SimilaritySearch {
       k: Int): DataFrame = {
     val q = queries.select(col(queryIdCol).as("qid"),
       col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
-    val c = corpus.select(col(corpusIdCol).as("id"),
-      col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm"))
+    val c = graft.GraftSession.fanOutForCompute(
+      corpus.select(col(corpusIdCol).as("id"),
+        col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm")))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("score",
         dotF64(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
@@ -531,16 +533,8 @@ object SimilaritySearch {
     * ride a broadcast; the assignment is a map-side argmax per row —
     * at 100 TB this is a map-only pass over the corpus. */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val cellW = Window.partitionBy(col("_rid")).orderBy(
-      desc("_cscore"), col("cell_id"))
-    df.withColumn("_rid", col(idCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_cscore", cosine(col(vecCol), col("centroid")))
-      .withColumn("_crnk", row_number().over(cellW))
-      .filter(col("_crnk") === 1)
-      .drop("_cscore", "_crnk", "centroid", "_rid")
-  }
+      centroids: DataFrame): DataFrame =
+    attachCells(df, idCol, vecCol, centroids, 1)
 
   /** IVF-style ANN: coarse-quantize the corpus to `centroids` (a small
     * DataFrame of (cell_id, centroid)), then search only the `nProbe`
@@ -559,15 +553,44 @@ object SimilaritySearch {
     * ties break on cell_id) — shared by [[ivfTopK]] and
     * [[ivfKnnLists]]. */
   private def probeCells(df: DataFrame, idC: String, vecCol: String,
+      centroids: DataFrame, probes: Int): DataFrame =
+    attachCells(df, idC, vecCol, centroids, probes)
+
+  /** The shared cell-ranking core of [[assignCells]]/[[probeCells]],
+    * rebuilt around three measured devices (r14 SegProbe: the two
+    * IVF list builds were the LARGEST segment of the q305/q331
+    * family — ~10 s of a 30 s row at sf0.1):
+    *  - norms once per row / per centroid instead of per row×cell
+    *    pair (1 dot per pair, not 3 — bit-identical scores);
+    *  - the ranking window sees ONLY (id, cell_id, score): the old
+    *    shape replicated the full vector payload `cells` times and
+    *    shuffled every copy through the window exchange (at dim 64
+    *    that is ~500 B × n × cells vs ~20 B × n × cells — guide
+    *    §2.3, shuffle keys and metadata, not payloads). The chosen
+    *    (id, cell) assignments re-attach to the ORIGINAL rows with
+    *    one keyed join — n·probes skinny rows against n payload
+    *    rows, instead of n·cells payload rows through an exchange;
+    *  - narrow scans fan out first (the one-parquet-split corpus
+    *    would otherwise rank n×cells pairs on one core;
+    *    fanOutForCompute is a no-op once the scan splits naturally).
+    * Ties break (score desc, cell_id asc) exactly as before. */
+  private def attachCells(df: DataFrame, idC: String, vecCol: String,
       centroids: DataFrame, probes: Int): DataFrame = {
     val cellW = Window.partitionBy(col("_rid")).orderBy(
       desc("_cscore"), col("cell_id"))
-    df.withColumn("_rid", col(idC))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_cscore", cosine(col(vecCol), col("centroid")))
+    val cn = centroids.withColumn("_cnorm", l2Norm(col("centroid")))
+    val base = graft.GraftSession.fanOutForCompute(df)
+    val picks = base
+      .select(col(idC).as("_rid"), col(vecCol).as("_v"))
+      .withColumn("_rnorm", l2Norm(col("_v")))
+      .crossJoin(broadcast(cn))
+      .select(col("_rid"), col("cell_id"),
+        (dotF64(col("_v"), col("centroid")) /
+          (col("_rnorm") * col("_cnorm"))).as("_cscore"))
       .withColumn("_crnk", row_number().over(cellW))
       .filter(col("_crnk") <= probes)
-      .drop("_cscore", "_crnk", "centroid", "_rid")
+      .select(col("_rid"), col("cell_id"))
+    base.join(picks, base(idC) === picks("_rid")).drop("_rid")
   }
 
   /** The IVF fine scan: probe-cell assignment on both sides, join
@@ -586,32 +609,68 @@ object SimilaritySearch {
       corpus: DataFrame, corpusIdCol: String, vecCol: String,
       centroids: DataFrame, k: Int, nProbe: Int,
       broadcastQueries: Boolean, corpusAssign: Int = 1): DataFrame = {
+    // side norms once per (row, cell) assignment — never per scored
+    // pair (the [[bruteForceTopK]] discipline); bit-identical scores
     val corpusCells = probeCells(corpus, corpusIdCol, vecCol,
         centroids, corpusAssign)
       .select(col(corpusIdCol).as("cid"), col(vecCol).as("cvec"),
-        col("cell_id"))
+        l2Norm(col(vecCol)).as("cn"), col("cell_id"))
     val queryCells = probeCells(queries, queryIdCol, vecCol,
         centroids, nProbe)
       .select(col(queryIdCol).as("qid"), col(vecCol).as("qvec"),
-        col("cell_id"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("cid"))
+        l2Norm(col(vecCol)).as("qn"), col("cell_id"))
     val joined =
       if (broadcastQueries)
         corpusCells.join(broadcast(queryCells), Seq("cell_id"))
       else corpusCells.join(queryCells, Seq("cell_id"))
-    val pairs =
+    val scored = joined.withColumn("score",
+      dotF64(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
+    def integral(t: org.apache.spark.sql.types.DataType): Boolean =
+      t match {
+        case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    val qType = queries.schema(queryIdCol).dataType
+    val cType = corpus.schema(corpusIdCol).dataType
+    if (corpusAssign > 1 && integral(qType) && integral(cType))
       // multi-assignment can surface the same (qid, cid) through
-      // several shared cells — dedupe BEFORE ranking so a duplicate
-      // can't occupy two of the k slots
-      if (corpusAssign > 1)
-        joined.select(col("qid"), col("qvec"), col("cid"),
-          col("cvec")).distinct()
-      else joined
-    pairs
-      .withColumn("score", cosine(col("qvec"), col("cvec")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+      // several shared cells — the DEDUP-HEAP top-k collapses the
+      // duplicates in-heap (a duplicate pair's score is
+      // deterministic, the [[TopK.perQueryDedup]] contract), so no
+      // distinct over the candidate stream and no ranked window; the
+      // old shape hashed the full vector payloads through a distinct
+      // exchange and then sorted the stream (guide §2.3)
+      TopK.perQueryDedup(scored.select(col("qid"),
+          col("cid").as("id"), col("score")), k)
+        .select(col("qid").cast(qType).as("qid"),
+          col("cid").cast(cType).as("cid"), col("score"), col("rnk"))
+    else {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("score"), col("cid"))
+      val pairs =
+        // non-integral ids: dedupe on BARE id pairs and re-attach the
+        // vectors by keyed join (never a distinct over the payloads)
+        if (corpusAssign > 1) {
+          val idPairs = scored.select(col("qid"), col("cid")).distinct()
+          val qVecs = queries.select(col(queryIdCol).as("qid"),
+            col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qn"))
+          val cVecs = corpus.select(col(corpusIdCol).as("cid"),
+            col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cn"))
+          val withQ = if (broadcastQueries)
+            idPairs.join(broadcast(qVecs), "qid")
+          else idPairs.join(qVecs, "qid")
+          withQ.join(cVecs, "cid")
+            .withColumn("score",
+              dotF64(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
+        } else scored
+      pairs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("cid"), col("score"), col("rnk"))
+    }
   }
 
   /** Random-SAMPLE coarse quantizer: the `cells` smallest-id
@@ -746,8 +805,14 @@ object SimilaritySearch {
       k: Int, maxIter: Int = 10, maxTrain: Int = 0): DataFrame = {
     val train = if (maxTrain > 0) trainingSample(df, idCol, maxTrain)
       else df
-    val v = train.select(col(idCol).as("_id"),
-      col(vecCol).cast("array<double>").as("v")).persist()
+    // row norms once per vector for the per-iteration assignment
+    // (cosine() would pay 3 dots per row×centroid pair, per iter);
+    // fan the narrow training scan out so the assignment runs wide
+    val v = graft.GraftSession.fanOutForCompute(
+      train.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .withColumn("_vn", l2Norm(col("v")))
+      .persist()
     val idW = Window.orderBy(col("_id"))
     var cents = v.orderBy(col("_id")).limit(k)
       .withColumn("cell_id", row_number().over(idW) - 1)
@@ -756,10 +821,19 @@ object SimilaritySearch {
     while (iter < maxIter) {
       val aw = Window.partitionBy(col("_id"))
         .orderBy(desc("_sc"), col("cell_id"))
-      val assigned = v.crossJoin(broadcast(cents))
-        .withColumn("_sc", cosine(col("v"), col("centroid")))
+      val cn = cents.withColumn("_cn", l2Norm(col("centroid")))
+      // the argmax window ranks SKINNY (id, cell, score) rows — the
+      // vector payload re-attaches from the cached table by id
+      // afterwards instead of riding the exchange k times (the
+      // attachCells device, guide §2.3)
+      val picks = v.crossJoin(broadcast(cn))
+        .select(col("_id"), col("cell_id"),
+          (dotF64(col("v"), col("centroid")) /
+            (col("_vn") * col("_cn"))).as("_sc"))
         .withColumn("_r", row_number().over(aw))
         .filter(col("_r") === 1)
+        .select(col("_id").as("_pid"), col("cell_id"))
+      val assigned = v.join(picks, col("_id") === col("_pid"))
         .select(col("cell_id"), col("_id"), col("v"))
       val updated = assigned
         .select(col("cell_id"), col("_id"), posexplode(col("v")))
@@ -829,15 +903,21 @@ object SimilaritySearch {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"evalIdCol '$evalIdCol' must be numeric — the argmax " +
         "tie-break negates it")
-    val c = corpus.select(col(idCol).as("cid"),
-      col(vecCol).cast("array<double>").as("ce"))
+    // norms once per side row (bit-identical to cosine()); the
+    // corpus side fans out when its scan is one narrow split so the
+    // |corpus|×|eval| map pass uses the whole cluster
+    val c = graft.GraftSession.fanOutForCompute(
+        corpus.select(col(idCol).as("cid"),
+          col(vecCol).cast("array<double>").as("ce")))
+      .withColumn("cn", l2Norm(col("ce")))
     val t = evalSet.select(col(evalIdCol).as("eid"),
-      col(vecCol).cast("array<double>").as("te"))
+        col(vecCol).cast("array<double>").as("te"))
+      .withColumn("tn", l2Norm(col("te")))
     c.crossJoin(broadcast(t))
       .select(col("cid"),
         struct(
-          graft.functions.VectorFunctions.cosine(col("ce"),
-            col("te")).as("score"),
+          (dotF64(col("ce"), col("te")) /
+            (col("cn") * col("tn"))).as("score"),
           (-col("eid")).as("neid"), col("eid").as("eid")).as("sc"))
       .groupBy(col("cid"))
       .agg(max(col("sc")).as("top"))
@@ -876,14 +956,20 @@ object SimilaritySearch {
       right: DataFrame, rightIdCol: String, vecCol: String,
       k: Int = 4, marginThreshold: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1 ($k)")
-    val l = left.select(col(leftIdCol).as("lid"),
-      col(vecCol).cast("array<double>").as("le"))
+    // norms once per side row, fanned-out left scan — the
+    // [[bruteForceTopK]] discipline over the |L|×|R| exact pass;
+    // scores stay bit-identical to cosine()
+    val l = graft.GraftSession.fanOutForCompute(
+        left.select(col(leftIdCol).as("lid"),
+          col(vecCol).cast("array<double>").as("le")))
+      .withColumn("ln", l2Norm(col("le")))
     val r = right.select(col(rightIdCol).as("rid"),
-      col(vecCol).cast("array<double>").as("re"))
+        col(vecCol).cast("array<double>").as("re"))
+      .withColumn("rn", l2Norm(col("re")))
     val pairs = l.crossJoin(broadcast(r))
       .select(col("lid"), col("rid"),
-        graft.functions.VectorFunctions.cosine(col("le"),
-          col("re")).as("score"))
+        (dotF64(col("le"), col("re")) /
+          (col("ln") * col("rn"))).as("score"))
     marginRank(pairs, k, marginThreshold)
   }
 
@@ -907,15 +993,19 @@ object SimilaritySearch {
       candidates: DataFrame, k: Int = 4,
       marginThreshold: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1 ($k)")
+    // norms once per side row (n + m sqrt-dots) instead of per
+    // candidate pair (3 dots × |candidates|); bit-identical scores
     val l = left.select(col(leftIdCol).as("lid"),
-      col(vecCol).cast("array<double>").as("le"))
+        col(vecCol).cast("array<double>").as("le"))
+      .withColumn("ln", l2Norm(col("le")))
     val r = right.select(col(rightIdCol).as("rid"),
-      col(vecCol).cast("array<double>").as("re"))
+        col(vecCol).cast("array<double>").as("re"))
+      .withColumn("rn", l2Norm(col("re")))
     val pairs = candidates.select(col("lid"), col("rid")).distinct()
       .join(l, "lid").join(r, "rid")
       .select(col("lid"), col("rid"),
-        graft.functions.VectorFunctions.cosine(col("le"),
-          col("re")).as("score"))
+        (dotF64(col("le"), col("re")) /
+          (col("ln") * col("rn"))).as("score"))
     marginRank(pairs, k, marginThreshold)
   }
 
