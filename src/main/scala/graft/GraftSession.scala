@@ -125,6 +125,8 @@ object GraftSession {
     // spark.sql.shuffle.partitions/AQE, and probing it under AQE
     // EXECUTES its query stages — a silent double-run. Those callers
     // handle width explicitly at the exchange instead.
+    // streaming frames have no .rdd at all — never probe them
+    if (df.isStreaming) return df
     import org.apache.spark.sql.catalyst.plans.logical._
     val derived = df.queryExecution.analyzed.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort |

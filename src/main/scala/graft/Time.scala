@@ -18,6 +18,9 @@ object Time {
     }
     for (q <- names) {
       val secs = (1 to n).map { _ =>
+        // bench parity: leaked checkpoint blocks from earlier
+        // queries/runs otherwise evict live blocks mid-measurement
+        GraftSession.clearPool(spark)
         val t0 = System.nanoTime()
         val cnt = SparkEntry.queries(q)(spark, sfDir).count()
         val s = (System.nanoTime() - t0) / 1e9

@@ -98,9 +98,17 @@ object LangId {
     val k = lit(buckets.toDouble * alpha)
     val a = lit(alpha)
 
+    // Both slices are expression-dense per-row stages (~3·cap gram
+    // UDF + one md5 per gram): a one-split documents scan would run
+    // them on a single core (r14 StageProbe: the train-count stage
+    // was 3.6 s on 1 of 32 tasks at sf0.1) — fan out first, a no-op
+    // once the scan splits naturally (the q157 device).
+    val trainW = graft.GraftSession.fanOutForCompute(train)
+    val scoreW = graft.GraftSession.fanOutForCompute(score)
+
     // Class-conditional bucket counts from the training slice only —
     // one gram explode, immediately collapsed to ≤C·K rows.
-    val counts = train
+    val counts = trainW
       .select(col(labelCol).as("ccls"),
         explode(charNgrams(col(textCol), cap)).as("g"))
       .groupBy(col("ccls"),
@@ -139,7 +147,7 @@ object LangId {
     // Score: per-doc bucket histogram × broadcast dense model gives
     // exactly C candidate rows per doc; n·round9(lp) is exactly the
     // decimal sum of n per-occurrence terms (the q133 proof).
-    score
+    scoreW
       .select(col(idCol).as("doc"),
         explode(charNgrams(col(textCol), cap)).as("g"))
       .groupBy(col("doc"),

@@ -65,9 +65,13 @@ object QualityClassifier {
     val k = lit(buckets.toDouble * alpha)
     val a = lit(alpha)
 
+    // fan out the expression-dense token/hash passes when the scan
+    // is one narrow split (the LangId/q157 device; no-op at scale)
+    val trainW = graft.GraftSession.fanOutForCompute(train)
+
     // Class-conditional bucket counts from the training slice only —
     // one token explode, immediately collapsed to ≤K×2 rows.
-    val counts = train
+    val counts = trainW
       .select(col(seedCol).as("sd"),
         explode(graft.functions.TextFunctions.cjkAwareTokens(
           col(textCol))).as("w"))
@@ -102,7 +106,7 @@ object QualityClassifier {
 
     // Score: per-doc bucket histogram × broadcast model; n·round9(lr)
     // is exactly the decimal sum of n per-occurrence terms.
-    score
+    graft.GraftSession.fanOutForCompute(score)
       .select(col(idCol).as("doc"),
         explode(graft.functions.TextFunctions.cjkAwareTokens(
           col(textCol))).as("w"))

@@ -216,18 +216,19 @@ object SuffixArray {
         .withColumn("wb", col("ttext")
           .substr((col("b_off") + col("lcp") + 1).cast("int"), w))
         .drop("tdoc", "ttext")
-      // the in-window scan runs ONLY on unsaturated rows (the when()
-      // branches are conditional in codegen once projections collapse)
-      val flags = zip_with(split(col("wa"), ""), split(col("wb"), ""),
-        (x, y) => x === y)
-      val fpos = array_position(flags, lit(false))
+      // In-window compare via the zero-allocation codegen kernel
+      // [[graft.functions.CommonPrefixChars]]: inc = matched code
+      // points of the two slices — identical to the old
+      // zip_with(split)/array_position form (mismatch stops the walk;
+      // a shorter slice stops at its own length), which allocated
+      // ~2·window single-char strings PER PAIR just to locate the
+      // first mismatch (the r14 profile's dominant term here).
+      // Saturation (lcp ≥ window) ⇔ inc == window: a full-window
+      // match forces both slices to be exactly window chars.
       val stepped = sliced
-        .withColumn("sat", col("wa") === col("wb") &&
-          length(col("wa")) === w && length(col("wb")) === w)
-        .withColumn("inc", when(col("sat"), lit(win.toLong))
-          .otherwise(when(fpos === 0,
-            least(length(col("wa")), length(col("wb"))).cast("long"))
-            .otherwise(fpos - 1)))
+        .withColumn("inc", graft.functions.CommonPrefixChars.of(
+          col("wa"), col("wb")))
+        .withColumn("sat", col("inc") === lit(win.toLong))
         .select(col("r"), col("a_doc"), col("a_off"), col("b_doc"),
           col("b_off"), (col("lcp") + col("inc")).as("lcp"),
           col("sat"))
