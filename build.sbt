@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver archives a ~2KB tail of the bench's stdout and parses the
+// LAST line as JSON. sbt's default LoggedOutput wraps the forked run's
+// stdout with "[info] " (and its stderr with "[error] "), and sbt
+// itself appends "[success] Total time: ..." after the run — both of
+// which have made every BENCH_rNN artifact read "parsed": null.
+// StdoutOutput passes the forked JVM's stdout/stderr through raw;
+// showSuccess drops the trailing [success] line. Exit codes (the
+// compile/test gates) are unchanged.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -209,7 +209,6 @@ object Bench {
     if (stdoutLine.length > 1900)
       System.err.println(s"[bench] stdout line ${stdoutLine.length}" +
         " bytes — exceeds the 1900-byte tail budget, trim fields")
-    println(stdoutLine)
     // The driver archives only a ~2000-char tail of stdout, which in
     // r10 dropped 159/304 per-query times and both calib fields from
     // the round artifact. The SAME json — with FULL query names — also
@@ -236,6 +235,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"pass_times":$passTimes,"retried":$retriedJson,"rejected_sets":$rejected,$tailFields}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-json write failed: $e") }
+    // The stdout JSON must be the LAST line of the process's output:
+    // the driver parses the final line of its archived tail
+    // (BENCH_r09..r14 all read "parsed": null while the line sat one
+    // or two lines above the end). Silence shutdown-hook log chatter,
+    // stop the session, THEN print — nothing may follow. The run is
+    // forked with outputStrategy = StdoutOutput (build.sbt) so the
+    // line arrives unprefixed, and showSuccess=false drops sbt's
+    // trailing "[success]" line.
+    try spark.sparkContext.setLogLevel("ERROR")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(stdoutLine)
+    System.out.flush()
   }
 }
