@@ -125,16 +125,21 @@ object GraftSession {
     // spark.sql.shuffle.partitions/AQE, and probing it under AQE
     // EXECUTES its query stages — a silent double-run. Those callers
     // handle width explicitly at the exchange instead.
+    // r15 (advice): the guard is an ALLOWLIST of scan-rooted nodes —
+    // any leaf (relation, LocalRelation, checkpoint LogicalRDD) under
+    // Project/Filter/SubqueryAlias only. The previous blocklist
+    // missed Deduplicate (what .distinct()/dropDuplicates() analyze
+    // to), Expand, Intersect/Except, Offset — a frame with any of
+    // those would have been probed and double-run under AQE.
     // streaming frames have no .rdd at all — never probe them
     if (df.isStreaming) return df
     import org.apache.spark.sql.catalyst.plans.logical._
-    val derived = df.queryExecution.analyzed.exists {
-      case _: Join | _: Aggregate | _: Window | _: Sort |
-        _: Distinct | _: GlobalLimit | _: RepartitionOperation |
-        _: Generate => true
-      case _ => false
+    val scanRooted = !df.queryExecution.analyzed.exists {
+      case _: LeafNode | _: Project | _: Filter | _: SubqueryAlias =>
+        false
+      case _ => true
     }
-    if (derived) return df
+    if (!scanRooted) return df
     val cache = fanOutDecisions.synchronized {
       var m = fanOutDecisions.get(spark)
       if (m == null) {

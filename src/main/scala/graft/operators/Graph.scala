@@ -443,8 +443,11 @@ object Graph {
       // nonzero frames can change node SETS between rounds, so the
       // probe is a full-outer join — any unmatched node or changed
       // value keeps iterating. Skipped for round 1 (the all-ones
-      // seed frame is nodes-wide by construction).
-      if (round > 1) {
+      // seed frame is nodes-wide by construction) AND for the final
+      // round (r15): when round == iters the while condition exits
+      // regardless, so the probe's verdict is dead — running it was
+      // one wasted nodes-sized join job per query.
+      if (round > 1 && round < iters) {
         fixed = hubNz.select(col("node"), col("hub").as("__nh"))
           .join(hub, Seq("node"), "full")
           .filter(col("__nh").isNull || col("hub").isNull ||

@@ -556,41 +556,68 @@ object SimilaritySearch {
       centroids: DataFrame, probes: Int): DataFrame =
     attachCells(df, idC, vecCol, centroids, probes)
 
-  /** The shared cell-ranking core of [[assignCells]]/[[probeCells]],
-    * rebuilt around three measured devices (r14 SegProbe: the two
-    * IVF list builds were the LARGEST segment of the q305/q331
-    * family — ~10 s of a 30 s row at sf0.1):
-    *  - norms once per row / per centroid instead of per row×cell
-    *    pair (1 dot per pair, not 3 — bit-identical scores);
-    *  - the ranking window sees ONLY (id, cell_id, score): the old
-    *    shape replicated the full vector payload `cells` times and
-    *    shuffled every copy through the window exchange (at dim 64
-    *    that is ~500 B × n × cells vs ~20 B × n × cells — guide
-    *    §2.3, shuffle keys and metadata, not payloads). The chosen
-    *    (id, cell) assignments re-attach to the ORIGINAL rows with
-    *    one keyed join — n·probes skinny rows against n payload
-    *    rows, instead of n·cells payload rows through an exchange;
-    *  - narrow scans fan out first (the one-parquet-split corpus
-    *    would otherwise rank n×cells pairs on one core;
-    *    fanOutForCompute is a no-op once the scan splits naturally).
-    * Ties break (score desc, cell_id asc) exactly as before. */
+  /** The shared cell-ranking core of [[assignCells]]/[[probeCells]].
+    * r15 shape (guide §2.4, remove the exchange outright): the
+    * centroid table — bounded by design ([[coarseCellCount]] caps) —
+    * is packed into ONE broadcast row of (cell_id, centroid, cnorm)
+    * structs, and each row picks its top-`probes` cells with the
+    * [[graft.functions.TopCells]] codegen kernel ON the row: no
+    * ranking window, no exchange, no re-attach join — a map-only
+    * pass at any scale. (The r14 shape ranked skinny (id, cell,
+    * score) rows through a `row_number()` window — still one full
+    * n×cells exchange + sort per assignment plus a keyed join to
+    * re-attach the payload.)
+    *
+    * Value parity: the kernel computes the same sequential-fold
+    * scores (dot/(rnorm·cnorm), [[dotF64]] order) and ranks by the
+    * same (score desc, cell_id asc) total order as the window
+    * (CellKernelSpec pins kernel ≡ window, ties included); explode
+    * yields exactly the rows the window's `_crnk <= probes` filter
+    * kept. Non-integral cell ids keep the window form (identical
+    * values).
+    *
+    * Narrow scans still fan out first (the one-parquet-split corpus
+    * would otherwise score n×cells pairs on one core;
+    * fanOutForCompute is a no-op once the scan splits naturally). */
   private def attachCells(df: DataFrame, idC: String, vecCol: String,
       centroids: DataFrame, probes: Int): DataFrame = {
-    val cellW = Window.partitionBy(col("_rid")).orderBy(
-      desc("_cscore"), col("cell_id"))
-    val cn = centroids.withColumn("_cnorm", l2Norm(col("centroid")))
     val base = graft.GraftSession.fanOutForCompute(df)
-    val picks = base
-      .select(col(idC).as("_rid"), col(vecCol).as("_v"))
-      .withColumn("_rnorm", l2Norm(col("_v")))
-      .crossJoin(broadcast(cn))
-      .select(col("_rid"), col("cell_id"),
-        (dotF64(col("_v"), col("centroid")) /
-          (col("_rnorm") * col("_cnorm"))).as("_cscore"))
-      .withColumn("_crnk", row_number().over(cellW))
-      .filter(col("_crnk") <= probes)
-      .select(col("_rid"), col("cell_id"))
-    base.join(picks, base(idC) === picks("_rid")).drop("_rid")
+    val cellIdType = centroids.schema("cell_id").dataType
+    val integralCell = cellIdType match {
+      case org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralCell) {
+      // cell_id rides as long through the kernel and casts back —
+      // lossless for integral types (the TopK.perQueryDedup device)
+      val packed = centroids.agg(array_sort(collect_list(struct(
+        col("cell_id").cast("long").as("cell_id"),
+        col("centroid").cast("array<double>").as("centroid"),
+        l2Norm(col("centroid")).as("cnorm")))).as("_cells"))
+      base.crossJoin(broadcast(packed))
+        .withColumn("_pick", explode(graft.functions.TopCells.of(
+          col(vecCol), col("_cells"), probes)))
+        .withColumn("cell_id", col("_pick").cast(cellIdType))
+        .drop("_cells", "_pick")
+    } else {
+      val cellW = Window.partitionBy(col("_rid")).orderBy(
+        desc("_cscore"), col("cell_id"))
+      val cn = centroids.withColumn("_cnorm", l2Norm(col("centroid")))
+      val picks = base
+        .select(col(idC).as("_rid"), col(vecCol).as("_v"))
+        .withColumn("_rnorm", l2Norm(col("_v")))
+        .crossJoin(broadcast(cn))
+        .select(col("_rid"), col("cell_id"),
+          (dotF64(col("_v"), col("centroid")) /
+            (col("_rnorm") * col("_cnorm"))).as("_cscore"))
+        .withColumn("_crnk", row_number().over(cellW))
+        .filter(col("_crnk") <= probes)
+        .select(col("_rid"), col("cell_id"))
+      base.join(picks, base(idC) === picks("_rid")).drop("_rid")
+    }
   }
 
   /** The IVF fine scan: probe-cell assignment on both sides, join
@@ -819,21 +846,20 @@ object SimilaritySearch {
       .select(col("cell_id"), col("v").as("centroid"))
     var iter = 0
     while (iter < maxIter) {
-      val aw = Window.partitionBy(col("_id"))
-        .orderBy(desc("_sc"), col("cell_id"))
-      val cn = cents.withColumn("_cn", l2Norm(col("centroid")))
-      // the argmax window ranks SKINNY (id, cell, score) rows — the
-      // vector payload re-attaches from the cached table by id
-      // afterwards instead of riding the exchange k times (the
-      // attachCells device, guide §2.3)
-      val picks = v.crossJoin(broadcast(cn))
-        .select(col("_id"), col("cell_id"),
-          (dotF64(col("v"), col("centroid")) /
-            (col("_vn") * col("_cn"))).as("_sc"))
-        .withColumn("_r", row_number().over(aw))
-        .filter(col("_r") === 1)
-        .select(col("_id").as("_pid"), col("cell_id"))
-      val assigned = v.join(picks, col("_id") === col("_pid"))
+      // per-row argmax via the [[graft.functions.TopCells]] kernel
+      // over the packed broadcast centroid table (the attachCells r15
+      // device): no ranking window, no exchange, no re-attach join —
+      // the assignment is a map-only pass per iteration. Scores and
+      // the (score desc, cell_id asc) tie-break are bit-identical to
+      // the window form (CellKernelSpec).
+      val cellT = cents.schema("cell_id").dataType
+      val packed = cents.agg(array_sort(collect_list(struct(
+        col("cell_id").cast("long").as("cell_id"),
+        col("centroid").cast("array<double>").as("centroid"),
+        l2Norm(col("centroid")).as("cnorm")))).as("_cells"))
+      val assigned = v.crossJoin(broadcast(packed))
+        .withColumn("cell_id", element_at(graft.functions.TopCells.of(
+          col("v"), col("_cells"), 1), 1).cast(cellT))
         .select(col("cell_id"), col("_id"), col("v"))
       val updated = assigned
         .select(col("cell_id"), col("_id"), posexplode(col("v")))
@@ -1027,10 +1053,21 @@ object SimilaritySearch {
       graphK: Int = 12, graphIters: Int = 3,
       cellsOf: Long => Int = coarseCellCount(_),
       probesOf: Long => Int = _ => 0,
-      corpusAssign: Int = 1): DataFrame = {
+      corpusAssign: Int = 1): DataFrame =
+    ivfParityCandidates(emb, idCol, vecCol, listK, nProbe, cellsOf,
+      probesOf, corpusAssign, emb.count())
+      .union(parityGraphEdges(emb, idCol, vecCol, graphK, graphIters))
+
+  /** The IVF leg of [[parityMarginCandidates]] — the two directed
+    * k-NN lists, as (lid, rid) cross-parity pairs. Factored out so
+    * the multi-device recall gate ([[annCandidateRecallGates]]) can
+    * rebuild ONLY this leg per device while sharing the NN-descent
+    * leg and the exact audit legs. */
+  private def ivfParityCandidates(emb: DataFrame, idCol: String,
+      vecCol: String, listK: Int, nProbe: Int, cellsOf: Long => Int,
+      probesOf: Long => Int, corpusAssign: Int, n: Long): DataFrame = {
     val l = emb.filter(col(idCol) % 2 === 0)
     val r = emb.filter(col(idCol) % 2 === 1)
-    val n = emb.count()
     // probesOf (the q331 recall-holding rule — [[probeCountScaled]])
     // overrides the static nProbe when it returns a positive count
     val probes = { val p = probesOf(n); if (p > 0) p else nProbe }
@@ -1039,14 +1076,21 @@ object SimilaritySearch {
       listK, probes, corpusAssign)
     val rl = ivfKnnLists(r, idCol, l, idCol, vecCol, cents,
       listK, probes, corpusAssign)
+    lr.select(col("qid").as("lid"), col("cid").as("rid"))
+      .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
+  }
+
+  /** The NN-descent leg of [[parityMarginCandidates]] — the
+    * cross-parity undirected edges of the k-NN graph, as
+    * (lid, rid). */
+  private def parityGraphEdges(emb: DataFrame, idCol: String,
+      vecCol: String, graphK: Int, graphIters: Int): DataFrame = {
     val g = NnDescent.knnGraph(emb, idCol, vecCol, graphK,
       graphIters)
     val und = g.select(col("u"), col("v"))
       .union(g.select(col("v").as("u"), col("u").as("v")))
-    lr.select(col("qid").as("lid"), col("cid").as("rid"))
-      .union(rl.select(col("cid").as("lid"), col("qid").as("rid")))
-      .union(und.filter(col("u") % 2 === 0 && col("v") % 2 === 1)
-        .select(col("u").as("lid"), col("v").as("rid")))
+    und.filter(col("u") % 2 === 0 && col("v") % 2 === 1)
+      .select(col("u").as("lid"), col("v").as("rid"))
   }
 
   /** ANN candidate RECALL GATE — the q314 verdict-style audit for
@@ -1081,60 +1125,115 @@ object SimilaritySearch {
       cellsOf: Long => Int = coarseCellCount(_),
       probesOf: Long => Int = _ => 0,
       corpusAssign: Int = 1, graphK: Int = 12,
-      graphIters: Int = 3): DataFrame = {
+      graphIters: Int = 3): DataFrame =
+    annCandidateRecallGates(emb, idCol, vecCol,
+      Seq(AnnGateDevice("_", cellsOf, probesOf, corpusAssign,
+        graphK, graphIters)), k, queryCap, threshold)
+
+  /** One candidate-shortlist device under the multi-device recall
+    * gate: the [[parityMarginCandidates]] knobs plus a label for the
+    * verdict rows. */
+  case class AnnGateDevice(name: String, cellsOf: Long => Int,
+      probesOf: Long => Int = _ => 0, corpusAssign: Int = 1,
+      graphK: Int = 12, graphIters: Int = 3)
+
+  /** [[annCandidateRecallGate]] over SEVERAL devices at once — the
+    * r15 shape of the q330 gate (guide §1.2 step 1: don't compute
+    * things twice). The single-device form run per device rebuilt,
+    * per device, (a) the exact brute-force audit legs — which do not
+    * depend on the device at all — and (b) the NN-descent graph leg,
+    * identical whenever two devices share (graphK, graphIters), as
+    * q330's two IVF sizings do. Here the exact legs are built ONCE,
+    * the graph leg once per distinct (graphK, graphIters), and only
+    * the IVF leg is rebuilt per device. Verdict values are identical
+    * to running the single-device gate per device: every shared
+    * frame is deterministic and device-independent, and the joins/
+    * aggregations consuming them are unchanged.
+    *
+    * Output: (device, direction, n_queries, k, n_exact, n_hit,
+    * recall_ok) — one row per device per direction, unordered
+    * (callers sort). With a SINGLE device the device column is
+    * omitted and the result is the single-device gate's exact frame
+    * (a bare eager LogicalRDD — the r13 freeing contract its spec
+    * asserts). */
+  def annCandidateRecallGates(emb: DataFrame, idCol: String,
+      vecCol: String, devices: Seq[AnnGateDevice], k: Int = 4,
+      queryCap: Int = 512, threshold: Double = 0.85): DataFrame = {
     require(k >= 1, s"k must be >= 1 ($k)")
-    val cand = parityMarginCandidates(emb, idCol, vecCol,
-        graphK = graphK, graphIters = graphIters,
-        cellsOf = cellsOf, probesOf = probesOf,
-        corpusAssign = corpusAssign)
-      .select(col("lid"), col("rid")).distinct()
-      // built once, consumed by both direction audits
-      .localCheckpoint()
+    require(devices.nonEmpty, "need at least one device")
+    val bridge = org.apache.spark.sql.graftbridge.CheckpointBridge
+    val n = emb.count()
     def gate(side: DataFrame): DataFrame = {
-      val n = side.count()
+      val ns = side.count()
       val keep = math.floor(
-        1e6 * math.min(1.0, queryCap.toDouble / math.max(1L, n)))
+        1e6 * math.min(1.0, queryCap.toDouble / math.max(1L, ns)))
         .toLong
       side.filter(conv(substring(md5(concat(lit("rg:"),
         col(idCol).cast("string"))), 1, 8), 16, 10)
         .cast("long") % 1000000L < lit(keep))
     }
-    def direction(dir: String, qs: DataFrame, corpus: DataFrame,
-        candQC: DataFrame): DataFrame = {
-      val sq = gate(qs)
-      val exact = bruteForceTopKHeap(sq, idCol, corpus, idCol,
-          vecCol, k)
-        .select(col("qid"), col("cid"))
-      val agg = exact
-        .join(candQC.withColumn("_hit", lit(1L)),
-          Seq("qid", "cid"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
-      sq.agg(count(lit(1)).as("n_queries")).crossJoin(agg)
-        .select(lit(dir).as("direction"), col("n_queries"),
-          lit(k).as("k"), col("n_exact"), col("n_hit"),
+    // The exact audit legs (device-independent): md5-sampled queries,
+    // brute-force top-k over the full opposite parity — built once,
+    // consumed by every device's verdict join.
+    val even = emb.filter(col(idCol) % 2 === 0)
+    val odd = emb.filter(col(idCol) % 2 === 1)
+    val dirs = Seq(("even_to_odd", even, odd), ("odd_to_even", odd, even))
+      .map { case (dir, qs, corpus) =>
+        val sq = gate(qs)
+        val exact = bruteForceTopKHeap(sq, idCol, corpus, idCol,
+            vecCol, k)
+          .select(col("qid"), col("cid"))
+          .localCheckpoint()
+        val nQueries = sq.count()
+        (dir, exact, nQueries)
+      }
+    // The NN-descent leg: once per distinct (graphK, graphIters) —
+    // q330's two devices share one build where they used to run two.
+    val graphs: Map[(Int, Int), DataFrame] = devices
+      .map(d => (d.graphK, d.graphIters)).distinct
+      .map { case cfg @ (gk, gi) =>
+        cfg -> parityGraphEdges(emb, idCol, vecCol, gk, gi)
+          .localCheckpoint()
+      }.toMap
+    val verdictRows = devices.map { d =>
+      val cand = ivfParityCandidates(emb, idCol, vecCol, listK = 8,
+          nProbe = 4, cellsOf = d.cellsOf, probesOf = d.probesOf,
+          corpusAssign = d.corpusAssign, n = n)
+        .union(graphs((d.graphK, d.graphIters)))
+        .select(col("lid"), col("rid")).distinct()
+        // built once per device, consumed by both direction audits
+        .localCheckpoint()
+      val byDir = Map(
+        "even_to_odd" ->
+          cand.select(col("lid").as("qid"), col("rid").as("cid")),
+        "odd_to_even" ->
+          cand.select(col("rid").as("qid"), col("lid").as("cid")))
+      val rows = dirs.map { case (dir, exact, nQueries) =>
+        val cols = Seq(lit(dir).as("direction"),
+          lit(nQueries).as("n_queries"), lit(k).as("k"),
+          col("n_exact"), col("n_hit"),
           (col("n_exact") === 0 ||
             col("n_hit").cast("double") >=
               lit(threshold) * col("n_exact").cast("double"))
             .as("recall_ok"))
+        exact
+          .join(byDir(dir).withColumn("_hit", lit(1L)),
+            Seq("qid", "cid"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
+          .select((if (devices.size > 1)
+            lit(d.name).as("device") +: cols else cols): _*)
+      }.reduce(_ unionByName _)
+      (cand, rows)
     }
-    val qc = cand.select(col("lid").as("qid"), col("rid").as("cid"))
-    val cq = cand.select(col("rid").as("qid"), col("lid").as("cid"))
-    val verdicts = direction("even_to_odd",
-        emb.filter(col(idCol) % 2 === 0),
-        emb.filter(col(idCol) % 2 === 1), qc)
-      .unionByName(direction("odd_to_even",
-        emb.filter(col(idCol) % 2 === 1),
-        emb.filter(col(idCol) % 2 === 0), cq))
-      // Eager 2-row materialization so the candidate checkpoint can
-      // be FREED here instead of leaking to library callers (r13
-      // verdict item 8): the returned frame is its own (tiny)
-      // checkpoint and no longer references `cand`'s blocks. The
-      // corpus-sized candidate frame would otherwise sit in the
-      // storage pool for the caller's session lifetime.
+    val verdicts = verdictRows.map(_._2).reduce(_ unionByName _)
+      // Eager materialization of the (devices × 2)-row result so every
+      // corpus-sized checkpoint below can be FREED here instead of
+      // leaking to library callers (r13 verdict item 8).
       .localCheckpoint()
-    org.apache.spark.sql.graftbridge.CheckpointBridge
-      .freeCheckpointBlocks(cand)
+    verdictRows.foreach(v => bridge.freeCheckpointBlocks(v._1))
+    graphs.values.foreach(bridge.freeCheckpointBlocks)
+    dirs.foreach(d => bridge.freeCheckpointBlocks(d._2))
     verdicts
   }
 

@@ -771,15 +771,19 @@ object VectorQueries {
     * pairs co-located, so q329 is the scale path on BOTH axes. */
   def q330AnnRecallGate(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    def gate(nm: String, cellsOf: Long => Int) =
-      SimilaritySearch.annCandidateRecallGate(emb, "vec_id",
-          "embedding", k = 4, queryCap = 512, threshold = 0.9,
-          cellsOf = cellsOf)
-        .withColumn("device", lit(nm))
-    gate("cells_n23",
-        SimilaritySearch.coarseCellCountScaled(_))
-      .unionByName(gate("cells_sqrt_n",
-        SimilaritySearch.coarseCellCount(_)))
+    // Multi-device gate (r15): the exact audit legs and the
+    // NN-descent leg — identical between the two devices, which
+    // differ only in IVF cell sizing — are built ONCE and shared
+    // (the r14 shape ran the full single-device gate twice; verdict
+    // values are unchanged, [[SimilaritySearch.annCandidateRecallGates]]).
+    SimilaritySearch.annCandidateRecallGates(emb, "vec_id",
+        "embedding",
+        Seq(
+          SimilaritySearch.AnnGateDevice("cells_n23",
+            SimilaritySearch.coarseCellCountScaled(_)),
+          SimilaritySearch.AnnGateDevice("cells_sqrt_n",
+            SimilaritySearch.coarseCellCount(_))),
+        k = 4, queryCap = 512, threshold = 0.9)
       .select(col("device"), col("direction"), col("n_queries"),
         col("k"), col("n_exact"), col("recall_ok"))
       .orderBy(col("device"), col("direction"))
