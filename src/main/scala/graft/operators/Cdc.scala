@@ -72,9 +72,14 @@ object Cdc {
          |    gi -> named_struct(
          |      's', if(gi = 1, 0, element_at($bs2, gi - 1)),
          |      'e', element_at($bs2, gi))))""".stripMargin
-    docs
-      .select(col(idCol), col(textCol).as("t"),
-        length(col(textCol)).as("n"))
+    // the per-character boundary fold is the whole cost of this
+    // operator; a one-split documents scan would run it on a single
+    // core (r15 StageProbe on q218: 3.9 s of a 10.6 s row on 1 of 32
+    // tasks) — fan the narrow scan out first (no-op once the scan
+    // splits naturally at scale)
+    graft.GraftSession.fanOutForCompute(docs
+        .select(col(idCol), col(textCol).as("t"),
+          length(col(textCol)).as("n")))
       .filter(col("n") > 0)
       .withColumn("spans", expr(spansExpr))
       .select(col(idCol), col("t"),

@@ -48,64 +48,17 @@ object SuffixArray {
   def suffixRanks(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
 
-    // FUSED dense rank (r15, guide §2.4): range-partition the FULL
-    // position table by the key columns (payload riding along), sort
-    // within partitions, count distinct keys per partition (a
-    // partition-count-sized collect), then assign
-    // rank = partition offset + local dense index in one mapPartitions
-    // pass — ONE range exchange per round. The r14 form dense-ranked
-    // the DISTINCT key table (hash exchange + two aggregates) through
-    // orderBy + zipWithIndex (its own count job) and hash-joined the
-    // ranks back onto the positions (two more exchanges): four
-    // shuffles per doubling round for the same numbers. Rank values
-    // are identical — the 0-based index of the key among sorted
-    // distinct keys (equal keys share a range partition, so the
-    // per-partition distinct counts compose exactly); payload order
-    // within equal keys cannot affect ranks, so the in-partition sort
-    // needs no further tie-breaking. Returns the ranked frame plus
-    // the distinct-key count (which the convergence test below reads
-    // for free, replacing the per-round max-rank aggregation job).
-    def fusedRank(df: DataFrame, key: Seq[String],
-        payload: Seq[String]): (DataFrame, Long) = {
-      val parts = math.max(1,
-        spark.sessionState.conf.numShufflePartitions)
-      val sorted = df
-        .select((key ++ payload).map(col): _*)
-        .repartitionByRange(parts, key.map(col): _*)
-        .sortWithinPartitions(key.map(col): _*)
-      val kw = key.size
-      val srdd = sorted.rdd
-      def keyOf(r: Row): AnyRef =
-        if (kw == 1) r.get(0).asInstanceOf[AnyRef]
-        else (r.get(0), r.get(1))
-      val counts = srdd.mapPartitions { it =>
-        var c = 0L
-        var last: AnyRef = null
-        while (it.hasNext) {
-          val kk = keyOf(it.next())
-          if (last == null || kk != last) { c += 1; last = kk }
-        }
-        Iterator.single(c)
-      }.collect()
-      val offsets = counts.scanLeft(0L)(_ + _)
-      val bc = spark.sparkContext.broadcast(offsets)
-      val outSchema = StructType(
-        payload.map(n => sorted.schema(n)) :+
-          StructField("r", LongType, nullable = false))
-      val pw = payload.size
-      val ranked = srdd.mapPartitionsWithIndex { (pi, it) =>
-        var rank = bc.value(pi) - 1L
-        var last: AnyRef = null
-        it.map { r =>
-          val kk = keyOf(r)
-          if (last == null || kk != last) { rank += 1L; last = kk }
-          Row.fromSeq((kw until kw + pw).map(r.get) :+ rank)
-        }
-      }
-      (spark.createDataFrame(ranked, outSchema), offsets.last)
+    def denseRank(df: DataFrame, cols: Seq[String],
+        out: String): DataFrame = {
+      val distinct = df.select(cols.map(col): _*).distinct()
+      val ranked = distinct.orderBy(cols.map(col): _*)
+        .rdd.zipWithIndex()
+        .map { case (row, idx) =>
+          (row.getLong(0), row.getLong(1), idx) }
+        .toDF(cols(0), cols(1), out)
+      df.join(ranked, cols)
     }
 
     // Seed ranks over a 16-char prefix instead of single characters:
@@ -130,20 +83,17 @@ object SuffixArray {
       .select(col("doc"), col("len"), col("off"),
         expr(s"substring(t, CAST(off + 1 AS INT), ${seed.toInt})")
           .as("pfx"))
-    val (seedRanked, seedDistinct) = fusedRank(pos,
-      Seq("pfx"), Seq("doc", "off", "len"))
-    var ranks = seedRanked
+    val pfxRank = pos.select(col("pfx")).distinct()
+      .orderBy(col("pfx")).rdd.zipWithIndex()
+      .map { case (row, idx) => (row.getString(0), idx) }
+      .toDF("pfx", "r")
+    var ranks = pos.join(pfxRank, "pfx")
       .select(col("doc"), col("off"), col("len"), col("r"))
       .localCheckpoint()
     val total = ranks.count()
     var k = seed
     // seed ranks may already be total (every 16-char prefix distinct)
-    var done = seedDistinct == total
-    // the doubling cap (max doc length) is loop-invariant — computed
-    // once here instead of inside every round's stats job
-    val maxLen =
-      if (done) 0L
-      else ranks.agg(max(col("len"))).head().getLong(0)
+    var done = pfxRank.count() == total
     while (!done) {
       val right = ranks.select(col("doc").as("rdoc"),
         (col("off") - k).as("roff"), col("r").as("r2"))
@@ -153,12 +103,13 @@ object SuffixArray {
           "left")
         .select(col("doc"), col("off"), col("len"),
           col("r").as("p1"), coalesce(col("r2"), lit(-1L)).as("p2"))
-      val (roundRanked, roundDistinct) = fusedRank(paired,
-        Seq("p1", "p2"), Seq("doc", "off", "len"))
-      ranks = roundRanked
-        .select(col("doc"), col("off"), col("len"), col("r"))
+      ranks = denseRank(paired, Seq("p1", "p2"), "nr")
+        .select(col("doc"), col("off"), col("len"),
+          col("nr").as("r"))
         .localCheckpoint()
-      done = roundDistinct == total || k >= maxLen
+      val stats = ranks.agg(max(col("r")).as("mx"),
+        max(col("len")).as("ml")).head()
+      done = stats.getLong(0) == total - 1 || k >= stats.getLong(1)
       k *= 2
     }
     ranks.select(col("doc").as(idCol), col("off"),

@@ -18,35 +18,70 @@ object TopK {
 
   case class Scored(id: Long, score: Double)
 
-  /** Best-first comparison key: ascending (-score, id). */
-  private val outOrd: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.score, s.id))
+  /** Compact bounded top-k buffer (r15): parallel PRIMITIVE arrays
+    * kept sorted best-first — replaces the PriorityQueue[Scored]
+    * buffer whose per-element `exists` membership scan allocated a
+    * boxed iterator per candidate row and whose kryo form serialized
+    * one case object per kept element (the NN-descent candidate
+    * stream pushes ~10⁷ rows/round through reduce()). The comparison
+    * is the EXACT old total order — ascending (-score, id) under
+    * Scala's Double TotalOrdering, i.e. `Double.compare(-s1, -s2)`
+    * then id — so kept sets, eviction decisions and output order are
+    * bit-identical (TopKSpec pins heap ≡ window on the shared
+    * fixtures). */
+  final class TopKBuf(val scores: Array[Double], val ids: Array[Long],
+      var n: Int) extends Serializable {
+    def this(k: Int) = this(new Array[Double](k), new Array[Long](k), 0)
+  }
 
-  /** PriorityQueue dequeues its GREATEST element; under outOrd the
-    * greatest tuple is the WORST candidate — exactly what a bounded
-    * top-k heap evicts. */
-  private val heapOrd: Ordering[Scored] = outOrd
+  /** < 0 ⇔ (s1, id1) ranks strictly better — ascending (-score, id),
+    * the old heapOrd/outOrd key, NaN and ±0.0 semantics included. */
+  private def cmp(s1: Double, id1: Long, s2: Double, id2: Long): Int = {
+    val c = java.lang.Double.compare(-s1, -s2)
+    if (c != 0) c else java.lang.Long.compare(id1, id2)
+  }
+
+  /** Bounded insert, optionally skipping ids already in the buffer
+    * (the [[TopKDedupAgg]] contract: duplicate ids carry equal
+    * scores, so the membership test alone decides). */
+  private def insert(b: TopKBuf, k: Int, s: Double, id: Long,
+      dedup: Boolean): Unit = {
+    // fast reject first: on a converged candidate stream most rows
+    // lose to the current worst — don't pay the membership scan for
+    // them (a rejected duplicate changes nothing either way)
+    if (b.n == k && cmp(s, id, b.scores(k - 1), b.ids(k - 1)) >= 0)
+      return
+    if (dedup) {
+      var i = 0
+      while (i < b.n) { if (b.ids(i) == id) return; i += 1 }
+    }
+    var pos = if (b.n < k) { b.n += 1; b.n - 1 } else k - 1
+    while (pos > 0 && cmp(s, id, b.scores(pos - 1), b.ids(pos - 1)) < 0) {
+      b.scores(pos) = b.scores(pos - 1); b.ids(pos) = b.ids(pos - 1)
+      pos -= 1
+    }
+    b.scores(pos) = s; b.ids(pos) = id
+  }
+
+  private def toSeq(b: TopKBuf): Seq[Scored] =
+    (0 until b.n).map(i => Scored(b.ids(i), b.scores(i)))
 
   class TopKAgg(k: Int)
-      extends Aggregator[Scored, mutable.PriorityQueue[Scored],
-        Seq[Scored]] {
-    def zero: mutable.PriorityQueue[Scored] =
-      mutable.PriorityQueue.empty(heapOrd)
-    def reduce(buf: mutable.PriorityQueue[Scored],
-        s: Scored): mutable.PriorityQueue[Scored] = {
-      if (buf.size < k) buf.enqueue(s)
-      else if (outOrd.lt(s, buf.head)) { buf.dequeue(); buf.enqueue(s) }
+      extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+    def zero: TopKBuf = new TopKBuf(k)
+    def reduce(buf: TopKBuf, s: Scored): TopKBuf = {
+      insert(buf, k, s.score, s.id, dedup = false)
       buf
     }
-    def merge(a: mutable.PriorityQueue[Scored],
-        b: mutable.PriorityQueue[Scored]): mutable.PriorityQueue[Scored] = {
-      b.foreach(s => reduce(a, s))
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var i = 0
+      while (i < b.n) {
+        insert(a, k, b.scores(i), b.ids(i), dedup = false); i += 1
+      }
       a
     }
-    def finish(buf: mutable.PriorityQueue[Scored]): Seq[Scored] =
-      buf.toSeq.sorted(outOrd)
-    def bufferEncoder: Encoder[mutable.PriorityQueue[Scored]] =
-      Encoders.kryo[mutable.PriorityQueue[Scored]]
+    def finish(buf: TopKBuf): Seq[Scored] = toSeq(buf)
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
     def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
@@ -96,29 +131,21 @@ object TopK {
     * candidate distinct + window sort were ~50 s CPU per NN-descent
     * round at sf0.1 where the dot products were ~1 s). */
   class TopKDedupAgg(k: Int)
-      extends Aggregator[Scored, mutable.PriorityQueue[Scored],
-        Seq[Scored]] {
-    def zero: mutable.PriorityQueue[Scored] =
-      mutable.PriorityQueue.empty(heapOrd)
-    def reduce(buf: mutable.PriorityQueue[Scored],
-        s: Scored): mutable.PriorityQueue[Scored] = {
-      if (buf.size < k) {
-        if (!buf.exists(_.id == s.id)) buf.enqueue(s)
-      } else if (outOrd.lt(s, buf.head) &&
-          !buf.exists(_.id == s.id)) {
-        buf.dequeue(); buf.enqueue(s)
-      }
+      extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+    def zero: TopKBuf = new TopKBuf(k)
+    def reduce(buf: TopKBuf, s: Scored): TopKBuf = {
+      insert(buf, k, s.score, s.id, dedup = true)
       buf
     }
-    def merge(a: mutable.PriorityQueue[Scored],
-        b: mutable.PriorityQueue[Scored]): mutable.PriorityQueue[Scored] = {
-      b.foreach(s => reduce(a, s))
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var i = 0
+      while (i < b.n) {
+        insert(a, k, b.scores(i), b.ids(i), dedup = true); i += 1
+      }
       a
     }
-    def finish(buf: mutable.PriorityQueue[Scored]): Seq[Scored] =
-      buf.toSeq.sorted(outOrd)
-    def bufferEncoder: Encoder[mutable.PriorityQueue[Scored]] =
-      Encoders.kryo[mutable.PriorityQueue[Scored]]
+    def finish(buf: TopKBuf): Seq[Scored] = toSeq(buf)
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
     def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }

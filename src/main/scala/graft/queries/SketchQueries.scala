@@ -19,9 +19,14 @@ object SketchQueries {
   /** Whitespace tokens of `documents.text` (single-space split,
     * empties dropped) — the shared term stream for q192/q193. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("lang"),
-      explode(filter(split(col("text"), " "),
-        x => length(x) > 0)).as("tok"))
+    // fan the one-split documents scan out BEFORE the tokenize
+    // explode (r15 StageProbe on q193: the tokenize+md5 stage ran on
+    // 1 of 32 tasks); no-op once the scan splits naturally at scale
+    graft.queries.Tables.fanOutForCompute(
+        documents(s, d).select(col("lang"), col("text")))
+      .select(col("lang"),
+        explode(filter(split(col("text"), " "),
+          x => length(x) > 0)).as("tok"))
 
   private val docTokensSql: String =
     """toks AS (
