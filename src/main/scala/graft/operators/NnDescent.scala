@@ -167,8 +167,18 @@ object NnDescent {
       s"greedySearch needs a non-empty embedding frame (n=$n): the " +
         "entry-node expression takes ranks mod n")
     val idx = denseIndex(v)
+    // query norm ONCE per query row (it rides the q projection, so a
+    // broadcast build materializes it once), corpus norm ONCE per
+    // corpus row inside the EXISTING vector-attach join's projection —
+    // 1 dot per scored pair instead of 3, same expressions and
+    // divisor order as cosine() ⇒ bit-identical scores. (The r14
+    // attempt that measured q226 +45% added a SEPARATE norm-attach
+    // join per round; this adds no join — only columns on joins the
+    // loop already pays for.)
     val q = queries.select(col(qidCol).as("qid"),
-      col(qvecCol).cast("array<double>").as("qe"))
+        col(qvecCol).cast("array<double>").as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+    val vn = v.withColumn("n2", l2Norm(col("e")))
     // entry nodes: ranks md5(qid, e) mod n in the id order
     val entry = q
       .select(col("qid"),
@@ -177,24 +187,20 @@ object NnDescent {
       .select(col("qid"), col("ti")).distinct()
       .join(idx.select(col("i").as("ti"), col("id").as("cid")), "ti")
       .join(q, "qid")
-      .select(col("qid"), col("qe"), col("cid"))
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
     val edges = graph.select(col("u"), col("v"))
-    // beam volumes are queries×beam×k — bounded small by contract, so
-    // the per-pair cosine (3 dots) is cheaper than an extra
-    // norm-attach join per expansion round (measured r14: the joined
-    // form cost q226 ~+45%)
     def scoreBeam(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("cid"))
       cand
-        .join(v.select(col("id").as("cid"), col("e")), "cid")
+        .join(vn.select(col("id").as("cid"), col("e"), col("n2")),
+          "cid")
         .withColumn("score",
-          dotF64(col("qe"), col("e")) /
-            (l2Norm(col("qe")) * l2Norm(col("e"))))
+          dotF64(col("qe"), col("e")) / (col("qn") * col("n2")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= beam)
-        .select(col("qid"), col("qe"), col("cid"), col("score"),
-          col("rnk"))
+        .select(col("qid"), col("qe"), col("qn"), col("cid"),
+          col("score"), col("rnk"))
     }
     var b = scoreBeam(entry)
     for (_ <- 1 to steps) {
@@ -207,7 +213,7 @@ object NnDescent {
         .union(b.select(col("qid"), col("cid")))
         .distinct()
         .join(q, "qid")
-        .select(col("qid"), col("qe"), col("cid"))
+        .select(col("qid"), col("qe"), col("qn"), col("cid"))
       b = scoreBeam(expand).localCheckpoint()
     }
     b.filter(col("rnk") <= k)
